@@ -1,0 +1,96 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Silver-layer transforms: typed projection, schema enforcement with a
+  * DLQ side-channel, and latest-record deduplication.
+  *
+  * Re-expresses the reference's transform job
+  * (ref: glue/data_transform_s3.py) Spark-first. The reference validates
+  * schemas with a driver-side `collect()` loop
+  * (ref: glue/data_transform_s3.py:72-108) — an O(rows) driver-memory
+  * anti-pattern. Here the split is a single distributed pass: two
+  * complementary filters over one scan, so Catalyst can push the
+  * validity predicate down and nothing ever leaves the executors.
+  */
+object Transform {
+
+  /** O-08: select + rename + cast projection
+    * (ref: glue/data_transform_s3.py:113-126).
+    * spec entries are (srcCol, dstCol, dataType).
+    */
+  def castProjection(df: DataFrame, spec: Seq[(String, String, DataType)]): DataFrame =
+    df.select(spec.map { case (src, dst, dt) => col(src).cast(dt).as(dst) }: _*)
+
+  private def validityPredicate(required: Seq[String]): Column =
+    required.map(col(_).isNotNull).reduce(_ && _)
+
+  /** Names of required fields that are null on this row, comma-joined
+    * (ref: glue/data_transform_s3.py:91 `", ".join(missing_fields)`).
+    * `concat_ws` drops the nulls produced by non-matching `when`s.
+    */
+  private def missingFields(required: Seq[String]): Column =
+    concat_ws(", ", required.map(c => when(col(c).isNull, lit(c))): _*)
+
+  /** O-07: distributed schema-enforcement split. Valid rows pass through
+    * unchanged; invalid rows become DLQ records
+    * `{raw_data, error_reason, timestamp, validation_type}`
+    * (ref: glue/data_transform_s3.py:89-94). One scan, zero collects —
+    * at 100 TB the two filters share the cached/pushed-down scan and
+    * each side writes from the executors.
+    */
+  def schemaSplit(
+      df: DataFrame,
+      required: Seq[String],
+      validationType: String = "schema_enforcement"): (DataFrame, DataFrame) = {
+    val ok = validityPredicate(required)
+    val valid = df.filter(ok)
+    val invalid = df.filter(!ok).select(
+      to_json(struct(df.columns.map(col): _*)).as("raw_data"),
+      concat(lit("Missing required fields: "), missingFields(required)).as("error_reason"),
+      current_timestamp().as("timestamp"),
+      lit(validationType).as("validation_type"))
+    (valid, invalid)
+  }
+
+  /** Same validity logic as [[schemaSplit]] but annotating rows in place
+    * (deterministic — no `current_timestamp`), for oracle-checked
+    * queries and for row-level DQ routing.
+    */
+  def withValidity(df: DataFrame, required: Seq[String]): DataFrame = {
+    val ok = validityPredicate(required)
+    df.withColumn("is_valid", ok)
+      .withColumn(
+        "error_reason",
+        when(ok, lit("")).otherwise(
+          concat(lit("Missing required fields: "), missingFields(required))))
+  }
+
+  /** O-28: keep-latest dedup via a ranking window
+    * (ref: glue/data_transform_s3.py:133-136). Callers must pass a
+    * deterministic total order in `orderCols` (e.g. ts desc then a
+    * unique id) — `row_number` over ties is otherwise nondeterministic
+    * (SURVEY.md §7.4.2). The window shuffles once on `partitionCols`;
+    * at scale, skewed keys should be salted upstream or handled by AQE.
+    */
+  def dedupLatest(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** O-09: metadata columns (ref: glue/data_transform_s3.py:127-128)
+    * with an injectable "now" for deterministic tests (SURVEY.md §7.4.1).
+    */
+  def withMetadata(df: DataFrame, now: Option[java.time.Instant] = None): DataFrame =
+    now match {
+      case Some(ts) =>
+        df.withColumn("update_date", to_date(lit(ts.toString)))
+          .withColumn("last_updated_ts", to_timestamp(lit(ts.toString)))
+      case None =>
+        df.withColumn("update_date", current_date())
+          .withColumn("last_updated_ts", current_timestamp())
+    }
+}

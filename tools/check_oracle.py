@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py [sf_dir] [out_dir] [--skip-verify]
+
+Runs graft.Verify (unless --skip-verify), then for each query parquet in
+out_dir, runs the matching oracle SQL in DuckDB (tables registered as
+views over sf_dir/*.parquet) and compares: row count, column names
+(sorted), and values (column-sorted, row-order as produced).
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def run_verify(sf_dir, out_dir):
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}']
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    sys.stdout.write("\n".join(l for l in r.stdout.splitlines()
+                               if "error" in l.lower() or "failed" in l.lower()) + "\n")
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-2000:])
+        sys.exit(1)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for robust compare (mimics a value-hash)
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object and len(col) and isinstance(col.iloc[0], (list,)):
+            out[c] = col.apply(lambda v: json.dumps(list(v)))
+        else:
+            out[c] = col.astype(str)
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    if "--skip-verify" not in sys.argv:
+        run_verify(sf_dir, out_dir)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+
+    qdirs = sorted(d for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d))
+    n_pass = n_fail = n_nosql = 0
+    for qd in qdirs:
+        name = os.path.basename(qd)
+        files = glob.glob(os.path.join(qd, "*.parquet"))
+        if not files:
+            print(f"FAIL  {name}: no parquet output")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY(EMPTY!)"
+            print(f"{status:>6}  {name}: rows={len(got)}")
+            n_nosql += 1
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        g, e = normalize(got), normalize(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL  {name}: columns differ: spark={list(g.columns)} oracle={list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"FAIL  {name}: rows differ: spark={len(g)} oracle={len(e)}")
+            n_fail += 1
+            continue
+        neq = (g.values != e.values)
+        if neq.any():
+            idx = list(zip(*neq.nonzero()))[:5]
+            print(f"FAIL  {name}: {neq.sum()} cell mismatches; first: ")
+            for (i, j) in idx:
+                print(f"        row {i} col {g.columns[j]}: spark={g.iloc[i, j]!r} oracle={e.iloc[i, j]!r}")
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: rows={len(g)}")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_nosql} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
