@@ -2,15 +2,22 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import graft.dq.{Analyzers, ColumnValues, Rules}
 import graft.etl.Transform
+import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.gold.Star
+import graft.stream.{Jobs, Validate}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every query is deterministic (stable ORDER BY, literal dates, rounded
-  * floating-point aggregates) so the driver's DuckDB hash-compare is
-  * stable across engines. Column names are aliased identically in the
-  * Spark plan and the oracle SQL.
+  * Every oracle-checked query is deterministic: stable total-order
+  * ORDER BY, literal dates, floating-point aggregates rounded
+  * identically on both sides, column names aliased identically in the
+  * Spark plan and the oracle SQL. Window tie-breaks include l_partkey /
+  * l_suppkey because l_linenumber is NOT unique within l_orderkey in
+  * this testdata.
   */
 object SparkEntry {
 
@@ -21,10 +28,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     q01DedupLatestAgg(spark, "/root/testdata/sf0.001")
 
-  /** O-28 window dedup + O-11 null guard + O-29 agg + O-47 sort.
-    * Keep the latest lineitem per order (ship date desc, linenumber desc
-    * as the deterministic tie-break), then aggregate per return flag.
-    */
+  // ---------------------------------------------------------------- ETL
+
+  /** O-28 window dedup + O-11 null guard + O-29 agg + O-47 sort. */
   def q01DedupLatestAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val deduped = Transform.dedupLatest(
@@ -43,13 +49,307 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** O-06/O-08: select + rename + cast projection. */
+  def q02CastProjection(spark: SparkSession, dir: String): DataFrame =
+    Transform.castProjection(Tables.orders(spark, dir), Seq(
+      ("o_orderkey", "order_id", LongType),
+      ("o_custkey", "cust_id", IntegerType),
+      ("o_orderstatus", "status", StringType),
+      ("o_totalprice", "total_price", DoubleType),
+      ("o_orderdate", "order_date", DateType),
+      ("o_orderpriority", "priority", StringType)))
+      .orderBy(col("order_id"))
+
+  /** O-07/O-26/O-27: schema-enforcement annotation over events with
+    * deterministically injected nulls (the testdata has none).
+    */
+  def q03SchemaEnforce(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("value",
+        when(col("event_type") === "error", lit(null).cast(DoubleType)).otherwise(col("value")))
+      .withColumn("user_id",
+        when(col("event_id") % 13 === 0, lit(null).cast(LongType)).otherwise(col("user_id")))
+    Transform.withValidity(ev, Seq("event_id", "ts", "user_id", "value"))
+      .select(col("event_id"), col("is_valid"), col("error_reason"))
+      .orderBy(col("event_id"))
+  }
+
+  // ----------------------------------------------------------------- DQ
+
+  /** O-32..O-37 + exact-distinct: Deequ-style metrics in one agg pass,
+    * plus O-34 Uniqueness (two-level agg).
+    */
+  def q04DqMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    Analyzers.run(li,
+      Seq(
+        Analyzers.size,
+        Analyzers.completeness("l_orderkey"),
+        Analyzers.completeness("l_quantity"),
+        Analyzers.mean("l_extendedprice"),
+        Analyzers.standardDeviation("l_quantity"),
+        Analyzers.minimum("l_extendedprice"),
+        Analyzers.maximum("l_extendedprice"),
+        Analyzers.countDistinct("l_orderkey")),
+      uniquenessCols = Seq("l_orderkey"))
+      .withColumn("value", round(col("value"), 4))
+      .orderBy(col("instance"), col("name"))
+  }
+
+  /** O-40/O-41: DQDL row-level outcomes, aggregated per verdict. */
+  def q05DqRowOutcomes(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      ColumnValues("l_quantity", _ > 0, "gt_0"),
+      ColumnValues("l_quantity", _ <= 45, "le_45"),
+      ColumnValues("l_discount", _ <= 0.05, "le_005"))
+    Rules.rowOutcomes(Tables.lineitem(spark, dir), rules)
+      .withColumn("failed_rules", concat_ws(",", col("DataQualityRulesFail")))
+      .groupBy(col("DataQualityEvaluationResult"), col("failed_rules"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("DataQualityEvaluationResult"), col("failed_rules"))
+  }
+
+  // --------------------------------------------------------------- Gold
+
+  /** O-16..O-24: dim_date scalar stack over distinct order dates. */
+  def q06DimDate(spark: SparkSession, dir: String): DataFrame =
+    Star.dimDate(Tables.orders(spark, dir), "o_orderdate").orderBy(col("date"))
+
+  /** O-44: star join — fact ⋈ orders ⋈ customer ⋈ broadcast dims. */
+  def q07StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir)
+      .select(col("r_regionkey").as("n_regionkey"), col("r_name"))
+    val fact = li.join(o, "l_orderkey").join(c, "o_custkey")
+    Star.starJoin(fact, Seq((n, Seq("c_nationkey")), (r, Seq("n_regionkey"))))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** O-49: top-k by market-cap analogue (orders by total price). */
+  def q08TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** O-42/O-45: partition-level upsert — anti-join + union, then verify
+    * via an aggregate. Incoming = post-cutoff orders with reprices.
+    */
+  def q09Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val incoming = o
+      .filter(col("o_orderdate").cast(DateType) >= lit("1999-01-01").cast(DateType))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.05)
+    val merged = Star.upsert(o, incoming, Seq("o_orderdate"))
+    merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** O-43/O-46: dedup union (SQL UNION) of dim key sets. */
+  def q10UnionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    c.unionByName(s).distinct().orderBy(col("nationkey"))
+  }
+
+  // ----------------------------------------------- LLM-pipeline: dedup
+
+  /** Exact dedup: canonical doc per content fingerprint. */
+  def q11ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactCanonical(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("canonical_id"))
+
+  /** Exact word-unigram Jaccard near-dup pairs (brute force). */
+  def q12JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 1, threshold = 0.95)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash+LSH near-dup pairs (candidate generation + exact verify).
+    * Approximate (LSH recall < 1) → rows-only check; the exact
+    * q12 gives the oracle-checked ground truth.
+    */
+  def q13MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 1, numHashes = 16, bands = 8, threshold = 0.95)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (16-bit, Hamming ≤ 3). Portable md5-derived
+    * hashing, but the 16×aggregate SQL mirror is deferred → rows-only.
+    */
+  def q13bSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
+      bits = 16, maxDistance = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ------------------------------------------------ LLM-pipeline: text
+
+  /** Text quality metrics: tokens, regex tokens, avg token length,
+    * punctuation/stopword ratios, composite quality score.
+    */
+  def q14TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Text.tokenCount(t).as("n_tokens"),
+      Text.regexTokenCount(t).as("n_regex_tokens"),
+      round(Text.avgTokenLength(t), 4).as("avg_token_len"),
+      round(Text.punctRatio(t), 4).as("punct_ratio"),
+      round(Text.stopwordRatio(t), 4).as("stopword_ratio"),
+      Text.qualityScore(t).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  def q15LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("predicted_lang", Text.langId(col("text")))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted_lang"))
+
+  /** Content fingerprint per document. */
+  def q16Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------- Streaming
+
+  /** O-60..O-62 batch semantics: validate + reasons + alert flag. */
+  def q17ValidateEvents(spark: SparkSession, dir: String): DataFrame =
+    Validate.annotate(Tables.events(spark, dir), Jobs.eventRules)
+      .withColumn("is_alert", Jobs.eventAlert)
+      .select(col("event_id"), col("is_valid"), col("error_reason"), col("is_alert"))
+      .orderBy(col("event_id"))
+
+  /** Tumbling-window aggregation (batch path of the shared logic). */
+  def q18WindowHourly(spark: SparkSession, dir: String): DataFrame =
+    Jobs.windowedAgg(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** O-59/O-61: the same validation executed as a REAL Structured
+    * Streaming query (AvailableNow over the events parquet, memory
+    * sink). Stateless ⇒ result ≡ q17's batch result, same oracle.
+    */
+  def q19StreamValidate(spark: SparkSession, dir: String): DataFrame =
+    Jobs.runValidationStream(spark, dir)
+      .select(col("event_id"), col("is_valid"), col("error_reason"), col("is_alert"))
+      .orderBy(col("event_id"))
+
+  /** O-63: JSON payload parse with malformed-record routing. */
+  def q20PropsJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("props",
+        when(col("event_id") % 97 === 0, lit("not-json")).otherwise(col("props")))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  // ------------------------------------------- LLM-pipeline: similarity
+
+  private def embQueries(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  /** Brute-force cosine top-k (exact ANN baseline). */
+  def q21SimTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(embQueries(spark, dir), Tables.embeddings(spark, dir), 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Embedding-cosine near-dup pairs above a threshold. */
+  def q22CosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** IVF-style ANN (probe nearest label-clusters only). Approximate →
+    * rows-only check; q21 is the exact oracle-checked baseline.
+    */
+  def q23IvfTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), embQueries(spark, dir), 5, 2)
+      .orderBy(col("query_id"), col("rank"))
+
+  // ------------------------------------------- LLM-pipeline: multimodal
+
+  /** Multimodal metadata: binary payload + in-plan byte length/sha256. */
+  def q24MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text", "text/plain")
+      .select(col("media_id"), col("mime"), col("n_bytes"), col("sha256"))
+      .orderBy(col("media_id"))
+
+  /** Stubbed decode/feature-extract over partitions (plumbing is real,
+    * decoder is a deterministic fake) — rows-only check.
+    */
+  def q25MultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      Tables.documents(spark, dir), "doc_id", "text", "text/plain")
+    Multimodal.decodeFeatures(spark, media, partitions = 8)
+      .toDF()
+      .select(col("media_id"), col("mime"), col("n_bytes"), col("features"))
+      .orderBy(col("media_id"))
+  }
+
+  /** O-25/O-29: per-month report aggregation. */
+  def q26MonthlyReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("ship_month"))
+
+  // ------------------------------------------------------------- maps
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_dedup_latest_agg" -> ((s, d) => q01DedupLatestAgg(s, d))
-  )
+    "q01_dedup_latest_agg" -> (q01DedupLatestAgg _),
+    "q02_cast_projection" -> (q02CastProjection _),
+    "q03_schema_enforce" -> (q03SchemaEnforce _),
+    "q04_dq_metrics" -> (q04DqMetrics _),
+    "q05_dq_row_outcomes" -> (q05DqRowOutcomes _),
+    "q06_dim_date" -> (q06DimDate _),
+    "q07_star_join" -> (q07StarJoin _),
+    "q08_topk" -> (q08TopK _),
+    "q09_upsert" -> (q09Upsert _),
+    "q10_union_distinct" -> (q10UnionDistinct _),
+    "q11_exact_dedup" -> (q11ExactDedup _),
+    "q12_jaccard_pairs" -> (q12JaccardPairs _),
+    "q13_minhash_pairs" -> (q13MinhashPairs _),
+    "q13b_simhash_pairs" -> (q13bSimhashPairs _),
+    "q14_text_stats" -> (q14TextStats _),
+    "q15_lang_id" -> (q15LangId _),
+    "q16_fingerprint" -> (q16Fingerprint _),
+    "q17_validate_events" -> (q17ValidateEvents _),
+    "q18_window_hourly" -> (q18WindowHourly _),
+    "q19_stream_validate" -> (q19StreamValidate _),
+    "q20_props_json" -> (q20PropsJson _),
+    "q21_sim_topk" -> (q21SimTopK _),
+    "q22_cosine_neardup" -> (q22CosineNearDup _),
+    "q23_ivf_topk" -> (q23IvfTopK _),
+    "q24_multimodal_meta" -> (q24MultimodalMeta _),
+    "q25_multimodal_decode" -> (q25MultimodalDecode _),
+    "q26_monthly_report" -> (q26MonthlyReport _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for non-SQL-expressible /
+    * approximate ops (q13 LSH recall, q13b simhash, q23 IVF, q25 stub
+    * decode) → driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_dedup_latest_agg" ->
@@ -67,6 +367,280 @@ object SparkEntry {
         |FROM dedup
         |WHERE l_orderkey IS NOT NULL
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
-  )
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q02_cast_projection" ->
+      """SELECT o_orderkey AS order_id,
+        |       CAST(o_custkey AS INT) AS cust_id,
+        |       o_orderstatus AS status,
+        |       o_totalprice AS total_price,
+        |       CAST(o_orderdate AS DATE) AS order_date,
+        |       o_orderpriority AS priority
+        |FROM orders ORDER BY order_id""".stripMargin,
+
+    "q03_schema_enforce" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts,
+        |         CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS user_id,
+        |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+        |  FROM events)
+        |SELECT event_id,
+        |       (event_id IS NOT NULL AND ts IS NOT NULL
+        |        AND user_id IS NOT NULL AND value IS NOT NULL) AS is_valid,
+        |       CASE WHEN event_id IS NOT NULL AND ts IS NOT NULL
+        |                 AND user_id IS NOT NULL AND value IS NOT NULL THEN ''
+        |            ELSE 'Missing required fields: ' || concat_ws(', ',
+        |                 CASE WHEN event_id IS NULL THEN 'event_id' END,
+        |                 CASE WHEN ts IS NULL THEN 'ts' END,
+        |                 CASE WHEN user_id IS NULL THEN 'user_id' END,
+        |                 CASE WHEN value IS NULL THEN 'value' END)
+        |       END AS error_reason
+        |FROM ev ORDER BY event_id""".stripMargin,
+
+    "q04_dq_metrics" ->
+      """WITH t AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS size_v,
+        |         CAST(count(l_orderkey) AS DOUBLE) / count(*) AS compl_ok,
+        |         CAST(count(l_quantity) AS DOUBLE) / count(*) AS compl_q,
+        |         avg(l_extendedprice) AS mean_p,
+        |         stddev_pop(l_quantity) AS sd_q,
+        |         CAST(min(l_extendedprice) AS DOUBLE) AS min_p,
+        |         CAST(max(l_extendedprice) AS DOUBLE) AS max_p,
+        |         CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS cd_ok
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / sum(c) AS uq
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey))
+        |SELECT * FROM (
+        |  SELECT 'Dataset' AS entity, '*' AS instance, 'Size' AS name,
+        |         round(size_v, 4) AS value FROM t
+        |  UNION ALL SELECT 'Column', 'l_orderkey', 'Completeness', round(compl_ok, 4) FROM t
+        |  UNION ALL SELECT 'Column', 'l_quantity', 'Completeness', round(compl_q, 4) FROM t
+        |  UNION ALL SELECT 'Column', 'l_extendedprice', 'Mean', round(mean_p, 4) FROM t
+        |  UNION ALL SELECT 'Column', 'l_quantity', 'StandardDeviation', round(sd_q, 4) FROM t
+        |  UNION ALL SELECT 'Column', 'l_extendedprice', 'Minimum', round(min_p, 4) FROM t
+        |  UNION ALL SELECT 'Column', 'l_extendedprice', 'Maximum', round(max_p, 4) FROM t
+        |  UNION ALL SELECT 'Column', 'l_orderkey', 'CountDistinct', round(cd_ok, 4) FROM t
+        |  UNION ALL SELECT 'Column', 'l_orderkey', 'Uniqueness', round(uq, 4) FROM u)
+        |ORDER BY instance, name""".stripMargin,
+
+    "q05_dq_row_outcomes" ->
+      """WITH annotated AS (
+        |  SELECT concat_ws(',',
+        |           CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity > 0)
+        |                THEN 'ColumnValues_l_quantity_gt_0' END,
+        |           CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity <= 45)
+        |                THEN 'ColumnValues_l_quantity_le_45' END,
+        |           CASE WHEN NOT (l_discount IS NOT NULL AND l_discount <= 0.05)
+        |                THEN 'ColumnValues_l_discount_le_005' END) AS failed_rules
+        |  FROM lineitem)
+        |SELECT CASE WHEN failed_rules = '' THEN 'Passed' ELSE 'Failed' END
+        |         AS DataQualityEvaluationResult,
+        |       failed_rules,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM annotated
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q06_dim_date" ->
+      """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders)
+        |SELECT date,
+        |       CAST(year(date) AS INT) AS year,
+        |       CAST(month(date) AS INT) AS month,
+        |       CAST(day(date) AS INT) AS day,
+        |       CAST(quarter(date) AS INT) AS quarter,
+        |       CAST(dayofweek(date) + 1 AS INT) AS day_of_week,
+        |       CAST(weekofyear(date) AS INT) AS week_of_year,
+        |       monthname(date) AS month_name,
+        |       dayname(date) AS day_name,
+        |       dayofweek(date) IN (0, 6) AS is_weekend
+        |FROM d ORDER BY date""".stripMargin,
+
+    "q07_star_join" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q08_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q09_upsert" ->
+      """WITH incoming AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice * 1.05 AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'),
+        |merged AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate NOT IN (SELECT DISTINCT o_orderdate FROM incoming)
+        |  UNION ALL SELECT * FROM incoming)
+        |SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q10_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q11_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |       min(doc_id) AS canonical_id,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+    "q12_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard_sim
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q14_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS INT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT)
+        |         AS n_regex_tokens,
+        |       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |             / len(toks), 4) AS avg_token_len,
+        |       round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |             / greatest(length(text), 1), 4) AS punct_ratio,
+        |       round(CAST(len(list_filter(toks, x -> list_contains(
+        |               ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+        |             / greatest(len(toks), 1), 4) AS stopword_ratio,
+        |       round((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+        |              + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |                              / greatest(length(text), 1)) * 5.0, 1.0))
+        |              + least((CAST(len(list_filter(toks, x -> list_contains(
+        |                        ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+        |                       / greatest(len(toks), 1)) * 5.0, 1.0)) / 3.0, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q15_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['der','die','das','und','nicht'], x))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','and','of','is','a'], x))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['el','la','los','que','de'], x))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+        |         WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+        |         ELSE 'unknown' END AS predicted_lang
+        |  FROM scored)
+        |SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q16_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_validate_events" -> validateEventsOracle,
+    "q19_stream_validate" -> validateEventsOracle,
+
+    "q18_window_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 2) AS sum_value,
+        |       round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q20_props_json" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 97 = 0 THEN 'not-json' ELSE props END AS props
+        |  FROM events),
+        |parsed AS (
+        |  SELECT event_type,
+        |         CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS k
+        |  FROM ev)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |       CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q21_sim_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.qv AS DOUBLE[])), 6) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q22_cosine_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q24_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       sha256(text) AS sha256
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q26_monthly_report" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  private def validateEventsOracle: String =
+    """SELECT event_id,
+      |       NOT (value IS NULL OR value <= 0
+      |            OR (value IS NOT NULL AND value > 0 AND value < 0.05)
+      |            OR event_type = 'error') AS is_valid,
+      |       concat_ws(' | ',
+      |         CASE WHEN value IS NULL OR value <= 0 THEN 'Invalid or zero value' END,
+      |         CASE WHEN value IS NOT NULL AND value > 0 AND value < 0.05
+      |              THEN 'Value below threshold' END,
+      |         CASE WHEN event_type = 'error' THEN 'Error event' END) AS error_reason,
+      |       value > 450.0 AS is_alert
+      |FROM events ORDER BY event_id""".stripMargin
 }

@@ -1,0 +1,79 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deequ-style column profilers (ref: glue/data_quality_pydeequ.py:41-64),
+  * re-expressed as a single distributed `agg(...)` pass.
+  *
+  * The reference runs PyDeequ's AnalysisRunner with Size, Completeness,
+  * Uniqueness, Mean, StandardDeviation, Minimum, Maximum and
+  * ApproxCountDistinct analyzers. All but Uniqueness collapse into ONE
+  * aggregation over one scan here (the reference's runner does the same
+  * on the JVM); Uniqueness needs a per-column two-level aggregate
+  * (value → count → fraction occurring exactly once) and is unioned in.
+  *
+  * Output shape mirrors `successMetricsAsDataFrame`
+  * (ref: glue/data_quality_pydeequ.py:61): (entity, instance, name, value).
+  */
+final case class Metric(entity: String, instance: String, name: String, agg: Column)
+
+object Analyzers {
+
+  /** O-32 Size. */
+  def size: Metric = Metric("Dataset", "*", "Size", count(lit(1)).cast("double"))
+
+  /** O-33 Completeness: fraction of non-null values. */
+  def completeness(c: String): Metric =
+    Metric("Column", c, "Completeness", count(col(c)).cast("double") / count(lit(1)))
+
+  /** O-35 Mean. */
+  def mean(c: String): Metric = Metric("Column", c, "Mean", avg(col(c)))
+
+  /** O-36 StandardDeviation — Deequ uses population stddev. */
+  def standardDeviation(c: String): Metric =
+    Metric("Column", c, "StandardDeviation", stddev_pop(col(c)))
+
+  /** O-37 Minimum / Maximum. */
+  def minimum(c: String): Metric = Metric("Column", c, "Minimum", min(col(c)).cast("double"))
+  def maximum(c: String): Metric = Metric("Column", c, "Maximum", max(col(c)).cast("double"))
+
+  /** O-38 ApproxCountDistinct — Spark's HLL++, same sketch family as
+    * Deequ's. Not oracle-comparable across engines (approximate).
+    */
+  def approxCountDistinct(c: String): Metric =
+    Metric("Column", c, "ApproxCountDistinct", approx_count_distinct(col(c)).cast("double"))
+
+  /** Exact distinct count — oracle-checkable stand-in for O-38. */
+  def countDistinct(c: String): Metric =
+    Metric("Column", c, "CountDistinct", count_distinct(col(c)).cast("double"))
+
+  /** Run all single-pass metrics in one aggregation, then unpivot to the
+    * long metrics shape. `uniquenessCols` adds O-34 Uniqueness rows
+    * (fraction of rows whose value occurs exactly once — NOT
+    * countDistinct/count; SURVEY.md §7.4.3), one extra aggregate per
+    * column. No collects; output is a tiny DataFrame.
+    */
+  def run(df: DataFrame, metrics: Seq[Metric], uniquenessCols: Seq[String] = Nil): DataFrame = {
+    val aggd = df.agg(
+      metrics.head.agg.as("m0"),
+      metrics.tail.zipWithIndex.map { case (m, i) => m.agg.as(s"m${i + 1}") }: _*)
+    val long = aggd.select(explode(array(metrics.zipWithIndex.map { case (m, i) =>
+      struct(
+        lit(m.entity).as("entity"),
+        lit(m.instance).as("instance"),
+        lit(m.name).as("name"),
+        col(s"m$i").cast("double").as("value"))
+    }: _*)).as("r")).select("r.*")
+
+    val uniq = uniquenessCols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        .agg((sum(when(col("__cnt") === 1, 1L).otherwise(0L)).cast("double") /
+          sum(col("__cnt")).cast("double")).as("value"))
+        .select(
+          lit("Column").as("entity"), lit(c).as("instance"),
+          lit("Uniqueness").as("name"), col("value"))
+    }
+    uniq.foldLeft(long)(_.unionByName(_))
+  }
+}

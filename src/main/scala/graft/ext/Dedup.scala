@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (fingerprint group-by), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Hashing uses a portable md5-derived 60-bit integer so results are
+  * engine-independent (oracle-checkable in DuckDB) and stable across
+  * Spark versions — `hash()`/`xxhash64` seeds differ per engine.
+  *
+  * Scale posture: every step is a distributed map or a keyed shuffle;
+  * LSH banding turns the quadratic candidate problem into
+  * `O(docs × bands)` map-side work plus a shuffle on (band, bucket),
+  * the standard web-scale near-dup design.
+  */
+object Dedup {
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 (always < 2^60,
+    * positive in a long). `seed` derives independent hash families for
+    * MinHash.
+    */
+  def portableHash64(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit(s"#$seed"))), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of the text (n=1 → distinct tokens).
+    * Texts shorter than n words yield their single full-token shingle.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = Text.tokens(c)
+    if (n <= 1) array_distinct(toks)
+    else array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature: per hash family `s`, the min portable hash over
+    * the shingle set. One map-side pass per document, no shuffle.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(s =>
+      array_min(transform(shingles, x => portableHash64(x, s)))): _*)
+
+  /** LSH band keys: signature split into `bands` rows of
+    * `numHashes/bands`, each band hashed to a bucket id. Documents
+    * sharing any (band, bucket) are candidates.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      md5(concat_ws("_", transform(
+        slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string"))))): _*)
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact dedup (O-28's content-addressed cousin): canonical doc per
+    * fingerprint = min id. One hash-groupBy shuffle.
+    */
+  def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+    *
+    * shingle → minhash → band → bucket-join → verify:
+    * 1. map: shingles, signature, band keys (no shuffle);
+    * 2. explode bands, shuffle on (band, bucket) — only bucket
+    *    collisions meet;
+    * 3. candidate pairs (a < b), dedup'd;
+    * 4. exact Jaccard on the pair's shingle sets ≥ threshold.
+    *
+    * At 100 TB the only quadratic term is within-bucket; band/row
+    * tuning bounds bucket sizes, and a length/prefix filter upstream
+    * prunes further.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val prepared = df.select(
+      col(idCol).as("doc_id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("bandkeys", lshBandKeys(col("sig"), bands, rowsPerBand))
+
+    val buckets = prepared.select(
+      col("doc_id"), col("shingles"),
+      posexplode(col("bandkeys")).as(Seq("band", "bucket")))
+
+    val a = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard_sim", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+  }
+
+  /** Exact n-gram Jaccard pairs (the brute-force verifier MinHash
+    * approximates): all (a < b) pairs with Jaccard ≥ threshold.
+    */
+  def jaccardNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+    val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard_sim", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+  }
+
+  /** SimHash (Charikar) fingerprint over token hashes, `bits` wide:
+    * bit b is set iff the sum over tokens of ±1 (token-hash bit b) is
+    * positive. Near-dups have small Hamming distance. One map-side pass.
+    */
+  def simhash(c: Column, bits: Int = 16): Column = {
+    val toks = Text.tokens(c)
+    val sums = (0 until bits).map { b =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(shiftright(portableHash64(t, 9999), b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+    }
+    sums.zipWithIndex.map { case (s, b) =>
+      when(s > 0, lit(1L) * (1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (popcount of XOR). */
+  def hammingDistance(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftright(a.bitwiseXOR(b), i).bitwiseAND(1L)
+    }.reduce(_ + _)
+
+  /** SimHash near-dup pairs: fingerprint (map-side), self-join on a
+    * coarse prefix bucket (high bits) to bound the quadratic term, then
+    * Hamming ≤ maxDistance verify.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, maxDistance: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("fp"))
+    val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", hammingDistance(col("fp_a"), col("fp_b"), bits))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

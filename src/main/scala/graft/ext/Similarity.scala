@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * partitioned variant as the 100 TB scale path.
+  *
+  * Vector math uses higher-order functions (`zip_with`/`aggregate`) —
+  * codegen-free but JVM-native and shuffle-free per pair; a custom
+  * Catalyst Expression with `doGenCode` is the upgrade path if HOF
+  * throughput disappoints at scale (SURVEY.md §7.3).
+  */
+object Similarity {
+
+  /** Elementwise double view of a float vector. */
+  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact brute-force top-k: queries × corpus cross join, cosine, rank
+    * per query on (rounded score desc, id asc) for deterministic ties.
+    *
+    * Scale posture: the corpus side stays partitioned; Catalyst
+    * broadcasts the (small) query side, so this is a map-side pass over
+    * the corpus — no shuffle until the per-query top-k window, which
+    * AQE sizes by query count, not corpus size. For huge query sets,
+    * switch to [[ivfTopK]].
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (query_id, query_vec)
+      corpus: DataFrame, // (vec_id, embedding)
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("query_vec"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold (a < b to emit each
+    * pair once). Exact; quadratic — the verification step behind
+    * LSH-bucketed candidate generation at scale.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** IVF-style ANN: partition the corpus by a coarse cluster id (here
+    * the pre-assigned `label`; k-means centroids in a real build),
+    * compute centroids, probe the `nprobe` nearest clusters per query,
+    * then exact-search only those partitions. At 100 TB the corpus stays
+    * hash-partitioned by cluster; only ~nprobe/nclusters of it is read
+    * per query batch, and the centroid table (tiny) broadcasts.
+    */
+  def ivfTopK(
+      embeddings: DataFrame, // (vec_id, embedding, label)
+      queries: DataFrame, // (query_id, query_vec)
+      k: Int,
+      nprobe: Int): DataFrame = {
+    // centroid per cluster: positional mean via posexplode → regroup
+    val centroids = embeddings
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), _.getField("m")).as("centroid"))
+
+    // nprobe nearest clusters per query (tiny cross join, broadcast both)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("label").asc)
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(cosine(col("query_vec"), col("centroid")), 6))
+      .withColumn("c_rank", row_number().over(wProbe))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("label"))
+
+    // exact search restricted to probed clusters
+    val scored = embeddings.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("query_vec"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank"))
+  }
+}

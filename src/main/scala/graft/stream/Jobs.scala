@@ -1,0 +1,127 @@
+package graft.stream
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming jobs re-expressing the reference's Lambda
+  * architecture (ref: streaming/consumer.py, streaming/producer.py):
+  * micro-batch validate → route → alert, plus the watermarked windowed
+  * aggregates the north star mandates (SURVEY.md §2.10 NOT-PRESENT row).
+  *
+  * The Kinesis micro-batch boundary becomes the streaming trigger
+  * (tests/verify: `Trigger.AvailableNow`, prod: `ProcessingTime`);
+  * Lambda's at-least-once becomes checkpointing + idempotent sinks.
+  */
+object Jobs {
+
+  private val streamId = new AtomicInteger(0)
+
+  /** Validation rules for the `events` testdata stream, same shape as
+    * the crypto consumer's (ref: streaming/consumer.py:47-57).
+    */
+  def eventRules: Seq[ValidationRule] = Seq(
+    ValidationRule("Invalid or zero value", col("value").isNull || col("value") <= 0),
+    ValidationRule("Value below threshold", col("value").isNotNull && col("value") > 0 && col("value") < 0.05),
+    ValidationRule("Error event", col("event_type") === "error"))
+
+  /** Alert analogue of the +10% surge rule (ref: streaming/consumer.py:86). */
+  def eventAlert: Column = col("value") > 450.0
+
+  /** O-59/O-61: run the stateless validate-and-route pipeline as a real
+    * Structured Streaming query over the events parquet, one
+    * AvailableNow pass into a memory sink, and return the collected
+    * result. Stateless transforms ⇒ streaming result ≡ batch result,
+    * which is exactly what the driver's batch oracle checks.
+    */
+  def runValidationStream(spark: SparkSession, dir: String): DataFrame = {
+    val stream = graft.Tables.eventsStream(spark, dir)
+    val annotated = Validate.annotate(stream, eventRules)
+      .withColumn("is_alert", eventAlert)
+    val name = s"graft_stream_validate_${streamId.incrementAndGet()}"
+    val q = annotated.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Shared windowed-aggregation logic (15-min-style tumbling windows →
+    * here 1h over the events table): identical code path for batch and
+    * streaming, per the Lambda-architecture unification goal.
+    */
+  def windowedAgg(df: DataFrame, windowDuration: String = "1 hour"): DataFrame =
+    df.groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+
+  /** Watermarked streaming variant of [[windowedAgg]] (O-66 note):
+    * late data beyond `lateness` is dropped once the watermark passes.
+    * Used by streaming tests with multi-batch file sources; not oracle
+    * checked (watermark emission depends on batch boundaries).
+    */
+  def runWindowedStream(
+      spark: SparkSession,
+      inputDir: String,
+      lateness: String = "10 minutes",
+      windowDuration: String = "1 hour"): DataFrame = {
+    val schema = graft.schema.Schemas.events
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val agg = stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val name = s"graft_stream_window_${streamId.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** O-61/O-62: foreachBatch dual-write — persist the batch once, split
+    * good/bad, write each side plus alerts (ref: streaming/consumer.py:
+    * 59-102 routes good→DynamoDB, bad→DLQ+S3, surges→SNS). Sinks are
+    * parquet dirs here; exactly-once per sink within a batch comes from
+    * the persisted split + checkpointed batch ids.
+    */
+  def runRoutingStream(
+      spark: SparkSession,
+      inputDir: String,
+      goodPath: String,
+      badPath: String,
+      alertPath: String,
+      checkpoint: String): Unit = {
+    val schema = graft.schema.Schemas.events
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val annotated = Validate.annotate(batch, eventRules).persist()
+        try {
+          annotated.filter(col("is_valid")).write.mode("append").parquet(goodPath)
+          annotated.filter(!col("is_valid")).write.mode("append").parquet(badPath)
+          annotated.filter(eventAlert).write.mode("append").parquet(alertPath)
+        } finally annotated.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
