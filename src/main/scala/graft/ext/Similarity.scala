@@ -28,22 +28,33 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Unit-normalized double view — computed ONCE per row so pairwise
+    * scoring is a dot product only (3× fewer flops than re-deriving
+    * norms per pair, and the normalize runs map-side before any join).
+    */
+  def unitVector(c: Column): Column = {
+    val d = asDouble(c)
+    transform(d, x => x / sqrt(aggregate(zip_with(d, d, (p, q) => p * q),
+      lit(0.0), (acc, v) => acc + v)))
+  }
+
   /** Exact brute-force top-k: queries × corpus cross join, cosine, rank
     * per query on (rounded score desc, id asc) for deterministic ties.
     *
-    * Scale posture: the corpus side stays partitioned; Catalyst
-    * broadcasts the (small) query side, so this is a map-side pass over
-    * the corpus — no shuffle until the per-query top-k window, which
-    * AQE sizes by query count, not corpus size. For huge query sets,
-    * switch to [[ivfTopK]].
+    * Scale posture: the corpus side stays partitioned; the (small)
+    * query side broadcasts, so this is a map-side pass over the corpus
+    * — no shuffle until the per-query top-k window, which AQE sizes by
+    * query count, not corpus size. For huge query sets, switch to
+    * [[ivfTopK]].
     */
   def bruteForceTopK(
       queries: DataFrame, // (query_id, query_vec)
       corpus: DataFrame, // (vec_id, embedding)
-      k: Int): DataFrame = {
+      k: Int,
+      scorer: (Column, Column) => Column = cosine): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("query_vec"), col("embedding")), 6))
+      .withColumn("cos_sim", round(scorer(col("query_vec"), col("embedding")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -52,15 +63,18 @@ object Similarity {
   }
 
   /** All near-duplicate pairs by cosine ≥ threshold (a < b to emit each
-    * pair once). Exact; quadratic — the verification step behind
-    * LSH-bucketed candidate generation at scale.
+    * pair once). Exact; quadratic in the corpus — pass the codegen'd
+    * [[VectorKernels.cosineF]] scorer to keep the pairwise loop inside
+    * whole-stage codegen. The verification step behind LSH/IVF
+    * candidate generation at scale.
     */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      scorer: (Column, Column) => Column = cosine): DataFrame = {
     val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cos_sim", round(scorer(col("vec_a"), col("vec_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
@@ -76,7 +90,8 @@ object Similarity {
       embeddings: DataFrame, // (vec_id, embedding, label)
       queries: DataFrame, // (query_id, query_vec)
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      scorer: (Column, Column) => Column = cosine): DataFrame = {
     // centroid per cluster: positional mean via posexplode → regroup
     val centroids = embeddings
       .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
@@ -97,7 +112,7 @@ object Similarity {
     // exact search restricted to probed clusters
     val scored = embeddings.join(broadcast(probed), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("query_vec"), col("embedding")), 6))
+      .withColumn("cos_sim", round(scorer(col("query_vec"), col("embedding")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))

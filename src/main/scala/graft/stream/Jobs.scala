@@ -70,28 +70,49 @@ object Jobs {
     * Used by streaming tests with multi-batch file sources; not oracle
     * checked (watermark emission depends on batch boundaries).
     */
+  /** Output schema of [[runWindowedStream]]. */
+  val windowedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("window_start",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_value",
+        org.apache.spark.sql.types.DoubleType)))
+
+  /** In append mode a window only emits once the watermark passes its
+    * end — i.e. on a LATER batch. Callers re-run with the same
+    * `checkpoint`+`outPath` after appending newer input files; each run
+    * appends the windows the new data closed (parquet sink — the memory
+    * sink cannot recover from a checkpoint).
+    */
   def runWindowedStream(
       spark: SparkSession,
       inputDir: String,
+      checkpoint: String,
+      outPath: String,
       lateness: String = "10 minutes",
       windowDuration: String = "1 hour"): DataFrame = {
     val schema = graft.schema.Schemas.events
-    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
     val agg = stream
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
-    val name = s"graft_stream_window_${streamId.incrementAndGet()}"
     val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
+      .format("parquet")
+      .option("path", outPath)
       .outputMode("append")
+      .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.schema(windowedSchema).parquet(outPath)
   }
 
   /** O-61/O-62: foreachBatch dual-write — persist the batch once, split

@@ -1,0 +1,96 @@
+package graft.dq
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val coins = Seq(
+    ("btc", 100.0, 1000L),
+    ("eth", 50.0, 500L),
+    ("ada", -1.0, 200L), // bad price
+    ("dot", 10.0, 100L),
+    ("btc", 99.0, 999L) // duplicate coin_id
+  ).toDF("coin_id", "current_price", "market_cap")
+
+  test("Analyzers: metric values match hand-computed ground truth") {
+    val out = Analyzers.run(coins, Seq(
+      Analyzers.size,
+      Analyzers.completeness("coin_id"),
+      Analyzers.mean("current_price"),
+      Analyzers.standardDeviation("current_price"),
+      Analyzers.minimum("current_price"),
+      Analyzers.maximum("current_price"),
+      Analyzers.countDistinct("coin_id")),
+      uniquenessCols = Seq("coin_id"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(out(("*", "Size")) == 5.0)
+    assert(out(("coin_id", "Completeness")) == 1.0)
+    assert(math.abs(out(("current_price", "Mean")) - 51.6) < 1e-9)
+    assert(out(("current_price", "Minimum")) == -1.0)
+    assert(out(("current_price", "Maximum")) == 100.0)
+    assert(out(("coin_id", "CountDistinct")) == 4.0)
+    // Deequ uniqueness = values occurring exactly once / total rows = 3/5
+    assert(out(("coin_id", "Uniqueness")) == 0.6)
+    // population stddev of (100, 50, -1, 10, 99)
+    val vals = Seq(100.0, 50.0, -1.0, 10.0, 99.0)
+    val m = vals.sum / 5
+    val sd = math.sqrt(vals.map(v => (v - m) * (v - m)).sum / 5)
+    assert(math.abs(out(("current_price", "StandardDeviation")) - sd) < 1e-9)
+  }
+
+  test("Rules.evaluate: dataset-level verdicts") {
+    val rules = Seq(
+      ColumnExists("coin_id"), ColumnExists("nope"),
+      IsComplete("coin_id"),
+      ColumnValues("current_price", _ > 0, "gt_0"),
+      RowCountBetween(1, 10), RowCountBetween(6, 10),
+      UniquenessAbove("coin_id", 0.99),
+      IsPrimaryKey("coin_id"))
+    val res = Rules.evaluate(coins, rules).map(r => r.rule -> r.passed).toMap
+    assert(res("ColumnExists_coin_id"))
+    assert(!res("ColumnExists_nope"))
+    assert(res("IsComplete_coin_id"))
+    assert(!res("ColumnValues_current_price_gt_0")) // ada has -1
+    assert(res("RowCount_1_10"))
+    assert(!res("RowCount_6_10"))
+    assert(!res("Uniqueness_coin_id")) // 0.6 < 0.99
+    assert(!res("IsPrimaryKey_coin_id")) // btc duplicated
+  }
+
+  test("Rules.gate: fails the pipeline on violated Error-level rules") {
+    assert(Rules.gate(coins, Seq(RowCountBetween(1, 10))).isRight)
+    val left = Rules.gate(coins, Seq(ColumnValues("current_price", _ > 0, "gt_0")))
+    assert(left.isLeft)
+    assert(left.left.toOption.get.head.rule == "ColumnValues_current_price_gt_0")
+  }
+
+  test("rowOutcomes + route: per-row verdicts and disjoint split") {
+    val rules = Seq(
+      ColumnValues("current_price", _ > 0, "gt_0"),
+      ColumnValues("market_cap", _ >= 500, "ge_500"))
+    val annotated = Rules.rowOutcomes(coins, rules)
+    val failed = annotated.filter(col("DataQualityEvaluationResult") === "Failed")
+    assert(failed.count() == 2) // ada (both rules), dot (market_cap 100 < 500)
+    val adaFails = annotated.filter(col("coin_id") === "ada")
+      .select(concat_ws(",", col("DataQualityRulesFail"))).as[String].head()
+    assert(adaFails ==
+      "ColumnValues_current_price_gt_0,ColumnValues_market_cap_ge_500")
+    val (passed, failedRows) = Rules.route(annotated)
+    assert(passed.count() + failedRows.count() == 5)
+    assert(!passed.columns.contains("DataQualityEvaluationResult"))
+  }
+
+  test("reference crypto ruleset gates like the reference's DQDL job") {
+    // 60 clean unique coins → every rule passes (RowCount 50..150)
+    val clean = (1 to 60).map(i => (s"coin_$i", s"c$i", s"name$i", i * 1.0, i * 1000000L))
+      .toDF("coin_id", "symbol", "name", "current_price", "market_cap")
+    assert(Rules.gate(clean, Rules.referenceCryptoRuleset).isRight)
+    // too few rows → RowCount rule fails
+    val small = clean.limit(10)
+    val failures = Rules.gate(small, Rules.referenceCryptoRuleset).left.toOption.get
+    assert(failures.exists(_.rule == "RowCount_50_150"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class TransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("schemaSplit routes rows with missing required fields to DLQ") {
+    val df = Seq(
+      ("btc", Some(100.0), Some(1000L)),
+      ("eth", None, Some(500L)),
+      (null: String, Some(1.0), None)).toDF("coin_id", "price", "cap")
+    val (valid, invalid) = Transform.schemaSplit(df, Seq("coin_id", "price", "cap"))
+    assert(valid.count() == 1)
+    assert(valid.select("coin_id").as[String].collect().toSeq == Seq("btc"))
+    val inv = invalid.collect()
+    assert(inv.length == 2)
+    val reasons = invalid.select("error_reason").as[String].collect().toSet
+    assert(reasons.contains("Missing required fields: price"))
+    assert(reasons.contains("Missing required fields: coin_id, cap"))
+    assert(invalid.columns.toSeq ==
+      Seq("raw_data", "error_reason", "timestamp", "validation_type"))
+    // raw_data preserves the original row as JSON
+    assert(invalid.filter(col("raw_data").contains("eth")).count() == 1)
+  }
+
+  test("schemaSplit partitions the input completely and disjointly") {
+    val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(2.0)))
+      .toDF("k", "v")
+    val (valid, invalid) = Transform.schemaSplit(df, Seq("k", "v"))
+    assert(valid.count() + invalid.count() == df.count())
+  }
+
+  test("dedupLatest keeps the latest row per key with deterministic ties") {
+    val df = Seq(
+      ("btc", "2024-01-01 10:00:00", 1, 100.0),
+      ("btc", "2024-01-01 11:00:00", 2, 101.0), // latest → kept
+      ("eth", "2024-01-01 09:00:00", 1, 50.0),
+      ("eth", "2024-01-01 09:00:00", 2, 51.0) // tie on ts → higher line kept
+    ).toDF("coin_id", "ts", "line", "price")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = Transform.dedupLatest(df, Seq("coin_id"),
+      Seq(col("ts").desc, col("line").desc))
+    val rows = out.orderBy("coin_id").select("coin_id", "price").as[(String, Double)].collect()
+    assert(rows.toSeq == Seq(("btc", 101.0), ("eth", 51.0)))
+  }
+
+  test("dedupLatest is idempotent") {
+    val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 3.0)).toDF("k", "seq", "v")
+    val once = Transform.dedupLatest(df, Seq("k"), Seq(col("seq").desc))
+    val twice = Transform.dedupLatest(once, Seq("k"), Seq(col("seq").desc))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("castProjection renames and casts") {
+    val df = Seq(("1", "2.5")).toDF("id", "price")
+    val out = Transform.castProjection(df, Seq(
+      ("id", "coin_id", LongType), ("price", "current_price", DoubleType)))
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("coin_id", LongType), ("current_price", DoubleType)))
+    assert(out.as[(Long, Double)].head() == ((1L, 2.5)))
+  }
+
+  test("withMetadata injects a fixed now deterministically") {
+    val df = Seq(Tuple1("x")).toDF("k")
+    val out = Transform.withMetadata(df, Some(java.time.Instant.parse("2024-03-05T12:00:00Z")))
+    val r = out.select(col("update_date").cast("string"), col("last_updated_ts").cast("string")).head()
+    assert(r.getString(0) == "2024-03-05")
+    assert(r.getString(1) == "2024-03-05 12:00:00")
+  }
+}

@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- text
+
+  test("Text: token counts, ratios, fingerprint") {
+    val df = Seq(Tuple1("The cat and the dog.")).toDF("text")
+    val r = df.select(
+      Text.tokenCount(col("text")).as("n"),
+      Text.regexTokenCount(col("text")).as("nr"),
+      Text.punctRatio(col("text")).as("p"),
+      Text.stopwordRatio(col("text")).as("s"),
+      Text.fingerprint(col("text")).as("fp")).head()
+    assert(r.getAs[Int]("n") == 5)
+    assert(r.getAs[Int]("nr") == 6) // The cat and the dog .
+    assert(r.getAs[Double]("p") == 1.0 / 20)
+    assert(r.getAs[Double]("s") == 2.0 / 5) // 'and' + lowercase 'the' ("The", "dog." don't match)
+    // fingerprint is whitespace/case-normalized
+    val fp2 = Seq(Tuple1("  the   cat and the dog.")).toDF("text")
+      .select(Text.fingerprint(col("text"))).as[String].head()
+    assert(r.getAs[String]("fp") == fp2)
+  }
+
+  test("Text: langId picks the max-scoring language deterministically") {
+    val df = Seq(
+      ("d1", "the cat and the dog is a pet"),
+      ("d2", "der hund und die katze nicht"),
+      ("d3", "xyzzy qwerty")).toDF("id", "text")
+    val out = df.select(col("id"), Text.langId(col("text")).as("lang"))
+      .as[(String, String)].collect().toMap
+    assert(out("d1") == "en")
+    assert(out("d2") == "de")
+    assert(out("d3") == "unknown")
+  }
+
+  // ---------------------------------------------------------- dedup
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon eta"), // near dup of 1 (5/7 words)
+    (4L, "one two three four five six")).toDF("doc_id", "text")
+
+  test("exactCanonical groups exact duplicates under the min id") {
+    val out = Dedup.exactCanonical(docs, "doc_id", "text")
+    assert(out.count() == 3)
+    val dupGroup = out.filter(col("n_dups") === 2).head()
+    assert(dupGroup.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("jaccard pairs find near + exact dups, not unrelated docs") {
+    val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 1, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // jaccard 1.0
+    assert(pairs.contains((1L, 3L))) // 5/7 ≈ 0.714
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH finds the same high-similarity pairs as exact jaccard") {
+    // long docs sharing almost all 3-gram shingles (one-word edits)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDups = Seq(
+      (1L, base),
+      (2L, base), // identical
+      (3L, base.replace("w30", "x")), // ~3 shingles differ
+      (4L, (100 to 130).map(i => s"v$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val exact = Dedup.jaccardNearDupPairs(nearDups, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDupPairs(nearDups, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // LSH candidates are verified with the same exact jaccard → subset;
+    // at s ≥ 0.9 with 8 bands of 2 rows, recall ≈ 1 (and the md5-based
+    // hashes are deterministic, so this is stable)
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs distance 0; blocked pairs match brute force") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 16, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("portableHash64 is stable and non-negative") {
+    val h = Seq(Tuple1("x")).toDF("s")
+      .select(Dedup.portableHash64(col("s"), 0), Dedup.portableHash64(col("s"), 1))
+      .as[(Long, Long)].head()
+    assert(h._1 >= 0 && h._2 >= 0 && h._1 != h._2)
+  }
+
+  // ------------------------------------------------------ similarity
+
+  test("cosine: known vectors") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f), Array(2f, 0f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("a"), col("c")).as("ac")).head()
+    assert(math.abs(r.getAs[Double]("ab")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ac") - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic ties") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("query_id", "query_vec")
+    val out = Similarity.bruteForceTopK(queries, corpus, 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("ivfTopK probes nearest clusters only") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.95f, 0.05f), 0),
+      (3L, Array(0f, 1f), 1), (4L, Array(0.05f, 0.95f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("query_id", "query_vec")
+    val out = Similarity.ivfTopK(emb, queries, k = 3, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(2L)) // only cluster 0 probed; query's own vec excluded
+  }
+
+  // ------------------------------------------------------ multimodal
+
+  test("multimodal: metadata is in-plan; stub decoder features are deterministic") {
+    val df = Seq((1L, "abc"), (2L, "abcabc")).toDF("id", "payload")
+    val media = Multimodal.asMediaTable(df, "id", "payload", "text/plain")
+    assert(media.columns.toSeq == Seq("media_id", "payload", "mime", "n_bytes", "sha256"))
+    val feats = Multimodal.decodeFeatures(spark, media, 2).collect()
+    assert(feats.length == 2)
+    val f1 = feats.find(_.media_id == 1L).get
+    val f2 = feats.find(_.media_id == 2L).get
+    assert(f1.n_bytes == 3 && f2.n_bytes == 6)
+    // histogram features are normalized → same distribution for abc vs abcabc
+    assert(f1.features.toSeq == f2.features.toSeq)
+    assert(math.abs(f1.features.sum - 1.0f) < 1e-6)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.stream
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The reference's canary records (FIXTURES.md §A2;
+    * ref: streaming/producer.py:33-76): expected routing 2 bad,
+    * 1 good + 1 alert, plus zero-price and below-threshold probes.
+    */
+  private lazy val canaries = Seq(
+    ("test-small-cap-coin", BigDecimal("0.50"), BigDecimal("500000"), BigDecimal("-5")),
+    ("test-crashed-coin", BigDecimal("2.00"), BigDecimal("5000000"), BigDecimal("-18.5")),
+    ("test-surge-coin", BigDecimal("100.00"), BigDecimal("20000000"), BigDecimal("25.0")),
+    ("test-zero-price", BigDecimal("0"), BigDecimal("2000000"), BigDecimal("1")),
+    ("test-dust-price", BigDecimal("0.005"), BigDecimal("2000000"), BigDecimal("1"))
+  ).toDF("coin_id", "current_price", "market_cap", "price_change_percentage_24h")
+
+  test("crypto canary records route exactly as the reference consumer") {
+    val (good, bad) = Validate.split(canaries, Validate.cryptoRules)
+    assert(good.select("coin_id").as[String].collect().toSeq == Seq("test-surge-coin"))
+    val reasons = bad.select("coin_id", "error_reason").as[(String, String)].collect().toMap
+    assert(reasons("test-small-cap-coin") == "Market cap below threshold")
+    assert(reasons("test-crashed-coin") == "Extreme price drop")
+    assert(reasons("test-zero-price") == "Invalid or zero price")
+    assert(reasons("test-dust-price") == "Price below threshold")
+    val alerts = Validate.alerts(canaries, Validate.cryptoAlert)
+    assert(alerts.select("coin_id").as[String].collect().toSeq == Seq("test-surge-coin"))
+  }
+
+  test("multiple failure reasons accumulate with ' | '") {
+    val df = Seq(("multi-bad", BigDecimal("0"), BigDecimal("1"), BigDecimal("-20")))
+      .toDF("coin_id", "current_price", "market_cap", "price_change_percentage_24h")
+    val reason = Validate.annotate(df, Validate.cryptoRules)
+      .select("error_reason").as[String].head()
+    assert(reason ==
+      "Invalid or zero price | Market cap below threshold | Extreme price drop")
+  }
+
+  test("foreachBatch routing stream writes good/bad/alert sinks") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 100.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "error", 10.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 10:20:00"), 8L, "click", 0.01, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 10:30:00"), 8L, "purchase", 470.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$tmp/in")
+    Jobs.runRoutingStream(spark, s"$tmp/in", s"$tmp/good", s"$tmp/bad",
+      s"$tmp/alert", s"$tmp/ckpt")
+    assert(spark.read.parquet(s"$tmp/good").select("event_id").as[Long].collect().toSet ==
+      Set(1L, 4L))
+    assert(spark.read.parquet(s"$tmp/bad").select("event_id").as[Long].collect().toSet ==
+      Set(2L, 3L))
+    assert(spark.read.parquet(s"$tmp/alert").select("event_id").as[Long].collect().toSet ==
+      Set(4L))
+  }
+
+  test("watermarked windowed stream emits closed windows, drops late data") {
+    val tmp = Files.createTempDirectory("graft-window").toString
+    val in = s"$tmp/in"
+    val ckpt = s"$tmp/ckpt"
+    // batch 1: two events in hour 10, one in hour 11
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 10.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "view", 20.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 11:05:00"), 1L, "view", 30.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(in)
+    val first = Jobs.runWindowedStream(spark, in, ckpt, s"$tmp/out", lateness = "10 minutes")
+    // watermark after batch 1 = 10:55 → hour-10 window not closed yet
+    assert(first.isEmpty)
+    // batch 2: an event far past hour 11 plus a LATE hour-10 straggler
+    Seq(
+      (4L, Timestamp.valueOf("2024-01-01 12:30:00"), 1L, "view", 40.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 10:40:00"), 1L, "view", 99.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(in)
+    val second = Jobs.runWindowedStream(spark, in, ckpt, s"$tmp/out", lateness = "10 minutes")
+    val rows = second.orderBy("window_start")
+      .select(col("window_start").cast("string"), col("n_events"), col("sum_value"))
+      .as[(String, Long, Double)].collect().toSeq
+    // hour-10 and hour-11 windows closed by the 12:30 event; the late
+    // 10:40 straggler arrived beyond the watermark in the same batch —
+    // whether it lands depends on batch-internal ordering, so assert
+    // the closed windows only
+    assert(rows.exists(r => r._1 == "2024-01-01 10:00:00" && r._2 >= 2L))
+    assert(rows.contains(("2024-01-01 11:00:00", 1L, 30.0)))
+  }
+
+  test("streaming validation equals batch validation on the same data") {
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = Validate.annotate(batch, Jobs.eventRules)
+      .select("event_id", "is_valid").orderBy("event_id")
+      .as[(Long, Boolean)].collect().toSeq
+    val streamed = Jobs.runValidationStream(spark, "/root/testdata/sf0.001")
+      .select("event_id", "is_valid").orderBy("event_id")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(streamed == expected)
+  }
+}
