@@ -332,6 +332,58 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("ship_month"))
 
+  /** O-39: Deequ-style verification suite → check-results frame
+    * (constraint_message excluded — float formatting is engine-local).
+    */
+  def q27DqCheckResults(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      graft.dq.IsComplete("l_orderkey"),
+      ColumnValues("l_quantity", _ > 0, "gt_0"),
+      ColumnValues("l_discount", _ <= 0.05, "le_005"),
+      graft.dq.RowCountBetween(50, 10000000),
+      graft.dq.CompletenessAbove("l_extendedprice", 0.95),
+      graft.dq.UniquenessAbove("l_orderkey", 0.99))
+    Rules.checkResults(spark, Tables.lineitem(spark, dir), rules)
+      .select(col("check"), col("check_level"), col("check_status"),
+        col("constraint"), col("constraint_status"))
+      .orderBy(col("constraint"))
+  }
+
+  /** O-12/O-42: anti-semijoin — orders with no lineitems, as a
+    * distributed left_anti join (the reference's collect+isin replaced).
+    */
+  def q28AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val liKeys = Tables.lineitem(spark, dir).select(col("l_orderkey").as("o_orderkey"))
+    o.join(liKeys, Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Left-outer join + null coalescing: per-order revenue, 0 for
+    * orders with no lineitems.
+    */
+  def q29OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    Tables.orders(spark, dir)
+      .join(rev, Seq("o_orderkey"), "left_outer")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("rev").isNull, 1L).otherwise(0L)).as("n_no_items"),
+        round(sum(coalesce(col("rev"), lit(0.0))), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Rollup aggregation (subtotal + grand-total rows). */
+  def q30Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -362,7 +414,11 @@ object SparkEntry {
     "q23_ivf_topk" -> (q23IvfTopK _),
     "q24_multimodal_meta" -> (q24MultimodalMeta _),
     "q25_multimodal_decode" -> (q25MultimodalDecode _),
-    "q26_monthly_report" -> (q26MonthlyReport _))
+    "q26_monthly_report" -> (q26MonthlyReport _),
+    "q27_dq_check_results" -> (q27DqCheckResults _),
+    "q28_anti_join" -> (q28AntiJoin _),
+    "q29_outer_join" -> (q29OuterJoin _),
+    "q30_rollup" -> (q30Rollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -647,7 +703,62 @@ object SparkEntry {
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |       CAST(count(*) AS BIGINT) AS n_items,
         |       round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q27_dq_check_results" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         count(l_orderkey) = count(*) AS complete_ok,
+        |         sum(CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity > 0)
+        |             THEN 1 ELSE 0 END) = 0 AS cv_q_ok,
+        |         sum(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount <= 0.05)
+        |             THEN 1 ELSE 0 END) = 0 AS cv_d_ok,
+        |         CAST(count(l_extendedprice) AS DOUBLE) / count(*) > 0.95 AS compl_e_ok
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(c) > 0.99
+        |           AS uniq_ok
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)),
+        |f AS (SELECT m.n, m.complete_ok, m.cv_q_ok, m.cv_d_ok, m.compl_e_ok,
+        |             u.uniq_ok,
+        |             m.n BETWEEN 50 AND 10000000 AS rc_ok FROM m, u),
+        |rows_ AS (
+        |  SELECT 'IsComplete l_orderkey' AS constraint, complete_ok AS ok FROM f
+        |  UNION ALL SELECT 'ColumnValues l_quantity gt_0', cv_q_ok FROM f
+        |  UNION ALL SELECT 'ColumnValues l_discount le_005', cv_d_ok FROM f
+        |  UNION ALL SELECT 'RowCount between 50 and 10000000', rc_ok FROM f
+        |  UNION ALL SELECT 'Completeness l_extendedprice > 0.95', compl_e_ok FROM f
+        |  UNION ALL SELECT 'Uniqueness l_orderkey > 0.99', uniq_ok FROM f),
+        |overall AS (SELECT CASE WHEN bool_and(ok) THEN 'Success' ELSE 'Error' END AS st
+        |            FROM rows_)
+        |SELECT 'DataQualityCheck' AS check, 'Error' AS check_level,
+        |       overall.st AS check_status, rows_.constraint,
+        |       CASE WHEN rows_.ok THEN 'Success' ELSE 'Failure' END AS constraint_status
+        |FROM rows_, overall ORDER BY rows_.constraint""".stripMargin,
+
+    "q28_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q29_outer_join" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         sum(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CASE WHEN rev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_items,
+        |       round(sum(coalesce(rev, 0.0)), 2) AS revenue
+        |FROM orders LEFT JOIN rev USING (o_orderkey)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q30_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
 
   private def validateEventsOracle: String =
     """SELECT event_id,

@@ -1,0 +1,86 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side writers (O-51..O-58), re-expressing the reference's S3
+  * layouts with Spark writers.
+  *
+  * Scale posture: `coalesce(1)` is reserved for genuinely tiny outputs
+  * (the reference used it everywhere, including data paths — we don't);
+  * data-scale writes stay partitioned and rely on dynamic partition
+  * overwrite for upserts.
+  */
+object Writers {
+
+  /** O-51: single-file JSON landing (Bronze). The reference's
+    * `mergeSchema` write option is dropped — it's a read option, a no-op
+    * on write (ref: glue/data_ingestion_s3.py:33-36; SURVEY.md O-51).
+    */
+  def jsonSingleFile(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** O-52: snappy parquet, overwrite, unpartitioned
+    * (ref: glue/data_transform_s3.py:142-148).
+    */
+  def parquetOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+
+  /** O-53: snappy parquet, append, partitioned by a date column
+    * (ref: glue/data_quality_dqdl.py:150-160).
+    */
+  def parquetAppendPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("append").option("compression", "snappy")
+      .partitionBy(partitionCol).parquet(path)
+
+  /** O-54: partitioned overwrite with DYNAMIC partition overwrite —
+    * only the partitions present in `df` are replaced
+    * (ref: glue/data_aggregate_gold.py:16,95-100). This is the
+    * reference's fact-table upsert made native: no read-modify-write.
+    */
+  def parquetDynamicOverwrite(df: DataFrame, path: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").option("compression", "snappy")
+      .partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** O-55: JSON DLQ append (ref: glue/data_transform_s3.py:96-101). */
+  def dlqAppend(df: DataFrame, path: String): Unit =
+    df.write.mode("append").json(path)
+
+  /** O-58: partitioned JSONL bad-records layout
+    * `dt=YYYY-MM-DD/hour=HH` (ref: streaming/consumer.py:104-111),
+    * derived from an event-time column.
+    */
+  def badRecordsPartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col(tsCol), "HH"))
+      .write.mode("append").partitionBy("dt", "hour").json(path)
+
+  /** O-56: key-value upsert sink — last write per key wins (DynamoDB
+    * `put_item` semantics, ref: streaming/consumer.py:72-83). Modeled
+    * as a keyed parquet table merged via the gold-layer upsert; called
+    * per micro-batch from `foreachBatch`.
+    */
+  def kvUpsert(spark: SparkSession, batch: DataFrame, keyCols: Seq[String], path: String): Unit = {
+    val existing = scala.util.Try(spark.read.schema(batch.schema).parquet(path)).toOption
+    val merged = existing match {
+      case Some(e) if !e.isEmpty => graft.gold.Star.upsert(e, batch, keyCols)
+      case _ => batch
+    }
+    // write to a temp dir then swap — parquet can't overwrite its own input
+    val tmp = path + "__staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source-side readers (O-01..O-05): JSON with inference, declared-schema
+  * enforcement at the Silver boundary, recursive scans, corrupt-record
+  * capture.
+  *
+  * The reference lands driver-fetched JSON via an RDD shim
+  * (ref: glue/data_ingestion_s3.py:30-31 `spark.read.json(rdd)`); the
+  * Spark-native equivalent is `spark.read.json(Dataset[String])` —
+  * same inference semantics, no RDD API.
+  */
+object Readers {
+
+  /** O-02: in-memory JSON strings → DataFrame with schema inference. */
+  def jsonStrings(spark: SparkSession, rows: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(rows))
+  }
+
+  /** O-03: recursive JSON scan of a landing prefix (JSONL, not
+    * multiline — ref: glue/data_transform_s3.py:50 `multiline: False`).
+    */
+  def jsonRecursive(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("multiLine", "false")
+      .json(dir)
+
+  /** Declared-schema JSON read with corrupt-record capture (O-63):
+    * unparseable lines land in `_corrupt_record` instead of failing
+    * the job (PERMISSIVE is Spark's default; made explicit here).
+    */
+  def jsonWithSchema(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+  }
+
+  /** O-05: parse a `value: string` column of JSON payloads (the Kinesis
+    * record shape) against a declared schema; rows that fail to parse
+    * keep the raw string with a null struct → route-able (O-63).
+    */
+  def parseJsonColumn(df: DataFrame, schema: StructType): DataFrame =
+    df.withColumn("parsed", from_json(col("value"), schema))
+      .withColumn("is_corrupt", col("parsed").isNull)
+
+  /** O-04: parquet scan (kept for symmetry with Tables). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
