@@ -377,6 +377,23 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SQL surface (§3.2's Athena analogue): the star-schema revenue
+    * query expressed as `spark.sql` over registered views — the same
+    * text an analyst would run; Catalyst plans it identically to q07.
+    */
+  def q31SqlStar(spark: SparkSession, dir: String): DataFrame =
+    Sql.query(spark, dir,
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin)
+
   /** Rollup aggregation (subtotal + grand-total rows). */
   def q30Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -418,7 +435,8 @@ object SparkEntry {
     "q27_dq_check_results" -> (q27DqCheckResults _),
     "q28_anti_join" -> (q28AntiJoin _),
     "q29_outer_join" -> (q29OuterJoin _),
-    "q30_rollup" -> (q30Rollup _))
+    "q30_rollup" -> (q30Rollup _),
+    "q31_sql_star" -> (q31SqlStar _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -642,6 +660,18 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_sql_star" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q17_validate_events" -> validateEventsOracle,
     "q19_stream_validate" -> validateEventsOracle,

@@ -81,6 +81,25 @@ object Transform {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Keep-latest dedup as a two-phase AGGREGATION instead of a ranking
+    * window: `max_by(payload, orderKey)` per key. Same result as
+    * [[dedupLatest]] given the same total order, but partial-aggregates
+    * map-side before the shuffle — at 100 TB this moves one full sort +
+    * exchange of every row down to an exchange of one row per key, and
+    * skewed keys combine locally instead of serializing through a
+    * single window partition. Prefer this form when the payload is
+    * narrow; prefer the window when rank > 1 is also needed.
+    */
+  def dedupLatestAgg(df: DataFrame, partitionCols: Seq[String], maxKeyCols: Seq[Column]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    // lexicographic max over plain value columns (no SortOrder here —
+    // "latest" = the row whose (ts, tiebreak...) struct is greatest)
+    val orderKey = struct(maxKeyCols: _*)
+    df.groupBy(partitionCols.map(col): _*)
+      .agg(max_by(payload, orderKey).as("__latest"))
+      .select(col("__latest.*"))
+  }
+
   /** O-09: metadata columns (ref: glue/data_transform_s3.py:127-128)
     * with an injectable "now" for deterministic tests (SURVEY.md §7.4.1).
     */

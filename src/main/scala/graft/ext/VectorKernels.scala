@@ -68,6 +68,21 @@ case class FloatCosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Extension point for `--conf spark.sql.extensions=graft.ext.GraftExtensions`:
+  * injects the vector kernels at session build time so pure-SQL users
+  * (`spark.sql("SELECT graft_cosine_f(a, b) ...")`) get them without any
+  * API call. Runtime registration via [[VectorKernels.register]] covers
+  * sessions built without the conf.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_f"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatCosineSimilarity].getName, "graft_cosine_f"),
+      (exprs: Seq[Expression]) => FloatCosineSimilarity(exprs(0), exprs(1))))
+}
+
 /** Session registration + Column surface for the vector kernels. */
 object VectorKernels {
   private val cosineName = "graft_cosine_f"

@@ -48,6 +48,18 @@ class TransformSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("btc", 101.0), ("eth", 51.0)))
   }
 
+  test("dedupLatestAgg (max_by scale path) matches the window dedup") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val windowed = Transform.dedupLatest(li, Seq("l_orderkey"),
+      Seq(col("l_shipdate").desc, col("l_linenumber").desc,
+        col("l_partkey").desc, col("l_suppkey").desc))
+    val agged = Transform.dedupLatestAgg(li, Seq("l_orderkey"),
+      Seq(col("l_shipdate"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+    assert(agged.count() == windowed.count())
+    // identical surviving rows
+    assert(windowed.exceptAll(agged).isEmpty && agged.exceptAll(windowed).isEmpty)
+  }
+
   test("dedupLatest is idempotent") {
     val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 3.0)).toDF("k", "seq", "v")
     val once = Transform.dedupLatest(df, Seq("k"), Seq(col("seq").desc))
