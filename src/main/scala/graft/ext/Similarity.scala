@@ -79,6 +79,40 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** SRP-LSH near-dup pairs for cosine similarity: multi-table
+    * exact-signature blocking. Each vector gets `tables` independent
+    * SRP signatures; vectors agreeing on ANY full signature become
+    * candidates (shuffle on (table, sig) — bounded buckets, no
+    * quadratic pass), then the codegen'd cosine verifies ≥ threshold.
+    * Recall rises with `tables`, precision with `planes`; both are
+    * map-side-only costs. This is the scale path; [[cosineNearDupPairs]]
+    * is the exact bounded-sample baseline.
+    */
+  def srpNearDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double,
+      planes: Int = 16,
+      tables: Int = 4,
+      scorer: (Column, Column) => Column = cosine): DataFrame = {
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sigs = base.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        graft.ext.VectorKernels.srpSig(col("vec"), planes, t)): _*))
+        .as(Seq("table", "sig")))
+    val candidates = sigs.select(col("table"), col("sig"), col("id").as("id_a"))
+      .join(sigs.select(col("table"), col("sig"), col("id").as("id_b")),
+        Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cos_sim", round(scorer(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** IVF-style ANN: partition the corpus by a coarse cluster id (here
     * the pre-assigned `label`; k-means centroids in a real build),
     * compute centroids, probe the `nprobe` nearest clusters per query,

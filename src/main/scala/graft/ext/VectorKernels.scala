@@ -68,6 +68,63 @@ case class FloatCosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signed-random-projection (SRP) signature of a float vector: bit p of
+  * the result is the sign of the dot product with pseudo-random
+  * hyperplane p, whose ±1 components derive from splitmix64 of
+  * (seed, p, i) — deterministic, no stored plane matrix, O(planes×dim)
+  * per row, map-side only. Vectors with high cosine similarity agree on
+  * most bits, so exact-signature (or banded) self-joins generate
+  * near-dup candidates without any quadratic pass — the LSH-for-cosine
+  * scale path (Charikar SRP-LSH, public literature).
+  */
+case class FloatSrpSignature(child: Expression, numPlanes: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numPlanes > 0 && numPlanes <= 64, "numPlanes must be in 1..64")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_srp_sig expects array<float>, got $t")
+  }
+
+  /** Shared by interpreted eval and codegen (one virtual call per row —
+    * the per-element loop stays primitive either way).
+    */
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        var z = seed + p.toLong * 1000003L + i.toLong + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        val v = a.getFloat(i).toDouble
+        dot += (if ((z & 1L) == 1L) v else -v)
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srp", this, classOf[FloatSrpSignature].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatSrpSignature =
+    copy(child = newChild)
+}
+
 /** Extension point for `--conf spark.sql.extensions=graft.ext.GraftExtensions`:
   * injects the vector kernels at session build time so pure-SQL users
   * (`spark.sql("SELECT graft_cosine_f(a, b) ...")`) get them without any
@@ -86,14 +143,26 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 /** Session registration + Column surface for the vector kernels. */
 object VectorKernels {
   private val cosineName = "graft_cosine_f"
+  private val srpName = "graft_srp_sig"
 
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineName, exprs => FloatCosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      srpName, exprs => FloatSrpSignature(
+        exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int].toLong), "built-in")
+  }
 
   /** Cosine similarity of two float-vector columns (requires
     * [[register]] on the session first).
     */
   def cosineF(a: Column, b: Column): Column = call_function(cosineName, a, b)
+
+  /** SRP signature of a float-vector column (literal planes/seed). */
+  def srpSig(v: Column, numPlanes: Int, seed: Int): Column =
+    call_function(srpName, v, org.apache.spark.sql.functions.lit(numPlanes),
+      org.apache.spark.sql.functions.lit(seed))
 }

@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape regression tests: the physical plans the 100 TB posture
+  * depends on. If one of these breaks, the query still returns correct
+  * rows — but the plan stopped being the one we'd run at scale, which
+  * is exactly the regression a row-level oracle can't see.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: null-guard filter reaches the parquet scan; rank limit pushed below shuffle") {
+    val p = plan("q01_dedup_latest_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey)]"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q01: scan is column-pruned (no unused columns read)") {
+    val p = plan("q01_dedup_latest_agg")
+    assert(!p.contains("l_comment"), p)
+    assert(!p.contains("l_tax"), p) // projected away before the window
+  }
+
+  test("q07: all dims broadcast — no shuffle join on the fact side") {
+    val p = plan("q07_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q31 (SQL text) plans the same broadcast star join as the DataFrame API") {
+    val p = plan("q31_sql_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q22: pairwise scoring uses the codegen'd kernel, not interpreted HOFs") {
+    val p = plan("q22_cosine_neardup")
+    assert(p.contains("floatcosinesimilarity"), p)
+    // the HOF path would show ArrayTransform/Aggregate expressions
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
+  test("q10: union+distinct compiles to a hash aggregate, not a global sort") {
+    val p = plan("q10_union_distinct")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q28: anti join stays a join (no collected isin list)") {
+    val p = plan("q28_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+}

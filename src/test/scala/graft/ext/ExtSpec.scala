@@ -121,6 +121,34 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq((2L, 1), (3L, 2)))
   }
 
+  test("SRP-LSH finds planted cosine near-dups without a quadratic pass") {
+    graft.ext.VectorKernels.register(spark)
+    // base vector, a tiny perturbation of it, and an orthogonal one
+    val base = Array.tabulate(32)(i => math.sin(i * 1.7).toFloat)
+    val nearDup = base.zipWithIndex.map { case (v, i) => v + (if (i == 0) 0.001f else 0f) }
+    val ortho = Array.tabulate(32)(i => math.cos(i * 2.3).toFloat)
+    val df = Seq((1L, base), (2L, nearDup), (3L, ortho)).toDF("vec_id", "embedding")
+    val pairs = Similarity.srpNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, scorer = graft.ext.VectorKernels.cosineF)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("SRP signature: identical vectors always collide; codegen equals eval") {
+    graft.ext.VectorKernels.register(spark)
+    val v = Array.tabulate(16)(i => (i * 0.37f) - 2f)
+    val df = Seq((1L, v), (2L, v)).toDF("id", "vec")
+      .select(col("id"), graft.ext.VectorKernels.srpSig(col("vec"), 16, 0).as("sig"))
+    val sigs = df.as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    // interpreted path (expression eval on a literal-free local row)
+    val expr = graft.ext.FloatSrpSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      16, 0L)
+    assert(expr.eval(null) == sigs(1L))
+  }
+
   test("ivfTopK probes nearest clusters only") {
     val emb = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.95f, 0.05f), 0),
