@@ -1,0 +1,67 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Keyed event for stateful processing. */
+final case class KeyedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+
+/** Custom keyed state via `flatMapGroupsWithState` — the streaming
+  * operator family the stateless reference never needed but the north
+  * star mandates (SURVEY.md §2.10 NOT-PRESENT row).
+  *
+  * Use case: alert SUPPRESSION on top of O-62's threshold alert. The
+  * reference's consumer re-alerts on every poll while a surge persists
+  * (ref: streaming/consumer.py:86-92 has no memory); here state
+  * remembers "already above threshold" per key across micro-batches and
+  * emits only rising edges. State is one boolean per key — O(keys),
+  * partitioned by the group key, exactly what a 1000-executor cluster
+  * shards naturally.
+  */
+object Stateful {
+
+  /** Emit an event only when its key's value crosses ABOVE the
+    * threshold (rising edge); state persists across micro-batches.
+    * Batch order within a group is not guaranteed → sort by event time
+    * inside the group iterator.
+    */
+  def risingEdgeAlerts(
+      spark: SparkSession,
+      events: Dataset[KeyedEvent],
+      threshold: Double): Dataset[KeyedEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[KeyedEvent], state: GroupState[Boolean]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var above = state.getOption.getOrElse(false)
+          val out = Seq.newBuilder[KeyedEvent]
+          sorted.foreach { e =>
+            val now = e.value > threshold
+            if (now && !above) out += e
+            above = now
+          }
+          state.update(above)
+          out.result().iterator
+        })
+  }
+
+  /** Streaming wrapper: memory-stream/file-source events → rising-edge
+    * alerts into a memory sink table named `sinkName`.
+    */
+  def startRisingEdgeStream(
+      spark: SparkSession,
+      events: DataFrame,
+      threshold: Double,
+      sinkName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val typed = events.selectExpr("event_id", "ts", "user_id", "value").as[KeyedEvent]
+    risingEdgeAlerts(spark, typed, threshold)
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .start()
+  }
+}
