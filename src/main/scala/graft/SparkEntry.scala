@@ -401,6 +401,38 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** O-38: HLL++ approximate distinct counts next to the exact values
+    * (approximate → rows-only check; the exact columns are verified via
+    * q04's CountDistinct).
+    */
+  def q32ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    Analyzers.run(li, Seq(
+      Analyzers.approxCountDistinct("l_orderkey"),
+      Analyzers.countDistinct("l_orderkey"),
+      Analyzers.approxCountDistinct("l_partkey"),
+      Analyzers.countDistinct("l_partkey")))
+      .orderBy(col("instance"), col("name"))
+  }
+
+  /** O-28 again via the aggregation scale path (`max_by`, map-side
+    * partial combine — no window sort); result is identical to q01's
+    * window form, so it shares q01's oracle.
+    */
+  def q33DedupAggPath(spark: SparkSession, dir: String): DataFrame =
+    Transform.dedupLatestAgg(
+      Tables.lineitem(spark, dir),
+      partitionCols = Seq("l_orderkey"),
+      maxKeyCols = Seq(col("l_shipdate"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")))
+      .filter(col("l_orderkey").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -436,7 +468,9 @@ object SparkEntry {
     "q28_anti_join" -> (q28AntiJoin _),
     "q29_outer_join" -> (q29OuterJoin _),
     "q30_rollup" -> (q30Rollup _),
-    "q31_sql_star" -> (q31SqlStar _))
+    "q31_sql_star" -> (q31SqlStar _),
+    "q32_approx_distinct" -> (q32ApproxDistinct _),
+    "q33_dedup_agg_path" -> (q33DedupAggPath _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -660,6 +694,23 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_dedup_agg_path" ->
+      """WITH dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY l_orderkey
+        |      ORDER BY l_shipdate DESC, l_linenumber DESC,
+        |               l_partkey DESC, l_suppkey DESC) AS rn
+        |    FROM lineitem) WHERE rn = 1)
+        |SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price
+        |FROM dedup
+        |WHERE l_orderkey IS NOT NULL
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q31_sql_star" ->
       """SELECT r_name, n_name,

@@ -45,11 +45,14 @@ object Readers {
 
   /** O-05: parse a `value: string` column of JSON payloads (the Kinesis
     * record shape) against a declared schema; rows that fail to parse
-    * keep the raw string with a null struct → route-able (O-63).
+    * keep the raw string and flag corrupt → route-able (O-63).
+    * PERMISSIVE `from_json` yields an all-null struct (not a null) on
+    * malformed input, so corruption = null struct OR every field null.
     */
   def parseJsonColumn(df: DataFrame, schema: StructType): DataFrame =
     df.withColumn("parsed", from_json(col("value"), schema))
-      .withColumn("is_corrupt", col("parsed").isNull)
+      .withColumn("is_corrupt",
+        col("parsed").isNull || to_json(col("parsed")) === lit("{}"))
 
   /** O-04: parquet scan (kept for symmetry with Tables). */
   def parquet(spark: SparkSession, path: String): DataFrame =

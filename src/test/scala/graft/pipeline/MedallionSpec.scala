@@ -97,6 +97,34 @@ class MedallionSpec extends SparkSpec {
     assert(rows == Seq(("btc", 2, 101.0), ("eth", 1, 50.0)))
   }
 
+  test("recursive JSONL scan reads nested landing prefixes") {
+    val tmp = Files.createTempDirectory("graft-recursive").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/dt=2024-01-01/hour=05"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/dt=2024-01-02/hour=06"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/dt=2024-01-01/hour=05/a.json"),
+      """{"id":"x","v":1}""" + "\n" + """{"id":"y","v":2}""")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/dt=2024-01-02/hour=06/b.json"),
+      """{"id":"z","v":3}""")
+    val df = Readers.jsonRecursive(spark, tmp)
+    assert(df.count() == 3)
+    assert(df.columns.contains("id") && df.columns.contains("v"))
+  }
+
+  test("from_json payload parsing routes unparseable records") {
+    val payloads = Seq(
+      """{"coin_id":"btc","current_price":1.5}""",
+      "garbage{{{").toDF("value")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("coin_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("current_price",
+        org.apache.spark.sql.types.DoubleType)))
+    val parsed = Readers.parseJsonColumn(payloads, schema)
+    assert(parsed.filter(col("is_corrupt")).count() == 1)
+    assert(parsed.filter(!col("is_corrupt"))
+      .select("parsed.coin_id").as[String].head() == "btc")
+  }
+
   test("corrupt json lines land in _corrupt_record, not exceptions") {
     val tmp = Files.createTempDirectory("graft-corrupt").toString
     Files.writeString(java.nio.file.Paths.get(s"$tmp/data.json"),
