@@ -196,7 +196,7 @@ object SparkEntry {
     */
   def q13bSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
-      bits = 16, maxDistance = 3)
+      bits = 32, maxDistance = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   // ------------------------------------------------ LLM-pipeline: text

@@ -99,12 +99,15 @@ object Dedup {
 
     // band keys carry IDS ONLY through the bucket shuffle — shingle
     // arrays never ride the candidate join, and pair-dedup happens on
-    // bare (id_a, id_b) before any array is attached
+    // bare (id_a, id_b) before any array is attached. The bucket frame
+    // is persisted: both self-join sides and nothing else consume it,
+    // so the signature (numHashes hash passes per doc) computes once.
     val buckets = shingled
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .select(col("doc_id"),
         posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = buckets
       .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
