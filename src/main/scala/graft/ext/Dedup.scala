@@ -144,19 +144,12 @@ object Dedup {
   /** SimHash (Charikar) fingerprint over token hashes, `bits` wide:
     * bit b is set iff the sum over tokens of ±1 (token-hash bit b) is
     * positive. Near-dups have small Hamming distance. Token hashes are
-    * computed ONCE into an array (not once per bit — that re-hashed
-    * every token `bits` times), then each bit sums over the longs.
+    * computed once into an array, then the codegen'd
+    * [[graft.ext.LongArraySimhash]] kernel accumulates all bit-sums in
+    * ONE pass (the HOF formulation needed `bits` interpreted passes).
     */
-  def simhash(c: Column, bits: Int = 16): Column = {
-    val hashes = transform(Text.tokens(c), t => xxhash64(lit(9999), t))
-    val sums = (0 until bits).map { b =>
-      aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-    }
-    sums.zipWithIndex.map { case (s, b) =>
-      when(s > 0, lit(1L) * (1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  def simhash(c: Column, bits: Int = 16): Column =
+    VectorKernels.simhashL(transform(Text.tokens(c), t => xxhash64(lit(9999), t)), bits)
 
   /** Hamming distance between two simhash values (popcount of XOR). */
   def hammingDistance(a: Column, b: Column, bits: Int = 16): Column =

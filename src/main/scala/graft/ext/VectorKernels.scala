@@ -125,6 +125,58 @@ case class FloatSrpSignature(child: Expression, numPlanes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** SimHash over a pre-hashed token array (`array<long>`): one pass
+  * accumulates all `bits` sign-sums in a local counter array — the
+  * higher-order-function formulation needs `bits` interpreted passes
+  * over the same array. Bit b of the result is set iff more token
+  * hashes have bit b set than clear (Charikar's simhash).
+  */
+case class LongArraySimhash(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits > 0 && bits <= 64, "bits must be in 1..64")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects array<long>, got $t")
+  }
+
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[LongArraySimhash].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LongArraySimhash =
+    copy(child = newChild)
+}
+
 /** Extension point for `--conf spark.sql.extensions=graft.ext.GraftExtensions`:
   * injects the vector kernels at session build time so pure-SQL users
   * (`spark.sql("SELECT graft_cosine_f(a, b) ...")`) get them without any
@@ -144,6 +196,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 object VectorKernels {
   private val cosineName = "graft_cosine_f"
   private val srpName = "graft_srp_sig"
+  private val simhashName = "graft_simhash"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -154,6 +207,9 @@ object VectorKernels {
         exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int].toLong), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      simhashName, exprs => LongArraySimhash(
+        exprs(0), exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   /** Cosine similarity of two float-vector columns (requires
@@ -165,4 +221,13 @@ object VectorKernels {
   def srpSig(v: Column, numPlanes: Int, seed: Int): Column =
     call_function(srpName, v, org.apache.spark.sql.functions.lit(numPlanes),
       org.apache.spark.sql.functions.lit(seed))
+
+  /** One-pass simhash over an `array<long>` of token hashes.
+    * Self-registers on the active session so pure-column library code
+    * (graft.ext.Dedup) can use it without threading a session through.
+    */
+  def simhashL(hashes: Column, bits: Int): Column = {
+    register(SparkSession.active)
+    call_function(simhashName, hashes, org.apache.spark.sql.functions.lit(bits))
+  }
 }
