@@ -433,6 +433,40 @@ object SparkEntry {
         round(avg(col("l_extendedprice")), 2).as("avg_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Time-series similarity: hour-of-day activity profiles per user →
+    * cosine top-3 most-similar users (derived-embedding search).
+    */
+  def q34ProfileSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val profiles = graft.ext.TimeSeries.hourlyProfile(
+      Tables.events(spark, dir), "user_id", "ts", "value")
+    graft.ext.TimeSeries.topKSimilarProfiles(
+      profiles.filter(col("user_id") < 20), "user_id", 3)
+      .orderBy(col("key_a"), col("rank"))
+  }
+
+  /** Gap-based sessionization via native session_window, cross-checked
+    * against a lag+cumsum oracle.
+    */
+  def q35Sessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.sessionStats(
+      Tables.events(spark, dir), "user_id", "ts", "30 minutes")
+      .orderBy(col("user_id"))
+
+  /** Running window frames: cumulative revenue per customer over their
+    * order history (rowsBetween unboundedPreceding..current).
+    */
+  def q36RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -470,7 +504,10 @@ object SparkEntry {
     "q30_rollup" -> (q30Rollup _),
     "q31_sql_star" -> (q31SqlStar _),
     "q32_approx_distinct" -> (q32ApproxDistinct _),
-    "q33_dedup_agg_path" -> (q33DedupAggPath _))
+    "q33_dedup_agg_path" -> (q33DedupAggPath _),
+    "q34_profile_similarity" -> (q34ProfileSimilarity _),
+    "q35_sessionize" -> (q35Sessionize _),
+    "q36_running_total" -> (q36RunningTotal _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -695,6 +732,36 @@ object SparkEntry {
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q34_profile_similarity" -> profileSimilarityOracle,
+
+    "q35_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |per AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(max(n) AS BIGINT) AS max_session_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q36_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |         AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q33_dedup_agg_path" ->
       """WITH dedup AS (
         |  SELECT * FROM (
@@ -840,6 +907,27 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
+  private def profileSimilarityOracle: String = {
+    val slots = (0 until 24)
+      .map(h => s"coalesce(avg(CASE WHEN hour(ts) = $h THEN value END), 0.0)")
+      .mkString(", ")
+    s"""WITH p AS (
+       |  SELECT user_id, list_value($slots) AS profile
+       |  FROM events GROUP BY user_id),
+       |q AS (SELECT * FROM p WHERE user_id < 20),
+       |pairs AS (
+       |  SELECT a.user_id AS key_a, b.user_id AS key_b,
+       |         round(list_cosine_similarity(a.profile, b.profile), 4) AS cos_sim
+       |  FROM q a JOIN q b ON a.user_id != b.user_id),
+       |ranked AS (
+       |  SELECT key_a, key_b, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY key_a
+       |              ORDER BY cos_sim DESC, key_b) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT key_a, key_b, cos_sim, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY key_a, rank""".stripMargin
+  }
 
   private def validateEventsOracle: String =
     """SELECT event_id,

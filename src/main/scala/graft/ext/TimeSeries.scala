@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics over the event stream: per-key activity
+  * profiles (derived embeddings), profile similarity search, and
+  * gap-based sessionization.
+  *
+  * Profiles turn behavioral streams into fixed-dim vectors that the
+  * similarity stack (cosine kernels, SRP/IVF blocking) consumes
+  * unchanged — the bridge between the streaming half and the
+  * vector-search half of the engine.
+  */
+object TimeSeries {
+
+  /** 24-dim hour-of-day activity profile per key: avg(value) per hour
+    * slot, 0 where the key has no events in that hour. One aggregation
+    * pass (24 conditional aggregates — no pivot shuffle).
+    */
+  def hourlyProfile(events: DataFrame, keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+    val aggs = (0 until 24).map(h =>
+      avg(when(hour(col(tsCol)) === h, col(valueCol))).as(s"h$h"))
+    events.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol),
+        array((0 until 24).map(h => coalesce(col(s"h$h"), lit(0.0))): _*).as("profile"))
+  }
+
+  /** Top-k most-similar keys per key by profile cosine (double-precision
+    * HOF path — profiles are small and derived, precision beats the
+    * float kernel here). Excludes self; deterministic ties by id.
+    */
+  def topKSimilarProfiles(profiles: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val a = profiles.select(col(keyCol).as("key_a"), col("profile").as("p_a"))
+    val b = profiles.select(col(keyCol).as("key_b"), col("profile").as("p_b"))
+    val dot = Similarity.dot(col("p_a"), col("p_b"))
+    val sim = dot / (Similarity.norm(col("p_a")) * Similarity.norm(col("p_b")))
+    val w = Window.partitionBy(col("key_a"))
+      .orderBy(col("cos_sim").desc, col("key_b").asc)
+    a.join(b, col("key_a") =!= col("key_b"))
+      .withColumn("cos_sim", round(sim, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("key_a"), col("key_b"), col("cos_sim"), col("rank"))
+  }
+
+  /** Gap-based sessionization with Spark's native `session_window`
+    * (merge while the gap to the previous event is < `gap`): per-key
+    * session stats. The oracle cross-validates these semantics against
+    * a first-principles lag + cumulative-sum formulation.
+    */
+  def sessionStats(events: DataFrame, keyCol: String, tsCol: String, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+}
