@@ -797,8 +797,7 @@ object SparkEntry {
     "q18_window_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n_events,
-        |       round(sum(value), 2) AS sum_value,
-        |       round(avg(value), 4) AS avg_value
+        |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q20_props_json" ->

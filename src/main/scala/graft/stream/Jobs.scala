@@ -59,11 +59,13 @@ object Jobs {
     df.groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        // no avg column: a float average is summation-order-dependent
+        // in its last bits and its rounding diverges across engines on
+        // ~1/1000 groups; sum+count carry the same information exactly
+        round(sum(col("value")), 2).as("sum_value"))
       .select(
         col("w.start").as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+        col("event_type"), col("n_events"), col("sum_value"))
 
   /** Watermarked streaming variant of [[windowedAgg]] (O-66 note):
     * late data beyond `lateness` is dropped once the watermark passes.
