@@ -90,6 +90,7 @@ object SparkEntry {
         Analyzers.standardDeviation("l_quantity"),
         Analyzers.minimum("l_extendedprice"),
         Analyzers.maximum("l_extendedprice"),
+        Analyzers.exactMedian("l_quantity"),
         Analyzers.countDistinct("l_orderkey")),
       uniquenessCols = Seq("l_orderkey"))
       .withColumn("value", round(col("value"), 4))
@@ -411,7 +412,9 @@ object SparkEntry {
       Analyzers.approxCountDistinct("l_orderkey"),
       Analyzers.countDistinct("l_orderkey"),
       Analyzers.approxCountDistinct("l_partkey"),
-      Analyzers.countDistinct("l_partkey")))
+      Analyzers.countDistinct("l_partkey"),
+      Analyzers.approxQuantile("l_extendedprice", 0.5),
+      Analyzers.approxQuantile("l_extendedprice", 0.95)))
       .orderBy(col("instance"), col("name"))
   }
 
@@ -569,6 +572,7 @@ object SparkEntry {
         |         stddev_pop(l_quantity) AS sd_q,
         |         CAST(min(l_extendedprice) AS DOUBLE) AS min_p,
         |         CAST(max(l_extendedprice) AS DOUBLE) AS max_p,
+        |         CAST(median(l_quantity) AS DOUBLE) AS med_q,
         |         CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS cd_ok
         |  FROM lineitem),
         |u AS (
@@ -584,6 +588,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'Column', 'l_quantity', 'StandardDeviation', round(sd_q, 4) FROM t
         |  UNION ALL SELECT 'Column', 'l_extendedprice', 'Minimum', round(min_p, 4) FROM t
         |  UNION ALL SELECT 'Column', 'l_extendedprice', 'Maximum', round(max_p, 4) FROM t
+        |  UNION ALL SELECT 'Column', 'l_quantity', 'Median', round(med_q, 4) FROM t
         |  UNION ALL SELECT 'Column', 'l_orderkey', 'CountDistinct', round(cd_ok, 4) FROM t
         |  UNION ALL SELECT 'Column', 'l_orderkey', 'Uniqueness', round(uq, 4) FROM u)
         |ORDER BY instance, name""".stripMargin,

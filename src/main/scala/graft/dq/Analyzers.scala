@@ -48,6 +48,18 @@ object Analyzers {
   def countDistinct(c: String): Metric =
     Metric("Column", c, "CountDistinct", count_distinct(col(c)).cast("double"))
 
+  /** Exact median (interpolated for even counts — Deequ exposes it as
+    * ApproxQuantile(0.5); the exact form is cross-engine checkable).
+    */
+  def exactMedian(c: String): Metric = Metric("Column", c, "Median", median(col(c)))
+
+  /** Approximate quantile via Greenwald-Khanna/percentile_approx —
+    * the sketch path for 100 TB profiling (not oracle-comparable).
+    */
+  def approxQuantile(c: String, q: Double): Metric =
+    Metric("Column", c, s"ApproxQuantile_$q",
+      percentile_approx(col(c), lit(q), lit(10000)).cast("double"))
+
   /** Run all single-pass metrics in one aggregation, then unpivot to the
     * long metrics shape. `uniquenessCols` adds O-34 Uniqueness rows
     * (fraction of rows whose value occurs exactly once — NOT
