@@ -470,6 +470,21 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Heavy hitters: top-10 most frequent part keys (frequent-items
+    * profiling; two-phase count + rank-limit window, deterministic ties).
+    */
+  def q37HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("l_partkey").asc)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("l_partkey"), col("n"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -510,7 +525,8 @@ object SparkEntry {
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
-    "q36_running_total" -> (q36RunningTotal _))
+    "q36_running_total" -> (q36RunningTotal _),
+    "q37_heavy_hitters" -> (q37HeavyHitters _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -738,6 +754,16 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q34_profile_similarity" -> profileSimilarityOracle,
+
+    "q37_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY l_partkey),
+        |r AS (
+        |  SELECT l_partkey, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, l_partkey) AS INT) AS rank
+        |  FROM c)
+        |SELECT l_partkey, n, rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "q35_sessionize" ->
       """WITH x AS (
