@@ -408,11 +408,12 @@ object SparkEntry {
     */
   def q32ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // sketches only — no exact count_distinct here: mixing several
+    // exact distincts into one agg forces an Expand (row multiplier);
+    // the exact values are oracle-checked in q04 already
     Analyzers.run(li, Seq(
       Analyzers.approxCountDistinct("l_orderkey"),
-      Analyzers.countDistinct("l_orderkey"),
       Analyzers.approxCountDistinct("l_partkey"),
-      Analyzers.countDistinct("l_partkey"),
       Analyzers.approxQuantile("l_extendedprice", 0.5),
       Analyzers.approxQuantile("l_extendedprice", 0.95)))
       .orderBy(col("instance"), col("name"))

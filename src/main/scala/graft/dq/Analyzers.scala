@@ -56,9 +56,9 @@ object Analyzers {
   /** Approximate quantile via Greenwald-Khanna/percentile_approx —
     * the sketch path for 100 TB profiling (not oracle-comparable).
     */
-  def approxQuantile(c: String, q: Double): Metric =
+  def approxQuantile(c: String, q: Double, accuracy: Int = 1000): Metric =
     Metric("Column", c, s"ApproxQuantile_$q",
-      percentile_approx(col(c), lit(q), lit(10000)).cast("double"))
+      percentile_approx(col(c), lit(q), lit(accuracy)).cast("double"))
 
   /** Run all single-pass metrics in one aggregation, then unpivot to the
     * long metrics shape. `uniquenessCols` adds O-34 Uniqueness rows
