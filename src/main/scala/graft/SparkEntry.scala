@@ -486,6 +486,27 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Group-level set similarity via the mergeable MinHash AGGREGATE
+    * (custom TypedImperativeAggregate): per-source token-set
+    * signatures, then pairwise estimated Jaccard between sources.
+    * Signature internals are engine-specific → rows-only check (the
+    * estimator itself is unit-tested against exact Jaccard).
+    */
+  def q38SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.MinHashAgg
+    val items = Tables.documents(spark, dir)
+      .select(col("source"), explode(Dedup.wordShingles(col("text"), 1)).as("token"))
+    val sigs = items.groupBy(col("source"))
+      .agg(MinHashAgg.minhashAgg(col("token"), 64).as("sig"))
+    val a = sigs.select(col("source").as("src_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("src_b"), col("sig").as("sig_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("est_jaccard",
+        round(MinHashAgg.estimatedJaccard(col("sig_a"), col("sig_b")), 4))
+      .select(col("src_a"), col("src_b"), col("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -527,7 +548,8 @@ object SparkEntry {
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
     "q36_running_total" -> (q36RunningTotal _),
-    "q37_heavy_hitters" -> (q37HeavyHitters _))
+    "q37_heavy_hitters" -> (q37HeavyHitters _),
+    "q38_source_similarity" -> (q38SourceSimilarity _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /

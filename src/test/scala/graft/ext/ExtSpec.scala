@@ -100,6 +100,37 @@ class ExtSpec extends SparkSpec {
     assert(h._1 >= 0 && h._2 >= 0 && h._1 != h._2)
   }
 
+  test("MinHashAgg: identical sets → estimate 1.0; disjoint → 0.0; merge = union") {
+    MinHashAgg.register(spark)
+    val items = Seq(
+      ("g1", "a"), ("g1", "b"), ("g1", "c"),
+      ("g2", "a"), ("g2", "b"), ("g2", "c"), ("g2", "c"), // same set, dup item
+      ("g3", "x"), ("g3", "y")).toDF("g", "item")
+    val sigs = items.groupBy($"g")
+      .agg(MinHashAgg.minhashAgg($"item", 32).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("g1") == sigs("g2")) // multiplicity-insensitive
+    assert(sigs("g1") != sigs("g3"))
+    // estimator: identical → 1.0, disjoint → (almost surely) far below
+    val est = items.groupBy($"g")
+      .agg(MinHashAgg.minhashAgg($"item", 32).as("sig"))
+    val a = est.select($"g".as("ga"), $"sig".as("sa"))
+    val b = est.select($"g".as("gb"), $"sig".as("sb"))
+    val pairs = a.join(b, $"ga" < $"gb")
+      .select($"ga", $"gb",
+        MinHashAgg.estimatedJaccard($"sa", $"sb").as("j"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(pairs(("g1", "g2")) == 1.0)
+    assert(pairs(("g1", "g3")) < 0.5)
+    // partial-merge correctness: splitting a group across many
+    // partitions must give the same signature as one partition
+    val repartitioned = items.repartition(8)
+    val sigs2 = repartitioned.groupBy($"g")
+      .agg(MinHashAgg.minhashAgg($"item", 32).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs2 == sigs)
+  }
+
   // ------------------------------------------------------ similarity
 
   test("cosine: known vectors") {
