@@ -51,6 +51,20 @@ class MedallionSpec extends SparkSpec {
     assert(new java.io.File(s"$out/fact_crypto_daily/date=2024-03-05").exists())
   }
 
+  test("silver output is viewable as a typed Dataset[CryptoTick]") {
+    val out = Files.createTempDirectory("graft-typed").toString
+    val bronze = Readers.jsonStrings(spark, bronzeJson(60))
+    val res = Medallion.run(spark, bronze, out,
+      java.time.Instant.parse("2024-03-05T12:00:00Z"))
+    val ticks = graft.schema.Schemas.asTicks(res.toOption.get.silver)
+    // typed ops: compile-time field access
+    val topCap = ticks.filter(_.market_cap > 100000000L)
+      .map(t => t.coin_id)(org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    assert(topCap.nonEmpty && topCap.forall(_.startsWith("coin_")))
+    assert(ticks.head().update_date.toString == "2024-03-05")
+  }
+
   test("DQ gate halts the pipeline on rule violations") {
     val out = Files.createTempDirectory("graft-medallion-fail").toString
     // only 5 rows → RowCount between 50 and 150 fails
