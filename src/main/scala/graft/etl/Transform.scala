@@ -49,7 +49,7 @@ object Transform {
     val ok = validityPredicate(required)
     val valid = df.filter(ok)
     val invalid = df.filter(!ok).select(
-      to_json(struct(df.columns.map(col): _*)).as("raw_data"),
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("raw_data"),
       concat(lit("Missing required fields: "), missingFields(required)).as("error_reason"),
       current_timestamp().as("timestamp"),
       lit(validationType).as("validation_type"))
@@ -91,7 +91,7 @@ object Transform {
     * narrow; prefer the window when rank > 1 is also needed.
     */
   def dedupLatestAgg(df: DataFrame, partitionCols: Seq[String], maxKeyCols: Seq[Column]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     // lexicographic max over plain value columns (no SortOrder here —
     // "latest" = the row whose (ts, tiebreak...) struct is greatest)
     val orderKey = struct(maxKeyCols: _*)

@@ -117,6 +117,32 @@ object Jobs {
     spark.read.schema(windowedSchema).parquet(outPath)
   }
 
+  /** O-56 as a stream: key-value upsert sink — each micro-batch keeps
+    * its latest record per key (event-time max), then merges into the
+    * keyed table with last-write-wins (DynamoDB `put_item` semantics,
+    * ref: streaming/consumer.py:72-83).
+    */
+  def runKvUpsertStream(
+      spark: SparkSession,
+      inputDir: String,
+      tablePath: String,
+      checkpoint: String,
+      keyCol: String = "user_id"): Unit = {
+    val schema = graft.schema.Schemas.events
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = graft.etl.Transform.dedupLatestAgg(
+          batch, Seq(keyCol), Seq(col("ts"), col("event_id")))
+        graft.sinks.Writers.kvUpsert(spark, latest, Seq(keyCol), tablePath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** O-61/O-62: foreachBatch dual-write — persist the batch once, split
     * good/bad, write each side plus alerts (ref: streaming/consumer.py:
     * 59-102 routes good→DynamoDB, bad→DLQ+S3, surges→SNS). Sinks are

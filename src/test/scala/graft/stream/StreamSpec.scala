@@ -94,6 +94,28 @@ class StreamSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 11:00:00", 1L, 30.0)))
   }
 
+  test("kv upsert stream keeps the latest record per key across batches") {
+    val tmp = Files.createTempDirectory("graft-kvstream").toString
+    val in = s"$tmp/in"
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 10.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "click", 20.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 10:06:00"), 8L, "view", 30.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(in)
+    Jobs.runKvUpsertStream(spark, in, s"$tmp/kv", s"$tmp/ckpt")
+    // second batch: user 7 updates again, user 9 appears
+    Seq(
+      (4L, Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "purchase", 99.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 11:01:00"), 9L, "view", 5.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(in)
+    Jobs.runKvUpsertStream(spark, in, s"$tmp/kv", s"$tmp/ckpt")
+    val kv = spark.read.parquet(s"$tmp/kv")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(kv == Map(7L -> 4L, 8L -> 3L, 9L -> 5L))
+  }
+
   test("streaming validation equals batch validation on the same data") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val expected = Validate.annotate(batch, Jobs.eventRules)
