@@ -1,0 +1,31 @@
+package graft
+
+/** Driver-contract invariants: the pieces the harness relies on but
+  * nothing else exercises directly (Bench swallows per-query
+  * exceptions, so a query that throws would silently time at ~0 s).
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs exception-free and non-empty on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val empties = Seq.newBuilder[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count() // throws -> test fails with the name visible
+      if (n == 0) empties += name
+    }
+    // empty results are legal for threshold queries but worth knowing;
+    // q12/q13 near-dup pairs can be empty at the tiniest scale
+    val allowedEmpty = Set("q12_jaccard_pairs", "q13_minhash_pairs")
+    val unexpected = empties.result().filterNot(allowedEmpty)
+    assert(unexpected.isEmpty, s"unexpectedly empty results: $unexpected")
+  }
+}
