@@ -184,12 +184,14 @@ case class LongArraySimhash(child: Expression, bits: Int)
   * sessions built without the conf.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_f"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatCosineSimilarity].getName, "graft_cosine_f"),
       (exprs: Seq[Expression]) => FloatCosineSimilarity(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.RewriteNotIn)
+  }
 }
 
 /** Session registration + Column surface for the vector kernels. */
