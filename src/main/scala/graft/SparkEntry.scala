@@ -507,6 +507,22 @@ object SparkEntry {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** AS-OF join (last-click attribution): each purchase gets the latest
+    * click of the same user at-or-before its timestamp; oracle is
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  def q39AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    graft.operators.AsofJoin.lastBefore(
+      clicks, purchases,
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      payload = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("asof_event_id").as("click_event_id"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -549,7 +565,8 @@ object SparkEntry {
     "q35_sessionize" -> (q35Sessionize _),
     "q36_running_total" -> (q36RunningTotal _),
     "q37_heavy_hitters" -> (q37HeavyHitters _),
-    "q38_source_similarity" -> (q38SourceSimilarity _))
+    "q38_source_similarity" -> (q38SourceSimilarity _),
+    "q39_asof_join" -> (q39AsofJoin _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -777,6 +794,14 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q34_profile_similarity" -> profileSimilarityOracle,
+
+    "q39_asof_join" ->
+      """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.event_id AS click_event_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (
