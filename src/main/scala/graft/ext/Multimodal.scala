@@ -56,6 +56,28 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("payload")))
       .withColumn("sha256", sha2(col("payload"), 256))
 
+  /** Frame sampling for video-like payloads: treat the binary as
+    * fixed-size frames and keep every `every`-th one — in-plan
+    * (`substring` on binary is codegen'd), so sampling happens during
+    * the scan, before any decode cost. The frame size is metadata a
+    * real container format would provide; the byte math is real, the
+    * "frames" here are synthetic.
+    */
+  def frameSample(payload: org.apache.spark.sql.Column, frameSize: Int, every: Int)
+      : org.apache.spark.sql.Column = {
+    val nFrames = floor(octet_length(payload) / frameSize)
+    val lastIdx = greatest(((nFrames - 1) / every).cast("long"), lit(0L))
+    transform(
+      sequence(lit(0L), lastIdx),
+      i => substring(payload, (i * every * frameSize + 1).cast("int"), lit(frameSize)))
+  }
+
+  /** STUB resize: deterministic byte decimation standing in for an
+    * image downscale (???: wire a real scaler via FFI when available).
+    */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] =
+    payload.grouped(factor).map(_.head).toArray
+
   /** Decode/feature-extract over partitions. `mapPartitions` is the
     * deliberate choice here (SURVEY.md §7.3 preference (d) applies to
     * relational ops — media decode is genuine per-partition imperative

@@ -193,6 +193,17 @@ class ExtSpec extends SparkSpec {
 
   // ------------------------------------------------------ multimodal
 
+  test("multimodal: frame sampling slices binary in-plan; resize stub decimates") {
+    val df = Seq((1L, "0123456789abcdef")).toDF("id", "payload") // 16 bytes
+    val media = Multimodal.asMediaTable(df, "id", "payload", "video/fake")
+    val frames = media
+      .select(Multimodal.frameSample(col("payload"), frameSize = 4, every = 2).as("f"))
+      .head().getSeq[Array[Byte]](0)
+    // frames of 4 bytes: [0123][4567][89ab][cdef]; every 2nd → 0123, 89ab
+    assert(frames.map(b => new String(b)).toSeq == Seq("0123", "89ab"))
+    assert(new String(Multimodal.resizeStub("abcdef".getBytes, 2)) == "ace")
+  }
+
   test("multimodal: metadata is in-plan; stub decoder features are deterministic") {
     val df = Seq((1L, "abc"), (2L, "abcabc")).toDF("id", "payload")
     val media = Multimodal.asMediaTable(df, "id", "payload", "text/plain")
