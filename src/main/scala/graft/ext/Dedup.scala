@@ -37,16 +37,14 @@ object Dedup {
   }
 
   /** MinHash signature: per hash family `s`, the min hash over the
-    * shingle set. One map-side pass per document, no shuffle.
-    * `xxhash64(seed, x)` — codegen'd, native, an order of magnitude
-    * cheaper than the md5-derived portable hash (which remains
-    * available via [[portableHash64]] when cross-engine comparability
-    * matters; LSH output is verified with exact Jaccard anyway, so the
-    * hash family needs determinism, not portability).
+    * shingle set. One map-side pass per document via the codegen'd
+    * [[graft.ext.StringArrayMinhash]] kernel (the HOF formulation
+    * walked the array once per hash family). The hash family needs
+    * determinism, not portability — LSH candidates are verified with
+    * exact Jaccard; [[portableHash64]] remains for cross-engine cases.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(s =>
-      array_min(transform(shingles, x => xxhash64(lit(s), x)))): _*)
+    VectorKernels.minhashSig(shingles, numHashes)
 
   /** LSH band keys: signature split into `bands` rows of
     * `numHashes/bands`, each band hashed to a bucket id. Documents

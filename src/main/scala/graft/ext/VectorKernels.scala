@@ -177,6 +177,68 @@ case class LongArraySimhash(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature of an `array<string>` shingle set in ONE pass:
+  * for each element, all `numHashes` splitmix64-seeded hashes update
+  * their running minima — the `transform`+`array_min` formulation walks
+  * the array once per hash family through interpreted lambdas.
+  */
+case class StringArrayMinhash(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numHashes > 0 && numHashes <= 512, "numHashes must be in 1..512")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig expects array<string>, got $t")
+  }
+
+  private def hash64(s: String, seed: Long): Long = {
+    var h = seed ^ 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < s.length) {
+      var z = h ^ s.charAt(i).toLong
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      h = z ^ (z >>> 31)
+      i += 1
+    }
+    h
+  }
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val s = a.getUTF8String(i).toString
+        var k = 0
+        while (k < numHashes) {
+          val h = hash64(s, k.toLong)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[StringArrayMinhash].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StringArrayMinhash =
+    copy(child = newChild)
+}
+
 /** Extension point for `--conf spark.sql.extensions=graft.ext.GraftExtensions`:
   * injects the vector kernels at session build time so pure-SQL users
   * (`spark.sql("SELECT graft_cosine_f(a, b) ...")`) get them without any
@@ -191,6 +253,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[FloatCosineSimilarity].getName, "graft_cosine_f"),
       (exprs: Seq[Expression]) => FloatCosineSimilarity(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteNotIn)
+    // srp/simhash/minhash kernels + the minhash aggregate register at
+    // first library use (VectorKernels.register / MinHashAgg.register)
   }
 }
 
@@ -199,6 +263,7 @@ object VectorKernels {
   private val cosineName = "graft_cosine_f"
   private val srpName = "graft_srp_sig"
   private val simhashName = "graft_simhash"
+  private val minhashSigName = "graft_minhash_sig"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -211,6 +276,9 @@ object VectorKernels {
         exprs(2).eval(null).asInstanceOf[Int].toLong), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       simhashName, exprs => LongArraySimhash(
+        exprs(0), exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      minhashSigName, exprs => StringArrayMinhash(
         exprs(0), exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 
@@ -231,5 +299,11 @@ object VectorKernels {
   def simhashL(hashes: Column, bits: Int): Column = {
     register(SparkSession.active)
     call_function(simhashName, hashes, org.apache.spark.sql.functions.lit(bits))
+  }
+
+  /** One-pass MinHash signature over an `array<string>` shingle set. */
+  def minhashSig(shingles: Column, numHashes: Int): Column = {
+    register(SparkSession.active)
+    call_function(minhashSigName, shingles, org.apache.spark.sql.functions.lit(numHashes))
   }
 }
