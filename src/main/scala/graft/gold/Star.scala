@@ -43,12 +43,15 @@ object Star {
 
   /** O-42/O-45: partition-level upsert — delete existing rows whose key
     * appears in the incoming batch, then union the batch. Left-anti
-    * join against the DISTINCT incoming keys (broadcast when small)
-    * instead of the reference's collect+isin; scales past driver memory.
+    * join against the DISTINCT incoming keys instead of the reference's
+    * collect+isin; scales past driver memory. No broadcast hint: for
+    * partition-valued keys AQE broadcasts the tiny key set by itself,
+    * while a forced hint would OOM the driver if a caller upserts on a
+    * high-cardinality key.
     */
   def upsert(existing: DataFrame, incoming: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keys = incoming.select(keyCols.map(col): _*).distinct()
-    existing.join(broadcast(keys), keyCols, "left_anti").unionByName(incoming)
+    existing.join(keys, keyCols, "left_anti").unionByName(incoming)
   }
 
   /** O-43/O-46: dim dedupe-merge. Keyed `dropDuplicates` keeps the
