@@ -315,14 +315,22 @@ object SparkEntry {
       .orderBy(col("media_id"))
 
   /** Stubbed decode/feature-extract over partitions (plumbing is real,
-    * decoder is a deterministic fake) — rows-only check.
+    * decoder is a deterministic fake). The typed `Dataset[MediaFeatures]`
+    * (with the raw `array<float>` features) is the library surface; the
+    * oracle-facing projection recovers the decoder's integer byte
+    * histogram (`round(f_j * n_bytes)` inverts the float normalization
+    * exactly — counts < 2^24 are lossless in a float) so every value is
+    * hash-stable and reproducible in SQL.
     */
   def q25MultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(
       Tables.documents(spark, dir), "doc_id", "text", "text/plain")
-    Multimodal.decodeFeatures(spark, media, partitions = 8)
-      .toDF()
-      .select(col("media_id"), col("mime"), col("n_bytes"), col("features"))
+    val decoded = Multimodal.decodeFeatures(spark, media, partitions = 8).toDF()
+    val histCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+      round(element_at(col("features"), j + 1) * col("n_bytes"))
+        .cast(LongType).as(s"f$j"))
+    decoded
+      .select(Seq(col("media_id"), col("mime"), col("n_bytes")) ++ histCols: _*)
       .orderBy(col("media_id"))
   }
 
@@ -919,6 +927,8 @@ object SparkEntry {
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q25_multimodal_decode" -> multimodalDecodeOracle,
+
     "q24_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -985,6 +995,30 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
+  /** FakeDecoder's byte histogram in SQL: UTF-8 bytes via one hex() of
+    * the whole blob, each byte's value from two hex-digit lookups
+    * (strpos over '123456789abcdef' maps '0'→0 … 'f'→15).
+    */
+  private def multimodalDecodeOracle: String = {
+    val hist = (0 until graft.ext.Multimodal.FakeDecoder.featureDim)
+      .map(j => s"CAST(sum(CASE WHEN bv % 8 = $j THEN 1 ELSE 0 END) AS BIGINT) AS f$j")
+      .mkString(",\n       ")
+    s"""WITH b AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n,
+       |         unnest(range(octet_length(encode(text)))) AS i
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, n,
+       |         strpos('123456789abcdef', substring(hx, CAST(2*i+1 AS INT), 1)) * 16
+       |         + strpos('123456789abcdef', substring(hx, CAST(2*i+2 AS INT), 1)) AS bv
+       |  FROM b)
+       |SELECT doc_id AS media_id, 'text/plain' AS mime,
+       |       CAST(any_value(n) AS INT) AS n_bytes,
+       |       $hist
+       |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin
+  }
 
   private def profileSimilarityOracle: String = {
     val slots = (0 until 24)
