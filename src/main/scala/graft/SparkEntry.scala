@@ -173,7 +173,7 @@ object SparkEntry {
       .orderBy(col("canonical_id"))
 
   /** Exact word-unigram Jaccard near-dup pairs — brute force on a
-    * deterministic bounded sample (doc_id < 1000): the quadratic exact
+    * deterministic bounded sample (doc_id < 600): the quadratic exact
     * check is the validation baseline; the full corpus goes through the
     * LSH path (q13) whose cost is O(docs × bands), not O(docs²).
     */

@@ -29,18 +29,34 @@ object Tables {
     * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the
     * nanos as long (legacy conf) and truncate to microsecond
     * timestamps — the same truncation DuckDB applies, so oracle parity
-    * holds.
+    * holds. The conf is needed only while the reader resolves the file
+    * schema, so it is saved/restored here rather than leaking a
+    * session-wide behavior change onto other nanos-timestamp reads.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTs(load(spark, dir, "events"))
+  def events(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark)(normalizeEventTs(load(spark, dir, "events")))
+
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** ns-epoch long → µs timestamp (floor division keeps ordering). */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
-  /** Streaming view of the events table (same ns→µs normalization). */
+  /** Streaming view of the events table (same ns→µs normalization).
+    * NOTE: the nanosAsLong conf must stay set for the stream's lifetime
+    * (micro-batch scans re-resolve files), so it is deliberately NOT
+    * restored here — callers run streaming verification in a session
+    * they own (Jobs.runValidationStream).
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"

@@ -46,13 +46,20 @@ object Readers {
   /** O-05: parse a `value: string` column of JSON payloads (the Kinesis
     * record shape) against a declared schema; rows that fail to parse
     * keep the raw string and flag corrupt → route-able (O-63).
-    * PERMISSIVE `from_json` yields an all-null struct (not a null) on
-    * malformed input, so corruption = null struct OR every field null.
+    * True parse failure is detected via PERMISSIVE `from_json`'s
+    * `_corrupt_record` capture (schema extended internally), so a
+    * legitimately empty `{}` or all-null-fields payload is NOT
+    * misrouted as corrupt.
     */
-  def parseJsonColumn(df: DataFrame, schema: StructType): DataFrame =
-    df.withColumn("parsed", from_json(col("value"), schema))
+  def parseJsonColumn(df: DataFrame, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    df.withColumn("__parsed_raw", from_json(col("value"), withCorrupt))
       .withColumn("is_corrupt",
-        col("parsed").isNull || to_json(col("parsed")) === lit("{}"))
+        col("__parsed_raw").isNull ||
+          col("__parsed_raw._corrupt_record").isNotNull)
+      .withColumn("parsed", col("__parsed_raw").dropFields("_corrupt_record"))
+      .drop("__parsed_raw")
+  }
 
   /** O-04: parquet scan (kept for symmetry with Tables). */
   def parquet(spark: SparkSession, path: String): DataFrame =

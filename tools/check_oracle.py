@@ -67,9 +67,14 @@ def main():
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         if name not in oracle:
-            status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY(EMPTY!)"
-            print(f"{status:>6}  {name}: rows={len(got)}")
-            n_nosql += 1
+            # an EMPTY rows-only output means the approximate query broke
+            # entirely — count it as a failure, not a weak pass
+            if len(got) > 0:
+                print(f"ROWS-ONLY  {name}: rows={len(got)}")
+                n_nosql += 1
+            else:
+                print(f"FAIL  {name}: rows-only query returned 0 rows")
+                n_fail += 1
             continue
         try:
             exp = con.sql(oracle[name]).df()
