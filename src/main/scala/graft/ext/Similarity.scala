@@ -63,17 +63,25 @@ object Similarity {
   }
 
   /** All near-duplicate pairs by cosine ≥ threshold (a < b to emit each
-    * pair once). Exact; quadratic in the corpus — pass the codegen'd
+    * pair once). Exact and quadratic — the VERIFIER role: run it only on
+    * a bounded sample (mirroring the exact-Jaccard q12 pattern); the
+    * full-corpus surface is [[srpNearDupPairs]]. Pass the codegen'd
     * [[VectorKernels.cosineF]] scorer to keep the pairwise loop inside
-    * whole-stage codegen. The verification step behind LSH/IVF
-    * candidate generation at scale.
+    * whole-stage codegen.
+    *
+    * The streamed side is repartitioned so parallelism is set by the
+    * shuffle-partition conf, not by the input's file-split count (a
+    * single small parquet file otherwise caps the whole pairwise pass
+    * at one task); the build side broadcasts — safe, because callers
+    * bound the sample.
     */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double,
       scorer: (Column, Column) => Column = cosine): DataFrame = {
     val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .repartition(col("id_a"))
     val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(scorer(col("vec_a"), col("vec_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
@@ -83,10 +91,17 @@ object Similarity {
     * exact-signature blocking. Each vector gets `tables` independent
     * SRP signatures; vectors agreeing on ANY full signature become
     * candidates (shuffle on (table, sig) — bounded buckets, no
-    * quadratic pass), then the codegen'd cosine verifies ≥ threshold.
-    * Recall rises with `tables`, precision with `planes`; both are
-    * map-side-only costs. This is the scale path; [[cosineNearDupPairs]]
-    * is the exact bounded-sample baseline.
+    * quadratic pass), then the codegen'd cosine verifies ≥ threshold,
+    * so precision is exact and only recall is approximate.
+    *
+    * Parameter choice is threshold-driven: P(bit agree) = 1 − θ/π.
+    * For dedup-grade thresholds (cos ≥ 0.85, p ≈ 0.87) use long
+    * signatures (planes 16–24, a few tables) — tiny buckets, recall
+    * ≈ 1. For moderate thresholds (cos ≈ 0.4, p ≈ 0.65) signatures
+    * must be short (planes ~6) and tables many, trading bucket size
+    * for recall — fundamental to LSH, not to this implementation.
+    * This is the full-corpus scale path; [[cosineNearDupPairs]] is the
+    * exact bounded-sample verifier.
     */
   def srpNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
@@ -94,7 +109,10 @@ object Similarity {
       planes: Int = 16,
       tables: Int = 4,
       scorer: (Column, Column) => Column = cosine): DataFrame = {
+    // repartition: signature computation and pairwise verify must not be
+    // capped by the input's file-split count (one small file = one task)
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
     val sigs = base.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         graft.ext.VectorKernels.srpSig(col("vec"), planes, t)): _*))
