@@ -288,11 +288,44 @@ object SparkEntry {
 
   /** Embedding-cosine near-dup pairs above a threshold (codegen'd
     * kernel — the interpreted HOF path was 12× slower at sf0.1).
+    * Exact and quadratic, so — mirroring q12's exact-Jaccard pattern —
+    * it runs on a deterministic bounded sample (vec_id < 800), which
+    * makes the broadcast build side safe; the full-corpus scale
+    * surface is q22b's SRP-blocked path.
     */
   def q22CosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.ext.VectorKernels.register(spark)
-    Similarity.cosineNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4,
-      scorer = graft.ext.VectorKernels.cosineF)
+    Similarity.cosineNearDupPairs(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 800),
+      "vec_id", "embedding", 0.4,
+      scorer = graft.ext.VectorKernels.cosineF, broadcastBuild = true)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Full-corpus near-dup detection via SRP-LSH blocking — the 100 TB
+    * path: no quadratic pass, candidates come from bucketed signature
+    * joins, exact cosine verifies each candidate (precision is exact;
+    * only recall is probabilistic). The synthetic embeddings have no
+    * true near-dups (max pairwise cosine ≈ 0.51), so the corpus is
+    * augmented with one deterministic perturbed twin per vector
+    * (`x + 0.001·x²`, double math rounded back to float — IEEE-exact
+    * and reproducible in the DuckDB oracle); the expected answer is
+    * exactly the 〈original, twin〉 pairs. With 16-plane × 8-table
+    * signatures at cos ≥ 0.9 the per-pair miss probability is ~1e-6,
+    * and the oracle's exact all-pairs SQL confirms recall = 1 on this
+    * dataset — a full hash-checked row for the LSH scale path.
+    */
+  def q22bSrpNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val twins = base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => {
+        val d = x.cast("double")
+        (d + lit(0.001) * d * d).cast("float")
+      }).as("embedding"))
+    Similarity.srpNearDupPairs(base.unionByName(twins), "vec_id", "embedding", 0.9,
+      planes = 16, tables = 8, scorer = graft.ext.VectorKernels.cosineF)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -558,6 +591,7 @@ object SparkEntry {
     "q20_props_json" -> (q20PropsJson _),
     "q21_sim_topk" -> (q21SimTopK _),
     "q22_cosine_neardup" -> (q22CosineNearDup _),
+    "q22b_srp_neardup" -> (q22bSrpNearDup _),
     "q23_ivf_topk" -> (q23IvfTopK _),
     "q24_multimodal_meta" -> (q24MultimodalMeta _),
     "q25_multimodal_decode" -> (q25MultimodalDecode _),
@@ -919,12 +953,30 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q22_cosine_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH bounded AS (SELECT * FROM embeddings WHERE vec_id < 800)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM bounded a JOIN bounded b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q22b_srp_neardup" ->
+      """WITH twins AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         CAST(list_transform(CAST(embedding AS DOUBLE[]),
+        |                             x -> x + 0.001 * x * x) AS FLOAT[]) AS embedding
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM twins)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q25_multimodal_decode" -> multimodalDecodeOracle,

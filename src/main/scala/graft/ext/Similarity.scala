@@ -72,16 +72,20 @@ object Similarity {
     * The streamed side is repartitioned so parallelism is set by the
     * shuffle-partition conf, not by the input's file-split count (a
     * single small parquet file otherwise caps the whole pairwise pass
-    * at one task); the build side broadcasts — safe, because callers
-    * bound the sample.
+    * at one task). The build side broadcasts ONLY when the caller
+    * asserts the input is a bounded sample (`broadcastBuild = true`);
+    * an unbounded caller keeps the default spillable join so a 100 TB
+    * corpus can never hit the driver's broadcast limit.
     */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double,
-      scorer: (Column, Column) => Column = cosine): DataFrame = {
+      scorer: (Column, Column) => Column = cosine,
+      broadcastBuild: Boolean = false): DataFrame = {
     val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
       .repartition(col("id_a"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    val b0 = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val b = if (broadcastBuild) broadcast(b0) else b0
+    a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(scorer(col("vec_a"), col("vec_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))

@@ -43,6 +43,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
+  test("q22b: full-corpus SRP path has no quadratic join (no cartesian/BNLJ)") {
+    val p = plan("q22b_srp_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("unbounded cosineNearDupPairs does NOT broadcast the build side") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val p = graft.ext.Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.9)
+      .queryExecution.optimizedPlan.toString
+    // no broadcast hint in the logical plan — physical planning may still
+    // pick BNLJ for a tiny local input, but a 100 TB corpus won't be
+    // forced through the driver's broadcast limit
+    assert(!p.contains("ResolvedHint"), p)
+  }
+
   test("q10: union+distinct compiles to a hash aggregate, not a global sort") {
     val p = plan("q10_union_distinct")
     assert(p.contains("HashAggregate"), p)
