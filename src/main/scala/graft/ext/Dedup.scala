@@ -71,11 +71,19 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
     *
     * shingle → minhash → band → bucket-join → verify:
-    * 1. map: shingles, signature, band keys (no shuffle);
+    * 1. map: shingle hashes, signature, band keys (no shuffle);
     * 2. explode bands, shuffle on (band, bucket) — only bucket
     *    collisions meet;
     * 3. candidate pairs (a < b), dedup'd;
-    * 4. exact Jaccard on the pair's shingle sets ≥ threshold.
+    * 4. exact Jaccard on the pair's shingle-hash sets ≥ threshold.
+    *
+    * Shingles live as 64-bit hashes end-to-end (codegen'd
+    * [[graft.ext.StringArrayShingleHashes]] kernel): the verify
+    * Jaccard runs on `array<long>` — identical to string Jaccard up
+    * to hash collisions (P ≈ shingles²/2⁶⁴ per doc, negligible), ~6×
+    * cheaper than the interpreted shingle-string chain, and the rows
+    * that ride the verify join shrink by the string payload. q12 keeps
+    * the string-exact oracle-checked form.
     *
     * At 100 TB the only quadratic term is within-bucket; band/row
     * tuning bounds bucket sizes, and a length/prefix filter upstream
@@ -91,9 +99,14 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
+    // persisted: consumed three times (signature computation + both
+    // sides of the verify join) — without the cache the tokenize +
+    // shingle construction re-runs per consumer
     val shingled = df.select(
       col(idCol).as("doc_id"),
-      wordShingles(col(textCol), shingleSize).as("shingles"))
+      VectorKernels.shingleHashes(Text.tokens(col(textCol)), shingleSize)
+        .as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band keys carry IDS ONLY through the bucket shuffle — shingle
     // arrays never ride the candidate join, and pair-dedup happens on
@@ -101,7 +114,7 @@ object Dedup {
     // is persisted: both self-join sides and nothing else consume it,
     // so the signature (numHashes hash passes per doc) computes once.
     val buckets = shingled
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("sig", VectorKernels.minhashSigL(col("shingles"), numHashes))
       .select(col("doc_id"),
         posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bucket")))

@@ -196,29 +196,19 @@ case class StringArrayMinhash(child: Expression, numHashes: Int)
       s"graft_minhash_sig expects array<string>, got $t")
   }
 
-  private def hash64(s: String, seed: Long): Long = {
-    var h = seed ^ 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < s.length) {
-      var z = h ^ s.charAt(i).toLong
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      h = z ^ (z >>> 31)
-      i += 1
-    }
-    h
-  }
-
+  // hash family k = splitmix64 mix of one base string hash — one pass
+  // over the characters total, instead of one pass per family (16×
+  // fewer string walks for the default signature)
   def compute(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n = a.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val s = a.getUTF8String(i).toString
+        val base = Kernels.hashChars(a.getUTF8String(i).toString, 0L)
         var k = 0
         while (k < numHashes) {
-          val h = hash64(s, k.toLong)
+          val h = Kernels.mix(base, k + 1L)
           if (h < mins(k)) mins(k) = h
           k += 1
         }
@@ -237,6 +227,138 @@ case class StringArrayMinhash(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): StringArrayMinhash =
     copy(child = newChild)
+}
+
+/** Distinct word n-gram shingle HASHES of a token array in ONE pass:
+  * each shingle (n consecutive tokens joined by a space) is hashed
+  * directly — the shingle string never materializes in the plan, and
+  * dedup happens in a local hash set. Replaces the interpreted
+  * `transform(sequence)+slice+concat_ws+array_distinct` chain, which
+  * dominated MinHash runtime (HOFs are not codegen'd). Hash values
+  * equal `hash64(shingleString, 0)`, so [[LongArrayMinhash]] over the
+  * output is bit-identical to [[StringArrayMinhash]] over the string
+  * shingles. Texts shorter than n tokens yield one full-text shingle
+  * (same contract as `Dedup.wordShingles`).
+  */
+case class StringArrayShingleHashes(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects array<string>, got $t")
+  }
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val ntok = a.numElements()
+    val count = if (ntok == 0) 0 else math.max(ntok - n + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var len = 0
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      val m = math.min(n, ntok - i)
+      var j = 0
+      while (j < m) {
+        if (j > 0) sb.append(' ')
+        if (!a.isNullAt(i + j)) sb.append(a.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val h = Kernels.hashChars(sb, 0L)
+      if (seen.add(h)) { out(len) = h; len += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, len))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this,
+      classOf[StringArrayShingleHashes].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StringArrayShingleHashes = copy(child = newChild)
+}
+
+/** MinHash signature over pre-hashed shingles (`array<long>`): hash
+  * family k is a splitmix64 mix of the base hash — one array walk
+  * total. Produces the same signature as [[StringArrayMinhash]] when
+  * the input hashes are `hash64(shingle, 0)`.
+  */
+case class LongArrayMinhash(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numHashes > 0 && numHashes <= 512, "numHashes must be in 1..512")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig_l expects array<long>, got $t")
+  }
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = a.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = Kernels.mix(base, k + 1L)
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashL", this, classOf[LongArrayMinhash].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LongArrayMinhash =
+    copy(child = newChild)
+}
+
+/** Shared splitmix64-based hashing used by the string/long kernels. */
+private[ext] object Kernels {
+  def mix(base: Long, k: Long): Long = {
+    var z = base + k * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def hashChars(s: CharSequence, seed: Long): Long = {
+    var h = seed ^ 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < s.length) {
+      var z = h ^ s.charAt(i).toLong
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      h = z ^ (z >>> 31)
+      i += 1
+    }
+    h
+  }
 }
 
 /** Extension point for `--conf spark.sql.extensions=graft.ext.GraftExtensions`:
@@ -264,6 +386,8 @@ object VectorKernels {
   private val srpName = "graft_srp_sig"
   private val simhashName = "graft_simhash"
   private val minhashSigName = "graft_minhash_sig"
+  private val shingleHashesName = "graft_shingle_hashes"
+  private val minhashSigLName = "graft_minhash_sig_l"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -279,6 +403,12 @@ object VectorKernels {
         exprs(0), exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashSigName, exprs => StringArrayMinhash(
+        exprs(0), exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      shingleHashesName, exprs => StringArrayShingleHashes(
+        exprs(0), exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      minhashSigLName, exprs => LongArrayMinhash(
         exprs(0), exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 
@@ -305,5 +435,19 @@ object VectorKernels {
   def minhashSig(shingles: Column, numHashes: Int): Column = {
     register(SparkSession.active)
     call_function(minhashSigName, shingles, org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  /** Distinct n-gram shingle hashes of a token array (one pass, no
+    * shingle-string materialization).
+    */
+  def shingleHashes(tokens: Column, n: Int): Column = {
+    register(SparkSession.active)
+    call_function(shingleHashesName, tokens, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** One-pass MinHash signature over pre-hashed shingles (`array<long>`). */
+  def minhashSigL(hashes: Column, numHashes: Int): Column = {
+    register(SparkSession.active)
+    call_function(minhashSigLName, hashes, org.apache.spark.sql.functions.lit(numHashes))
   }
 }
