@@ -192,12 +192,16 @@ object SparkEntry {
       shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (16-bit, Hamming ≤ 3). Portable md5-derived
-    * hashing, but the 16×aggregate SQL mirror is deferred → rows-only.
+  /** SimHash near-dup pairs (60-bit fingerprints, Hamming ≤ 3).
+    * Pigeonhole blocking is lossless for distance ≤ maxDistance, and
+    * the md5-derived token hashes are portable, so — unlike the
+    * LSH-recall q13 — this query has an EXACT DuckDB oracle: the
+    * oracle rebuilds every fingerprint from per-hex-digit bits of
+    * md5(token) and takes the quadratic bit_count(xor) ≤ 3 pairs.
     */
   def q13bSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
-      bits = 32, maxDistance = 3)
+      bits = 60, maxDistance = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   // ------------------------------------------------ LLM-pipeline: text
@@ -778,6 +782,30 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |            / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q13b_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, substring(md5(tok), 1, 15) AS hx FROM toks),
+        |bitsum AS (
+        |  SELECT doc_id, b.b,
+        |         SUM(CASE WHEN (strpos('0123456789abcdef',
+        |                               substring(hx, 15 - b.b // 4, 1)) - 1)
+        |                       & (1 << (b.b % 4)) != 0 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |fp AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN s > 0
+        |             THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS fp
+        |  FROM bitsum GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q14_text_stats" ->

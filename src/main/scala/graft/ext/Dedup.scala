@@ -24,6 +24,14 @@ object Dedup {
   def portableHash64(c: Column, seed: Int): Column =
     conv(substring(md5(concat(c, lit(s"#$seed"))), 1, 15), 16, 10).cast("long")
 
+  /** Portable 60-bit hash of the raw value (no seed suffix): first 15
+    * hex chars of md5. An oracle reproduces bit b as bit (b mod 4) of
+    * hex digit (14 − b div 4) — pure string ops, no hex→int cast
+    * needed on the oracle side.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Distinct word n-gram shingles of the text (n=1 → distinct tokens).
     * Texts shorter than n words yield their single full-token shingle.
     */
@@ -153,20 +161,20 @@ object Dedup {
   }
 
   /** SimHash (Charikar) fingerprint over token hashes, `bits` wide:
-    * bit b is set iff the sum over tokens of ±1 (token-hash bit b) is
-    * positive. Near-dups have small Hamming distance. Token hashes are
-    * computed once into an array, then the codegen'd
-    * [[graft.ext.LongArraySimhash]] kernel accumulates all bit-sums in
-    * ONE pass (the HOF formulation needed `bits` interpreted passes).
+    * bit b is set iff the sum over tokens (multiset) of ±1 (token-hash
+    * bit b) is positive. Near-dups have small Hamming distance. Token
+    * hashes use [[portableHash60]] so the fingerprint is reproducible
+    * in the DuckDB oracle; they're computed once into an array, then
+    * the codegen'd [[graft.ext.LongArraySimhash]] kernel accumulates
+    * all bit-sums in ONE pass (the HOF formulation needed `bits`
+    * interpreted passes).
     */
-  def simhash(c: Column, bits: Int = 16): Column =
-    VectorKernels.simhashL(transform(Text.tokens(c), t => xxhash64(lit(9999), t)), bits)
+  def simhash(c: Column, bits: Int = 60): Column =
+    VectorKernels.simhashL(transform(Text.tokens(c), t => portableHash60(t)), bits)
 
   /** Hamming distance between two simhash values (popcount of XOR). */
-  def hammingDistance(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).map { i =>
-      shiftright(a.bitwiseXOR(b), i).bitwiseAND(1L)
-    }.reduce(_ + _)
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs with pigeonhole blocking: the fingerprint
     * splits into `maxDistance + 1` chunks; any pair within Hamming
@@ -176,11 +184,20 @@ object Dedup {
     * distance. This is the standard web-scale simhash design
     * (Manku et al., WWW'07 "Detecting Near-Duplicates for Web
     * Crawling" — public literature, not reference code).
+    *
+    * Default 60-bit fingerprints → 15-bit chunks (32k bucket values
+    * per chunk index): at corpus scale each bucket holds ~n/32k docs,
+    * keeping the within-bucket join linear-ish — narrow fingerprints
+    * (e.g. 16-bit) pigeonhole into only 2^4 values per chunk and go
+    * quadratic. `bits` must divide evenly by `maxDistance + 1` or the
+    * pigeonhole argument (and exactness) breaks.
     */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, maxDistance: Int = 3): DataFrame = {
+      bits: Int = 60, maxDistance: Int = 3): DataFrame = {
     val nChunks = maxDistance + 1
+    require(bits % nChunks == 0,
+      s"bits=$bits must divide into ${nChunks} chunks for exact pigeonhole blocking")
     val chunkBits = bits / nChunks
     val fp = df.select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("fp"))
     val chunks = fp.select(col("doc_id"), col("fp"),
@@ -196,7 +213,8 @@ object Dedup {
     // only true near-dups pay the distinct
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hammingDistance(col("fp_a"), col("fp_b"), bits))
+      .withColumn("hamming",
+        hammingDistance(col("fp_a"), col("fp_b")).cast("long"))
       .filter(col("hamming") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
