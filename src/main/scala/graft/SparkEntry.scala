@@ -534,8 +534,11 @@ object SparkEntry {
   /** Group-level set similarity via the mergeable MinHash AGGREGATE
     * (custom TypedImperativeAggregate): per-source token-set
     * signatures, then pairwise estimated Jaccard between sources.
-    * Signature internals are engine-specific → rows-only check (the
-    * estimator itself is unit-tested against exact Jaccard).
+    * Slot hashes follow the portable md5 convention, so the DuckDB
+    * oracle reproduces every signature slot
+    * (`min(substring(md5(tok || '#' || k), 1, 15))` per source × seed)
+    * and the estimate matches hash-exactly — a full CORRECTNESS row
+    * for a custom aggregate, not just a rows-only check.
     */
   def q38SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.MinHashAgg
@@ -547,7 +550,9 @@ object SparkEntry {
     val b = sigs.select(col("source").as("src_b"), col("sig").as("sig_b"))
     a.join(b, col("src_a") < col("src_b"))
       .withColumn("est_jaccard",
-        round(MinHashAgg.estimatedJaccard(col("sig_a"), col("sig_b")), 4))
+        // k/64 has ≤ 6 decimal digits, so round(_, 6) is exact — no
+        // engine-dependent tie-rounding (round 4 ties at k ≡ 2 mod 4)
+        round(MinHashAgg.estimatedJaccard(col("sig_a"), col("sig_b")), 6))
       .select(col("src_a"), col("src_b"), col("est_jaccard"))
       .orderBy(col("src_a"), col("src_b"))
   }
@@ -864,6 +869,22 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q34_profile_similarity" -> profileSimilarityOracle,
+
+    "q38_source_similarity" ->
+      """WITH items AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |slots AS (
+        |  SELECT source, k.k,
+        |         min(substring(md5(tok || '#' || CAST(k.k AS VARCHAR)), 1, 15)) AS mh
+        |  FROM items CROSS JOIN (SELECT unnest(range(64)) AS k) k
+        |  GROUP BY source, k.k)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       round(CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / 64, 6) AS est_jaccard
+        |FROM slots a JOIN slots b ON a.k = b.k AND a.source < b.source
+        |GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q39_asof_join" ->
       """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),

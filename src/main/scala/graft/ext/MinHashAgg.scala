@@ -43,20 +43,24 @@ case class MinHashAgg(
       s"graft_minhash_agg expects a string item column, got $t")
   }
 
-  /** splitmix64-based string hash, seeded per family — self-contained
-    * (no dependence on engine-internal hash implementations).
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
+  /** Portable 60-bit hash: the first 15 hex chars of md5(s + "#" + k)
+    * as an integer — the same construction as `Dedup.portableHash64`,
+    * so an oracle engine reproduces every slot with
+    * `min(substring(md5(item || '#' || k), 1, 15))` (numeric min of a
+    * 60-bit value ≡ lexicographic min of its fixed-width hex prefix).
     */
   private def hash64(s: String, seed: Long): Long = {
-    var h = seed ^ 0x9E3779B97F4A7C15L
+    md5.reset()
+    val d = md5.digest((s + "#" + seed).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    // first 8 bytes big-endian, low nibble dropped = hex chars 1..15
+    var v = 0L
     var i = 0
-    while (i < s.length) {
-      var z = h ^ s.charAt(i).toLong
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      h = z ^ (z >>> 31)
-      i += 1
-    }
-    h
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   override def createAggregationBuffer(): Array[Long] =
