@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * Uniqueness, Mean, StandardDeviation, Minimum, Maximum and
   * ApproxCountDistinct analyzers. All but Uniqueness collapse into ONE
   * aggregation over one scan here (the reference's runner does the same
-  * on the JVM); Uniqueness needs a per-column two-level aggregate
-  * (value → count → fraction occurring exactly once) and is unioned in.
+  * on the JVM); Uniqueness (value → count → fraction occurring exactly
+  * once) stacks every requested column into one further job and is
+  * unioned in.
   *
   * Output shape mirrors `successMetricsAsDataFrame`
   * (ref: glue/data_quality_pydeequ.py:61): (entity, instance, name, value).
@@ -60,11 +61,29 @@ object Analyzers {
     Metric("Column", c, s"ApproxQuantile_$q",
       percentile_approx(col(c), lit(q), lit(accuracy)).cast("double"))
 
+  /** All uniqueness fractions in ONE job: stack (column, value) pairs
+    * with an explode, then a two-level aggregate — one scan and one
+    * shuffle for N columns, instead of N full scans (values ride the
+    * shuffle as strings; within a column the cast is injective enough
+    * for grouping, and cross-column collisions can't happen because
+    * the column name is part of the key). Output: (c, u) — one row per
+    * column with its unique-fraction (value occurring exactly once).
+    */
+  def uniquenessFractions(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      .groupBy(col("kv.c").as("c"), col("kv.v").as("v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("c"))
+      .agg((sum(when(col("__cnt") === 1, 1L).otherwise(0L)).cast("double") /
+        sum(col("__cnt")).cast("double")).as("u"))
+
   /** Run all single-pass metrics in one aggregation, then unpivot to the
     * long metrics shape. `uniquenessCols` adds O-34 Uniqueness rows
     * (fraction of rows whose value occurs exactly once — NOT
-    * countDistinct/count; SURVEY.md §7.4.3), one extra aggregate per
-    * column. No collects; output is a tiny DataFrame.
+    * countDistinct/count; SURVEY.md §7.4.3), all computed in ONE extra
+    * job via [[uniquenessFractions]]. No collects; output is a tiny
+    * DataFrame.
     */
   def run(df: DataFrame, metrics: Seq[Metric], uniquenessCols: Seq[String] = Nil): DataFrame = {
     val aggd = df.agg(
@@ -78,14 +97,11 @@ object Analyzers {
         col(s"m$i").cast("double").as("value"))
     }: _*)).as("r")).select("r.*")
 
-    val uniq = uniquenessCols.map { c =>
-      df.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
-        .agg((sum(when(col("__cnt") === 1, 1L).otherwise(0L)).cast("double") /
-          sum(col("__cnt")).cast("double")).as("value"))
-        .select(
-          lit("Column").as("entity"), lit(c).as("instance"),
-          lit("Uniqueness").as("name"), col("value"))
-    }
+    val uniq =
+      if (uniquenessCols.isEmpty) Nil
+      else Seq(uniquenessFractions(df, uniquenessCols).select(
+        lit("Column").as("entity"), col("c").as("instance"),
+        lit("Uniqueness").as("name"), col("u").cast("double").as("value")))
     uniq.foldLeft(long)(_.unionByName(_))
   }
 }

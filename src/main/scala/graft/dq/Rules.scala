@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *    Passed/Failed with the failing rule names, then split.
   *
   * All rule aggregates evaluate in ONE `agg` pass over one scan (the
-  * reference's DQDL engine also single-passes); only uniqueness-family
-  * rules add a second, per-column aggregate. The metric row that reaches
-  * the driver is O(#rules), never O(data).
+  * reference's DQDL engine also single-passes); uniqueness-family rules
+  * add ONE more job covering every uniqueness column (stacked
+  * two-level aggregate — N rules ≠ N scans). The metric row that
+  * reaches the driver is O(#rules), never O(data).
   */
 sealed trait DqRule {
   def name: String
@@ -125,12 +126,14 @@ object Rules {
       case UniquenessAbove(c, _) => c
       case IsPrimaryKey(c) => c
     }.distinct
-    val uniqueness: Map[String, Double] = uniqCols.map { c =>
-      val r = df.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
-        .agg((sum(when(col("__cnt") === 1, 1L).otherwise(0L)).cast("double") /
-          sum(col("__cnt")).cast("double")).as("u")).head()
-      c -> Option(r.getAs[Any]("u")).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
-    }.toMap
+    // one job for ALL uniqueness columns (stacked two-level aggregate);
+    // the collect pulls one row per column, never data
+    val uniqueness: Map[String, Double] =
+      if (uniqCols.isEmpty) Map.empty[String, Double].withDefaultValue(Double.NaN)
+      else Analyzers.uniquenessFractions(df, uniqCols).collect()
+        .map(r => r.getString(0) -> Option(r.get(1))
+          .map(_.asInstanceOf[Double]).getOrElse(Double.NaN))
+        .toMap.withDefaultValue(Double.NaN) // empty input → no rows
 
     rules.map { rule =>
       val (passed, observed) = rule match {
