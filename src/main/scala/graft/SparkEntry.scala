@@ -250,6 +250,15 @@ object SparkEntry {
     Jobs.windowedAgg(Tables.events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding windows — 1 h every 15 min (SURVEY §2.10's slide
+    * semantics): each event lands in 4 overlapping windows. Batch twin
+    * of `runWindowedStream(slide = ...)`; the oracle replays the
+    * overlap by cross-joining each event with its 4 bucket offsets.
+    */
+  def q18bWindowSliding(spark: SparkSession, dir: String): DataFrame =
+    Jobs.windowedAgg(Tables.events(spark, dir), "1 hour", Some("15 minutes"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** O-59/O-61: the same validation executed as a REAL Structured
     * Streaming query (AvailableNow over the events parquet, memory
     * sink). Stateless ⇒ result ≡ q17's batch result, same oracle.
@@ -596,6 +605,7 @@ object SparkEntry {
     "q16_fingerprint" -> (q16Fingerprint _),
     "q17_validate_events" -> (q17ValidateEvents _),
     "q18_window_hourly" -> (q18WindowHourly _),
+    "q18b_window_sliding" -> (q18bWindowSliding _),
     "q19_stream_validate" -> (q19StreamValidate _),
     "q20_props_json" -> (q20PropsJson _),
     "q21_sim_topk" -> (q21SimTopK _),
@@ -969,6 +979,16 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q18b_window_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |         - to_minutes(15 * CAST(k.k AS INT)) AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q20_props_json" ->
       """WITH ev AS (

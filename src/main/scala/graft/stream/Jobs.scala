@@ -54,9 +54,18 @@ object Jobs {
   /** Shared windowed-aggregation logic (15-min-style tumbling windows →
     * here 1h over the events table): identical code path for batch and
     * streaming, per the Lambda-architecture unification goal.
+    * `slide` < window duration gives overlapping sliding windows
+    * (SURVEY §2.10's "15-minute windows every 5 minutes"); None =
+    * tumbling.
     */
-  def windowedAgg(df: DataFrame, windowDuration: String = "1 hour"): DataFrame =
-    df.groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
+  def windowedAgg(
+      df: DataFrame,
+      windowDuration: String = "1 hour",
+      slide: Option[String] = None): DataFrame =
+    df.groupBy(
+      slide.fold(window(col("ts"), windowDuration))(
+        s => window(col("ts"), windowDuration, s)).as("w"),
+      col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         // no avg column: a float average is summation-order-dependent
@@ -96,16 +105,13 @@ object Jobs {
       checkpoint: String,
       outPath: String,
       lateness: String = "10 minutes",
-      windowDuration: String = "1 hour"): DataFrame = {
+      windowDuration: String = "1 hour",
+      slide: Option[String] = None): DataFrame = {
     val schema = graft.schema.Schemas.events
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inputDir)
-    val agg = stream
-      .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+    val agg = windowedAgg(stream.withWatermark("ts", lateness),
+      windowDuration, slide)
     val q = agg.writeStream
       .format("parquet")
       .option("path", outPath)

@@ -94,6 +94,31 @@ class StreamSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 11:00:00", 1L, 30.0)))
   }
 
+  test("sliding windows (1h every 15min) overlap and close under the watermark") {
+    val tmp = Files.createTempDirectory("graft-slide").toString
+    val in = s"$tmp/in"
+    val ckpt = s"$tmp/ckpt"
+    // one event at 10:20 → member of windows starting 09:30..10:15
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:20:00"), 1L, "view", 10.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(in)
+    Jobs.runWindowedStream(spark, in, ckpt, s"$tmp/out",
+      lateness = "10 minutes", slide = Some("15 minutes"))
+    // advance the watermark far enough to close all four windows
+    Seq(
+      (2L, Timestamp.valueOf("2024-01-01 13:00:00"), 1L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(in)
+    val out = Jobs.runWindowedStream(spark, in, ckpt, s"$tmp/out",
+      lateness = "10 minutes", slide = Some("15 minutes"))
+    val starts = out.filter(col("sum_value") === 10.0)
+      .select(col("window_start").cast("string")).as[String].collect().toSet
+    assert(starts == Set(
+      "2024-01-01 09:30:00", "2024-01-01 09:45:00",
+      "2024-01-01 10:00:00", "2024-01-01 10:15:00"))
+  }
+
   test("kv upsert stream keeps the latest record per key across batches") {
     val tmp = Files.createTempDirectory("graft-kvstream").toString
     val in = s"$tmp/in"
