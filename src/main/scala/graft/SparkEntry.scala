@@ -582,6 +582,40 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** O-51..O-58 write-path round trip: exercises the sinks end-to-end
+    * and aggregates what comes back, so the writers get a hash-checked
+    * CORRECTNESS row (a faithful round trip is value-preserving, so
+    * the oracle computes the same aggregates from the source tables).
+    *  - fact side: full orders written via DYNAMIC partition overwrite
+    *    (O-52/O-54), then partition 'O' re-written with discounted
+    *    prices — only the touched partition may change (mirrors q09's
+    *    proven-stable `*0.9` + `round(sum)` shape);
+    *  - DLQ side: error events through the `dt=/hour=` JSONL layout
+    *    (O-55/O-58), read back via partition columns.
+    */
+  def q40SinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q40").toString
+    val orders = Tables.orders(spark, dir)
+    graft.sinks.Writers.parquetDynamicOverwrite(orders, s"$tmp/fact", "o_orderstatus")
+    val patch = orders.filter(col("o_orderstatus") === "O")
+      .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+    graft.sinks.Writers.parquetDynamicOverwrite(patch, s"$tmp/fact", "o_orderstatus")
+    val fact = spark.read.parquet(s"$tmp/fact")
+
+    val errs = Tables.events(spark, dir).filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    graft.sinks.Writers.badRecordsPartitioned(errs, "ts", s"$tmp/dlq")
+    val dlq = spark.read.json(s"$tmp/dlq")
+
+    val factAgg = fact.groupBy(col("o_orderstatus").cast("string").as("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("v"))
+      .select(lit("fact").as("side"), col("k"), col("n"), col("v"))
+    val dlqAgg = dlq.groupBy(col("dt").cast("string").as("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(lit("dlq").as("side"), col("k"), col("n"), col("v"))
+    factAgg.unionByName(dlqAgg).orderBy(col("side"), col("k"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -627,7 +661,8 @@ object SparkEntry {
     "q36_running_total" -> (q36RunningTotal _),
     "q37_heavy_hitters" -> (q37HeavyHitters _),
     "q38_source_similarity" -> (q38SourceSimilarity _),
-    "q39_asof_join" -> (q39AsofJoin _))
+    "q39_asof_join" -> (q39AsofJoin _),
+    "q40_sink_roundtrip" -> (q40SinkRoundTrip _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -895,6 +930,23 @@ object SparkEntry {
         |FROM slots a JOIN slots b ON a.k = b.k AND a.source < b.source
         |GROUP BY src_a, src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    "q40_sink_roundtrip" ->
+      """WITH fact AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 0.9
+        |              ELSE o_totalprice END AS price
+        |  FROM orders),
+        |f AS (
+        |  SELECT 'fact' AS side, o_orderstatus AS k,
+        |         CAST(count(*) AS BIGINT) AS n, round(sum(price), 2) AS v
+        |  FROM fact GROUP BY 2),
+        |d AS (
+        |  SELECT 'dlq' AS side, strftime(ts, '%Y-%m-%d') AS k,
+        |         CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS v
+        |  FROM events WHERE event_type = 'error' GROUP BY 2)
+        |SELECT * FROM f UNION ALL SELECT * FROM d
+        |ORDER BY side, k""".stripMargin,
 
     "q39_asof_join" ->
       """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
