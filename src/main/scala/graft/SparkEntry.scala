@@ -342,12 +342,18 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** IVF-style ANN (probe nearest label-clusters only). Approximate →
-    * rows-only check; q21 is the exact oracle-checked baseline.
+  /** IVF-style ANN over REAL k-means clusters (3 Lloyd iterations as
+    * DataFrame ops, then probe the nearest clusters only). Approximate
+    * → rows-only check; q21 is the exact oracle-checked baseline and
+    * ExtSpec pins recall on planted clusters.
     */
   def q23IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.ext.VectorKernels.register(spark)
-    Similarity.ivfTopK(Tables.embeddings(spark, dir), embQueries(spark, dir), 5, 2,
+    val clustered = Similarity.kmeansLabels(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 10, iters = 3,
+      scorer = graft.ext.VectorKernels.cosineF)
+    Similarity.ivfTopK(clustered, embQueries(spark, dir), 5, 2,
       scorer = graft.ext.VectorKernels.cosineF)
       .orderBy(col("query_id"), col("rank"))
   }

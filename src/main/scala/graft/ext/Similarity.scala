@@ -135,10 +135,79 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
-  /** IVF-style ANN: partition the corpus by a coarse cluster id (here
-    * the pre-assigned `label`; k-means centroids in a real build),
-    * compute centroids, probe the `nprobe` nearest clusters per query,
-    * then exact-search only those partitions. At 100 TB the corpus stays
+  /** Lloyd k-means over a float-vector column, cosine geometry, as
+    * DataFrame ops: per iteration, assignment is ONE shuffle-free map
+    * pass (the k×dim centroid table rides into the plan as a literal —
+    * the spiritual broadcast; scoring stays in the codegen'd kernel
+    * when `scorer` is [[graft.ext.VectorKernels.cosineF]]), and the
+    * centroid update is one (cluster, position) aggregate. Only
+    * O(k × dim) values ever reach the driver — same contract as
+    * MLlib's implementation, no MLlib dependency. Init is the
+    * deterministic farthest-point heuristic (k-means++ without the
+    * randomness) computed driver-side over a hash-ordered sample of
+    * max(50k, 200) vectors (ONE top-N job, ~256 KB at k=10/dim=64):
+    * start from the sample's first vector, repeatedly take the sample
+    * vector least similar to its nearest chosen centroid. Seeding from
+    * a spread sample cannot collapse all centroids into one dense
+    * cluster the way naive lowest-k-ids can, and the coarse quantizer
+    * doesn't need full-corpus init at 100 TB. Empty clusters keep
+    * their previous centroid.
+    *
+    * Returns the input with a `label` cluster column — feed straight
+    * into [[ivfTopK]].
+    */
+  def kmeansLabels(
+      embeddings: DataFrame, // (idCol, vecCol)
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scorer: (Column, Column) => Column = cosine): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be > 0, iters >= 0")
+    val sample: Array[Array[Float]] = embeddings
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(50 * k, 200))
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    val init = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (init.size < math.min(k, sample.length)) {
+      init += sample.minBy(v => init.map(c => cosLocal(v, c)).max)
+    }
+    var centroids: IndexedSeq[Seq[Float]] = init.map(_.toSeq).toIndexedSeq
+
+    def assign(c: IndexedSeq[Seq[Float]]): DataFrame =
+      embeddings
+        .withColumn("__scores", transform(typedlit(c), v => scorer(col(vecCol), v)))
+        .withColumn("label",
+          (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
+        .drop("__scores")
+
+    for (_ <- 0 until iters) {
+      val means = assign(centroids)
+        .select(col("label"), posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      centroids = (0 until k).map(i => means.getOrElse(i, centroids(i)))
+    }
+    assign(centroids)
+  }
+
+  /** IVF-style ANN: partition the corpus by a coarse cluster id
+    * (`label` — from [[kmeansLabels]] or pre-assigned), compute
+    * centroids, probe the `nprobe` nearest clusters per query, then
+    * exact-search only those partitions. At 100 TB the corpus stays
     * hash-partitioned by cluster; only ~nprobe/nclusters of it is read
     * per query batch, and the centroid table (tiny) broadcasts.
     */

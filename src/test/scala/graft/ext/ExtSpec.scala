@@ -191,6 +191,41 @@ class ExtSpec extends SparkSpec {
     assert(out == Set(2L)) // only cluster 0 probed; query's own vec excluded
   }
 
+  test("kmeans separates planted clusters; IVF over kmeans has full recall") {
+    graft.ext.VectorKernels.register(spark)
+    // 3 planted directions, 20 small perturbations of each
+    val dirs = Seq(
+      Array.tabulate(16)(i => math.sin(i * 1.3).toFloat),
+      Array.tabulate(16)(i => math.cos(i * 2.1).toFloat),
+      Array.tabulate(16)(i => math.sin(i * 0.4 + 2.0).toFloat))
+    val vecs = for {
+      (d, c) <- dirs.zipWithIndex
+      j <- 0 until 20
+    } yield ((c * 20 + j).toLong,
+      d.zipWithIndex.map { case (v, i) => v + 0.01f * ((i + j) % 5) })
+    val emb = vecs.toDF("vec_id", "embedding")
+    val clustered = Similarity.kmeansLabels(emb, "vec_id", "embedding",
+      k = 3, iters = 4, scorer = graft.ext.VectorKernels.cosineF)
+    // every planted cluster maps to exactly one kmeans label
+    val purity = clustered
+      .groupBy((col("vec_id") / 20).cast("int").as("truth"))
+      .agg(count_distinct(col("label")).as("n"))
+      .select("n").as[Long].collect()
+    assert(purity.forall(_ == 1L), s"planted clusters split: ${purity.toSeq}")
+
+    // recall@5 vs the exact brute-force baseline
+    val queries = emb.filter(col("vec_id") % 20 === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(queries, emb, 5,
+      scorer = graft.ext.VectorKernels.cosineF)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(clustered, queries, 5, 1,
+      scorer = graft.ext.VectorKernels.cosineF)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+
   // ------------------------------------------------------ multimodal
 
   test("multimodal: frame sampling slices binary in-plan; resize stub decimates") {
