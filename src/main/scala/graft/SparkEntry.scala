@@ -588,6 +588,29 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Heavy-hitter frequency estimation via the COUNT-MIN SKETCH
+    * aggregate (second custom TypedImperativeAggregate): one
+    * depth×4096 sketch summarizes all part-key frequencies, then the
+    * exact top-10 keys read their estimates back out of it. Portable
+    * md5 bucket hashing means the DuckDB oracle rebuilds every counter
+    * and estimate — hash-checked, including the CMS overestimates.
+    */
+  def q41CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.CountMinAgg
+    val li = Tables.lineitem(spark, dir)
+    val sketch = li.agg(CountMinAgg.cmsAgg(col("l_partkey").cast("string"), 4).as("cms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("l_partkey").asc)
+    val topk = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    topk.crossJoin(sketch) // one 128 KB sketch row — broadcast side
+      .withColumn("n_est",
+        CountMinAgg.estimate(col("cms"), col("l_partkey").cast("string"), 4))
+      .select(col("l_partkey"), col("n"), col("n_est"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   /** O-51..O-58 write-path round trip: exercises the sinks end-to-end
     * and aggregates what comes back, so the writers get a hash-checked
     * CORRECTNESS row (a faithful round trip is value-preserving, so
@@ -668,7 +691,8 @@ object SparkEntry {
     "q37_heavy_hitters" -> (q37HeavyHitters _),
     "q38_source_similarity" -> (q38SourceSimilarity _),
     "q39_asof_join" -> (q39AsofJoin _),
-    "q40_sink_roundtrip" -> (q40SinkRoundTrip _))
+    "q40_sink_roundtrip" -> (q40SinkRoundTrip _),
+    "q41_cms_heavy_hitters" -> (q41CmsHeavyHitters _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -953,6 +977,29 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'error' GROUP BY 2)
         |SELECT * FROM f UNION ALL SELECT * FROM d
         |ORDER BY side, k""".stripMargin,
+
+    "q41_cms_heavy_hitters" ->
+      """WITH counters AS (
+        |  SELECT i.i,
+        |         substring(md5(CAST(l_partkey AS VARCHAR) || '#'
+        |                       || CAST(i.i AS VARCHAR)), 13, 3) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        |  GROUP BY 1, 2),
+        |topk AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(row_number() OVER (
+        |           ORDER BY count(*) DESC, l_partkey) AS INT) AS rank
+        |  FROM lineitem GROUP BY 1 QUALIFY rank <= 10),
+        |est AS (
+        |  SELECT t.l_partkey, t.n, t.rank, min(c.n) AS n_est
+        |  FROM topk t
+        |  CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        |  JOIN counters c ON c.i = i.i
+        |   AND c.bucket = substring(md5(CAST(t.l_partkey AS VARCHAR) || '#'
+        |                                || CAST(i.i AS VARCHAR)), 13, 3)
+        |  GROUP BY 1, 2, 3)
+        |SELECT l_partkey, n, n_est, rank FROM est ORDER BY rank""".stripMargin,
 
     "q39_asof_join" ->
       """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),

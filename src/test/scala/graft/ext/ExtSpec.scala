@@ -131,6 +131,22 @@ class ExtSpec extends SparkSpec {
     assert(sigs2 == sigs)
   }
 
+  test("CountMinAgg: estimates never undercount; partial merge = single pass") {
+    import graft.ext.CountMinAgg
+    val items = (Seq.fill(100)("hot") ++ Seq.fill(7)("warm") ++ Seq("cold"))
+      .toDF("item")
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val sketch = df.agg(CountMinAgg.cmsAgg(col("item"), 4).as("cms"))
+      Seq("hot", "warm", "cold").toDF("key").crossJoin(sketch)
+        .select(col("key"), CountMinAgg.estimate(col("cms"), col("key"), 4).as("e"))
+        .as[(String, Long)].collect().toMap
+    }
+    val est = estimates(items)
+    // 3 keys in a 4×4096 sketch: no collisions, estimates are exact
+    assert(est == Map("hot" -> 100L, "warm" -> 7L, "cold" -> 1L))
+    assert(estimates(items.repartition(8)) == est)
+  }
+
   // ------------------------------------------------------ similarity
 
   test("cosine: known vectors") {
