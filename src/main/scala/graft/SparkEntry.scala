@@ -393,8 +393,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("ship_month"))
 
-  /** O-39: Deequ-style verification suite → check-results frame
-    * (constraint_message excluded — float formatting is engine-local).
+  /** O-39: Deequ-style verification suite → check-results frame, full
+    * `checkResultsAsDataFrame` shape including `constraint_message`
+    * (fixed `%.4f` formatting keeps the message engine-portable).
     */
   def q27DqCheckResults(spark: SparkSession, dir: String): DataFrame = {
     val rules = Seq(
@@ -405,8 +406,6 @@ object SparkEntry {
       graft.dq.CompletenessAbove("l_extendedprice", 0.95),
       graft.dq.UniquenessAbove("l_orderkey", 0.99))
     Rules.checkResults(spark, Tables.lineitem(spark, dir), rules)
-      .select(col("check"), col("check_level"), col("check_status"),
-        col("constraint"), col("constraint_status"))
       .orderBy(col("constraint"))
   }
 
@@ -1170,32 +1169,37 @@ object SparkEntry {
     "q27_dq_check_results" ->
       """WITH m AS (
         |  SELECT count(*) AS n,
-        |         count(l_orderkey) = count(*) AS complete_ok,
-        |         sum(CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity > 0)
-        |             THEN 1 ELSE 0 END) = 0 AS cv_q_ok,
-        |         sum(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount <= 0.05)
-        |             THEN 1 ELSE 0 END) = 0 AS cv_d_ok,
-        |         CAST(count(l_extendedprice) AS DOUBLE) / count(*) > 0.95 AS compl_e_ok
+        |         CAST(count(l_orderkey) AS DOUBLE) / count(*) AS compl_o,
+        |         CAST(sum(CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity > 0)
+        |             THEN 1 ELSE 0 END) AS DOUBLE) AS cv_q_bad,
+        |         CAST(sum(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount <= 0.05)
+        |             THEN 1 ELSE 0 END) AS DOUBLE) AS cv_d_bad,
+        |         CAST(count(l_extendedprice) AS DOUBLE) / count(*) AS compl_e
         |  FROM lineitem),
         |u AS (
-        |  SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(c) > 0.99
-        |           AS uniq_ok
+        |  SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(c)
+        |           AS uniq_v
         |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)),
-        |f AS (SELECT m.n, m.complete_ok, m.cv_q_ok, m.cv_d_ok, m.compl_e_ok,
-        |             u.uniq_ok,
-        |             m.n BETWEEN 50 AND 10000000 AS rc_ok FROM m, u),
         |rows_ AS (
-        |  SELECT 'IsComplete l_orderkey' AS constraint, complete_ok AS ok FROM f
-        |  UNION ALL SELECT 'ColumnValues l_quantity gt_0', cv_q_ok FROM f
-        |  UNION ALL SELECT 'ColumnValues l_discount le_005', cv_d_ok FROM f
-        |  UNION ALL SELECT 'RowCount between 50 and 10000000', rc_ok FROM f
-        |  UNION ALL SELECT 'Completeness l_extendedprice > 0.95', compl_e_ok FROM f
-        |  UNION ALL SELECT 'Uniqueness l_orderkey > 0.99', uniq_ok FROM f),
+        |  SELECT 'IsComplete l_orderkey' AS constraint,
+        |         compl_o = 1.0 AS ok, compl_o AS val FROM m, u
+        |  UNION ALL SELECT 'ColumnValues l_quantity gt_0',
+        |         cv_q_bad = 0, cv_q_bad FROM m, u
+        |  UNION ALL SELECT 'ColumnValues l_discount le_005',
+        |         cv_d_bad = 0, cv_d_bad FROM m, u
+        |  UNION ALL SELECT 'RowCount between 50 and 10000000',
+        |         n BETWEEN 50 AND 10000000, CAST(n AS DOUBLE) FROM m, u
+        |  UNION ALL SELECT 'Completeness l_extendedprice > 0.95',
+        |         compl_e > 0.95, compl_e FROM m, u
+        |  UNION ALL SELECT 'Uniqueness l_orderkey > 0.99',
+        |         uniq_v > 0.99, uniq_v FROM m, u),
         |overall AS (SELECT CASE WHEN bool_and(ok) THEN 'Success' ELSE 'Error' END AS st
         |            FROM rows_)
         |SELECT 'DataQualityCheck' AS check, 'Error' AS check_level,
         |       overall.st AS check_status, rows_.constraint,
-        |       CASE WHEN rows_.ok THEN 'Success' ELSE 'Failure' END AS constraint_status
+        |       CASE WHEN rows_.ok THEN 'Success' ELSE 'Failure' END AS constraint_status,
+        |       CASE WHEN rows_.ok THEN ''
+        |            ELSE printf('observed=%.4f', rows_.val) END AS constraint_message
         |FROM rows_, overall ORDER BY rows_.constraint""".stripMargin,
 
     "q28_anti_join" ->
@@ -1224,26 +1228,37 @@ object SparkEntry {
 
   /** FakeDecoder's byte histogram in SQL: UTF-8 bytes via one hex() of
     * the whole blob, each byte's value from two hex-digit lookups
-    * (strpos over '123456789abcdef' maps '0'→0 … 'f'→15).
+    * (strpos over '123456789abcdef' maps '0'→0 … 'f'→15). The final
+    * select LEFT JOINs the per-byte aggregation back onto documents so
+    * an empty/null payload — which unnest(range(0)) would silently
+    * drop — still yields a row with n_bytes = 0 and an all-zero
+    * histogram, matching the Spark side.
     */
   private def multimodalDecodeOracle: String = {
     val hist = (0 until graft.ext.Multimodal.FakeDecoder.featureDim)
       .map(j => s"CAST(sum(CASE WHEN bv % 8 = $j THEN 1 ELSE 0 END) AS BIGINT) AS f$j")
       .mkString(",\n       ")
+    val zhist = (0 until graft.ext.Multimodal.FakeDecoder.featureDim)
+      .map(j => s"coalesce(h.f$j, 0) AS f$j")
+      .mkString(",\n       ")
     s"""WITH b AS (
        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
-       |         octet_length(encode(text)) AS n,
        |         unnest(range(octet_length(encode(text)))) AS i
        |  FROM documents),
        |v AS (
-       |  SELECT doc_id, n,
+       |  SELECT doc_id,
        |         strpos('123456789abcdef', substring(hx, CAST(2*i+1 AS INT), 1)) * 16
        |         + strpos('123456789abcdef', substring(hx, CAST(2*i+2 AS INT), 1)) AS bv
-       |  FROM b)
-       |SELECT doc_id AS media_id, 'text/plain' AS mime,
-       |       CAST(any_value(n) AS INT) AS n_bytes,
+       |  FROM b),
+       |h AS (
+       |  SELECT doc_id,
        |       $hist
-       |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin
+       |  FROM v GROUP BY doc_id)
+       |SELECT d.doc_id AS media_id, 'text/plain' AS mime,
+       |       CAST(coalesce(octet_length(encode(d.text)), 0) AS INT) AS n_bytes,
+       |       $zhist
+       |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+       |ORDER BY media_id""".stripMargin
   }
 
   private def profileSimilarityOracle: String = {

@@ -171,7 +171,10 @@ object Rules {
     results.map { r =>
       (checkName, checkLevel, overall, r.description,
         if (r.passed) "Success" else "Failure",
-        if (r.passed) "" else s"observed=${r.observed}")
+        // fixed %.4f (ROOT locale) so the message is engine-portable —
+        // printf('%.4f', v) reproduces it in SQL oracles
+        if (r.passed) ""
+        else "observed=%.4f".formatLocal(java.util.Locale.ROOT, r.observed))
     }.toDF("check", "check_level", "check_status", "constraint",
       "constraint_status", "constraint_message")
   }

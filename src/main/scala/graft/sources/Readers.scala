@@ -47,17 +47,27 @@ object Readers {
     * record shape) against a declared schema; rows that fail to parse
     * keep the raw string and flag corrupt → route-able (O-63).
     * True parse failure is detected via PERMISSIVE `from_json`'s
-    * `_corrupt_record` capture (schema extended internally), so a
+    * corrupt-record capture (schema extended internally), so a
     * legitimately empty `{}` or all-null-fields payload is NOT
-    * misrouted as corrupt.
+    * misrouted as corrupt. The capture column name is passed
+    * EXPLICITLY (not inherited from the session's
+    * `spark.sql.columnNameOfCorruptRecord` default) and uses a
+    * collision-resistant internal name, so a payload that legitimately
+    * contains a `_corrupt_record` key parses cleanly; the caller's
+    * schema must not declare the internal name itself.
     */
   def parseJsonColumn(df: DataFrame, schema: StructType): DataFrame = {
-    val withCorrupt = schema.add("_corrupt_record", "string")
-    df.withColumn("__parsed_raw", from_json(col("value"), withCorrupt))
+    val corruptCol = "__graft_corrupt"
+    require(!schema.fieldNames.contains(corruptCol),
+      s"input schema must not declare the internal column $corruptCol")
+    val withCorrupt = schema.add(corruptCol, "string")
+    df.withColumn("__parsed_raw",
+        from_json(col("value"), withCorrupt,
+          Map("columnNameOfCorruptRecord" -> corruptCol)))
       .withColumn("is_corrupt",
         col("__parsed_raw").isNull ||
-          col("__parsed_raw._corrupt_record").isNotNull)
-      .withColumn("parsed", col("__parsed_raw").dropFields("_corrupt_record"))
+          col(s"__parsed_raw.$corruptCol").isNotNull)
+      .withColumn("parsed", col("__parsed_raw").dropFields(corruptCol))
       .drop("__parsed_raw")
   }
 

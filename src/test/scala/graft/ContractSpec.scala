@@ -28,4 +28,17 @@ class ContractSpec extends SparkSpec {
     val unexpected = empties.result().filterNot(allowedEmpty)
     assert(unexpected.isEmpty, s"unexpectedly empty results: $unexpected")
   }
+
+  test("events(): nanosAsLong conf restored after read, frame still executes") {
+    // pins the assumption Tables.withNanosAsLong relies on: the legacy
+    // conf is only needed during schema resolution, and the lazily
+    // executed frame survives the conf being restored. If a Spark
+    // upgrade starts reading the conf at execution time, this fails.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    val before = spark.conf.getOption(key) // default, not "true"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.getOption(key) == before, "conf leaked from events()")
+    assert(ev.count() > 0) // executes AFTER the conf was restored
+  }
 }
