@@ -623,17 +623,31 @@ object SparkEntry {
     */
   def q40SinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q40").toString
-    val orders = Tables.orders(spark, dir)
+    // repartition by the partition column before a partitioned write —
+    // the standard small-files guard: one task owns each output
+    // partition instead of every task writing a sliver of each
+    val orders = Tables.orders(spark, dir).repartition(col("o_orderstatus"))
     graft.sinks.Writers.parquetDynamicOverwrite(orders, s"$tmp/fact", "o_orderstatus")
     val patch = orders.filter(col("o_orderstatus") === "O")
       .withColumn("o_totalprice", col("o_totalprice") * 0.9)
     graft.sinks.Writers.parquetDynamicOverwrite(patch, s"$tmp/fact", "o_orderstatus")
     val fact = spark.read.parquet(s"$tmp/fact")
 
+    // one week of errors: exercises the hive layout without creating
+    // hundreds of tiny hour= dirs on the bench path
     val errs = Tables.events(spark, dir).filter(col("event_type") === "error")
+      .filter(col("ts") < lit("2024-01-08").cast(TimestampType))
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     graft.sinks.Writers.badRecordsPartitioned(errs, "ts", s"$tmp/dlq")
-    val dlq = spark.read.json(s"$tmp/dlq")
+    // explicit schema: no inference pass over the many small JSONL files
+    val dlqSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", LongType),
+      org.apache.spark.sql.types.StructField("ts", StringType),
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("value", DoubleType),
+      org.apache.spark.sql.types.StructField("dt", StringType),
+      org.apache.spark.sql.types.StructField("hour", StringType)))
+    val dlq = spark.read.schema(dlqSchema).json(s"$tmp/dlq")
 
     val factAgg = fact.groupBy(col("o_orderstatus").cast("string").as("k"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("v"))
@@ -973,7 +987,9 @@ object SparkEntry {
         |d AS (
         |  SELECT 'dlq' AS side, strftime(ts, '%Y-%m-%d') AS k,
         |         CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS v
-        |  FROM events WHERE event_type = 'error' GROUP BY 2)
+        |  FROM events
+        |  WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 2)
         |SELECT * FROM f UNION ALL SELECT * FROM d
         |ORDER BY side, k""".stripMargin,
 

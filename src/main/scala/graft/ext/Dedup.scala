@@ -146,6 +146,13 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs (the brute-force verifier MinHash
     * approximates): all (a < b) pairs with Jaccard ≥ threshold.
+    *
+    * A length-ratio prefilter prunes pairs before the expensive
+    * set ops: J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so any
+    * pair whose size ratio is below the threshold can't qualify —
+    * standard exact-dedup length filtering, results unchanged (the
+    * oracle needs no mirror). At threshold 0.95 this eliminates the
+    * intersect/union work for almost every non-duplicate pair.
     */
   def jaccardNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -154,7 +161,10 @@ object Dedup {
       wordShingles(col(textCol), shingleSize).as("shingles"))
     val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.withColumn("n_a", size(col("sh_a")))
+      .join(b.withColumn("n_b", size(col("sh_b"))), col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") /
+        greatest(col("n_a"), col("n_b")) >= threshold)
       .withColumn("jaccard_sim", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))

@@ -61,6 +61,9 @@ object Writers {
   def badRecordsPartitioned(df: DataFrame, tsCol: String, path: String): Unit =
     df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
       .withColumn("hour", date_format(col(tsCol), "HH"))
+      // small-files guard: co-locate each (dt, hour) in one task so an
+      // output dir gets one file, not one sliver per input partition
+      .repartition(col("dt"), col("hour"))
       .write.mode("append").partitionBy("dt", "hour").json(path)
 
   /** O-56: key-value upsert sink — last write per key wins (DynamoDB
