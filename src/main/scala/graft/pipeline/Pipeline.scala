@@ -42,4 +42,32 @@ object Pipeline {
   def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame =
     Try(spark.read.schema(schema).parquet(path)).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+  /** Success/failure notification record, the SNS-topic analogue of the
+    * ASL NotifySuccess/NotifyFailure terminal states
+    * (ref: Step Function/crypto-etl-pipeline.asl.json:77-96).
+    */
+  final case class RunNotification(
+      pipeline: String, status: String, stage: String, reason: String)
+
+  /** Run the DAG, then append one notification record to a JSON sink —
+    * the notify-topic analogue; downstream consumers tail the path the
+    * way the reference's subscribers consume the SNS topic. Returns the
+    * run result unchanged so callers still branch on it.
+    */
+  def runNotified(
+      spark: SparkSession,
+      pipelineName: String,
+      input: DataFrame,
+      stages: Seq[(String, Stage)],
+      notifyPath: String): Either[StageFailure, DataFrame] = {
+    val result = run(input, stages)
+    import spark.implicits._
+    val note = result match {
+      case Right(_) => RunNotification(pipelineName, "SUCCEEDED", "", "")
+      case Left(f) => RunNotification(pipelineName, "FAILED", f.stage, f.reason)
+    }
+    Seq(note).toDS().coalesce(1).write.mode("append").json(notifyPath)
+    result
+  }
 }

@@ -36,6 +36,19 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.nonEmpty("s")(empty).isLeft)
   }
 
+  test("runNotified appends a SUCCEEDED/FAILED record per run") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-notify").toString
+    val df = Seq(1).toDF("v")
+    assert(Pipeline.runNotified(spark, "etl", df,
+      Seq("ok" -> Pipeline.stage(identity)), s"$tmp/notify").isRight)
+    assert(Pipeline.runNotified(spark, "etl", df,
+      Seq("gate" -> (_ => Left(StageFailure("gate", "dq failed")))),
+      s"$tmp/notify").isLeft)
+    val notes = spark.read.json(s"$tmp/notify")
+      .select("status", "stage").as[(String, String)].collect().toSet
+    assert(notes == Set(("SUCCEEDED", ""), ("FAILED", "gate")))
+  }
+
   test("readOrEmpty falls back to an empty frame with the right schema") {
     val schema = StructType(Seq(StructField("x", LongType)))
     val out = Pipeline.readOrEmpty(spark, "/nonexistent/path", schema)
