@@ -558,6 +558,10 @@ object SparkEntry {
     import graft.ext.MinHashAgg
     val items = Tables.documents(spark, dir)
       .select(col("source"), explode(Dedup.wordShingles(col("text"), 1)).as("token"))
+      // min is idempotent, so pre-distincting (source, token) changes
+      // nothing — but it collapses every repeated token before the 64
+      // md5 hashes per item run (stopwords repeat across most docs)
+      .distinct()
     val sigs = items.groupBy(col("source"))
       .agg(MinHashAgg.minhashAgg(col("token"), 64).as("sig"))
     val a = sigs.select(col("source").as("src_a"), col("sig").as("sig_a"))

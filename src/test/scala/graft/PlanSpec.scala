@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ResolvedHint"), p)
   }
 
+  test("q41: CMS sketch aggregates with map-side partials (ObjectHashAggregate)") {
+    val p = plan("q41_cms_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), p)
+    // the sketch reduces map-side: a partial_ mode aggregate exists
+    assert(p.contains("partial_graft_cms_agg") || p.contains("partial cms") ||
+      "partial".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q10: union+distinct compiles to a hash aggregate, not a global sort") {
     val p = plan("q10_union_distinct")
     assert(p.contains("HashAggregate"), p)
