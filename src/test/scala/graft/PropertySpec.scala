@@ -71,4 +71,63 @@ class PropertySpec extends SparkSpec {
       assert(i.exceptAll(merged).isEmpty)
     }
   }
+
+  test("count-min estimates never undercount any key") {
+    val itemsGen = Gen.listOfN(120, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    (1 to 4).foreach { i =>
+      val items = itemsGen.pureApply(Gen.Parameters.default, Seed(77L + i))
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sketch = items.toDF("item")
+        .agg(graft.ext.CountMinAgg.cmsAgg(col("item"), 4).as("cms"))
+      val est = truth.keys.toSeq.toDF("key").crossJoin(sketch)
+        .select(col("key"),
+          graft.ext.CountMinAgg.estimate(col("cms"), col("key"), 4).as("e"))
+        .as[(String, Long)].collect().toMap
+      truth.foreach { case (k, n) =>
+        assert(est(k) >= n, s"CMS undercounted $k: ${est(k)} < $n")
+      }
+    }
+  }
+
+  test("simhash pigeonhole blocking is lossless for hamming <= maxDistance") {
+    // any fingerprint pair within distance d must share one of the d+1
+    // chunks — generate pairs by flipping up to d random bits and check
+    // the blocked join finds them all (exactness of the design, not luck)
+    val baseGen = for {
+      fp <- Gen.choose(0L, (1L << 60) - 1)
+      nFlips <- Gen.choose(0, 3)
+      flips <- Gen.listOfN(nFlips, Gen.choose(0, 59))
+    } yield (fp, flips.distinct.foldLeft(fp)((v, b) => v ^ (1L << b)))
+    val pairs = (1 to 30).map(i =>
+      baseGen.pureApply(Gen.Parameters.default, Seed(5L + i)))
+    pairs.foreach { case (a, b) =>
+      val nChunks = 4
+      val chunkBits = 15
+      val shared = (0 until nChunks).exists { c =>
+        ((a >> (c * chunkBits)) & 0x7fffL) == ((b >> (c * chunkBits)) & 0x7fffL)
+      }
+      assert(shared, f"pair within distance 3 shares no chunk: $a%x / $b%x")
+    }
+  }
+
+  test("length-ratio prune never removes a qualifying jaccard pair") {
+    val docGen = Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w", "v"))
+      .map(_.mkString(" "))
+    (1 to 4).foreach { i =>
+      val texts = (1 to 12).map(j =>
+        (j.toLong, docGen.pureApply(Gen.Parameters.default, Seed(i * 100L + j))))
+      val df = texts.toDF("doc_id", "text")
+      val pruned = graft.ext.Dedup
+        .jaccardNearDupPairs(df, "doc_id", "text", 1, 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // reference: same pairs without the prune (direct jaccard on sets)
+      val sets = texts.map { case (id, t) => id -> t.split("\\s+").toSet }.toMap
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+        if j >= 0.5
+      } yield (a, b)).toSet
+      assert(pruned == expect, s"prune changed results: $pruned vs $expect")
+    }
+  }
 }
