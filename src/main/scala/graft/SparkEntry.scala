@@ -662,6 +662,51 @@ object SparkEntry {
     factAgg.unionByName(dlqAgg).orderBy(col("side"), col("k"))
   }
 
+  /** Bucketed co-located join: both sides written `bucketBy` the join
+    * key, then joined — on a bucketed layout the join needs NO exchange
+    * on either side (BucketJoinSpec pins the zero-Exchange plan under
+    * a disabled broadcast threshold; at this verify scale the small
+    * side may still broadcast, which is also exchange-free on the
+    * fact side). This is the ship-layout for Silver/Gold join keys at
+    * 100 TB: shuffle once at write time, never again per query.
+    */
+  def q42BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_q42_lineitem")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_q42_orders")
+    spark.table("graft_q42_lineitem")
+      .join(spark.table("graft_q42_orders"), Seq("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Salted two-stage aggregation — the skew pattern: a hot group key
+    * first aggregates per (key, salt) so no single task absorbs the
+    * whole key, then the tiny per-salt partials combine. Deterministic
+    * salt (hash of a second column, not rand()) keeps the query
+    * replayable; the result is EXACTLY the plain groupBy (the oracle
+    * is the unsalted SQL), which is the point — same answer, bounded
+    * per-task state under skew.
+    */
+  def q43SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(8)))
+      .groupBy(col("l_suppkey"), col("salt"))
+      .agg(sum(col("l_quantity")).as("partial_qty"), count(lit(1)).as("partial_n"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("partial_qty")), 2).as("sum_qty"),
+        sum(col("partial_n")).as("n_rows"))
+      .orderBy(col("l_suppkey"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -709,7 +754,9 @@ object SparkEntry {
     "q38_source_similarity" -> (q38SourceSimilarity _),
     "q39_asof_join" -> (q39AsofJoin _),
     "q40_sink_roundtrip" -> (q40SinkRoundTrip _),
-    "q41_cms_heavy_hitters" -> (q41CmsHeavyHitters _))
+    "q41_cms_heavy_hitters" -> (q41CmsHeavyHitters _),
+    "q42_bucketed_join" -> (q42BucketedJoin _),
+    "q43_salted_agg" -> (q43SaltedAgg _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -1019,6 +1066,19 @@ object SparkEntry {
         |                                || CAST(i.i AS VARCHAR)), 13, 3)
         |  GROUP BY 1, 2, 3)
         |SELECT l_partkey, n, n_est, rank FROM est ORDER BY rank""".stripMargin,
+
+    "q42_bucketed_join" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q43_salted_agg" ->
+      """SELECT l_suppkey,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q39_asof_join" ->
       """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
