@@ -268,6 +268,19 @@ object SparkEntry {
       .select(col("event_id"), col("is_valid"), col("error_reason"), col("is_alert"))
       .orderBy(col("event_id"))
 
+  /** Stateful streaming (flatMapGroupsWithState) as a driver-checked
+    * query: rising-edge alert suppression — emit an event only when
+    * its user's value crosses ABOVE the threshold. Runs as a REAL
+    * AvailableNow streaming query with per-key state; the oracle is
+    * the batch lag-window twin (state ≡ "previous value", whatever the
+    * micro-batch boundaries), so the custom-state operator family gets
+    * a hash-checked row like q19 does for the stateless path.
+    */
+  def q19bStatefulEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.stream.Stateful.runRisingEdgeStream(spark, dir, 200.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
   /** O-63: JSON payload parse with malformed-record routing. */
   def q20PropsJson(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -732,6 +745,7 @@ object SparkEntry {
     "q18_window_hourly" -> (q18WindowHourly _),
     "q18b_window_sliding" -> (q18bWindowSliding _),
     "q19_stream_validate" -> (q19StreamValidate _),
+    "q19b_stateful_edges" -> (q19bStatefulEdges _),
     "q20_props_json" -> (q20PropsJson _),
     "q21_sim_topk" -> (q21SimTopK _),
     "q22_cosine_neardup" -> (q22CosineNearDup _),
@@ -1157,6 +1171,17 @@ object SparkEntry {
 
     "q17_validate_events" -> validateEventsOracle,
     "q19_stream_validate" -> validateEventsOracle,
+
+    "q19b_stateful_edges" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |         lag(value) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id, value FROM w
+        |WHERE value > 200.0 AND (prev IS NULL OR prev <= 200.0)
+        |ORDER BY event_id""".stripMargin,
 
     "q18_window_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

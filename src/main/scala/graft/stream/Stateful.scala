@@ -47,6 +47,33 @@ object Stateful {
         })
   }
 
+  private val streamId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** One AvailableNow pass of [[risingEdgeAlerts]] over the events
+    * table as a REAL stateful streaming query (memory sink), returning
+    * the collected result. The state logic makes the result equal to
+    * the batch lag-window formulation whatever the micro-batch
+    * boundaries — which is exactly what the batch oracle checks.
+    */
+  def runRisingEdgeStream(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    val typed = graft.Tables.eventsStream(spark, dir)
+      .selectExpr("event_id", "ts", "user_id", "value").as[KeyedEvent]
+    val name = s"graft_stateful_edges_${streamId.incrementAndGet()}"
+    val q = risingEdgeAlerts(spark, typed, threshold)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming wrapper: memory-stream/file-source events → rising-edge
     * alerts into a memory sink table named `sinkName`.
     */
