@@ -55,6 +55,25 @@ object Medallion {
       now: java.time.Instant,
       dqRules: Seq[graft.dq.DqRule] = Rules.referenceCryptoRuleset)
       : Either[StageFailure, Outputs] = {
+    val result = runStages(spark, bronze, outDir, now, dqRules)
+    // terminal notification record — the ASL NotifySuccess/NotifyFailure
+    // analogue (ref: Step Function/crypto-etl-pipeline.asl.json:77-96)
+    import spark.implicits._
+    val note = result match {
+      case Right(_) => Pipeline.RunNotification("medallion", "SUCCEEDED", "", "")
+      case Left(f) => Pipeline.RunNotification("medallion", "FAILED", f.stage, f.reason)
+    }
+    Seq(note).toDS().coalesce(1).write.mode("append").json(s"$outDir/notifications")
+    result
+  }
+
+  private def runStages(
+      spark: SparkSession,
+      bronze: DataFrame,
+      outDir: String,
+      now: java.time.Instant,
+      dqRules: Seq[graft.dq.DqRule])
+      : Either[StageFailure, Outputs] = {
     // Transform: projection + metadata + schema-enforcement split + dedup
     if (bronze.isEmpty) return Left(StageFailure("transform", "empty input"))
     val projected = Transform.withMetadata(

@@ -49,6 +49,9 @@ class MedallionSpec extends SparkSpec {
     assert(dimDate.select("date").as[java.sql.Date].head().toString == "2024-03-05")
     // fact is partitioned by date (hive layout)
     assert(new java.io.File(s"$out/fact_crypto_daily/date=2024-03-05").exists())
+    // terminal notification recorded the success
+    assert(spark.read.json(s"$out/notifications")
+      .select("status").as[String].head() == "SUCCEEDED")
   }
 
   test("silver output is viewable as a typed Dataset[CryptoTick]") {
@@ -76,6 +79,10 @@ class MedallionSpec extends SparkSpec {
     assert(res.left.toOption.get.reason.contains("RowCount_50_150"))
     // gold was never written
     assert(!new java.io.File(s"$out/fact_crypto_daily").exists())
+    // terminal notification recorded the failing stage
+    assert(spark.read.json(s"$out/notifications")
+      .select("status", "stage").as[(String, String)].head() ==
+      ("FAILED", "data_quality"))
   }
 
   test("dynamic partition overwrite replaces only touched partitions") {
