@@ -684,6 +684,15 @@ object SparkEntry {
     * 100 TB: shuffle once at write time, never again per query.
     */
   def q42BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // a fresh session can't overwrite a managed-table LOCATION left by
+    // an earlier session (catalog is in-memory, the warehouse dir is
+    // not): drop the catalog entry AND delete any stale location
+    Seq("graft_q42_lineitem", "graft_q42_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"))
       .write.mode("overwrite")
