@@ -184,8 +184,11 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   /** MinHash+LSH near-dup pairs (candidate generation + exact verify).
-    * Approximate (LSH recall < 1) → rows-only check; the exact
-    * q12 gives the oracle-checked ground truth.
+    * Precision is exact (every candidate is verified with true
+    * Jaccard); recall is probabilistic in general, but equals 1 on the
+    * verify dataset with these band parameters — so the oracle is the
+    * full exact quadratic Jaccard, making the LSH path hash-checked
+    * end-to-end (a recall regression would surface as a row mismatch).
     */
   def q13MinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
@@ -949,6 +952,21 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |            / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q13_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard_sim
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q13b_simhash_pairs" ->
