@@ -494,6 +494,35 @@ object SparkEntry {
       .orderBy(col("instance"), col("name"))
   }
 
+  /** Error-bound contract for the sketch path (O-38): emits whether
+    * each approximate value lands within tolerance of its exact
+    * counterpart, computed entirely in Spark. The oracle is the
+    * expected TRUE rows — so a sketch accuracy regression (Spark
+    * upgrade, accuracy-parameter change) fails the driver gate instead
+    * of hiding behind a rows-only check. Sketch VALUES stay rows-only
+    * in q32 (engine-internal by nature); this checks the contract.
+    * Exact distinct runs as a two-level aggregate to avoid the Expand
+    * a multi-distinct agg would force.
+    */
+  def q32bSketchBounds(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey")).as("acd"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("aq"))
+    val exactDistinct = li.groupBy(col("l_orderkey")).agg(count(lit(1)))
+      .agg(count(lit(1)).as("cd"))
+    val exactMedian = li.agg(median(col("l_extendedprice")).as("med"))
+    approx.crossJoin(exactDistinct).crossJoin(exactMedian)
+      .select(explode(array(
+        struct(lit("ApproxCountDistinct_l_orderkey_within_5pct").as("metric"),
+          (abs(col("acd") - col("cd")) <= col("cd") * 0.05).as("ok")),
+        struct(lit("ApproxQuantile_0.5_l_extendedprice_within_2pct").as("metric"),
+          (abs(col("aq") - col("med")) <= abs(col("med")) * 0.02).as("ok"))))
+        .as("r"))
+      .select(col("r.metric"), col("r.ok"))
+      .orderBy(col("metric"))
+  }
+
   /** O-28 again via the aggregation scale path (`max_by`, map-side
     * partial combine — no window sort); result is identical to q01's
     * window form, so it shares q01's oracle.
@@ -772,6 +801,7 @@ object SparkEntry {
     "q30_rollup" -> (q30Rollup _),
     "q31_sql_star" -> (q31SqlStar _),
     "q32_approx_distinct" -> (q32ApproxDistinct _),
+    "q32b_sketch_bounds" -> (q32bSketchBounds _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1166,6 +1196,12 @@ object SparkEntry {
         |         AS running_total
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q32b_sketch_bounds" ->
+      """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'ApproxQuantile_0.5_l_extendedprice_within_2pct', TRUE
+        |ORDER BY metric""".stripMargin,
 
     "q33_dedup_agg_path" ->
       """WITH dedup AS (
