@@ -374,6 +374,33 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall contract for the IVF path: recall@5 of cluster-probed
+    * search against q21's exact brute force, computed in Spark
+    * (deterministic: k-means init and probing are seeded). Probes half
+    * the clusters (nprobe = 5 of k = 10) — the recall/cost dial — and
+    * asserts ≥ 0.8 even on this ISOTROPIC synthetic corpus, the ANN
+    * worst case (no cluster structure, true neighbors scatter across
+    * cells; ExtSpec pins recall 1 on clustered fixtures, the realistic
+    * regime). Oracle is the expected TRUE row, so a recall regression
+    * fails the correctness gate; q23 itself stays rows-only.
+    */
+  def q23bIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val clustered = Similarity.kmeansLabels(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 10, iters = 3,
+      scorer = graft.ext.VectorKernels.cosineF)
+    val ivf = Similarity.ivfTopK(clustered, embQueries(spark, dir), 5, 5,
+      scorer = graft.ext.VectorKernels.cosineF)
+      .select(col("query_id"), col("vec_id"))
+    val exact = q21SimTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    val hits = exact.join(ivf, Seq("query_id", "vec_id")).count()
+    val total = exact.count()
+    import spark.implicits._
+    Seq(("ivf_recall_at_5_nprobe_half_ge_0.8", hits.toDouble / total >= 0.8))
+      .toDF("metric", "ok")
+  }
+
   // ------------------------------------------- LLM-pipeline: multimodal
 
   /** Multimodal metadata: binary payload + in-plan byte length/sha256. */
@@ -792,6 +819,7 @@ object SparkEntry {
     "q22_cosine_neardup" -> (q22CosineNearDup _),
     "q22b_srp_neardup" -> (q22bSrpNearDup _),
     "q23_ivf_topk" -> (q23IvfTopK _),
+    "q23b_ivf_recall" -> (q23bIvfRecall _),
     "q24_multimodal_meta" -> (q24MultimodalMeta _),
     "q25_multimodal_decode" -> (q25MultimodalDecode _),
     "q26_monthly_report" -> (q26MonthlyReport _),
@@ -1196,6 +1224,9 @@ object SparkEntry {
         |         AS running_total
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q23b_ivf_recall" ->
+      """SELECT 'ivf_recall_at_5_nprobe_half_ge_0.8' AS metric, TRUE AS ok""".stripMargin,
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok
