@@ -605,18 +605,36 @@ object SparkEntry {
   }
 
   /** Heavy hitters: top-10 most frequent part keys (frequent-items
-    * profiling; two-phase count + rank-limit window, deterministic ties).
+    * profiling). Two-phase count, then top-k via orderBy+limit — Spark
+    * plans that as TakeOrderedAndProject (per-partition top-k, k-row
+    * merge), NOT a global sort; at 100 TB the group count is billions
+    * and a single-partition ranking window over it would be the
+    * bottleneck. Ranks are assigned afterwards on the bounded k-row
+    * frame only (constant partition key keeps WindowExec off the
+    * everything-in-one-partition path by construction).
     */
-  def q37HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("l_partkey").asc)
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+  def q37HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    rankedTopK(
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n")),
+      Seq(col("n").desc, col("l_partkey").asc), 10)
       .select(col("l_partkey"), col("n"), col("rank"))
       .orderBy(col("rank"))
+
+  /** Bounded top-k with rank: orderBy+limit (TakeOrderedAndProject)
+    * first, then row_number over the k surviving rows. The window
+    * partitions on a constant because its input is ≤ k rows by
+    * construction — the unbounded ranking never runs distributed.
+    */
+  private def rankedTopK(
+      df: DataFrame,
+      order: Seq[org.apache.spark.sql.Column],
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(order: _*)
+    df.orderBy(order: _*).limit(k)
+      .withColumn("rank", row_number().over(w))
   }
 
   /** Group-level set similarity via the mergeable MinHash AGGREGATE
@@ -676,11 +694,9 @@ object SparkEntry {
     import graft.ext.CountMinAgg
     val li = Tables.lineitem(spark, dir)
     val sketch = li.agg(CountMinAgg.cmsAgg(col("l_partkey").cast("string"), 4).as("cms"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("l_partkey").asc)
-    val topk = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+    val topk = rankedTopK(
+      li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n")),
+      Seq(col("n").desc, col("l_partkey").asc), 10)
     topk.crossJoin(sketch) // one 128 KB sketch row — broadcast side
       .withColumn("n_est",
         CountMinAgg.estimate(col("cms"), col("l_partkey").cast("string"), 4))

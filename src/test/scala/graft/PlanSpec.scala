@@ -69,6 +69,19 @@ class PlanSpec extends SparkSpec {
       "partial".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q37/q41: top-k is TakeOrderedAndProject, not a global-window sort") {
+    Seq("q37_heavy_hitters", "q41_cms_heavy_hitters").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q\n$p")
+      // the ranking window must sit ABOVE the limit (bounded ≤ k-row
+      // input), never directly over the full aggregate output; in the
+      // top-down plan print that means Window appears before (above)
+      // TakeOrderedAndProject
+      assert(p.indexOf("Window [row_number") < p.indexOf("TakeOrderedAndProject"),
+        s"$q\n$p")
+    }
+  }
+
   test("q10: union+distinct compiles to a hash aggregate, not a global sort") {
     val p = plan("q10_union_distinct")
     assert(p.contains("HashAggregate"), p)
