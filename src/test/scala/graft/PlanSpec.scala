@@ -76,9 +76,12 @@ class PlanSpec extends SparkSpec {
       // the ranking window must sit ABOVE the limit (bounded ≤ k-row
       // input), never directly over the full aggregate output; in the
       // top-down plan print that means Window appears before (above)
-      // TakeOrderedAndProject
-      assert(p.indexOf("Window [row_number") < p.indexOf("TakeOrderedAndProject"),
-        s"$q\n$p")
+      // TakeOrderedAndProject. Both markers must EXIST (indexOf = -1
+      // would otherwise compare vacuously true against any position).
+      val wi = p.indexOf("Window [row_number")
+      val ti = p.indexOf("TakeOrderedAndProject")
+      assert(wi >= 0 && ti >= 0, s"$q: plan markers missing\n$p")
+      assert(wi < ti, s"$q\n$p")
     }
   }
 
