@@ -812,6 +812,94 @@ object SparkEntry {
         sum(col("partial_n")).as("n_rows"))
       .orderBy(col("l_suppkey"))
 
+  /** The reference's actual PRODUCT — the four-stage chained pipeline
+    * (ref: Step Function/crypto-etl-pipeline.asl.json:5-76) — as ONE
+    * driver-checked query: a deterministic crypto-shaped bronze corpus
+    * derived from `customer` lands as JSONL in two nested batch
+    * prefixes, the recursive bronze scan (O-01..O-03) picks both up,
+    * and `Medallion.run` chains transform (cast projection + schema
+    * split + DLQ + dedup) → DQ gate (the reference's full DQDL
+    * ruleset) → gold star writes through `Pipeline.runNotified`
+    * (O-67..O-71). The result aggregates what actually LANDED on disk
+    * (gold fact, DLQ JSONL, dim, notification), so every stage
+    * boundary is inside the hash-checked surface.
+    *
+    * Fixture design (all sf-independent — bounded at c_custkey ≤ 120):
+    * batch 1 has one tick per coin; batch 2 re-ticks every 7th coin
+    * with a worse (higher) market_cap_rank and a +999 price that dedup
+    * must discard. Every 10th coin has a null current_price, every
+    * 13th a null market_cap → schema enforcement routes those to the
+    * DLQ with per-field reasons, leaving 99 coins: inside the
+    * reference ruleset's RowCount 50..150 gate at every SF.
+    */
+  def q44MedallionE2E(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q44").toString
+    val base = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 120)
+      .select(
+        col("c_custkey").cast(LongType).as("k"),
+        col("c_name").as("cname"),
+        (abs(col("c_acctbal")) + 1.0).as("price"))
+
+    def bronzeRecords(src: DataFrame, rankShift: Int, priceShift: Double): DataFrame =
+      src.select(
+        concat(lit("c"), col("k")).as("id"),
+        concat(lit("SYM"), col("k")).as("symbol"),
+        col("cname").as("name"),
+        when(col("k") % 10 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("price") + priceShift).as("current_price"),
+        when(col("k") % 13 === 0, lit(null).cast(LongType))
+          .otherwise(col("k") * 1000).as("market_cap"),
+        (col("k") + rankShift).cast(IntegerType).as("market_cap_rank"),
+        (col("k") * 10).as("total_volume"),
+        (col("price") + 1.0).as("high_24h"),
+        (col("price") - 1.0).as("low_24h"),
+        lit(1.5).as("price_change_24h"),
+        lit(2.5).as("price_change_percentage_24h"),
+        col("k").cast(DoubleType).as("circulating_supply"),
+        col("k").cast(DoubleType).as("total_supply"))
+
+    bronzeRecords(base, 0, 0.0)
+      .coalesce(1).write.mode("overwrite").json(s"$tmp/landing/batch=1")
+    bronzeRecords(base.filter(col("k") % 7 === 0), 1000, 999.0)
+      .coalesce(1).write.mode("overwrite").json(s"$tmp/landing/batch=2")
+
+    val bronze = graft.sources.Readers.jsonRecursive(spark, s"$tmp/landing")
+    val out = graft.pipeline.Medallion.run(spark, bronze, s"$tmp/out",
+      java.time.Instant.parse("2024-01-15T00:00:00Z")) match {
+      case Right(o) => o
+      case Left(f) => sys.error(s"medallion pipeline failed at ${f.stage}: ${f.reason}")
+    }
+    require(out.fact != null) // Outputs fully populated on Right
+
+    // aggregate what landed on disk, not the in-memory frames
+    val goldAgg = spark.read.parquet(s"$tmp/out/fact_crypto_daily")
+      .groupBy(pmod(col("market_cap_rank"), lit(5)).cast(StringType).as("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("current_price")), 2).as("v"))
+      .select(lit("gold").as("side"), col("k"), col("n"), col("v"))
+    val dlqSchema = StructType(Seq(
+      StructField("raw_data", StringType),
+      StructField("error_reason", StringType),
+      StructField("timestamp", StringType),
+      StructField("validation_type", StringType)))
+    val dlqAgg = spark.read.schema(dlqSchema).json(s"$tmp/out/dlq")
+      .groupBy(col("error_reason").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("dlq").as("side"), col("k"), col("n"), lit(0.0).as("v"))
+    val dimAgg = spark.read.parquet(s"$tmp/out/dim_coins")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("dim_coins").as("side"), lit("*").as("k"), col("n"), lit(0.0).as("v"))
+    val noteSchema = StructType(Seq(
+      StructField("pipeline", StringType), StructField("status", StringType),
+      StructField("stage", StringType), StructField("reason", StringType)))
+    val noteAgg = spark.read.schema(noteSchema).json(s"$tmp/out/notifications")
+      .groupBy(col("status").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("notify").as("side"), col("k"), col("n"), lit(0.0).as("v"))
+    goldAgg.unionByName(dlqAgg).unionByName(dimAgg).unionByName(noteAgg)
+      .orderBy(col("side"), col("k"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -864,7 +952,8 @@ object SparkEntry {
     "q40_sink_roundtrip" -> (q40SinkRoundTrip _),
     "q41_cms_heavy_hitters" -> (q41CmsHeavyHitters _),
     "q42_bucketed_join" -> (q42BucketedJoin _),
-    "q43_salted_agg" -> (q43SaltedAgg _))
+    "q43_salted_agg" -> (q43SaltedAgg _),
+    "q44_medallion_e2e" -> (q44MedallionE2E _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -1202,6 +1291,49 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q44_medallion_e2e" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, abs(c_acctbal) + 1.0 AS price
+        |  FROM customer WHERE c_custkey <= 120),
+        |bronze AS (
+        |  SELECT k, k AS rnk, price, 0.0 AS shift FROM base
+        |  UNION ALL
+        |  SELECT k, k + 1000 AS rnk, price, 999.0 AS shift FROM base WHERE k % 7 = 0),
+        |typed AS (
+        |  SELECT k, rnk,
+        |         CASE WHEN k % 10 = 0 THEN NULL ELSE price + shift END AS current_price,
+        |         CASE WHEN k % 13 = 0 THEN NULL ELSE k * 1000 END AS market_cap
+        |  FROM bronze),
+        |valid AS (
+        |  SELECT * FROM typed
+        |  WHERE current_price IS NOT NULL AND market_cap IS NOT NULL),
+        |dlqrows AS (
+        |  SELECT 'Missing required fields: ' || concat_ws(', ',
+        |           CASE WHEN current_price IS NULL THEN 'current_price' END,
+        |           CASE WHEN market_cap IS NULL THEN 'market_cap' END) AS error_reason
+        |  FROM typed WHERE current_price IS NULL OR market_cap IS NULL),
+        |silver AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY rnk) AS rn
+        |    FROM valid)
+        |  WHERE rn = 1),
+        |g AS (
+        |  SELECT 'gold' AS side, CAST(rnk % 5 AS VARCHAR) AS k,
+        |         CAST(count(*) AS BIGINT) AS n, round(sum(current_price), 2) AS v
+        |  FROM silver GROUP BY 2),
+        |d AS (
+        |  SELECT 'dlq' AS side, error_reason AS k,
+        |         CAST(count(*) AS BIGINT) AS n, 0.0 AS v
+        |  FROM dlqrows GROUP BY 2),
+        |dim AS (
+        |  SELECT 'dim_coins' AS side, '*' AS k,
+        |         CAST(count(*) AS BIGINT) AS n, 0.0 AS v FROM silver),
+        |note AS (
+        |  SELECT 'notify' AS side, 'SUCCEEDED' AS k, CAST(1 AS BIGINT) AS n, 0.0 AS v)
+        |SELECT * FROM g UNION ALL SELECT * FROM d
+        |UNION ALL SELECT * FROM dim UNION ALL SELECT * FROM note
+        |ORDER BY side, k""".stripMargin,
 
     "q39_asof_join" ->
       """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),

@@ -47,6 +47,12 @@ object Medallion {
     * deterministic tests (SURVEY.md §7.4.1). DQ failures gate the
     * pipeline (Left), like the reference's verification raise
     * (ref: glue/data_quality_pydeequ.py:133).
+    *
+    * The stages compose through [[Pipeline.runNotified]] — the same
+    * DAG runner (O-67: per-stage catch, short-circuit) plus the
+    * terminal notification record (the ASL NotifySuccess/NotifyFailure
+    * analogue, ref: Step Function/crypto-etl-pipeline.asl.json:77-96) —
+    * so the orchestration layer itself sits on the verified path.
     */
   def run(
       spark: SparkSession,
@@ -55,65 +61,61 @@ object Medallion {
       now: java.time.Instant,
       dqRules: Seq[graft.dq.DqRule] = Rules.referenceCryptoRuleset)
       : Either[StageFailure, Outputs] = {
-    val result = runStages(spark, bronze, outDir, now, dqRules)
-    // terminal notification record — the ASL NotifySuccess/NotifyFailure
-    // analogue (ref: Step Function/crypto-etl-pipeline.asl.json:77-96)
-    import spark.implicits._
-    val note = result match {
-      case Right(_) => Pipeline.RunNotification("medallion", "SUCCEEDED", "", "")
-      case Left(f) => Pipeline.RunNotification("medallion", "FAILED", f.stage, f.reason)
-    }
-    Seq(note).toDS().coalesce(1).write.mode("append").json(s"$outDir/notifications")
-    result
-  }
+    // Pipeline.run threads ONE frame through the DAG; the medallion
+    // layers that fork off it (DLQ, dims) are captured as the stages
+    // run and assembled into Outputs at the end.
+    var dlq: DataFrame = null
+    var silver: DataFrame = null
+    var fact: DataFrame = null
+    var dimCoins: DataFrame = null
+    var dimDate: DataFrame = null
 
-  private def runStages(
-      spark: SparkSession,
-      bronze: DataFrame,
-      outDir: String,
-      now: java.time.Instant,
-      dqRules: Seq[graft.dq.DqRule])
-      : Either[StageFailure, Outputs] = {
     // Transform: projection + metadata + schema-enforcement split + dedup
-    if (bronze.isEmpty) return Left(StageFailure("transform", "empty input"))
-    val projected = Transform.withMetadata(
-      Transform.castProjection(bronze, silverSpec), Some(now))
-    val (valid, dlq) = Transform.schemaSplit(
-      projected, graft.schema.Schemas.cryptoRequired)
-    Writers.dlqAppend(dlq, s"$outDir/dlq")
-    val deduped = Transform.dedupLatest(
-      valid,
-      partitionCols = Seq("coin_id", "update_date"),
-      orderCols = Seq(col("last_updated_ts").desc, col("market_cap_rank").asc_nulls_last))
+    val transform: Pipeline.Stage = df =>
+      if (df.isEmpty) Left(StageFailure("transform", "empty input"))
+      else {
+        val projected = Transform.withMetadata(
+          Transform.castProjection(df, silverSpec), Some(now))
+        val (valid, bad) = Transform.schemaSplit(
+          projected, graft.schema.Schemas.cryptoRequired)
+        Writers.dlqAppend(bad, s"$outDir/dlq")
+        dlq = bad
+        Right(Transform.dedupLatest(
+          valid,
+          partitionCols = Seq("coin_id", "update_date"),
+          orderCols = Seq(col("last_updated_ts").desc, col("market_cap_rank").asc_nulls_last)))
+      }
 
     // DQ gate (ref DQDL ruleset) on the deduped silver candidate
-    Rules.gate(deduped, dqRules) match {
-      case Left(failures) =>
-        Left(StageFailure("data_quality",
+    val dataQuality: Pipeline.Stage = df =>
+      Rules.gate(df, dqRules).left.map(failures =>
+        StageFailure("data_quality",
           failures.map(f => s"${f.rule} (observed=${f.observed})").mkString("; ")))
-      case Right(silver) =>
-        Writers.parquetAppendPartitioned(silver, s"$outDir/silver", "update_date")
 
-        // Gold: fact with dynamic partition overwrite + dims merged
-        val fact = silver
-          .withColumnRenamed("update_date", "date")
-          .filter(col("coin_id").isNotNull)
-        Writers.parquetDynamicOverwrite(fact, s"$outDir/fact_crypto_daily", "date")
-
-        val dimCoins = Star.mergeDim(
-          Pipeline.readOrEmpty(spark, s"$outDir/dim_coins",
-            StructType(Seq(
-              StructField("coin_id", StringType),
-              StructField("symbol", StringType),
-              StructField("name", StringType)))),
-          Star.dimFrom(silver, Seq("coin_id", "symbol", "name")),
-          Seq("coin_id"))
-        Writers.parquetOverwrite(dimCoins, s"$outDir/dim_coins")
-
-        val dimDate = Star.dimDate(fact, "date")
-        Writers.parquetOverwrite(dimDate, s"$outDir/dim_date")
-
-        Right(Outputs(silver, dlq, fact, dimCoins, dimDate))
+    // Gold: fact with dynamic partition overwrite + dims merged
+    val gold: Pipeline.Stage = Pipeline.stage { s =>
+      silver = s
+      Writers.parquetAppendPartitioned(s, s"$outDir/silver", "update_date")
+      fact = s.withColumnRenamed("update_date", "date")
+        .filter(col("coin_id").isNotNull)
+      Writers.parquetDynamicOverwrite(fact, s"$outDir/fact_crypto_daily", "date")
+      dimCoins = Star.mergeDim(
+        Pipeline.readOrEmpty(spark, s"$outDir/dim_coins",
+          StructType(Seq(
+            StructField("coin_id", StringType),
+            StructField("symbol", StringType),
+            StructField("name", StringType)))),
+        Star.dimFrom(s, Seq("coin_id", "symbol", "name")),
+        Seq("coin_id"))
+      Writers.parquetOverwrite(dimCoins, s"$outDir/dim_coins")
+      dimDate = Star.dimDate(fact, "date")
+      Writers.parquetOverwrite(dimDate, s"$outDir/dim_date")
+      fact
     }
+
+    Pipeline.runNotified(spark, "medallion", bronze,
+      Seq("transform" -> transform, "data_quality" -> dataQuality, "gold" -> gold),
+      s"$outDir/notifications")
+      .map(_ => Outputs(silver, dlq, fact, dimCoins, dimDate))
   }
 }
