@@ -262,6 +262,50 @@ object SparkEntry {
     Jobs.windowedAgg(Tables.events(spark, dir), "1 hour", Some("15 minutes"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** The WATERMARKED sliding-window stream itself (not just its batch
+    * twin q18b): events replay as four contiguous time slices, one
+    * file per micro-batch (`maxFilesPerTrigger = 1`), through
+    * `runWindowedStream` with a 1 h window sliding every 15 min and a
+    * 10 min watermark, append mode — so a window only lands in the
+    * sink once the watermark closes it. Within one AvailableNow run
+    * the final no-data flush batch advances the watermark to
+    * max(event time) − lateness and a window whose end EQUALS the
+    * watermark still emits (pinned empirically + by this oracle), so
+    * the emitted set is exactly the q18b aggregate restricted to
+    * `window_end ≤ max(ts) − 10 min` — a deterministic, hash-checkable
+    * contract for the streaming path. Slices land oldest-first (strictly
+    * increasing mod times), so no batch carries data older than the
+    * watermark and nothing is dropped as late mid-run.
+    */
+  def q18cWindowStreamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q18c").toString
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    val bounds = ev.agg(min(col("ts")).cast(LongType).as("lo"),
+      max(col("ts")).cast(LongType).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1)) // epoch seconds
+    val cuts = (0 to 4).map(i => lo + (hi - lo) * i / 4)
+
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 600000
+    (0 until 4).foreach { i =>
+      val slice = ev.filter(col("ts").cast(LongType) >= cuts(i))
+        .filter(if (i == 3) lit(true) else col("ts").cast(LongType) < cuts(i + 1))
+      slice.coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+
+    Jobs.runWindowedStream(spark, in, s"$tmp/ckpt", s"$tmp/out",
+      lateness = "10 minutes", windowDuration = "1 hour", slide = Some("15 minutes"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** O-59/O-61: the same validation executed as a REAL Structured
     * Streaming query (AvailableNow over the events parquet, memory
     * sink). Stateless ⇒ result ≡ q17's batch result, same oracle.
@@ -924,6 +968,7 @@ object SparkEntry {
     "q17_validate_events" -> (q17ValidateEvents _),
     "q18_window_hourly" -> (q18WindowHourly _),
     "q18b_window_sliding" -> (q18bWindowSliding _),
+    "q18c_window_stream" -> (q18cWindowStreamSliding _),
     "q19_stream_validate" -> (q19StreamValidate _),
     "q19b_stateful_edges" -> (q19bStatefulEdges _),
     "q20_props_json" -> (q20PropsJson _),
@@ -1447,6 +1492,22 @@ object SparkEntry {
         |       round(sum(value), 2) AS sum_value
         |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
         |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q18c_window_stream" ->
+      """WITH wm AS (
+        |  SELECT max(make_timestamp(epoch_ns(ts) // 1000))
+        |           - INTERVAL 10 MINUTE AS w
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - to_minutes(15 * CAST(k.k AS INT)) AS window_start,
+        |         event_type,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         round(sum(value), 2) AS sum_value
+        |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+        |  GROUP BY window_start, event_type)
+        |WHERE window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
         |ORDER BY window_start, event_type""".stripMargin,
 
     "q20_props_json" ->
