@@ -596,6 +596,37 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Rank-error contract for the KLL quantile-sketch aggregate (the
+    * third custom TypedImperativeAggregate, `graft.ext.KllAgg`): build
+    * ONE mergeable sketch of l_extendedprice, extract q50/q95 from the
+    * sketch value with pure Column ops, then measure each estimate's
+    * TRUE rank against the exact data — |rank(q̂_p)/n − p| must stay
+    * within 2.5% (k = 256; observed ≈ 0.3%, so the margin catches a
+    * real compactor regression, not noise). Same shape as q32b: the
+    * oracle is the expected TRUE rows, so a sketch accuracy regression
+    * fails the driver gate while the sketch VALUES stay
+    * engine-internal.
+    */
+  def q32cKllBounds(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.KllAgg
+    val li = Tables.lineitem(spark, dir)
+    val qs = li.agg(KllAgg.kllAgg(col("l_extendedprice"), 256).as("sk"))
+      .select(
+        KllAgg.quantile(col("sk"), 0.5).as("q50"),
+        KllAgg.quantile(col("sk"), 0.95).as("q95"))
+    li.crossJoin(qs) // one 1-row side — broadcast
+      .agg(
+        avg(when(col("l_extendedprice") <= col("q50"), 1.0).otherwise(0.0)).as("r50"),
+        avg(when(col("l_extendedprice") <= col("q95"), 1.0).otherwise(0.0)).as("r95"))
+      .select(explode(array(
+        struct(lit("KLL_q50_l_extendedprice_rank_within_2.5pct").as("metric"),
+          (abs(col("r50") - 0.5) <= 0.025).as("ok")),
+        struct(lit("KLL_q95_l_extendedprice_rank_within_2.5pct").as("metric"),
+          (abs(col("r95") - 0.95) <= 0.025).as("ok")))).as("r"))
+      .select(col("r.metric"), col("r.ok"))
+      .orderBy(col("metric"))
+  }
+
   /** O-28 again via the aggregation scale path (`max_by`, map-side
     * partial combine — no window sort); result is identical to q01's
     * window form, so it shares q01's oracle.
@@ -987,6 +1018,7 @@ object SparkEntry {
     "q31_sql_star" -> (q31SqlStar _),
     "q32_approx_distinct" -> (q32ApproxDistinct _),
     "q32b_sketch_bounds" -> (q32bSketchBounds _),
+    "q32c_kll_bounds" -> (q32cKllBounds _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1433,6 +1465,12 @@ object SparkEntry {
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok
         |UNION ALL
         |SELECT 'ApproxQuantile_0.5_l_extendedprice_within_2pct', TRUE
+        |ORDER BY metric""".stripMargin,
+
+    "q32c_kll_bounds" ->
+      """SELECT 'KLL_q50_l_extendedprice_rank_within_2.5pct' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'KLL_q95_l_extendedprice_rank_within_2.5pct', TRUE
         |ORDER BY metric""".stripMargin,
 
     "q33_dedup_agg_path" ->

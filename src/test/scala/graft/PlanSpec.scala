@@ -69,6 +69,13 @@ class PlanSpec extends SparkSpec {
       "partial".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q32c: KLL sketch aggregates with map-side partials (ObjectHashAggregate)") {
+    val p = plan("q32c_kll_bounds")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_kll_agg") ||
+      "partial".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q37/q41: top-k is TakeOrderedAndProject, not a global-window sort") {
     Seq("q37_heavy_hitters", "q41_cms_heavy_hitters").foreach { q =>
       val p = plan(q)
