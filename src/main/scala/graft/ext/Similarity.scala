@@ -137,9 +137,13 @@ object Similarity {
 
   /** Lloyd k-means over a float-vector column, cosine geometry, as
     * DataFrame ops: per iteration, assignment is ONE shuffle-free map
-    * pass (the k×dim centroid table rides into the plan as a literal —
-    * the spiritual broadcast; scoring stays in the codegen'd kernel
-    * when `scorer` is [[graft.ext.VectorKernels.cosineF]]), and the
+    * pass while k × dim ≤ `literalMaxEntries` (the centroid table
+    * rides into the plan as a literal — the spiritual broadcast;
+    * scoring stays in the codegen'd kernel when `scorer` is
+    * [[graft.ext.VectorKernels.cosineF]]) and switches to a broadcast
+    * centroid join + map-side `max_by` argmax beyond it (a k=1000,
+    * dim=64 literal would carry 64k constants into the expression
+    * tree and fall out of codegen), and the
     * centroid update is one (cluster, position) aggregate. Only
     * O(k × dim) values ever reach the driver — same contract as
     * MLlib's implementation, no MLlib dependency. Init is the
@@ -162,7 +166,8 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int,
-      scorer: (Column, Column) => Column = cosine): DataFrame = {
+      scorer: (Column, Column) => Column = cosine,
+      literalMaxEntries: Int = 1024): DataFrame = {
     require(k > 0 && iters >= 0, "k must be > 0, iters >= 0")
     val sample: Array[Array[Float]] = embeddings
       .orderBy(xxhash64(col(idCol)), col(idCol))
@@ -183,12 +188,39 @@ object Similarity {
     }
     var centroids: IndexedSeq[Seq[Float]] = init.map(_.toSeq).toIndexedSeq
 
-    def assign(c: IndexedSeq[Seq[Float]]): DataFrame =
+    // Two equivalent assignment paths, switched on k × dim:
+    //  - literal: the centroid table rides into the plan as a typedlit
+    //    — a shuffle-FREE map pass, but the expression tree carries
+    //    k·dim constants and stops codegenning (and eventually
+    //    planning) for large k;
+    //  - broadcast: centroids become a broadcast-joined k-row frame and
+    //    the argmax is a map-side-combining max_by per id — one keyed
+    //    shuffle of one row per vector, unbounded in k × dim.
+    // Tie-break is identical (highest score, then lowest label).
+    def assignLiteral(c: IndexedSeq[Seq[Float]]): DataFrame =
       embeddings
         .withColumn("__scores", transform(typedlit(c), v => scorer(col(vecCol), v)))
         .withColumn("label",
           (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
         .drop("__scores")
+
+    def assignBroadcast(c: IndexedSeq[Seq[Float]]): DataFrame = {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val cdf = c.zipWithIndex.map { case (v, i) => (i, v) }.toDF("label", "__centroid")
+      val payload = struct(embeddings.columns.toIndexedSeq.map(col): _*)
+      embeddings.crossJoin(broadcast(cdf))
+        .withColumn("__score", scorer(col(vecCol), col("__centroid")))
+        .groupBy(col(idCol).as("__gid"))
+        .agg(max_by(
+          struct(payload.as("row"), col("label")),
+          struct(col("__score"), -col("label"))).as("__m"))
+        .select(col("__m.row.*"), col("__m.label").as("label"))
+    }
+
+    def assign(c: IndexedSeq[Seq[Float]]): DataFrame =
+      if (c.length.toLong * c.head.length <= literalMaxEntries) assignLiteral(c)
+      else assignBroadcast(c)
 
     for (_ <- 0 until iters) {
       val means = assign(centroids)

@@ -242,6 +242,21 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("kmeans literal and broadcast assignment paths agree exactly") {
+    graft.ext.VectorKernels.register(spark)
+    val vecs = (0 until 90).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 0.7 + j * 1.1).toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    def labels(literalMax: Int) =
+      Similarity.kmeansLabels(emb, "vec_id", "embedding", k = 4, iters = 3,
+        scorer = graft.ext.VectorKernels.cosineF, literalMaxEntries = literalMax)
+        .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    // k*dim = 64: literalMax 1024 takes the typedlit path, 0 forces the
+    // broadcast-join + max_by path; identical seeding + tie-break ⇒
+    // identical labels for every vector at every iteration
+    assert(labels(1024) == labels(0))
+  }
+
   // ------------------------------------------------------ multimodal
 
   test("multimodal: frame sampling slices binary in-plan; resize stub decimates") {
