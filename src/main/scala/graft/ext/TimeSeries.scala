@@ -29,17 +29,57 @@ object TimeSeries {
   }
 
   /** Top-k most-similar keys per key by profile cosine (double-precision
-    * HOF path — profiles are small and derived, precision beats the
+    * HOF scoring — profiles are small and derived, precision beats the
     * float kernel here). Excludes self; deterministic ties by id.
+    *
+    * Pair generation is size-switched: at or below `maxBruteKeys` keys
+    * the pairs come from the exact all-pairs theta-join (quadratic —
+    * fine for bounded key sets, EXACT results); above it the quadratic
+    * surface is refused and candidates come from SRP-LSH signature
+    * buckets over the profile vectors (the [[Similarity.srpNearDupPairs]]
+    * blocking, both directions), so the cost is bucket-bounded at any
+    * key cardinality. The SRP route is approximate in the usual LSH
+    * way: only candidate pairs are ranked, so a key's top-k can miss
+    * low-similarity entries (high-cosine neighbours collide with
+    * probability ≈ 1 at these defaults) — the right trade for the
+    * 100 TB regime where the all-pairs join is simply not runnable.
     */
-  def topKSimilarProfiles(profiles: DataFrame, keyCol: String, k: Int): DataFrame = {
+  def topKSimilarProfiles(
+      profiles: DataFrame,
+      keyCol: String,
+      k: Int,
+      maxBruteKeys: Long = 20000,
+      srpPlanes: Int = 12,
+      srpTables: Int = 8): DataFrame = {
     val a = profiles.select(col(keyCol).as("key_a"), col("profile").as("p_a"))
     val b = profiles.select(col(keyCol).as("key_b"), col("profile").as("p_b"))
+    // profiles is one row per key (an aggregate output) — the count is
+    // a cheap guard job compared to either pair-generation path
+    val pairs =
+      if (profiles.count() <= maxBruteKeys) {
+        a.join(b, col("key_a") =!= col("key_b"))
+      } else {
+        VectorKernels.register(profiles.sparkSession)
+        val base = profiles.select(col(keyCol).as("id"),
+          transform(col("profile"), _.cast("float")).as("vec"))
+        val sigs = base.select(col("id"),
+          posexplode(array((0 until srpTables).map(t =>
+            VectorKernels.srpSig(col("vec"), srpPlanes, t)): _*))
+            .as(Seq("table", "sig")))
+        sigs.select(col("table"), col("sig"), col("id").as("key_a"))
+          .join(sigs.select(col("table"), col("sig"), col("id").as("key_b")),
+            Seq("table", "sig"))
+          .filter(col("key_a") =!= col("key_b"))
+          .select(col("key_a"), col("key_b"))
+          .dropDuplicates("key_a", "key_b")
+          .join(a, "key_a")
+          .join(b, "key_b")
+      }
     val dot = Similarity.dot(col("p_a"), col("p_b"))
     val sim = dot / (Similarity.norm(col("p_a")) * Similarity.norm(col("p_b")))
     val w = Window.partitionBy(col("key_a"))
       .orderBy(col("cos_sim").desc, col("key_b").asc)
-    a.join(b, col("key_a") =!= col("key_b"))
+    pairs
       .withColumn("cos_sim", round(sim, 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

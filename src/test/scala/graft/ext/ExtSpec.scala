@@ -257,6 +257,28 @@ class ExtSpec extends SparkSpec {
     assert(labels(1024) == labels(0))
   }
 
+  test("profile top-k: SRP route agrees with brute force on planted twins") {
+    graft.ext.VectorKernels.register(spark)
+    // 3 planted directions, 10 near-identical profiles each (cos ≈ 1
+    // within a cluster, ≪ 1 across) — every key's top-1 is a co-member
+    val dirs = Seq(
+      Array.tabulate(24)(i => 1.0 + math.sin(i * 1.3)),
+      Array.tabulate(24)(i => 1.0 + math.cos(i * 2.1)),
+      Array.tabulate(24)(i => 1.0 + math.sin(i * 0.4 + 2.0)))
+    val profs = (for {
+      (d, c) <- dirs.zipWithIndex
+      j <- 0 until 10
+    } yield ((c * 10 + j).toLong, d.map(_ * (1.0 + 0.0003 * j)).toSeq))
+      .toDF("user_id", "profile")
+    def top1(maxBrute: Long) = graft.ext.TimeSeries
+      .topKSimilarProfiles(profs, "user_id", 1, maxBruteKeys = maxBrute)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toMap
+    val brute = top1(1000) // all 30 keys under the bound → exact path
+    val srp = top1(0) // force the SRP-blocked path
+    assert(brute.size == 30)
+    assert(srp == brute)
+  }
+
   // ------------------------------------------------------ multimodal
 
   test("multimodal: frame sampling slices binary in-plan; resize stub decimates") {
