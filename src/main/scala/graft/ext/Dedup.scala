@@ -3,6 +3,20 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Handle over DataFrames persisted INSIDE an operator: callers in
+  * long-lived sessions evict deterministically once the result is
+  * consumed, instead of waiting for executor-LRU to age the blocks
+  * out. Unpersisting before the result is fully consumed is safe
+  * (Spark recomputes), just slower.
+  */
+final class CacheHandle(frames: Seq[DataFrame]) {
+  def unpersist(blocking: Boolean = false): Unit =
+    frames.foreach(_.unpersist(blocking))
+  /** True while any held frame still has a storage level set. */
+  def isCached: Boolean =
+    frames.exists(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+}
+
 /** Deduplication operators for training-data pipelines: exact
   * (fingerprint group-by), MinHash+LSH, SimHash, and n-gram Jaccard.
   *
@@ -104,7 +118,23 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    minhashNearDupPairsWithHandle(
+      df, idCol, textCol, shingleSize, numHashes, bands, threshold)._1
+
+  /** [[minhashNearDupPairs]] plus a [[CacheHandle]] over the two frames
+    * the operator persists internally (shingle hashes + band buckets),
+    * so a long-lived session can `handle.unpersist()` once the pair
+    * frame is consumed rather than leaving eviction to LRU.
+    */
+  def minhashNearDupPairsWithHandle(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): (DataFrame, CacheHandle) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     // persisted: consumed three times (signature computation + both
@@ -136,12 +166,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    val pairs = candidates
       .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard_sim", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+    (pairs, new CacheHandle(Seq(shingled, buckets)))
   }
 
   /** Exact n-gram Jaccard pairs (the brute-force verifier MinHash

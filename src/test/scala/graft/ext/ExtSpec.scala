@@ -279,6 +279,18 @@ class ExtSpec extends SparkSpec {
     assert(srp == brute)
   }
 
+  test("minhash cache handle evicts the internal caches deterministically") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"some shared words plus unique token$i here")).toDF("doc_id", "text")
+    val (pairs, handle) = Dedup.minhashNearDupPairsWithHandle(
+      docs, "doc_id", "text", shingleSize = 1, numHashes = 16, bands = 8,
+      threshold = 0.3)
+    pairs.count() // consume — internal frames are now materialized
+    assert(handle.isCached)
+    handle.unpersist(blocking = true)
+    assert(!handle.isCached)
+  }
+
   // ------------------------------------------------------ multimodal
 
   test("multimodal: frame sampling slices binary in-plan; resize stub decimates") {
