@@ -55,7 +55,13 @@ object Tables {
     * NOTE: the nanosAsLong conf must stay set for the stream's lifetime
     * (micro-batch scans re-resolve files), so it is deliberately NOT
     * restored here — callers run streaming verification in a session
-    * they own (Jobs.runValidationStream).
+    * they own (Jobs.runValidationStream). A per-read datasource option
+    * (`.option("spark.sql.legacy.parquet.nanosAsLong", "true")`) was
+    * probed on Spark 4.1.2 and does NOT reach parquet schema
+    * resolution (PARQUET_TYPE_ILLEGAL persists for both batch and
+    * stream readers) — the session conf is the only lever, and
+    * ContractSpec pins both this lifetime behavior and the batch
+    * path's save/restore.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

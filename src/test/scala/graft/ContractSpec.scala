@@ -41,4 +41,21 @@ class ContractSpec extends SparkSpec {
     assert(spark.conf.getOption(key) == before, "conf leaked from events()")
     assert(ev.count() > 0) // executes AFTER the conf was restored
   }
+
+  test("eventsStream: conf pinned set for the stream's lifetime; batch restores after") {
+    // A per-read option can't scope the legacy flag (probed on Spark
+    // 4.1.2: parquet schema resolution only consults the session conf),
+    // so eventsStream deliberately leaves it set — micro-batch scans
+    // re-resolve the file schema mid-stream. Pin that behavior, then
+    // pin that the batch path still saves/restores on a dirty session.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    val streamed = graft.stream.Jobs.runValidationStream(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() > 0)
+    assert(spark.conf.get(key) == "true",
+      "streaming session no longer holds the conf its micro-batches need")
+    spark.conf.unset(key)
+    assert(Tables.events(spark, "/root/testdata/sf0.001").count() > 0)
+    assert(spark.conf.getOption(key) != Some("true"), "batch read left the conf set")
+  }
 }
