@@ -627,6 +627,28 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** PER-GROUP quantile sketches — the grouped form of q32c and the
+    * actual 100 TB use case: one mergeable KLL sketch per group key
+    * (map-side partials per group under ObjectHashAggregate), each
+    * group's median extracted from ITS OWN stored sketch, then rank-
+    * verified inside its own group. The oracle derives the expected
+    * group keys from the data (stronger than literal TRUE rows: a
+    * missing or extra group also fails), with `ok` expected TRUE for
+    * every group.
+    */
+  def q45GroupQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.KllAgg
+    val li = Tables.lineitem(spark, dir)
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(KllAgg.kllAgg(col("l_extendedprice"), 256).as("sk"))
+      .select(col("l_returnflag"), KllAgg.quantile(col("sk"), 0.5).as("q50"))
+    li.join(broadcast(sk), "l_returnflag") // a #groups-row build side
+      .groupBy(col("l_returnflag"))
+      .agg(avg(when(col("l_extendedprice") <= col("q50"), 1.0).otherwise(0.0)).as("r50"))
+      .select(col("l_returnflag"), (abs(col("r50") - 0.5) <= 0.025).as("ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** O-28 again via the aggregation scale path (`max_by`, map-side
     * partial combine — no window sort); result is identical to q01's
     * window form, so it shares q01's oracle.
@@ -1019,6 +1041,7 @@ object SparkEntry {
     "q32_approx_distinct" -> (q32ApproxDistinct _),
     "q32b_sketch_bounds" -> (q32bSketchBounds _),
     "q32c_kll_bounds" -> (q32cKllBounds _),
+    "q45_group_quantiles" -> (q45GroupQuantiles _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1472,6 +1495,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'KLL_q95_l_extendedprice_rank_within_2.5pct', TRUE
         |ORDER BY metric""".stripMargin,
+
+    "q45_group_quantiles" ->
+      """SELECT DISTINCT l_returnflag, TRUE AS ok
+        |FROM lineitem ORDER BY l_returnflag""".stripMargin,
 
     "q33_dedup_agg_path" ->
       """WITH dedup AS (
