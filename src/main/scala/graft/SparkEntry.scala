@@ -674,7 +674,8 @@ object SparkEntry {
     val profiles = graft.ext.TimeSeries.hourlyProfile(
       Tables.events(spark, dir), "user_id", "ts", "value")
     graft.ext.TimeSeries.topKSimilarProfiles(
-      profiles.filter(col("user_id") < 20), "user_id", 3)
+      profiles.filter(col("user_id") < 20), "user_id", 3,
+      numKeys = Some(20)) // bounded by the filter above — skip the guard job
       .orderBy(col("key_a"), col("rank"))
   }
 

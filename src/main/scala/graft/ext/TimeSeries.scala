@@ -50,13 +50,15 @@ object TimeSeries {
       k: Int,
       maxBruteKeys: Long = 20000,
       srpPlanes: Int = 12,
-      srpTables: Int = 8): DataFrame = {
+      srpTables: Int = 8,
+      numKeys: Option[Long] = None): DataFrame = {
     val a = profiles.select(col(keyCol).as("key_a"), col("profile").as("p_a"))
     val b = profiles.select(col(keyCol).as("key_b"), col("profile").as("p_b"))
-    // profiles is one row per key (an aggregate output) — the count is
-    // a cheap guard job compared to either pair-generation path
+    // the route guard needs the key count; callers that bounded their
+    // input upstream pass `numKeys` to skip the guard job (profiles is
+    // an aggregate output, so counting it re-runs that aggregation)
     val pairs =
-      if (profiles.count() <= maxBruteKeys) {
+      if (numKeys.getOrElse(profiles.count()) <= maxBruteKeys) {
         a.join(b, col("key_a") =!= col("key_b"))
       } else {
         VectorKernels.register(profiles.sparkSession)
