@@ -217,4 +217,28 @@ object KllAgg {
     })
     folded.getField("ans")
   }
+
+  /** All `ps` quantiles from one sketch in a SINGLE cumulative pass
+    * (array<double>, aligned with `ps`) — the per-row reporting shape:
+    * one fold over the sketch regardless of how many quantiles a
+    * consumer reads back.
+    */
+  def quantiles(sketch: Column, ps: Seq[Double]): Column = {
+    import org.apache.spark.sql.functions._
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "each p must be in (0, 1]")
+    val total = aggregate(sketch, lit(0L), (acc, x) => acc + x.getField("w"))
+    val targets = array(ps.map(p => greatest(ceil(lit(p) * total), lit(1L))): _*)
+    val zero = struct(
+      lit(0L).as("cum"),
+      array(ps.map(_ => lit(null).cast("double")): _*).as("ans"))
+    val folded = aggregate(sketch, zero, (acc, x) => {
+      val cum = acc.getField("cum") + x.getField("w")
+      struct(
+        cum.as("cum"),
+        zip_with(acc.getField("ans"), targets, (a, t) =>
+          when(a.isNull && cum >= t, x.getField("v")).otherwise(a)).as("ans"))
+    })
+    folded.getField("ans")
+  }
 }

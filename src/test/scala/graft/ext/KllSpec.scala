@@ -66,6 +66,17 @@ class KllSpec extends SparkSpec {
     assert(q.getDouble(1) == 7.0, q.toString)
   }
 
+  test("multi-quantile single pass equals per-p extraction") {
+    val vs = scala.util.Random.shuffle((1 to 20000).map(_.toDouble)).toSeq
+    val ps = Seq(0.1, 0.5, 0.95, 1.0)
+    val row = sketchOf(vs, 8)
+      .select(
+        KllAgg.quantiles(col("sk"), ps).as("multi"),
+        array(ps.map(p => KllAgg.quantile(col("sk"), p)): _*).as("single"))
+      .head()
+    assert(row.getSeq[Double](0) == row.getSeq[Double](1))
+  }
+
   test("buffer merge at the class level matches a flat rebuild's bound") {
     val a = new KllAgg.Buffer(64)
     val b = new KllAgg.Buffer(64)
