@@ -239,6 +239,55 @@ object SparkEntry {
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  // -------------------------------------------- LLM-pipeline: train prep
+
+  /** Deterministic 80/10/10 corpus split by portable id-hash bucket
+    * (md5-prefix, no RNG): per split, document count and an id checksum
+    * — a membership change in ANY split hash-mismatches. Stability
+    * across corpus versions is the point: a doc's split is a function
+    * of its id alone.
+    */
+  def q46HashSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.hashSplit(
+      Tables.documents(spark, dir), "doc_id",
+      Seq("train" -> 3277, "val" -> 3687, "test" -> 4096))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("split"))
+
+  /** Contiguous sequence packing: per source shard, documents ordered
+    * by id lay end-to-end and cut into 512-token bins (a doc belongs
+    * to the bin holding its first token). Per (source, bin): docs,
+    * tokens, and the bin's start check — the exact assembly map a
+    * pretraining shard writer needs.
+    */
+  def q47PackSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.packSequences(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          graft.ext.Text.tokenCount(col("text")).as("n_tokens")),
+      "source", "doc_id", "n_tokens", budget = 512)
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        min(col("start_offset")).as("bin_start"))
+      .orderBy(col("source"), col("bin"))
+
+  /** Benchmark decontamination: corpus docs sharing any word 5-gram
+    * with a (pseudo-)benchmark subset (`doc_id % 50 = 0`), flagged via
+    * a broadcast shingle semi-join; summarized per contamination flag
+    * with an id checksum so any flag flip hash-mismatches.
+    */
+  def q48Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ext.TrainPrep.contaminatedDocs(
+      docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
+      .groupBy(col("contaminated"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("contaminated"))
+  }
+
   // ------------------------------------------------------- Streaming
 
   /** O-60..O-62 batch semantics: validate + reasons + alert flag. */
@@ -1043,6 +1092,9 @@ object SparkEntry {
     "q32b_sketch_bounds" -> (q32bSketchBounds _),
     "q32c_kll_bounds" -> (q32cKllBounds _),
     "q45_group_quantiles" -> (q45GroupQuantiles _),
+    "q46_hash_split" -> (q46HashSplit _),
+    "q47_pack_sequences" -> (q47PackSequences _),
+    "q48_decontaminate" -> (q48Decontaminate _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1500,6 +1552,60 @@ object SparkEntry {
     "q45_group_quantiles" ->
       """SELECT DISTINCT l_returnflag, TRUE AS ok
         |FROM lineitem ORDER BY l_returnflag""".stripMargin,
+
+    "q46_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         strpos('123456789abcdef',
+        |                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+        |         + strpos('123456789abcdef',
+        |                  substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 16
+        |         + strpos('123456789abcdef',
+        |                   substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 3277 THEN 'train'
+        |            WHEN bucket < 3687 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tokens AS start_offset
+        |  FROM t)
+        |SELECT source, CAST(start_offset // 512 AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |       CAST(min(start_offset) AS BIGINT) AS bin_start
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q48_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([list_aggregate(toks[i:i+4], 'string_agg', ' ')
+        |                        FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM sh c JOIN bench b
+        |    ON c.doc_id != b.bench_id AND len(list_intersect(c.s, b.s)) > 0),
+        |flagged AS (
+        |  SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+        |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+        |SELECT contaminated,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q33_dedup_agg_path" ->
       """WITH dedup AS (

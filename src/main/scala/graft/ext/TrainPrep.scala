@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: deterministic corpus splitting,
+  * fixed-token-budget sequence packing, and benchmark decontamination.
+  * The three set-level jobs an LLM pretraining pipeline runs AFTER
+  * dedup/quality filtering (`ext/Dedup`, `ext/Text`) and before
+  * tokenized shards ship.
+  *
+  * All three are pure DataFrame compositions — map passes, one keyed
+  * shuffle, or a broadcast semi-join — and all use the portable
+  * md5-hash convention where hashing is involved, so every operator is
+  * exactly reproducible in an oracle engine.
+  */
+object TrainPrep {
+
+  /** Number of md5-prefix buckets used by [[hashSplit]]: 16³ (three
+    * hex chars), the same bucket arithmetic as the CMS aggregate.
+    */
+  val SplitBuckets: Int = 4096
+
+  /** Deterministic id-hash bucket in [0, 4096): the first three hex
+    * chars of md5(id) — portable (an oracle decodes the same three
+    * chars positionally), uniform, and STABLE: a document's split
+    * never changes when the corpus grows, which is the property that
+    * keeps yesterday's eval set out of tomorrow's train set.
+    */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 3), 16, 10).cast("int")
+
+  /** Deterministic train/val/test (or any) split. `cuts` are
+    * (label, upperBucketExclusive) pairs, ascending, last one at
+    * [[SplitBuckets]] — e.g. 80/10/10 ≈
+    * `Seq("train" -> 3277, "val" -> 3687, "test" -> 4096)`.
+    * Pure map pass (no shuffle, no RNG): membership is a function of
+    * the id alone, so the split is reproducible across runs, engines,
+    * and corpus versions.
+    */
+  def hashSplit(df: DataFrame, idCol: String, cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == SplitBuckets,
+      s"last cut must close the range at $SplitBuckets")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be ascending")
+    val b = splitBucket(col(idCol))
+    val label = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, upper), rest) => when(b < upper, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Contiguous sequence packing: within each `groupCol` shard, order
+    * documents by `orderCol`, lay their tokens end-to-end, and cut a
+    * bin every `budget` tokens — a document lands in the bin where its
+    * FIRST token falls (boundaries may straddle bins, exactly like
+    * fixed-length pretraining sequence assembly over a concatenated
+    * shard). One window (one shuffle on the shard key); at 100 TB the
+    * shard key IS the storage shard, so packing never needs a global
+    * sort — the real pipelines pack per shard for the same reason.
+    * Emits `bin` plus the document's start offset within its shard.
+    */
+  def packSequences(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tokenCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("start_offset", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("bin", floor(col("start_offset") / budget).cast("long"))
+  }
+
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one word `n`-gram with any OTHER document of the benchmark
+    * set — the standard eval-leakage check (n-gram collision against
+    * held-out benchmarks) run as a shingle semi-join.
+    *
+    * The benchmark side is exploded to DISTINCT shingles and
+    * broadcast (benchmarks are small by construction); the corpus
+    * side streams through one map pass + the broadcast join, so the
+    * cost is O(corpus shingles) with no shuffle of corpus text. At
+    * 100 TB swap the shingle STRINGS for the codegen'd 64-bit shingle
+    * hashes ([[VectorKernels.shingleHashes]]) — same plan shape,
+    * narrower rows; the string form is kept here for exact
+    * cross-engine oracles.
+    */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    def shingled(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+        explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+    val bench = broadcast(shingled(benchmark, "bench_id").distinct())
+    val hits = shingled(corpus, "doc_id")
+      .join(bench, Seq("sh"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"))
+      .distinct()
+      .withColumn("contaminated", lit(true))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+}

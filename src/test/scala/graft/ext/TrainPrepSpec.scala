@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: disjoint, exhaustive, stable, roughly proportional") {
+    val ids = (1L to 4000L).toDF("id")
+    val cuts = Seq("train" -> 3277, "val" -> 3687, "test" -> 4096)
+    val split = TrainPrep.hashSplit(ids, "id", cuts)
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 4000L) // exhaustive, disjoint by construction
+    // uniform md5 buckets → proportions near 80/10/10 (loose bounds)
+    assert(math.abs(counts("train") / 4000.0 - 0.8) < 0.03, counts.toString)
+    assert(math.abs(counts("val") / 4000.0 - 0.1) < 0.03, counts.toString)
+    assert(math.abs(counts("test") / 4000.0 - 0.1) < 0.03, counts.toString)
+    // STABILITY: membership is a function of the id alone — a grown
+    // corpus never reassigns an existing id
+    val grown = TrainPrep.hashSplit((1L to 8000L).toDF("id"), "id", cuts)
+    val before = split.as[(Long, String)].collect().toMap
+    val after = grown.filter(col("id") <= 4000).as[(Long, String)].collect().toMap
+    assert(before == after)
+  }
+
+  test("hashSplit rejects malformed cuts") {
+    val ids = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      TrainPrep.hashSplit(ids, "id", Seq("train" -> 4000)) // doesn't close range
+    }
+    intercept[IllegalArgumentException] {
+      TrainPrep.hashSplit(ids, "id", Seq("a" -> 3000, "b" -> 2000, "c" -> 4096))
+    }
+  }
+
+  test("packSequences: bins cut at the budget, offsets contiguous per shard") {
+    val docs = Seq(
+      // shard A: tokens 300, 300, 300, 300 → starts 0,300,600,900 → bins 0,0,1,1
+      ("A", 1L, 300L), ("A", 2L, 300L), ("A", 3L, 300L), ("A", 4L, 300L),
+      // shard B: 600, 100 → starts 0,600 → bins 0,1
+      ("B", 1L, 600L), ("B", 2L, 100L)
+    ).toDF("source", "doc_id", "n_tokens")
+    val packed = TrainPrep.packSequences(docs, "source", "doc_id", "n_tokens", 512)
+      .select("source", "doc_id", "start_offset", "bin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(packed == Set(
+      ("A", 1L, 0L, 0L), ("A", 2L, 300L, 0L), ("A", 3L, 600L, 1L), ("A", 4L, 900L, 1L),
+      ("B", 1L, 0L, 0L), ("B", 2L, 600L, 1L)))
+  }
+
+  test("contaminatedDocs flags exactly the overlapping non-benchmark docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 5-gram with bench 100
+      (2L, "one two three four five six"), // no overlap
+      (100L, "alpha beta gamma delta epsilon eta") // the benchmark doc itself
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 100L)
+    val flags = TrainPrep.contaminatedDocs(corpus, bench, "doc_id", "text", 5)
+      .as[(Long, Boolean)].collect().toMap
+    // doc 1 shares "alpha beta gamma delta epsilon"; doc 2 shares nothing;
+    // the benchmark doc is never flagged against itself
+    assert(flags == Map(1L -> true, 2L -> false, 100L -> false))
+  }
+}
