@@ -92,6 +92,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q48: decontamination joins corpus shingles against a BROADCAST bench side") {
+    val p = plan("q48_decontaminate")
+    // the shingle-volume join (corpus shingles × benchmark shingles)
+    // carries the hint and must broadcast; the later ids-only outer
+    // flag-join may legitimately shuffle — contaminated-id counts are
+    // unbounded at scale, so it must NOT be forced broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q10: union+distinct compiles to a hash aggregate, not a global sort") {
     val p = plan("q10_union_distinct")
     assert(p.contains("HashAggregate"), p)
