@@ -274,6 +274,16 @@ object SparkEntry {
         min(col("start_offset")).as("bin_start"))
       .orderBy(col("source"), col("bin"))
 
+  /** Deterministic per-language quota sample (8 docs per lang by
+    * md5-hash rank, no RNG): the corpus-mixing step, fully
+    * reproducible — the oracle rebuilds the identical sample.
+    */
+  def q49QuotaSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.quotaSample(
+      Tables.documents(spark, dir), "lang", "doc_id", quota = 8)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
   /** Benchmark decontamination: corpus docs sharing any word 5-gram
     * with a (pseudo-)benchmark subset (`doc_id % 50 = 0`), flagged via
     * a broadcast shingle semi-join; summarized per contamination flag
@@ -1095,6 +1105,7 @@ object SparkEntry {
     "q46_hash_split" -> (q46HashSplit _),
     "q47_pack_sequences" -> (q47PackSequences _),
     "q48_decontaminate" -> (q48Decontaminate _),
+    "q49_quota_sample" -> (q49QuotaSample _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1586,6 +1597,16 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
         |       CAST(min(start_offset) AS BIGINT) AS bin_start
         |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q49_quota_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15),
+        |                    doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 8
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q48_decontaminate" ->
       """WITH sh AS (

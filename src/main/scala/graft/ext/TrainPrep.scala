@@ -74,6 +74,25 @@ object TrainPrep {
       .withColumn("bin", floor(col("start_offset") / budget).cast("long"))
   }
 
+  /** Deterministic quota sampling: keep (up to) `quota` documents per
+    * `groupCol` — the corpus-mixing knob ("N docs per language/source")
+    * — selected by portable md5-hash rank instead of RNG, so the
+    * sample is uniform-random-like yet exactly reproducible across
+    * runs and engines. One window per group key (one keyed shuffle);
+    * at scale prefilter obvious non-members cheaply if quotas are
+    * tiny relative to group sizes. Unlike [[hashSplit]], membership is
+    * NOT stable under corpus growth (new docs can displace old ones
+    * inside the quota) — that is inherent to fixed-size sampling.
+    */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String, quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val h = substring(md5(col(idCol).cast("string")), 1, 15)
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= quota)
+      .drop("__rank")
+  }
+
   /** Benchmark decontamination: flag every corpus document sharing at
     * least one word `n`-gram with any OTHER document of the benchmark
     * set — the standard eval-leakage check (n-gram collision against

@@ -51,6 +51,21 @@ class TrainPrepSpec extends SparkSpec {
       ("B", 1L, 0L, 0L), ("B", 2L, 600L, 1L)))
   }
 
+  test("quotaSample: per-group quota respected, deterministic, RNG-free") {
+    val df = (1L to 500L).map(i => (if (i % 3 == 0) "a" else "b", i))
+      .toDF("grp", "id")
+    val s1 = TrainPrep.quotaSample(df, "grp", "id", 10)
+      .as[(String, Long)].collect().toSet
+    val s2 = TrainPrep.quotaSample(df, "grp", "id", 10)
+      .as[(String, Long)].collect().toSet
+    assert(s1 == s2) // reproducible
+    assert(s1.count(_._1 == "a") == 10 && s1.count(_._1 == "b") == 10)
+    // small groups keep everything
+    val tiny = TrainPrep.quotaSample(
+      Seq(("x", 1L), ("x", 2L)).toDF("grp", "id"), "grp", "id", 10)
+    assert(tiny.count() == 2)
+  }
+
   test("contaminatedDocs flags exactly the overlapping non-benchmark docs") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // shares 5-gram with bench 100
