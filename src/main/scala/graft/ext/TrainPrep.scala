@@ -112,10 +112,34 @@ object TrainPrep {
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    contaminatedBy(corpus, benchmark, idCol,
+      df => explode(Dedup.wordShingles(col(textCol), n)))
+
+  /** The 100 TB form of [[contaminatedDocs]]: shingles ride the
+    * broadcast join as 64-bit hashes from the codegen'd
+    * [[VectorKernels.shingleHashes]] kernel instead of strings — one
+    * char-walk per shingle, ~8-byte join keys, identical answers up
+    * to hash collisions (P ≈ shingles²/2⁶⁴ per doc, negligible;
+    * parity-tested). Use the string form when an exact cross-engine
+    * oracle is needed, this one when the corpus is large.
+    */
+  def contaminatedDocsHashed(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame =
+    contaminatedBy(corpus, benchmark, idCol,
+      df => explode(VectorKernels.shingleHashes(Text.tokens(col(textCol)), n)))
+
+  private def contaminatedBy(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      shingleOf: DataFrame => Column): DataFrame = {
     def shingled(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
-        explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+      df.select(col(idCol).as(idAs), shingleOf(df).as("sh"))
     val bench = broadcast(shingled(benchmark, "bench_id").distinct())
     val hits = shingled(corpus, "doc_id")
       .join(bench, Seq("sh"))

@@ -51,6 +51,15 @@ class TrainPrepSpec extends SparkSpec {
       ("B", 1L, 0L, 0L), ("B", 2L, 600L, 1L)))
   }
 
+  test("hashed decontamination path agrees with the string-shingle path") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    def flags(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, Int) => org.apache.spark.sql.DataFrame) =
+      f(docs, bench, "doc_id", "text", 5).as[(Long, Boolean)].collect().toMap
+    assert(flags(TrainPrep.contaminatedDocs) == flags(TrainPrep.contaminatedDocsHashed))
+  }
+
   test("quotaSample: per-group quota respected, deterministic, RNG-free") {
     val df = (1L to 500L).map(i => (if (i % 3 == 0) "a" else "b", i))
       .toDF("grp", "id")
