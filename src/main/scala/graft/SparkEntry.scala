@@ -846,6 +846,36 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** RANGE (point-in-interval) join via bucket blocking — purchases
+    * attributed to the click-SESSION whose reach they fall inside:
+    * per-user click sessions (30-min gap) become intervals
+    * [first click, last click + gap] (the trailing gap mirrors
+    * `session_window`'s window end), purchases are points, and the
+    * join runs on (user, time-bucket) + exact range verify instead of
+    * the BNLJ a naive theta-join plans. The oracle rebuilds sessions
+    * first-principles (lag + cumsum, the q35 pattern) and joins with
+    * BETWEEN — so both the session semantics and the range-join
+    * semantics are hash-checked.
+    */
+  def q50RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+    val sessions = clicks
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(min(col("ts")).as("s_start"),
+        (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("s_end"))
+      .select(col("user_id"), col("s_start"), col("s_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.RangeJoin.pointInInterval(
+      purchases, sessions, "user_id", "ts", "s_start", "s_end")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_in_session"),
+        round(sum(col("value")), 2).as("v_in_session"))
+      .orderBy(col("user_id"))
+  }
+
   /** Heavy-hitter frequency estimation via the COUNT-MIN SKETCH
     * aggregate (second custom TypedImperativeAggregate): one
     * depth×4096 sketch summarizes all part-key frequencies, then the
@@ -1106,6 +1136,7 @@ object SparkEntry {
     "q47_pack_sequences" -> (q47PackSequences _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_quota_sample" -> (q49QuotaSample _),
+    "q50_range_join" -> (q50RangeJoin _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1506,6 +1537,37 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q50_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |  FROM events),
+        |clicks AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+        |x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM clicks),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |sess AS (
+        |  SELECT user_id, sid, min(ts) AS s_start,
+        |         max(ts) + INTERVAL 30 MINUTE AS s_end
+        |  FROM s GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, value FROM ev
+        |      WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.user_id, p.value
+        |  FROM p JOIN sess ON p.user_id = sess.user_id
+        |                  AND p.ts BETWEEN sess.s_start AND sess.s_end)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_in_session,
+        |       round(sum(value), 2) AS v_in_session
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (
