@@ -110,6 +110,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("range join equals the naive theta join on arbitrary intervals") {
+    val caseGen = for {
+      intervals <- Gen.listOfN(12, for {
+        k <- Gen.choose(1, 3)
+        s <- Gen.choose(0L, 20000L)
+        len <- Gen.choose(0L, 9000L)
+      } yield (k.toLong, s, s + len))
+      points <- Gen.listOfN(25, for {
+        k <- Gen.choose(1, 3)
+        p <- Gen.choose(0L, 30000L)
+      } yield (k.toLong, p))
+    } yield (intervals, points)
+    (1 to 5).foreach { i =>
+      val (ivs, pts) = caseGen.pureApply(Gen.Parameters.default, Seed(900L + i))
+      val intervals = ivs.zipWithIndex
+        .map { case ((k, s, e), id) => (id.toLong, k, new java.sql.Timestamp(s * 1000), new java.sql.Timestamp(e * 1000)) }
+        .toDF("iv_id", "k", "s", "e")
+      val points = pts.zipWithIndex
+        .map { case ((k, p), id) => (id.toLong, k, new java.sql.Timestamp(p * 1000)) }
+        .toDF("p_id", "k", "p")
+      val blocked = graft.operators.RangeJoin
+        .pointInInterval(points, intervals, "k", "p", "s", "e",
+          bucketWidthSec = 700L) // deliberately unaligned bucket width
+        .select("p_id", "iv_id").as[(Long, Long)].collect().sorted
+      val naive = points.join(intervals, Seq("k"))
+        .filter(col("s") <= col("p") && col("p") <= col("e"))
+        .select("p_id", "iv_id").as[(Long, Long)].collect().sorted
+      assert(blocked.toSeq == naive.toSeq, s"case $i diverged")
+    }
+  }
+
+  test("hash split is an exhaustive disjoint partition matching its buckets") {
+    val idsGen = Gen.listOfN(80, Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+    val cuts = Seq("train" -> 3277, "val" -> 3687, "test" -> 4096)
+    (1 to 4).foreach { i =>
+      val ids = idsGen.pureApply(Gen.Parameters.default, Seed(31L + i)).distinct
+      val out = graft.ext.TrainPrep.hashSplit(ids.toDF("id"), "id", cuts)
+        .withColumn("bucket", graft.ext.TrainPrep.splitBucket(col("id")))
+        .as[(Long, String, Int)].collect()
+      assert(out.length == ids.size) // one label per row: exhaustive + disjoint
+      out.foreach { case (_, label, b) =>
+        val expect = if (b < 3277) "train" else if (b < 3687) "val" else "test"
+        assert(label == expect, s"bucket $b labeled $label")
+        assert(b >= 0 && b < 4096)
+      }
+    }
+  }
+
+  test("sequence packing conserves tokens and bounds every bin start") {
+    val gen = Gen.listOfN(30, for {
+      g <- Gen.oneOf("a", "b")
+      t <- Gen.choose(1L, 700L)
+    } yield (g, t))
+    (1 to 4).foreach { i =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(61L + i))
+        .zipWithIndex.map { case ((g, t), id) => (g, id.toLong, t) }
+      val packed = graft.ext.TrainPrep.packSequences(
+        rows.toDF("g", "id", "n"), "g", "id", "n", 512)
+      // token totals conserved per group
+      val inTotals = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val outTotals = packed.groupBy("g").agg(sum("n").as("s"))
+        .as[(String, Long)].collect().toMap
+      assert(outTotals == inTotals)
+      // every doc's bin is exactly its start offset divided by the budget
+      packed.select("start_offset", "bin").as[(Long, Long)].collect()
+        .foreach { case (off, bin) => assert(bin == off / 512 && off >= 0) }
+    }
+  }
+
   test("length-ratio prune never removes a qualifying jaccard pair") {
     val docGen = Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w", "v"))
       .map(_.mkString(" "))
