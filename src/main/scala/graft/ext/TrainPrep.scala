@@ -114,7 +114,7 @@ object TrainPrep {
       textCol: String,
       n: Int): DataFrame =
     contaminatedBy(corpus, benchmark, idCol,
-      df => explode(Dedup.wordShingles(col(textCol), n)))
+      explode(Dedup.wordShingles(col(textCol), n)))
 
   /** The 100 TB form of [[contaminatedDocs]]: shingles ride the
     * broadcast join as 64-bit hashes from the codegen'd
@@ -131,15 +131,15 @@ object TrainPrep {
       textCol: String,
       n: Int): DataFrame =
     contaminatedBy(corpus, benchmark, idCol,
-      df => explode(VectorKernels.shingleHashes(Text.tokens(col(textCol)), n)))
+      explode(VectorKernels.shingleHashes(Text.tokens(col(textCol)), n)))
 
   private def contaminatedBy(
       corpus: DataFrame,
       benchmark: DataFrame,
       idCol: String,
-      shingleOf: DataFrame => Column): DataFrame = {
+      shingleExpr: Column): DataFrame = {
     def shingled(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs), shingleOf(df).as("sh"))
+      df.select(col(idCol).as(idAs), shingleExpr.as("sh"))
     val bench = broadcast(shingled(benchmark, "bench_id").distinct())
     val hits = shingled(corpus, "doc_id")
       .join(bench, Seq("sh"))
