@@ -1087,6 +1087,122 @@ object SparkEntry {
       .orderBy(col("side"), col("k"))
   }
 
+  /** Duplicate CLUSTERS — the last mile of dedup: q12's exact-Jaccard
+    * near-dup pairs closed into connected components (iterative
+    * min-label propagation, one keyed shuffle per round), each doc
+    * labeled with its cluster's min id, size, and the canonical flag a
+    * keep-one-per-cluster pass would act on. The oracle computes the
+    * same transitive closure with a recursive CTE.
+    */
+  def q51DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardNearDupPairs(
+      Tables.documents(spark, dir).filter(col("doc_id") < 600),
+      "doc_id", "text", shingleSize = 1, threshold = 0.95)
+    graft.ext.Clusters.dupClusters(pairs, "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gap-fill resample: per-user hourly grid over each user's active
+    * span, bucket averages forward-filled across empty hours. Output
+    * carries no nullable column (`filled_v` is never null because a
+    * key's first grid bucket is its first observed bucket).
+    */
+  def q52ResampleFill(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.resampleFill(
+      Tables.events(spark, dir).filter(col("user_id") < 30),
+      "user_id", "ts", "value", "hour")
+      .orderBy(col("key"), col("bucket"))
+
+  /** Top-3 TF-IDF terms per document (smoothed scikit-style IDF);
+    * ranking compares the ROUNDED score with a term tie-break so the
+    * order is engine-reproducible.
+    */
+  def q53TfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    Text.tfidfTopTerms(
+      Tables.documents(spark, dir).filter(col("doc_id") < 600),
+      "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** PII scrubbing over documents with deterministically injected
+    * emails / phone numbers / SSNs / IPs (the corpus has none):
+    * per-pattern counts on the raw text plus an md5 of the fully
+    * redacted text, so the redaction OUTPUT itself — not just the
+    * match counts — is inside the hash-checked surface.
+    */
+  def q54PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val pats = Text.piiPatterns.toMap
+    val injected = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 600)
+      .select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" node at 192.168.1.77 up"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" ssn 123-45-6789 on file"))
+          .otherwise(lit(""))).as("text"))
+    injected.select(
+      col("doc_id"),
+      Text.piiCount(col("text"), pats("EMAIL")).cast(LongType).as("n_email"),
+      Text.piiCount(col("text"), pats("PHONE")).cast(LongType).as("n_phone"),
+      Text.piiCount(col("text"), pats("SSN")).cast(LongType).as("n_ssn"),
+      Text.piiCount(col("text"), pats("IP")).cast(LongType).as("n_ip"),
+      (length(col("text")) - length(Text.redactPii(col("text"))))
+        .cast(LongType).as("chars_removed"),
+      md5(Text.redactPii(col("text"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming exact dedup (`dropDuplicatesWithinWatermark`) as a REAL
+    * multi-batch stream: events replay as four time slices (one file
+    * per micro-batch, oldest first), with duplicate copies injected
+    * BOTH within a slice (every 3rd event — batch-local state) and
+    * into the NEXT slice (every 5th event — cross-batch state; every
+    * 15th gets both). Lateness covers the full event-time span, so
+    * nothing is late, no state expires mid-run, and the deduped stream
+    * is EXACTLY the original events table — the oracle aggregates that
+    * table directly, with no mirror of the injection.
+    */
+  def q55StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q55").toString
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    val bounds = ev.agg(min(col("ts")).cast(LongType).as("lo"),
+      max(col("ts")).cast(LongType).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val cuts = (0 to 4).map(i => lo + (hi - lo) * i / 4)
+    def slice(i: Int): DataFrame =
+      ev.filter(col("ts").cast(LongType) >= cuts(i))
+        .filter(if (i == 3) lit(true) else col("ts").cast(LongType) < cuts(i + 1))
+
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 600000
+    (0 until 4).foreach { i =>
+      val withDups = slice(i)
+        .union(slice(i).filter(col("event_id") % 3 === 0))
+        .union(if (i == 0) slice(0).limit(0)
+               else slice(i - 1).filter(col("event_id") % 5 === 0))
+      withDups.coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+
+    graft.stream.Jobs.runDedupStream(spark, in, lateness = "40 days")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1137,6 +1253,11 @@ object SparkEntry {
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_quota_sample" -> (q49QuotaSample _),
     "q50_range_join" -> (q50RangeJoin _),
+    "q51_dup_clusters" -> (q51DupClusters _),
+    "q52_resample_fill" -> (q52ResampleFill _),
+    "q53_tfidf_terms" -> (q53TfidfTopTerms _),
+    "q54_pii_redact" -> (q54PiiRedact _),
+    "q55_stream_dedup" -> (q55StreamDedup _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1568,6 +1689,111 @@ object SparkEntry {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_in_session,
         |       round(sum(value), 2) AS v_in_session
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q51_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+        |  FROM documents WHERE doc_id < 600),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.95),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |          FROM comp GROUP BY 1)
+        |SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+        |       c.id = c.cluster_id AS is_canonical
+        |FROM comp c JOIN sizes s USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_resample_fill" ->
+      """WITH b AS (
+        |  SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
+        |         round(avg(value), 4) AS avg_v,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+        |span AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+        |         FROM b GROUP BY 1),
+        |grid AS (SELECT key, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |         FROM span),
+        |j AS (SELECT g.key, g.bucket, b.avg_v, b.n
+        |      FROM grid g LEFT JOIN b USING (key, bucket))
+        |SELECT key, bucket,
+        |       last_value(avg_v IGNORE NULLS) OVER (
+        |         PARTITION BY key ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+        |       coalesce(n, 0) AS n_events,
+        |       n IS NULL AS is_gap
+        |FROM j ORDER BY key, bucket""".stripMargin,
+
+    "q53_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id < 600),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q54_pii_redact" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' contact user' || doc_id || '@example.com now'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN ' call 555-867-' ||
+        |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0 THEN ' node at 192.168.1.77 up'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 on file'
+        |              ELSE '' END AS text
+        |  FROM documents WHERE doc_id < 600),
+        |red AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        |  FROM injected)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(text) - len(redacted) AS BIGINT) AS chars_removed,
+        |  md5(redacted) AS redacted_md5
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    "q55_stream_dedup" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

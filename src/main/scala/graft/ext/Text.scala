@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -96,4 +96,68 @@ object Text {
     */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  // ------------------------------------------------------------ TF-IDF
+
+  /** Smoothed IDF: ln((1 + N) / (1 + df)) + 1 — never negative, never
+    * divides by zero (the scikit-learn smoothing; public formula).
+    */
+  private def idf(dfCol: Column, nDocs: Column): Column =
+    log((lit(1.0) + nDocs) / (lit(1.0) + dfCol)) + lit(1.0)
+
+  /** Top-k TF-IDF terms per document — the standard keyword/topic
+    * surface for corpus exploration and quality filtering.
+    *
+    * Shape: explode lowercased tokens (map-side), tf = one keyed
+    * aggregation on (doc, term), df = one on term, N = a 1-row
+    * aggregate joined in via broadcast cross-join (never a driver
+    * `collect`), score join on term (AQE broadcasts the df side when
+    * small), then top-k per doc over a (doc)-partitioned rank window.
+    * Ranking compares the ROUNDED score with a term tie-break, so the
+    * ordering is reproducible across engines at any scale.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(trim(col(textCol))))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = toks.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * idf(col("df"), col("n_docs")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+  }
+
+  // ------------------------------------------------------ PII scrubbing
+
+  /** PII patterns for redaction, most-specific first. RE2-safe (no
+    * lookaround) so an oracle engine can mirror them; `\b` anchors are
+    * ASCII word boundaries in both Java regex and RE2.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "PHONE" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "SSN" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "IP" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Occurrences of one PII pattern. */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Text with every [[piiPatterns]] occurrence replaced by its
+    * `[TAG]` — a chained `regexp_replace`, fully codegen'd, applied in
+    * declaration order (email before phone/SSN so an address is never
+    * half-matched by a later number pattern).
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (tag, pattern)) =>
+      regexp_replace(acc, pattern, s"[$tag]")
+    }
 }

@@ -88,6 +88,49 @@ object TimeSeries {
       .select(col("key_a"), col("key_b"), col("cos_sim"), col("rank"))
   }
 
+  /** Regularize an event stream onto a fixed time grid with
+    * forward-fill — the resample step upstream of any model that wants
+    * evenly-spaced series (and the inverse of sessionization): per key,
+    * one row per `unit` bucket from the key's first to last event,
+    * carrying `filled_v` (last observed bucket average) across gaps.
+    *
+    * Shape: bucket-aggregate (one keyed shuffle), per-key span
+    * (map-side partial → same shuffle key), grid via `sequence` +
+    * `explode` (map-side — the grid never materializes on the driver),
+    * left join back on (key, bucket), then ONE window pass per key for
+    * the forward fill. `last(_, ignoreNulls = true)` over an
+    * unbounded-preceding frame is the codegen'd forward-fill idiom.
+    * Grid size is bounded by span/unit per key — at 100 TB the grid is
+    * still tiny relative to the events that produced it.
+    *
+    * `filled_v` is never null: a key's first grid bucket is its first
+    * observed bucket by construction.
+    */
+  def resampleFill(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      unit: String = "hour"): DataFrame = {
+    val b = events
+      .select(col(keyCol).as("key"), date_trunc(unit, col(tsCol)).as("bucket"),
+        col(valueCol).as("v"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(round(avg(col("v")), 4).as("avg_v"), count(lit(1)).as("n_events"))
+    val grid = b.groupBy(col("key"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("key"),
+        explode(sequence(col("b0"), col("b1"), expr(s"interval 1 $unit")))
+          .as("bucket"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        last(col("avg_v"), ignoreNulls = true).over(w).as("filled_v"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("is_gap"))
+  }
+
   /** Gap-based sessionization with Spark's native `session_window`
     * (merge while the gap to the previous event is < `gap`): per-key
     * session stats. The oracle cross-validates these semantics against

@@ -123,6 +123,44 @@ object Jobs {
     spark.read.schema(windowedSchema).parquet(outPath)
   }
 
+  /** Streaming exact dedup with `dropDuplicatesWithinWatermark` — the
+    * production streaming-dedup operator: keeps first-seen per key with
+    * per-key state that the watermark EXPIRES (event time + `lateness`),
+    * so state is bounded by the lateness horizon instead of growing
+    * forever like plain `dropDuplicates` on a stream. Exercised over a
+    * multi-file source (`maxFilesPerTrigger = 1`) so duplicate copies
+    * arriving in LATER micro-batches hit cross-batch state, not
+    * batch-local dedup.
+    *
+    * With `lateness` covering the input's full event-time span, no
+    * record is late and no state expires mid-run, so the result is
+    * exactly batch `dropDuplicates(keyCols)` — the deterministic
+    * contract the oracle checks. Shorter lateness trades that equality
+    * for bounded state: duplicates farther apart than the horizon pass
+    * through (the documented at-least-once residue every large-scale
+    * dedup accepts).
+    */
+  def runDedupStream(
+      spark: SparkSession,
+      inputDir: String,
+      lateness: String,
+      keyCols: Seq[String] = Seq("event_id")): DataFrame = {
+    val schema = graft.schema.Schemas.events
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+    val deduped = stream.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+    val name = s"graft_stream_dedup_${streamId.incrementAndGet()}"
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** O-56 as a stream: key-value upsert sink — each micro-batch keeps
     * its latest record per key (event-time max), then merges into the
     * keyed table with last-write-wins (DynamoDB `put_item` semantics,

@@ -317,4 +317,58 @@ class ExtSpec extends SparkSpec {
     assert(f1.features.toSeq == f2.features.toSeq)
     assert(math.abs(f1.features.sum - 1.0f) < 1e-6)
   }
+
+  // ------------------------------------------------- resample / tfidf / pii
+
+  test("resampleFill: gaps filled forward, first bucket observed, counts kept") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 4.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:40:00"), 6.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 13:30:00"), 9.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0)
+    ).toDF("k", "ts", "v")
+    val r = TimeSeries.resampleFill(ev, "k", "ts", "v", "hour")
+      .orderBy(col("key"), col("bucket"))
+      .select(col("key"), col("bucket").cast("string"), col("filled_v"),
+        col("n_events"), col("is_gap"))
+      .as[(Long, String, Double, Long, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, "2024-01-01 10:00:00", 5.0, 2L, false), // avg(4,6)
+      (1L, "2024-01-01 11:00:00", 5.0, 0L, true),  // gap → carried
+      (1L, "2024-01-01 12:00:00", 5.0, 0L, true),
+      (1L, "2024-01-01 13:00:00", 9.0, 1L, false),
+      (2L, "2024-01-01 00:00:00", 1.0, 1L, false))) // single-bucket key
+  }
+
+  test("tfidfTopTerms: common terms score below rare ones; rank ties by term") {
+    // 'shared' is in all 3 docs (min idf); 'rare' only in d1
+    val docs = Seq(
+      (1L, "rare shared shared"),
+      (2L, "shared other"),
+      (3L, "shared thing")).toDF("doc_id", "text")
+    val r = Text.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy(col("rank"))
+      .as[(Long, String, Double, Int)].collect().toSeq
+    // d1: tf(shared)=2 idf=ln(4/4)+1=1 → 2.0; tf(rare)=1 idf=ln(4/2)+1≈1.693
+    assert(r.map(_._2) == Seq("shared", "rare"))
+    assert(r.head._3 == 2.0)
+    assert(math.abs(r(1)._3 - (math.log(2.0) + 1.0)) < 1e-6)
+  }
+
+  test("redactPii replaces every pattern; counts match occurrences") {
+    val df = Seq(Tuple1(
+      "mail a.b+c@x.co.uk or call 555-123-4567, ssn 111-22-3333, host 10.0.0.1 end"
+    )).toDF("text")
+    val pats = Text.piiPatterns.toMap
+    val r = df.select(
+      Text.redactPii(col("text")).as("red"),
+      Text.piiCount(col("text"), pats("EMAIL")).as("ne"),
+      Text.piiCount(col("text"), pats("PHONE")).as("np"),
+      Text.piiCount(col("text"), pats("SSN")).as("ns"),
+      Text.piiCount(col("text"), pats("IP")).as("ni")).head()
+    assert(r.getAs[String]("red") ==
+      "mail [EMAIL] or call [PHONE], ssn [SSN], host [IP] end")
+    assert((r.getAs[Int]("ne"), r.getAs[Int]("np"), r.getAs[Int]("ns"),
+      r.getAs[Int]("ni")) == ((1, 1, 1, 1)))
+  }
 }

@@ -141,6 +141,31 @@ class StreamSpec extends SparkSpec {
     assert(kv == Map(7L -> 4L, 8L -> 3L, 9L -> 5L))
   }
 
+  test("streaming dedup drops duplicates within AND across micro-batches") {
+    val tmp = Files.createTempDirectory("graft-dedupstream").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val e1 = (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 10.0, "{}")
+    val e2 = (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "click", 20.0, "{}")
+    val e3 = (3L, Timestamp.valueOf("2024-01-01 10:30:00"), 8L, "view", 30.0, "{}")
+    // file 0: e1 twice (batch-local dup) + e2; file 1: e2 again
+    // (cross-batch dup) + e3 — strictly increasing mod times so batches
+    // process oldest-first like q55's replay
+    val t0 = System.currentTimeMillis() - 60000
+    Seq(Seq(e1, e1, e2), Seq(e2, e3)).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val out = Jobs.runDedupStream(spark, in, lateness = "1 day")
+      .select("event_id").as[Long].collect().toSeq.sorted
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
   test("streaming validation equals batch validation on the same data") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val expected = Validate.annotate(batch, Jobs.eventRules)
