@@ -1203,6 +1203,41 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** CUBE over (returnflag, linestatus) — completes the grouping-sets
+    * family next to q30's ROLLUP, with `grouping_id` disambiguating
+    * aggregate-null from data-null rows (both engines use the same
+    * first-column-is-MSB bitmask convention).
+    */
+  def q56Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Sequential conversion funnel view → click → purchase with a 24 h
+    * step deadline — the testdata's per-user event streams produce a
+    * real drop-off (every user views; only those with a click within a
+    * day of their first view, then a purchase within a day of that
+    * click, survive).
+    */
+  def q57Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.funnel(Tables.events(spark, dir),
+      "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), deadline = "24 hours")
+      .orderBy(col("step"))
+
+  /** Weekly cohort retention over high-value activity (value > 200):
+    * the threshold staggers first-seen weeks so the cohort matrix has
+    * real shape (unfiltered, every user is first seen in week one).
+    */
+  def q58CohortRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.cohortRetention(
+      Tables.events(spark, dir).filter(col("value") > 200),
+      "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1258,6 +1293,9 @@ object SparkEntry {
     "q53_tfidf_terms" -> (q53TfidfTopTerms _),
     "q54_pii_redact" -> (q54PiiRedact _),
     "q55_stream_dedup" -> (q55StreamDedup _),
+    "q56_cube" -> (q56Cube _),
+    "q57_funnel" -> (q57Funnel _),
+    "q58_cohort_retention" -> (q58CohortRetention _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1794,6 +1832,51 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q56_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q57_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t0
+        |    AND e.ts <= v.t0 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        |    AND e.ts <= c.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |counts AS (SELECT (SELECT count(*) FROM v) AS nv,
+        |                  (SELECT count(*) FROM c) AS nc,
+        |                  (SELECT count(*) FROM p) AS np)
+        |SELECT 1 AS step, 'view' AS stage, CAST(nv AS BIGINT) AS n_users,
+        |       1.0 AS conversion FROM counts
+        |UNION ALL SELECT 2, 'click', CAST(nc AS BIGINT),
+        |       round(nc * 1.0 / nv, 4) FROM counts
+        |UNION ALL SELECT 3, 'purchase', CAST(np AS BIGINT),
+        |       round(np * 1.0 / nc, 4) FROM counts
+        |ORDER BY step""".stripMargin,
+
+    "q58_cohort_retention" ->
+      """WITH hv AS (SELECT user_id, ts FROM events WHERE value > 200),
+        |f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |      FROM hv GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT h.user_id, f.cw,
+        |         CAST(date_diff('day', f.cw, date_trunc('week', h.ts)) / 7 AS INT)
+        |           AS week_offset
+        |  FROM hv h JOIN f USING (user_id))
+        |SELECT CAST(cw AS DATE) AS cohort_week, week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

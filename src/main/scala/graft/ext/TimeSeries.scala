@@ -131,6 +131,69 @@ object TimeSeries {
         col("n_events").isNull.as("is_gap"))
   }
 
+  /** Sequential funnel: for each stage after the first, a user
+    * converts iff they have a stage event STRICTLY after their
+    * previous-stage conversion time and within `deadline` of it; the
+    * conversion time is the earliest such event. Emits one row per
+    * stage with the surviving user count and the step conversion rate.
+    *
+    * Shape: stage 1 is one keyed aggregation; each later stage is a
+    * join (events ⋈ previous-stage times, both keyed on the user —
+    * co-partitioned shuffles) followed by a keyed min. Stage counts
+    * are 1-row aggregates combined with broadcast cross-joins — no
+    * driver-side `.count()` loop, the whole funnel is one lazy plan.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String],
+      deadline: String): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(userCol).as("user"), col(tsCol).as("ts"),
+      col(typeCol).as("etype"))
+    var stage = ev.filter(col("etype") === stages.head)
+      .groupBy(col("user")).agg(min(col("ts")).as("t"))
+    val counts = scala.collection.mutable.ArrayBuffer(
+      stage.agg(count(lit(1)).as("n0")))
+    stages.zipWithIndex.drop(1).foreach { case (s, i) =>
+      stage = ev.filter(col("etype") === s)
+        .join(stage.select(col("user"), col("t").as("t_prev")), "user")
+        .filter(col("ts") > col("t_prev") &&
+          col("ts") <= col("t_prev") + expr(s"interval $deadline"))
+        .groupBy(col("user")).agg(min(col("ts")).as("t"))
+      counts += stage.agg(count(lit(1)).as(s"n$i"))
+    }
+    val wide = counts.reduce(_.crossJoin(_))
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      struct(
+        lit(i + 1).as("step"), lit(s).as("stage"), col(s"n$i").as("n_users"),
+        (if (i == 0) lit(1.0)
+         else round(col(s"n$i") / col(s"n${i - 1}"), 4)).as("conversion"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event, counted as active in each later week they appear
+    * (week_offset 0 = the cohort week itself). Two keyed shuffles
+    * (first-seen agg + the activity join, both on the user) and one
+    * final small aggregation; the single `countDistinct` compiles to a
+    * partial-distinct aggregate, not an Expand.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ev = events.select(col(userCol).as("user"), col(tsCol).as("ts"))
+    val first = ev.groupBy(col("user"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_ts"))
+    ev.join(first, "user")
+      .select(col("user"), col("cohort_ts"),
+        (datediff(to_date(date_trunc("week", col("ts"))), to_date(col("cohort_ts")))
+          / lit(7)).cast("int").as("week_offset"))
+      .groupBy(to_date(col("cohort_ts")).as("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user")).as("n_active"))
+  }
+
   /** Gap-based sessionization with Spark's native `session_window`
     * (merge while the gap to the previous event is < `gap`): per-key
     * session stats. The oracle cross-validates these semantics against

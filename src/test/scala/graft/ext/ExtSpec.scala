@@ -355,6 +355,47 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r(1)._3 - (math.log(2.0) + 1.0)) < 1e-6)
   }
 
+  test("funnel: strictly-after ordering and the step deadline both gate conversion") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 converts fully: view 10:00 → click 11:00 → buy 12:00
+      (1L, t("2024-01-01 10:00:00"), "view"), (1L, t("2024-01-01 11:00:00"), "click"),
+      (1L, t("2024-01-01 12:00:00"), "buy"),
+      // u2: click BEFORE first view → not a conversion
+      (2L, t("2024-01-01 09:00:00"), "click"), (2L, t("2024-01-01 10:00:00"), "view"),
+      // u3: click past the 2 h deadline
+      (3L, t("2024-01-01 10:00:00"), "view"), (3L, t("2024-01-01 13:00:00"), "click"),
+      // u4: converts step 2 at the deadline boundary (<=), never buys
+      (4L, t("2024-01-01 10:00:00"), "view"), (4L, t("2024-01-01 12:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val r = TimeSeries.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "buy"), "2 hours")
+      .orderBy(col("step"))
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (1, "view", 4L, 1.0), (2, "click", 2L, 0.5), (3, "buy", 1L, 0.5)))
+  }
+
+  test("cohortRetention: offsets count distinct users from their first-seen week") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 first seen week of Mon 2024-01-01; active weeks 0 and 2
+      (1L, t("2024-01-03 10:00:00")), (1L, t("2024-01-16 10:00:00")),
+      // u2 same cohort, active week 0 only (two events, counted once)
+      (2L, t("2024-01-05 10:00:00")), (2L, t("2024-01-06 10:00:00")),
+      // u3 cohort of Mon 2024-01-08; second event lands on the NEXT
+      // Monday boundary (Jan 14 23:59 would still be week 0)
+      (3L, t("2024-01-08 00:00:00")), (3L, t("2024-01-15 00:00:00"))
+    ).toDF("user_id", "ts")
+    val r = TimeSeries.cohortRetention(ev, "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_active"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(r == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
+
   test("redactPii replaces every pattern; counts match occurrences") {
     val df = Seq(Tuple1(
       "mail a.b+c@x.co.uk or call 555-123-4567, ssn 111-22-3333, host 10.0.0.1 end"
