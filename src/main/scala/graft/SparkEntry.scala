@@ -1238,6 +1238,29 @@ object SparkEntry {
       "user_id", "ts")
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  /** SCD Type 2: each customer's order-priority history compressed
+    * into versioned rows (valid_from / valid_to / version /
+    * is_current) — one key-partitioned sort carries the lag
+    * change-detection, the version numbers and the lead validity
+    * close-out. Bounded to o_custkey < 200 for a stable row count
+    * across SFs.
+    */
+  def q59Scd2(spark: SparkSession, dir: String): DataFrame =
+    Star.scd2(
+      Tables.orders(spark, dir).filter(col("o_custkey") < 200)
+        .withColumn("o_orderdate", col("o_orderdate").cast(DateType)),
+      keyCol = "o_custkey", attrCol = "o_orderpriority",
+      effectiveCol = "o_orderdate", tieBreaks = Seq("o_orderkey"))
+      .orderBy(col("o_custkey"), col("version"))
+
+  /** Robust outlier profile per event type: median, MAD, and the
+    * |x − med| > 3·MAD count — the heavy-tail-safe DQ rule beside
+    * q04's mean/stddev profile.
+    */
+  def q60MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    Analyzers.robustOutlierStats(Tables.events(spark, dir), "event_type", "value", 3.0)
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1296,6 +1319,8 @@ object SparkEntry {
     "q56_cube" -> (q56Cube _),
     "q57_funnel" -> (q57Funnel _),
     "q58_cohort_retention" -> (q58CohortRetention _),
+    "q59_scd2" -> (q59Scd2 _),
+    "q60_mad_outliers" -> (q60MadOutliers _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1877,6 +1902,49 @@ object SparkEntry {
         |SELECT CAST(cw AS DATE) AS cohort_week, week_offset,
         |       CAST(count(*) AS BIGINT) AS n_active
         |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q59_scd2" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE) AS eff,
+        |         o_orderkey
+        |  FROM orders WHERE o_custkey < 200),
+        |lagged AS (
+        |  SELECT *,
+        |         lag(o_orderpriority) OVER w AS prev_attr,
+        |         lag(eff) OVER w AS prev_eff
+        |  FROM ord
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY eff, o_orderkey)),
+        |changes AS (
+        |  SELECT o_custkey, o_orderpriority, eff, o_orderkey FROM lagged
+        |  WHERE prev_eff IS NULL OR o_orderpriority IS DISTINCT FROM prev_attr),
+        |versioned AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |         eff AS valid_from,
+        |         coalesce(lead(eff) OVER w2, DATE '9999-12-31') AS valid_to,
+        |         CAST(row_number() OVER w2 AS INT) AS version
+        |  FROM changes
+        |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY eff, o_orderkey))
+        |SELECT o_custkey, o_orderpriority, valid_from, valid_to, version,
+        |       valid_to = DATE '9999-12-31' AS is_current
+        |FROM versioned ORDER BY o_custkey, version""".stripMargin,
+
+    "q60_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, any_value(med) AS med, median(adev) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       round(any_value(m.med), 4) AS med,
+        |       round(any_value(m.mad), 4) AS mad
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

@@ -85,6 +85,37 @@ object Analyzers {
     * job via [[uniquenessFractions]]. No collects; output is a tiny
     * DataFrame.
     */
+  /** Robust per-group outlier profile: median / MAD (median absolute
+    * deviation) and the count of values farther than `k`·MAD from the
+    * group median — the standard heavy-tail-safe outlier rule (mean/
+    * stddev break down when the outliers themselves inflate the
+    * spread).
+    *
+    * Shape: two exact-median aggregations and a final count, all keyed
+    * on the group column; the tiny per-group stat frames ride back via
+    * AQE-chosen broadcast joins, so the detail rows shuffle on the
+    * group key only. Exact medians are deliberate — this is the
+    * profiling path; a 100 TB monitoring loop swaps in the mergeable
+    * KLL sketch aggregate for the same rule shape.
+    */
+  def robustOutlierStats(
+      df: DataFrame, groupCol: String, valueCol: String, k: Double): DataFrame = {
+    val med = df.groupBy(col(groupCol)).agg(median(col(valueCol)).as("med"))
+    val withDev = df.select(col(groupCol), col(valueCol))
+      .join(med, groupCol)
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(first(col("med")).as("med"), median(col("adev")).as("mad"))
+    withDev.drop("med")
+      .join(mad, groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"))
+  }
+
   def run(df: DataFrame, metrics: Seq[Metric], uniquenessCols: Seq[String] = Nil): DataFrame = {
     val aggd = df.agg(
       metrics.head.agg.as("m0"),

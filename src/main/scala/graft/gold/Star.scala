@@ -67,4 +67,49 @@ object Star {
     */
   def starJoin(fact: DataFrame, dims: Seq[(DataFrame, Seq[String])]): DataFrame =
     dims.foldLeft(fact) { case (acc, (dim, keys)) => acc.join(broadcast(dim), keys) }
+
+  /** Slowly-changing dimension, Type 2: compress a change stream into
+    * versioned rows. Per key (ordered by `effectiveCol` + tie-breaks),
+    * a new version opens whenever the tracked attribute differs from
+    * the previous record (`lag`); `valid_from` is that record's
+    * effective date, `valid_to` the next version's (the open-ended
+    * `highDate` sentinel while current — the standard warehouse
+    * convention, which also keeps the output null-free), plus a
+    * 1-based version number and `is_current`.
+    *
+    * Shape: everything is windows over the SAME key partition —
+    * Catalyst plans one Exchange+Sort and stacks the lag, the
+    * change-filter, the version `row_number` and the `lead` on top of
+    * it. No join, no second shuffle; at 100 TB the cost is one
+    * key-partitioned sort, the minimum any versioning pass needs.
+    */
+  def scd2(
+      df: DataFrame,
+      keyCol: String,
+      attrCol: String,
+      effectiveCol: String,
+      tieBreaks: Seq[String] = Nil,
+      highDate: String = "9999-12-31"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(effectiveCol) +: tieBreaks.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val changes = df
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
+      .withColumn("prev_eff", lag(col(effectiveCol), 1).over(w))
+      // keep the first record per key (detected on the never-null
+      // effective column, so a null FIRST attribute is still a version)
+      // or any null-safe attribute change
+      .filter(col("prev_eff").isNull || !(col(attrCol) <=> col("prev_attr")))
+    val wv = Window.partitionBy(col(keyCol))
+      .orderBy(col(effectiveCol).asc +: tieBreaks.map(col(_).asc): _*)
+    val sentinel = to_date(lit(highDate))
+    changes
+      .withColumn("valid_from", col(effectiveCol))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(wv), sentinel))
+      .withColumn("version", row_number().over(wv))
+      .withColumn("is_current", col("valid_to") === sentinel)
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("version"), col("is_current"))
+  }
 }

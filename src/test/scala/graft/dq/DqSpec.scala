@@ -83,6 +83,16 @@ class DqSpec extends SparkSpec {
     assert(!passed.columns.contains("DataQualityEvaluationResult"))
   }
 
+  test("robustOutlierStats: MAD ignores the outlier the mean/stddev would absorb") {
+    // group g: values clustered at 10 ± 1 plus one wild point. median=10,
+    // adevs = {1,0,1,0,1,990} → mad=1; only the wild point exceeds 3*mad
+    val df = Seq(("g", 9.0), ("g", 10.0), ("g", 11.0), ("g", 10.0),
+      ("g", 9.0), ("g", 1000.0)).toDF("grp", "v")
+    val r = Analyzers.robustOutlierStats(df, "grp", "v", 3.0)
+      .as[(String, Long, Long, Double, Double)].head()
+    assert(r == (("g", 6L, 1L, 10.0, 1.0)))
+  }
+
   test("reference crypto ruleset gates like the reference's DQDL job") {
     // 60 clean unique coins → every rule passes (RowCount 50..150)
     val clean = (1 to 60).map(i => (s"coin_$i", s"c$i", s"name$i", i * 1.0, i * 1000000L))

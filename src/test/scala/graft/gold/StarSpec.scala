@@ -60,6 +60,29 @@ class StarSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("scd2 compresses runs, versions changes, closes validity with the high date") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val hist = Seq(
+      // key 1: A, A (run compressed), B, A again (reopens a version)
+      (1L, "A", d("2024-01-01"), 1L), (1L, "A", d("2024-01-05"), 2L),
+      (1L, "B", d("2024-02-01"), 3L), (1L, "A", d("2024-03-01"), 4L),
+      // key 2: null first attribute is still version 1
+      (2L, null.asInstanceOf[String], d("2024-01-10"), 5L),
+      (2L, "C", d("2024-01-20"), 6L)
+    ).toDF("k", "attr", "eff", "tie")
+    val out = Star.scd2(hist, "k", "attr", "eff", Seq("tie"))
+      .orderBy(col("k"), col("version"))
+      .select(col("k"), col("attr"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("version"), col("is_current"))
+      .as[(Long, String, String, String, Int, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "A", "2024-01-01", "2024-02-01", 1, false),
+      (1L, "B", "2024-02-01", "2024-03-01", 2, false),
+      (1L, "A", "2024-03-01", "9999-12-31", 3, true),
+      (2L, null, "2024-01-10", "2024-01-20", 1, false),
+      (2L, "C", "2024-01-20", "9999-12-31", 2, true)))
+  }
+
   test("starJoin broadcasts dims and joins on keys") {
     val fact = Seq((1, 10, 100.0), (2, 20, 200.0)).toDF("k1", "k2", "v")
     val d1 = Seq((1, "x"), (2, "y")).toDF("k1", "n1")
