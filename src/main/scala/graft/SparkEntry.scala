@@ -338,31 +338,47 @@ object SparkEntry {
     */
   def q18cWindowStreamSliding(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q18c").toString
-    val ev = Tables.events(spark, dir).select(
+    val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4)((i, s) => s(i))
+    Jobs.runWindowedStream(spark, in, s"$tmp/ckpt", s"$tmp/out",
+      lateness = "10 minutes", windowDuration = "1 hour", slide = Some("15 minutes"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  private def eventsForReplay(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
       col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"), col("props"))
+
+  /** Replay harness for the streaming queries: split `ev` into `n`
+    * contiguous event-time slices, write each as one parquet file with
+    * strictly increasing mod times (oldest first — so, with
+    * `maxFilesPerTrigger = 1`, micro-batches replay in event-time
+    * order and nothing arrives behind the watermark mid-run).
+    * `augment(i, slice)` builds slice `i`'s final content from the
+    * slice accessor — identity for plain replays, q55 injects
+    * duplicate copies. Returns the input dir for `readStream`.
+    */
+  private def writeEventSlices(ev: DataFrame, tmp: String, n: Int)(
+      augment: (Int, Int => DataFrame) => DataFrame): String = {
     val bounds = ev.agg(min(col("ts")).cast(LongType).as("lo"),
       max(col("ts")).cast(LongType).as("hi")).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1)) // epoch seconds
-    val cuts = (0 to 4).map(i => lo + (hi - lo) * i / 4)
-
+    val cuts = (0 to n).map(i => lo + (hi - lo) * i / n)
+    def slice(i: Int): DataFrame =
+      ev.filter(col("ts").cast(LongType) >= cuts(i))
+        .filter(if (i == n - 1) lit(true) else col("ts").cast(LongType) < cuts(i + 1))
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     val t0 = System.currentTimeMillis() - 600000
-    (0 until 4).foreach { i =>
-      val slice = ev.filter(col("ts").cast(LongType) >= cuts(i))
-        .filter(if (i == 3) lit(true) else col("ts").cast(LongType) < cuts(i + 1))
-      slice.coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+    (0 until n).foreach { i =>
+      augment(i, slice).coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
       val part = new java.io.File(s"$tmp/slice$i").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(s"$in/part-$i.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(t0 + i * 1000L)
     }
-
-    Jobs.runWindowedStream(spark, in, s"$tmp/ckpt", s"$tmp/out",
-      lateness = "10 minutes", windowDuration = "1 hour", slide = Some("15 minutes"))
-      .orderBy(col("window_start"), col("event_type"))
+    in
   }
 
   /** O-59/O-61: the same validation executed as a REAL Structured
@@ -1170,33 +1186,12 @@ object SparkEntry {
     */
   def q55StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q55").toString
-    val ev = Tables.events(spark, dir).select(
-      col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), col("value"), col("props"))
-    val bounds = ev.agg(min(col("ts")).cast(LongType).as("lo"),
-      max(col("ts")).cast(LongType).as("hi")).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val cuts = (0 to 4).map(i => lo + (hi - lo) * i / 4)
-    def slice(i: Int): DataFrame =
-      ev.filter(col("ts").cast(LongType) >= cuts(i))
-        .filter(if (i == 3) lit(true) else col("ts").cast(LongType) < cuts(i + 1))
-
-    val in = s"$tmp/in"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    val t0 = System.currentTimeMillis() - 600000
-    (0 until 4).foreach { i =>
-      val withDups = slice(i)
+    val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4) { (i, slice) =>
+      slice(i)
         .union(slice(i).filter(col("event_id") % 3 === 0))
         .union(if (i == 0) slice(0).limit(0)
                else slice(i - 1).filter(col("event_id") % 5 === 0))
-      withDups.coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
-      val part = new java.io.File(s"$tmp/slice$i").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(s"$in/part-$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(t0 + i * 1000L)
     }
-
     graft.stream.Jobs.runDedupStream(spark, in, lateness = "40 days")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
@@ -1261,6 +1256,34 @@ object SparkEntry {
     Analyzers.robustOutlierStats(Tables.events(spark, dir), "event_type", "value", 3.0)
       .orderBy(col("event_type"))
 
+  /** Pivot with an EXPLICIT value list (no extra distinct job to
+    * discover columns — the form that scales): weekly value totals,
+    * one column per event type.
+    */
+  def q61Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("week", to_date(date_trunc("week", col("ts"))))
+      .groupBy(col("week"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 2))
+      .orderBy(col("week"))
+
+  /** Stream-stream interval join (click → purchase attribution within
+    * 1 h) over the four-slice replay — a REAL two-source streaming
+    * query with watermarks on both sides and a time-bounded join
+    * condition (state stays bounded in production). Lateness covers
+    * the replayed span, so the emitted pairs are exactly the batch
+    * interval join the oracle runs.
+    */
+  def q62StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q62").toString
+    val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4)((i, s) => s(i))
+    graft.stream.Jobs.runIntervalJoinStream(spark, in,
+      lateness = "40 days", maxGap = "1 hour")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1321,6 +1344,8 @@ object SparkEntry {
     "q58_cohort_retention" -> (q58CohortRetention _),
     "q59_scd2" -> (q59Scd2 _),
     "q60_mad_outliers" -> (q60MadOutliers _),
+    "q61_pivot" -> (q61Pivot _),
+    "q62_ss_join" -> (q62StreamStreamJoin _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1945,6 +1970,23 @@ object SparkEntry {
         |       round(any_value(m.mad), 4) AS mad
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "q61_pivot" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q62_ss_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

@@ -161,6 +161,51 @@ object Jobs {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: clicks joined to the SAME user's
+    * purchases landing in `(click_ts, click_ts + maxGap]` — the
+    * canonical attribution join, run as a real two-source streaming
+    * query. Both sides carry watermarks and the join condition bounds
+    * event time in BOTH directions, so Spark derives state watermarks
+    * and evicts buffered rows once no future match is possible — the
+    * property that keeps join state bounded on an unbounded stream.
+    *
+    * With `lateness` covering the whole replayed span, nothing evicts
+    * mid-run and the append-mode result is exactly the batch interval
+    * join — the oracle contract. Production uses the same code with a
+    * short lateness and bounded state.
+    */
+  def runIntervalJoinStream(
+      spark: SparkSession,
+      inputDir: String,
+      lateness: String,
+      maxGap: String): DataFrame = {
+    val schema = graft.schema.Schemas.events
+    def side(etype: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+        .filter(col("event_type") === etype)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, lateness)
+    val clicks = side("click", "click_id", "user_id", "click_ts")
+    val purchases = side("purchase", "purchase_id", "p_user", "purchase_ts")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $maxGap"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+    val name = s"graft_stream_ssjoin_${streamId.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** O-56 as a stream: key-value upsert sink — each micro-batch keeps
     * its latest record per key (event-time max), then merges into the
     * keyed table with last-write-wins (DynamoDB `put_item` semantics,

@@ -166,6 +166,35 @@ class StreamSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join matches within the gap, across batches") {
+    val tmp = Files.createTempDirectory("graft-ssjoin").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    // file 0: u7 clicks; file 1: u7 purchase 30 min later (cross-batch
+    // match), u7 purchase 2 h later (outside gap), u8 purchase with no
+    // click, and a u7 purchase BEFORE the click (wrong order)
+    val f0 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 09:00:00"), 7L, "purchase", 1.0, "{}"))
+    val f1 = Seq(
+      (3L, Timestamp.valueOf("2024-01-01 10:30:00"), 7L, "purchase", 1.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 12:30:00"), 7L, "purchase", 1.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 10:15:00"), 8L, "purchase", 1.0, "{}"))
+    val t0 = System.currentTimeMillis() - 60000
+    Seq(f0, f1).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val out = Jobs.runIntervalJoinStream(spark, in, lateness = "1 day", maxGap = "1 hour")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L)))
+  }
+
   test("streaming validation equals batch validation on the same data") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val expected = Validate.annotate(batch, Jobs.eventRules)
