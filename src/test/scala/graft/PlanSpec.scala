@@ -110,4 +110,31 @@ class PlanSpec extends SparkSpec {
     val p = plan("q28_anti_join")
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("scd2 operator costs exactly ONE shuffle (all windows share the key sort)") {
+    import org.apache.spark.sql.functions.col
+    // the operator itself, without q59's output orderBy (which adds the
+    // range-partition exchange any deterministic dump needs)
+    val p = graft.gold.Star.scd2(
+      Tables.orders(spark, dir)
+        .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+      "o_custkey", "o_orderpriority", "o_orderdate", Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size >= 2, p) // lag pass + lead/version pass
+  }
+
+  test("q53/q57: 1-row stat frames cross-join via BROADCAST, never CartesianProduct") {
+    Seq("q53_tfidf_terms", "q57_funnel").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q\n$p")
+    }
+  }
+
+  test("q52: resample grid join has no quadratic surface") {
+    val p = plan("q52_resample_fill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
