@@ -199,4 +199,33 @@ class PropertySpec extends SparkSpec {
       assert(pruned == expect, s"prune changed results: $pruned vs $expect")
     }
   }
+
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(30, for {
+        a <- Gen.choose(0L, 19L)
+        b <- Gen.choose(0L, 19L) if a != b
+      } yield (a, b))
+    (1 to 6).foreach { i =>
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(900L + i))
+      val got = graft.ext.Clusters
+        .connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val roots = parent.keys.map(v => v -> find(v)).toMap
+      val expect = roots.map { case (v, r) =>
+        v -> roots.collect { case (w, s) if s == r => w }.min
+      }
+      assert(got == expect, s"sample $i: $got vs $expect")
+    }
+  }
 }
