@@ -1284,6 +1284,33 @@ object SparkEntry {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** ntile decile profile — the remaining window-rank family member
+    * (row_number/rank/lag/lead are covered elsewhere). A global ntile
+    * is inherently a single-partition sort, so like q37's top-k the
+    * window input is BOUNDED first: TakeOrderedAndProject keeps the
+    * top 1000 orders, ntile runs over ≤ 1000 rows (partitioned on a
+    * non-foldable constant to keep WindowExec off the warning path).
+    * Unbounded decile profiles belong to the KLL sketch (q32c/q45),
+    * not to a global window. Tie-break on the unique key makes bucket
+    * boundaries engine-identical.
+    */
+  def q63NtileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(xxhash64(col("o_orderkey")), lit(1)))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    top
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("decile"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1346,6 +1373,7 @@ object SparkEntry {
     "q60_mad_outliers" -> (q60MadOutliers _),
     "q61_pivot" -> (q61Pivot _),
     "q62_ss_join" -> (q62StreamStreamJoin _),
+    "q63_ntile_deciles" -> (q63NtileDeciles _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1987,6 +2015,20 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "q63_ntile_deciles" ->
+      """WITH top AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000),
+        |d AS (
+        |  SELECT o_totalprice,
+        |         CAST(ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+        |           AS decile
+        |  FROM top)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(min(o_totalprice), 2) AS lo,
+        |       round(max(o_totalprice), 2) AS hi
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (
