@@ -1311,6 +1311,27 @@ object SparkEntry {
       .orderBy(col("decile"))
   }
 
+  /** Gaps-and-islands: each event opens a variable-length availability
+    * interval (5 + floor(value) mod 56 minutes); overlapping intervals
+    * merge per user into maximal islands, then per-user coverage
+    * stats. `floor` before the modulo keeps the double→int conversion
+    * engine-identical (DuckDB rounds bare casts, Spark truncates).
+    */
+  def q64IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("ts").as("s"),
+        expr("timestampadd(MINUTE, 5 + CAST(floor(value) AS BIGINT) % 56, ts)").as("e"))
+    graft.operators.Intervals.mergeIntervals(iv, "user_id", "s", "e")
+      .groupBy(col("key").as("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(unix_timestamp(col("interval_end")) - unix_timestamp(col("interval_start")))
+          .as("covered_sec"),
+        max(unix_timestamp(col("interval_end")) - unix_timestamp(col("interval_start")))
+          .as("longest_sec"))
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1374,6 +1395,7 @@ object SparkEntry {
     "q61_pivot" -> (q61Pivot _),
     "q62_ss_join" -> (q62StreamStreamJoin _),
     "q63_ntile_deciles" -> (q63NtileDeciles _),
+    "q64_interval_merge" -> (q64IntervalMerge _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2029,6 +2051,34 @@ object SparkEntry {
         |       round(min(o_totalprice), 2) AS lo,
         |       round(max(o_totalprice), 2) AS hi
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q64_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts AS s,
+        |         ts + to_minutes(5 + CAST(floor(value) AS BIGINT) % 56) AS e
+        |  FROM events WHERE user_id < 40),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_max_e
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |         sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(date_diff('second', i_start, i_end)) AS BIGINT)
+        |         AS covered_sec,
+        |       CAST(max(date_diff('second', i_start, i_end)) AS BIGINT)
+        |         AS longest_sec
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (
