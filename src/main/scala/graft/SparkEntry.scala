@@ -1332,6 +1332,19 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Weighted corpus sampling: 20 docs per language, inclusion odds
+    * proportional to a deterministic weight (1 + doc_id mod 5) — the
+    * Efraimidis–Spirakis key reproduced digit-for-digit in the oracle
+    * (13 md5 hex digits keep every step float-exact in both engines).
+    */
+  def q65WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.weightedSample(
+      Tables.documents(spark, dir).filter(col("doc_id") < 600)
+        .withColumn("weight", (lit(1) + col("doc_id") % 5).cast(DoubleType)),
+      "lang", "doc_id", "weight", k = 20)
+      .select(col("doc_id"), col("lang"), col("weight"))
+      .orderBy(col("lang"), col("doc_id"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1396,6 +1409,7 @@ object SparkEntry {
     "q62_ss_join" -> (q62StreamStreamJoin _),
     "q63_ntile_deciles" -> (q63NtileDeciles _),
     "q64_interval_merge" -> (q64IntervalMerge _),
+    "q65_weighted_sample" -> (q65WeightedSample _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2079,6 +2093,31 @@ object SparkEntry {
         |       CAST(max(date_diff('second', i_start, i_end)) AS BIGINT)
         |         AS longest_sec
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the ES uniform reconstructs Spark's conv(md5-prefix, 16, 10)
+    // positionally — 13 hex digits (52 bits), so every term, partial
+    // sum, and the final int→double value is exact in IEEE doubles on
+    // both engines
+    "q65_weighted_sample" -> {
+      val digitTerms = (1 to 13)
+        .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * power(16, ${13 - i})")
+        .mkString(" +\n           ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(1 + doc_id % 5 AS DOUBLE) AS weight,
+         |         md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents WHERE doc_id < 600),
+         |k AS (
+         |  SELECT doc_id, lang, weight,
+         |         ln((($digitTerms) + 1.0) / power(16, 13)) / weight AS es_key
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, lang, weight,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY es_key DESC, doc_id) AS rk
+         |  FROM k)
+         |SELECT doc_id, lang, weight FROM r WHERE rk <= 20
+         |ORDER BY lang, doc_id""".stripMargin
+    },
 
     "q37_heavy_hitters" ->
       """WITH c AS (

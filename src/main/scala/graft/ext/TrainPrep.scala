@@ -93,6 +93,36 @@ object TrainPrep {
       .drop("__rank")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement per group
+    * (Efraimidis–Spirakis A-ES, public algorithm): keep the `k` items
+    * with the largest `u^(1/w)` — equivalently the largest
+    * `ln(u) / w` — where `u ∈ (0, 1]` derives from md5(id) instead of
+    * an RNG. Inclusion probability scales with weight, and the sample
+    * is exactly reproducible across runs, shards, and engines — the
+    * corpus-mixing knob (domain up/down-sampling by quality or source
+    * weight) in a replayable pipeline.
+    *
+    * The uniform uses the first THIRTEEN md5 hex digits (52 bits):
+    * every intermediate value stays below 2^53, so the int→double
+    * conversion and the oracle's positional digit reconstruction are
+    * both EXACT — no float divergence in the ranking key. One window
+    * pass per group; a top-k heap aggregate replaces the full sort at
+    * extreme group sizes.
+    */
+  def weightedSample(
+      df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    val u = (h + lit(1.0)) / lit(math.pow(16.0, 13))
+    val esKey = log(u) / col(weightCol)
+    val w = Window.partitionBy(col(groupCol)).orderBy(esKey.desc, col(idCol).asc)
+    df.withColumn("__es_rank", row_number().over(w))
+      .filter(col("__es_rank") <= k)
+      .drop("__es_rank")
+  }
+
   /** Benchmark decontamination: flag every corpus document sharing at
     * least one word `n`-gram with any OTHER document of the benchmark
     * set — the standard eval-leakage check (n-gram collision against

@@ -88,4 +88,28 @@ class TrainPrepSpec extends SparkSpec {
     // the benchmark doc is never flagged against itself
     assert(flags == Map(1L -> true, 2L -> false, 100L -> false))
   }
+
+  test("weightedSample: deterministic, exact-k, and weight-biased") {
+    // 200 ids in one group: ids < 100 weight 10, ids >= 100 weight 0.1
+    val df = (0L until 200L).map(i =>
+      (i, "g", if (i < 100) 10.0 else 0.1)).toDF("id", "grp", "w")
+    val pick = TrainPrep.weightedSample(df, "grp", "id", "w", k = 40)
+    val ids = pick.select("id").as[Long].collect().toSet
+    assert(ids.size == 40)
+    // 100:1 weight ratio → the heavy half dominates the sample
+    assert(ids.count(_ < 100L) >= 35, s"heavy-weight count: ${ids.count(_ < 100L)}")
+    // same inputs → identical sample (RNG-free)
+    val again = TrainPrep.weightedSample(df, "grp", "id", "w", k = 40)
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+    // ES key sanity against a driver-side recomputation for a few ids
+    val keyOf = pick.select(col("id"),
+      org.apache.spark.sql.functions.conv(
+        substring(md5(col("id").cast("string")), 1, 13), 16, 10)
+        .cast("double").as("h"))
+      .as[(Long, Double)].collect().toMap
+    keyOf.foreach { case (_, h) =>
+      assert(h >= 0 && h < math.pow(16.0, 13) && h == math.floor(h))
+    }
+  }
 }
