@@ -1332,6 +1332,37 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** HLL sketch LIFECYCLE with the built-in DataSketches functions —
+    * the pattern a 100 TB incremental pipeline runs: sketch each
+    * partition once (`hll_sketch_agg` per week), STORE the binary
+    * sketches, merge them later (`hll_union_agg`) instead of
+    * re-scanning history. The weekly estimates and the merged-month
+    * estimate are checked against exact distinct counts (5% contract
+    * rows, q32b's pattern: the oracle recomputes the exact side and
+    * expects TRUE on every bound).
+    */
+  def q66HllLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("week", to_date(date_trunc("week", col("ts"))))
+    val weekly = ev.groupBy(col("week")).agg(
+      hll_sketch_agg(col("user_id")).as("sk"),
+      countDistinct(col("user_id")).as("exact_users"))
+    val merged = weekly.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"))
+    val exactTotal = ev.agg(countDistinct(col("user_id")).as("exact_total"))
+    val weeklyOk = weekly.select(
+      concat(lit("week_"), col("week").cast(StringType)).as("scope"),
+      col("exact_users").as("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+        <= col("exact_users") * 0.05).as("within_5pct"))
+    val totalOk = merged.crossJoin(exactTotal).select(
+      lit("total_merged").as("scope"),
+      col("exact_total").as("n_exact"),
+      (abs(col("est_total") - col("exact_total"))
+        <= col("exact_total") * 0.05).as("within_5pct"))
+    weeklyOk.unionByName(totalOk).orderBy(col("scope"))
+  }
+
   /** Weighted corpus sampling: 20 docs per language, inclusion odds
     * proportional to a deterministic weight (1 + doc_id mod 5) — the
     * Efraimidis–Spirakis key reproduced digit-for-digit in the oracle
@@ -1344,6 +1375,20 @@ object SparkEntry {
       "lang", "doc_id", "weight", k = 20)
       .select(col("doc_id"), col("lang"), col("weight"))
       .orderBy(col("lang"), col("doc_id"))
+
+  /** Z-order (Morton) values over (partkey, suppkey) buckets — the
+    * two-column data-skipping sort key, bit-for-bit reproduced in the
+    * oracle. The layout write itself (`Layout.zorderWrite`) is
+    * exercised in LayoutSpec; here the KEY (the part an engine must
+    * get exactly right) is in the hash-checked surface.
+    */
+  def q67Zorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        graft.ext.Layout.zValue(
+          col("l_partkey") % 1024, col("l_suppkey") % 1024, 10).as("zval"))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
 
   // ------------------------------------------------------------- maps
 
@@ -1410,6 +1455,8 @@ object SparkEntry {
     "q63_ntile_deciles" -> (q63NtileDeciles _),
     "q64_interval_merge" -> (q64IntervalMerge _),
     "q65_weighted_sample" -> (q65WeightedSample _),
+    "q66_hll_lifecycle" -> (q66HllLifecycle _),
+    "q67_zorder" -> (q67Zorder _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2117,6 +2164,33 @@ object SparkEntry {
          |  FROM k)
          |SELECT doc_id, lang, weight FROM r WHERE rk <= 20
          |ORDER BY lang, doc_id""".stripMargin
+    },
+
+    "q66_hll_lifecycle" ->
+      """WITH w AS (
+        |  SELECT 'week_' || CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR)
+        |           AS scope,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |         true AS within_5pct
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT 'total_merged' AS scope,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |         true AS within_5pct
+        |  FROM events)
+        |SELECT * FROM w UNION ALL SELECT * FROM t ORDER BY scope""".stripMargin,
+
+    "q67_zorder" -> {
+      val zTerms = (0 until 10).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b + 1}) | (((y >> $b) & 1) << ${2 * b})")
+        .mkString(" |\n        |        ")
+      s"""WITH src AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey,
+         |         l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+         |  FROM lineitem WHERE l_orderkey < 200)
+         |SELECT l_orderkey, l_partkey, l_suppkey,
+         |       ($zTerms) AS zval
+         |FROM src ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin
     },
 
     "q37_heavy_hitters" ->

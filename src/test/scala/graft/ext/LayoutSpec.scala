@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits: known Morton codes") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L))
+      .toDF("x", "y")
+    val got = df.select(Layout.zValue(col("x"), col("y"), 10).as("z"))
+      .as[Long].collect().toSeq
+    // morton(x→odd positions, y→even): (1,0)→2, (0,1)→1,
+    // (3,5)→ x bits {0,1}→{1,3}=2+8, y bits {0,2}→{0,4}=1+16 → 27
+    assert(got == Seq(0L, 2L, 1L, 27L, (1L << 20) - 1))
+  }
+
+  test("zorderWrite: each file covers a compact (x, y) rectangle") {
+    val n = 4096
+    val df = (0 until n).map { i =>
+      // deterministic scatter over a 64x64 grid
+      val x = (i * 2654435761L) % 64
+      val y = (i * 40503L) % 64
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.zorderWrite(df, "x", "y", bits = 6, numFiles = 8, path = s"$path/t")
+    val files = new java.io.File(s"$path/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size >= 4, s"expected several files, got ${files.size}")
+    val totalArea = 64.0 * 64.0
+    val areas = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+      (r.getLong(1) - r.getLong(0) + 1).toDouble * (r.getLong(3) - r.getLong(2) + 1)
+    }
+    // unsorted/row-major files would each span ~the whole grid
+    // (sum ≈ files × total); z-ordered files cover compact rectangles
+    assert(areas.sum < 0.5 * files.size * totalArea,
+      s"areas=$areas vs total=$totalArea")
+  }
+}
