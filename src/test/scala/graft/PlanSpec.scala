@@ -137,4 +137,30 @@ class PlanSpec extends SparkSpec {
     val p = plan("q52_resample_fill")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("AQE runtime bloom filter injects on the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // At 100 TB this fires by default: the application-side scan must
+    // exceed spark.sql...applicationSideScanSizeThreshold (10 GB). The
+    // test lowers the threshold to observe the plan shape at test scale
+    // — proving our declarative joins COMPOSE with runtime filtering
+    // (a hand-scheduled join would not get this for free).
+    val conf = spark.conf
+    val wanted = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = wanted.map { case (k, _) => k -> conf.getOption(k) }
+    wanted.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p)
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
