@@ -1390,6 +1390,14 @@ object SparkEntry {
           col("l_partkey") % 1024, col("l_suppkey") % 1024, 10).as("zval"))
       .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
 
+  /** Bigram LM quality scores (perplexity-style filter): every doc
+    * scored under the corpus-trained add-one-smoothed bigram model.
+    */
+  def q68BigramScores(spark: SparkSession, dir: String): DataFrame =
+    Text.bigramLogProbScores(
+      Tables.documents(spark, dir).filter(col("doc_id") < 600), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1457,6 +1465,7 @@ object SparkEntry {
     "q65_weighted_sample" -> (q65WeightedSample _),
     "q66_hll_lifecycle" -> (q66HllLifecycle _),
     "q67_zorder" -> (q67Zorder _),
+    "q68_bigram_scores" -> (q68BigramScores _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2192,6 +2201,29 @@ object SparkEntry {
          |       ($zTerms) AS zval
          |FROM src ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin
     },
+
+    "q68_bigram_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 600),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1]
+        |                 FOR i IN range(1, len(toks))]) AS bigram
+        |  FROM t),
+        |uni AS (SELECT unnest(toks) AS tok FROM t),
+        |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab FROM uni),
+        |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
+        |scored AS (
+        |  SELECT g.doc_id, ln((bc.cb + 1.0) / (uc.cu + v.vocab)) AS lp
+        |  FROM bg g
+        |  JOIN bc USING (bigram)
+        |  JOIN uc ON uc.tok = split_part(g.bigram, ' ', 1)
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(lp), 4) AS avg_lp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

@@ -135,6 +135,44 @@ object Text {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
 
+  // ----------------------------------------- n-gram language-model score
+
+  /** Corpus-trained bigram log-probability per document — the
+    * perplexity-style quality filter (CCNet-shape: score each doc
+    * under a model trained on the corpus itself; low scorers are
+    * boilerplate/garbled text). Add-one smoothing over the unigram
+    * vocabulary: lp(w1 w2) = ln((c(w1 w2) + 1) / (c(w1) + |V|)).
+    *
+    * Shape: bigram/unigram counts are two keyed aggregations; scoring
+    * re-joins the bigram stream against both count tables (bigger
+    * table sides shuffle once each; |V| rides in as a broadcast 1-row
+    * aggregate). At 100 TB the model tables get pruned to top-K
+    * n-grams first — same plan, smaller build sides. Docs with fewer
+    * than two tokens have no bigrams and drop out (mirrors the
+    * oracle's empty list-comprehension).
+    */
+  def bigramLogProbScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val all = docs
+      .select(col(idCol).as("doc_id"), tokens(lower(trim(col(textCol)))).as("toks"))
+    // the unigram model trains on EVERY doc; only bigram extraction
+    // needs ≥ 2 tokens (and Spark's sequence(1, 0) would DESCEND)
+    val base = all.filter(size(col("toks")) >= 2)
+    val bg = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .as("bigram"))
+    val uni = all.select(explode(col("toks")).as("tok"))
+    val uc = uni.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val v = uni.agg(countDistinct(col("tok")).cast("double").as("vocab"))
+    val bc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    bg.join(bc, "bigram")
+      .join(uc, split(col("bigram"), " ").getItem(0) === col("tok"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp", log((col("cb") + lit(1.0)) / (col("cu") + col("vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_lp"))
+  }
+
   // ------------------------------------------------------ PII scrubbing
 
   /** PII patterns for redaction, most-specific first. RE2-safe (no

@@ -396,6 +396,23 @@ class ExtSpec extends SparkSpec {
       ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
   }
 
+  test("bigramLogProbScores: add-one smoothing hand-checked; short docs drop") {
+    // corpus: d1 "a b a b", d2 "a b", d3 "x" (no bigrams → dropped)
+    // unigrams: a:3 b:3 x:1, |V|=3
+    // bigram counts: "a b":3, "b a":1
+    // lp(a b) = ln(4/6); lp(b a) = ln(2/6)
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val r = Text.bigramLogProbScores(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val lpAB = math.log(4.0 / 6.0)
+    val lpBA = math.log(2.0 / 6.0)
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(r.map(_._1) == Seq(1L, 2L)) // d3 has no bigrams
+    assert(r(0)._2 == 3L && r(0)._3 == r4((2 * lpAB + lpBA) / 3.0))
+    assert(r(1)._2 == 1L && r(1)._3 == r4(lpAB))
+  }
+
   test("redactPii replaces every pattern; counts match occurrences") {
     val df = Seq(Tuple1(
       "mail a.b+c@x.co.uk or call 555-123-4567, ssn 111-22-3333, host 10.0.0.1 end"
