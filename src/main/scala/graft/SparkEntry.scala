@@ -1192,7 +1192,10 @@ object SparkEntry {
         .union(if (i == 0) slice(0).limit(0)
                else slice(i - 1).filter(col("event_id") % 5 === 0))
     }
-    graft.stream.Jobs.runDedupStream(spark, in, lateness = "40 days")
+    // the replay is bounded → few state partitions (per-partition state
+    // commits are the dominant cost; a production stream sizes this up)
+    graft.stream.Jobs.runDedupStream(spark, in, lateness = "40 days",
+      stateShufflePartitions = Some(8))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("event_type"))
@@ -1279,7 +1282,8 @@ object SparkEntry {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q62").toString
     val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4)((i, s) => s(i))
     graft.stream.Jobs.runIntervalJoinStream(spark, in,
-      lateness = "40 days", maxGap = "1 hour")
+      lateness = "40 days", maxGap = "1 hour",
+      stateShufflePartitions = Some(8))
       .select(col("user_id"), col("click_id"), col("purchase_id"))
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }

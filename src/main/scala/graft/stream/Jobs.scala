@@ -19,6 +19,26 @@ object Jobs {
 
   private val streamId = new AtomicInteger(0)
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily set —
+    * the state-store sizing knob for stateful streams: the partition
+    * count is recorded in the checkpoint at the FIRST micro-batch and
+    * cannot change afterwards, so streaming jobs size it to expected
+    * key cardinality up front (a fleet-scale job wants many state
+    * partitions; a bounded replay wants few — per-partition state
+    * commits are pure overhead beyond the key count). Restores the
+    * session value afterwards.
+    */
+  private def withShufflePartitions[T](
+      spark: SparkSession, n: Option[Int])(f: => T): T =
+    n match {
+      case None => f
+      case Some(p) =>
+        val key = "spark.sql.shuffle.partitions"
+        val old = spark.conf.get(key)
+        spark.conf.set(key, p.toString)
+        try f finally spark.conf.set(key, old)
+    }
+
   /** Validation rules for the `events` testdata stream, same shape as
     * the crypto consumer's (ref: streaming/consumer.py:47-57).
     */
@@ -144,22 +164,24 @@ object Jobs {
       spark: SparkSession,
       inputDir: String,
       lateness: String,
-      keyCols: Seq[String] = Seq("event_id")): DataFrame = {
-    val schema = graft.schema.Schemas.events
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inputDir)
-    val deduped = stream.withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark(keyCols)
-    val name = s"graft_stream_dedup_${streamId.incrementAndGet()}"
-    val q = deduped.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+      keyCols: Seq[String] = Seq("event_id"),
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, stateShufflePartitions) {
+      val schema = graft.schema.Schemas.events
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      val deduped = stream.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(keyCols)
+      val name = s"graft_stream_dedup_${streamId.incrementAndGet()}"
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 
   /** Stream-stream interval join: clicks joined to the SAME user's
     * purchases landing in `(click_ts, click_ts + maxGap]` — the
@@ -178,33 +200,35 @@ object Jobs {
       spark: SparkSession,
       inputDir: String,
       lateness: String,
-      maxGap: String): DataFrame = {
-    val schema = graft.schema.Schemas.events
-    def side(etype: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inputDir)
-        .filter(col("event_type") === etype)
-        .select(col("event_id").as(idAs), col("user_id").as(userAs),
-          col("ts").as(tsAs))
-        .withWatermark(tsAs, lateness)
-    val clicks = side("click", "click_id", "user_id", "click_ts")
-    val purchases = side("purchase", "purchase_id", "p_user", "purchase_ts")
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("purchase_ts") > col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"interval $maxGap"))
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
-        col("click_ts"), col("purchase_ts"))
-    val name = s"graft_stream_ssjoin_${streamId.incrementAndGet()}"
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+      maxGap: String,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, stateShufflePartitions) {
+      val schema = graft.schema.Schemas.events
+      def side(etype: String, idAs: String, userAs: String, tsAs: String) =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inputDir)
+          .filter(col("event_type") === etype)
+          .select(col("event_id").as(idAs), col("user_id").as(userAs),
+            col("ts").as(tsAs))
+          .withWatermark(tsAs, lateness)
+      val clicks = side("click", "click_id", "user_id", "click_ts")
+      val purchases = side("purchase", "purchase_id", "p_user", "purchase_ts")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"interval $maxGap"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"))
+      val name = s"graft_stream_ssjoin_${streamId.incrementAndGet()}"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 
   /** O-56 as a stream: key-value upsert sink — each micro-batch keeps
     * its latest record per key (event-time max), then merges into the
