@@ -1402,6 +1402,19 @@ object SparkEntry {
       Tables.documents(spark, dir).filter(col("doc_id") < 600), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Rolling z-score anomalies: each event against its own trailing
+    * 24-event window (min 12 observations) — bounded-frame window
+    * aggregates on one key sort; per-user anomaly counts.
+    */
+  def q69RollingZscore(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.rollingZScoreAnomalies(
+      Tables.events(spark, dir).filter(col("user_id") < 40),
+      "user_id", "ts", "value", "event_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy(col("user_id"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1470,6 +1483,7 @@ object SparkEntry {
     "q66_hll_lifecycle" -> (q66HllLifecycle _),
     "q67_zorder" -> (q67Zorder _),
     "q68_bigram_scores" -> (q68BigramScores _),
+    "q69_rolling_zscore" -> (q69RollingZscore _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2228,6 +2242,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       round(avg(lp), 4) AS avg_lp
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q69_rolling_zscore" ->
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |         avg(value) OVER win AS roll_mean,
+        |         stddev_samp(value) OVER win AS roll_std,
+        |         count(*) OVER win AS n_win
+        |  FROM events WHERE user_id < 40
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN n_win >= 12 AND roll_std > 0
+        |                      AND abs(value - roll_mean) > 3 * roll_std
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

@@ -194,6 +194,34 @@ object TimeSeries {
       .agg(countDistinct(col("user")).as("n_active"))
   }
 
+  /** Rolling z-score anomaly flags: each event scored against the
+    * mean/stddev of its own trailing window (`lookback` rows including
+    * itself) — the self-calibrating threshold that adapts to each
+    * key's local level, where a global threshold misfires on
+    * heterogeneous keys. Warm-up rows (fewer than `minObs` in the
+    * window) and zero-variance windows are never flagged.
+    *
+    * One key-partitioned sort carries all three bounded-frame window
+    * aggregates — bounded frames keep per-row cost O(1) amortized
+    * (Spark maintains the frame incrementally), so the pass is linear
+    * per key at any history length.
+    */
+  def rollingZScoreAnomalies(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tieBreakCol: String, lookback: Int = 24, minObs: Int = 12,
+      k: Double = 3.0): DataFrame = {
+    val win = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    events
+      .withColumn("roll_mean", avg(col(valueCol)).over(win))
+      .withColumn("roll_std", stddev_samp(col(valueCol)).over(win))
+      .withColumn("n_win", count(lit(1)).over(win))
+      .withColumn("is_anomaly",
+        col("n_win") >= minObs && col("roll_std") > 0 &&
+          abs(col(valueCol) - col("roll_mean")) > col("roll_std") * k)
+  }
+
   /** Gap-based sessionization with Spark's native `session_window`
     * (merge while the gap to the previous event is < `gap`): per-key
     * session stats. The oracle cross-validates these semantics against

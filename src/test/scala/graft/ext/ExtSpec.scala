@@ -413,6 +413,25 @@ class ExtSpec extends SparkSpec {
     assert(r(1)._2 == 1L && r(1)._3 == r4(lpAB))
   }
 
+  test("rollingZScoreAnomalies flags a planted spike, never warm-up rows") {
+    def t(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
+    // 30 calm events (alternating 9.5/10.5 → nonzero rolling std),
+    // then one 100.0 spike, then calm again
+    val rows = (0 until 30).map(i => (1L, t(i), i.toLong, if (i % 2 == 0) 9.5 else 10.5)) ++
+      Seq((1L, t(30), 30L, 100.0)) ++
+      (31 until 40).map(i => (1L, t(i), i.toLong, if (i % 2 == 0) 9.5 else 10.5))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val flagged = TimeSeries.rollingZScoreAnomalies(
+      df, "user_id", "ts", "value", "event_id", lookback = 24, minObs = 12)
+      .filter(col("is_anomaly")).select("event_id").as[Long].collect().toSet
+    assert(flagged == Set(30L), s"flagged: $flagged")
+    // with minObs above the series length nothing can ever be flagged
+    val none = TimeSeries.rollingZScoreAnomalies(
+      df, "user_id", "ts", "value", "event_id", lookback = 24, minObs = 100)
+      .filter(col("is_anomaly")).count()
+    assert(none == 0)
+  }
+
   test("redactPii replaces every pattern; counts match occurrences") {
     val df = Seq(Tuple1(
       "mail a.b+c@x.co.uk or call 555-123-4567, ssn 111-22-3333, host 10.0.0.1 end"
