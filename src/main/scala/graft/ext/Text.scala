@@ -173,6 +173,39 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_lp"))
   }
 
+  /** The 100 TB form of [[bigramLogProbScores]]: tokens hash once to
+    * 64 bits (`xxhash64`, codegen'd), bigram identity is an arithmetic
+    * mix of the two token hashes — so neither the count shuffles nor
+    * the scoring joins ever carry a string, only longs. Same model,
+    * same smoothing; equal output up to 64-bit hash collisions
+    * (P ≈ bigrams²/2⁶⁴ — negligible; parity-tested against the string
+    * form). Use the string form when an exact cross-engine oracle is
+    * needed, this one when the corpus is large.
+    */
+  def bigramLogProbScoresHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val all = docs.select(col(idCol).as("doc_id"),
+      transform(tokens(lower(trim(col(textCol)))), t => xxhash64(t)).as("tk"))
+    val base = all.filter(size(col("tk")) >= 2)
+    // pair identity via variadic xxhash64 over the two token hashes —
+    // codegen'd, and no wrapping arithmetic (ANSI mode rejects overflow)
+    val bg = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(
+          xxhash64(element_at(col("tk"), i), element_at(col("tk"), i + 1)).as("bk"),
+          element_at(col("tk"), i).as("w1k")))).as("p"))
+      .select(col("doc_id"), col("p.bk").as("bk"), col("p.w1k").as("w1k"))
+    val uni = all.select(explode(col("tk")).as("w1k"))
+    val uc = uni.groupBy(col("w1k")).agg(count(lit(1)).as("cu"))
+    val v = uni.agg(countDistinct(col("w1k")).cast("double").as("vocab"))
+    val bc = bg.groupBy(col("bk")).agg(count(lit(1)).as("cb"))
+    bg.join(bc, "bk")
+      .join(uc, "w1k")
+      .crossJoin(broadcast(v))
+      .withColumn("lp", log((col("cb") + lit(1.0)) / (col("cu") + col("vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_lp"))
+  }
+
   // ------------------------------------------------------ PII scrubbing
 
   /** PII patterns for redaction, most-specific first. RE2-safe (no

@@ -200,6 +200,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeIntervals matches a driver-side sweep; merging is idempotent") {
+    val ivGen: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(40, for {
+        k <- Gen.choose(1L, 3L)
+        s <- Gen.choose(0L, 500L)
+        len <- Gen.choose(1L, 80L)
+      } yield (k, s, s + len))
+    (1 to 5).foreach { i =>
+      val ivs = ivGen.pureApply(Gen.Parameters.default, Seed(700L + i))
+      val df = ivs.toDF("k", "s", "e")
+      val got = graft.operators.Intervals.mergeIntervals(df, "k", "s", "e")
+        .select("key", "interval_start", "interval_end")
+        .as[(Long, Long, Long)].collect().toSet
+      // reference: per-key sort + linear sweep
+      val expect = ivs.groupBy(_._1).flatMap { case (k, xs) =>
+        val sorted = xs.map(x => (x._2, x._3)).sorted
+        sorted.tail.foldLeft(List(sorted.head)) { case (acc @ (cs, ce) :: rest, (s, e)) =>
+          if (s > ce) (s, e) :: acc else (cs, math.max(ce, e)) :: rest
+        }.map { case (s, e) => (k, s, e) }
+      }.toSet
+      assert(got == expect, s"sample $i")
+      // idempotence: merging the merged islands changes nothing
+      val again = graft.operators.Intervals.mergeIntervals(
+        got.toSeq.toDF("k", "s", "e"), "k", "s", "e")
+        .select("key", "interval_start", "interval_end")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(again == got, s"sample $i not idempotent")
+    }
+  }
+
+  test("scd2: versions partition each key's timeline; count = change count") {
+    val histGen: Gen[List[(Long, String, Int)]] =
+      Gen.listOfN(30, for {
+        k <- Gen.choose(1L, 4L)
+        a <- Gen.oneOf("A", "B", "C")
+        d <- Gen.choose(1, 400)
+      } yield (k, a, d))
+    (1 to 5).foreach { i =>
+      val rows = histGen.pureApply(Gen.Parameters.default, Seed(800L + i))
+        .zipWithIndex
+        .map { case ((k, a, d), idx) =>
+          (k, a, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000L + d)),
+            idx.toLong)
+        }
+      val df = rows.toDF("k", "attr", "eff", "tie")
+      val out = Star.scd2(df, "k", "attr", "eff", Seq("tie"))
+        .select(col("k"), col("attr"), col("valid_from").cast("string"),
+          col("valid_to").cast("string"), col("version"), col("is_current"))
+        .as[(Long, String, String, String, Int, Boolean)].collect()
+        .groupBy(_._1)
+      rows.groupBy(_._1).foreach { case (k, xs) =>
+        val ordered = xs.sortBy(x => (x._3.toString, x._4))
+        val changes = 1 + ordered.sliding(2).count {
+          case Seq(a, b) => a._2 != b._2; case _ => false }
+        val vs = out(k).sortBy(_._5)
+        assert(vs.length == changes, s"sample $i key $k")
+        // exactly one current version, versions 1..n, ranges chain
+        assert(vs.count(_._6) == 1 && vs.last._6)
+        assert(vs.map(_._5).toSeq == (1 to changes))
+        vs.sliding(2).foreach {
+          case Array(a, b) => assert(a._4 == b._3, s"range chain broken: $a -> $b")
+          case _ => ()
+        }
+        assert(vs.last._4 == "9999-12-31")
+      }
+    }
+  }
+
   test("connectedComponents matches a driver-side union-find on random graphs") {
     val edgeGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(30, for {

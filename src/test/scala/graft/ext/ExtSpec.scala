@@ -432,6 +432,15 @@ class ExtSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("hashed bigram scoring path agrees with the string path") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s = Text.bigramLogProbScores(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, Long, Double)].collect().toSeq
+    val h = Text.bigramLogProbScoresHashed(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, Long, Double)].collect().toSeq
+    assert(s.nonEmpty && s == h)
+  }
+
   test("redactPii replaces every pattern; counts match occurrences") {
     val df = Seq(Tuple1(
       "mail a.b+c@x.co.uk or call 555-123-4567, ssn 111-22-3333, host 10.0.0.1 end"
