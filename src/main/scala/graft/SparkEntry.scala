@@ -403,6 +403,16 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_id"))
 
+  /** The SAME rising-edge semantics on `transformWithState` (typed
+    * named state, RocksDB state store) — Spark 4's current-generation
+    * arbitrary-state API beside q19b's `flatMapGroupsWithState`; same
+    * batch lag-window oracle.
+    */
+  def q19cStatefulTws(spark: SparkSession, dir: String): DataFrame =
+    graft.stream.Stateful.runRisingEdgeStreamTws(spark, dir, 200.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
   /** O-63: JSON payload parse with malformed-record routing. */
   def q20PropsJson(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -1442,6 +1452,7 @@ object SparkEntry {
     "q18c_window_stream" -> (q18cWindowStreamSliding _),
     "q19_stream_validate" -> (q19StreamValidate _),
     "q19b_stateful_edges" -> (q19bStatefulEdges _),
+    "q19c_stateful_tws" -> (q19cStatefulTws _),
     "q20_props_json" -> (q20PropsJson _),
     "q21_sim_topk" -> (q21SimTopK _),
     "q22_cosine_neardup" -> (q22CosineNearDup _),
@@ -2413,6 +2424,18 @@ object SparkEntry {
     "q19_stream_validate" -> validateEventsOracle,
 
     "q19b_stateful_edges" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |         lag(value) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id, value FROM w
+        |WHERE value > 200.0 AND (prev IS NULL OR prev <= 200.0)
+        |ORDER BY event_id""".stripMargin,
+
+    // same semantics, same oracle — q19c runs it on transformWithState
+    "q19c_stateful_tws" ->
       """WITH w AS (
         |  SELECT event_id, user_id, value,
         |         lag(value) OVER (

@@ -74,6 +74,74 @@ object Stateful {
     spark.table(name)
   }
 
+  /** [[risingEdgeAlerts]] re-expressed on `transformWithState` — the
+    * current-generation arbitrary-state API (SPIP in Spark 4): typed
+    * named state handles (`ValueState`) with per-state TTL instead of
+    * one opaque `GroupState` blob, timers, and a required RocksDB
+    * state store (incremental checkpointing, state larger than
+    * memory — the 100 TB state story). Same semantics as the
+    * `flatMapGroupsWithState` form: one boolean per key, emit only
+    * rising edges; q19c hash-checks it against the identical batch
+    * lag-window oracle as q19b.
+    */
+  private class RisingEdgeProcessor(threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedEvent, KeyedEvent] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var above: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      above = getHandle.getValueState[Boolean]("above",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[KeyedEvent] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var a = above.exists() && above.get()
+      val out = Seq.newBuilder[KeyedEvent]
+      sorted.foreach { e =>
+        val now = e.value > threshold
+        if (now && !a) out += e
+        a = now
+      }
+      above.update(a)
+      out.result().iterator
+    }
+  }
+
+  /** One AvailableNow pass of the `transformWithState` rising-edge
+    * processor (RocksDB state store — required by the API — scoped to
+    * this run and restored after).
+    */
+  def runRisingEdgeStreamTws(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = graft.Tables.eventsStream(spark, dir)
+        .selectExpr("event_id", "ts", "user_id", "value").as[KeyedEvent]
+      val alerts = typed
+        .groupByKey(_.user_id)
+        .transformWithState(new RisingEdgeProcessor(threshold),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val name = s"graft_stateful_tws_${streamId.incrementAndGet()}"
+      val q = alerts.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Streaming wrapper: memory-stream/file-source events → rising-edge
     * alerts into a memory sink table named `sinkName`.
     */

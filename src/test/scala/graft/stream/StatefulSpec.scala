@@ -57,4 +57,13 @@ class StatefulSpec extends SparkSpec {
       assert(alerts == Set(10L, 12L)) // two rising edges in time order
     } finally q.stop()
   }
+
+  test("transformWithState path emits the same edges as flatMapGroupsWithState") {
+    val dir = "/root/testdata/sf0.001"
+    val fmgws = Stateful.runRisingEdgeStream(spark, dir, 200.0)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val tws = Stateful.runRisingEdgeStreamTws(spark, dir, 200.0)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(fmgws.nonEmpty && tws == fmgws)
+  }
 }
