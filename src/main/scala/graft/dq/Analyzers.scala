@@ -78,13 +78,6 @@ object Analyzers {
       .agg((sum(when(col("__cnt") === 1, 1L).otherwise(0L)).cast("double") /
         sum(col("__cnt")).cast("double")).as("u"))
 
-  /** Run all single-pass metrics in one aggregation, then unpivot to the
-    * long metrics shape. `uniquenessCols` adds O-34 Uniqueness rows
-    * (fraction of rows whose value occurs exactly once — NOT
-    * countDistinct/count; SURVEY.md §7.4.3), all computed in ONE extra
-    * job via [[uniquenessFractions]]. No collects; output is a tiny
-    * DataFrame.
-    */
   /** Robust per-group outlier profile: median / MAD (median absolute
     * deviation) and the count of values farther than `k`·MAD from the
     * group median — the standard heavy-tail-safe outlier rule (mean/
@@ -116,6 +109,13 @@ object Analyzers {
         round(first(col("mad")), 4).as("mad"))
   }
 
+  /** Run all single-pass metrics in one aggregation, then unpivot to the
+    * long metrics shape. `uniquenessCols` adds O-34 Uniqueness rows
+    * (fraction of rows whose value occurs exactly once — NOT
+    * countDistinct/count; SURVEY.md §7.4.3), all computed in ONE extra
+    * job via [[uniquenessFractions]]. No collects; output is a tiny
+    * DataFrame.
+    */
   def run(df: DataFrame, metrics: Seq[Metric], uniquenessCols: Seq[String] = Nil): DataFrame = {
     val aggd = df.agg(
       metrics.head.agg.as("m0"),

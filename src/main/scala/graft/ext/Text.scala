@@ -157,16 +157,22 @@ object Text {
     // the unigram model trains on EVERY doc; only bigram extraction
     // needs ≥ 2 tokens (and Spark's sequence(1, 0) would DESCEND)
     val base = all.filter(size(col("toks")) >= 2)
+    // the first token rides beside the bigram (as in the hashed
+    // variant) so the unigram join keys on a plain column instead of
+    // re-splitting the bigram string per row
     val bg = base.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
-        .as("bigram"))
+        i => struct(
+          concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))
+            .as("bigram"),
+          element_at(col("toks"), i).as("tok")))).as("p"))
+      .select(col("doc_id"), col("p.bigram").as("bigram"), col("p.tok").as("tok"))
     val uni = all.select(explode(col("toks")).as("tok"))
     val uc = uni.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
     val v = uni.agg(countDistinct(col("tok")).cast("double").as("vocab"))
     val bc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
     bg.join(bc, "bigram")
-      .join(uc, split(col("bigram"), " ").getItem(0) === col("tok"))
+      .join(uc, "tok")
       .crossJoin(broadcast(v))
       .withColumn("lp", log((col("cb") + lit(1.0)) / (col("cu") + col("vocab"))))
       .groupBy(col("doc_id"))

@@ -34,7 +34,10 @@ object Stateful {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, it: Iterator[KeyedEvent], state: GroupState[Boolean]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // getTime alone is millisecond-truncated; getNanos carries the
+          // sub-ms part the µs-normalized event times (and the oracle's
+          // epoch_ns ordering) distinguish
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var above = state.getOption.getOrElse(false)
           val out = Seq.newBuilder[KeyedEvent]
           sorted.foreach { e =>
@@ -97,7 +100,8 @@ object Stateful {
         key: Long,
         rows: Iterator[KeyedEvent],
         timerValues: TimerValues): Iterator[KeyedEvent] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // ms + sub-ms nanos + id: matches the oracle's µs event-time order
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
       var a = above.exists() && above.get()
       val out = Seq.newBuilder[KeyedEvent]
       sorted.foreach { e =>

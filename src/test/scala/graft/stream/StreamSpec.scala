@@ -141,18 +141,19 @@ class StreamSpec extends SparkSpec {
     assert(kv == Map(7L -> 4L, 8L -> 3L, 9L -> 5L))
   }
 
-  test("streaming dedup drops duplicates within AND across micro-batches") {
-    val tmp = Files.createTempDirectory("graft-dedupstream").toString
+  /** One event-tuple micro-batch file per element of `slices`, written
+    * with strictly increasing mod times (the load-bearing trick:
+    * `maxFilesPerTrigger = 1` replays files in mod-time order, so
+    * batches process oldest-first like the driver queries' replays).
+    * Returns the input dir for `readStream`.
+    */
+  private def writeOrderedSlices(
+      tmp: String,
+      slices: Seq[Seq[(Long, Timestamp, Long, String, Double, String)]]): String = {
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    val e1 = (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 10.0, "{}")
-    val e2 = (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "click", 20.0, "{}")
-    val e3 = (3L, Timestamp.valueOf("2024-01-01 10:30:00"), 8L, "view", 30.0, "{}")
-    // file 0: e1 twice (batch-local dup) + e2; file 1: e2 again
-    // (cross-batch dup) + e3 — strictly increasing mod times so batches
-    // process oldest-first like q55's replay
     val t0 = System.currentTimeMillis() - 60000
-    Seq(Seq(e1, e1, e2), Seq(e2, e3)).zipWithIndex.foreach { case (rows, i) =>
+    slices.zipWithIndex.foreach { case (rows, i) =>
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
       val part = new java.io.File(s"$tmp/slice$i").listFiles()
@@ -161,6 +162,17 @@ class StreamSpec extends SparkSpec {
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(t0 + i * 1000L)
     }
+    in
+  }
+
+  test("streaming dedup drops duplicates within AND across micro-batches") {
+    val tmp = Files.createTempDirectory("graft-dedupstream").toString
+    val e1 = (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 10.0, "{}")
+    val e2 = (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "click", 20.0, "{}")
+    val e3 = (3L, Timestamp.valueOf("2024-01-01 10:30:00"), 8L, "view", 30.0, "{}")
+    // file 0: e1 twice (batch-local dup) + e2; file 1: e2 again
+    // (cross-batch dup) + e3
+    val in = writeOrderedSlices(tmp, Seq(Seq(e1, e1, e2), Seq(e2, e3)))
     val out = Jobs.runDedupStream(spark, in, lateness = "1 day")
       .select("event_id").as[Long].collect().toSeq.sorted
     assert(out == Seq(1L, 2L, 3L))
@@ -168,8 +180,6 @@ class StreamSpec extends SparkSpec {
 
   test("stream-stream interval join matches within the gap, across batches") {
     val tmp = Files.createTempDirectory("graft-ssjoin").toString
-    val in = s"$tmp/in"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     // file 0: u7 clicks; file 1: u7 purchase 30 min later (cross-batch
     // match), u7 purchase 2 h later (outside gap), u8 purchase with no
     // click, and a u7 purchase BEFORE the click (wrong order)
@@ -180,16 +190,7 @@ class StreamSpec extends SparkSpec {
       (3L, Timestamp.valueOf("2024-01-01 10:30:00"), 7L, "purchase", 1.0, "{}"),
       (4L, Timestamp.valueOf("2024-01-01 12:30:00"), 7L, "purchase", 1.0, "{}"),
       (5L, Timestamp.valueOf("2024-01-01 10:15:00"), 8L, "purchase", 1.0, "{}"))
-    val t0 = System.currentTimeMillis() - 60000
-    Seq(f0, f1).zipWithIndex.foreach { case (rows, i) =>
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
-      val part = new java.io.File(s"$tmp/slice$i").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(s"$in/part-$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(t0 + i * 1000L)
-    }
+    val in = writeOrderedSlices(tmp, Seq(f0, f1))
     val out = Jobs.runIntervalJoinStream(spark, in, lateness = "1 day", maxGap = "1 hour")
       .select("click_id", "purchase_id").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 3L)))
