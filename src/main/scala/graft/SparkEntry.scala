@@ -1425,6 +1425,22 @@ object SparkEntry {
         sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"))
       .orderBy(col("user_id"))
 
+  /** Streaming session windows over the four-slice replay: sessions
+    * merge across micro-batches in the state store and emit once the
+    * watermark passes their end — the q18c watermark contract applied
+    * to q35's session semantics; the oracle rebuilds sessions
+    * first-principles (lag + cumsum) and keeps those the final
+    * watermark closed.
+    */
+  def q70SessionStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q70").toString
+    val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4)((i, s) => s(i))
+    graft.stream.Jobs.runSessionStream(spark, in,
+      gap = "30 minutes", lateness = "10 minutes",
+      stateShufflePartitions = Some(8))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1495,6 +1511,7 @@ object SparkEntry {
     "q67_zorder" -> (q67Zorder _),
     "q68_bigram_scores" -> (q68BigramScores _),
     "q69_rolling_zscore" -> (q69RollingZscore _),
+    "q70_session_stream" -> (q70SessionStream _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2269,6 +2286,33 @@ object SparkEntry {
         |                      AND abs(value - roll_mean) > 3 * roll_std
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q70_session_stream" ->
+      """WITH wm AS (
+        |  SELECT max(make_timestamp(epoch_ns(ts) // 1000))
+        |           - INTERVAL 10 MINUTE AS w
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         CASE WHEN ts - lag(ts) OVER win >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |g AS (
+        |  SELECT user_id, sid,
+        |         min(ts) AS session_start,
+        |         max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         round(sum(value), 2) AS sum_value
+        |  FROM s GROUP BY 1, 2)
+        |SELECT session_start, session_end, user_id, n_events, sum_value
+        |FROM g WHERE session_end <= (SELECT w FROM wm)
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

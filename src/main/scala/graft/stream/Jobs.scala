@@ -230,6 +230,38 @@ object Jobs {
       spark.table(name)
     }
 
+  /** Watermarked streaming SESSION windows: gap-merged per-key
+    * sessions that may grow across micro-batches (the state store
+    * merges partial sessions when later events extend them) and emit
+    * in append mode only once the watermark passes the session end —
+    * the semantics q35 exercises in batch, run as a real stream.
+    */
+  def runSessionStream(
+      spark: SparkSession,
+      inputDir: String,
+      gap: String,
+      lateness: String,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, stateShufflePartitions) {
+      val schema = graft.schema.Schemas.events
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      val agg = stream.withWatermark("ts", lateness)
+        .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+          col("user_id"), col("n_events"), col("sum_value"))
+      val name = s"graft_stream_session_${streamId.incrementAndGet()}"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+
   /** O-56 as a stream: key-value upsert sink — each micro-batch keeps
     * its latest record per key (event-time max), then merges into the
     * keyed table with last-write-wins (DynamoDB `put_item` semantics,

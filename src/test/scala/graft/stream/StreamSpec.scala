@@ -196,6 +196,29 @@ class StreamSpec extends SparkSpec {
     assert(out == Seq((1L, 3L)))
   }
 
+  test("streaming session windows merge across batches, emit only closed sessions") {
+    val tmp = Files.createTempDirectory("graft-sessionstream").toString
+    // u7's session spans both files (10:00, 10:20 | 10:35) — one merged
+    // session [10:00, 11:05). u8 has a late session (12:50) whose end
+    // (13:20) is past the final watermark (13:00 - 10min = 12:50) → open,
+    // not emitted. The 13:00 event advances the watermark.
+    val f0 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:20:00"), 7L, "view", 2.0, "{}"))
+    val f1 = Seq(
+      (3L, Timestamp.valueOf("2024-01-01 10:35:00"), 7L, "view", 4.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 12:50:00"), 8L, "view", 8.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "view", 16.0, "{}"))
+    val in = writeOrderedSlices(tmp, Seq(f0, f1))
+    val out = Jobs.runSessionStream(spark, in, gap = "30 minutes", lateness = "10 minutes")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"), col("sum_value"))
+      .as[(Long, String, String, Long, Double)].collect().toSeq.sortBy(_._1)
+    // only u7's merged session closed (end 11:05 <= watermark 12:50)
+    assert(out == Seq(
+      (7L, "2024-01-01 10:00:00", "2024-01-01 11:05:00", 3L, 7.0)))
+  }
+
   test("streaming validation equals batch validation on the same data") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val expected = Validate.annotate(batch, Jobs.eventRules)
