@@ -1441,6 +1441,31 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Fuzzy entity matching: part names corrupted with a deterministic
+    * one-char deletion, re-matched to the clean catalog via
+    * deletion-neighborhood blocking (exact hash join on variants —
+    * never a quadratic fuzzy comparison). `self_found` is TRUE on
+    * every row — the recall contract lives inside the hash-checked
+    * output: every corrupted name recovers its own source among the
+    * candidates.
+    */
+  def q71FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val clean = Tables.part(spark, dir).filter(col("p_partkey") < 500)
+      .select(col("p_partkey"), col("p_name"))
+    val cut = (col("p_partkey") % length(col("p_name"))).cast(IntegerType)
+    val dirty = clean.select(col("p_partkey").as("dirty_key"),
+      concat(col("p_name").substr(lit(1), cut),
+        col("p_name").substr(cut + 2, length(col("p_name")) - cut - 1)).as("dirty"))
+    Dedup.deletionNeighborhoodMatch(
+      clean, "p_partkey", "p_name", dirty, "dirty_key", "dirty")
+      .groupBy(col("dirty_key"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(col("clean_key")).as("best_key"),
+        min(col("dist")).as("dist"),
+        bool_or(col("clean_key") === col("dirty_key")).as("self_found"))
+      .orderBy(col("dirty_key"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1512,6 +1537,7 @@ object SparkEntry {
     "q68_bigram_scores" -> (q68BigramScores _),
     "q69_rolling_zscore" -> (q69RollingZscore _),
     "q70_session_stream" -> (q70SessionStream _),
+    "q71_fuzzy_match" -> (q71FuzzyMatch _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2313,6 +2339,33 @@ object SparkEntry {
         |SELECT session_start, session_end, user_id, n_events, sum_value
         |FROM g WHERE session_end <= (SELECT w FROM wm)
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q71_fuzzy_match" ->
+      """WITH clean AS (
+        |  SELECT p_partkey AS clean_key, p_name AS name
+        |  FROM part WHERE p_partkey < 500),
+        |corrupted AS (
+        |  SELECT p_partkey AS dirty_key,
+        |         substr(p_name, 1, CAST(p_partkey % len(p_name) AS INT))
+        |           || substr(p_name, CAST(p_partkey % len(p_name) AS INT) + 2)
+        |           AS dirty
+        |  FROM part WHERE p_partkey < 500),
+        |dels AS (
+        |  SELECT clean_key, name,
+        |         unnest(list_concat([name],
+        |           [substr(name, 1, i - 1) || substr(name, i + 1)
+        |            FOR i IN range(1, len(name) + 1)])) AS variant
+        |  FROM clean),
+        |hits AS (
+        |  SELECT c.dirty_key, d.clean_key,
+        |         min(levenshtein(c.dirty, d.name)) AS dist
+        |  FROM corrupted c JOIN dels d ON c.dirty = d.variant
+        |  GROUP BY 1, 2)
+        |SELECT dirty_key, CAST(count(*) AS BIGINT) AS n_candidates,
+        |       min(clean_key) AS best_key,
+        |       CAST(min(dist) AS INT) AS dist,
+        |       bool_or(clean_key = dirty_key) AS self_found
+        |FROM hits GROUP BY dirty_key ORDER BY dirty_key""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

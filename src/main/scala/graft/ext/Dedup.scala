@@ -201,6 +201,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
 
+  /** Fuzzy entity matching by DELETION NEIGHBORHOODS (the SymSpell
+    * blocking idea — public algorithm): every clean name expands to
+    * itself plus its single-character deletions; a dirty string within
+    * one deletion of a clean name then matches on an EXACT hash join
+    * against that variant set — no quadratic fuzzy comparison, no
+    * per-pair edit-distance until after the block. `levenshtein`
+    * verifies the matched pairs (0 = exact, 1 = one deletion).
+    *
+    * Scale: variants cost O(names × avg_len) map-side rows into one
+    * keyed shuffle — the entity-resolution analogue of LSH banding.
+    * Covers one-deletion noise by construction; wider edit distances
+    * expand both sides' neighborhoods (same plan shape, more rows).
+    */
+  def deletionNeighborhoodMatch(
+      clean: DataFrame, cleanIdCol: String, cleanNameCol: String,
+      dirty: DataFrame, dirtyIdCol: String, dirtyNameCol: String): DataFrame = {
+    val name = col("name")
+    // alias in a separate select: referencing "name" in the same
+    // projection that defines it is a lateral column alias
+    val variants = clean
+      .select(col(cleanIdCol).as("clean_key"), col(cleanNameCol).as("name"))
+      .select(col("clean_key"), col("name"),
+        explode(transform(sequence(lit(0), length(name)), i =>
+          when(i === 0, name).otherwise(
+            concat(name.substr(lit(1), i - 1),
+              name.substr(i + 1, length(name) - i))))).as("variant"))
+    dirty
+      .select(col(dirtyIdCol).as("dirty_key"), col(dirtyNameCol).as("dirty"))
+      .join(variants, col("dirty") === col("variant"))
+      .groupBy(col("dirty_key"), col("clean_key"))
+      .agg(min(levenshtein(col("dirty"), col("name"))).as("dist"))
+  }
+
   /** SimHash (Charikar) fingerprint over token hashes, `bits` wide:
     * bit b is set iff the sum over tokens (multiset) of ±1 (token-hash
     * bit b) is positive. Near-dups have small Hamming distance. Token

@@ -441,6 +441,20 @@ class ExtSpec extends SparkSpec {
     assert(s.nonEmpty && s == h)
   }
 
+  test("deletionNeighborhoodMatch: exact dist 0, one-deletion dist 1, others absent") {
+    val clean = Seq((1L, "widget"), (2L, "gadget"), (3L, "sprocket"))
+      .toDF("id", "name")
+    val dirty = Seq(
+      (10L, "widget"),   // exact → matches 1 at dist 0
+      (11L, "wiget"),    // deletion of 'd' → matches 1 at dist 1
+      (12L, "gdget"),    // deletion of 'a' → matches 2 at dist 1
+      (13L, "rocket")    // 2 edits from sprocket → NO match
+    ).toDF("id", "name")
+    val got = Dedup.deletionNeighborhoodMatch(clean, "id", "name", dirty, "id", "name")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((10L, 1L, 0), (11L, 1L, 1), (12L, 2L, 1)))
+  }
+
   test("redactPii replaces every pattern; counts match occurrences") {
     val df = Seq(Tuple1(
       "mail a.b+c@x.co.uk or call 555-123-4567, ssn 111-22-3333, host 10.0.0.1 end"
