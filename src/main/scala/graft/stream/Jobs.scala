@@ -19,6 +19,24 @@ object Jobs {
 
   private val streamId = new AtomicInteger(0)
 
+  /** Shared verify-path mechanics: run `df` as one AvailableNow pass
+    * into a uniquely-named memory sink and return the collected table.
+    * The memory sink is the VERIFY surface only — production jobs use
+    * the parquet / foreachBatch runners with checkpoints.
+    */
+  private def runToMemorySink(
+      spark: SparkSession, df: DataFrame, namePrefix: String): DataFrame = {
+    val name = s"${namePrefix}_${streamId.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Run `f` with `spark.sql.shuffle.partitions` temporarily set —
     * the state-store sizing knob for stateful streams: the partition
     * count is recorded in the checkpoint at the FIRST micro-batch and
@@ -60,15 +78,7 @@ object Jobs {
     val stream = graft.Tables.eventsStream(spark, dir)
     val annotated = Validate.annotate(stream, eventRules)
       .withColumn("is_alert", eventAlert)
-    val name = s"graft_stream_validate_${streamId.incrementAndGet()}"
-    val q = annotated.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemorySink(spark, annotated, "graft_stream_validate")
   }
 
   /** Shared windowed-aggregation logic (15-min-style tumbling windows →
@@ -172,15 +182,7 @@ object Jobs {
         .option("maxFilesPerTrigger", "1").parquet(inputDir)
       val deduped = stream.withWatermark("ts", lateness)
         .dropDuplicatesWithinWatermark(keyCols)
-      val name = s"graft_stream_dedup_${streamId.incrementAndGet()}"
-      val q = deduped.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
+      runToMemorySink(spark, deduped, "graft_stream_dedup")
     }
 
   /** Stream-stream interval join: clicks joined to the SAME user's
@@ -219,15 +221,7 @@ object Jobs {
           col("purchase_ts") <= col("click_ts") + expr(s"interval $maxGap"))
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           col("click_ts"), col("purchase_ts"))
-      val name = s"graft_stream_ssjoin_${streamId.incrementAndGet()}"
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
+      runToMemorySink(spark, joined, "graft_stream_ssjoin")
     }
 
   /** Watermarked streaming SESSION windows: gap-merged per-key
@@ -251,15 +245,7 @@ object Jobs {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
         .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
           col("user_id"), col("n_events"), col("sum_value"))
-      val name = s"graft_stream_session_${streamId.incrementAndGet()}"
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
+      runToMemorySink(spark, agg, "graft_stream_session")
     }
 
   /** O-56 as a stream: key-value upsert sink — each micro-batch keeps
