@@ -1466,6 +1466,21 @@ object SparkEntry {
       .orderBy(col("dirty_key"))
   }
 
+  /** Stream-static enrichment: the events stream joined to a static
+    * user-tier dim (derived from customer keys, broadcast), aggregated
+    * per (tier, event_type). Stateless ⇒ identical to the batch join
+    * the oracle runs.
+    */
+  def q72StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"),
+        (col("c_custkey") % 3).cast(IntegerType).as("tier"))
+    graft.stream.Jobs.runEnrichStream(spark, dir, dim, Seq("user_id"))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("tier"), col("event_type"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1538,6 +1553,7 @@ object SparkEntry {
     "q69_rolling_zscore" -> (q69RollingZscore _),
     "q70_session_stream" -> (q70SessionStream _),
     "q71_fuzzy_match" -> (q71FuzzyMatch _),
+    "q72_stream_enrich" -> (q72StreamEnrich _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2366,6 +2382,13 @@ object SparkEntry {
         |       CAST(min(dist) AS INT) AS dist,
         |       bool_or(clean_key = dirty_key) AS self_found
         |FROM hits GROUP BY dirty_key ORDER BY dirty_key""".stripMargin,
+
+    "q72_stream_enrich" ->
+      """SELECT CAST(c_custkey % 3 AS INT) AS tier, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY tier, event_type""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

@@ -248,6 +248,23 @@ object Jobs {
       runToMemorySink(spark, agg, "graft_stream_session")
     }
 
+  /** Stream-static enrichment join: the event stream joined against a
+    * STATIC dimension frame (broadcast — the dim never shuffles the
+    * stream side, and Spark re-plans the static side per micro-batch,
+    * so slowly-refreshed dims pick up new snapshots between batches).
+    * Stateless ⇒ the streaming result equals the batch join, which is
+    * what the oracle checks.
+    */
+  def runEnrichStream(
+      spark: SparkSession,
+      dir: String,
+      dim: DataFrame,
+      joinCols: Seq[String]): DataFrame = {
+    val stream = graft.Tables.eventsStream(spark, dir)
+    val enriched = stream.join(broadcast(dim), joinCols)
+    runToMemorySink(spark, enriched, "graft_stream_enrich")
+  }
+
   /** O-56 as a stream: key-value upsert sink — each micro-batch keeps
     * its latest record per key (event-time max), then merges into the
     * keyed table with last-write-wins (DynamoDB `put_item` semantics,
