@@ -1481,6 +1481,88 @@ object SparkEntry {
       .orderBy(col("tier"), col("event_type"))
   }
 
+  /** Gopher-style repetition filters: per-doc distinct-token fraction,
+    * top-bigram occupancy, and duplicate-trigram occupancy, plus the
+    * keep/drop verdict — thresholds applied in exact integer
+    * arithmetic (cross-multiplication), fractions a single IEEE
+    * division each, so the whole filter policy hash-checks.
+    */
+  def q73RepetitionFilters(spark: SparkSession, dir: String): DataFrame =
+    Text.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast(DoubleType) / col("n_tokens")).as("distinct_frac"),
+        when(col("n_tokens") >= 2,
+          (col("top_bigram_cnt") * 2).cast(DoubleType) / col("n_tokens"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        when(col("n_tokens") >= 3,
+          col("dup_trigram_occ").cast(DoubleType) / (col("n_tokens") - 2))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"),
+        (col("n_distinct") * 10 > col("n_tokens") * 3 &&
+          col("top_bigram_cnt") * 20 <= col("n_tokens") * 2 &&
+          col("dup_trigram_occ") * 10 <= (col("n_tokens") - 2) * 3).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Overlapping context-window chunking (32-token chunks, stride 24):
+    * every chunk's token count and content md5 — chunk boundaries and
+    * payloads both hash-checked.
+    */
+  def q74ChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.chunkDocs(
+      Tables.documents(spark, dir), "doc_id", "text", chunkSize = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk_toks"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Salted skew join, forced onto sort-merge (the regime where salting
+    * matters — a broadcast join never skews): events fact salted by
+    * event id into 8 sub-keys, the 5-key type dim replicated 8×, then
+    * the per-type aggregate — identical to the plain join the oracle
+    * runs. PlanSpec pins the SMJ and the salt in the join keys.
+    */
+  def q75SaltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("w", length(col("event_type")))
+    graft.operators.SkewJoin.salted(
+      events.select(col("event_id"), col("event_type"), col("value")),
+      dim.hint("merge"), Seq("event_type"), col("event_id"), buckets = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("w_sum"),
+        round(sum(col("value") * col("w")), 2).as("weighted_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Asymmetric 3-gram containment pairs (near-superset detection) over
+    * the FULL document corpus: the inverted-index self-join form, both
+    * directions, threshold in exact integer arithmetic. Deliberately
+    * unbounded — the synthetic corpus has a tiny vocabulary (every
+    * shingle is a stop-shingle), so this is the op's worst case and
+    * still completes; real corpora have long-tail shingles and far
+    * sparser posting lists.
+    */
+  def q76ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+      Tables.documents(spark, dir),
+      "doc_id", "text", shingleSize = 3, minPct = 30)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("size_a"),
+        col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Per-dimension min-max standardization of the embedding corpus:
+    * exact corpus-wide stats (min/max have no accumulation order) +
+    * scaled values for a bounded sample — a FLOAT pipeline that
+    * hash-checks bit-for-bit, because every output is an exact
+    * aggregate or a single IEEE subtract/divide away from one.
+    */
+  def q77MinmaxScale(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.ext.Features.minMaxScaleRows(
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      graft.ext.Features.dimMinMax(emb, "embedding"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1554,6 +1636,11 @@ object SparkEntry {
     "q70_session_stream" -> (q70SessionStream _),
     "q71_fuzzy_match" -> (q71FuzzyMatch _),
     "q72_stream_enrich" -> (q72StreamEnrich _),
+    "q73_repetition_filters" -> (q73RepetitionFilters _),
+    "q74_chunk_docs" -> (q74ChunkDocs _),
+    "q75_salted_skew_join" -> (q75SaltedSkewJoin _),
+    "q76_containment_pairs" -> (q76ContainmentPairs _),
+    "q77_minmax_scale" -> (q77MinmaxScale _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2389,6 +2476,103 @@ object SparkEntry {
         |       round(sum(value), 2) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY tier, event_type""".stripMargin,
+
+    "q73_repetition_filters" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t),
+        |g AS (
+        |  SELECT doc_id, 2 AS k,
+        |         unnest([toks[i] || ' ' || toks[i+1]
+        |                 FOR i IN range(1, len(toks))]) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3,
+        |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                 FOR i IN range(1, len(toks) - 1)])
+        |  FROM t WHERE len(toks) >= 3),
+        |c AS (SELECT doc_id, k, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN k = 2 THEN c END) AS top_bi,
+        |         sum(CASE WHEN k = 3 AND c >= 2 THEN c ELSE 0 END) AS dup_tri
+        |  FROM c GROUP BY 1)
+        |SELECT b.doc_id AS doc_id, CAST(n AS INT) AS n_tokens,
+        |       CAST(nd AS DOUBLE) / n AS distinct_frac,
+        |       CASE WHEN n >= 2 THEN CAST(2 * coalesce(top_bi, 0) AS DOUBLE) / n
+        |            ELSE 0.0 END AS top_bigram_frac,
+        |       CASE WHEN n >= 3 THEN CAST(coalesce(dup_tri, 0) AS DOUBLE) / (n - 2)
+        |            ELSE 0.0 END AS dup_trigram_frac,
+        |       (nd * 10 > n * 3 AND coalesce(top_bi, 0) * 20 <= n * 2
+        |        AND coalesce(dup_tri, 0) * 10 <= (n - 2) * 3) AS keep
+        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q74_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(toks) <= 32 THEN 1
+        |              ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM n)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |       CAST(len(toks[chunk_id*24 + 1 : chunk_id*24 + 32]) AS INT)
+        |         AS n_chunk_tokens,
+        |       md5(array_to_string(toks[chunk_id*24 + 1 : chunk_id*24 + 32], ' '))
+        |         AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q75_salted_skew_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type, length(event_type) AS w FROM events)
+        |SELECT e.event_type AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(w) AS BIGINT) AS w_sum,
+        |       round(sum(e.value * d.w), 2) AS weighted_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q76_containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(
+        |           [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])) AS s
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS n_shared,
+        |       CAST(sz.sz AS BIGINT) AS size_a,
+        |       CAST(inter AS DOUBLE) / sz.sz AS containment
+        |FROM p JOIN sz ON p.id_a = sz.doc_id
+        |WHERE inter * 100 >= sz.sz * 30
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q77_minmax_scale" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |s AS (SELECT dim, min(v) AS vmin, max(v) AS vmax FROM x GROUP BY 1)
+        |SELECT x.vec_id AS vec_id, CAST(x.dim - 1 AS INT) AS dim,
+        |       CAST(x.v AS DOUBLE) AS v,
+        |       CAST(s.vmin AS DOUBLE) AS vmin, CAST(s.vmax AS DOUBLE) AS vmax,
+        |       (CAST(x.v AS DOUBLE) - CAST(s.vmin AS DOUBLE))
+        |         / (CAST(s.vmax AS DOUBLE) - CAST(s.vmin AS DOUBLE)) AS scaled
+        |FROM x JOIN s ON x.dim = s.dim
+        |WHERE x.vec_id < 20
+        |ORDER BY vec_id, dim""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

@@ -201,6 +201,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |S(A)∩S(B)| / |S(A)|
+    * over distinct word `n`-gram shingle sets — the near-SUPERSET
+    * detector. Jaccard misses a short document wholly embedded in a
+    * much longer one (the union term swamps it); containment flags it
+    * in the A→B direction, which is what boilerplate-wrapper and
+    * quote-expansion dedup needs. Both directions are emitted
+    * (containment is not symmetric).
+    *
+    * Shape: one distinct-shingle explode, a shingle-keyed self-join
+    * (only shared shingles meet), one pair aggregation, and a size
+    * join back — the inverted-index formulation; no document ever
+    * meets a document it shares nothing with. The threshold compare is
+    * exact integer arithmetic (`n_shared·100 ≥ size_a·minPct`), so an
+    * oracle engine reproduces the cut bit-for-bit; the `containment`
+    * column is a single IEEE division of those integers.
+    *
+    * At 100 TB: ubiquitous shingles make the self-join quadratic
+    * within a shingle's posting list — prefilter shingles whose
+    * document frequency exceeds a cap (they carry no near-superset
+    * signal) exactly as search engines drop stop-shingles, or route
+    * through [[minhashNearDupPairs]]-style banding first and use
+    * containment only as the verify metric.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, minPct: Int): DataFrame = {
+    require(minPct > 0 && minPct <= 100, "minPct must be in (0, 100]")
+    val sh = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleSize)).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("size_a"))
+    sh.toDF("id_a", "s")
+      .join(sh.toDF("id_b", "s"), Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .filter(col("n_shared") * 100 >= col("size_a") * minPct)
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("size_a").cast("double"))
+  }
+
   /** Fuzzy entity matching by DELETION NEIGHBORHOODS (the SymSpell
     * blocking idea — public algorithm): every clean name expands to
     * itself plus its single-character deletions; a dirty string within

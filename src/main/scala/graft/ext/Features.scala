@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-scaling operators over embedding columns (`array<float>`):
+  * per-dimension corpus statistics and min-max normalization — the
+  * standard preprocessing before distance-based similarity or model
+  * input. Min/max are EXACT aggregates (no floating accumulation
+  * order), so unlike mean/stddev the statistics — and the scaled
+  * values, one IEEE subtract + divide each — are bit-identical across
+  * engines and across any partitioning: the rare fully
+  * hash-checkable float pipeline.
+  */
+object Features {
+
+  /** Per-dimension (dim, vmin, vmax) over the vector column, dim
+    * 0-based. One posexplode map pass + one aggregation keyed on the
+    * dimension index — output is O(dim) rows regardless of corpus
+    * size.
+    */
+  def dimMinMax(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+
+  /** Min-max scale in exploded row form: (id, dim, v, vmin, vmax,
+    * scaled) with scaled = (v − vmin)/(vmax − vmin), all in double.
+    * The O(dim)-row stats frame rides a broadcast join, so the vector
+    * side never shuffles. Constant dimensions (vmax = vmin) scale to
+    * NULL (`try_divide` — ANSI mode would otherwise raise on the zero
+    * range) rather than an arbitrary constant — callers decide.
+    */
+  def minMaxScaleRows(
+      df: DataFrame, idCol: String, vecCol: String, stats: DataFrame): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .join(broadcast(stats), Seq("dim"))
+      .select(col(idCol), col("dim"),
+        col("v").cast("double").as("v"),
+        col("vmin").cast("double").as("vmin"),
+        col("vmax").cast("double").as("vmax"))
+      .withColumn("scaled",
+        try_divide(col("v") - col("vmin"), col("vmax") - col("vmin")))
+
+  /** Min-max scale keeping the vector SHAPE: the stats (O(dim)
+    * doubles, collected driver-side — the one permissible collect,
+    * like the k-means centroids) become literal arrays and the scan
+    * is a pure map pass with zero shuffle and zero join — the 100 TB
+    * form. Parity with [[minMaxScaleRows]] is pinned by FeaturesSpec.
+    */
+  def scaleVectors(
+      df: DataFrame, idCol: String, vecCol: String, stats: DataFrame): DataFrame = {
+    val collected = stats.select(col("dim"), col("vmin").cast("double"),
+        col("vmax").cast("double"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
+      .sortBy(_._1)
+    val mins = typedlit(collected.map(_._2._1))
+    val maxs = typedlit(collected.map(_._2._2))
+    df.select(col(idCol),
+      zip_with(col(vecCol).cast("array<double>"),
+        sequence(lit(0), size(col(vecCol)) - 1),
+        (x, i) => try_divide(x - element_at(mins, i + 1),
+          element_at(maxs, i + 1) - element_at(mins, i + 1))).as("scaled_vec"))
+  }
+}

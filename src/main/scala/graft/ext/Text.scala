@@ -97,6 +97,57 @@ object Text {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  // ----------------------------------------------- repetition filters
+
+  /** Gopher-style per-document repetition statistics (Rae et al. 2021's
+    * repetition heuristics, public): token counts, distinct-token
+    * count, the occurrence count of the single most frequent word
+    * bigram, and the number of trigram occurrences belonging to
+    * trigrams that appear more than once. Raw integer counts only —
+    * callers derive fractions/thresholds, so the filter policy stays
+    * exactly reproducible in an oracle engine (integer arithmetic,
+    * one IEEE division per fraction).
+    *
+    * Shape: one map pass emits (doc, k, gram) rows for k ∈ {2, 3},
+    * then two keyed aggregations on the doc id. Linear in corpus
+    * tokens with bounded row width — the explode+groupBy form is
+    * deliberate: a per-doc higher-order-function formulation is
+    * shuffle-free but O(distinct·len) per document, which blows up on
+    * the long pathological docs that repetition filters exist to
+    * catch.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+    def grams(k: Int): Column =
+      transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => struct(lit(k).as("k"), concat_ws(" ", slice(col("toks"), i, lit(k))).as("gram")))
+    val emptyGrams = array().cast("array<struct<k:int,gram:string>>")
+    val occurrences = base
+      .filter(col("n_tokens") >= 2)
+      .select(col(idCol),
+        explode(concat(
+          grams(2),
+          when(col("n_tokens") >= 3, grams(3)).otherwise(emptyGrams))).as("g"))
+      .select(col(idCol), col("g.k").as("k"), col("g.gram").as("gram"))
+    val perDoc = occurrences
+      .groupBy(col(idCol), col("k"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("k") === 2, col("c"))).as("top_bigram_cnt"),
+        sum(when(col("k") === 3 && col("c") >= 2, col("c")).otherwise(lit(0L)))
+          .as("dup_trigram_occ"))
+    base.drop("toks")
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        coalesce(col("dup_trigram_occ"), lit(0L)).as("dup_trigram_occ"))
+  }
+
   // ------------------------------------------------------------ TF-IDF
 
   /** Smoothed IDF: ln((1 + N) / (1 + df)) + 1 — never negative, never

@@ -74,6 +74,38 @@ object TrainPrep {
       .withColumn("bin", floor(col("start_offset") / budget).cast("long"))
   }
 
+  /** Overlapping fixed-size token chunking: each document's token
+    * sequence is cut into windows of `chunkSize` tokens whose starts
+    * step by `stride` (stride < chunkSize ⇒ consecutive chunks share
+    * `chunkSize − stride` tokens of context — the standard sliding
+    * context-window prep for long documents). Chunk starts are
+    * 0, stride, 2·stride, …; the chunk count is
+    * ⌈(n − chunkSize)/stride⌉ + 1 (one chunk when n ≤ chunkSize), so
+    * the final chunk may run short rather than re-reading earlier
+    * tokens. Pure map pass + explode — no shuffle, no state; chunk
+    * identity is (doc, chunk_id), deterministic across engines.
+    */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    df.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= chunkSize, lit(1L))
+          .otherwise(expr(s"(n_tokens - $chunkSize + ${stride - 1}) div $stride") + 1L))
+      .select(col(idCol), col("toks"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("chunk_toks",
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+      .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
+        col("chunk_toks"), size(col("chunk_toks")).as("n_chunk_tokens"))
+  }
+
   /** Deterministic quota sampling: keep (up to) `quota` documents per
     * `groupCol` — the corpus-mixing knob ("N docs per language/source")
     * — selected by portable md5-hash rank instead of RNG, so the

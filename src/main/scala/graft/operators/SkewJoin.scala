@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual key-salting for skewed equi-joins — the classic remedy when
+  * one join key dominates the fact side and a single reducer would
+  * receive the whole hot key's partition.
+  *
+  * The fact side gets a salt in [0, buckets) derived from a
+  * caller-supplied uniform column (NOT the join key — the point is to
+  * spread rows of the SAME key); the dim side replicates each row
+  * `buckets` times, one per salt value. Joining on (keys…, salt) then
+  * splits every hot key across `buckets` reducers while preserving the
+  * exact join semantics: each fact row still meets each matching dim
+  * row exactly once (at its own salt).
+  *
+  * When to reach for it at 100 TB: AQE's skew-join handling
+  * (`OptimizeSkewedJoin`) already splits oversized sort-merge
+  * partitions at runtime and should be the first line of defense;
+  * manual salting remains the deterministic fallback when the skew is
+  * in a single key VALUE so extreme that even a split partition
+  * re-skews, or when a fixed partitioning must be reused across
+  * stages. The dim side grows `buckets`×, so keep buckets modest and
+  * the dim slim (project to join keys + carried attrs first).
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `fact` and `dim` on `keys`, salted into
+    * `buckets` sub-keys. `factSalt` must be a deterministic expression
+    * over fact columns that is uniform WITHIN each join key (a row id
+    * works; the join key itself does not). Result columns = the usual
+    * join output; the internal salt column is dropped.
+    */
+  def salted(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factSalt: Column,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val f = fact.withColumn("__salt", pmod(factSalt, lit(buckets)).cast("int"))
+    val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    f.join(d, keys :+ "__salt").drop("__salt")
+  }
+}

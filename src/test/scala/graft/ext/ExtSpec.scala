@@ -455,6 +455,43 @@ class ExtSpec extends SparkSpec {
     assert(got == Set((10L, 1L, 0), (11L, 1L, 1), (12L, 2L, 1)))
   }
 
+  test("repetitionStats: hand-checked counts on crafted docs") {
+    val docs = Seq(
+      (1L, "a a a a"),       // bigram "a a" ×3; trigram "a a a" ×2 (dup)
+      (2L, "w x y z"),       // all distinct; every n-gram unique
+      (3L, "solo"),          // one token: no bigrams, no trigrams
+      (4L, "p q p q p q")    // "p q" ×3, "q p" ×2; both trigrams ×2
+    ).toDF("doc_id", "text")
+    val r = Text.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    assert(r(1L) == ((4, 1, 3L, 2L)))
+    assert(r(2L) == ((4, 4, 1L, 0L)))
+    assert(r(3L) == ((1, 1, 0L, 0L)))
+    // trigrams of doc 4: "p q p" ×2, "q p q" ×2 → 4 dup occurrences
+    assert(r(4L) == ((6, 2, 3L, 4L)))
+  }
+
+  test("containmentPairs: subset doc contains fully, asymmetric, threshold cuts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),                       // ⊂ doc 2's shingles
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five")                       // disjoint
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, "doc_id", "text", shingleSize = 3, minPct = 50)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // doc1 shingles: {abg, bgd} both in doc2 → containment 1.0
+    assert(r((1L, 2L)) == 1.0)
+    // doc2 has 4 shingles, 2 shared → 0.5 passes minPct=50 exactly
+    assert(r((2L, 1L)) == 0.5)
+    assert(!r.contains((1L, 3L)) && !r.contains((3L, 1L)))
+    // raising the threshold drops the 0.5 direction but keeps 1.0
+    val strict = Dedup.containmentPairs(docs, "doc_id", "text", 3, 60)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(strict == Set((1L, 2L)))
+  }
+
   test("redactPii replaces every pattern; counts match occurrences") {
     val df = Seq(Tuple1(
       "mail a.b+c@x.co.uk or call 555-123-4567, ssn 111-22-3333, host 10.0.0.1 end"

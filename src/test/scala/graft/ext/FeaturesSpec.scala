@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(0.0f, 10.0f, -4.0f)),
+    (2L, Array(2.0f, 30.0f, -2.0f)),
+    (3L, Array(8.0f, 20.0f, 0.0f))
+  ).toDF("id", "vec")
+
+  test("dimMinMax: exact per-dimension extremes") {
+    val s = Features.dimMinMax(vecs, "vec")
+      .as[(Int, Float, Float)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(s == Map(0 -> ((0.0f, 8.0f)), 1 -> ((10.0f, 30.0f)), 2 -> ((-4.0f, 0.0f))))
+  }
+
+  test("minMaxScaleRows: endpoints scale to exactly 0 and 1") {
+    val stats = Features.dimMinMax(vecs, "vec")
+    val r = Features.minMaxScaleRows(vecs, "id", "vec", stats)
+      .select(col("id"), col("dim"), col("scaled"))
+      .as[(Long, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(r((1L, 0)) == 0.0 && r((3L, 0)) == 1.0)
+    assert(r((1L, 1)) == 0.0 && r((2L, 1)) == 1.0)
+    assert(r((1L, 2)) == 0.0 && r((3L, 2)) == 1.0)
+    assert(r((2L, 0)) == 0.25)  // (2-0)/8
+    r.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("scaleVectors (map-only literal path) matches the row form bit-for-bit") {
+    val stats = Features.dimMinMax(vecs, "vec")
+    val rows = Features.minMaxScaleRows(vecs, "id", "vec", stats)
+      .select(col("id"), col("dim"), col("scaled"))
+      .as[(Long, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val packed = Features.scaleVectors(vecs, "id", "vec", stats)
+      .select(col("id"), posexplode(col("scaled_vec")).as(Seq("dim", "scaled")))
+      .as[(Long, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(packed == rows)
+    // and the literal path carries no join or shuffle
+    val plan = Features.scaleVectors(vecs, "id", "vec", stats)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(600))
+  }
+
+  test("constant dimension scales to NULL, not an arbitrary constant") {
+    val const = Seq((1L, Array(5.0f, 1.0f)), (2L, Array(5.0f, 3.0f))).toDF("id", "vec")
+    val r = Features.minMaxScaleRows(const, "id", "vec",
+      Features.dimMinMax(const, "vec"))
+      .filter(col("dim") === 0).select("scaled")
+    assert(r.collect().forall(_.isNullAt(0)))
+  }
+}

@@ -112,4 +112,33 @@ class TrainPrepSpec extends SparkSpec {
       assert(h >= 0 && h < math.pow(16.0, 13) && h == math.floor(h))
     }
   }
+
+  test("chunkDocs: boundaries, overlap, and the short final chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n <= size → one chunk
+      (2L, (1 to 11).map(i => s"t$i").mkString(" ")), // n = size+1 → two chunks
+      (3L, (1 to 30).map(i => s"t$i").mkString(" "))  // strides 0,8,16,24
+    ).toDF("doc_id", "text")
+    val r = TrainPrep.chunkDocs(docs, "doc_id", "text", chunkSize = 10, stride = 8)
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", col("chunk_toks")).as("chunk"), col("n_chunk_tokens"))
+      .as[(Long, Int, String, Int)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(r((1L, 0))._2 == 10 && !r.contains((1L, 1)))
+    // chunk 1 of doc 2 starts at token 9 (stride 8) and runs short
+    assert(r((2L, 1)) == (("t9 t10 t11", 3)))
+    // consecutive chunks of doc 3 overlap by size − stride = 2 tokens
+    assert(r((3L, 0))._1.endsWith("t9 t10") && r((3L, 1))._1.startsWith("t9 t10"))
+    assert(r((3L, 3)) == (("t25 t26 t27 t28 t29 t30", 6)))
+    assert(!r.contains((3L, 4)))
+    // every token of every doc appears in at least one of its chunks
+    val covered = TrainPrep.chunkDocs(docs, "doc_id", "text", 10, 8)
+      .select(col("doc_id"), explode(col("chunk_toks")).as("t"))
+      .distinct().groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(covered == Map(1L -> 10L, 2L -> 11L, 3L -> 30L))
+    intercept[IllegalArgumentException] {
+      TrainPrep.chunkDocs(docs, "doc_id", "text", chunkSize = 8, stride = 10)
+    }
+  }
 }

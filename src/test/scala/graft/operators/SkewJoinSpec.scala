@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fact = Seq.tabulate(400) { i =>
+    // 'hot' owns 85% of rows — the skew the salt exists to spread
+    (i.toLong, if (i % 20 < 17) "hot" else s"cold${i % 3}", i * 1.5)
+  }.toDF("row_id", "key", "v")
+
+  private val dim = Seq(
+    ("hot", 10), ("cold0", 20), ("cold1", 30), ("cold2", 40)
+  ).toDF("key", "w")
+
+  test("salted join equals the plain join exactly") {
+    val plain = fact.join(dim, Seq("key"))
+      .select("row_id", "key", "v", "w")
+      .as[(Long, String, Double, Int)].collect().toSet
+    val salted = SkewJoin.salted(fact, dim, Seq("key"), col("row_id"), buckets = 8)
+      .select("row_id", "key", "v", "w")
+      .as[(Long, String, Double, Int)].collect().toSet
+    assert(salted == plain)
+    // no duplicates: each fact row meets its dim row at exactly one salt
+    assert(SkewJoin.salted(fact, dim, Seq("key"), col("row_id"), 8).count()
+      == plain.size)
+  }
+
+  test("buckets=1 degenerates to the plain join; salt column never leaks") {
+    val r = SkewJoin.salted(fact, dim, Seq("key"), col("row_id"), buckets = 1)
+    assert(r.count() == fact.join(dim, Seq("key")).count())
+    assert(!r.columns.contains("__salt"))
+  }
+
+  test("hinted sort-merge plan joins on the salt sub-key") {
+    val q = SkewJoin.salted(fact, dim.hint("merge"), Seq("key"), col("row_id"), 8)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    assert(plan.contains("__salt"), plan.take(800))
+  }
+
+  test("fact rows of one hot key spread across every salt bucket") {
+    val salts = fact.filter(col("key") === "hot")
+      .withColumn("__salt", pmod(col("row_id"), lit(8)).cast("int"))
+      .select("__salt").distinct().as[Int].collect().toSet
+    assert(salts == (0 until 8).toSet)
+  }
+}
