@@ -1563,6 +1563,81 @@ object SparkEntry {
       .orderBy(col("vec_id"), col("dim"))
   }
 
+  /** INCREMENTAL near-dup gate: the 10%-of-ids "new batch" LSH-matched
+    * against the 90% "historical corpus" (batch×corpus band join only —
+    * the corpus never re-pairs with itself), exact-Jaccard verified,
+    * then a per-batch-doc verdict. The oracle recomputes the exact
+    * inverted-index Jaccard join — LSH recall on the qualifying pairs
+    * (all J ≥ 0.88 here) is what the hash check pins.
+    */
+  def q78IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val m = Dedup.minhashNearDupAgainst(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("batch_id"))
+      .orderBy(col("jaccard_sim").desc, col("corpus_id"))
+    val best = m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id").as("best_match"),
+        col("jaccard_sim").as("best_jac"))
+    val counts = m.groupBy(col("batch_id")).agg(count(lit(1)).as("n_matches"))
+    docs.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("batch_id"))
+      .join(counts, Seq("batch_id"), "left_outer")
+      .join(best, Seq("batch_id"), "left_outer")
+      .select(col("batch_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("has_neardup"),
+        col("best_match"), col("best_jac"))
+      .orderBy(col("batch_id"))
+  }
+
+  /** CDC changelog apply (MERGE INTO semantics as one aggregation):
+    * customer is the base snapshot; orders replay as a keyed changelog
+    * (seq = orderkey; every 7th order a DELETE, every 11th an INSERT
+    * under a shifted key, the rest UPDATEs) — the applied snapshot
+    * summarized per segment. Updates/inserts land in segment 'CHANGED'
+    * so survivors of each path are visible in the aggregate.
+    */
+  def q79CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    // only a quarter of the key space churns — untouched base rows
+    // surviving verbatim is half the contract
+    val changes = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 4 === 0).select(
+      when(col("o_orderkey") % 11 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      lit("CHANGED").as("c_mktsegment"),
+      col("o_totalprice").as("c_acctbal"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 7 === 0, lit("D"))
+        .when(col("o_orderkey") % 11 === 0, lit("I"))
+        .otherwise(lit("U")).as("op"))
+    Transform.applyChangelog(base, changes, Seq("c_custkey"), "seq", "op")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Explicit GROUPING SETS — the arbitrary-subset form that ROLLUP
+    * (q30) and CUBE (q56) are shorthands for: (flag, status), (status),
+    * and grand total, skipping the (flag) slice to prove the list is
+    * honored verbatim.
+    */
+  def q80GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1641,6 +1716,9 @@ object SparkEntry {
     "q75_salted_skew_join" -> (q75SaltedSkewJoin _),
     "q76_containment_pairs" -> (q76ContainmentPairs _),
     "q77_minmax_scale" -> (q77MinmaxScale _),
+    "q78_incremental_neardup" -> (q78IncrementalNeardup _),
+    "q79_cdc_apply" -> (q79CdcApply _),
+    "q80_grouping_sets" -> (q80GroupingSets _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2573,6 +2651,73 @@ object SparkEntry {
         |FROM x JOIN s ON x.dim = s.dim
         |WHERE x.vec_id < 20
         |ORDER BY vec_id, dim""".stripMargin,
+
+    "q78_incremental_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |           [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM t),
+        |p AS (
+        |  SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS inter,
+        |         any_value(b.sz) AS szb, any_value(c.sz) AS szc
+        |  FROM e b JOIN e c ON b.s = c.s
+        |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |  GROUP BY 1, 2),
+        |j AS (SELECT bid, cid,
+        |             round(CAST(inter AS DOUBLE) / (szb + szc - inter), 6) AS jac
+        |      FROM p),
+        |q AS (SELECT * FROM j WHERE jac >= 0.6),
+        |best AS (
+        |  SELECT bid, cid, jac,
+        |         row_number() OVER (PARTITION BY bid ORDER BY jac DESC, cid) AS rn
+        |  FROM q),
+        |cnt AS (SELECT bid, count(*) AS n FROM q GROUP BY 1)
+        |SELECT d.doc_id AS batch_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_matches,
+        |       coalesce(cnt.n, 0) > 0 AS has_neardup,
+        |       b.cid AS best_match, b.jac AS best_jac
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN cnt ON d.doc_id = cnt.bid
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.bid
+        |ORDER BY batch_id""".stripMargin,
+
+    "q79_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS key,
+        |         o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+        |              WHEN o_orderkey % 11 = 0 THEN 'I'
+        |              ELSE 'U' END AS op,
+        |         o_totalprice AS bal
+        |  FROM orders WHERE o_custkey % 4 = 0),
+        |last AS (
+        |  SELECT key, op, bal FROM (
+        |    SELECT key, op, bal,
+        |           row_number() OVER (PARTITION BY key
+        |             ORDER BY seq DESC, op DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |snap AS (
+        |  SELECT CASE WHEN l.key IS NULL THEN c.c_mktsegment
+        |              ELSE 'CHANGED' END AS seg,
+        |         CASE WHEN l.key IS NULL THEN c.c_acctbal ELSE l.bal END AS bal,
+        |         coalesce(l.op, 'B') AS op
+        |  FROM customer c FULL JOIN last l ON c.c_custkey = l.key)
+        |SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(bal), 2) AS acctbal_sum
+        |FROM snap WHERE op <> 'D' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q80_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q37_heavy_hitters" ->
       """WITH c AS (

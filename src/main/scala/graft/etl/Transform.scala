@@ -100,6 +100,48 @@ object Transform {
       .select(col("__latest.*"))
   }
 
+  /** CDC changelog apply: materialize the current snapshot from a base
+    * table plus a stream of keyed change records (op ∈ {I, U, D},
+    * monotone `seqCol` per key). Semantics: the change with the highest
+    * sequence per key wins — I/U replace the row, D removes it; keys
+    * untouched by the changelog keep their base row. The base rides
+    * along as a rank-0 sentinel (any change outranks it — no NULL/−∞
+    * sequence games), so the whole merge is ONE keep-latest
+    * aggregation — the same map-side-combining `max_by` shape as
+    * [[dedupLatestAgg]], one keyed shuffle, no join. This is the
+    * table-maintenance kernel behind MERGE INTO / upsert-delete
+    * ingestion at any scale.
+    *
+    * `base` and `changes` must share the payload schema (key columns +
+    * value columns); `changes` additionally carries `seqCol` and
+    * `opCol`. Ties on seq break by op string descending (U > I > D) —
+    * deterministic, and documented rather than clever: feed unique
+    * sequence numbers if you care which of two same-seq writes wins.
+    */
+  def applyChangelog(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String): DataFrame = {
+    val payload = base.columns.toIndexedSeq
+    val seqType = changes.schema(seqCol).dataType
+    val all = base
+      .withColumn("__rank", lit(0))
+      .withColumn(seqCol, lit(null).cast(seqType))
+      .withColumn(opCol, lit("B"))
+      .unionByName(changes
+        .select((payload :+ seqCol :+ opCol).map(col): _*)
+        .withColumn("__rank", lit(1)))
+    all.groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct(payload.map(col) :+ col(opCol).as("__op"): _*),
+        struct(col("__rank"), col(seqCol), col(opCol))).as("__latest"))
+      .select(col("__latest.*"))
+      .filter(col("__op") =!= "D")
+      .drop("__op")
+  }
+
   /** O-09: metadata columns (ref: glue/data_transform_s3.py:127-128)
     * with an injectable "now" for deterministic tests (SURVEY.md §7.4.1).
     */

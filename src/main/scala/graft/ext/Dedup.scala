@@ -175,6 +175,58 @@ object Dedup {
     (pairs, new CacheHandle(Seq(shingled, buckets)))
   }
 
+  /** INCREMENTAL near-dup: match a new BATCH of documents against an
+    * existing CORPUS without re-pairing the corpus with itself — the
+    * daily-ingest form of [[minhashNearDupPairs]]. At 100 TB nobody
+    * re-runs all-pairs dedup per ingest; the corpus side's signatures
+    * and band buckets are computed once (in production: persisted as a
+    * table and appended to), and each new batch only joins its own
+    * buckets against them. Candidates are strictly batch×corpus (the
+    * band join is directional by construction — batch buckets meet
+    * corpus buckets, never their own side), then verified with exact
+    * Jaccard on the shingle-hash sets.
+    *
+    * Defaults differ from the self-join: 32 hashes in 16 bands of 2
+    * rows — a low-rows-per-band curve whose candidate recall at
+    * J ≥ 0.6 is ≈ 1 − (1 − 0.36)^16 ≈ 1−e⁻⁷ (the self-join's 4-row
+    * bands miss high-J pairs far more often; an incremental gate that
+    * silently re-admits near-dups poisons the corpus forever, so the
+    * extra false candidates are the right trade — the exact verify
+    * discards them).
+    */
+  def minhashNearDupAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    def shingled(df: DataFrame, idAs: String, shAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+        VectorKernels.shingleHashes(Text.tokens(col(textCol)), shingleSize).as(shAs))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bucketize(sh: DataFrame, idAs: String, shAs: String): DataFrame = sh
+      .withColumn("sig", VectorKernels.minhashSigL(col(shAs), numHashes))
+      .select(col(idAs),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    val shB = shingled(batch, "batch_id", "sh_b")
+    val shC = shingled(corpus, "corpus_id", "sh_c")
+    bucketize(shB, "batch_id", "sh_b")
+      .join(bucketize(shC, "corpus_id", "sh_c"), Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+      .join(shB, "batch_id")
+      .join(shC, "corpus_id")
+      .withColumn("jaccard_sim", round(jaccard(col("sh_b"), col("sh_c")), 6))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard_sim"))
+  }
+
   /** Exact n-gram Jaccard pairs (the brute-force verifier MinHash
     * approximates): all (a < b) pairs with Jaccard ≥ threshold.
     *

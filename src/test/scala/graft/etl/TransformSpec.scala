@@ -83,4 +83,30 @@ class TransformSpec extends SparkSpec {
     assert(r.getString(0) == "2024-03-05")
     assert(r.getString(1) == "2024-03-05 12:00:00")
   }
+
+  test("applyChangelog: update, delete, insert, revive, untouched") {
+    val base = Seq(
+      (1L, "a", 10.0),  // updated twice — last U wins
+      (2L, "b", 20.0),  // deleted
+      (3L, "c", 30.0),  // deleted then re-inserted — revives with new value
+      (4L, "d", 40.0)   // untouched — survives verbatim
+    ).toDF("k", "name", "v")
+    val changes = Seq(
+      (1L, "a1", 11.0, 100L, "U"),
+      (1L, "a2", 12.0, 200L, "U"),
+      (2L, "b", 0.0, 150L, "D"),
+      (3L, "c", 0.0, 100L, "D"),
+      (3L, "c2", 33.0, 300L, "I"),
+      (5L, "e", 50.0, 100L, "I")  // brand-new key
+    ).toDF("k", "name", "v", "seq", "op")
+    val snap = Transform.applyChangelog(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, String, Double)].collect().toSet
+    assert(snap == Set(
+      (1L, "a2", 12.0), (3L, "c2", 33.0), (4L, "d", 40.0), (5L, "e", 50.0)))
+    // idempotent re-apply: replaying the same changelog changes nothing
+    val again = Transform.applyChangelog(
+      snap.toSeq.toDF("k", "name", "v"), changes, Seq("k"), "seq", "op")
+      .as[(Long, String, Double)].collect().toSet
+    assert(again == snap)
+  }
 }

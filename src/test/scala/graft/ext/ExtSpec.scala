@@ -492,6 +492,28 @@ class ExtSpec extends SparkSpec {
     assert(strict == Set((1L, 2L)))
   }
 
+  test("minhashNearDupAgainst: batch matches corpus twins, never itself or its own side") {
+    val mk = (seed: Int) => (0 until 30).map(i => s"w${(i * 7 + seed) % 19}").mkString(" ")
+    val corpus = Seq(
+      (101L, mk(0)), (102L, mk(3)), (103L, mk(5))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, mk(0)),                        // exact twin of corpus 101
+      (2L, mk(0).replace("w0", "zq")),    // near twin of 101
+      (3L, "utterly different content entirely")  // no match
+    ).toDF("doc_id", "text")
+    val m = Dedup.minhashNearDupAgainst(corpus, batch, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val byBatch = m.groupBy(_._1)
+    assert(byBatch(1L).exists(t => t._2 == 101L && t._3 == 1.0))
+    assert(byBatch(2L).exists(_._2 == 101L))
+    assert(!byBatch.contains(3L))
+    // directional: every pair is batch×corpus — batch ids never appear
+    // as matches, corpus ids never as probes
+    assert(m.forall(t => t._1 < 100L && t._2 >= 100L))
+  }
+
   test("redactPii replaces every pattern; counts match occurrences") {
     val df = Seq(Tuple1(
       "mail a.b+c@x.co.uk or call 555-123-4567, ssn 111-22-3333, host 10.0.0.1 end"
