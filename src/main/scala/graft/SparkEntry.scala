@@ -1638,6 +1638,28 @@ object SparkEntry {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Equal-width histogram of document sizes (20 buckets over n_chars):
+    * the one-pass corpus-profiling job — bucket boundaries in exact
+    * integer arithmetic, O(buckets) output at any corpus size.
+    */
+  def q81Histogram(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Analyzers.equalWidthHistogram(
+      Tables.documents(spark, dir), "n_chars", buckets = 20)
+      .orderBy(col("bucket"))
+
+  /** Debounce (burst suppression) per (user, event_type) with a
+    * 10-minute cooldown: per event type, total vs surviving events —
+    * the repeated-click filter as one lag window.
+    */
+  def q82Debounce(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.debounce(
+      Tables.events(spark, dir), Seq("user_id", "event_type"),
+      "ts", "event_id", cooldown = "10 minutes")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1719,6 +1741,8 @@ object SparkEntry {
     "q78_incremental_neardup" -> (q78IncrementalNeardup _),
     "q79_cdc_apply" -> (q79CdcApply _),
     "q80_grouping_sets" -> (q80GroupingSets _),
+    "q81_histogram" -> (q81Histogram _),
+    "q82_debounce" -> (q82Debounce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2708,6 +2732,28 @@ object SparkEntry {
         |SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(bal), 2) AS acctbal_sum
         |FROM snap WHERE op <> 'D' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q81_histogram" ->
+      """WITH s AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents)
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |            ELSE ((n_chars - lo) * 20) // (hi - lo + 1) END AS BIGINT)
+        |         AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(n_chars) AS BIGINT) AS lo_val,
+        |       CAST(max(n_chars) AS BIGINT) AS hi_val
+        |FROM documents, s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q82_debounce" ->
+      """WITH x AS (
+        |  SELECT event_type, ts,
+        |         lag(ts) OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN prev IS NULL
+        |                      OR ts - prev >= INTERVAL 10 MINUTE
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q80_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -109,6 +109,31 @@ object Analyzers {
         round(first(col("mad")), 4).as("mad"))
   }
 
+  /** Equal-width histogram of an integer-valued column: the standard
+    * corpus-profiling pass (length/size distributions at a glance).
+    * Bucket index is exact integer arithmetic —
+    * `((x − lo)·buckets) div (hi − lo + 1)` — so every boundary is
+    * engine-portable with no float edge cases; `+1` keeps the max value
+    * inside the last bucket. Global lo/hi is a one-row aggregate
+    * cross-joined back as a broadcast, then one map pass + one keyed
+    * count: O(buckets) output regardless of input size. Empty buckets
+    * are absent (no zero-fill) — callers needing dense output join a
+    * `sequence(0, buckets−1)` spine.
+    */
+  def equalWidthHistogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val stats = df.agg(
+      min(col(c)).cast("long").as("__lo"), max(col(c)).cast("long").as("__hi"))
+    df.select(col(c).cast("long").as("__v"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(expr(s"((__v - __lo) * $buckets) div (__hi - __lo + 1)")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("lo_val"), max(col("__v")).as("hi_val"))
+  }
+
   /** Run all single-pass metrics in one aggregation, then unpivot to the
     * long metrics shape. `uniquenessCols` adds O-34 Uniqueness rows
     * (fraction of rows whose value occurs exactly once — NOT

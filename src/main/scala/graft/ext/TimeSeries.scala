@@ -222,6 +222,30 @@ object TimeSeries {
           abs(col(valueCol) - col("roll_mean")) > col("roll_std") * k)
   }
 
+  /** DEBOUNCE: flag events closer than `cooldown` to the PREVIOUS event
+    * of their key — repeated-click / bot-burst suppression. One lag
+    * window per key (one keyed shuffle); the comparison is timestamp −
+    * timestamp ≥ INTERVAL, exact at microsecond resolution in any
+    * engine. Note the semantics: the anchor is the previous event kept
+    * OR dropped (debounce), not the previous KEPT event (throttle) —
+    * throttle's running anchor is inherently sequential per key
+    * (recursive), while debounce is one window over the same sort, and
+    * for burst suppression the two agree on everything except events
+    * that trickle at just-under-cooldown cadence.
+    */
+  def debounce(
+      events: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieBreakCol: String, cooldown: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("kept",
+        col("__prev").isNull ||
+          col(tsCol) - col("__prev") >= expr(s"INTERVAL $cooldown"))
+      .drop("__prev")
+  }
+
   /** Gap-based sessionization with Spark's native `session_window`
     * (merge while the gap to the previous event is < `gap`): per-key
     * session stats. The oracle cross-validates these semantics against

@@ -103,4 +103,22 @@ class DqSpec extends SparkSpec {
     val failures = Rules.gate(small, Rules.referenceCryptoRuleset).left.toOption.get
     assert(failures.exists(_.rule == "RowCount_50_150"))
   }
+
+  test("equalWidthHistogram: boundaries exact, max lands inside, constant column") {
+    // values 0..99, 10 buckets over range 100 → bucket = v div 10 exactly
+    val df = (0L to 99L).toDF("v")
+    val h = Analyzers.equalWidthHistogram(df, "v", 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.length == 10)
+    h.foreach { case (b, n, lo, hi) =>
+      assert(n == 10L && lo == b * 10 && hi == b * 10 + 9)
+    }
+    // max value is inside the LAST bucket, never an overflow bucket
+    assert(h.last._1 == 9L && h.last._4 == 99L)
+    // skewed range: single distinct value → one bucket 0
+    val const = Seq(7L, 7L, 7L).toDF("v")
+    val hc = Analyzers.equalWidthHistogram(const, "v", 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(hc.toSeq == Seq((0L, 3L, 7L, 7L)))
+  }
 }

@@ -492,6 +492,21 @@ class ExtSpec extends SparkSpec {
     assert(strict == Set((1L, 2L)))
   }
 
+  test("debounce: bursts drop, exact-cooldown gap keeps, keys independent") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0), 100L),  // first → kept
+      (1L, ts(4), 101L),  // 4 min after previous → dropped
+      (1L, ts(9), 102L),  // 5 min after PREVIOUS (not previous-kept) → kept
+      (1L, ts(14), 103L), // exactly cooldown → kept (>= boundary)
+      (2L, ts(1), 200L)   // other key unaffected by key 1's burst
+    ).toDF("user_id", "ts", "event_id")
+    val kept = graft.ext.TimeSeries.debounce(
+      events, Seq("user_id"), "ts", "event_id", "5 minutes")
+      .filter(col("kept")).select("event_id").as[Long].collect().toSet
+    assert(kept == Set(100L, 102L, 103L, 200L))
+  }
+
   test("minhashNearDupAgainst: batch matches corpus twins, never itself or its own side") {
     val mk = (seed: Int) => (0 until 30).map(i => s"w${(i * 7 + seed) % 19}").mkString(" ")
     val corpus = Seq(
