@@ -280,8 +280,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, minPct: Int): DataFrame = {
     require(minPct > 0 && minPct <= 100, "minPct must be in (0, 100]")
+    // consumed three times (sizes + both self-join sides) — persist so
+    // tokenize + shingle construction runs once, like the minhash path
     val sh = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), shingleSize)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("size_a"))
     sh.toDF("id_a", "s")
       .join(sh.toDF("id_b", "s"), Seq("s"))
