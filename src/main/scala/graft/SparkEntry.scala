@@ -1662,6 +1662,23 @@ object SparkEntry {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
       .orderBy(col("event_type"))
 
+  /** Grouped top-k WITHOUT a ranking window: the bounded-heap
+    * `TopKAgg` aggregate keeps k entries per group, truncates map-side
+    * before the shuffle, and merges in O(k) — per-group top-3 events by
+    * value. Exact (total order value DESC, id ASC), so the oracle is a
+    * plain ranking window; the plan is ObjectHashAggregate with partial
+    * aggregation, not a WindowExec over every row.
+    */
+  def q83GroupedTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull) // aggregate skips nulls; pin it in the data
+      .groupBy((col("user_id") % 50).as("bucket"))
+      .agg(graft.ext.TopKAgg.topKAgg(col("value"), col("event_id"), 3).as("top"))
+      .select(col("bucket"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("bucket"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("e.id").as("event_id"), col("e.val").as("value"))
+      .orderBy(col("bucket"), col("rank"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1745,6 +1762,7 @@ object SparkEntry {
     "q80_grouping_sets" -> (q80GroupingSets _),
     "q81_histogram" -> (q81Histogram _),
     "q82_debounce" -> (q82Debounce _),
+    "q83_grouped_topk" -> (q83GroupedTopK _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2756,6 +2774,14 @@ object SparkEntry {
         |                      OR ts - prev >= INTERVAL 10 MINUTE
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q83_grouped_topk" ->
+      """SELECT bucket, rank, event_id, value FROM (
+        |  SELECT user_id % 50 AS bucket, event_id, value,
+        |         CAST(row_number() OVER (PARTITION BY user_id % 50
+        |           ORDER BY value DESC, event_id) AS INT) AS rank
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rank <= 3 ORDER BY bucket, rank""".stripMargin,
 
     "q80_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
