@@ -1679,6 +1679,32 @@ object SparkEntry {
         col("e.id").as("event_id"), col("e.val").as("value"))
       .orderBy(col("bucket"), col("rank"))
 
+  /** Tokenizer vocab build: top-50 terms by corpus frequency with
+    * deterministic contiguous ids ((count DESC, term ASC) rank) — two
+    * engines mint identical ids, which the hash check proves.
+    */
+  def q84VocabBuild(spark: SparkSession, dir: String): DataFrame =
+    Text.buildVocab(Tables.documents(spark, dir), "text", maxSize = 50)
+      .orderBy(col("token_id"))
+
+  /** Schema-evolution union: an old-schema slice (no priority column)
+    * and a new-schema slice union by NAME with missing columns
+    * null-filled — the schema-drift tolerance every long-lived
+    * ingestion needs — then aggregate with the missing marker visible.
+    */
+  def q85SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val v1 = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val v2 = orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<missing>")).as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("priority"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1763,6 +1789,8 @@ object SparkEntry {
     "q81_histogram" -> (q81Histogram _),
     "q82_debounce" -> (q82Debounce _),
     "q83_grouped_topk" -> (q83GroupedTopK _),
+    "q84_vocab_build" -> (q84VocabBuild _),
+    "q85_schema_evolution" -> (q85SchemaEvolution _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2782,6 +2810,27 @@ object SparkEntry {
         |           ORDER BY value DESC, event_id) AS INT) AS rank
         |  FROM events WHERE value IS NOT NULL)
         |WHERE rank <= 3 ORDER BY bucket, rank""".stripMargin,
+
+    "q84_vocab_build" ->
+      """WITH c AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT term, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+        |           AS token_id
+        |  FROM c)
+        |SELECT term, n, token_id FROM r WHERE token_id < 50
+        |ORDER BY token_id""".stripMargin,
+
+    "q85_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<missing>'
+        |            ELSE o_orderpriority END AS priority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q80_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -29,6 +29,36 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Small-files compaction: rewrite a parquet dataset into
+    * `targetFiles` files, preserving (or imposing) a range-clustered
+    * sort on `sortCols` so min/max file skipping survives the rewrite.
+    * The maintenance job every long-lived table needs — streaming
+    * sinks, partition patches, and per-batch appends accrete small
+    * files until scan task scheduling dominates the read; one
+    * range-shuffle rewrite restores the layout. Overwrites atomically
+    * via a staging directory + rename so a reader never sees a
+    * half-compacted dataset (single-filesystem rename; an object-store
+    * deployment swaps this for its own atomic-commit protocol).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int, sortCols: Seq[String]): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val staging = path + ".compacting"
+    val df = spark.read.parquet(path)
+    val repart =
+      if (sortCols.isEmpty) df.repartition(targetFiles)
+      else df.repartitionByRange(targetFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    repart.write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dst),
+      s"compaction rename failed: $staging -> $path")
+  }
+
   /** Z-ordered write: range-partition on the z-value (one shuffle
     * that IS the clustering), sort within partitions, drop the key.
     * Each output file then covers a compact z-range = a small (x, y)

@@ -148,6 +148,33 @@ object Text {
         coalesce(col("dup_trigram_occ"), lit(0L)).as("dup_trigram_occ"))
   }
 
+  // ------------------------------------------------- vocab construction
+
+  /** Distributed tokenizer-vocabulary construction: term frequencies
+    * over the corpus, the `maxSize` most frequent terms kept, and
+    * stable contiguous token ids assigned by (count DESC, term ASC) —
+    * the deterministic rank order every tokenizer build uses so two
+    * runs (or two engines) mint identical ids. The corpus-sized work is
+    * one explode + one keyed count; the ranking window only ever sees
+    * the `limit(maxSize)` survivors (TakeOrderedAndProject — the q37
+    * idiom), never the full term table, so id assignment is O(vocab)
+    * regardless of corpus size.
+    */
+  def buildVocab(df: DataFrame, textCol: String, maxSize: Int): DataFrame = {
+    require(maxSize > 0, "maxSize must be positive")
+    val top = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(maxSize)
+    // non-foldable constant partition: input is already ≤ maxSize rows
+    // (the limit above is the safeguard); this just keeps WindowExec
+    // from logging a single-partition warning
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(xxhash64(col("term")), lit(1)))
+      .orderBy(col("n").desc, col("term").asc)
+    top.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+  }
+
   // ------------------------------------------------------------ TF-IDF
 
   /** Smoothed IDF: ln((1 + N) / (1 + df)) + 1 — never negative, never

@@ -138,6 +138,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q76/q78: inverted-index and LSH band joins are hash joins, never quadratic") {
+    Seq("q76_containment_pairs", "q78_incremental_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q\n$p")
+    }
+  }
+
+  test("q75: salted join keys include the salt on a sort-merge join") {
+    val p = plan("q75_salted_skew_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("__salt"), p)
+  }
+
+  test("q79: changelog apply is one aggregation — a single exchange, no join") {
+    val p = plan("q79_cdc_apply")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("max_by") || p.contains("maxby") || p.contains("ObjectHashAggregate")
+      || p.contains("SortAggregate"), p)
+  }
+
+  test("q81/q83: profiling stays O(output) — broadcast stats, partial top-k agg") {
+    val h = plan("q81_histogram")
+    assert(!h.contains("CartesianProduct"), h)
+    val t = plan("q83_grouped_topk")
+    assert(t.contains("partial_topkagg") && !t.contains("Window"), t)
+  }
+
   test("AQE runtime bloom filter injects on the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions.{col, sum}
     // At 100 TB this fires by default: the application-side scan must

@@ -41,4 +41,28 @@ class LayoutSpec extends SparkSpec {
     assert(areas.sum < 0.5 * files.size * totalArea,
       s"areas=$areas vs total=$totalArea")
   }
+
+  test("compact: many small files become targetFiles, content identical, ranges disjoint") {
+    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1L to 5000L).toDF("k").withColumn("v", col("k") * 2)
+    df.repartition(64).write.parquet(path) // the accreted small-files state
+    def parquetFiles = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles.length >= 32)
+    Layout.compact(spark, path, targetFiles = 4, sortCols = Seq("k"))
+    assert(parquetFiles.length == 4, parquetFiles.length.toString)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 5000L)
+    assert(back.agg(sum(col("v"))).head().getLong(0) == 5000L * 5001L)
+    // range clustering: per-file [min(k), max(k)] spans don't overlap
+    val spans = parquetFiles.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, spans.mkString(","))
+      case _ =>
+    }
+  }
 }
