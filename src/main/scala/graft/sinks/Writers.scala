@@ -66,6 +66,19 @@ object Writers {
       .repartition(col("dt"), col("hour"))
       .write.mode("append").partitionBy("dt", "hour").json(path)
 
+  /** Idempotent exactly-once `foreachBatch` parquet sink: each
+    * micro-batch lands in its own `batch_id=<id>` directory with
+    * OVERWRITE. Structured Streaming re-runs a failed batch under the
+    * SAME batch id, so a replayed batch overwrites its own (possibly
+    * partial) previous output instead of appending duplicates — the
+    * standard at-least-once → exactly-once upgrade for filesystem
+    * sinks. Readers scan `path` and see the union of batch partitions;
+    * run [[graft.ext.Layout.compact]] periodically if batches are
+    * small.
+    */
+  def idempotentBatchWrite(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
   /** O-56: key-value upsert sink — last write per key wins (DynamoDB
     * `put_item` semantics, ref: streaming/consumer.py:72-83). Modeled
     * as a keyed parquet table merged via the gold-layer upsert; called
