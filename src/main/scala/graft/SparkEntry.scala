@@ -1705,6 +1705,20 @@ object SparkEntry {
       .orderBy(col("priority"))
   }
 
+  /** Linear quality-classifier inference (fastText-shape): fixed
+    * weights over four exact text features; sigmoid score rounded 4
+    * (the one transcendental), keep decision on the exact logit
+    * (`z ≥ 0` — bit-reproducible, so the POLICY hash-checks unrounded).
+    */
+  def q86QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val z = Text.qualityLogit(col("text"), Seq(-2.4, 2.0, -3.0, 1.5, 2.5))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
+        (z >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1791,6 +1805,7 @@ object SparkEntry {
     "q83_grouped_topk" -> (q83GroupedTopK _),
     "q84_vocab_build" -> (q84VocabBuild _),
     "q85_schema_evolution" -> (q85SchemaEvolution _),
+    "q86_quality_classifier" -> (q86QualityClassifier _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2824,6 +2839,32 @@ object SparkEntry {
         |  FROM c)
         |SELECT term, n, token_id FROM r WHERE token_id < 50
         |ORDER BY token_id""".stripMargin,
+
+    "q86_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS f_len,
+        |         CAST(length(text)
+        |              - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+        |              AS DOUBLE) / greatest(length(text), 1) AS f_punct,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |             ['the','a','an','and','or','of','to','in','is','it'], x)))
+        |              AS DOUBLE) / greatest(len(toks), 1) AS f_stop,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE)
+        |           / greatest(len(toks), 1) AS f_distinct
+        |  FROM t),
+        |z AS (
+        |  SELECT doc_id,
+        |         -2.4 + 2.0 * f_len + -3.0 * f_punct
+        |              + 1.5 * f_stop + 2.5 * f_distinct AS z
+        |  FROM f)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
+        |       z >= 0 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
 
     "q85_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<missing>'

@@ -148,6 +148,30 @@ object Text {
         coalesce(col("dup_trigram_occ"), lit(0L)).as("dup_trigram_occ"))
   }
 
+  // -------------------------------------------- linear quality classifier
+
+  /** Logit of a linear quality classifier over four codegen'd text
+    * features — the inference shape of fastText-class quality models
+    * (a trained model plugs in as different weights; the features and
+    * the broadcast-free scoring pass are the same). `w` is
+    * (bias, wLength, wPunct, wStopword, wDistinct). Every feature is an
+    * exact integer ratio (one IEEE division), and the dot product
+    * evaluates in written order, so the LOGIT — and therefore any
+    * `logit ≥ 0` keep decision — is bit-reproducible across engines;
+    * only a sigmoid's `exp` needs rounding tolerance.
+    */
+  def qualityLogit(c: Column, w: Seq[Double]): Column = {
+    require(w.length == 5, "need (bias, wLen, wPunct, wStop, wDistinct)")
+    val t = tokens(c)
+    val n = size(t).cast("double")
+    val fLen = least(n / 100.0, lit(1.0))
+    val fPunct = punctRatio(c)
+    val fStop = stopwordRatio(c)
+    val fDistinct = size(array_distinct(t)).cast("double") / greatest(size(t), lit(1))
+    lit(w(0)) + lit(w(1)) * fLen + lit(w(2)) * fPunct +
+      lit(w(3)) * fStop + lit(w(4)) * fDistinct
+  }
+
   // ------------------------------------------------- vocab construction
 
   /** Distributed tokenizer-vocabulary construction: term frequencies

@@ -291,6 +291,32 @@ object Jobs {
     q.awaitTermination()
   }
 
+  /** Exactly-once filesystem sink stream: every micro-batch lands via
+    * [[graft.sinks.Writers.idempotentBatchWrite]] in its own
+    * `batch_id=` partition. Combined with the checkpoint, this is
+    * end-to-end exactly-once on a filesystem table: a batch replayed
+    * after a crash overwrites its own partial output (same batch id),
+    * and a RESTART with the same checkpoint re-runs nothing already
+    * committed — both pinned by StreamSpec.
+    */
+  def runIdempotentSinkStream(
+      spark: SparkSession,
+      inputDir: String,
+      outPath: String,
+      checkpoint: String): Unit = {
+    val schema = graft.schema.Schemas.events
+    val q = spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.Writers.idempotentBatchWrite(batch, batchId, outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** O-61/O-62: foreachBatch dual-write — persist the batch once, split
     * good/bad, write each side plus alerts (ref: streaming/consumer.py:
     * 59-102 routes good→DynamoDB, bad→DLQ+S3, surges→SNS). Sinks are

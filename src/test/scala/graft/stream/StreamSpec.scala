@@ -230,6 +230,19 @@ class StreamSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("idempotent sink stream: restart with the same checkpoint re-commits nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idemstream").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(200).write.parquet(in)
+    Jobs.runIdempotentSinkStream(spark, in, out, ckpt)
+    val first = spark.read.parquet(out).count()
+    assert(first == 200L)
+    // restart: same checkpoint, no new input → nothing re-runs, nothing duplicates
+    Jobs.runIdempotentSinkStream(spark, in, out, ckpt)
+    assert(spark.read.parquet(out).count() == first)
+  }
+
   test("idempotentBatchWrite: batch re-delivery overwrites, never duplicates") {
     val path = java.nio.file.Files.createTempDirectory("graft-idem").toString + "/t"
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
