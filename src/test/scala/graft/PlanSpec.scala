@@ -166,6 +166,18 @@ class PlanSpec extends SparkSpec {
     assert(t.contains("partial_topkagg") && !t.contains("Window"), t)
   }
 
+  test("q73/q86: text scans prune to (doc_id, text) — no full-row reads") {
+    Seq("q73_repetition_filters", "q86_quality_classifier").foreach { q =>
+      val p = plan(q)
+      val reads = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+      assert(reads.nonEmpty, s"$q\n$p")
+      reads.foreach { r =>
+        assert(!r.contains("lang") && !r.contains("source") && !r.contains("n_chars"),
+          s"$q read more than it needs: $r")
+      }
+    }
+  }
+
   test("AQE runtime bloom filter injects on the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions.{col, sum}
     // At 100 TB this fires by default: the application-side scan must

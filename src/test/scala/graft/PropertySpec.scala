@@ -296,4 +296,34 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"sample $i: $got vs $expect")
     }
   }
+
+  test("applyChangelog equals a sequential driver-side replay on random changelogs") {
+    val changesGen: Gen[List[(Long, String, Double, Long, String)]] =
+      Gen.listOfN(60, for {
+        k <- Gen.choose(1L, 12L)          // overlaps the 8-key base + inserts
+        seq <- Gen.choose(1L, 1000L)
+        op <- Gen.oneOf("I", "U", "D")
+        v <- Gen.choose(-50.0, 50.0)
+      } yield (k, s"n$k-$seq", v, seq, op))
+    (1 to 8).foreach { i =>
+      val changes = changesGen.pureApply(Gen.Parameters.default, Seed(99L + i))
+        // the operator documents ties broken by op DESC; keep the
+        // reference simple by deduping to unique (key, seq)
+        .groupBy(c => (c._1, c._4)).map(_._2.head).toList
+      val base = (1L to 8L).map(k => (k, s"base$k", k * 10.0)).toList
+      // reference: fold the changelog in seq order over a driver map
+      val expected = changes.sortBy(_._4).foldLeft(
+        base.map(r => r._1 -> (r._2, r._3)).toMap) {
+        case (snap, (k, name, v, _, op)) =>
+          if (op == "D") snap - k else snap + (k -> ((name, v)))
+      }
+      val got = Transform.applyChangelog(
+        base.toDF("k", "name", "v"),
+        changes.toDF("k", "name", "v", "seq", "op"),
+        Seq("k"), "seq", "op")
+        .as[(Long, String, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected, s"sample $i")
+    }
+  }
 }
