@@ -1719,6 +1719,48 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus tokenization under the built vocab (q84's op at maxSize=20
+    * so OOV is real): tokens broadcast-join the vocab, OOV → −1, and
+    * each doc's id sequence md5s in POSITION order — the
+    * train-the-vocab-then-encode-the-corpus two-stage pipeline, both
+    * stages deterministic.
+    */
+  def q87TokenizeCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = Text.buildVocab(docs, "text", maxSize = 20)
+      .select(col("term"), col("token_id"))
+    docs.select(col("doc_id"),
+      posexplode(Text.tokens(col("text"))).as(Seq("pos", "term")))
+      .join(broadcast(vocab), Seq("term"), "left_outer")
+      .withColumn("tid", coalesce(col("token_id"), lit(-1L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+            e => e.getField("tid").cast(StringType)))).as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Keep-one-per-cluster corpus materialization — dedup's actual
+    * deliverable: q51's near-dup clusters drive an anti join that
+    * drops every non-canonical member, and the SURVIVING corpus
+    * aggregates per language. Cluster → canonical → filtered corpus in
+    * one declarative chain.
+    */
+  def q88DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 600)
+    val clusters = graft.ext.Clusters.dupClusters(
+      Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 1, threshold = 0.95),
+      "id_a", "id_b")
+    docs.join(clusters.filter(!col("is_canonical")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1806,6 +1848,8 @@ object SparkEntry {
     "q84_vocab_build" -> (q84VocabBuild _),
     "q85_schema_evolution" -> (q85SchemaEvolution _),
     "q86_quality_classifier" -> (q86QualityClassifier _),
+    "q87_tokenize_corpus" -> (q87TokenizeCorpus _),
+    "q88_dedup_corpus" -> (q88DedupCorpus _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2839,6 +2883,56 @@ object SparkEntry {
         |  FROM c)
         |SELECT term, n, token_id FROM r WHERE token_id < 50
         |ORDER BY token_id""".stripMargin,
+
+    "q87_tokenize_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+        |v AS (
+        |  SELECT term, token_id FROM (
+        |    SELECT term,
+        |           CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+        |             AS token_id
+        |    FROM c) WHERE token_id < 20),
+        |tk AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |         generate_subscripts(toks, 1) AS pos
+        |  FROM t),
+        |j AS (
+        |  SELECT tk.doc_id AS doc_id, tk.pos AS pos,
+        |         coalesce(v.token_id, -1) AS tid,
+        |         v.token_id IS NULL AS oov
+        |  FROM tk LEFT JOIN v ON tk.term = v.term)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q88_dedup_corpus" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+        |  FROM documents WHERE doc_id < 600),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.95),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents d LEFT JOIN dropped ON d.doc_id = dropped.id
+        |WHERE d.doc_id < 600 AND dropped.id IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q86_quality_classifier" ->
       """WITH t AS (
