@@ -270,21 +270,32 @@ object Dedup {
     * column is a single IEEE division of those integers.
     *
     * At 100 TB: ubiquitous shingles make the self-join quadratic
-    * within a shingle's posting list — prefilter shingles whose
-    * document frequency exceeds a cap (they carry no near-superset
-    * signal) exactly as search engines drop stop-shingles, or route
-    * through [[minhashNearDupPairs]]-style banding first and use
-    * containment only as the verify metric.
+    * within a shingle's posting list — `dfCap` drops shingles whose
+    * document frequency exceeds the cap (they carry no near-superset
+    * signal) exactly as search engines drop stop-shingles; containment
+    * is then computed over the KEPT shingle universe (sizes too), so
+    * exact duplicates still score 1.0. Alternatively route through
+    * [[minhashNearDupPairs]]-style banding first and use containment
+    * only as the verify metric.
     */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, minPct: Int): DataFrame = {
+      shingleSize: Int, minPct: Int,
+      dfCap: Option[Int] = None): DataFrame = {
     require(minPct > 0 && minPct <= 100, "minPct must be in (0, 100]")
+    dfCap.foreach(c => require(c > 0, "dfCap must be positive"))
     // consumed three times (sizes + both self-join sides) — persist so
     // tokenize + shingle construction runs once, like the minhash path
-    val sh = df.select(col(idCol).as("id"),
+    val exploded = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), shingleSize)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = dfCap.fold(exploded) { cap =>
+      // bound every posting list: one extra count keyed on the shingle
+      val hot = exploded.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap).select(col("s"))
+      // the USING join moves the key first — restore (id, s) order for
+      // the positional renames below
+      exploded.join(hot, Seq("s"), "left_anti").select(col("id"), col("s"))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("size_a"))
     sh.toDF("id_a", "s")
       .join(sh.toDF("id_b", "s"), Seq("s"))

@@ -148,6 +148,47 @@ object Text {
         coalesce(col("dup_trigram_occ"), lit(0L)).as("dup_trigram_occ"))
   }
 
+  /** The 100 TB form of [[repetitionStats]]: n-grams are hashed
+    * map-side (`xxhash64`, codegen'd) so the (doc, k, gram) shuffle
+    * carries 8-byte keys instead of concatenated gram strings — same
+    * counts up to hash collisions (P ≈ grams²/2⁶⁴ per document,
+    * negligible; parity-tested in ExtSpec). Use the string form when
+    * an exact cross-engine oracle is needed, this one when the corpus
+    * is large.
+    */
+  def repetitionStatsHashed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+    def gramHashes(k: Int): Column =
+      transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k)))))
+    val occurrences = base
+      .filter(col("n_tokens") >= 2)
+      .select(col(idCol),
+        explode(concat(
+          transform(gramHashes(2), h => struct(lit(2).as("k"), h.as("gram"))),
+          when(col("n_tokens") >= 3,
+            transform(gramHashes(3), h => struct(lit(3).as("k"), h.as("gram"))))
+            .otherwise(array().cast("array<struct<k:int,gram:bigint>>")))).as("g"))
+      .select(col(idCol), col("g.k").as("k"), col("g.gram").as("gram"))
+    val perDoc = occurrences
+      .groupBy(col(idCol), col("k"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("k") === 2, col("c"))).as("top_bigram_cnt"),
+        sum(when(col("k") === 3 && col("c") >= 2, col("c")).otherwise(lit(0L)))
+          .as("dup_trigram_occ"))
+    base.drop("toks")
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        coalesce(col("dup_trigram_occ"), lit(0L)).as("dup_trigram_occ"))
+  }
+
   // -------------------------------------------- linear quality classifier
 
   /** Logit of a linear quality classifier over four codegen'd text

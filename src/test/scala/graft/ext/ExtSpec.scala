@@ -472,6 +472,38 @@ class ExtSpec extends SparkSpec {
     assert(r(4L) == ((6, 2, 3L, 4L)))
   }
 
+  test("repetitionStatsHashed agrees with the string path on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Int, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows(Text.repetitionStatsHashed(docs, "doc_id", "text"))
+      == rows(Text.repetitionStats(docs, "doc_id", "text")))
+  }
+
+  test("containmentPairs dfCap: exact dup still 1.0, hot-shingle pairs pruned") {
+    // "x y z" is shared by every doc (hot); docs 1/2 are exact dups
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z a b c"),
+      (3L, "x y z q r s"),
+      (4L, "x y z t u v")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, minPct = 50, dfCap = Some(3))
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // the only shingle every doc shares ("x y z") has df 4 > cap → the
+    // 3↔4 pairs (linked ONLY through it) vanish...
+    assert(!capped.contains((3L, 4L)) && !capped.contains((4L, 3L)))
+    // ...but exact dups keep full containment over the kept universe
+    assert(capped((1L, 2L)) == 1.0 && capped((2L, 1L)) == 1.0)
+    // uncapped, the hot shingle links everything
+    val full = Dedup.containmentPairs(docs, "doc_id", "text", 3, 25)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(full.contains((3L, 4L)))
+  }
+
   test("containmentPairs: subset doc contains fully, asymmetric, threshold cuts") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),                       // ⊂ doc 2's shingles

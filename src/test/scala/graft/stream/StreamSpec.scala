@@ -234,13 +234,21 @@ class StreamSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-idemstream").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     graft.Tables.events(spark, "/root/testdata/sf0.001")
-      .limit(200).write.parquet(in)
+      .orderBy(col("event_id")).limit(200).write.parquet(in)
     Jobs.runIdempotentSinkStream(spark, in, out, ckpt)
     val first = spark.read.parquet(out).count()
     assert(first == 200L)
     // restart: same checkpoint, no new input → nothing re-runs, nothing duplicates
     Jobs.runIdempotentSinkStream(spark, in, out, ckpt)
     assert(spark.read.parquet(out).count() == first)
+    // incremental: new input arrives → ONLY the delta is processed
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .orderBy(col("event_id")).limit(300)
+      .filter(col("event_id") >= 200).write.mode("append").parquet(in)
+    Jobs.runIdempotentSinkStream(spark, in, out, ckpt)
+    val after = spark.read.parquet(out)
+    assert(after.count() == first + 100)
+    assert(after.select("event_id").distinct().count() == after.count())
   }
 
   test("idempotentBatchWrite: batch re-delivery overwrites, never duplicates") {
