@@ -1761,6 +1761,27 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** TRUE rate-limit throttle (anchor = last KEPT event, inherently
+    * sequential per key — `flatMapSortedGroups`, the justified
+    * last-resort tier): per user, distinct event times thinned to at
+    * most one survivor per 6 h window chain. The oracle rebuilds the
+    * anchor chain with a recursive CTE, so even the sequential
+    * recurrence is hash-checked cross-engine.
+    */
+  def q89Throttle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter(col("user_id") < 12)
+      .select(col("user_id"), col("ts")).distinct()
+    val kept = graft.ext.TimeSeries.throttle(
+      ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        lit(0L).as("tie")).as[(Long, Long, Long)],
+      cooldownUs = 6L * 3600L * 1000000L)
+      .groupBy(col("_1").as("user_id")).agg(count(lit(1)).as("n_kept"))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .join(kept, Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1850,6 +1871,7 @@ object SparkEntry {
     "q86_quality_classifier" -> (q86QualityClassifier _),
     "q87_tokenize_corpus" -> (q87TokenizeCorpus _),
     "q88_dedup_corpus" -> (q88DedupCorpus _),
+    "q89_throttle" -> (q89Throttle _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2910,6 +2932,27 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q89_throttle" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE user_id < 12),
+        |kept AS (
+        |  SELECT user_id AS k, min(ts) AS t FROM e GROUP BY 1
+        |  UNION ALL
+        |  SELECT k, nxt FROM (
+        |    SELECT q.k AS k,
+        |           (SELECT min(e2.ts) FROM e e2
+        |            WHERE e2.user_id = q.k
+        |              AND e2.ts >= q.t + INTERVAL 6 HOUR) AS nxt
+        |    FROM kept q)
+        |  WHERE nxt IS NOT NULL)
+        |SELECT a.user_id AS user_id, a.n_events, b.n_kept
+        |FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM e GROUP BY 1) a
+        |JOIN (SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_kept
+        |      FROM kept GROUP BY 1) b USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (

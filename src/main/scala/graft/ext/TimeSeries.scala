@@ -246,6 +246,43 @@ object TimeSeries {
       .drop("__prev")
   }
 
+  /** TRUE throttle: keep an event only if it is at least `cooldownUs`
+    * microseconds after the last KEPT event of its key. Unlike
+    * [[debounce]] the anchor is the previous survivor, which makes the
+    * recurrence inherently sequential per key — no window/lag
+    * formulation exists (each decision depends on all prior
+    * decisions). This is the documented LAST-RESORT tier: typed
+    * `flatMapSortedGroups` hands each key's events in (ts, tieBreak)
+    * order to a linear scan carrying one running anchor — one keyed
+    * shuffle + sort, O(1) state per key, no driver involvement. Spark
+    * sorts WITHIN each group; keys still process in parallel across
+    * partitions, so the operator scales exactly like a window that
+    * can't be expressed as one.
+    *
+    * Input is typed rows of (key, tsMicros, tieBreak); output is the
+    * kept (key, tsMicros, tieBreak) rows.
+    */
+  def throttle(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      cooldownUs: Long): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    require(cooldownUs > 0, "cooldown must be positive")
+    import events.sparkSession.implicits._
+    // sort exprs resolve against the Dataset's ACTUAL column names
+    // (tuple encoders keep source-frame names) — address positionally
+    val Array(_, tsName, tieName) = events.columns
+    events
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col(tsName), col(tieName)) {
+        (_: Long, it: Iterator[(Long, Long, Long)]) =>
+        var anchor = Long.MinValue
+        it.filter { e =>
+          val keep = anchor == Long.MinValue || e._2 - anchor >= cooldownUs
+          if (keep) anchor = e._2
+          keep
+        }
+      }
+  }
+
   /** Gap-based sessionization with Spark's native `session_window`
     * (merge while the gap to the previous event is < `gap`): per-key
     * session stats. The oracle cross-validates these semantics against

@@ -539,6 +539,45 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(100L, 102L, 103L, 200L))
   }
 
+  test("throttle: anchor is the last KEPT event — trickle case diverges from debounce") {
+    // events at t = 0, 4, 8, 12 minutes; cooldown 5 min
+    val us = 60L * 1000000L
+    val events = Seq(
+      (1L, 0L * us, 10L), (1L, 4L * us, 11L), (1L, 8L * us, 12L), (1L, 12L * us, 13L),
+      (2L, 0L * us, 20L)
+    ).toDS()
+    val kept = graft.ext.TimeSeries.throttle(events, 5L * us)
+      .collect().map(_._3).toSet
+    // throttle: keep t=0; drop t=4 (<5 from anchor 0); keep t=8 (>=5
+    // from anchor 0); drop t=12 (<5 from anchor 8)
+    assert(kept == Set(10L, 12L, 20L))
+    // debounce on the same trickle keeps ONLY the first event of key 1
+    // (every gap-to-previous is 4 min) — the semantic gap the Scaladoc
+    // documents
+    def ts(usv: Long) = new java.sql.Timestamp(usv / 1000)
+    val df = events.map(e => (e._1, ts(e._2), e._3)).toDF("k", "ts", "id")
+    val deb = graft.ext.TimeSeries.debounce(df, Seq("k"), "ts", "id", "5 minutes")
+      .filter(col("kept")).select("id").as[Long].collect().toSet
+    assert(deb == Set(10L, 20L))
+    // driver-side sequential reference on pseudo-random data
+    val rnd = (1 to 300).map { i =>
+      val k = i % 5L
+      val t = ((i * 2654435761L) % 1000) * us / 10 // deterministic scramble
+      (k, t, i.toLong)
+    }
+    val got = graft.ext.TimeSeries.throttle(rnd.toDS(), 7L * us)
+      .collect().sortBy(e => (e._1, e._2, e._3)).toSeq
+    val expected = rnd.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var anchor = Long.MinValue
+      es.sortBy(e => (e._2, e._3)).filter { e =>
+        val keep = anchor == Long.MinValue || e._2 - anchor >= 7L * us
+        if (keep) anchor = e._2
+        keep
+      }
+    }.sortBy(e => (e._1, e._2, e._3))
+    assert(got == expected)
+  }
+
   test("minhashNearDupAgainst: batch matches corpus twins, never itself or its own side") {
     val mk = (seed: Int) => (0 until 30).map(i => s"w${(i * 7 + seed) % 19}").mkString(" ")
     val corpus = Seq(
