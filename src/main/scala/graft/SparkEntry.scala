@@ -1782,6 +1782,69 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Table-version diff (snapshot reconciliation): the CDC-applied
+    * snapshot (q79's op) full-outer-joined against the original base on
+    * the key, rows classified added / removed / changed / unchanged by
+    * payload comparison — the regression-diff every pipeline migration
+    * runs. One shuffle join; counts + key checksums per status.
+    */
+  def q90TableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val changes = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 4 === 0).select(
+        when(col("o_orderkey") % 11 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        lit("CHANGED").as("c_mktsegment"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, lit("D"))
+          .when(col("o_orderkey") % 11 === 0, lit("I"))
+          .otherwise(lit("U")).as("op"))
+    val next = Transform.applyChangelog(base, changes, Seq("c_custkey"), "seq", "op")
+    val a = base.select(col("c_custkey"),
+      struct(col("c_mktsegment"), col("c_acctbal")).as("old_p"))
+    val b = next.select(col("c_custkey"),
+      struct(col("c_mktsegment"), col("c_acctbal")).as("new_p"))
+    a.join(b, Seq("c_custkey"), "full_outer")
+      .withColumn("status",
+        when(col("old_p").isNull, lit("added"))
+          .when(col("new_p").isNull, lit("removed"))
+          .when(col("old_p") === col("new_p"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))
+      .orderBy(col("status"))
+  }
+
+  /** Cross-table referential-integrity audit — the DQ family's missing
+    * multi-table check: orphaned lineitems (no order) and orphaned
+    * orders (no customer) via anti joins, reported beside the parent
+    * row counts. On clean TPC-H-ish data both orphan counts are 0 —
+    * the point: the AUDIT itself is the hash-checked artifact, and any
+    * integrity regression in an ingest flips the row.
+    */
+  def q91IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    // one aggregation per relationship (rows + orphans in the same
+    // pass), no driver-side counts
+    def audit(child: DataFrame, childKey: String, parent: DataFrame,
+        parentKey: String, label: String): DataFrame =
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey).as("__k")).distinct()
+          .withColumn("__p", lit(1)), col(childKey) === col("__k"), "left_outer")
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("__p").isNull, 1L).otherwise(0L)).as("orphans"))
+        .select(explode(array(
+          struct(lit(s"${label}_rows").as("check"), col("rows").as("n")),
+          struct(lit(s"${label}_orphans").as("check"), col("orphans").as("n")))).as("e"))
+        .select(col("e.check").as("check"), col("e.n").as("n"))
+    audit(Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey", "lineitem")
+      .unionByName(audit(Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey", "orders"))
+      .orderBy(col("check"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1872,6 +1935,8 @@ object SparkEntry {
     "q87_tokenize_corpus" -> (q87TokenizeCorpus _),
     "q88_dedup_corpus" -> (q88DedupCorpus _),
     "q89_throttle" -> (q89Throttle _),
+    "q90_table_diff" -> (q90TableDiff _),
+    "q91_integrity_audit" -> (q91IntegrityAudit _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2932,6 +2997,55 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q90_table_diff" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS key,
+        |         o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+        |              WHEN o_orderkey % 11 = 0 THEN 'I'
+        |              ELSE 'U' END AS op,
+        |         o_totalprice AS bal
+        |  FROM orders WHERE o_custkey % 4 = 0),
+        |last AS (
+        |  SELECT key, op, bal FROM (
+        |    SELECT key, op, bal,
+        |           row_number() OVER (PARTITION BY key
+        |             ORDER BY seq DESC, op DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |next AS (
+        |  SELECT coalesce(l.key, c.c_custkey) AS key,
+        |         CASE WHEN l.key IS NULL THEN c.c_mktsegment
+        |              ELSE 'CHANGED' END AS seg,
+        |         CASE WHEN l.key IS NULL THEN c.c_acctbal ELSE l.bal END AS bal
+        |  FROM customer c FULL JOIN last l ON c.c_custkey = l.key
+        |  WHERE coalesce(l.op, 'B') <> 'D'),
+        |d AS (
+        |  SELECT coalesce(b.c_custkey, n.key) AS key,
+        |         CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |              WHEN n.key IS NULL THEN 'removed'
+        |              WHEN b.c_mktsegment = n.seg AND b.c_acctbal = n.bal
+        |                THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM customer b FULL JOIN next n ON b.c_custkey = n.key)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(key) AS BIGINT) AS key_sum
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q91_integrity_audit" ->
+      """SELECT "check", n FROM (
+        |  SELECT 'lineitem_rows' AS "check", CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_orphans', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'orders_rows', CAST(count(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_orphans', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |ORDER BY "check"""".stripMargin,
 
     "q89_throttle" ->
       """WITH RECURSIVE e AS (
