@@ -202,7 +202,25 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
+    minhashNearDupAgainstWithHandle(corpus, batch, idCol, textCol,
+      shingleSize, numHashes, bands, threshold)._1
+
+  /** [[minhashNearDupAgainst]] plus a [[CacheHandle]] over the two
+    * persisted shingle frames (same contract as
+    * [[minhashNearDupPairsWithHandle]]). In a real incremental
+    * pipeline the CORPUS side's frame is the one to keep cached across
+    * batches — evict just the batch side between ingests.
+    */
+  def minhashNearDupAgainstWithHandle(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.6): (DataFrame, CacheHandle) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     def shingled(df: DataFrame, idAs: String, shAs: String): DataFrame =
@@ -216,7 +234,7 @@ object Dedup {
           .as(Seq("band", "bucket")))
     val shB = shingled(batch, "batch_id", "sh_b")
     val shC = shingled(corpus, "corpus_id", "sh_c")
-    bucketize(shB, "batch_id", "sh_b")
+    val matches = bucketize(shB, "batch_id", "sh_b")
       .join(bucketize(shC, "corpus_id", "sh_c"), Seq("band", "bucket"))
       .select(col("batch_id"), col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
@@ -225,6 +243,7 @@ object Dedup {
       .withColumn("jaccard_sim", round(jaccard(col("sh_b"), col("sh_c")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard_sim"))
+    (matches, new CacheHandle(Seq(shB, shC)))
   }
 
   /** Exact n-gram Jaccard pairs (the brute-force verifier MinHash
@@ -281,7 +300,17 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, minPct: Int,
-      dfCap: Option[Int] = None): DataFrame = {
+      dfCap: Option[Int] = None): DataFrame =
+    containmentPairsWithHandle(df, idCol, textCol, shingleSize, minPct, dfCap)._1
+
+  /** [[containmentPairs]] plus a [[CacheHandle]] over the shingle frame
+    * the operator persists internally (same contract as
+    * [[minhashNearDupPairsWithHandle]]).
+    */
+  def containmentPairsWithHandle(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, minPct: Int,
+      dfCap: Option[Int] = None): (DataFrame, CacheHandle) = {
     require(minPct > 0 && minPct <= 100, "minPct must be in (0, 100]")
     dfCap.foreach(c => require(c > 0, "dfCap must be positive"))
     // consumed three times (sizes + both self-join sides) — persist so
@@ -297,7 +326,7 @@ object Dedup {
       exploded.join(hot, Seq("s"), "left_anti").select(col("id"), col("s"))
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("size_a"))
-    sh.toDF("id_a", "s")
+    val pairs = sh.toDF("id_a", "s")
       .join(sh.toDF("id_b", "s"), Seq("s"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
@@ -306,6 +335,7 @@ object Dedup {
       .filter(col("n_shared") * 100 >= col("size_a") * minPct)
       .withColumn("containment",
         col("n_shared").cast("double") / col("size_a").cast("double"))
+    (pairs, new CacheHandle(Seq(sh)))
   }
 
   /** Fuzzy entity matching by DELETION NEIGHBORHOODS (the SymSpell

@@ -289,6 +289,15 @@ class ExtSpec extends SparkSpec {
     assert(handle.isCached)
     handle.unpersist(blocking = true)
     assert(!handle.isCached)
+    // the other two persisting operators honor the same contract
+    val (cp, ch) = Dedup.containmentPairsWithHandle(docs, "doc_id", "text", 2, 30)
+    cp.count()
+    assert(ch.isCached); ch.unpersist(blocking = true); assert(!ch.isCached)
+    val (m, mh) = Dedup.minhashNearDupAgainstWithHandle(
+      docs.filter(col("doc_id") <= 25), docs.filter(col("doc_id") > 25),
+      "doc_id", "text")
+    m.count()
+    assert(mh.isCached); mh.unpersist(blocking = true); assert(!mh.isCached)
   }
 
   // ------------------------------------------------------ multimodal
