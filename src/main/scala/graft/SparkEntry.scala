@@ -1500,7 +1500,10 @@ object SparkEntry {
           .otherwise(lit(0.0)).as("dup_trigram_frac"),
         (col("n_distinct") * 10 > col("n_tokens") * 3 &&
           col("top_bigram_cnt") * 20 <= col("n_tokens") * 2 &&
-          col("dup_trigram_occ") * 10 <= (col("n_tokens") - 2) * 3).as("keep"))
+          // guard like the fraction above: a doc too short to HAVE
+          // trigrams can't fail the trigram clause
+          (col("n_tokens") < 3 ||
+            col("dup_trigram_occ") * 10 <= (col("n_tokens") - 2) * 3)).as("keep"))
       .orderBy(col("doc_id"))
 
   /** Overlapping context-window chunking (32-token chunks, stride 24):
@@ -1602,22 +1605,31 @@ object SparkEntry {
     * summarized per segment. Updates/inserts land in segment 'CHANGED'
     * so survivors of each path are visible in the aggregate.
     */
-  def q79CdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.customer(spark, dir)
+  /** The customer snapshot + the orders-derived changelog shared by
+    * q79 and q90 — ONE definition so the two queries (and their oracle
+    * SQL, which mirrors this construction) can never drift apart.
+    * Only a quarter of the key space churns: untouched base rows
+    * surviving verbatim is half the contract.
+    */
+  private def cdcBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-    // only a quarter of the key space churns — untouched base rows
-    // surviving verbatim is half the contract
-    val changes = Tables.orders(spark, dir)
+
+  private def cdcChanges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .filter(col("o_custkey") % 4 === 0).select(
-      when(col("o_orderkey") % 11 === 0, col("o_custkey") + 1000000L)
-        .otherwise(col("o_custkey")).as("c_custkey"),
-      lit("CHANGED").as("c_mktsegment"),
-      col("o_totalprice").as("c_acctbal"),
-      col("o_orderkey").as("seq"),
-      when(col("o_orderkey") % 7 === 0, lit("D"))
-        .when(col("o_orderkey") % 11 === 0, lit("I"))
-        .otherwise(lit("U")).as("op"))
-    Transform.applyChangelog(base, changes, Seq("c_custkey"), "seq", "op")
+        when(col("o_orderkey") % 11 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        lit("CHANGED").as("c_mktsegment"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, lit("D"))
+          .when(col("o_orderkey") % 11 === 0, lit("I"))
+          .otherwise(lit("U")).as("op"))
+
+  def q79CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    Transform.applyChangelog(cdcBase(spark, dir), cdcChanges(spark, dir),
+      Seq("c_custkey"), "seq", "op")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
       .orderBy(col("c_mktsegment"))
@@ -1789,19 +1801,9 @@ object SparkEntry {
     * runs. One shuffle join; counts + key checksums per status.
     */
   def q90TableDiff(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-    val changes = Tables.orders(spark, dir)
-      .filter(col("o_custkey") % 4 === 0).select(
-        when(col("o_orderkey") % 11 === 0, col("o_custkey") + 1000000L)
-          .otherwise(col("o_custkey")).as("c_custkey"),
-        lit("CHANGED").as("c_mktsegment"),
-        col("o_totalprice").as("c_acctbal"),
-        col("o_orderkey").as("seq"),
-        when(col("o_orderkey") % 7 === 0, lit("D"))
-          .when(col("o_orderkey") % 11 === 0, lit("I"))
-          .otherwise(lit("U")).as("op"))
-    val next = Transform.applyChangelog(base, changes, Seq("c_custkey"), "seq", "op")
+    val base = cdcBase(spark, dir)
+    val next = Transform.applyChangelog(base, cdcChanges(spark, dir),
+      Seq("c_custkey"), "seq", "op")
     val a = base.select(col("c_custkey"),
       struct(col("c_mktsegment"), col("c_acctbal")).as("old_p"))
     val b = next.select(col("c_custkey"),
@@ -1833,7 +1835,10 @@ object SparkEntry {
         .join(parent.select(col(parentKey).as("__k")).distinct()
           .withColumn("__p", lit(1)), col(childKey) === col("__k"), "left_outer")
         .agg(count(lit(1)).as("rows"),
-          sum(when(col("__p").isNull, 1L).otherwise(0L)).as("orphans"))
+          // a no-group agg over ZERO rows yields sum=NULL; the audit
+          // must report 0 orphans for an empty child, like the oracle
+          coalesce(sum(when(col("__p").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("orphans"))
         .select(explode(array(
           struct(lit(s"${label}_rows").as("check"), col("rows").as("n")),
           struct(lit(s"${label}_orphans").as("check"), col("orphans").as("n")))).as("e"))
@@ -2802,7 +2807,7 @@ object SparkEntry {
         |       CASE WHEN n >= 3 THEN CAST(coalesce(dup_tri, 0) AS DOUBLE) / (n - 2)
         |            ELSE 0.0 END AS dup_trigram_frac,
         |       (nd * 10 > n * 3 AND coalesce(top_bi, 0) * 20 <= n * 2
-        |        AND coalesce(dup_tri, 0) * 10 <= (n - 2) * 3) AS keep
+        |        AND (n < 3 OR coalesce(dup_tri, 0) * 10 <= (n - 2) * 3)) AS keep
         |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
         |ORDER BY doc_id""".stripMargin,
 
@@ -2865,7 +2870,8 @@ object SparkEntry {
         |       CAST(x.v AS DOUBLE) AS v,
         |       CAST(s.vmin AS DOUBLE) AS vmin, CAST(s.vmax AS DOUBLE) AS vmax,
         |       (CAST(x.v AS DOUBLE) - CAST(s.vmin AS DOUBLE))
-        |         / (CAST(s.vmax AS DOUBLE) - CAST(s.vmin AS DOUBLE)) AS scaled
+        |         / nullif(CAST(s.vmax AS DOUBLE) - CAST(s.vmin AS DOUBLE), 0.0)
+        |         AS scaled
         |FROM x JOIN s ON x.dim = s.dim
         |WHERE x.vec_id < 20
         |ORDER BY vec_id, dim""".stripMargin,

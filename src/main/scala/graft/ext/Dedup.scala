@@ -313,18 +313,28 @@ object Dedup {
       dfCap: Option[Int] = None): (DataFrame, CacheHandle) = {
     require(minPct > 0 && minPct <= 100, "minPct must be in (0, 100]")
     dfCap.foreach(c => require(c > 0, "dfCap must be positive"))
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // consumed three times (sizes + both self-join sides) — persist so
     // tokenize + shingle construction runs once, like the minhash path
     val exploded = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), shingleSize)).as("s"))
-    val sh = dfCap.fold(exploded) { cap =>
-      // bound every posting list: one extra count keyed on the shingle
-      val hot = exploded.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > cap).select(col("s"))
-      // the USING join moves the key first — restore (id, s) order for
-      // the positional renames below
-      exploded.join(hot, Seq("s"), "left_anti").select(col("id"), col("s"))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (sh, held) = dfCap match {
+      case None => (exploded.persist(level), Seq(exploded))
+      case Some(cap) =>
+        // bound every posting list: one extra count keyed on the
+        // shingle. The RAW explode feeds both the df count and the
+        // anti-join probe, so it is the frame to persist — otherwise
+        // tokenize + shingle runs twice before the capped frame even
+        // materializes.
+        val raw = exploded.persist(level)
+        val hot = raw.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("s"))
+        // the USING join moves the key first — restore (id, s) order
+        // for the positional renames below
+        val capped = raw.join(hot, Seq("s"), "left_anti")
+          .select(col("id"), col("s")).persist(level)
+        (capped, Seq(raw, capped))
+    }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("size_a"))
     val pairs = sh.toDF("id_a", "s")
       .join(sh.toDF("id_b", "s"), Seq("s"))
@@ -335,7 +345,7 @@ object Dedup {
       .filter(col("n_shared") * 100 >= col("size_a") * minPct)
       .withColumn("containment",
         col("n_shared").cast("double") / col("size_a").cast("double"))
-    (pairs, new CacheHandle(Seq(sh)))
+    (pairs, new CacheHandle(held))
   }
 
   /** Fuzzy entity matching by DELETION NEIGHBORHOODS (the SymSpell

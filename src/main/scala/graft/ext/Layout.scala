@@ -35,9 +35,12 @@ object Layout {
     * The maintenance job every long-lived table needs — streaming
     * sinks, partition patches, and per-batch appends accrete small
     * files until scan task scheduling dominates the read; one
-    * range-shuffle rewrite restores the layout. Overwrites atomically
-    * via a staging directory + rename so a reader never sees a
-    * half-compacted dataset (single-filesystem rename; an object-store
+    * range-shuffle rewrite restores the layout. The swap is
+    * rename-based on the filesystem that OWNS `path`: write staging,
+    * rename the live dataset aside, rename staging in, delete the old
+    * copy last — at no instant is the published location empty with
+    * the data already gone, and a crash leaves either the original or
+    * the compacted dataset recoverable on disk (an object-store
     * deployment swaps this for its own atomic-commit protocol).
     */
   def compact(
@@ -45,18 +48,27 @@ object Layout {
       path: String, targetFiles: Int, sortCols: Seq[String]): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")
     val staging = path + ".compacting"
+    val retired = path + ".precompact"
     val df = spark.read.parquet(path)
     val repart =
       if (sortCols.isEmpty) df.repartition(targetFiles)
       else df.repartitionByRange(targetFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
     repart.write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dst),
-      s"compaction rename failed: $staging -> $path")
+    // the filesystem that owns the path, NOT the default filesystem —
+    // they differ whenever path is file:// or s3a:// under an hdfs
+    // default (or vice versa)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(retired)
+    fs.delete(old, true) // clear any residue of an earlier crash
+    require(fs.rename(dst, old), s"compaction rename failed: $path -> $retired")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst)) {
+      fs.rename(old, dst) // restore the original before failing
+      throw new IllegalStateException(
+        s"compaction rename failed: $staging -> $path (original restored)")
+    }
+    fs.delete(old, true)
   }
 
   /** Z-ordered write: range-partition on the z-value (one shuffle

@@ -116,9 +116,16 @@ object TopKAgg {
     val ids: Array[Long] = new Array[Long](k)
     var size: Int = 0
 
-    /** True if (v, id) ranks strictly better than slot i. */
-    private def better(v: Double, id: Long, i: Int): Boolean =
-      v > vals(i) || (v == vals(i) && id < ids(i))
+    /** True if (v, id) ranks strictly better than slot i.
+      * `Double.compare`, not primitive `>`: it orders NaN greater than
+      * every value (and -0.0 < 0.0), which is exactly Spark's double
+      * ordering — so the aggregate stays equivalent to the ranking
+      * window even on NaN inputs.
+      */
+    private def better(v: Double, id: Long, i: Int): Boolean = {
+      val c = java.lang.Double.compare(v, vals(i))
+      c > 0 || (c == 0 && id < ids(i))
+    }
 
     def insert(v: Double, id: Long): Unit = {
       if (size == k && !better(v, id, k - 1)) return

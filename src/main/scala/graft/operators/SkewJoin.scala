@@ -39,7 +39,10 @@ object SkewJoin {
       factSalt: Column,
       buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val f = fact.withColumn("__salt", pmod(factSalt, lit(buckets)).cast("int"))
+    // a NULL salt source must not drop the row (the plain join keeps
+    // it) — park NULLs in bucket 0; their keys still join exactly once
+    val f = fact.withColumn("__salt",
+      coalesce(pmod(factSalt, lit(buckets)).cast("int"), lit(0)))
     val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     f.join(d, keys :+ "__salt").drop("__salt")
   }

@@ -44,6 +44,18 @@ class TopKAggSpec extends SparkSpec {
     assert(got == Set((1, 1, 3L, 10.0), (1, 2, 5L, 10.0), (2, 1, 42L, 1.0)))
   }
 
+  test("NaN orders like Spark's window (greater than everything)") {
+    val df = Seq(
+      (1, Double.NaN, 7L), (1, 5.0, 1L), (1, 3.0, 2L), (1, Double.NaN, 4L)
+    ).toDF("g", "v", "id")
+    // compare (g, rank, id) — NaN defeats tuple equality on the value
+    val expected = windowTopK(df, 2).map(t => (t._1, t._2, t._3))
+    val got = aggTopK(df, 2)
+    assert(got.map(t => (t._1, t._2, t._3)) == expected)
+    // both NaNs outrank 5.0; among NaNs the smaller id wins
+    assert(got.map(t => (t._2, t._3)).toMap == Map(1 -> 4L, 2 -> 7L))
+  }
+
   test("nulls are skipped, not ranked") {
     val df = Seq[(Int, Option[Double], Long)](
       (1, Some(5.0), 1L), (1, None, 2L), (1, Some(3.0), 3L)
