@@ -175,6 +175,34 @@ object Dedup {
     (pairs, new CacheHandle(Seq(shingled, buckets)))
   }
 
+  /** The 100 TB form of [[containmentPairs]]: shingles ride the
+    * inverted-index self-join as 64-bit hashes from the codegen'd
+    * [[VectorKernels.shingleHashes]] kernel instead of strings — same
+    * pairs up to hash collisions (P ≈ shingles²/2⁶⁴ per doc,
+    * negligible; parity-tested), and the posting-list join keys shrink
+    * from gram strings to 8 bytes. Use the string form when an exact
+    * cross-engine oracle is needed, this one when the corpus is large.
+    */
+  def containmentPairsHashed(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, minPct: Int): DataFrame = {
+    require(minPct > 0 && minPct <= 100, "minPct must be in (0, 100]")
+    val sh = df.select(col(idCol).as("id"),
+      explode(VectorKernels.shingleHashes(
+        Text.tokens(col(textCol)), shingleSize)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("size_a"))
+    sh.toDF("id_a", "s")
+      .join(sh.toDF("id_b", "s"), Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .filter(col("n_shared") * 100 >= col("size_a") * minPct)
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("size_a").cast("double"))
+  }
+
   /** INCREMENTAL near-dup: match a new BATCH of documents against an
     * existing CORPUS without re-pairing the corpus with itself — the
     * daily-ingest form of [[minhashNearDupPairs]]. At 100 TB nobody

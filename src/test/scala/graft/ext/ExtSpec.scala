@@ -513,6 +513,16 @@ class ExtSpec extends SparkSpec {
     assert(full.contains((3L, 4L)))
   }
 
+  test("containmentPairsHashed agrees with the string path on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(150)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id_a"), col("id_b"), col("n_shared"), col("size_a"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(Dedup.containmentPairsHashed(docs, "doc_id", "text", 3, 30))
+      == rows(Dedup.containmentPairs(docs, "doc_id", "text", 3, 30)))
+  }
+
   test("containmentPairs: subset doc contains fully, asymmetric, threshold cuts") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),                       // ⊂ doc 2's shingles
