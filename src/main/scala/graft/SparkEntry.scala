@@ -3044,13 +3044,20 @@ object SparkEntry {
         |  SELECT 'lineitem_rows' AS "check", CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem
         |  UNION ALL
+        |  -- NOT EXISTS, not NOT IN: the Spark side is an outer-join
+        |  -- NULL probe (anti-join semantics), under which a NULL child
+        |  -- key counts as an orphan; NOT IN would collapse to zero
+        |  -- matches the moment any key is NULL — and an integrity
+        |  -- audit runs on dirty data.
         |  SELECT 'lineitem_orphans', CAST(count(*) AS BIGINT)
-        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         |  UNION ALL
         |  SELECT 'orders_rows', CAST(count(*) AS BIGINT) FROM orders
         |  UNION ALL
         |  SELECT 'orders_orphans', CAST(count(*) AS BIGINT)
-        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  FROM orders r
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey))
         |ORDER BY "check"""".stripMargin,
 
     "q89_throttle" ->

@@ -125,6 +125,11 @@ object Transform {
       seqCol: String,
       opCol: String): DataFrame = {
     val payload = base.columns.toIndexedSeq
+    // the merge mints __rank/__op working columns and overlays seqCol/
+    // opCol onto the base — a payload column with any of those names
+    // would be silently clobbered, so refuse it loudly
+    require(!payload.exists(Set("__rank", "__op", seqCol, opCol)),
+      s"base payload columns must not include __rank, __op, $seqCol, $opCol")
     val seqType = changes.schema(seqCol).dataType
     val all = base
       .withColumn("__rank", lit(0))

@@ -185,14 +185,24 @@ object Dedup {
     */
   def containmentPairsHashed(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, minPct: Int): DataFrame = {
+      shingleSize: Int, minPct: Int): DataFrame =
+    containmentPairsHashedWithHandle(df, idCol, textCol, shingleSize, minPct)._1
+
+  /** [[containmentPairsHashed]] plus a [[CacheHandle]] over the shingle
+    * frame the operator persists internally (same contract as
+    * [[containmentPairsWithHandle]]), so long-lived sessions evict
+    * deterministically instead of accumulating LRU-held frames.
+    */
+  def containmentPairsHashedWithHandle(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, minPct: Int): (DataFrame, CacheHandle) = {
     require(minPct > 0 && minPct <= 100, "minPct must be in (0, 100]")
     val sh = df.select(col(idCol).as("id"),
       explode(VectorKernels.shingleHashes(
         Text.tokens(col(textCol)), shingleSize)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("size_a"))
-    sh.toDF("id_a", "s")
+    val pairs = sh.toDF("id_a", "s")
       .join(sh.toDF("id_b", "s"), Seq("s"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
@@ -201,6 +211,7 @@ object Dedup {
       .filter(col("n_shared") * 100 >= col("size_a") * minPct)
       .withColumn("containment",
         col("n_shared").cast("double") / col("size_a").cast("double"))
+    (pairs, new CacheHandle(Seq(sh)))
   }
 
   /** INCREMENTAL near-dup: match a new BATCH of documents against an

@@ -54,6 +54,12 @@ object Features {
         col("vmax").cast("double"))
       .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
       .sortBy(_._1)
+    // the literal arrays are indexed positionally by dim — a stats
+    // frame with gaps or a non-0-based dim set would silently misalign
+    // every dimension after the gap, so refuse it loudly
+    require(collected.map(_._1).sameElements(collected.indices),
+      "stats must cover a contiguous 0-based dim range; found: " +
+        collected.map(_._1).mkString("[", ",", "]"))
     val mins = typedlit(collected.map(_._2._1))
     val maxs = typedlit(collected.map(_._2._2))
     df.select(col(idCol),

@@ -38,10 +38,20 @@ object Layout {
     * range-shuffle rewrite restores the layout. The swap is
     * rename-based on the filesystem that OWNS `path`: write staging,
     * rename the live dataset aside, rename staging in, delete the old
-    * copy last — at no instant is the published location empty with
-    * the data already gone, and a crash leaves either the original or
-    * the compacted dataset recoverable on disk (an object-store
-    * deployment swaps this for its own atomic-commit protocol).
+    * copy last — the data is never gone from disk, and a crash leaves
+    * either the original or the compacted dataset recoverable (an
+    * object-store deployment swaps this for its own atomic-commit
+    * protocol — rename is not atomic there).
+    *
+    * READER-VISIBLE OUTAGE WINDOW: between the two renames the
+    * published `path` briefly does not exist — a concurrent reader in
+    * that instant gets FileNotFound. This is a maintenance operation;
+    * schedule it when the table is quiescent, or front it with a
+    * catalog/manifest swap where readers resolve paths indirectly.
+    * If a crash lands inside the window, the NEXT invocation
+    * self-heals: on entry, a missing `path` with a `.precompact` copy
+    * present is restored before compaction proceeds — no manual
+    * intervention needed.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
@@ -49,6 +59,7 @@ object Layout {
     require(targetFiles > 0, "targetFiles must be positive")
     val staging = path + ".compacting"
     val retired = path + ".precompact"
+    recoverIfInterrupted(spark, path)
     val df = spark.read.parquet(path)
     val repart =
       if (sortCols.isEmpty) df.repartition(targetFiles)
@@ -69,6 +80,23 @@ object Layout {
         s"compaction rename failed: $staging -> $path (original restored)")
     }
     fs.delete(old, true)
+  }
+
+  /** Crash recovery for [[compact]]'s rename window: if the published
+    * `path` is missing but the `.precompact` retired copy exists (a
+    * crash landed between the two renames), rename it back. Returns
+    * true if a restore happened. Called automatically on every
+    * [[compact]] entry; also callable directly from a repair job.
+    */
+  def recoverIfInterrupted(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + ".precompact")
+    if (!fs.exists(dst) && fs.exists(old)) {
+      require(fs.rename(old, dst), s"recovery rename failed: $old -> $path")
+      true
+    } else false
   }
 
   /** Z-ordered write: range-partition on the z-value (one shuffle

@@ -236,6 +236,11 @@ object TimeSeries {
   def debounce(
       events: DataFrame, keyCols: Seq[String], tsCol: String,
       tieBreakCol: String, cooldown: String): DataFrame = {
+    // kept is the output verdict column and __prev an internal working
+    // column — an input already carrying either would be silently
+    // clobbered, so refuse it loudly
+    require(!events.columns.exists(Set("kept", "__prev")),
+      "input must not already contain a kept or __prev column")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
     events

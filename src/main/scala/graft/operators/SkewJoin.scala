@@ -39,6 +39,10 @@ object SkewJoin {
       factSalt: Column,
       buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // an input already carrying __salt would be silently overwritten —
+    // corrupting the join keys — so refuse it loudly
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs must not already contain a __salt column")
     // a NULL salt source must not drop the row (the plain join keeps
     // it) — park NULLs in bucket 0; their keys still join exactly once
     val f = fact.withColumn("__salt",

@@ -109,4 +109,16 @@ class TransformSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSet
     assert(again == snap)
   }
+
+  test("applyChangelog refuses a base whose payload collides with working columns") {
+    val changes = Seq((1L, "a", 1.0, 1L, "U")).toDF("k", "name", "v", "seq", "op")
+    def base(cols: String*) =
+      Seq((1L, "a", 1.0, 0L)).toDF(cols: _*)
+    for (bad <- Seq("__rank", "__op", "seq", "op")) {
+      val e = intercept[IllegalArgumentException] {
+        Transform.applyChangelog(base("k", "name", "v", bad), changes, Seq("k"), "seq", "op")
+      }
+      assert(e.getMessage.contains(bad))
+    }
+  }
 }

@@ -298,6 +298,9 @@ class ExtSpec extends SparkSpec {
       "doc_id", "text")
     m.count()
     assert(mh.isCached); mh.unpersist(blocking = true); assert(!mh.isCached)
+    val (hp, hh) = Dedup.containmentPairsHashedWithHandle(docs, "doc_id", "text", 2, 30)
+    hp.count()
+    assert(hh.isCached); hh.unpersist(blocking = true); assert(!hh.isCached)
   }
 
   // ------------------------------------------------------ multimodal
@@ -556,6 +559,16 @@ class ExtSpec extends SparkSpec {
       events, Seq("user_id"), "ts", "event_id", "5 minutes")
       .filter(col("kept")).select("event_id").as[Long].collect().toSet
     assert(kept == Set(100L, 102L, 103L, 200L))
+    // inputs already carrying the verdict or working column are refused
+    val tainted = events.withColumn("kept", lit(true))
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.TimeSeries.debounce(tainted, Seq("user_id"), "ts", "event_id", "5 minutes")
+    }
+    assert(e.getMessage.contains("kept"))
+    intercept[IllegalArgumentException] {
+      graft.ext.TimeSeries.debounce(events.withColumn("__prev", lit(0L)),
+        Seq("user_id"), "ts", "event_id", "5 minutes")
+    }
   }
 
   test("throttle: anchor is the last KEPT event — trickle case diverges from debounce") {

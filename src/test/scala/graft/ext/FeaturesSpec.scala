@@ -46,6 +46,18 @@ class FeaturesSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(600))
   }
 
+  test("scaleVectors refuses a gapped or non-0-based stats frame") {
+    val gapped = Seq((0, 0.0, 1.0), (2, 0.0, 1.0)).toDF("dim", "vmin", "vmax")
+    val e = intercept[IllegalArgumentException] {
+      Features.scaleVectors(vecs, "id", "vec", gapped)
+    }
+    assert(e.getMessage.contains("contiguous"))
+    val shifted = Seq((1, 0.0, 1.0), (2, 0.0, 1.0)).toDF("dim", "vmin", "vmax")
+    intercept[IllegalArgumentException] {
+      Features.scaleVectors(vecs, "id", "vec", shifted)
+    }
+  }
+
   test("constant dimension scales to NULL, not an arbitrary constant") {
     val const = Seq((1L, Array(5.0f, 1.0f)), (2L, Array(5.0f, 3.0f))).toDF("id", "vec")
     val r = Features.minMaxScaleRows(const, "id", "vec",

@@ -65,4 +65,26 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("compact self-heals a crash inside the rename window") {
+    val path = java.nio.file.Files.createTempDirectory("graft-heal").toString + "/t"
+    val df = (1L to 100L).toDF("k")
+    df.write.parquet(path)
+    // simulate the crash: dst renamed aside, staging never swapped in
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".precompact")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // a direct repair restores the retired copy...
+    assert(Layout.recoverIfInterrupted(spark, path))
+    assert(spark.read.parquet(path).count() == 100L)
+    // ...and is a no-op on a healthy table
+    assert(!Layout.recoverIfInterrupted(spark, path))
+    // the next compact on a crashed state heals then compacts
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".precompact")))
+    Layout.compact(spark, path, targetFiles = 1, sortCols = Seq("k"))
+    assert(spark.read.parquet(path).count() == 100L)
+  }
 }

@@ -42,6 +42,17 @@ class SkewJoinSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan.take(800))
   }
 
+  test("inputs already carrying __salt are refused, not clobbered") {
+    val tainted = fact.withColumn("__salt", lit(7))
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.salted(tainted, dim, Seq("key"), col("row_id"), 8)
+    }
+    assert(e.getMessage.contains("__salt"))
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(fact, dim.withColumn("__salt", lit(0)), Seq("key"), col("row_id"), 8)
+    }
+  }
+
   test("fact rows of one hot key spread across every salt bucket") {
     val salts = fact.filter(col("key") === "hot")
       .withColumn("__salt", pmod(col("row_id"), lit(8)).cast("int"))
