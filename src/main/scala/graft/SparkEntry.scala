@@ -1850,6 +1850,102 @@ object SparkEntry {
       .orderBy(col("check"))
   }
 
+  /** Sparse TF-IDF cosine near-dup pairs via the inverted-index
+    * self-join — lexical-feature similarity beside shingle Jaccard
+    * (q12) and dense-embedding cosine (q22); IDF crushes the
+    * ubiquitous terms this tiny-vocab corpus is full of, so only
+    * genuinely similar term profiles cross the threshold.
+    */
+  def q92TfidfCosine(spark: SparkSession, dir: String): DataFrame =
+    Text.tfidfCosinePairs(
+      Tables.documents(spark, dir).filter(col("doc_id") < 400),
+      "doc_id", "text", threshold = 0.82)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Bloom-filter decontamination contract: the sub-linear probe must
+    * flag EVERY exactly-contaminated document (bloom filters have no
+    * false negatives — `n_missed` must be 0) with the false-positive
+    * overshoot inside a 5% budget. The exact semi-join (q48's ground
+    * truth, same benchmark slice and shingle width) rides along to
+    * adjudicate, so the guarantee itself is hash-checked.
+    */
+  def q93BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val flagged = graft.ext.TrainPrep.bloomContaminatedDocs(
+      docs, bench, "doc_id", "text", n = 5)
+    val exact = graft.ext.TrainPrep.contaminatedDocs(
+      docs, bench, "doc_id", "text", n = 5)
+    flagged.join(exact, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("contaminated") && !col("flagged"), 1L).otherwise(0L))
+          .as("n_missed"),
+        (sum(when(!col("contaminated") && col("flagged"), 1L).otherwise(0L)) * 20
+          <= count(lit(1))).as("fp_bound_ok"))
+  }
+
+  /** Temperature-scaled mixture weights per language (alpha = 0.5):
+    * the multilingual re-balancing computation — low-resource languages
+    * get sample_rate > 1, the dominant one < 1. All six decimals
+    * hash-checked.
+    */
+  def q94MixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.mixtureWeights(
+      Tables.documents(spark, dir), "lang", alpha = 0.5)
+      .orderBy(col("lang"))
+
+  /** Deterministic corpus shuffle into 8 shards: shard assignment and
+    * within-shard order both md5-derived, verified by an order digest —
+    * md5 over the comma-joined doc ids in position order — so the
+    * EXACT permutation (not just the membership) hash-checks.
+    */
+  def q95ShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.deterministicShuffle(
+      Tables.documents(spark, dir), "doc_id", numShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+            s => s.getField("doc_id").cast(StringType)),
+          ",")).as("order_digest"))
+      .orderBy(col("shard"))
+
+  /** q79's CDC merge as a REAL incremental stream: the changelog
+    * replays in four seq-ordered micro-batches (one file each,
+    * oldest-first mod times) through `runChangelogStream`, each batch
+    * merging into a versioned snapshot; the FINAL snapshot must equal
+    * the one-shot batch apply — q79's oracle verbatim.
+    */
+  def q96StreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q96").toString
+    val changes = cdcChanges(spark, dir)
+    val mx = changes.agg(max(col("seq"))).head().getLong(0)
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 600000
+    (0 until 4).foreach { i =>
+      // contiguous ascending seq ranges — the order a CDC log delivers,
+      // which is runChangelogStream's cross-batch contract
+      changes.filter(col("seq") > mx * i / 4)
+        .filter(if (i == 3) lit(true) else col("seq") <= mx * (i + 1) / 4)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val v = Jobs.runChangelogStream(spark, cdcBase(spark, dir), in,
+      changes.schema, Seq("c_custkey"), "seq", "op", s"$tmp/snap", s"$tmp/ckpt")
+    spark.read.parquet(s"$tmp/snap/v=$v")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1942,6 +2038,11 @@ object SparkEntry {
     "q89_throttle" -> (q89Throttle _),
     "q90_table_diff" -> (q90TableDiff _),
     "q91_integrity_audit" -> (q91IntegrityAudit _),
+    "q92_tfidf_cosine" -> (q92TfidfCosine _),
+    "q93_bloom_decontaminate" -> (q93BloomDecontaminate _),
+    "q94_mixture_weights" -> (q94MixtureWeights _),
+    "q95_shuffle_shards" -> (q95ShuffleShards _),
+    "q96_stream_cdc" -> (q96StreamCdc _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -1960,6 +2061,35 @@ object SparkEntry {
     * approximate ops (q13 LSH recall, q13b simhash, q23 IVF, q25 stub
     * decode) → driver records a weaker rows-only check.
     */
+  /** Shared by q79 (one-shot batch apply) and q96 (incremental
+    * streaming apply): both must converge to the same snapshot.
+    */
+  private val cdcSnapshotOracle: String =
+    """WITH ch AS (
+      |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000
+      |              ELSE o_custkey END AS key,
+      |         o_orderkey AS seq,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+      |              WHEN o_orderkey % 11 = 0 THEN 'I'
+      |              ELSE 'U' END AS op,
+      |         o_totalprice AS bal
+      |  FROM orders WHERE o_custkey % 4 = 0),
+      |last AS (
+      |  SELECT key, op, bal FROM (
+      |    SELECT key, op, bal,
+      |           row_number() OVER (PARTITION BY key
+      |             ORDER BY seq DESC, op DESC) AS rn
+      |    FROM ch) WHERE rn = 1),
+      |snap AS (
+      |  SELECT CASE WHEN l.key IS NULL THEN c.c_mktsegment
+      |              ELSE 'CHANGED' END AS seg,
+      |         CASE WHEN l.key IS NULL THEN c.c_acctbal ELSE l.bal END AS bal,
+      |         coalesce(l.op, 'B') AS op
+      |  FROM customer c FULL JOIN last l ON c.c_custkey = l.key)
+      |SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(bal), 2) AS acctbal_sum
+      |FROM snap WHERE op <> 'D' GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_dedup_latest_agg" ->
       """WITH dedup AS (
@@ -2907,31 +3037,11 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.bid
         |ORDER BY batch_id""".stripMargin,
 
-    "q79_cdc_apply" ->
-      """WITH ch AS (
-        |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000
-        |              ELSE o_custkey END AS key,
-        |         o_orderkey AS seq,
-        |         CASE WHEN o_orderkey % 7 = 0 THEN 'D'
-        |              WHEN o_orderkey % 11 = 0 THEN 'I'
-        |              ELSE 'U' END AS op,
-        |         o_totalprice AS bal
-        |  FROM orders WHERE o_custkey % 4 = 0),
-        |last AS (
-        |  SELECT key, op, bal FROM (
-        |    SELECT key, op, bal,
-        |           row_number() OVER (PARTITION BY key
-        |             ORDER BY seq DESC, op DESC) AS rn
-        |    FROM ch) WHERE rn = 1),
-        |snap AS (
-        |  SELECT CASE WHEN l.key IS NULL THEN c.c_mktsegment
-        |              ELSE 'CHANGED' END AS seg,
-        |         CASE WHEN l.key IS NULL THEN c.c_acctbal ELSE l.bal END AS bal,
-        |         coalesce(l.op, 'B') AS op
-        |  FROM customer c FULL JOIN last l ON c.c_custkey = l.key)
-        |SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(bal), 2) AS acctbal_sum
-        |FROM snap WHERE op <> 'D' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q79_cdc_apply" -> cdcSnapshotOracle,
+
+    // the streaming apply must converge to the SAME snapshot as the
+    // one-shot batch apply — one oracle pins both
+    "q96_stream_cdc" -> cdcSnapshotOracle,
 
     "q81_histogram" ->
       """WITH s AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents)
@@ -3059,6 +3169,74 @@ object SparkEntry {
         |  FROM orders r
         |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey))
         |ORDER BY "check"""".stripMargin,
+
+    "q92_tfidf_cosine" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id < 400),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks),
+        |w AS (SELECT doc_id, term,
+        |             tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) AS w
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS l2 FROM w GROUP BY 1),
+        |u AS (SELECT doc_id, term, w / l2 AS nw FROM w JOIN nrm USING (doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(sum(a.nw * b.nw), 6) AS cos_sim
+        |FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING round(sum(a.nw * b.nw), 6) >= 0.82
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q93_bloom_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([list_aggregate(toks[i:i+4], 'string_agg', ' ')
+        |                        FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM sh c JOIN bench b
+        |    ON c.doc_id != b.bench_id AND len(list_intersect(c.s, b.s)) > 0)
+        |-- n_missed = 0 and fp_bound_ok = TRUE are the CONTRACT: the
+        |-- bloom probe may never miss a truly contaminated doc, and may
+        |-- over-flag at most 5% of the corpus
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_contaminated,
+        |       CAST(0 AS BIGINT) AS n_missed,
+        |       TRUE AS fp_bound_ok
+        |FROM documents""".stripMargin,
+
+    "q94_mixture_weights" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+        |             sum(pow(n_docs, 0.5)) AS z FROM c)
+        |SELECT lang, n_docs,
+        |       round(n_docs / total, 6) AS p_natural,
+        |       round(pow(n_docs, 0.5) / z, 6) AS weight,
+        |       round(pow(n_docs, 0.5) / z / (n_docs / total), 6) AS sample_rate
+        |FROM c, t ORDER BY lang""".stripMargin,
+
+    "q95_shuffle_shards" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         (strpos('123456789abcdef',
+        |                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+        |          + strpos('123456789abcdef',
+        |                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 16
+        |          + strpos('123456789abcdef',
+        |                   substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 8 AS shard,
+        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h
+        |  FROM documents)
+        |SELECT CAST(shard AS INTEGER) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |             ORDER BY h, doc_id)) AS order_digest
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q89_throttle" ->
       """WITH RECURSIVE e AS (

@@ -278,6 +278,57 @@ object Text {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Sparse TF-IDF cosine near-dup pairs: every (a < b) document pair
+    * whose cosine similarity over L2-normalized TF-IDF term vectors
+    * meets `threshold` — the lexical-feature complement to shingle
+    * Jaccard ([[graft.ext.Dedup.jaccardNearDupPairs]]) and dense
+    * embedding cosine: IDF down-weights ubiquitous terms, so two docs
+    * sharing only stop-words never pair, while templated near-dups
+    * (same rare terms, shuffled order) score high even when shingle
+    * overlap is low.
+    *
+    * Shape: the sparse dot product runs as an INVERTED-INDEX self-join
+    * — normalized weights keyed by term, pairs meet only on terms they
+    * share, one (id_a, id_b) aggregation sums the products. No
+    * cross-join, no dense vectors: cost is Σ df(term)² over the
+    * vocabulary, exactly the containment-pairs shape, and the same
+    * levers apply at 100 TB (`dfCap` drops ubiquitous terms — which
+    * IDF has already crushed toward zero weight — before they inflate
+    * a posting list).
+    *
+    * The per-doc L2 norm is one keyed aggregation; weights divide
+    * map-side before the pair join so the pair aggregation is a bare
+    * sum of products. Scores are rounded to 6 places and the threshold
+    * compares the ROUNDED value, keeping the cut reproducible across
+    * engines.
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, dfCap: Option[Int] = None): DataFrame = {
+    dfCap.foreach(c => require(c > 0, "dfCap must be positive"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(trim(col(textCol))))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = toks.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val weighted = tf.join(dfCap.fold(dfT)(c => dfT.filter(col("df") <= c)), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf") * idf(col("df"), col("n_docs")))
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("l2"))
+    val unit = weighted.join(norms, "doc_id")
+      .select(col("doc_id"), col("term"), (col("w") / col("l2")).as("nw"))
+    unit.select(col("term"), col("doc_id").as("id_a"), col("nw").as("nw_a"))
+      .join(unit.select(col("term"), col("doc_id").as("id_b"), col("nw").as("nw_b")),
+        Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(sum(col("nw_a") * col("nw_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   // ----------------------------------------- n-gram language-model score
 
   /** Corpus-trained bigram log-probability per document — the

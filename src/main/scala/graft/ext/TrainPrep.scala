@@ -195,6 +195,123 @@ object TrainPrep {
     contaminatedBy(corpus, benchmark, idCol,
       explode(VectorKernels.shingleHashes(Text.tokens(col(textCol)), n)))
 
+  /** Bloom-filter decontamination — the sub-linear form of
+    * [[contaminatedDocs]] for when the benchmark set is too large to
+    * broadcast as an exact shingle table: build ONE Bloom filter over
+    * the benchmark's distinct shingle hashes (`bloom_filter_agg`,
+    * mergeable map-side partials), then probe every corpus shingle
+    * with `might_contain` — a pure map pass over the corpus, no join
+    * at all. The filter guarantees NO FALSE NEGATIVES: every truly
+    * contaminated document is flagged; a tunable false-positive
+    * fraction of clean documents is over-flagged (they waste review/
+    * drop budget, they never leak eval data). At 100 TB this is the
+    * standard first-stage gate, with the exact semi-join
+    * ([[contaminatedDocsHashed]]) run only on the flagged survivors.
+    *
+    * Returns (doc_id, flagged) for every corpus document. The bloom
+    * builds distributed (map-side partial filters, one merge); only
+    * the FINISHED filter's bytes (numBits/8, ~1 MB at the default —
+    * O(1) in corpus size, the k-means-centroids class of permissible
+    * driver hop) return to the driver, because Spark's
+    * `BloomFilterMightContain` requires a foldable filter expression —
+    * the probe is then a pure map pass with the filter riding the
+    * task binary.
+    */
+  def bloomContaminatedDocs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    require(expectedItems > 0 && numBits > 0, "bloom sizing must be positive")
+    registerBloom(corpus.sparkSession)
+    def shingled(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+        explode(VectorKernels.shingleHashes(Text.tokens(col(textCol)), n)).as("sh"))
+    val bfBytes = shingled(benchmark, "bench_id")
+      .select(col("sh")).distinct()
+      .agg(call_function(BloomAggName, col("sh"),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val ids = corpus.select(col(idCol).as("doc_id"))
+    if (bfBytes == null) // empty benchmark → empty filter → nothing flags
+      ids.select(col("doc_id"), lit(false).as("flagged"))
+    else {
+      val flagged = shingled(corpus, "doc_id")
+        .filter(call_function(BloomProbeName, lit(bfBytes), col("sh")))
+        .select(col("doc_id")).distinct()
+        .withColumn("flagged", lit(true))
+      ids.join(flagged, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("flagged"), lit(false)).as("flagged"))
+    }
+  }
+
+  private val BloomAggName = "graft_bloom_filter_agg"
+  private val BloomProbeName = "graft_might_contain"
+
+  /** Spark ships `BloomFilterAggregate`/`BloomFilterMightContain` as
+    * internal expressions (the runtime-filter rule's building blocks)
+    * without SQL registration; register them as temp functions the
+    * same way the custom aggregates do. Idempotent.
+    */
+  private def registerBloom(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomAggName,
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomProbeName,
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling-rate computation (the `p^alpha` re-balancing used for
+    * training-mixture design; public technique from the multilingual
+    * LM literature): group shares `p = n/Σn` are raised to
+    * `alpha ∈ (0, 1]` and renormalized, boosting low-resource groups
+    * (alpha → 0 approaches uniform; alpha = 1 keeps natural
+    * proportions). Emits per group: count, natural share, scaled
+    * weight, and the per-DOCUMENT relative up/down-sampling rate
+    * (weight/p — > 1 means oversample). One aggregation keyed on the
+    * group + a broadcast 1-row total; output is O(groups).
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).cast("double").as("total"),
+      sum(pow(col("n_docs"), lit(alpha))).as("z"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"),
+        round(col("n_docs") / col("total"), 6).as("p_natural"),
+        round(pow(col("n_docs"), lit(alpha)) / col("z"), 6).as("weight"),
+        round(pow(col("n_docs"), lit(alpha)) / col("z") /
+          (col("n_docs") / col("total")), 6).as("sample_rate"))
+  }
+
+  /** Deterministic corpus shuffle into `numShards` shards: shard
+    * assignment AND within-shard order both derive from md5(id), so
+    * the "random" order training wants (no adjacent near-dups from
+    * crawl locality) is exactly reproducible across runs and engines —
+    * the RNG-free version of shuffle-before-sharding. Shard is a pure
+    * map pass ([[splitBucket]] arithmetic, mod `numShards`); position
+    * is one rank window PER SHARD (keyed shuffle — never a global
+    * sort; at 100 TB each shard sorts independently, which is exactly
+    * how sharded shuffle files are written).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val h = substring(md5(col(idCol).cast("string")), 1, 15)
+    val w = Window.partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("shard", pmod(splitBucket(col(idCol)), lit(numShards)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   private def contaminatedBy(
       corpus: DataFrame,
       benchmark: DataFrame,

@@ -317,6 +317,60 @@ object Jobs {
     q.awaitTermination()
   }
 
+  /** INCREMENTAL CDC apply as a stream: each micro-batch of change
+    * records merges into a versioned snapshot via
+    * [[graft.etl.Transform.applyChangelog]] — MERGE INTO semantics
+    * (I/U replace, D removes, highest sequence wins) applied
+    * continuously, the streaming form of q79's batch apply. Every
+    * batch writes a NEW `v=<batchId>` snapshot directory (never
+    * read-and-overwrite the same files within a batch — that is a
+    * correctness hazard on any filesystem), so the previous version
+    * stays readable throughout and a crash mid-write never corrupts
+    * the published snapshot. Returns the final version id; the caller
+    * reads `snapshotPath/v=<returned>`.
+    *
+    * Correctness contract: cross-batch ordering must be non-decreasing
+    * in `seqCol` per key (the order a CDC log delivers). Within a
+    * batch any order is fine (max-seq wins); ACROSS batches an
+    * out-of-order old change would overwrite a newer snapshot row,
+    * because the snapshot retains payload only — a pipeline that can
+    * receive late sequences keeps `seqCol` (and delete tombstones) in
+    * the snapshot instead. In production the version pointer lives in
+    * table metadata beside the checkpoint; here it is driver state,
+    * which AvailableNow + a fresh checkpoint re-derives from scratch.
+    */
+  def runChangelogStream(
+      spark: SparkSession,
+      base: DataFrame,
+      changesDir: String,
+      changesSchema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String,
+      snapshotPath: String,
+      checkpoint: String): Long = {
+    var lastV = -1L
+    val q = spark.readStream.schema(changesSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(changesDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev =
+          if (lastV < 0) base
+          else spark.read.parquet(s"$snapshotPath/v=$lastV")
+        graft.etl.Transform.applyChangelog(prev, batch, keyCols, seqCol, opCol)
+          .write.mode("overwrite").parquet(s"$snapshotPath/v=$batchId")
+        lastV = batchId
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(lastV >= 0, s"no change files found under $changesDir")
+    lastV
+  }
+
   /** O-61/O-62: foreachBatch dual-write — persist the batch once, split
     * good/bad, write each side plus alerts (ref: streaming/consumer.py:
     * 59-102 routes good→DynamoDB, bad→DLQ+S3, surges→SNS). Sinks are

@@ -367,6 +367,42 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r(1)._3 - (math.log(2.0) + 1.0)) < 1e-6)
   }
 
+  test("tfidfCosinePairs: inverted index equals brute-force cosine; dfCap prunes stop terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"), // near-dup of 1
+      (3L, "zeta eta theta iota"),      // unrelated
+      (4L, "zeta eta theta iota"),      // exact dup of 3
+      (5L, "alpha zeta mixed bag")).toDF("doc_id", "text")
+    val pairs = Text.tfidfCosinePairs(docs, "doc_id", "text", threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // brute-force reference: build dense tf-idf vectors driver-side
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = toks.size.toDouble
+    val dfm = toks.values.flatten.toSeq.distinct
+      .map(t => t -> toks.values.count(_.contains(t))).toMap
+    def vec(id: Long) = toks(id).groupBy(identity).map { case (t, g) =>
+      t -> g.size * (math.log((1 + n) / (1.0 + dfm(t))) + 1.0) }
+    def cos(a: Long, b: Long) = {
+      val (va, vb) = (vec(a), vec(b))
+      val dot = va.keySet.intersect(vb.keySet).toSeq.map(t => va(t) * vb(t)).sum
+      def l2(v: Map[String, Double]) = math.sqrt(v.values.map(x => x * x).sum)
+      dot / (l2(va) * l2(vb))
+    }
+    for (a <- 1L to 5L; b <- (a + 1) to 5L) {
+      val expected = cos(a, b)
+      if (expected == 0.0) assert(!pairs.contains((a, b))) // no shared term → never met
+      else assert(math.abs(pairs((a, b)) - expected) < 1e-6, s"($a,$b)")
+    }
+    assert(pairs((3L, 4L)) == 1.0) // exact dup
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    // dfCap drops terms with df > cap from the index: with cap 1 no
+    // term is shared, so no pair survives
+    val capped = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.0, dfCap = Some(1))
+    assert(capped.count() == 0)
+  }
+
   test("funnel: strictly-after ordering and the step deadline both gate conversion") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

@@ -141,4 +141,71 @@ class TrainPrepSpec extends SparkSpec {
       TrainPrep.chunkDocs(docs, "doc_id", "text", chunkSize = 8, stride = 10)
     }
   }
+
+  test("bloomContaminatedDocs: flags a superset of exact, never misses, empty bench flags none") {
+    val docs = (1L to 200L).map { i =>
+      // docs 10 and 110 share a rare 3-gram; everything else is unique
+      val tail = if (i == 10 || i == 110) "shared rare trigram here"
+        else s"unique tail $i alpha beta"
+      (i, s"doc $i body $tail")
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 100 === 10) // docs 10, 110
+    val exact = TrainPrep.contaminatedDocs(docs, bench, "doc_id", "text", 3)
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(10L, 110L))
+    val flagged = TrainPrep.bloomContaminatedDocs(docs, bench, "doc_id", "text", 3,
+      expectedItems = 10000L, numBits = 65536L)
+      .filter(col("flagged")).select("doc_id").as[Long].collect().toSet
+    // the bloom guarantee: no false negatives
+    assert(exact.subsetOf(flagged), s"missed: ${exact -- flagged}")
+    // at this sizing the FP rate is ~0: nothing beyond the bench docs'
+    // own shingles should flag
+    assert(flagged == Set(10L, 110L), flagged.toString)
+    val none = TrainPrep.bloomContaminatedDocs(
+      docs, bench.filter(lit(false)), "doc_id", "text", 3)
+    assert(none.filter(col("flagged")).count() == 0)
+    assert(none.count() == 200)
+  }
+
+  test("mixtureWeights: alpha=1 keeps natural shares; alpha<1 boosts the tail") {
+    val df = (Seq.fill(80)("en") ++ Seq.fill(15)("de") ++ Seq.fill(5)("fr"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    val nat = TrainPrep.mixtureWeights(df, "lang", alpha = 1.0)
+      .select("lang", "weight", "sample_rate")
+      .as[(String, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(nat("en")._1 == 0.8 && nat("de")._1 == 0.15 && nat("fr")._1 == 0.05)
+    nat.values.foreach(v => assert(v._2 == 1.0)) // natural = no re-sampling
+    val tempered = TrainPrep.mixtureWeights(df, "lang", alpha = 0.5)
+      .select("lang", "weight", "sample_rate")
+      .as[(String, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // weights still sum to 1 (up to the 6-decimal rounding)
+    assert(math.abs(tempered.values.map(_._1).sum - 1.0) < 1e-5)
+    // the dominant group is down-sampled, the tail up-sampled
+    assert(tempered("en")._2 < 1.0 && tempered("fr")._2 > 1.0)
+    intercept[IllegalArgumentException] {
+      TrainPrep.mixtureWeights(df, "lang", alpha = 0.0)
+    }
+  }
+
+  test("deterministicShuffle: positions contiguous per shard, order stable, shard matches splitBucket") {
+    val df = (1L to 500L).toDF("doc_id")
+    val r = TrainPrep.deterministicShuffle(df, "doc_id", numShards = 4)
+    assert(r.count() == 500)
+    // every shard's positions are exactly 0..n-1
+    val spans = r.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(spans.map(_._2).sum == 500)
+    spans.foreach { case (_, n, lo, hi) => assert(lo == 0L && hi == n - 1) }
+    // re-running yields the identical permutation (no RNG anywhere)
+    val perm1 = r.select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().toSet
+    val perm2 = TrainPrep.deterministicShuffle(df, "doc_id", 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(perm1 == perm2)
+    // shard is the md5 split bucket mod numShards
+    val mismatch = TrainPrep.deterministicShuffle(df, "doc_id", 4)
+      .filter(col("shard") =!= pmod(TrainPrep.splitBucket(col("doc_id")), lit(4)))
+    assert(mismatch.count() == 0)
+  }
 }

@@ -269,4 +269,42 @@ class StreamSpec extends SparkSpec {
     b1.write.mode("append").parquet(appendPath)
     assert(spark.read.parquet(appendPath).count() == 2L)
   }
+
+  test("changelog stream: incremental merge converges to the batch apply") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-stream").toString
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    // three seq-ordered slices: update, delete, revive + new key
+    val slices = Seq(
+      Seq((1L, "a1", 11.0, 10L, "U"), (2L, "b", 0.0, 11L, "D")),
+      Seq((3L, "c", 0.0, 20L, "D"), (1L, "a2", 12.0, 21L, "U")),
+      Seq((3L, "c2", 33.0, 30L, "I"), (4L, "d", 40.0, 31L, "I")))
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    slices.zipWithIndex.foreach { case (s, i) =>
+      s.toDF("k", "name", "v", "seq", "op")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val allChanges = slices.flatten.toDF("k", "name", "v", "seq", "op")
+    val v = graft.stream.Jobs.runChangelogStream(spark, base, in,
+      allChanges.schema, Seq("k"), "seq", "op", s"$tmp/snap", s"$tmp/ckpt")
+    assert(v == 2L) // one micro-batch per file
+    val streamed = spark.read.parquet(s"$tmp/snap/v=$v")
+      .as[(Long, String, Double)].collect().toSet
+    val batch = graft.etl.Transform.applyChangelog(
+      base, allChanges, Seq("k"), "seq", "op")
+      .as[(Long, String, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, "a2", 12.0), (3L, "c2", 33.0), (4L, "d", 40.0)))
+    // every intermediate version stayed on disk — v=0 reflects slice 0 only
+    val v0 = spark.read.parquet(s"$tmp/snap/v=0")
+      .as[(Long, String, Double)].collect().toSet
+    assert(v0 == Set((1L, "a1", 11.0), (3L, "c", 30.0)))
+  }
 }
