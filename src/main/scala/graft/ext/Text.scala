@@ -304,7 +304,18 @@ object Text {
     */
   def tfidfCosinePairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, dfCap: Option[Int] = None): DataFrame = {
+      threshold: Double, dfCap: Option[Int] = None): DataFrame =
+    tfidfCosinePairsWithHandle(docs, idCol, textCol, threshold, dfCap)._1
+
+  /** [[tfidfCosinePairs]] plus a [[graft.ext.CacheHandle]] over the
+    * normalized-weight frame the operator persists internally: both
+    * sides of the term self-join consume it, and without the persist
+    * the whole tokenize→tf→idf→normalize chain (three aggregations)
+    * recomputes per side.
+    */
+  def tfidfCosinePairsWithHandle(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, dfCap: Option[Int] = None): (DataFrame, CacheHandle) = {
     dfCap.foreach(c => require(c > 0, "dfCap must be positive"))
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(lower(trim(col(textCol))))).as("term"))
@@ -320,13 +331,16 @@ object Text {
       .agg(sqrt(sum(col("w") * col("w"))).as("l2"))
     val unit = weighted.join(norms, "doc_id")
       .select(col("doc_id"), col("term"), (col("w") / col("l2")).as("nw"))
-    unit.select(col("term"), col("doc_id").as("id_a"), col("nw").as("nw_a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = unit
+      .select(col("term"), col("doc_id").as("id_a"), col("nw").as("nw_a"))
       .join(unit.select(col("term"), col("doc_id").as("id_b"), col("nw").as("nw_b")),
         Seq("term"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(round(sum(col("nw_a") * col("nw_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    (pairs, new CacheHandle(Seq(unit)))
   }
 
   // ----------------------------------------- n-gram language-model score

@@ -203,4 +203,40 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("might_contain"), p)
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("q92: TF-IDF cosine pairs ride the inverted index — no quadratic join") {
+    val p = plan("q92_tfidf_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    // nested-loop joins may appear ONLY as the broadcast 1-row
+    // corpus-size frame inside the cached weight build (q53's accepted
+    // shape); the doc-pair join itself must be a hash join on the term
+    // key over the persisted unit-weight frame
+    assert(p.contains("BroadcastHashJoin [term") || p.contains("SortMergeJoin [term"), p)
+    assert(p.contains("InMemoryTableScan"), p) // both sides read the cache
+  }
+
+  test("bloom decontamination probe is a map pass — filter rides as a literal, not a join") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val p = graft.ext.TrainPrep.bloomContaminatedDocs(
+      docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    // the probe is a Filter over the corpus scan (the bloom bytes are a
+    // literal inside might_contain) — the ONLY join in the whole plan
+    // is the final flag-attach back onto the id list; in particular no
+    // join feeds the probe and nothing is quadratic
+    assert(p.contains("might_contain"), p.take(1200))
+    assert("Join".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q95: deterministic shuffle windows per shard — no join, no global data sort") {
+    val p = plan("q95_shuffle_shards")
+    // shard assignment is map-side arithmetic; the data-sized shuffle is
+    // the shard-keyed window (hashpartitioning) — the only range
+    // partitioning is the final orderBy over O(shards) digest rows
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Exchange hashpartitioning(shard"), p)
+    assert("rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
 }

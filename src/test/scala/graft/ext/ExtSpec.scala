@@ -301,6 +301,9 @@ class ExtSpec extends SparkSpec {
     val (hp, hh) = Dedup.containmentPairsHashedWithHandle(docs, "doc_id", "text", 2, 30)
     hp.count()
     assert(hh.isCached); hh.unpersist(blocking = true); assert(!hh.isCached)
+    val (tp, th) = Text.tfidfCosinePairsWithHandle(docs, "doc_id", "text", 0.5)
+    tp.count()
+    assert(th.isCached); th.unpersist(blocking = true); assert(!th.isCached)
   }
 
   // ------------------------------------------------------ multimodal
