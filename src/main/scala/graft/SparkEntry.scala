@@ -1946,6 +1946,46 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Per-language token-budget fill: the greedy corpus-selection step —
+    * each language admits its highest-quality documents (q86's exact
+    * logit as the score) until a 3,000-token budget is hit. Both
+    * regimes are exercised: small languages fit entirely, the dominant
+    * one is cut mid-rank; prefix semantics make the cut reproducible.
+    */
+  def q97BudgetFill(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("quality",
+        Text.qualityLogit(col("text"), Seq(-2.4, 2.0, -3.0, 1.5, 2.5)))
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast(LongType))
+    graft.ext.TrainPrep.budgetFill(
+      docs, "lang", "doc_id", "quality", "n_tokens", budget = 3000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_tokens")).otherwise(0L))
+          .as("tokens_admitted"))
+      .orderBy(col("lang"))
+  }
+
+  /** Scalar uint8 vector quantization against corpus min/max stats: the
+    * 4× storage cut for billion-vector ANN. Every code is order-free
+    * IEEE arithmetic, so the EXACT code arrays hash-check via a
+    * per-vector digest (plus sum/max as readable checks), not just
+    * their statistics.
+    */
+  def q98QuantizeVectors(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.ext.Features.quantizeVectors(
+      emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+      graft.ext.Features.dimMinMax(emb, "embedding"))
+      .select(col("vec_id"),
+        md5(array_join(transform(col("codes"), _.cast(StringType)), ","))
+          .as("codes_digest"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_max(col("codes")).as("code_max"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2043,6 +2083,8 @@ object SparkEntry {
     "q94_mixture_weights" -> (q94MixtureWeights _),
     "q95_shuffle_shards" -> (q95ShuffleShards _),
     "q96_stream_cdc" -> (q96StreamCdc _),
+    "q97_budget_fill" -> (q97BudgetFill _),
+    "q98_quantize_vectors" -> (q98QuantizeVectors _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3208,6 +3250,57 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS n_missed,
         |       TRUE AS fp_bound_ok
         |FROM documents""".stripMargin,
+
+    "q97_budget_fill" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         -2.4 + 2.0 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+        |              + -3.0 * (CAST(length(text)
+        |                  - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+        |                  AS DOUBLE) / greatest(length(text), 1))
+        |              + 1.5 * (CAST(len(list_filter(toks, x -> list_contains(
+        |                  ['the','a','an','and','or','of','to','in','is','it'], x)))
+        |                  AS DOUBLE) / greatest(len(toks), 1))
+        |              + 2.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+        |                  / greatest(len(toks), 1)) AS z
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY lang
+        |           ORDER BY z DESC, doc_id ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM z)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN run <= 3000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_admitted,
+        |       CAST(sum(CASE WHEN run <= 3000 THEN n_tokens ELSE 0 END) AS BIGINT)
+        |         AS tokens_admitted
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q98_quantize_vectors" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |s AS (SELECT dim, min(v) AS vmin, max(v) AS vmax FROM x GROUP BY 1),
+        |codes AS (
+        |  SELECT x.vec_id, x.dim,
+        |         CASE WHEN s.vmax = s.vmin THEN 0
+        |              ELSE CAST(least(255, greatest(0, round(
+        |                (CAST(x.v AS DOUBLE) - CAST(s.vmin AS DOUBLE))
+        |                  / (CAST(s.vmax AS DOUBLE) - CAST(s.vmin AS DOUBLE))
+        |                  * 255.0))) AS INT) END AS code
+        |  FROM x JOIN s ON x.dim = s.dim
+        |  WHERE x.vec_id < 200)
+        |SELECT vec_id,
+        |       md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim))
+        |         AS codes_digest,
+        |       CAST(sum(code) AS BIGINT) AS code_sum,
+        |       CAST(max(code) AS INT) AS code_max
+        |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q94_mixture_weights" ->
       """WITH c AS (

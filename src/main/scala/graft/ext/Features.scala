@@ -68,4 +68,65 @@ object Features {
         (x, i) => try_divide(x - element_at(mins, i + 1),
           element_at(maxs, i + 1) - element_at(mins, i + 1))).as("scaled_vec"))
   }
+
+  /** Scalar uint8 quantization of the vector column against
+    * per-dimension [vmin, vmax] stats: code = round(255·(v−vmin)/
+    * (vmax−vmin)), clamped to [0, 255]; constant dimensions code to 0.
+    * The 4× (vs float32) storage cut that makes billion-vector ANN
+    * indexes fit in memory — reconstruction error is bounded by half a
+    * step, (vmax−vmin)/510 per dimension. Same literal-stats map-only
+    * plan as [[scaleVectors]] (zero shuffle, zero join), and every
+    * arithmetic step is order-free IEEE, so the codes — not just their
+    * statistics — are reproducible bit-for-bit in an oracle engine.
+    */
+  def quantizeVectors(
+      df: DataFrame, idCol: String, vecCol: String, stats: DataFrame): DataFrame = {
+    val collected = stats.select(col("dim"), col("vmin").cast("double"),
+        col("vmax").cast("double"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
+      .sortBy(_._1)
+    require(collected.map(_._1).sameElements(collected.indices),
+      "stats must cover a contiguous 0-based dim range; found: " +
+        collected.map(_._1).mkString("[", ",", "]"))
+    val mins = typedlit(collected.map(_._2._1))
+    val maxs = typedlit(collected.map(_._2._2))
+    df.select(col(idCol),
+      zip_with(col(vecCol).cast("array<double>"),
+        sequence(lit(0), size(col(vecCol)) - 1),
+        (x, i) => {
+          val lo = element_at(mins, i + 1)
+          val hi = element_at(maxs, i + 1)
+          // explicit constant-dim branch: NULL-through-greatest varies
+          // by engine, a CASE does not
+          when(hi === lo, lit(0)).otherwise(
+            least(lit(255L), greatest(lit(0L),
+              round(try_divide(x - lo, hi - lo) * 255.0, 0).cast("long")))
+              .cast("int"))
+        }).as("codes"))
+  }
+
+  /** Inverse of [[quantizeVectors]]: v̂ = vmin + code/255·(vmax−vmin)
+    * (constant dimensions reconstruct to vmin exactly). Map-only, same
+    * literal-stats plan.
+    */
+  def dequantizeVectors(
+      df: DataFrame, idCol: String, codesCol: String, stats: DataFrame): DataFrame = {
+    val collected = stats.select(col("dim"), col("vmin").cast("double"),
+        col("vmax").cast("double"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
+      .sortBy(_._1)
+    require(collected.map(_._1).sameElements(collected.indices),
+      "stats must cover a contiguous 0-based dim range; found: " +
+        collected.map(_._1).mkString("[", ",", "]"))
+    val mins = typedlit(collected.map(_._2._1))
+    val maxs = typedlit(collected.map(_._2._2))
+    df.select(col(idCol),
+      zip_with(col(codesCol).cast("array<double>"),
+        sequence(lit(0), size(col(codesCol)) - 1),
+        (c, i) => {
+          val lo = element_at(mins, i + 1)
+          val hi = element_at(maxs, i + 1)
+          lo + (c / lit(255.0)) * (hi - lo)
+        }).as("recon_vec"))
+  }
 }

@@ -248,6 +248,36 @@ object TrainPrep {
     }
   }
 
+  /** Per-group token-budget fill: within each `groupCol`, admit
+    * documents in (quality DESC, id ASC) order until the group's token
+    * budget is exhausted — "fill each language's budget with its best
+    * documents", the greedy corpus-selection step that follows quality
+    * scoring. Admission is PREFIX semantics: a document is admitted
+    * iff the running token total including it (over all higher-ranked
+    * docs, admitted or not) stays ≤ `budget` — the first straddling
+    * doc ends the fill. The skip-and-continue variant (straddler
+    * skipped, later smaller docs still fit) is a sequential recurrence
+    * like [[graft.ext.TimeSeries.throttle]]; prefix fill is one window
+    * and the standard corpus-selection behavior (rank cutoff), exactly
+    * reproducible in any engine.
+    *
+    * One window per group key (one keyed shuffle) — never a global
+    * sort: groups fill independently, which is also how a 100 TB
+    * corpus would run it (the global-budget variant computes a quality
+    * THRESHOLD from a quantile sketch first, then reduces to this
+    * per-group form inside the boundary bucket).
+    */
+  def budgetFill(
+      df: DataFrame, groupCol: String, idCol: String,
+      qualityCol: String, tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("running_tokens", sum(col(tokenCol)).over(w))
+      .withColumn("admitted", col("running_tokens") <= budget)
+  }
+
   private val BloomAggName = "graft_bloom_filter_agg"
   private val BloomProbeName = "graft_might_contain"
 

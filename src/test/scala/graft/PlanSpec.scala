@@ -230,6 +230,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q97: budget fill is one keyed window — no join, no global sort of docs") {
+    val p = plan("q97_budget_fill")
+    assert(!p.contains("Join"), p)
+    // the cumulative-sum window partitions by lang (keyed shuffle); the
+    // only range partitioning is the final O(langs) output orderBy
+    assert(p.contains("Exchange hashpartitioning(lang"), p)
+    assert("rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q98: quantization is a map pass over literal stats — no join on the vector side") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val p = graft.ext.Features.quantizeVectors(
+      emb, "vec_id", "embedding", graft.ext.Features.dimMinMax(emb, "embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"), p)
+  }
+
   test("q95: deterministic shuffle windows per shard — no join, no global data sort") {
     val p = plan("q95_shuffle_shards")
     // shard assignment is map-side arithmetic; the data-sized shuffle is

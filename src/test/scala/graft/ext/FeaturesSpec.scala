@@ -58,6 +58,34 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("quantize: endpoints hit 0/255, constant dim codes 0, recon error within half a step") {
+    val vecs2 = Seq(
+      (1L, Array(0.0f, 5.0f, 2.0f)),
+      (2L, Array(10.0f, 5.0f, 8.0f))).toDF("id", "vec")
+    val stats = Features.dimMinMax(vecs2, "vec")
+    val codes = Features.quantizeVectors(vecs2, "id", "vec", stats)
+      .select(col("id"), col("codes")).as[(Long, Seq[Int])].collect().toMap
+    assert(codes(1L) == Seq(0, 0, 0))   // dim0 min → 0; dim1 constant → 0; dim2 min → 0
+    assert(codes(2L) == Seq(255, 0, 255)) // maxes → 255
+    // reconstruction error bound: |v̂ − v| ≤ (vmax − vmin)/510 per dim
+    val dims = 8
+    val many = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => (math.sin(i * 0.7 + d) * 3.0).toFloat))
+    }.toDF("id", "vec")
+    val st = Features.dimMinMax(many, "vec")
+    val q = Features.quantizeVectors(many, "id", "vec", st)
+    val recon = Features.dequantizeVectors(q, "id", "codes", st)
+      .select(col("id"), col("recon_vec")).as[(Long, Seq[Double])].collect().toMap
+    val orig = many.select(col("id"), col("vec")).as[(Long, Seq[Float])].collect().toMap
+    val ranges = st.orderBy(col("dim"))
+      .select((col("vmax").cast("double") - col("vmin").cast("double")))
+      .as[Double].collect()
+    for ((id, v) <- orig; d <- 0 until dims) {
+      val err = math.abs(recon(id)(d) - v(d).toDouble)
+      assert(err <= ranges(d) / 510.0 + 1e-9, s"id=$id dim=$d err=$err")
+    }
+  }
+
   test("constant dimension scales to NULL, not an arbitrary constant") {
     val const = Seq((1L, Array(5.0f, 1.0f)), (2L, Array(5.0f, 3.0f))).toDF("id", "vec")
     val r = Features.minMaxScaleRows(const, "id", "vec",

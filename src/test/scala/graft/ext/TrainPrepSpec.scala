@@ -142,6 +142,33 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("budgetFill: prefix admission per group — straddler ends the fill") {
+    val docs = Seq(
+      // group g1: qualities 9, 8, 7, 6 with tokens 50, 40, 30, 10
+      (1L, "g1", 9.0, 50L), (2L, "g1", 8.0, 40L),
+      (3L, "g1", 7.0, 30L), (4L, "g1", 6.0, 10L),
+      // group g2 fits entirely
+      (5L, "g2", 5.0, 20L), (6L, "g2", 4.0, 30L)
+    ).toDF("doc_id", "grp", "quality", "n_tokens")
+    val r = TrainPrep.budgetFill(docs, "grp", "doc_id", "quality", "n_tokens", 100L)
+      .select("doc_id", "running_tokens", "admitted")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // g1: 50, 90 admitted; 120 straddles → out; the 10-token doc at
+    // rank 4 would fit the leftover but prefix semantics exclude it
+    assert(r(1L) == ((50L, true)) && r(2L) == ((90L, true)))
+    assert(r(3L) == ((120L, false)) && r(4L) == ((130L, false)))
+    assert(r(5L)._2 && r(6L)._2)
+    // quality ties break by id: equal-quality docs admit deterministically
+    val ties = Seq((10L, "g", 1.0, 60L), (11L, "g", 1.0, 60L))
+      .toDF("doc_id", "grp", "quality", "n_tokens")
+    val t = TrainPrep.budgetFill(ties, "grp", "doc_id", "quality", "n_tokens", 60L)
+      .select("doc_id", "admitted").as[(Long, Boolean)].collect().toMap
+    assert(t(10L) && !t(11L))
+    intercept[IllegalArgumentException] {
+      TrainPrep.budgetFill(docs, "grp", "doc_id", "quality", "n_tokens", 0L)
+    }
+  }
+
   test("bloomContaminatedDocs: flags a superset of exact, never misses, empty bench flags none") {
     val docs = (1L to 200L).map { i =>
       // docs 10 and 110 share a rare 3-gram; everything else is unique
