@@ -1986,6 +1986,74 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q89's rate-limit throttle as a REAL stateful stream: the per-key
+    * last-kept anchor lives in `transformWithState` ValueState across
+    * four event-time-ordered micro-batches; the kept set must equal the
+    * batch `flatMapSortedGroups` recurrence — q89's recursive-CTE
+    * oracle verbatim. (Duplicate (user, ts) pairs need no explicit
+    * distinct in the stream: an equal-timestamp event is 0 µs after
+    * the anchor and drops, which is the same kept set.)
+    */
+  def q99StreamThrottle(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q99").toString
+    val in = writeEventSlices(
+      eventsForReplay(spark, dir).filter(col("user_id") < 12), tmp, 4)((i, s) => s(i))
+    val kept = graft.stream.Stateful
+      .runThrottleStream(spark, in, cooldownUs = 6L * 3600L * 1000000L)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))
+    Tables.events(spark, dir).filter(col("user_id") < 12)
+      .select(col("user_id"), col("ts")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .join(kept, Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
+  /** CAPSTONE: the corpus-curation pipeline a training-data team runs
+    * end-to-end, composed entirely from this library's operators —
+    * quality gate (exact logit ≥ 0) → exact dedup (canonical min-id
+    * per fingerprint; planted duplicate copies prove the stage works)
+    * → benchmark decontamination (drop docs sharing any 5-gram with
+    * the bench slice) → per-language token-budget fill (best-quality
+    * first) → deterministic shard assignment. Every stage is a
+    * map/keyed-shuffle/broadcast-join shape that was already verified
+    * individually (q86, q11, q48, q97, q95); this row hash-checks
+    * their COMPOSITION — the id_sum proves exactly which documents
+    * survived all five gates and where they landed.
+    */
+  def q100CurateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // planted exact duplicates: every 40th doc re-enters under a high id
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 40 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+    // 1. quality gate on the exact logit
+    val gated = corpus.withColumn("z",
+      Text.qualityLogit(col("text"), Seq(-2.4, 2.0, -3.0, 1.5, 2.5)))
+      .filter(col("z") >= 0)
+    // 2. exact dedup — keep each fingerprint's canonical (min) id
+    val canonIds = Dedup.exactCanonical(gated, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    val deduped = gated.join(canonIds, Seq("doc_id"))
+    // 3. decontaminate against the benchmark slice of the ORIGINAL corpus
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val clean = deduped.join(
+      graft.ext.TrainPrep.contaminatedDocs(deduped, bench, "doc_id", "text", 5)
+        .filter(!col("contaminated")).select(col("doc_id")),
+      Seq("doc_id"))
+    // 4. per-language budget fill, best quality first
+    val admitted = graft.ext.TrainPrep.budgetFill(
+      clean.withColumn("n_tokens", Text.tokenCount(col("text")).cast(LongType)),
+      "lang", "doc_id", "z", "n_tokens", budget = 3000L)
+      .filter(col("admitted"))
+    // 5. deterministic shard assignment, then the audit aggregate
+    admitted
+      .withColumn("shard", pmod(graft.ext.TrainPrep.splitBucket(col("doc_id")), lit(4)))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2085,6 +2153,8 @@ object SparkEntry {
     "q96_stream_cdc" -> (q96StreamCdc _),
     "q97_budget_fill" -> (q97BudgetFill _),
     "q98_quantize_vectors" -> (q98QuantizeVectors _),
+    "q99_stream_throttle" -> (q99StreamThrottle _),
+    "q100_curate_corpus" -> (q100CurateCorpus _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2131,6 +2201,31 @@ object SparkEntry {
       |SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
       |       round(sum(bal), 2) AS acctbal_sum
       |FROM snap WHERE op <> 'D' GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared by q89 (batch `flatMapSortedGroups` throttle) and q99 (the
+    * `transformWithState` streaming form): the sequential anchor chain
+    * as a recursive CTE.
+    */
+  private val throttleOracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE user_id < 12),
+      |kept AS (
+      |  SELECT user_id AS k, min(ts) AS t FROM e GROUP BY 1
+      |  UNION ALL
+      |  SELECT k, nxt FROM (
+      |    SELECT q.k AS k,
+      |           (SELECT min(e2.ts) FROM e e2
+      |            WHERE e2.user_id = q.k
+      |              AND e2.ts >= q.t + INTERVAL 6 HOUR) AS nxt
+      |    FROM kept q)
+      |  WHERE nxt IS NOT NULL)
+      |SELECT a.user_id AS user_id, a.n_events, b.n_kept
+      |FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      |      FROM e GROUP BY 1) a
+      |JOIN (SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_kept
+      |      FROM kept GROUP BY 1) b USING (user_id)
+      |ORDER BY user_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_dedup_latest_agg" ->
@@ -3251,6 +3346,73 @@ object SparkEntry {
         |       TRUE AS fp_bound_ok
         |FROM documents""".stripMargin,
 
+    "q100_curate_corpus" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 40 = 0),
+        |t AS (
+        |  SELECT doc_id, lang, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM corpus),
+        |z AS (
+        |  SELECT doc_id, lang, text, toks,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         -2.4 + 2.0 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+        |              + -3.0 * (CAST(length(text)
+        |                  - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+        |                  AS DOUBLE) / greatest(length(text), 1))
+        |              + 1.5 * (CAST(len(list_filter(toks, x -> list_contains(
+        |                  ['the','a','an','and','or','of','to','in','is','it'], x)))
+        |                  AS DOUBLE) / greatest(len(toks), 1))
+        |              + 2.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+        |                  / greatest(len(toks), 1)) AS z
+        |  FROM t),
+        |gated AS (SELECT * FROM z WHERE z >= 0),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM gated
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |dd AS (SELECT g.* FROM gated g JOIN canon USING (doc_id)),
+        |sh5 AS (
+        |  SELECT doc_id,
+        |         list_distinct([list_aggregate(toks[i:i+4], 'string_agg', ' ')
+        |                        FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |ddsh AS (
+        |  SELECT d.doc_id,
+        |         list_distinct([list_aggregate(d.toks[i:i+4], 'string_agg', ' ')
+        |                        FOR i IN range(1, greatest(len(d.toks) - 4, 1) + 1)]) AS s
+        |  FROM dd d),
+        |contam AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM ddsh c JOIN (SELECT doc_id AS bench_id, s FROM sh5
+        |                    WHERE doc_id % 50 = 0) b
+        |    ON c.doc_id != b.bench_id AND len(list_intersect(c.s, b.s)) > 0),
+        |clean AS (
+        |  SELECT d.* FROM dd d
+        |  WHERE NOT EXISTS (SELECT 1 FROM contam x WHERE x.doc_id = d.doc_id)),
+        |r AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY lang
+        |           ORDER BY z DESC, doc_id ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM clean),
+        |adm AS (SELECT lang, doc_id, n_tokens FROM r WHERE run <= 3000),
+        |sharded AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |         (strpos('123456789abcdef',
+        |                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+        |          + strpos('123456789abcdef',
+        |                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 16
+        |          + strpos('123456789abcdef',
+        |                   substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 4 AS shard
+        |  FROM adm)
+        |SELECT lang, CAST(shard AS INT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM sharded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q97_budget_fill" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text,
@@ -3331,26 +3493,10 @@ object SparkEntry {
         |             ORDER BY h, doc_id)) AS order_digest
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q89_throttle" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
-        |  FROM events WHERE user_id < 12),
-        |kept AS (
-        |  SELECT user_id AS k, min(ts) AS t FROM e GROUP BY 1
-        |  UNION ALL
-        |  SELECT k, nxt FROM (
-        |    SELECT q.k AS k,
-        |           (SELECT min(e2.ts) FROM e e2
-        |            WHERE e2.user_id = q.k
-        |              AND e2.ts >= q.t + INTERVAL 6 HOUR) AS nxt
-        |    FROM kept q)
-        |  WHERE nxt IS NOT NULL)
-        |SELECT a.user_id AS user_id, a.n_events, b.n_kept
-        |FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
-        |      FROM e GROUP BY 1) a
-        |JOIN (SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_kept
-        |      FROM kept GROUP BY 1) b USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+    "q89_throttle" -> throttleOracle,
+
+    // the streaming anchor state must reproduce the identical kept set
+    "q99_stream_throttle" -> throttleOracle,
 
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (

@@ -6,6 +6,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Keyed event for stateful processing. */
 final case class KeyedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
 
+/** Keyed µs-time event for the streaming throttle. */
+final case class ThrottleEvent(user_id: Long, ts_us: Long)
+
 /** Custom keyed state via `flatMapGroupsWithState` — the streaming
   * operator family the stateless reference never needed but the north
   * star mandates (SURVEY.md §2.10 NOT-PRESENT row).
@@ -136,6 +139,80 @@ object Stateful {
           org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
       val name = s"graft_stateful_tws_${streamId.incrementAndGet()}"
       val q = alerts.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** Rate-limit THROTTLE as a stream: keep an event only when it is at
+    * least `cooldownUs` after the key's last KEPT event — the
+    * recurrence whose anchor depends on every prior decision, which is
+    * exactly what per-key streaming state is for: one Long anchor per
+    * key carried across micro-batches ([[graft.ext.TimeSeries.throttle]]
+    * is the batch twin, `flatMapSortedGroups` there, `transformWithState`
+    * here). Rows within a batch sort by event time in the processor;
+    * ACROSS batches correctness requires event-time-ordered arrival
+    * (the replay harness's contiguous ascending slices — the same
+    * contract as the changelog stream). A pipeline with late events
+    * would buffer behind a watermark timer first.
+    */
+  private class ThrottleProcessor(cooldownUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ThrottleEvent, ThrottleEvent] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var anchor: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      anchor = getHandle.getValueState[Long]("anchor",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[ThrottleEvent],
+        timerValues: TimerValues): Iterator[ThrottleEvent] = {
+      val sorted = rows.toSeq.sortBy(_.ts_us)
+      var a = if (anchor.exists()) anchor.get() else Long.MinValue
+      val out = Seq.newBuilder[ThrottleEvent]
+      sorted.foreach { e =>
+        if (a == Long.MinValue || e.ts_us - a >= cooldownUs) {
+          out += e
+          a = e.ts_us
+        }
+      }
+      anchor.update(a)
+      out.result().iterator
+    }
+  }
+
+  /** One AvailableNow pass of the throttle processor over an event-
+    * slice replay dir (one file per micro-batch, RocksDB state store
+    * scoped to the run). Returns the kept events.
+    */
+  def runThrottleStream(
+      spark: SparkSession,
+      inputDir: String,
+      cooldownUs: Long): DataFrame = {
+    import spark.implicits._
+    require(cooldownUs > 0, "cooldown must be positive")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = spark.readStream.schema(graft.schema.Schemas.events)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inputDir)
+        .selectExpr("user_id", "unix_micros(ts) AS ts_us").as[ThrottleEvent]
+      val kept = typed
+        .groupByKey(_.user_id)
+        .transformWithState(new ThrottleProcessor(cooldownUs),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val name = s"graft_stream_throttle_${streamId.incrementAndGet()}"
+      val q = kept.writeStream
         .format("memory")
         .queryName(name)
         .outputMode("append")

@@ -66,4 +66,36 @@ class StatefulSpec extends SparkSpec {
       .select("event_id").as[Long].collect().sorted.toSeq
     assert(fmgws.nonEmpty && tws == fmgws)
   }
+
+  test("streaming throttle anchor survives batches and equals the batch recurrence") {
+    import org.apache.spark.sql.functions.col
+    // events at t = 0, 4, 8, 12 min for key 1 (cooldown 5 min) split so
+    // the t=8 keep decision depends on state from an EARLIER batch
+    val us = 60L * 1000000L
+    val rows = Seq((1L, 0L * us), (1L, 4L * us), (1L, 8L * us), (1L, 12L * us),
+      (2L, 0L * us))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-throttle-s").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    rows.grouped(2).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.map { case (u, t) =>
+        (i.toLong * 10 + u, new java.sql.Timestamp(t / 1000), u, "x", 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val kept = Stateful.runThrottleStream(spark, in, cooldownUs = 5L * us)
+      .select(col("user_id"), col("ts_us")).as[(Long, Long)].collect().toSet
+    // batch reference: keep 0 (anchor), drop 4, keep 8, drop 12; key 2 keeps its only event
+    val batch = graft.ext.TimeSeries.throttle(
+      rows.map { case (u, t) => (u, t, 0L) }.toDS(), 5L * us)
+      .collect().map(e => (e._1, e._2)).toSet
+    assert(kept == batch)
+    assert(kept == Set((1L, 0L), (1L, 8L * us), (2L, 0L)))
+  }
 }
