@@ -248,6 +248,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Exchange"), p)
   }
 
+  test("q100: the curation composition stays hash-join shaped end to end") {
+    val p = plan("q100_curate_corpus")
+    // five composed stages, zero quadratic surfaces: the only
+    // nested-loop joins are broadcast 1-row stat frames, and the
+    // decontamination bench side broadcasts
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q95: deterministic shuffle windows per shard — no join, no global data sort") {
     val p = plan("q95_shuffle_shards")
     // shard assignment is map-side arithmetic; the data-sized shuffle is
