@@ -367,11 +367,20 @@ object SparkEntry {
     def slice(i: Int): DataFrame =
       ev.filter(col("ts").cast(LongType) >= cuts(i))
         .filter(if (i == n - 1) lit(true) else col("ts").cast(LongType) < cuts(i + 1))
+    writeSliceFiles((0 until n).map(i => augment(i, slice)), tmp)
+  }
+
+  /** The file-landing half of the replay harness, shared by the
+    * event-time slicer above and the seq-range slicer in q96: each
+    * frame becomes one parquet file in `tmp/in` with strictly
+    * increasing mod times (index order = micro-batch replay order).
+    */
+  private def writeSliceFiles(slices: Seq[DataFrame], tmp: String): String = {
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     val t0 = System.currentTimeMillis() - 600000
-    (0 until n).foreach { i =>
-      augment(i, slice).coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+    slices.zipWithIndex.foreach { case (s, i) =>
+      s.coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
       val part = new java.io.File(s"$tmp/slice$i").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(s"$in/part-$i.parquet")
@@ -1923,21 +1932,12 @@ object SparkEntry {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q96").toString
     val changes = cdcChanges(spark, dir)
     val mx = changes.agg(max(col("seq"))).head().getLong(0)
-    val in = s"$tmp/in"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    val t0 = System.currentTimeMillis() - 600000
-    (0 until 4).foreach { i =>
-      // contiguous ascending seq ranges — the order a CDC log delivers,
-      // which is runChangelogStream's cross-batch contract
+    // contiguous ascending seq ranges — the order a CDC log delivers,
+    // which is runChangelogStream's cross-batch contract
+    val in = writeSliceFiles((0 until 4).map { i =>
       changes.filter(col("seq") > mx * i / 4)
         .filter(if (i == 3) lit(true) else col("seq") <= mx * (i + 1) / 4)
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
-      val part = new java.io.File(s"$tmp/slice$i").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(s"$in/part-$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(t0 + i * 1000L)
-    }
+    }, tmp)
     val v = Jobs.runChangelogStream(spark, cdcBase(spark, dir), in,
       changes.schema, Seq("c_custkey"), "seq", "op", s"$tmp/snap", s"$tmp/ckpt")
     spark.read.parquet(s"$tmp/snap/v=$v")

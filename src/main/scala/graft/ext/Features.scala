@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Feature-scaling operators over embedding columns (`array<float>`):
@@ -48,23 +48,40 @@ object Features {
     * is a pure map pass with zero shuffle and zero join — the 100 TB
     * form. Parity with [[minMaxScaleRows]] is pinned by FeaturesSpec.
     */
-  def scaleVectors(
-      df: DataFrame, idCol: String, vecCol: String, stats: DataFrame): DataFrame = {
+  /** Collected literal (mins, maxs) arrays from a stats frame — the
+    * shared driver hop of the map-only vector forms. The literal
+    * arrays are indexed positionally by dim, so a stats frame with
+    * gaps or a non-0-based dim set (which would silently misalign
+    * every dimension after the gap) is refused loudly.
+    */
+  private def statsLiterals(stats: DataFrame): (Column, Column) = {
     val collected = stats.select(col("dim"), col("vmin").cast("double"),
         col("vmax").cast("double"))
       .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
       .sortBy(_._1)
-    // the literal arrays are indexed positionally by dim — a stats
-    // frame with gaps or a non-0-based dim set would silently misalign
-    // every dimension after the gap, so refuse it loudly
     require(collected.map(_._1).sameElements(collected.indices),
       "stats must cover a contiguous 0-based dim range; found: " +
         collected.map(_._1).mkString("[", ",", "]"))
-    val mins = typedlit(collected.map(_._2._1))
-    val maxs = typedlit(collected.map(_._2._2))
+    (typedlit(collected.map(_._2._1)), typedlit(collected.map(_._2._2)))
+  }
+
+  /** Per-element map over `vec` zipped with its 0-based index, guarded
+    * for empty arrays: `sequence(0, size - 1)` DESCENDS to [0, -1]
+    * when size = 0 and the i = −1 element crashes `element_at` — an
+    * empty vector must yield an empty result (of `resultType`, which
+    * both branches of the guard must share) instead.
+    */
+  private def zipWithDim(vec: Column, resultType: String)(
+      f: (Column, Column) => Column): Column =
+    when(size(vec) === 0, vec.cast(resultType))
+      .otherwise(zip_with(vec.cast("array<double>"),
+        sequence(lit(0), size(vec) - 1), f))
+
+  def scaleVectors(
+      df: DataFrame, idCol: String, vecCol: String, stats: DataFrame): DataFrame = {
+    val (mins, maxs) = statsLiterals(stats)
     df.select(col(idCol),
-      zip_with(col(vecCol).cast("array<double>"),
-        sequence(lit(0), size(col(vecCol)) - 1),
+      zipWithDim(col(vecCol), "array<double>")(
         (x, i) => try_divide(x - element_at(mins, i + 1),
           element_at(maxs, i + 1) - element_at(mins, i + 1))).as("scaled_vec"))
   }
@@ -81,18 +98,9 @@ object Features {
     */
   def quantizeVectors(
       df: DataFrame, idCol: String, vecCol: String, stats: DataFrame): DataFrame = {
-    val collected = stats.select(col("dim"), col("vmin").cast("double"),
-        col("vmax").cast("double"))
-      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
-      .sortBy(_._1)
-    require(collected.map(_._1).sameElements(collected.indices),
-      "stats must cover a contiguous 0-based dim range; found: " +
-        collected.map(_._1).mkString("[", ",", "]"))
-    val mins = typedlit(collected.map(_._2._1))
-    val maxs = typedlit(collected.map(_._2._2))
+    val (mins, maxs) = statsLiterals(stats)
     df.select(col(idCol),
-      zip_with(col(vecCol).cast("array<double>"),
-        sequence(lit(0), size(col(vecCol)) - 1),
+      zipWithDim(col(vecCol), "array<int>")(
         (x, i) => {
           val lo = element_at(mins, i + 1)
           val hi = element_at(maxs, i + 1)
@@ -111,18 +119,9 @@ object Features {
     */
   def dequantizeVectors(
       df: DataFrame, idCol: String, codesCol: String, stats: DataFrame): DataFrame = {
-    val collected = stats.select(col("dim"), col("vmin").cast("double"),
-        col("vmax").cast("double"))
-      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
-      .sortBy(_._1)
-    require(collected.map(_._1).sameElements(collected.indices),
-      "stats must cover a contiguous 0-based dim range; found: " +
-        collected.map(_._1).mkString("[", ",", "]"))
-    val mins = typedlit(collected.map(_._2._1))
-    val maxs = typedlit(collected.map(_._2._2))
+    val (mins, maxs) = statsLiterals(stats)
     df.select(col(idCol),
-      zip_with(col(codesCol).cast("array<double>"),
-        sequence(lit(0), size(col(codesCol)) - 1),
+      zipWithDim(col(codesCol), "array<double>")(
         (c, i) => {
           val lo = element_at(mins, i + 1)
           val hi = element_at(maxs, i + 1)

@@ -75,9 +75,12 @@ object Layout {
     fs.delete(old, true) // clear any residue of an earlier crash
     require(fs.rename(dst, old), s"compaction rename failed: $path -> $retired")
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst)) {
-      fs.rename(old, dst) // restore the original before failing
+      // restore the original before failing — and report honestly if
+      // even the restore failed (recoverIfInterrupted heals it later)
+      val restored = fs.rename(old, dst)
       throw new IllegalStateException(
-        s"compaction rename failed: $staging -> $path (original restored)")
+        s"compaction rename failed: $staging -> $path (original " +
+          (if (restored) "restored" else s"NOT restored — retired copy at $retired") + ")")
     }
     fs.delete(old, true)
   }

@@ -292,9 +292,13 @@ object Text {
     * share, one (id_a, id_b) aggregation sums the products. No
     * cross-join, no dense vectors: cost is Σ df(term)² over the
     * vocabulary, exactly the containment-pairs shape, and the same
-    * levers apply at 100 TB (`dfCap` drops ubiquitous terms — which
-    * IDF has already crushed toward zero weight — before they inflate
-    * a posting list).
+    * levers apply at 100 TB (`dfCap` drops ubiquitous terms from the
+    * INDEX before they inflate a posting list — note smoothed IDF
+    * floors at 1.0, so high-df terms still carry weight; the cap is a
+    * cost lever, not a no-op). Norms are always computed over the FULL
+    * term set, so a capped score is a lower bound of the true cosine —
+    * dropping index terms can only MISS pairs, never inflate a
+    * surviving pair's score past the threshold.
     *
     * The per-doc L2 norm is one keyed aggregation; weights divide
     * map-side before the pair join so the pair aggregation is a bare
@@ -324,12 +328,14 @@ object Text {
     val dfT = toks.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val n = toks.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
-    val weighted = tf.join(dfCap.fold(dfT)(c => dfT.filter(col("df") <= c)), "term")
+    val weighted = tf.join(dfT, "term")
       .crossJoin(broadcast(n))
       .withColumn("w", col("tf") * idf(col("df"), col("n_docs")))
+    // norms over ALL terms (before any cap) — see the Scaladoc bound
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("l2"))
-    val unit = weighted.join(norms, "doc_id")
+    val indexed = dfCap.fold(weighted)(c => weighted.filter(col("df") <= c))
+    val unit = indexed.join(norms, "doc_id")
       .select(col("doc_id"), col("term"), (col("w") / col("l2")).as("nw"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = unit

@@ -271,6 +271,10 @@ object TrainPrep {
       df: DataFrame, groupCol: String, idCol: String,
       qualityCol: String, tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // output columns — an input already carrying them (e.g. a re-piped
+    // fill result) would be silently clobbered, so refuse it loudly
+    require(!df.columns.exists(Set("running_tokens", "admitted")),
+      "input must not already contain a running_tokens or admitted column")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(qualityCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -336,6 +340,10 @@ object TrainPrep {
     */
   def deterministicShuffle(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    // shard is a common column name in sharded corpora — overwriting a
+    // caller's shard/pos silently would corrupt downstream routing
+    require(!df.columns.exists(Set("shard", "pos")),
+      "input must not already contain a shard or pos column")
     val h = substring(md5(col(idCol).cast("string")), 1, 15)
     val w = Window.partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)
     df.withColumn("shard", pmod(splitBucket(col(idCol)), lit(numShards)))

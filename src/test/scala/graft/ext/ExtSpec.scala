@@ -404,6 +404,11 @@ class ExtSpec extends SparkSpec {
     // term is shared, so no pair survives
     val capped = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.0, dfCap = Some(1))
     assert(capped.count() == 0)
+    // norms stay full-universe, so a capped score is a LOWER bound of
+    // the true cosine — the cap can miss pairs, never inflate one
+    val capped2 = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.0, dfCap = Some(2))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    capped2.foreach { case (k, v) => assert(v <= pairs(k) + 1e-9, k.toString) }
   }
 
   test("funnel: strictly-after ordering and the step deadline both gate conversion") {

@@ -86,6 +86,21 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("empty vectors yield empty outputs, not a crash") {
+    val mixed = Seq((1L, Array(1.0f, 3.0f)), (2L, Array.empty[Float])).toDF("id", "vec")
+    val stats = Features.dimMinMax(mixed, "vec") // dims from non-empty rows only
+    val scaled = Features.scaleVectors(mixed, "id", "vec", stats)
+      .select(col("id"), size(col("scaled_vec"))).as[(Long, Int)].collect().toMap
+    assert(scaled == Map(1L -> 2, 2L -> 0))
+    val codes = Features.quantizeVectors(mixed, "id", "vec", stats)
+    assert(codes.schema("codes").dataType.simpleString == "array<int>")
+    val cm = codes.select(col("id"), size(col("codes"))).as[(Long, Int)].collect().toMap
+    assert(cm == Map(1L -> 2, 2L -> 0))
+    val recon = Features.dequantizeVectors(codes, "id", "codes", stats)
+      .select(col("id"), size(col("recon_vec"))).as[(Long, Int)].collect().toMap
+    assert(recon == Map(1L -> 2, 2L -> 0))
+  }
+
   test("constant dimension scales to NULL, not an arbitrary constant") {
     val const = Seq((1L, Array(5.0f, 1.0f)), (2L, Array(5.0f, 3.0f))).toDF("id", "vec")
     val r = Features.minMaxScaleRows(const, "id", "vec",

@@ -167,6 +167,12 @@ class TrainPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TrainPrep.budgetFill(docs, "grp", "doc_id", "quality", "n_tokens", 0L)
     }
+    // re-piping a fill result is refused, not silently clobbered
+    val once = TrainPrep.budgetFill(docs, "grp", "doc_id", "quality", "n_tokens", 100L)
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.budgetFill(once, "grp", "doc_id", "quality", "n_tokens", 100L)
+    }
+    assert(e.getMessage.contains("admitted"))
   }
 
   test("bloomContaminatedDocs: flags a superset of exact, never misses, empty bench flags none") {
@@ -234,5 +240,10 @@ class TrainPrepSpec extends SparkSpec {
     val mismatch = TrainPrep.deterministicShuffle(df, "doc_id", 4)
       .filter(col("shard") =!= pmod(TrainPrep.splitBucket(col("doc_id")), lit(4)))
     assert(mismatch.count() == 0)
+    // an input already carrying shard/pos is refused, not clobbered
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.deterministicShuffle(df.withColumn("shard", lit(9)), "doc_id", 4)
+    }
+    assert(e.getMessage.contains("shard"))
   }
 }
