@@ -40,12 +40,21 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try exec(fn, sfDir) catch { case _: Throwable => () }
+      // drop internal persists a query leaked so the next query's
+      // timing never pays (or benefits from) a predecessor's cache
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // streaming queries carry fixed multi-second startup (checkpoint +
+    // state-store init per run) — split them out so the batch trend is
+    // readable round-over-round
+    val streamTotal = results
+      .filter { case (k, _) => SparkEntry.streamingQueries.contains(k) }
+      .map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"n_streaming_queries":${SparkEntry.streamingQueries.size}}""")
     spark.stop()
   }
 }

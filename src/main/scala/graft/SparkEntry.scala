@@ -1871,6 +1871,26 @@ object SparkEntry {
       "doc_id", "text", threshold = 0.82)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** The `dfCap` scale path of q92, over the FULL corpus: this corpus
+    * is 30 hot terms (df ≈ 77% of docs — Σdf² ≈ 450M posting-list
+    * pairs at sf0.1, the quadratic blowup a real corpus's stop-words
+    * produce) plus ONE rare discriminative term (df = 5%). Capping the
+    * index at df ≤ n_docs/2 drops every hot term BEFORE the self-join
+    * — Σdf² falls to (0.05·n)², ~7000× less join work — while norms
+    * stay full-vocabulary, so surviving scores are exact lower bounds
+    * of the true cosine and every pair sharing the rare term still
+    * crosses the threshold. The cap is corpus-relative (`count()/2`,
+    * one scalar driver hop at definition time, q96's max-seq class)
+    * because an absolute cap cannot track corpus growth across SFs.
+    */
+  def q92bTfidfCosineCapped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cap = (docs.count() / 2).toInt
+    Text.tfidfCosinePairs(docs, "doc_id", "text",
+      threshold = 0.05, dfCap = Some(cap))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Bloom-filter decontamination contract: the sub-linear probe must
     * flag EVERY exactly-contaminated document (bloom filters have no
     * false negatives — `n_missed` must be 0) with the false-positive
@@ -2147,6 +2167,7 @@ object SparkEntry {
     "q90_table_diff" -> (q90TableDiff _),
     "q91_integrity_audit" -> (q91IntegrityAudit _),
     "q92_tfidf_cosine" -> (q92TfidfCosine _),
+    "q92b_tfidf_capped" -> (q92bTfidfCosineCapped _),
     "q93_bloom_decontaminate" -> (q93BloomDecontaminate _),
     "q94_mixture_weights" -> (q94MixtureWeights _),
     "q95_shuffle_shards" -> (q95ShuffleShards _),
@@ -2167,6 +2188,17 @@ object SparkEntry {
     "q42_bucketed_join" -> (q42BucketedJoin _),
     "q43_salted_agg" -> (q43SaltedAgg _),
     "q44_medallion_e2e" -> (q44MedallionE2E _))
+
+  /** Queries that launch a REAL Structured Streaming job (AvailableNow
+    * micro-batches, checkpointed state stores). Each carries a fixed
+    * ~2-4 s startup cost that is execution-machinery, not data path —
+    * [[graft.Bench]] totals them separately so streaming startup noise
+    * never masks a batch-query regression.
+    */
+  val streamingQueries: Set[String] = Set(
+    "q18c_window_stream", "q19_stream_validate", "q19b_stateful_edges",
+    "q19c_stateful_tws", "q55_stream_dedup", "q62_ss_join",
+    "q70_session_stream", "q96_stream_cdc", "q99_stream_throttle")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -3323,6 +3355,27 @@ object SparkEntry {
         |       round(sum(a.nw * b.nw), 6) AS cos_sim
         |FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING round(sum(a.nw * b.nw), 6) >= 0.82
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q92b_tfidf_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks),
+        |w AS (SELECT doc_id, term, df,
+        |             tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) AS w
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |-- norms over the FULL vocabulary; only the INDEX is df-capped,
+        |-- so each surviving score is a lower bound of the true cosine
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS l2 FROM w GROUP BY 1),
+        |u AS (SELECT doc_id, term, w / l2 AS nw FROM w JOIN nrm USING (doc_id)
+        |      WHERE df <= (SELECT count(*) // 2 FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(sum(a.nw * b.nw), 6) AS cos_sim
+        |FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING round(sum(a.nw * b.nw), 6) >= 0.05
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q93_bloom_decontaminate" ->

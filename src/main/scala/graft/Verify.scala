@@ -26,6 +26,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators that persist internally (tfidfCosinePairs, the
+      // containment/LSH family) expose WithHandle variants for library
+      // callers; the harness runs 100+ queries in one session, so drop
+      // any leaked cache between queries instead of accumulating
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -305,6 +305,13 @@ object Text {
     * sum of products. Scores are rounded to 6 places and the threshold
     * compares the ROUNDED value, keeping the cut reproducible across
     * engines.
+    *
+    * CACHE NOTE: this plain form persists the normalized-weight frame
+    * internally and never unpersists it — fine for a run-and-exit job,
+    * a leak in a long-lived session. Long-lived callers should use
+    * [[tfidfCosinePairsWithHandle]] and `unpersist()` the handle after
+    * the terminal action (exactly the contract of
+    * [[graft.ext.Dedup.containmentPairsWithHandle]]).
     */
   def tfidfCosinePairs(
       docs: DataFrame, idCol: String, textCol: String,

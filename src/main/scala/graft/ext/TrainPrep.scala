@@ -216,6 +216,25 @@ object TrainPrep {
     * `BloomFilterMightContain` requires a foldable filter expression —
     * the probe is then a pure map pass with the filter riding the
     * task binary.
+    *
+    * EAGER AT CALL TIME: building that foldable literal runs the
+    * benchmark-side aggregation as a Spark job when this method is
+    * CALLED, not when the returned DataFrame executes — callers
+    * composing plans lazily see one extra job at definition time. Only
+    * the ~1 MB filter hops to the driver; the corpus-side probe stays
+    * fully lazy.
+    *
+    * SELF-FLAG BIAS: unlike [[contaminatedDocs]] (which excludes
+    * `doc_id === bench_id` self-matches in its join), a bloom filter
+    * cannot know WHICH benchmark document a shingle came from — so any
+    * benchmark document also present in the corpus always flags itself.
+    * Against a self-excluding exact oracle those guaranteed flags read
+    * as false positives and consume the FP budget (they are the price
+    * of the no-false-negative contract: a bench doc matching ANOTHER
+    * bench doc must still flag). In production corpus ∩ benchmark is
+    * real contamination and the self-flag is the desired answer; size
+    * the FP budget for |benchmark ∩ corpus| / |corpus| of systematic
+    * overlap when validating against an exact oracle.
     */
   def bloomContaminatedDocs(
       corpus: DataFrame,

@@ -336,8 +336,15 @@ object Jobs {
     * because the snapshot retains payload only — a pipeline that can
     * receive late sequences keeps `seqCol` (and delete tombstones) in
     * the snapshot instead. In production the version pointer lives in
-    * table metadata beside the checkpoint; here it is driver state,
-    * which AvailableNow + a fresh checkpoint re-derives from scratch.
+    * table metadata beside the checkpoint; here it re-derives from the
+    * snapshot directory itself: on start, the highest existing
+    * `v=<id>` under `snapshotPath` becomes the merge base, so a
+    * RESUMED checkpoint (file source skips already-applied batches)
+    * continues from the last published snapshot instead of silently
+    * re-merging into `base` and discarding prior changes. A run whose
+    * checkpoint already covers every change file publishes nothing new
+    * and returns the recovered version (instead of throwing a
+    * misleading "no change files found").
     */
   def runChangelogStream(
       spark: SparkSession,
@@ -349,7 +356,7 @@ object Jobs {
       opCol: String,
       snapshotPath: String,
       checkpoint: String): Long = {
-    var lastV = -1L
+    var lastV = publishedVersion(spark, snapshotPath)
     val q = spark.readStream.schema(changesSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(changesDir)
@@ -367,8 +374,23 @@ object Jobs {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    require(lastV >= 0, s"no change files found under $changesDir")
+    require(lastV >= 0,
+      s"no change files found under $changesDir and no prior snapshot under $snapshotPath")
     lastV
+  }
+
+  /** Highest published `v=<id>` under `snapshotPath`, or -1 when none
+    * exist (first run / fresh directory) — the crash-safe version
+    * pointer [[runChangelogStream]] resumes from.
+    */
+  private def publishedVersion(spark: SparkSession, snapshotPath: String): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) -1L
+    else fs.listStatus(hPath).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+      .foldLeft(-1L)(math.max)
   }
 
   /** O-61/O-62: foreachBatch dual-write — persist the batch once, split

@@ -215,6 +215,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p) // both sides read the cache
   }
 
+  test("q92b: dfCap prunes the index BEFORE the self-join; pairs ride the capped cache") {
+    val p = plan("q92b_tfidf_capped")
+    assert(!p.contains("CartesianProduct"), p)
+    // same inverted-index shape as q92...
+    assert(p.contains("BroadcastHashJoin [term") || p.contains("SortMergeJoin [term"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    // ...and the df-cap filter sits INSIDE the cached unit-weight build
+    // (upstream of the pair join), so hot terms never reach a posting
+    // list — the cap is a pre-join index filter, not a post-join score
+    // filter: the cached fragment both sides consume must carry a
+    // `df <= cap` predicate
+    val df = SparkEntry.queries("q92b_tfidf_capped")(spark, dir)
+    val cached = df.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }.mkString("\n")
+    assert("\\(df#\\d+L? <= ".r.findFirstIn(cached).isDefined, cached.take(1500))
+  }
+
   test("bloom decontamination probe is a map pass — filter rides as a literal, not a join") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)

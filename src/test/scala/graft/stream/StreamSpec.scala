@@ -306,5 +306,32 @@ class StreamSpec extends SparkSpec {
     val v0 = spark.read.parquet(s"$tmp/snap/v=0")
       .as[(Long, String, Double)].collect().toSet
     assert(v0 == Set((1L, "a1", 11.0), (3L, "c", 30.0)))
+
+    // RESUMED checkpoint: a late slice 3 arrives and the SAME
+    // checkpoint dir is reused — the file source skips batches 0-2, and
+    // the recovered version pointer (highest v=*) must make the new
+    // batch merge into the LAST PUBLISHED snapshot, not back into base
+    val late = Seq((4L, "d2", 44.0, 40L, "U"), (5L, "e", 50.0, 41L, "I"))
+    late.toDF("k", "name", "v", "seq", "op")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice3")
+    val part3 = new java.io.File(s"$tmp/slice3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst3 = new java.io.File(s"$in/part-3.parquet")
+    java.nio.file.Files.move(part3.toPath, dst3.toPath)
+    dst3.setLastModified(t0 + 3000L)
+    val v2 = graft.stream.Jobs.runChangelogStream(spark, base, in,
+      allChanges.schema, Seq("k"), "seq", "op", s"$tmp/snap", s"$tmp/ckpt")
+    assert(v2 == 3L)
+    val resumed = spark.read.parquet(s"$tmp/snap/v=$v2")
+      .as[(Long, String, Double)].collect().toSet
+    // earlier changes (a2, c2) survive — a regression to merging into
+    // base would lose them and resurrect deleted key 2
+    assert(resumed == Set(
+      (1L, "a2", 12.0), (3L, "c2", 33.0), (4L, "d2", 44.0), (5L, "e", 50.0)))
+    // fully-caught-up rerun: checkpoint covers every file → no new
+    // snapshot, the recovered version returns instead of throwing
+    val v3 = graft.stream.Jobs.runChangelogStream(spark, base, in,
+      allChanges.schema, Seq("k"), "seq", "op", s"$tmp/snap", s"$tmp/ckpt")
+    assert(v3 == 3L)
   }
 }
