@@ -21,6 +21,26 @@ import graft.stream.{Jobs, Validate}
   */
 object SparkEntry {
 
+  /** Scratch directory for the sink/stream queries (q18c, q40, q44,
+    * q55, q62, q70, q96, q99), deleted recursively at JVM exit — the
+    * result frame a query returns still READS from the directory after
+    * the query function yields it, so deletion can only happen once the
+    * session's terminal action is done; a shutdown hook is the earliest
+    * safe point. Without this every verify/bench run left ~8 graft-q*
+    * trees (sink data + RocksDB checkpoints) accumulating in /tmp.
+    */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+    }))
+    p.toString
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest-snapshot-per-key → validate → aggregate: the essence of the
     * reference pipeline (SURVEY.md §7.2).
@@ -337,7 +357,7 @@ object SparkEntry {
     * watermark and nothing is dropped as late mid-run.
     */
   def q18cWindowStreamSliding(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q18c").toString
+    val tmp = tempDir("graft-q18c")
     val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4)((i, s) => s(i))
     Jobs.runWindowedStream(spark, in, s"$tmp/ckpt", s"$tmp/out",
       lateness = "10 minutes", windowDuration = "1 hour", slide = Some("15 minutes"))
@@ -944,7 +964,7 @@ object SparkEntry {
     *    (O-55/O-58), read back via partition columns.
     */
   def q40SinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q40").toString
+    val tmp = tempDir("graft-q40")
     // repartition by the partition column before a partitioned write —
     // the standard small-files guard: one task owns each output
     // partition instead of every task writing a sliver of each
@@ -1055,7 +1075,7 @@ object SparkEntry {
     * reference ruleset's RowCount 50..150 gate at every SF.
     */
   def q44MedallionE2E(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q44").toString
+    val tmp = tempDir("graft-q44")
     val base = Tables.customer(spark, dir)
       .filter(col("c_custkey") <= 120)
       .select(
@@ -1204,7 +1224,7 @@ object SparkEntry {
     * table directly, with no mirror of the injection.
     */
   def q55StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q55").toString
+    val tmp = tempDir("graft-q55")
     val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4) { (i, slice) =>
       slice(i)
         .union(slice(i).filter(col("event_id") % 3 === 0))
@@ -1298,7 +1318,7 @@ object SparkEntry {
     * interval join the oracle runs.
     */
   def q62StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q62").toString
+    val tmp = tempDir("graft-q62")
     val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4)((i, s) => s(i))
     graft.stream.Jobs.runIntervalJoinStream(spark, in,
       lateness = "40 days", maxGap = "1 hour",
@@ -1442,7 +1462,7 @@ object SparkEntry {
     * watermark closed.
     */
   def q70SessionStream(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q70").toString
+    val tmp = tempDir("graft-q70")
     val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4)((i, s) => s(i))
     graft.stream.Jobs.runSessionStream(spark, in,
       gap = "30 minutes", lateness = "10 minutes",
@@ -1782,6 +1802,30 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** q88's deliverable on the SCALE path: the same keep-one-per-cluster
+    * corpus, but near-dup pairs come from MinHash+LSH banding
+    * (`O(docs × bands)` map work + a bucket join — the only dedup you
+    * can run at 100 TB) instead of the exact all-pairs Jaccard join the
+    * oracle recomputes. q13 pins pair-level LSH ≡ exact at these
+    * settings (16 hashes / 8 bands → collision threshold ≈ 0.42, well
+    * under the 0.5 verify cut); this row pins the COMPOSITION: LSH
+    * pairs → connected components → canonical anti-join → surviving
+    * corpus, hash-equal to the exact-path result end to end. FULL
+    * corpus — no doc_id slice.
+    */
+  def q88bDedupCorpusLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = graft.ext.Clusters.dupClusters(
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5),
+      "id_a", "id_b")
+    docs.join(clusters.filter(!col("is_canonical")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** TRUE rate-limit throttle (anchor = last KEPT event, inherently
     * sequential per key — `flatMapSortedGroups`, the justified
     * last-resort tier): per user, distinct event times thinned to at
@@ -1949,7 +1993,7 @@ object SparkEntry {
     * the one-shot batch apply — q79's oracle verbatim.
     */
   def q96StreamCdc(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q96").toString
+    val tmp = tempDir("graft-q96")
     val changes = cdcChanges(spark, dir)
     val mx = changes.agg(max(col("seq"))).head().getLong(0)
     // contiguous ascending seq ranges — the order a CDC log delivers,
@@ -1987,6 +2031,58 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** SKIP-AND-CONTINUE budget fill (q97's knapsack-greedy sibling):
+    * same per-language 3,000-token budget, but straddlers are skipped
+    * and the scan continues, so every language packs to within one
+    * doc-size of its budget (~2998/3000 here) where prefix fill stops
+    * at the first straddler. Inherently sequential per group —
+    * `flatMapSortedGroups`, the justified last-resort tier — and the
+    * oracle rebuilds the ADMITTED chain with a correlated-min
+    * recursive CTE (q89's verified pattern: recursion depth = number
+    * of admitted docs, not corpus size).
+    */
+  def q97cBudgetFillSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("quality",
+        Text.qualityLogit(col("text"), Seq(-2.4, 2.0, -3.0, 1.5, 2.5)))
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast(LongType))
+      .select(col("lang"), col("doc_id"), col("quality"), col("n_tokens"))
+      .as[(String, Long, Double, Long)]
+    graft.ext.TrainPrep.budgetFillSkip(docs, budget = 3000L)
+      .toDF("lang", "doc_id", "quality", "n_tokens", "admitted_tokens", "admitted")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_tokens")).otherwise(0L))
+          .as("tokens_admitted"))
+      .orderBy(col("lang"))
+  }
+
+  /** GLOBAL token-budget fill (q97's single-target form): one 10k-token
+    * budget over the whole corpus, languages competing in one global
+    * (quality DESC, id ASC) order — the two-phase bucketed prefix sum
+    * that never global-sorts. Per-language sums of the EXACT global
+    * running totals hash-check, so every doc's global prefix value is
+    * pinned (not just the admitted counts); a bucket-boundary error of
+    * even one token anywhere in the corpus would flip `running_sum`.
+    */
+  def q97bBudgetFillGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("quality",
+        Text.qualityLogit(col("text"), Seq(-2.4, 2.0, -3.0, 1.5, 2.5)))
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast(LongType))
+    graft.ext.TrainPrep.budgetFillGlobal(
+      docs, "doc_id", "quality", "n_tokens", budget = 10000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_tokens")).otherwise(0L))
+          .as("tokens_admitted"),
+        sum(col("running_tokens")).as("running_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** Scalar uint8 vector quantization against corpus min/max stats: the
     * 4× storage cut for billion-vector ANN. Every code is order-free
     * IEEE arithmetic, so the EXACT code arrays hash-check via a
@@ -2015,7 +2111,7 @@ object SparkEntry {
     * the anchor and drops, which is the same kept set.)
     */
   def q99StreamThrottle(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q99").toString
+    val tmp = tempDir("graft-q99")
     val in = writeEventSlices(
       eventsForReplay(spark, dir).filter(col("user_id") < 12), tmp, 4)((i, s) => s(i))
     val kept = graft.stream.Stateful
@@ -2065,6 +2161,45 @@ object SparkEntry {
       "lang", "doc_id", "z", "n_tokens", budget = 3000L)
       .filter(col("admitted"))
     // 5. deterministic shard assignment, then the audit aggregate
+    admitted
+      .withColumn("shard", pmod(graft.ext.TrainPrep.splitBucket(col("doc_id")), lit(4)))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  /** The capstone on the SCALE path: identical pipeline and — by
+    * construction — identical final corpus to q100, with stage 3
+    * swapped for [[graft.ext.TrainPrep.decontaminateTwoStage]]: a
+    * bloom map-pass gate over every doc, the exact shingle join only
+    * on the flagged sliver. Shares q100's oracle verbatim, so the
+    * hash check pins that the sub-linear composition loses and gains
+    * NOTHING vs the broadcast-everything exact path — the property
+    * that lets a 100 TB run skip the full semi-join. (Stage 2 stays
+    * exact-canonical; the LSH cluster path is verified standalone by
+    * q88b.)
+    */
+  def q100bCurateCorpusScale(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 40 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+    val gated = corpus.withColumn("z",
+      Text.qualityLogit(col("text"), Seq(-2.4, 2.0, -3.0, 1.5, 2.5)))
+      .filter(col("z") >= 0)
+    val canonIds = Dedup.exactCanonical(gated, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    val deduped = gated.join(canonIds, Seq("doc_id"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val clean = deduped.join(
+      graft.ext.TrainPrep.decontaminateTwoStage(deduped, bench, "doc_id", "text", 5)
+        .filter(!col("contaminated")).select(col("doc_id")),
+      Seq("doc_id"))
+    val admitted = graft.ext.TrainPrep.budgetFill(
+      clean.withColumn("n_tokens", Text.tokenCount(col("text")).cast(LongType)),
+      "lang", "doc_id", "z", "n_tokens", budget = 3000L)
+      .filter(col("admitted"))
     admitted
       .withColumn("shard", pmod(graft.ext.TrainPrep.splitBucket(col("doc_id")), lit(4)))
       .groupBy(col("lang"), col("shard"))
@@ -2163,6 +2298,7 @@ object SparkEntry {
     "q86_quality_classifier" -> (q86QualityClassifier _),
     "q87_tokenize_corpus" -> (q87TokenizeCorpus _),
     "q88_dedup_corpus" -> (q88DedupCorpus _),
+    "q88b_dedup_lsh" -> (q88bDedupCorpusLsh _),
     "q89_throttle" -> (q89Throttle _),
     "q90_table_diff" -> (q90TableDiff _),
     "q91_integrity_audit" -> (q91IntegrityAudit _),
@@ -2173,9 +2309,12 @@ object SparkEntry {
     "q95_shuffle_shards" -> (q95ShuffleShards _),
     "q96_stream_cdc" -> (q96StreamCdc _),
     "q97_budget_fill" -> (q97BudgetFill _),
+    "q97b_budget_global" -> (q97bBudgetFillGlobal _),
+    "q97c_budget_skip" -> (q97cBudgetFillSkip _),
     "q98_quantize_vectors" -> (q98QuantizeVectors _),
     "q99_stream_throttle" -> (q99StreamThrottle _),
     "q100_curate_corpus" -> (q100CurateCorpus _),
+    "q100b_curate_scale" -> (q100bCurateCorpusScale _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2258,6 +2397,77 @@ object SparkEntry {
       |JOIN (SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_kept
       |      FROM kept GROUP BY 1) b USING (user_id)
       |ORDER BY user_id""".stripMargin
+
+  /** Shared by q100 (broadcast-exact decontamination) and q100b (the
+    * bloom two-stage scale path): both must produce the identical
+    * final corpus — that equivalence is exactly what q100b verifies.
+    */
+  private val curationOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 40 = 0),
+      |t AS (
+      |  SELECT doc_id, lang, text,
+      |         regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM corpus),
+      |z AS (
+      |  SELECT doc_id, lang, text, toks,
+      |         CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         -2.4 + 2.0 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+      |              + -3.0 * (CAST(length(text)
+      |                  - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+      |                  AS DOUBLE) / greatest(length(text), 1))
+      |              + 1.5 * (CAST(len(list_filter(toks, x -> list_contains(
+      |                  ['the','a','an','and','or','of','to','in','is','it'], x)))
+      |                  AS DOUBLE) / greatest(len(toks), 1))
+      |              + 2.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+      |                  / greatest(len(toks), 1)) AS z
+      |  FROM t),
+      |gated AS (SELECT * FROM z WHERE z >= 0),
+      |canon AS (
+      |  SELECT min(doc_id) AS doc_id FROM gated
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      |dd AS (SELECT g.* FROM gated g JOIN canon USING (doc_id)),
+      |sh5 AS (
+      |  SELECT doc_id,
+      |         list_distinct([list_aggregate(toks[i:i+4], 'string_agg', ' ')
+      |                        FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)]) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |ddsh AS (
+      |  SELECT d.doc_id,
+      |         list_distinct([list_aggregate(d.toks[i:i+4], 'string_agg', ' ')
+      |                        FOR i IN range(1, greatest(len(d.toks) - 4, 1) + 1)]) AS s
+      |  FROM dd d),
+      |contam AS (
+      |  SELECT DISTINCT c.doc_id
+      |  FROM ddsh c JOIN (SELECT doc_id AS bench_id, s FROM sh5
+      |                    WHERE doc_id % 50 = 0) b
+      |    ON c.doc_id != b.bench_id AND len(list_intersect(c.s, b.s)) > 0),
+      |clean AS (
+      |  SELECT d.* FROM dd d
+      |  WHERE NOT EXISTS (SELECT 1 FROM contam x WHERE x.doc_id = d.doc_id)),
+      |r AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY lang
+      |           ORDER BY z DESC, doc_id ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM clean),
+      |adm AS (SELECT lang, doc_id, n_tokens FROM r WHERE run <= 3000),
+      |sharded AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |         (strpos('123456789abcdef',
+      |                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+      |          + strpos('123456789abcdef',
+      |                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 16
+      |          + strpos('123456789abcdef',
+      |                   substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 4 AS shard
+      |  FROM adm)
+      |SELECT lang, CAST(shard AS INT) AS shard,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM sharded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_dedup_latest_agg" ->
@@ -2391,8 +2601,12 @@ object SparkEntry {
         |  FROM orders
         |  WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'),
         |merged AS (
-        |  SELECT * FROM orders
-        |  WHERE o_orderdate NOT IN (SELECT DISTINCT o_orderdate FROM incoming)
+        |  -- NOT EXISTS (not NOT IN): on this data o_orderdate is never
+        |  -- NULL, but NOT IN under a NULL key collapses to zero rows —
+        |  -- keep the safe form as the template (q91's lesson)
+        |  SELECT * FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM incoming i
+        |                    WHERE i.o_orderdate = o.o_orderdate)
         |  UNION ALL SELECT * FROM incoming)
         |SELECT o_orderstatus,
         |       CAST(count(*) AS BIGINT) AS n_orders,
@@ -3399,72 +3613,9 @@ object SparkEntry {
         |       TRUE AS fp_bound_ok
         |FROM documents""".stripMargin,
 
-    "q100_curate_corpus" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, lang, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 40 = 0),
-        |t AS (
-        |  SELECT doc_id, lang, text,
-        |         regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM corpus),
-        |z AS (
-        |  SELECT doc_id, lang, text, toks,
-        |         CAST(len(toks) AS BIGINT) AS n_tokens,
-        |         -2.4 + 2.0 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-        |              + -3.0 * (CAST(length(text)
-        |                  - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
-        |                  AS DOUBLE) / greatest(length(text), 1))
-        |              + 1.5 * (CAST(len(list_filter(toks, x -> list_contains(
-        |                  ['the','a','an','and','or','of','to','in','is','it'], x)))
-        |                  AS DOUBLE) / greatest(len(toks), 1))
-        |              + 2.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
-        |                  / greatest(len(toks), 1)) AS z
-        |  FROM t),
-        |gated AS (SELECT * FROM z WHERE z >= 0),
-        |canon AS (
-        |  SELECT min(doc_id) AS doc_id FROM gated
-        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
-        |dd AS (SELECT g.* FROM gated g JOIN canon USING (doc_id)),
-        |sh5 AS (
-        |  SELECT doc_id,
-        |         list_distinct([list_aggregate(toks[i:i+4], 'string_agg', ' ')
-        |                        FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)]) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |        FROM documents)),
-        |ddsh AS (
-        |  SELECT d.doc_id,
-        |         list_distinct([list_aggregate(d.toks[i:i+4], 'string_agg', ' ')
-        |                        FOR i IN range(1, greatest(len(d.toks) - 4, 1) + 1)]) AS s
-        |  FROM dd d),
-        |contam AS (
-        |  SELECT DISTINCT c.doc_id
-        |  FROM ddsh c JOIN (SELECT doc_id AS bench_id, s FROM sh5
-        |                    WHERE doc_id % 50 = 0) b
-        |    ON c.doc_id != b.bench_id AND len(list_intersect(c.s, b.s)) > 0),
-        |clean AS (
-        |  SELECT d.* FROM dd d
-        |  WHERE NOT EXISTS (SELECT 1 FROM contam x WHERE x.doc_id = d.doc_id)),
-        |r AS (
-        |  SELECT lang, doc_id, n_tokens,
-        |         sum(n_tokens) OVER (PARTITION BY lang
-        |           ORDER BY z DESC, doc_id ROWS UNBOUNDED PRECEDING) AS run
-        |  FROM clean),
-        |adm AS (SELECT lang, doc_id, n_tokens FROM r WHERE run <= 3000),
-        |sharded AS (
-        |  SELECT lang, doc_id, n_tokens,
-        |         (strpos('123456789abcdef',
-        |                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
-        |          + strpos('123456789abcdef',
-        |                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 16
-        |          + strpos('123456789abcdef',
-        |                   substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 4 AS shard
-        |  FROM adm)
-        |SELECT lang, CAST(shard AS INT) AS shard,
-        |       CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
-        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM sharded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q100b_curate_scale" -> curationOracle,
+
+    "q100_curate_corpus" -> curationOracle,
 
     "q97_budget_fill" ->
       """WITH t AS (
@@ -3493,6 +3644,85 @@ object SparkEntry {
         |         AS n_admitted,
         |       CAST(sum(CASE WHEN run <= 3000 THEN n_tokens ELSE 0 END) AS BIGINT)
         |         AS tokens_admitted
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q97c_budget_skip" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         -2.4 + 2.0 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+        |              + -3.0 * (CAST(length(text)
+        |                  - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+        |                  AS DOUBLE) / greatest(length(text), 1))
+        |              + 1.5 * (CAST(len(list_filter(toks, x -> list_contains(
+        |                  ['the','a','an','and','or','of','to','in','is','it'], x)))
+        |                  AS DOUBLE) / greatest(len(toks), 1))
+        |              + 2.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+        |                  / greatest(len(toks), 1)) AS z
+        |  FROM t),
+        |r AS MATERIALIZED (
+        |  SELECT lang, doc_id, n_tokens,
+        |         row_number() OVER (PARTITION BY lang ORDER BY z DESC, doc_id) AS rn
+        |  FROM z),
+        |-- the ADMITTED chain: recursion steps only across admitted docs
+        |-- (depth = survivors, not corpus) — each step hops to the next
+        |-- rank whose doc still fits the remaining budget
+        |seed AS (SELECT lang, min(rn) AS rn FROM r WHERE n_tokens <= 3000 GROUP BY lang),
+        |kept(lang, rn, used) AS (
+        |  SELECT s.lang, s.rn, r.n_tokens
+        |  FROM seed s JOIN r ON r.lang = s.lang AND r.rn = s.rn
+        |  UNION ALL
+        |  SELECT q.lang, q.nrn, q.used + r.n_tokens
+        |  FROM (SELECT k.lang, k.rn, k.used,
+        |               (SELECT min(r2.rn) FROM r r2
+        |                WHERE r2.lang = k.lang AND r2.rn > k.rn
+        |                  AND r2.n_tokens <= 3000 - k.used) AS nrn
+        |        FROM kept k) q
+        |  JOIN r ON r.lang = q.lang AND r.rn = q.nrn
+        |  WHERE q.nrn IS NOT NULL),
+        |dec AS (
+        |  SELECT r.lang, r.n_tokens, k.rn IS NOT NULL AS admitted
+        |  FROM r LEFT JOIN kept k ON k.lang = r.lang AND k.rn = r.rn)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_admitted,
+        |       CAST(sum(CASE WHEN admitted THEN n_tokens ELSE 0 END) AS BIGINT)
+        |         AS tokens_admitted
+        |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q97b_budget_global" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         -2.4 + 2.0 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+        |              + -3.0 * (CAST(length(text)
+        |                  - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+        |                  AS DOUBLE) / greatest(length(text), 1))
+        |              + 1.5 * (CAST(len(list_filter(toks, x -> list_contains(
+        |                  ['the','a','an','and','or','of','to','in','is','it'], x)))
+        |                  AS DOUBLE) / greatest(len(toks), 1))
+        |              + 2.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+        |                  / greatest(len(toks), 1)) AS z
+        |  FROM t),
+        |-- ONE global running order (no PARTITION BY): the oracle states
+        |-- the semantics as the global sort the Spark side must never run
+        |r AS (
+        |  SELECT lang, n_tokens,
+        |         sum(n_tokens) OVER (
+        |           ORDER BY z DESC, doc_id ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM z)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN run <= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_admitted,
+        |       CAST(sum(CASE WHEN run <= 10000 THEN n_tokens ELSE 0 END) AS BIGINT)
+        |         AS tokens_admitted,
+        |       CAST(sum(run) AS BIGINT) AS running_sum
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q98_quantize_vectors" ->
@@ -3550,6 +3780,44 @@ object SparkEntry {
 
     // the streaming anchor state must reproduce the identical kept set
     "q99_stream_throttle" -> throttleOracle,
+
+    "q88b_dedup_lsh" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |-- exact Jaccard via the INVERTED INDEX (q76's oracle shape):
+        |-- pairs meet only on shared shingles — the same Σdf² economics
+        |-- as the engine under test, so the oracle stays oracle-fast at
+        |-- sf0.1 where the all-pairs form needs 25M list intersections
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(
+        |           [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])) AS s
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2) p
+        |  JOIN sz za ON p.id_a = za.doc_id
+        |  JOIN sz zb ON p.id_b = zb.doc_id
+        |  WHERE round(CAST(p.inter AS DOUBLE)
+        |              / (za.sz + zb.sz - p.inter), 6) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents d LEFT JOIN dropped ON d.doc_id = dropped.id
+        |WHERE dropped.id IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (
@@ -3934,8 +4202,11 @@ object SparkEntry {
         |FROM rows_, overall ORDER BY rows_.constraint""".stripMargin,
 
     "q28_anti_join" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+      """-- NOT EXISTS (not NOT IN): l_orderkey is non-NULL here, but the
+        |-- NULL-safe form is the template (NOT IN + one NULL = no rows)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q29_outer_join" ->

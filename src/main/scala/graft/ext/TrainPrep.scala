@@ -267,6 +267,43 @@ object TrainPrep {
     }
   }
 
+  /** TWO-STAGE decontamination — the 100 TB composition the
+    * [[bloomContaminatedDocs]] scaladoc describes, packaged as one
+    * operator with EXACT semantics: stage 1 bloom-probes every corpus
+    * document (a pure map pass, no join), stage 2 runs the exact
+    * hashed-shingle semi-join ([[contaminatedDocsHashed]]) ONLY on the
+    * flagged sliver. The bloom's no-false-negative contract makes the
+    * composition exact: an unflagged doc provably shares no shingle
+    * with the benchmark, so it never needs the join; a flagged doc
+    * takes the exact verdict (bloom false positives — including the
+    * guaranteed self-flags of benchmark docs present in the corpus —
+    * are cleared here, because the exact stage excludes
+    * `doc_id === bench_id` matches). Returns (doc_id, contaminated)
+    * with byte-identical results to running [[contaminatedDocsHashed]]
+    * over the whole corpus, while the expensive shingle join touches
+    * only `fp_rate + contamination_rate` of the data.
+    *
+    * Inherits stage 1's call-time eagerness (the bloom literal builds
+    * when this method is CALLED — see [[bloomContaminatedDocs]]).
+    */
+  def decontaminateTwoStage(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    val flags = bloomContaminatedDocs(
+      corpus, benchmark, idCol, textCol, n, expectedItems, numBits)
+    val candidates = corpus.join(flags.filter(col("flagged")),
+      corpus(idCol) === flags("doc_id"), "left_semi")
+    val verdict = contaminatedDocsHashed(candidates, benchmark, idCol, textCol, n)
+    flags.join(verdict, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Per-group token-budget fill: within each `groupCol`, admit
     * documents in (quality DESC, id ASC) order until the group's token
     * budget is exhausted — "fill each language's budget with its best
@@ -299,6 +336,123 @@ object TrainPrep {
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn("running_tokens", sum(col(tokenCol)).over(w))
       .withColumn("admitted", col("running_tokens") <= budget)
+  }
+
+  /** SKIP-AND-CONTINUE token-budget fill: like [[budgetFill]] the
+    * documents of each group are visited in (quality DESC, id ASC)
+    * order, but a document that would overflow the remaining budget is
+    * SKIPPED and the scan continues — later, smaller documents still
+    * fit (knapsack-greedy admission; prefix fill stops at the first
+    * straddler). The running admitted total depends on every prior
+    * ADMIT decision, so like [[graft.ext.TimeSeries.throttle]] this is
+    * an inherently sequential per-group recurrence with no window/lag
+    * form — the documented last-resort tier: `flatMapSortedGroups`
+    * hands each group's docs in order to a linear scan carrying one
+    * running counter. One keyed shuffle + in-group sort, O(1) state
+    * per group, groups scan in parallel — the same scale shape as a
+    * window that can't be expressed as one.
+    *
+    * Input is typed rows (group, id, quality, tokens); output rows are
+    * (group, id, quality, tokens, admitted_tokens, admitted) for EVERY
+    * input doc, where `admitted_tokens` is the group's admitted total
+    * AFTER this doc's decision — so the full decision trace, not just
+    * the survivor set, is oracle-checkable.
+    */
+  def budgetFillSkip(
+      docs: org.apache.spark.sql.Dataset[(String, Long, Double, Long)],
+      budget: Long): org.apache.spark.sql.Dataset[(String, Long, Double, Long, Long, Boolean)] = {
+    require(budget > 0, "budget must be positive")
+    import docs.sparkSession.implicits._
+    // sort exprs resolve against the Dataset's ACTUAL column names
+    // (tuple encoders keep source-frame names) — address positionally
+    val Array(_, idName, qName, tokName) = docs.columns
+    val _ = tokName // tokens participate in the scan, not the sort
+    docs.groupByKey(_._1)
+      .flatMapSortedGroups(col(qName).desc, col(idName).asc) {
+        (_: String, it: Iterator[(String, Long, Double, Long)]) =>
+          var used = 0L
+          it.map { d =>
+            val admit = d._4 <= budget - used
+            if (admit) used += d._4
+            (d._1, d._2, d._3, d._4, used, admit)
+          }
+      }
+  }
+
+  /** GLOBAL token-budget fill: admit documents in corpus-wide
+    * (quality DESC, id ASC) order until ONE global token budget is
+    * exhausted — [[budgetFill]]'s semantics without the group key, the
+    * form a curation run with a single token target uses. Same prefix
+    * contract: a document is admitted iff the running total including
+    * it (over ALL globally higher-ranked docs) stays ≤ `budget`; the
+    * emitted `running_tokens` is the exact global prefix sum.
+    *
+    * A global ORDER BY is the one thing this must never compile to, so
+    * it runs as a two-phase prefix sum over quality-range buckets:
+    *  1. a KLL sketch ([[KllAgg]], one aggregation) yields `numBuckets`
+    *     approximate quality quantiles — the bucket BOUNDARIES (an
+    *     O(numBuckets)-doubles driver hop, the k-means-centroids class;
+    *     boundary precision affects only bucket BALANCE, never the
+    *     result, because buckets are order-respecting quality ranges);
+    *  2. per-bucket token sums (one keyed aggregation, O(buckets)
+    *     rows) prefix-sum over a single tiny window, giving each
+    *     bucket the exact token total of every better bucket;
+    *  3. that offset broadcast-joins back and one keyed window per
+    *     bucket adds the within-bucket running sum — offset + within =
+    *     the exact global running total, computed with only keyed
+    *     shuffles. Equal-quality docs always share a bucket (ranges
+    *     are closed under equality), so within-bucket (quality DESC,
+    *     id ASC) order IS the global order restricted to the bucket.
+    *
+    * At 100 TB: numBuckets scales to ~10k so each bucket fits an
+    * executor's window comfortably; the sketch and bucket-sum passes
+    * stay O(corpus) map + O(buckets) state.
+    */
+  def budgetFillGlobal(
+      df: DataFrame, idCol: String,
+      qualityCol: String, tokenCol: String, budget: Long,
+      numBuckets: Int = 32, sketchK: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(!df.columns.exists(Set("running_tokens", "admitted", "__qb", "__qb_offset")),
+      "input must not already contain running_tokens/admitted/__qb/__qb_offset")
+    val q = col(qualityCol).cast("double")
+    // 1. boundary cuts from the sketch; empty input / degenerate
+    // sketches fall back to a single bucket (still exact — one window)
+    val cuts: Array[Double] =
+      if (numBuckets == 1) Array.empty
+      else {
+        val sk = df.agg(KllAgg.kllAgg(q, sketchK).as("sk"))
+        val row = sk.select((1 until numBuckets).map(i =>
+          KllAgg.quantile(col("sk"), i.toDouble / numBuckets)): _*).head()
+        (0 until row.length).iterator
+          .filterNot(row.isNullAt)
+          .map(row.getDouble)
+          .filterNot(_.isNaN)
+          .toArray.distinct.sorted
+      }
+    // 2. bucket id: #cuts ≥ quality — ascending bucket = descending
+    // quality, ties share a bucket; O(numBuckets) codegen'd compares
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else aggregate(lit(cuts), lit(0),
+        (acc, c) => acc + when(c >= q, 1).otherwise(0))
+    val bucketed = df.withColumn("__qb", bucket)
+    val offsets = bucketed.groupBy(col("__qb"))
+      .agg(sum(col(tokenCol)).as("__qb_tokens"))
+      .withColumn("__qb_offset",
+        coalesce(sum(col("__qb_tokens")).over(
+          Window.orderBy(col("__qb").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__qb"), col("__qb_offset"))
+    // 3. within-bucket running + exact cross-bucket offset
+    val w = Window.partitionBy(col("__qb"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), Seq("__qb"))
+      .withColumn("running_tokens", col("__qb_offset") + sum(col(tokenCol)).over(w))
+      .withColumn("admitted", col("running_tokens") <= budget)
+      .drop("__qb", "__qb_offset")
   }
 
   private val BloomAggName = "graft_bloom_filter_agg"

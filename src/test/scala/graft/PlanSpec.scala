@@ -234,6 +234,43 @@ class PlanSpec extends SparkSpec {
     assert("\\(df#\\d+L? <= ".r.findFirstIn(cached).isDefined, cached.take(1500))
   }
 
+  test("q97b: global fill never global-sorts the docs — bucket windows + broadcast offsets") {
+    val p = plan("q97b_budget_global")
+    // the doc-level window partitions by the quality bucket (keyed
+    // shuffle); range partitioning appears ONLY for the O(langs)
+    // output orderBy and the O(buckets) offset window — never over the
+    // full doc set (the offset window's sort feeds a frame whose
+    // source is the bucket AGGREGATE, so its exchange is tiny)
+    assert(p.contains("Exchange hashpartitioning(__qb"), p)
+    assert(p.contains("BroadcastHashJoin [__qb"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q88b: LSH corpus dedup has no quadratic surface anywhere in the chain") {
+    // the cluster stage iterates with checkpoints at build time, so the
+    // final plan shows only the anti-join over the materialized cluster
+    // frame — pin the no-quadratic property there...
+    val p = plan("q88b_dedup_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // ...and pin the band-bucket hash join on the PAIR frame q88b feeds
+    // into clustering (same call, pre-cluster)
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.ext.Dedup.minhashNearDupPairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(pairs.contains("band"), pairs.take(1500))
+    assert(!pairs.contains("CartesianProduct") &&
+      !pairs.contains("BroadcastNestedLoopJoin"), pairs)
+  }
+
+  test("q100b: two-stage decontamination keeps the bloom probe join-free inside the capstone") {
+    val p = plan("q100b_curate_scale")
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bloom decontamination probe is a map pass — filter rides as a literal, not a join") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)

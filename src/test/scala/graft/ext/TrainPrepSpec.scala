@@ -175,6 +175,72 @@ class TrainPrepSpec extends SparkSpec {
     assert(e.getMessage.contains("admitted"))
   }
 
+  test("budgetFillSkip: straddler skipped, later smaller docs admitted — differs from prefix") {
+    // q97's fixture: prefix admits 50+40=90 and stops at the 30-token
+    // straddler; skip-and-continue skips it and admits the 10-token doc
+    val docs = Seq(
+      (1L, "g1", 9.0, 50L), (2L, "g1", 8.0, 40L),
+      (3L, "g1", 7.0, 30L), (4L, "g1", 6.0, 10L),
+      (5L, "g2", 5.0, 20L), (6L, "g2", 4.0, 30L)
+    ).toDF("doc_id", "grp", "quality", "n_tokens")
+    val typed = docs.select(col("grp"), col("doc_id"), col("quality"), col("n_tokens"))
+      .as[(String, Long, Double, Long)]
+    val skip = TrainPrep.budgetFillSkip(typed, 100L).collect()
+      .map(r => r._2 -> ((r._5, r._6))).toMap
+    assert(skip(1L) == ((50L, true)) && skip(2L) == ((90L, true)))
+    assert(skip(3L) == ((90L, false))) // straddler skipped, total unchanged
+    assert(skip(4L) == ((100L, true))) // later smaller doc still fits
+    assert(skip(5L)._2 && skip(6L)._2) // g2 fits entirely
+    val prefix = TrainPrep.budgetFill(docs, "grp", "doc_id", "quality", "n_tokens", 100L)
+      .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
+    assert(prefix == Set(1L, 2L, 5L, 6L)) // no doc 4: the semantics differ
+    // zero-token docs always admit; a doc exactly filling the budget admits
+    val edge = Seq(("g", 1L, 2.0, 100L), ("g", 2L, 1.0, 0L))
+      .toDF("grp", "doc_id", "quality", "n_tokens")
+      .as[(String, Long, Double, Long)]
+    val er = TrainPrep.budgetFillSkip(edge, 100L).collect()
+      .map(r => r._2 -> r._6).toMap
+    assert(er(1L) && er(2L))
+    intercept[IllegalArgumentException] { TrainPrep.budgetFillSkip(typed, 0L) }
+  }
+
+  test("budgetFillGlobal: equals brute-force global greedy; exact across bucket boundaries") {
+    // 200 docs, adversarial quality distribution (duplicate qualities,
+    // skewed token sizes) so bucket boundaries land ON tied values
+    val docs = (1L to 200L).map { i =>
+      (i, (i % 17).toDouble / 3.0, 5L + i % 23)
+    }.toDF("doc_id", "quality", "n_tokens")
+    for (budget <- Seq(1L, 37L, 500L, 1500L, 100000L);
+         buckets <- Seq(1, 4, 32, 200)) {
+      val got = TrainPrep.budgetFillGlobal(
+        docs, "doc_id", "quality", "n_tokens", budget, numBuckets = buckets)
+        .select("doc_id", "running_tokens", "admitted")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      // brute force: one global sort on the driver
+      var run = 0L
+      val exp = docs.as[(Long, Double, Long)].collect()
+        .sortBy { case (id, q, _) => (-q, id) }
+        .map { case (id, _, t) => run += t; (id, run, run <= budget) }
+        .sortBy(_._1)
+      assert(got.toSeq == exp.toSeq, s"budget=$budget buckets=$buckets")
+    }
+    // the admitted set is a PREFIX of the global quality order
+    val r = TrainPrep.budgetFillGlobal(
+      docs, "doc_id", "quality", "n_tokens", 300L, numBuckets = 8)
+      .select("quality", "doc_id", "admitted")
+      .as[(Double, Long, Boolean)].collect()
+      .sortBy { case (q, id, _) => (-q, id) }
+    assert(r.indexWhere(!_._3) == r.count(_._3)) // all admits precede all drops
+    intercept[IllegalArgumentException] {
+      TrainPrep.budgetFillGlobal(docs, "doc_id", "quality", "n_tokens", 0L)
+    }
+    // re-piping refused, as in the per-group form
+    val once = TrainPrep.budgetFillGlobal(docs, "doc_id", "quality", "n_tokens", 300L)
+    intercept[IllegalArgumentException] {
+      TrainPrep.budgetFillGlobal(once, "doc_id", "quality", "n_tokens", 300L)
+    }
+  }
+
   test("bloomContaminatedDocs: flags a superset of exact, never misses, empty bench flags none") {
     val docs = (1L to 200L).map { i =>
       // docs 10 and 110 share a rare 3-gram; everything else is unique
@@ -198,6 +264,28 @@ class TrainPrepSpec extends SparkSpec {
       docs, bench.filter(lit(false)), "doc_id", "text", 3)
     assert(none.filter(col("flagged")).count() == 0)
     assert(none.count() == 200)
+  }
+
+  test("decontaminateTwoStage: identical verdicts to the full exact join; self-flags cleared") {
+    val docs = (1L to 200L).map { i =>
+      val tail = if (i == 10 || i == 110) "shared rare trigram here"
+        else s"unique tail $i alpha beta"
+      (i, s"doc $i body $tail")
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 100 === 10) // docs 10, 110 — IN the corpus
+    val full = TrainPrep.contaminatedDocsHashed(docs, bench, "doc_id", "text", 3)
+      .as[(Long, Boolean)].collect().toMap
+    val two = TrainPrep.decontaminateTwoStage(docs, bench, "doc_id", "text", 3,
+      expectedItems = 10000L, numBits = 65536L)
+      .as[(Long, Boolean)].collect().toMap
+    assert(two == full) // byte-identical composition, every doc present
+    assert(two.size == 200 && two(10L) && two(110L) && !two(5L))
+    // a deliberately tiny, FP-heavy bloom still composes exactly: the
+    // exact stage clears every false flag
+    val noisy = TrainPrep.decontaminateTwoStage(docs, bench, "doc_id", "text", 3,
+      expectedItems = 4L, numBits = 64L)
+      .as[(Long, Boolean)].collect().toMap
+    assert(noisy == full)
   }
 
   test("mixtureWeights: alpha=1 keeps natural shares; alpha<1 boosts the tail") {
