@@ -414,30 +414,52 @@ object TrainPrep {
       numBuckets: Int = 32, sketchK: Int = 256): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(numBuckets > 0, "numBuckets must be positive")
-    require(!df.columns.exists(Set("running_tokens", "admitted", "__qb", "__qb_offset")),
-      "input must not already contain running_tokens/admitted/__qb/__qb_offset")
+    require(!df.columns.exists(
+      Set("running_tokens", "admitted", "__qb", "__qb_offset", "__qb_lo", "__qb_hi")),
+      "input must not already contain running_tokens/admitted/__qb* columns")
     val q = col(qualityCol).cast("double")
-    // 1. boundary cuts from the sketch; empty input / degenerate
-    // sketches fall back to a single bucket (still exact — one window)
+    // 1. boundary cuts from the sketch — ALL quantiles in one fold
+    // (KllAgg.quantiles), one job, one O(numBuckets) driver hop; empty
+    // input / degenerate sketches fall back to a single bucket (still
+    // exact — one window)
     val cuts: Array[Double] =
       if (numBuckets == 1) Array.empty
       else {
         val sk = df.agg(KllAgg.kllAgg(q, sketchK).as("sk"))
-        val row = sk.select((1 until numBuckets).map(i =>
-          KllAgg.quantile(col("sk"), i.toDouble / numBuckets)): _*).head()
-        (0 until row.length).iterator
-          .filterNot(row.isNullAt)
-          .map(row.getDouble)
-          .filterNot(_.isNaN)
-          .toArray.distinct.sorted
+        val arr = sk.select(KllAgg.quantiles(col("sk"),
+          (1 until numBuckets).map(_.toDouble / numBuckets)).as("qs")).head()
+        if (arr.isNullAt(0)) Array.empty
+        else arr.getSeq[java.lang.Double](0).iterator
+          .filter(_ ne null).map(_.doubleValue)
+          .filterNot(_.isNaN).toArray.distinct.sorted
       }
-    // 2. bucket id: #cuts ≥ quality — ascending bucket = descending
-    // quality, ties share a bucket; O(numBuckets) codegen'd compares
-    val bucket =
-      if (cuts.isEmpty) lit(0)
-      else aggregate(lit(cuts), lit(0),
-        (acc, c) => acc + when(c >= q, 1).otherwise(0))
-    val bucketed = df.withColumn("__qb", bucket)
+    // 2. bucket id via a BROADCAST RANGE JOIN against the O(buckets)
+    // boundary table — deliberately NOT a per-row fold over a cuts
+    // array: the caller's quality column is often an unmaterialized
+    // expression (a full scoring tree), and a HOF lambda re-evaluates
+    // it once per element, interpreted — 30× the scoring cost per row.
+    // The join materializes the quality value once in the child
+    // projection (codegen + CSE) and compares the VALUE against each
+    // range; ascending bucket = descending quality, ties share a
+    // bucket (ranges are half-open (lo, hi] over the value alone).
+    val spark0 = df.sparkSession
+    val bounds = (Double.PositiveInfinity +: cuts.reverse) // hi of bucket i
+    val ranges = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(bounds.indices.map { i =>
+        org.apache.spark.sql.Row(i,
+          if (i == bounds.length - 1) Double.NegativeInfinity else bounds(i + 1),
+          bounds(i))
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__qb",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__qb_lo",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("__qb_hi",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val bucketed = df
+      .join(broadcast(ranges), q > col("__qb_lo") && q <= col("__qb_hi"))
+      .drop("__qb_lo", "__qb_hi")
     val offsets = bucketed.groupBy(col("__qb"))
       .agg(sum(col(tokenCol)).as("__qb_tokens"))
       .withColumn("__qb_offset",
