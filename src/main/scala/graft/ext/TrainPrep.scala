@@ -418,20 +418,36 @@ object TrainPrep {
       Set("running_tokens", "admitted", "__qb", "__qb_offset", "__qb_lo", "__qb_hi")),
       "input must not already contain running_tokens/admitted/__qb* columns")
     val q = col(qualityCol).cast("double")
-    // 1. boundary cuts from the sketch — ALL quantiles in one fold
-    // (KllAgg.quantiles), one job, one O(numBuckets) driver hop; empty
-    // input / degenerate sketches fall back to a single bucket (still
-    // exact — one window)
+    // 1. boundary cuts from the sketch: ONE aggregation job collects
+    // the O(k·levels) flattened sketch (the same driver-hop class as
+    // the bloom filter bytes) and the quantile walk runs in plain
+    // Scala — the Column-expression extractors ([[KllAgg.quantile]])
+    // exist for IN-PLAN use; a fold interpreted per sketch entry ×
+    // numBuckets slots costs seconds for a value the driver derives in
+    // microseconds. Empty input / degenerate sketches fall back to a
+    // single bucket (still exact — one window).
     val cuts: Array[Double] =
       if (numBuckets == 1) Array.empty
       else {
-        val sk = df.agg(KllAgg.kllAgg(q, sketchK).as("sk"))
-        val arr = sk.select(KllAgg.quantiles(col("sk"),
-          (1 until numBuckets).map(_.toDouble / numBuckets)).as("qs")).head()
-        if (arr.isNullAt(0)) Array.empty
-        else arr.getSeq[java.lang.Double](0).iterator
-          .filter(_ ne null).map(_.doubleValue)
-          .filterNot(_.isNaN).toArray.distinct.sorted
+        val row = df.agg(KllAgg.kllAgg(q, sketchK).as("sk")).head()
+        if (row.isNullAt(0)) Array.empty
+        else {
+          // sorted (v, w) entries; quantile p = smallest v whose
+          // cumulative weight reaches ceil(p · total) — the exact
+          // semantics of KllAgg.quantile's in-plan fold
+          val entries = row.getSeq[org.apache.spark.sql.Row](0)
+            .map(e => (e.getDouble(0), e.getLong(1)))
+          val total = entries.iterator.map(_._2).sum.toDouble
+          if (total == 0) Array.empty
+          else {
+            val cums = entries.scanLeft(0L)(_ + _._2).tail
+            (1 until numBuckets).iterator.map { i =>
+              val target = math.max(math.ceil(i.toDouble / numBuckets * total), 1.0)
+              val idx = cums.indexWhere(_ >= target)
+              entries(if (idx < 0) entries.length - 1 else idx)._1
+            }.filterNot(_.isNaN).toArray.distinct.sorted
+          }
+        }
       }
     // 2. bucket id via a BROADCAST RANGE JOIN against the O(buckets)
     // boundary table — deliberately NOT a per-row fold over a cuts

@@ -25,7 +25,7 @@ class LayoutSpec extends SparkSpec {
       val y = (i * 40503L) % 64
       (i.toLong, x, y)
     }.toDF("id", "x", "y")
-    val path = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val path = tempDir("graft-zorder")
     Layout.zorderWrite(df, "x", "y", bits = 6, numFiles = 8, path = s"$path/t")
     val files = new java.io.File(s"$path/t").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
@@ -43,7 +43,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("compact: many small files become targetFiles, content identical, ranges disjoint") {
-    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val path = tempDir("graft-compact") + "/t"
     val df = (1L to 5000L).toDF("k").withColumn("v", col("k") * 2)
     df.repartition(64).write.parquet(path) // the accreted small-files state
     def parquetFiles = new java.io.File(path).listFiles()
@@ -67,7 +67,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("compact self-heals a crash inside the rename window") {
-    val path = java.nio.file.Files.createTempDirectory("graft-heal").toString + "/t"
+    val path = tempDir("graft-heal") + "/t"
     val df = (1L to 100L).toDF("k")
     df.write.parquet(path)
     // simulate the crash: dst renamed aside, staging never swapped in

@@ -20,7 +20,7 @@ class MedallionSpec extends SparkSpec {
     }
 
   test("bronze→silver→gold end-to-end with DLQ and star outputs") {
-    val out = Files.createTempDirectory("graft-medallion").toString
+    val out = tempDir("graft-medallion")
     // 60 good rows + 1 missing required field + a duplicate tick for coin_1
     val rows = bronzeJson(60) :+
       """{"id":"bad_coin","symbol":null,"name":"Bad","current_price":1.0,"market_cap":5}""" :+
@@ -55,7 +55,7 @@ class MedallionSpec extends SparkSpec {
   }
 
   test("silver output is viewable as a typed Dataset[CryptoTick]") {
-    val out = Files.createTempDirectory("graft-typed").toString
+    val out = tempDir("graft-typed")
     val bronze = Readers.jsonStrings(spark, bronzeJson(60))
     val res = Medallion.run(spark, bronze, out,
       java.time.Instant.parse("2024-03-05T12:00:00Z"))
@@ -69,7 +69,7 @@ class MedallionSpec extends SparkSpec {
   }
 
   test("DQ gate halts the pipeline on rule violations") {
-    val out = Files.createTempDirectory("graft-medallion-fail").toString
+    val out = tempDir("graft-medallion-fail")
     // only 5 rows → RowCount between 50 and 150 fails
     val bronze = Readers.jsonStrings(spark, bronzeJson(5))
     val res = Medallion.run(spark, bronze, out,
@@ -86,7 +86,7 @@ class MedallionSpec extends SparkSpec {
   }
 
   test("dynamic partition overwrite replaces only touched partitions") {
-    val out = Files.createTempDirectory("graft-dyn").toString
+    val out = tempDir("graft-dyn")
     val day1 = Seq(("a", "2024-01-01"), ("b", "2024-01-01"), ("c", "2024-01-02"))
       .toDF("k", "date")
     graft.sinks.Writers.parquetDynamicOverwrite(day1, s"$out/t", "date")
@@ -98,7 +98,7 @@ class MedallionSpec extends SparkSpec {
   }
 
   test("bad-records sink writes hive dt=/hour= layout") {
-    val out = Files.createTempDirectory("graft-bad").toString
+    val out = tempDir("graft-bad")
     val bad = Seq(("x", java.sql.Timestamp.valueOf("2024-01-05 07:30:00")))
       .toDF("payload", "ts")
     graft.sinks.Writers.badRecordsPartitioned(bad, "ts", s"$out/bad")
@@ -106,7 +106,7 @@ class MedallionSpec extends SparkSpec {
   }
 
   test("kv upsert sink: last write per key wins") {
-    val out = Files.createTempDirectory("graft-kv").toString
+    val out = tempDir("graft-kv")
     val p = s"$out/kv"
     graft.sinks.Writers.kvUpsert(spark,
       Seq(("btc", 1, 100.0), ("eth", 1, 50.0)).toDF("coin_id", "v", "price"),
@@ -119,7 +119,7 @@ class MedallionSpec extends SparkSpec {
   }
 
   test("recursive JSONL scan reads nested landing prefixes") {
-    val tmp = Files.createTempDirectory("graft-recursive").toString
+    val tmp = tempDir("graft-recursive")
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/dt=2024-01-01/hour=05"))
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/dt=2024-01-02/hour=06"))
     Files.writeString(java.nio.file.Paths.get(s"$tmp/dt=2024-01-01/hour=05/a.json"),
@@ -147,7 +147,7 @@ class MedallionSpec extends SparkSpec {
   }
 
   test("corrupt json lines land in _corrupt_record, not exceptions") {
-    val tmp = Files.createTempDirectory("graft-corrupt").toString
+    val tmp = tempDir("graft-corrupt")
     Files.writeString(java.nio.file.Paths.get(s"$tmp/data.json"),
       """{"coin_id":"btc","value":1.0}
         |this is not json

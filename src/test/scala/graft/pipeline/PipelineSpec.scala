@@ -37,7 +37,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("runNotified appends a SUCCEEDED/FAILED record per run") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-notify").toString
+    val tmp = tempDir("graft-notify")
     val df = Seq(1).toDF("v")
     assert(Pipeline.runNotified(spark, "etl", df,
       Seq("ok" -> Pipeline.stage(identity)), s"$tmp/notify").isRight)

@@ -74,7 +74,7 @@ class StatefulSpec extends SparkSpec {
     val us = 60L * 1000000L
     val rows = Seq((1L, 0L * us), (1L, 4L * us), (1L, 8L * us), (1L, 12L * us),
       (2L, 0L * us))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-throttle-s").toString
+    val tmp = tempDir("graft-throttle-s")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     val t0 = System.currentTimeMillis() - 60000

@@ -44,7 +44,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("foreachBatch routing stream writes good/bad/alert sinks") {
-    val tmp = Files.createTempDirectory("graft-stream").toString
+    val tmp = tempDir("graft-stream")
     val events = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 100.0, "{}"),
       (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "error", 10.0, "{}"),
@@ -63,7 +63,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("watermarked windowed stream emits closed windows, drops late data") {
-    val tmp = Files.createTempDirectory("graft-window").toString
+    val tmp = tempDir("graft-window")
     val in = s"$tmp/in"
     val ckpt = s"$tmp/ckpt"
     // batch 1: two events in hour 10, one in hour 11
@@ -95,7 +95,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("sliding windows (1h every 15min) overlap and close under the watermark") {
-    val tmp = Files.createTempDirectory("graft-slide").toString
+    val tmp = tempDir("graft-slide")
     val in = s"$tmp/in"
     val ckpt = s"$tmp/ckpt"
     // one event at 10:20 → member of windows starting 09:30..10:15
@@ -120,7 +120,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("kv upsert stream keeps the latest record per key across batches") {
-    val tmp = Files.createTempDirectory("graft-kvstream").toString
+    val tmp = tempDir("graft-kvstream")
     val in = s"$tmp/in"
     Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 10.0, "{}"),
@@ -166,7 +166,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("streaming dedup drops duplicates within AND across micro-batches") {
-    val tmp = Files.createTempDirectory("graft-dedupstream").toString
+    val tmp = tempDir("graft-dedupstream")
     val e1 = (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 10.0, "{}")
     val e2 = (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "click", 20.0, "{}")
     val e3 = (3L, Timestamp.valueOf("2024-01-01 10:30:00"), 8L, "view", 30.0, "{}")
@@ -179,7 +179,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("stream-stream interval join matches within the gap, across batches") {
-    val tmp = Files.createTempDirectory("graft-ssjoin").toString
+    val tmp = tempDir("graft-ssjoin")
     // file 0: u7 clicks; file 1: u7 purchase 30 min later (cross-batch
     // match), u7 purchase 2 h later (outside gap), u8 purchase with no
     // click, and a u7 purchase BEFORE the click (wrong order)
@@ -197,7 +197,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("streaming session windows merge across batches, emit only closed sessions") {
-    val tmp = Files.createTempDirectory("graft-sessionstream").toString
+    val tmp = tempDir("graft-sessionstream")
     // u7's session spans both files (10:00, 10:20 | 10:35) — one merged
     // session [10:00, 11:05). u8 has a late session (12:50) whose end
     // (13:20) is past the final watermark (13:00 - 10min = 12:50) → open,
@@ -231,7 +231,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("idempotent sink stream: restart with the same checkpoint re-commits nothing") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-idemstream").toString
+    val tmp = tempDir("graft-idemstream")
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     graft.Tables.events(spark, "/root/testdata/sf0.001")
       .orderBy(col("event_id")).limit(200).write.parquet(in)
@@ -252,7 +252,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("idempotentBatchWrite: batch re-delivery overwrites, never duplicates") {
-    val path = java.nio.file.Files.createTempDirectory("graft-idem").toString + "/t"
+    val path = tempDir("graft-idem") + "/t"
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val b1 = Seq((3L, "c")).toDF("id", "v")
     graft.sinks.Writers.idempotentBatchWrite(b0, 0L, path)
@@ -271,7 +271,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("changelog stream: incremental merge converges to the batch apply") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-stream").toString
+    val tmp = tempDir("graft-cdc-stream")
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "v")
     // three seq-ordered slices: update, delete, revive + new key
