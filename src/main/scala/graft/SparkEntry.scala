@@ -2209,6 +2209,66 @@ object SparkEntry {
       .orderBy(col("lang"), col("shard"))
   }
 
+  /** SemDeDup (Abbas et al. 2023) over the twin-augmented corpus
+    * (q22b's construction — the isotropic synthetic embeddings have no
+    * natural near-dups, so each vector gets one IEEE-exact perturbed
+    * twin at cos ≈ 0.9999). k-means (k = 10, deterministic farthest-
+    * point init) blocks the pairwise pass into clusters; the oracle is
+    * the EXACT global pairwise keep-rule, so the hash check also pins
+    * that clustering split no near-dup pair on this corpus — twin
+    * vectors score near-identically against every centroid, so they
+    * co-cluster; recall loss would fail the row.
+    */
+  def q101SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val twins = base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => {
+        val d = x.cast("double")
+        (d + lit(0.001) * d * d).cast("float")
+      }).as("embedding"))
+    Similarity.semanticDedup(base.unionByName(twins), "vec_id", "embedding",
+      k = 10, iters = 3, threshold = 0.9,
+      scorer = graft.ext.VectorKernels.cosineF)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cross-document repeated spans (substring-level dedup, Lee et al.
+    * 2022): maximal token ranges whose 7-grams occur in ≥ 2 distinct
+    * documents — the boilerplate/template excision pass. Exact
+    * string-keyed form; q102b is the hashed scale path on the same
+    * oracle.
+    */
+  def q102RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedNgramSpans(Tables.documents(spark, dir), "doc_id", "text",
+      n = 7, minDocs = 2)
+      .orderBy(col("doc_id"), col("start_tok"))
+
+  /** q102 with `hashGrams = true` — the shuffle carries 8-byte
+    * xxhash64 keys instead of 7-token strings. Same oracle as q102:
+    * the hash check pins that hashing the join key changes nothing on
+    * this corpus (a 64-bit collision needs billions of distinct
+    * grams).
+    */
+  def q102bRepeatedSpansHashed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedNgramSpans(Tables.documents(spark, dir), "doc_id", "text",
+      n = 7, minDocs = 2, hashGrams = true)
+      .orderBy(col("doc_id"), col("start_tok"))
+
+  /** Detect-then-apply: excise every q102 repeated span from the
+    * corpus and return the rewritten docs — the downstream pass
+    * substring-level dedup exists for. Every doc comes back (docs with
+    * no spans untouched); `n_removed` counts excised tokens.
+    */
+  def q103ExciseSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spans = Dedup.repeatedNgramSpans(docs, "doc_id", "text",
+      n = 7, minDocs = 2, hashGrams = true)
+    Dedup.exciseSpans(docs, spans, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2315,6 +2375,10 @@ object SparkEntry {
     "q99_stream_throttle" -> (q99StreamThrottle _),
     "q100_curate_corpus" -> (q100CurateCorpus _),
     "q100b_curate_scale" -> (q100bCurateCorpusScale _),
+    "q101_semantic_dedup" -> (q101SemanticDedup _),
+    "q102_repeated_spans" -> (q102RepeatedSpans _),
+    "q102b_repeated_spans_hashed" -> (q102bRepeatedSpansHashed _),
+    "q103_excise_spans" -> (q103ExciseSpans _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2397,6 +2461,35 @@ object SparkEntry {
       |JOIN (SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_kept
       |      FROM kept GROUP BY 1) b USING (user_id)
       |ORDER BY user_id""".stripMargin
+
+  /** Shared by q102 (string-keyed grams) and q102b (xxhash64-keyed
+    * grams): both must flag the identical spans — that equivalence is
+    * exactly what q102b verifies. Positional 7-grams, flagged when in
+    * ≥ 2 distinct docs, merged to maximal runs by gaps-and-islands.
+    */
+  private val repeatedSpansOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 7),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest([{'pos': i - 1,
+      |                  'gram': list_aggregate(toks[i:i+6], 'string_agg', ' ')}
+      |                 FOR i IN range(1, len(toks) - 7 + 2)]) AS e
+      |  FROM t),
+      |ng AS (SELECT doc_id, e.pos AS pos, e.gram AS gram FROM g),
+      |rep AS (SELECT gram FROM ng GROUP BY gram
+      |        HAVING count(DISTINCT doc_id) >= 2),
+      |hit AS (SELECT doc_id, pos FROM ng JOIN rep USING (gram)),
+      |isl AS (SELECT doc_id, pos,
+      |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+      |                 AS grp
+      |        FROM hit)
+      |SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
+      |       CAST(max(pos) + 7 - 1 AS INT) AS end_tok,
+      |       count(*) AS n_grams
+      |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin
 
   /** Shared by q100 (broadcast-exact decontamination) and q100b (the
     * bloom two-stage scale path): both must produce the identical
@@ -3614,6 +3707,78 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q100b_curate_scale" -> curationOracle,
+
+    // EXACT global pairwise keep-rule over the twin-augmented corpus —
+    // the cluster-blocked Spark path must reproduce it bit-for-bit
+    // (see q101's Scaladoc for why clustering cannot split a twin pair)
+    "q101_semantic_dedup" ->
+      """WITH twins AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         CAST(list_transform(CAST(embedding AS DOUBLE[]),
+        |                             x -> x + 0.001 * x * x) AS FLOAT[]) AS embedding
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM twins),
+        |dup AS (
+        |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+        |  GROUP BY 1)
+        |SELECT c.vec_id, d.dup_of IS NULL AS kept, d.dup_of
+        |FROM corpus c LEFT JOIN dup d USING (vec_id)
+        |ORDER BY c.vec_id""".stripMargin,
+
+    "q102_repeated_spans" -> repeatedSpansOracle,
+    "q102b_repeated_spans_hashed" -> repeatedSpansOracle,
+
+    // spans re-derived as a CTE (q102's verified oracle), then every
+    // flagged position drops and the text rebuilds in original order
+    "q103_excise_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 7),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest([{'pos': i - 1,
+        |                  'gram': list_aggregate(toks[i:i+6], 'string_agg', ' ')}
+        |                 FOR i IN range(1, len(toks) - 7 + 2)]) AS e
+        |  FROM t),
+        |ng AS (SELECT doc_id, e.pos AS pos, e.gram AS gram FROM g),
+        |rep AS (SELECT gram FROM ng GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos FROM ng JOIN rep USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |                 AS grp
+        |        FROM hit),
+        |sp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 6 AS end_tok
+        |       FROM isl GROUP BY doc_id, grp),
+        |tall AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |         unnest([{'pos': i - 1, 'tok': toks[i]}
+        |                 FOR i IN range(1, len(toks) + 1)]) AS e
+        |  FROM tall),
+        |keep AS (
+        |  SELECT k.doc_id, k.e.pos AS pos, k.e.tok AS tok
+        |  FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |                    WHERE sp.doc_id = k.doc_id
+        |                      AND k.e.pos BETWEEN sp.start_tok AND sp.end_tok)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |         count(*) AS n_kept
+        |  FROM keep GROUP BY doc_id)
+        |SELECT tall.doc_id,
+        |       coalesce(agg.text, '') AS text,
+        |       len(tall.toks) - coalesce(agg.n_kept, 0) AS n_removed
+        |FROM tall LEFT JOIN agg USING (doc_id)
+        |ORDER BY tall.doc_id""".stripMargin,
 
     "q100_curate_corpus" -> curationOracle,
 

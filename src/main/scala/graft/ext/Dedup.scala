@@ -479,4 +479,110 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Cross-document REPEATED SPANS — substring-level dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): instead of dropping whole near-duplicate
+    * documents, find the token ranges that literally repeat across
+    * documents (boilerplate, licenses, templated headers) so a
+    * downstream pass can excise just those spans. A position is
+    * flagged when its token `n`-gram occurs in ≥ `minDocs` DISTINCT
+    * documents; maximal runs of consecutive flagged positions merge
+    * into one span via the gaps-and-islands window (`pos − row_number`
+    * is constant exactly on a consecutive run). Returns one row per
+    * maximal span: (doc_id, start_tok, end_tok, n_grams) with
+    * 0-based inclusive token indices — `end_tok` covers the last
+    * token of the last flagged n-gram.
+    *
+    * The paper's suffix-array machinery is a single-machine
+    * construction; the Spark-shaped equivalent is this positional
+    * n-gram inverted index — the same duplicated-text recall for
+    * spans ≥ n tokens, as one linear map (tokenize → posexplode),
+    * one partial-agg'd groupBy over n-grams, one hash join back, and
+    * one per-document window. Nothing is quadratic and nothing is
+    * collected.
+    *
+    * 100 TB posture: `hashGrams=true` shuffles 8-byte xxhash64 keys
+    * instead of n-token strings (~10× narrower shuffle; a 64-bit
+    * collision needs ~5·10⁹ distinct grams for even a 50% chance of
+    * ONE false flagged position). The exact string-keyed form is the
+    * verifier the oracle checks; ContractSpec pins hashed ≡ exact on
+    * this corpus.
+    */
+  def repeatedNgramSpans(
+      docs: DataFrame, // (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2,
+      hashGrams: Boolean = false): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    // (doc_id, pos, gram) — slice is 1-based; sequence is empty when
+    // the doc is shorter than n (sequence(0, -1) would DESCEND, so
+    // guard with a size filter first)
+    val grams = toks
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("toks")) - n),
+          i => struct(i.as("pos"),
+            array_join(slice(col("toks"), i + 1, lit(n)), " ").as("gram"))))
+          .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"),
+        (if (hashGrams) xxhash64(col("g.gram")) else col("g.gram")).as("gram"))
+    val repeated = grams
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gram"))
+    val flagged = grams.join(repeated, Seq("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + n - 1).as("end_tok"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("start_tok").cast("int").as("start_tok"),
+        col("end_tok").cast("int").as("end_tok"), col("n_grams"))
+  }
+
+  /** Apply [[repeatedNgramSpans]] (or any span table) to the corpus:
+    * remove every token whose 0-based position falls inside one of the
+    * doc's spans and rebuild the text. Returns every input doc as
+    * (doc_id, text, n_removed) — docs with no spans pass through
+    * unchanged, a fully-flagged doc becomes the empty string (filter
+    * on `n_removed`/`text` downstream to drop hollowed-out docs).
+    *
+    * Excision removes ALL given spans; "keep one copy" policies
+    * (e.g. spare the lowest-id doc of each duplicate group) are a
+    * property of WHICH spans the caller passes in, not of the apply
+    * step — filter the span table first.
+    *
+    * 100 TB posture: one hash join (spans collapse to an array per
+    * doc — bounded: spans are maximal, hence non-overlapping and
+    * ≤ tokens/2 per doc) and one map pass; the per-token span test is
+    * a higher-order `filter` over the token array, no explode and no
+    * second shuffle.
+    */
+  def exciseSpans(
+      docs: DataFrame, // (idCol, textCol)
+      spans: DataFrame, // (doc_id, start_tok, end_tok) — repeatedNgramSpans shape
+      idCol: String,
+      textCol: String): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
+    docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        col("__spans").isNull || !exists(col("__spans"),
+          s => i >= s.getField("start_tok") && i <= s.getField("end_tok"))))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
 }

@@ -135,6 +135,57 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with [[kmeansLabels]],
+    * then compare pairs ONLY within a cluster — the quadratic pairwise
+    * pass shrinks from O(n²) to O(Σ|cluster|²), and each cluster's
+    * pass is one keyed shuffle partition. A row is dropped iff some
+    * LOWER-ID row in the same cluster is within `threshold` cosine;
+    * the survivor of each duplicate group is its minimum id (the same
+    * deterministic keep-rule as the exact/MinHash dedup family, so the
+    * families compose). Returns (idCol, kept, dup_of) for every input
+    * row, `dup_of` = the smallest co-clustered near-duplicate id
+    * (NULL for kept rows).
+    *
+    * Semantics note (disclosed, matches the paper): dropping is
+    * pairwise against ALL lower-id cluster members, not greedy-
+    * sequential — a dropped row can still cause later drops. That is
+    * ε-dedup as SemDeDup defines it, and it is what the exact oracle
+    * verifies.
+    *
+    * 100 TB posture: k sets the blocking granularity — pick
+    * k ≈ n/⌈target cluster size⌉ so each cluster's pairwise pass is
+    * bounded (the paper uses ~100k clusters for billions of rows);
+    * assignment is map-only (literal or broadcast-join, see
+    * [[kmeansLabels]]), the pairwise pass shuffles on `label`, and
+    * recall loss is exactly the near-dup pairs k-means splits across
+    * clusters (near-identical vectors essentially never split — their
+    * centroid scores differ by O(1−cos)).
+    */
+  def semanticDedup(
+      embeddings: DataFrame, // (idCol, vecCol)
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double,
+      scorer: (Column, Column) => Column = cosine,
+      literalMaxEntries: Int = 1024): DataFrame = {
+    val labeled = kmeansLabels(
+      embeddings.select(col(idCol), col(vecCol)), idCol, vecCol, k, iters,
+      scorer, literalMaxEntries)
+    val a = labeled.select(col("label"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = labeled.select(col("label"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val dupOf = a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(scorer(col("vec_a"), col("vec_b")), 6) >= threshold)
+      .groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("dup_of"))
+    embeddings.select(col(idCol))
+      .join(dupOf, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
   /** Lloyd k-means over a float-vector column, cosine geometry, as
     * DataFrame ops: per iteration, assignment is ONE shuffle-free map
     * pass while k × dim ≤ `literalMaxEntries` (the centroid table

@@ -265,6 +265,32 @@ class PlanSpec extends SparkSpec {
       !pairs.contains("BroadcastNestedLoopJoin"), pairs)
   }
 
+  test("q101: semantic dedup's pairwise pass is label-keyed — no quadratic surface") {
+    val p = plan("q101_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the pairwise join is an equi-join on the k-means label (the
+    // SemDeDup blocking), scored by the codegen'd kernel; BNLJ can
+    // appear only for the tiny literal/centroid frames, never keyed
+    // on vectors — pin the label equi-join directly
+    assert(p.contains("floatcosinesimilarity"), p)
+    assert("(?s)HashJoin.*\\[label".r.findFirstIn(p).isDefined
+      || p.contains("SortMergeJoin [label"), p)
+  }
+
+  test("q102: repeated spans ride the gram inverted index — no quadratic join, partial agg") {
+    for (q <- Seq("q102_repeated_spans", "q102b_repeated_spans_hashed")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+      // the ≥ minDocs distinct-doc count partial-aggregates map-side
+      // before its exchange (HashAggregate above and below the gram
+      // shuffle), and the doc window is keyed, not global
+      assert(p.contains("HashAggregate"), s"$q\n$p")
+      assert(!("(?s)Sort \\[pos".r.findFirstIn(p).exists(_ => p.contains("Exchange rangepartitioning(pos"))),
+        s"$q\n$p")
+    }
+  }
+
   test("q100b: two-stage decontamination keeps the bloom probe join-free inside the capstone") {
     val p = plan("q100b_curate_scale")
     assert(p.contains("might_contain"), p)

@@ -242,6 +242,101 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("semanticDedup drops twins to their min-id source, keeps the rest") {
+    graft.ext.VectorKernels.register(spark)
+    // 3 planted directions × 15 perturbations, plus a near-identical
+    // twin of every 5th vector: only the twins are within cos ≥ 0.999
+    val dirs = Seq(
+      Array.tabulate(16)(i => math.sin(i * 1.3).toFloat),
+      Array.tabulate(16)(i => math.cos(i * 2.1).toFloat),
+      Array.tabulate(16)(i => math.sin(i * 0.4 + 2.0).toFloat))
+    // seeded-Random perturbations: any ARITHMETIC pattern in (i, j)
+    // (modular, sinusoidal, linear-congruential) aliases for some
+    // j-offset and plants unintended near-dup pairs — found the hard
+    // way; the fixture self-check below would catch a regression
+    val rnd = new scala.util.Random(42)
+    val base = for {
+      (d, c) <- dirs.zipWithIndex
+      j <- 0 until 15
+    } yield ((c * 15 + j).toLong,
+      d.map(v => v + 0.4f * (rnd.nextFloat() - 0.5f)))
+    val twins = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.0001f * x)) // colinear: cos = 1
+    }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    // the fixture must have no near-dup pairs besides the twins —
+    // twins are exactly colinear (cos = 1.0), every other pair's
+    // perturbation diff puts it well below 0.999
+    val exactPairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      0.999, scorer = graft.ext.VectorKernels.cosineF, broadcastBuild = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs == twins.map { case (id, _) => (id - 1000L, id) }.toSet,
+      s"fixture broken: $exactPairs")
+    val dedup = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 3, iters = 4, threshold = 0.999,
+      scorer = graft.ext.VectorKernels.cosineF)
+    val out = dedup.select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out.size == base.size + twins.size)
+    twins.foreach { case (id, _) =>
+      assert(!out(id), s"twin $id should be dropped")
+      assert(out(id - 1000L), s"source ${id - 1000L} should be kept")
+    }
+    assert(out.count(!_._2) == twins.size, "only twins dropped")
+    val dupOf = dedup
+      .filter(!col("kept")).select("vec_id", "dup_of")
+      .as[(Long, Long)].collect().toMap
+    twins.foreach { case (id, _) => assert(dupOf(id) == id - 1000L) }
+  }
+
+  test("repeatedNgramSpans merges runs, ignores unique text; hashed ≡ exact") {
+    // docs 1 and 2 share tokens 0..5 ("a b c d e f") and 8..10; doc 3
+    // is unique throughout
+    val docs = Seq(
+      (1L, "a b c d e f x1 y1 p q r s1 t1"),
+      (2L, "a b c d e f x2 y2 p q r s2 t2"),
+      (3L, "u v w m n o k1 k2 k3 k4 k5 k6 k7")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .select("doc_id", "start_tok", "end_tok", "n_grams")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // shared 3-grams: positions 0..3 of "a b c d e f" (run → one span
+    // covering tokens 0..5, 4 grams); "p q r" at position 8 (tokens
+    // 8..10, 1 gram); nothing in doc 3
+    val expected = Set(
+      (1L, 0, 5, 4L), (1L, 8, 10, 1L),
+      (2L, 0, 5, 4L), (2L, 8, 10, 1L))
+    assert(spans == expected, s"got $spans")
+    val hashed = Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 3,
+      minDocs = 2, hashGrams = true)
+      .select("doc_id", "start_tok", "end_tok", "n_grams")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(hashed == spans)
+    // a doc shorter than n produces nothing and breaks nothing
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.repeatedNgramSpans(short, "doc_id", "text", 3, 2).count() == 0)
+  }
+
+  test("exciseSpans removes exactly the flagged tokens, passes clean docs through") {
+    val docs = Seq(
+      (1L, "a b c d e f x1 y1 p q r s1 t1"),
+      (2L, "a b c d e f x2 y2 p q r s2 t2"),
+      (3L, "u v w m n o k1 k2 k3 k4 k5 k6 k7")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+    val out = Dedup.exciseSpans(docs, spans, "doc_id", "text")
+      .select("doc_id", "text", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // spans cover tokens 0..5 and 8..10 in docs 1 and 2; doc 3 untouched
+    assert(out(0) == ((1L, "x1 y1 s1 t1", 9L)))
+    assert(out(1) == ((2L, "x2 y2 s2 t2", 9L)))
+    assert(out(2) == ((3L, "u v w m n o k1 k2 k3 k4 k5 k6 k7", 0L)))
+    // excising everything leaves the empty string, not a missing row
+    val full = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val fOut = Dedup.exciseSpans(full,
+      Dedup.repeatedNgramSpans(full, "doc_id", "text", 2, 2), "doc_id", "text")
+      .select("doc_id", "text", "n_removed").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(fOut.toSeq == Seq((1L, "", 4L), (2L, "", 4L)))
+  }
+
   test("kmeans literal and broadcast assignment paths agree exactly") {
     graft.ext.VectorKernels.register(spark)
     val vecs = (0 until 90).map(i =>
