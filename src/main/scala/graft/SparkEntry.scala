@@ -2269,6 +2269,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Epoch materialization: q94's temperature weights (α = 0.5) turned
+    * into an exact per-document repeat plan for a 50k-token corpus —
+    * base whole-corpus repeats plus a hash-ordered prefix getting one
+    * extra, per group. At sf0.01 most languages up-sample (multiple
+    * epochs); at sf0.1 the same budget down-samples — both regimes
+    * hash-check against the same oracle.
+    */
+  def q104MaterializeMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast(LongType))
+    val weights = graft.ext.TrainPrep.mixtureWeights(docs, "lang", alpha = 0.5)
+    graft.ext.TrainPrep.materializeMixture(
+      docs, "lang", "doc_id", "n_tokens", weights, totalTokens = 50000L)
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2379,6 +2395,7 @@ object SparkEntry {
     "q102_repeated_spans" -> (q102RepeatedSpans _),
     "q102b_repeated_spans_hashed" -> (q102bRepeatedSpansHashed _),
     "q103_excise_spans" -> (q103ExciseSpans _),
+    "q104_materialize_mixture" -> (q104MaterializeMixture _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3911,6 +3928,44 @@ object SparkEntry {
         |       CAST(sum(code) AS BIGINT) AS code_sum,
         |       CAST(max(code) AS INT) AS code_max
         |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // weights re-derived as q94's verified CTE, then targets, base
+    // repeats, and the md5-prefix extra repeat — floor/CAST staging
+    // mirrors the Spark side exactly (all values < 2^52, so the
+    // double-math floor() is integer-exact in both engines)
+    "q104_materialize_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+        |t AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM c),
+        |wt AS (SELECT lang, round(pow(n_docs, 0.5) / z, 6) AS weight FROM c, t),
+        |g AS (SELECT lang, sum(n_tokens) AS gtokens FROM d GROUP BY 1),
+        |tg AS (
+        |  SELECT g.lang,
+        |         CAST(floor(wt.weight * 50000) AS BIGINT) AS target,
+        |         g.gtokens
+        |  FROM g JOIN wt USING (lang)),
+        |tb AS (
+        |  SELECT lang, target, gtokens,
+        |         CAST(floor(CAST(target AS DOUBLE) / gtokens) AS BIGINT) AS base
+        |  FROM tg),
+        |r AS (
+        |  SELECT d.lang, d.doc_id, d.n_tokens, tb.base,
+        |         tb.target - tb.base * tb.gtokens AS rem,
+        |         sum(d.n_tokens) OVER (
+        |           PARTITION BY d.lang
+        |           ORDER BY substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15),
+        |                    d.doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM d JOIN tb USING (lang))
+        |SELECT lang, doc_id, n_tokens,
+        |       base AS base_repeats,
+        |       run <= rem AS extra_repeat,
+        |       base + CASE WHEN run <= rem THEN 1 ELSE 0 END AS n_repeats
+        |FROM r ORDER BY lang, doc_id""".stripMargin,
 
     "q94_mixture_weights" ->
       """WITH c AS (

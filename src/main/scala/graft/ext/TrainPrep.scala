@@ -539,6 +539,62 @@ object TrainPrep {
           (col("n_docs") / col("total")), 6).as("sample_rate"))
   }
 
+  /** EPOCH MATERIALIZATION — the step between mixture WEIGHTS
+    * ([[mixtureWeights]]) and an actual training corpus: turn each
+    * group's target token share into an exact per-document repeat
+    * plan for a corpus of `totalTokens`. Group g's token target is
+    * T_g = ⌊weight_g · totalTokens⌋; every doc repeats
+    * ⌊T_g / S_g⌋ times (S_g = the group's token sum), and the
+    * leftover R_g = T_g mod S_g is covered by ONE extra repeat for a
+    * deterministic md5-hash-ordered prefix of the group's docs
+    * ([[budgetFill]]'s prefix semantics: a doc gets the extra repeat
+    * iff its running token total in hash order stays ≤ R_g). An
+    * up-weighted group repeats whole epochs plus a rotating sliver; a
+    * down-weighted group (T_g < S_g) gets base 0 and only the prefix
+    * survives — deterministic sub-sampling, the same mechanics.
+    *
+    * Returns every input doc as (groupCol, idCol, tokenCol,
+    * base_repeats, extra_repeat, n_repeats) — the full plan is
+    * hash-checkable, and `explode(sequence(1, n_repeats))` (filtered
+    * to n_repeats > 0) materializes the epoch when the caller wants
+    * rows, typically fed straight into [[deterministicShuffle]].
+    *
+    * 100 TB posture: one partial-agg'd groupBy for S_g, one broadcast
+    * of the O(#groups) target table, one keyed window per group for
+    * the remainder prefix — never a global sort, no driver hop.
+    * Groups missing from `weights` are excluded (the weights frame
+    * DEFINES the mixture).
+    */
+  def materializeMixture(
+      df: DataFrame, // (groupCol, idCol, tokenCol, …)
+      groupCol: String,
+      idCol: String,
+      tokenCol: String,
+      weights: DataFrame, // (groupCol, weight) — e.g. mixtureWeights output
+      totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, "totalTokens must be positive")
+    require(!df.columns.exists(Set("base_repeats", "extra_repeat", "n_repeats")),
+      "input must not already contain a base_repeats, extra_repeat or n_repeats column")
+    val stats = df.groupBy(col(groupCol)).agg(sum(col(tokenCol)).as("__gtokens"))
+    val targets = stats.join(weights.select(col(groupCol), col("weight")), Seq(groupCol))
+      .select(col(groupCol),
+        floor(col("weight") * totalTokens).cast("long").as("__target"),
+        col("__gtokens"))
+    val h = substring(md5(col(idCol).cast("string")), 1, 15)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.join(broadcast(targets), Seq(groupCol))
+      .withColumn("__base", floor(col("__target") / col("__gtokens")).cast("long"))
+      .withColumn("__rem", col("__target") - col("__base") * col("__gtokens"))
+      .withColumn("__run", sum(col(tokenCol)).over(w))
+      .select(col(groupCol), col(idCol), col(tokenCol),
+        col("__base").as("base_repeats"),
+        (col("__run") <= col("__rem")).as("extra_repeat"),
+        (col("__base") + when(col("__run") <= col("__rem"), 1L).otherwise(0L))
+          .as("n_repeats"))
+  }
+
   /** Deterministic corpus shuffle into `numShards` shards: shard
     * assignment AND within-shard order both derive from md5(id), so
     * the "random" order training wants (no adjacent near-dups from

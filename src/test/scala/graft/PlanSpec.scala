@@ -291,6 +291,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q104: epoch plan broadcasts the O(#groups) targets — no cartesian, keyed window") {
+    val p = plan("q104_materialize_mixture")
+    assert(!p.contains("CartesianProduct"), p)
+    // the doc-side join against the tiny target table must broadcast
+    // (the 1-row total frame may ride a BroadcastNestedLoopJoin — the
+    // accepted q53/q57 stat-frame shape — but never a shuffle join)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the remainder prefix is a lang-keyed window, not a global sort
+    // (range partitioning appears only for the final output ORDER BY)
+    assert(p.contains("Exchange hashpartitioning(lang"), p)
+  }
+
   test("q100b: two-stage decontamination keeps the bloom probe join-free inside the capstone") {
     val p = plan("q100b_curate_scale")
     assert(p.contains("might_contain"), p)

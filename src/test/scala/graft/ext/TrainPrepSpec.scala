@@ -308,6 +308,57 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("materializeMixture: targets met within one doc, prefix deterministic, both regimes") {
+    import org.apache.spark.sql.functions.expr
+    // two groups: 'big' holds 300 tokens, 'small' 60
+    val docs = ((1L to 10L).map(i => ("big", i, 30L)) ++
+      (11L to 16L).map(i => ("small", i, 10L)))
+      .toDF("lang", "doc_id", "n_tokens")
+    val weights = Seq(("big", 0.5), ("small", 0.5)).toDF("lang", "weight")
+    val plan = TrainPrep.materializeMixture(
+      docs, "lang", "doc_id", "n_tokens", weights, totalTokens = 600L)
+    val rows = plan.select("lang", "doc_id", "n_tokens", "base_repeats", "n_repeats")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length == 16)
+    // big: target 300 = exactly one epoch → base 1, no extras
+    val big = rows.filter(_._1 == "big")
+    assert(big.forall(r => r._4 == 1L && r._5 == 1L))
+    // small: target 300 = 5 epochs of 60 → base 5, no extras
+    val small = rows.filter(_._1 == "small")
+    assert(small.forall(r => r._4 == 5L && r._5 == 5L))
+    // planned tokens hit the target exactly when it divides evenly
+    val planned = plan.select(expr("sum(n_tokens * n_repeats)")).as[Long].head()
+    assert(planned == 600L)
+    // uneven remainder: target 90 for small → base 1 epoch (60) + 30
+    // remainder = exactly 3 extra 10-token docs, hash-prefix chosen
+    val uneven = TrainPrep.materializeMixture(
+      docs.filter(col("lang") === "small"), "lang", "doc_id", "n_tokens",
+      weights.filter(col("lang") === "small"), totalTokens = 180L)
+    val u = uneven.select("doc_id", "n_repeats").as[(Long, Long)].collect().toMap
+    assert(u.values.count(_ == 2L) == 3 && u.values.count(_ == 1L) == 3)
+    // deterministic: same call, same prefix
+    val u2 = TrainPrep.materializeMixture(
+      docs.filter(col("lang") === "small"), "lang", "doc_id", "n_tokens",
+      weights.filter(col("lang") === "small"), totalTokens = 180L)
+      .select("doc_id", "n_repeats").as[(Long, Long)].collect().toMap
+    assert(u == u2)
+    // down-sampling regime: targets (50 each) below both groups' epoch
+    // sizes (300 / 60) → base 0 everywhere, prefix survivors only
+    val down = TrainPrep.materializeMixture(
+      docs, "lang", "doc_id", "n_tokens", weights, totalTokens = 100L)
+      .select("lang", "base_repeats", "n_repeats")
+      .as[(String, Long, Long)].collect()
+    assert(down.forall(_._2 == 0L))
+    assert(down.exists(_._3 == 1L) && down.exists(_._3 == 0L))
+    // output-column collision is refused, not clobbered
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.materializeMixture(
+        docs.withColumn("n_repeats", lit(1)), "lang", "doc_id", "n_tokens",
+        weights, 100L)
+    }
+    assert(e.getMessage.contains("n_repeats"))
+  }
+
   test("deterministicShuffle: positions contiguous per shard, order stable, shard matches splitBucket") {
     val df = (1L to 500L).toDF("doc_id")
     val r = TrainPrep.deterministicShuffle(df, "doc_id", numShards = 4)
