@@ -2482,7 +2482,9 @@ object SparkEntry {
   /** Shared by q102 (string-keyed grams) and q102b (xxhash64-keyed
     * grams): both must flag the identical spans — that equivalence is
     * exactly what q102b verifies. Positional 7-grams, flagged when in
-    * ≥ 2 distinct docs, merged to maximal runs by gaps-and-islands.
+    * ≥ 2 distinct docs; flagged positions merge into one span while
+    * their token ranges touch or overlap (gap ≤ 7), so emitted spans
+    * never overlap.
     */
   private val repeatedSpansOracle: String =
     """WITH t AS (
@@ -2499,10 +2501,15 @@ object SparkEntry {
       |rep AS (SELECT gram FROM ng GROUP BY gram
       |        HAVING count(DISTINCT doc_id) >= 2),
       |hit AS (SELECT doc_id, pos FROM ng JOIN rep USING (gram)),
+      |isl0 AS (SELECT doc_id, pos,
+      |                CASE WHEN pos - lag(pos) OVER (
+      |                       PARTITION BY doc_id ORDER BY pos) > 7
+      |                     THEN 1 ELSE 0 END AS ni
+      |         FROM hit),
       |isl AS (SELECT doc_id, pos,
-      |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-      |                 AS grp
-      |        FROM hit)
+      |               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |        FROM isl0)
       |SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
       |       CAST(max(pos) + 7 - 1 AS INT) AS end_tok,
       |       count(*) AS n_grams
@@ -3767,10 +3774,15 @@ object SparkEntry {
         |rep AS (SELECT gram FROM ng GROUP BY gram
         |        HAVING count(DISTINCT doc_id) >= 2),
         |hit AS (SELECT doc_id, pos FROM ng JOIN rep USING (gram)),
+        |isl0 AS (SELECT doc_id, pos,
+        |                CASE WHEN pos - lag(pos) OVER (
+        |                       PARTITION BY doc_id ORDER BY pos) > 7
+        |                     THEN 1 ELSE 0 END AS ni
+        |         FROM hit),
         |isl AS (SELECT doc_id, pos,
-        |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-        |                 AS grp
-        |        FROM hit),
+        |               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |        FROM isl0),
         |sp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 6 AS end_tok
         |       FROM isl GROUP BY doc_id, grp),
         |tall AS (

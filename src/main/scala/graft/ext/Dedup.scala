@@ -487,12 +487,16 @@ object Dedup {
     * documents (boilerplate, licenses, templated headers) so a
     * downstream pass can excise just those spans. A position is
     * flagged when its token `n`-gram occurs in ≥ `minDocs` DISTINCT
-    * documents; maximal runs of consecutive flagged positions merge
-    * into one span via the gaps-and-islands window (`pos − row_number`
-    * is constant exactly on a consecutive run). Returns one row per
-    * maximal span: (doc_id, start_tok, end_tok, n_grams) with
+    * documents; flagged positions whose n-gram token ranges touch or
+    * overlap (position gap ≤ n) merge into one span via a
+    * gaps-and-islands window (island boundary where the gap from the
+    * previous flagged position exceeds n — NOT merely "consecutive
+    * positions", which would emit overlapping token ranges whenever
+    * two flagged runs sit less than n tokens apart). Returns one row
+    * per maximal span: (doc_id, start_tok, end_tok, n_grams) with
     * 0-based inclusive token indices — `end_tok` covers the last
-    * token of the last flagged n-gram.
+    * token of the last flagged n-gram, spans within a doc never
+    * overlap, and `n_grams` counts the flagged positions merged in.
     *
     * The paper's suffix-array machinery is a single-machine
     * construction; the Spark-shaped equivalent is this positional
@@ -541,7 +545,10 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged
-      .withColumn("__island", col("pos") - row_number().over(w))
+      .withColumn("__new_island",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new_island")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("__island"))
       .agg(min(col("pos")).as("start_tok"),
         (max(col("pos")) + n - 1).as("end_tok"),

@@ -326,4 +326,76 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"sample $i")
     }
   }
+
+  test("repeated spans: in-bounds, non-overlapping, maximal; excision removes exactly them") {
+    val docGen = Gen.listOfN(10, for {
+      id <- Gen.choose(1L, 1000000L)
+      toks <- Gen.listOfN(20, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield (id, toks.mkString(" ")))
+    (1 to 6).foreach { i =>
+      val docs = docGen.pureApply(Gen.Parameters.default, Seed(31L + i))
+        .groupBy(_._1).map(_._2.head).toList // unique ids
+      val df = docs.toDF("doc_id", "text")
+      val n = 3
+      val spans = graft.ext.Dedup.repeatedNgramSpans(df, "doc_id", "text", n, 2)
+        .as[(Long, Int, Int, Long)].collect()
+      val lens = docs.map { case (id, t) => id -> t.split("\\s+").length }.toMap
+      spans.foreach { case (id, s, e, g) =>
+        assert(s >= 0 && e < lens(id) && e >= s + n - 1, s"sample $i bounds")
+        // flagged positions within a merged span may have gaps (≤ n),
+        // so n_grams is bounded by the position range, not equal to it
+        assert(g >= 1 && g <= e - s - n + 2, s"sample $i gram count")
+      }
+      // spans within a doc never overlap and never touch (maximality:
+      // adjacent flagged positions merged into one island)
+      spans.groupBy(_._1).values.foreach { ss =>
+        val sorted = ss.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1, s"sample $i overlap")
+          case _ =>
+        }
+      }
+      // excision drops exactly the flagged token count per doc
+      val spansDf = graft.ext.Dedup.repeatedNgramSpans(df, "doc_id", "text", n, 2)
+      val removed = graft.ext.Dedup.exciseSpans(df, spansDf, "doc_id", "text")
+        .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+      val expected = spans.groupBy(_._1).view
+        .mapValues(_.map { case (_, s, e, _) => e - s + 1 }.sum.toLong).toMap
+      docs.foreach { case (id, _) =>
+        assert(removed(id) == expected.getOrElse(id, 0L), s"sample $i doc $id")
+      }
+    }
+  }
+
+  test("epoch plan lands within one document of every group's token target") {
+    val docGen = Gen.listOfN(30, for {
+      g <- Gen.oneOf("x", "y", "z")
+      id <- Gen.choose(1L, 1000000L)
+      nt <- Gen.choose(1L, 40L)
+    } yield (g, id, nt))
+    (1 to 6).foreach { i =>
+      val docs = docGen.pureApply(Gen.Parameters.default, Seed(63L + i))
+        .groupBy(_._2).map(_._2.head).toList
+      val df = docs.toDF("lang", "doc_id", "n_tokens")
+      val weights = Seq(("x", 0.5), ("y", 0.3), ("z", 0.2)).toDF("lang", "weight")
+      val total = 500L
+      val plan = graft.ext.TrainPrep.materializeMixture(
+        df, "lang", "doc_id", "n_tokens", weights, total)
+        .select("lang", "n_tokens", "n_repeats")
+        .as[(String, Long, Long)].collect()
+      val byLang = docs.groupBy(_._1)
+      plan.groupBy(_._1).foreach { case (g, rows) =>
+        if (byLang.contains(g)) {
+          val w = Map("x" -> 0.5, "y" -> 0.3, "z" -> 0.2)(g)
+          val target = math.floor(w * total).toLong
+          val planned = rows.map(r => r._2 * r._3).sum
+          val maxDoc = byLang(g).map(_._3).max
+          // prefix fill stops at the first straddler, so the shortfall
+          // is bounded by one document's tokens; never overshoots
+          assert(planned <= target, s"sample $i group $g overshoot")
+          assert(target - planned < maxDoc, s"sample $i group $g shortfall")
+        }
+      }
+    }
+  }
 }
