@@ -2285,6 +2285,20 @@ object SparkEntry {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Token-balanced sharding: the shuffled corpus packed into
+    * ~2000-token contiguous shards via the exact two-phase global
+    * prefix sum (bucket partials + broadcast offsets — zero global
+    * sort). The oracle computes the same running total with one
+    * global window, so the hash check pins the two-phase
+    * decomposition's exactness.
+    */
+  def q105TokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    graft.ext.TrainPrep.tokenBalancedShards(docs, "doc_id", "n_tokens", 2000L)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2396,6 +2410,7 @@ object SparkEntry {
     "q102b_repeated_spans_hashed" -> (q102bRepeatedSpansHashed _),
     "q103_excise_spans" -> (q103ExciseSpans _),
     "q104_materialize_mixture" -> (q104MaterializeMixture _),
+    "q105_token_shards" -> (q105TokenShards _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3940,6 +3955,26 @@ object SparkEntry {
         |       CAST(sum(code) AS BIGINT) AS code_sum,
         |       CAST(max(code) AS INT) AS code_max
         |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ONE global window over the md5 order — the brute-force form of
+    // the two-phase bucket decomposition the Spark side runs
+    "q105_token_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tokens,
+        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (
+        |           ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS tokens_before
+        |  FROM d)
+        |SELECT doc_id, n_tokens, tokens_before,
+        |       CAST(tokens_before // 2000 AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // weights re-derived as q94's verified CTE, then targets, base
     // repeats, and the md5-prefix extra repeat — floor/CAST staging

@@ -595,6 +595,55 @@ object TrainPrep {
           .as("n_repeats"))
   }
 
+  /** TOKEN-BALANCED contiguous sharding: pack the corpus, visited in
+    * deterministic md5-hash order, into shards of ~`tokensPerShard`
+    * tokens — equal-WORK training shards instead of
+    * [[deterministicShuffle]]'s equal-COUNT ones. A document's shard
+    * is ⌊tokens_before / tokensPerShard⌋ where `tokens_before` is the
+    * exact global running token total ahead of it in (md5(id), id)
+    * order; a doc straddling a boundary belongs to the shard it
+    * starts in, so every shard holds ≥ tokensPerShard − max_doc_tokens
+    * and < tokensPerShard + max_doc_tokens.
+    *
+    * The global prefix sum is EXACT with zero global sort — the q97b
+    * two-phase shape: bucket docs by the first two hex digits of the
+    * SAME md5 hash that defines the order (a bucket is a contiguous
+    * hash-order slice, so bucket boundaries align with order
+    * boundaries), partial-agg each bucket's token sum, run the
+    * cumulative-offset window over the 256-row bucket table (tiny),
+    * broadcast it back, and finish with one within-bucket running-sum
+    * window. Returns every input row plus (tokens_before, shard).
+    */
+  def tokenBalancedShards(
+      df: DataFrame, // (idCol, tokenCol, …)
+      idCol: String,
+      tokenCol: String,
+      tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    require(!df.columns.exists(Set("tokens_before", "shard", "__tb", "__tb_offset")),
+      "input must not already contain tokens_before/shard/__tb* columns")
+    val h = substring(md5(col(idCol).cast("string")), 1, 15)
+    val bucketed = df.withColumn("__tb",
+      conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10).cast("int"))
+    val offsets = bucketed.groupBy(col("__tb"))
+      .agg(sum(col(tokenCol)).as("__tb_tokens"))
+      .withColumn("__tb_offset",
+        coalesce(sum(col("__tb_tokens")).over(
+          Window.orderBy(col("__tb").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__tb"), col("__tb_offset"))
+    val w = Window.partitionBy(col("__tb"))
+      .orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), Seq("__tb"))
+      .withColumn("tokens_before",
+        col("__tb_offset") + coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("shard",
+        floor(col("tokens_before") / tokensPerShard).cast("long"))
+      .drop("__tb", "__tb_offset")
+  }
+
   /** Deterministic corpus shuffle into `numShards` shards: shard
     * assignment AND within-shard order both derive from md5(id), so
     * the "random" order training wants (no adjacent near-dups from

@@ -304,6 +304,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(lang"), p)
   }
 
+  test("q105: token sharding never global-sorts the docs — bucket windows + broadcast offsets") {
+    val p = plan("q105_token_shards")
+    assert(!p.contains("CartesianProduct"), p)
+    // within-bucket running sum is a __tb-keyed window; the offset
+    // table broadcasts back; range partitioning appears only for the
+    // O(256)-row offset window and the final output ORDER BY — never
+    // over the full doc set keyed on the hash order
+    assert(p.contains("Exchange hashpartitioning(__tb"), p)
+    assert(p.contains("BroadcastHashJoin [__tb"), p)
+    assert(!p.contains("Exchange rangepartitioning(h"), p)
+  }
+
   test("q100b: two-stage decontamination keeps the bloom probe join-free inside the capstone") {
     val p = plan("q100b_curate_scale")
     assert(p.contains("might_contain"), p)

@@ -359,6 +359,42 @@ class TrainPrepSpec extends SparkSpec {
     assert(e.getMessage.contains("n_repeats"))
   }
 
+  test("tokenBalancedShards: equals the single-window brute force; shards within one doc of target") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 400L).map(i => (i, 1L + (i * 7) % 50)).toDF("doc_id", "n_tokens")
+    val target = 1500L
+    val got = TrainPrep.tokenBalancedShards(docs, "doc_id", "n_tokens", target)
+      .select("doc_id", "tokens_before", "shard")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute force: ONE global window over the same order
+    val h = substring(md5(col("doc_id").cast("string")), 1, 15)
+    val brute = docs
+      .withColumn("tokens_before", coalesce(
+        sum(col("n_tokens")).over(Window.orderBy(h.asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard", floor(col("tokens_before") / target).cast("long"))
+      .select("doc_id", "tokens_before", "shard")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == brute)
+    // every shard's token total lands within one max-doc of the target
+    // (straddler stays in the shard it starts in); last shard exempt
+    val totals = TrainPrep.tokenBalancedShards(docs, "doc_id", "n_tokens", target)
+      .groupBy("shard").agg(sum("n_tokens").as("t"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val maxDoc = 50L
+    totals.dropRight(1).foreach { case (s, t) =>
+      assert(t >= target - maxDoc && t < target + maxDoc, s"shard $s total $t")
+    }
+    // an input already carrying shard/tokens_before is refused
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.tokenBalancedShards(
+        docs.withColumn("shard", lit(0L)), "doc_id", "n_tokens", target)
+    }
+    assert(e.getMessage.contains("shard"))
+  }
+
   test("deterministicShuffle: positions contiguous per shard, order stable, shard matches splitBucket") {
     val df = (1L to 500L).toDF("doc_id")
     val r = TrainPrep.deterministicShuffle(df, "doc_id", numShards = 4)
