@@ -2299,6 +2299,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination attribution: the audit report behind q48's flags —
+    * which benchmark doc leaked into which corpus doc, with distinct
+    * shared-4-gram counts and the doc's shingle total (4-grams rather
+    * than q48's 5-grams: the report is the investigative view, so it
+    * casts a slightly wider net than the drop gate). Same benchmark
+    * slice as q48/q93 (doc_id % 50 = 0), self-pairs excluded.
+    */
+  def q106ContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ext.TrainPrep.contaminationReport(
+      docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 4)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2411,6 +2425,7 @@ object SparkEntry {
     "q103_excise_spans" -> (q103ExciseSpans _),
     "q104_materialize_mixture" -> (q104MaterializeMixture _),
     "q105_token_shards" -> (q105TokenShards _),
+    "q106_contamination_report" -> (q106ContaminationReport _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3955,6 +3970,26 @@ object SparkEntry {
         |       CAST(sum(code) AS BIGINT) AS code_sum,
         |       CAST(max(code) AS INT) AS code_max
         |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // distinct 4-gram shingles per side, inner join, pair counts —
+    // the q76 inverted-index oracle shape, corpus × benchmark slice
+    "q106_contamination_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |           [list_aggregate(toks[i:i+3], 'string_agg', ' ')
+        |            FOR i IN range(1, greatest(len(toks) - 3, 1) + 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |d AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM t),
+        |b AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM t
+        |      WHERE doc_id % 50 = 0)
+        |SELECT d.doc_id, b.bench_id,
+        |       CAST(count(*) AS BIGINT) AS n_shared,
+        |       CAST(any_value(d.sz) AS BIGINT) AS doc_shingles
+        |FROM d JOIN b USING (s)
+        |WHERE d.doc_id <> b.bench_id
+        |GROUP BY d.doc_id, b.bench_id
+        |ORDER BY d.doc_id, b.bench_id""".stripMargin,
 
     // ONE global window over the md5 order — the brute-force form of
     // the two-phase bucket decomposition the Spark side runs

@@ -666,6 +666,43 @@ object TrainPrep {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
+  /** Attribution REPORT form of [[contaminatedDocs]]: decontamination
+    * flags tell you WHAT to drop; the audit that always follows asks
+    * WHY — which benchmark document leaked into which corpus document,
+    * and how much. One row per overlapping (corpus doc, benchmark doc)
+    * pair with the count of DISTINCT shared n-gram shingles and the
+    * corpus doc's shingle total (so `n_shared / doc_shingles` is the
+    * contaminated fraction). Self-pairs (a benchmark doc present in
+    * the corpus) are excluded, matching [[contaminatedDocs]].
+    *
+    * Same scale shape as the flag form: the benchmark's distinct
+    * shingle table broadcasts, the corpus side streams through one
+    * hash join, and the pair aggregate partial-aggregates map-side.
+    * Output is bounded by true overlap (pairs sharing ≥ 1 shingle),
+    * not corpus × benchmark.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    def shingled(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+        explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+    val bench = broadcast(shingled(benchmark, "bench_id").distinct())
+    val docs = shingled(corpus, "doc_id")
+    val sizes = docs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("doc_shingles"))
+    docs.join(bench, Seq("sh"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        col("doc_shingles"))
+  }
+
   private def contaminatedBy(
       corpus: DataFrame,
       benchmark: DataFrame,

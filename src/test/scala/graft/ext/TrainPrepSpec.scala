@@ -89,6 +89,26 @@ class TrainPrepSpec extends SparkSpec {
     assert(flags == Map(1L -> true, 2L -> false, 100L -> false))
   }
 
+  test("contaminationReport: attributes overlaps with exact counts, excludes self-pairs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 2 distinct 5-grams, both shared with 100
+      (2L, "one two three four five six"), // no overlap
+      (3L, "alpha beta gamma delta epsilon"), // exactly one 5-gram, shared with 100 and 1
+      (100L, "alpha beta gamma delta epsilon zeta") // the benchmark doc
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 100L)
+    val report = TrainPrep.contaminationReport(corpus, bench, "doc_id", "text", 5)
+      .select("doc_id", "bench_id", "n_shared", "doc_shingles")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1 shares both of its 2 shingles; doc 3 its single shingle;
+    // doc 2 absent; the benchmark doc never reports against itself
+    assert(report == Set((1L, 100L, 2L, 2L), (3L, 100L, 1L, 1L)), report.toString)
+    // flags and report agree on WHO is contaminated
+    val flagged = TrainPrep.contaminatedDocs(corpus, bench, "doc_id", "text", 5)
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(report.map(_._1) == flagged)
+  }
+
   test("weightedSample: deterministic, exact-k, and weight-biased") {
     // 200 ids in one group: ids < 100 weight 10, ids >= 100 weight 0.1
     val df = (0L until 200L).map(i =>
