@@ -291,6 +291,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q103/q106: span excision and contamination report stay hash-join shaped") {
+    val excise = plan("q103_excise_spans")
+    assert(!excise.contains("CartesianProduct") &&
+      !excise.contains("BroadcastNestedLoopJoin"), excise)
+    val report = plan("q106_contamination_report")
+    assert(!report.contains("CartesianProduct"), report)
+    // the benchmark shingle table broadcasts; the corpus side streams
+    assert(report.contains("BroadcastHashJoin"), report)
+  }
+
   test("q104: epoch plan broadcasts the O(#groups) targets — no cartesian, keyed window") {
     val p = plan("q104_materialize_mixture")
     assert(!p.contains("CartesianProduct"), p)
