@@ -2313,6 +2313,63 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** Product quantization codes over the embeddings corpus: m = 16
+    * subspaces × k = 16 centroids (64 bits/vector vs 2048 for
+    * float32×64 — 32× compression). Codes depend on the Spark-side
+    * k-means, so — like q23 — the row stays rows-only and q107b
+    * carries the hash-checked accuracy contract.
+    */
+  def q107PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    graft.ext.Features.pqEncode(base, "vec_id", "embedding", cbs)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Accuracy contract for the PQ path (the q23b pattern): ADC
+    * recall@10 against the exact L2 brute force, and reconstruction
+    * MSE against the corpus per-dimension variance (the MSE of the
+    * best constant predictor — quantizing must beat it decisively).
+    * Measured on this ISOTROPIC corpus (the PQ worst case, nothing
+    * clusters — mirroring q23b's regime note): recall@10 0.43 at
+    * sf0.01 / 0.26 at sf0.1 (64 PQ bits on 64 isotropic dims; shrinks
+    * with corpus size as true neighbors crowd the quantization cells;
+    * FeaturesSpec pins exact-code recovery on CLUSTERED data, the
+    * realistic regime), MSE/variance ≈ 0.32/0.34 — bounds pinned with
+    * margin below. Oracle is the expected TRUE rows, so a regression
+    * fails the gate.
+    */
+  def q107bPqContract(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    val codes = graft.ext.Features.pqEncode(base, "vec_id", "embedding", cbs)
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val adc = graft.ext.Features.pqAdcTopK(codes, queries, cbs, 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopK(queries, base, 10,
+      scorer = (a, b) => graft.ext.Features.negSquaredL2(a, b))
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact.join(adc, Seq("query_id", "vec_id")).count()
+    val recall = hits.toDouble / exact.count()
+    val recon = graft.ext.Features.pqDecode(codes, "vec_id", "codes", cbs)
+    val mse = base.join(recon, Seq("vec_id"))
+      .select(explode(arrays_zip(col("embedding"), col("recon_vec"))).as("z"))
+      .select((col("z.embedding").cast("double") - col("z.recon_vec").cast("double")).as("d"))
+      .agg(avg(col("d") * col("d"))).head().getDouble(0)
+    val variance = base
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(var_pop(col("v")).as("dv"))
+      .agg(avg(col("dv"))).head().getDouble(0)
+    import spark.implicits._
+    Seq(
+      ("pq_adc_recall_at_10_ge_0.2", recall >= 0.2),
+      ("pq_mse_below_half_dim_variance", mse < 0.5 * variance))
+      .toDF("metric", "ok").orderBy(col("metric"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2426,6 +2483,8 @@ object SparkEntry {
     "q104_materialize_mixture" -> (q104MaterializeMixture _),
     "q105_token_shards" -> (q105TokenShards _),
     "q106_contamination_report" -> (q106ContaminationReport _),
+    "q107_pq_codes" -> (q107PqCodes _),
+    "q107b_pq_contract" -> (q107bPqContract _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -4227,6 +4286,12 @@ object SparkEntry {
 
     "q23b_ivf_recall" ->
       """SELECT 'ivf_recall_at_5_nprobe_half_ge_0.7' AS metric, TRUE AS ok""".stripMargin,
+
+    "q107b_pq_contract" ->
+      """SELECT 'pq_adc_recall_at_10_ge_0.2' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'pq_mse_below_half_dim_variance', TRUE
+        |ORDER BY metric""".stripMargin,
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok

@@ -128,4 +128,149 @@ object Features {
           lo + (c / lit(255.0)) * (hi - lo)
         }).as("recon_vec"))
   }
+
+  // --------------------------------------------- product quantization
+
+  /** Negative squared L2 between two float vectors (higher = closer) —
+    * the PQ geometry (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011). Subvector slices are short (dim/m)
+    * so the interpreted HOF is fine off the hot path; swap in a
+    * codegen'd kernel if PQ ever becomes one.
+    */
+  def negSquaredL2(a: Column, b: Column): Column =
+    -aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Train PQ codebooks: split each vector into `m` contiguous
+    * subvectors of dim/m and run Lloyd k-means (negL2 geometry)
+    * independently per subspace over a BOUNDED hash-ordered sample —
+    * max(100·k, 200) vectors, ONE top-N job, then pure driver Scala
+    * (sample·k·dim flops per iteration, microseconds at any k this
+    * API admits). Sample-training is the standard PQ practice (FAISS
+    * trains codebooks on ≤ ~100k vectors regardless of corpus size —
+    * codebook quality saturates long before the corpus does), so the
+    * 100 TB posture is exactly this: O(sample·dim) driver traffic
+    * once, and everything per-corpus-row (encode, decode, ADC search)
+    * stays distributed and map-only. Init per subspace is the
+    * deterministic farthest-point heuristic; empty clusters keep
+    * their previous centroid; ties assign to the lowest code. Returns
+    * `m` codebooks of `k` centroids.
+    */
+  def pqTrainCodebooks(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): IndexedSeq[IndexedSeq[Seq[Float]]] = {
+    require(m > 0 && k > 0 && k <= 256 && iters >= 0,
+      "m > 0, 0 < k <= 256 (codes are byte-ranged), iters >= 0")
+    val sample: Array[Array[Float]] = df
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(100 * k, 200))
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val sub = dim / m
+
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    (0 until m).map { j =>
+      val slices = sample.map(_.slice(j * sub, (j + 1) * sub))
+      val init = scala.collection.mutable.ArrayBuffer(slices.head)
+      while (init.size < math.min(k, slices.length)) {
+        init += slices.maxBy(v => init.map(c => l2(v, c)).min)
+      }
+      var centroids: IndexedSeq[Array[Float]] = init.map(_.clone()).toIndexedSeq
+      for (_ <- 0 until iters) {
+        // assign (nearest centroid, ties to lowest code), then mean
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Long](k)
+        slices.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < centroids.length) {
+            val d = l2(v, centroids(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+        }
+        centroids = centroids.zipWithIndex.map { case (prev, c) =>
+          if (counts(c) == 0) prev
+          else Array.tabulate(sub)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+      }
+      centroids.map(_.toSeq)
+    }
+  }
+
+  /** Encode each vector as `m` byte-ranged codes (nearest codebook
+    * centroid per subspace, negL2, ties to the lowest code). Map-only:
+    * the codebooks ride the plan as literals — k·dim constants, the
+    * same literal budget as [[Similarity.kmeansLabels]]'s small-k
+    * path. 32× compression at m=8, k=16 over float32×64.
+    */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    df.select(col(idCol),
+      array((0 until m).map { j =>
+        val cb = typedlit(codebooks(j))
+        val sl = slice(col(vecCol), j * sub + 1, sub)
+        val scores = transform(cb, c => negSquaredL2(sl, c))
+        (array_position(scores, array_max(scores)) - 1).cast("int")
+      }: _*).as("codes"))
+  }
+
+  /** Reconstruct vectors from PQ codes: concatenate each subspace's
+    * centroid. Map-only over the same codebook literals.
+    */
+  def pqDecode(
+      df: DataFrame, idCol: String, codesCol: String,
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]]): DataFrame = {
+    val m = codebooks.length
+    df.select(col(idCol),
+      flatten(array((0 until m).map { j =>
+        element_at(typedlit(codebooks(j)),
+          element_at(col(codesCol), j + 1) + 1)
+      }: _*)).as("recon_vec"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * full-precision, every corpus vector is scored from its codes
+    * alone — score = −Σⱼ‖qⱼ − centroidⱼ(codeⱼ)‖², the PQ search
+    * kernel. Same shape as [[Similarity.bruteForceTopK]]: corpus side
+    * stays partitioned, queries broadcast, one per-query top-k window;
+    * the corpus never rematerializes its float vectors.
+    */
+  def pqAdcTopK(
+      codes: DataFrame, // (vec_id, codes)
+      queries: DataFrame, // (query_id, query_vec)
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
+      k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val score = (0 until m).map { j =>
+      negSquaredL2(
+        slice(col("query_vec"), j * sub + 1, sub),
+        element_at(typedlit(codebooks(j)),
+          element_at(col("codes"), j + 1) + 1))
+    }.reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_score", round(score, 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_score"), col("rank"))
+  }
 }

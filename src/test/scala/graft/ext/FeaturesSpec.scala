@@ -101,6 +101,56 @@ class FeaturesSpec extends SparkSpec {
     assert(recon == Map(1L -> 2, 2L -> 0))
   }
 
+  test("PQ: planted codebook structure recovers exact codes; ADC top-1 matches exact") {
+    // 2 subspaces × 4 patterns: every vector is a (pattern_a, pattern_b)
+    // concatenation plus per-vector noise far smaller than the pattern
+    // separation — k-means must rediscover the patterns, the encoder
+    // must assign every vector to its planted pair
+    val patterns = IndexedSeq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val rnd = new scala.util.Random(7)
+    val planted = (0 until 80).map { i =>
+      val (a, b) = (i % 4, (i / 4) % 4)
+      (i.toLong, a, b,
+        (patterns(a) ++ patterns(b)).map(x => x + 0.1f * (rnd.nextFloat() - 0.5f)))
+    }
+    val df = planted.map { case (id, _, _, v) => (id, v) }.toDF("vec_id", "embedding")
+    val cbs = Features.pqTrainCodebooks(df, "vec_id", "embedding", m = 2, k = 4, iters = 4)
+    assert(cbs.length == 2 && cbs.forall(_.length == 4))
+    val codes = Features.pqEncode(df, "vec_id", "embedding", cbs)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    // codes are byte-ranged and consistent: two vectors share a code in
+    // subspace j iff they share the planted pattern there
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 4)))
+    val byPattern = planted.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    byPattern.values.foreach { ids =>
+      assert(ids.map(id => codes(id)(0)).toSet.size == 1, "subspace-0 code split")
+    }
+    planted.groupBy(_._3).values.foreach { rows =>
+      assert(rows.map(r => codes(r._1)(1)).toSet.size == 1, "subspace-1 code split")
+    }
+    // reconstruction lands near the planted pattern (noise-level error)
+    val recon = Features.pqDecode(
+      Features.pqEncode(df, "vec_id", "embedding", cbs), "vec_id", "codes", cbs)
+      .select("vec_id", "recon_vec").as[(Long, Seq[Float])].collect().toMap
+    planted.foreach { case (id, a, b, _) =>
+      val expect = patterns(a) ++ patterns(b)
+      val err = recon(id).zip(expect).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(err < 0.1, s"vec $id recon err $err")
+    }
+    // ADC top-1 for a query = a vector sharing both patterns
+    val queries = df.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Features.pqAdcTopK(
+      Features.pqEncode(df, "vec_id", "embedding", cbs), queries, cbs, 5)
+      .select("vec_id").as[Long].collect().toSet
+    // vec 0's pattern pair (0,0) is shared by vecs 16, 32, 48, 64 —
+    // ADC cannot distinguish within a cell, but the cell must win
+    val cell = planted.filter(r => r._2 == 0 && r._3 == 0).map(_._1).toSet - 0L
+    assert(cell.subsetOf(top), s"cell $cell not in top $top")
+  }
+
   test("constant dimension scales to NULL, not an arbitrary constant") {
     val const = Seq((1L, Array(5.0f, 1.0f)), (2L, Array(5.0f, 3.0f))).toDF("id", "vec")
     val r = Features.minMaxScaleRows(const, "id", "vec",
