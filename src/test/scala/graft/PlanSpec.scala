@@ -301,6 +301,13 @@ class PlanSpec extends SparkSpec {
     assert(report.contains("BroadcastHashJoin"), report)
   }
 
+  test("q107: PQ encode is a map pass — codebooks ride as literals, no join on the vector side") {
+    val p = plan("q107_pq_codes")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    // one scan, one projection, the output sort — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("q104: epoch plan broadcasts the O(#groups) targets — no cartesian, keyed window") {
     val p = plan("q104_materialize_mixture")
     assert(!p.contains("CartesianProduct"), p)
