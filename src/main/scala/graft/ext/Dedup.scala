@@ -510,7 +510,7 @@ object Dedup {
     * instead of n-token strings (~10× narrower shuffle; a 64-bit
     * collision needs ~5·10⁹ distinct grams for even a 50% chance of
     * ONE false flagged position). The exact string-keyed form is the
-    * verifier the oracle checks; ContractSpec pins hashed ≡ exact on
+    * verifier the oracle checks; ExtSpec pins hashed ≡ exact on
     * this corpus.
     */
   def repeatedNgramSpans(
@@ -519,7 +519,25 @@ object Dedup {
       textCol: String,
       n: Int,
       minDocs: Int = 2,
-      hashGrams: Boolean = false): DataFrame = {
+      hashGrams: Boolean = false): DataFrame =
+    repeatedNgramSpansWithHandle(docs, idCol, textCol, n, minDocs, hashGrams)._1
+
+  /** [[repeatedNgramSpans]] plus a [[CacheHandle]] over the positional
+    * gram frame the operator persists internally: both the ≥ `minDocs`
+    * aggregate and the join back consume it (their exchanges differ —
+    * one partial-aggregates below the shuffle — so Spark cannot reuse
+    * one scan), and without the persist the corpus tokenizes twice.
+    * The plain form discards the handle (frame stays until LRU
+    * eviction — fine for one-shot jobs); long-lived sessions should
+    * call this and `unpersist()` after the action.
+    */
+  def repeatedNgramSpansWithHandle(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2,
+      hashGrams: Boolean = false): (DataFrame, CacheHandle) = {
     require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
     val toks = docs.select(col(idCol).as("doc_id"),
       split(trim(col(textCol)), "\\s+").as("toks"))
@@ -536,6 +554,7 @@ object Dedup {
           .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"),
         (if (hashGrams) xxhash64(col("g.gram")) else col("g.gram")).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repeated = grams
       .groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -544,7 +563,7 @@ object Dedup {
     val flagged = grams.join(repeated, Seq("gram"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    flagged
+    val spans = flagged
       .withColumn("__new_island",
         when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
       .withColumn("__island", sum(col("__new_island")).over(
@@ -555,6 +574,7 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("start_tok").cast("int").as("start_tok"),
         col("end_tok").cast("int").as("end_tok"), col("n_grams"))
+    (spans, new CacheHandle(Seq(grams)))
   }
 
   /** Apply [[repeatedNgramSpans]] (or any span table) to the corpus:
