@@ -4104,8 +4104,9 @@ object SparkEntry {
         |  FROM d JOIN tb USING (lang))
         |SELECT lang, doc_id, n_tokens,
         |       base AS base_repeats,
-        |       run <= rem AS extra_repeat,
-        |       base + CASE WHEN run <= rem THEN 1 ELSE 0 END AS n_repeats
+        |       rem > 0 AND run <= rem AS extra_repeat,
+        |       base + CASE WHEN rem > 0 AND run <= rem THEN 1 ELSE 0 END
+        |         AS n_repeats
         |FROM r ORDER BY lang, doc_id""".stripMargin,
 
     "q94_mixture_weights" ->

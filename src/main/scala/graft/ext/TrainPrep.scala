@@ -585,13 +585,25 @@ object TrainPrep {
       .orderBy(h.asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     df.join(broadcast(targets), Seq(groupCol))
-      .withColumn("__base", floor(col("__target") / col("__gtokens")).cast("long"))
-      .withColumn("__rem", col("__target") - col("__base") * col("__gtokens"))
+      // a group whose token sum is 0 (e.g. every doc hollowed out by
+      // span excision) can fill nothing: without the guard the double
+      // division yields Infinity and the cast overflows into garbage
+      // repeat counts
+      .withColumn("__base",
+        when(col("__gtokens") <= 0, lit(0L))
+          .otherwise(floor(col("__target") / col("__gtokens")).cast("long")))
+      .withColumn("__rem",
+        when(col("__gtokens") <= 0, lit(0L))
+          .otherwise(col("__target") - col("__base") * col("__gtokens")))
       .withColumn("__run", sum(col(tokenCol)).over(w))
+      // rem > 0 guard: with a zero remainder (clean division, or the
+      // zero-token group above) a zero-token doc's running total of 0
+      // would still satisfy run <= rem and claim a phantom extra epoch
+      .withColumn("__extra", col("__rem") > 0 && col("__run") <= col("__rem"))
       .select(col(groupCol), col(idCol), col(tokenCol),
         col("__base").as("base_repeats"),
-        (col("__run") <= col("__rem")).as("extra_repeat"),
-        (col("__base") + when(col("__run") <= col("__rem"), 1L).otherwise(0L))
+        col("__extra").as("extra_repeat"),
+        (col("__base") + when(col("__extra"), 1L).otherwise(0L))
           .as("n_repeats"))
   }
 

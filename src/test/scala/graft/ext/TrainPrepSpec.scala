@@ -370,6 +370,21 @@ class TrainPrepSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     assert(down.forall(_._2 == 0L))
     assert(down.exists(_._3 == 1L) && down.exists(_._3 == 0L))
+    // a zero-token group (every doc hollowed out) fills nothing —
+    // no Infinity/overflow garbage, no phantom extra epochs
+    val hollow = Seq(("z", 100L, 0L), ("z", 101L, 0L)).toDF("lang", "doc_id", "n_tokens")
+    val hz = TrainPrep.materializeMixture(
+      hollow, "lang", "doc_id", "n_tokens",
+      Seq(("z", 1.0)).toDF("lang", "weight"), totalTokens = 1000L)
+      .select("n_repeats").as[Long].collect()
+    assert(hz.toSeq == Seq(0L, 0L), hz.toSeq.toString)
+    // clean division (rem = 0): a zero-token doc claims no phantom extra
+    val zdoc = Seq(("x", 1L, 0L), ("x", 2L, 30L)).toDF("lang", "doc_id", "n_tokens")
+    val zr = TrainPrep.materializeMixture(
+      zdoc, "lang", "doc_id", "n_tokens",
+      Seq(("x", 1.0)).toDF("lang", "weight"), totalTokens = 60L)
+      .select("doc_id", "n_repeats").as[(Long, Long)].collect().toMap
+    assert(zr == Map(1L -> 2L, 2L -> 2L), zr.toString)
     // output-column collision is refused, not clobbered
     val e = intercept[IllegalArgumentException] {
       TrainPrep.materializeMixture(
