@@ -213,7 +213,7 @@ object Features {
     * centroid per subspace, negL2, ties to the lowest code). Map-only:
     * the codebooks ride the plan as literals — k·dim constants, the
     * same literal budget as [[Similarity.kmeansLabels]]'s small-k
-    * path. 32× compression at m=8, k=16 over float32×64.
+    * path. Compression = 32·dim/(m·⌈log₂k⌉): 32× at m=16, k=16 over float32×64 (64-bit codes vs 2048-bit vectors).
     */
   def pqEncode(
       df: DataFrame, idCol: String, vecCol: String,

@@ -573,8 +573,10 @@ object TrainPrep {
       weights: DataFrame, // (groupCol, weight) — e.g. mixtureWeights output
       totalTokens: Long): DataFrame = {
     require(totalTokens > 0, "totalTokens must be positive")
-    require(!df.columns.exists(Set("base_repeats", "extra_repeat", "n_repeats")),
-      "input must not already contain a base_repeats, extra_repeat or n_repeats column")
+    require(!df.columns.exists(Set("base_repeats", "extra_repeat", "n_repeats",
+      "__gtokens", "__target", "__base", "__rem", "__run", "__extra")),
+      "input must not already contain a base_repeats/extra_repeat/n_repeats " +
+        "output column or a __gtokens/__target/__base/__rem/__run/__extra temp column")
     val stats = df.groupBy(col(groupCol)).agg(sum(col(tokenCol)).as("__gtokens"))
     val targets = stats.join(weights.select(col(groupCol), col("weight")), Seq(groupCol))
       .select(col(groupCol),
@@ -690,8 +692,11 @@ object TrainPrep {
     * Same scale shape as the flag form: the benchmark's distinct
     * shingle table broadcasts, the corpus side streams through one
     * hash join, and the pair aggregate partial-aggregates map-side.
-    * Output is bounded by true overlap (pairs sharing ≥ 1 shingle),
-    * not corpus × benchmark.
+    * The doc's shingle total is computed BEFORE the explode and rides
+    * each shingle row into the pair aggregate (`first`), so the
+    * corpus tokenizes exactly once and nothing joins back. Output is
+    * bounded by true overlap (pairs sharing ≥ 1 shingle), not
+    * corpus × benchmark.
     */
   def contaminationReport(
       corpus: DataFrame,
@@ -699,18 +704,19 @@ object TrainPrep {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    def shingled(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
+    val bench = broadcast(benchmark
+      .select(col(idCol).as("bench_id"),
         explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
-    val bench = broadcast(shingled(benchmark, "bench_id").distinct())
-    val docs = shingled(corpus, "doc_id")
-    val sizes = docs.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("doc_shingles"))
+      .distinct())
+    val docs = corpus
+      .select(col(idCol).as("doc_id"), Dedup.wordShingles(col(textCol), n).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).as("doc_shingles"),
+        explode(col("__sh")).as("sh"))
     docs.join(bench, Seq("sh"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sizes, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("doc_shingles")).as("doc_shingles"))
       .select(col("doc_id"), col("bench_id"), col("n_shared"),
         col("doc_shingles"))
   }
