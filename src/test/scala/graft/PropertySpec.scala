@@ -367,6 +367,72 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("token sharding: two-phase prefix sum equals one global window on arbitrary token mixes") {
+    import org.apache.spark.sql.expressions.Window
+    val docGen = Gen.listOfN(60, for {
+      id <- Gen.choose(1L, 1000000L)
+      nt <- Gen.oneOf(Gen.choose(1L, 5L), Gen.choose(100L, 4000L)) // mixed tiny/huge
+    } yield (id, nt))
+    (1 to 6).foreach { i =>
+      val docs = docGen.pureApply(Gen.Parameters.default, Seed(17L + i))
+        .groupBy(_._1).map(_._2.head).toList
+      val df = docs.toDF("doc_id", "n_tokens")
+      val target = 1000L
+      val got = graft.ext.TrainPrep.tokenBalancedShards(df, "doc_id", "n_tokens", target)
+        .select("doc_id", "tokens_before", "shard")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val h = substring(md5(col("doc_id").cast("string")), 1, 15)
+      val brute = df
+        .withColumn("tokens_before", coalesce(
+          sum(col("n_tokens")).over(Window.orderBy(h.asc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("shard", floor(col("tokens_before") / target).cast("long"))
+        .select("doc_id", "tokens_before", "shard")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == brute, s"sample $i")
+    }
+  }
+
+  test("semantic dedup precision: every drop has a genuinely-similar lower-id witness") {
+    graft.ext.VectorKernels.register(spark)
+    val vecGen = Gen.listOfN(40, for {
+      id <- Gen.choose(1L, 1000000L)
+      seed <- Gen.choose(0, 10) // few seeds → guaranteed near-dup collisions
+    } yield (id, seed))
+    (1 to 4).foreach { i =>
+      val rows = vecGen.pureApply(Gen.Parameters.default, Seed(53L + i))
+        .groupBy(_._1).map(_._2.head).toList
+      val rnd = new scala.util.Random(i)
+      val emb = rows.map { case (id, s) =>
+        // same seed → identical direction (cos 1); tiny per-row jitter
+        (id, Array.tabulate(12)(d =>
+          math.sin(s * 3.7 + d * 1.3).toFloat + 0.001f * rnd.nextFloat()))
+      }.toDF("vec_id", "embedding")
+      val out = graft.ext.Similarity.semanticDedup(emb, "vec_id", "embedding",
+        k = 4, iters = 3, threshold = 0.999,
+        scorer = graft.ext.VectorKernels.cosineF)
+        .select("vec_id", "kept", "dup_of")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      // exact global pairs (the cluster path may MISS pairs k-means
+      // splits — recall is data-dependent — but must never INVENT one)
+      val exact = graft.ext.Similarity.cosineNearDupPairs(emb, "vec_id",
+        "embedding", 0.999, scorer = graft.ext.VectorKernels.cosineF,
+        broadcastBuild = true)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      out.foreach {
+        case (id, false, Some(w)) =>
+          assert(w < id, s"sample $i: witness $w not lower than $id")
+          assert(exact.contains((w, id)),
+            s"sample $i: dropped $id cites $w but they are not near-dups")
+        case (id, false, None) => fail(s"sample $i: dropped $id has no witness")
+        case (_, true, w) => assert(w.isEmpty, s"sample $i: kept row has dup_of")
+      }
+    }
+  }
+
   test("epoch plan lands within one document of every group's token target") {
     val docGen = Gen.listOfN(30, for {
       g <- Gen.oneOf("x", "y", "z")
