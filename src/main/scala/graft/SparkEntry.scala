@@ -2370,6 +2370,42 @@ object SparkEntry {
       .toDF("metric", "ok").orderBy(col("metric"))
   }
 
+  /** STREAMING corpus curation: the q100 capstone's gate →
+    * decontaminate → dedup front half as a real 4-micro-batch
+    * incremental stream (docs sliced by doc_id mod 4, so duplicate
+    * content crosses batch boundaries and the dedup state is
+    * genuinely exercised). Decontamination is exact (benchmark
+    * shingle hashes as a plan literal, self-flagging by design — a
+    * benchmark doc arriving in the corpus IS contamination); dedup is
+    * fingerprint-keyed `dropDuplicatesWithinWatermark`. The output
+    * aggregate is content-derived (token count, quality logit), so it
+    * is independent of WHICH copy of a duplicate survives — the
+    * property that makes an arrival-order-dependent stream
+    * batch-oracle-checkable (hash collisions aside, the hashed
+    * shingle overlap ≡ the oracle's string form — q48's disclosed
+    * equivalence).
+    */
+  def q108StreamCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = tempDir("graft-q108")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        (lit(1700000000L) + col("doc_id")).cast(TimestampType).as("ts"))
+    val in = writeSliceFiles(
+      (0 until 4).map(i => docs.filter(pmod(col("doc_id"), lit(4)) === i)), tmp)
+    val w = Seq(-2.4, 2.0, -3.0, 1.5, 2.5)
+    val benchHashes = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(explode(graft.ext.VectorKernels.shingleHashes(
+        Text.tokens(col("text")), 5)).as("h"))
+      .distinct().orderBy(col("h")).as[Long].collect().toSeq
+    graft.stream.Jobs.runCurateStream(spark, in, w, benchHashes,
+      shingleSize = 5, lateness = "40 days", stateShufflePartitions = Some(8))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
+        round(sum(Text.qualityLogit(col("text"), w)), 4).as("sum_z"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2485,6 +2521,7 @@ object SparkEntry {
     "q106_contamination_report" -> (q106ContaminationReport _),
     "q107_pq_codes" -> (q107PqCodes _),
     "q107b_pq_contract" -> (q107bPqContract _),
+    "q108_stream_curate" -> (q108StreamCurate _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2507,7 +2544,8 @@ object SparkEntry {
   val streamingQueries: Set[String] = Set(
     "q18c_window_stream", "q19_stream_validate", "q19b_stateful_edges",
     "q19c_stateful_tws", "q55_stream_dedup", "q62_ss_join",
-    "q70_session_stream", "q96_stream_cdc", "q99_stream_throttle")
+    "q70_session_stream", "q96_stream_cdc", "q99_stream_throttle",
+    "q108_stream_curate")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -4287,6 +4325,52 @@ object SparkEntry {
 
     "q23b_ivf_recall" ->
       """SELECT 'ivf_recall_at_5_nprobe_half_ge_0.7' AS metric, TRUE AS ok""".stripMargin,
+
+    // gate (exact logit SQL) -> contamination WITHOUT self-exclusion
+    // (a benchmark doc in the corpus must drop) -> one survivor per
+    // fingerprint -> content-derived aggregate (winner-independent,
+    // so the stream's arrival-order dedup hashes identically)
+    "q108_stream_curate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, text, toks,
+        |         -2.4 + 2.0 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+        |              + -3.0 * (CAST(length(text)
+        |                  - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+        |                  AS DOUBLE) / greatest(length(text), 1))
+        |              + 1.5 * (CAST(len(list_filter(toks, x -> list_contains(
+        |                  ['the','a','an','and','or','of','to','in','is','it'], x)))
+        |                  AS DOUBLE) / greatest(len(toks), 1))
+        |              + 2.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+        |                  / greatest(len(toks), 1)) AS z
+        |  FROM t),
+        |gated AS (SELECT * FROM z WHERE z >= 0),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |           [list_aggregate(toks[i:i+4], 'string_agg', ' ')
+        |            FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)])) AS s
+        |  FROM t WHERE doc_id % 50 = 0),
+        |gsh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(
+        |           [list_aggregate(toks[i:i+4], 'string_agg', ' ')
+        |            FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)])) AS s
+        |  FROM gated),
+        |contam AS (SELECT DISTINCT doc_id FROM gsh JOIN bench USING (s)),
+        |clean AS (SELECT g.* FROM gated g
+        |          WHERE NOT EXISTS (SELECT 1 FROM contam c
+        |                            WHERE c.doc_id = g.doc_id)),
+        |ded AS (
+        |  SELECT any_value(len(toks)) AS n_tokens, any_value(z) AS z
+        |  FROM clean
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       round(sum(z), 4) AS sum_z
+        |FROM ded""".stripMargin,
 
     "q107b_pq_contract" ->
       """SELECT 'pq_adc_recall_at_10_ge_0.2' AS metric, TRUE AS ok

@@ -399,6 +399,59 @@ object Jobs {
     * parquet dirs here; exactly-once per sink within a batch comes from
     * the persisted split + checkpointed batch ids.
     */
+  /** STREAMING corpus curation — the batch capstone's gate →
+    * decontaminate → dedup front half as ONE incremental stream, so a
+    * corpus can be curated as it lands instead of in a nightly batch:
+    *
+    *  - quality gate: the codegen'd [[graft.ext.Text.qualityLogit]]
+    *    filter, stateless;
+    *  - decontamination: EXACT and stateless — the benchmark's
+    *    distinct shingle hashes ride the plan as one literal array
+    *    (bounded by benchmark size, the same driver-hop class as the
+    *    q93 bloom bytes) and `arrays_overlap` flags any doc sharing an
+    *    n-gram. Self-flagging is intended here: a benchmark document
+    *    ARRIVING IN THE CORPUS is contamination when curating
+    *    training data. At benchmark sizes too big for a literal, the
+    *    bloom gate (q93) pre-filters and only flagged docs pay an
+    *    exact stream-static join — q100b's two-stage, which composes
+    *    unchanged because both steps are per-row maps;
+    *  - dedup: exact content dedup via fingerprint-keyed
+    *    `dropDuplicatesWithinWatermark` — watermark-bounded state,
+    *    cross-micro-batch (the q55 contract). Which copy of a
+    *    duplicate survives is arrival-order-dependent; downstream
+    *    aggregates must be content-derived (winner-independent) to be
+    *    engine-checkable, which is exactly what q108 emits.
+    */
+  def runCurateStream(
+      spark: SparkSession,
+      inputDir: String,
+      weights: Seq[Double],
+      benchShingleHashes: Seq[Long],
+      shingleSize: Int,
+      lateness: String,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, stateShufflePartitions) {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType, nullable = false)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      val curated = stream
+        .filter(graft.ext.Text.qualityLogit(col("text"), weights) >= 0)
+        .filter(!arrays_overlap(
+          graft.ext.VectorKernels.shingleHashes(
+            graft.ext.Text.tokens(col("text")), shingleSize),
+          typedlit(benchShingleHashes)))
+        .withColumn("fingerprint", graft.ext.Text.fingerprint(col("text")))
+        .withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+      runToMemorySink(spark, curated, "graft_stream_curate")
+    }
+
   def runRoutingStream(
       spark: SparkSession,
       inputDir: String,

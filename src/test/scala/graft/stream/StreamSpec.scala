@@ -178,6 +178,51 @@ class StreamSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("streaming curation gates quality, drops contamination, dedups across batches") {
+    graft.ext.VectorKernels.register(spark)
+    val tmp = tempDir("graft-curatestream")
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    // quality weights that admit everything (bias 5) — isolate the
+    // contamination and dedup behaviors; doc 4's weights drop it below
+    val good = "alpha beta gamma delta epsilon zeta eta theta"
+    val leaked = "secret bench one two three four five six"
+    val t0 = System.currentTimeMillis() - 60000
+    val slices = Seq(
+      Seq((1L, good, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, leaked, Timestamp.valueOf("2024-01-01 10:01:00"))),
+      Seq((3L, good, Timestamp.valueOf("2024-01-01 10:02:00")), // cross-batch dup of 1
+        (4L, "unique seven eight nine ten eleven twelve thirteen",
+          Timestamp.valueOf("2024-01-01 10:03:00"))))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val benchHashes = Seq(Tuple1(leaked)).toDF("text")
+      .select(explode(graft.ext.VectorKernels.shingleHashes(
+        graft.ext.Text.tokens(col("text")), 5)).as("h"))
+      .distinct().as[Long].collect().toSeq
+    val out = Jobs.runCurateStream(spark, in,
+      weights = Seq(5.0, 0.0, 0.0, 0.0, 0.0), // admit all: test contamination+dedup
+      benchShingleHashes = benchHashes, shingleSize = 5, lateness = "1 day")
+      .select("doc_id").as[Long].collect().toSet
+    // 2 contaminated (shares every 5-gram with the benchmark doc);
+    // exactly one of {1, 3} survives dedup; 4 unique and clean
+    assert(!out.contains(2L), s"contaminated doc survived: $out")
+    assert(out.contains(4L), s"clean unique doc dropped: $out")
+    assert((out & Set(1L, 3L)).size == 1, s"dup handling wrong: $out")
+    // quality gate: harsh bias drops everything
+    val gated = Jobs.runCurateStream(spark, in,
+      weights = Seq(-100.0, 0.0, 0.0, 0.0, 0.0),
+      benchShingleHashes = benchHashes, shingleSize = 5, lateness = "1 day")
+    assert(gated.count() == 0)
+  }
+
   test("stream-stream interval join matches within the gap, across batches") {
     val tmp = tempDir("graft-ssjoin")
     // file 0: u7 clicks; file 1: u7 purchase 30 min later (cross-batch
