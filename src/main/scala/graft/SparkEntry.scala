@@ -682,29 +682,41 @@ object SparkEntry {
   }
 
   /** Error-bound contract for the sketch path (O-38): emits whether
-    * each approximate value lands within tolerance of its exact
-    * counterpart, computed entirely in Spark. The oracle is the
-    * expected TRUE rows — so a sketch accuracy regression (Spark
-    * upgrade, accuracy-parameter change) fails the driver gate instead
-    * of hiding behind a rows-only check. Sketch VALUES stay rows-only
-    * in q32 (engine-internal by nature); this checks the contract.
-    * Exact distinct runs as a two-level aggregate to avoid the Expand
-    * a multi-distinct agg would force.
+    * each approximate result honors its sketch's guarantee, computed
+    * entirely in Spark. The oracle is the expected TRUE rows — so a
+    * sketch accuracy regression (Spark upgrade, accuracy-parameter
+    * change) fails the driver gate instead of hiding behind a
+    * rows-only check. Sketch VALUES stay rows-only in q32
+    * (engine-internal by nature); this checks the contract.
+    *
+    * The quantile bound is on RANK, not value (q32c's formulation):
+    * quantile sketches guarantee rank error — on small or gappy data
+    * adjacent values can differ by more than any value tolerance while
+    * the rank is exactly right, so a value-based bound fails on
+    * correct output (observed at sf0.001). Exact distinct runs as a
+    * two-level aggregate to avoid the Expand a multi-distinct agg
+    * would force.
     */
   def q32bSketchBounds(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // rsd 0.02 under a 5% bound = a 2.5σ contract (deterministic per
+    // dataset, ~1% of datasets would sit outside) — the default
+    // rsd 0.05 made 5% a 1σ bound that legitimately failed at
+    // sf0.001 (HLL error is data-dependent, not noise)
     val approx = li.agg(
-      approx_count_distinct(col("l_orderkey")).as("acd"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("acd"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("aq"))
     val exactDistinct = li.groupBy(col("l_orderkey")).agg(count(lit(1)))
       .agg(count(lit(1)).as("cd"))
-    val exactMedian = li.agg(median(col("l_extendedprice")).as("med"))
-    approx.crossJoin(exactDistinct).crossJoin(exactMedian)
+    li.crossJoin(approx).crossJoin(exactDistinct) // 1-row sides — broadcast
+      .agg(
+        first(col("acd")).as("acd"), first(col("cd")).as("cd"),
+        avg(when(col("l_extendedprice") <= col("aq"), 1.0).otherwise(0.0)).as("r50"))
       .select(explode(array(
         struct(lit("ApproxCountDistinct_l_orderkey_within_5pct").as("metric"),
           (abs(col("acd") - col("cd")) <= col("cd") * 0.05).as("ok")),
-        struct(lit("ApproxQuantile_0.5_l_extendedprice_within_2pct").as("metric"),
-          (abs(col("aq") - col("med")) <= abs(col("med")) * 0.02).as("ok"))))
+        struct(lit("ApproxQuantile_0.5_l_extendedprice_rank_within_2.5pct").as("metric"),
+          (abs(col("r50") - 0.5) <= 0.025).as("ok"))))
         .as("r"))
       .select(col("r.metric"), col("r.ok"))
       .orderBy(col("metric"))
@@ -4381,7 +4393,7 @@ object SparkEntry {
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok
         |UNION ALL
-        |SELECT 'ApproxQuantile_0.5_l_extendedprice_within_2pct', TRUE
+        |SELECT 'ApproxQuantile_0.5_l_extendedprice_rank_within_2.5pct', TRUE
         |ORDER BY metric""".stripMargin,
 
     "q32c_kll_bounds" ->
