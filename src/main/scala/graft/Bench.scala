@@ -22,6 +22,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,10 +41,13 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try exec(fn, sfDir) catch { case _: Throwable => () }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // drop internal persists a query leaked so the next query's
-      // timing never pays (or benefits from) a predecessor's cache
+      // timing never pays (or benefits from) a predecessor's cache —
+      // OUTSIDE the timed window, so cache hygiene is attributed to
+      // no query
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.dq.{Analyzers, ColumnValues, Rules}
 import graft.etl.Transform
-import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.ext.{Dedup, Features, Multimodal, Similarity, Text}
 import graft.gold.Star
 import graft.stream.{Jobs, Validate}
 
@@ -1941,7 +1941,9 @@ object SparkEntry {
     */
   def q92bTfidfCosineCapped(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cap = (docs.count() / 2).toInt
+    // cap stays Long: an Int cap overflows negative above ~4.3B docs,
+    // silently emptying the index at exactly the scale dfCap exists for
+    val cap = docs.count() / 2
     Text.tfidfCosinePairs(docs, "doc_id", "text",
       threshold = 0.05, dfCap = Some(cap))
       .orderBy(col("id_a"), col("id_b"))
@@ -2281,6 +2283,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q103 with the KEEP-ONE-COPY policy (`keepFirst = true`) — the
+    * Lee-et-al. dedup semantics end to end: each repeated gram's
+    * lowest-id doc is its keeper, so its copy of the span survives
+    * excision while every other doc's copy is removed. The corpus
+    * keeps exactly one instance of every repeated passage instead of
+    * zero (q103's excise-all is the boilerplate-stripping mode; this
+    * is the dedup mode).
+    */
+  def q103bExciseKeepOne(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spans = Dedup.repeatedNgramSpans(docs, "doc_id", "text",
+      n = 7, minDocs = 2, hashGrams = true, keepFirst = true)
+    Dedup.exciseSpans(docs, spans, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Epoch materialization: q94's temperature weights (α = 0.5) turned
     * into an exact per-document repeat plan for a 50k-token corpus —
     * base whole-corpus repeats plus a hash-ordered prefix getting one
@@ -2311,6 +2329,65 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared schema + slicing for the q104b/q105b incremental-plan
+    * streams: the documents corpus lands in 4 micro-batches (doc_id
+    * mod 4, so every batch shifts every group's totals and the plan
+    * genuinely re-derives each trigger).
+    */
+  private def docSliceStreamInput(
+      spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val in = writeSliceFiles(
+      (0 until 4).map(i => docs.filter(pmod(col("doc_id"), lit(4)) === i)), tmp)
+    (in, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true),
+      StructField("text", StringType, nullable = true))))
+  }
+
+  /** STREAMING twin of q104: the epoch plan maintained INCREMENTALLY —
+    * each micro-batch appends to a versioned corpus snapshot and
+    * re-derives the full mixture → repeat plan (a corpus-GLOBAL
+    * property: one arriving doc shifts its whole group's repeat
+    * counts, so the incremental form is snapshot recompute, not row
+    * state — see [[graft.stream.Jobs.runPlanRecomputeStream]]). Every
+    * plan operator is deterministic in corpus content, so the final
+    * published plan is bit-identical to the batch path — q104's own
+    * oracle checks it.
+    */
+  def q104bMixtureStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q104b")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      corpus => {
+        val d = corpus.withColumn("n_tokens", Text.tokenCount(col("text")).cast(LongType))
+        val weights = graft.ext.TrainPrep.mixtureWeights(d, "lang", alpha = 0.5)
+        graft.ext.TrainPrep.materializeMixture(
+          d, "lang", "doc_id", "n_tokens", weights, totalTokens = 50000L)
+          .select(col("lang"), col("doc_id"), col("n_tokens"),
+            col("base_repeats"), col("extra_repeat"), col("n_repeats"))
+      })
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** STREAMING twin of q105: token-balanced sharding maintained
+    * incrementally over the growing corpus (same snapshot-recompute
+    * mechanics as q104b — `tokens_before` is a global prefix sum, so
+    * any arrival can shift every later doc's shard). Final state
+    * hash-checks against q105's batch oracle.
+    */
+  def q105bShardStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q105b")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      corpus => graft.ext.TrainPrep.tokenBalancedShards(
+        corpus.select(col("doc_id"),
+          Text.tokenCount(col("text")).cast(LongType).as("n_tokens")),
+        "doc_id", "n_tokens", 2000L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Contamination attribution: the audit report behind q48's flags —
     * which benchmark doc leaked into which corpus doc, with distinct
     * shared-4-gram counts and the doc's shingle total (4-grams rather
@@ -2325,6 +2402,21 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** q106 with `hashShingles = true` — the audit view's scale form:
+    * the benchmark broadcast and every join-key compare carry 8-byte
+    * xxhash64 values instead of 4-gram strings (the q102b pattern, at
+    * a real benchmark-suite size a ~10× narrower broadcast). Same
+    * oracle as q106: the hash check pins hashed ≡ exact shared-shingle
+    * counts on this corpus.
+    */
+  def q106bContaminationReportHashed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ext.TrainPrep.contaminationReport(
+      docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 4,
+      hashShingles = true)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   /** Product quantization codes over the embeddings corpus: m = 16
     * subspaces × k = 16 centroids (64 bits/vector vs 2048 for
     * float32×64 — 32× compression). Codes depend on the Spark-side
@@ -2335,7 +2427,15 @@ object SparkEntry {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cbs = graft.ext.Features.pqTrainCodebooks(
       base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    // driver-visible surface: the m=16 × k=16 nibble codes ARE a 64-bit
+    // word — pack them into ONE bigint (shiftleft, not `*16`: bit ops
+    // wrap instead of tripping ANSI overflow when the top nibble sets
+    // the sign bit) so the harness can sort and row-count the frame;
+    // the array<int> form stays the library API (Features.pqEncode)
     graft.ext.Features.pqEncode(base, "vec_id", "embedding", cbs)
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L),
+          (acc, c) => shiftleft(acc, 4) + c).as("code64"))
       .orderBy(col("vec_id"))
   }
 
@@ -2416,6 +2516,73 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         sum(Text.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
         round(sum(Text.qualityLogit(col("text"), w)), 4).as("sum_z"))
+  }
+
+  /** IVF-ADC composition — the `IndexIVFPQ` shape (FAISS's default
+    * billion-scale index) from the two halves this library already
+    * verifies separately: q23's coarse k-means cells gate WHICH rows
+    * are scored, q107's PQ codes decide HOW they are scored (ADC, no
+    * float vectors rematerialized). nprobe = 5 of k = 10 cells, so
+    * each query's scan touches ~half the code table as a map pass.
+    * k-means-dependent like q23/q107 → rows-only; q109b carries the
+    * hash-checked recall contract.
+    */
+  def q109IvfAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val clustered = Similarity.kmeansLabels(base, "vec_id", "embedding",
+      k = 10, iters = 3, scorer = graft.ext.VectorKernels.cosineF)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    // label rides the encode map pass (carryCols) — no join back
+    val codes = graft.ext.Features.pqEncode(
+      clustered, "vec_id", "embedding", cbs, carryCols = Seq("label"))
+    Features.ivfAdcTopK(codes, Similarity.clusterCentroids(clustered),
+      embQueries(spark, dir), cbs, k = 5, nprobe = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall contract for the IVF-ADC composition, two referees:
+    * recall@10 against the EXACT L2 brute force (the end-to-end
+    * accuracy — compounds q23b's cell-probe loss with q107b's
+    * quantization loss, so its bound sits below both), and recall@10
+    * against the FULL-SCAN ADC (q107's pqAdcTopK — isolates the
+    * cell-probe loss alone given identical scoring, the q23b bound's
+    * analogue). Measured on this ISOTROPIC corpus (ANN worst case, see
+    * q23b/q107b; `tools/AnnProbe` reprints these): vs-exact 0.36 at
+    * sf0.01 / 0.26 at sf0.1; vs-full-ADC 0.68 at both — bounds pinned
+    * with margin below. Oracle is the expected TRUE rows, so a
+    * regression fails the gate.
+    */
+  def q109bIvfAdcContract(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val clustered = Similarity.kmeansLabels(base, "vec_id", "embedding",
+      k = 10, iters = 3, scorer = graft.ext.VectorKernels.cosineF)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    val codes = graft.ext.Features.pqEncode(
+      clustered, "vec_id", "embedding", cbs, carryCols = Seq("label"))
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivfAdc = Features.ivfAdcTopK(codes, Similarity.clusterCentroids(clustered),
+      queries, cbs, k = 10, nprobe = 5)
+      .select(col("query_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopK(queries, base, 10,
+      scorer = (a, b) => graft.ext.Features.negSquaredL2(a, b))
+      .select(col("query_id"), col("vec_id"))
+    val fullAdc = graft.ext.Features.pqAdcTopK(
+      codes.select(col("vec_id"), col("codes")), queries, cbs, 10)
+      .select(col("query_id"), col("vec_id"))
+    val nExact = exact.count().toDouble
+    val recallExact = exact.join(ivfAdc, Seq("query_id", "vec_id")).count() / nExact
+    val recallFull = fullAdc.join(ivfAdc, Seq("query_id", "vec_id")).count() /
+      fullAdc.count().toDouble
+    import spark.implicits._
+    Seq(
+      ("ivf_adc_recall_at_10_vs_exact_ge_0.15", recallExact >= 0.15),
+      ("ivf_adc_recall_at_10_vs_full_adc_ge_0.6", recallFull >= 0.6))
+      .toDF("metric", "ok").orderBy(col("metric"))
   }
 
   // ------------------------------------------------------------- maps
@@ -2528,12 +2695,18 @@ object SparkEntry {
     "q102_repeated_spans" -> (q102RepeatedSpans _),
     "q102b_repeated_spans_hashed" -> (q102bRepeatedSpansHashed _),
     "q103_excise_spans" -> (q103ExciseSpans _),
+    "q103b_excise_keep_one" -> (q103bExciseKeepOne _),
     "q104_materialize_mixture" -> (q104MaterializeMixture _),
+    "q104b_mixture_stream" -> (q104bMixtureStream _),
     "q105_token_shards" -> (q105TokenShards _),
+    "q105b_shard_stream" -> (q105bShardStream _),
     "q106_contamination_report" -> (q106ContaminationReport _),
+    "q106b_contamination_hashed" -> (q106bContaminationReportHashed _),
     "q107_pq_codes" -> (q107PqCodes _),
     "q107b_pq_contract" -> (q107bPqContract _),
     "q108_stream_curate" -> (q108StreamCurate _),
+    "q109_ivf_adc_topk" -> (q109IvfAdcTopK _),
+    "q109b_ivf_adc_contract" -> (q109bIvfAdcContract _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2557,7 +2730,7 @@ object SparkEntry {
     "q18c_window_stream", "q19_stream_validate", "q19b_stateful_edges",
     "q19c_stateful_tws", "q55_stream_dedup", "q62_ss_join",
     "q70_session_stream", "q96_stream_cdc", "q99_stream_throttle",
-    "q108_stream_curate")
+    "q104b_mixture_stream", "q105b_shard_stream", "q108_stream_curate")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -2653,6 +2826,157 @@ object SparkEntry {
       |       CAST(max(pos) + 7 - 1 AS INT) AS end_tok,
       |       count(*) AS n_grams
       |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin
+
+  /** Span excision oracle shared by q103 (excise every copy) and q103b
+    * (keep-one: each repeated gram's min-doc keeper is never flagged).
+    * Spans re-derive as q102's verified CTE — parameterized only in
+    * the `rep`/`hit` stage — then every flagged position drops and the
+    * text rebuilds in original order.
+    */
+  private def exciseSpansOracle(keepOne: Boolean): String = {
+    val rep =
+      if (keepOne)
+        """rep AS (SELECT gram, min(doc_id) AS keeper FROM ng GROUP BY gram
+          |        HAVING count(DISTINCT doc_id) >= 2),
+          |hit AS (SELECT ng.doc_id, pos FROM ng JOIN rep USING (gram)
+          |        WHERE ng.doc_id <> rep.keeper),""".stripMargin
+      else
+        """rep AS (SELECT gram FROM ng GROUP BY gram
+          |        HAVING count(DISTINCT doc_id) >= 2),
+          |hit AS (SELECT doc_id, pos FROM ng JOIN rep USING (gram)),""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 7),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest([{'pos': i - 1,
+       |                  'gram': list_aggregate(toks[i:i+6], 'string_agg', ' ')}
+       |                 FOR i IN range(1, len(toks) - 7 + 2)]) AS e
+       |  FROM t),
+       |ng AS (SELECT doc_id, e.pos AS pos, e.gram AS gram FROM g),
+       |$rep
+       |isl0 AS (SELECT doc_id, pos,
+       |                CASE WHEN pos - lag(pos) OVER (
+       |                       PARTITION BY doc_id ORDER BY pos) > 7
+       |                     THEN 1 ELSE 0 END AS ni
+       |         FROM hit),
+       |isl AS (SELECT doc_id, pos,
+       |               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |        FROM isl0),
+       |sp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 6 AS end_tok
+       |       FROM isl GROUP BY doc_id, grp),
+       |tall AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id,
+       |         unnest([{'pos': i - 1, 'tok': toks[i]}
+       |                 FOR i IN range(1, len(toks) + 1)]) AS e
+       |  FROM tall),
+       |keep AS (
+       |  SELECT k.doc_id, k.e.pos AS pos, k.e.tok AS tok
+       |  FROM tok k
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |                    WHERE sp.doc_id = k.doc_id
+       |                      AND k.e.pos BETWEEN sp.start_tok AND sp.end_tok)),
+       |agg AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+       |         count(*) AS n_kept
+       |  FROM keep GROUP BY doc_id)
+       |SELECT tall.doc_id,
+       |       coalesce(agg.text, '') AS text,
+       |       len(tall.toks) - coalesce(agg.n_kept, 0) AS n_removed
+       |FROM tall LEFT JOIN agg USING (doc_id)
+       |ORDER BY tall.doc_id""".stripMargin
+  }
+
+  /** Shared by q105 (batch two-phase prefix sum) and q105b (the
+    * incremental snapshot-recompute stream): one global window over
+    * the md5 order — the brute-force form of the bucket decomposition
+    * the Spark side runs.
+    */
+  private val tokenShardsOracle: String =
+    """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tokens,
+        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (
+        |           ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS tokens_before
+        |  FROM d)
+        |SELECT doc_id, n_tokens, tokens_before,
+        |       CAST(tokens_before // 2000 AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Shared by q104 (batch) and q104b (incremental stream): weights
+    * re-derived as q94's verified CTE, then targets, base repeats, and
+    * the md5-prefix extra repeat — floor/CAST staging mirrors the
+    * Spark side exactly (all values < 2^52, so the double-math floor()
+    * is integer-exact in both engines).
+    */
+  private val materializeMixtureOracle: String =
+    """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+        |t AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM c),
+        |wt AS (SELECT lang, round(pow(n_docs, 0.5) / z, 6) AS weight FROM c, t),
+        |g AS (SELECT lang, sum(n_tokens) AS gtokens FROM d GROUP BY 1),
+        |tg AS (
+        |  SELECT g.lang,
+        |         CAST(floor(wt.weight * 50000) AS BIGINT) AS target,
+        |         g.gtokens
+        |  FROM g JOIN wt USING (lang)),
+        |tb AS (
+        |  SELECT lang, target, gtokens,
+        |         CAST(floor(CAST(target AS DOUBLE) / gtokens) AS BIGINT) AS base
+        |  FROM tg),
+        |r AS (
+        |  SELECT d.lang, d.doc_id, d.n_tokens, tb.base,
+        |         tb.target - tb.base * tb.gtokens AS rem,
+        |         sum(d.n_tokens) OVER (
+        |           PARTITION BY d.lang
+        |           ORDER BY substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15),
+        |                    d.doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM d JOIN tb USING (lang))
+        |SELECT lang, doc_id, n_tokens,
+        |       base AS base_repeats,
+        |       rem > 0 AND run <= rem AS extra_repeat,
+        |       base + CASE WHEN rem > 0 AND run <= rem THEN 1 ELSE 0 END
+        |         AS n_repeats
+        |FROM r ORDER BY lang, doc_id""".stripMargin
+
+  /** Shared by q106 (string-keyed shingles) and q106b (xxhash64-keyed
+    * shingles): both must report identical (doc, bench) shared-shingle
+    * counts — that equivalence is exactly what q106b verifies.
+    */
+  private val contaminationReportOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(
+      |           [list_aggregate(toks[i:i+3], 'string_agg', ' ')
+      |            FOR i IN range(1, greatest(len(toks) - 3, 1) + 1)]) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |d AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM t),
+      |b AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM t
+      |      WHERE doc_id % 50 = 0)
+      |SELECT d.doc_id, b.bench_id,
+      |       CAST(count(*) AS BIGINT) AS n_shared,
+      |       CAST(any_value(d.sz) AS BIGINT) AS doc_shingles
+      |FROM d JOIN b USING (s)
+      |WHERE d.doc_id <> b.bench_id
+      |GROUP BY d.doc_id, b.bench_id
+      |ORDER BY d.doc_id, b.bench_id""".stripMargin
 
   /** Shared by q100 (broadcast-exact decontamination) and q100b (the
     * bloom two-stage scale path): both must produce the identical
@@ -2894,19 +3218,29 @@ object SparkEntry {
         |            / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // INVERTED-INDEX form (not the quadratic all-pairs list_intersect,
+    // which alone dominated the sf0.1 gate at ~25 min): only pairs
+    // sharing ≥ 1 shingle materialize — sound because jaccard ≥ 0.5
+    // implies a shared shingle — and |A∪B| = |A| + |B| − |A∩B|. Same
+    // verdict, ~300× faster (the q12-family oracle lesson).
     "q13_minhash_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id,
         |         list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
         |                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |        FROM documents))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard_sim
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |            / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+        |        FROM documents)),
+        |e AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |             count(*) AS inter,
+        |             any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6)
+        |         AS jaccard_sim
+        |FROM p
+        |WHERE round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q13b_simhash_pairs" ->
@@ -3898,55 +4232,12 @@ object SparkEntry {
 
     // spans re-derived as a CTE (q102's verified oracle), then every
     // flagged position drops and the text rebuilds in original order
-    "q103_excise_spans" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents
-        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 7),
-        |g AS (
-        |  SELECT doc_id,
-        |         unnest([{'pos': i - 1,
-        |                  'gram': list_aggregate(toks[i:i+6], 'string_agg', ' ')}
-        |                 FOR i IN range(1, len(toks) - 7 + 2)]) AS e
-        |  FROM t),
-        |ng AS (SELECT doc_id, e.pos AS pos, e.gram AS gram FROM g),
-        |rep AS (SELECT gram FROM ng GROUP BY gram
-        |        HAVING count(DISTINCT doc_id) >= 2),
-        |hit AS (SELECT doc_id, pos FROM ng JOIN rep USING (gram)),
-        |isl0 AS (SELECT doc_id, pos,
-        |                CASE WHEN pos - lag(pos) OVER (
-        |                       PARTITION BY doc_id ORDER BY pos) > 7
-        |                     THEN 1 ELSE 0 END AS ni
-        |         FROM hit),
-        |isl AS (SELECT doc_id, pos,
-        |               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-        |        FROM isl0),
-        |sp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 6 AS end_tok
-        |       FROM isl GROUP BY doc_id, grp),
-        |tall AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id,
-        |         unnest([{'pos': i - 1, 'tok': toks[i]}
-        |                 FOR i IN range(1, len(toks) + 1)]) AS e
-        |  FROM tall),
-        |keep AS (
-        |  SELECT k.doc_id, k.e.pos AS pos, k.e.tok AS tok
-        |  FROM tok k
-        |  WHERE NOT EXISTS (SELECT 1 FROM sp
-        |                    WHERE sp.doc_id = k.doc_id
-        |                      AND k.e.pos BETWEEN sp.start_tok AND sp.end_tok)),
-        |agg AS (
-        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
-        |         count(*) AS n_kept
-        |  FROM keep GROUP BY doc_id)
-        |SELECT tall.doc_id,
-        |       coalesce(agg.text, '') AS text,
-        |       len(tall.toks) - coalesce(agg.n_kept, 0) AS n_removed
-        |FROM tall LEFT JOIN agg USING (doc_id)
-        |ORDER BY tall.doc_id""".stripMargin,
+    "q103_excise_spans" -> exciseSpansOracle(keepOne = false),
+
+    // same pipeline with the keep-one policy: each repeated gram's
+    // min-doc keeper contributes no flagged positions, so exactly one
+    // copy of every repeated passage survives
+    "q103b_excise_keep_one" -> exciseSpansOracle(keepOne = true),
 
     "q100_curate_corpus" -> curationOracle,
 
@@ -4081,83 +4372,30 @@ object SparkEntry {
         |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // distinct 4-gram shingles per side, inner join, pair counts —
-    // the q76 inverted-index oracle shape, corpus × benchmark slice
-    "q106_contamination_report" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_distinct(
-        |           [list_aggregate(toks[i:i+3], 'string_agg', ' ')
-        |            FOR i IN range(1, greatest(len(toks) - 3, 1) + 1)]) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |        FROM documents)),
-        |d AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM t),
-        |b AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM t
-        |      WHERE doc_id % 50 = 0)
-        |SELECT d.doc_id, b.bench_id,
-        |       CAST(count(*) AS BIGINT) AS n_shared,
-        |       CAST(any_value(d.sz) AS BIGINT) AS doc_shingles
-        |FROM d JOIN b USING (s)
-        |WHERE d.doc_id <> b.bench_id
-        |GROUP BY d.doc_id, b.bench_id
-        |ORDER BY d.doc_id, b.bench_id""".stripMargin,
+    // the q76 inverted-index oracle shape, corpus × benchmark slice.
+    // One oracle for both forms: the hashed path must reproduce the
+    // exact string-keyed counts bit-for-bit
+    "q106_contamination_report" -> contaminationReportOracle,
+    "q106b_contamination_hashed" -> contaminationReportOracle,
 
     // ONE global window over the md5 order — the brute-force form of
     // the two-phase bucket decomposition the Spark side runs
-    "q105_token_shards" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |           AS n_tokens,
-        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, n_tokens,
-        |         CAST(coalesce(sum(n_tokens) OVER (
-        |           ORDER BY h, doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |           AS BIGINT) AS tokens_before
-        |  FROM d)
-        |SELECT doc_id, n_tokens, tokens_before,
-        |       CAST(tokens_before // 2000 AS BIGINT) AS shard
-        |FROM r ORDER BY doc_id""".stripMargin,
+    "q105_token_shards" -> tokenShardsOracle,
+    // the streaming twin recomputes the same plan per micro-batch and
+    // publishes the final version — content-deterministic, so the
+    // batch oracle checks it verbatim
+    "q105b_shard_stream" -> tokenShardsOracle,
+
+
 
     // weights re-derived as q94's verified CTE, then targets, base
     // repeats, and the md5-prefix extra repeat — floor/CAST staging
     // mirrors the Spark side exactly (all values < 2^52, so the
     // double-math floor() is integer-exact in both engines)
-    "q104_materialize_mixture" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |           AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
-        |t AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM c),
-        |wt AS (SELECT lang, round(pow(n_docs, 0.5) / z, 6) AS weight FROM c, t),
-        |g AS (SELECT lang, sum(n_tokens) AS gtokens FROM d GROUP BY 1),
-        |tg AS (
-        |  SELECT g.lang,
-        |         CAST(floor(wt.weight * 50000) AS BIGINT) AS target,
-        |         g.gtokens
-        |  FROM g JOIN wt USING (lang)),
-        |tb AS (
-        |  SELECT lang, target, gtokens,
-        |         CAST(floor(CAST(target AS DOUBLE) / gtokens) AS BIGINT) AS base
-        |  FROM tg),
-        |r AS (
-        |  SELECT d.lang, d.doc_id, d.n_tokens, tb.base,
-        |         tb.target - tb.base * tb.gtokens AS rem,
-        |         sum(d.n_tokens) OVER (
-        |           PARTITION BY d.lang
-        |           ORDER BY substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15),
-        |                    d.doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-        |  FROM d JOIN tb USING (lang))
-        |SELECT lang, doc_id, n_tokens,
-        |       base AS base_repeats,
-        |       rem > 0 AND run <= rem AS extra_repeat,
-        |       base + CASE WHEN rem > 0 AND run <= rem THEN 1 ELSE 0 END
-        |         AS n_repeats
-        |FROM r ORDER BY lang, doc_id""".stripMargin,
+    "q104_materialize_mixture" -> materializeMixtureOracle,
+    "q104b_mixture_stream" -> materializeMixtureOracle,
+
+
 
     "q94_mixture_weights" ->
       """WITH c AS (
@@ -4388,6 +4626,12 @@ object SparkEntry {
       """SELECT 'pq_adc_recall_at_10_ge_0.2' AS metric, TRUE AS ok
         |UNION ALL
         |SELECT 'pq_mse_below_half_dim_variance', TRUE
+        |ORDER BY metric""".stripMargin,
+
+    "q109b_ivf_adc_contract" ->
+      """SELECT 'ivf_adc_recall_at_10_vs_exact_ge_0.15' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'ivf_adc_recall_at_10_vs_full_adc_ge_0.6', TRUE
         |ORDER BY metric""".stripMargin,
 
     "q32b_sketch_bounds" ->

@@ -25,13 +25,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the
-    * nanos as long (legacy conf) and truncate to microsecond
-    * timestamps — the same truncation DuckDB applies, so oracle parity
-    * holds. The conf is needed only while the reader resolves the file
-    * schema, so it is saved/restored here rather than leaking a
-    * session-wide behavior change onto other nanos-timestamp reads.
+  /** The events table's `ts` column has shipped in two generations:
+    * parquet TIMESTAMP(NANOS) — which Spark 4 refuses to read as a
+    * timestamp ([PARQUET_TYPE_ILLEGAL]), so it is read as a nanos long
+    * (legacy conf) and truncated to microseconds, the same truncation
+    * DuckDB applies — and plain TIMESTAMP(MICROS), which reads
+    * natively (as NTZ; normalized to session-TZ TimestampType, a
+    * wall-clock no-op in the UTC sessions this library pins).
+    * [[normalizeEventTs]] branches on the LOADED dtype, so both
+    * generations produce the identical µs TimestampType column. The
+    * legacy conf is needed only while the reader resolves a nanos file
+    * schema (harmless otherwise), and is saved/restored here rather
+    * than leaking a session-wide behavior change onto other reads.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     withNanosAsLong(spark)(normalizeEventTs(load(spark, dir, "events")))
@@ -47,9 +52,20 @@ object Tables {
     }
   }
 
-  /** ns-epoch long → µs timestamp (floor division keeps ordering). */
+  /** `ts` → µs TimestampType, whatever generation the file is:
+    * ns-epoch long gets floor-divided to µs (ordering-preserving, the
+    * DuckDB truncation); native NTZ micros cast to session-TZ
+    * TimestampType (UTC sessions ⇒ same wall clock); already-TZ
+    * timestamps pass through.
+    */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Streaming view of the events table (same ns→µs normalization).
     * NOTE: the nanosAsLong conf must stay set for the stream's lifetime

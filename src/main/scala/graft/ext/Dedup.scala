@@ -339,7 +339,7 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, minPct: Int,
-      dfCap: Option[Int] = None): DataFrame =
+      dfCap: Option[Long] = None): DataFrame =
     containmentPairsWithHandle(df, idCol, textCol, shingleSize, minPct, dfCap)._1
 
   /** [[containmentPairs]] plus a [[CacheHandle]] over the shingle frame
@@ -349,7 +349,7 @@ object Dedup {
   def containmentPairsWithHandle(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, minPct: Int,
-      dfCap: Option[Int] = None): (DataFrame, CacheHandle) = {
+      dfCap: Option[Long] = None): (DataFrame, CacheHandle) = {
     require(minPct > 0 && minPct <= 100, "minPct must be in (0, 100]")
     dfCap.foreach(c => require(c > 0, "dfCap must be positive"))
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -519,8 +519,10 @@ object Dedup {
       textCol: String,
       n: Int,
       minDocs: Int = 2,
-      hashGrams: Boolean = false): DataFrame =
-    repeatedNgramSpansWithHandle(docs, idCol, textCol, n, minDocs, hashGrams)._1
+      hashGrams: Boolean = false,
+      keepFirst: Boolean = false): DataFrame =
+    repeatedNgramSpansWithHandle(
+      docs, idCol, textCol, n, minDocs, hashGrams, keepFirst)._1
 
   /** [[repeatedNgramSpans]] plus a [[CacheHandle]] over the positional
     * gram frame the operator persists internally: both the ≥ `minDocs`
@@ -537,7 +539,8 @@ object Dedup {
       textCol: String,
       n: Int,
       minDocs: Int = 2,
-      hashGrams: Boolean = false): (DataFrame, CacheHandle) = {
+      hashGrams: Boolean = false,
+      keepFirst: Boolean = false): (DataFrame, CacheHandle) = {
     require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
     val toks = docs.select(col(idCol).as("doc_id"),
       split(trim(col(textCol)), "\\s+").as("toks"))
@@ -555,12 +558,22 @@ object Dedup {
       .select(col("doc_id"), col("g.pos").as("pos"),
         (if (hashGrams) xxhash64(col("g.gram")) else col("g.gram")).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // keepFirst = the Lee-et-al. "keep one copy" policy: each repeated
+    // gram's LOWEST doc_id is its keeper — positions in the keeper doc
+    // are never flagged, so exactly one copy of every repeated span
+    // survives excision. The keeper rides the same aggregate (min
+    // beside countDistinct — no extra shuffle) and the same
+    // deterministic min-id keep-rule as the whole-document dedup
+    // family, so the policies compose.
     val repeated = grams
       .groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("__keeper"))
       .filter(col("nd") >= minDocs)
-      .select(col("gram"))
-    val flagged = grams.join(repeated, Seq("gram"))
+      .select(col("gram"), col("__keeper"))
+    val flagged0 = grams.join(repeated, Seq("gram"))
+    val flagged = (if (keepFirst) flagged0.filter(col("doc_id") =!= col("__keeper"))
+      else flagged0).drop("__keeper")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = flagged

@@ -169,8 +169,13 @@ object Features {
       .limit(math.max(100 * k, 200))
       .select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty input")
     val dim = sample.head.length
     require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    // a ragged corpus would otherwise die later in slice/zip with an
+    // opaque error — refuse it loudly at the sample
+    sample.find(_.length != dim).foreach(v => throw new IllegalArgumentException(
+      s"ragged vector dims in sample: saw both $dim and ${v.length}"))
     val sub = dim / m
 
     def l2(a: Array[Float], b: Array[Float]): Double = {
@@ -217,16 +222,20 @@ object Features {
     */
   def pqEncode(
       df: DataFrame, idCol: String, vecCol: String,
-      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]]): DataFrame = {
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
+      carryCols: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
-    df.select(col(idCol),
+    // carryCols ride the same map pass (e.g. the IVF `label` for
+    // ivfAdcTopK) — carrying them here costs nothing; joining them
+    // back later costs a keyed shuffle of the whole corpus
+    df.select((col(idCol) +: carryCols.map(col)) :+
       array((0 until m).map { j =>
         val cb = typedlit(codebooks(j))
         val sl = slice(col(vecCol), j * sub + 1, sub)
         val scores = transform(cb, c => negSquaredL2(sl, c))
         (array_position(scores, array_max(scores)) - 1).cast("int")
-      }: _*).as("codes"))
+      }: _*).as("codes"): _*)
   }
 
   /** Reconstruct vectors from PQ codes: concatenate each subspace's
@@ -250,22 +259,63 @@ object Features {
     * stays partitioned, queries broadcast, one per-query top-k window;
     * the corpus never rematerializes its float vectors.
     */
-  def pqAdcTopK(
-      codes: DataFrame, // (vec_id, codes)
-      queries: DataFrame, // (query_id, query_vec)
-      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
-      k: Int): DataFrame = {
+  /** The per-(query, codes-row) ADC score expression shared by
+    * [[pqAdcTopK]] and [[ivfAdcTopK]]:
+    * −Σⱼ‖qⱼ − centroidⱼ(codeⱼ)‖² over `query_vec` and `codes`.
+    */
+  private def adcScore(codebooks: IndexedSeq[IndexedSeq[Seq[Float]]]): Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
-    val score = (0 until m).map { j =>
+    (0 until m).map { j =>
       negSquaredL2(
         slice(col("query_vec"), j * sub + 1, sub),
         element_at(typedlit(codebooks(j)),
           element_at(col("codes"), j + 1) + 1))
     }.reduce(_ + _)
+  }
+
+  def pqAdcTopK(
+      codes: DataFrame, // (vec_id, codes)
+      queries: DataFrame, // (query_id, query_vec)
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
+      k: Int): DataFrame = {
     val scored = codes.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc_score", round(score, 6))
+      .withColumn("adc_score", round(adcScore(codebooks), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_score"), col("rank"))
+  }
+
+  /** IVF-ADC top-k — the `IndexIVFPQ` composition (Jégou et al. 2011;
+    * the shape FAISS ships as its default billion-scale index): the
+    * coarse quantizer ([[graft.ext.Similarity.kmeansLabels]] cells)
+    * restricts each query to its `nprobe` nearest cells, and the fine
+    * quantizer (PQ codes) ADC-scores ONLY those cells' rows — the
+    * corpus never rematerializes its float vectors AND never runs a
+    * full scan.
+    *
+    * 100 TB posture: the code table stays hash-partitioned by `label`
+    * (at rest: partitioned storage, so probing prunes partitions at
+    * the scan); the probe table is O(queries × nprobe) and broadcasts;
+    * scoring touches ~nprobe/k_coarse of the corpus as a map pass over
+    * 8-byte-per-row codes (not wide float vectors); the only shuffle
+    * left is the per-query top-k window, sized by query count.
+    */
+  def ivfAdcTopK(
+      codes: DataFrame, // (vec_id, label, codes) — pqEncode ⋈ kmeansLabels
+      centroids: DataFrame, // (label, centroid) — Similarity.clusterCentroids
+      queries: DataFrame, // (query_id, query_vec)
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val probed = graft.ext.Similarity.probeCells(centroids, queries, nprobe)
+    val scored = codes.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_score", round(adcScore(codebooks), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("vec_id").asc)

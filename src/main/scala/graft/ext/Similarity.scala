@@ -233,6 +233,7 @@ object Similarity {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
+    require(sample.nonEmpty, "cannot seed k-means from an empty input")
     val init = scala.collection.mutable.ArrayBuffer(sample.head)
     while (init.size < math.min(k, sample.length)) {
       init += sample.minBy(v => init.map(c => cosLocal(v, c)).max)
@@ -294,28 +295,43 @@ object Similarity {
     * hash-partitioned by cluster; only ~nprobe/nclusters of it is read
     * per query batch, and the centroid table (tiny) broadcasts.
     */
+  /** Per-cluster centroid table from a labeled corpus: positional mean
+    * via posexplode → regroup. O(k) output rows — the broadcastable
+    * coarse-quantizer table both [[ivfTopK]] and
+    * [[graft.ext.Features.ivfAdcTopK]] probe.
+    */
+  def clusterCentroids(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), _.getField("m")).as("centroid"))
+
+  /** The `nprobe` nearest cluster cells per query (tiny cross join —
+    * both sides are broadcast-scale): (query_id, query_vec, label).
+    */
+  def probeCells(
+      centroids: DataFrame, // (label, centroid)
+      queries: DataFrame, // (query_id, query_vec)
+      nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("label").asc)
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(cosine(col("query_vec"), col("centroid")), 6))
+      .withColumn("c_rank", row_number().over(wProbe))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("label"))
+  }
+
   def ivfTopK(
       embeddings: DataFrame, // (vec_id, embedding, label)
       queries: DataFrame, // (query_id, query_vec)
       k: Int,
       nprobe: Int,
       scorer: (Column, Column) => Column = cosine): DataFrame = {
-    // centroid per cluster: positional mean via posexplode → regroup
-    val centroids = embeddings
-      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label"), transform(col("pm"), _.getField("m")).as("centroid"))
-
-    // nprobe nearest clusters per query (tiny cross join, broadcast both)
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_sim").desc, col("label").asc)
-    val probed = queries.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", round(cosine(col("query_vec"), col("centroid")), 6))
-      .withColumn("c_rank", row_number().over(wProbe))
-      .filter(col("c_rank") <= nprobe)
-      .select(col("query_id"), col("query_vec"), col("label"))
+    val centroids = clusterCentroids(embeddings)
+    val probed = probeCells(centroids, queries, nprobe)
 
     // exact search restricted to probed clusters
     val scored = embeddings.join(broadcast(probed), Seq("label"))

@@ -315,7 +315,7 @@ object Text {
     */
   def tfidfCosinePairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, dfCap: Option[Int] = None): DataFrame =
+      threshold: Double, dfCap: Option[Long] = None): DataFrame =
     tfidfCosinePairsWithHandle(docs, idCol, textCol, threshold, dfCap)._1
 
   /** [[tfidfCosinePairs]] plus a [[graft.ext.CacheHandle]] over the
@@ -326,7 +326,7 @@ object Text {
     */
   def tfidfCosinePairsWithHandle(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, dfCap: Option[Int] = None): (DataFrame, CacheHandle) = {
+      threshold: Double, dfCap: Option[Long] = None): (DataFrame, CacheHandle) = {
     dfCap.foreach(c => require(c > 0, "dfCap must be positive"))
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(lower(trim(col(textCol))))).as("term"))

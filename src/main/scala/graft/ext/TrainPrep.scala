@@ -293,15 +293,37 @@ object TrainPrep {
       textCol: String,
       n: Int,
       expectedItems: Long = 1000000L,
-      numBits: Long = 8388608L): DataFrame = {
+      numBits: Long = 8388608L): DataFrame =
+    decontaminateTwoStageWithHandle(
+      corpus, benchmark, idCol, textCol, n, expectedItems, numBits)._1
+
+  /** [[decontaminateTwoStage]] plus a [[CacheHandle]] over the
+    * bloom flag frame the operator persists internally: BOTH the
+    * candidate semi-join and the final outer join consume it, and
+    * without the persist the stage-1 probe — tokenize + shingle-hash
+    * over the ENTIRE corpus — executes twice per action, undercutting
+    * the operator's sub-linear pitch. Long-lived sessions should
+    * `unpersist()` the handle after the terminal action (the contract
+    * of [[Dedup.containmentPairsWithHandle]]).
+    */
+  def decontaminateTwoStageWithHandle(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): (DataFrame, CacheHandle) = {
     val flags = bloomContaminatedDocs(
       corpus, benchmark, idCol, textCol, n, expectedItems, numBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = corpus.join(flags.filter(col("flagged")),
       corpus(idCol) === flags("doc_id"), "left_semi")
     val verdict = contaminatedDocsHashed(candidates, benchmark, idCol, textCol, n)
-    flags.join(verdict, Seq("doc_id"), "left_outer")
+    val out = flags.join(verdict, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    (out, new CacheHandle(Seq(flags)))
   }
 
   /** Per-group token-budget fill: within each `groupCol`, admit
@@ -417,7 +439,12 @@ object TrainPrep {
     require(!df.columns.exists(
       Set("running_tokens", "admitted", "__qb", "__qb_offset", "__qb_lo", "__qb_hi")),
       "input must not already contain running_tokens/admitted/__qb* columns")
-    val q = col(qualityCol).cast("double")
+    // NULL/NaN quality normalizes to −∞ (worst) BEFORE bucketing — the
+    // range join would otherwise match such rows to no bucket and they
+    // would VANISH from the output, unlike the per-group form whose
+    // window keeps every row (desc-order nulls-last, the same rank)
+    val q = nanvl(coalesce(col(qualityCol).cast("double"),
+      lit(Double.NegativeInfinity)), lit(Double.NegativeInfinity))
     // 1. boundary cuts from the sketch: ONE aggregation job collects
     // the O(k·levels) flattened sketch (the same driver-hop class as
     // the bloom filter bytes) and the quantile walk runs in plain
@@ -473,8 +500,13 @@ object TrainPrep {
           org.apache.spark.sql.types.DoubleType, nullable = false),
         org.apache.spark.sql.types.StructField("__qb_hi",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
+    // half-open (lo, hi] ranges, EXCEPT the bottom bucket which closes
+    // at −∞ so the normalized worst-quality rows land there instead of
+    // falling through every range
     val bucketed = df
-      .join(broadcast(ranges), q > col("__qb_lo") && q <= col("__qb_hi"))
+      .join(broadcast(ranges), q <= col("__qb_hi") && (q > col("__qb_lo") ||
+        (q === lit(Double.NegativeInfinity) &&
+          col("__qb_lo") === lit(Double.NegativeInfinity))))
       .drop("__qb_lo", "__qb_hi")
     val offsets = bucketed.groupBy(col("__qb"))
       .agg(sum(col(tokenCol)).as("__qb_tokens"))
@@ -483,9 +515,13 @@ object TrainPrep {
           Window.orderBy(col("__qb").asc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__qb"), col("__qb_offset"))
-    // 3. within-bucket running + exact cross-bucket offset
+    // 3. within-bucket running + exact cross-bucket offset. Order by
+    // the NORMALIZED quality: Spark sorts NaN above every double, so a
+    // raw desc order would rank NaN best within its bucket while the
+    // bucketing ranked it worst — the normalized view is monotone with
+    // the bucket assignment (ties broken by id)
     val w = Window.partitionBy(col("__qb"))
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .orderBy(q.desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     bucketed.join(broadcast(offsets), Seq("__qb"))
       .withColumn("running_tokens", col("__qb_offset") + sum(col(tokenCol)).over(w))
@@ -703,15 +739,26 @@ object TrainPrep {
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
+      n: Int,
+      hashShingles: Boolean = false): DataFrame = {
+    // hashShingles: join on 8-byte xxhash64 keys instead of n-token
+    // strings (the q102b/repeatedNgramSpans pattern) — at a real
+    // benchmark-suite size the broadcast table and every key compare
+    // shrink ~10×; distinct-shared counts are preserved because
+    // hashing a distinct shingle set stays distinct (a 64-bit
+    // collision needs ~5·10⁹ distinct grams for a 50% chance of ONE
+    // miscount). The exact string form is the oracle-checked verifier.
+    def key(c: Column): Column = if (hashShingles) xxhash64(c) else c
     val bench = broadcast(benchmark
       .select(col(idCol).as("bench_id"),
-        explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+        explode(Dedup.wordShingles(col(textCol), n)).as("__s"))
+      .select(col("bench_id"), key(col("__s")).as("sh"))
       .distinct())
     val docs = corpus
       .select(col(idCol).as("doc_id"), Dedup.wordShingles(col(textCol), n).as("__sh"))
       .select(col("doc_id"), size(col("__sh")).as("doc_shingles"),
-        explode(col("__sh")).as("sh"))
+        explode(col("__sh")).as("__s"))
+      .select(col("doc_id"), col("doc_shingles"), key(col("__s")).as("sh"))
     docs.join(bench, Seq("sh"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy(col("doc_id"), col("bench_id"))

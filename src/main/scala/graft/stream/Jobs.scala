@@ -452,6 +452,57 @@ object Jobs {
       runToMemorySink(spark, curated, "graft_stream_curate")
     }
 
+  /** INCREMENTAL PLAN RECOMPUTE — the streaming twin of the
+    * corpus-global TrainPrep plans (epoch materialization, token
+    * sharding): a mixture/shard plan is a property of the WHOLE corpus
+    * (every document's repeat count and shard offset can shift when
+    * new documents land), so the correct incremental form is not
+    * per-row state but snapshot maintenance: each micro-batch appends
+    * to a versioned corpus snapshot and re-derives the full plan from
+    * it, publishing plan v=batchId. Because every plan operator is
+    * deterministic in corpus CONTENT (md5 orders, no RNG, no
+    * arrival-order dependence), the final published plan is
+    * bit-identical to the batch computation over the same corpus —
+    * which is exactly what q104b/q105b hash-check against the batch
+    * oracles.
+    *
+    * 100 TB posture: recompute cost is O(corpus) per trigger — at
+    * scale the trigger cadence is the dial (recompute at epoch/shard-
+    * publish boundaries, not per-arrival; the snapshot append itself
+    * stays O(batch)). The versioned corpus/plan layout is the
+    * crash-safe publish pattern of [[runChangelogStream]]: a resumed
+    * checkpoint continues from the highest published version.
+    */
+  def runPlanRecomputeStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      workDir: String,
+      planOf: DataFrame => DataFrame): DataFrame = {
+    var lastV = publishedVersion(spark, s"$workDir/plan")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev =
+          if (lastV < 0) batch.limit(0)
+          else spark.read.parquet(s"$workDir/corpus/v=$lastV")
+        prev.unionByName(batch)
+          .write.mode("overwrite").parquet(s"$workDir/corpus/v=$batchId")
+        planOf(spark.read.parquet(s"$workDir/corpus/v=$batchId"))
+          .write.mode("overwrite").parquet(s"$workDir/plan/v=$batchId")
+        lastV = batchId
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(lastV >= 0, s"no input files found under $inputDir")
+    spark.read.parquet(s"$workDir/plan/v=$lastV")
+  }
+
   def runRoutingStream(
       spark: SparkSession,
       inputDir: String,

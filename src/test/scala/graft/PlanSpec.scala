@@ -292,13 +292,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q103/q106: span excision and contamination report stay hash-join shaped") {
-    val excise = plan("q103_excise_spans")
-    assert(!excise.contains("CartesianProduct") &&
-      !excise.contains("BroadcastNestedLoopJoin"), excise)
-    val report = plan("q106_contamination_report")
-    assert(!report.contains("CartesianProduct"), report)
-    // the benchmark shingle table broadcasts; the corpus side streams
-    assert(report.contains("BroadcastHashJoin"), report)
+    // keep-one excision adds only the keeper filter — same plan family
+    for (q <- Seq("q103_excise_spans", "q103b_excise_keep_one")) {
+      val excise = plan(q)
+      assert(!excise.contains("CartesianProduct") &&
+        !excise.contains("BroadcastNestedLoopJoin"), s"$q\n$excise")
+    }
+    // hashed keys change the join key width, not the plan shape: the
+    // benchmark shingle table broadcasts, the corpus side streams, and
+    // the pair count partial-aggregates before its exchange
+    for (q <- Seq("q106_contamination_report", "q106b_contamination_hashed")) {
+      val report = plan(q)
+      assert(!report.contains("CartesianProduct"), s"$q\n$report")
+      assert(report.contains("BroadcastHashJoin"), s"$q\n$report")
+      assert(report.contains("HashAggregate"), s"$q\n$report")
+    }
   }
 
   test("q107: PQ encode is a map pass — codebooks ride as literals, no join on the vector side") {
@@ -306,6 +314,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
     // one scan, one projection, the output sort — nothing else
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("q109: IVF-ADC scores only probed cells via a broadcast cell join — no full-corpus cross join") {
+    val p = plan("q109_ivf_adc_topk")
+    // the (query, cell) probe table broadcasts onto the label-keyed
+    // code table; the only cross joins are the tiny query × centroid
+    // probe (both broadcast-scale) — the corpus side never cartesians
+    assert(p.contains("BroadcastHashJoin [label"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q104: epoch plan broadcasts the O(#groups) targets — no cartesian, keyed window") {

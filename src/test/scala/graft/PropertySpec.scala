@@ -364,6 +364,18 @@ class PropertySpec extends SparkSpec {
       docs.foreach { case (id, _) =>
         assert(removed(id) == expected.getOrElse(id, 0L), s"sample $i doc $id")
       }
+      // keepFirst flags a SUBSET of the full positions (keeper copies
+      // spared), and the globally lowest doc id is never flagged (it is
+      // keeper of every gram it repeats)
+      val keepPos = graft.ext.Dedup
+        .repeatedNgramSpans(df, "doc_id", "text", n, 2, keepFirst = true)
+        .as[(Long, Int, Int, Long)].collect()
+        .flatMap { case (id, s, e, _) => (s to e).map(id -> _) }.toSet
+      val fullPos = spans
+        .flatMap { case (id, s, e, _) => (s to e).map(id -> _) }.toSet
+      assert(keepPos.subsetOf(fullPos), s"sample $i keepFirst not a subset")
+      val minId = docs.map(_._1).min
+      assert(!keepPos.exists(_._1 == minId), s"sample $i min doc flagged")
     }
   }
 

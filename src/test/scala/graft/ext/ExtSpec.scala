@@ -337,6 +337,34 @@ class ExtSpec extends SparkSpec {
     assert(fOut.toSeq == Seq((1L, "", 4L), (2L, "", 4L)))
   }
 
+  test("repeatedNgramSpans keepFirst: min-id doc keeps its copy, others excise") {
+    val docs = Seq(
+      (1L, "a b c d e f x1 y1 p q r s1 t1"),
+      (2L, "a b c d e f x2 y2 p q r s2 t2"),
+      (3L, "u v w m n o k1 k2 k3 k4 k5 k6 k7")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 3,
+      minDocs = 2, keepFirst = true)
+      .select("doc_id", "start_tok", "end_tok", "n_grams")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // doc 1 is every shared gram's min-id keeper → only doc 2 is flagged
+    assert(spans == Set((2L, 0, 5, 4L), (2L, 8, 10, 1L)), s"got $spans")
+    val out = Dedup.exciseSpans(docs,
+      Dedup.repeatedNgramSpans(docs, "doc_id", "text", 3, 2, keepFirst = true),
+      "doc_id", "text")
+      .select("doc_id", "text", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // exactly ONE copy of each repeated passage survives (in doc 1)
+    assert(out(0) == ((1L, "a b c d e f x1 y1 p q r s1 t1", 0L)))
+    assert(out(1) == ((2L, "x2 y2 s2 t2", 9L)))
+    assert(out(2) == ((3L, "u v w m n o k1 k2 k3 k4 k5 k6 k7", 0L)))
+    // keepFirst composes with hashGrams: identical spans
+    val hashed = Dedup.repeatedNgramSpans(docs, "doc_id", "text", 3, 2,
+      hashGrams = true, keepFirst = true)
+      .select("doc_id", "start_tok", "end_tok", "n_grams")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(hashed == spans)
+  }
+
   test("kmeans literal and broadcast assignment paths agree exactly") {
     graft.ext.VectorKernels.register(spark)
     val vecs = (0 until 90).map(i =>
@@ -497,11 +525,11 @@ class ExtSpec extends SparkSpec {
     assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
     // dfCap drops terms with df > cap from the index: with cap 1 no
     // term is shared, so no pair survives
-    val capped = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.0, dfCap = Some(1))
+    val capped = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.0, dfCap = Some(1L))
     assert(capped.count() == 0)
     // norms stay full-universe, so a capped score is a LOWER bound of
     // the true cosine — the cap can miss pairs, never inflate one
-    val capped2 = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.0, dfCap = Some(2))
+    val capped2 = Text.tfidfCosinePairs(docs, "doc_id", "text", 0.0, dfCap = Some(2L))
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
     capped2.foreach { case (k, v) => assert(v <= pairs(k) + 1e-9, k.toString) }
   }
@@ -641,7 +669,7 @@ class ExtSpec extends SparkSpec {
       (4L, "x y z t u v")
     ).toDF("doc_id", "text")
     val capped = Dedup.containmentPairs(docs, "doc_id", "text",
-      shingleSize = 3, minPct = 50, dfCap = Some(3))
+      shingleSize = 3, minPct = 50, dfCap = Some(3L))
       .select(col("id_a"), col("id_b"), col("containment"))
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
     // the only shingle every doc shares ("x y z") has df 4 > cap → the

@@ -151,6 +151,42 @@ class FeaturesSpec extends SparkSpec {
     assert(cell.subsetOf(top), s"cell $cell not in top $top")
   }
 
+  test("IVF-ADC on planted clusters: probed-cell search matches full-scan ADC") {
+    // 4 fully separated clusters (pairwise cos 0 — the same pattern in
+    // BOTH subspaces), so the coarse quantizer's assignment is
+    // unambiguous and nprobe = 1 provably covers each query's true
+    // neighborhood
+    val patterns = IndexedSeq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val rnd = new scala.util.Random(11)
+    val planted = (0 until 80).map { i =>
+      val a = i % 4
+      (i.toLong,
+        (patterns(a) ++ patterns(a)).map(x => x + 0.1f * (rnd.nextFloat() - 0.5f)))
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val clustered = graft.ext.Similarity.kmeansLabels(
+      df, "vec_id", "embedding", k = 4, iters = 4)
+    val cbs = Features.pqTrainCodebooks(df, "vec_id", "embedding", m = 2, k = 4, iters = 4)
+    val codes = Features.pqEncode(clustered, "vec_id", "embedding", cbs,
+      carryCols = Seq("label"))
+    // carryCols kept the label without a join
+    assert(codes.columns.toSeq == Seq("vec_id", "label", "codes"))
+    val queries = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivfAdc = Features.ivfAdcTopK(codes,
+      graft.ext.Similarity.clusterCentroids(clustered), queries, cbs,
+      k = 5, nprobe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // nprobe = 1 on perfectly separated clusters loses nothing: the
+    // full-scan ADC top-5 and the IVF-restricted top-5 agree
+    val fullAdc = Features.pqAdcTopK(
+      codes.select(col("vec_id"), col("codes")), queries, cbs, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivfAdc == fullAdc, s"ivf=$ivfAdc full=$fullAdc")
+  }
+
   test("constant dimension scales to NULL, not an arbitrary constant") {
     val const = Seq((1L, Array(5.0f, 1.0f)), (2L, Array(5.0f, 3.0f))).toDF("id", "vec")
     val r = Features.minMaxScaleRows(const, "id", "vec",

@@ -107,6 +107,12 @@ class TrainPrepSpec extends SparkSpec {
     val flagged = TrainPrep.contaminatedDocs(corpus, bench, "doc_id", "text", 5)
       .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
     assert(report.map(_._1) == flagged)
+    // hashed join keys change nothing (the q102b xxhash64 pattern)
+    val hashed = TrainPrep.contaminationReport(corpus, bench, "doc_id", "text", 5,
+      hashShingles = true)
+      .select("doc_id", "bench_id", "n_shared", "doc_shingles")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(hashed == report)
   }
 
   test("weightedSample: deterministic, exact-k, and weight-biased") {

@@ -1,12 +1,23 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py [sf_dir] [out_dir] [--skip-verify]
+Usage: python3 tools/check_oracle.py [sf_dir[,sf_dir2,...]] [out_dir] [--skip-verify]
 
 Runs graft.Verify (unless --skip-verify), then for each query parquet in
 out_dir, runs the matching oracle SQL in DuckDB (tables registered as
 views over sf_dir/*.parquet) and compares: row count, column names
 (sorted), and values (column-sorted, row-order as produced).
+
+THE GATE IS THREE SCALE FACTORS, not one: pass a comma-separated sf_dir
+list (each gets its own out_dir suffix) —
+
+    python3 tools/check_oracle.py \\
+        /root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1
+
+The sf0.001 leg is NOT redundant with the bigger ones: scale-DOWN
+robustness catches a different bug class (round 7's q32b value-vs-rank
+sketch bound only failed there, where sketches are exact and tiny-corpus
+edge cases bind). Run all three before claiming a round green.
 """
 import glob
 import json
@@ -44,9 +55,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+def check_one(sf_dir, out_dir):
     if "--skip-verify" not in sys.argv:
         run_verify(sf_dir, out_dir)
 
@@ -101,8 +110,19 @@ def main():
             continue
         print(f"PASS  {name}: rows={len(g)}")
         n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_nosql} rows-only")
-    sys.exit(1 if n_fail else 0)
+    print(f"\n[{sf_dir}] {n_pass} pass, {n_fail} fail, {n_nosql} rows-only")
+    return n_fail
+
+
+def main():
+    sf_dirs = (sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01").split(",")
+    out_base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    total_fail = 0
+    for sf_dir in sf_dirs:
+        out_dir = out_base if len(sf_dirs) == 1 \
+            else out_base + "_" + os.path.basename(sf_dir.rstrip("/"))
+        total_fail += check_one(sf_dir, out_dir)
+    sys.exit(1 if total_fail else 0)
 
 
 if __name__ == "__main__":
