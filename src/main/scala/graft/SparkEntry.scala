@@ -2585,6 +2585,156 @@ object SparkEntry {
       .toDF("metric", "ok").orderBy(col("metric"))
   }
 
+  /** Exact re-rank of ADC candidates — the FAISS `IndexRefineFlat`
+    * stage ([[graft.ext.Features.refineTopK]]): ADC proposes C = 30
+    * candidates per query, their full-precision vectors (and ONLY
+    * theirs) are fetched by an id-keyed join and exactly re-scored,
+    * top 10 by exact L2 survive. Three hash-checked contract rows:
+    * the subset row and the ≥-ADC row are THEOREMS of the
+    * construction under the shared (rounded score desc, id asc)
+    * ordering — every exact-top-10 member the raw ADC@10 finds has at
+    * most 9 candidates beating it exactly, so refinement can only add
+    * recall, never lose it — and the absolute row pins the measured
+    * end-to-end recall (isotropic corpus, ANN worst case; ADC@10
+    * alone measures 0.46/0.43/0.26 at sf0.001/0.01/0.1, refined
+    * 0.79/0.70/0.54 — `tools/AnnProbe` reprints these) with margin.
+    */
+  def q110AdcRefineContract(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    val codes = graft.ext.Features.pqEncode(base, "vec_id", "embedding", cbs)
+    val queries = embQueries(spark, dir)
+    val cands = graft.ext.Features.pqAdcTopK(codes, queries, cbs, 30)
+    val refined = graft.ext.Features.refineTopK(
+      cands, base, queries, "embedding", k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val adc10 = cands.filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopK(queries, base, 10,
+      scorer = (a, b) => graft.ext.Features.negSquaredL2(a, b))
+      .select(col("query_id"), col("vec_id"))
+    val keys = Seq("query_id", "vec_id")
+    val subsetOk = refined.join(cands.select(keys.map(col): _*), keys)
+      .count() == refined.count()
+    val nExact = exact.count().toDouble
+    val recallRefined = exact.join(refined, keys).count() / nExact
+    val recallAdc = exact.join(adc10, keys).count() / nExact
+    import spark.implicits._
+    Seq(
+      ("refined_is_subset_of_candidates", subsetOk),
+      ("refined_recall_ge_raw_adc_recall", recallRefined >= recallAdc),
+      ("refined_recall_at_10_ge_0.3", recallRefined >= 0.3))
+      .toDF("metric", "ok").orderBy(col("metric"))
+  }
+
+  /** Persisted IVF-PQ index roundtrip ([[graft.ext.AnnIndex]]): build
+    * the index, WRITE it (codes `partitionBy(label)`, centroid and
+    * codebook side tables), READ it back in a fresh scan, search, and
+    * pin that the on-disk search is row-identical to the in-memory
+    * one — floats roundtrip parquet bit-exactly, so scores match to
+    * the last ulp, not just ids. The label-partitioned layout is the
+    * 100 TB point: the probe join keys on the partition column, so
+    * Spark's dynamic partition pruning reads only the probed cells'
+    * files (pinned in PlanSpec) — search IO is ~nprobe/k_coarse of
+    * the index, decided at the SCAN.
+    */
+  def q111AnnIndexRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val clustered = Similarity.kmeansLabels(base, "vec_id", "embedding",
+      k = 10, iters = 3, scorer = graft.ext.VectorKernels.cosineF)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    val codes = graft.ext.Features.pqEncode(
+      clustered, "vec_id", "embedding", cbs, carryCols = Seq("label"))
+    val centroids = Similarity.clusterCentroids(clustered)
+    val queries = embQueries(spark, dir)
+    val mem = Features.ivfAdcTopK(codes, centroids, queries, cbs,
+      k = 10, nprobe = 3)
+    val tmp = tempDir("graft-q111")
+    graft.ext.AnnIndex.write(codes, centroids, cbs, tmp)
+    val idx = graft.ext.AnnIndex.read(spark, tmp)
+    val disk = graft.ext.AnnIndex.searchTopK(idx, queries, k = 10, nprobe = 3)
+    val cols = Seq("query_id", "vec_id", "adc_score", "rank").map(col)
+    val same = disk.select(cols: _*).exceptAll(mem.select(cols: _*)).isEmpty &&
+      mem.select(cols: _*).exceptAll(disk.select(cols: _*)).isEmpty
+    import spark.implicits._
+    Seq(
+      ("codebooks_roundtrip_bit_exact", idx.codebooks == cbs),
+      ("disk_search_equals_memory_search", same))
+      .toDF("metric", "ok").orderBy(col("metric"))
+  }
+
+  /** Streaming index ingest — FAISS `add` as a stream
+    * ([[graft.stream.Jobs.runIndexIngestStream]]): quantizers are
+    * trained once and FROZEN, then the corpus arrives in 4
+    * micro-batches, each assigned + PQ-encoded map-only and appended
+    * to the label-partitioned code table with per-batch idempotent
+    * overwrite. Because assignment and encoding are deterministic per
+    * row, the streamed index must be BIT-EQUAL to the batch build
+    * with the same frozen quantizers — the contract checks the row
+    * count AND that a full IVF-ADC search over the streamed index
+    * returns row-identical results to the batch index's.
+    */
+  def q113StreamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.trainKmeansCentroids(base, "vec_id", "embedding",
+      k = 10, iters = 3, scorer = graft.ext.VectorKernels.cosineF)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    // batch referee: same frozen quantizers, one shot
+    val batchCodes = graft.ext.Features.pqEncode(
+      Similarity.assignCells(base, "vec_id", "embedding", centroids,
+        scorer = graft.ext.VectorKernels.cosineF),
+      "vec_id", "embedding", cbs, carryCols = Seq("label"))
+    val batchDir = tempDir("graft-q113-batch")
+    graft.ext.AnnIndex.write(batchCodes,
+      graft.ext.AnnIndex.centroidTable(spark, centroids), cbs, batchDir)
+    // streamed build: 4 micro-batches through the ingest job
+    val tmp = tempDir("graft-q113")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => base.filter(pmod(col("vec_id"), lit(4)) === i)), tmp)
+    val streamDir = s"$tmp/index"
+    graft.stream.Jobs.runIndexIngestStream(spark, in, base.schema,
+      "vec_id", "embedding", centroids, cbs, streamDir,
+      scorer = graft.ext.VectorKernels.cosineF)
+    val batchIdx = graft.ext.AnnIndex.read(spark, batchDir)
+    val streamIdx = graft.ext.AnnIndex.read(spark, streamDir)
+    val queries = embQueries(spark, dir)
+    val cols = Seq("query_id", "vec_id", "adc_score", "rank").map(col)
+    val a = graft.ext.AnnIndex.searchTopK(batchIdx, queries, k = 10, nprobe = 3)
+      .select(cols: _*)
+    val b = graft.ext.AnnIndex.searchTopK(streamIdx, queries, k = 10, nprobe = 3)
+      .select(cols: _*)
+    val sameSearch = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val sameRows = streamIdx.codes.count() == batchIdx.codes.count()
+    import spark.implicits._
+    Seq(
+      ("streamed_index_row_count_matches_batch", sameRows),
+      ("streamed_index_search_equals_batch_search", sameSearch))
+      .toDF("metric", "ok").orderBy(col("metric"))
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023) over the corpus
+    * with the English src1/src2 slice as the target domain: hashed
+    * bigram bag-of-buckets (portable md5-prefix buckets, 4096),
+    * add-one-smoothed log p̂_target/p̂_corpus, summed per doc — the
+    * classifier-free "make the corpus look like the target" scorer;
+    * [[graft.ext.TrainPrep.weightedSample]]-composable. Fully
+    * oracle-checked: every count, bucket, and log-ratio reproduces
+    * bit-for-bit in the oracle engine.
+    */
+  def q112DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val target = docs.filter(col("lang") === "en" &&
+      col("source").isin("src1", "src2"))
+    graft.ext.TrainPrep.dsirLogWeights(docs, "doc_id", "text", target, n = 2)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2707,6 +2857,10 @@ object SparkEntry {
     "q108_stream_curate" -> (q108StreamCurate _),
     "q109_ivf_adc_topk" -> (q109IvfAdcTopK _),
     "q109b_ivf_adc_contract" -> (q109bIvfAdcContract _),
+    "q110_adc_refine" -> (q110AdcRefineContract _),
+    "q111_ann_index_roundtrip" -> (q111AnnIndexRoundtrip _),
+    "q112_dsir_weights" -> (q112DsirWeights _),
+    "q113_stream_index_ingest" -> (q113StreamIndexIngest _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2730,7 +2884,8 @@ object SparkEntry {
     "q18c_window_stream", "q19_stream_validate", "q19b_stateful_edges",
     "q19c_stateful_tws", "q55_stream_dedup", "q62_ss_join",
     "q70_session_stream", "q96_stream_cdc", "q99_stream_throttle",
-    "q104b_mixture_stream", "q105b_shard_stream", "q108_stream_curate")
+    "q104b_mixture_stream", "q105b_shard_stream", "q108_stream_curate",
+    "q113_stream_index_ingest")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -4633,6 +4788,58 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'ivf_adc_recall_at_10_vs_full_adc_ge_0.6', TRUE
         |ORDER BY metric""".stripMargin,
+
+    "q110_adc_refine" ->
+      """SELECT 'refined_is_subset_of_candidates' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'refined_recall_ge_raw_adc_recall', TRUE
+        |UNION ALL
+        |SELECT 'refined_recall_at_10_ge_0.3', TRUE
+        |ORDER BY metric""".stripMargin,
+
+    "q111_ann_index_roundtrip" ->
+      """SELECT 'codebooks_roundtrip_bit_exact' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'disk_search_equals_memory_search', TRUE
+        |ORDER BY metric""".stripMargin,
+
+    "q113_stream_index_ingest" ->
+      """SELECT 'streamed_index_row_count_matches_batch' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'streamed_index_search_equals_batch_search', TRUE
+        |ORDER BY metric""".stripMargin,
+
+    "q112_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+        |  FROM tok WHERE len(t) >= 2),
+        |bkt AS (
+        |  SELECT doc_id, substring(md5(gram), 1, 3) AS b FROM g),
+        |db AS (
+        |  SELECT doc_id, b, count(*) AS cnt FROM bkt GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT b, sum(cnt) AS cc FROM db GROUP BY 1),
+        |tgt AS (
+        |  SELECT bkt.b, count(*) AS tc
+        |  FROM bkt JOIN documents d USING (doc_id)
+        |  WHERE d.lang = 'en' AND d.source IN ('src1', 'src2')
+        |  GROUP BY 1),
+        |ratios AS (
+        |  SELECT cb.b,
+        |         ln((coalesce(tc, 0) + 1) /
+        |            ((SELECT sum(tc) FROM tgt) + 4096.0)) -
+        |         ln((cc + 1) / ((SELECT sum(cc) FROM cb) + 4096.0)) AS lr
+        |  FROM cb LEFT JOIN tgt USING (b)),
+        |lw AS (
+        |  SELECT doc_id, sum(cnt * lr) AS w
+        |  FROM db JOIN ratios USING (b) GROUP BY 1)
+        |SELECT d.doc_id, round(coalesce(w, 0.0), 4) AS dsir_log_weight
+        |FROM documents d LEFT JOIN lw USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok

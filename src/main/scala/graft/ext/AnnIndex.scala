@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index: the build-once / search-many shape every
+  * production ANN deployment uses (FAISS serializes an `IndexIVFPQ`
+  * to one file; at Spark scale the index IS a partitioned table).
+  *
+  * On-disk layout under `dir`:
+  *  - `codes/` — parquet `partitionBy("label")`: (vec_id, codes)
+  *    under `label=<cell>/` directories. This is the load-bearing
+  *    choice: [[Features.ivfAdcTopK]] joins the code table to the
+  *    broadcast probe list ON `label`, so against a label-partitioned
+  *    scan Spark inserts a dynamic-partition-pruning filter (pinned
+  *    in PlanSpec) and a search with `nprobe` of `k` cells READS only
+  *    ~nprobe/k of the index from storage — the property that turns
+  *    a 100 TB corpus search into a bounded IO job. No engine-managed
+  *    cache or service: any session that can read the directory can
+  *    search it.
+  *  - `centroids/` — parquet: (label, centroid) — O(k_coarse) rows.
+  *  - `codebooks/` — parquet: (subspace, code, centroid) — O(m·k)
+  *    rows. Floats roundtrip parquet bit-exactly, so a reloaded index
+  *    scores IDENTICALLY to the in-memory one (the q110b equality
+  *    contract).
+  */
+object AnnIndex {
+
+  /** A loaded index: the code table stays a (lazy, partition-pruned)
+    * DataFrame; only the tiny codebook table is materialized
+    * driver-side (m·k rows — bounded by construction, the same
+    * disclosed driver-hop class as the k-means sample).
+    */
+  final case class Loaded(
+      codes: DataFrame, // (vec_id, codes, label) — partition-pruned scan
+      centroids: DataFrame, // (label, centroid)
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]])
+
+  /** The (label, centroid) probe table for a frozen coarse quantizer
+    * ([[graft.ext.Similarity.trainKmeansCentroids]] output).
+    */
+  def centroidTable(
+      spark: SparkSession, centroids: IndexedSeq[Seq[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, l) => (l, c) }
+      .toDF("label", "centroid")
+  }
+
+  /** Persist just the two frozen quantizer side tables — the part of
+    * [[write]] a streaming ingest needs up front, before any codes
+    * exist ([[graft.stream.Jobs.runIndexIngestStream]]).
+    */
+  def writeQuantizers(
+      spark: SparkSession,
+      centroids: IndexedSeq[Seq[Float]],
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
+      dir: String): Unit = {
+    import spark.implicits._
+    centroidTable(spark, centroids)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) => (j, code, c) }
+    }.toDF("subspace", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  def write(
+      codes: DataFrame, // (vec_id, label, codes)
+      centroids: DataFrame, // (label, centroid)
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
+      dir: String): Unit = {
+    codes.select(col("vec_id"), col("codes"), col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$dir/codes")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) => (j, code, c) }
+    }.toDF("subspace", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  def read(spark: SparkSession, dir: String): Loaded = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("subspace"), col("code"), col("centroid"))
+      .collect() // O(m·k) — bounded by the index geometry, not the corpus
+    val codebooks = rows.groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toIndexedSeq
+      }
+    Loaded(codes, centroids, codebooks)
+  }
+
+  /** IVF-ADC search over a loaded index — delegates to
+    * [[Features.ivfAdcTopK]]; the probe-side broadcast join on the
+    * partition column is what lets the on-disk form prune cells at
+    * the SCAN (DPP), not just at the join.
+    */
+  def searchTopK(index: Loaded, queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+    Features.ivfAdcTopK(index.codes, index.centroids, queries,
+      index.codebooks, k, nprobe)
+}

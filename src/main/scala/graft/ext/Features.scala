@@ -323,4 +323,40 @@ object Features {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("adc_score"), col("rank"))
   }
+
+  /** Exact re-rank of an ANN candidate list — the FAISS
+    * `IndexRefineFlat` stage: an approximate searcher (ADC, IVF-ADC,
+    * SRP…) proposes `C ≫ k` candidates per query, then ONLY those
+    * candidates' full-precision vectors are fetched and exactly
+    * re-scored, and the top `k` by exact distance survive. Refinement
+    * recovers most of the quantizer's ranking error at a cost
+    * proportional to the CANDIDATE set, not the corpus.
+    *
+    * 100 TB posture: the corpus is touched once, by an id-keyed join
+    * that fetches `queries × C` vectors (the candidate table is
+    * orders of magnitude smaller than the corpus, so AQE picks a
+    * broadcast or shuffled-hash join on `vec_id` — never a scan-wide
+    * cross join); exact scoring is a map pass over that sliver; the
+    * final per-query top-k window is sized by `queries × C`. Output
+    * is a subset of the candidates by construction — refinement
+    * reorders, it never hallucinates ids.
+    */
+  def refineTopK(
+      candidates: DataFrame, // (query_id, vec_id) from any ANN searcher
+      base: DataFrame, // (vec_id, vec) full-precision corpus
+      queries: DataFrame, // (query_id, query_vec)
+      vecCol: String,
+      k: Int,
+      scorer: (Column, Column) => Column = negSquaredL2): DataFrame = {
+    val fetched = candidates.select(col("query_id"), col("vec_id"))
+      .join(base.select(col("vec_id"), col(vecCol)), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("exact_score", round(scorer(col(vecCol), col("query_vec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("exact_score").desc, col("vec_id").asc)
+    fetched.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("exact_score"), col("rank"))
+  }
 }

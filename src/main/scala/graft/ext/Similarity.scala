@@ -211,44 +211,32 @@ object Similarity {
     * Returns the input with a `label` cluster column — feed straight
     * into [[ivfTopK]].
     */
-  def kmeansLabels(
-      embeddings: DataFrame, // (idCol, vecCol)
+  /** Map-only cell assignment with FROZEN centroids — the coarse
+    * quantizer applied as a pure function, factored out of
+    * [[kmeansLabels]] so ingest paths (e.g. streaming index appends,
+    * [[graft.stream.Jobs.runIndexIngestStream]]) assign new vectors
+    * with the SAME arithmetic and tie-break the batch build used —
+    * the property that makes a streamed index bit-equal to a batch
+    * one.
+    *
+    * Two equivalent paths, switched on k × dim:
+    *  - literal: the centroid table rides into the plan as a typedlit
+    *    — a shuffle-FREE map pass, but the expression tree carries
+    *    k·dim constants and stops codegenning (and eventually
+    *    planning) for large k;
+    *  - broadcast: centroids become a broadcast-joined k-row frame and
+    *    the argmax is a map-side-combining max_by per id — one keyed
+    *    shuffle of one row per vector, unbounded in k × dim.
+    * Tie-break is identical (highest score, then lowest label).
+    */
+  def assignCells(
+      embeddings: DataFrame, // (idCol, vecCol, …payload)
       idCol: String,
       vecCol: String,
-      k: Int,
-      iters: Int,
+      centroids: IndexedSeq[Seq[Float]],
       scorer: (Column, Column) => Column = cosine,
       literalMaxEntries: Int = 1024): DataFrame = {
-    require(k > 0 && iters >= 0, "k must be > 0, iters >= 0")
-    val sample: Array[Array[Float]] = embeddings
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(math.max(50 * k, 200))
-      .select(col(vecCol))
-      .collect().map(_.getSeq[Float](0).toArray)
-
-    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-
-    require(sample.nonEmpty, "cannot seed k-means from an empty input")
-    val init = scala.collection.mutable.ArrayBuffer(sample.head)
-    while (init.size < math.min(k, sample.length)) {
-      init += sample.minBy(v => init.map(c => cosLocal(v, c)).max)
-    }
-    var centroids: IndexedSeq[Seq[Float]] = init.map(_.toSeq).toIndexedSeq
-
-    // Two equivalent assignment paths, switched on k × dim:
-    //  - literal: the centroid table rides into the plan as a typedlit
-    //    — a shuffle-FREE map pass, but the expression tree carries
-    //    k·dim constants and stops codegenning (and eventually
-    //    planning) for large k;
-    //  - broadcast: centroids become a broadcast-joined k-row frame and
-    //    the argmax is a map-side-combining max_by per id — one keyed
-    //    shuffle of one row per vector, unbounded in k × dim.
-    // Tie-break is identical (highest score, then lowest label).
+    require(centroids.nonEmpty, "assignCells needs at least one centroid")
     def assignLiteral(c: IndexedSeq[Seq[Float]]): DataFrame =
       embeddings
         .withColumn("__scores", transform(typedlit(c), v => scorer(col(vecCol), v)))
@@ -270,12 +258,48 @@ object Similarity {
         .select(col("__m.row.*"), col("__m.label").as("label"))
     }
 
-    def assign(c: IndexedSeq[Seq[Float]]): DataFrame =
-      if (c.length.toLong * c.head.length <= literalMaxEntries) assignLiteral(c)
-      else assignBroadcast(c)
+    if (centroids.length.toLong * centroids.head.length <= literalMaxEntries)
+      assignLiteral(centroids)
+    else assignBroadcast(centroids)
+  }
 
+  /** Lloyd-iteration k-means TRAINING only: deterministic
+    * farthest-point init over a bounded hash-ordered sample, `iters`
+    * assign/mean rounds, returns the trained centroids. Factored out
+    * of [[kmeansLabels]] so a caller can freeze the quantizer and
+    * reuse it across batch builds and streaming ingest.
+    */
+  def trainKmeansCentroids(
+      embeddings: DataFrame, // (idCol, vecCol)
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scorer: (Column, Column) => Column = cosine,
+      literalMaxEntries: Int = 1024): IndexedSeq[Seq[Float]] = {
+    require(k > 0 && iters >= 0, "k must be > 0, iters >= 0")
+    val sample: Array[Array[Float]] = embeddings
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(50 * k, 200))
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    require(sample.nonEmpty, "cannot seed k-means from an empty input")
+    val init = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (init.size < math.min(k, sample.length)) {
+      init += sample.minBy(v => init.map(c => cosLocal(v, c)).max)
+    }
+    var centroids: IndexedSeq[Seq[Float]] = init.map(_.toSeq).toIndexedSeq
     for (_ <- 0 until iters) {
-      val means = assign(centroids)
+      val means = assignCells(embeddings, idCol, vecCol, centroids, scorer,
+        literalMaxEntries)
         .select(col("label"), posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
         .collect()
@@ -285,8 +309,21 @@ object Similarity {
         }
       centroids = (0 until k).map(i => means.getOrElse(i, centroids(i)))
     }
-    assign(centroids)
+    centroids
   }
+
+  def kmeansLabels(
+      embeddings: DataFrame, // (idCol, vecCol)
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scorer: (Column, Column) => Column = cosine,
+      literalMaxEntries: Int = 1024): DataFrame =
+    assignCells(embeddings, idCol, vecCol,
+      trainKmeansCentroids(embeddings, idCol, vecCol, k, iters, scorer,
+        literalMaxEntries),
+      scorer, literalMaxEntries)
 
   /** IVF-style ANN: partition the corpus by a coarse cluster id
     * (`label` — from [[kmeansLabels]] or pre-assigned), compute

@@ -768,6 +768,100 @@ object TrainPrep {
         col("doc_shingles"))
   }
 
+  /** DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every corpus document by how much more likely its hashed
+    * n-gram features are under a TARGET-domain distribution than
+    * under the corpus distribution —
+    *
+    *   log w(doc) = Σ_b count_doc(b) · [log p̂_target(b) − log p̂_corpus(b)]
+    *
+    * with add-one smoothing over the fixed bucket space, exactly the
+    * paper's hashed n-gram bag-of-buckets model. Resampling the
+    * corpus ∝ w yields target-like pretraining data without a
+    * trained classifier; compose with [[weightedSample]] for the
+    * draw.
+    *
+    * Buckets are the portable md5-prefix convention ([[hashSplit]]):
+    * bucket = first 3 hex chars of md5(n-gram) → 4096 buckets, so an
+    * oracle engine reproduces every count bit-for-bit. N-grams keep
+    * their multiplicity (counts, not a shingle SET — this is a
+    * language-model feature vector, not a dedup signature); documents
+    * shorter than `n` tokens contribute no features and score 0.
+    *
+    * 100 TB posture: one n-gram explode map pass per side feeding a
+    * partial-agg'd groupBy; the bucket-distribution table is ≤ 4096
+    * rows and BROADCASTS to the scoring join (the corpus is never
+    * shuffled on anything wider than (doc_id, bucket)); totals ride a
+    * broadcast 1-row cross join, never the driver. The target sample
+    * is assumed corpus-scale-or-smaller but is never collected.
+    */
+  def dsirLogWeights(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      n: Int = 2): DataFrame =
+    dsirLogWeightsWithHandle(corpus, idCol, textCol, target, n)._1
+
+  /** [[dsirLogWeights]] plus a [[CacheHandle]] over the per-doc
+    * bucket-count frame, which feeds BOTH the corpus distribution and
+    * the final scoring join — persisting it keeps the corpus-wide
+    * n-gram explode to one execution per action.
+    */
+  def dsirLogWeightsWithHandle(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      n: Int = 2): (DataFrame, CacheHandle) = {
+    require(n >= 1, "n must be >= 1")
+    val B = SplitBuckets // 16^3 — bucket = 3 md5 hex chars, hashSplit's convention
+
+    def grams(c: Column): Column = {
+      val toks = Text.tokens(c)
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
+    def bucketed(df: DataFrame, idAs: String): DataFrame = df
+      .select(col(idCol).as(idAs), explode(grams(col(textCol))).as("__g"))
+      .select(col(idAs), substring(md5(col("__g")), 1, 3).as("b"))
+
+    // per-doc bucket counts — the one corpus-wide explode, persisted
+    // because both the corpus distribution and the scoring join read it
+    val docBuckets = bucketed(corpus, "doc_id")
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    val corpusBuckets = docBuckets.groupBy(col("b")).agg(sum(col("cnt")).as("cc"))
+    val targetBuckets = bucketed(target, "t_id")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+
+    // ≤ 4096-row distribution table: corpus buckets ⟕ target counts,
+    // smoothed log-ratio; totals ride a broadcast 1-row cross join
+    val totals = corpusBuckets.agg(sum(col("cc")).as("c_total")).crossJoin(
+      broadcast(targetBuckets.agg(sum(col("tc")).as("t_total"))))
+    val ratios = corpusBuckets
+      .join(targetBuckets, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("t_total") + B)) -
+          log((col("cc") + 1).cast("double") /
+            (col("c_total") + B))).as("log_ratio"))
+
+    val scored = docBuckets
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("log_ratio")).as("__lw"))
+    val out = corpus.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        round(coalesce(col("__lw"), lit(0.0)), 4).as("dsir_log_weight"))
+    (out, new CacheHandle(Seq(docBuckets)))
+  }
+
   private def contaminatedBy(
       corpus: DataFrame,
       benchmark: DataFrame,

@@ -503,6 +503,58 @@ object Jobs {
     spark.read.parquet(s"$workDir/plan/v=$lastV")
   }
 
+  /** Streaming ingest into a persisted IVF-PQ index — FAISS `add` as
+    * a stream: new vectors arrive in micro-batches; each batch is
+    * assigned its coarse cell with FROZEN centroids
+    * ([[graft.ext.Similarity.assignCells]] — the same arithmetic and
+    * tie-break the batch build uses) and PQ-encoded with FROZEN
+    * codebooks, both map-only passes, then appended to the
+    * label-partitioned code table as
+    * `codes/batch=<id>/label=<cell>/…` via per-batch dynamic
+    * partition overwrite — a replayed micro-batch overwrites itself,
+    * so the sink is exactly-once under retries
+    * ([[graft.sinks.Writers.idempotentBatchWrite]]'s contract).
+    * Because assignment and encoding are deterministic per row, the
+    * streamed index is BIT-EQUAL to a batch build with the same
+    * frozen quantizers, whatever the arrival order (q113's contract).
+    *
+    * 100 TB posture: no state store, no shuffle — every micro-batch
+    * is a map pass plus a partitioned file append; search-side
+    * partition pruning (label is still a partition column under the
+    * batch level) is unchanged.
+    */
+  def runIndexIngestStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, // (idCol, vecCol)
+      idCol: String,
+      vecCol: String,
+      centroids: IndexedSeq[Seq[Float]],
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
+      indexDir: String,
+      scorer: (Column, Column) => Column = graft.ext.Similarity.cosine): Unit = {
+    graft.ext.AnnIndex.writeQuantizers(spark, centroids, codebooks, indexDir)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val assigned = graft.ext.Similarity.assignCells(
+          batch, idCol, vecCol, centroids, scorer)
+        graft.ext.Features.pqEncode(assigned, idCol, vecCol, codebooks,
+          carryCols = Seq("label"))
+          .withColumnRenamed(idCol, "vec_id")
+          .select(col("vec_id"), col("codes"), col("label"))
+          .write.mode("overwrite").partitionBy("label")
+          .parquet(s"$indexDir/codes/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$indexDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runRoutingStream(
       spark: SparkSession,
       inputDir: String,

@@ -39,10 +39,24 @@ object AnnProbe {
       k = 10, nprobe = 5)
       .select(col("query_id"), col("vec_id"))
     val nExact = exact.count().toDouble
+    val cands = graft.ext.Features.pqAdcTopK(
+      codes.select(col("vec_id"), col("codes")), queries, cbs, 30)
+    val refined = graft.ext.Features.refineTopK(
+      cands, base, queries, "embedding", k = 10)
+      .select(col("query_id"), col("vec_id"))
     println(f"[annprobe] $dir")
     println(f"[annprobe] full_adc_vs_exact   = ${fullAdc.join(exact, Seq("query_id", "vec_id")).count() / nExact}%.3f")
     println(f"[annprobe] ivf_adc_vs_exact    = ${ivfAdc.join(exact, Seq("query_id", "vec_id")).count() / nExact}%.3f")
     println(f"[annprobe] ivf_adc_vs_full_adc = ${ivfAdc.join(fullAdc, Seq("query_id", "vec_id")).count() / fullAdc.count().toDouble}%.3f")
+    println(f"[annprobe] refined_vs_exact    = ${refined.join(exact, Seq("query_id", "vec_id")).count() / nExact}%.3f")
+    // persisted-index search: does dynamic partition pruning reach the scan?
+    val tmp = java.nio.file.Files.createTempDirectory("annprobe-idx").toString
+    graft.ext.AnnIndex.write(codes,
+      graft.ext.Similarity.clusterCentroids(clustered), cbs, tmp)
+    val idx = graft.ext.AnnIndex.read(spark, tmp)
+    val plan = graft.ext.AnnIndex.searchTopK(idx, queries, k = 10, nprobe = 5)
+      .queryExecution.executedPlan.toString
+    println(s"[annprobe] disk_search_dpp      = ${plan.toLowerCase.contains("dynamicpruning")}")
     spark.stop()
   }
 }

@@ -407,4 +407,58 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(shard"), p)
     assert("rangepartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("refineTopK fetches candidates by a KEYED join — the corpus never cross-joins") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 1)
+    val cands = graft.ext.Features.pqAdcTopK(
+      graft.ext.Features.pqEncode(base, "vec_id", "embedding", cbs),
+      queries, cbs, 30)
+    val p = graft.ext.Features.refineTopK(cands, base, queries, "embedding", 10)
+      .queryExecution.executedPlan.toString
+    // the candidate→vector fetch is a hash join on vec_id; the only
+    // cross join anywhere is the ADC stage's broadcast query fan-out
+    assert(p.contains("Join [vec_id") || p.contains("Join [query_id"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("persisted IVF-PQ index: probe join dynamic-partition-prunes the code scan") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val clustered = graft.ext.Similarity.kmeansLabels(
+      base, "vec_id", "embedding", k = 4, iters = 1)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 1)
+    val codes = graft.ext.Features.pqEncode(
+      clustered, "vec_id", "embedding", cbs, carryCols = Seq("label"))
+    val tmpIdx = tempDir("graft-plandpp")
+    graft.ext.AnnIndex.write(codes,
+      graft.ext.Similarity.clusterCentroids(clustered), cbs, tmpIdx)
+    val idx = graft.ext.AnnIndex.read(spark, tmpIdx)
+    val queries = base.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val p = graft.ext.AnnIndex.searchTopK(idx, queries, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // THE on-disk scale property: the broadcast probe side feeds a
+    // dynamic pruning subquery on the label partition column, so a
+    // search reads ~nprobe/k of the index's files
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(2000))
+    assert(p.contains("PartitionFilters"), p.take(2000))
+  }
+
+  test("q112: DSIR scoring joins the ≤4096-row distribution table by BROADCAST") {
+    val p = plan("q112_dsir_weights")
+    // corpus-sized shuffles key on (doc_id, bucket) / doc_id only; the
+    // log-ratio table broadcasts; totals ride 1-row broadcast cross
+    // joins (the accepted q53/q57 stat-frame shape) — nothing range
+    // partitions except the final output orderBy. (The featureless-doc
+    // attach is a doc_id-keyed outer join — a linear SMJ/SHJ, fine.)
+    assert(p.contains("BroadcastHashJoin [b"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 fully separated clusters (same pattern in both subspaces), the
+  // FeaturesSpec IVF-ADC geometry — coarse assignment is unambiguous
+  private val patterns = IndexedSeq(
+    Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+    Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+  private lazy val planted = {
+    val rnd = new scala.util.Random(11)
+    (0 until 80).map { i =>
+      val a = i % 4
+      (i.toLong,
+        (patterns(a) ++ patterns(a)).map(x => x + 0.1f * (rnd.nextFloat() - 0.5f)))
+    }
+  }
+
+  test("write → read roundtrips codebooks bit-exactly and searches identically") {
+    val df = planted.toDF("vec_id", "embedding")
+    val clustered = Similarity.kmeansLabels(df, "vec_id", "embedding", k = 4, iters = 4)
+    val cbs = Features.pqTrainCodebooks(df, "vec_id", "embedding", m = 2, k = 4, iters = 4)
+    val codes = Features.pqEncode(clustered, "vec_id", "embedding", cbs,
+      carryCols = Seq("label"))
+    val centroids = Similarity.clusterCentroids(clustered)
+    val dir = tempDir("graft-annidx")
+    AnnIndex.write(codes, centroids, cbs, dir)
+
+    val idx = AnnIndex.read(spark, dir)
+    assert(idx.codebooks == cbs, "codebooks changed across the roundtrip")
+
+    val queries = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val mem = Features.ivfAdcTopK(codes, centroids, queries, cbs, k = 5, nprobe = 2)
+      .select("query_id", "vec_id", "adc_score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val disk = AnnIndex.searchTopK(idx, queries, k = 5, nprobe = 2)
+      .select("query_id", "vec_id", "adc_score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(disk == mem, s"disk=$disk mem=$mem")
+  }
+
+  test("codes land label-partitioned on disk — the layout pruning depends on") {
+    val df = planted.toDF("vec_id", "embedding")
+    val clustered = Similarity.kmeansLabels(df, "vec_id", "embedding", k = 4, iters = 4)
+    val cbs = Features.pqTrainCodebooks(df, "vec_id", "embedding", m = 2, k = 4, iters = 4)
+    val codes = Features.pqEncode(clustered, "vec_id", "embedding", cbs,
+      carryCols = Seq("label"))
+    val dir = tempDir("graft-annidx-layout")
+    AnnIndex.write(codes, Similarity.clusterCentroids(clustered), cbs, dir)
+    val parts = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("label=")).sorted
+    assert(parts.length == 4, s"expected 4 label partitions, got ${parts.toSeq}")
+  }
+}

@@ -187,6 +187,37 @@ class FeaturesSpec extends SparkSpec {
     assert(ivfAdc == fullAdc, s"ivf=$ivfAdc full=$fullAdc")
   }
 
+  test("refineTopK: exact re-rank recovers the true order ADC cannot see") {
+    // same planted geometry as the PQ test: ADC is blind WITHIN a
+    // cell (all four same-pattern vectors share codes), but their
+    // noise makes the exact distances distinct — refinement must
+    // reproduce the brute-force order from the ADC candidate list
+    val patterns = IndexedSeq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val rnd = new scala.util.Random(7)
+    val planted = (0 until 80).map { i =>
+      val (a, b) = (i % 4, (i / 4) % 4)
+      (i.toLong,
+        (patterns(a) ++ patterns(b)).map(x => x + 0.1f * (rnd.nextFloat() - 0.5f)))
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val cbs = Features.pqTrainCodebooks(df, "vec_id", "embedding", m = 2, k = 4, iters = 4)
+    val codes = Features.pqEncode(df, "vec_id", "embedding", cbs)
+    val queries = df.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cands = Features.pqAdcTopK(codes, queries, cbs, 10)
+    val refined = Features.refineTopK(cands, df, queries, "embedding", k = 3)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toSet
+    val exact = graft.ext.Similarity.bruteForceTopK(queries, df, 3,
+      scorer = (a, b) => Features.negSquaredL2(a, b))
+      .select("vec_id", "rank").as[(Long, Int)].collect().toSet
+    assert(refined == exact, s"refined=$refined exact=$exact")
+    // and refinement only reorders — it never leaves the candidate set
+    val candIds = cands.select("vec_id").as[Long].collect().toSet
+    assert(refined.map(_._1).subsetOf(candIds))
+  }
+
   test("constant dimension scales to NULL, not an arbitrary constant") {
     val const = Seq((1L, Array(5.0f, 1.0f)), (2L, Array(5.0f, 3.0f))).toDF("id", "vec")
     val r = Features.minMaxScaleRows(const, "id", "vec",

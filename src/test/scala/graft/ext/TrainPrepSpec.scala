@@ -462,4 +462,47 @@ class TrainPrepSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("shard"))
   }
+
+  test("dsirLogWeights: target-like docs score above, disjoint docs below, featureless at 0") {
+    val corpus = Seq(
+      (1L, "a b a b"), // exactly the target's vocabulary
+      (2L, "x y x y"), // disjoint vocabulary
+      (3L, "a") // one token — no bigram features
+    ).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") === 1L)
+    val w = TrainPrep.dsirLogWeights(corpus, "doc_id", "text", target, n = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(w.keySet == Set(1L, 2L, 3L), "every corpus doc must appear")
+    assert(w(1L) > 0.0, s"target-like doc must score positive, got ${w(1L)}")
+    assert(w(2L) < 0.0, s"disjoint doc must score negative, got ${w(2L)}")
+    assert(w(3L) == 0.0, s"featureless doc must score exactly 0, got ${w(3L)}")
+    // importance ORDER is the operator's contract
+    assert(w(1L) > w(2L))
+  }
+
+  test("dsirLogWeights is deterministic and composes with weightedSample's ranking") {
+    val docs = (0L until 60L).map { i =>
+      (i, if (i % 3 == 0) "spark table join query scan"
+          else "random walk noise tokens here")
+    }.toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 3 === 0).limit(5)
+    val a = TrainPrep.dsirLogWeights(docs, "doc_id", "text", target)
+      .as[(Long, Double)].collect().toMap
+    val b = TrainPrep.dsirLogWeights(docs, "doc_id", "text", target)
+      .as[(Long, Double)].collect().toMap
+    assert(a == b, "no RNG anywhere — reruns must be identical")
+    // every target-distribution doc outranks every off-target doc
+    val (on, off) = a.partition { case (id, _) => id % 3 == 0 }
+    assert(on.values.min > off.values.max)
+  }
+
+  test("dsirLogWeightsWithHandle persists the doc-bucket frame until released") {
+    val docs = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    val (out, handle) = TrainPrep.dsirLogWeightsWithHandle(
+      docs, "doc_id", "text", docs.limit(1))
+    out.collect()
+    assert(handle.isCached, "doc-bucket counts should be persisted while in use")
+    handle.unpersist()
+    assert(!handle.isCached)
+  }
 }

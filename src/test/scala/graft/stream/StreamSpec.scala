@@ -379,4 +379,59 @@ class StreamSpec extends SparkSpec {
       allChanges.schema, Seq("k"), "seq", "op", s"$tmp/snap", s"$tmp/ckpt")
     assert(v3 == 3L)
   }
+
+  test("index ingest stream: streamed IVF-PQ index bit-equals the batch build") {
+    // planted 4-cluster geometry (the AnnIndexSpec fixture) so cell
+    // assignment is unambiguous whatever the micro-batch carving
+    val patterns = IndexedSeq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val rnd = new scala.util.Random(11)
+    val planted = (0 until 80).map { i =>
+      val a = i % 4
+      (i.toLong,
+        (patterns(a) ++ patterns(a)).map(x => x + 0.1f * (rnd.nextFloat() - 0.5f)))
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val centroids = graft.ext.Similarity.trainKmeansCentroids(
+      df, "vec_id", "embedding", k = 4, iters = 4)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      df, "vec_id", "embedding", m = 2, k = 4, iters = 4)
+
+    // stream the corpus in as 3 uneven micro-batches
+    val tmp = tempDir("graft-ingest")
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    Seq(planted.take(10), planted.slice(10, 50), planted.drop(50))
+      .zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("vec_id", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+        val part = new java.io.File(s"$tmp/slice$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$in/part-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 1000L)
+      }
+    val idxDir = s"$tmp/index"
+    graft.stream.Jobs.runIndexIngestStream(spark, in, df.schema,
+      "vec_id", "embedding", centroids, cbs, idxDir)
+
+    // streamed codes ≡ batch codes row-for-row (same frozen quantizers)
+    val batchCodes = graft.ext.Features.pqEncode(
+      graft.ext.Similarity.assignCells(df, "vec_id", "embedding", centroids),
+      "vec_id", "embedding", cbs, carryCols = Seq("label"))
+      .select("vec_id", "label", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val idx = graft.ext.AnnIndex.read(spark, idxDir)
+    val streamed = idx.codes.select("vec_id", "label", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(streamed == batchCodes)
+    assert(idx.codebooks == cbs)
+
+    // a caught-up rerun (same checkpoint) re-commits nothing new
+    graft.stream.Jobs.runIndexIngestStream(spark, in, df.schema,
+      "vec_id", "embedding", centroids, cbs, idxDir)
+    assert(graft.ext.AnnIndex.read(spark, idxDir).codes.count() == 80L)
+  }
 }
