@@ -2667,6 +2667,52 @@ object SparkEntry {
       .toDF("metric", "ok").orderBy(col("metric"))
   }
 
+  /** The COMPLETE production ANN search pipeline — coarse probe →
+    * ADC over only the probed cells' codes → exact re-rank of the
+    * survivors (FAISS `IndexIVFPQ` + `RefineFlat`, the deployed
+    * billion-scale shape): [[graft.ext.Features.ivfAdcTopK]] proposes
+    * C = 30 candidates per query touching ~nprobe/k of the code
+    * table, [[graft.ext.Features.refineTopK]] fetches ONLY those
+    * candidates' float vectors by an id-keyed join and re-scores
+    * exactly. Same contract structure as q110: the ≥-row is a THEOREM
+    * (IVF-ADC@10 ⊆ the C = 30 candidate set and ≤ 9 candidates can
+    * exactly beat an exact-top-10 member, so refinement only adds
+    * recall over raw IVF-ADC); the absolute row pins the measured
+    * end-to-end recall (isotropic corpus — IVF-ADC@10 alone measures
+    * 0.41/0.36/0.26 at sf0.001/0.01/0.1, the refined pipeline
+    * 0.64/0.65/0.48 — `tools/AnnProbe` reprints all series).
+    */
+  def q114IvfPqRefinePipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val clustered = Similarity.kmeansLabels(base, "vec_id", "embedding",
+      k = 10, iters = 3, scorer = graft.ext.VectorKernels.cosineF)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    val codes = graft.ext.Features.pqEncode(
+      clustered, "vec_id", "embedding", cbs, carryCols = Seq("label"))
+    val centroids = Similarity.clusterCentroids(clustered)
+    val queries = embQueries(spark, dir)
+    val cands = Features.ivfAdcTopK(codes, centroids, queries, cbs,
+      k = 30, nprobe = 5)
+    val refined = Features.refineTopK(cands, base, queries, "embedding", k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val ivfAdc10 = cands.filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopK(queries, base, 10,
+      scorer = (a, b) => graft.ext.Features.negSquaredL2(a, b))
+      .select(col("query_id"), col("vec_id"))
+    val keys = Seq("query_id", "vec_id")
+    val nExact = exact.count().toDouble
+    val recallPipeline = exact.join(refined, keys).count() / nExact
+    val recallIvfAdc = exact.join(ivfAdc10, keys).count() / nExact
+    import spark.implicits._
+    Seq(
+      ("pipeline_recall_at_10_ge_0.25", recallPipeline >= 0.25),
+      ("pipeline_recall_ge_raw_ivf_adc_recall", recallPipeline >= recallIvfAdc))
+      .toDF("metric", "ok").orderBy(col("metric"))
+  }
+
   /** Streaming index ingest — FAISS `add` as a stream
     * ([[graft.stream.Jobs.runIndexIngestStream]]): quantizers are
     * trained once and FROZEN, then the corpus arrives in 4
@@ -2861,6 +2907,7 @@ object SparkEntry {
     "q111_ann_index_roundtrip" -> (q111AnnIndexRoundtrip _),
     "q112_dsir_weights" -> (q112DsirWeights _),
     "q113_stream_index_ingest" -> (q113StreamIndexIngest _),
+    "q114_ivfpq_refine" -> (q114IvfPqRefinePipeline _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -4807,6 +4854,12 @@ object SparkEntry {
       """SELECT 'streamed_index_row_count_matches_batch' AS metric, TRUE AS ok
         |UNION ALL
         |SELECT 'streamed_index_search_equals_batch_search', TRUE
+        |ORDER BY metric""".stripMargin,
+
+    "q114_ivfpq_refine" ->
+      """SELECT 'pipeline_recall_at_10_ge_0.25' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'pipeline_recall_ge_raw_ivf_adc_recall', TRUE
         |ORDER BY metric""".stripMargin,
 
     "q112_dsir_weights" ->

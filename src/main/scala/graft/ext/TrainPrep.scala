@@ -795,6 +795,14 @@ object TrainPrep {
     * shuffled on anything wider than (doc_id, bucket)); totals ride a
     * broadcast 1-row cross join, never the driver. The target sample
     * is assumed corpus-scale-or-smaller but is never collected.
+    *
+    * Degenerate input: an EMPTY target (no rows, or no doc of ≥ n
+    * tokens) yields a NULL target total, NULL log-ratios, and thus
+    * all-zero weights — identically in Spark and the oracle engine
+    * (both fold NULL sums through the final coalesce). No require()
+    * guards this: checking would cost an eager count() job at
+    * definition time, and zero-everywhere is the honest answer to
+    * "make the corpus look like nothing".
     */
   def dsirLogWeights(
       corpus: DataFrame,

@@ -49,6 +49,13 @@ object AnnProbe {
     println(f"[annprobe] ivf_adc_vs_exact    = ${ivfAdc.join(exact, Seq("query_id", "vec_id")).count() / nExact}%.3f")
     println(f"[annprobe] ivf_adc_vs_full_adc = ${ivfAdc.join(fullAdc, Seq("query_id", "vec_id")).count() / fullAdc.count().toDouble}%.3f")
     println(f"[annprobe] refined_vs_exact    = ${refined.join(exact, Seq("query_id", "vec_id")).count() / nExact}%.3f")
+    val ivfCands = graft.ext.Features.ivfAdcTopK(codes,
+      graft.ext.Similarity.clusterCentroids(clustered), queries, cbs,
+      k = 30, nprobe = 5)
+    val pipeline = graft.ext.Features.refineTopK(
+      ivfCands, base, queries, "embedding", k = 10)
+      .select(col("query_id"), col("vec_id"))
+    println(f"[annprobe] ivfpq_refine_vs_exact = ${pipeline.join(exact, Seq("query_id", "vec_id")).count() / nExact}%.3f")
     // persisted-index search: does dynamic partition pruning reach the scan?
     val tmp = java.nio.file.Files.createTempDirectory("annprobe-idx").toString
     graft.ext.AnnIndex.write(codes,
