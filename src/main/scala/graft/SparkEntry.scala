@@ -41,6 +41,19 @@ object SparkEntry {
     p.toString
   }
 
+  /** Persist verifier-role intermediates for the span of `body`, then
+    * release them: contract queries run several counting actions over
+    * the same frames, and without a persist every action re-executes
+    * the whole upstream build (k-means assignment, PQ encode, the ADC
+    * cross join). The frame a contract query RETURNS is literal
+    * booleans derived from those counts, so releasing before return
+    * is safe — nothing cached leaks past the query.
+    */
+  private def withCached[T](frames: DataFrame*)(body: => T): T = {
+    frames.foreach { f => f.persist(); () }
+    try body finally frames.foreach { f => f.unpersist(); () }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest-snapshot-per-key → validate → aggregate: the essence of the
     * reference pipeline (SURVEY.md §7.2).
@@ -554,11 +567,13 @@ object SparkEntry {
       scorer = graft.ext.VectorKernels.cosineF)
       .select(col("query_id"), col("vec_id"))
     val exact = q21SimTopK(spark, dir).select(col("query_id"), col("vec_id"))
-    val hits = exact.join(ivf, Seq("query_id", "vec_id")).count()
-    val total = exact.count()
-    import spark.implicits._
-    Seq(("ivf_recall_at_5_nprobe_half_ge_0.7", hits.toDouble / total >= 0.7))
-      .toDF("metric", "ok")
+    withCached(exact) {
+      val hits = exact.join(ivf, Seq("query_id", "vec_id")).count()
+      val total = exact.count()
+      import spark.implicits._
+      Seq(("ivf_recall_at_5_nprobe_half_ge_0.7", hits.toDouble / total >= 0.7))
+        .toDF("metric", "ok")
+    }
   }
 
   // ------------------------------------------- LLM-pipeline: multimodal
@@ -2464,22 +2479,24 @@ object SparkEntry {
     val exact = Similarity.bruteForceTopK(queries, base, 10,
       scorer = (a, b) => graft.ext.Features.negSquaredL2(a, b))
       .select(col("query_id"), col("vec_id"))
-    val hits = exact.join(adc, Seq("query_id", "vec_id")).count()
-    val recall = hits.toDouble / exact.count()
-    val recon = graft.ext.Features.pqDecode(codes, "vec_id", "codes", cbs)
-    val mse = base.join(recon, Seq("vec_id"))
-      .select(explode(arrays_zip(col("embedding"), col("recon_vec"))).as("z"))
-      .select((col("z.embedding").cast("double") - col("z.recon_vec").cast("double")).as("d"))
-      .agg(avg(col("d") * col("d"))).head().getDouble(0)
-    val variance = base
-      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
-      .groupBy(col("dim")).agg(var_pop(col("v")).as("dv"))
-      .agg(avg(col("dv"))).head().getDouble(0)
-    import spark.implicits._
-    Seq(
-      ("pq_adc_recall_at_10_ge_0.2", recall >= 0.2),
-      ("pq_mse_below_half_dim_variance", mse < 0.5 * variance))
-      .toDF("metric", "ok").orderBy(col("metric"))
+    withCached(codes, exact) {
+      val hits = exact.join(adc, Seq("query_id", "vec_id")).count()
+      val recall = hits.toDouble / exact.count()
+      val recon = graft.ext.Features.pqDecode(codes, "vec_id", "codes", cbs)
+      val mse = base.join(recon, Seq("vec_id"))
+        .select(explode(arrays_zip(col("embedding"), col("recon_vec"))).as("z"))
+        .select((col("z.embedding").cast("double") - col("z.recon_vec").cast("double")).as("d"))
+        .agg(avg(col("d") * col("d"))).head().getDouble(0)
+      val variance = base
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy(col("dim")).agg(var_pop(col("v")).as("dv"))
+        .agg(avg(col("dv"))).head().getDouble(0)
+      import spark.implicits._
+      Seq(
+        ("pq_adc_recall_at_10_ge_0.2", recall >= 0.2),
+        ("pq_mse_below_half_dim_variance", mse < 0.5 * variance))
+        .toDF("metric", "ok").orderBy(col("metric"))
+    }
   }
 
   /** STREAMING corpus curation: the q100 capstone's gate →
@@ -2574,15 +2591,17 @@ object SparkEntry {
     val fullAdc = graft.ext.Features.pqAdcTopK(
       codes.select(col("vec_id"), col("codes")), queries, cbs, 10)
       .select(col("query_id"), col("vec_id"))
-    val nExact = exact.count().toDouble
-    val recallExact = exact.join(ivfAdc, Seq("query_id", "vec_id")).count() / nExact
-    val recallFull = fullAdc.join(ivfAdc, Seq("query_id", "vec_id")).count() /
-      fullAdc.count().toDouble
-    import spark.implicits._
-    Seq(
-      ("ivf_adc_recall_at_10_vs_exact_ge_0.15", recallExact >= 0.15),
-      ("ivf_adc_recall_at_10_vs_full_adc_ge_0.6", recallFull >= 0.6))
-      .toDF("metric", "ok").orderBy(col("metric"))
+    withCached(exact, ivfAdc, fullAdc) {
+      val nExact = exact.count().toDouble
+      val recallExact = exact.join(ivfAdc, Seq("query_id", "vec_id")).count() / nExact
+      val recallFull = fullAdc.join(ivfAdc, Seq("query_id", "vec_id")).count() /
+        fullAdc.count().toDouble
+      import spark.implicits._
+      Seq(
+        ("ivf_adc_recall_at_10_vs_exact_ge_0.15", recallExact >= 0.15),
+        ("ivf_adc_recall_at_10_vs_full_adc_ge_0.6", recallFull >= 0.6))
+        .toDF("metric", "ok").orderBy(col("metric"))
+    }
   }
 
   /** Exact re-rank of ADC candidates — the FAISS `IndexRefineFlat`
@@ -2615,18 +2634,20 @@ object SparkEntry {
     val exact = Similarity.bruteForceTopK(queries, base, 10,
       scorer = (a, b) => graft.ext.Features.negSquaredL2(a, b))
       .select(col("query_id"), col("vec_id"))
-    val keys = Seq("query_id", "vec_id")
-    val subsetOk = refined.join(cands.select(keys.map(col): _*), keys)
-      .count() == refined.count()
-    val nExact = exact.count().toDouble
-    val recallRefined = exact.join(refined, keys).count() / nExact
-    val recallAdc = exact.join(adc10, keys).count() / nExact
-    import spark.implicits._
-    Seq(
-      ("refined_is_subset_of_candidates", subsetOk),
-      ("refined_recall_ge_raw_adc_recall", recallRefined >= recallAdc),
-      ("refined_recall_at_10_ge_0.3", recallRefined >= 0.3))
-      .toDF("metric", "ok").orderBy(col("metric"))
+    withCached(cands, refined, exact) {
+      val keys = Seq("query_id", "vec_id")
+      val subsetOk = refined.join(cands.select(keys.map(col): _*), keys)
+        .count() == refined.count()
+      val nExact = exact.count().toDouble
+      val recallRefined = exact.join(refined, keys).count() / nExact
+      val recallAdc = exact.join(adc10, keys).count() / nExact
+      import spark.implicits._
+      Seq(
+        ("refined_is_subset_of_candidates", subsetOk),
+        ("refined_recall_ge_raw_adc_recall", recallRefined >= recallAdc),
+        ("refined_recall_at_10_ge_0.3", recallRefined >= 0.3))
+        .toDF("metric", "ok").orderBy(col("metric"))
+    }
   }
 
   /** Persisted IVF-PQ index roundtrip ([[graft.ext.AnnIndex]]): build
@@ -2658,13 +2679,15 @@ object SparkEntry {
     val idx = graft.ext.AnnIndex.read(spark, tmp)
     val disk = graft.ext.AnnIndex.searchTopK(idx, queries, k = 10, nprobe = 3)
     val cols = Seq("query_id", "vec_id", "adc_score", "rank").map(col)
-    val same = disk.select(cols: _*).exceptAll(mem.select(cols: _*)).isEmpty &&
-      mem.select(cols: _*).exceptAll(disk.select(cols: _*)).isEmpty
-    import spark.implicits._
-    Seq(
-      ("codebooks_roundtrip_bit_exact", idx.codebooks == cbs),
-      ("disk_search_equals_memory_search", same))
-      .toDF("metric", "ok").orderBy(col("metric"))
+    val (d, m) = (disk.select(cols: _*), mem.select(cols: _*))
+    withCached(d, m) {
+      val same = d.exceptAll(m).isEmpty && m.exceptAll(d).isEmpty
+      import spark.implicits._
+      Seq(
+        ("codebooks_roundtrip_bit_exact", idx.codebooks == cbs),
+        ("disk_search_equals_memory_search", same))
+        .toDF("metric", "ok").orderBy(col("metric"))
+    }
   }
 
   /** The COMPLETE production ANN search pipeline — coarse probe →
@@ -2702,15 +2725,17 @@ object SparkEntry {
     val exact = Similarity.bruteForceTopK(queries, base, 10,
       scorer = (a, b) => graft.ext.Features.negSquaredL2(a, b))
       .select(col("query_id"), col("vec_id"))
-    val keys = Seq("query_id", "vec_id")
-    val nExact = exact.count().toDouble
-    val recallPipeline = exact.join(refined, keys).count() / nExact
-    val recallIvfAdc = exact.join(ivfAdc10, keys).count() / nExact
-    import spark.implicits._
-    Seq(
-      ("pipeline_recall_at_10_ge_0.25", recallPipeline >= 0.25),
-      ("pipeline_recall_ge_raw_ivf_adc_recall", recallPipeline >= recallIvfAdc))
-      .toDF("metric", "ok").orderBy(col("metric"))
+    withCached(cands, exact) {
+      val keys = Seq("query_id", "vec_id")
+      val nExact = exact.count().toDouble
+      val recallPipeline = exact.join(refined, keys).count() / nExact
+      val recallIvfAdc = exact.join(ivfAdc10, keys).count() / nExact
+      import spark.implicits._
+      Seq(
+        ("pipeline_recall_at_10_ge_0.25", recallPipeline >= 0.25),
+        ("pipeline_recall_ge_raw_ivf_adc_recall", recallPipeline >= recallIvfAdc))
+        .toDF("metric", "ok").orderBy(col("metric"))
+    }
   }
 
   /** Streaming index ingest — FAISS `add` as a stream
@@ -2755,13 +2780,15 @@ object SparkEntry {
       .select(cols: _*)
     val b = graft.ext.AnnIndex.searchTopK(streamIdx, queries, k = 10, nprobe = 3)
       .select(cols: _*)
-    val sameSearch = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-    val sameRows = streamIdx.codes.count() == batchIdx.codes.count()
-    import spark.implicits._
-    Seq(
-      ("streamed_index_row_count_matches_batch", sameRows),
-      ("streamed_index_search_equals_batch_search", sameSearch))
-      .toDF("metric", "ok").orderBy(col("metric"))
+    withCached(a, b) {
+      val sameSearch = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val sameRows = streamIdx.codes.count() == batchIdx.codes.count()
+      import spark.implicits._
+      Seq(
+        ("streamed_index_row_count_matches_batch", sameRows),
+        ("streamed_index_search_equals_batch_search", sameSearch))
+        .toDF("metric", "ok").orderBy(col("metric"))
+    }
   }
 
   /** DSIR importance log-weights (Xie et al. 2023) over the corpus

@@ -80,6 +80,32 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
+  /** Quantizer-only load: the trained centroids (float form, label
+    * order) and codebooks — what an ingest resume needs to guard
+    * against mixing quantizers, readable before any codes exist.
+    * Centroid values are cast to float, so the equality check is
+    * meaningful against [[writeQuantizers]]-written tables (the
+    * ingest path); a [[write]]-built index whose centroid table came
+    * from `clusterCentroids` (double member means) won't compare
+    * equal to a float quantizer — which is the correct refusal, not
+    * a false alarm: those are genuinely different coarse quantizers.
+    */
+  def readQuantizers(spark: SparkSession, dir: String)
+      : (IndexedSeq[Seq[Float]], IndexedSeq[IndexedSeq[Seq[Float]]]) = {
+    val cRows = spark.read.parquet(s"$dir/centroids")
+      .select(col("label"), transform(col("centroid"), _.cast("float")).as("c"))
+      .collect()
+    val cents = cRows.sortBy(_.getInt(0)).map(_.getSeq[Float](1)).toIndexedSeq
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("subspace"), col("code"), col("centroid"))
+      .collect()
+    val cbs = cbRows.groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toIndexedSeq
+      }
+    (cents, cbs)
+  }
+
   def read(spark: SparkSession, dir: String): Loaded = {
     val codes = spark.read.parquet(s"$dir/codes")
     val centroids = spark.read.parquet(s"$dir/centroids")

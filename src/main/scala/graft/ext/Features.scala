@@ -348,7 +348,12 @@ object Features {
       vecCol: String,
       k: Int,
       scorer: (Column, Column) => Column = negSquaredL2): DataFrame = {
+    // the candidate list is a SET: a duplicated (query, vec) pair from
+    // a sloppy searcher would otherwise occupy two ranks and push a
+    // real neighbor out of the top k. The dedup shuffle is sized by
+    // queries × C, not the corpus.
     val fetched = candidates.select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
       .join(base.select(col("vec_id"), col(vecCol)), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("exact_score", round(scorer(col(vecCol), col("query_vec")), 6))

@@ -533,6 +533,18 @@ object Jobs {
       codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
       indexDir: String,
       scorer: (Column, Column) => Column = graft.ext.Similarity.cosine): Unit = {
+    // codes already on disk were produced by SOME quantizer pair; a
+    // resumed/new ingest with different centroids or codebooks would
+    // silently mix incompatible codes into one table — refuse loudly
+    // instead. (O(k·dim + m·k) read, nothing corpus-sized.)
+    if (new java.io.File(s"$indexDir/codebooks").exists()) {
+      val prior = graft.ext.AnnIndex.readQuantizers(spark, indexDir)
+      require(prior._2 == codebooks,
+        s"ingest codebooks differ from the index's at $indexDir/codebooks — " +
+          "a mixed-quantizer code table is unsearchable; use a fresh indexDir")
+      require(prior._1 == centroids,
+        s"ingest centroids differ from the index's at $indexDir/centroids")
+    }
     graft.ext.AnnIndex.writeQuantizers(spark, centroids, codebooks, indexDir)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)

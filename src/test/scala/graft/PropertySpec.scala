@@ -476,4 +476,86 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("refineTopK equals a driver-side exact re-rank of ANY candidate list") {
+    val vecGen = Gen.listOfN(30, for {
+      id <- Gen.choose(1L, 1000000L)
+      vs <- Gen.listOfN(6, Gen.choose(-5.0, 5.0))
+    } yield (id, vs.map(_.toFloat).toArray))
+    (1 to 5).foreach { i =>
+      val rows = vecGen.pureApply(Gen.Parameters.default, Seed(71L + i))
+        .groupBy(_._1).map(_._2.head).toList.sortBy(_._1)
+      val base = rows.toDF("vec_id", "embedding")
+      val queries = rows.take(3)
+        .map { case (id, v) => (id, v) }.toDF("query_id", "query_vec")
+      // arbitrary candidate lists (NOT from any searcher) — refine's
+      // contract is independent of who proposed the candidates
+      val rnd = new scala.util.Random(100 + i)
+      val cands = rows.take(3).flatMap { case (qid, _) =>
+        rnd.shuffle(rows.map(_._1)).take(12).map(vid => (qid, vid))
+      }.toDF("query_id", "vec_id")
+      val got = graft.ext.Features.refineTopK(cands, base, queries, "embedding", 5)
+        .select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      // driver-side referee: exact negSquaredL2 rounded to 6, ordered
+      // (score desc, vec_id asc), top 5 — over EXACTLY the candidates
+      val byId = rows.toMap
+      val candList = cands.as[(Long, Long)].collect()
+      val expect = candList.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+        val q = byId(qid)
+        cs.map(_._2).distinct
+          .map { vid =>
+            val v = byId(vid)
+            val d = q.zip(v).map { case (a, b) =>
+              val x = a.toDouble - b.toDouble; x * x
+            }.sum
+            (vid, BigDecimal(-d).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          }
+          .sortBy { case (vid, s) => (-s, vid) }
+          .take(5).zipWithIndex
+          .map { case ((vid, _), r) => (qid, vid, r + 1) }
+      }.toSet
+      assert(got == expect, s"sample $i: got $got expect $expect")
+    }
+  }
+
+  test("dsirLogWeights equals the closed-form driver computation on random corpora") {
+    val docGen = Gen.listOfN(25, for {
+      id <- Gen.choose(1L, 1000000L)
+      words <- Gen.listOfN(5, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield (id, words.mkString(" ")))
+    (1 to 5).foreach { i =>
+      val docs = docGen.pureApply(Gen.Parameters.default, Seed(83L + i))
+        .groupBy(_._1).map(_._2.head).toList.sortBy(_._1)
+      val df = docs.toDF("doc_id", "text")
+      val target = df.filter(col("doc_id") % 3 === 0)
+      val got = graft.ext.TrainPrep.dsirLogWeights(df, "doc_id", "text", target)
+        .as[(Long, Double)].collect().toMap
+
+      def md5b(s: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        d.take(2).map(b => f"$b%02x").mkString.take(3)
+      }
+      def buckets(text: String): Seq[String] = {
+        val t = text.trim.split("\\s+").toSeq
+        if (t.length < 2) Nil
+        else t.sliding(2).map(p => md5b(p.mkString(" "))).toSeq
+      }
+      val corpusB = docs.flatMap(d => buckets(d._2))
+      val targetB = docs.filter(_._1 % 3 == 0).flatMap(d => buckets(d._2))
+      val cc = corpusB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tc = targetB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (ctot, ttot) = (corpusB.size.toDouble, targetB.size.toDouble)
+      docs.foreach { case (id, text) =>
+        val lw = buckets(text).map { b =>
+          math.log((tc.getOrElse(b, 0L) + 1) / (ttot + 4096.0)) -
+            math.log((cc(b) + 1) / (ctot + 4096.0))
+        }.sum
+        val expect = BigDecimal(lw).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        assert((BigDecimal(got(id)) - expect).abs <= BigDecimal("0.0001"),
+          s"sample $i doc $id: got ${got(id)} expect $expect")
+      }
+    }
+  }
 }

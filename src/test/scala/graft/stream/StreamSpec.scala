@@ -433,5 +433,20 @@ class StreamSpec extends SparkSpec {
     graft.stream.Jobs.runIndexIngestStream(spark, in, df.schema,
       "vec_id", "embedding", centroids, cbs, idxDir)
     assert(graft.ext.AnnIndex.read(spark, idxDir).codes.count() == 80L)
+
+    // resuming with DIFFERENT quantizers would silently mix
+    // incompatible codes into one table — must refuse loudly
+    val otherCbs = cbs.map(_.map(_.map(_ + 1.0f)))
+    val e = intercept[IllegalArgumentException] {
+      graft.stream.Jobs.runIndexIngestStream(spark, in, df.schema,
+        "vec_id", "embedding", centroids, otherCbs, idxDir)
+    }
+    assert(e.getMessage.contains("codebooks differ"))
+    val otherCents = centroids.map(_.map(_ + 1.0f))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.stream.Jobs.runIndexIngestStream(spark, in, df.schema,
+        "vec_id", "embedding", otherCents, cbs, idxDir)
+    }
+    assert(e2.getMessage.contains("centroids differ"))
   }
 }
