@@ -2472,8 +2472,7 @@ object SparkEntry {
     val cbs = graft.ext.Features.pqTrainCodebooks(
       base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
     val codes = graft.ext.Features.pqEncode(base, "vec_id", "embedding", cbs)
-    val queries = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val queries = embQueries(spark, dir)
     val adc = graft.ext.Features.pqAdcTopK(codes, queries, cbs, 10)
       .select(col("query_id"), col("vec_id"))
     val exact = Similarity.bruteForceTopK(queries, base, 10,
@@ -2580,8 +2579,7 @@ object SparkEntry {
       base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
     val codes = graft.ext.Features.pqEncode(
       clustered, "vec_id", "embedding", cbs, carryCols = Seq("label"))
-    val queries = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val queries = embQueries(spark, dir)
     val ivfAdc = Features.ivfAdcTopK(codes, Similarity.clusterCentroids(clustered),
       queries, cbs, k = 10, nprobe = 5)
       .select(col("query_id"), col("vec_id"))
@@ -2591,7 +2589,7 @@ object SparkEntry {
     val fullAdc = graft.ext.Features.pqAdcTopK(
       codes.select(col("vec_id"), col("codes")), queries, cbs, 10)
       .select(col("query_id"), col("vec_id"))
-    withCached(exact, ivfAdc, fullAdc) {
+    withCached(codes, exact, ivfAdc, fullAdc) {
       val nExact = exact.count().toDouble
       val recallExact = exact.join(ivfAdc, Seq("query_id", "vec_id")).count() / nExact
       val recallFull = fullAdc.join(ivfAdc, Seq("query_id", "vec_id")).count() /

@@ -297,6 +297,10 @@ object Similarity {
       init += sample.minBy(v => init.map(c => cosLocal(v, c)).max)
     }
     var centroids: IndexedSeq[Seq[Float]] = init.map(_.toSeq).toIndexedSeq
+    // a sample smaller than k yields fewer centroids — iterate over
+    // what exists (labels stay 0..kEff-1), a degenerate-but-valid
+    // quantizer, instead of indexing past the end on the update
+    val kEff = centroids.length
     for (_ <- 0 until iters) {
       val means = assignCells(embeddings, idCol, vecCol, centroids, scorer,
         literalMaxEntries)
@@ -307,7 +311,7 @@ object Similarity {
         .map { case (l, rows) =>
           l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
         }
-      centroids = (0 until k).map(i => means.getOrElse(i, centroids(i)))
+      centroids = (0 until kEff).map(i => means.getOrElse(i, centroids(i)))
     }
     centroids
   }

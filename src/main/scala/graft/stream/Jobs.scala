@@ -485,14 +485,24 @@ object Jobs {
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev =
-          if (lastV < 0) batch.limit(0)
-          else spark.read.parquet(s"$workDir/corpus/v=$lastV")
-        prev.unionByName(batch)
-          .write.mode("overwrite").parquet(s"$workDir/corpus/v=$batchId")
-        planOf(spark.read.parquet(s"$workDir/corpus/v=$batchId"))
-          .write.mode("overwrite").parquet(s"$workDir/plan/v=$batchId")
-        lastV = batchId
+        // Replay safety: a batch can be re-delivered after its plan
+        // version was already PUBLISHED (crash between the plan write
+        // and the checkpoint commit). lastV >= batchId then means both
+        // writes for this batch finished — re-appending would read
+        // corpus/v=batchId as its own prev (an overwrite-while-reading
+        // error) and duplicate the batch's rows. Skip: the publish is
+        // the idempotence marker, exactly like runChangelogStream's
+        // recovered-version path.
+        if (lastV < batchId) {
+          val prev =
+            if (lastV < 0) batch.limit(0)
+            else spark.read.parquet(s"$workDir/corpus/v=$lastV")
+          prev.unionByName(batch)
+            .write.mode("overwrite").parquet(s"$workDir/corpus/v=$batchId")
+          planOf(spark.read.parquet(s"$workDir/corpus/v=$batchId"))
+            .write.mode("overwrite").parquet(s"$workDir/plan/v=$batchId")
+          lastV = batchId
+        }
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")
@@ -536,8 +546,12 @@ object Jobs {
     // codes already on disk were produced by SOME quantizer pair; a
     // resumed/new ingest with different centroids or codebooks would
     // silently mix incompatible codes into one table — refuse loudly
-    // instead. (O(k·dim + m·k) read, nothing corpus-sized.)
-    if (new java.io.File(s"$indexDir/codebooks").exists()) {
+    // instead. (O(k·dim + m·k) read, nothing corpus-sized.) Existence
+    // goes through the Hadoop FileSystem API so the guard holds on
+    // object stores too, not just the local FS.
+    val cbPath = new org.apache.hadoop.fs.Path(s"$indexDir/codebooks")
+    val cbFs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cbFs.exists(cbPath)) {
       val prior = graft.ext.AnnIndex.readQuantizers(spark, indexDir)
       require(prior._2 == codebooks,
         s"ingest codebooks differ from the index's at $indexDir/codebooks — " +

@@ -380,6 +380,43 @@ class StreamSpec extends SparkSpec {
     assert(v3 == 3L)
   }
 
+  test("plan recompute stream: full replay of published batches is a no-op, not a wedge") {
+    val tmp = tempDir("graft-planreplay")
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    val slices = Seq(Seq((1L, 10L), (2L, 20L)), Seq((3L, 30L)), Seq((4L, 40L)))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "n_tokens")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    def planOf(c: org.apache.spark.sql.DataFrame) =
+      c.agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+    val first = graft.stream.Jobs.runPlanRecomputeStream(spark, in,
+      slices.head.toDF("doc_id", "n_tokens").schema, s"$tmp/work", planOf)
+      .as[(Long, Long)].collect().toSeq
+    assert(first == Seq((4L, 100L)))
+    // simulate the worst replay: every plan version is already
+    // PUBLISHED but the checkpoint is gone, so Spark re-delivers ALL
+    // batches. Each must recognize itself as published and skip —
+    // re-appending would read corpus/v=N as its own prev (an
+    // overwrite-while-reading failure) and duplicate rows.
+    val ckpt = new java.io.File(s"$tmp/work/ckpt")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(ckpt)
+    val replayed = graft.stream.Jobs.runPlanRecomputeStream(spark, in,
+      slices.head.toDF("doc_id", "n_tokens").schema, s"$tmp/work", planOf)
+      .as[(Long, Long)].collect().toSeq
+    assert(replayed == Seq((4L, 100L)), s"replay changed the plan: $replayed")
+  }
+
   test("index ingest stream: streamed IVF-PQ index bit-equals the batch build") {
     // planted 4-cluster geometry (the AnnIndexSpec fixture) so cell
     // assignment is unambiguous whatever the micro-batch carving
