@@ -2789,6 +2789,52 @@ object SparkEntry {
     }
   }
 
+  /** Index compaction after streaming ingest
+    * ([[graft.ext.AnnIndex.compact]]): the q113 ingest necessarily
+    * leaves one file per (micro-batch, cell) — exactly-once appends
+    * buy the streaming small-files problem — and compaction rewrites
+    * the table into the canonical `codes/label=<cell>/` layout with
+    * an atomic staging swap. The contract pins that compaction is
+    * SEARCH-INVARIANT (identical IVF-ADC results before and after,
+    * collected before the old files are deleted) and that the batch
+    * dimension — which existed only for replay idempotence — is
+    * present before and gone after.
+    */
+  def q115CompactIndex(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.trainKmeansCentroids(base, "vec_id", "embedding",
+      k = 10, iters = 3, scorer = graft.ext.VectorKernels.cosineF)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    val tmp = tempDir("graft-q115")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => base.filter(pmod(col("vec_id"), lit(4)) === i)), tmp)
+    val idxDir = s"$tmp/index"
+    graft.stream.Jobs.runIndexIngestStream(spark, in, base.schema,
+      "vec_id", "embedding", centroids, cbs, idxDir,
+      scorer = graft.ext.VectorKernels.cosineF)
+    val queries = embQueries(spark, dir)
+    import spark.implicits._
+    def searchSet(): Set[(Long, Long, Double, Int)] =
+      graft.ext.AnnIndex.searchTopK(
+        graft.ext.AnnIndex.read(spark, idxDir), queries, k = 10, nprobe = 3)
+        .select(col("query_id"), col("vec_id"), col("adc_score"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val hadBatch = graft.ext.AnnIndex.read(spark, idxDir)
+      .codes.columns.contains("batch")
+    val before = searchSet() // materialized BEFORE the swap deletes old files
+    graft.ext.AnnIndex.compact(spark, idxDir)
+    val batchGone = !graft.ext.AnnIndex.read(spark, idxDir)
+      .codes.columns.contains("batch")
+    val after = searchSet()
+    Seq(
+      ("batch_dimension_present_before_compaction", hadBatch),
+      ("batch_dimension_removed_after_compaction", batchGone),
+      ("compacted_search_equals_streamed_search", before == after))
+      .toDF("metric", "ok").orderBy(col("metric"))
+  }
+
   /** DSIR importance log-weights (Xie et al. 2023) over the corpus
     * with the English src1/src2 slice as the target domain: hashed
     * bigram bag-of-buckets (portable md5-prefix buckets, 4096),
@@ -2933,6 +2979,7 @@ object SparkEntry {
     "q112_dsir_weights" -> (q112DsirWeights _),
     "q113_stream_index_ingest" -> (q113StreamIndexIngest _),
     "q114_ivfpq_refine" -> (q114IvfPqRefinePipeline _),
+    "q115_compact_index" -> (q115CompactIndex _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -2957,7 +3004,7 @@ object SparkEntry {
     "q19c_stateful_tws", "q55_stream_dedup", "q62_ss_join",
     "q70_session_stream", "q96_stream_cdc", "q99_stream_throttle",
     "q104b_mixture_stream", "q105b_shard_stream", "q108_stream_curate",
-    "q113_stream_index_ingest")
+    "q113_stream_index_ingest", "q115_compact_index")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -4885,6 +4932,14 @@ object SparkEntry {
       """SELECT 'pipeline_recall_at_10_ge_0.25' AS metric, TRUE AS ok
         |UNION ALL
         |SELECT 'pipeline_recall_ge_raw_ivf_adc_recall', TRUE
+        |ORDER BY metric""".stripMargin,
+
+    "q115_compact_index" ->
+      """SELECT 'batch_dimension_present_before_compaction' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'batch_dimension_removed_after_compaction', TRUE
+        |UNION ALL
+        |SELECT 'compacted_search_equals_streamed_search', TRUE
         |ORDER BY metric""".stripMargin,
 
     "q112_dsir_weights" ->

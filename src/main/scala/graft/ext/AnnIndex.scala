@@ -127,4 +127,33 @@ object AnnIndex {
   def searchTopK(index: Loaded, queries: DataFrame, k: Int, nprobe: Int): DataFrame =
     Features.ivfAdcTopK(index.codes, index.centroids, queries,
       index.codebooks, k, nprobe)
+
+  /** Consolidate a streamed index into the canonical layout — the
+    * FAISS `merge_from` maintenance step, because
+    * [[graft.stream.Jobs.runIndexIngestStream]] necessarily grows a
+    * `codes/batch=<id>/label=<cell>/` file PER (micro-batch, cell):
+    * exactly-once appends buy the classic streaming small-files
+    * problem, and at ingest cadence the per-cell file count — and
+    * with it search-scan task overhead — grows without bound.
+    * Compaction rewrites the code table as one `codes/label=<cell>/`
+    * level (dropping the batch dimension, which only ever existed for
+    * replay idempotence), staged then atomically swapped like the KV
+    * sink, so a concurrent reader sees the old or the new table,
+    * never a half-written one. Search results are IDENTICAL before
+    * and after (q115's contract): codes are content, layout is not.
+    * Label partition pruning is preserved — one directory level
+    * higher, one level fewer to list.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("codes"), col("label"))
+    val staging = s"$dir/codes__staging"
+    codes.write.mode("overwrite").partitionBy("label").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    ()
+  }
 }

@@ -45,6 +45,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(disk == mem, s"disk=$disk mem=$mem")
   }
 
+  test("compact: collapses batch partitions into label dirs, codes unchanged") {
+    val df = planted.toDF("vec_id", "embedding")
+    val clustered = Similarity.kmeansLabels(df, "vec_id", "embedding", k = 4, iters = 4)
+    val cbs = Features.pqTrainCodebooks(df, "vec_id", "embedding", m = 2, k = 4, iters = 4)
+    val codes = Features.pqEncode(clustered, "vec_id", "embedding", cbs,
+      carryCols = Seq("label"))
+    val dir = tempDir("graft-annidx-compact")
+    // emulate the streamed layout: per-batch partition level above label
+    Seq(0, 1, 2).foreach { b =>
+      codes.filter(col("vec_id") % 3 === b)
+        .select(col("vec_id"), col("codes"), col("label"))
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$dir/codes/batch=$b")
+    }
+    AnnIndex.writeQuantizers(spark,
+      (0 until 4).map(i => Seq.fill(8)(i.toFloat)), cbs, dir)
+    val beforeCodes = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "label", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(spark.read.parquet(s"$dir/codes").columns.contains("batch"))
+
+    AnnIndex.compact(spark, dir)
+    val after = spark.read.parquet(s"$dir/codes")
+    assert(!after.columns.contains("batch"), "batch level must be gone")
+    val afterCodes = after.select("vec_id", "label", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(afterCodes == beforeCodes, "compaction must not change content")
+    val top = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.nonEmpty).toSeq
+    assert(top.forall(_.startsWith("label=")), s"unexpected dirs: $top")
+    // no staging residue
+    assert(!new java.io.File(s"$dir/codes__staging").exists())
+  }
+
   test("codes land label-partitioned on disk — the layout pruning depends on") {
     val df = planted.toDF("vec_id", "embedding")
     val clustered = Similarity.kmeansLabels(df, "vec_id", "embedding", k = 4, iters = 4)

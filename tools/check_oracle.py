@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py [sf_dir[,sf_dir2,...]] [out_dir] [--skip-verify]
+Usage: python3 tools/check_oracle.py [sf_dir[,sf_dir2,...]] [out_dir]
+           [--skip-verify] [--only=q1,q2,...]
 
 Runs graft.Verify (unless --skip-verify), then for each query parquet in
 out_dir, runs the matching oracle SQL in DuckDB (tables registered as
@@ -31,8 +32,9 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def run_verify(sf_dir, out_dir):
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}']
+def run_verify(sf_dir, out_dir, only=()):
+    names = " " + " ".join(only) if only else ""
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}{names}']
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     sys.stdout.write("\n".join(l for l in r.stdout.splitlines()
                                if "error" in l.lower() or "failed" in l.lower()) + "\n")
@@ -55,9 +57,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def check_one(sf_dir, out_dir):
+def check_one(sf_dir, out_dir, only=()):
     if "--skip-verify" not in sys.argv:
-        run_verify(sf_dir, out_dir)
+        run_verify(sf_dir, out_dir, only)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -66,6 +68,8 @@ def check_one(sf_dir, out_dir):
         oracle = json.load(f)
 
     qdirs = sorted(d for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d))
+    if only:
+        qdirs = [d for d in qdirs if os.path.basename(d) in only]
     n_pass = n_fail = n_nosql = 0
     for qd in qdirs:
         name = os.path.basename(qd)
@@ -115,13 +119,21 @@ def check_one(sf_dir, out_dir):
 
 
 def main():
-    sf_dirs = (sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01").split(",")
-    out_base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = ()
+    for a in sys.argv[1:]:
+        # --only q110_adc_refine,q112_dsir_weights : run and compare just
+        # these queries (dev iteration on a new oracle without the
+        # ~10-min full sweep)
+        if a.startswith("--only="):
+            only = tuple(a[len("--only="):].split(","))
+    sf_dirs = (args[0] if args else "/root/testdata/sf0.01").split(",")
+    out_base = args[1] if len(args) > 1 else "/tmp/verify_out"
     total_fail = 0
     for sf_dir in sf_dirs:
         out_dir = out_base if len(sf_dirs) == 1 \
             else out_base + "_" + os.path.basename(sf_dir.rstrip("/"))
-        total_fail += check_one(sf_dir, out_dir)
+        total_fail += check_one(sf_dir, out_dir, only)
     sys.exit(1 if total_fail else 0)
 
 
