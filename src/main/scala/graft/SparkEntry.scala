@@ -2852,6 +2852,78 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style cross-corpus perplexity filter (Wenzek et al. 2019):
+    * a bigram LM trains on the English slice (the "reference domain")
+    * and EVERY doc is scored under it; docs then land in CCNet's
+    * head/middle/tail tertiles (head = closest to the reference).
+    * The tertile assignment here is an exact ntile over
+    * (rounded score, doc_id) so the oracle reproduces it
+    * deterministically; at 100 TB the cutoffs come from a KLL sketch
+    * instead ([[graft.ext.TrainPrep.budgetFillGlobal]]'s bucketing)
+    * — same downstream semantics, no global sort.
+    */
+  def q116CrossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ref = docs.filter(col("lang") === "en")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cross_entropy"), col("doc_id"))
+    Text.crossEntropyScores(docs, "doc_id", "text", ref, "text")
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          ntile(3).over(w)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The 100 TB form of q116's scorer: both LM joins carry xxhash64
+    * keys instead of token/bigram strings. Shares q116's score oracle
+    * (minus the tertile column) — hashed ≡ exact, the
+    * q102b/q106b discipline.
+    */
+  def q116bCrossEntropyHashed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ref = docs.filter(col("lang") === "en")
+    Text.crossEntropyScoresHashed(docs, "doc_id", "text", ref, "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4-style segment cleaning (Raffel et al. 2019 §2.2): split each
+    * doc into segments, keep segments with ≥ 5 tokens, ≥ 1 stopword,
+    * and no blocklisted token, reassemble, and drop docs with nothing
+    * left. The corpus is synthetic single-line text, so the token
+    * "line" stands in for C4's '\n' delimiter (disclosed; the operator
+    * takes the delimiter pattern as a parameter) and "slow" stands in
+    * for the bad-word list. One map pass — split/filter/reassemble are
+    * array HOFs in the projection, no explode, no shuffle.
+    */
+  def q117CleanSegments(spark: SparkSession, dir: String): DataFrame =
+    Text.cleanSegments(Tables.documents(spark, dir), "doc_id", "text",
+      delimPattern = "\\bline\\b", minTokens = 5,
+      requireStopword = true, blocklist = Seq("slow"))
+      .filter(col("n_kept") >= 1)
+      .orderBy(col("doc_id"))
+
+  /** Paragraph-grain exact dedup with reassembly (RefinedWeb's exact
+    * line dedup shape): 16-token paragraphs, globally keep-first, docs
+    * rebuilt from survivors — including docs that collapse to empty
+    * (n_kept = 0 rows stay visible here; a pipeline filters them).
+    * Keep-first is ONE window keyed on the paragraph (keyed shuffle,
+    * no global sort); reassembly one partial-agg'd groupBy(doc_id).
+    */
+  def q118ParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.paragraphDedup(
+      Tables.documents(spark, dir), "doc_id", "text", chunkTokens = 16)
+      .orderBy(col("doc_id"))
+
+  /** q118's 100 TB form: the keep-first window keys on
+    * xxhash64(paragraph) — 8-byte shuffle keys instead of paragraph
+    * strings. Hashed ≡ exact; shares q118's oracle verbatim.
+    */
+  def q118bParagraphDedupHashed(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.paragraphDedup(
+      Tables.documents(spark, dir), "doc_id", "text", chunkTokens = 16,
+      hashKeys = true)
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2980,6 +3052,11 @@ object SparkEntry {
     "q113_stream_index_ingest" -> (q113StreamIndexIngest _),
     "q114_ivfpq_refine" -> (q114IvfPqRefinePipeline _),
     "q115_compact_index" -> (q115CompactIndex _),
+    "q116_cross_entropy" -> (q116CrossEntropy _),
+    "q116b_cross_entropy_hashed" -> (q116bCrossEntropyHashed _),
+    "q117_clean_segments" -> (q117CleanSegments _),
+    "q118_paragraph_dedup" -> (q118ParagraphDedup _),
+    "q118b_paragraph_dedup_hashed" -> (q118bParagraphDedupHashed _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3011,6 +3088,74 @@ object SparkEntry {
     * approximate ops (q13 LSH recall, q13b simhash, q23 IVF, q25 stub
     * decode) → driver records a weaker rows-only check.
     */
+  /** Shared prefix of the q116/q116b oracles: bigram LM trained on the
+    * English slice, every doc scored (add-one smoothing over the
+    * reference vocabulary; unseen events coalesce to count 0). Ends at
+    * the `scored` CTE — each query appends its own projection.
+    */
+  private val crossEntropyScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |ref AS (
+      |  SELECT t.doc_id, toks FROM t
+      |  JOIN documents d ON d.doc_id = t.doc_id AND d.lang = 'en'),
+      |runi AS (SELECT unnest(toks) AS tok FROM ref),
+      |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM runi GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab FROM runi),
+      |rbg AS (
+      |  SELECT unnest([toks[i] || ' ' || toks[i+1]
+      |                 FOR i IN range(1, len(toks))]) AS bigram
+      |  FROM ref WHERE len(toks) >= 2),
+      |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cb FROM rbg GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest([toks[i] || ' ' || toks[i+1]
+      |                 FOR i IN range(1, len(toks))]) AS bigram
+      |  FROM t WHERE len(toks) >= 2),
+      |lp AS (
+      |  SELECT g.doc_id,
+      |         ln((coalesce(bc.cb, 0) + 1.0) /
+      |            (coalesce(uc.cu, 0) + v.vocab)) AS lp
+      |  FROM bg g
+      |  LEFT JOIN bc USING (bigram)
+      |  LEFT JOIN uc ON uc.tok = split_part(g.bigram, ' ', 1)
+      |  CROSS JOIN v),
+      |scored AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         round(-avg(lp), 4) AS cross_entropy
+      |  FROM lp GROUP BY doc_id)""".stripMargin
+
+  /** Shared by q118 (string keep-first keys) and q118b (xxhash64
+    * keys): hashed ≡ exact, so both forms check against the one SQL.
+    */
+  private val paragraphDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks,
+      |         CASE WHEN len(toks) <= 16 THEN 1
+      |              ELSE (len(toks) - 16 + 15) // 16 + 1 END AS n_chunks
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks FROM n),
+      |x AS (
+      |  SELECT doc_id, chunk_id,
+      |         array_to_string(toks[chunk_id*16 + 1 : chunk_id*16 + 16], ' ')
+      |           AS chunk_text
+      |  FROM c),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY chunk_text
+      |                               ORDER BY doc_id, chunk_id) AS rn
+      |  FROM x)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT)
+      |         AS n_kept,
+      |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+      |                           ORDER BY chunk_id), '') AS dedup_text
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Shared by q79 (one-shot batch apply) and q96 (incremental
     * streaming apply): both must converge to the same snapshot.
     */
@@ -4973,6 +5118,48 @@ object SparkEntry {
         |SELECT d.doc_id, round(coalesce(w, 0.0), 4) AS dsir_log_weight
         |FROM documents d LEFT JOIN lw USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q116_cross_entropy" ->
+      (crossEntropyScoreSql +
+        """,
+          |ranked AS (
+          |  SELECT doc_id, n_bigrams, cross_entropy,
+          |         ntile(3) OVER (ORDER BY cross_entropy, doc_id) AS t
+          |  FROM scored)
+          |SELECT doc_id, n_bigrams, cross_entropy,
+          |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+          |              ELSE 'tail' END AS bucket
+          |FROM ranked ORDER BY doc_id""".stripMargin),
+
+    "q116b_cross_entropy_hashed" ->
+      (crossEntropyScoreSql +
+        """
+          |SELECT doc_id, n_bigrams, cross_entropy
+          |FROM scored ORDER BY doc_id""".stripMargin),
+
+    "q117_clean_segments" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         [trim(x) FOR x IN regexp_split_to_array(text, '\bline\b')
+        |          IF length(trim(x)) > 0] AS segs
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, segs,
+        |         [x FOR x IN segs IF
+        |            len(regexp_split_to_array(lower(x), '\s+')) >= 5
+        |            AND list_has_any(
+        |              regexp_split_to_array(lower(x), '\s+'),
+        |              ['the','a','an','and','or','of','to','in','is','it'])
+        |            AND NOT list_has_any(
+        |              regexp_split_to_array(lower(x), '\s+'), ['slow'])] AS kept
+        |  FROM s)
+        |SELECT doc_id, CAST(len(segs) AS INT) AS n_segments,
+        |       CAST(len(kept) AS INT) AS n_kept,
+        |       array_to_string(kept, ' ') AS clean_text
+        |FROM k WHERE len(kept) >= 1 ORDER BY doc_id""".stripMargin,
+
+    "q118_paragraph_dedup" -> paragraphDedupSql,
+    "q118b_paragraph_dedup_hashed" -> paragraphDedupSql,
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok

@@ -625,4 +625,53 @@ object Dedup {
         array_join(col("__kept"), " ").as("text"),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
+
+  /** Paragraph-grain exact dedup with reassembly (the "exact paragraph
+    * / line dedup" pass that web-corpus pipelines run BEFORE fuzzy
+    * doc-level dedup — e.g. RefinedWeb, Penedo et al. 2306.01116, and
+    * Lee et al. 2107.06499's ExactSubstr at paragraph grain): chunk
+    * every document into fixed `chunkTokens`-token paragraphs, keep
+    * only the globally FIRST occurrence of each distinct paragraph
+    * (first = lowest (doc_id, chunk position)), and rebuild each
+    * document from its surviving paragraphs in order.
+    *
+    * Returns every input doc as (doc_id, n_chunks, n_kept,
+    * dedup_text) — a doc whose every paragraph appeared earlier
+    * somewhere collapses to the empty string (n_kept = 0); filter
+    * downstream, as with [[exciseSpans]].
+    *
+    * Shape: chunking is a map pass ([[TrainPrep.chunkDocs]] with
+    * stride = size); the keep-first rule is ONE window keyed on the
+    * paragraph text (row_number over (doc_id, chunk_id) — a keyed
+    * shuffle, no global sort); reassembly is one partial-agg'd
+    * groupBy(doc_id) whose collect_list is bounded by the doc's own
+    * chunk count. At 100 TB swap the paragraph-text shuffle key for
+    * xxhash64(paragraph) — the [[repeatedNgramSpansWithHandle]]
+    * hashed-key discipline — via `hashKeys = true` (identical output
+    * up to 64-bit collisions; the string form is the oracle surface).
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      hashKeys: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = TrainPrep.chunkDocs(df, idCol, textCol, chunkTokens, chunkTokens)
+      .select(col(idCol).as("doc_id"), col("chunk_id"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+    val key = if (hashKeys) xxhash64(col("chunk_text")) else col("chunk_text")
+    val w = Window.partitionBy(key).orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .withColumn("__kept", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("chunk_id"), col("__kept"),
+              col("chunk_text")))),
+            s => s.getField("__kept")),
+          s => s.getField("chunk_text"))).as("dedup_text"))
+  }
 }

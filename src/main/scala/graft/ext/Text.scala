@@ -433,6 +433,162 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_lp"))
   }
 
+  /** Cross-corpus LM cross-entropy (the CCNet quality filter,
+    * Wenzek et al. 2019, 1911.00359): a bigram LM is trained on a
+    * REFERENCE corpus (there: Wikipedia; here: any caller-supplied
+    * slice) and every corpus document is scored under it —
+    * low cross-entropy means "looks like the reference domain",
+    * high means boilerplate/garbled/out-of-domain. This is the
+    * cross-domain counterpart of [[bigramLogProbScores]] (which
+    * self-trains on the scored corpus): the model and the scored text
+    * come from DIFFERENT frames, so unseen events are normal and the
+    * smoothing must cover them — add-one over the reference vocabulary:
+    * lp(w1 w2) = ln((c_ref(w1 w2) + 1) / (c_ref(w1) + |V_ref|)), with
+    * both counts coalescing to 0 when the reference never saw the
+    * event (an unseen w1 scores ln(1/|V_ref|)).
+    *
+    * Returns (doc_id, n_bigrams, cross_entropy) where cross_entropy =
+    * −avg(lp) rounded to 4 (lower = closer to the reference). Docs
+    * with < 2 tokens have no bigrams and drop out (q68 precedent).
+    *
+    * Shape: the model is two keyed aggregations over the REFERENCE
+    * (typically ≪ corpus); scoring is the corpus bigram stream
+    * LEFT-joined to both model tables — the unigram/vocab sides are
+    * small enough to broadcast outright, the bigram model shuffles
+    * once keyed on the bigram. At 100 TB the corpus side never
+    * shuffles on anything but the model keys and the final doc_id
+    * aggregation is partial-agg'd. The [[crossEntropyScoresHashed]]
+    * twin carries only 8-byte keys through those joins.
+    */
+  def crossEntropyScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), tokens(lower(trim(col(textCol)))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(
+            concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))
+              .as("bigram"),
+            element_at(col("toks"), i).as("tok")))).as("p"))
+      .select(col("doc_id"), col("p.bigram").as("bigram"), col("p.tok").as("tok"))
+    val refToks = reference
+      .select(tokens(lower(trim(col(refTextCol)))).as("toks"))
+    val refUni = refToks.select(explode(col("toks")).as("tok"))
+    val uc = refUni.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val v = refUni.agg(countDistinct(col("tok")).cast("double").as("vocab"))
+    val bc = refToks.filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1)))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    bg.join(bc, Seq("bigram"), "left")
+      .join(broadcast(uc), Seq("tok"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + col("vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("lp")), 4).as("cross_entropy"))
+  }
+
+  /** The 100 TB form of [[crossEntropyScores]]: token and bigram
+    * identity hash to 64 bits (`xxhash64`) before any join, so the
+    * corpus-side shuffle and both model joins carry only longs — the
+    * [[bigramLogProbScoresHashed]] discipline applied to the
+    * cross-corpus model. Same smoothing, equal output up to 64-bit
+    * hash collisions (parity-tested in ExtSpec; the string form is
+    * the oracle surface).
+    */
+  def crossEntropyScoresHashed(
+      docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"),
+        transform(tokens(lower(trim(col(textCol)))), t => xxhash64(t)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(
+            xxhash64(element_at(col("tk"), i), element_at(col("tk"), i + 1)).as("bk"),
+            element_at(col("tk"), i).as("w1k")))).as("p"))
+      .select(col("doc_id"), col("p.bk").as("bk"), col("p.w1k").as("w1k"))
+    val refToks = reference
+      .select(transform(tokens(lower(trim(col(refTextCol)))), t => xxhash64(t)).as("tk"))
+    val refUni = refToks.select(explode(col("tk")).as("w1k"))
+    val uc = refUni.groupBy(col("w1k")).agg(count(lit(1)).as("cu"))
+    val v = refUni.agg(countDistinct(col("w1k")).cast("double").as("vocab"))
+    val bc = refToks.filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => xxhash64(element_at(col("tk"), i),
+          element_at(col("tk"), i + 1)))).as("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("cb"))
+    bg.join(bc, Seq("bk"), "left")
+      .join(broadcast(uc), Seq("w1k"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + col("vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("lp")), 4).as("cross_entropy"))
+  }
+
+  /** C4-style segment-level cleaning (Raffel et al. 2019, 1910.10683
+    * §2.2): split each document into segments, keep only segments that
+    * pass per-segment heuristics, and reassemble the document from the
+    * survivors. C4 applies this to newline-separated lines ("retain
+    * lines of ≥ 5 words", "drop lines with bad words / code braces");
+    * the delimiter and rules are parameters here:
+    *
+    *   - a segment must carry at least `minTokens` whitespace tokens;
+    *   - with `requireStopword`, a segment must contain ≥ 1 stopword
+    *     (C4's "page must contain the/a/an…" rule at segment grain);
+    *   - segments containing any `blocklist` token are dropped
+    *     (C4's bad-word filter).
+    *
+    * Returns every input doc as (doc_id, n_segments, n_kept,
+    * clean_text); callers drop docs below a min-kept threshold (C4
+    * keeps pages with ≥ 3 surviving sentences). Empty-after-trim
+    * fragments are never counted as segments, so engines that differ
+    * on trailing-empty split pieces agree on the output.
+    *
+    * Shape: ONE map pass — split / filter / reassemble are all array
+    * HOFs inside the projection, no explode, no shuffle. At 100 TB
+    * this runs at scan speed with full column pruning; it is the
+    * cheapest possible form of the operator.
+    */
+  def cleanSegments(
+      docs: DataFrame, idCol: String, textCol: String,
+      delimPattern: String,
+      minTokens: Int,
+      requireStopword: Boolean = true,
+      stopwords: Seq[String] = defaultStopwords,
+      blocklist: Seq[String] = Nil): DataFrame = {
+    val stops = array(stopwords.map(lit): _*)
+    val block = array(blocklist.map(lit): _*)
+    def segTokens(s: Column): Column = split(lower(s), "\\s+")
+    def keepSeg(s: Column): Column = {
+      val t = segTokens(s)
+      val base = size(t) >= minTokens
+      val stop = if (requireStopword) exists(t, x => array_contains(stops, x))
+                 else lit(true)
+      val blocked = if (blocklist.nonEmpty) exists(t, x => array_contains(block, x))
+                    else lit(false)
+      base && stop && !blocked
+    }
+    val segs = filter(
+      transform(split(col(textCol), delimPattern), s => trim(s)),
+      s => length(s) > 0)
+    val kept = filter(segs, keepSeg(_))
+    docs.select(col(idCol).as("doc_id"),
+      size(segs).as("n_segments"),
+      size(kept).as("n_kept"),
+      concat_ws(" ", kept).as("clean_text"))
+  }
+
   // ------------------------------------------------------ PII scrubbing
 
   /** PII patterns for redaction, most-specific first. RE2-safe (no

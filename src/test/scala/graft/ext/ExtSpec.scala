@@ -815,4 +815,75 @@ class ExtSpec extends SparkSpec {
     assert((r.getAs[Int]("ne"), r.getAs[Int]("np"), r.getAs[Int]("ns"),
       r.getAs[Int]("ni")) == ((1, 1, 1, 1)))
   }
+
+  test("crossEntropyScores: add-one smoothing hand-check + hashed parity") {
+    // ref "a b a b": uc(a)=2 uc(b)=2, |V|=2; cb("a b")=2, cb("b a")=1
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b"), // lp = ln(3/4) -> ce 0.2877
+      (2L, "z z"), // unseen everything: lp = ln(1/(0+2)) -> ce 0.6931
+      (3L, "b a"), // lp = ln(2/4) -> ce 0.6931
+      (4L, "solo") // < 2 tokens: drops out
+    ).toDF("doc_id", "text")
+    val got = Text.crossEntropyScores(corpus, "doc_id", "text", ref, "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 0.2877), (2L, 1L, 0.6931), (3L, 1L, 0.6931)))
+    // the hashed form is the same model with 8-byte keys
+    val hashed = Text.crossEntropyScoresHashed(corpus, "doc_id", "text", ref, "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(hashed.toSeq == got.toSeq)
+  }
+
+  test("crossEntropyScoresHashed parity on the real corpus shape") {
+    val docs = Seq.tabulate(60) { i =>
+      val words = Seq("the", "cat", "dog", "runs", "fast", "slow", "a", "key")
+      (i.toLong, Seq.tabulate(12)(j => words((i * 7 + j * 3) % words.size)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val exact = Text.crossEntropyScores(docs, "doc_id", "text", ref, "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val hashed = Text.crossEntropyScoresHashed(docs, "doc_id", "text", ref, "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(exact == hashed)
+  }
+
+  test("cleanSegments: per-rule keep/drop and reassembly") {
+    val df = Seq(
+      (1L, "the cat sat on mat | tiny | bad slow segment here the | the dog ran far away"),
+      (2L, "| leading empty | no stopwords here at all now |"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Text.cleanSegments(df, "doc_id", "text",
+      delimPattern = "\\|", minTokens = 5,
+      requireStopword = true, blocklist = Seq("slow"))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    // doc 1: 4 segments; "tiny" (< 5 tokens) and the "slow" segment drop
+    assert(out(0) == ((1L, 4, 2, "the cat sat on mat the dog ran far away")))
+    // doc 2: empty fragments never count as segments; "leading empty" is
+    // too short, and the 6-token segment carries no defaultStopwords word
+    assert(out(1)._2 == 2)
+    assert(out(1)._3 == 0)
+    assert(out(1)._4 == "")
+    // empty doc: zero segments
+    assert(out(2) == ((3L, 0, 0, "")))
+  }
+
+  test("paragraphDedup: global keep-first, reassembly, hashed parity") {
+    val df = Seq(
+      (1L, "a b c d"),   // both chunks first occurrences
+      (2L, "a b x y"),   // "a b" already seen in doc 1
+      (3L, "c d"),       // fully duplicate -> collapses to ""
+      (4L, "p q p q")    // within-doc duplicate: second "p q" drops
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text", chunkTokens = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 0L, ""),
+      (4L, 2L, 1L, "p q")))
+    val hashed = Dedup.paragraphDedup(df, "doc_id", "text", chunkTokens = 2,
+      hashKeys = true)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(hashed == out)
+  }
 }
