@@ -2924,6 +2924,20 @@ object SparkEntry {
       hashKeys = true)
       .orderBy(col("doc_id"))
 
+  /** Distributed BPE merge training (Sennrich et al. 2015): 5 merge
+    * rounds over the corpus at word-symbol grain — raw adjacent-pair
+    * counts, lexicographic tie-break, greedy left-to-right apply.
+    * The oracle replays all 5 rounds as unrolled SQL stages (pair
+    * lead-window → argmax → gaps-and-islands greedy marks →
+    * positional substitution), so the full iterate-count-merge loop
+    * is hash-checked, not just the first round. Per round: one
+    * partial-agg'd pair-count shuffle + one map-only HOF apply pass;
+    * driver traffic = 1 argmax row per round.
+    */
+  def q119BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Text.bpeMerges(Tables.documents(spark, dir), "doc_id", "text", numMerges = 5)
+      .orderBy(col("step"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3057,6 +3071,7 @@ object SparkEntry {
     "q117_clean_segments" -> (q117CleanSegments _),
     "q118_paragraph_dedup" -> (q118ParagraphDedup _),
     "q118b_paragraph_dedup_hashed" -> (q118bParagraphDedupHashed _),
+    "q119_bpe_merges" -> (q119BpeMerges _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3155,6 +3170,63 @@ object SparkEntry {
       |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
       |                           ORDER BY chunk_id), '') AS dedup_text
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The q119 oracle: 5 BPE rounds UNROLLED as SQL stages (generated
+    * by a loop — each stage is the same template over the previous
+    * round's symbol state). Stage k: adjacent pairs via a lead window
+    * → argmax with lexicographic tie-break → greedy-left merge marks
+    * via gaps-and-islands (within each run of overlapping
+    * occurrences, the 1st/3rd/5th… merge; runs longer than 1 only
+    * happen for self-pairs) → positional substitution + renumber.
+    * The final SELECT unions the 5 argmax rows into the merge table.
+    */
+  private val bpeMergesSql: String = {
+    val stages = (1 to 5).map { k =>
+      s"""p$k AS (
+         |  SELECT doc_id, pos, sym AS x,
+         |         lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+         |  FROM st${k - 1}),
+         |b$k AS (
+         |  SELECT x, y, count(*) AS c FROM p$k WHERE y IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY c DESC, x, y LIMIT 1),
+         |m$k AS (
+         |  SELECT p.doc_id, p.pos, p.x,
+         |         CASE WHEN p.x = b.x AND p.y = b.y THEN 1 ELSE 0 END AS occ,
+         |         b.x || ' ' || b.y AS mrg
+         |  FROM p$k p CROSS JOIN b$k b),
+         |i$k AS (
+         |  SELECT *, CASE WHEN occ = 1 THEN pos - row_number()
+         |    OVER (PARTITION BY doc_id, occ ORDER BY pos) END AS isl
+         |  FROM m$k),
+         |g$k AS (
+         |  SELECT *, CASE WHEN occ = 1 AND row_number()
+         |      OVER (PARTITION BY doc_id, isl ORDER BY pos) % 2 = 1
+         |    THEN 1 ELSE 0 END AS sel
+         |  FROM i$k),
+         |st$k AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+         |         CASE WHEN sel = 1 THEN mrg ELSE x END AS sym
+         |  FROM (SELECT *, lag(sel, 1, 0)
+         |          OVER (PARTITION BY doc_id ORDER BY pos) AS psel
+         |        FROM g$k)
+         |  WHERE psel = 0)""".stripMargin
+    }.mkString(",\n")
+    val finalRows = (1 to 5).map { k =>
+      s"SELECT $k AS step, x AS left_sym, y AS right_sym,\n" +
+        s"       x || ' ' || y AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |st0 AS (
+       |  SELECT doc_id, unnest(toks) AS sym,
+       |         unnest(range(1, len(toks) + 1)) AS pos
+       |  FROM t),
+       |$stages
+       |$finalRows
+       |ORDER BY step""".stripMargin
+  }
 
   /** Shared by q79 (one-shot batch apply) and q96 (incremental
     * streaming apply): both must converge to the same snapshot.
@@ -5160,6 +5232,7 @@ object SparkEntry {
 
     "q118_paragraph_dedup" -> paragraphDedupSql,
     "q118b_paragraph_dedup_hashed" -> paragraphDedupSql,
+    "q119_bpe_merges" -> bpeMergesSql,
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok

@@ -589,6 +589,95 @@ object Text {
       concat_ws(" ", kept).as("clean_text"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2015,
+    * 1508.07909): learn `numMerges` byte-pair-encoding merge rules
+    * over the corpus. Canonical BPE semantics — each round counts RAW
+    * adjacent-pair frequencies over the current symbol sequences,
+    * picks the most frequent pair (ties broken lexicographically so
+    * the merge list is deterministic), and applies it greedily
+    * left-to-right (non-overlapping; "c c c c c" under merge (c,c)
+    * becomes ["c c","c c","c"]). Symbols here are whitespace tokens
+    * (phrase merges); character-grain BPE is the same loop seeded
+    * with `split(text, "")`.
+    *
+    * Returns the merge table: (step, left_sym, right_sym, merged,
+    * pair_count) — one row per learned rule, fewer if the corpus runs
+    * out of repeated pairs. The merged symbol is the pair joined with
+    * a space.
+    *
+    * Shape per round: ONE partial-agg'd pair-count shuffle (explode
+    * adjacent pairs → groupBy) + ONE map-only apply pass (a
+    * higher-order `aggregate` left-fold carrying (out, skip) — greedy
+    * substitution without explode or a second shuffle). Driver
+    * traffic is exactly one argmax ROW per round plus a
+    * materialization count — bounded by `numMerges`, never by data.
+    * State persists between rounds and the previous round unpersists
+    * as soon as its successor is materialized, so lineage stays one
+    * round deep. At 100 TB this is M linear passes — the shape of
+    * production distributed tokenizer trainers; when M is large,
+    * train on a deterministic corpus sample first (the
+    * [[Features.pqTrainCodebooks]] practice) and apply the learned
+    * table everywhere.
+    */
+  def bpeMerges(
+      docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    var cached = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("syms"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var done = false
+    for (step <- 1 to numMerges if !done) {
+      val top = cached
+        .select(explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(
+                element_at(col("syms"), i).as("x"),
+                element_at(col("syms"), i + 1).as("y"))))
+            .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (bx, by, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, bx, by, s"$bx $by", cnt))
+        val next = cached.select(col("doc_id"),
+          when(size(col("syms")) < 2, col("syms")).otherwise(
+            aggregate(sequence(lit(1), size(col("syms"))),
+              struct(array().cast("array<string>").as("out"),
+                lit(false).as("skip")),
+              (acc, i) => {
+                val cur = element_at(col("syms"), i)
+                // CaseWhen evaluates branches lazily, so the i+1 access
+                // never runs past the end (ANSI element_at would throw)
+                val nxt = when(i < size(col("syms")),
+                  element_at(col("syms"), i + 1))
+                when(acc.getField("skip"),
+                  struct(acc.getField("out").as("out"), lit(false).as("skip")))
+                  .otherwise(when(cur === lit(bx) && nxt === lit(by),
+                    struct(concat(acc.getField("out"),
+                      array(lit(s"$bx $by"))).as("out"), lit(true).as("skip")))
+                    .otherwise(
+                      struct(concat(acc.getField("out"),
+                        array(cur)).as("out"), lit(false).as("skip"))))
+              },
+              acc => acc.getField("out"))).as("syms"))
+          .persist()
+        next.count() // materialize so the predecessor can release
+        cached.unpersist()
+        cached = next
+      }
+    }
+    cached.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
   // ------------------------------------------------------ PII scrubbing
 
   /** PII patterns for redaction, most-specific first. RE2-safe (no

@@ -886,4 +886,36 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(hashed == out)
   }
+
+  test("bpeMerges: raw counts, lexicographic tie-break, merged symbols recur") {
+    // counts: (a,b)=3, (b,a)=3 -> tie broken to (a,b); round 2 then
+    // sees the merged "a b" symbol as a first-class pair member
+    val df = Seq((1L, "a b a b a"), (2L, "b a b")).toDF("doc_id", "text")
+    val got = Text.bpeMerges(df, "doc_id", "text", numMerges = 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "a", "b", "a b", 3L),
+      (2, "a b", "a", "a b a", 1L)))
+  }
+
+  test("bpeMerges: self-pair applies greedily left-to-right") {
+    // "c c c c c": (c,c) raw count 4 (overlaps counted, as canonical
+    // BPE does); the APPLY is non-overlapping -> ["c c","c c","c"]
+    val df = Seq((1L, "c c c c c")).toDF("doc_id", "text")
+    val got = Text.bpeMerges(df, "doc_id", "text", numMerges = 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    // round 2 ties ("c c","c c") with ("c c","c"); "c" < "c c"
+    assert(got == Seq(
+      (1, "c", "c", "c c", 4L),
+      (2, "c c", "c", "c c c", 1L)))
+  }
+
+  test("bpeMerges: stops early when no pairs remain") {
+    val df = Seq((1L, "x y"), (2L, "solo")).toDF("doc_id", "text")
+    val got = Text.bpeMerges(df, "doc_id", "text", numMerges = 5)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    // round 1 merges the only pair; round 2 has no adjacent pairs left
+    // ("x y" is one symbol now, "solo" never had two) -> 1 row, not 5
+    assert(got == Seq((1, "x", "y", "x y", 1L)))
+  }
 }
