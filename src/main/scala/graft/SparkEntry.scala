@@ -2938,6 +2938,28 @@ object SparkEntry {
     Text.bpeMerges(Tables.documents(spark, dir), "doc_id", "text", numMerges = 5)
       .orderBy(col("step"))
 
+  /** The tokenizer's ENCODE half: train 5 BPE merges (q119's loop),
+    * then apply the learned table to the whole corpus as ONE map-only
+    * projection (5 nested greedy folds — zero shuffles, zero driver
+    * hops in the apply). The merge-table collect is the bounded
+    * learned artifact (5 rows), exactly how a trained tokenizer
+    * deploys. Output is per-doc symbol count + an md5 over the
+    * segmentation; the oracle replays the same 5 rounds and reads the
+    * final symbol STATE instead of the merge table.
+    */
+  def q120BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = Text.bpeMerges(docs, "doc_id", "text", numMerges = 5)
+      .orderBy(col("step"))
+      .select(col("left_sym"), col("right_sym"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    Text.bpeApply(docs, "doc_id", "text", merges)
+      .select(col("doc_id"),
+        size(col("syms")).cast("long").as("n_syms"),
+        md5(concat_ws("|", col("syms"))).as("seg_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3072,6 +3094,7 @@ object SparkEntry {
     "q118_paragraph_dedup" -> (q118ParagraphDedup _),
     "q118b_paragraph_dedup_hashed" -> (q118bParagraphDedupHashed _),
     "q119_bpe_merges" -> (q119BpeMerges _),
+    "q120_bpe_apply" -> (q120BpeApply _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3180,7 +3203,15 @@ object SparkEntry {
     * happen for self-pairs) → positional substitution + renumber.
     * The final SELECT unions the 5 argmax rows into the merge table.
     */
-  private val bpeMergesSql: String = {
+  private val bpeMergesSql: String = bpeMergesOracle(finalMergeTable = true)
+
+  /** q120's oracle: the same 5 replayed rounds, but the final SELECT
+    * reads the post-merge symbol STATE (st5) instead of the merge
+    * table — per-doc symbol counts + an md5 over the segmentation.
+    */
+  private val bpeApplySql: String = bpeMergesOracle(finalMergeTable = false)
+
+  private def bpeMergesOracle(finalMergeTable: Boolean): String = {
     val stages = (1 to 5).map { k =>
       s"""p$k AS (
          |  SELECT doc_id, pos, sym AS x,
@@ -3212,10 +3243,16 @@ object SparkEntry {
          |        FROM g$k)
          |  WHERE psel = 0)""".stripMargin
     }.mkString(",\n")
-    val finalRows = (1 to 5).map { k =>
-      s"SELECT $k AS step, x AS left_sym, y AS right_sym,\n" +
-        s"       x || ' ' || y AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k"
-    }.mkString("\nUNION ALL\n")
+    val finalRows =
+      if (finalMergeTable)
+        (1 to 5).map { k =>
+          s"SELECT $k AS step, x AS left_sym, y AS right_sym,\n" +
+            s"       x || ' ' || y AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k"
+        }.mkString("\nUNION ALL\n") + "\nORDER BY step"
+      else
+        """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_syms,
+          |       md5(string_agg(sym, '|' ORDER BY pos)) AS seg_md5
+          |FROM st5 GROUP BY doc_id ORDER BY doc_id""".stripMargin
     s"""WITH t AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents),
@@ -3224,8 +3261,7 @@ object SparkEntry {
        |         unnest(range(1, len(toks) + 1)) AS pos
        |  FROM t),
        |$stages
-       |$finalRows
-       |ORDER BY step""".stripMargin
+       |$finalRows""".stripMargin
   }
 
   /** Shared by q79 (one-shot batch apply) and q96 (incremental
@@ -5233,6 +5269,7 @@ object SparkEntry {
     "q118_paragraph_dedup" -> paragraphDedupSql,
     "q118b_paragraph_dedup_hashed" -> paragraphDedupSql,
     "q119_bpe_merges" -> bpeMergesSql,
+    "q120_bpe_apply" -> bpeApplySql,
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok

@@ -646,27 +646,8 @@ object Text {
       else {
         val (bx, by, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step, bx, by, s"$bx $by", cnt))
-        val next = cached.select(col("doc_id"),
-          when(size(col("syms")) < 2, col("syms")).otherwise(
-            aggregate(sequence(lit(1), size(col("syms"))),
-              struct(array().cast("array<string>").as("out"),
-                lit(false).as("skip")),
-              (acc, i) => {
-                val cur = element_at(col("syms"), i)
-                // CaseWhen evaluates branches lazily, so the i+1 access
-                // never runs past the end (ANSI element_at would throw)
-                val nxt = when(i < size(col("syms")),
-                  element_at(col("syms"), i + 1))
-                when(acc.getField("skip"),
-                  struct(acc.getField("out").as("out"), lit(false).as("skip")))
-                  .otherwise(when(cur === lit(bx) && nxt === lit(by),
-                    struct(concat(acc.getField("out"),
-                      array(lit(s"$bx $by"))).as("out"), lit(true).as("skip")))
-                    .otherwise(
-                      struct(concat(acc.getField("out"),
-                        array(cur)).as("out"), lit(false).as("skip"))))
-              },
-              acc => acc.getField("out"))).as("syms"))
+        val next = cached
+          .select(col("doc_id"), greedyMergeOnce(col("syms"), bx, by).as("syms"))
           .persist()
         next.count() // materialize so the predecessor can release
         cached.unpersist()
@@ -676,6 +657,55 @@ object Text {
     cached.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** One greedy left-to-right application of merge rule (bx, by) to a
+    * symbol array: a higher-order `aggregate` left-fold carrying
+    * (out, skip) — pure map logic, no explode, no shuffle.
+    */
+  private def greedyMergeOnce(syms: Column, bx: String, by: String): Column =
+    when(size(syms) < 2, syms).otherwise(
+      aggregate(sequence(lit(1), size(syms)),
+        struct(array().cast("array<string>").as("out"),
+          lit(false).as("skip")),
+        (acc, i) => {
+          val cur = element_at(syms, i)
+          // CaseWhen evaluates branches lazily, so the i+1 access
+          // never runs past the end (ANSI element_at would throw)
+          val nxt = when(i < size(syms), element_at(syms, i + 1))
+          when(acc.getField("skip"),
+            struct(acc.getField("out").as("out"), lit(false).as("skip")))
+            .otherwise(when(cur === lit(bx) && nxt === lit(by),
+              struct(concat(acc.getField("out"),
+                array(lit(s"$bx $by"))).as("out"), lit(true).as("skip")))
+              .otherwise(
+                struct(concat(acc.getField("out"),
+                  array(cur)).as("out"), lit(false).as("skip"))))
+        },
+        acc => acc.getField("out")))
+
+  /** Apply a learned BPE merge table ([[bpeMerges]] output, in step
+    * order) to a corpus: the tokenizer's ENCODE half. Each rule is one
+    * greedy left-to-right fold; the rules chain as M stacked
+    * PROJECTIONS (each fold reads the previous level's column
+    * ATTRIBUTE — nesting the fold expressions directly would copy the
+    * `syms` subtree ~6× per level, an exponential Catalyst-analysis
+    * blowup; as attributes the levels stay one expression each and
+    * CollapseProject leaves multi-referenced non-cheap projections
+    * alone). Still map-only end to end: zero shuffles, zero driver
+    * hops, scan-speed at any corpus size. The merge table itself is a
+    * tiny learned artifact (M rows) riding into the plan as literals,
+    * exactly how a trained tokenizer deploys.
+    *
+    * Returns (doc_id, syms: array<string>) — the segmented corpus.
+    */
+  def bpeApply(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val init = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("syms"))
+    merges.foldLeft(init) { case (df, (bx, by)) =>
+      df.select(col("doc_id"), greedyMergeOnce(col("syms"), bx, by).as("syms"))
+    }
   }
 
   // ------------------------------------------------------ PII scrubbing

@@ -918,4 +918,21 @@ class ExtSpec extends SparkSpec {
     // ("x y" is one symbol now, "solo" never had two) -> 1 row, not 5
     assert(got == Seq((1, "x", "y", "x y", 1L)))
   }
+
+  test("bpeApply: learned table segments the training corpus exactly") {
+    val df = Seq((1L, "a b a b a"), (2L, "b a b")).toDF("doc_id", "text")
+    // merges from the hand-checked training fixture above
+    val seg = Text.bpeApply(df, "doc_id", "text",
+      Seq(("a", "b"), ("a b", "a")))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(seg == Seq(
+      (1L, Seq("a b", "a b a")),
+      (2L, Seq("b", "a b"))))
+    // applying zero merges is plain tokenization
+    val none = Text.bpeApply(df, "doc_id", "text", Nil)
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(none == Seq(
+      (1L, Seq("a", "b", "a", "b", "a")),
+      (2L, Seq("b", "a", "b"))))
+  }
 }
