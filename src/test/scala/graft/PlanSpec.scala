@@ -461,4 +461,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("rangepartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("q117: segment cleaning is ONE map pass — no exchange at all before the output sort") {
+    val p = plan("q117_clean_segments")
+    // split/filter/reassemble all ride the projection; the only
+    // partitioning in the plan is the final display orderBy
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("rangepartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Generate"), p) // no explode
+  }
+
+  test("q116: cross-entropy model joins — unigram/vocab sides broadcast, no cartesian blowup") {
+    val p = plan("q116_cross_entropy")
+    // both model joins hash-join (broadcast at this SF); the only
+    // nested-loop is the 1-row vocab stat frame riding a broadcast
+    // cross join (the accepted q53/q57/q112 shape)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q118: paragraph dedup never global-sorts the corpus — keyed window + keyed reassembly") {
+    val p = plan("q118_paragraph_dedup")
+    // hashpartitioning on the paragraph key and on doc_id; the single
+    // rangepartitioning is the final display orderBy
+    assert("rangepartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bpeApply: the encode half is map-only — zero exchanges, zero joins") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val p = graft.ext.Text.bpeApply(docs, "doc_id", "text",
+      Seq(("a", "b"), ("a b", "c"), ("d", "e"), ("f", "g"), ("h", "i")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
