@@ -2960,6 +2960,54 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming ANN query serving
+    * ([[graft.stream.Jobs.runQueryServeStream]]): the index builds
+    * once (batch), then 20 queries arrive in 4 micro-batches and each
+    * batch searches the FROZEN index, landing results under
+    * `results/batch=<id>/` with per-batch idempotent overwrite. The
+    * search is deterministic per query and the index never changes
+    * mid-stream, so the streamed results must be row-identical to one
+    * batch search over all 20 queries — the contract checks that
+    * equality plus exactly k rows per query.
+    */
+  def q121StreamQueryServe(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val clustered = Similarity.kmeansLabels(base, "vec_id", "embedding",
+      k = 10, iters = 3, scorer = graft.ext.VectorKernels.cosineF)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    val codes = graft.ext.Features.pqEncode(
+      clustered, "vec_id", "embedding", cbs, carryCols = Seq("label"))
+    val tmp = tempDir("graft-q121")
+    val idxDir = s"$tmp/index"
+    graft.ext.AnnIndex.write(codes,
+      Similarity.clusterCentroids(clustered), cbs, idxDir)
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val in = writeSliceFiles(
+      (0 until 4).map(i => queries.filter(pmod(col("query_id"), lit(4)) === i)), tmp)
+    graft.stream.Jobs.runQueryServeStream(spark, in, queries.schema,
+      idxDir, s"$tmp/out", k = 10, nprobe = 3)
+    val cols = Seq("query_id", "vec_id", "adc_score", "rank").map(col)
+    val streamed = spark.read.parquet(s"$tmp/out/results").select(cols: _*)
+    val referee = graft.ext.AnnIndex.searchTopK(
+      graft.ext.AnnIndex.read(spark, idxDir), queries, k = 10, nprobe = 3)
+      .select(cols: _*)
+    withCached(streamed, referee) {
+      val same = streamed.exceptAll(referee).isEmpty &&
+        referee.exceptAll(streamed).isEmpty
+      val perQuery = streamed.groupBy(col("query_id")).count()
+        .filter(col("count") =!= 10).isEmpty
+      import spark.implicits._
+      Seq(
+        ("every_query_served_exactly_k_results", perQuery),
+        ("streamed_serving_equals_batch_search", same))
+        .toDF("metric", "ok").orderBy(col("metric"))
+    }
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3095,6 +3143,7 @@ object SparkEntry {
     "q118b_paragraph_dedup_hashed" -> (q118bParagraphDedupHashed _),
     "q119_bpe_merges" -> (q119BpeMerges _),
     "q120_bpe_apply" -> (q120BpeApply _),
+    "q121_stream_query_serve" -> (q121StreamQueryServe _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3119,7 +3168,8 @@ object SparkEntry {
     "q19c_stateful_tws", "q55_stream_dedup", "q62_ss_join",
     "q70_session_stream", "q96_stream_cdc", "q99_stream_throttle",
     "q104b_mixture_stream", "q105b_shard_stream", "q108_stream_curate",
-    "q113_stream_index_ingest", "q115_compact_index")
+    "q113_stream_index_ingest", "q115_compact_index",
+    "q121_stream_query_serve")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -5270,6 +5320,12 @@ object SparkEntry {
     "q118b_paragraph_dedup_hashed" -> paragraphDedupSql,
     "q119_bpe_merges" -> bpeMergesSql,
     "q120_bpe_apply" -> bpeApplySql,
+
+    "q121_stream_query_serve" ->
+      """SELECT 'every_query_served_exactly_k_results' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'streamed_serving_equals_batch_search', TRUE
+        |ORDER BY metric""".stripMargin,
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok

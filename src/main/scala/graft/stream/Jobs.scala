@@ -581,6 +581,43 @@ object Jobs {
     q.awaitTermination()
   }
 
+  /** Streaming ANN query serving — the SEARCH half of the index
+    * lifecycle ([[runIndexIngestStream]] is the ADD half): queries
+    * arrive as micro-batches and each batch runs IVF-ADC search
+    * against a FROZEN on-disk index, appending results under
+    * `outDir/results/batch=<id>/` with the same per-batch idempotent
+    * overwrite as the ingest side (a replayed batch rewrites its own
+    * partition — exactly-once results under crash/replay). The index
+    * loads ONCE before the stream starts (quantizers are O(k·dim +
+    * m·k) driver-side literals; the code table stays a lazy scan), so
+    * per-batch work is just the probe-pruned search itself — the
+    * query-serving shape of a production vector store.
+    */
+  def runQueryServeStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, // (query_id, query_vec)
+      indexDir: String,
+      outDir: String,
+      k: Int,
+      nprobe: Int): Unit = {
+    val index = graft.ext.AnnIndex.read(spark, indexDir)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.AnnIndex.searchTopK(index, batch, k, nprobe)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/results/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runRoutingStream(
       spark: SparkSession,
       inputDir: String,

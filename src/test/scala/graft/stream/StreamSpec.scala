@@ -486,4 +486,64 @@ class StreamSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("centroids differ"))
   }
+
+  test("query serve stream: streamed search equals batch search; rerun serves nothing twice") {
+    val patterns = IndexedSeq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val rnd = new scala.util.Random(13)
+    val planted = (0 until 80).map { i =>
+      val a = i % 4
+      (i.toLong,
+        (patterns(a) ++ patterns(a)).map(x => x + 0.1f * (rnd.nextFloat() - 0.5f)))
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val labeled = graft.ext.Similarity.kmeansLabels(
+      df, "vec_id", "embedding", k = 4, iters = 4)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      df, "vec_id", "embedding", m = 2, k = 4, iters = 4)
+    val codes = graft.ext.Features.pqEncode(
+      labeled, "vec_id", "embedding", cbs, carryCols = Seq("label"))
+    val tmp = tempDir("graft-serve")
+    val idxDir = s"$tmp/index"
+    graft.ext.AnnIndex.write(codes,
+      graft.ext.Similarity.clusterCentroids(labeled), cbs, idxDir)
+
+    // 6 queries arrive as 2 micro-batches
+    val queries = planted.take(6).map { case (id, v) => (id, v) }
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    Seq(queries.take(2), queries.drop(2)).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("query_id", "query_vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val qdf = queries.toDF("query_id", "query_vec")
+    graft.stream.Jobs.runQueryServeStream(spark, in, qdf.schema,
+      idxDir, s"$tmp/out", k = 5, nprobe = 2)
+    val cols = Seq("query_id", "vec_id", "rank")
+    val streamed = spark.read.parquet(s"$tmp/out/results")
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Int)].collect().toSet
+    val batch = graft.ext.AnnIndex.searchTopK(
+      graft.ext.AnnIndex.read(spark, idxDir), qdf, k = 5, nprobe = 2)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 6 * 5)
+
+    // a caught-up rerun re-serves nothing (checkpoint covers both
+    // batches): result partitions stay exactly batch=0 and batch=1
+    graft.stream.Jobs.runQueryServeStream(spark, in, qdf.schema,
+      idxDir, s"$tmp/out", k = 5, nprobe = 2)
+    val parts = new java.io.File(s"$tmp/out/results").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts == Seq("batch=0", "batch=1"))
+    assert(spark.read.parquet(s"$tmp/out/results").count() == 30L)
+  }
 }
