@@ -3008,6 +3008,51 @@ object SparkEntry {
     }
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, Appendix A1.1)
+    * with thresholds tuned so each rule actually splits the synthetic
+    * corpus (the paper's values assume web pages): word count in
+    * [40, 70], mean word length in [4.0, 4.6], symbol ratio ≤ 0.1,
+    * alpha-word fraction ≥ 0.8, ≥ 2 distinct stopwords. Per-doc
+    * per-rule booleans plus the conjunction — one map pass, fully
+    * hash-checked.
+    */
+  def q122GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val r = Text.gopherRules(col("text"),
+      minWords = 40, maxWords = 70, minMeanLen = 4.0, maxMeanLen = 4.6,
+      maxSymbolRatio = 0.1, minAlphaFrac = 0.8, minStopwords = 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"), col("r.words_in_range"),
+        col("r.mean_word_len_in_range"), col("r.symbol_ratio_ok"),
+        col("r.alpha_word_frac_ok"), col("r.enough_stopwords"),
+        col("r.pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Target-matched corpus selection — DSIR end to end (Xie et al.
+    * 2023 §3): q112's importance log-weights become sampling weights
+    * (exp of the ROUNDED log-weight, so both engines exponentiate the
+    * identical input) and [[graft.ext.TrainPrep.weightedSample]]
+    * draws 25 docs per language by deterministic Efraimidis–Spirakis
+    * ranks — "make the corpus look like the target" as one composed,
+    * fully hash-checked pipeline. Shapes: the DSIR stage's broadcast
+    * ratio table + keyed shuffles (q112), then one window per
+    * language group (q65).
+    */
+  def q123DsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val target = docs.filter(col("lang") === "en" &&
+      col("source").isin("src1", "src2"))
+    val weights = graft.ext.TrainPrep.dsirLogWeights(
+      docs, "doc_id", "text", target, n = 2)
+    val weighted = docs.select(col("doc_id"), col("lang"))
+      .join(weights, Seq("doc_id"))
+      .withColumn("weight", exp(col("dsir_log_weight")))
+    graft.ext.TrainPrep.weightedSample(weighted, "lang", "doc_id", "weight", k = 25)
+      .select(col("doc_id"), col("lang"), col("dsir_log_weight"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3144,6 +3189,8 @@ object SparkEntry {
     "q119_bpe_merges" -> (q119BpeMerges _),
     "q120_bpe_apply" -> (q120BpeApply _),
     "q121_stream_query_serve" -> (q121StreamQueryServe _),
+    "q122_gopher_rules" -> (q122GopherRules _),
+    "q123_dsir_sample" -> (q123DsirSample _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3313,6 +3360,38 @@ object SparkEntry {
        |$stages
        |$finalRows""".stripMargin
   }
+
+  /** Shared CTE chain of the q112/q123 oracles: DSIR hashed-bigram
+    * bucket counts through the per-doc summed log-weight (`lw`).
+    */
+  private val dsirWeightCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+      |  FROM tok WHERE len(t) >= 2),
+      |bkt AS (
+      |  SELECT doc_id, substring(md5(gram), 1, 3) AS b FROM g),
+      |db AS (
+      |  SELECT doc_id, b, count(*) AS cnt FROM bkt GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT b, sum(cnt) AS cc FROM db GROUP BY 1),
+      |tgt AS (
+      |  SELECT bkt.b, count(*) AS tc
+      |  FROM bkt JOIN documents d USING (doc_id)
+      |  WHERE d.lang = 'en' AND d.source IN ('src1', 'src2')
+      |  GROUP BY 1),
+      |ratios AS (
+      |  SELECT cb.b,
+      |         ln((coalesce(tc, 0) + 1) /
+      |            ((SELECT sum(tc) FROM tgt) + 4096.0)) -
+      |         ln((cc + 1) / ((SELECT sum(cc) FROM cb) + 4096.0)) AS lr
+      |  FROM cb LEFT JOIN tgt USING (b)),
+      |lw AS (
+      |  SELECT doc_id, sum(cnt * lr) AS w
+      |  FROM db JOIN ratios USING (b) GROUP BY 1)""".stripMargin
 
   /** Shared by q79 (one-shot batch apply) and q96 (incremental
     * streaming apply): both must converge to the same snapshot.
@@ -5246,36 +5325,11 @@ object SparkEntry {
         |ORDER BY metric""".stripMargin,
 
     "q112_dsir_weights" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |         unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
-        |  FROM tok WHERE len(t) >= 2),
-        |bkt AS (
-        |  SELECT doc_id, substring(md5(gram), 1, 3) AS b FROM g),
-        |db AS (
-        |  SELECT doc_id, b, count(*) AS cnt FROM bkt GROUP BY 1, 2),
-        |cb AS (
-        |  SELECT b, sum(cnt) AS cc FROM db GROUP BY 1),
-        |tgt AS (
-        |  SELECT bkt.b, count(*) AS tc
-        |  FROM bkt JOIN documents d USING (doc_id)
-        |  WHERE d.lang = 'en' AND d.source IN ('src1', 'src2')
-        |  GROUP BY 1),
-        |ratios AS (
-        |  SELECT cb.b,
-        |         ln((coalesce(tc, 0) + 1) /
-        |            ((SELECT sum(tc) FROM tgt) + 4096.0)) -
-        |         ln((cc + 1) / ((SELECT sum(cc) FROM cb) + 4096.0)) AS lr
-        |  FROM cb LEFT JOIN tgt USING (b)),
-        |lw AS (
-        |  SELECT doc_id, sum(cnt * lr) AS w
-        |  FROM db JOIN ratios USING (b) GROUP BY 1)
-        |SELECT d.doc_id, round(coalesce(w, 0.0), 4) AS dsir_log_weight
-        |FROM documents d LEFT JOIN lw USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      (dsirWeightCtes +
+        """
+          |SELECT d.doc_id, round(coalesce(w, 0.0), 4) AS dsir_log_weight
+          |FROM documents d LEFT JOIN lw USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin),
 
     "q116_cross_entropy" ->
       (crossEntropyScoreSql +
@@ -5326,6 +5380,58 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'streamed_serving_equals_batch_search', TRUE
         |ORDER BY metric""".stripMargin,
+
+    "q122_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         len(toks) AS n,
+        |         list_sum([length(x) FOR x IN toks]) * 1.0 /
+        |           greatest(len(toks), 1) AS meanlen,
+        |         len(regexp_extract_all(text, '#|\.\.\.')) * 1.0 AS symbols,
+        |         len([x FOR x IN toks IF regexp_matches(x, '[A-Za-z]')]) * 1.0 /
+        |           greatest(len(toks), 1) AS alphafrac,
+        |         len(list_intersect(
+        |           list_distinct([lower(x) FOR x IN toks]),
+        |           ['the','a','an','and','or','of','to','in','is','it']))
+        |           AS nstops
+        |  FROM t)
+        |SELECT doc_id,
+        |       n >= 40 AND n <= 70 AS words_in_range,
+        |       meanlen >= 4.0 AND meanlen <= 4.6 AS mean_word_len_in_range,
+        |       symbols / greatest(n, 1) <= 0.1 AS symbol_ratio_ok,
+        |       alphafrac >= 0.8 AS alpha_word_frac_ok,
+        |       nstops >= 2 AS enough_stopwords,
+        |       (n >= 40 AND n <= 70) AND (meanlen >= 4.0 AND meanlen <= 4.6)
+        |         AND (symbols / greatest(n, 1) <= 0.1) AND (alphafrac >= 0.8)
+        |         AND (nstops >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q123_dsir_sample" -> {
+      val digitTerms = (1 to 13)
+        .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * power(16, ${13 - i})")
+        .mkString(" +\n           ")
+      dsirWeightCtes + s""",
+         |dw AS (
+         |  SELECT d.doc_id, d.lang, round(coalesce(w, 0.0), 4) AS lw,
+         |         md5(CAST(d.doc_id AS VARCHAR)) AS h
+         |  FROM documents d LEFT JOIN lw USING (doc_id)),
+         |es AS (
+         |  SELECT doc_id, lang, lw,
+         |         ln((($digitTerms) + 1.0) / power(16, 13)) / exp(lw) AS es_key
+         |  FROM dw),
+         |r AS (
+         |  SELECT doc_id, lang, lw,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY es_key DESC, doc_id) AS rk
+         |  FROM es)
+         |SELECT doc_id, lang, lw AS dsir_log_weight
+         |FROM r WHERE rk <= 25
+         |ORDER BY lang, doc_id""".stripMargin
+    },
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok

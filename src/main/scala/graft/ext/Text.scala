@@ -47,6 +47,59 @@ object Text {
       greatest(size(t), lit(1)).cast("double")
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, 2112.11446,
+    * Appendix A1.1) — the canonical named rule set for web-corpus
+    * filtering, with the thresholds as parameters (the paper's values
+    * assume web pages; callers tune for their corpus). Returns a
+    * struct of per-rule booleans plus the conjunction:
+    *
+    *   - `words_in_range`: word count within [minWords, maxWords];
+    *   - `mean_word_len_in_range`: mean word length within
+    *     [minMeanLen, maxMeanLen];
+    *   - `symbol_ratio_ok`: symbol-to-word ratio (#, …) ≤ maxSymbolRatio;
+    *   - `alpha_word_frac_ok`: fraction of words containing ≥ 1
+    *     alphabetic character ≥ minAlphaFrac;
+    *   - `enough_stopwords`: ≥ minStopwords DISTINCT stopwords present
+    *     (the paper's "2 of the, be, to, of, and, that, have, with");
+    *   - `pass`: all of the above.
+    *
+    * Pure Column expressions — the whole rule set is one map pass and
+    * at 100 TB runs at scan speed inside whole-stage codegen.
+    */
+  def gopherRules(
+      c: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = defaultStopwords): Column = {
+    val t = tokens(c)
+    val n = size(t).cast("double")
+    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / greatest(n, lit(1.0))
+    val symbols = size(regexp_extract_all(c, lit("#|\\.\\.\\."), lit(0)))
+      .cast("double")
+    val alphaFrac = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") /
+      greatest(n, lit(1.0))
+    val stops = array(stopwords.map(lit): _*)
+    val distinctStops = size(array_intersect(
+      array_distinct(transform(t, x => lower(x))), stops))
+    val wordsInRange = size(t) >= minWords && size(t) <= maxWords
+    val meanLenInRange = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val symbolOk = symbols / greatest(n, lit(1.0)) <= maxSymbolRatio
+    val alphaOk = alphaFrac >= minAlphaFrac
+    val stopsOk = distinctStops >= minStopwords
+    struct(
+      wordsInRange.as("words_in_range"),
+      meanLenInRange.as("mean_word_len_in_range"),
+      symbolOk.as("symbol_ratio_ok"),
+      alphaOk.as("alpha_word_frac_ok"),
+      stopsOk.as("enough_stopwords"),
+      (wordsInRange && meanLenInRange && symbolOk && alphaOk && stopsOk)
+        .as("pass"))
+  }
+
   /** Composite quality score in [0,1]: length band + low punctuation +
     * moderate stopword presence — the shape of heuristic quality
     * filters used for web-scale corpus cleaning.

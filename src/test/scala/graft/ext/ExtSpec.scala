@@ -919,6 +919,27 @@ class ExtSpec extends SparkSpec {
     assert(got == Seq((1, "x", "y", "x y", 1L)))
   }
 
+  test("gopherRules: each named rule trips on its own violation") {
+    val df = Seq(
+      (1L, "the cat sat on a mat"),     // passes everything
+      (2L, "cat"),                      // too short, no stopwords
+      (3L, "the ### ... 123 456 999")   // symbol-heavy, non-alpha words
+    ).toDF("doc_id", "text")
+    val r = Text.gopherRules(col("text"),
+      minWords = 5, maxWords = 10, minMeanLen = 2.0, maxMeanLen = 5.0,
+      maxSymbolRatio = 0.2, minAlphaFrac = 0.6, minStopwords = 1)
+    val out = df.select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"), col("r.words_in_range"),
+        col("r.mean_word_len_in_range"), col("r.symbol_ratio_ok"),
+        col("r.alpha_word_frac_ok"), col("r.enough_stopwords"), col("r.pass"))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, true, true, true, true, true, true)))
+    assert(out(1) == ((2L, false, true, true, true, false, false)))
+    // "###" = 3 symbol hits + "..." = 1 -> 4/6 > 0.2; alpha words 1/6
+    assert(out(2) == ((3L, true, true, false, false, true, false)))
+  }
+
   test("bpeApply: learned table segments the training corpus exactly") {
     val df = Seq((1L, "a b a b a"), (2L, "b a b")).toDF("doc_id", "text")
     // merges from the hand-checked training fixture above
