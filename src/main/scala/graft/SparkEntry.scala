@@ -3053,6 +3053,58 @@ object SparkEntry {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** FineWeb-style curation funnel (Penedo et al. 2024, 2406.17557 —
+    * the modern open-web recipe, composed from this round's shelf):
+    * Gopher rules (q122 thresholds) → C4 segment cleaning (q117) →
+    * exact dedup on the CLEANED text (q16 fingerprint, keep-min-doc)
+    * → paragraph-grain dedup (q118) → CCNet perplexity tail-cut
+    * (q116, worst tertile dropped). Emits the per-stage attrition
+    * report — (stage, n_docs, id_sum, tok_sum) — the artifact a curation run
+    * actually ships for review; every count and id-checksum is
+    * hash-checked against the oracle's replay of all five stages.
+    * Each stage's frame persists for exactly the funnel's lifetime
+    * (successor + its own attrition row read it once each).
+    */
+  def q124CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val ref = docs.filter(col("lang") === "en")
+    val s0 = docs.select(col("doc_id"), col("text"))
+    val s1 = s0.filter(Text.gopherRules(col("text"),
+      minWords = 40, maxWords = 70, minMeanLen = 4.0, maxMeanLen = 4.6,
+      maxSymbolRatio = 0.1, minAlphaFrac = 0.8, minStopwords = 2)
+      .getField("pass"))
+    val s2 = Text.cleanSegments(s1, "doc_id", "text",
+      delimPattern = "\\bline\\b", minTokens = 5,
+      requireStopword = true, blocklist = Seq("slow"))
+      .filter(col("n_kept") >= 1)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val wfp = Window.partitionBy(Text.fingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    val s3 = s2.withColumn("__rn", row_number().over(wfp))
+      .filter(col("__rn") === 1).drop("__rn")
+    val s4 = Dedup.paragraphDedup(s3, "doc_id", "text", chunkTokens = 16)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("dedup_text").as("text"))
+    val scored = Text.crossEntropyScores(s4, "doc_id", "text", ref, "text")
+    val w3 = Window.orderBy(col("cross_entropy"), col("doc_id"))
+    val keep = scored.withColumn("__t", ntile(3).over(w3))
+      .filter(col("__t") <= 2).select(col("doc_id"))
+    val s5 = s4.join(keep, Seq("doc_id"), "left_semi")
+    withCached(s1, s2, s3, s4, s5) {
+      def stageRow(name: String, df: DataFrame): (String, Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("doc_id")),
+          sum(size(Text.tokens(col("text"))).cast("long"))).head
+        (name, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      import spark.implicits._
+      Seq(stageRow("0_input", s0), stageRow("1_gopher_rules", s1),
+        stageRow("2_c4_clean", s2), stageRow("3_exact_dedup", s3),
+        stageRow("4_paragraph_dedup", s4), stageRow("5_ppl_head_middle", s5))
+        .toDF("stage", "n_docs", "id_sum", "tok_sum").orderBy(col("stage"))
+    }
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3191,6 +3243,7 @@ object SparkEntry {
     "q121_stream_query_serve" -> (q121StreamQueryServe _),
     "q122_gopher_rules" -> (q122GopherRules _),
     "q123_dsir_sample" -> (q123DsirSample _),
+    "q124_curation_funnel" -> (q124CurationFunnel _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -5432,6 +5485,129 @@ object SparkEntry {
          |FROM r WHERE rk <= 25
          |ORDER BY lang, doc_id""".stripMargin
     },
+
+    "q124_curation_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, len(toks) AS n,
+        |         list_sum([length(x) FOR x IN toks]) * 1.0 /
+        |           greatest(len(toks), 1) AS meanlen,
+        |         len(list_intersect(list_distinct([lower(x) FOR x IN toks]),
+        |             ['the','a','an','and','or','of','to','in','is','it']))
+        |           AS nstops
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, text FROM m
+        |  WHERE n >= 40 AND n <= 70 AND meanlen >= 4.0 AND meanlen <= 4.6
+        |    AND nstops >= 2),
+        |sg AS (
+        |  SELECT doc_id,
+        |         [x FOR x IN [trim(y) FOR y IN
+        |                      regexp_split_to_array(text, '\bline\b')
+        |                      IF length(trim(y)) > 0]
+        |          IF len(regexp_split_to_array(lower(x), '\s+')) >= 5
+        |             AND list_has_any(regexp_split_to_array(lower(x), '\s+'),
+        |                 ['the','a','an','and','or','of','to','in','is','it'])
+        |             AND NOT list_has_any(
+        |               regexp_split_to_array(lower(x), '\s+'), ['slow'])] AS kept
+        |  FROM g),
+        |c AS (
+        |  SELECT doc_id, array_to_string(kept, ' ') AS text
+        |  FROM sg WHERE len(kept) >= 1),
+        |f AS (
+        |  SELECT doc_id, text,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM c),
+        |d3 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM f) WHERE rn = 1),
+        |ct AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM d3),
+        |cn AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(toks) <= 16 THEN 1
+        |              ELSE (len(toks) - 16 + 15) // 16 + 1 END AS n_chunks
+        |  FROM ct),
+        |cc AS (
+        |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks FROM cn),
+        |cx AS (
+        |  SELECT doc_id, chunk_id,
+        |         array_to_string(toks[chunk_id*16 + 1 : chunk_id*16 + 16], ' ')
+        |           AS chunk_text
+        |  FROM cc),
+        |cr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY chunk_text
+        |                               ORDER BY doc_id, chunk_id) AS rn
+        |  FROM cx),
+        |d4 AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+        |                    ORDER BY chunk_id) AS text
+        |  FROM cr GROUP BY doc_id
+        |  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0),
+        |rt AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |runi AS (SELECT unnest(toks) AS tok FROM rt),
+        |uc AS (SELECT tok, count(*) AS cu FROM runi GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab FROM runi),
+        |rbg AS (
+        |  SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |                 FOR i IN range(1, len(toks))]) AS bigram
+        |  FROM rt WHERE len(toks) >= 2),
+        |bc AS (SELECT bigram, count(*) AS cb FROM rbg GROUP BY 1),
+        |dt AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM d4),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1]
+        |                 FOR i IN range(1, len(toks))]) AS bigram
+        |  FROM dt WHERE len(toks) >= 2),
+        |lp AS (
+        |  SELECT g2.doc_id,
+        |         ln((coalesce(bc.cb, 0) + 1.0) /
+        |            (coalesce(uc.cu, 0) + v.vocab)) AS lp
+        |  FROM bg g2
+        |  LEFT JOIN bc USING (bigram)
+        |  LEFT JOIN uc ON uc.tok = split_part(g2.bigram, ' ', 1)
+        |  CROSS JOIN v),
+        |sc AS (SELECT doc_id, round(-avg(lp), 4) AS ce FROM lp GROUP BY 1),
+        |rk AS (
+        |  SELECT doc_id, ntile(3) OVER (ORDER BY ce, doc_id) AS t3 FROM sc),
+        |d5 AS (
+        |  SELECT d4.doc_id, d4.text FROM d4 JOIN rk USING (doc_id)
+        |  WHERE t3 <= 2)
+        |SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) AS tok_sum FROM documents
+        |UNION ALL SELECT '1_gopher_rules', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) FROM g
+        |UNION ALL SELECT '2_c4_clean', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) FROM c
+        |UNION ALL SELECT '3_exact_dedup', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) FROM d3
+        |UNION ALL SELECT '4_paragraph_dedup', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) FROM d4
+        |UNION ALL SELECT '5_ppl_head_middle', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) FROM d5
+        |ORDER BY stage""".stripMargin,
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok
