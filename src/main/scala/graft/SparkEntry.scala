@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.dq.{Analyzers, ColumnValues, Rules}
 import graft.etl.Transform
-import graft.ext.{Dedup, Features, Multimodal, Similarity, Text}
+import graft.ext.{Dedup, Features, Multimodal, Similarity, Text, TextNorm}
 import graft.gold.Star
 import graft.stream.{Jobs, Validate}
 
@@ -3105,6 +3105,33 @@ object SparkEntry {
     }
   }
 
+  /** Unicode normalization at ingest (`ext/TextNorm`): the corpus is
+    * ASCII-synthetic, so the query deterministically injects mixed
+    * composed/decomposed accent forms (NFC-sensitive content) before
+    * normalizing — the oracle builds the identical suffix with
+    * `chr()` and checks NFC via DuckDB's `nfc_normalize` plus the
+    * aggressive fold (lower → strip marks → collapse whitespace) via
+    * `strip_accents(lower(s))`. `raw_len` vs `nfc_len` exposes the
+    * composed/decomposed difference the normalizer must erase; the
+    * folded text is compared verbatim, so the two engines must agree
+    * byte-for-byte on every document.
+    */
+  def q125UnicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val variant = when(col("doc_id") % 4 === 0, lit("café niño SPARK"))
+      .when(col("doc_id") % 4 === 1, lit("café niño Façade"))
+      .when(col("doc_id") % 4 === 2, lit("Ünïcode ølsen ß"))
+      .otherwise(lit("  plain   ASCII  "))
+    val nfc = TextNorm.normalize(col("s"), "NFC")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"), lit(" "), variant).as("s"))
+      .select(col("doc_id"),
+        length(col("s")).as("raw_len"),
+        length(nfc).as("nfc_len"),
+        md5(nfc).as("nfc_md5"),
+        TextNorm.foldText(col("s")).as("folded_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3244,6 +3271,7 @@ object SparkEntry {
     "q122_gopher_rules" -> (q122GopherRules _),
     "q123_dsir_sample" -> (q123DsirSample _),
     "q124_curation_funnel" -> (q124CurationFunnel _),
+    "q125_unicode_normalize" -> (q125UnicodeNormalize _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -5608,6 +5636,22 @@ object SparkEntry {
         |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
         |         AS BIGINT) FROM d5
         |ORDER BY stage""".stripMargin,
+
+    "q125_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' ' || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'cafe' || chr(769) || ' nin' || chr(771) || 'o SPARK'
+        |    WHEN 1 THEN 'café niño Façade'
+        |    WHEN 2 THEN 'Ünïcode ølsen ß'
+        |    ELSE '  plain   ASCII  ' END AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(s) AS INT) AS raw_len,
+        |       CAST(length(nfc_normalize(s)) AS INT) AS nfc_len,
+        |       md5(nfc_normalize(s)) AS nfc_md5,
+        |       trim(regexp_replace(strip_accents(lower(s)), '\s+', ' ', 'g'))
+        |         AS folded_text
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok
