@@ -3132,6 +3132,43 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def classifierFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Classifier.hashedFeatures(
+      Tables.documents(spark, dir), "doc_id", "text",
+      when(size(filter(Text.tokens(col("text")), t => t === "vector"))
+          > size(filter(Text.tokens(col("text")), t => t === "spark")), 1.0)
+        .otherwise(0.0), numBuckets = 64)
+
+  /** Quality-classifier TRAINING on the cluster (`ext/Classifier`):
+    * fastText-shape hashed bag-of-words + Elliott-sigmoid delta rule,
+    * 4 batch-GD iterations, label = "does 'vector' out-count 'spark'
+    * in the doc" — a genuinely bag-of-words-learnable target on the
+    * synthetic word-salad corpus (`lang`/`source` are random w.r.t.
+    * the text; single-token presence is ~75% base rate — this one is
+    * ~37% and linearly separable up to hash collisions). The
+    * oracle replays every iteration as unrolled SQL (the q119 BPE
+    * discipline) — exact integer dot products, algebraic sigmoid, and
+    * floor-quantized gradient sums make the whole training run
+    * bit-reproducible, so the full final weight table (65 rows,
+    * scaled-integer AND double forms) hash-checks, not a summary.
+    */
+  def q126TrainClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.ext.Classifier.trainElliott(
+      classifierFeatures(spark, dir), numBuckets = 64, iters = 4)
+    graft.ext.Classifier.weightsDF(spark, w).orderBy(col("bucket"))
+  }
+
+  /** Train-then-score composition: the q126 weights applied back over
+    * the corpus — per-doc exact pre-activation z, Elliott probability,
+    * and the keep verdict, all hash-checked per document against the
+    * oracle's replay of training AND scoring.
+    */
+  def q126bClassifierScores(spark: SparkSession, dir: String): DataFrame = {
+    val feat = classifierFeatures(spark, dir)
+    val w = graft.ext.Classifier.trainElliott(feat, numBuckets = 64, iters = 4)
+    graft.ext.Classifier.score(feat, w).orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3272,6 +3309,8 @@ object SparkEntry {
     "q123_dsir_sample" -> (q123DsirSample _),
     "q124_curation_funnel" -> (q124CurationFunnel _),
     "q125_unicode_normalize" -> (q125UnicodeNormalize _),
+    "q126_train_classifier" -> (q126TrainClassifier _),
+    "q126b_classifier_scores" -> (q126bClassifierScores _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3388,6 +3427,77 @@ object SparkEntry {
     * table — per-doc symbol counts + an md5 over the segmentation.
     */
   private val bpeApplySql: String = bpeMergesOracle(finalMergeTable = false)
+
+  /** q126/q126b oracle: the classifier training loop replayed as
+    * unrolled SQL — every iteration's exact integer dot products,
+    * Elliott sigmoid, floor-quantized gradient sums, and integer
+    * weight updates (see `ext/Classifier` for why each step is
+    * bit-reproducible across engines).
+    */
+  private def classifierOracle(finalWeights: Boolean): String = {
+    val iters = (1 to 4).map { k =>
+      s"""z$k AS (
+         |  SELECT f.doc_id, f.y, CAST(sum(w.ws * f.cnt) AS BIGINT) AS zs
+         |  FROM feat f JOIN w${k - 1} w ON w.b = f.b
+         |  GROUP BY 1, 2),
+         |p$k AS (
+         |  SELECT doc_id, y, zs / 1000000000.0 AS z FROM z$k),
+         |e$k AS (
+         |  SELECT doc_id, y - 0.5 * (1.0 + z / (1.0 + abs(z))) AS err FROM p$k),
+         |g$k AS (
+         |  SELECT f.b,
+         |         CAST(sum(CAST(floor(e.err * f.cnt * 1000000000.0)
+         |           AS BIGINT)) AS BIGINT) AS g
+         |  FROM feat f JOIN e$k e USING (doc_id) GROUP BY 1),
+         |w$k AS (
+         |  SELECT w.b, w.ws + CAST(coalesce(floor(g.g * 0.5 / nd.n_docs), 0)
+         |           AS BIGINT) AS ws
+         |  FROM w${k - 1} w LEFT JOIN g$k g ON g.b = w.b CROSS JOIN nd)""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      if (finalWeights)
+        """SELECT b AS bucket, ws AS w_scaled, ws / 1000000000.0 AS weight
+          |FROM w4 ORDER BY bucket""".stripMargin
+      else
+        """zf AS (
+          |  SELECT f.doc_id, f.y, CAST(sum(w.ws * f.cnt) AS BIGINT) AS zs
+          |  FROM feat f JOIN w4 w ON w.b = f.b GROUP BY 1, 2),
+          |pf AS (
+          |  SELECT doc_id, y, zs / 1000000000.0 AS z FROM zf)
+          |SELECT doc_id, y, z,
+          |       0.5 * (1.0 + z / (1.0 + abs(z))) AS p,
+          |       z > 0.0 AS keep
+          |FROM pf ORDER BY doc_id""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN len([x FOR x IN t IF x = 'vector'])
+       |                      > len([x FOR x IN t IF x = 'spark'])
+       |              THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+       |  FROM tok WHERE len(t) >= 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM lab),
+       |tk AS (
+       |  SELECT doc_id, unnest(t) AS tokn FROM tok WHERE len(t) >= 1),
+       |bk AS (
+       |  SELECT doc_id,
+       |         CAST(((strpos('0123456789abcdef', substr(md5(tokn), 1, 1)) - 1) * 16
+       |             + (strpos('0123456789abcdef', substr(md5(tokn), 2, 1)) - 1)) % 64
+       |           AS INT) AS b
+       |  FROM tk),
+       |fb AS (
+       |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY 1, 2),
+       |feat AS (
+       |  SELECT l.doc_id, l.y, f.b, f.cnt
+       |  FROM lab l JOIN fb f USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, y, CAST(-1 AS INT), CAST(1 AS BIGINT) FROM lab),
+       |w0 AS (
+       |  SELECT CAST(unnest(range(-1, 64)) AS INT) AS b, CAST(0 AS BIGINT) AS ws),
+       |$iters${if (finalWeights) "" else ","}
+       |$fin""".stripMargin
+  }
 
   private def bpeMergesOracle(finalMergeTable: Boolean): String = {
     val stages = (1 to 5).map { k =>
@@ -5652,6 +5762,9 @@ object SparkEntry {
         |       trim(regexp_replace(strip_accents(lower(s)), '\s+', ' ', 'g'))
         |         AS folded_text
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q126_train_classifier" -> classifierOracle(finalWeights = true),
+    "q126b_classifier_scores" -> classifierOracle(finalWeights = false),
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok
