@@ -3169,6 +3169,74 @@ object SparkEntry {
     graft.ext.Classifier.score(feat, w).orderBy(col("doc_id"))
   }
 
+  /** Tokenizer evaluation: fertility (symbols per whitespace word)
+    * and compression (chars per symbol) of the learned BPE merge
+    * table, per language — the standard report a tokenizer-training
+    * run ships before committing to a vocab. Composes q119 (train 5
+    * merges) + q120 (apply) and aggregates per lang; the oracle
+    * replays the whole train+apply chain and must agree on every sum
+    * and rounded ratio.
+    */
+  def q127TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = Text.bpeMerges(docs, "doc_id", "text", numMerges = 5)
+      .orderBy(col("step"))
+      .select(col("left_sym"), col("right_sym"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val perDoc = Text.bpeApply(docs, "doc_id", "text", merges)
+      .select(col("doc_id"),
+        size(col("syms")).cast("long").as("n_syms"),
+        aggregate(col("syms"), lit(0L),
+          (acc, s) => acc + length(s).cast("long")).as("sym_chars"))
+    perDoc
+      .join(docs.select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("n_words")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_syms")).as("n_syms"), sum(col("sym_chars")).as("sym_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_syms"),
+        col("sym_chars"),
+        round(col("n_syms").cast("double") / col("n_words"), 6)
+          .as("syms_per_word"),
+        round(col("sym_chars").cast("double") / col("n_syms"), 6)
+          .as("chars_per_sym"))
+      .orderBy(col("lang"))
+  }
+
+  /** Contrastive-pair mining for embedding-model training: per query,
+    * the hardest positive (nearest same-label neighbor) and the top-5
+    * hard negatives (nearest different-label neighbors) — the batch
+    * that makes a contrastive loss informative. Exact scoring by the
+    * codegen'd cosine kernel over a broadcast query set (one map-side
+    * pass over the corpus, no shuffle until the per-query top-k);
+    * ranks are decided on the ROUNDED score + vec_id so both engines
+    * agree on ties. At 100 TB the same mining composes with
+    * `Features.ivfAdcTopK` (probe a few cells, over-fetch, then apply
+    * the label filter) — the exact form here is the referee.
+    */
+  def q128HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.ext.VectorKernels.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlab"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("label") =!= col("qlab")).as("is_neg"),
+        round(graft.ext.VectorKernels.cosineF(col("embedding"), col("qv")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"), col("is_neg"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter((col("is_neg") && col("rank") <= 5) ||
+        (!col("is_neg") && col("rank") === 1))
+      .select(col("query_id"),
+        when(col("is_neg"), "neg").otherwise("pos").as("role"),
+        col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("role"), col("rank"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3311,6 +3379,8 @@ object SparkEntry {
     "q125_unicode_normalize" -> (q125UnicodeNormalize _),
     "q126_train_classifier" -> (q126TrainClassifier _),
     "q126b_classifier_scores" -> (q126bClassifierScores _),
+    "q127_tokenizer_fertility" -> (q127TokenizerFertility _),
+    "q128_hard_negatives" -> (q128HardNegatives _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3420,13 +3490,13 @@ object SparkEntry {
     * happen for self-pairs) → positional substitution + renumber.
     * The final SELECT unions the 5 argmax rows into the merge table.
     */
-  private val bpeMergesSql: String = bpeMergesOracle(finalMergeTable = true)
+  private val bpeMergesSql: String = bpeMergesOracle("merges")
 
   /** q120's oracle: the same 5 replayed rounds, but the final SELECT
     * reads the post-merge symbol STATE (st5) instead of the merge
     * table — per-doc symbol counts + an md5 over the segmentation.
     */
-  private val bpeApplySql: String = bpeMergesOracle(finalMergeTable = false)
+  private val bpeApplySql: String = bpeMergesOracle("apply")
 
   /** q126/q126b oracle: the classifier training loop replayed as
     * unrolled SQL — every iteration's exact integer dot products,
@@ -3499,7 +3569,7 @@ object SparkEntry {
        |$fin""".stripMargin
   }
 
-  private def bpeMergesOracle(finalMergeTable: Boolean): String = {
+  private def bpeMergesOracle(finalMode: String): String = {
     val stages = (1 to 5).map { k =>
       s"""p$k AS (
          |  SELECT doc_id, pos, sym AS x,
@@ -3531,16 +3601,33 @@ object SparkEntry {
          |        FROM g$k)
          |  WHERE psel = 0)""".stripMargin
     }.mkString(",\n")
-    val finalRows =
-      if (finalMergeTable)
+    val finalRows = finalMode match {
+      case "merges" =>
         (1 to 5).map { k =>
           s"SELECT $k AS step, x AS left_sym, y AS right_sym,\n" +
             s"       x || ' ' || y AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k"
         }.mkString("\nUNION ALL\n") + "\nORDER BY step"
-      else
+      case "apply" =>
         """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_syms,
           |       md5(string_agg(sym, '|' ORDER BY pos)) AS seg_md5
           |FROM st5 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      case "fertility" =>
+        """SELECT lang,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_words) AS BIGINT) AS n_words,
+          |       CAST(sum(n_syms) AS BIGINT) AS n_syms,
+          |       CAST(sum(sym_chars) AS BIGINT) AS sym_chars,
+          |       round(CAST(sum(n_syms) AS DOUBLE) / sum(n_words), 6)
+          |         AS syms_per_word,
+          |       round(CAST(sum(sym_chars) AS DOUBLE) / sum(n_syms), 6)
+          |         AS chars_per_sym
+          |FROM (SELECT s.doc_id, count(*) AS n_syms,
+          |             sum(length(sym)) AS sym_chars
+          |      FROM st5 s GROUP BY 1) a
+          |JOIN (SELECT doc_id, len(toks) AS n_words FROM t) tw USING (doc_id)
+          |JOIN documents d USING (doc_id)
+          |GROUP BY lang ORDER BY lang""".stripMargin
+    }
     s"""WITH t AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents),
@@ -5765,6 +5852,27 @@ object SparkEntry {
 
     "q126_train_classifier" -> classifierOracle(finalWeights = true),
     "q126b_classifier_scores" -> classifierOracle(finalWeights = false),
+    "q127_tokenizer_fertility" -> bpeMergesOracle("fertility"),
+
+    "q128_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id, e.label != q.qlab AS is_neg,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.qv AS DOUBLE[])), 6) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, is_neg, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id, is_neg
+        |              ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, CASE WHEN is_neg THEN 'neg' ELSE 'pos' END AS role,
+        |       rank, vec_id, cos_sim
+        |FROM ranked
+        |WHERE (is_neg AND rank <= 5) OR (NOT is_neg AND rank = 1)
+        |ORDER BY query_id, role, rank""".stripMargin,
 
     "q32b_sketch_bounds" ->
       """SELECT 'ApproxCountDistinct_l_orderkey_within_5pct' AS metric, TRUE AS ok
