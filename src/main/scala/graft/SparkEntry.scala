@@ -3237,6 +3237,39 @@ object SparkEntry {
       .orderBy(col("query_id"), col("role"), col("rank"))
   }
 
+  /** The eval discipline every classifier-gated curation run needs:
+    * train on the deterministic hashSplit train slice (80%), score
+    * EVERYTHING, report the per-split confusion matrix — if holdout
+    * accuracy craters vs train, the quality gate is memorizing, not
+    * generalizing. All counts are exact integers (keep = z > 0 on the
+    * exact integer-ratio z), so the whole report hash-checks against
+    * the oracle's replay of split, training, and scoring.
+    */
+  def q129ClassifierHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val label = when(size(filter(Text.tokens(col("text")), t => t === "vector"))
+        > size(filter(Text.tokens(col("text")), t => t === "spark")), 1.0)
+      .otherwise(0.0)
+    def featOf(d: DataFrame) = graft.ext.Classifier.hashedFeatures(
+      d, "doc_id", "text", label, numBuckets = 64)
+    val isTrain = graft.ext.TrainPrep.splitBucket(col("doc_id")) < 3277
+    val w = graft.ext.Classifier.trainElliott(
+      featOf(docs.filter(isTrain)), numBuckets = 64, iters = 4)
+    graft.ext.Classifier.score(featOf(docs), w)
+      .withColumn("split", when(isTrain, "train").otherwise("holdout"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1.0 && col("keep"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0.0 && col("keep"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1.0 && !col("keep"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0.0 && !col("keep"), 1L).otherwise(0L)).as("tn"))
+      .select(col("split"), col("n_docs"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        round((col("tp") + col("tn")).cast("double") / col("n_docs"), 6)
+          .as("accuracy"))
+      .orderBy(col("split"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3381,6 +3414,7 @@ object SparkEntry {
     "q126b_classifier_scores" -> (q126bClassifierScores _),
     "q127_tokenizer_fertility" -> (q127TokenizerFertility _),
     "q128_hard_negatives" -> (q128HardNegatives _),
+    "q129_classifier_holdout" -> (q129ClassifierHoldout _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3504,11 +3538,15 @@ object SparkEntry {
     * weight updates (see `ext/Classifier` for why each step is
     * bit-reproducible across engines).
     */
-  private def classifierOracle(finalWeights: Boolean): String = {
+  private def classifierOracle(mode: String): String = {
+    require(Seq("weights", "scores", "eval").contains(mode))
+    // eval mode trains on the hashSplit train slice only and scores
+    // everything; the other modes train and score on the full corpus
+    val tf = if (mode == "eval") "tfeat" else "feat"
     val iters = (1 to 4).map { k =>
       s"""z$k AS (
          |  SELECT f.doc_id, f.y, CAST(sum(w.ws * f.cnt) AS BIGINT) AS zs
-         |  FROM feat f JOIN w${k - 1} w ON w.b = f.b
+         |  FROM $tf f JOIN w${k - 1} w ON w.b = f.b
          |  GROUP BY 1, 2),
          |p$k AS (
          |  SELECT doc_id, y, zs / 1000000000.0 AS z FROM z$k),
@@ -3518,17 +3556,17 @@ object SparkEntry {
          |  SELECT f.b,
          |         CAST(sum(CAST(floor(e.err * f.cnt * 1000000000.0)
          |           AS BIGINT)) AS BIGINT) AS g
-         |  FROM feat f JOIN e$k e USING (doc_id) GROUP BY 1),
+         |  FROM $tf f JOIN e$k e USING (doc_id) GROUP BY 1),
          |w$k AS (
          |  SELECT w.b, w.ws + CAST(coalesce(floor(g.g * 0.5 / nd.n_docs), 0)
          |           AS BIGINT) AS ws
          |  FROM w${k - 1} w LEFT JOIN g$k g ON g.b = w.b CROSS JOIN nd)""".stripMargin
     }.mkString(",\n")
-    val fin =
-      if (finalWeights)
+    val fin = mode match {
+      case "weights" =>
         """SELECT b AS bucket, ws AS w_scaled, ws / 1000000000.0 AS weight
           |FROM w4 ORDER BY bucket""".stripMargin
-      else
+      case "scores" =>
         """zf AS (
           |  SELECT f.doc_id, f.y, CAST(sum(w.ws * f.cnt) AS BIGINT) AS zs
           |  FROM feat f JOIN w4 w ON w.b = f.b GROUP BY 1, 2),
@@ -3538,6 +3576,36 @@ object SparkEntry {
           |       0.5 * (1.0 + z / (1.0 + abs(z))) AS p,
           |       z > 0.0 AS keep
           |FROM pf ORDER BY doc_id""".stripMargin
+      case "eval" =>
+        """zf AS (
+          |  SELECT f.doc_id, f.y, CAST(sum(w.ws * f.cnt) AS BIGINT) AS zs
+          |  FROM feat f JOIN w4 w ON w.b = f.b GROUP BY 1, 2),
+          |pf AS (
+          |  SELECT z.doc_id, z.y, l.spl, zs / 1000000000.0 AS z
+          |  FROM zf z JOIN lab l USING (doc_id)),
+          |cm AS (
+          |  SELECT spl AS split,
+          |         CAST(count(*) AS BIGINT) AS n_docs,
+          |         CAST(sum(CASE WHEN y = 1.0 AND z > 0.0 THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS tp,
+          |         CAST(sum(CASE WHEN y = 0.0 AND z > 0.0 THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS fp,
+          |         CAST(sum(CASE WHEN y = 1.0 AND NOT z > 0.0 THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS fn,
+          |         CAST(sum(CASE WHEN y = 0.0 AND NOT z > 0.0 THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS tn
+          |  FROM pf GROUP BY 1)
+          |SELECT split, n_docs, tp, fp, fn, tn,
+          |       round(CAST(tp + tn AS DOUBLE) / n_docs, 6) AS accuracy
+          |FROM cm ORDER BY split""".stripMargin
+    }
+    val ndFilter = if (mode == "eval") " WHERE spl = 'train'" else ""
+    val tfeatCte =
+      if (mode == "eval")
+        """
+          |tfeat AS (
+          |  SELECT doc_id, y, b, cnt FROM feat WHERE spl = 'train'),""".stripMargin
+      else ""
     s"""WITH tok AS (
        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
        |  FROM documents),
@@ -3545,9 +3613,16 @@ object SparkEntry {
        |  SELECT doc_id,
        |         CAST(CASE WHEN len([x FOR x IN t IF x = 'vector'])
        |                      > len([x FOR x IN t IF x = 'spark'])
-       |              THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+       |              THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+       |         CASE WHEN strpos('123456789abcdef',
+       |                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+       |              + strpos('123456789abcdef',
+       |                substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 16
+       |              + strpos('123456789abcdef',
+       |                substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) < 3277
+       |              THEN 'train' ELSE 'holdout' END AS spl
        |  FROM tok WHERE len(t) >= 1),
-       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM lab),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM lab$ndFilter),
        |tk AS (
        |  SELECT doc_id, unnest(t) AS tokn FROM tok WHERE len(t) >= 1),
        |bk AS (
@@ -3559,13 +3634,13 @@ object SparkEntry {
        |fb AS (
        |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY 1, 2),
        |feat AS (
-       |  SELECT l.doc_id, l.y, f.b, f.cnt
+       |  SELECT l.doc_id, l.y, l.spl, f.b, f.cnt
        |  FROM lab l JOIN fb f USING (doc_id)
        |  UNION ALL
-       |  SELECT doc_id, y, CAST(-1 AS INT), CAST(1 AS BIGINT) FROM lab),
+       |  SELECT doc_id, y, spl, CAST(-1 AS INT), CAST(1 AS BIGINT) FROM lab),$tfeatCte
        |w0 AS (
        |  SELECT CAST(unnest(range(-1, 64)) AS INT) AS b, CAST(0 AS BIGINT) AS ws),
-       |$iters${if (finalWeights) "" else ","}
+       |$iters${if (mode == "weights") "" else ","}
        |$fin""".stripMargin
   }
 
@@ -5850,8 +5925,9 @@ object SparkEntry {
         |         AS folded_text
         |FROM d ORDER BY doc_id""".stripMargin,
 
-    "q126_train_classifier" -> classifierOracle(finalWeights = true),
-    "q126b_classifier_scores" -> classifierOracle(finalWeights = false),
+    "q126_train_classifier" -> classifierOracle("weights"),
+    "q126b_classifier_scores" -> classifierOracle("scores"),
+    "q129_classifier_holdout" -> classifierOracle("eval"),
     "q127_tokenizer_fertility" -> bpeMergesOracle("fertility"),
 
     "q128_hard_negatives" ->
