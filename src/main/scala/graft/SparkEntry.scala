@@ -3270,6 +3270,36 @@ object SparkEntry {
       .orderBy(col("split"))
   }
 
+  /** Corpus datasheet (Gebru et al. 2018, "Datasheets for Datasets"):
+    * the per-language summary a dataset release ships — doc/token
+    * counts, exact length percentiles, exact-duplicate pressure, and
+    * vocabulary size. Three independent keyed aggregations (stats,
+    * fingerprint dups, vocab) joined on the language key; every number
+    * is exact and hash-checked. The exact `percentile` here is the
+    * referee form — at 100 TB the same report runs on the mergeable
+    * KLL sketch (q32c) with rank-error bounds instead of a per-group
+    * sort.
+    */
+  def q130CorpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"),
+        md5(col("text")).as("fp"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val stats = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(n, 0.9)"), 4).as("p90_tokens"))
+    val dups = base.groupBy(col("lang"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_distinct_texts"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"))
+    val vocab = base.select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang")).agg(countDistinct(col("tok")).as("vocab_size"))
+    stats.join(dups, Seq("lang")).join(vocab, Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3415,6 +3445,7 @@ object SparkEntry {
     "q127_tokenizer_fertility" -> (q127TokenizerFertility _),
     "q128_hard_negatives" -> (q128HardNegatives _),
     "q129_classifier_holdout" -> (q129ClassifierHoldout _),
+    "q130_corpus_datasheet" -> (q130CorpusDatasheet _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -5928,6 +5959,32 @@ object SparkEntry {
     "q126_train_classifier" -> classifierOracle("weights"),
     "q126b_classifier_scores" -> classifierOracle("scores"),
     "q129_classifier_holdout" -> classifierOracle("eval"),
+
+    "q130_corpus_datasheet" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         md5(text) AS fp
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang, len(toks) AS n, fp FROM t),
+        |m AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n) AS BIGINT) AS n_tokens,
+        |         round(quantile_cont(n, 0.5), 4) AS p50_tokens,
+        |         round(quantile_cont(n, 0.9), 4) AS p90_tokens
+        |  FROM b GROUP BY 1),
+        |fpc AS (SELECT lang, fp, count(*) AS c FROM b GROUP BY 1, 2),
+        |d AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct_texts,
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |           AS n_dup_docs
+        |  FROM fpc GROUP BY 1),
+        |v AS (
+        |  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+        |  FROM (SELECT lang, unnest(toks) AS tok FROM t) GROUP BY 1)
+        |SELECT m.lang, n_docs, n_tokens, p50_tokens, p90_tokens,
+        |       n_distinct_texts, n_dup_docs, vocab_size
+        |FROM m JOIN d USING (lang) JOIN v USING (lang)
+        |ORDER BY lang""".stripMargin,
     "q127_tokenizer_fertility" -> bpeMergesOracle("fertility"),
 
     "q128_hard_negatives" ->
