@@ -499,4 +499,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q125: unicode normalization + fold is a map pass — only the display sort shuffles") {
+    val p = plan("q125_unicode_normalize")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("rangepartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("classifier gradient step: co-located on the cached doc_id partitioning — only the bucket shuffle is new") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val feat = graft.ext.Classifier.hashedFeatures(docs, "doc_id", "text",
+        when(col("lang") === "en", 1.0).otherwise(0.0), 16)
+      .repartition(col("doc_id")).persist()
+    try {
+      feat.count()
+      // one loop body of trainElliott: per-doc z (score) joined back to
+      // the feature frame, gradient summed per bucket
+      val scored = graft.ext.Classifier.score(feat, Array.fill(17)(0L))
+      val g = feat.join(scored.select(col("doc_id"), col("z")), Seq("doc_id"))
+        .withColumn("q", floor(col("z") * col("cnt") * lit(1.0e9)))
+        .groupBy(col("bucket")).agg(sum(col("q")).as("g"))
+      val p = g.queryExecution.executedPlan.toString
+      // the ONLY new shuffle is the ≤(buckets+1)-row gradient aggregate
+      assert("Exchange hashpartitioning\\(bucket".r.findAllIn(p).size == 1, p)
+      // the per-doc aggregation and the join ride the cached doc_id
+      // partitioning — Spark must not re-shuffle either side on doc_id
+      assert("Exchange hashpartitioning\\(doc_id#\\d+L, \\d+\\), ENSURE_REQUIREMENTS"
+        .r.findAllIn(p).isEmpty, p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally { feat.unpersist(); () }
+  }
+
+  test("q128: hard-negative mining broadcasts the query set — the corpus is scanned once") {
+    val p = plan("q128_hard_negatives")
+    // non-equi self-exclusion join: broadcast nested loop over the
+    // tiny query side is the intended shape (q21's accepted form);
+    // the corpus side must never cartesian or shuffle to the join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q130: datasheet is three keyed aggregations — no cartesian anywhere") {
+    val p = plan("q130_corpus_datasheet")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning"), p)
+  }
 }
