@@ -3300,6 +3300,27 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Classifier serving as a STREAM: train once in batch (q126's
+    * exact path), freeze the weights, then score documents arriving
+    * in 4 micro-batches with the map-only serving expression
+    * ([[graft.ext.Classifier.scoreMapOnly]], one codegen'd fold — no
+    * shuffle, no state). Frozen weights + exact long arithmetic make
+    * the streamed scores bit-identical to batch scoring, so this row
+    * shares q126b's full per-doc oracle — the strongest check a
+    * stream can carry (the q108/q121 discipline).
+    */
+  def q131StreamClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val label = when(size(filter(Text.tokens(col("text")), t => t === "vector"))
+        > size(filter(Text.tokens(col("text")), t => t === "spark")), 1.0)
+      .otherwise(0.0)
+    val w = graft.ext.Classifier.trainElliott(
+      classifierFeatures(spark, dir), numBuckets = 64, iters = 4)
+    val tmp = tempDir("graft-q131")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    Jobs.runClassifierServeStream(spark, in, schema, label, w)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3446,6 +3467,7 @@ object SparkEntry {
     "q128_hard_negatives" -> (q128HardNegatives _),
     "q129_classifier_holdout" -> (q129ClassifierHoldout _),
     "q130_corpus_datasheet" -> (q130CorpusDatasheet _),
+    "q131_stream_classifier" -> (q131StreamClassifier _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3471,7 +3493,7 @@ object SparkEntry {
     "q70_session_stream", "q96_stream_cdc", "q99_stream_throttle",
     "q104b_mixture_stream", "q105b_shard_stream", "q108_stream_curate",
     "q113_stream_index_ingest", "q115_compact_index",
-    "q121_stream_query_serve")
+    "q121_stream_query_serve", "q131_stream_classifier")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -5959,6 +5981,7 @@ object SparkEntry {
     "q126_train_classifier" -> classifierOracle("weights"),
     "q126b_classifier_scores" -> classifierOracle("scores"),
     "q129_classifier_holdout" -> classifierOracle("eval"),
+    "q131_stream_classifier" -> classifierOracle("scores"),
 
     "q130_corpus_datasheet" ->
       """WITH t AS (

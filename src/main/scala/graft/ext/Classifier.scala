@@ -133,4 +133,34 @@ object Classifier {
     preActivation(feat, wScaled)
       .select(col("doc_id"), col("y"), col("z"), col("p"),
         (col("z") > 0.0).as("keep"))
+
+  /** SERVING form of [[score]]: the whole dot product as ONE
+    * codegen'd map expression — a higher-order fold over the token
+    * array that adds `w_scaled(bucket(token))` per occurrence, seeded
+    * with the bias. No explode, no shuffle, no state: the ideal gate
+    * for a streaming micro-batch or a 100 TB scoring pass. Bit-equal
+    * to the trained path by construction — the fold visits tokens in
+    * document order while [[score]] sums per-bucket counts, but every
+    * addend is a LONG, and long addition is exactly commutative and
+    * associative, so `zs` (and everything derived from it) is
+    * identical.
+    */
+  def scoreMapOnly(
+      docs: DataFrame, idCol: String, textCol: String,
+      label: Column, wScaled: Array[Long]): DataFrame = {
+    val numBuckets = wScaled.length - 1
+    val warr = typedlit(wScaled.toSeq)
+    def bucket(t: Column): Column =
+      (conv(substring(md5(t), 1, 2), 16, 10).cast("int") % numBuckets).cast("int")
+    docs
+      .filter(size(Text.tokens(col(textCol))) >= 1)
+      .select(col(idCol).as("doc_id"), label.cast("double").as("y"),
+        aggregate(Text.tokens(col(textCol)), lit(wScaled(0)),
+          (acc, t) => acc + element_at(warr, bucket(t) + 2)).as("zs"))
+      .withColumn("z", col("zs").cast("double") / lit(1.0e9))
+      .withColumn("p",
+        lit(0.5) * (lit(1.0) + col("z") / (lit(1.0) + abs(col("z")))))
+      .select(col("doc_id"), col("y"), col("z"), col("p"),
+        (col("z") > 0.0).as("keep"))
+  }
 }

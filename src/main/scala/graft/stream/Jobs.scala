@@ -618,6 +618,30 @@ object Jobs {
     q.awaitTermination()
   }
 
+  /** Classifier SERVING as a stream: documents arrive in micro-batches
+    * and each is scored by the FROZEN trained weights via
+    * [[graft.ext.Classifier.scoreMapOnly]] — one codegen'd map
+    * expression, no shuffle, no state (the q121 "serve a frozen
+    * index" pattern applied to the quality gate). Deterministic
+    * per-row scoring under frozen weights means arrival order and
+    * batch boundaries cannot matter: the streamed rows must be
+    * bit-identical to one batch scoring pass, so the stream shares
+    * the batch oracle outright.
+    */
+  def runClassifierServeStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, // (doc_id, lang, text)
+      label: Column,
+      wScaled: Array[Long]): DataFrame = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+    val scored = graft.ext.Classifier.scoreMapOnly(
+      stream, "doc_id", "text", label, wScaled)
+    runToMemorySink(spark, scored, "graft_classifier_serve")
+  }
+
   def runRoutingStream(
       spark: SparkSession,
       inputDir: String,

@@ -58,6 +58,17 @@ class ClassifierSpec extends SparkSpec {
     assert(w1.toSeq == w2.toSeq)
   }
 
+  test("scoreMapOnly (serving fold) is bit-equal to the trained per-bucket path") {
+    val w = Classifier.trainElliott(feat, numBuckets = 16, iters = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "z", "p", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    val a = rows(Classifier.score(feat, w))
+    val b = rows(Classifier.scoreMapOnly(corpus, "doc_id", "text", col("lab"), w))
+    assert(a == b)
+  }
+
   test("empty input is rejected loudly") {
     val empty = corpus.filter(col("doc_id") < 0)
     intercept[IllegalArgumentException] {
