@@ -3321,6 +3321,31 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Continuous RETRAINING of the quality classifier as a stream —
+    * the q104b/q105b snapshot-maintenance discipline applied to model
+    * training: each micro-batch appends to the versioned corpus and
+    * re-trains the full 4-iteration run on the snapshot (training is
+    * corpus-GLOBAL — one arriving doc shifts every gradient — so
+    * recompute-on-snapshot IS the correct incremental form; replay
+    * safety and crash-safe versioned publish come from
+    * [[graft.stream.Jobs.runPlanRecomputeStream]]). Bit-reproducible
+    * training ⇒ the final published weights are identical to the
+    * batch path, so the stream shares q126's full weights oracle.
+    */
+  def q132RetrainStream(spark: SparkSession, dir: String): DataFrame = {
+    val label = when(size(filter(Text.tokens(col("text")), t => t === "vector"))
+        > size(filter(Text.tokens(col("text")), t => t === "spark")), 1.0)
+      .otherwise(0.0)
+    val tmp = tempDir("graft-q132")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work", corpus => {
+      val feat = graft.ext.Classifier.hashedFeatures(
+        corpus, "doc_id", "text", label, numBuckets = 64)
+      val w = graft.ext.Classifier.trainElliott(feat, numBuckets = 64, iters = 4)
+      graft.ext.Classifier.weightsDF(spark, w)
+    }).orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3468,6 +3493,7 @@ object SparkEntry {
     "q129_classifier_holdout" -> (q129ClassifierHoldout _),
     "q130_corpus_datasheet" -> (q130CorpusDatasheet _),
     "q131_stream_classifier" -> (q131StreamClassifier _),
+    "q132_retrain_stream" -> (q132RetrainStream _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3493,7 +3519,8 @@ object SparkEntry {
     "q70_session_stream", "q96_stream_cdc", "q99_stream_throttle",
     "q104b_mixture_stream", "q105b_shard_stream", "q108_stream_curate",
     "q113_stream_index_ingest", "q115_compact_index",
-    "q121_stream_query_serve", "q131_stream_classifier")
+    "q121_stream_query_serve", "q131_stream_classifier",
+    "q132_retrain_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -5982,6 +6009,7 @@ object SparkEntry {
     "q126b_classifier_scores" -> classifierOracle("scores"),
     "q129_classifier_holdout" -> classifierOracle("eval"),
     "q131_stream_classifier" -> classifierOracle("scores"),
+    "q132_retrain_stream" -> classifierOracle("weights"),
 
     "q130_corpus_datasheet" ->
       """WITH t AS (
