@@ -3346,6 +3346,45 @@ object SparkEntry {
     }).orderBy(col("bucket"))
   }
 
+  /** Cluster-representative selection by graph centrality
+    * (`ext/Graph.pageRankScaled`): the near-dup graph (q13's LSH
+    * pairs — recall 1 on this corpus, hash-checked by q13 itself
+    * against the exact inverted-index oracle) ranked by 3 iterations
+    * of scaled-integer PageRank, composed with the connected-component
+    * clusters (q51) — `is_central` picks the doc most connected to
+    * its duplicates, the centrality upgrade over the min-id canonical
+    * rule. Every rank is integer arithmetic, so the oracle replays
+    * the full run (edges → degrees → 3 PR iterations → recursive
+    * closure → per-cluster argmax) bit-for-bit.
+    */
+  def q133GraphCentrality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.minhashNearDupPairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).persist()
+    try {
+      val (pr, h) = graft.ext.Graph.pageRankScaledWithHandle(
+        pairs, "id_a", "id_b", iters = 3)
+      val clusters = graft.ext.Clusters.dupClusters(pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("pr_scaled").desc, col("doc_id").asc)
+      val out = clusters.join(pr, clusters("doc_id") === pr("id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("deg"), col("pr_scaled"),
+          (col("pr_scaled") / lit(1.0e9)).as("pr"))
+        .withColumn("is_central", row_number().over(w) === 1)
+        .orderBy(col("doc_id"))
+      // q124's discipline: caches live for the query's internal
+      // actions (the PR iterations), released before return — the one
+      // lazy re-derivation downstream is bounded and deterministic;
+      // library callers keep the handle instead
+      h.unpersist()
+      out
+    } finally { pairs.unpersist(); () }
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3494,6 +3533,7 @@ object SparkEntry {
     "q130_corpus_datasheet" -> (q130CorpusDatasheet _),
     "q131_stream_classifier" -> (q131StreamClassifier _),
     "q132_retrain_stream" -> (q132RetrainStream _),
+    "q133_graph_centrality" -> (q133GraphCentrality _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -3722,6 +3762,68 @@ object SparkEntry {
        |  SELECT CAST(unnest(range(-1, 64)) AS INT) AS b, CAST(0 AS BIGINT) AS ws),
        |$iters${if (mode == "weights") "" else ","}
        |$fin""".stripMargin
+  }
+
+  /** q133 oracle: exact inverted-index jaccard edges (the q13 SQL),
+    * degrees, THREE scaled-integer PageRank iterations, recursive
+    * component closure, per-cluster centrality argmax — the full
+    * composed run replayed (iterations generated like the BPE and
+    * classifier oracles; `//` is DuckDB's integer floor division,
+    * mirroring Spark's `div` on longs).
+    */
+  private val graphCentralitySql: String = {
+    val iters = (1 to 3).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst, CAST(sum((85 * r.pr) // (100 * g.dg)) AS BIGINT) AS m
+         |  FROM edges e JOIN r${k - 1} r ON r.id = e.src
+         |  JOIN deg g ON g.src = e.src
+         |  GROUP BY 1),
+         |r$k AS (
+         |  SELECT d.src AS id,
+         |         CAST((15 * CAST(1000000000 AS BIGINT)) // (100 * nn.c) AS BIGINT)
+         |           + coalesce(c.m, 0) AS pr
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c$k c ON c.dst = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+       |                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+       |  FROM tok),
+       |e0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+       |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+       |              any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+       |       FROM e0 a JOIN e0 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b FROM p0
+       |          WHERE round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6)
+       |                >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM edges GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM deg),
+       |r0 AS (SELECT src AS id, CAST(1000000000 // nn.c AS BIGINT) AS pr
+       |       FROM deg CROSS JOIN nn),
+       |$iters,
+       |reach(id, rt) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e2.dst, reach.rt FROM reach JOIN edges e2 ON e2.src = reach.id),
+       |comp AS (SELECT id, min(rt) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |          FROM comp GROUP BY 1),
+       |fin AS (
+       |  SELECT c.id AS doc_id, c.cluster_id, s.cluster_size, g.dg AS deg,
+       |         r.pr AS pr_scaled, r.pr / 1000000000.0 AS pr
+       |  FROM comp c JOIN sizes s USING (cluster_id)
+       |  JOIN deg g ON g.src = c.id JOIN r3 r ON r.id = c.id)
+       |SELECT doc_id, cluster_id, cluster_size, deg, pr_scaled, pr,
+       |       row_number() OVER (PARTITION BY cluster_id
+       |                          ORDER BY pr_scaled DESC, doc_id) = 1
+       |         AS is_central
+       |FROM fin ORDER BY doc_id""".stripMargin
   }
 
   private def bpeMergesOracle(finalMode: String): String = {
@@ -6010,6 +6112,7 @@ object SparkEntry {
     "q129_classifier_holdout" -> classifierOracle("eval"),
     "q131_stream_classifier" -> classifierOracle("scores"),
     "q132_retrain_stream" -> classifierOracle("weights"),
+    "q133_graph_centrality" -> graphCentralitySql,
 
     "q130_corpus_datasheet" ->
       """WITH t AS (

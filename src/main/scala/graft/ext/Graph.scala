@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an undirected pair list (Page et al.
+  * 1999), in the repo's bit-reproducible iterative-algorithm
+  * discipline (the q119 BPE / q126 classifier pattern): every rank
+  * lives in scaled-integer space (pr × 1e9, a long) and every update
+  * is integer arithmetic —
+  *
+  *   base      = ((dampDen − dampNum) · scale) div (dampDen · N)
+  *   contrib_u = (dampNum · pr_u) div (dampDen · deg_u)   per edge
+  *   pr'_v     = base + Σ contrib_u                        (long sum)
+  *
+  * Long sums are exactly commutative/associative, integer division is
+  * deterministic, so the whole run is partition-order-free and an
+  * external SQL engine replays it bit-for-bit (floor-division mass
+  * leak is deterministic and identical on both sides). Dangling-node
+  * mass is not redistributed (the graph here is undirected, so every
+  * node with an edge has out-degree ≥ 1; isolated nodes are excluded
+  * by construction).
+  *
+  * The curation use is cluster-representative selection: within a
+  * near-dup cluster, the doc most connected to its duplicates is the
+  * natural canonical pick — a centrality upgrade over the min-id rule
+  * ([[Clusters.dupClusters]]), composed in q133.
+  *
+  * Scale: per iteration, one keyed shuffle of the edge list (join on
+  * src) and one keyed aggregation (group by dst) — textbook
+  * distributed PR; the rank frame persists each round and releases
+  * its predecessor so lineage never deepens. Driver traffic is ONE
+  * node-count scalar for the whole run.
+  */
+object Graph {
+
+  /** PageRank over `pairs` (each row one undirected edge). Returns
+    * (id, deg, pr_scaled) for every node with ≥ 1 edge.
+    */
+  def pageRankScaled(
+      pairs: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      scale: Long = 1000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
+    pageRankScaledWithHandle(
+      pairs, srcCol, dstCol, iters, scale, dampNum, dampDen)._1
+
+  /** [[pageRankScaled]] plus a [[CacheHandle]] over the final rank
+    * frame — the iteration's persist is what keeps the T-deep loop
+    * lineage from re-running on every downstream action, so the
+    * caller releases it once the results are consumed (the
+    * minhashNearDupPairsWithHandle contract).
+    */
+  def pageRankScaledWithHandle(
+      pairs: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      scale: Long = 1000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): (DataFrame, CacheHandle) = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    try {
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val n = deg.count() // bounded driver scalar: graph-node count
+      if (n == 0) {
+        return (edges.select(col("src").as("id"), lit(0L).as("deg"),
+          lit(0L).as("pr_scaled")), new CacheHandle(Seq.empty))
+      }
+      val base = (dampDen - dampNum) * scale / (dampDen * n)
+      var r = deg.select(col("src").as("id"), col("deg"))
+        .withColumn("pr_scaled", lit(scale / n)).persist()
+      r.count()
+      var it = 0
+      while (it < iters) {
+        val contrib = edges
+          .join(r.select(col("id"), col("deg"), col("pr_scaled")),
+            col("src") === col("id"))
+          .select(col("dst"),
+            expr(s"($dampNum * pr_scaled) div ($dampDen * deg)").as("m"))
+          .groupBy(col("dst")).agg(sum(col("m")).as("m"))
+        val r2 = r.select(col("id"), col("deg"))
+          .join(contrib, col("id") === col("dst"), "left")
+          .select(col("id"), col("deg"),
+            (lit(base) + coalesce(col("m"), lit(0L))).as("pr_scaled"))
+          .persist()
+        r2.count() // materialize before releasing the predecessor
+        r.unpersist()
+        r = r2
+        it += 1
+      }
+      (r.select(col("id"), col("deg"), col("pr_scaled")),
+        new CacheHandle(Seq(r)))
+    } finally { edges.unpersist(); () }
+  }
+}

@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def path3 = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+
+  test("pageRankScaled: hand-computed exact longs on the 3-node path") {
+    // N=3, r0 = 10^9 div 3 = 333333333, base = 15·10^9 div 300 = 50000000
+    // endpoint → middle: (85·333333333) div 100 = 283333333
+    // middle → endpoint: (85·333333333) div 200 = 141666666
+    val r = Graph.pageRankScaled(path3, "id_a", "id_b", iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((1L, 50000000L + 141666666L)))
+    assert(r(3L) == ((1L, 50000000L + 141666666L)))
+    assert(r(2L) == ((2L, 50000000L + 283333333L + 283333333L)))
+  }
+
+  test("centrality orders the hub above the spokes and is deterministic") {
+    // star: 4 spokes around node 0 plus one detached pair
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val r1 = Graph.pageRankScaled(star, "id_a", "id_b", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert((1L to 4L).forall(s => r1(0L) > r1(s)), r1.toString)
+    assert(r1(8L) == r1(9L))
+    val r2 = Graph.pageRankScaled(star.repartition(5), "id_a", "id_b", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r1 == r2)
+  }
+
+  test("zero iterations returns the uniform init; empty graph returns no rows") {
+    val r = Graph.pageRankScaled(path3, "id_a", "id_b", iters = 0)
+      .collect().map(_.getLong(2)).toSet
+    assert(r == Set(333333333L))
+    val empty = path3.filter($"id_a" < 0)
+    assert(Graph.pageRankScaled(empty, "id_a", "id_b", iters = 2).isEmpty)
+  }
+}
