@@ -684,13 +684,7 @@ object Text {
     var done = false
     for (step <- 1 to numMerges if !done) {
       val top = cached
-        .select(explode(
-          when(size(col("syms")) >= 2,
-            transform(sequence(lit(1), size(col("syms")) - 1),
-              i => struct(
-                element_at(col("syms"), i).as("x"),
-                element_at(col("syms"), i + 1).as("y"))))
-            .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+        .select(explode(BpeKernels.adjacentPairs(col("syms"))).as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("x"), col("y"))
@@ -713,29 +707,14 @@ object Text {
   }
 
   /** One greedy left-to-right application of merge rule (bx, by) to a
-    * symbol array: a higher-order `aggregate` left-fold carrying
-    * (out, skip) — pure map logic, no explode, no shuffle.
+    * symbol array — the codegen'd [[GreedyPairMerge]] kernel (O(n),
+    * one allocation). The original higher-order `aggregate` fold was
+    * the training/encode hot spot: interpreted per element with an
+    * O(n²) accumulator copy (the §7.3 HOF-throughput escalation,
+    * same as the cosine kernel's history).
     */
   private def greedyMergeOnce(syms: Column, bx: String, by: String): Column =
-    when(size(syms) < 2, syms).otherwise(
-      aggregate(sequence(lit(1), size(syms)),
-        struct(array().cast("array<string>").as("out"),
-          lit(false).as("skip")),
-        (acc, i) => {
-          val cur = element_at(syms, i)
-          // CaseWhen evaluates branches lazily, so the i+1 access
-          // never runs past the end (ANSI element_at would throw)
-          val nxt = when(i < size(syms), element_at(syms, i + 1))
-          when(acc.getField("skip"),
-            struct(acc.getField("out").as("out"), lit(false).as("skip")))
-            .otherwise(when(cur === lit(bx) && nxt === lit(by),
-              struct(concat(acc.getField("out"),
-                array(lit(s"$bx $by"))).as("out"), lit(true).as("skip")))
-              .otherwise(
-                struct(concat(acc.getField("out"),
-                  array(cur)).as("out"), lit(false).as("skip"))))
-        },
-        acc => acc.getField("out")))
+    BpeKernels.mergeOnce(syms, bx, by)
 
   /** Apply a learned BPE merge table ([[bpeMerges]] output, in step
     * order) to a corpus: the tokenizer's ENCODE half. Each rule is one
