@@ -3376,12 +3376,16 @@ object SparkEntry {
           (col("pr_scaled") / lit(1.0e9)).as("pr"))
         .withColumn("is_central", row_number().over(w) === 1)
         .orderBy(col("doc_id"))
-      // q124's discipline: caches live for the query's internal
-      // actions (the PR iterations), released before return — the one
-      // lazy re-derivation downstream is bounded and deterministic;
-      // library callers keep the handle instead
+      // materialize the graph-node-sized result (≤ one row per doc
+      // with a near-dup edge) WHILE the LSH pairs and rank frames are
+      // still cached, then release them — without this the downstream
+      // write action re-derived the whole LSH + PR + closure chain a
+      // second time against cold lineage. localCheckpoint is the
+      // dupClusters precedent; the retained blocks are only the tiny
+      // output frame.
+      val snap = out.localCheckpoint(true)
       h.unpersist()
-      out
+      snap
     } finally { pairs.unpersist(); () }
   }
 
