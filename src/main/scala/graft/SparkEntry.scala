@@ -3389,6 +3389,40 @@ object SparkEntry {
     } finally { pairs.unpersist(); () }
   }
 
+  private def eventQi: Seq[org.apache.spark.sql.Column] = Seq(
+    col("event_type"), to_date(col("ts")).as("day"),
+    floor(col("value") / lit(100.0)).cast("long").as("value_band"))
+
+  /** k-anonymity audit (`dq/Privacy`): equivalence classes over the
+    * quasi-identifiers (event type × day × value band) with sizes and
+    * the size-under-k risk verdict — the privacy-review artifact that
+    * gates a release. One partial-aggregated keyed shuffle.
+    */
+  def q134KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Privacy.kAnonymityClasses(
+      Tables.events(spark, dir), eventQi, k = 5L)
+      .orderBy(col("event_type"), col("day"), col("value_band"))
+
+  /** Enforcement twin of q134: rows in under-k classes suppressed via
+    * a window count on the SAME key (no join back); the per-type
+    * summary (kept/suppressed/id checksum) hash-checks the exact
+    * suppression set, not just counts.
+    */
+  def q134bKAnonymityEnforce(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val kept = graft.dq.Privacy.enforceKAnonymity(ev, eventQi, k = 5L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("event_id")).as("kept_id_sum"))
+    val all = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+    all.join(kept, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_rows"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_rows") - coalesce(col("n_kept"), lit(0L))).as("n_suppressed"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3538,6 +3572,8 @@ object SparkEntry {
     "q131_stream_classifier" -> (q131StreamClassifier _),
     "q132_retrain_stream" -> (q132RetrainStream _),
     "q133_graph_centrality" -> (q133GraphCentrality _),
+    "q134_k_anonymity" -> (q134KAnonymity _),
+    "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
     "q35_sessionize" -> (q35Sessionize _),
@@ -6117,6 +6153,34 @@ object SparkEntry {
     "q131_stream_classifier" -> classifierOracle("scores"),
     "q132_retrain_stream" -> classifierOracle("weights"),
     "q133_graph_centrality" -> graphCentralitySql,
+
+    "q134_k_anonymity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |       CAST(floor(value / 100.0) AS BIGINT) AS value_band,
+        |       CAST(count(*) AS BIGINT) AS class_size,
+        |       count(*) < 5 AS at_risk
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY event_type, day, value_band""".stripMargin,
+
+    "q134b_k_anonymity_enforce" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type,
+        |         count(*) OVER (PARTITION BY event_type, CAST(ts AS DATE),
+        |                        CAST(floor(value / 100.0) AS BIGINT)) AS cs
+        |  FROM events),
+        |kept AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |         CAST(sum(event_id) AS BIGINT) AS kept_id_sum
+        |  FROM c WHERE cs >= 5 GROUP BY 1),
+        |allr AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type, a.n_rows,
+        |       coalesce(k.n_kept, 0) AS n_kept,
+        |       a.n_rows - coalesce(k.n_kept, 0) AS n_suppressed,
+        |       coalesce(k.kept_id_sum, 0) AS kept_id_sum
+        |FROM allr a LEFT JOIN kept k USING (event_type)
+        |ORDER BY a.event_type""".stripMargin,
 
     "q130_corpus_datasheet" ->
       """WITH t AS (

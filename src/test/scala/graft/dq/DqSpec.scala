@@ -121,4 +121,28 @@ class DqSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(hc.toSeq == Seq((0L, 3L, 7L, 7L)))
   }
+
+  test("Privacy: under-k classes flagged and exactly their rows suppressed") {
+    import org.apache.spark.sql.functions.col
+    // (id, city, age_band): one class of 3, one of 2, one singleton
+    val df = Seq((1L, "a", 1), (2L, "a", 1), (3L, "a", 1),
+      (4L, "b", 1), (5L, "b", 1), (6L, "c", 9)).toDF("id", "city", "band")
+    val qi = Seq(col("city"), col("band"))
+    val classes = Privacy.kAnonymityClasses(df, qi, k = 3)
+      .as[(String, Int, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(classes(("a", 1)) == ((3L, false)))
+    assert(classes(("b", 1)) == ((2L, true)))
+    assert(classes(("c", 9)) == ((1L, true)))
+    val kept = Privacy.enforceKAnonymity(df, qi, k = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+    // enforcement keeps the full row shape
+    assert(Privacy.enforceKAnonymity(df, qi, 3).columns.toSeq ==
+      Seq("id", "city", "band"))
+    // k < 2 is rejected
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityClasses(df, qi, 1)
+    }
+  }
 }
