@@ -3423,6 +3423,48 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Train/holdout LEAKAGE audit: exact-duplicate texts that cross
+    * the hashSplit boundary — decontamination (q48/q93) guards against
+    * an EXTERNAL benchmark; this guards the split itself (a duplicated
+    * doc landing on both sides leaks the holdout into training). One
+    * fingerprint-keyed aggregation over the whole corpus: a class
+    * leaks iff it spans both splits; per-split summary plus id
+    * checksums pin the exact leaking set. Near-dup leakage is the
+    * same audit through `minhashNearDupAgainst` (q78's directional
+    * form) — exact grain here, the shape every split ships with.
+    */
+  def q135SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // the synthetic corpus has (almost) no exact duplicates, so the
+    // audit injects the real-world case deterministically: every 40th
+    // doc re-crawled under a new id — its hash bucket (and so its
+    // split) re-rolls, which is exactly how a duplicate leaks across
+    // a split boundary
+    val docs = base.unionByName(
+      base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .withColumn("split",
+        when(graft.ext.TrainPrep.splitBucket(col("doc_id")) < 3277, "train")
+          .otherwise("holdout"))
+      .select(col("doc_id"), col("split"), md5(col("text")).as("fp"))
+    val classes = docs.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "holdout", 1L).otherwise(0L)).as("n_holdout"),
+        sum(col("doc_id")).as("id_sum"))
+    classes
+      .select(
+        when(col("n_train") > 0 && col("n_holdout") > 0, "leaking")
+          .when(col("n_docs") > 1, "dup_within_split")
+          .otherwise("unique").as("status"),
+        col("n_docs"), col("n_train"), col("n_holdout"), col("id_sum"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_train")).as("n_train"), sum(col("n_holdout")).as("n_holdout"),
+        sum(col("id_sum")).as("id_sum"))
+      .orderBy(col("status"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3573,6 +3615,7 @@ object SparkEntry {
     "q132_retrain_stream" -> (q132RetrainStream _),
     "q133_graph_centrality" -> (q133GraphCentrality _),
     "q134_k_anonymity" -> (q134KAnonymity _),
+    "q135_split_leakage" -> (q135SplitLeakage _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6153,6 +6196,37 @@ object SparkEntry {
     "q131_stream_classifier" -> classifierOracle("scores"),
     "q132_retrain_stream" -> classifierOracle("weights"),
     "q133_graph_centrality" -> graphCentralitySql,
+
+    "q135_split_leakage" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0),
+        |d AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |         CASE WHEN strpos('123456789abcdef',
+        |                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+        |              + strpos('123456789abcdef',
+        |                substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 16
+        |              + strpos('123456789abcdef',
+        |                substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) < 3277
+        |              THEN 'train' ELSE 'holdout' END AS split
+        |  FROM docs2),
+        |cl AS (
+        |  SELECT fp, count(*) AS n_docs,
+        |         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+        |         sum(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS n_holdout,
+        |         sum(doc_id) AS id_sum
+        |  FROM d GROUP BY 1)
+        |SELECT CASE WHEN n_train > 0 AND n_holdout > 0 THEN 'leaking'
+        |            WHEN n_docs > 1 THEN 'dup_within_split'
+        |            ELSE 'unique' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_train) AS BIGINT) AS n_train,
+        |       CAST(sum(n_holdout) AS BIGINT) AS n_holdout,
+        |       CAST(sum(id_sum) AS BIGINT) AS id_sum
+        |FROM cl GROUP BY 1 ORDER BY status""".stripMargin,
 
     "q134_k_anonymity" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,

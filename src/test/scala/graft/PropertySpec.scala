@@ -558,4 +558,58 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("k-anonymity enforcement is idempotent and every surviving class has >= k rows") {
+    val gen = Gen.listOfN(60, for {
+      city <- Gen.oneOf("a", "b", "c", "d", "e")
+      band <- Gen.choose(0, 3)
+    } yield (city, band))
+    (1 to 6).foreach { i =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(90L + i))
+        .zipWithIndex.map { case ((c, b), id) => (id.toLong, c, b) }
+      val df = rows.toDF("id", "city", "band")
+      val qi = Seq(col("city"), col("band"))
+      val kept = graft.dq.Privacy.enforceKAnonymity(df, qi, k = 4)
+      val sizes = kept.groupBy("city", "band").count()
+        .as[(String, Int, Long)].collect()
+      assert(sizes.forall(_._3 >= 4), s"sample $i: $sizes")
+      // idempotence: suppression removes whole classes, so a second
+      // pass finds every remaining class already >= k
+      val twice = graft.dq.Privacy.enforceKAnonymity(kept, qi, k = 4)
+      assert(twice.select("id").as[Long].collect().sorted.toSeq ==
+        kept.select("id").as[Long].collect().sorted.toSeq)
+    }
+  }
+
+  test("pageRank conserves bounded mass and equals a driver-side replay on random graphs") {
+    val gen = Gen.listOfN(25, for {
+      a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L) if a != b
+    } yield if (a < b) (a, b) else (b, a))
+    (1 to 6).foreach { i =>
+      val pairs = gen.pureApply(Gen.Parameters.default, Seed(300L + i)).distinct
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("id_a", "id_b")
+        val got = graft.ext.Graph.pageRankScaled(df, "id_a", "id_b", iters = 3)
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        // driver-side replay with identical integer arithmetic
+        val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+          .view.mapValues(_.map(_._2)).toMap
+        val n = adj.size
+        val base = 15L * 1000000000L / (100L * n)
+        var pr = adj.keys.map(_ -> 1000000000L / n).toMap
+        (1 to 3).foreach { _ =>
+          val in = adj.toSeq.flatMap { case (u, vs) =>
+            vs.map(v => v -> (85L * pr(u)) / (100L * vs.length))
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          pr = adj.keys.map(u => u -> (base + in.getOrElse(u, 0L))).toMap
+        }
+        adj.keys.foreach { u =>
+          assert(got(u) == ((adj(u).length.toLong, pr(u))), s"sample $i node $u")
+        }
+        // floor divisions only ever LEAK mass: total never exceeds scale
+        assert(got.values.map(_._2).sum <= 1000000000L, s"sample $i")
+      }
+    }
+  }
 }
