@@ -3465,6 +3465,19 @@ object SparkEntry {
       .orderBy(col("status"))
   }
 
+  /** BM25 keyword retrieval ([[graft.ext.Text.bm25TopK]]): three
+    * queries spanning the df spectrum (rare discriminative terms,
+    * pure stop-words, a mixed phrase), top-10 docs each — the oracle
+    * recomputes the full Okapi formula (ln is transcendental, so the
+    * score rounds to 4 like q112's ln-based weights; ranks are taken
+    * on the rounded score).
+    */
+  def q136Bm25Search(spark: SparkSession, dir: String): DataFrame =
+    Text.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      Seq(("disc", Seq("vector", "spark")), ("stop", Seq("the", "a")),
+        ("mixed", Seq("merge", "window", "customer"))), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3616,6 +3629,7 @@ object SparkEntry {
     "q133_graph_centrality" -> (q133GraphCentrality _),
     "q134_k_anonymity" -> (q134KAnonymity _),
     "q135_split_leakage" -> (q135SplitLeakage _),
+    "q136_bm25_search" -> (q136Bm25Search _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6196,6 +6210,41 @@ object SparkEntry {
     "q131_stream_classifier" -> classifierOracle("scores"),
     "q132_retrain_stream" -> classifierOracle("weights"),
     "q133_graph_centrality" -> graphCentralitySql,
+
+    "q136_bm25_search" ->
+      """WITH q(query_id, term) AS (
+        |  VALUES ('disc', 'vector'), ('disc', 'spark'),
+        |         ('stop', 'the'), ('stop', 'a'),
+        |         ('mixed', 'merge'), ('mixed', 'window'), ('mixed', 'customer')),
+        |tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         round(sum(
+        |           ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+        |           (tf.tf * (1.2 + 1.0)) /
+        |           (tf.tf + 1.2 * (1.0 - 0.75
+        |                           + 0.75 * dl.dl / (CAST(st.sdl AS DOUBLE) / st.n)))
+        |         ), 4) AS score
+        |  FROM tf JOIN q USING (term) JOIN df USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, doc_id, score FROM rk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q135_split_leakage" ->
       """WITH docs2 AS (

@@ -331,6 +331,60 @@ object Text {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** BM25 keyword retrieval (Robertson–Spärck Jones; the Okapi
+    * formulation with the +1 idf floor): top-k documents per query
+    * under
+    *
+    *   Σ_t ln(1 + (N − df + ½)/(df + ½)) ·
+    *       tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * — the canonical search-ranking op (and the retrieval half of a
+    * RAG stack when composed with [[graft.ext.TrainPrep.chunkDocs]]).
+    *
+    * Shape: the corpus tokenizes once; term frequencies are FILTERED
+    * to the query vocabulary before any aggregation (the tf/df frames
+    * are bounded by |query terms| × matching docs, not corpus vocab);
+    * df and the 1-row (N, avgdl) stats frame broadcast; the only
+    * corpus-sized shuffles are the tf groupBy and the per-query top-k
+    * window over matching docs. Ranking ties break on the ROUNDED
+    * score + doc_id so external engines agree.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
+    val terms = queries.flatMap(_._2).distinct
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sdl").cast("double") / col("n")
+    val contrib =
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(q), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(contrib), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Sparse TF-IDF cosine near-dup pairs: every (a < b) document pair
     * whose cosine similarity over L2-normalized TF-IDF term vectors
     * meets `threshold` — the lexical-feature complement to shingle

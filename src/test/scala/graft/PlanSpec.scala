@@ -542,6 +542,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q136: BM25 joins broadcast the query-bounded sides; only the 1-row stats ride a nested loop") {
+    val p = plan("q136_bm25_search")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the (N, avgdl) single-row frame is the accepted q53/q57 shape
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("q130: datasheet is three keyed aggregations — no cartesian anywhere") {
     val p = plan("q130_corpus_datasheet")
     assert(!p.contains("CartesianProduct"), p)

@@ -956,4 +956,29 @@ class ExtSpec extends SparkSpec {
       (1L, Seq("a", "b", "a", "b", "a")),
       (2L, Seq("b", "a", "b"))))
   }
+
+  test("bm25TopK: hand-computed score, tf ordering, absent docs never rank") {
+    val df = Seq((1L, "zebra zebra"), (2L, "zebra"), (3L, "ant bee"))
+      .toDF("doc_id", "text")
+    val got = Text.bm25TopK(df, "doc_id", "text",
+      Seq(("z", Seq("zebra"))), k = 10)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    // N=3, df=2, avgdl=(2+1+2)/3 = 5/3; idf floor keeps the score positive
+    val idf = math.log(1.0 + (3L - 2L + 0.5) / (2L + 0.5))
+    def tfw(tf: Long, dl: Long) =
+      (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (5.0 / 3)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(t => (t._3, t._2)) == Seq((1L, 1), (2L, 2))) // doc 3 absent
+    assert(got(0)._4 == r4(idf * tfw(2L, 2L)))
+    assert(got(1)._4 == r4(idf * tfw(1L, 1L)))
+    // a pure stop-word query (df = N) still ranks via the +1 idf floor,
+    // ties broken by doc_id
+    val stop = Text.bm25TopK(
+      Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq(("s", Seq("x"))), k = 2)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(stop.map(_._3) == Seq(1L, 2L))
+    assert(stop.forall(_._4 > 0.0))
+  }
 }
