@@ -3478,6 +3478,41 @@ object SparkEntry {
         ("mixed", Seq("merge", "window", "customer"))), k = 10)
       .orderBy(col("query_id"), col("rank"))
 
+  /** Hybrid retrieval: BM25 (lexical, q136's queries, top-50) fused
+    * with dense cosine ranking (each query anchored to a literal seed
+    * doc's embedding, top-50 over the embedded corpus) by
+    * reciprocal-rank fusion ([[graft.ext.Similarity.rrfFuse]], k=60)
+    * — the standard hybrid-search stack. Both legs rank on rounded
+    * scores with doc_id tie-breaks, fusion is two IEEE divisions and
+    * an add, so the whole pipeline hash-checks against the oracle's
+    * replay of both retrievers AND the fusion.
+    */
+  def q137HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    graft.ext.VectorKernels.register(spark)
+    val bm = Text.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      Seq(("disc", Seq("vector", "spark")), ("stop", Seq("the", "a")),
+        ("mixed", Seq("merge", "window", "customer"))), k = 50)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = Seq(("disc", 7L), ("stop", 11L), ("mixed", 23L))
+      .toDF("query_id", "seed_id")
+    val qv = emb.join(broadcast(seeds), col("vec_id") === col("seed_id"))
+      .select(col("query_id"), col("seed_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("doc_id").asc)
+    val cos = emb.join(broadcast(qv), col("vec_id") =!= col("seed_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(graft.ext.VectorKernels.cosineF(col("embedding"), col("qv")), 6)
+          .as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 50)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    Similarity.rrfFuse(bm, cos, kRrf = 60, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3630,6 +3665,7 @@ object SparkEntry {
     "q134_k_anonymity" -> (q134KAnonymity _),
     "q135_split_leakage" -> (q135SplitLeakage _),
     "q136_bm25_search" -> (q136Bm25Search _),
+    "q137_hybrid_retrieval" -> (q137HybridRetrieval _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -3922,6 +3958,42 @@ object SparkEntry {
        |         AS is_central
        |FROM fin ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared CTE chain of the q136/q137 oracles: the full Okapi BM25
+    * computation through the ranked result `rk` (unlimited rank).
+    */
+  private val bm25OracleCtes: String =
+    """WITH q(query_id, term) AS (
+      |  VALUES ('disc', 'vector'), ('disc', 'spark'),
+      |         ('stop', 'the'), ('stop', 'a'),
+      |         ('mixed', 'merge'), ('mixed', 'window'), ('mixed', 'customer')),
+      |tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+      |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         round(sum(
+      |           ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+      |           (tf.tf * (1.2 + 1.0)) /
+      |           (tf.tf + 1.2 * (1.0 - 0.75
+      |                           + 0.75 * dl.dl / (CAST(st.sdl AS DOUBLE) / st.n)))
+      |         ), 4) AS score
+      |  FROM tf JOIN q USING (term) JOIN df USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT query_id, doc_id, score,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM sc)""".stripMargin
 
   private def bpeMergesOracle(finalMode: String): String = {
     val stages = (1 to 5).map { k =>
@@ -6211,40 +6283,44 @@ object SparkEntry {
     "q132_retrain_stream" -> classifierOracle("weights"),
     "q133_graph_centrality" -> graphCentralitySql,
 
-    "q136_bm25_search" ->
-      """WITH q(query_id, term) AS (
-        |  VALUES ('disc', 'vector'), ('disc', 'spark'),
-        |         ('stop', 'the'), ('stop', 'a'),
-        |         ('mixed', 'merge'), ('mixed', 'window'), ('mixed', 'customer')),
-        |tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |              CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(t) AS term FROM tok)
-        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |sc AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |         round(sum(
-        |           ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
-        |           (tf.tf * (1.2 + 1.0)) /
-        |           (tf.tf + 1.2 * (1.0 - 0.75
-        |                           + 0.75 * dl.dl / (CAST(st.sdl AS DOUBLE) / st.n)))
-        |         ), 4) AS score
-        |  FROM tf JOIN q USING (term) JOIN df USING (term)
-        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
-        |  GROUP BY 1, 2),
-        |rk AS (
-        |  SELECT query_id, doc_id, score,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |              ORDER BY score DESC, doc_id) AS INT) AS rank
-        |  FROM sc)
+    "q136_bm25_search" -> (bm25OracleCtes +
+      """
         |SELECT query_id, rank, doc_id, score FROM rk
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    "q137_hybrid_retrieval" -> (bm25OracleCtes +
+      """,
+        |seeds(query_id, seed_id) AS (
+        |  VALUES ('disc', 7), ('stop', 11), ('mixed', 23)),
+        |cq AS (
+        |  SELECT s.query_id, s.seed_id, e.embedding AS qv
+        |  FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id),
+        |cs AS (
+        |  SELECT cq.query_id, e.vec_id AS doc_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(cq.qv AS DOUBLE[])), 6) AS cs
+        |  FROM embeddings e JOIN cq ON e.vec_id != cq.seed_id),
+        |crk AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cs DESC, doc_id) AS INT) AS rank
+        |  FROM cs),
+        |bmr AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 50),
+        |cr AS (SELECT query_id, doc_id, rank FROM crk WHERE rank <= 50),
+        |fu AS (
+        |  SELECT coalesce(b.query_id, c.query_id) AS query_id,
+        |         coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |         round(coalesce(CAST(1 AS DOUBLE) / (60 + b.rank), 0)
+        |             + coalesce(CAST(1 AS DOUBLE) / (60 + c.rank), 0), 6) AS rrf
+        |  FROM bmr b FULL OUTER JOIN cr c
+        |    ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+        |frk AS (
+        |  SELECT query_id, doc_id, rrf,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        |  FROM fu)
+        |SELECT query_id, rank, doc_id, rrf FROM frk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
     "q135_split_leakage" ->
       """WITH docs2 AS (

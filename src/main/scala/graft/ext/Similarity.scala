@@ -15,6 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    * retrieval lists — the standard hybrid-search combiner (lexical
+    * BM25 + dense cosine): score = Σ 1/(kRrf + rank) over the lists a
+    * doc appears in, re-ranked per query. Both inputs are
+    * (query_id, doc_id, rank) frames; a full-outer join on the pair
+    * key aligns them (a doc missing from one list simply contributes
+    * nothing), and the final top-k is one per-query window. Rank
+    * arithmetic is two IEEE divisions and one add — deterministic —
+    * and the output fuses on the ROUNDED score + doc_id tie-break so
+    * external engines agree.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int, topK: Int): DataFrame = {
+    require(kRrf > 0 && topK > 0, "kRrf and topK must be positive")
+    val al = a.select(col("query_id"), col("doc_id"), col("rank").as("__ra"))
+    val bl = b.select(col("query_id"), col("doc_id"), col("rank").as("__rb"))
+    val fused = al.join(bl, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("__ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("__rb")), lit(0.0)), 6)
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
+
   /** Elementwise double view of a float vector. */
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
