@@ -3513,6 +3513,33 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RAG retrieval capstone: the corpus chunked into overlapping
+    * 32-token windows (q74's chunker), BM25 ranked at CHUNK grain
+    * (q136's queries), top-5 contexts per query with provenance
+    * (doc_id, chunk_id) and a content digest — the retrieval half of
+    * a RAG stack end to end. Chunk ids pack as doc_id·1000+chunk_id
+    * (chunk counts are bounded far below 1000 by doc length), so the
+    * BM25 machinery runs unchanged over the chunk corpus.
+    */
+  def q138RagRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.ext.TrainPrep.chunkDocs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      chunkSize = 32, stride = 24)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+        concat_ws(" ", col("chunk_toks")).as("ctext"))
+    val hits = Text.bm25TopK(chunks, "cid", "ctext",
+      Seq(("disc", Seq("vector", "spark")), ("stop", Seq("the", "a")),
+        ("mixed", Seq("merge", "window", "customer"))), k = 5)
+      .withColumnRenamed("doc_id", "cid")
+    hits.join(chunks.select(col("cid"), md5(col("ctext")).as("chunk_md5")),
+        Seq("cid"))
+      .select(col("query_id"), col("rank"),
+        expr("cid div 1000").as("doc_id"),
+        (col("cid") % 1000).cast("int").as("chunk_id"),
+        col("score"), col("chunk_md5"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3666,6 +3693,7 @@ object SparkEntry {
     "q135_split_leakage" -> (q135SplitLeakage _),
     "q136_bm25_search" -> (q136Bm25Search _),
     "q137_hybrid_retrieval" -> (q137HybridRetrieval _),
+    "q138_rag_retrieval" -> (q138RagRetrieval _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6288,6 +6316,55 @@ object SparkEntry {
         |SELECT query_id, rank, doc_id, score FROM rk
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
+
+    "q138_rag_retrieval" ->
+      """WITH q(query_id, term) AS (
+        |  VALUES ('disc', 'vector'), ('disc', 'spark'),
+        |         ('stop', 'the'), ('stop', 'a'),
+        |         ('mixed', 'merge'), ('mixed', 'window'), ('mixed', 'customer')),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(toks) <= 32 THEN 1
+        |              ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM n),
+        |ch AS (
+        |  SELECT doc_id * 1000 + chunk_id AS cid,
+        |         toks[chunk_id*24 + 1 : chunk_id*24 + 32] AS ct
+        |  FROM c),
+        |dl AS (SELECT cid, CAST(len(ct) AS BIGINT) AS dl FROM ch),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+        |tf AS (
+        |  SELECT cid, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT cid, unnest(ct) AS term FROM ch)
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT q.query_id, tf.cid,
+        |         round(sum(
+        |           ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+        |           (tf.tf * (1.2 + 1.0)) /
+        |           (tf.tf + 1.2 * (1.0 - 0.75
+        |                           + 0.75 * dl.dl / (CAST(st.sdl AS DOUBLE) / st.n)))
+        |         ), 4) AS score
+        |  FROM tf JOIN q USING (term) JOIN df USING (term)
+        |  JOIN dl ON dl.cid = tf.cid CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, cid, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, cid) AS INT) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, CAST(cid // 1000 AS BIGINT) AS doc_id,
+        |       CAST(cid % 1000 AS INT) AS chunk_id, score,
+        |       md5(array_to_string(ch.ct, ' ')) AS chunk_md5
+        |FROM rk JOIN ch USING (cid)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q137_hybrid_retrieval" -> (bm25OracleCtes +
       """,
         |seeds(query_id, seed_id) AS (
