@@ -3540,6 +3540,36 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** STREAMING near-dup corpus dedup
+    * ([[graft.stream.Jobs.runNearDupDedupStream]]): the q88b
+    * composition maintained incrementally — batches arrive in id
+    * order (range slices; the earlier doc always lands first), each
+    * checks against the kept snapshot with the directional band join
+    * and dedups within itself, survivors append versioned. Keep-first
+    * under id-ordered arrival ≡ min-id-per-cluster on clique-shaped
+    * duplicate groups, so the final snapshot hash-checks against
+    * q88b's exact inverted-index Jaccard oracle. The max-id driver
+    * scalar that cuts the slices is a bounded hop (q92b's class).
+    */
+  def q139StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val step = maxId / 4 + 1
+    val tmp = tempDir("graft-q139")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => docs.filter(
+        col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)), tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true),
+      StructField("text", StringType, nullable = true)))
+    Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3694,6 +3724,7 @@ object SparkEntry {
     "q136_bm25_search" -> (q136Bm25Search _),
     "q137_hybrid_retrieval" -> (q137HybridRetrieval _),
     "q138_rag_retrieval" -> (q138RagRetrieval _),
+    "q139_stream_neardup" -> (q139StreamNearDup _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -3721,7 +3752,7 @@ object SparkEntry {
     "q104b_mixture_stream", "q105b_shard_stream", "q108_stream_curate",
     "q113_stream_index_ingest", "q115_compact_index",
     "q121_stream_query_serve", "q131_stream_classifier",
-    "q132_retrain_stream")
+    "q132_retrain_stream", "q139_stream_neardup")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -4022,6 +4053,48 @@ object SparkEntry {
       |         CAST(row_number() OVER (PARTITION BY query_id
       |              ORDER BY score DESC, doc_id) AS INT) AS rank
       |  FROM sc)""".stripMargin
+
+  /** Shared by q88b (batch LSH corpus dedup) and q139 (the same
+    * composition as an incremental stream): both must converge to the
+    * exact-Jaccard min-id-per-cluster surviving corpus.
+    */
+  private val lshDedupCorpusSql: String =
+    """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |-- exact Jaccard via the INVERTED INDEX (q76's oracle shape):
+        |-- pairs meet only on shared shingles — the same Σdf² economics
+        |-- as the engine under test, so the oracle stays oracle-fast at
+        |-- sf0.1 where the all-pairs form needs 25M list intersections
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(
+        |           [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])) AS s
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2) p
+        |  JOIN sz za ON p.id_a = za.doc_id
+        |  JOIN sz zb ON p.id_b = zb.doc_id
+        |  WHERE round(CAST(p.inter AS DOUBLE)
+        |              / (za.sz + zb.sz - p.inter), 6) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents d LEFT JOIN dropped ON d.doc_id = dropped.id
+        |WHERE dropped.id IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def bpeMergesOracle(finalMode: String): String = {
     val stages = (1 to 5).map { k =>
@@ -5819,43 +5892,8 @@ object SparkEntry {
     // the streaming anchor state must reproduce the identical kept set
     "q99_stream_throttle" -> throttleOracle,
 
-    "q88b_dedup_lsh" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |-- exact Jaccard via the INVERTED INDEX (q76's oracle shape):
-        |-- pairs meet only on shared shingles — the same Σdf² economics
-        |-- as the engine under test, so the oracle stays oracle-fast at
-        |-- sf0.1 where the all-pairs form needs 25M list intersections
-        |sh AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct(
-        |           [list_aggregate(toks[i:i+2], 'string_agg', ' ')
-        |            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])) AS s
-        |  FROM t),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT p.id_a, p.id_b
-        |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |        GROUP BY 1, 2) p
-        |  JOIN sz za ON p.id_a = za.doc_id
-        |  JOIN sz zb ON p.id_b = zb.doc_id
-        |  WHERE round(CAST(p.inter AS DOUBLE)
-        |              / (za.sz + zb.sz - p.inter), 6) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-        |dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM documents d LEFT JOIN dropped ON d.doc_id = dropped.id
-        |WHERE dropped.id IS NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q88b_dedup_lsh" -> lshDedupCorpusSql,
+    "q139_stream_neardup" -> lshDedupCorpusSql,
 
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (

@@ -642,6 +642,72 @@ object Jobs {
     runToMemorySink(spark, scored, "graft_classifier_serve")
   }
 
+  /** Incremental near-dup corpus dedup as a stream — the streaming
+    * twin of the q88b batch composition: each micro-batch is checked
+    * against the KEPT snapshot with the directional high-recall band
+    * join ([[graft.ext.Dedup.minhashNearDupAgainst]] — O(batch ×
+    * bands) map work + a bucket join, never corpus²), then deduped
+    * within itself (LSH pairs → clusters → min-id canonical), and the
+    * survivors append to a crash-safe versioned snapshot (the
+    * published version is the replay-idempotence marker, q96's
+    * pattern). With batches arriving in id order, keep-first equals
+    * the batch min-id-per-cluster rule on clique-shaped duplicate
+    * groups — which planted near-dup twins are — so the final
+    * snapshot shares q88b's exact-Jaccard oracle.
+    */
+  def runNearDupDedupStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, // (doc_id, lang, text)
+      workDir: String): DataFrame = {
+    // the LSH kernels analyze in TWO sessions here: the kept snapshot
+    // reads through the caller's session, the batch side through the
+    // stream's cloned session — register in both (lazy self-registration
+    // binds to whichever SparkSession.active the thread sees, which is
+    // the wrong one for at least one side)
+    graft.ext.VectorKernels.register(spark)
+    var lastV = publishedVersion(spark, s"$workDir/kept")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (lastV < batchId) {
+          // the micro-batch executes in a CLONED session whose function
+          // registry may predate the kernels' lazy registration —
+          // register on the batch's own session, not SparkSession.active
+          graft.ext.VectorKernels.register(batch.sparkSession)
+          val kept =
+            if (lastV < 0) batch.limit(0)
+            else spark.read.parquet(s"$workDir/kept/v=$lastV")
+          val (matches, h) = graft.ext.Dedup.minhashNearDupAgainstWithHandle(
+            kept, batch, "doc_id", "text",
+            shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+          val s0 = batch.join(
+            matches.select(col("batch_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          val clusters = graft.ext.Clusters.dupClusters(
+            graft.ext.Dedup.minhashNearDupPairs(s0, "doc_id", "text",
+              shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5),
+            "id_a", "id_b")
+          val survivors = s0.join(
+            clusters.filter(!col("is_canonical")).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          kept.unionByName(survivors)
+            .write.mode("overwrite").parquet(s"$workDir/kept/v=$batchId")
+          h.unpersist()
+          lastV = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(lastV >= 0, s"no input files found under $inputDir")
+    spark.read.parquet(s"$workDir/kept/v=$lastV")
+  }
+
   def runRoutingStream(
       spark: SparkSession,
       inputDir: String,
