@@ -648,9 +648,10 @@ object Jobs {
     * join ([[graft.ext.Dedup.minhashNearDupAgainst]] — O(batch ×
     * bands) map work + a bucket join, never corpus²), then deduped
     * within itself (LSH pairs → clusters → min-id canonical), and the
-    * survivors append to a crash-safe versioned snapshot (the
-    * published version is the replay-idempotence marker, q96's
-    * pattern). With batches arriving in id order, keep-first equals
+    * survivors land APPEND-ONLY under their own v=<batchId> partition
+    * (idempotent per-batch overwrite — the published partition is the
+    * replay marker, and the write stays O(new survivors), never an
+    * O(corpus) snapshot rewrite). With batches arriving in id order, keep-first equals
     * the batch min-id-per-cluster rule on clique-shaped duplicate
     * groups — which planted near-dup twins are — so the final
     * snapshot shares q88b's exact-Jaccard oracle.
@@ -667,6 +668,10 @@ object Jobs {
     // the wrong one for at least one side)
     graft.ext.VectorKernels.register(spark)
     var lastV = publishedVersion(spark, s"$workDir/kept")
+    val keptRoot = s"$workDir/kept"
+    def keptSoFar(batch: DataFrame): DataFrame =
+      if (lastV < 0) batch.limit(0)
+      else spark.read.parquet(keptRoot).drop("v")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
@@ -677,9 +682,7 @@ object Jobs {
           // registry may predate the kernels' lazy registration —
           // register on the batch's own session, not SparkSession.active
           graft.ext.VectorKernels.register(batch.sparkSession)
-          val kept =
-            if (lastV < 0) batch.limit(0)
-            else spark.read.parquet(s"$workDir/kept/v=$lastV")
+          val kept = keptSoFar(batch)
           val (matches, h) = graft.ext.Dedup.minhashNearDupAgainstWithHandle(
             kept, batch, "doc_id", "text",
             shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
@@ -693,8 +696,13 @@ object Jobs {
           val survivors = s0.join(
             clusters.filter(!col("is_canonical")).select(col("doc_id")),
             Seq("doc_id"), "left_anti")
-          kept.unionByName(survivors)
-            .write.mode("overwrite").parquet(s"$workDir/kept/v=$batchId")
+          // APPEND-ONLY publish: each batch lands only its own
+          // survivors under v=<batchId> (idempotent overwrite of its
+          // own partition) — the per-batch write is O(new survivors),
+          // never an O(corpus) snapshot rewrite; readers union the
+          // partitions
+          survivors
+            .write.mode("overwrite").parquet(s"$keptRoot/v=$batchId")
           h.unpersist()
           lastV = batchId
         }
@@ -705,7 +713,7 @@ object Jobs {
       .start()
     q.awaitTermination()
     require(lastV >= 0, s"no input files found under $inputDir")
-    spark.read.parquet(s"$workDir/kept/v=$lastV")
+    spark.read.parquet(keptRoot).drop("v")
   }
 
   def runRoutingStream(
