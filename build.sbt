@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g GC-thrashes a full 164-query bench run (totals swung 310→449 s
+  // run-to-run; single queries measured 2.8 s showed as 65 s inside the
+  // suite). The box has 128 GiB; size the single-JVM driver+executor
+  // heap like a real executor instead of starving it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

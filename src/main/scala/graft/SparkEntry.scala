@@ -3570,6 +3570,79 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  // ----------------------------------------- multimodal: REAL decoders
+
+  /** Deterministic synth recipe for the WAV corpus: each doc becomes a
+    * mono PCM16 clip whose samples are a pure integer function of
+    * (doc_id, i) — so the DuckDB oracle can regenerate the SOURCE
+    * samples and compute the same features the Spark side must recover
+    * by PARSING THE BYTES. The encode→parse roundtrip is the thing
+    * under test: the decoder sees only the binary payload.
+    */
+  private def synthWavMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (50 + id % 50).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+        Multimodal.MediaRecord(id, Multimodal.Wav.encodePcm16(samples, rate), "audio/wav")
+      }).toDF()
+  }
+
+  /** REAL WAV decode: synth clips → RIFF bytes → chunk-walking parse →
+    * integer-exact audio features (duration, peak, energy, zero
+    * crossings). The oracle recomputes every feature from the synth
+    * recipe directly — a parser that misreads the header, the LIST
+    * chunk, or sample byte order hash-mismatches immediately. Decode
+    * is the disclosed per-partition imperative tier (real parser, not
+    * the compressed-codec stub).
+    */
+  def q140WavDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.wavFeatures(spark, synthWavMedia(spark, dir), partitions = 8)
+      .toDF()
+      .orderBy(col("media_id"))
+
+  /** Deterministic synth recipe for the BMP corpus: per-doc dims sweep
+    * widths 4..8 (row padding 0..3 bytes) and heights 3..6, with each
+    * BGR channel a distinct integer function of (doc_id, y, x).
+    */
+  private def synthBmpMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val bgr = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            bgr(o) = ((id + 17L * y + 29L * x) % 256).toByte
+            bgr(o + 1) = ((id + 23L * y + 31L * x) % 256).toByte
+            bgr(o + 2) = ((id + 13L * y + 37L * x) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Multimodal.MediaRecord(id, Multimodal.Bmp.encode24(w, h, bgr), "image/bmp")
+      }).toDF()
+  }
+
+  /** REAL BMP decode + nearest-neighbor resize: synth images → padded
+    * bottom-up BMP bytes → parse → per-channel sums plus the
+    * half-scale resize's dims and gray sum. The oracle regenerates
+    * the pixels and keeps the (y%2=0, x%2=0) sampling grid — so both
+    * the padding/row-order handling AND the resize arithmetic are
+    * hash-pinned.
+    */
+  def q141BmpDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.bmpFeatures(spark, synthBmpMedia(spark, dir), partitions = 8)
+      .toDF()
+      .orderBy(col("media_id"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3725,6 +3798,8 @@ object SparkEntry {
     "q137_hybrid_retrieval" -> (q137HybridRetrieval _),
     "q138_rag_retrieval" -> (q138RagRetrieval _),
     "q139_stream_neardup" -> (q139StreamNearDup _),
+    "q140_wav_decode" -> (q140WavDecode _),
+    "q141_bmp_decode" -> (q141BmpDecode _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -5894,6 +5969,59 @@ object SparkEntry {
 
     "q88b_dedup_lsh" -> lshDedupCorpusSql,
     "q139_stream_neardup" -> lshDedupCorpusSql,
+
+    // q140/q141: the oracle regenerates the SOURCE samples/pixels from
+    // the synth recipe and computes the features directly — the Spark
+    // side must recover the same numbers by PARSING THE ENCODED BYTES,
+    // so the hash check pins the whole encode→parse→feature chain.
+    "q140_wav_decode" ->
+      """WITH idx AS (
+        |  SELECT doc_id, unnest(generate_series(0, 50 + doc_id % 50 - 1)) AS i
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, i,
+        |         ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+        |  FROM idx),
+        |w AS (
+        |  SELECT doc_id, i, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id AS media_id,
+        |       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(count(*) * 1000000 // (8000 + (doc_id % 3) * 4000) AS BIGINT)
+        |         AS duration_us,
+        |       CAST(max(abs(v)) AS INT) AS peak,
+        |       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |       CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM w GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q141_bmp_decode" ->
+      """WITH ys AS (
+        |  SELECT doc_id, unnest(generate_series(0, 3 + doc_id % 4 - 1)) AS y
+        |  FROM documents),
+        |xs AS (
+        |  SELECT doc_id, y, unnest(generate_series(0, 4 + doc_id % 5 - 1)) AS x
+        |  FROM ys),
+        |p AS (
+        |  SELECT doc_id, y, x,
+        |         CAST(4 + doc_id % 5 AS INT) AS w,
+        |         CAST(3 + doc_id % 4 AS INT) AS h,
+        |         (doc_id + 17 * y + 29 * x) % 256 AS b,
+        |         (doc_id + 23 * y + 31 * x) % 256 AS g,
+        |         (doc_id + 13 * y + 37 * x) % 256 AS r
+        |  FROM xs)
+        |SELECT doc_id AS media_id,
+        |       max(w) AS width, max(h) AS height,
+        |       CAST(sum(b) AS BIGINT) AS sum_b,
+        |       CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(r) AS BIGINT) AS sum_r,
+        |       CAST((max(w) + 1) // 2 AS INT) AS half_w,
+        |       CAST((max(h) + 1) // 2 AS INT) AS half_h,
+        |       CAST(sum(CASE WHEN y % 2 = 0 AND x % 2 = 0
+        |                THEN b + g + r ELSE 0 END) AS BIGINT) AS half_sum
+        |FROM p GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (
