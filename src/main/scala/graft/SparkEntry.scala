@@ -3643,6 +3643,65 @@ object SparkEntry {
       .toDF()
       .orderBy(col("media_id"))
 
+  /** C4-style blocklist screen, expression form: the blocklist is a
+    * foldable literal, so the whole screen is one codegen'd map pass
+    * over the pruned (doc_id, text) scan. Policy here: ≥ 4 total hits
+    * on {slow, merge} drops the doc (C4's own any-hit rule would drop
+    * nearly everything in this 31-word synthetic vocabulary; the
+    * threshold keeps both verdicts populated so the hash check pins
+    * real decisions).
+    */
+  def q142BlocklistScreen(spark: SparkSession, dir: String): DataFrame =
+    Text.blocklistScreen(Tables.documents(spark, dir), "doc_id", "text",
+      terms = Seq("slow", "merge"), maxHits = 4)
+      .orderBy(col("doc_id"))
+
+  /** q142's scale form: the blocklist arrives as a TABLE (the 100k+
+    * term regime where folding into codegen stops making sense) —
+    * exploded tokens broadcast-join the term table, zero-hit docs
+    * re-attach via left join. Shares q142's oracle verbatim: the two
+    * forms must be indistinguishable by hash.
+    */
+  def q142bBlocklistJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("slow", "merge").toDF("term")
+    Text.blocklistScreenJoin(Tables.documents(spark, dir), "doc_id", "text",
+      terms, "term", maxHits = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corrupt-media DLQ split (the O-07 schema-enforce discipline on
+    * binary payloads): every 7th synth WAV is truncated mid-fmt before
+    * decode, and the audit reports per-row byte length, decode verdict,
+    * and recovered sample count (null where parsing failed). The
+    * oracle re-derives ALL THREE from the recipe — including the
+    * encoder's exact container size (68 + 2n bytes) — so both the
+    * writer's byte layout and the parser's corrupt-safety are pinned.
+    */
+  def q143MediaDlq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (50 + id % 50).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+        val wav = Multimodal.Wav.encodePcm16(samples, rate)
+        val payload = if (id % 7 == 0) wav.take(21) else wav
+        Multimodal.MediaRecord(id, payload, "audio/wav")
+      }).toDF()
+    val decoded = Multimodal.wavFeatures(spark, media, partitions = 8).toDF()
+      .select(col("media_id"), col("n_samples"))
+    media
+      .select(col("media_id"), octet_length(col("payload")).as("n_bytes"))
+      .join(decoded, Seq("media_id"), "left_outer")
+      .select(
+        col("media_id"), col("n_bytes"),
+        col("n_samples").isNotNull.as("ok"),
+        col("n_samples"))
+      .orderBy(col("media_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3800,6 +3859,9 @@ object SparkEntry {
     "q139_stream_neardup" -> (q139StreamNearDup _),
     "q140_wav_decode" -> (q140WavDecode _),
     "q141_bmp_decode" -> (q141BmpDecode _),
+    "q142_blocklist_screen" -> (q142BlocklistScreen _),
+    "q142b_blocklist_join" -> (q142bBlocklistJoin _),
+    "q143_media_dlq" -> (q143MediaDlq _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6023,6 +6085,20 @@ object SparkEntry {
         |                THEN b + g + r ELSE 0 END) AS BIGINT) AS half_sum
         |FROM p GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
+    // q142/q142b share one oracle: expression form and broadcast-join
+    // form must be hash-indistinguishable.
+    "q142_blocklist_screen" -> blocklistSql,
+    "q142b_blocklist_join" -> blocklistSql,
+
+    "q143_media_dlq" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN doc_id % 7 = 0 THEN 21
+        |                 ELSE 68 + 2 * (50 + doc_id % 50) END AS INT) AS n_bytes,
+        |       doc_id % 7 <> 0 AS ok,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE 50 + doc_id % 50 END AS n_samples
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
@@ -6981,6 +7057,21 @@ object SparkEntry {
     * drop — still yields a row with n_bytes = 0 and an all-zero
     * histogram, matching the Spark side.
     */
+  /** Shared by q142 (expression form) and q142b (broadcast-join form):
+    * whichever plan produced the screen, the verdicts must hash equal.
+    */
+  private def blocklistSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                     t -> t IN ('merge', 'slow')) AS hits
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(hits) AS BIGINT) AS n_hits,
+      |       CAST(len(list_distinct(hits)) AS BIGINT) AS n_terms,
+      |       len(hits) < 4 AS keep
+      |FROM h ORDER BY doc_id""".stripMargin
+
   private def multimodalDecodeOracle: String = {
     val hist = (0 until graft.ext.Multimodal.FakeDecoder.featureDim)
       .map(j => s"CAST(sum(CASE WHEN bv % 8 = $j THEN 1 ELSE 0 END) AS BIGINT) AS f$j")

@@ -152,6 +152,60 @@ object Text {
 
   // ----------------------------------------------- repetition filters
 
+  /** C4-style blocklist screening: per-doc count of case-insensitive
+    * whole-token blocklist hits, distinct terms hit, and the keep
+    * verdict (`n_hits < maxHits`; C4's own policy is `maxHits = 1` —
+    * any hit drops the page). Token granularity is [[tokens]]
+    * (whitespace); multi-word phrases are out of scope here.
+    *
+    * Expression form: the blocklist rides as a FOLDABLE LITERAL array,
+    * so the screen is one codegen'd map pass over the corpus scan — no
+    * join, no shuffle, nothing collected. Right up to blocklists of a
+    * few thousand terms (the real C4 list is ~1.4k); beyond that see
+    * [[blocklistScreenJoin]].
+    */
+  def blocklistScreen(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], maxHits: Int = 1): DataFrame = {
+    require(terms.nonEmpty, "blocklist must be non-empty")
+    require(maxHits >= 1, "maxHits must be >= 1")
+    val termArr = typedLit(terms.map(_.toLowerCase).distinct.sorted)
+    val hits = filter(
+      tokens(lower(col(textCol))), t => array_contains(termArr, t))
+    df.select(
+      col(idCol),
+      size(hits).cast("long").as("n_hits"),
+      size(array_distinct(hits)).cast("long").as("n_terms"),
+      (size(hits) < maxHits).as("keep"))
+  }
+
+  /** [[blocklistScreen]]'s scale form for blocklists too large to fold
+    * into codegen (entity lists, URL hosts, multi-locale merges —
+    * 100k+ terms): explode corpus tokens and broadcast-semi-join the
+    * term table, then re-attach zero-hit docs with a left join. Two
+    * keyed shuffles on the doc id; the blocklist never leaves the
+    * broadcast. Hash-checks equal to the expression form on the same
+    * inputs (the twin discipline).
+    */
+  def blocklistScreenJoin(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame, termCol: String, maxHits: Int = 1): DataFrame = {
+    require(maxHits >= 1, "maxHits must be >= 1")
+    val termTable = terms.select(lower(col(termCol)).as("__term")).distinct()
+    val tok = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__term"))
+    val counts = tok
+      .join(broadcast(termTable), Seq("__term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_hits"), count_distinct(col("__term")).as("__n_terms"))
+    df.select(col(idCol))
+      .join(counts, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("__n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("__n_terms"), lit(0L)).as("n_terms"),
+        (coalesce(col("__n_hits"), lit(0L)) < maxHits).as("keep"))
+  }
+
   /** Gopher-style per-document repetition statistics (Rae et al. 2021's
     * repetition heuristics, public): token counts, distinct-token
     * count, the occurrence count of the single most frequent word

@@ -556,4 +556,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("hashpartitioning"), p)
   }
+
+  test("q142: blocklist screen is ONE map pass — literal terms, no join, no explode") {
+    val p = plan("q142_blocklist_screen")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    // only the display orderBy partitions
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q142b: blocklist join form broadcasts the term table — corpus never shuffles on tokens") {
+    val p = plan("q142b_blocklist_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p) // term join + reattach
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the corpus aggregates on the doc id; the only token-keyed
+    // exchange is the blocklist's own distinct() — bounded by the
+    // blocklist, never the corpus
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert("hashpartitioning\\(__term#\\d+,".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q140: wav decode is scan → keyed repartition → map decode — no joins") {
+    val p = plan("q140_wav_decode")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("MapPartitions"), p) // the disclosed imperative decode tier
+  }
 }

@@ -9,6 +9,30 @@ class ExtSpec extends SparkSpec {
 
   // ----------------------------------------------------------- text
 
+  test("Text: blocklist screen — hits, case-insensitivity, threshold, zero-hit docs") {
+    val docs = Seq(
+      (1L, "Bad WORD here bad again"),   // 'bad' ×2 (mixed case)
+      (2L, "clean text only"),           // zero hits — must still appear
+      (3L, "bad word word word"),        // bad=1 word=3 → 4 hits, dropped
+      (4L, "")).toDF("doc_id", "text")
+    val out = Text.blocklistScreen(docs, "doc_id", "text",
+      terms = Seq("BAD", "word"), maxHits = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 3L, 2L, true), (2L, 0L, 0L, true), (3L, 4L, 2L, false), (4L, 0L, 0L, true)))
+  }
+
+  test("Text: blocklist join form ≡ expression form row-for-row") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "delta"),
+      (3L, "ALPHA Delta beta beta beta")).toDF("doc_id", "text")
+    val terms = Seq("alpha", "beta").toDF("t")
+    val expr = Text.blocklistScreen(docs, "doc_id", "text", Seq("alpha", "beta"), maxHits = 3)
+    val join = Text.blocklistScreenJoin(docs, "doc_id", "text", terms, "t", maxHits = 3)
+    assert(expr.orderBy("doc_id").collect().toSeq == join.orderBy("doc_id").collect().toSeq)
+  }
+
   test("Text: token counts, ratios, fingerprint") {
     val df = Seq(Tuple1("The cat and the dog.")).toDF("text")
     val r = df.select(
