@@ -3702,6 +3702,20 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** LSH S-curve tuning table ([[graft.ext.Dedup.lshBandPlan]]): for a
+    * 128-permutation MinHash scheme, every divisor (bands, rows) pair
+    * × target thresholds {0.5, 0.7, 0.8, 0.9}, with inflection point,
+    * collision probability at the target, and the chosen-plan flag —
+    * the audit view behind picking q13's band config. Oracle replays
+    * the same power/argmin arithmetic in SQL (6-dp rounds; divisor
+    * inflections are ≥ 0.01 apart, so the argmin can't flip on
+    * last-ulp pow differences).
+    */
+  def q144LshBandPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.lshBandPlan(spark, nPerm = 128,
+      thresholds = Seq(0.5, 0.7, 0.8, 0.9))
+      .orderBy(col("threshold"), col("bands"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3862,6 +3876,7 @@ object SparkEntry {
     "q142_blocklist_screen" -> (q142BlocklistScreen _),
     "q142b_blocklist_join" -> (q142bBlocklistJoin _),
     "q143_media_dlq" -> (q143MediaDlq _),
+    "q144_lsh_band_plan" -> (q144LshBandPlan _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6098,6 +6113,26 @@ object SparkEntry {
         |       CASE WHEN doc_id % 7 = 0 THEN NULL
         |            ELSE 50 + doc_id % 50 END AS n_samples
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q144_lsh_band_plan" ->
+      """WITH b AS (
+        |  SELECT CAST(i AS INT) AS bands, CAST(128 // i AS INT) AS rows_per_band
+        |  FROM generate_series(1, 128) AS g(i) WHERE 128 % i = 0),
+        |t AS (SELECT unnest([0.5, 0.7, 0.8, 0.9]) AS threshold),
+        |c AS (
+        |  SELECT t.threshold, b.bands, b.rows_per_band,
+        |         power(1.0 / b.bands, 1.0 / b.rows_per_band) AS infl,
+        |         1.0 - power(1.0 - power(t.threshold, b.rows_per_band), b.bands) AS p
+        |  FROM b, t),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY threshold
+        |              ORDER BY abs(infl - threshold), bands) AS rk
+        |  FROM c)
+        |SELECT threshold, bands, rows_per_band,
+        |       round(infl, 6) AS inflection,
+        |       round(p, 6) AS p_at_threshold,
+        |       rk = 1 AS chosen
+        |FROM r ORDER BY threshold, bands""".stripMargin,
 
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (

@@ -122,6 +122,58 @@ object Dedup {
     minhashNearDupPairsWithHandle(
       df, idCol, textCol, shingleSize, numHashes, bands, threshold)._1
 
+  /** Pick (bands, rowsPerBand) for an LSH scheme with `nPerm` minhash
+    * permutations targeting Jaccard `threshold`: among the divisor
+    * pairs b·r = nPerm, choose the one whose S-curve inflection
+    * (1/b)^(1/r) — the similarity where collision probability
+    * 1−(1−s^r)^b crosses ~0.5 — lies closest to the target (standard
+    * MMDS ch.3 tuning; ties break toward fewer bands = cheaper index).
+    * Pure arithmetic over the O(d(nPerm)) divisor list; nothing
+    * touches data.
+    */
+  def chooseBandsRows(nPerm: Int, threshold: Double): (Int, Int) = {
+    require(nPerm > 0, "nPerm must be positive")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    val candidates = (1 to nPerm).filter(nPerm % _ == 0).map(b => (b, nPerm / b))
+    candidates.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), b)
+    }
+  }
+
+  /** The tuning table behind [[chooseBandsRows]], as a frame: every
+    * divisor pair (bands, rows_per_band) × every target threshold,
+    * with the S-curve inflection, the collision probability AT the
+    * target, and the chosen-plan flag. In-plan end to end (range →
+    * divisor filter → tiny broadcast cross with the threshold list →
+    * one window over ≤ d(nPerm) rows per threshold) — the audit view
+    * an operator team reads before fixing a corpus-wide LSH config.
+    */
+  def lshBandPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      nPerm: Int, thresholds: Seq[Double]): DataFrame = {
+    require(nPerm > 0, "nPerm must be positive")
+    require(thresholds.nonEmpty, "need at least one threshold")
+    import spark.implicits._
+    val divisors = spark.range(1, nPerm + 1L)
+      .select(col("id").cast("int").as("bands"))
+      .filter(lit(nPerm) % col("bands") === 0)
+      .withColumn("rows_per_band", (lit(nPerm) / col("bands")).cast("int"))
+    val ts = thresholds.toDF("threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("threshold"))
+      .orderBy(abs(col("infl") - col("threshold")).asc, col("bands").asc)
+    divisors
+      .crossJoin(broadcast(ts))
+      .withColumn("infl", pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")))
+      .withColumn("p", lit(1.0) -
+        pow(lit(1.0) - pow(col("threshold"), col("rows_per_band")), col("bands")))
+      .withColumn("chosen", row_number().over(w) === 1)
+      .select(col("threshold"), col("bands"), col("rows_per_band"),
+        round(col("infl"), 6).as("inflection"),
+        round(col("p"), 6).as("p_at_threshold"),
+        col("chosen"))
+  }
+
   /** [[minhashNearDupPairs]] plus a [[CacheHandle]] over the two frames
     * the operator persists internally (shingle hashes + band buckets),
     * so a long-lived session can `handle.unpersist()` once the pair

@@ -33,6 +33,26 @@ class ExtSpec extends SparkSpec {
     assert(expr.orderBy("doc_id").collect().toSeq == join.orderBy("doc_id").collect().toSeq)
   }
 
+  test("Dedup: chooseBandsRows picks the divisor pair nearest the S-curve target") {
+    // inflections for nPerm=128: b=8→0.878, b=16→0.707, b=32→0.420
+    assert(Dedup.chooseBandsRows(128, 0.9) == ((8, 16)))
+    assert(Dedup.chooseBandsRows(128, 0.7) == ((16, 8)))
+    assert(Dedup.chooseBandsRows(128, 0.5) == ((32, 4)))
+    // invariants: b·r = nPerm; higher threshold → more rows per band
+    val picks = Seq(0.3, 0.5, 0.7, 0.9).map(Dedup.chooseBandsRows(128, _))
+    assert(picks.forall { case (b, r) => b * r == 128 })
+    assert(picks.map(_._2) == picks.map(_._2).sorted)
+  }
+
+  test("Dedup: lshBandPlan marks exactly one chosen pair per threshold, matching chooseBandsRows") {
+    val plan = Dedup.lshBandPlan(spark, 128, Seq(0.5, 0.7, 0.9)).collect()
+    assert(plan.length == 8 * 3) // 8 divisors × 3 thresholds
+    val chosen = plan.filter(_.getAs[Boolean]("chosen"))
+      .map(r => r.getAs[Double]("threshold") ->
+        ((r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")))).toMap
+    assert(chosen == Map(0.5 -> ((32, 4)), 0.7 -> ((16, 8)), 0.9 -> ((8, 16))))
+  }
+
   test("Text: token counts, ratios, fingerprint") {
     val df = Seq(Tuple1("The cat and the dog.")).toDF("text")
     val r = df.select(
