@@ -3716,6 +3716,32 @@ object SparkEntry {
       thresholds = Seq(0.5, 0.7, 0.8, 0.9))
       .orderBy(col("threshold"), col("bands"))
 
+  /** HTML → text extraction ([[graft.ext.Text.htmlToText]]): every doc
+    * wrapped in a deterministic page shell — title/style head, nav,
+    * an HTML comment, a script whose BODY contains raw `<`/`>` (the
+    * case that breaks naive strip-tags-first extractors), entity-laden
+    * paragraphs (including `&amp;lt;`, which must decode to the
+    * literal text `&lt;`, not `<`), and a footer — then extracted
+    * back. The oracle replays synth + the full regex chain in SQL, so
+    * the hash pins cross-engine regex semantics the same way q54's
+    * redaction chain does.
+    */
+  def q145HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p { color: red; }</style></head><body>"),
+      lit("<nav>home about contact</nav><!-- rev "), col("doc_id").cast("string"),
+      lit(" --><p>"), col("text"), lit("</p>"),
+      lit("<script>if (1 < 2 && 3 > 0) { x = \"y\"; }</script>"),
+      lit("<p>Tom &amp; Jerry say &quot;hi&quot;, 1 &lt; 2, &#39;q&#39;, "),
+      lit("A&nbsp;B, raw &amp;lt; stays</p>"),
+      lit("<footer>(c) example corp</footer></body></html>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.htmlToText(html).as("extracted"))
+      .withColumn("n_chars", length(col("extracted")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3877,6 +3903,7 @@ object SparkEntry {
     "q142b_blocklist_join" -> (q142bBlocklistJoin _),
     "q143_media_dlq" -> (q143MediaDlq _),
     "q144_lsh_band_plan" -> (q144LshBandPlan _),
+    "q145_html_extract" -> (q145HtmlExtract _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6134,6 +6161,8 @@ object SparkEntry {
         |       rk = 1 AS chosen
         |FROM r ORDER BY threshold, bands""".stripMargin,
 
+    "q145_html_extract" -> htmlExtractOracle,
+
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
@@ -7092,6 +7121,39 @@ object SparkEntry {
     * drop — still yields a row with n_bytes = 0 and an all-zero
     * histogram, matching the Spark side.
     */
+  /** Oracle for q145: the synth page shell + the exact
+    * [[graft.ext.Text.htmlToText]] regex chain, replayed in SQL
+    * (DuckDB needs the explicit 'g' flag where Spark's
+    * `regexp_replace` is always global). Built programmatically so
+    * the nesting stays readable.
+    */
+  private def htmlExtractOracle: String = {
+    val synth =
+      """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |'</title><style>p { color: red; }</style></head><body>' ||
+        |'<nav>home about contact</nav><!-- rev ' || CAST(doc_id AS VARCHAR) ||
+        |' --><p>' || text || '</p>' ||
+        |'<script>if (1 < 2 && 3 > 0) { x = "y"; }</script>' ||
+        |'<p>Tom &amp; Jerry say &quot;hi&quot;, 1 &lt; 2, &#39;q&#39;, ' ||
+        |'A&nbsp;B, raw &amp;lt; stays</p>' ||
+        |'<footer>(c) example corp</footer></body></html>'""".stripMargin
+    var e = "html"
+    for (t <- Seq("script", "style", "head", "nav", "footer", "aside"))
+      e = s"regexp_replace($e, '(?is)<$t\\b[^>]*>.*?</$t>', ' ', 'g')"
+    e = s"regexp_replace($e, '(?s)<!--.*?-->', ' ', 'g')"
+    e = s"regexp_replace($e, '(?s)<[^>]+>', ' ', 'g')"
+    for ((pat, rep) <- Seq(
+        "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&"))
+      e = s"regexp_replace($e, '$pat', '$rep', 'g')"
+    e = s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
+    s"""WITH pages AS (
+       |  SELECT doc_id, $synth AS html FROM documents)
+       |SELECT doc_id, $e AS extracted,
+       |       CAST(len($e) AS BIGINT) AS n_chars
+       |FROM pages ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared by q142 (expression form) and q142b (broadcast-join form):
     * whichever plan produced the screen, the verdicts must hash equal.
     */

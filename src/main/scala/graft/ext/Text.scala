@@ -206,6 +206,46 @@ object Text {
         (coalesce(col("__n_hits"), lit(0L)) < maxHits).as("keep"))
   }
 
+  /** Non-content HTML elements whose entire subtree is dropped before
+    * tag stripping — the boilerplate classes every web-corpus
+    * extractor removes (trafilatura/jusText's default drop list).
+    */
+  private val htmlDropElements =
+    Seq("script", "style", "head", "nav", "footer", "aside")
+
+  /** Basic named/numeric entities, decoded AFTER tag stripping.
+    * `&amp;` is decoded LAST so `&amp;lt;` correctly yields the
+    * literal text `&lt;` rather than double-decoding to `<`.
+    */
+  private val htmlEntities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text extraction, the first stage of every web-corpus
+    * pipeline: drop non-content subtrees (script/style/head/nav/
+    * footer/aside), strip remaining tags, decode basic entities,
+    * collapse whitespace. One chained codegen'd `regexp_replace` map
+    * pass — RE2-safe patterns (inline `(?is)` flags, non-greedy
+    * spans, no lookaround) so an oracle engine replays it exactly,
+    * and no UDF, so it rides whole-stage codegen over the corpus
+    * scan at 100 TB.
+    *
+    * Deliberately the REGEX tier: tags inside quoted attribute values
+    * (`title="a>b"`) and nested same-name drop elements are out of
+    * scope — a real DOM parse belongs in the per-partition imperative
+    * tier next to the media decoders if a corpus needs it.
+    */
+  def htmlToText(c: Column): Column = {
+    val noBoiler = htmlDropElements.foldLeft(c)((acc, t) =>
+      regexp_replace(acc, s"(?is)<$t\\b[^>]*>.*?</$t>", " "))
+    val noComments = regexp_replace(noBoiler, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]+>", " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (acc, (e, r)) =>
+      regexp_replace(acc, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Gopher-style per-document repetition statistics (Rae et al. 2021's
     * repetition heuristics, public): token counts, distinct-token
     * count, the occurrence count of the single most frequent word

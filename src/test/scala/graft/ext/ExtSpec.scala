@@ -53,6 +53,27 @@ class ExtSpec extends SparkSpec {
     assert(chosen == Map(0.5 -> ((32, 4)), 0.7 -> ((16, 8)), 0.9 -> ((8, 16))))
   }
 
+  test("Text: htmlToText — boilerplate drop, raw <> in script bodies, entity order") {
+    def extract(html: String): String = {
+      val r = Seq(Tuple1(html)).toDF("h")
+        .select(Text.htmlToText(col("h")).as("t")).head.getString(0)
+      r
+    }
+    // script body with raw < and > must vanish whole, not leak fragments
+    assert(extract("""<p>keep</p><script>if (1 < 2) { x = "y"; }</script><p>this</p>""")
+      == "keep this")
+    // nav/footer/aside/head subtrees dropped; comments dropped
+    assert(extract("<head><title>T</title></head><body><nav>menu</nav>" +
+      "<!-- note --><p>body</p><footer>foot</footer></body>") == "body")
+    // entity decode order: &amp;lt; is the LITERAL text "&lt;"
+    assert(extract("<p>a &amp; b, 1 &lt; 2, &quot;q&quot;, &#39;s&#39;, A&nbsp;B, raw &amp;lt;</p>")
+      == "a & b, 1 < 2, \"q\", 's', A B, raw &lt;")
+    // whitespace collapse + trim; case-insensitive tags
+    assert(extract("  <P>one\n\ntwo</P>  <STYLE>p{}</STYLE> ") == "one two")
+    // plain text passes through
+    assert(extract("no markup at all") == "no markup at all")
+  }
+
   test("Text: token counts, ratios, fingerprint") {
     val df = Seq(Tuple1("The cat and the dog.")).toDF("text")
     val r = df.select(
