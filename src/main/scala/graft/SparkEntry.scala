@@ -3742,6 +3742,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus drift report ([[graft.dq.Analyzers.categoryDrift]]): PSI
+    * terms per token between two corpus versions (even- vs odd-id
+    * halves — in production: yesterday's snapshot vs today's). The
+    * report a curation team watches for silent upstream distribution
+    * shifts; Σ psi_term is the headline PSI with the usual
+    * 0.1 / 0.25 action thresholds.
+    */
+  def q146TokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def toks(side: Int) = docs
+      .filter(pmod(col("doc_id"), lit(2)) === side)
+      .select(explode(Text.tokens(lower(col("text")))).as("tok"))
+    graft.dq.Analyzers.categoryDrift(toks(0), toks(1), "tok")
+      .orderBy(col("category"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3904,6 +3920,7 @@ object SparkEntry {
     "q143_media_dlq" -> (q143MediaDlq _),
     "q144_lsh_band_plan" -> (q144LshBandPlan _),
     "q145_html_extract" -> (q145HtmlExtract _),
+    "q146_token_drift" -> (q146TokenDrift _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6162,6 +6179,32 @@ object SparkEntry {
         |FROM r ORDER BY threshold, bands""".stripMargin,
 
     "q145_html_extract" -> htmlExtractOracle,
+
+    "q146_token_drift" ->
+      """WITH o AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS category
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |n AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS category
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |oc AS (SELECT category, count(*) AS n_old FROM o GROUP BY 1),
+        |nc AS (SELECT category, count(*) AS n_new FROM n GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(oc.category, nc.category) AS category,
+        |         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM oc FULL OUTER JOIN nc ON oc.category = nc.category),
+        |t AS (SELECT sum(n_old) AS tot_old, sum(n_new) AS tot_new,
+        |             count(*) AS n_categories FROM j)
+        |SELECT j.category,
+        |       CAST(j.n_old AS BIGINT) AS n_old,
+        |       CAST(j.n_new AS BIGINT) AS n_new,
+        |       round(
+        |         ((j.n_old + 1) / CAST(t.tot_old + t.n_categories AS DOUBLE)
+        |          - (j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))
+        |         * ln(((j.n_old + 1) / CAST(t.tot_old + t.n_categories AS DOUBLE))
+        |              / ((j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))),
+        |         6) AS psi_term
+        |FROM j, t ORDER BY category""".stripMargin,
 
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (

@@ -160,4 +160,43 @@ object Analyzers {
         lit("Uniqueness").as("name"), col("u").cast("double").as("value")))
     uniq.foldLeft(long)(_.unionByName(_))
   }
+
+  /** Distribution drift between two dataset versions over a
+    * categorical column: per-category counts from each side plus the
+    * category's Population Stability Index term
+    * (p − q)·ln(p / q), with add-one smoothing over the UNION
+    * category set so categories present on only one side contribute
+    * finite terms (the standard PSI treatment for empty buckets).
+    * Σ psi_term is the headline PSI (< 0.1 stable, > 0.25 action —
+    * the usual credit-scoring rule of thumb).
+    *
+    * Shape: one keyed count per side, a full-outer join on the
+    * category, and the three totals (N_old, N_new, |union|) as a
+    * broadcast 1-row frame (the q53/q57 single-row-stats idiom) —
+    * two keyed shuffles total, nothing collected, linear in distinct
+    * categories. `psi_term` rounds at 6 dp AFTER the ln so the one
+    * libm call is the only cross-engine float risk (q94's class).
+    */
+  def categoryDrift(oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
+    val o = oldDf.select(col(catCol).as("category"))
+      .groupBy("category").agg(count(lit(1)).as("n_old"))
+    val n = newDf.select(col(catCol).as("category"))
+      .groupBy("category").agg(count(lit(1)).as("n_new"))
+    val joined = o.join(n, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(
+      sum(col("n_old")).as("tot_old"),
+      sum(col("n_new")).as("tot_new"),
+      count(lit(1)).as("n_categories"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("category"), col("n_old"), col("n_new"),
+        round(
+          ((col("n_old") + 1).cast("double") / (col("tot_old") + col("n_categories")) -
+            (col("n_new") + 1).cast("double") / (col("tot_new") + col("n_categories"))) *
+            log(((col("n_old") + 1).cast("double") / (col("tot_old") + col("n_categories"))) /
+              ((col("n_new") + 1).cast("double") / (col("tot_new") + col("n_categories")))),
+          6).as("psi_term"))
+  }
 }

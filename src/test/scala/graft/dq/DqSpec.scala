@@ -145,4 +145,25 @@ class DqSpec extends SparkSpec {
       Privacy.kAnonymityClasses(df, qi, 1)
     }
   }
+
+  test("categoryDrift: hand-computed PSI terms, one-sided categories finite") {
+    val old = Seq("a", "a", "a", "b").toDF("c")
+    val neu = Seq("a", "b", "b", "x").toDF("c") // 'x' absent from old
+    val out = Analyzers.categoryDrift(old, neu, "c")
+      .orderBy("category").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // smoothing: V=3 union categories, denominators 4+3=7 each side
+    def term(no: Long, nn: Long): Double = {
+      val p = (no + 1).toDouble / 7; val q = (nn + 1).toDouble / 7
+      BigDecimal((p - q) * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.toSeq == Seq(
+      ("a", 3L, 1L, term(3, 1)),
+      ("b", 1L, 2L, term(1, 2)),
+      ("x", 0L, 1L, term(0, 1))))
+    // identical distributions → every term 0
+    val same = Analyzers.categoryDrift(old, old, "c").collect()
+    assert(same.forall(_.getDouble(3) == 0.0))
+  }
 }
