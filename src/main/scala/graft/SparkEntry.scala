@@ -3726,21 +3726,27 @@ object SparkEntry {
     * the hash pins cross-engine regex semantics the same way q54's
     * redaction chain does.
     */
-  def q145HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
-    val html = concat(
-      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-      lit("</title><style>p { color: red; }</style></head><body>"),
-      lit("<nav>home about contact</nav><!-- rev "), col("doc_id").cast("string"),
-      lit(" --><p>"), col("text"), lit("</p>"),
-      lit("<script>if (1 < 2 && 3 > 0) { x = \"y\"; }</script>"),
-      lit("<p>Tom &amp; Jerry say &quot;hi&quot;, 1 &lt; 2, &#39;q&#39;, "),
-      lit("A&nbsp;B, raw &amp;lt; stays</p>"),
-      lit("<footer>(c) example corp</footer></body></html>"))
+  /** The deterministic page shell shared by q145 and q147: title/style
+    * head, nav, comment, a script whose body contains raw `<`/`>`,
+    * entity-laden paragraphs, footer.
+    */
+  private def synthHtmlCol: org.apache.spark.sql.Column = synthHtmlWith(col("text"))
+
+  private def synthHtmlWith(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>p { color: red; }</style></head><body>"),
+    lit("<nav>home about contact</nav><!-- rev "), col("doc_id").cast("string"),
+    lit(" --><p>"), content, lit("</p>"),
+    lit("<script>if (1 < 2 && 3 > 0) { x = \"y\"; }</script>"),
+    lit("<p>Tom &amp; Jerry say &quot;hi&quot;, 1 &lt; 2, &#39;q&#39;, "),
+    lit("A&nbsp;B, raw &amp;lt; stays</p>"),
+    lit("<footer>(c) example corp</footer></body></html>"))
+
+  def q145HtmlExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.htmlToText(html).as("extracted"))
+      .select(col("doc_id"), Text.htmlToText(synthHtmlCol).as("extracted"))
       .withColumn("n_chars", length(col("extracted")).cast("long"))
       .orderBy(col("doc_id"))
-  }
 
   /** Corpus drift report ([[graft.dq.Analyzers.categoryDrift]]): PSI
     * terms per token between two corpus versions (even- vs odd-id
@@ -3756,6 +3762,49 @@ object SparkEntry {
       .select(explode(Text.tokens(lower(col("text")))).as("tok"))
     graft.dq.Analyzers.categoryDrift(toks(0), toks(1), "tok")
       .orderBy(col("category"))
+  }
+
+  /** Web-corpus funnel capstone: the C4 shape end to end over the NEW
+    * operators — raw pages → [[graft.ext.Text.htmlToText]] extraction
+    * → blocklist screen → quality gate (length + type-token ratio) →
+    * exact content-address dedup — with the q124-style per-stage
+    * attrition report (docs, id sum, token sum). One oracle replays
+    * every stage in SQL, so the whole composition is hash-pinned, not
+    * just the pieces.
+    */
+  def q147WebFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    // plant the two failure classes every web crawl contains, so every
+    // funnel stage provably fires: doc_id%10=0 → identical boilerplate
+    // pages (the dedup stage's prey), doc_id%10=5 → low-diversity spam
+    // (fails the type-token gate)
+    val content = when(pmod(col("doc_id"), lit(10)) === 0,
+        lit("limited offer from our partner store click here to claim your reward today"))
+      .when(pmod(col("doc_id"), lit(10)) === 5, lit(("buy " * 80).trim))
+      .otherwise(col("text"))
+    val s0 = docs.select(col("doc_id"), Text.htmlToText(synthHtmlWith(content)).as("text"))
+    val keepIds = Text.blocklistScreen(s0, "doc_id", "text",
+      terms = Seq("slow", "merge"), maxHits = 4)
+      .filter(col("keep")).select(col("doc_id"))
+    val s1 = s0.join(keepIds, Seq("doc_id"), "left_semi")
+    def toks = Text.tokens(col("text"))
+    val s2 = s1.filter(size(toks) >= 20 &&
+      size(array_distinct(toks)).cast("double") / size(toks) > 0.2)
+    val wfp = Window.partitionBy(Text.fingerprint(col("text"))).orderBy(col("doc_id"))
+    val s3 = s2.withColumn("__rn", row_number().over(wfp))
+      .filter(col("__rn") === 1).drop("__rn")
+    withCached(s0, s1, s2, s3) {
+      def stageRow(name: String, df: DataFrame): (String, Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("doc_id")),
+          sum(size(Text.tokens(col("text"))).cast("long"))).head
+        (name, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      import spark.implicits._
+      Seq(stageRow("0_extract", s0), stageRow("1_blocklist", s1),
+        stageRow("2_quality", s2), stageRow("3_exact_dedup", s3))
+        .toDF("stage", "n_docs", "id_sum", "tok_sum").orderBy(col("stage"))
+    }
   }
 
   // ------------------------------------------------------------- maps
@@ -3921,6 +3970,7 @@ object SparkEntry {
     "q144_lsh_band_plan" -> (q144LshBandPlan _),
     "q145_html_extract" -> (q145HtmlExtract _),
     "q146_token_drift" -> (q146TokenDrift _),
+    "q147_web_funnel" -> (q147WebFunnel _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6179,6 +6229,7 @@ object SparkEntry {
         |FROM r ORDER BY threshold, bands""".stripMargin,
 
     "q145_html_extract" -> htmlExtractOracle,
+    "q147_web_funnel" -> webFunnelOracle,
 
     "q146_token_drift" ->
       """WITH o AS (
@@ -7170,17 +7221,24 @@ object SparkEntry {
     * `regexp_replace` is always global). Built programmatically so
     * the nesting stays readable.
     */
-  private def htmlExtractOracle: String = {
-    val synth =
-      """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-        |'</title><style>p { color: red; }</style></head><body>' ||
-        |'<nav>home about contact</nav><!-- rev ' || CAST(doc_id AS VARCHAR) ||
-        |' --><p>' || text || '</p>' ||
-        |'<script>if (1 < 2 && 3 > 0) { x = "y"; }</script>' ||
-        |'<p>Tom &amp; Jerry say &quot;hi&quot;, 1 &lt; 2, &#39;q&#39;, ' ||
-        |'A&nbsp;B, raw &amp;lt; stays</p>' ||
-        |'<footer>(c) example corp</footer></body></html>'""".stripMargin
-    var e = "html"
+  private def htmlSynthSql: String = htmlSynthSqlWith("text")
+
+  private def htmlSynthSqlWith(content: String): String =
+    s"""'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |'</title><style>p { color: red; }</style></head><body>' ||
+      |'<nav>home about contact</nav><!-- rev ' || CAST(doc_id AS VARCHAR) ||
+      |' --><p>' || $content || '</p>' ||
+      |'<script>if (1 < 2 && 3 > 0) { x = "y"; }</script>' ||
+      |'<p>Tom &amp; Jerry say &quot;hi&quot;, 1 &lt; 2, &#39;q&#39;, ' ||
+      |'A&nbsp;B, raw &amp;lt; stays</p>' ||
+      |'<footer>(c) example corp</footer></body></html>'""".stripMargin
+
+  /** The [[graft.ext.Text.htmlToText]] regex chain around `inner`, in
+    * DuckDB SQL (explicit 'g' flags where Spark's `regexp_replace` is
+    * always global).
+    */
+  private def htmlChainSql(inner: String): String = {
+    var e = inner
     for (t <- Seq("script", "style", "head", "nav", "footer", "aside"))
       e = s"regexp_replace($e, '(?is)<$t\\b[^>]*>.*?</$t>', ' ', 'g')"
     e = s"regexp_replace($e, '(?s)<!--.*?-->', ' ', 'g')"
@@ -7189,12 +7247,57 @@ object SparkEntry {
         "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&"))
       e = s"regexp_replace($e, '$pat', '$rep', 'g')"
-    e = s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
+  }
+
+  private def htmlExtractOracle: String = {
+    val e = htmlChainSql("html")
     s"""WITH pages AS (
-       |  SELECT doc_id, $synth AS html FROM documents)
+       |  SELECT doc_id, $htmlSynthSql AS html FROM documents)
        |SELECT doc_id, $e AS extracted,
        |       CAST(len($e) AS BIGINT) AS n_chars
        |FROM pages ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for q147: the full funnel replayed stage by stage —
+    * extract (shared chain), blocklist threshold, length + type-token
+    * gate, fingerprint dedup — each stage reporting (docs, id sum,
+    * token sum).
+    */
+  private def webFunnelOracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val stage = "SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, " +
+      "CAST(id_sum AS BIGINT) AS id_sum, CAST(tok_sum AS BIGINT) AS tok_sum"
+    def row(name: String, rel: String): String =
+      s"""SELECT '$name' AS stage, count(*) AS n_docs, sum(doc_id) AS id_sum,
+         |       sum(len($toks)) AS tok_sum FROM $rel""".stripMargin
+    val content =
+      """CASE WHEN doc_id % 10 = 0
+        |  THEN 'limited offer from our partner store click here to claim your reward today'
+        |  WHEN doc_id % 10 = 5 THEN trim(repeat('buy ', 80))
+        |  ELSE text END""".stripMargin
+    s"""WITH pages AS (
+       |  SELECT doc_id, ${htmlChainSql(htmlSynthSqlWith(s"($content)"))} AS text
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT * FROM pages
+       |  WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |        t -> t IN ('merge', 'slow'))) < 4),
+       |s2 AS (
+       |  SELECT * FROM s1
+       |  WHERE len($toks) >= 20
+       |    AND len(list_distinct($toks)) / CAST(len($toks) AS DOUBLE) > 0.2),
+       |s3 AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn FROM s2) WHERE rn = 1),
+       |r AS (
+       |  ${row("0_extract", "pages")}
+       |  UNION ALL ${row("1_blocklist", "s1")}
+       |  UNION ALL ${row("2_quality", "s2")}
+       |  UNION ALL ${row("3_exact_dedup", "s3")})
+       |$stage FROM r ORDER BY stage""".stripMargin
   }
 
   /** Shared by q142 (expression form) and q142b (broadcast-join form):
