@@ -3764,6 +3764,28 @@ object SparkEntry {
       .orderBy(col("category"))
   }
 
+  /** STREAMING drift monitor: q146's PSI report maintained
+    * incrementally over the growing corpus (snapshot-recompute
+    * mechanics shared with q104b/q105b — drift is corpus-GLOBAL: one
+    * arriving doc shifts both totals and the smoothing vocabulary, so
+    * per-row state can't express it). Every term is deterministic in
+    * corpus content, so the final published report hash-checks against
+    * q146's batch oracle — the production shape: a drift dashboard
+    * that re-derives per ingest batch.
+    */
+  def q146bDriftStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q146b")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      corpus => {
+        def toks(side: Int) = corpus
+          .filter(pmod(col("doc_id"), lit(2)) === side)
+          .select(explode(Text.tokens(lower(col("text")))).as("tok"))
+        graft.dq.Analyzers.categoryDrift(toks(0), toks(1), "tok")
+      })
+      .orderBy(col("category"))
+  }
+
   /** Web-corpus funnel capstone: the C4 shape end to end over the NEW
     * operators — raw pages → [[graft.ext.Text.htmlToText]] extraction
     * → blocklist screen → quality gate (length + type-token ratio) →
@@ -3970,6 +3992,7 @@ object SparkEntry {
     "q144_lsh_band_plan" -> (q144LshBandPlan _),
     "q145_html_extract" -> (q145HtmlExtract _),
     "q146_token_drift" -> (q146TokenDrift _),
+    "q146b_drift_stream" -> (q146bDriftStream _),
     "q147_web_funnel" -> (q147WebFunnel _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
@@ -3998,7 +4021,7 @@ object SparkEntry {
     "q104b_mixture_stream", "q105b_shard_stream", "q108_stream_curate",
     "q113_stream_index_ingest", "q115_compact_index",
     "q121_stream_query_serve", "q131_stream_classifier",
-    "q132_retrain_stream", "q139_stream_neardup")
+    "q132_retrain_stream", "q139_stream_neardup", "q146b_drift_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -6231,31 +6254,10 @@ object SparkEntry {
     "q145_html_extract" -> htmlExtractOracle,
     "q147_web_funnel" -> webFunnelOracle,
 
-    "q146_token_drift" ->
-      """WITH o AS (
-        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS category
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |n AS (
-        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS category
-        |  FROM documents WHERE doc_id % 2 = 1),
-        |oc AS (SELECT category, count(*) AS n_old FROM o GROUP BY 1),
-        |nc AS (SELECT category, count(*) AS n_new FROM n GROUP BY 1),
-        |j AS (
-        |  SELECT coalesce(oc.category, nc.category) AS category,
-        |         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
-        |  FROM oc FULL OUTER JOIN nc ON oc.category = nc.category),
-        |t AS (SELECT sum(n_old) AS tot_old, sum(n_new) AS tot_new,
-        |             count(*) AS n_categories FROM j)
-        |SELECT j.category,
-        |       CAST(j.n_old AS BIGINT) AS n_old,
-        |       CAST(j.n_new AS BIGINT) AS n_new,
-        |       round(
-        |         ((j.n_old + 1) / CAST(t.tot_old + t.n_categories AS DOUBLE)
-        |          - (j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))
-        |         * ln(((j.n_old + 1) / CAST(t.tot_old + t.n_categories AS DOUBLE))
-        |              / ((j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))),
-        |         6) AS psi_term
-        |FROM j, t ORDER BY category""".stripMargin,
+    "q146_token_drift" -> tokenDriftOracle,
+    // the streaming monitor's final published report is bit-identical
+    // to the batch path — same oracle
+    "q146b_drift_stream" -> tokenDriftOracle,
 
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (
@@ -7299,6 +7301,35 @@ object SparkEntry {
        |  UNION ALL ${row("3_exact_dedup", "s3")})
        |$stage FROM r ORDER BY stage""".stripMargin
   }
+
+  /** Shared by q146 (batch drift report) and q146b (the streaming
+    * monitor whose final published report must be bit-identical).
+    */
+  private def tokenDriftOracle: String =
+    """WITH o AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS category
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |n AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS category
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |oc AS (SELECT category, count(*) AS n_old FROM o GROUP BY 1),
+      |nc AS (SELECT category, count(*) AS n_new FROM n GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(oc.category, nc.category) AS category,
+      |         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      |  FROM oc FULL OUTER JOIN nc ON oc.category = nc.category),
+      |t AS (SELECT sum(n_old) AS tot_old, sum(n_new) AS tot_new,
+      |             count(*) AS n_categories FROM j)
+      |SELECT j.category,
+      |       CAST(j.n_old AS BIGINT) AS n_old,
+      |       CAST(j.n_new AS BIGINT) AS n_new,
+      |       round(
+      |         ((j.n_old + 1) / CAST(t.tot_old + t.n_categories AS DOUBLE)
+      |          - (j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))
+      |         * ln(((j.n_old + 1) / CAST(t.tot_old + t.n_categories AS DOUBLE))
+      |              / ((j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))),
+      |         6) AS psi_term
+      |FROM j, t ORDER BY category""".stripMargin
 
   /** Shared by q142 (expression form) and q142b (broadcast-join form):
     * whichever plan produced the screen, the verdicts must hash equal.
