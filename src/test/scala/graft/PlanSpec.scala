@@ -583,4 +583,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("MapPartitions"), p) // the disclosed imperative decode tier
   }
+
+  test("q145: html extraction is ONE map pass — only the display sort partitions") {
+    val p = plan("q145_html_extract")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q146: drift totals ride a broadcast 1-row frame — no cartesian blowup") {
+    val p = plan("q146_token_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    // the totals cross-join is the accepted q53/q57 1-row BNLJ shape
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("hashpartitioning"), p) // category-keyed counts + full-outer
+  }
 }
