@@ -3764,6 +3764,40 @@ object SparkEntry {
       .orderBy(col("category"))
   }
 
+  /** IVF nprobe sweep — the recall/cost tuning table's THEOREM rows
+    * (the q144 planner's ANN sibling): probing more cells only ADDS
+    * candidates, so recall@k is non-decreasing in nprobe, and at
+    * nprobe = #cells the probed search IS the brute-force search, so
+    * recall is exactly 1. Both checked as hash-stable TRUE rows over
+    * the same k-means assignment q23 uses (one clustering, reused
+    * across the sweep via the cache handle; measured recalls stay
+    * rows-only like q23 — the contract is the invariant, not the
+    * corpus-dependent number).
+    */
+  def q148NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val clustered = Similarity.kmeansLabels(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 10, iters = 3,
+      scorer = graft.ext.VectorKernels.cosineF)
+    val exact = q21SimTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    withCached(clustered, exact) {
+      val total = exact.count().toDouble
+      val recalls = Seq(1, 2, 5, 10).map { nprobe =>
+        val ivf = Similarity.ivfTopK(clustered, embQueries(spark, dir), 5, nprobe,
+          scorer = graft.ext.VectorKernels.cosineF)
+          .select(col("query_id"), col("vec_id"))
+        nprobe -> exact.join(ivf, Seq("query_id", "vec_id")).count() / total
+      }
+      val rs = recalls.map(_._2)
+      import spark.implicits._
+      Seq(
+        ("recall_monotone_in_nprobe", rs.zip(rs.tail).forall { case (a, b) => a <= b }),
+        ("recall_at_full_probe_eq_1", rs.last == 1.0))
+        .toDF("metric", "ok").orderBy(col("metric"))
+    }
+  }
+
   /** STREAMING drift monitor: q146's PSI report maintained
     * incrementally over the growing corpus (snapshot-recompute
     * mechanics shared with q104b/q105b — drift is corpus-GLOBAL: one
@@ -3994,6 +4028,7 @@ object SparkEntry {
     "q146_token_drift" -> (q146TokenDrift _),
     "q146b_drift_stream" -> (q146bDriftStream _),
     "q147_web_funnel" -> (q147WebFunnel _),
+    "q148_nprobe_sweep" -> (q148NprobeSweep _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6365,6 +6400,14 @@ object SparkEntry {
 
     "q23b_ivf_recall" ->
       """SELECT 'ivf_recall_at_5_nprobe_half_ge_0.7' AS metric, TRUE AS ok""".stripMargin,
+
+    // both rows are THEOREMS of the probed-search construction (more
+    // cells ⊇ candidates; all cells = brute force), so the expected
+    // frame is constant — a violation fails the hash compare
+    "q148_nprobe_sweep" ->
+      """SELECT 'recall_at_full_probe_eq_1' AS metric, TRUE AS ok
+        |UNION ALL SELECT 'recall_monotone_in_nprobe', TRUE
+        |ORDER BY metric""".stripMargin,
 
     // gate (exact logit SQL) -> contamination WITHOUT self-exclusion
     // (a benchmark doc in the corpus must drop) -> one survivor per
