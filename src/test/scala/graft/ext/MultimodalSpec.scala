@@ -67,6 +67,14 @@ class MultimodalSpec extends SparkSpec {
     assert(f.zero_crossings == 3)
   }
 
+  test("wav: zero-sample clip roundtrips; features are all-zero") {
+    val dec = Wav.decode(Wav.encodePcm16(Array.empty[Short], 8000)).get
+    assert(dec.samples.isEmpty && dec.sampleRate == 8000)
+    val f = Wav.features(1L, dec)
+    assert(f.n_samples == 0 && f.duration_us == 0 && f.peak == 0 &&
+      f.sum_sq == 0 && f.zero_crossings == 0)
+  }
+
   // ------------------------------------------------------------- BMP
 
   test("bmp: roundtrip across the full padding sweep (widths 4..8)") {
@@ -76,6 +84,15 @@ class MultimodalSpec extends SparkSpec {
       assert(dec.width == w && dec.height == h, s"dims for w=$w h=$h")
       assert(dec.bgr.toSeq == bgr.toSeq, s"pixels for w=$w h=$h")
     }
+  }
+
+  test("bmp: degenerate dims roundtrip — 1×1 and 3×1 (stride > row bytes)") {
+    val one = Bmp.decode24(Bmp.encode24(1, 1, Array[Byte](9, 8, 7))).get
+    assert(one.width == 1 && one.height == 1 && one.bgr.toSeq == Seq[Byte](9, 8, 7))
+    val row = Bmp.decode24(Bmp.encode24(3, 1, Array.tabulate[Byte](9)(_.toByte))).get
+    assert(row.bgr.toSeq == (0 until 9).map(_.toByte))
+    val half = Bmp.resizeNearest(one, 2) // factor > dims: still 1×1
+    assert(half.width == 1 && half.height == 1)
   }
 
   test("bmp: file stores rows bottom-up — first encoded row is the image's last") {
