@@ -3670,6 +3670,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Phrase blocklist ([[graft.ext.Text.blocklistScreenPhrases]]):
+    * mixed unigram + bigram phrases matched via per-length in-plan
+    * window sweeps — overlapping occurrences counted, distinct
+    * phrases tracked, same ≥-4-hits drop policy as q142. The oracle
+    * rebuilds bigrams with a lead() window over ordinality-indexed
+    * tokens.
+    */
+  def q149PhraseBlocklist(spark: SparkSession, dir: String): DataFrame =
+    Text.blocklistScreenPhrases(Tables.documents(spark, dir), "doc_id", "text",
+      phrases = Seq("slow merge", "hash join", "scan"), maxHits = 4)
+      .orderBy(col("doc_id"))
+
   /** Corrupt-media DLQ split (the O-07 schema-enforce discipline on
     * binary payloads): every 7th synth WAV is truncated mid-fmt before
     * decode, and the audit reports per-row byte length, decode verdict,
@@ -4029,6 +4041,7 @@ object SparkEntry {
     "q146b_drift_stream" -> (q146bDriftStream _),
     "q147_web_funnel" -> (q147WebFunnel _),
     "q148_nprobe_sweep" -> (q148NprobeSweep _),
+    "q149_phrase_blocklist" -> (q149PhraseBlocklist _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6256,6 +6269,29 @@ object SparkEntry {
     // form must be hash-indistinguishable.
     "q142_blocklist_screen" -> blocklistSql,
     "q142b_blocklist_join" -> blocklistSql,
+
+    "q149_phrase_blocklist" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS tok,
+        |             generate_subscripts(toks, 1) AS i FROM d),
+        |b AS (SELECT doc_id, tok,
+        |             lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        |      FROM t),
+        |hits AS (
+        |  SELECT doc_id, tok AS hit FROM t WHERE tok IN ('scan')
+        |  UNION ALL
+        |  SELECT doc_id, tok || ' ' || nxt AS hit FROM b
+        |  WHERE nxt IS NOT NULL
+        |    AND (tok || ' ' || nxt) IN ('hash join', 'slow merge')),
+        |agg AS (SELECT doc_id, count(*) AS n_hits,
+        |               count(DISTINCT hit) AS n_terms FROM hits GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_hits,
+        |       CAST(coalesce(agg.n_terms, 0) AS BIGINT) AS n_terms,
+        |       coalesce(agg.n_hits, 0) < 4 AS keep
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q143_media_dlq" ->
       """SELECT doc_id AS media_id,

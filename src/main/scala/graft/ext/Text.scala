@@ -156,7 +156,8 @@ object Text {
     * whole-token blocklist hits, distinct terms hit, and the keep
     * verdict (`n_hits < maxHits`; C4's own policy is `maxHits = 1` —
     * any hit drops the page). Token granularity is [[tokens]]
-    * (whitespace); multi-word phrases are out of scope here.
+    * (whitespace); for multi-word phrases see
+    * [[blocklistScreenPhrases]].
     *
     * Expression form: the blocklist rides as a FOLDABLE LITERAL array,
     * so the screen is one codegen'd map pass over the corpus scan — no
@@ -172,6 +173,44 @@ object Text {
     val termArr = typedLit(terms.map(_.toLowerCase).distinct.sorted)
     val hits = filter(
       tokens(lower(col(textCol))), t => array_contains(termArr, t))
+    df.select(
+      col(idCol),
+      size(hits).cast("long").as("n_hits"),
+      size(array_distinct(hits)).cast("long").as("n_terms"),
+      (size(hits) < maxHits).as("keep"))
+  }
+
+  /** [[blocklistScreen]] generalized to MULTI-WORD PHRASES (real
+    * blocklists — C4's included — mix single terms and phrases):
+    * phrases are grouped by token length, and for each length L the
+    * doc's overlapping L-gram windows are matched against that
+    * length's foldable literal set. Still ONE codegen'd map pass —
+    * the L-gram enumeration is an in-plan `transform(sequence(...))`
+    * window sweep per distinct phrase length, no explode, no join.
+    * `n_hits` counts every (possibly overlapping) occurrence;
+    * `n_terms` counts distinct phrases hit.
+    */
+  def blocklistScreenPhrases(
+      df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], maxHits: Int = 1): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must be non-empty")
+    require(maxHits >= 1, "maxHits must be >= 1")
+    val byLen = phrases.map(_.toLowerCase.trim.split("\\s+").toSeq)
+      .filter(_.nonEmpty).distinct
+      .groupBy(_.length)
+      .map { case (l, ps) => l -> ps.map(_.mkString(" ")).distinct.sorted }
+    val toks = tokens(lower(col(textCol)))
+    val hitArrays = byLen.toSeq.sortBy(_._1).map { case (l, ps) =>
+      val lits = typedLit(ps)
+      val grams =
+        if (l == 1) toks
+        else when(size(toks) >= l,
+            transform(sequence(lit(1), size(toks) - (l - 1)),
+              i => concat_ws(" ", slice(toks, i, lit(l)))))
+          .otherwise(array())   // sequence(1, n<1) would count DOWN
+      filter(grams, g => array_contains(lits, g))
+    }
+    val hits = hitArrays.reduce(concat(_, _))
     df.select(
       col(idCol),
       size(hits).cast("long").as("n_hits"),

@@ -22,6 +22,23 @@ class ExtSpec extends SparkSpec {
       Seq((1L, 3L, 2L, true), (2L, 0L, 0L, true), (3L, 4L, 2L, false), (4L, 0L, 0L, true)))
   }
 
+  test("Text: phrase blocklist — overlapping bigrams, short docs, mixed lengths") {
+    val docs = Seq(
+      (1L, "a a a b"),            // phrase "a a" overlaps: hits at pos 1,2
+      (2L, "x"),                  // shorter than any bigram
+      (3L, "Hash JOIN on a a"),   // case-insensitive bigram + "a a"
+      (4L, "c x c x c")).toDF("doc_id", "text")
+    val out = Text.blocklistScreenPhrases(docs, "doc_id", "text",
+      phrases = Seq("a a", "hash join", "x"), maxHits = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, true),   // "a a" twice (overlapping), 1 distinct
+      (2L, 1L, 1L, true),   // unigram "x"
+      (3L, 2L, 2L, true),   // "hash join" + "a a"
+      (4L, 2L, 1L, true)))  // "x" twice
+  }
+
   test("Text: blocklist join form ≡ expression form row-for-row") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),
