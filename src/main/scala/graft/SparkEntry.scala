@@ -3810,6 +3810,22 @@ object SparkEntry {
     }
   }
 
+  /** Numeric drift ([[graft.dq.Analyzers.numericDrift]]): q146's PSI
+    * machinery over a continuous feature — document character length
+    * bucketed into 10 fixed-width bins on [0, 500) (fixed range, so
+    * the binning can't shift between versions), even vs odd corpus
+    * halves. The length drift a truncation bug or extraction change
+    * would show first.
+    */
+  def q150LengthDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def half(side: Int) = docs
+      .filter(pmod(col("doc_id"), lit(2)) === side)
+      .select(length(col("text")).as("len"))
+    graft.dq.Analyzers.numericDrift(half(0), half(1), "len", 0.0, 500.0, 10)
+      .orderBy(col("category"))
+  }
+
   /** STREAMING drift monitor: q146's PSI report maintained
     * incrementally over the growing corpus (snapshot-recompute
     * mechanics shared with q104b/q105b — drift is corpus-GLOBAL: one
@@ -4042,6 +4058,7 @@ object SparkEntry {
     "q147_web_funnel" -> (q147WebFunnel _),
     "q148_nprobe_sweep" -> (q148NprobeSweep _),
     "q149_phrase_blocklist" -> (q149PhraseBlocklist _),
+    "q150_length_drift" -> (q150LengthDrift _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6329,6 +6346,34 @@ object SparkEntry {
     // the streaming monitor's final published report is bit-identical
     // to the batch path — same oracle
     "q146b_drift_stream" -> tokenDriftOracle,
+
+    "q150_length_drift" ->
+      """WITH o AS (
+        |  SELECT CAST(least(9, greatest(0,
+        |           CAST(floor(length(text) / 50.0) AS INT))) AS INT) AS category
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |n AS (
+        |  SELECT CAST(least(9, greatest(0,
+        |           CAST(floor(length(text) / 50.0) AS INT))) AS INT) AS category
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |oc AS (SELECT category, count(*) AS n_old FROM o GROUP BY 1),
+        |nc AS (SELECT category, count(*) AS n_new FROM n GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(oc.category, nc.category) AS category,
+        |         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM oc FULL OUTER JOIN nc ON oc.category = nc.category),
+        |t AS (SELECT sum(n_old) AS tot_old, sum(n_new) AS tot_new,
+        |             count(*) AS n_categories FROM j)
+        |SELECT j.category,
+        |       CAST(j.n_old AS BIGINT) AS n_old,
+        |       CAST(j.n_new AS BIGINT) AS n_new,
+        |       round(
+        |         ((j.n_old + 1) / CAST(t.tot_old + t.n_categories AS DOUBLE)
+        |          - (j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))
+        |         * ln(((j.n_old + 1) / CAST(t.tot_old + t.n_categories AS DOUBLE))
+        |              / ((j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))),
+        |         6) AS psi_term
+        |FROM j, t ORDER BY category""".stripMargin,
 
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (

@@ -177,6 +177,26 @@ object Analyzers {
     * categories. `psi_term` rounds at 6 dp AFTER the ln so the one
     * libm call is the only cross-engine float risk (q94's class).
     */
+  /** [[categoryDrift]] over a NUMERIC column: values land in `n`
+    * equal-width buckets on the caller-fixed [lo, hi) range (fixed —
+    * not data-derived — so the binning is stable across versions,
+    * which is the point of a drift monitor; out-of-range values clamp
+    * into the edge buckets, the standard PSI treatment). The bucket
+    * index is exact integer arithmetic on top of one IEEE division,
+    * so both engines bin identically; the PSI math is inherited.
+    */
+  def numericDrift(
+      oldDf: DataFrame, newDf: DataFrame, numCol: String,
+      lo: Double, hi: Double, n: Int): DataFrame = {
+    require(n > 0, "need at least one bucket")
+    require(lo < hi, "lo must be < hi")
+    def bucketed(df: DataFrame): DataFrame = df.select(
+      least(lit(n - 1), greatest(lit(0),
+        floor((col(numCol).cast("double") - lo) / ((hi - lo) / n)).cast("int")))
+        .as("bucket"))
+    categoryDrift(bucketed(oldDf), bucketed(newDf), "bucket")
+  }
+
   def categoryDrift(oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
     val o = oldDf.select(col(catCol).as("category"))
       .groupBy("category").agg(count(lit(1)).as("n_old"))

@@ -166,4 +166,14 @@ class DqSpec extends SparkSpec {
     val same = Analyzers.categoryDrift(old, old, "c").collect()
     assert(same.forall(_.getDouble(3) == 0.0))
   }
+
+  test("numericDrift: fixed-width binning with edge-bucket clamping") {
+    val old = Seq(-5.0, 0.0, 9.9, 10.0, 99.0, 250.0).toDF("v")  // -5 clamps to 0
+    val neu = Seq(5.0, 95.0).toDF("v")
+    val out = Analyzers.numericDrift(old, neu, "v", 0.0, 100.0, 10)
+      .orderBy("category").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // buckets of width 10: old → 0,0,0,1,9(x2: 99 and clamped 250); new → 0, 9
+    assert(out.toSeq == Seq((0, 3L, 1L), (1, 1L, 0L), (9, 2L, 1L)))
+  }
 }
