@@ -3670,6 +3670,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING media ingest ([[graft.stream.Jobs.runMediaDecodeStream]]):
+    * q143's corpus arrives in 4 micro-batches of binary payloads; each
+    * batch is decoded by the REAL WAV parser and dual-written — parsed
+    * features to the good path, corrupt rows to the DLQ (the O-61
+    * routing shape over binary). The union of both sinks reassembles
+    * q143's audit exactly, so the stream shares its oracle: the
+    * multimodal × streaming intersection, hash-checked.
+    */
+  def q143bMediaStream(spark: SparkSession, dir: String): DataFrame = {
+    val media = synthWavDlqMedia(spark, dir)
+    val tmp = tempDir("graft-q143b")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = true)))
+    Jobs.runMediaDecodeStream(spark, in, schema, s"$tmp/good", s"$tmp/dlq", s"$tmp/cp")
+    val good = spark.read.parquet(s"$tmp/good")
+      .select(col("media_id"), col("n_bytes"), col("n_samples"))
+    val dlqSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = true)))
+    val dlq = spark.read.schema(dlqSchema).parquet(s"$tmp/dlq")
+      .select(col("media_id"), col("n_bytes"), lit(null).cast(LongType).as("n_samples"))
+    good.unionByName(dlq)
+      .select(col("media_id"), col("n_bytes"),
+        col("n_samples").isNotNull.as("ok"), col("n_samples"))
+      .orderBy(col("media_id"))
+  }
+
   /** Phrase blocklist ([[graft.ext.Text.blocklistScreenPhrases]]):
     * mixed unigram + bigram phrases matched via per-length in-plan
     * window sweeps — overlapping occurrences counted, distinct
@@ -3690,9 +3721,12 @@ object SparkEntry {
     * encoder's exact container size (68 + 2n bytes) — so both the
     * writer's byte layout and the parser's corrupt-safety are pinned.
     */
-  def q143MediaDlq(spark: SparkSession, dir: String): DataFrame = {
+  /** The q143/q143b corpus: synth WAVs with every 7th payload
+    * truncated mid-fmt.
+    */
+  private def synthWavDlqMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val n = (50 + id % 50).toInt
         val rate = (8000 + (id % 3) * 4000).toInt
@@ -3702,6 +3736,10 @@ object SparkEntry {
         val payload = if (id % 7 == 0) wav.take(21) else wav
         Multimodal.MediaRecord(id, payload, "audio/wav")
       }).toDF()
+  }
+
+  def q143MediaDlq(spark: SparkSession, dir: String): DataFrame = {
+    val media = synthWavDlqMedia(spark, dir)
     val decoded = Multimodal.wavFeatures(spark, media, partitions = 8).toDF()
       .select(col("media_id"), col("n_samples"))
     media
@@ -4051,6 +4089,7 @@ object SparkEntry {
     "q142_blocklist_screen" -> (q142BlocklistScreen _),
     "q142b_blocklist_join" -> (q142bBlocklistJoin _),
     "q143_media_dlq" -> (q143MediaDlq _),
+    "q143b_media_stream" -> (q143bMediaStream _),
     "q144_lsh_band_plan" -> (q144LshBandPlan _),
     "q145_html_extract" -> (q145HtmlExtract _),
     "q146_token_drift" -> (q146TokenDrift _),
@@ -4086,7 +4125,8 @@ object SparkEntry {
     "q104b_mixture_stream", "q105b_shard_stream", "q108_stream_curate",
     "q113_stream_index_ingest", "q115_compact_index",
     "q121_stream_query_serve", "q131_stream_classifier",
-    "q132_retrain_stream", "q139_stream_neardup", "q146b_drift_stream")
+    "q132_retrain_stream", "q139_stream_neardup", "q143b_media_stream",
+    "q146b_drift_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -6310,14 +6350,9 @@ object SparkEntry {
         |       coalesce(agg.n_hits, 0) < 4 AS keep
         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    "q143_media_dlq" ->
-      """SELECT doc_id AS media_id,
-        |       CAST(CASE WHEN doc_id % 7 = 0 THEN 21
-        |                 ELSE 68 + 2 * (50 + doc_id % 50) END AS INT) AS n_bytes,
-        |       doc_id % 7 <> 0 AS ok,
-        |       CASE WHEN doc_id % 7 = 0 THEN NULL
-        |            ELSE 50 + doc_id % 50 END AS n_samples
-        |FROM documents ORDER BY media_id""".stripMargin,
+    "q143_media_dlq" -> mediaDlqOracle,
+    // the streamed dual-write reassembles the same audit — one oracle
+    "q143b_media_stream" -> mediaDlqOracle,
 
     "q144_lsh_band_plan" ->
       """WITH b AS (
@@ -7425,6 +7460,18 @@ object SparkEntry {
        |  UNION ALL ${row("3_exact_dedup", "s3")})
        |$stage FROM r ORDER BY stage""".stripMargin
   }
+
+  /** Shared by q143 (batch DLQ audit) and q143b (the streaming
+    * dual-write whose good ∪ DLQ union must reassemble it exactly).
+    */
+  private def mediaDlqOracle: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(CASE WHEN doc_id % 7 = 0 THEN 21
+      |                 ELSE 68 + 2 * (50 + doc_id % 50) END AS INT) AS n_bytes,
+      |       doc_id % 7 <> 0 AS ok,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE 50 + doc_id % 50 END AS n_samples
+      |FROM documents ORDER BY media_id""".stripMargin
 
   /** Shared by q146 (batch drift report) and q146b (the streaming
     * monitor whose final published report must be bit-identical).

@@ -716,6 +716,46 @@ object Jobs {
     spark.read.parquet(keptRoot).drop("v")
   }
 
+  /** STREAMING media ingest with DLQ routing — the O-61 dual-write
+    * shape over BINARY payloads: each micro-batch runs the REAL WAV
+    * parser ([[graft.ext.Multimodal.Wav]]); rows that parse append
+    * their integer-exact features (+ byte length) to the good path,
+    * rows that don't append to the DLQ with byte length only. Both
+    * writes are append-only per batch — O(batch), never a snapshot
+    * rewrite; the decode itself is the disclosed per-partition
+    * imperative tier. At-least-once via checkpoint + append, the
+    * `runRoutingStream` precedent.
+    */
+  def runMediaDecodeStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      goodPath: String,
+      dlqPath: String,
+      checkpoint: String): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inputDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val media = batch.persist()
+        try {
+          val feats = graft.ext.Multimodal
+            .wavFeatures(spark, media, partitions = 4).toDF()
+          val sized = media.select(
+            col("media_id"), octet_length(col("payload")).as("n_bytes"))
+          sized.join(feats, Seq("media_id"))
+            .write.mode("append").parquet(goodPath)
+          sized.join(feats.select(col("media_id")), Seq("media_id"), "left_anti")
+            .write.mode("append").parquet(dlqPath)
+        } finally { media.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runRoutingStream(
       spark: SparkSession,
       inputDir: String,
