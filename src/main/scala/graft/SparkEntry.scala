@@ -3894,9 +3894,12 @@ object SparkEntry {
     * every stage in SQL, so the whole composition is hash-pinned, not
     * just the pieces.
     */
-  def q147WebFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def q147WebFunnel(spark: SparkSession, dir: String): DataFrame =
+    webFunnelReport(spark, Tables.documents(spark, dir))
+
+  /** The q147/q147b funnel body over an arbitrary corpus slice. */
+  private def webFunnelReport(spark: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
     // plant the two failure classes every web crawl contains, so every
     // funnel stage provably fires: doc_id%10=0 → identical boilerplate
     // pages (the dedup stage's prey), doc_id%10=5 → low-diversity spam
@@ -3927,6 +3930,22 @@ object SparkEntry {
         stageRow("2_quality", s2), stageRow("3_exact_dedup", s3))
         .toDF("stage", "n_docs", "id_sum", "tok_sum").orderBy(col("stage"))
     }
+  }
+
+  /** STREAMING web funnel: q147's capstone maintained incrementally —
+    * every micro-batch of crawled pages re-derives the full attrition
+    * report over the grown corpus (snapshot recompute: dedup keeps
+    * the min id per fingerprint CLASS, a corpus-global property).
+    * Deterministic in corpus content, so the final published report
+    * shares q147's oracle verbatim — the production shape: a crawl
+    * monitor whose funnel dashboard updates per ingest batch.
+    */
+  def q147bFunnelStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q147b")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      corpus => webFunnelReport(spark, corpus))
+      .orderBy(col("stage"))
   }
 
   // ------------------------------------------------------------- maps
@@ -4095,6 +4114,7 @@ object SparkEntry {
     "q146_token_drift" -> (q146TokenDrift _),
     "q146b_drift_stream" -> (q146bDriftStream _),
     "q147_web_funnel" -> (q147WebFunnel _),
+    "q147b_funnel_stream" -> (q147bFunnelStream _),
     "q148_nprobe_sweep" -> (q148NprobeSweep _),
     "q149_phrase_blocklist" -> (q149PhraseBlocklist _),
     "q150_length_drift" -> (q150LengthDrift _),
@@ -4126,7 +4146,7 @@ object SparkEntry {
     "q113_stream_index_ingest", "q115_compact_index",
     "q121_stream_query_serve", "q131_stream_classifier",
     "q132_retrain_stream", "q139_stream_neardup", "q143b_media_stream",
-    "q146b_drift_stream")
+    "q146b_drift_stream", "q147b_funnel_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -6376,6 +6396,9 @@ object SparkEntry {
 
     "q145_html_extract" -> htmlExtractOracle,
     "q147_web_funnel" -> webFunnelOracle,
+    // the streamed funnel's final published report is the full-corpus
+    // report — same oracle
+    "q147b_funnel_stream" -> webFunnelOracle,
 
     "q146_token_drift" -> tokenDriftOracle,
     // the streaming monitor's final published report is bit-identical
