@@ -584,6 +584,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), p) // the disclosed imperative decode tier
   }
 
+  test("q149: phrase blocklist is ONE map pass — token array materialized, no join/explode") {
+    val p = plan("q149_phrase_blocklist")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p) // display sort only
+  }
+
   test("q145: html extraction is ONE map pass — only the display sort partitions") {
     val p = plan("q145_html_extract")
     assert(!p.contains("Join"), p)

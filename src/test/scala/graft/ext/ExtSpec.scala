@@ -39,6 +39,18 @@ class ExtSpec extends SparkSpec {
       (4L, 2L, 1L, true)))  // "x" twice
   }
 
+  test("Text: phrase blocklist — trigram phrases and any-hit (maxHits=1) policy") {
+    val docs = Seq(
+      (1L, "click here now please"),   // trigram at pos 1
+      (2L, "click here"),              // prefix only — no trigram
+      (3L, "x click here now click here now")).toDF("doc_id", "text")
+    val out = Text.blocklistScreenPhrases(docs, "doc_id", "text",
+      phrases = Seq("click here now"), maxHits = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(out.toSeq == Seq((1L, 1L, false), (2L, 0L, true), (3L, 2L, false)))
+  }
+
   test("Text: blocklist join form ≡ expression form row-for-row") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),
