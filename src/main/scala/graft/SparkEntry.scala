@@ -3864,6 +3864,30 @@ object SparkEntry {
       .orderBy(col("category"))
   }
 
+  /** Margin-based pair mining ([[graft.ext.Similarity.marginMine]],
+    * Artetxe & Schwenk 2019): the LASER/CCMatrix rule that builds
+    * bitext training pairs — best-margin target per source row, kept
+    * when the margin beats the both-ends neighborhood average. Sides
+    * are the even/odd vec_id halves standing in for the two languages;
+    * the mining slice is bounded (src_id < 40) exactly as q128 bounds
+    * its query set, and both scoring passes are broadcast map passes
+    * over the partitioned corpus (see the operator's 100 TB note).
+    */
+  def q151MarginMine(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    def sideIs(side: Int) = pmod(col("vec_id"), lit(2)) === side
+    val src = emb.filter(sideIs(0) && col("vec_id") < 40)
+      .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+    val tgt = emb.filter(sideIs(1))
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec"))
+    val bwd = emb.filter(sideIs(0))
+      .select(col("vec_id").as("bwd_id"), col("embedding").as("bwd_vec"))
+    graft.ext.Similarity.marginMine(src, tgt, bwd, k = 4, minMargin = 1.0,
+      scorer = graft.ext.VectorKernels.cosineF)
+      .orderBy(col("src_id"))
+  }
+
   /** STREAMING drift monitor: q146's PSI report maintained
     * incrementally over the growing corpus (snapshot-recompute
     * mechanics shared with q104b/q105b — drift is corpus-GLOBAL: one
@@ -4118,6 +4142,7 @@ object SparkEntry {
     "q148_nprobe_sweep" -> (q148NprobeSweep _),
     "q149_phrase_blocklist" -> (q149PhraseBlocklist _),
     "q150_length_drift" -> (q150LengthDrift _),
+    "q151_margin_mine" -> (q151MarginMine _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6432,6 +6457,61 @@ object SparkEntry {
         |              / ((j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))),
         |         6) AS psi_term
         |FROM j, t ORDER BY category""".stripMargin,
+
+    // full margin-mining replay: forward top-4 neighborhoods, backward
+    // top-4 over the candidate set, DECIMAL neighborhood sums, argmax
+    // margin per source — the same exact arithmetic, independently
+    // formulated
+    "q151_margin_mine" ->
+      """WITH src AS (
+        |  SELECT vec_id AS src_id, embedding AS sv FROM embeddings
+        |  WHERE vec_id % 2 = 0 AND vec_id < 40),
+        |tgt AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings
+        |        WHERE vec_id % 2 = 1),
+        |bwd AS (SELECT vec_id AS bwd_id, embedding AS bv FROM embeddings
+        |        WHERE vec_id % 2 = 0),
+        |fwd0 AS (
+        |  SELECT s.src_id, t.tgt_id,
+        |         round(list_cosine_similarity(CAST(t.tv AS DOUBLE[]),
+        |                                      CAST(s.sv AS DOUBLE[])), 6) AS cos_sim
+        |  FROM src s CROSS JOIN tgt t),
+        |fwd AS (
+        |  SELECT src_id, tgt_id, cos_sim,
+        |         row_number() OVER (PARTITION BY src_id
+        |                            ORDER BY cos_sim DESC, tgt_id) AS rnk
+        |  FROM fwd0),
+        |cand AS (SELECT * FROM fwd WHERE rnk <= 4),
+        |dx AS (SELECT src_id,
+        |              CAST(sum(CAST(cos_sim AS DECIMAL(18,6))) AS DOUBLE) AS sum_x,
+        |              count(*) AS n_x
+        |       FROM cand GROUP BY 1),
+        |ys AS (SELECT DISTINCT tgt_id FROM cand),
+        |bwd0 AS (
+        |  SELECT t.tgt_id, b.bwd_id,
+        |         round(list_cosine_similarity(CAST(b.bv AS DOUBLE[]),
+        |                                      CAST(t.tv AS DOUBLE[])), 6) AS cs
+        |  FROM tgt t JOIN ys USING (tgt_id) CROSS JOIN bwd b),
+        |bwdr AS (
+        |  SELECT tgt_id, cs,
+        |         row_number() OVER (PARTITION BY tgt_id
+        |                            ORDER BY cs DESC, bwd_id) AS rnk
+        |  FROM bwd0),
+        |dy AS (SELECT tgt_id,
+        |              CAST(sum(CAST(cs AS DECIMAL(18,6))) AS DOUBLE) AS sum_y,
+        |              count(*) AS n_y
+        |       FROM bwdr WHERE rnk <= 4 GROUP BY 1),
+        |scored AS (
+        |  SELECT c.src_id, c.tgt_id, c.cos_sim,
+        |         (dx.sum_x / dx.n_x + dy.sum_y / dy.n_y) / 2 AS den
+        |  FROM cand c JOIN dx USING (src_id) JOIN dy USING (tgt_id)),
+        |m AS (
+        |  SELECT src_id, tgt_id, cos_sim, round(cos_sim / den, 6) AS margin,
+        |         row_number() OVER (PARTITION BY src_id
+        |                            ORDER BY round(cos_sim / den, 6) DESC,
+        |                                     tgt_id) AS rnk
+        |  FROM scored WHERE den > 0)
+        |SELECT src_id, tgt_id, cos_sim, margin FROM m
+        |WHERE rnk = 1 AND margin > 1.0 ORDER BY src_id""".stripMargin,
 
     "q88_dedup_corpus" ->
       """WITH RECURSIVE sh AS (

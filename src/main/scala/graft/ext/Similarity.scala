@@ -90,6 +90,82 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank"))
   }
 
+  /** Margin-based nearest-neighbor pair mining (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 — the LASER/CCMatrix bitext-mining rule): a source
+    * row x pairs with target y when y is x's best neighbor by MARGIN
+    * score — cos(x,y) scaled by the mean of both rows' top-k
+    * neighborhood similarities. Raw cosine over-mines hubs (rows close
+    * to everything); the ratio margin cancels hubness by normalizing
+    * each pair against what "close" means around BOTH endpoints:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgTopK(x→tgt) + avgTopK(y→bwd)) / 2)
+    *
+    * `src` (src_id, src_vec) is the bounded mining slice and
+    * broadcasts; `tgt` (tgt_id, tgt_vec) is the full target side;
+    * `bwd` (bwd_id, bwd_vec) is the corpus the backward neighborhoods
+    * are measured against (normally the full source-side corpus).
+    * Returns (src_id, tgt_id, cos_sim, margin): y = argmax margin per
+    * x, kept only when margin > `minMargin` (> 1 ⇒ closer than the
+    * neighborhood average — the paper's operating point).
+    *
+    * Determinism: cosines round to 6dp; the top-k neighborhood sums
+    * accumulate as DECIMAL(18,6) (exact, order-free), and the margin is
+    * IEEE double arithmetic over those exact inputs — any engine
+    * reproduces it bit-for-bit.
+    *
+    * 100 TB posture: both scoring passes are broadcast map passes over
+    * a partitioned corpus — the forward pass is |src|-bounded, the
+    * backward pass |src|·k-bounded, and no corpus×corpus pair ever
+    * forms; the only shuffles are per-id top-k windows sized by
+    * candidate counts. For an UNBOUNDED src side, produce the two
+    * top-k candidate lists with the IVF-PQ stack ([[ivfTopK]] /
+    * [[graft.ext.Features.ivfAdcTopK]]) and feed them through the same
+    * margin arithmetic.
+    */
+  def marginMine(
+      src: DataFrame, // (src_id, src_vec) — bounded, broadcasts
+      tgt: DataFrame, // (tgt_id, tgt_vec)
+      bwd: DataFrame, // (bwd_id, bwd_vec)
+      k: Int,
+      minMargin: Double,
+      scorer: (Column, Column) => Column = cosine): DataFrame = {
+    require(k > 0, "k must be positive")
+    def topK(pairs: DataFrame, keyCol: String, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("__cs").desc, col(idCol).asc)
+      pairs.withColumn("__rnk", row_number().over(w)).filter(col("__rnk") <= k)
+    }
+    def neighborhood(ranked: DataFrame, keyCol: String, sumAs: String,
+        nAs: String): DataFrame =
+      ranked.groupBy(col(keyCol)).agg(
+        sum(col("__cs").cast("decimal(18,6)")).cast("double").as(sumAs),
+        count(lit(1)).as(nAs))
+    val fwd = topK(
+      tgt.crossJoin(broadcast(src))
+        .withColumn("__cs", round(scorer(col("tgt_vec"), col("src_vec")), 6)),
+      "src_id", "tgt_id")
+    val cand = fwd.select(col("src_id"), col("tgt_id"), col("__cs").as("cos_sim"))
+    val dx = neighborhood(fwd, "src_id", "__sum_x", "__n_x")
+    val yVecs = tgt.join(broadcast(cand.select(col("tgt_id")).distinct()),
+      Seq("tgt_id"), "left_semi")
+    val dy = neighborhood(
+      topK(
+        bwd.crossJoin(broadcast(yVecs))
+          .withColumn("__cs", round(scorer(col("bwd_vec"), col("tgt_vec")), 6)),
+        "tgt_id", "bwd_id"),
+      "tgt_id", "__sum_y", "__n_y")
+    val den = (col("__sum_x") / col("__n_x") + col("__sum_y") / col("__n_y")) /
+      lit(2.0)
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    cand.join(dx, "src_id").join(dy, "tgt_id")
+      .filter(den > 0.0)
+      .withColumn("margin", round(col("cos_sim") / den, 6))
+      .withColumn("__rnk", row_number().over(wBest))
+      .filter(col("__rnk") === 1 && col("margin") > minMargin)
+      .select(col("src_id"), col("tgt_id"), col("cos_sim"), col("margin"))
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold (a < b to emit each
     * pair once). Exact and quadratic — the VERIFIER role: run it only on
     * a bounded sample (mirroring the exact-Jaccard q12 pattern); the

@@ -262,6 +262,22 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq((2L, 1), (3L, 2)))
   }
 
+  test("marginMine: hand-computed margin, argmax pick, threshold") {
+    val src = Seq((10L, Array(1f, 0f))).toDF("src_id", "src_vec")
+    val tgt = Seq((1L, Array(1f, 0f)), (3L, Array(0.8f, 0.6f)),
+      (5L, Array(0f, 1f))).toDF("tgt_id", "tgt_vec")
+    val bwd = Seq((10L, Array(1f, 0f)), (12L, Array(0f, 1f)))
+      .toDF("bwd_id", "bwd_vec")
+    // k=2: avgX = (1.0+0.8)/2 = 0.9; back-neighborhoods: y1 (1.0+0.0)/2
+    // = 0.5, y2 (0.8+0.6)/2 = 0.7; margins y1 = 1/0.7, y2 = 0.8/0.8 = 1
+    // → argmax is y1 at round(1/0.7, 6)
+    val out = Similarity.marginMine(src, tgt, bwd, k = 2, minMargin = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((10L, 1L, 1.0, 1.428571)))
+    // raising the threshold above the best margin mines nothing
+    assert(Similarity.marginMine(src, tgt, bwd, k = 2, minMargin = 1.5).isEmpty)
+  }
+
   test("SRP-LSH finds planted cosine near-dups without a quadratic pass") {
     graft.ext.VectorKernels.register(spark)
     // base vector, a tiny perturbation of it, and an orthogonal one
