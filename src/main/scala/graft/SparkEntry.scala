@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -3921,25 +3921,45 @@ object SparkEntry {
   def q147WebFunnel(spark: SparkSession, dir: String): DataFrame =
     webFunnelReport(spark, Tables.documents(spark, dir))
 
-  /** The q147/q147b funnel body over an arbitrary corpus slice. */
-  private def webFunnelReport(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // plant the two failure classes every web crawl contains, so every
-    // funnel stage provably fires: doc_id%10=0 → identical boilerplate
-    // pages (the dedup stage's prey), doc_id%10=5 → low-diversity spam
-    // (fails the type-token gate)
+  /** The funnel's extraction stage, shared by q147/q147b/q152: plant
+    * the two failure classes every web crawl contains, so every funnel
+    * stage provably fires — doc_id%10=0 → identical boilerplate pages
+    * (the dedup stage's prey), doc_id%10=5 → low-diversity spam (fails
+    * the type-token gate) — then extract text from the synthetic HTML.
+    */
+  private def webFunnelPages(docs: DataFrame): DataFrame = {
     val content = when(pmod(col("doc_id"), lit(10)) === 0,
         lit("limited offer from our partner store click here to claim your reward today"))
       .when(pmod(col("doc_id"), lit(10)) === 5, lit(("buy " * 80).trim))
       .otherwise(col("text"))
-    val s0 = docs.select(col("doc_id"), Text.htmlToText(synthHtmlWith(content)).as("text"))
-    val keepIds = Text.blocklistScreen(s0, "doc_id", "text",
+    docs.select(col("doc_id"), Text.htmlToText(synthHtmlWith(content)).as("text"))
+  }
+
+  /** Funnel stage 1 (shared): the full per-doc blocklist screen, so
+    * both the funnel (survivor ids) and the audit (per-doc keep flag)
+    * provably run the SAME operator with the SAME parameters.
+    */
+  private def webFunnelBlocklistScreen(pages: DataFrame): DataFrame =
+    Text.blocklistScreen(pages, "doc_id", "text",
       terms = Seq("slow", "merge"), maxHits = 4)
-      .filter(col("keep")).select(col("doc_id"))
-    val s1 = s0.join(keepIds, Seq("doc_id"), "left_semi")
+
+  /** Funnel stage 1 (shared): ids surviving the blocklist screen. */
+  private def webFunnelBlocklistIds(pages: DataFrame): DataFrame =
+    webFunnelBlocklistScreen(pages).filter(col("keep")).select(col("doc_id"))
+
+  /** Funnel stage 2 (shared): the length + type-token quality gate. */
+  private def webFunnelQualOk: Column = {
     def toks = Text.tokens(col("text"))
-    val s2 = s1.filter(size(toks) >= 20 &&
-      size(array_distinct(toks)).cast("double") / size(toks) > 0.2)
+    size(toks) >= 20 &&
+      size(array_distinct(toks)).cast("double") / size(toks) > 0.2
+  }
+
+  /** The q147/q147b funnel body over an arbitrary corpus slice. */
+  private def webFunnelReport(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s0 = webFunnelPages(docs)
+    val s1 = s0.join(webFunnelBlocklistIds(s0), Seq("doc_id"), "left_semi")
+    val s2 = s1.filter(webFunnelQualOk)
     val wfp = Window.partitionBy(Text.fingerprint(col("text"))).orderBy(col("doc_id"))
     val s3 = s2.withColumn("__rn", row_number().over(wfp))
       .filter(col("__rn") === 1).drop("__rn")
@@ -3970,6 +3990,41 @@ object SparkEntry {
     graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
       corpus => webFunnelReport(spark, corpus))
       .orderBy(col("stage"))
+  }
+
+  /** Per-doc funnel DROP ATTRIBUTION: q147's aggregate attrition
+    * report says how many docs each stage dropped; this audit says WHY
+    * each individual page dropped (the q122 per-rule-boolean shape
+    * applied to the funnel) — the view a crawl operator actually opens
+    * when a source's yield craters. Runs the SAME shared stage
+    * operators as q147 ([[webFunnelBlocklistScreen]],
+    * [[webFunnelQualOk]]) and expresses the dedup verdict as
+    * min-survivor-id per fingerprint class — exactly the funnel's
+    * row_number keep rule, but as ONE window aggregate with no
+    * join-back, so attribution costs one fingerprint-keyed shuffle on
+    * top of the id-keyed screen join. Verdict is the FIRST failing
+    * stage (a spam page that is also a duplicate reads `2_quality`,
+    * matching where the funnel actually discards it).
+    */
+  def q152FunnelAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pages = webFunnelPages(Tables.documents(spark, dir))
+    val bl = webFunnelBlocklistScreen(pages)
+      .select(col("doc_id"), col("keep").as("pass_blocklist"))
+    val flagged = pages.join(bl, Seq("doc_id"))
+      .withColumn("pass_quality", webFunnelQualOk)
+    val survives = col("pass_blocklist") && col("pass_quality")
+    val canonId = min(when(survives, col("doc_id")))
+      .over(Window.partitionBy(Text.fingerprint(col("text"))))
+    flagged
+      .withColumn("verdict",
+        when(!col("pass_blocklist"), lit("1_blocklist"))
+          .when(!col("pass_quality"), lit("2_quality"))
+          .when(col("doc_id") =!= canonId, lit("3_duplicate"))
+          .otherwise(lit("kept")))
+      .select(col("doc_id"), col("pass_blocklist"), col("pass_quality"),
+        col("verdict"))
+      .orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------------------- maps
@@ -4143,6 +4198,7 @@ object SparkEntry {
     "q149_phrase_blocklist" -> (q149PhraseBlocklist _),
     "q150_length_drift" -> (q150LengthDrift _),
     "q151_margin_mine" -> (q151MarginMine _),
+    "q152_funnel_audit" -> (q152FunnelAudit _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6424,6 +6480,7 @@ object SparkEntry {
     // the streamed funnel's final published report is the full-corpus
     // report — same oracle
     "q147b_funnel_stream" -> webFunnelOracle,
+    "q152_funnel_audit" -> funnelAuditOracle,
 
     "q146_token_drift" -> tokenDriftOracle,
     // the streaming monitor's final published report is bit-identical
@@ -7528,6 +7585,15 @@ object SparkEntry {
     * gate, fingerprint dedup — each stage reporting (docs, id sum,
     * token sum).
     */
+  /** The planted-failure-class content CASE shared by the q147-family
+    * oracles (must mirror [[webFunnelPages]] exactly).
+    */
+  private def webFunnelContentSql: String =
+    """CASE WHEN doc_id % 10 = 0
+      |  THEN 'limited offer from our partner store click here to claim your reward today'
+      |  WHEN doc_id % 10 = 5 THEN trim(repeat('buy ', 80))
+      |  ELSE text END""".stripMargin
+
   private def webFunnelOracle: String = {
     val toks = "regexp_split_to_array(trim(text), '\\s+')"
     val stage = "SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, " +
@@ -7535,13 +7601,8 @@ object SparkEntry {
     def row(name: String, rel: String): String =
       s"""SELECT '$name' AS stage, count(*) AS n_docs, sum(doc_id) AS id_sum,
          |       sum(len($toks)) AS tok_sum FROM $rel""".stripMargin
-    val content =
-      """CASE WHEN doc_id % 10 = 0
-        |  THEN 'limited offer from our partner store click here to claim your reward today'
-        |  WHEN doc_id % 10 = 5 THEN trim(repeat('buy ', 80))
-        |  ELSE text END""".stripMargin
     s"""WITH pages AS (
-       |  SELECT doc_id, ${htmlChainSql(htmlSynthSqlWith(s"($content)"))} AS text
+       |  SELECT doc_id, ${htmlChainSql(htmlSynthSqlWith(s"($webFunnelContentSql)"))} AS text
        |  FROM documents),
        |s1 AS (
        |  SELECT * FROM pages
@@ -7562,6 +7623,41 @@ object SparkEntry {
        |  UNION ALL ${row("2_quality", "s2")}
        |  UNION ALL ${row("3_exact_dedup", "s3")})
        |$stage FROM r ORDER BY stage""".stripMargin
+  }
+
+  /** Oracle for q152: every funnel stage's per-doc predicate replayed
+    * — blocklist hit count, length + type-token gate, min-survivor-id
+    * per fingerprint class — then the first-failing-stage CASE. The
+    * dedup rule here (window min over survivors) and q147's
+    * (row_number = 1) are deliberately different formulations of the
+    * same keep rule, so agreement is a genuine two-way check.
+    */
+  private def funnelAuditOracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH pages AS (
+       |  SELECT doc_id, ${htmlChainSql(htmlSynthSqlWith(s"($webFunnelContentSql)"))} AS text
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, text,
+       |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |        t -> t IN ('merge', 'slow'))) < 4 AS pass_blocklist,
+       |    len($toks) >= 20
+       |      AND len(list_distinct($toks)) / CAST(len($toks) AS DOUBLE) > 0.2
+       |      AS pass_quality
+       |  FROM pages),
+       |g AS (
+       |  SELECT *,
+       |    min(CASE WHEN pass_blocklist AND pass_quality THEN doc_id END)
+       |      OVER (PARTITION BY
+       |              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+       |      AS canon_id
+       |  FROM f)
+       |SELECT doc_id, pass_blocklist, pass_quality,
+       |  CASE WHEN NOT pass_blocklist THEN '1_blocklist'
+       |       WHEN NOT pass_quality THEN '2_quality'
+       |       WHEN doc_id <> canon_id THEN '3_duplicate'
+       |       ELSE 'kept' END AS verdict
+       |FROM g ORDER BY doc_id""".stripMargin
   }
 
   /** Shared by q143 (batch DLQ audit) and q143b (the streaming

@@ -58,4 +58,26 @@ class ContractSpec extends SparkSpec {
     assert(Tables.events(spark, "/root/testdata/sf0.001").count() > 0)
     assert(spark.conf.getOption(key) != Some("true"), "batch read left the conf set")
   }
+
+  test("q152 audit reconciles with q147's aggregate funnel, stage by stage") {
+    // the per-doc attribution and the attrition report are different
+    // formulations over the same shared stages — the audit's verdict
+    // census must reproduce every stage count AND the survivor id sum
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val audit = SparkEntry.queries("q152_funnel_audit")(spark, dir)
+      .groupBy(col("verdict")).agg(
+        count(lit(1)).as("n"), sum(col("doc_id")).as("ids"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val funnel = SparkEntry.queries("q147_web_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def n(v: String) = audit.get(v).map(_._1).getOrElse(0L)
+    assert(n("1_blocklist") + n("2_quality") + n("3_duplicate") + n("kept")
+      == funnel("0_extract")._1, "audit must cover every extracted page")
+    assert(funnel("0_extract")._1 - n("1_blocklist") == funnel("1_blocklist")._1)
+    assert(funnel("1_blocklist")._1 - n("2_quality") == funnel("2_quality")._1)
+    assert(funnel("2_quality")._1 - n("3_duplicate") == funnel("3_exact_dedup")._1)
+    assert(audit("kept")._2 == funnel("3_exact_dedup")._2,
+      "kept ids must be exactly the dedup survivors")
+  }
 }
