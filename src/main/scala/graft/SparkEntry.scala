@@ -4027,6 +4027,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-principal-component projection over the embedding corpus
+    * ([[graft.ext.Features.pcaProjectScaled]]): exact scaled-integer
+    * covariance built distributed, pure-Long power iteration on the
+    * O(dim²) driver-side matrix (the MLlib RowMatrix split), then a
+    * broadcast-literal projection map pass. Fully hash-checked — the
+    * oracle replays the covariance AND all six iterations as unrolled
+    * SQL stages (the q119/q126/q133 bit-reproducible-iteration
+    * discipline, 4th instance).
+    */
+  def q153PcaProject(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Features.pcaProjectScaled(
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  /** EMBEDDING drift: PSI between the two corpus halves over the
+    * top-principal-component projection — the ML-ops view that catches
+    * an embedding-model or upstream-content shift that per-dimension
+    * min/max stats miss (drift shows up along the direction of maximum
+    * variance first). Composes q153's bit-exact projection with the
+    * fixed-bin numeric-drift machinery of q150: the bins are fixed
+    * [-2, 2)×16 by the caller, so the report is comparable across
+    * corpus versions by construction; the projection hash-matching
+    * (q153) makes even the double-valued bucketing deterministic.
+    */
+  def q154EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val proj = graft.ext.Features.pcaProjectScaled(
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
+    def half(side: Int) = proj
+      .filter(pmod(col("vec_id"), lit(2)) === side).select(col("proj"))
+    graft.dq.Analyzers.numericDrift(half(0), half(1), "proj", -2.0, 2.0, 16)
+      .orderBy(col("category"))
+  }
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -4199,6 +4232,8 @@ object SparkEntry {
     "q150_length_drift" -> (q150LengthDrift _),
     "q151_margin_mine" -> (q151MarginMine _),
     "q152_funnel_audit" -> (q152FunnelAudit _),
+    "q153_pca_project" -> (q153PcaProject _),
+    "q154_embedding_drift" -> (q154EmbeddingDrift _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -4491,6 +4526,99 @@ object SparkEntry {
        |                          ORDER BY pr_scaled DESC, doc_id) = 1
        |         AS is_central
        |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
+  /** q153 oracle: the full scaled-integer PCA replayed — quantize,
+    * exact integer moments, centered covariance n·S − M·Mᵀ, the
+    * truncating normalization division, SIX unrolled power-iteration
+    * stages (L∞-normalized, `//` mirroring Spark/Scala truncating
+    * long division — parity verified on negatives), and the final
+    * projection sum. DuckDB's BIGINT sum() widens to HUGEINT, so every
+    * summed stage casts back to BIGINT before reuse.
+    */
+  /** Every CTE in the PCA replay is MATERIALIZED: DuckDB inlines a
+    * CTE per reference, and each iteration references its predecessor
+    * twice — un-materialized, the expansion is 2^iters copies of the
+    * whole moment chain (observed: minutes + fd exhaustion at
+    * sf0.001; 0.6 s materialized).
+    */
+  private val pcaProjectCtes: String = {
+    val iters = (1 to 6).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT cn.i, CAST(sum(cn.cn * v.v) AS BIGINT) AS w
+         |  FROM cn JOIN v${k - 1} v ON v.i = cn.j GROUP BY 1),
+         |x$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT w.i,
+         |         CASE WHEN x.m = 0 THEN pv.v
+         |              ELSE (w.w * 100000) // x.m END AS v
+         |  FROM w$k w CROSS JOIN x$k x JOIN v${k - 1} pv ON pv.i = w.i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         [CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)
+       |          FOR x IN embedding] AS q
+       |  FROM embeddings),
+       |ex AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS qi
+       |  FROM qv),
+       |mm AS MATERIALIZED (
+       |  SELECT i, CAST(sum(qi) AS BIGINT) AS m FROM ex GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM qv),
+       |ss AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS s
+       |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+       |c0 AS MATERIALIZED (
+       |  SELECT ss.i, ss.j, nn.n * ss.s - ma.m * mb.m AS c
+       |  FROM ss CROSS JOIN nn
+       |  JOIN mm ma ON ma.i = ss.i JOIN mm mb ON mb.i = ss.j),
+       |dv AS MATERIALIZED (
+       |  SELECT greatest(max(abs(c)) // 1000000, 1) AS d FROM c0),
+       |cn AS MATERIALIZED (
+       |  SELECT i, j, c // dv.d AS cn FROM c0 CROSS JOIN dv),
+       |v0 AS MATERIALIZED (SELECT i, CAST(100000 AS BIGINT) AS v FROM mm),
+       |$iters,
+       |pj AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         CAST(sum(e.qi * v.v) AS BIGINT) AS proj_scaled,
+       |         round(CAST(sum(e.qi * v.v) AS DOUBLE) / 1000000000.0, 6)
+       |           AS proj
+       |  FROM ex e JOIN v6 v ON v.i = e.i GROUP BY 1)""".stripMargin
+  }
+
+  private val pcaProjectSql: String =
+    s"""WITH $pcaProjectCtes
+       |SELECT vec_id, proj_scaled, proj FROM pj ORDER BY vec_id"""
+      .stripMargin
+
+  /** q154 oracle: the full PCA replay (shared CTE chain) feeding the
+    * q150 fixed-bin PSI replay over the projection.
+    */
+  private val embeddingDriftSql: String = {
+    def bucket = "CAST(least(15, greatest(0, " +
+      "CAST(floor((proj - (-2.0)) / 0.25) AS INT))) AS INT)"
+    s"""WITH $pcaProjectCtes,
+       |o AS (SELECT $bucket AS category FROM pj WHERE vec_id % 2 = 0),
+       |ne AS (SELECT $bucket AS category FROM pj WHERE vec_id % 2 = 1),
+       |oc AS (SELECT category, count(*) AS n_old FROM o GROUP BY 1),
+       |nc AS (SELECT category, count(*) AS n_new FROM ne GROUP BY 1),
+       |j AS (
+       |  SELECT coalesce(oc.category, nc.category) AS category,
+       |         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+       |  FROM oc FULL OUTER JOIN nc ON oc.category = nc.category),
+       |t AS (SELECT sum(n_old) AS tot_old, sum(n_new) AS tot_new,
+       |             count(*) AS n_categories FROM j)
+       |SELECT j.category,
+       |       CAST(j.n_old AS BIGINT) AS n_old,
+       |       CAST(j.n_new AS BIGINT) AS n_new,
+       |       round(
+       |         ((j.n_old + 1) / CAST(t.tot_old + t.n_categories AS DOUBLE)
+       |          - (j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))
+       |         * ln(((j.n_old + 1) / CAST(t.tot_old + t.n_categories AS DOUBLE))
+       |              / ((j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))),
+       |         6) AS psi_term
+       |FROM j, t ORDER BY category""".stripMargin
   }
 
   /** Shared CTE chain of the q136/q137 oracles: the full Okapi BM25
@@ -6481,6 +6609,8 @@ object SparkEntry {
     // report — same oracle
     "q147b_funnel_stream" -> webFunnelOracle,
     "q152_funnel_audit" -> funnelAuditOracle,
+    "q153_pca_project" -> pcaProjectSql,
+    "q154_embedding_drift" -> embeddingDriftSql,
 
     "q146_token_drift" -> tokenDriftOracle,
     // the streaming monitor's final published report is bit-identical

@@ -364,4 +364,115 @@ object Features {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("exact_score"), col("rank"))
   }
+
+  // --------------------------------------- principal-component analysis
+
+  /** Top principal component of the embedding corpus by SCALED-INTEGER
+    * power iteration, plus every vector's projection onto it — the
+    * embedding-curation primitive behind outlier ranking and
+    * whitening-before-dedup, in the repo's bit-reproducible iterative
+    * discipline (4th instance after BPE q119, the classifier q126, and
+    * PageRank q133).
+    *
+    * Pipeline (reference shape: Spark MLlib's RowMatrix PCA — Gramian
+    * built distributed, the dim×dim eigensolve is model-sized driver
+    * work):
+    *  1. quantize: q_i = round(x_i · scaleQ) as long — one map pass;
+    *  2. exact integer moments, distributed: M_i = Σ q_i (one keyed
+    *     agg) and S_ij = Σ q_i·q_j (id-keyed self-join of the exploded
+    *     form, partial-agg'd into dim² cells);
+    *  3. centered covariance ·n², exact: C_ij = n·S_ij − M_i·M_j —
+    *     long arithmetic throughout, so the matrix is identical on any
+    *     partitioning and any engine;
+    *  4. normalize C to |Cn| ≤ scaleC via one truncating division and
+    *     power-iterate in pure Long on the driver (the matrix is
+    *     O(dim²) — the pqTrainCodebooks-class bounded hop): w = Cn·v,
+    *     v' = (w · scaleV) div max|w|, L∞ normalization so no sqrt
+    *     enters the arithmetic;
+    *  5. project: proj_scaled = Σ q_i·v_i as a broadcast-literal map
+    *     pass over the corpus — no shuffle.
+    *
+    * Every step is integer-exact, so an external SQL engine replays
+    * the whole run — covariance, all iterations, projections —
+    * bit-for-bit (truncating `div` ↔ DuckDB `//`, verified on
+    * negatives). Overflow bound: exact while n·(scaleQ·|x|_max)² <
+    * 2⁶³ — at the defaults and |x| ≤ 0.5 that is ~3.7e11 vectors
+    * (≈ 100 TB of 64-dim float32); scaleQ is the dial trading
+    * per-element precision for headroom beyond that.
+    *
+    * Covariance is PSD, so the dominant eigenvalue is ≥ 0 and the
+    * iterate's sign never oscillates; the deterministic all-ones start
+    * fixes the returned sign. A zero iterate (all-constant corpus)
+    * keeps the previous vector — deterministic on both sides.
+    *
+    * Returns (idCol, proj_scaled, proj) with proj = proj_scaled /
+    * (scaleQ·scaleV) rounded to 6 dp.
+    */
+  def pcaProjectScaled(
+      df: DataFrame, idCol: String, vecCol: String, iters: Int = 6,
+      scaleQ: Long = 10000L, scaleC: Long = 1000000L,
+      scaleV: Long = 100000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val qv = df.select(col(idCol),
+      transform(col(vecCol),
+        x => round(x.cast("double") * scaleQ, 0).cast("long")).as("__q"))
+    val ex = qv.select(col(idCol), posexplode(col("__q")).as(Seq("i", "q")))
+
+    // first moments + per-dim count: O(dim) rows to the driver; the
+    // count doubles as the ragged-dimension guard
+    val mRows = ex.groupBy(col("i"))
+      .agg(sum(col("q")).as("m"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(mRows.nonEmpty, "pcaProjectScaled: empty input")
+    require(mRows.map(_._3).distinct.length == 1,
+      "pcaProjectScaled: ragged vector dimensions")
+    val dim = mRows.length
+    val n = mRows.head._3
+    val mArr = {
+      val a = new Array[Long](dim)
+      mRows.foreach { case (i, m, _) => a(i) = m }
+      a.toSeq
+    }
+
+    // second moments distributed, then C = n·S − M_i·M_j with M as a
+    // foldable literal; the collect is the bounded O(dim²) model hop
+    val a = ex.select(col(idCol).as("__id"), col("i"), col("q"))
+    val b = ex.select(col(idCol).as("__id"), col("i").as("j"), col("q").as("p"))
+    val mLit = typedLit(mArr)
+    val cRows = a.join(b, "__id")
+      .groupBy(col("i"), col("j")).agg(sum(col("q") * col("p")).as("s"))
+      .select(col("i"), col("j"),
+        (lit(n) * col("s")
+          - element_at(mLit, col("i") + 1) * element_at(mLit, col("j") + 1))
+          .as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+
+    val cMat = Array.ofDim[Long](dim, dim)
+    cRows.foreach { case (i, j, c) => cMat(i)(j) = c }
+    val maxAbs = cRows.map(r => math.abs(r._3)).foldLeft(0L)(math.max)
+    val divisor = math.max(maxAbs / scaleC, 1L)
+    val cn = cMat.map(_.map(_ / divisor))
+
+    var v = Array.fill(dim)(scaleV)
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += cn(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(math.abs).foldLeft(0L)(math.max)
+      if (m != 0L) v = w.map(wi => wi * scaleV / m)
+      it += 1
+    }
+
+    val vLit = typedLit(v.toSeq)
+    qv.select(col(idCol),
+      aggregate(zip_with(col("__q"), vLit, (q, c) => q * c),
+        lit(0L), (acc, x) => acc + x).as("proj_scaled"))
+      .withColumn("proj",
+        round(col("proj_scaled").cast("double")
+          / (scaleQ * scaleV).toDouble, 6))
+  }
 }

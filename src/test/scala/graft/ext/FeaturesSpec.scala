@@ -225,4 +225,45 @@ class FeaturesSpec extends SparkSpec {
       .filter(col("dim") === 0).select("scaled")
     assert(r.collect().forall(_.isNullAt(0)))
   }
+
+  test("pcaProjectScaled: hand-checked axis-aligned corpus") {
+    // vectors along the x-axis: q = (1e4, 0), (2e4, 0), (3e4, 0)
+    // M = (6e4, 0); S_00 = 1.4e9; C_00 = 3·1.4e9 − 3.6e9 = 6e8, rest 0
+    // divisor = 6e8/1e6 = 600 → Cn_00 = 1e6; one iteration lands the
+    // component exactly on (1e5, 0) → proj_scaled = q_x · 1e5
+    val axis = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(3.0f, 0.0f))).toDF("id", "vec")
+    val r = Features.pcaProjectScaled(axis, "id", "vec")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, 1000000000L), (2L, 2000000000L), (3L, 3000000000L)))
+    assert(r.map(_._3).toSeq == Seq(1.0, 2.0, 3.0))
+    // the returned projection frame is a broadcast-literal map pass:
+    // covariance/iteration live behind the bounded driver hops, so
+    // consuming the result never joins or shuffles the corpus
+    val plan = Features.pcaProjectScaled(axis, "id", "vec")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(600))
+  }
+
+  test("pcaProjectScaled: all-constant corpus keeps the all-ones start") {
+    // C is identically zero → every iterate is zero → v stays at the
+    // deterministic start (scaleV per dim); proj = sum(q) · scaleV
+    val const = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("id", "vec")
+    val r = Features.pcaProjectScaled(const, "id", "vec")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.forall(_._2 == 2000000000L) && r.forall(_._3 == 2.0))
+  }
+
+  test("pcaProjectScaled refuses empty and ragged input") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Features.pcaProjectScaled(empty, "id", "vec")
+    }
+    val ragged = Seq((1L, Array(1.0f)), (2L, Array(1.0f, 2.0f))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Features.pcaProjectScaled(ragged, "id", "vec")
+    }
+  }
 }
