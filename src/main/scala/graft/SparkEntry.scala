@@ -4060,6 +4060,19 @@ object SparkEntry {
       .orderBy(col("category"))
   }
 
+  /** Diverse coreset selection
+    * ([[graft.ext.Similarity.farthestPointSample]]): k-center greedy
+    * over the embedding corpus — 12 rounds of
+    * one-map-pass-plus-argmax, distances exact scaled-integer squared
+    * L2, so the whole selection is hash-checked against an oracle
+    * that replays all 12 rounds in the incremental
+    * least(md, d²-to-new-center) form.
+    */
+  def q155CoresetSelect(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Similarity.farthestPointSample(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 12)
+      .orderBy(col("sel_rank"))
+
   // ------------------------------------------------------------- maps
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -4234,6 +4247,7 @@ object SparkEntry {
     "q152_funnel_audit" -> (q152FunnelAudit _),
     "q153_pca_project" -> (q153PcaProject _),
     "q154_embedding_drift" -> (q154EmbeddingDrift _),
+    "q155_coreset_select" -> (q155CoresetSelect _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -4619,6 +4633,51 @@ object SparkEntry {
        |              / ((j.n_new + 1) / CAST(t.tot_new + t.n_categories AS DOUBLE))),
        |         6) AS psi_term
        |FROM j, t ORDER BY category""".stripMargin
+  }
+
+  /** q155 oracle: all 12 k-center greedy rounds replayed in the
+    * incremental form — m_r = least(m_{r−1}, d² to the new center)
+    * with the chosen id dropped per stage — which equals the Spark
+    * side's fresh least-over-all-centers because `least` is
+    * associative over the same exact integer distances. MATERIALIZED
+    * per stage (each m/s is referenced twice downstream).
+    */
+  private val farthestPointSql: String = {
+    val k = 12
+    def sq(p: String, c: String): String =
+      s"CAST(list_sum([($p.q[i] - $c.q[i]) * ($p.q[i] - $c.q[i]) " +
+        s"FOR i IN range(1, len($p.q) + 1)]) AS BIGINT)"
+    val argmax = (2 to k).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT $r AS sel_rank, vec_id, q, md FROM m${r - 1}
+         |  ORDER BY md DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }
+    val updates = (2 until k).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT p.vec_id, p.q, least(p.md, ${sq("p", "c")}) AS md
+         |  FROM m${r - 1} p CROSS JOIN s$r c
+         |  WHERE p.vec_id <> c.vec_id)""".stripMargin
+    }
+    // interleave: s2, m2, s3, m3, …, s12
+    val stages = (argmax.dropRight(1).zip(updates)
+      .flatMap { case (s, m) => Seq(s, m) } :+ argmax.last).mkString(",\n")
+    val union = (1 to k)
+      .map(r => s"SELECT sel_rank, vec_id, md AS min_dist_q2 FROM s$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         [CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)
+       |          FOR x IN embedding] AS q
+       |  FROM embeddings),
+       |s1 AS MATERIALIZED (
+       |  SELECT 1 AS sel_rank, vec_id, q, CAST(0 AS BIGINT) AS md
+       |  FROM qv ORDER BY vec_id LIMIT 1),
+       |m1 AS MATERIALIZED (
+       |  SELECT p.vec_id, p.q, ${sq("p", "c")} AS md
+       |  FROM qv p CROSS JOIN s1 c WHERE p.vec_id <> c.vec_id),
+       |$stages
+       |$union
+       |ORDER BY sel_rank""".stripMargin
   }
 
   /** Shared CTE chain of the q136/q137 oracles: the full Okapi BM25
@@ -6611,6 +6670,7 @@ object SparkEntry {
     "q152_funnel_audit" -> funnelAuditOracle,
     "q153_pca_project" -> pcaProjectSql,
     "q154_embedding_drift" -> embeddingDriftSql,
+    "q155_coreset_select" -> farthestPointSql,
 
     "q146_token_drift" -> tokenDriftOracle,
     // the streaming monitor's final published report is bit-identical

@@ -488,4 +488,76 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank"))
   }
+
+  // ------------------------------------------ diverse coreset selection
+
+  /** k-center GREEDY (farthest-point) coreset selection — Gonzalez
+    * 1985's 2-approximation, the shape Sener & Savarese 2018 use for
+    * active-learning core-sets: starting from the lowest-id vector,
+    * repeatedly pick the vector whose distance to the chosen set is
+    * LARGEST. The selection maximizes coverage diversity — the
+    * embedding-space answer to "which k examples best represent this
+    * corpus" (seed-prompt pools, eval-set picks, dedup anchors).
+    *
+    * Determinism: distances are EXACT — vectors quantize to longs
+    * (q = round(x·scaleQ), the PCA q153 convention) and squared L2 is
+    * an integer sum, so there is no float accumulation order and no
+    * rounding boundary anywhere; ties break to the lowest id. An
+    * external SQL engine replays the whole selection bit-for-bit via
+    * the incremental form md_r = least(md_{r−1}, d²(·, c_r)) — equal
+    * to this implementation's fresh least-over-all-centers because
+    * `least` is associative over the same exact values.
+    *
+    * Execution shape (the BPE/q119 iterative discipline): the chosen
+    * set is a bounded driver literal (≤ k·dim longs); each round is
+    * ONE distributed map pass (min distance to ≤ k foldable literal
+    * centers, already-chosen ids excluded by a foldable NOT IN) +
+    * TakeOrderedAndProject(1) — driver traffic is one row per round,
+    * nothing corpus-sized ever moves. Exact overflow bound:
+    * dim·(2·scaleQ·|x|_max)² < 2⁶³ per pair — ~10⁹ headroom at the
+    * defaults.
+    *
+    * Returns (sel_rank, idCol, min_dist_q2) — min_dist_q2 is the
+    * exact scaled squared distance to the previously-chosen set at
+    * selection time (0 for the seed). Stops early (fewer than k rows)
+    * only when the corpus has fewer than k vectors.
+    */
+  def farthestPointSample(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      scaleQ: Long = 10000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = df.select(col(idCol),
+      transform(col(vecCol),
+        x => round(x.cast("double") * scaleQ, 0).cast("long")).as("__q"))
+    def sqDistTo(center: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("__q"), typedLit(center), (a, b) => {
+          val d = a - b; d * d
+        }),
+        lit(0L), (acc, v) => acc + v)
+
+    val seed = base.orderBy(col(idCol).asc).limit(1).collect()
+    require(seed.nonEmpty, "farthestPointSample: empty input")
+    def idOf(r: org.apache.spark.sql.Row): Long = r.getLong(0)
+    def qOf(r: org.apache.spark.sql.Row): Seq[Long] = r.getSeq[Long](1)
+
+    var chosen = Vector((idOf(seed(0)), qOf(seed(0)), 0L))
+    var exhausted = false
+    while (chosen.size < k && !exhausted) {
+      val minDist = chosen.map(c => sqDistTo(c._2)).reduce(least(_, _))
+      val next = base
+        .filter(!col(idCol).isin(chosen.map(_._1): _*))
+        .select(col(idCol), col("__q"), minDist.as("__d"))
+        .orderBy(col("__d").desc, col(idCol).asc)
+        .limit(1).collect()
+      if (next.isEmpty) exhausted = true
+      else chosen :+= ((idOf(next(0)), qOf(next(0)), next(0).getLong(2)))
+    }
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("sel_rank", idCol, "min_dist_q2")
+  }
 }

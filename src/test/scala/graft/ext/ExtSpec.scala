@@ -1091,4 +1091,24 @@ class ExtSpec extends SparkSpec {
     assert(stop.map(_._3) == Seq(1L, 2L))
     assert(stop.forall(_._4 > 0.0))
   }
+
+  test("farthestPointSample: hand-checked greedy order on a line") {
+    // points at x = 0, 1, 10, 11, 30 → seed id1, then the far end
+    // (30), then 11 (farthest from {0,30}), then the 1e8-tie between
+    // ids 2 and 3 breaks to the lower id
+    val pts = Seq((1L, Array(0.0f, 0f)), (2L, Array(1.0f, 0f)),
+      (3L, Array(10.0f, 0f)), (4L, Array(11.0f, 0f)),
+      (5L, Array(30.0f, 0f))).toDF("vec_id", "vec")
+    val r = Similarity.farthestPointSample(pts, "vec_id", "vec", k = 5)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1, 1L, 0L), (2, 5L, 90000000000L),
+      (3, 4L, 12100000000L), (4, 2L, 100000000L), (5, 3L, 100000000L)))
+  }
+
+  test("farthestPointSample: k beyond corpus stops early; duplicates land at 0") {
+    val dup = Seq((7L, Array(1.0f)), (9L, Array(1.0f))).toDF("vec_id", "vec")
+    val r = Similarity.farthestPointSample(dup, "vec_id", "vec", k = 5)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1, 7L, 0L), (2, 9L, 0L)))
+  }
 }
