@@ -4041,6 +4041,19 @@ object SparkEntry {
       Tables.embeddings(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
 
+  /** Two-component PCA reduction
+    * ([[graft.ext.Features.pcaProject2Scaled]]): q153 plus one
+    * integer-exact Hotelling deflation and a second power iteration —
+    * the corpus reduced to the 2-D plane of maximum variance (the
+    * visualization/whitening surface). The oracle replays the
+    * deflation's int128 Rayleigh arithmetic and all twelve iteration
+    * stages.
+    */
+  def q153bPca2Project(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Features.pcaProject2Scaled(
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
   /** EMBEDDING drift: PSI between the two corpus halves over the
     * top-principal-component projection — the ML-ops view that catches
     * an embedding-model or upstream-content shift that per-dimension
@@ -4246,6 +4259,7 @@ object SparkEntry {
     "q151_margin_mine" -> (q151MarginMine _),
     "q152_funnel_audit" -> (q152FunnelAudit _),
     "q153_pca_project" -> (q153PcaProject _),
+    "q153b_pca2_project" -> (q153bPca2Project _),
     "q154_embedding_drift" -> (q154EmbeddingDrift _),
     "q155_coreset_select" -> (q155CoresetSelect _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
@@ -4556,19 +4570,26 @@ object SparkEntry {
     * whole moment chain (observed: minutes + fd exhaustion at
     * sf0.001; 0.6 s materialized).
     */
+  /** One power-iteration stage over matrix CTE `mat` (columns i, j,
+    * cn), vector prefix `vp` (stages `$vp{k-1}` → `$vp$k`) — shared
+    * by the q153 chain and the q153b post-deflation chain.
+    */
+  private def pcaIterSql(
+      mat: String, wp: String, xp: String, vp: String, k: Int): String =
+    s"""$wp$k AS MATERIALIZED (
+       |  SELECT t.i, CAST(sum(t.cn * v.v) AS BIGINT) AS w
+       |  FROM $mat t JOIN $vp${k - 1} v ON v.i = t.j GROUP BY 1),
+       |$xp$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM $wp$k),
+       |$vp$k AS MATERIALIZED (
+       |  SELECT w.i,
+       |         CASE WHEN x.m = 0 THEN pv.v
+       |              ELSE (w.w * 100000) // x.m END AS v
+       |  FROM $wp$k w CROSS JOIN $xp$k x JOIN $vp${k - 1} pv ON pv.i = w.i)"""
+      .stripMargin
+
   private val pcaProjectCtes: String = {
-    val iters = (1 to 6).map { k =>
-      s"""w$k AS MATERIALIZED (
-         |  SELECT cn.i, CAST(sum(cn.cn * v.v) AS BIGINT) AS w
-         |  FROM cn JOIN v${k - 1} v ON v.i = cn.j GROUP BY 1),
-         |x$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
-         |v$k AS MATERIALIZED (
-         |  SELECT w.i,
-         |         CASE WHEN x.m = 0 THEN pv.v
-         |              ELSE (w.w * 100000) // x.m END AS v
-         |  FROM w$k w CROSS JOIN x$k x JOIN v${k - 1} pv ON pv.i = w.i)"""
-        .stripMargin
-    }.mkString(",\n")
+    val iters = (1 to 6).map(pcaIterSql("cn", "w", "x", "v", _))
+      .mkString(",\n")
     s"""qv AS MATERIALIZED (
        |  SELECT vec_id,
        |         [CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)
@@ -4605,6 +4626,44 @@ object SparkEntry {
     s"""WITH $pcaProjectCtes
        |SELECT vec_id, proj_scaled, proj FROM pj ORDER BY vec_id"""
       .stripMargin
+
+  /** q153b oracle: the q153 chain plus the Hotelling deflation —
+    * Rayleigh quotient in int128 (DuckDB HUGEINT ↔ the Scala BigInt
+    * driver arithmetic; `//` truncation-toward-zero parity verified
+    * on negative int128 values), C₂ = Cn − (v·vᵀ·vᵀCnv)//(vᵀv)², six
+    * more unrolled iterations, and the second projection.
+    */
+  private val pca2ProjectSql: String = {
+    val iters = (1 to 6).map(pcaIterSql("c2", "fw", "fx", "fv", _))
+      .mkString(",\n")
+    s"""WITH $pcaProjectCtes,
+       |rw AS MATERIALIZED (
+       |  SELECT t.i, CAST(sum(t.cn * v.v) AS BIGINT) AS w
+       |  FROM cn t JOIN v6 v ON v.i = t.j GROUP BY 1),
+       |ray AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(v.v AS HUGEINT) * w.w) AS HUGEINT) AS num,
+       |         CAST(sum(CAST(v.v AS HUGEINT) * v.v) AS HUGEINT) AS den
+       |  FROM v6 v JOIN rw w ON w.i = v.i),
+       |c2 AS MATERIALIZED (
+       |  SELECT t.i, t.j,
+       |         CAST(CAST(t.cn AS HUGEINT)
+       |              - (CAST(va.v AS HUGEINT) * vb.v * ray.num)
+       |                // (ray.den * ray.den) AS BIGINT) AS cn
+       |  FROM cn t JOIN v6 va ON va.i = t.i JOIN v6 vb ON vb.i = t.j
+       |  CROSS JOIN ray),
+       |fv0 AS MATERIALIZED (SELECT i, CAST(100000 AS BIGINT) AS v FROM mm),
+       |$iters,
+       |pj2 AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         CAST(sum(e.qi * v.v) AS BIGINT) AS proj2_scaled,
+       |         round(CAST(sum(e.qi * v.v) AS DOUBLE) / 1000000000.0, 6)
+       |           AS proj2
+       |  FROM ex e JOIN fv6 v ON v.i = e.i GROUP BY 1)
+       |SELECT pj.vec_id, pj.proj_scaled AS proj1_scaled,
+       |       pj2.proj2_scaled, pj.proj AS proj1, pj2.proj2
+       |FROM pj JOIN pj2 ON pj2.vec_id = pj.vec_id
+       |ORDER BY pj.vec_id""".stripMargin
+  }
 
   /** q154 oracle: the full PCA replay (shared CTE chain) feeding the
     * q150 fixed-bin PSI replay over the projection.
@@ -6669,6 +6728,7 @@ object SparkEntry {
     "q147b_funnel_stream" -> webFunnelOracle,
     "q152_funnel_audit" -> funnelAuditOracle,
     "q153_pca_project" -> pcaProjectSql,
+    "q153b_pca2_project" -> pca2ProjectSql,
     "q154_embedding_drift" -> embeddingDriftSql,
     "q155_coreset_select" -> farthestPointSql,
 

@@ -413,19 +413,63 @@ object Features {
       scaleQ: Long = 10000L, scaleC: Long = 1000000L,
       scaleV: Long = 100000L): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val qv = df.select(col(idCol),
+    val qv = pcaQuantize(df, idCol, vecCol, scaleQ)
+    val cn = pcaNormalizedCov(qv, idCol, scaleC)
+    val v = pcaPowerIterate(cn, iters, scaleV)
+    qv.select(col(idCol), pcaDot(v).as("proj_scaled"))
+      .withColumn("proj",
+        round(col("proj_scaled").cast("double")
+          / (scaleQ * scaleV).toDouble, 6))
+  }
+
+  /** Top TWO principal components: [[pcaProjectScaled]] plus one
+    * Hotelling deflation — C₂ = Cn − (vᵀCn v)·v vᵀ/(vᵀv)² — and a
+    * second power iteration, all still integer-exact (the deflation's
+    * cross products exceed 2⁶³, so they run in BigInt ↔ the replaying
+    * engine's int128; truncating division parity verified on
+    * negatives). Deflation against the APPROXIMATE first component is
+    * the standard Hotelling shape: the second component is orthogonal
+    * to the returned v₁, which is what projection consumers need.
+    * Returns (idCol, proj1_scaled, proj2_scaled, proj1, proj2) — a
+    * genuine 2-D reduction of the corpus, the visualization/whitening
+    * surface.
+    */
+  def pcaProject2Scaled(
+      df: DataFrame, idCol: String, vecCol: String, iters: Int = 6,
+      scaleQ: Long = 10000L, scaleC: Long = 1000000L,
+      scaleV: Long = 100000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val qv = pcaQuantize(df, idCol, vecCol, scaleQ)
+    val cn = pcaNormalizedCov(qv, idCol, scaleC)
+    val v1 = pcaPowerIterate(cn, iters, scaleV)
+    val v2 = pcaPowerIterate(pcaDeflate(cn, v1), iters, scaleV)
+    val denom = (scaleQ * scaleV).toDouble
+    qv.select(col(idCol),
+      pcaDot(v1).as("proj1_scaled"), pcaDot(v2).as("proj2_scaled"))
+      .withColumn("proj1", round(col("proj1_scaled").cast("double") / denom, 6))
+      .withColumn("proj2", round(col("proj2_scaled").cast("double") / denom, 6))
+  }
+
+  private def pcaQuantize(
+      df: DataFrame, idCol: String, vecCol: String, scaleQ: Long): DataFrame =
+    df.select(col(idCol),
       transform(col(vecCol),
         x => round(x.cast("double") * scaleQ, 0).cast("long")).as("__q"))
-    val ex = qv.select(col(idCol), posexplode(col("__q")).as(Seq("i", "q")))
 
-    // first moments + per-dim count: O(dim) rows to the driver; the
-    // count doubles as the ragged-dimension guard
+  /** Exact integer covariance ·n², normalized to |Cn| ≤ scaleC by one
+    * truncating division. First moments + per-dim count are an O(dim)
+    * driver hop (the count doubles as the ragged-dimension guard);
+    * second moments come back as the bounded O(dim²) model hop.
+    */
+  private def pcaNormalizedCov(
+      qv: DataFrame, idCol: String, scaleC: Long): Array[Array[Long]] = {
+    val ex = qv.select(col(idCol), posexplode(col("__q")).as(Seq("i", "q")))
     val mRows = ex.groupBy(col("i"))
       .agg(sum(col("q")).as("m"), count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    require(mRows.nonEmpty, "pcaProjectScaled: empty input")
+    require(mRows.nonEmpty, "pca: empty input")
     require(mRows.map(_._3).distinct.length == 1,
-      "pcaProjectScaled: ragged vector dimensions")
+      "pca: ragged vector dimensions")
     val dim = mRows.length
     val n = mRows.head._3
     val mArr = {
@@ -433,9 +477,6 @@ object Features {
       mRows.foreach { case (i, m, _) => a(i) = m }
       a.toSeq
     }
-
-    // second moments distributed, then C = n·S − M_i·M_j with M as a
-    // foldable literal; the collect is the bounded O(dim²) model hop
     val a = ex.select(col(idCol).as("__id"), col("i"), col("q"))
     val b = ex.select(col(idCol).as("__id"), col("i").as("j"), col("q").as("p"))
     val mLit = typedLit(mArr)
@@ -446,13 +487,19 @@ object Features {
           - element_at(mLit, col("i") + 1) * element_at(mLit, col("j") + 1))
           .as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-
     val cMat = Array.ofDim[Long](dim, dim)
     cRows.foreach { case (i, j, c) => cMat(i)(j) = c }
     val maxAbs = cRows.map(r => math.abs(r._3)).foldLeft(0L)(math.max)
     val divisor = math.max(maxAbs / scaleC, 1L)
-    val cn = cMat.map(_.map(_ / divisor))
+    cMat.map(_.map(_ / divisor))
+  }
 
+  /** Pure-Long power iteration with L∞ normalization (no sqrt): w =
+    * Cn·v, v' = (w·scaleV) div max|w|; a zero iterate keeps v.
+    */
+  private def pcaPowerIterate(
+      cn: Array[Array[Long]], iters: Int, scaleV: Long): Array[Long] = {
+    val dim = cn.length
     var v = Array.fill(dim)(scaleV)
     var it = 0
     while (it < iters) {
@@ -466,13 +513,36 @@ object Features {
       if (m != 0L) v = w.map(wi => wi * scaleV / m)
       it += 1
     }
-
-    val vLit = typedLit(v.toSeq)
-    qv.select(col(idCol),
-      aggregate(zip_with(col("__q"), vLit, (q, c) => q * c),
-        lit(0L), (acc, x) => acc + x).as("proj_scaled"))
-      .withColumn("proj",
-        round(col("proj_scaled").cast("double")
-          / (scaleQ * scaleV).toDouble, 6))
+    v
   }
+
+  /** Hotelling deflation, integer-exact: C₂ᵢⱼ = Cnᵢⱼ −
+    * (vᵢ·vⱼ·vᵀCn v) div (vᵀv)². The cross products exceed long range,
+    * so they run in BigInt (↔ int128 in a replaying SQL engine; both
+    * divisions truncate toward zero). v is never all-zero (L∞
+    * normalization pins max|v| = scaleV), so vᵀv > 0.
+    */
+  private def pcaDeflate(
+      cn: Array[Array[Long]], v: Array[Long]): Array[Array[Long]] = {
+    val dim = v.length
+    val w = Array.tabulate(dim) { i =>
+      var acc = 0L
+      var j = 0
+      while (j < dim) { acc += cn(i)(j) * v(j); j += 1 }
+      acc
+    }
+    val num = (0 until dim).map(i => BigInt(v(i)) * w(i)).sum
+    val den = (0 until dim).map(i => BigInt(v(i)) * v(i)).sum
+    val den2 = den * den
+    Array.tabulate(dim, dim) { (i, j) =>
+      (BigInt(cn(i)(j)) - (BigInt(v(i)) * v(j) * num) / den2).toLong
+    }
+  }
+
+  /** Broadcast-literal integer dot product against the quantized
+    * column — the shuffle-free projection map pass.
+    */
+  private def pcaDot(v: Array[Long]): Column =
+    aggregate(zip_with(col("__q"), typedLit(v.toSeq), (q, c) => q * c),
+      lit(0L), (acc, x) => acc + x)
 }

@@ -256,6 +256,27 @@ class FeaturesSpec extends SparkSpec {
     assert(r.forall(_._2 == 2000000000L) && r.forall(_._3 == 2.0))
   }
 
+  test("pcaProject2Scaled: deflation recovers the exact second axis") {
+    // two independent axes with 16:1 variance ratio and zero cross
+    // term: Cn = diag(1e6, 62500, 0). v1 converges to (1e5, 0, 0)
+    // EXACTLY in 6 iterations (v_s shrinks by //16 per step:
+    // 1e5→6250→390→24→1→0), deflation zeroes C2_tt exactly
+    // ((1e10·1e16)//1e20 = 1e6), and v2 = (0, 1e5, 0) — so both
+    // projections are exact hand values
+    val pts = Seq(
+      (1L, Array(0.0f, 0.5f, 0f)), (2L, Array(2.0f, 0.0f, 0f)),
+      (3L, Array(2.0f, 1.0f, 0f)), (4L, Array(4.0f, 0.5f, 0f)))
+      .toDF("id", "vec")
+    val r = Features.pcaProject2Scaled(pts, "id", "vec")
+      .select("id", "proj1_scaled", "proj2_scaled", "proj1", "proj2")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 0L, 500000000L, 0.0, 0.5),
+      (2L, 2000000000L, 0L, 2.0, 0.0),
+      (3L, 2000000000L, 1000000000L, 2.0, 1.0),
+      (4L, 4000000000L, 500000000L, 4.0, 0.5)))
+  }
+
   test("pcaProjectScaled refuses empty and ragged input") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
     intercept[IllegalArgumentException] {
