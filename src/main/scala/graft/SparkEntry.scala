@@ -4073,6 +4073,22 @@ object SparkEntry {
       .orderBy(col("category"))
   }
 
+  /** Exact Kolmogorov–Smirnov drift ([[graft.dq.Analyzers.ksDrift]])
+    * on document length between the two corpus halves: the bin-free
+    * companion to q150's fixed-bin PSI. The supremum, its location,
+    * and the tie-break are pure long arithmetic (cross-multiplied CDF
+    * comparison; two-phase prefix sums) — the oracle replays the CDFs
+    * with one global window, a deliberately different formulation of
+    * the same exact quantities.
+    */
+  def q156KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def half(side: Int) = docs
+      .filter(pmod(col("doc_id"), lit(2)) === side)
+      .select(length(col("text")).as("len"))
+    graft.dq.Analyzers.ksDrift(half(0), half(1), "len")
+  }
+
   /** Diverse coreset selection
     * ([[graft.ext.Similarity.farthestPointSample]]): k-center greedy
     * over the embedding corpus — 12 rounds of
@@ -4262,6 +4278,7 @@ object SparkEntry {
     "q153b_pca2_project" -> (q153bPca2Project _),
     "q154_embedding_drift" -> (q154EmbeddingDrift _),
     "q155_coreset_select" -> (q155CoresetSelect _),
+    "q156_ks_drift" -> (q156KsDrift _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -6731,6 +6748,32 @@ object SparkEntry {
     "q153b_pca2_project" -> pca2ProjectSql,
     "q154_embedding_drift" -> embeddingDriftSql,
     "q155_coreset_select" -> farthestPointSql,
+    // single-global-window CDF replay vs the engine's two-phase
+    // prefix sums — same exact integers, different formulation
+    "q156_ks_drift" ->
+      """WITH o AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS v FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |ne AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS v FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |u AS (SELECT v, 1 AS a, 0 AS b FROM o
+        |      UNION ALL SELECT v, 0, 1 FROM ne),
+        |pv AS (SELECT v, CAST(sum(a) AS BIGINT) AS c_old,
+        |              CAST(sum(b) AS BIGINT) AS c_new
+        |       FROM u GROUP BY 1),
+        |t AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+        |             CAST(sum(c_new) AS BIGINT) AS n_new FROM pv),
+        |c AS (SELECT v,
+        |        CAST(sum(c_old) OVER (ORDER BY v) AS BIGINT) AS cum_old,
+        |        CAST(sum(c_new) OVER (ORDER BY v) AS BIGINT) AS cum_new
+        |      FROM pv),
+        |d AS (SELECT c.v, abs(cum_old * t.n_new - cum_new * t.n_old) AS d_num,
+        |             t.n_old, t.n_new
+        |      FROM c, t)
+        |SELECT v AS at_value, CAST(d_num AS BIGINT) AS d_num, n_old, n_new,
+        |       round(CAST(d_num AS DOUBLE) / nullif(n_old * n_new, 0), 6) AS ks
+        |FROM d ORDER BY d_num DESC, v ASC LIMIT 1""".stripMargin,
 
     "q146_token_drift" -> tokenDriftOracle,
     // the streaming monitor's final published report is bit-identical

@@ -176,4 +176,22 @@ class DqSpec extends SparkSpec {
     // buckets of width 10: old → 0,0,0,1,9(x2: 99 and clamped 250); new → 0, 9
     assert(out.toSeq == Seq((0, 3L, 1L), (1, 1L, 0L), (9, 2L, 1L)))
   }
+
+  test("ksDrift: hand-computed supremum, location, and exact numerator") {
+    // old = {1, 3}, new = {2, 3}: F_old(1)=.5 F_new(1)=0 → D=.5 at v=1
+    val old = Seq(1L, 3L).toDF("v")
+    val neu = Seq(2L, 3L).toDF("v")
+    val r = Analyzers.ksDrift(old, neu, "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((1L, 2L, 2L, 2L, 0.5)))
+    // identical distributions → D = 0 (argmax ties to the lowest value)
+    val same = Analyzers.ksDrift(old, old, "v").collect()(0)
+    assert(same.getLong(1) == 0L && same.getDouble(4) == 0.0
+      && same.getLong(0) == 1L)
+    // bucket width 1 forces every value through the two-phase offset
+    // path — same exact answer as the single-bucket default
+    val tiny = Analyzers.ksDrift(old, neu, "v", bucketWidth = 1L).collect()(0)
+    assert((tiny.getLong(0), tiny.getLong(1), tiny.getDouble(4))
+      == ((1L, 2L, 0.5)))
+  }
 }
