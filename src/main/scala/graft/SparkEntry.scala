@@ -2349,6 +2349,20 @@ object SparkEntry {
     * mod 4, so every batch shifts every group's totals and the plan
     * genuinely re-derives each trigger).
     */
+  /** Embedding-table counterpart of [[docSliceStreamInput]]: the
+    * corpus as 4 vec_id-sliced parquet arrival files.
+    */
+  private def embSliceStreamInput(
+      spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val in = writeSliceFiles(
+      (0 until 4).map(i => emb.filter(pmod(col("vec_id"), lit(4)) === i)), tmp)
+    (in, StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true))))
+  }
+
   private def docSliceStreamInput(
       spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
     val docs = Tables.documents(spark, dir)
@@ -4073,6 +4087,25 @@ object SparkEntry {
       .orderBy(col("category"))
   }
 
+  /** STREAMING coreset maintenance: q155's k-center selection
+    * re-derived per embedding ingest batch (snapshot recompute — the
+    * greedy selection is corpus-GLOBAL: one arriving far-out vector
+    * can reshape every later pick, so per-row state can't express
+    * it). The per-batch plan body runs the same bounded driver-looped
+    * rounds as the batch form; selection is deterministic in corpus
+    * content, so the final published coreset shares q155's oracle
+    * verbatim — the production shape: a representative-sample pool
+    * that tracks a growing corpus.
+    */
+  def q155bCoresetStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q155b")
+    val (in, schema) = embSliceStreamInput(spark, dir, tmp)
+    graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      corpus => graft.ext.Similarity.farthestPointSample(
+        corpus, "vec_id", "embedding", k = 12))
+      .orderBy(col("sel_rank"))
+  }
+
   /** Exact Kolmogorov–Smirnov drift ([[graft.dq.Analyzers.ksDrift]])
     * on document length between the two corpus halves: the bin-free
     * companion to q150's fixed-bin PSI. The supremum, its location,
@@ -4278,6 +4311,7 @@ object SparkEntry {
     "q153b_pca2_project" -> (q153bPca2Project _),
     "q154_embedding_drift" -> (q154EmbeddingDrift _),
     "q155_coreset_select" -> (q155CoresetSelect _),
+    "q155b_coreset_stream" -> (q155bCoresetStream _),
     "q156_ks_drift" -> (q156KsDrift _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
@@ -4307,7 +4341,7 @@ object SparkEntry {
     "q113_stream_index_ingest", "q115_compact_index",
     "q121_stream_query_serve", "q131_stream_classifier",
     "q132_retrain_stream", "q139_stream_neardup", "q143b_media_stream",
-    "q146b_drift_stream", "q147b_funnel_stream")
+    "q146b_drift_stream", "q147b_funnel_stream", "q155b_coreset_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -6748,6 +6782,9 @@ object SparkEntry {
     "q153b_pca2_project" -> pca2ProjectSql,
     "q154_embedding_drift" -> embeddingDriftSql,
     "q155_coreset_select" -> farthestPointSql,
+    // the streamed coreset's final published selection is the
+    // full-corpus selection — same oracle
+    "q155b_coreset_stream" -> farthestPointSql,
     // single-global-window CDF replay vs the engine's two-phase
     // prefix sums — same exact integers, different formulation
     "q156_ks_drift" ->
