@@ -4087,6 +4087,20 @@ object SparkEntry {
       .orderBy(col("category"))
   }
 
+  /** Pseudo-relevance-feedback retrieval
+    * ([[graft.ext.Text.bm25PrfTopK]]) over q136's query set: BM25 →
+    * 5 feedback docs → 3 count-based df-guarded expansion terms →
+    * second BM25 pass. Expansion selection is integer-exact, so the
+    * oracle replays BOTH passes and the expansion in SQL (the BM25
+    * chain builder parameterized by query relation).
+    */
+  def q157PrfSearch(spark: SparkSession, dir: String): DataFrame =
+    Text.bm25PrfTopK(Tables.documents(spark, dir), "doc_id", "text",
+      Seq(("disc", Seq("vector", "spark")), ("stop", Seq("the", "a")),
+        ("mixed", Seq("merge", "window", "customer"))),
+      k = 10, fbDocs = 5, fbTerms = 3)
+      .orderBy(col("query_id"), col("rank"))
+
   /** STREAMING coreset maintenance: q155's k-center selection
     * re-derived per embedding ingest batch (snapshot recompute — the
     * greedy selection is corpus-GLOBAL: one arriving far-out vector
@@ -4313,6 +4327,7 @@ object SparkEntry {
     "q155_coreset_select" -> (q155CoresetSelect _),
     "q155b_coreset_stream" -> (q155bCoresetStream _),
     "q156_ks_drift" -> (q156KsDrift _),
+    "q157_prf_search" -> (q157PrfSearch _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -4793,38 +4808,54 @@ object SparkEntry {
   /** Shared CTE chain of the q136/q137 oracles: the full Okapi BM25
     * computation through the ranked result `rk` (unlimited rank).
     */
-  private val bm25OracleCtes: String =
-    """WITH q(query_id, term) AS (
+  /** One full BM25 scoring chain (tf → df → score → rank) over query
+    * relation `qRel`, CTE names prefixed with `p` — shared by the
+    * q136/q137 single-pass oracles (p = "") and both passes of the
+    * q157 PRF oracle.
+    */
+  private def bm25PassSql(qRel: String, p: String): String =
+    s"""${p}tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+       |  WHERE term IN (SELECT DISTINCT term FROM $qRel) GROUP BY 1, 2),
+       |${p}df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |           FROM ${p}tf GROUP BY 1),
+       |${p}sc AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         round(sum(
+       |           ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+       |           (tf.tf * (1.2 + 1.0)) /
+       |           (tf.tf + 1.2 * (1.0 - 0.75
+       |                           + 0.75 * dl.dl / (CAST(st.sdl AS DOUBLE) / st.n)))
+       |         ), 4) AS score
+       |  FROM ${p}tf tf JOIN $qRel q USING (term) JOIN ${p}df df USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+       |  GROUP BY 1, 2),
+       |${p}rk AS (
+       |  SELECT query_id, doc_id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, doc_id) AS INT) AS rank
+       |  FROM ${p}sc)""".stripMargin
+
+  private val bm25QueriesSql: String =
+    """q(query_id, term) AS (
       |  VALUES ('disc', 'vector'), ('disc', 'spark'),
       |         ('stop', 'the'), ('stop', 'a'),
-      |         ('mixed', 'merge'), ('mixed', 'window'), ('mixed', 'customer')),
-      |tok AS (
+      |         ('mixed', 'merge'), ('mixed', 'window'), ('mixed', 'customer'))"""
+      .stripMargin
+
+  private val bm25CorpusSql: String =
+    """tok AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents),
       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-      |              CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
-      |tf AS (
-      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-      |  FROM (SELECT doc_id, unnest(t) AS term FROM tok)
-      |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
-      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-      |sc AS (
-      |  SELECT q.query_id, tf.doc_id,
-      |         round(sum(
-      |           ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
-      |           (tf.tf * (1.2 + 1.0)) /
-      |           (tf.tf + 1.2 * (1.0 - 0.75
-      |                           + 0.75 * dl.dl / (CAST(st.sdl AS DOUBLE) / st.n)))
-      |         ), 4) AS score
-      |  FROM tf JOIN q USING (term) JOIN df USING (term)
-      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
-      |  GROUP BY 1, 2),
-      |rk AS (
-      |  SELECT query_id, doc_id, score,
-      |         CAST(row_number() OVER (PARTITION BY query_id
-      |              ORDER BY score DESC, doc_id) AS INT) AS rank
-      |  FROM sc)""".stripMargin
+      |              CAST(sum(dl) AS BIGINT) AS sdl FROM dl)""".stripMargin
+
+  private val bm25OracleCtes: String =
+    s"""WITH $bm25QueriesSql,
+       |$bm25CorpusSql,
+       |${bm25PassSql("q", "")}""".stripMargin
 
   /** Shared by q88b (batch LSH corpus dedup) and q139 (the same
     * composition as an incremental stream): both must converge to the
@@ -7366,6 +7397,39 @@ object SparkEntry {
       """
         |SELECT query_id, rank, doc_id, score FROM rk
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // both BM25 passes + the integer expansion replayed: feedback
+    // docs from pass-1 ranks, new-term counts with an anti-join
+    // against the original terms, the df≤N/2 guard, (cnt desc, term)
+    // top-3, then the second chain over q ∪ expansion
+    "q157_prf_search" -> (bm25OracleCtes +
+      s""",
+         |fb AS (SELECT query_id, doc_id FROM rk WHERE rank <= 5),
+         |cand AS (
+         |  SELECT f.query_id, tk.term, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM fb f
+         |  JOIN (SELECT doc_id, unnest(t) AS term FROM tok) tk
+         |    USING (doc_id)
+         |  LEFT JOIN q qq ON qq.query_id = f.query_id AND qq.term = tk.term
+         |  WHERE qq.term IS NULL
+         |  GROUP BY 1, 2),
+         |cdf AS (
+         |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df2
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+         |  WHERE term IN (SELECT DISTINCT term FROM cand) GROUP BY 1),
+         |exp AS (
+         |  SELECT query_id, term FROM (
+         |    SELECT c.query_id, c.term,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |                              ORDER BY c.cnt DESC, c.term) AS r
+         |    FROM cand c JOIN cdf ON cdf.term = c.term CROSS JOIN st
+         |    WHERE 2 * cdf.df2 <= st.n)
+         |  WHERE r <= 3),
+         |q2 AS (SELECT query_id, term FROM q
+         |       UNION SELECT query_id, term FROM exp),
+         |${bm25PassSql("q2", "p2")}
+         |SELECT query_id, rank, doc_id, score FROM p2rk
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
 
     "q138_rag_retrieval" ->

@@ -525,6 +525,68 @@ object Text {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Pseudo-relevance-feedback retrieval (Rocchio/RM-family shape,
+    * Salton 1971; the count-based RM1 simplification): a first
+    * [[bm25TopK]] pass retrieves `fbDocs` feedback docs per query,
+    * the `fbTerms` most frequent NEW terms across them (original
+    * query terms excluded, df-guarded: a term in more than half the
+    * corpus never expands — the stopword trap) join the query, and a
+    * second BM25 pass ranks under the expanded query. Expansion
+    * selection is pure integer arithmetic (raw counts, exact df
+    * guard, lexicographic tie-break), so the full two-pass run is
+    * deterministic and an external engine replays it end to end.
+    *
+    * Shape: pass 1 is [[bm25TopK]]; candidate counting joins the
+    * corpus token stream against the BROADCAST feedback list
+    * (queries·fbDocs rows); the df guard joins a bounded candidate
+    * vocabulary. The expanded query set returns through ONE bounded
+    * driver hop (≤ queries·fbTerms rows — the BPE-argmax class)
+    * because query sets are foldable literals by design; pass 2 is
+    * [[bm25TopK]] again.
+    */
+  def bm25PrfTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      fbDocs: Int, fbTerms: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1, "fbDocs must be >= 1")
+    require(fbTerms >= 0, "fbTerms must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fb = bm25TopK(docs, idCol, textCol, queries, fbDocs, k1, b)
+      .select(col("query_id"), col("doc_id"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val orig = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("query_id", "term").withColumn("__orig", lit(true))
+    val cand = toks.join(broadcast(fb), Seq("doc_id"))
+      .join(broadcast(orig), Seq("query_id", "term"), "left_outer")
+      .filter(col("__orig").isNull)
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    // df guard over the bounded candidate vocabulary: > N/2 docs ⇒ out
+    val candDf = toks
+      .join(broadcast(cand.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df2"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val expansion = cand.join(broadcast(candDf), Seq("term"))
+      .crossJoin(broadcast(n))
+      .filter(lit(2) * col("df2") <= col("n"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= fbTerms)
+      .select(col("query_id"), col("term"))
+      .collect() // bounded: ≤ queries·fbTerms rows
+    val expanded = queries.map { case (qid, ts) =>
+      qid -> (ts ++ expansion.filter(_.getString(0) == qid)
+        .map(_.getString(1))).distinct
+    }
+    bm25TopK(docs, idCol, textCol, expanded, k, k1, b)
+  }
+
   /** Sparse TF-IDF cosine near-dup pairs: every (a < b) document pair
     * whose cosine similarity over L2-normalized TF-IDF term vectors
     * meets `threshold` — the lexical-feature complement to shingle

@@ -1092,6 +1092,19 @@ class ExtSpec extends SparkSpec {
     assert(stop.forall(_._4 > 0.0))
   }
 
+  test("bm25PrfTopK: expansion picks frequent new terms, df-guards stopword-like ones") {
+    // feedback for 'cherry' is doc 1 only; its candidates are apple
+    // (df 3 of 4 → 2·3 > 4, guarded out) and banana (df 2 → kept).
+    // Pass 2 = {cherry, banana} ⇒ docs 1 and 2 rank, doc 3 (apple
+    // only) must NOT — proof the guard actually dropped apple.
+    val docs = Seq((1L, "apple banana cherry"), (2L, "apple banana date"),
+      (3L, "apple fig"), (4L, "kiwi kiwi kiwi")).toDF("doc_id", "text")
+    val r = Text.bm25PrfTopK(docs, "doc_id", "text",
+      Seq(("q", Seq("cherry"))), k = 10, fbDocs = 2, fbTerms = 2)
+      .select("rank", "doc_id").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1, 1L), (2, 2L)))
+  }
+
   test("farthestPointSample: hand-checked greedy order on a line") {
     // points at x = 0, 1, 10, 11, 30 → seed id1, then the far end
     // (30), then 11 (farthest from {0,30}), then the 1e8-tie between
