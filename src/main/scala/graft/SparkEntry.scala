@@ -4101,6 +4101,28 @@ object SparkEntry {
       k = 10, fbDocs = 5, fbTerms = 3)
       .orderBy(col("query_id"), col("rank"))
 
+  /** Retrieval evaluation ([[graft.ext.Text.retrievalEval]]): q136's
+    * BM25 run scored against a deterministic relevance rule (a doc is
+    * relevant iff it contains ≥ 2 distinct terms of the query) —
+    * per-query recall@10, MRR, and nDCG@10, all decimal-exact, the
+    * whole pipeline (retriever + qrels + metrics) replayed by one
+    * oracle.
+    */
+  def q158RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qs = Seq(("disc", Seq("vector", "spark")), ("stop", Seq("the", "a")),
+      ("mixed", Seq("merge", "window", "customer")))
+    val results = Text.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+    val qrels = qs.map { case (qid, ts) =>
+      val termArr = typedLit(ts)
+      docs.select(lit(qid).as("query_id"), col("doc_id"))
+        .where(size(filter(array_distinct(Text.tokens(col("text"))),
+          t => array_contains(termArr, t))) >= 2)
+    }.reduce(_ unionByName _)
+    Text.retrievalEval(results, qrels, k = 10)
+      .orderBy(col("query_id"))
+  }
+
   /** STREAMING coreset maintenance: q155's k-center selection
     * re-derived per embedding ingest batch (snapshot recompute — the
     * greedy selection is corpus-GLOBAL: one arriving far-out vector
@@ -4328,6 +4350,7 @@ object SparkEntry {
     "q155b_coreset_stream" -> (q155bCoresetStream _),
     "q156_ks_drift" -> (q156KsDrift _),
     "q157_prf_search" -> (q157PrfSearch _),
+    "q158_retrieval_eval" -> (q158RetrievalEval _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -7430,6 +7453,51 @@ object SparkEntry {
          |${bm25PassSql("q2", "p2")}
          |SELECT query_id, rank, doc_id, score FROM p2rk
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // retriever + qrel rule + metrics replayed: relevance = doc holds
+    // ≥2 distinct query terms; DCG terms rounded then DECIMAL-summed
+    // (order-free) exactly as the engine computes them
+    "q158_retrieval_eval" -> (bm25OracleCtes +
+      """,
+        |dtk AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS dt
+        |  FROM documents),
+        |qr0 AS (
+        |  SELECT q.query_id, dtk.doc_id, count(*) AS hits
+        |  FROM q JOIN dtk ON list_contains(dtk.dt, q.term) GROUP BY 1, 2),
+        |qr AS (SELECT query_id, doc_id FROM qr0 WHERE hits >= 2),
+        |nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |       FROM qr GROUP BY 1),
+        |top AS (
+        |  SELECT r.query_id, r.rank, (qr.doc_id IS NOT NULL) AS rel
+        |  FROM rk r LEFT JOIN qr
+        |    ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+        |  WHERE r.rank <= 10),
+        |pq AS (
+        |  SELECT query_id,
+        |         CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS rel_in_topk,
+        |         min(CASE WHEN rel THEN rank END) AS frr,
+        |         sum(CASE WHEN rel THEN
+        |               CAST(round(1.0 / (ln(rank + 1.0) / ln(2.0)), 6)
+        |                    AS DECIMAL(18,6)) END) AS dcg
+        |  FROM top GROUP BY 1),
+        |id0 AS (SELECT query_id, unnest(range(1, least(n_rel, 10) + 1)) AS r
+        |        FROM nr WHERE n_rel >= 1),
+        |idl AS (SELECT query_id,
+        |               sum(CAST(round(1.0 / (ln(r + 1.0) / ln(2.0)), 6)
+        |                        AS DECIMAL(18,6))) AS idcg
+        |        FROM id0 GROUP BY 1)
+        |SELECT nr.query_id, nr.n_rel,
+        |       coalesce(pq.rel_in_topk, 0) AS rel_in_topk,
+        |       round(coalesce(pq.rel_in_topk, 0)
+        |             / CAST(nr.n_rel AS DOUBLE), 6) AS recall_at_k,
+        |       round(coalesce(1.0 / pq.frr, 0.0), 6) AS mrr,
+        |       round(coalesce(CAST(pq.dcg AS DOUBLE)
+        |             / CAST(idl.idcg AS DOUBLE), 0.0), 6) AS ndcg
+        |FROM nr LEFT JOIN pq USING (query_id) LEFT JOIN idl USING (query_id)
+        |ORDER BY nr.query_id""".stripMargin),
 
 
     "q138_rag_retrieval" ->

@@ -587,6 +587,54 @@ object Text {
     bm25TopK(docs, idCol, textCol, expanded, k, k1, b)
   }
 
+  /** IR evaluation harness: per-query recall@k, MRR@k, and nDCG@k of
+    * a ranked result list against a relevance set — the measurement
+    * half every retrieval stack needs next to its retrievers
+    * ([[bm25TopK]], [[bm25PrfTopK]], hybrid fusion).
+    *
+    * Determinism: every DCG term rounds to 6 dp and sums as
+    * DECIMAL(18,6) — exact and commutative, so the per-query DCG/IDCG
+    * are partition-order-free and an external engine reproduces them
+    * bit-for-bit (the q151 decimal-sum discipline); MRR and recall
+    * are single exact divisions of the rounded/integer inputs.
+    *
+    * Shape: one broadcast-joined flag pass over the top-k rows (the
+    * result list is queries·k, never corpus-sized), one keyed
+    * aggregation, and an O(queries·k) ideal-DCG explode. `results`
+    * must carry (query_id, rank, doc_id); `qrels` (query_id, doc_id).
+    */
+  def retrievalEval(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.types.DecimalType
+    def dcgTerm(r: Column): Column =
+      round(lit(1.0) / (log(r.cast("double") + lit(1.0)) / log(lit(2.0))), 6)
+        .cast(DecimalType(18, 6))
+    val nrel = qrels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val rel = qrels.select(col("query_id"), col("doc_id"))
+      .withColumn("__rel", lit(true))
+    val top = results.filter(col("rank") <= k)
+      .join(broadcast(rel), Seq("query_id", "doc_id"), "left_outer")
+    val perQ = top.groupBy(col("query_id")).agg(
+      sum(when(col("__rel"), lit(1L)).otherwise(lit(0L))).as("rel_in_topk"),
+      min(when(col("__rel"), col("rank"))).as("__frr"),
+      sum(when(col("__rel"), dcgTerm(col("rank")))).as("__dcg"))
+    val ideal = nrel.filter(col("n_rel") >= 1)
+      .select(col("query_id"),
+        explode(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))))
+          .as("r"))
+      .groupBy(col("query_id")).agg(sum(dcgTerm(col("r"))).as("__idcg"))
+    nrel.join(perQ, Seq("query_id"), "left_outer")
+      .join(ideal, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("rel_in_topk"), lit(0L)).as("rel_in_topk"),
+        round(coalesce(col("rel_in_topk"), lit(0L)).cast("double")
+          / col("n_rel"), 6).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("__frr"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("__dcg").cast("double")
+          / col("__idcg").cast("double"), lit(0.0)), 6).as("ndcg"))
+  }
+
   /** Sparse TF-IDF cosine near-dup pairs: every (a < b) document pair
     * whose cosine similarity over L2-normalized TF-IDF term vectors
     * meets `threshold` — the lexical-feature complement to shingle

@@ -1105,6 +1105,23 @@ class ExtSpec extends SparkSpec {
     assert(r == Seq((1, 1L), (2, 2L)))
   }
 
+  test("retrievalEval: hand-computed recall, MRR, and nDCG") {
+    // hits at ranks 1 and 3 of 3; 4 relevant total →
+    // recall 2/4, MRR 1, DCG = 1 + 0.5, IDCG = 1 + 0.630930 + 0.5
+    val results = Seq(("q", 1, 10L), ("q", 2, 20L), ("q", 3, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val qrels = Seq(("q", 10L), ("q", 30L), ("q", 40L), ("q", 50L))
+      .toDF("query_id", "doc_id")
+    val r = Text.retrievalEval(results, qrels, k = 3)
+      .as[(String, Long, Long, Double, Double, Double)].collect()(0)
+    assert(r == (("q", 4L, 2L, 0.5, 1.0, 0.703918)))
+    // no relevant doc retrieved → zeros, not nulls
+    val miss = Text.retrievalEval(results,
+      Seq(("q", 99L)).toDF("query_id", "doc_id"), k = 3)
+      .as[(String, Long, Long, Double, Double, Double)].collect()(0)
+    assert(miss == (("q", 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("farthestPointSample: hand-checked greedy order on a line") {
     // points at x = 0, 1, 10, 11, 30 → seed id1, then the far end
     // (30), then 11 (farthest from {0,30}), then the 1e8-tie between
