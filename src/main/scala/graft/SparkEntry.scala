@@ -4101,6 +4101,23 @@ object SparkEntry {
       k = 10, fbDocs = 5, fbTerms = 3)
       .orderBy(col("query_id"), col("rank"))
 
+  /** Dup-graph cohesion audit ([[graft.ext.Graph.triangleStats]]):
+    * per-node triangle counts and clustering coefficients over the
+    * q133 LSH near-dup graph — coefficient ≈ 1 marks clique-shaped
+    * duplicate groups (safe to collapse), low values expose
+    * transitive-closure over-merges. LSH pairs ≡ exact Jaccard pairs
+    * at this threshold (the q13/q133-established equivalence), so the
+    * oracle enumerates triangles over the exact inverted-index edge
+    * set.
+    */
+  def q159TriangleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ext.Dedup.minhashNearDupPairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    graft.ext.Graph.triangleStats(pairs, "id_a", "id_b")
+      .orderBy(col("id"))
+  }
+
   /** Retrieval evaluation ([[graft.ext.Text.retrievalEval]]): q136's
     * BM25 run scored against a deterministic relevance rule (a doc is
     * relevant iff it contains ≥ 2 distinct terms of the query) —
@@ -4351,6 +4368,7 @@ object SparkEntry {
     "q156_ks_drift" -> (q156KsDrift _),
     "q157_prf_search" -> (q157PrfSearch _),
     "q158_retrieval_eval" -> (q158RetrievalEval _),
+    "q159_triangle_audit" -> (q159TriangleAudit _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -4583,6 +4601,28 @@ object SparkEntry {
        |$fin""".stripMargin
   }
 
+  /** Exact inverted-index Jaccard pairs at threshold 0.5 (the q13 SQL
+    * shape) — the ground-truth edge set shared by the q133 centrality
+    * and q159 triangle oracles.
+    */
+  private val jaccardPairsCtes: String =
+    """tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+      |                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+      |  FROM tok),
+      |e0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+      |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |              any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+      |       FROM e0 a JOIN e0 b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM p0
+      |          WHERE round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6)
+      |                >= 0.5)""".stripMargin
+
   /** q133 oracle: exact inverted-index jaccard edges (the q13 SQL),
     * degrees, THREE scaled-integer PageRank iterations, recursive
     * component closure, per-cluster centrality argmax — the full
@@ -4603,22 +4643,7 @@ object SparkEntry {
          |           + coalesce(c.m, 0) AS pr
          |  FROM deg d CROSS JOIN nn LEFT JOIN c$k c ON c.dst = d.src)""".stripMargin
     }.mkString(",\n")
-    s"""WITH RECURSIVE tok AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |  FROM documents),
-       |sh AS (
-       |  SELECT doc_id,
-       |         list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
-       |                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
-       |  FROM tok),
-       |e0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
-       |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
-       |              any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
-       |       FROM e0 a JOIN e0 b ON a.g = b.g AND a.doc_id < b.doc_id
-       |       GROUP BY 1, 2),
-       |pairs AS (SELECT id_a, id_b FROM p0
-       |          WHERE round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6)
-       |                >= 0.5),
+    s"""WITH RECURSIVE $jaccardPairsCtes,
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM edges GROUP BY 1),
@@ -7415,6 +7440,30 @@ object SparkEntry {
     "q131_stream_classifier" -> classifierOracle("scores"),
     "q132_retrain_stream" -> classifierOracle("weights"),
     "q133_graph_centrality" -> graphCentralitySql,
+    // exact-Jaccard edges, a<b<c oriented two-path + EXISTS closure —
+    // each triangle once; coefficient = one rounded division
+    "q159_triangle_audit" ->
+      s"""WITH $jaccardPairsCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+         |t0 AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |  WHERE EXISTS (SELECT 1 FROM e e3
+         |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |tn AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |         SELECT a AS id FROM t0
+         |         UNION ALL SELECT b FROM t0
+         |         UNION ALL SELECT c FROM t0)
+         |       GROUP BY 1),
+         |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |         SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+         |       GROUP BY 1)
+         |SELECT dg.id, dg.deg, coalesce(tn.triangles, 0) AS triangles,
+         |       CASE WHEN dg.deg >= 2
+         |            THEN round(2.0 * coalesce(tn.triangles, 0)
+         |                       / (dg.deg * (dg.deg - 1)), 6)
+         |            ELSE 0.0 END AS clustering_coeff
+         |FROM dg LEFT JOIN tn USING (id) ORDER BY dg.id""".stripMargin,
 
     "q136_bm25_search" -> (bm25OracleCtes +
       """

@@ -92,4 +92,47 @@ object Graph {
         new CacheHandle(Seq(r)))
     } finally { edges.unpersist(); () }
   }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected pair list — the dup-cluster COHESION audit: a
+    * near-dup cluster whose members have coefficient ≈ 1 is
+    * clique-shaped (every member duplicates every other — safe to
+    * collapse to one canonical doc), while low coefficients expose
+    * chains of borderline pairs that transitive closure glued into
+    * one cluster (the classic min-hash over-merge). Complements
+    * [[pageRankScaled]]'s representative pick with a merge-confidence
+    * signal.
+    *
+    * Enumeration is the canonical distributed shape: canonicalize
+    * edges to a < b, join oriented two-paths (a<b<c) on the middle
+    * vertex, close with a left-semi join on (a, c) — every triangle
+    * counted exactly once, two keyed shuffles, no driver state.
+    * Everything through the counts is exact integer arithmetic; the
+    * coefficient 2T/(deg·(deg−1)) is one rounded division per node.
+    */
+  def triangleStats(
+      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = pairs.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val tri = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    val perNode = tri.select(col("a").as("id"))
+      .unionByName(tri.select(col("b").as("id")))
+      .unionByName(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("id"), "left_outer")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_coeff",
+        when(col("deg") >= 2,
+          round(lit(2.0) * col("triangles")
+            / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)))
+  }
 }

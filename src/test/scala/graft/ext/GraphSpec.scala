@@ -38,4 +38,16 @@ class GraphSpec extends SparkSpec {
     val empty = path3.filter($"id_a" < 0)
     assert(Graph.pageRankScaled(empty, "id_a", "id_b", iters = 2).isEmpty)
   }
+
+  test("triangleStats: one triangle with a tail, hand-checked coefficients") {
+    // triangle {1,2,3} plus spoke 3–4; reversed/duplicate edges must
+    // canonicalize away
+    val g = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (2L, 1L))
+      .toDF("id_a", "id_b")
+    val r = Graph.triangleStats(g, "id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333), (4L, 1L, 0L, 0.0)))
+  }
 }
