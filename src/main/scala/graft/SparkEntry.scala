@@ -4101,6 +4101,31 @@ object SparkEntry {
       k = 10, fbDocs = 5, fbTerms = 3)
       .orderBy(col("query_id"), col("rank"))
 
+  /** Blocked entity resolution
+    * ([[graft.ext.Dedup.blockedEntityPairs]]) over the customer
+    * table: the synthetic corpus has no natural duplicate customers,
+    * so every 25th re-registers deterministically under a new key
+    * with one name typo (the q135 injection discipline) — the match
+    * rule (nation block; name Levenshtein ≤ 1; exact balance +
+    * segment) must find exactly those re-registrations while
+    * rejecting natural near-miss names (keys one digit apart fail
+    * the exact-balance conjunct).
+    */
+  def q160EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir).select(col("c_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment"))
+    val twins = base.filter(pmod(col("c_custkey"), lit(25)) === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(col("c_name"), lit("X")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    graft.ext.Dedup.blockedEntityPairs(base.unionByName(twins),
+      "c_custkey", "c_nationkey",
+      fuzzyRules = Seq(("c_name", 1)),
+      exactCols = Seq("c_acctbal", "c_mktsegment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Dup-graph cohesion audit ([[graft.ext.Graph.triangleStats]]):
     * per-node triangle counts and clustering coefficients over the
     * q133 LSH near-dup graph — coefficient ≈ 1 marks clique-shaped
@@ -4369,6 +4394,7 @@ object SparkEntry {
     "q157_prf_search" -> (q157PrfSearch _),
     "q158_retrieval_eval" -> (q158RetrievalEval _),
     "q159_triangle_audit" -> (q159TriangleAudit _),
+    "q160_entity_resolution" -> (q160EntityResolution _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -7440,6 +7466,23 @@ object SparkEntry {
     "q131_stream_classifier" -> classifierOracle("scores"),
     "q132_retrain_stream" -> classifierOracle("weights"),
     "q133_graph_centrality" -> graphCentralitySql,
+    "q160_entity_resolution" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer),
+        |tw AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_name || 'X' AS c_name,
+        |         c_nationkey, c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 25 = 0),
+        |al AS (SELECT * FROM base UNION ALL SELECT * FROM tw)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS c_name_dist
+        |FROM al a JOIN al b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |  AND a.c_acctbal = b.c_acctbal AND a.c_mktsegment = b.c_mktsegment
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // exact-Jaccard edges, a<b<c oriented two-path + EXISTS closure —
     // each triangle once; coefficient = one rounded division
     "q159_triangle_audit" ->

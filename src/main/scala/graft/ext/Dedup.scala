@@ -726,4 +726,47 @@ object Dedup {
             s => s.getField("__kept")),
           s => s.getField("chunk_text"))).as("dedup_text"))
   }
+
+  // -------------------------------------------------- entity resolution
+
+  /** Blocked ENTITY RESOLUTION over tabular records (Fellegi–Sunter
+    * blocking shape): candidate pairs meet only inside equal
+    * `blockCol` blocks, then survive a conjunctive match rule —
+    * Levenshtein ≤ maxDist per fuzzy attribute, equality per exact
+    * attribute. The record-linkage counterpart of the text near-dup
+    * stack: same blocking economics (cost is Σ block², the blocking
+    * key is the dial; salt hot blocks at skew), one equi-join keyed
+    * shuffle, and everything driver-free.
+    *
+    * Determinism: Levenshtein is exact integer edit distance (Spark's
+    * codegen'd `levenshtein` ↔ the replaying engine's), equality is
+    * exact, ids order pairs a < b — the full candidate/match set
+    * hash-checks.
+    *
+    * Returns (id_a, id_b, <attr>_dist per fuzzy rule).
+    */
+  def blockedEntityPairs(
+      df: DataFrame, idCol: String, blockCol: String,
+      fuzzyRules: Seq[(String, Int)],
+      exactCols: Seq[String] = Nil): DataFrame = {
+    require(fuzzyRules.nonEmpty, "need at least one fuzzy rule")
+    require(fuzzyRules.forall(_._2 >= 0), "maxDist must be >= 0")
+    val cols =
+      (Seq(idCol, blockCol) ++ fuzzyRules.map(_._1) ++ exactCols).distinct
+    val a = df.select(cols.map(c => col(c).as("a_" + c)): _*)
+    val b = df.select(cols.map(c => col(c).as("b_" + c)): _*)
+    val pred = (fuzzyRules.map { case (c, d) =>
+      levenshtein(col("a_" + c), col("b_" + c)) <= d
+    } ++ exactCols.map(c => col("a_" + c) === col("b_" + c)))
+      .reduce(_ && _)
+    a.join(b,
+        col("a_" + blockCol) === col("b_" + blockCol) &&
+          col("a_" + idCol) < col("b_" + idCol))
+      .filter(pred)
+      .select(Seq(
+        col("a_" + idCol).as("id_a"), col("b_" + idCol).as("id_b")) ++
+        fuzzyRules.map { case (c, _) =>
+          levenshtein(col("a_" + c), col("b_" + c)).as(c + "_dist")
+        }: _*)
+  }
 }

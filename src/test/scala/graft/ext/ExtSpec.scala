@@ -1122,6 +1122,20 @@ class ExtSpec extends SparkSpec {
     assert(miss == (("q", 1L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("blockedEntityPairs: fuzzy + exact conjuncts, blocking is a hard wall") {
+    val recs = Seq(
+      (1L, "anna", "A", "x"),  // pairs with 2 (lev 1, same block+exact)
+      (2L, "annb", "A", "x"),
+      (3L, "anna", "B", "x"),  // identical name, other block → never a pair
+      (4L, "anna", "A", "y"),  // exact-attr mismatch → rejected
+      (5L, "zzzz", "A", "x")   // lev too far → rejected
+    ).toDF("id", "name", "blk", "seg")
+    val r = Dedup.blockedEntityPairs(recs, "id", "blk",
+      fuzzyRules = Seq(("name", 1)), exactCols = Seq("seg"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1)))
+  }
+
   test("farthestPointSample: hand-checked greedy order on a line") {
     // points at x = 0, 1, 10, 11, 30 → seed id1, then the far end
     // (30), then 11 (farthest from {0,30}), then the 1e8-tie between
