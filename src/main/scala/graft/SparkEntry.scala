@@ -4111,19 +4111,45 @@ object SparkEntry {
     * rejecting natural near-miss names (keys one digit apart fail
     * the exact-balance conjunct).
     */
-  def q160EntityResolution(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.customer(spark, dir).select(col("c_custkey"),
-      col("c_name"), col("c_nationkey"), col("c_acctbal"),
-      col("c_mktsegment"))
-    val twins = base.filter(pmod(col("c_custkey"), lit(25)) === 0)
-      .select((col("c_custkey") + 1000000L).as("c_custkey"),
-        concat(col("c_name"), lit("X")).as("c_name"),
-        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-    graft.ext.Dedup.blockedEntityPairs(base.unionByName(twins),
+  def q160EntityResolution(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.blockedEntityPairs(entityCorpus(spark, dir),
       "c_custkey", "c_nationkey",
       fuzzyRules = Seq(("c_name", 1)),
       exactCols = Seq("c_acctbal", "c_mktsegment"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** The q160/q161 entity corpus: customers plus every 25th
+    * re-registered under a new key with one name typo.
+    */
+  private def entityCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir).select(col("c_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment"))
+    base.unionByName(base.filter(pmod(col("c_custkey"), lit(25)) === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(col("c_name"), lit("X")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+  }
+
+  /** GOLDEN-RECORD survivorship — the deliverable an ER run actually
+    * ships: q160's match pairs close into clusters
+    * ([[graft.ext.Clusters.dupClusters]], min-key canonical) and each
+    * cluster survives as ONE record (the canonical key's row;
+    * singletons pass through untouched). Output is the full golden
+    * customer table, so the oracle replays matching, the recursive
+    * closure, and the survivorship anti-join end to end.
+    */
+  def q161GoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val all = entityCorpus(spark, dir)
+    val pairs = graft.ext.Dedup.blockedEntityPairs(all,
+      "c_custkey", "c_nationkey",
+      fuzzyRules = Seq(("c_name", 1)),
+      exactCols = Seq("c_acctbal", "c_mktsegment"))
+    val dropped = graft.ext.Clusters.dupClusters(pairs, "id_a", "id_b")
+      .filter(!col("is_canonical"))
+      .select(col("doc_id").as("c_custkey"))
+    all.join(dropped, Seq("c_custkey"), "left_anti")
+      .orderBy(col("c_custkey"))
   }
 
   /** Dup-graph cohesion audit ([[graft.ext.Graph.triangleStats]]):
@@ -4395,6 +4421,7 @@ object SparkEntry {
     "q158_retrieval_eval" -> (q158RetrievalEval _),
     "q159_triangle_audit" -> (q159TriangleAudit _),
     "q160_entity_resolution" -> (q160EntityResolution _),
+    "q161_golden_record" -> (q161GoldenRecord _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -7482,6 +7509,36 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |  AND a.c_acctbal = b.c_acctbal AND a.c_mktsegment = b.c_mktsegment
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // matching + recursive closure + survivorship anti-join: the
+    // golden table keeps singletons and each cluster's min key
+    "q161_golden_record" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer),
+        |tw AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_name || 'X' AS c_name,
+        |         c_nationkey, c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 25 = 0),
+        |al AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+        |p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM al a JOIN al b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |    AND a.c_acctbal = b.c_acctbal
+        |    AND a.c_mktsegment = b.c_mktsegment),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
+        |SELECT al.* FROM al LEFT JOIN dropped ON al.c_custkey = dropped.id
+        |WHERE dropped.id IS NULL
+        |ORDER BY c_custkey""".stripMargin,
 
     // exact-Jaccard edges, a<b<c oriented two-path + EXISTS closure —
     // each triangle once; coefficient = one rounded division
