@@ -4152,6 +4152,17 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** CUSUM changepoint detection
+    * ([[graft.ext.TimeSeries.cusumHourly]]) over hourly event volume
+    * — WHEN did the rate shift, the question the whole-corpus drift
+    * reports (q146/q150/q156) can't answer. Scaled-integer deviations
+    * and the prefix-sum/running-min closed form make the alarm series
+    * exactly replayable.
+    */
+  def q162Changepoint(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.cusumHourly(Tables.events(spark, dir), "ts")
+      .orderBy(col("hr"))
+
   /** Dup-graph cohesion audit ([[graft.ext.Graph.triangleStats]]):
     * per-node triangle counts and clustering coefficients over the
     * q133 LSH near-dup graph — coefficient ≈ 1 marks clique-shaped
@@ -4422,6 +4433,7 @@ object SparkEntry {
     "q159_triangle_audit" -> (q159TriangleAudit _),
     "q160_entity_resolution" -> (q160EntityResolution _),
     "q161_golden_record" -> (q161GoldenRecord _),
+    "q162_changepoint" -> (q162Changepoint _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -7509,6 +7521,28 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |  AND a.c_acctbal = b.c_acctbal AND a.c_mktsegment = b.c_mktsegment
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // deviation prefix sums + running min = the exact CUSUM closed
+    // form; μ and k by truncating division, all scaled longs
+    "q162_changepoint" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |              CAST(count(*) AS BIGINT) AS nh FROM h),
+        |d AS (SELECT hr, n,
+        |        ((st.tot * 1000000) // st.nh) AS mu,
+        |        n * 1000000 - ((st.tot * 1000000) // st.nh)
+        |          - (((st.tot * 1000000) // st.nh) // 2) AS dev
+        |      FROM h, st),
+        |p AS (SELECT hr, n, mu,
+        |        CAST(sum(dev) OVER (ORDER BY hr) AS BIGINT) AS pp FROM d),
+        |m AS (SELECT hr, n, mu, pp,
+        |        min(pp) OVER (ORDER BY hr) AS mn FROM p)
+        |SELECT hr, n,
+        |       pp - least(CAST(0 AS BIGINT), mn) AS cusum_scaled,
+        |       (pp - least(CAST(0 AS BIGINT), mn)) > mu * 3 AS alarm
+        |FROM m ORDER BY hr""".stripMargin,
 
     // matching + recursive closure + survivorship anti-join: the
     // golden table keeps singletons and each cluster's min key

@@ -302,4 +302,47 @@ object TimeSeries {
         count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
         max(col("n_events")).as("max_session_events"))
+
+  /** CUSUM changepoint detection (Page 1954) over hourly event
+    * volume: the monitoring question "WHEN did the rate shift", which
+    * a whole-corpus drift report (PSI/KS) can't answer. Upward CUSUM
+    * with slack k and alarm threshold h, both derived from the series
+    * mean μ (k = μ div slackDen, h = μ·thresholdMul) so the report is
+    * self-calibrating.
+    *
+    * The textbook recursion S_t = max(0, S_{t−1} + x_t − μ − k) is
+    * sequential — instead this uses the exact closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) over deviation prefix sums
+    * P_t, which is two plain WINDOWS (running sum, running min): no
+    * recursion, no driver loop. Everything is scaled-integer
+    * arithmetic (dev·1e6, truncating division for μ and k), so the
+    * whole alarm series replays bit-for-bit in SQL.
+    *
+    * Scale: the hourly aggregation is the only corpus-sized pass; the
+    * windows run over the O(#hours) series (bounded — a decade is
+    * < 10⁵ rows), the same bounded-window class as the two-phase
+    * prefix-sum offsets.
+    */
+  def cusumHourly(
+      events: DataFrame, tsCol: String,
+      scale: Long = 1000000L, slackDen: Long = 2L,
+      thresholdMul: Long = 3L): DataFrame = {
+    require(slackDen >= 1, "slackDen must be >= 1")
+    require(thresholdMul >= 1, "thresholdMul must be >= 1")
+    val counts = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("tot"), count(lit(1)).as("nh"))
+    val wSum = Window.orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(stats))
+      .withColumn("__mu", expr(s"(tot * $scale) div nh"))
+      .withColumn("__k", expr(s"__mu div $slackDen"))
+      .withColumn("__dev", col("n") * scale - col("__mu") - col("__k"))
+      .withColumn("__p", sum(col("__dev")).over(wSum))
+      .withColumn("cusum_scaled",
+        col("__p") - least(lit(0L), min(col("__p")).over(wSum)))
+      .withColumn("alarm", col("cusum_scaled") > col("__mu") * thresholdMul)
+      .select(col("hr"), col("n"), col("cusum_scaled"), col("alarm"))
+  }
 }

@@ -1122,6 +1122,24 @@ class ExtSpec extends SparkSpec {
     assert(miss == (("q", 1L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("cusumHourly: exact alarm series on a hand-built level shift") {
+    // counts [1,1,1,1,100,100]: tot=204, μ=34e6, k=17e6 →
+    // dev = n·1e6 − 51e6; P(e6) = −50,−100,−150,−200,−151,−102;
+    // running min caps at −200 → S(e6) = 0,0,0,0,49,98.
+    // thresholdMul=2 ⇒ h=68e6: only the last hour alarms.
+    val counts = Seq(1, 1, 1, 1, 100, 100)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(s"2024-01-01 0$h:15:00")
+    }
+    val ev = rows.toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val r = TimeSeries.cusumHourly(ev, "ts", thresholdMul = 2L)
+      .orderBy(col("hr"))
+      .select("n", "cusum_scaled", "alarm")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq((1L, 0L, false), (1L, 0L, false), (1L, 0L, false),
+      (1L, 0L, false), (100L, 49000000L, false), (100L, 98000000L, true)))
+  }
+
   test("blockedEntityPairs: fuzzy + exact conjuncts, blocking is a hard wall") {
     val recs = Seq(
       (1L, "anna", "A", "x"),  // pairs with 2 (lev 1, same block+exact)
