@@ -4163,6 +4163,113 @@ object SparkEntry {
     graft.ext.TimeSeries.cusumHourly(Tables.events(spark, dir), "ts")
       .orderBy(col("hr"))
 
+  /** l-diversity audit ([[graft.dq.Privacy.lDiversityClasses]]):
+    * q134's QI classes re-graded on DISTINCT sensitive values
+    * (user_id) — the homogeneity-attack gap k-anonymity leaves open
+    * (a large class whose rows all belong to one user still
+    * re-identifies them). Same single keyed shuffle; the distinct
+    * count compiles to a partial-distinct aggregate.
+    */
+  def q163LDiversity(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Privacy.lDiversityClasses(
+      Tables.events(spark, dir), eventQi, col("user_id"), l = 3L)
+      .orderBy(col("event_type"), col("day"), col("value_band"))
+
+  /** Enforcement twin of q163: rows in under-l classes suppressed via
+    * a dense_rank max over the SAME keyed sort (windows can't express
+    * `count(DISTINCT) OVER` — the rank trick keeps it one shuffle, no
+    * join back). Per-type summary with id checksums pins the exact
+    * suppression set, the q134b shape.
+    */
+  def q163bLDiversityEnforce(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val kept = graft.dq.Privacy.enforceLDiversity(ev, eventQi, col("user_id"), l = 3L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("event_id")).as("kept_id_sum"))
+    val all = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+    all.join(kept, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_rows"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_rows") - coalesce(col("n_kept"), lit(0L))).as("n_suppressed"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-doc lexical-diversity report
+    * ([[graft.ext.Text.lexicalDiversity]]): type-token ratio, hapax
+    * ratio, Shannon token entropy — the distribution-shaped quality
+    * signals the per-rule gates (q86/q122) can't see. Entropy terms
+    * use the q158 decimal discipline (round 6 dp, DECIMAL sum) so the
+    * whole 500-row report hash-checks.
+    */
+  def q164LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Text.lexicalDiversity(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Per-doc n-gram novelty vs the English reference slice
+    * ([[graft.ext.Text.ngramNovelty]]): what fraction of each doc's
+    * distinct 3-grams the held corpus has never seen — the audit run
+    * before adding a crawl slice to a training mix (decontamination's
+    * complement: q48 asks "contains a benchmark gram?", this asks
+    * "how much is NEW?").
+    */
+  def q165NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Text.ngramNovelty(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Scale twin of q165: the gram join keyed on 8-byte xxhash64
+    * instead of gram strings (the q102b shuffle-width discipline) —
+    * shares q165's oracle verbatim, pinning hashed ≡ exact.
+    */
+  def q165bNoveltyHashed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Text.ngramNovelty(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), "text", n = 3, hashGrams = true)
+      .orderBy(col("doc_id"))
+  }
+
+  /** 2-core of the near-dup graph ([[graft.ext.Graph.kCore]]):
+    * iterative peeling strips the pendant chains transitive closure
+    * glued onto dense duplicate groups — the subgraph complement of
+    * q159's per-node cohesion score. The peel runs the same R rounds
+    * the oracle unrolls in SQL (early exit at the fixpoint changes
+    * nothing by idempotence), so the surviving core, its internal
+    * degrees, AND the convergence verdict all hash-check.
+    */
+  def q166KCore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ext.Dedup.minhashNearDupPairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    graft.ext.Graph.kCore(pairs, "id_a", "id_b", k = 2, maxRounds = 8)
+      .orderBy(col("id"))
+  }
+
+  /** Per-type integer EWMA over hourly event volume
+    * ([[graft.ext.TimeSeries.ewmaHourly]]): the smoothed level beside
+    * q162's CUSUM alarms. The recursion is inherently sequential per
+    * key (each value depends on all prior ones — the throttle-class
+    * shape), so it runs as a typed sorted-group fold; the all-long
+    * arithmetic replays exactly as a recursive CTE.
+    */
+  def q167EwmaSmooth(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.ewmaHourly(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy(col("key"), col("hr"))
+
+  /** Hour-of-day seasonal baseline spikes
+    * ([[graft.ext.TimeSeries.seasonalSpikes]]): each hourly count
+    * graded against its type's own clock-slot mean — the calendar-
+    * aware threshold that doesn't page on the nightly batch window
+    * (q69's rolling z-score adapts to recent level; this adapts to
+    * the clock). Scaled-integer means, exact replay.
+    */
+  def q168SeasonalSpikes(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.seasonalSpikes(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy(col("key"), col("hr"))
+
   /** Dup-graph cohesion audit ([[graft.ext.Graph.triangleStats]]):
     * per-node triangle counts and clustering coefficients over the
     * q133 LSH near-dup graph — coefficient ≈ 1 marks clique-shaped
@@ -4434,6 +4541,14 @@ object SparkEntry {
     "q160_entity_resolution" -> (q160EntityResolution _),
     "q161_golden_record" -> (q161GoldenRecord _),
     "q162_changepoint" -> (q162Changepoint _),
+    "q163_l_diversity" -> (q163LDiversity _),
+    "q163b_l_diversity_enforce" -> (q163bLDiversityEnforce _),
+    "q164_lexical_diversity" -> (q164LexicalDiversity _),
+    "q165_ngram_novelty" -> (q165NgramNovelty _),
+    "q165b_novelty_hashed" -> (q165bNoveltyHashed _),
+    "q166_k_core" -> (q166KCore _),
+    "q167_ewma_smooth" -> (q167EwmaSmooth _),
+    "q168_seasonal_spikes" -> (q168SeasonalSpikes _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -7544,6 +7659,96 @@ object SparkEntry {
         |       (pp - least(CAST(0 AS BIGINT), mn)) > mu * 3 AS alarm
         |FROM m ORDER BY hr""".stripMargin,
 
+    "q163_l_diversity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |       CAST(floor(value / 100.0) AS BIGINT) AS value_band,
+        |       CAST(count(*) AS BIGINT) AS class_size,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+        |       count(DISTINCT user_id) < 3 AS at_risk
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY event_type, day, value_band""".stripMargin,
+
+    "q163b_l_diversity_enforce" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type,
+        |         count(DISTINCT user_id)
+        |           OVER (PARTITION BY event_type, CAST(ts AS DATE),
+        |                 CAST(floor(value / 100.0) AS BIGINT)) AS ns
+        |  FROM events),
+        |kept AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |         CAST(sum(event_id) AS BIGINT) AS kept_id_sum
+        |  FROM c WHERE ns >= 3 GROUP BY 1),
+        |allr AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type, a.n_rows,
+        |       coalesce(k.n_kept, 0) AS n_kept,
+        |       a.n_rows - coalesce(k.n_kept, 0) AS n_suppressed,
+        |       coalesce(k.kept_id_sum, 0) AS kept_id_sum
+        |FROM allr a LEFT JOIN kept k USING (event_type)
+        |ORDER BY a.event_type""".stripMargin,
+
+    // entropy terms round to 6 dp and sum as DECIMAL (the q158
+    // order-free discipline); only ln(n) − Σ/n is floating, at 4 dp
+    "q164_lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_hapax,
+        |         sum(CAST(round(c * ln(c), 6) AS DECIMAL(18,6))) AS clnc
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |       round(n_types / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+        |       round(n_hapax / CAST(n_types AS DOUBLE), 4) AS hapax_ratio,
+        |       round(ln(CAST(n_tokens AS DOUBLE))
+        |             - CAST(clnc AS DOUBLE) / n_tokens, 4) AS token_entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q165_ngram_novelty" -> noveltySql,
+    "q165b_novelty_hashed" -> noveltySql,
+    "q166_k_core" -> kCoreSql,
+
+    // the EWMA recursion replayed as a recursive CTE: same first-row
+    // seed, same truncating integer division (DuckDB // ≡ Scala Long /)
+    "q167_ewma_smooth" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hr,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY date_trunc('hour', ts)) AS rn
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT key, hr, n, rn, n * 1000000 AS s FROM h WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.key, h.hr, h.n, h.rn, r.s + ((h.n * 1000000 - r.s) // 8)
+        |  FROM r JOIN h ON h.key = r.key AND h.rn = r.rn + 1)
+        |SELECT key, hr, n, CAST(s AS BIGINT) AS ewma_scaled
+        |FROM r ORDER BY key, hr""".stripMargin,
+
+    "q168_seasonal_spikes" ->
+      """WITH h AS (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hr,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT key, extract(hour FROM hr) AS hod,
+        |         CAST((sum(n) * 1000000) // count(*) AS BIGINT)
+        |           AS baseline_scaled
+        |  FROM h GROUP BY 1, 2)
+        |SELECT h.key, h.hr, h.n, p.baseline_scaled,
+        |       h.n * 1000000 > p.baseline_scaled * 2 AS is_spike
+        |FROM h JOIN p ON p.key = h.key AND p.hod = extract(hour FROM h.hr)
+        |ORDER BY h.key, h.hr""".stripMargin,
+
     // matching + recursive closure + survivorship anti-join: the
     // golden table keeps singletons and each cluster's min key
     "q161_golden_record" ->
@@ -8320,6 +8525,75 @@ object SparkEntry {
   /** Shared by q146 (batch drift report) and q146b (the streaming
     * monitor whose final published report must be bit-identical).
     */
+  /** q166 oracle: the SAME 8 peel rounds the Spark side runs,
+    * unrolled as CTE stages over the exact-Jaccard edge set (LSH ≡
+    * exact at this threshold, the q13/q133 equivalence) — each round
+    * drops under-degree nodes and the edges touching them; `converged`
+    * is a property of the final graph (no surviving node under k), the
+    * same definition on both sides even if round 8 lands exactly on
+    * the fixpoint.
+    */
+  private def kCoreSql: String = {
+    val k = 2
+    val rounds = 8
+    val peels = (1 to rounds).map { r =>
+      // AS MATERIALIZED: each round references its predecessor three
+      // times — un-materialized, DuckDB inlines the whole pairs chain
+      // 3^8 times (the q153 fd-exhaustion lesson)
+      s"""n$r AS MATERIALIZED (
+         |  SELECT id FROM (SELECT a AS id FROM g${r - 1}
+         |                  UNION ALL SELECT b FROM g${r - 1})
+         |  GROUP BY id HAVING count(*) >= $k),
+         |g$r AS MATERIALIZED (
+         |  SELECT a, b FROM g${r - 1}
+         |  WHERE a IN (SELECT id FROM n$r) AND b IN (SELECT id FROM n$r))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardPairsCtes,
+       |g0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
+       |$peels,
+       |dg AS MATERIALIZED (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS id FROM g$rounds UNION ALL SELECT b FROM g$rounds)
+       |  GROUP BY id),
+       |cv AS (SELECT count(*) = 0 AS converged FROM dg WHERE deg < $k)
+       |SELECT dg.id, dg.deg, cv.converged FROM dg, cv
+       |ORDER BY dg.id""".stripMargin
+  }
+
+  /** q165/q165b shared oracle: per-doc distinct 3-grams left-joined
+    * against the English reference slice's distinct 3-grams — the
+    * hashed twin must produce the identical report.
+    */
+  private def noveltySql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |dgd AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 FOR i IN range(1, len(toks) - 1)]) AS gram
+      |  FROM dt WHERE len(toks) >= 3),
+      |rg AS (
+      |  SELECT DISTINCT
+      |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 FOR i IN range(1, len(toks) - 1)]) AS gram
+      |  FROM dt JOIN documents USING (doc_id)
+      |  WHERE len(toks) >= 3 AND lang = 'en'),
+      |pd AS (
+      |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |         CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_novel
+      |  FROM dgd d LEFT JOIN rg r USING (gram) GROUP BY 1)
+      |SELECT doc_id,
+      |       coalesce(n_grams, 0) AS n_grams,
+      |       coalesce(n_novel, 0) AS n_novel,
+      |       CASE WHEN coalesce(n_grams, 0) > 0
+      |            THEN round(n_novel / CAST(n_grams AS DOUBLE), 4) END
+      |         AS novelty
+      |FROM documents LEFT JOIN pd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   private def tokenDriftOracle: String =
     """WITH o AS (
       |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS category

@@ -110,6 +110,74 @@ object Graph {
     * Everything through the counts is exact integer arithmetic; the
     * coefficient 2T/(deg·(deg−1)) is one rounded division per node.
     */
+  /** k-core of an undirected pair list: the maximal subgraph in which
+    * every node keeps degree ≥ k, by iterative peeling (Seidman 1983)
+    * — remove all nodes of degree < k, recompute degrees, repeat. On
+    * the near-dup graph the 2-core strips the pendant chains that
+    * transitive closure glued onto dense duplicate groups (the
+    * [[triangleStats]] over-merge signal, as a subgraph instead of a
+    * per-node score), leaving only nodes held by at least two
+    * independent duplicate relations.
+    *
+    * The operator is defined as an R-round peel (`maxRounds`): each
+    * round is one keyed degree aggregation + two left-semi joins, with
+    * an early exit as soon as a round removes nothing — peeling is
+    * idempotent at the fixpoint, so the early-exited result equals the
+    * full R-round result by construction, and an external engine
+    * replays the SAME R rounds as unrolled SQL (the q119 discipline).
+    * `converged` in the output records whether the fixpoint was
+    * reached within R rounds (callers requiring the true k-core check
+    * it). Each round persists its edge frame and releases the
+    * predecessor, so lineage never deepens; driver traffic is one
+    * edge-count scalar per round (the pageRank pattern).
+    *
+    * Returns (id, deg, converged): surviving nodes with their degree
+    * inside the core.
+    */
+  def kCore(
+      pairs: DataFrame, srcCol: String, dstCol: String, k: Long,
+      maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var e = pairs.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b")).distinct().persist()
+    var nEdges = e.count()
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable && nEdges > 0) {
+      val keep = e.select(col("a").as("id"))
+        .unionByName(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("id"))
+      val e2 = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).persist()
+      val n2 = e2.count() // bounded driver scalar per round
+      stable = n2 == nEdges
+      e.unpersist()
+      e = e2
+      nEdges = n2
+      round += 1
+    }
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // converged is a property of the RESULT, not of the loop ("no
+    // surviving node is under-degree") — the definition an external
+    // replay of the same R rounds computes identically, including the
+    // edge case where the fixpoint lands exactly on round R without
+    // the early-exit round observing it. Core-sized snapshot first,
+    // then one bounded existence probe.
+    val snap = deg.localCheckpoint(true)
+    e.unpersist()
+    val anyUnder = snap.filter(col("deg") < k).limit(1).count() > 0
+    snap.withColumn("converged", lit(!anyUnder))
+  }
+
   def triangleStats(
       pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = pairs.select(

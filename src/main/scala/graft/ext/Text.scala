@@ -1069,4 +1069,104 @@ object Text {
     piiPatterns.foldLeft(c) { case (acc, (tag, pattern)) =>
       regexp_replace(acc, pattern, s"[$tag]")
     }
+
+  // ------------------------------------------- lexical-diversity metrics
+
+  /** Per-document lexical-diversity report: type-token ratio, hapax
+    * ratio (types occurring exactly once / types — the classic
+    * template-spam discriminant: generated boilerplate repeats its
+    * vocabulary, natural text keeps minting new words), and Shannon
+    * token entropy. The corpus-level complement of the per-rule
+    * quality gates ([[gopherRules]] bounds counts; this measures the
+    * token DISTRIBUTION).
+    *
+    * Shape: explode → (doc, token) partial-agg'd count → per-doc
+    * aggregate — two keyed shuffles on doc-sized keys, nothing
+    * corpus-global. Entropy uses the decimal discipline (each
+    * c·ln c term rounds to 6 dp and sums as DECIMAL(18,6) — exact,
+    * commutative, partition-order-free) so the metric hash-checks
+    * rather than approximately-matches; only the final
+    * ln(n) − Σ/n combination is floating, rounded to 4 dp.
+    *
+    * Empty/whitespace-only docs produce one "" token (the [[tokens]]
+    * contract) and so report ttr = 1, entropy 0 — callers filter
+    * upstream where that matters.
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(round(col("c") * log(col("c")), 6).cast("decimal(18,6)"))
+          .as("__clnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 4)
+          .as("hapax_ratio"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__clnc").cast("double") / col("n_tokens"), 4)
+          .as("token_entropy"))
+  }
+
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of a doc's distinct word n-grams never seen in the
+    * reference — the memorization/novelty audit run before adding a
+    * crawl slice to a training mix (a slice whose n-grams are ~all
+    * already in the held corpus adds tokens but no new content; the
+    * per-doc grain also flags individual regurgitated docs).
+    * Complements decontamination (q48 asks "does the doc CONTAIN a
+    * benchmark gram"; this asks "what fraction of the doc is NEW").
+    *
+    * Shape: both sides explode to distinct n-grams; the membership
+    * probe is a left join on the gram — one keyed shuffle each side,
+    * partial-distinct aggregates, no broadcast assumption (the
+    * reference is corpus-sized, unlike a benchmark). With
+    * `hashGrams` the join keys are 8-byte xxhash64 instead of gram
+    * strings (the q102b shuffle-width discipline for the 100 TB
+    * path; exact up to 64-bit collisions).
+    *
+    * Docs with fewer than n tokens have no n-grams and report
+    * n_grams = 0 with a NULL novelty.
+    */
+  def ngramNovelty(
+      docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      n: Int = 3, hashGrams: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(c: String): Column = {
+      val t = tokens(lower(col(c)))
+      array_distinct(
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+          .otherwise(array())) // sequence(1, n<1) would count DOWN
+    }
+    def keyed(g: Column): Column = if (hashGrams) xxhash64(g) else g
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"), explode(grams(textCol)).as("g"))
+      .select(col("doc_id"), keyed(col("g")).as("gram"))
+    val refGrams = ref
+      .select(explode(grams(refTextCol)).as("g"))
+      .select(keyed(col("g")).as("gram")).distinct()
+      .withColumn("__seen", lit(1))
+    val perDoc = docGrams
+      .join(refGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(col("n_novel").cast("double") / col("n_grams"), 4))
+          .as("novelty"))
+  }
 }

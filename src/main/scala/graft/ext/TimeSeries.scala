@@ -323,6 +323,76 @@ object TimeSeries {
     * < 10⁵ rows), the same bounded-window class as the two-phase
     * prefix-sum offsets.
     */
+  /** Per-key integer EWMA over hourly event counts — the smoothed
+    * level a monitoring page plots beside [[cusumHourly]]'s alarms.
+    * The recursion s_t = s_{t−1} + (n_t·scale − s_{t−1}) div alphaDen
+    * (α = 1/alphaDen; all longs, division truncating toward zero on
+    * both engines) is inherently sequential per key — each smoothed
+    * value depends on every prior one — so no window formulation
+    * exists and this is the documented last-resort tier
+    * ([[throttle]]'s shape): `flatMapSortedGroups` hands each key's
+    * hourly series in time order to a linear fold carrying one long.
+    * One keyed shuffle + sort; keys smooth in parallel; the per-key
+    * series is bounded by the time span (a decade < 10⁵ rows), so the
+    * sequential scan is never the scale bottleneck. The integer
+    * recursion replays exactly as a recursive CTE.
+    *
+    * Returns (key, hr, n, ewma_scaled), s_1 = n_1·scale.
+    */
+  def ewmaHourly(
+      events: DataFrame, keyCol: String, tsCol: String,
+      scale: Long = 1000000L, alphaDen: Long = 8L): DataFrame = {
+    require(alphaDen >= 2, "alphaDen must be >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourly = events
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      // hour-truncated timestamps are whole seconds — the long cast is
+      // lossless and gives the fold a plain sortable column
+      .select(col("key"), col("hr").cast("long").as("hr_s"), col("n"))
+      .as[(String, Long, Long)]
+    hourly.groupByKey(_._1)
+      .flatMapSortedGroups(col("hr_s")) {
+        (key: String, it: Iterator[(String, Long, Long)]) =>
+          var s = Long.MinValue
+          it.map { case (_, hrS, n) =>
+            s = if (s == Long.MinValue) n * scale
+                else s + (n * scale - s) / alphaDen
+            (key, hrS, n, s)
+          }
+      }
+      .toDF("key", "hr_s", "n", "ewma_scaled")
+      .select(col("key"), timestamp_seconds(col("hr_s")).as("hr"),
+        col("n"), col("ewma_scaled"))
+  }
+
+  /** Seasonal (hour-of-day) baseline spikes: each hourly count
+    * compared against its key's OWN mean for that hour of day — the
+    * calendar-aware threshold that doesn't page on the nightly batch
+    * window ([[rollingZScoreAnomalies]] adapts to the recent level;
+    * this adapts to the clock). Baselines are scaled-integer
+    * truncating-division means, so the report is exact.
+    *
+    * Shape: the hourly aggregation is the only corpus-sized pass; the
+    * profile is O(keys × 24) and broadcasts back onto the series.
+    */
+  def seasonalSpikes(
+      events: DataFrame, keyCol: String, tsCol: String,
+      scale: Long = 1000000L, spikeMul: Long = 2L): DataFrame = {
+    require(spikeMul >= 1, "spikeMul must be >= 1")
+    val hourly = events
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val profile = hourly
+      .groupBy(col("key"), hour(col("hr")).as("hod"))
+      .agg(expr(s"(sum(n) * $scale) div count(1)").as("baseline_scaled"))
+    hourly.withColumn("hod", hour(col("hr")))
+      .join(broadcast(profile), Seq("key", "hod"))
+      .select(col("key"), col("hr"), col("n"), col("baseline_scaled"),
+        (col("n") * scale > col("baseline_scaled") * spikeMul).as("is_spike"))
+  }
+
   def cusumHourly(
       events: DataFrame, tsCol: String,
       scale: Long = 1000000L, slackDen: Long = 2L,

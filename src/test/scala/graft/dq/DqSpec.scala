@@ -146,6 +146,38 @@ class DqSpec extends SparkSpec {
     }
   }
 
+  test("lDiversity: distinct-sensitive audit and one-shuffle enforcement agree") {
+    // (a,1): 3 rows, 2 distinct users; (b,1): 3 rows, 3 users; (c,9): 1 row
+    val df = Seq((1L, "a", 1, 10L), (2L, "a", 1, 10L), (3L, "a", 1, 20L),
+      (4L, "b", 1, 1L), (5L, "b", 1, 2L), (6L, "b", 1, 3L),
+      (7L, "c", 9, 5L)).toDF("id", "city", "band", "user")
+    val qi = Seq(col("city"), col("band"))
+    val classes = Privacy.lDiversityClasses(df, qi, col("user"), l = 3)
+      .as[(String, Int, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(classes(("a", 1)) == ((3L, 2L, true)))
+    assert(classes(("b", 1)) == ((3L, 3L, false)))
+    assert(classes(("c", 9)) == ((1L, 1L, true)))
+    val kept = Privacy.enforceLDiversity(df, qi, col("user"), l = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(4L, 5L, 6L))
+    // enforcement keeps the full row shape
+    assert(Privacy.enforceLDiversity(df, qi, col("user"), 3)
+      .columns.toSeq == Seq("id", "city", "band", "user"))
+    // NULL sensitive values never count as a value (dense_rank puts
+    // them first; the any-null indicator subtracts them back out),
+    // matching the audit's count(DISTINCT) semantics exactly
+    val withNull = Seq((1L, "a", Option(1L)), (2L, "a", Option(2L)),
+      (3L, "a", Option.empty[Long])).toDF("id", "city", "user")
+    assert(Privacy.enforceLDiversity(
+      withNull, Seq(col("city")), col("user"), 3).count() == 0)
+    assert(Privacy.enforceLDiversity(
+      withNull, Seq(col("city")), col("user"), 2).count() == 3)
+    assert(Privacy.lDiversityClasses(
+      withNull, Seq(col("city")), col("user"), 2)
+      .head().getLong(2) == 2L)
+  }
+
   test("categoryDrift: hand-computed PSI terms, one-sided categories finite") {
     val old = Seq("a", "a", "a", "b").toDF("c")
     val neu = Seq("a", "b", "b", "x").toDF("c") // 'x' absent from old

@@ -9,6 +9,39 @@ class ExtSpec extends SparkSpec {
 
   // ----------------------------------------------------------- text
 
+  test("lexicalDiversity: hand-computed ttr/hapax/entropy") {
+    val docs = Seq((1L, "A a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = Text.lexicalDiversity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc1 (lowercased): 3 tokens, 2 types, 1 hapax;
+    // entropy = ln 3 − round(2·ln 2, 6)/3 = 1.09861… − 0.462098 → 0.6365
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 2 &&
+      out(0).getLong(3) == 1)
+    assert(out(0).getDouble(4) == 0.6667 && out(0).getDouble(5) == 0.5)
+    assert(out(0).getDouble(6) == 0.6365)
+    // doc2 uniform: ttr = hapax = 1, entropy = ln 3 → 1.0986
+    assert(out(1).getDouble(4) == 1.0 && out(1).getDouble(5) == 1.0)
+    assert(out(1).getDouble(6) == 1.0986)
+  }
+
+  test("ngramNovelty: exact ≡ hashed; short docs report zero grams") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+    val ref = Seq(Tuple1("x a b c x")).toDF("text") // grams: x a b | a b c | b c x
+    val out = Text.ngramNovelty(docs, "doc_id", "text", ref, "text", n = 3)
+      .orderBy("doc_id").collect()
+    // doc1 grams {a b c, b c d}: one novel → 0.5
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1 &&
+      out(0).getDouble(3) == 0.5)
+    // doc2 has no 3-grams: zero counts, NULL novelty
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 0 && out(1).isNullAt(3))
+    // doc3 entirely novel
+    assert(out(2).getLong(1) == 1 && out(2).getDouble(3) == 1.0)
+    val hashed = Text.ngramNovelty(docs, "doc_id", "text", ref, "text",
+      n = 3, hashGrams = true).orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == hashed.map(_.toSeq).toSeq)
+  }
+
   test("Text: blocklist screen — hits, case-insensitivity, threshold, zero-hit docs") {
     val docs = Seq(
       (1L, "Bad WORD here bad again"),   // 'bad' ×2 (mixed case)
@@ -1138,6 +1171,39 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().toSeq
     assert(r == Seq((1L, 0L, false), (1L, 0L, false), (1L, 0L, false),
       (1L, 0L, false), (100L, 49000000L, false), (100L, 98000000L, true)))
+  }
+
+  test("ewmaHourly: integer recursion hand-checked; division truncates toward zero") {
+    // key a hourly counts [2,1,1], alphaDen=3:
+    //   s1 = 2e6
+    //   s2 = 2e6 + (1e6−2e6)/3 = 2e6 − 333333 (exact −333333.3 truncates)
+    //   s3 = 1666667 + (1e6−1666667)/3 = 1666667 − 222222 = 1444445
+    // (floor division would give …666 / …445−1 — the test pins trunc)
+    val ev = Seq(("a", "2024-01-01 00:10:00"), ("a", "2024-01-01 00:20:00"),
+      ("a", "2024-01-01 01:00:00"), ("a", "2024-01-01 02:30:00"),
+      ("b", "2024-01-01 00:00:00")).toDF("k", "s")
+      .select(col("k"), to_timestamp(col("s")).as("ts"))
+    val out = TimeSeries.ewmaHourly(ev, "k", "ts", alphaDen = 3L)
+      .orderBy("key", "hr")
+      .select("key", "n", "ewma_scaled")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L, 2000000L), ("a", 1L, 1666667L),
+      ("a", 1L, 1444445L), ("b", 1L, 1000000L)))
+  }
+
+  test("seasonalSpikes: clock-slot baselines, spike only vs the same hour-of-day") {
+    // key a, hour-00 counts across three days: [1, 1, 10] → baseline
+    // (12e6 div 3) = 4e6; only the 10 exceeds 2× baseline. A single
+    // hour-01 count of 1 is its own baseline → never a spike.
+    val rows =
+      Seq.fill(1)("2024-01-01 00:05:00") ++ Seq.fill(1)("2024-01-02 00:05:00") ++
+      Seq.fill(10)("2024-01-03 00:05:00") ++ Seq.fill(1)("2024-01-01 01:05:00")
+    val ev = rows.toDF("s").select(lit("a").as("k"), to_timestamp(col("s")).as("ts"))
+    val out = TimeSeries.seasonalSpikes(ev, "k", "ts")
+      .orderBy("hr").select("n", "baseline_scaled", "is_spike")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 4000000L, false), (1L, 1000000L, false),
+      (1L, 4000000L, false), (10L, 4000000L, true)))
   }
 
   test("blockedEntityPairs: fuzzy + exact conjuncts, blocking is a hard wall") {

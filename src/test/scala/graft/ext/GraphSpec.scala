@@ -39,6 +39,23 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRankScaled(empty, "id_a", "id_b", iters = 2).isEmpty)
   }
 
+  test("kCore: peeling strips chains, keeps the clique, reports convergence") {
+    // triangle {1,2,3} with a pendant chain 3–4–5: the 2-core is the
+    // triangle alone (4 has deg 2 initially but peeling 5 exposes it)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val r = Graph.kCore(g, "id_a", "id_b", k = 2, maxRounds = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)))
+    // a 4-path has an empty 2-core; a too-small round budget leaves
+    // an unconverged remainder and says so
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Graph.kCore(path, "id_a", "id_b", k = 2).isEmpty)
+    val partial = Graph.kCore(path, "id_a", "id_b", k = 2, maxRounds = 1)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(partial == Seq((2L, 1L, false), (3L, 1L, false)))
+  }
+
   test("triangleStats: one triangle with a tail, hand-checked coefficients") {
     // triangle {1,2,3} plus spoke 3–4; reversed/duplicate edges must
     // canonicalize away
