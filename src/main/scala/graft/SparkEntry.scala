@@ -2363,6 +2363,36 @@ object SparkEntry {
       StructField("embedding", ArrayType(FloatType), nullable = true))))
   }
 
+  /** Customer-table counterpart of [[docSliceStreamInput]]: the ER
+    * corpus as 4 c_custkey-sliced parquet arrival files.
+    */
+  private def custSliceStreamInput(
+      spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val in = writeSliceFiles(
+      (0 until 4).map(i => cust.filter(pmod(col("c_custkey"), lit(4)) === i)), tmp)
+    (in, StructType(Seq(
+      StructField("c_custkey", LongType, nullable = true),
+      StructField("c_name", StringType, nullable = true),
+      StructField("c_nationkey", IntegerType, nullable = true),
+      StructField("c_acctbal", DoubleType, nullable = true),
+      StructField("c_mktsegment", StringType, nullable = true))))
+  }
+
+  /** Event-stream counterpart: the (normalized-ts) event log as 4
+    * event_id-sliced parquet arrival files.
+    */
+  private def eventSliceStreamInput(
+      spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    val in = writeSliceFiles(
+      (0 until 4).map(i => ev.filter(pmod(col("event_id"), lit(4)) === i)), tmp)
+    (in, StructType(Seq(
+      StructField("event_id", LongType, nullable = true),
+      StructField("ts", TimestampType, nullable = true))))
+  }
+
   private def docSliceStreamInput(
       spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
     val docs = Tables.documents(spark, dir)
@@ -4121,14 +4151,31 @@ object SparkEntry {
   /** The q160/q161 entity corpus: customers plus every 25th
     * re-registered under a new key with one name typo.
     */
-  private def entityCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.customer(spark, dir).select(col("c_custkey"),
+  private def entityCorpus(spark: SparkSession, dir: String): DataFrame =
+    entityCorpusOf(Tables.customer(spark, dir))
+
+  private def entityCorpusOf(cust: DataFrame): DataFrame = {
+    val base = cust.select(col("c_custkey"),
       col("c_name"), col("c_nationkey"), col("c_acctbal"),
       col("c_mktsegment"))
     base.unionByName(base.filter(pmod(col("c_custkey"), lit(25)) === 0)
       .select((col("c_custkey") + 1000000L).as("c_custkey"),
         concat(col("c_name"), lit("X")).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+  }
+
+  /** The q161/q161b shared survivorship plan: match pairs → recursive
+    * closure → anti-join the non-canonical members away.
+    */
+  private def goldenRecordOf(all: DataFrame): DataFrame = {
+    val pairs = graft.ext.Dedup.blockedEntityPairs(all,
+      "c_custkey", "c_nationkey",
+      fuzzyRules = Seq(("c_name", 1)),
+      exactCols = Seq("c_acctbal", "c_mktsegment"))
+    val dropped = graft.ext.Clusters.dupClusters(pairs, "id_a", "id_b")
+      .filter(!col("is_canonical"))
+      .select(col("doc_id").as("c_custkey"))
+    all.join(dropped, Seq("c_custkey"), "left_anti")
   }
 
   /** GOLDEN-RECORD survivorship — the deliverable an ER run actually
@@ -4139,17 +4186,38 @@ object SparkEntry {
     * customer table, so the oracle replays matching, the recursive
     * closure, and the survivorship anti-join end to end.
     */
-  def q161GoldenRecord(spark: SparkSession, dir: String): DataFrame = {
-    val all = entityCorpus(spark, dir)
-    val pairs = graft.ext.Dedup.blockedEntityPairs(all,
-      "c_custkey", "c_nationkey",
-      fuzzyRules = Seq(("c_name", 1)),
-      exactCols = Seq("c_acctbal", "c_mktsegment"))
-    val dropped = graft.ext.Clusters.dupClusters(pairs, "id_a", "id_b")
-      .filter(!col("is_canonical"))
-      .select(col("doc_id").as("c_custkey"))
-    all.join(dropped, Seq("c_custkey"), "left_anti")
+  def q161GoldenRecord(spark: SparkSession, dir: String): DataFrame =
+    goldenRecordOf(entityCorpus(spark, dir)).orderBy(col("c_custkey"))
+
+  /** STREAMING golden record: q161's ER survivorship maintained over
+    * an arriving customer feed (snapshot-recompute mechanics — a
+    * match cluster is corpus-GLOBAL: one arriving re-registration can
+    * merge clusters and change the canonical pick, so per-row state
+    * can't express it). Deterministic matching ⇒ the final published
+    * golden table shares q161's oracle verbatim.
+    */
+  def q161bGoldenStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q161b")
+    val (in, schema) = custSliceStreamInput(spark, dir, tmp)
+    graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      cust => goldenRecordOf(entityCorpusOf(cust)))
       .orderBy(col("c_custkey"))
+  }
+
+  /** STREAMING changepoint monitor: q162's CUSUM alarm series
+    * re-derived per ingest batch over the growing event log — the
+    * production shape of a rate-shift monitor. CUSUM is series-GLOBAL
+    * (μ and the running min shift with every arrival), so the
+    * incremental form is snapshot recompute; the all-long closed form
+    * makes the final published series bit-equal to the batch path —
+    * q162's own oracle checks it.
+    */
+  def q162bChangepointStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q162b")
+    val (in, schema) = eventSliceStreamInput(spark, dir, tmp)
+    graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      ev => graft.ext.TimeSeries.cusumHourly(ev, "ts"))
+      .orderBy(col("hr"))
   }
 
   /** CUSUM changepoint detection
@@ -4269,6 +4337,31 @@ object SparkEntry {
   def q168SeasonalSpikes(spark: SparkSession, dir: String): DataFrame =
     graft.ext.TimeSeries.seasonalSpikes(Tables.events(spark, dir), "event_type", "ts")
       .orderBy(col("key"), col("hr"))
+
+  /** UniMax budget allocation
+    * ([[graft.ext.TrainPrep.unimaxAllocation]]): a token budget
+    * spread as uniformly as possible across language groups with a
+    * 2-epoch cap per group — the principled alternative to q94's
+    * temperature weights that never over-repeats a low-resource
+    * group. Every 20th doc forms a deterministic "rare" group so the
+    * cap provably binds at every SF; the budget is 1.8× the corpus
+    * (one disclosed scalar hop at definition time, the q92b
+    * precedent), so the capped/uncapped split is scale-invariant.
+    * All long arithmetic (the cap predicate multiplies through
+    * instead of dividing) — the allocation replays exactly.
+    */
+  def q169UnimaxAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("grp",
+        when(pmod(col("doc_id"), lit(20)) === 0, lit("rare"))
+          .otherwise(col("lang")))
+    val total = docs.agg(sum(Text.tokenCount(col("text"))).as("t"))
+      .head().getLong(0)
+    graft.ext.TrainPrep.unimaxAllocation(docs, "grp",
+      Text.tokenCount(col("text")),
+      budget = total * 18 / 10, maxEpochs = 2)
+      .orderBy(col("grp"))
+  }
 
   /** Dup-graph cohesion audit ([[graft.ext.Graph.triangleStats]]):
     * per-node triangle counts and clustering coefficients over the
@@ -4549,6 +4642,9 @@ object SparkEntry {
     "q166_k_core" -> (q166KCore _),
     "q167_ewma_smooth" -> (q167EwmaSmooth _),
     "q168_seasonal_spikes" -> (q168SeasonalSpikes _),
+    "q169_unimax_alloc" -> (q169UnimaxAlloc _),
+    "q161b_golden_stream" -> (q161bGoldenStream _),
+    "q162b_changepoint_stream" -> (q162bChangepointStream _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
     "q33_dedup_agg_path" -> (q33DedupAggPath _),
     "q34_profile_similarity" -> (q34ProfileSimilarity _),
@@ -4577,7 +4673,8 @@ object SparkEntry {
     "q113_stream_index_ingest", "q115_compact_index",
     "q121_stream_query_serve", "q131_stream_classifier",
     "q132_retrain_stream", "q139_stream_neardup", "q143b_media_stream",
-    "q146b_drift_stream", "q147b_funnel_stream", "q155b_coreset_stream")
+    "q146b_drift_stream", "q147b_funnel_stream", "q155b_coreset_stream",
+    "q161b_golden_stream", "q162b_changepoint_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -7639,25 +7736,8 @@ object SparkEntry {
 
     // deviation prefix sums + running min = the exact CUSUM closed
     // form; μ and k by truncating division, all scaled longs
-    "q162_changepoint" ->
-      """WITH h AS (
-        |  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1),
-        |st AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
-        |              CAST(count(*) AS BIGINT) AS nh FROM h),
-        |d AS (SELECT hr, n,
-        |        ((st.tot * 1000000) // st.nh) AS mu,
-        |        n * 1000000 - ((st.tot * 1000000) // st.nh)
-        |          - (((st.tot * 1000000) // st.nh) // 2) AS dev
-        |      FROM h, st),
-        |p AS (SELECT hr, n, mu,
-        |        CAST(sum(dev) OVER (ORDER BY hr) AS BIGINT) AS pp FROM d),
-        |m AS (SELECT hr, n, mu, pp,
-        |        min(pp) OVER (ORDER BY hr) AS mn FROM p)
-        |SELECT hr, n,
-        |       pp - least(CAST(0 AS BIGINT), mn) AS cusum_scaled,
-        |       (pp - least(CAST(0 AS BIGINT), mn)) > mu * 3 AS alarm
-        |FROM m ORDER BY hr""".stripMargin,
+    "q162_changepoint" -> changepointSql,
+    "q162b_changepoint_stream" -> changepointSql,
 
     "q163_l_diversity" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
@@ -7749,35 +7829,51 @@ object SparkEntry {
         |FROM h JOIN p ON p.key = h.key AND p.hod = extract(hour FROM h.hr)
         |ORDER BY h.key, h.hr""".stripMargin,
 
+    // water-filling closed form: ascending-cap order, multiplied-through
+    // cap predicate (exact longs), running-AND capped prefix, equal
+    // truncating share for the uncapped remainder
+    "q169_unimax_alloc" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 20 = 0 THEN 'rare' ELSE lang END AS grp,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS tc
+        |  FROM documents),
+        |g AS (
+        |  SELECT grp, CAST(sum(tc) AS BIGINT) AS n_tokens,
+        |         CAST(sum(tc) * 2 AS BIGINT) AS cap_tokens
+        |  FROM d GROUP BY 1),
+        |b AS (SELECT CAST((sum(tc) * 18) // 10 AS BIGINT) AS bud FROM d),
+        |w AS (
+        |  SELECT g.*, bud,
+        |         count(*) OVER ()
+        |           - row_number() OVER (ORDER BY cap_tokens, grp) + 1 AS m,
+        |         coalesce(sum(cap_tokens)
+        |           OVER (ORDER BY cap_tokens, grp
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS cumb
+        |  FROM g, b),
+        |o AS (SELECT *, CASE WHEN cap_tokens * m <= bud - cumb
+        |                     THEN 1 ELSE 0 END AS ok FROM w),
+        |cp AS (
+        |  SELECT *, min(ok) OVER (ORDER BY cap_tokens, grp
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |           AS capped
+        |  FROM o),
+        |f AS (
+        |  SELECT *,
+        |         coalesce(sum(CASE WHEN capped THEN cap_tokens END)
+        |                  OVER (), 0) AS granted,
+        |         sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS nu
+        |  FROM cp)
+        |SELECT grp, n_tokens, cap_tokens, capped,
+        |       CAST(CASE WHEN capped THEN cap_tokens
+        |                 ELSE (bud - granted) // nu END AS BIGINT)
+        |         AS alloc_tokens
+        |FROM f ORDER BY grp""".stripMargin,
+
     // matching + recursive closure + survivorship anti-join: the
     // golden table keeps singletons and each cluster's min key
-    "q161_golden_record" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |  FROM customer),
-        |tw AS (
-        |  SELECT c_custkey + 1000000 AS c_custkey, c_name || 'X' AS c_name,
-        |         c_nationkey, c_acctbal, c_mktsegment
-        |  FROM base WHERE c_custkey % 25 = 0),
-        |al AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
-        |p AS (
-        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-        |  FROM al a JOIN al b
-        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        |  WHERE levenshtein(a.c_name, b.c_name) <= 1
-        |    AND a.c_acctbal = b.c_acctbal
-        |    AND a.c_mktsegment = b.c_mktsegment),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-        |          UNION ALL SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-        |dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
-        |SELECT al.* FROM al LEFT JOIN dropped ON al.c_custkey = dropped.id
-        |WHERE dropped.id IS NULL
-        |ORDER BY c_custkey""".stripMargin,
+    "q161_golden_record" -> goldenRecordSql,
+    "q161b_golden_stream" -> goldenRecordSql,
 
     // exact-Jaccard edges, a<b<c oriented two-path + EXISTS closure —
     // each triangle once; coefficient = one rounded division
@@ -8533,6 +8629,62 @@ object SparkEntry {
     * same definition on both sides even if round 8 lands exactly on
     * the fixpoint.
     */
+  /** q161/q161b shared oracle: matching + recursive closure +
+    * survivorship anti-join — the streaming twin's final snapshot
+    * must be bit-identical to the batch golden table.
+    */
+  private def goldenRecordSql: String =
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer),
+        |tw AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_name || 'X' AS c_name,
+        |         c_nationkey, c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 25 = 0),
+        |al AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+        |p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM al a JOIN al b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |    AND a.c_acctbal = b.c_acctbal
+        |    AND a.c_mktsegment = b.c_mktsegment),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
+        |SELECT al.* FROM al LEFT JOIN dropped ON al.c_custkey = dropped.id
+        |WHERE dropped.id IS NULL
+        |ORDER BY c_custkey""".stripMargin
+
+  /** q162/q162b shared oracle: deviation prefix sums + running min =
+    * the exact CUSUM closed form; μ and k by truncating division, all
+    * scaled longs.
+    */
+  private def changepointSql: String =
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |              CAST(count(*) AS BIGINT) AS nh FROM h),
+        |d AS (SELECT hr, n,
+        |        ((st.tot * 1000000) // st.nh) AS mu,
+        |        n * 1000000 - ((st.tot * 1000000) // st.nh)
+        |          - (((st.tot * 1000000) // st.nh) // 2) AS dev
+        |      FROM h, st),
+        |p AS (SELECT hr, n, mu,
+        |        CAST(sum(dev) OVER (ORDER BY hr) AS BIGINT) AS pp FROM d),
+        |m AS (SELECT hr, n, mu, pp,
+        |        min(pp) OVER (ORDER BY hr) AS mn FROM p)
+        |SELECT hr, n,
+        |       pp - least(CAST(0 AS BIGINT), mn) AS cusum_scaled,
+        |       (pp - least(CAST(0 AS BIGINT), mn)) > mu * 3 AS alarm
+        |FROM m ORDER BY hr""".stripMargin
+
   private def kCoreSql: String = {
     val k = 2
     val rounds = 8

@@ -575,6 +575,55 @@ object TrainPrep {
           (col("n_docs") / col("total")), 6).as("sample_rate"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, 2304.09151): spread
+    * a total token budget as uniformly as possible across groups,
+    * capping each group at `maxEpochs` repetitions of its corpus —
+    * the principled alternative to temperature sampling
+    * ([[mixtureWeights]]'s α-scaling) that never over-repeats a
+    * low-resource group. The classic water-filling loop has a closed
+    * form: in ascending-cap order a group is capped iff every prefix
+    * group satisfies cap_j · (remaining groups) ≤ (budget − caps
+    * already granted) — a running-AND window — and all uncapped
+    * groups share the leftover equally (truncating division;
+    * remainder < #uncapped stays unallocated, disclosed).
+    *
+    * Everything is long arithmetic — the cap predicate multiplies
+    * through instead of dividing, so it is EXACT — and every window
+    * runs over the O(#groups) aggregate frame (the bounded-series
+    * window class; the corpus-sized pass is only the token count).
+    *
+    * Returns (groupCol, n_tokens, cap_tokens, capped, alloc_tokens).
+    */
+  def unimaxAllocation(
+      docs: DataFrame, groupCol: String, tokenCol: Column,
+      budget: Long, maxEpochs: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val counts = docs.groupBy(col(groupCol))
+      .agg(sum(tokenCol).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+    val ord = Window.orderBy(col("cap_tokens").asc, col(groupCol).asc)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("__m", count(lit(1)).over(all) - row_number().over(ord) + 1)
+      .withColumn("__cum", coalesce(sum(col("cap_tokens")).over(cum), lit(0L)))
+      .withColumn("__ok",
+        when(col("cap_tokens") * col("__m") <= lit(budget) - col("__cum"), 1)
+          .otherwise(0))
+      .withColumn("capped", min(col("__ok")).over(run) === 1)
+      .withColumn("__granted",
+        coalesce(sum(when(col("capped"), col("cap_tokens"))).over(all), lit(0L)))
+      .withColumn("__nu",
+        sum(when(col("capped"), 0L).otherwise(1L)).over(all))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(expr(s"(${budget}L - __granted) div __nu")))
+      .select(col(groupCol), col("n_tokens"), col("cap_tokens"),
+        col("capped"), col("alloc_tokens"))
+  }
+
   /** EPOCH MATERIALIZATION — the step between mixture WEIGHTS
     * ([[mixtureWeights]]) and an actual training corpus: turn each
     * group's target token share into an exact per-document repeat

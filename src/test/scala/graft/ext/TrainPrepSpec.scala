@@ -7,6 +7,27 @@ import graft.SparkSpec
 class TrainPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("unimaxAllocation: water-filling caps the small group, shares the rest") {
+    // per-doc token counts: A = 10, B = 10, C = 2 (two docs each)
+    val docs = Seq(("A", 6), ("A", 4), ("B", 7), ("B", 3), ("C", 1), ("C", 1))
+      .toDF("grp", "tc")
+    def run(budget: Long, epochs: Long) =
+      TrainPrep.unimaxAllocation(docs, "grp", col("tc"), budget, epochs)
+        .orderBy("grp").as[(String, Long, Long, Boolean, Long)]
+        .collect().toSeq
+    // budget 18, 1 epoch: C (cap 2) is capped — 2·3 ≤ 18; A fails
+    // 10·2 ≤ 16 → A and B split the 16 leftover equally
+    assert(run(18, 1) == Seq(("A", 10L, 10L, false, 8L),
+      ("B", 10L, 10L, false, 8L), ("C", 2L, 2L, true, 2L)))
+    // a budget beyond all caps caps everyone (the rest stays unspent)
+    assert(run(100, 1) == Seq(("A", 10L, 10L, true, 10L),
+      ("B", 10L, 10L, true, 10L), ("C", 2L, 2L, true, 2L)))
+    // truncating share: (19 − 2) div 2 = 8, one token unallocated
+    assert(run(19, 1).map(_._5).sum == 18L)
+    // epoch cap scales the ceiling: 2 epochs doubles C's grant
+    assert(run(18, 2).filter(_._1 == "C").head._5 == 4L)
+  }
+
   test("hashSplit: disjoint, exhaustive, stable, roughly proportional") {
     val ids = (1L to 4000L).toDF("id")
     val cuts = Seq("train" -> 3277, "val" -> 3687, "test" -> 4096)
