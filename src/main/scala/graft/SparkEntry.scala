@@ -4363,6 +4363,46 @@ object SparkEntry {
       .orderBy(col("grp"))
   }
 
+  /** Label-propagation communities
+    * ([[graft.ext.Graph.labelPropagation]]) over the near-dup graph:
+    * the deterministic (min-tie-break, self-vote) LPA partition —
+    * locally-dense duplicate communities, where recursive closure
+    * (q51) would glue bridge-connected groups into one cluster. Four
+    * synchronous rounds, replayed as four unrolled SQL stages over
+    * the exact-Jaccard edge set.
+    */
+  def q170LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ext.Dedup.minhashNearDupPairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    graft.ext.Graph.labelPropagation(pairs, "id_a", "id_b", iters = 4)
+      .orderBy(col("id"))
+  }
+
+  /** Data-skipping effectiveness audit
+    * ([[graft.ext.Layout.skippingReport]]): the same events table
+    * modeled under four layouts — time-sorted, predicate-column-
+    * sorted, z-ordered (band × hour), and hash-scattered — scored by
+    * how many 500-row files a 10%-selective user-band predicate can
+    * min/max-prune. The report a layout decision (q67's z-order, the
+    * compaction sort keys) should be MADE on: band-sorted prunes
+    * ~90%, z-order prunes on both dimensions at once, hash order
+    * prunes nothing.
+    */
+  def q171SkippingReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("band", pmod(col("user_id"), lit(1000)))
+    graft.ext.Layout.skippingReport(ev, Seq(
+      ("by_ts", Seq(col("ts"))),
+      ("by_band", Seq(col("band"))),
+      ("zorder_band_hour",
+        Seq(graft.ext.Layout.zValue(col("band"), hour(col("ts")), 10))),
+      ("hash_random", Seq(md5(col("event_id").cast("string"))))),
+      statCol = col("band"), tieBreak = col("event_id"),
+      rowsPerFile = 500, lo = 100L, hi = 199L)
+      .orderBy(col("layout"))
+  }
+
   /** Dup-graph cohesion audit ([[graft.ext.Graph.triangleStats]]):
     * per-node triangle counts and clustering coefficients over the
     * q133 LSH near-dup graph — coefficient ≈ 1 marks clique-shaped
@@ -4643,6 +4683,8 @@ object SparkEntry {
     "q167_ewma_smooth" -> (q167EwmaSmooth _),
     "q168_seasonal_spikes" -> (q168SeasonalSpikes _),
     "q169_unimax_alloc" -> (q169UnimaxAlloc _),
+    "q170_label_prop" -> (q170LabelProp _),
+    "q171_skipping_report" -> (q171SkippingReport _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
     "q162b_changepoint_stream" -> (q162bChangepointStream _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
@@ -7796,6 +7838,8 @@ object SparkEntry {
     "q165_ngram_novelty" -> noveltySql,
     "q165b_novelty_hashed" -> noveltySql,
     "q166_k_core" -> kCoreSql,
+    "q170_label_prop" -> labelPropSql,
+    "q171_skipping_report" -> skippingSql,
 
     // the EWMA recursion replayed as a recursive CTE: same first-row
     // seed, same truncating integer division (DuckDB // ≡ Scala Long /)
@@ -8711,6 +8755,75 @@ object SparkEntry {
        |cv AS (SELECT count(*) = 0 AS converged FROM dg WHERE deg < $k)
        |SELECT dg.id, dg.deg, cv.converged FROM dg, cv
        |ORDER BY dg.id""".stripMargin
+  }
+
+  /** q170 oracle: the four synchronous LPA rounds unrolled over the
+    * exact-Jaccard edges — neighbor votes UNION ALL the self-vote,
+    * per-node argmax with (count desc, label asc). MATERIALIZED for
+    * the same 3^R-inlining reason as kCoreSql.
+    */
+  private def labelPropSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""v$r AS MATERIALIZED (
+         |  SELECT dst AS id, lbl, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT e.dst, l.lbl FROM ed e JOIN l${r - 1} l ON l.id = e.src
+         |    UNION ALL SELECT id, lbl FROM l${r - 1})
+         |  GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |           row_number() OVER (PARTITION BY id
+         |                              ORDER BY c DESC, lbl) AS rn
+         |    FROM v$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardPairsCtes,
+       |ed AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM ed),
+       |$rounds,
+       |cs AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       |       FROM l4 GROUP BY 1)
+       |SELECT l4.id, l4.lbl AS community, cs.community_size
+       |FROM l4 JOIN cs USING (lbl) ORDER BY l4.id""".stripMargin
+  }
+
+  /** q171 oracle: each layout's file model is one row_number window
+    * over (layout key, event_id) with (rn−1)//500 as the file id; the
+    * z-value replays with the q67 bit-interleave fragment.
+    */
+  private def skippingSql: String = {
+    val zTerms = (0 until 10).map(b =>
+      s"(((x >> $b) & 1) << ${2 * b + 1}) | (((y >> $b) & 1) << ${2 * b})")
+      .mkString(" | ")
+    def block(name: String, orderKey: String) =
+      s"""${name}_f AS (
+         |  SELECT band,
+         |         ((row_number() OVER (ORDER BY $orderKey, event_id)) - 1)
+         |           // 500 AS f
+         |  FROM src),
+         |${name}_s AS (
+         |  SELECT min(band) AS mn, max(band) AS mx FROM ${name}_f GROUP BY f),
+         |${name}_r AS (
+         |  SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |         CAST(sum(CASE WHEN mx < 100 OR mn > 199
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+         |  FROM ${name}_s)""".stripMargin
+    s"""WITH src AS (
+       |  SELECT event_id, ts, user_id % 1000 AS band,
+       |         user_id % 1000 AS x, extract(hour FROM ts) AS y
+       |  FROM events),
+       |${block("by_ts", "ts")},
+       |${block("by_band", "band")},
+       |${block("zorder_band_hour", s"($zTerms)")},
+       |${block("hash_random", "md5(CAST(event_id AS VARCHAR))")}
+       |SELECT layout, n_files, n_skipped,
+       |       n_files - n_skipped AS n_scanned
+       |FROM (SELECT * FROM by_ts_r
+       |      UNION ALL SELECT * FROM by_band_r
+       |      UNION ALL SELECT * FROM zorder_band_hour_r
+       |      UNION ALL SELECT * FROM hash_random_r)
+       |ORDER BY layout""".stripMargin
   }
 
   /** q165/q165b shared oracle: per-doc distinct 3-grams left-joined

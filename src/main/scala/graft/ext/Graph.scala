@@ -110,6 +110,66 @@ object Graph {
     * Everything through the counts is exact integer arithmetic; the
     * coefficient 2T/(deg·(deg−1)) is one rounded division per node.
     */
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected pair list: every node starts labeled with its own id;
+    * each round it adopts the most frequent label among its neighbors
+    * AND itself (the self-vote keeps isolated pairs from oscillating
+    * forever), ties to the SMALLEST label — fully deterministic, so
+    * the run replays as
+    * unrolled SQL rounds (the q119 discipline; the usual random
+    * tie-break is what makes textbook LPA irreproducible, and the min
+    * rule is the repo's standard canonical pick). Communities are a
+    * finer grain than connected components ([[Clusters.dupClusters]]):
+    * a chain of borderline near-dup pairs that closure glues into one
+    * cluster splits into locally-dense communities here — the
+    * over-merge diagnostic as a PARTITION, where [[triangleStats]]
+    * scores it per node and [[kCore]] excises it.
+    *
+    * Per round: one keyed join (edges ⋈ labels on the source) and one
+    * (node, label) count + per-node argmax window — two keyed
+    * shuffles, textbook distributed LPA; label frames persist round to
+    * round and release their predecessor (the pageRank pattern), no
+    * driver traffic at all. Exactly `iters` rounds, no early exit —
+    * the replay contract is "the same R rounds on both sides".
+    *
+    * Returns (id, community, community_size) for every node with an
+    * edge.
+    */
+  def labelPropagation(
+      pairs: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    try {
+      var lab = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).persist()
+      lab.count()
+      var it = 0
+      while (it < iters) {
+        val votes = edges.join(lab, col("src") === col("id"))
+          .select(col("dst"), col("lbl"))
+          .unionByName(lab.select(col("id").as("dst"), col("lbl")))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dst")).orderBy(col("c").desc, col("lbl").asc)
+        val lab2 = votes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("dst").as("id"), col("lbl")).persist()
+        lab2.count() // materialize before releasing the predecessor
+        lab.unpersist()
+        lab = lab2
+        it += 1
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("community"))
+      val out = lab.select(col("id"), col("lbl").as("community"))
+        .withColumn("community_size", count(lit(1)).over(w))
+      val snap = out.localCheckpoint(true)
+      lab.unpersist()
+      snap
+    } finally { edges.unpersist(); () }
+  }
+
   /** k-core of an undirected pair list: the maximal subgraph in which
     * every node keeps degree ≥ k, by iterative peeling (Seidman 1983)
     * — remove all nodes of degree < k, recompute degrees, repeat. On

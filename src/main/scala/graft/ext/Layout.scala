@@ -102,6 +102,51 @@ object Layout {
     } else false
   }
 
+  /** Data-skipping effectiveness audit: for each candidate layout
+    * (an ordering key list), model the files a range-clustered write
+    * of `rowsPerFile` rows would produce, compute each file's min/max
+    * of the predicate column, and report how many files the range
+    * predicate `statCol ∈ [lo, hi]` could skip — the number every
+    * layout decision (sort vs z-order vs none) should be made on,
+    * BEFORE rewriting the table. All exact integer arithmetic, so the
+    * report replays in SQL.
+    *
+    * The file model is the row_number of the layout sort divided by
+    * `rowsPerFile` — exactly the assignment
+    * `repartitionByRange(...).sortWithinPartitions(...)` (the
+    * [[zorderWrite]]/[[compact]] shape) produces with balanced
+    * ranges. The global-order window is the audit's model, not a
+    * production data path: run it over the table's stats sample when
+    * the table is large (DISCLOSED — the real write uses the range
+    * shuffle, never this window).
+    */
+  def skippingReport(
+      df: DataFrame,
+      layouts: Seq[(String, Seq[Column])],
+      statCol: Column, tieBreak: Column,
+      rowsPerFile: Int, lo: Long, hi: Long): DataFrame = {
+    require(layouts.nonEmpty, "need at least one layout")
+    require(rowsPerFile >= 1, "rowsPerFile must be >= 1")
+    require(lo <= hi, "predicate range must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    layouts.map { case (name, keys) =>
+      val kcols = (keys :+ tieBreak).zipWithIndex.map {
+        case (c, i) => c.as(s"__k$i")
+      }
+      val keyed = df.select(statCol.cast("long").as("__v") +: kcols: _*)
+      val w = Window.orderBy(kcols.indices.map(i => col(s"__k$i").asc): _*)
+      keyed
+        .withColumn("__f", floor((row_number().over(w) - 1) / lit(rowsPerFile)))
+        .groupBy(col("__f"))
+        .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("mx") < lo || col("mn") > hi, 1L).otherwise(0L))
+            .as("n_skipped"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_skipped"),
+          (col("n_files") - col("n_skipped")).as("n_scanned"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Z-ordered write: range-partition on the z-value (one shuffle
     * that IS the clustering), sort within partitions, drop the key.
     * Each output file then covers a compact z-range = a small (x, y)

@@ -39,6 +39,22 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRankScaled(empty, "id_a", "id_b", iters = 2).isEmpty)
   }
 
+  test("labelPropagation: bridge-joined triangles split into two communities") {
+    // two triangles joined by one bridge edge 3–4: recursive closure
+    // (dupClusters) merges everything; LPA keeps the dense groups apart
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Graph.labelPropagation(g, "id_a", "id_b", iters = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 3L), (5L, 4L, 3L), (6L, 4L, 3L)))
+    // an isolated pair settles on the min id (the self-vote tie-break)
+    val pair = Seq((7L, 9L)).toDF("id_a", "id_b")
+    val p = Graph.labelPropagation(pair, "id_a", "id_b", iters = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(p == Seq((7L, 7L, 2L), (9L, 7L, 2L)))
+  }
+
   test("kCore: peeling strips chains, keeps the clique, reports convergence") {
     // triangle {1,2,3} with a pendant chain 3–4–5: the 2-core is the
     // triangle alone (4 has deg 2 initially but peeling 5 exposes it)

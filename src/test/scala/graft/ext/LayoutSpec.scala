@@ -87,4 +87,19 @@ class LayoutSpec extends SparkSpec {
     Layout.compact(spark, path, targetFiles = 1, sortCols = Seq("k"))
     assert(spark.read.parquet(path).count() == 100L)
   }
+
+  test("skippingReport: sorted layout prunes, interleaved layout half-prunes") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 20L).toDF("v")
+    val r = Layout.skippingReport(df, Seq(
+      ("sorted", Seq(col("v"))),
+      ("parity", Seq(pmod(col("v"), lit(2)), col("v")))),
+      statCol = col("v"), tieBreak = col("v"),
+      rowsPerFile = 5, lo = 1L, hi = 5L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // parity order: evens 2..20 (two files), odds 1..19 (two files) —
+    // the two even files span [2,10]/[12,20], odds [1,9]/[11,19]:
+    // only the two high files miss [1,5] entirely
+    assert(r == Seq(("parity", 4L, 2L, 2L), ("sorted", 4L, 3L, 1L)))
+  }
 }
