@@ -2385,12 +2385,14 @@ object SparkEntry {
     */
   private def eventSliceStreamInput(
       spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
-    val ev = Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("value"))
     val in = writeSliceFiles(
       (0 until 4).map(i => ev.filter(pmod(col("event_id"), lit(4)) === i)), tmp)
     (in, StructType(Seq(
       StructField("event_id", LongType, nullable = true),
-      StructField("ts", TimestampType, nullable = true))))
+      StructField("ts", TimestampType, nullable = true),
+      StructField("value", DoubleType, nullable = true))))
   }
 
   private def docSliceStreamInput(
@@ -4363,6 +4365,109 @@ object SparkEntry {
       .orderBy(col("grp"))
   }
 
+  /** Time-travel reads over versioned snapshots
+    * ([[graft.sinks.Versioned]]): publish three versions of the
+    * customer balance table (base → CDC-style balance update → delete
+    * sweep), then read each AS OF its version — the reproducible-
+    * training-run primitive ("corpus v=12") and the debugging read
+    * ("before yesterday's load"). The per-version stats (rows, id
+    * checksum, exact balance cents) pin that every retained snapshot
+    * is intact and isolated from later writers; `latest_version` pins
+    * the listing logic. Oracle replays the same edit recipe.
+    */
+  def q172TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q172")
+    val path = s"$tmp/cust"
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    graft.sinks.Versioned.publish(base, path, 0)
+    val v1 = base.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(10)) === 0, col("c_acctbal") * 2)
+        .otherwise(col("c_acctbal")))
+    graft.sinks.Versioned.publish(v1, path, 1)
+    graft.sinks.Versioned.publish(
+      v1.filter(pmod(col("c_custkey"), lit(7)) =!= 0), path, 2)
+    val latest = graft.sinks.Versioned.latestVersion(spark, path)
+    (0L to 2L).map { v =>
+      graft.sinks.Versioned.readAsOf(spark, path, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).as("id_sum"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("id_sum"),
+          col("bal_cents"), lit(latest).as("latest_version"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  /** Key-skew audit ([[graft.dq.Analyzers.skewReport]]) over the
+    * event stream, with a planted hot key (every 3rd event) so the
+    * report provably recommends a real salt count at every SF (the
+    * q135 injection discipline) — measure the skew, THEN pick the
+    * q43/q75 salt factor, instead of guessing.
+    */
+  def q173SkewReport(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Analyzers.skewReport(
+      Tables.events(spark, dir),
+      when(pmod(col("event_id"), lit(3)) === 0, lit("hot"))
+        .otherwise(col("event_type")),
+      topN = 10)
+
+  /** Materialized-view incremental refresh
+    * ([[graft.etl.Transform.mergeAggStates]]): the hourly rollup's
+    * partial states from a base load (80% of events) and a delta
+    * batch (the rest) merged algebraically — and the oracle computes
+    * the FULL recompute directly, so the hash check IS the
+    * incremental-maintenance theorem (merged ≡ recomputed). Exact
+    * cents arithmetic; the derived mean is a truncating division at
+    * read time.
+    */
+  def q174MvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def state(cond: Column) = ev.filter(cond)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    Transform.mergeAggStates(
+      Seq(state(pmod(col("event_id"), lit(5)) =!= 4),
+        state(pmod(col("event_id"), lit(5)) === 4)),
+      Seq("hr"), Seq("n_events", "value_cents"))
+      .withColumn("avg_cents", expr("value_cents div n_events"))
+      .orderBy(col("hr"))
+  }
+
+  /** STREAMING MV maintenance
+    * ([[graft.stream.Jobs.runAggMergeStream]]): the q174 hourly
+    * rollup maintained per micro-batch by ALGEBRAIC state merge —
+    * delta-sized work per trigger, the genuinely incremental contrast
+    * to the snapshot-recompute twins (q104b/q146b/q162b), possible
+    * exactly because counts and sums are commutative monoids. The
+    * final published state shares q174's full-recompute oracle: the
+    * hash check is the maintenance theorem under arbitrary batch
+    * slicing.
+    */
+  def q174bMvStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q174b")
+    val (in, schema) = eventSliceStreamInput(spark, dir, tmp)
+    graft.stream.Jobs.runAggMergeStream(spark, in, schema, s"$tmp/work",
+      batch => batch
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents")),
+      keyCols = Seq("hr"), measureCols = Seq("n_events", "value_cents"))
+      .withColumn("avg_cents", expr("value_cents div n_events"))
+      .orderBy(col("hr"))
+  }
+
+  /** Event-type association mining
+    * ([[graft.ext.Associations.pairLift]]): which event types
+    * co-occur in the same user's history beyond chance — pairwise
+    * support/confidence/lift over per-user distinct type baskets,
+    * all truncating ppm arithmetic.
+    */
+  def q175PairLift(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Associations.pairLift(
+      Tables.events(spark, dir), "user_id", "event_type")
+      .orderBy(col("item_a"), col("item_b"))
+
   /** Label-propagation communities
     * ([[graft.ext.Graph.labelPropagation]]) over the near-dup graph:
     * the deterministic (min-tie-break, self-vote) LPA partition —
@@ -4685,6 +4790,11 @@ object SparkEntry {
     "q169_unimax_alloc" -> (q169UnimaxAlloc _),
     "q170_label_prop" -> (q170LabelProp _),
     "q171_skipping_report" -> (q171SkippingReport _),
+    "q172_time_travel" -> (q172TimeTravel _),
+    "q173_skew_report" -> (q173SkewReport _),
+    "q174_mv_merge" -> (q174MvMerge _),
+    "q174b_mv_stream" -> (q174bMvStream _),
+    "q175_pair_lift" -> (q175PairLift _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
     "q162b_changepoint_stream" -> (q162bChangepointStream _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
@@ -4716,7 +4826,8 @@ object SparkEntry {
     "q121_stream_query_serve", "q131_stream_classifier",
     "q132_retrain_stream", "q139_stream_neardup", "q143b_media_stream",
     "q146b_drift_stream", "q147b_funnel_stream", "q155b_coreset_stream",
-    "q161b_golden_stream", "q162b_changepoint_stream")
+    "q161b_golden_stream", "q162b_changepoint_stream",
+    "q174b_mv_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -7841,6 +7952,72 @@ object SparkEntry {
     "q170_label_prop" -> labelPropSql,
     "q171_skipping_report" -> skippingSql,
 
+    // the same edit recipe replayed per version; latest_version pins
+    // the snapshot listing
+    "q172_time_travel" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+        |v1 AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM base),
+        |v2 AS (SELECT * FROM v1 WHERE c_custkey % 7 <> 0),
+        |r AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |         sum(c_custkey) AS id_sum,
+        |         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), count(*), sum(c_custkey),
+        |         sum(CAST(round(c_acctbal * 100) AS BIGINT)) FROM v1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), count(*), sum(c_custkey),
+        |         sum(CAST(round(c_acctbal * 100) AS BIGINT)) FROM v2)
+        |SELECT version, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(id_sum AS BIGINT) AS id_sum,
+        |       CAST(bal_cents AS BIGINT) AS bal_cents,
+        |       CAST(2 AS BIGINT) AS latest_version
+        |FROM r ORDER BY version""".stripMargin,
+
+    "q173_skew_report" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot'
+        |              ELSE event_type END AS key
+        |  FROM events),
+        |c AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM k GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT key, n_rows,
+        |       (n_rows * 1000000) // total AS share_ppm,
+        |       (n_rows * n_keys + total - 1) // total AS suggested_salts
+        |FROM c, t ORDER BY n_rows DESC, key LIMIT 10""".stripMargin,
+
+    // the oracle is the FULL recompute — the hash check is the
+    // merged ≡ recomputed incremental-maintenance theorem (q174b: the
+    // same theorem under arbitrary micro-batch slicing)
+    "q174_mv_merge" -> mvMergeSql,
+    "q174b_mv_stream" -> mvMergeSql,
+
+    "q175_pair_lift" ->
+      """WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i
+        |            FROM events),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+        |it AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item_a, b2.i AS item_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, x.n_i AS n_a, y.n_i AS n_b,
+        |       (n_ab * 1000000) // n_baskets AS support_ppm,
+        |       (n_ab * 1000000) // x.n_i AS confidence_ppm,
+        |       (n_ab * n_baskets * 1000000) // (x.n_i * y.n_i) AS lift_ppm
+        |FROM p JOIN it x ON x.i = p.item_a
+        |       JOIN it y ON y.i = p.item_b
+        |       CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
     // the EWMA recursion replayed as a recursive CTE: same first-row
     // seed, same truncating integer division (DuckDB // ≡ Scala Long /)
     "q167_ewma_smooth" ->
@@ -8728,6 +8905,18 @@ object SparkEntry {
         |       pp - least(CAST(0 AS BIGINT), mn) AS cusum_scaled,
         |       (pp - least(CAST(0 AS BIGINT), mn)) > mu * 3 AS alarm
         |FROM m ORDER BY hr""".stripMargin
+
+  /** q174/q174b shared oracle: the hourly rollup recomputed from
+    * scratch — merged (batch or streamed) state must equal it.
+    */
+  private def mvMergeSql: String =
+    """SELECT date_trunc('hour', ts) AS hr,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS value_cents,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |         // count(*) AS avg_cents
+      |FROM events GROUP BY 1 ORDER BY hr""".stripMargin
 
   private def kCoreSql: String = {
     val k = 2

@@ -257,6 +257,35 @@ object Analyzers {
       .limit(1)
   }
 
+  /** Key-skew audit: the top-N heaviest keys with their row share and
+    * the salt factor a skewed join/aggregation on this key would need
+    * — the report behind every `q43`/`q75`-style salting decision
+    * (measure the skew, THEN pick the salt count, instead of guessing).
+    * For each of the heaviest keys:
+    *
+    *   share_ppm       = n_rows·10⁶ div total_rows
+    *   suggested_salts = ⌈n_rows · n_keys / total⌉ — how many
+    *                     average-key units this key occupies, i.e. the
+    *                     sub-split count that levels it with the mean.
+    *
+    * One keyed count aggregation (partial-agg'd) + a TakeOrdered
+    * top-N; the totals ride a broadcast cross join. All truncating
+    * long arithmetic — the report replays exactly.
+    */
+  def skewReport(df: DataFrame, keyCol: Column, topN: Int = 10): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val counts = df.select(keyCol.as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("n_rows"),
+        expr("n_rows * 1000000 div total").as("share_ppm"),
+        expr("(n_rows * n_keys + total - 1) div total").as("suggested_salts"))
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(topN)
+  }
+
   def categoryDrift(oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
     val o = oldDf.select(col(catCol).as("category"))
       .groupBy("category").agg(count(lit(1)).as("n_old"))

@@ -159,4 +159,28 @@ object Transform {
         df.withColumn("update_date", current_date())
           .withColumn("last_updated_ts", current_timestamp())
     }
+
+  /** Materialized-view maintenance for ALGEBRAIC aggregates: merge
+    * partial aggregate states (per-key counts/sums) from a base view
+    * and one or more delta batches into the state a full recompute
+    * would produce — the incremental-refresh property that lets a
+    * 100 TB rollup absorb an hourly delta with delta-sized work
+    * instead of a full rescan. Sound exactly because counts and sums
+    * are commutative monoids (avg/stddev derive from them at read
+    * time); non-algebraic measures (distinct, median) need sketches
+    * (q32/q66's HLL/KLL lifecycles) instead.
+    *
+    * One union + one keyed aggregation; with the base state already
+    * keyed, the shuffle is delta-dominated under AQE.
+    */
+  def mergeAggStates(
+      states: Seq[DataFrame], keyCols: Seq[String],
+      measureCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    require(measureCols.nonEmpty, "need at least one measure")
+    val aggs = measureCols.map(c => sum(col(c)).as(c))
+    states.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

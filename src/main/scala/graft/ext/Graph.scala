@@ -240,27 +240,35 @@ object Graph {
 
   def triangleStats(
       pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // persist the canonical edge frame: it feeds FOUR consumers (three
+    // triangle-join legs + the degree count) and its lineage is often
+    // expensive (LSH pair generation) — without the persist each
+    // consumer re-derives it from scratch
     val e = pairs.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") < col("b")).distinct()
-    val tri = e.select(col("a"), col("b"))
-      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
-    val perNode = tri.select(col("a").as("id"))
-      .unionByName(tri.select(col("b").as("id")))
-      .unionByName(tri.select(col("c").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
-    val deg = e.select(col("a").as("id"))
-      .unionByName(e.select(col("b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    deg.join(perNode, Seq("id"), "left_outer")
-      .select(col("id"), col("deg"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"))
-      .withColumn("clustering_coeff",
-        when(col("deg") >= 2,
-          round(lit(2.0) * col("triangles")
-            / (col("deg") * (col("deg") - 1)), 6))
-          .otherwise(lit(0.0)))
+      .filter(col("a") < col("b")).distinct().persist()
+    try {
+      val tri = e.select(col("a"), col("b"))
+        .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      val perNode = tri.select(col("a").as("id"))
+        .unionByName(tri.select(col("b").as("id")))
+        .unionByName(tri.select(col("c").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+      val deg = e.select(col("a").as("id"))
+        .unionByName(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val out = deg.join(perNode, Seq("id"), "left_outer")
+        .select(col("id"), col("deg"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .withColumn("clustering_coeff",
+          when(col("deg") >= 2,
+            round(lit(2.0) * col("triangles")
+              / (col("deg") * (col("deg") - 1)), 6))
+            .otherwise(lit(0.0)))
+      // node-sized snapshot materializes while e is still cached
+      out.localCheckpoint(true)
+    } finally { e.unpersist(); () }
   }
 }

@@ -1127,9 +1127,11 @@ object Text {
     * probe is a left join on the gram — one keyed shuffle each side,
     * partial-distinct aggregates, no broadcast assumption (the
     * reference is corpus-sized, unlike a benchmark). With
-    * `hashGrams` the join keys are 8-byte xxhash64 instead of gram
-    * strings (the q102b shuffle-width discipline for the 100 TB
-    * path; exact up to 64-bit collisions).
+    * `hashGrams` the join keys are the codegen'd shingle-hash
+    * kernel's 8-byte longs instead of gram strings — one array walk
+    * per doc replaces the interpreted string-building lambda AND
+    * narrows the shuffle (the q102b discipline; exact up to 64-bit
+    * collisions, and the hash values never surface in the output).
     *
     * Docs with fewer than n tokens have no n-grams and report
     * n_grams = 0 with a NULL novelty.
@@ -1139,21 +1141,26 @@ object Text {
       ref: DataFrame, refTextCol: String,
       n: Int = 3, hashGrams: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // both branches produce the per-doc DISTINCT gram keys (the
+    // kernel dedups internally); the short-doc guard matches the
+    // string form's "no n-grams below n tokens" (the kernel alone
+    // would emit one short shingle there)
     def grams(c: String): Column = {
       val t = tokens(lower(col(c)))
-      array_distinct(
-        when(size(t) >= n,
-          transform(sequence(lit(1), size(t) - (n - 1)),
-            i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
-          .otherwise(array())) // sequence(1, n<1) would count DOWN
+      if (hashGrams)
+        when(size(t) >= n, VectorKernels.shingleHashes(t, n))
+          .otherwise(typedlit(Array.empty[Long]))
+      else
+        array_distinct(
+          when(size(t) >= n,
+            transform(sequence(lit(1), size(t) - (n - 1)),
+              i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+            .otherwise(array())) // sequence(1, n<1) would count DOWN
     }
-    def keyed(g: Column): Column = if (hashGrams) xxhash64(g) else g
     val docGrams = docs
-      .select(col(idCol).as("doc_id"), explode(grams(textCol)).as("g"))
-      .select(col("doc_id"), keyed(col("g")).as("gram"))
+      .select(col(idCol).as("doc_id"), explode(grams(textCol)).as("gram"))
     val refGrams = ref
-      .select(explode(grams(refTextCol)).as("g"))
-      .select(keyed(col("g")).as("gram")).distinct()
+      .select(explode(grams(refTextCol)).as("gram")).distinct()
       .withColumn("__seen", lit(1))
     val perDoc = docGrams
       .join(refGrams, Seq("gram"), "left")

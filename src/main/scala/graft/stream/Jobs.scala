@@ -513,6 +513,52 @@ object Jobs {
     spark.read.parquet(s"$workDir/plan/v=$lastV")
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the streaming form of
+    * [[graft.etl.Transform.mergeAggStates]]: each micro-batch computes
+    * its own partial aggregate state (keyed counts/sums) and merges it
+    * with the previous published state, publishing state v=batchId.
+    * Work per trigger is O(batch + |state|) — DELTA-sized, never
+    * O(corpus): the genuinely incremental contrast to
+    * [[runPlanRecomputeStream]]'s snapshot recompute, available
+    * exactly because algebraic measures form commutative monoids
+    * (corpus-global plans don't). Versioned publish + the
+    * published-version ≥ batchId replay skip give crash-safe
+    * exactly-once, the established idempotence pattern.
+    */
+  def runAggMergeStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      workDir: String,
+      stateOf: DataFrame => DataFrame,
+      keyCols: Seq[String],
+      measureCols: Seq[String]): DataFrame = {
+    var lastV = publishedVersion(spark, s"$workDir/state")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (lastV < batchId) {
+          val bState = stateOf(batch)
+          val merged =
+            if (lastV < 0) bState
+            else graft.etl.Transform.mergeAggStates(
+              Seq(spark.read.parquet(s"$workDir/state/v=$lastV"), bState),
+              keyCols, measureCols)
+          merged.write.mode("overwrite").parquet(s"$workDir/state/v=$batchId")
+          lastV = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(lastV >= 0, s"no input files found under $inputDir")
+    spark.read.parquet(s"$workDir/state/v=$lastV")
+  }
+
   /** Streaming ingest into a persisted IVF-PQ index — FAISS `add` as
     * a stream: new vectors arrive in micro-batches; each batch is
     * assigned its coarse cell with FROZEN centroids

@@ -178,6 +178,16 @@ class DqSpec extends SparkSpec {
       .head().getLong(2) == 2L)
   }
 
+  test("skewReport: shares, ceil salt factor, top-N order") {
+    // 6 rows on 'x', 2 on 'y', 1 on 'z': total 9, 3 keys
+    val df = (Seq.fill(6)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("k")
+    val r = Analyzers.skewReport(df, col("k"), topN = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // x: share 6e6/9 = 666666 ppm; salts ceil(6·3/9) = 2
+    // y: share 222222 ppm; salts ceil(6/9) = 1
+    assert(r == Seq(("x", 6L, 666666L, 2L), ("y", 2L, 222222L, 1L)))
+  }
+
   test("categoryDrift: hand-computed PSI terms, one-sided categories finite") {
     val old = Seq("a", "a", "a", "b").toDF("c")
     val neu = Seq("a", "b", "b", "x").toDF("c") // 'x' absent from old

@@ -121,4 +121,18 @@ class TransformSpec extends SparkSpec {
       assert(e.getMessage.contains(bad))
     }
   }
+
+  test("mergeAggStates: base + delta merge equals the full recompute") {
+    val all = Seq(("a", 1L, 10L), ("a", 1L, 20L), ("b", 1L, 5L),
+      ("a", 1L, 30L), ("c", 1L, 7L)).toDF("k", "n", "v")
+    def st(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("n").as("n"), sum("v").as("v"))
+    val base = st(all.filter(col("v") <= 10))
+    val delta = st(all.filter(col("v") > 10))
+    val merged = Transform.mergeAggStates(Seq(base, delta), Seq("k"), Seq("n", "v"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val full = st(all).as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(merged == full)
+    assert(merged == Seq(("a", 3L, 60L), ("b", 1L, 5L), ("c", 1L, 7L)))
+  }
 }

@@ -1173,6 +1173,26 @@ class ExtSpec extends SparkSpec {
       (1L, 0L, false), (100L, 49000000L, false), (100L, 98000000L, true)))
   }
 
+  test("pairLift: hand-checked support/confidence/lift; support floor prunes") {
+    // baskets: u1{a,b}, u2{a,b}, u3{a,c} — duplicates within a basket
+    // must not double-count
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c")).toDF("u", "i")
+    val r = Associations.pairLift(df, "u", "i")
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // (a,b): n_ab=2, n_a=3, n_b=2 → support 666666, conf 666666,
+    //        lift 2·3·1e6/(3·2) = 1000000
+    // (a,c): n_ab=1, n_c=1 → support 333333, conf 333333,
+    //        lift 1·3·1e6/(3·1) = 1000000
+    assert(r == Seq(
+      ("a", "b", 2L, 3L, 2L, 666666L, 666666L, 1000000L),
+      ("a", "c", 1L, 3L, 1L, 333333L, 333333L, 1000000L)))
+    assert(Associations.pairLift(df, "u", "i", minSupport = 2)
+      .count() == 1L)
+  }
+
   test("ewmaHourly: integer recursion hand-checked; division truncates toward zero") {
     // key a hourly counts [2,1,1], alphaDen=3:
     //   s1 = 2e6

@@ -164,4 +164,19 @@ class MedallionSpec extends SparkSpec {
     assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
     assert(df.filter(col("coin_id").isNotNull).count() == 2)
   }
+
+  test("Versioned: publish/readAsOf isolation, latest tracking, loud misses") {
+    import graft.sinks.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft-versioned")
+      .toString + "/t"
+    assert(Versioned.latestVersion(spark, path) == -1L)
+    intercept[IllegalArgumentException] { Versioned.readLatest(spark, path) }
+    Versioned.publish((1L to 5L).toDF("id"), path, 0)
+    Versioned.publish((1L to 3L).toDF("id"), path, 1)
+    assert(Versioned.latestVersion(spark, path) == 1L)
+    // v0 is untouched by the v1 write (snapshot isolation by immutability)
+    assert(Versioned.readAsOf(spark, path, 0).count() == 5L)
+    assert(Versioned.readLatest(spark, path).count() == 3L)
+    intercept[IllegalArgumentException] { Versioned.readAsOf(spark, path, 7) }
+  }
 }

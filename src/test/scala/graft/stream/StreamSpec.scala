@@ -417,6 +417,40 @@ class StreamSpec extends SparkSpec {
     assert(replayed == Seq((4L, 100L)), s"replay changed the plan: $replayed")
   }
 
+  test("agg merge stream: delta-sized merges accumulate; full replay never double-counts") {
+    val tmp = tempDir("graft-aggmerge")
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    val slices = Seq(Seq(("a", 1L), ("b", 2L)), Seq(("a", 10L)), Seq(("b", 5L)))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("k", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    def stateOf(b: org.apache.spark.sql.DataFrame) =
+      b.groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    def run() = graft.stream.Jobs.runAggMergeStream(spark, in,
+      slices.head.toDF("k", "v").schema, s"$tmp/work", stateOf,
+      Seq("k"), Seq("n", "s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = Seq(("a", 2L, 11L), ("b", 2L, 7L))
+    assert(run() == expected)
+    // checkpoint wiped, every state version already published: each
+    // re-delivered batch must skip — a re-merge would DOUBLE-COUNT
+    // (the failure mode idempotence exists to prevent in an MV)
+    val ckpt = new java.io.File(s"$tmp/work/ckpt")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(ckpt)
+    assert(run() == expected, "replay double-counted the merged state")
+  }
+
   test("index ingest stream: streamed IVF-PQ index bit-equals the batch build") {
     // planted 4-cluster geometry (the AnnIndexSpec fixture) so cell
     // assignment is unambiguous whatever the micro-batch carving
