@@ -4375,8 +4375,12 @@ object SparkEntry {
     * is intact and isolated from later writers; `latest_version` pins
     * the listing logic. Oracle replays the same edit recipe.
     */
-  def q172TimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = tempDir("graft-q172")
+  /** The q172/q177 shared three-version edit recipe: base balances →
+    * CDC-style update (every 10th doubled) → delete sweep (every 7th
+    * removed). Returns the published table path.
+    */
+  private def publishCustVersions(spark: SparkSession, dir: String): String = {
+    val tmp = tempDir("graft-versions")
     val path = s"$tmp/cust"
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"))
@@ -4387,6 +4391,11 @@ object SparkEntry {
     graft.sinks.Versioned.publish(v1, path, 1)
     graft.sinks.Versioned.publish(
       v1.filter(pmod(col("c_custkey"), lit(7)) =!= 0), path, 2)
+    path
+  }
+
+  def q172TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val path = publishCustVersions(spark, dir)
     val latest = graft.sinks.Versioned.latestVersion(spark, path)
     (0L to 2L).map { v =>
       graft.sinks.Versioned.readAsOf(spark, path, v)
@@ -4396,6 +4405,59 @@ object SparkEntry {
         .select(lit(v).as("version"), col("n_rows"), col("id_sum"),
           col("bal_cents"), lit(latest).as("latest_version"))
     }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  /** Version-to-version DIFF over the q172 snapshots: for each
+    * consecutive pair, the full-outer keyed comparison summarized as
+    * added/removed/changed/unchanged — the change-audit a versioned
+    * table ships with (q90's per-row diff, lifted to the version
+    * timeline). The v0→v1 changed count excludes zero-balance
+    * customers (doubling 0 changes nothing) — the value comparison,
+    * not the edit recipe, decides.
+    */
+  def q177VersionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val path = publishCustVersions(spark, dir)
+    def diff(fromV: Long, toV: Long) = {
+      val a = graft.sinks.Versioned.readAsOf(spark, path, fromV)
+        .select(col("c_custkey"), col("c_acctbal").as("old_b"))
+      val b = graft.sinks.Versioned.readAsOf(spark, path, toV)
+        .select(col("c_custkey"), col("c_acctbal").as("new_b"))
+      a.join(b, Seq("c_custkey"), "full_outer")
+        .agg(
+          sum(when(col("old_b").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("new_b").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("old_b").isNotNull && col("new_b").isNotNull &&
+            col("old_b") =!= col("new_b"), 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("old_b") === col("new_b"), 1L).otherwise(0L))
+            .as("n_unchanged"))
+        .select(lit(fromV).as("from_version"), lit(toV).as("to_version"),
+          col("n_added"), col("n_removed"), col("n_changed"),
+          col("n_unchanged"))
+    }
+    diff(0L, 1L).unionByName(diff(1L, 2L)).orderBy(col("from_version"))
+  }
+
+  /** Calibration audit of the q126 quality classifier: predicted
+    * probabilities bucketed into deciles vs the empirical positive
+    * rate per bucket (the reliability-diagram table). p derives from
+    * the EXACT long pre-activation by one IEEE division + the
+    * algebraic sigmoid, so even the bin assignment is deterministic;
+    * mean_p uses the decimal-sum discipline. The oracle extends the
+    * full 4-iteration training replay.
+    */
+  def q176Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val feat = classifierFeatures(spark, dir)
+    val w = graft.ext.Classifier.trainElliott(feat, numBuckets = 64, iters = 4)
+    graft.ext.Classifier.score(feat, w)
+      .withColumn("bin", floor(col("p") * 10).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        expr("sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) * 1000000 div count(1)")
+          .as("emp_ppm"),
+        round(sum(round(col("p"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_p"))
+      .orderBy(col("bin"))
   }
 
   /** Key-skew audit ([[graft.dq.Analyzers.skewReport]]) over the
@@ -4795,6 +4857,8 @@ object SparkEntry {
     "q174_mv_merge" -> (q174MvMerge _),
     "q174b_mv_stream" -> (q174bMvStream _),
     "q175_pair_lift" -> (q175PairLift _),
+    "q176_calibration" -> (q176Calibration _),
+    "q177_version_diff" -> (q177VersionDiff _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
     "q162b_changepoint_stream" -> (q162bChangepointStream _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
@@ -4926,7 +4990,7 @@ object SparkEntry {
     * bit-reproducible across engines).
     */
   private def classifierOracle(mode: String): String = {
-    require(Seq("weights", "scores", "eval").contains(mode))
+    require(Seq("weights", "scores", "eval", "calibration").contains(mode))
     // eval mode trains on the hashSplit train slice only and scores
     // everything; the other modes train and score on the full corpus
     val tf = if (mode == "eval") "tfeat" else "feat"
@@ -4963,6 +5027,26 @@ object SparkEntry {
           |       0.5 * (1.0 + z / (1.0 + abs(z))) AS p,
           |       z > 0.0 AS keep
           |FROM pf ORDER BY doc_id""".stripMargin
+      case "calibration" =>
+        // p derives from the EXACT long zs by one IEEE division +
+        // the algebraic sigmoid, so the decile binning is
+        // deterministic; mean_p under the decimal-sum discipline
+        """zf AS (
+          |  SELECT f.doc_id, f.y, CAST(sum(w.ws * f.cnt) AS BIGINT) AS zs
+          |  FROM feat f JOIN w4 w ON w.b = f.b GROUP BY 1, 2),
+          |sc AS (
+          |  SELECT y, 0.5 * (1.0 + (zs / 1000000000.0)
+          |           / (1.0 + abs(zs / 1000000000.0))) AS p
+          |  FROM zf)
+          |SELECT CAST(floor(p * 10) AS INT) AS bin,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_pos,
+          |       CAST((sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) * 1000000)
+          |         // count(*) AS BIGINT) AS emp_ppm,
+          |       round(CAST(sum(CAST(round(p, 6) AS DECIMAL(18,6)))
+          |                  AS DOUBLE) / count(*), 6) AS mean_p
+          |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
       case "eval" =>
         """zf AS (
           |  SELECT f.doc_id, f.y, CAST(sum(w.ws * f.cnt) AS BIGINT) AS zs
@@ -7998,6 +8082,46 @@ object SparkEntry {
     // same theorem under arbitrary micro-batch slicing)
     "q174_mv_merge" -> mvMergeSql,
     "q174b_mv_stream" -> mvMergeSql,
+    "q176_calibration" -> classifierOracle("calibration"),
+
+    // the same full-outer value comparison per consecutive version
+    "q177_version_diff" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+        |v1 AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM base),
+        |v2 AS (SELECT * FROM v1 WHERE c_custkey % 7 <> 0),
+        |d1 AS (
+        |  SELECT CAST(0 AS BIGINT) AS from_version,
+        |         CAST(1 AS BIGINT) AS to_version,
+        |         CAST(sum(CASE WHEN a.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_added,
+        |         CAST(sum(CASE WHEN b.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_removed,
+        |         CAST(sum(CASE WHEN a.c_custkey IS NOT NULL
+        |                    AND b.c_custkey IS NOT NULL
+        |                    AND a.c_acctbal <> b.c_acctbal
+        |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |         CAST(sum(CASE WHEN a.c_acctbal = b.c_acctbal
+        |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |  FROM base a FULL OUTER JOIN v1 b USING (c_custkey)),
+        |d2 AS (
+        |  SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |         CAST(sum(CASE WHEN a.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT),
+        |         CAST(sum(CASE WHEN b.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT),
+        |         CAST(sum(CASE WHEN a.c_custkey IS NOT NULL
+        |                    AND b.c_custkey IS NOT NULL
+        |                    AND a.c_acctbal <> b.c_acctbal
+        |                   THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN a.c_acctbal = b.c_acctbal
+        |                   THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM v1 a FULL OUTER JOIN v2 b USING (c_custkey))
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |ORDER BY from_version""".stripMargin,
 
     "q175_pair_lift" ->
       """WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i

@@ -606,4 +606,35 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
     assert(p.contains("hashpartitioning"), p) // category-keyed counts + full-outer
   }
+
+  test("q175: pair lift broadcasts the item supports and the 1-row basket count") {
+    val p = plan("q175_pair_lift")
+    assert(!p.contains("CartesianProduct"), p)
+    // two item-support joins broadcast; only the basket self-join and
+    // the distinct/count aggregations shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q168: seasonal baselines broadcast back onto the series — one corpus aggregation") {
+    val p = plan("q168_seasonal_spikes")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q165b: hashed novelty shuffles 8-byte gram keys through the codegen'd kernel") {
+    val p = plan("q165b_novelty_hashed")
+    // the kernel expression appears in the plan; no interpreted
+    // string-building lambda on the hashed path
+    assert(p.contains("stringarrayshinglehashes"), p)
+    assert(!p.contains("concat_ws"), p)
+  }
+
+  test("q169: unimax windows run over the O(#groups) frame — one corpus-sized aggregation only") {
+    val p = plan("q169_unimax_alloc")
+    // the single-partition windows are over the tiny group frame; the
+    // corpus contributes exactly one partial-agg'd keyed aggregation
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
