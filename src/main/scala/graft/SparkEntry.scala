@@ -4437,6 +4437,44 @@ object SparkEntry {
     diff(0L, 1L).unionByName(diff(1L, 2L)).orderBy(col("from_version"))
   }
 
+  /** Sketch-rollup lifecycle ([[graft.ext.KllMergeAgg]]): weekly KLL
+    * value sketches STORED as table rows, then the all-time quantiles
+    * answered by RE-AGGREGATING the stored sketches — never rescanning
+    * the raw events (the quantile analogue of q66's HLL union
+    * lifecycle; Spark ships hll_union_agg but no mergeable user-visible
+    * percentile state). Contract rows: every week's own-sketch median
+    * and the merged sketch's p50/p95 rank-verified against the raw
+    * data within 4% — with exact per-scope row counts, so a missing or
+    * extra week also fails.
+    */
+  def q178SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.KllAgg
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("week", to_date(date_trunc("week", col("ts"))))
+    val weekly = ev.groupBy(col("week"))
+      .agg(KllAgg.kllAgg(col("value"), 256).as("sk"),
+        count(lit(1)).as("n_rows"))
+    val merged = weekly.agg(KllAgg.kllMergeAgg(col("sk"), 256).as("sk"))
+      .select(KllAgg.quantile(col("sk"), 0.5).as("q50"),
+        KllAgg.quantile(col("sk"), 0.95).as("q95"))
+    val weeklyQ = weekly.select(col("week"), col("n_rows"),
+      KllAgg.quantile(col("sk"), 0.5).as("q50"))
+    val weeklyOk = ev.join(broadcast(weeklyQ), "week")
+      .groupBy(col("week"), col("n_rows"))
+      .agg(avg(when(col("value") <= col("q50"), 1.0).otherwise(0.0)).as("r50"))
+      .select(concat(lit("week_"), col("week").cast(StringType)).as("scope"),
+        col("n_rows"), (abs(col("r50") - 0.5) <= 0.04).as("ok"))
+    val totalOk = ev.crossJoin(broadcast(merged))
+      .agg(count(lit(1)).as("n_rows"),
+        avg(when(col("value") <= col("q50"), 1.0).otherwise(0.0)).as("r50"),
+        avg(when(col("value") <= col("q95"), 1.0).otherwise(0.0)).as("r95"))
+      .select(lit("total_merged").as("scope"), col("n_rows"),
+        (abs(col("r50") - 0.5) <= 0.04 &&
+          abs(col("r95") - 0.95) <= 0.04).as("ok"))
+    weeklyOk.unionByName(totalOk).orderBy(col("scope"))
+  }
+
   /** Calibration audit of the q126 quality classifier: predicted
     * probabilities bucketed into deciles vs the empirical positive
     * rate per bucket (the reliability-diagram table). p derives from
@@ -4859,6 +4897,7 @@ object SparkEntry {
     "q175_pair_lift" -> (q175PairLift _),
     "q176_calibration" -> (q176Calibration _),
     "q177_version_diff" -> (q177VersionDiff _),
+    "q178_sketch_rollup" -> (q178SketchRollup _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
     "q162b_changepoint_stream" -> (q162bChangepointStream _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
@@ -8083,6 +8122,18 @@ object SparkEntry {
     "q174_mv_merge" -> mvMergeSql,
     "q174b_mv_stream" -> mvMergeSql,
     "q176_calibration" -> classifierOracle("calibration"),
+
+    // scopes + exact counts derived from the data; ok expected TRUE
+    // (the q45/q66 derived-scope contract form)
+    "q178_sketch_rollup" ->
+      """SELECT 'week_' || CAST(CAST(date_trunc('week', ts) AS DATE)
+        |                       AS VARCHAR) AS scope,
+        |       CAST(count(*) AS BIGINT) AS n_rows, TRUE AS ok
+        |FROM events WHERE value IS NOT NULL GROUP BY 1
+        |UNION ALL
+        |SELECT 'total_merged', CAST(count(*) AS BIGINT), TRUE
+        |FROM events WHERE value IS NOT NULL
+        |ORDER BY scope""".stripMargin,
 
     // the same full-outer value comparison per consecutive version
     "q177_version_diff" ->

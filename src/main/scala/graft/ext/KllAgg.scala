@@ -85,8 +85,89 @@ case class KllAgg(
     copy(child = newChildren.head)
 }
 
+/** RE-AGGREGATION over STORED sketches: merge a column of persisted
+  * KLL sketch values (`array<struct<v,w>>`, [[KllAgg]]'s output) into
+  * one sketch — the lifecycle that makes sketches worth storing in a
+  * rollup at all: build per-partition/per-week sketches ONCE, keep
+  * them in the materialized table, and answer any coarser-grain
+  * quantile later by merging sketch rows instead of rescanning 100 TB
+  * of raw values (the quantile analogue of `hll_union_agg`, which
+  * Spark ships for HLL but not for its GK percentile state).
+  *
+  * Each stored item's power-of-two weight IS its level, so the
+  * flattened form reconstructs the level structure losslessly and the
+  * merge is [[KllAgg]]'s own level-wise concatenation + compaction —
+  * re-aggregated error therefore composes exactly like first-build
+  * merge error (the q178 contract bounds it end to end).
+  */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllAgg.Buffer] {
+
+  require(k >= 8 && k <= 65536, "k must be in 8..65536")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = KllAgg.sketchType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, DoubleType, _, _), StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_kll_merge_agg expects a kll sketch column " +
+        s"(array<struct<v double, w bigint>>), got $t")
+  }
+
+  override def createAggregationBuffer(): KllAgg.Buffer = new KllAgg.Buffer(k)
+
+  override def update(buffer: KllAgg.Buffer, input: InternalRow): KllAgg.Buffer = {
+    val arr = child.eval(input)
+    if (arr != null) {
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < a.numElements()) {
+        val row = a.getStruct(i, 2)
+        val v = row.getDouble(0)
+        val w = row.getLong(1)
+        require(w > 0 && (w & (w - 1)) == 0,
+          s"sketch item weight must be a positive power of two, got $w")
+        buffer.insertAt(v, java.lang.Long.numberOfTrailingZeros(w))
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: KllAgg.Buffer, other: KllAgg.Buffer): KllAgg.Buffer = {
+    buffer.mergeIn(other)
+    buffer
+  }
+
+  override def eval(buffer: KllAgg.Buffer): Any = {
+    val items = buffer.flattened.sortBy(_._1)
+    new GenericArrayData(items.map { case (v, w) => InternalRow(v, w) })
+  }
+
+  override def serialize(buffer: KllAgg.Buffer): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): KllAgg.Buffer =
+    KllAgg.Buffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = newChildren.head)
+}
+
 object KllAgg {
   private val name = "graft_kll_agg"
+  private val mergeName = "graft_kll_merge_agg"
 
   val sketchType: DataType = ArrayType(
     StructType(Seq(
@@ -105,6 +186,17 @@ object KllAgg {
     def insert(v: Double): Unit = {
       levels(0) += v
       if (levels(0).length >= k) compact(0)
+    }
+
+    /** Insert a value DIRECTLY at `level` (weight 2^level) — the
+      * stored-sketch re-aggregation path ([[KllMergeAgg]]): a
+      * persisted item's power-of-two weight is its level, so placing
+      * it there reconstructs the level structure losslessly.
+      */
+    def insertAt(v: Double, level: Int): Unit = {
+      while (levels.length <= level) levels += ArrayBuffer.empty[Double]
+      levels(level) += v
+      if (levels(level).length >= k) compact(level)
     }
 
     /** Sort level i, promote every other item of an even-length prefix
@@ -184,17 +276,31 @@ object KllAgg {
   }
 
   /** Idempotent registration on the active session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       exprs => KllAgg(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
         .toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      mergeName,
+      exprs => KllMergeAgg(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+        .toAggregateExpression(),
+      "built-in")
+  }
 
   /** Aggregate Column: KLL quantile sketch of the group's values. */
   def kllAgg(value: Column, k: Int): Column = {
     register(SparkSession.active)
     call_function(name, value, lit(k))
+  }
+
+  /** Aggregate Column: one sketch merged from a column of STORED
+    * sketches — the rollup-reaggregation path.
+    */
+  def kllMergeAgg(sketch: Column, k: Int): Column = {
+    register(SparkSession.active)
+    call_function(mergeName, sketch, lit(k))
   }
 
   /** Estimated p-quantile from a sketch column: the smallest sketch

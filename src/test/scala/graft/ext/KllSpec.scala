@@ -77,6 +77,28 @@ class KllSpec extends SparkSpec {
     assert(row.getSeq[Double](0) == row.getSeq[Double](1))
   }
 
+  test("kllMergeAgg: re-aggregated stored sketches stay rank-accurate; exact when small") {
+    // two disjoint halves sketched separately, sketches STORED as
+    // rows, then merged by the re-aggregation — the rollup lifecycle
+    val halves = Seq((1 to 10000).map(_.toDouble), (10001 to 20000).map(_.toDouble))
+    val stored = halves.map(vs =>
+      vs.toDF("v").agg(KllAgg.kllAgg(col("v"), 256).as("sk")))
+      .reduce(_.unionByName(_))
+    val merged = stored.agg(KllAgg.kllMergeAgg(col("sk"), 256).as("sk"))
+      .select(KllAgg.quantile(col("sk"), 0.5).as("q50"),
+        KllAgg.quantile(col("sk"), 0.9).as("q90"))
+      .head()
+    assert(math.abs(merged.getDouble(0) - 10000.0) <= 0.025 * 20000, merged.toString)
+    assert(math.abs(merged.getDouble(1) - 18000.0) <= 0.025 * 20000, merged.toString)
+    // sub-k sketches are exact, and so is their sub-k merge
+    val tiny = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)).map(vs =>
+      vs.toDF("v").agg(KllAgg.kllAgg(col("v"), 256).as("sk")))
+      .reduce(_.unionByName(_))
+      .agg(KllAgg.kllMergeAgg(col("sk"), 256).as("sk"))
+      .select(KllAgg.quantile(col("sk"), 0.5).as("q50")).head().getDouble(0)
+    assert(tiny == 2.0)
+  }
+
   test("buffer merge at the class level matches a flat rebuild's bound") {
     val a = new KllAgg.Buffer(64)
     val b = new KllAgg.Buffer(64)
