@@ -4584,6 +4584,27 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Partition-quality grade of q170's communities
+    * ([[graft.ext.Graph.modularityScaled]]): Newman modularity terms
+    * per LPA community over the near-dup graph — the number that says
+    * the partition captures the dense duplicate groups (a closure
+    * partition that glued bridges would score lower). Exact scaled
+    * longs; the oracle replays LPA AND the modularity formula.
+    */
+  def q179Modularity(spark: SparkSession, dir: String): DataFrame = {
+    // edge-count-sized snapshot: LPA and the modularity pass both
+    // consume the pairs — without it each would re-derive the LSH
+    // pair generation (the q133 localCheckpoint precedent)
+    val pairs = graft.ext.Dedup.minhashNearDupPairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .localCheckpoint(true)
+    val mem = graft.ext.Graph.labelPropagation(pairs, "id_a", "id_b", iters = 4)
+    graft.ext.Graph.modularityScaled(pairs, "id_a", "id_b",
+      mem, "id", "community")
+      .orderBy(col("community"))
+  }
+
   /** Data-skipping effectiveness audit
     * ([[graft.ext.Layout.skippingReport]]): the same events table
     * modeled under four layouts — time-sorted, predicate-column-
@@ -4898,6 +4919,7 @@ object SparkEntry {
     "q176_calibration" -> (q176Calibration _),
     "q177_version_diff" -> (q177VersionDiff _),
     "q178_sketch_rollup" -> (q178SketchRollup _),
+    "q179_modularity" -> (q179Modularity _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
     "q162b_changepoint_stream" -> (q162bChangepointStream _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
@@ -8073,6 +8095,7 @@ object SparkEntry {
     "q165b_novelty_hashed" -> noveltySql,
     "q166_k_core" -> kCoreSql,
     "q170_label_prop" -> labelPropSql,
+    "q179_modularity" -> modularitySql,
     "q171_skipping_report" -> skippingSql,
 
     // the same edit recipe replayed per version; latest_version pins
@@ -9126,7 +9149,18 @@ object SparkEntry {
     * per-node argmax with (count desc, label asc). MATERIALIZED for
     * the same 3^R-inlining reason as kCoreSql.
     */
-  private def labelPropSql: String = {
+  private def labelPropSql: String =
+    s"""WITH $labelPropCtes,
+       |cs AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       |       FROM l4 GROUP BY 1)
+       |SELECT l4.id, l4.lbl AS community, cs.community_size
+       |FROM l4 JOIN cs USING (lbl) ORDER BY l4.id""".stripMargin
+
+  /** The q170/q179 shared LPA CTE chain: exact-Jaccard edges, both
+    * directions, l0 = own-id labels, four unrolled vote/argmax rounds
+    * ending at `l4`.
+    */
+  private def labelPropCtes: String = {
     val rounds = (1 to 4).map { r =>
       s"""v$r AS MATERIALIZED (
          |  SELECT dst AS id, lbl, CAST(count(*) AS BIGINT) AS c FROM (
@@ -9140,17 +9174,35 @@ object SparkEntry {
          |                              ORDER BY c DESC, lbl) AS rn
          |    FROM v$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $jaccardPairsCtes,
+    s"""$jaccardPairsCtes,
        |ed AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM ed),
-       |$rounds,
-       |cs AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
-       |       FROM l4 GROUP BY 1)
-       |SELECT l4.id, l4.lbl AS community, cs.community_size
-       |FROM l4 JOIN cs USING (lbl) ORDER BY l4.id""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** q179 oracle: Newman modularity terms of the l4 LPA partition —
+    * same exact integer formula, truncating division.
+    */
+  private def modularitySql: String =
+    s"""WITH $labelPropCtes,
+       |eg AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eg),
+       |wi AS (
+       |  SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM eg JOIN l4 la ON la.id = eg.a JOIN l4 lb ON lb.id = eg.b
+       |  WHERE la.lbl = lb.lbl GROUP BY 1),
+       |dg AS (
+       |  SELECT l4.lbl AS community, CAST(count(*) AS BIGINT) AS deg_sum,
+       |         CAST(count(DISTINCT n.id) AS BIGINT) AS n_nodes
+       |  FROM (SELECT a AS id FROM eg UNION ALL SELECT b FROM eg) n
+       |  JOIN l4 ON l4.id = n.id GROUP BY 1)
+       |SELECT dg.community, n_nodes, coalesce(wi.e_in, 0) AS e_in, deg_sum,
+       |       CAST((4 * m * coalesce(wi.e_in, 0) - deg_sum * deg_sum)
+       |            * 1000000 // (4 * m * m) AS BIGINT) AS q_term_scaled
+       |FROM dg LEFT JOIN wi USING (community), mm
+       |ORDER BY community""".stripMargin
 
   /** q171 oracle: each layout's file model is one row_number window
     * over (layout key, event_id) with (rn−1)//500 as the file id; the

@@ -55,6 +55,25 @@ class GraphSpec extends SparkSpec {
     assert(p == Seq((7L, 7L, 2L), (9L, 7L, 2L)))
   }
 
+  test("modularityScaled: LPA split of bridged triangles beats the closure blob") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    // LPA partition {1,2,3} | {4,5,6}: m=7, each side e_in=3, deg=7
+    // → term (4·7·3 − 49)·1e6 div 196 = 178571 each, Q ≈ 0.357
+    val lpa = Graph.labelPropagation(g, "id_a", "id_b", iters = 4)
+    val split = Graph.modularityScaled(g, "id_a", "id_b", lpa, "id", "community")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(split == Seq((1L, 3L, 3L, 7L, 178571L), (4L, 3L, 3L, 7L, 178571L)))
+    // the transitive-closure partition (everything one cluster)
+    // scores exactly zero — the quantified over-merge
+    val blob = g.select($"id_a".as("id"))
+      .unionByName(g.select($"id_b".as("id"))).distinct()
+      .withColumn("community", org.apache.spark.sql.functions.lit(1L))
+    val q0 = Graph.modularityScaled(g, "id_a", "id_b", blob, "id", "community")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(q0 == Seq((1L, 6L, 7L, 14L, 0L)))
+  }
+
   test("kCore: peeling strips chains, keeps the clique, reports convergence") {
     // triangle {1,2,3} with a pendant chain 3–4–5: the 2-core is the
     // triangle alone (4 has deg 2 initially but peeling 5 exposes it)
