@@ -2386,12 +2386,13 @@ object SparkEntry {
   private def eventSliceStreamInput(
       spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
     val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
     val in = writeSliceFiles(
       (0 until 4).map(i => ev.filter(pmod(col("event_id"), lit(4)) === i)), tmp)
     (in, StructType(Seq(
       StructField("event_id", LongType, nullable = true),
       StructField("ts", TimestampType, nullable = true),
+      StructField("event_type", StringType, nullable = true),
       StructField("value", DoubleType, nullable = true))))
   }
 
@@ -4584,6 +4585,73 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** CMS sketch-rollup lifecycle
+    * ([[graft.ext.CountMinAgg.mergeAll]]): weekly count-min sketches
+    * of the user-id stream STORED as rows, the all-time heavy-hitter
+    * estimates answered by element-wise counter-matrix union — and
+    * because CMS union IS addition, the merged sketch equals a direct
+    * whole-corpus build EXACTLY, so unlike the q41 contract this
+    * whole report (exact counts AND estimates) is hash-checked: the
+    * oracle rebuilds every counter from the md5 bucket definition.
+    * Completes the sketch-lifecycle trilogy (q66 HLL, q178 KLL).
+    */
+  def q180CmsRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.CountMinAgg
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("item"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+    val weekly = ev.groupBy(col("week"))
+      .agg(CountMinAgg.cmsAgg(col("item"), 4).as("cms"))
+    val merged = weekly.agg(collect_list(col("cms")).as("sks"))
+      .select(CountMinAgg.mergeAll(col("sks"), 4).as("cms"))
+    val top = rankedTopK(
+      ev.groupBy(col("item")).agg(count(lit(1)).as("n")),
+      Seq(col("n").desc, col("item").asc), 10)
+    top.crossJoin(broadcast(merged))
+      .withColumn("n_est", CountMinAgg.estimate(col("cms"), col("item"), 4))
+      .select(col("item"), col("n"), col("n_est"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** STREAMING seasonal monitor: q168's hour-of-day baseline report
+    * re-derived per ingest batch over the growing event log (snapshot
+    * recompute — every arrival shifts its clock-slot mean, so the
+    * report is corpus-global). Shares q168's oracle verbatim.
+    */
+  def q168bSeasonalStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q168b")
+    val (in, schema) = eventSliceStreamInput(spark, dir, tmp)
+    graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      ev => graft.ext.TimeSeries.seasonalSpikes(ev, "event_type", "ts"))
+      .orderBy(col("key"), col("hr"))
+  }
+
+  /** Per-type hourly-volume TREND: exact integer least squares of the
+    * hourly count series against its own hour index — slope_ppm =
+    * (n·Σxy − Σx·Σy)·10⁶ div (n·Σx² − (Σx)²), all longs (the
+    * question drift (level changed?) and changepoint (when?) don't
+    * answer: how FAST is it changing). One hourly aggregation, one
+    * keyed window for the index, one per-key aggregate.
+    */
+  def q181VolumeTrend(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("hr"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", (row_number().over(w) - 1).cast("long"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("y")).as("sum_y"),
+        sum(col("x")).as("__sx"), sum(col("x") * col("x")).as("__sxx"),
+        sum(col("x") * col("y")).as("__sxy"))
+      .select(col("key"), col("n_obs"), col("sum_y"),
+        expr("sum_y * 1000000 div n_obs").as("mean_y_ppm"),
+        expr("(n_obs * __sxy - __sx * sum_y) * 1000000" +
+          " div (n_obs * __sxx - __sx * __sx)").as("slope_ppm"))
+      .orderBy(col("key"))
+  }
+
   /** Partition-quality grade of q170's communities
     * ([[graft.ext.Graph.modularityScaled]]): Newman modularity terms
     * per LPA community over the near-dup graph — the number that says
@@ -4920,6 +4988,9 @@ object SparkEntry {
     "q177_version_diff" -> (q177VersionDiff _),
     "q178_sketch_rollup" -> (q178SketchRollup _),
     "q179_modularity" -> (q179Modularity _),
+    "q180_cms_rollup" -> (q180CmsRollup _),
+    "q168b_seasonal_stream" -> (q168bSeasonalStream _),
+    "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
     "q162b_changepoint_stream" -> (q162bChangepointStream _),
     "q134b_k_anonymity_enforce" -> (q134bKAnonymityEnforce _),
@@ -4952,7 +5023,7 @@ object SparkEntry {
     "q132_retrain_stream", "q139_stream_neardup", "q143b_media_stream",
     "q146b_drift_stream", "q147b_funnel_stream", "q155b_coreset_stream",
     "q161b_golden_stream", "q162b_changepoint_stream",
-    "q174b_mv_stream")
+    "q168b_seasonal_stream", "q174b_mv_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -8096,6 +8167,58 @@ object SparkEntry {
     "q166_k_core" -> kCoreSql,
     "q170_label_prop" -> labelPropSql,
     "q179_modularity" -> modularitySql,
+
+    // every counter rebuilt from the md5 bucket definition; the
+    // 3-hex-char bucket STRING is the join key (no int conversion)
+    "q180_cms_rollup" ->
+      """WITH it AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        |  WHERE user_id IS NOT NULL),
+        |tk AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(row_number() OVER (ORDER BY count(*) DESC, item)
+        |           AS INT) AS rank
+        |  FROM it GROUP BY 1
+        |  QUALIFY rank <= 10),
+        |c0 AS (SELECT substring(md5(item || '#0'), 13, 3) AS b,
+        |              CAST(count(*) AS BIGINT) AS c FROM it GROUP BY 1),
+        |c1 AS (SELECT substring(md5(item || '#1'), 13, 3) AS b,
+        |              CAST(count(*) AS BIGINT) AS c FROM it GROUP BY 1),
+        |c2 AS (SELECT substring(md5(item || '#2'), 13, 3) AS b,
+        |              CAST(count(*) AS BIGINT) AS c FROM it GROUP BY 1),
+        |c3 AS (SELECT substring(md5(item || '#3'), 13, 3) AS b,
+        |              CAST(count(*) AS BIGINT) AS c FROM it GROUP BY 1)
+        |SELECT tk.item, tk.n,
+        |       least(x0.c, x1.c, x2.c, x3.c) AS n_est, tk.rank
+        |FROM tk
+        |JOIN c0 x0 ON x0.b = substring(md5(tk.item || '#0'), 13, 3)
+        |JOIN c1 x1 ON x1.b = substring(md5(tk.item || '#1'), 13, 3)
+        |JOIN c2 x2 ON x2.b = substring(md5(tk.item || '#2'), 13, 3)
+        |JOIN c3 x3 ON x3.b = substring(md5(tk.item || '#3'), 13, 3)
+        |ORDER BY rank""".stripMargin,
+
+    "q181_volume_trend" ->
+      """WITH h AS (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hr,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT key, y,
+        |         CAST(row_number() OVER (PARTITION BY key ORDER BY hr) - 1
+        |           AS BIGINT) AS x
+        |  FROM h),
+        |a AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
+        |         CAST(sum(y) AS BIGINT) AS sum_y,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM ix GROUP BY 1)
+        |SELECT key, n_obs, sum_y,
+        |       CAST((sum_y * 1000000) // n_obs AS BIGINT) AS mean_y_ppm,
+        |       CAST(((n_obs * sxy - sx * sum_y) * 1000000)
+        |            // (n_obs * sxx - sx * sx) AS BIGINT) AS slope_ppm
+        |FROM a ORDER BY key""".stripMargin,
     "q171_skipping_report" -> skippingSql,
 
     // the same edit recipe replayed per version; latest_version pins
@@ -8233,20 +8356,8 @@ object SparkEntry {
         |SELECT key, hr, n, CAST(s AS BIGINT) AS ewma_scaled
         |FROM r ORDER BY key, hr""".stripMargin,
 
-    "q168_seasonal_spikes" ->
-      """WITH h AS (
-        |  SELECT event_type AS key, date_trunc('hour', ts) AS hr,
-        |         CAST(count(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2),
-        |p AS (
-        |  SELECT key, extract(hour FROM hr) AS hod,
-        |         CAST((sum(n) * 1000000) // count(*) AS BIGINT)
-        |           AS baseline_scaled
-        |  FROM h GROUP BY 1, 2)
-        |SELECT h.key, h.hr, h.n, p.baseline_scaled,
-        |       h.n * 1000000 > p.baseline_scaled * 2 AS is_spike
-        |FROM h JOIN p ON p.key = h.key AND p.hod = extract(hour FROM h.hr)
-        |ORDER BY h.key, h.hr""".stripMargin,
+    "q168_seasonal_spikes" -> seasonalSpikesSql,
+    "q168b_seasonal_stream" -> seasonalSpikesSql,
 
     // water-filling closed form: ascending-cap order, multiplied-through
     // cap predicate (exact longs), running-AND capped prefix, equal
@@ -9107,6 +9218,24 @@ object SparkEntry {
   /** q174/q174b shared oracle: the hourly rollup recomputed from
     * scratch — merged (batch or streamed) state must equal it.
     */
+  /** q168/q168b shared oracle: scaled-integer hour-of-day baselines
+    * joined back onto the hourly series.
+    */
+  private def seasonalSpikesSql: String =
+      """WITH h AS (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hr,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT key, extract(hour FROM hr) AS hod,
+        |         CAST((sum(n) * 1000000) // count(*) AS BIGINT)
+        |           AS baseline_scaled
+        |  FROM h GROUP BY 1, 2)
+        |SELECT h.key, h.hr, h.n, p.baseline_scaled,
+        |       h.n * 1000000 > p.baseline_scaled * 2 AS is_spike
+        |FROM h JOIN p ON p.key = h.key AND p.hod = extract(hour FROM h.hr)
+        |ORDER BY h.key, h.hr""".stripMargin
+
   private def mvMergeSql: String =
     """SELECT date_trunc('hour', ts) AS hr,
       |       CAST(count(*) AS BIGINT) AS n_events,

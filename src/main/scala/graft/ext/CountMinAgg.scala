@@ -142,4 +142,21 @@ object CountMinAgg {
     }
     least(perRow: _*)
   }
+
+  /** Element-wise union of an array of STORED CMS sketches (each a
+    * counter matrix) — pure Column fold, no re-aggregation pass: CMS
+    * union IS entrywise addition, so a rollup that keeps one sketch
+    * per partition/week answers any coarser grain by summing counter
+    * matrices, and the merged sketch is EXACTLY the sketch a direct
+    * whole-corpus build produces (counters are sums — the identity
+    * q180's hash check rides on). The fold is over the collected
+    * sketch rows of one group — bounded by the rollup grain
+    * (weeks/partitions), not the data.
+    */
+  def mergeAll(sketches: Column, depth: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val zero = typedlit(Seq.fill(depth)(Seq.fill(4096)(0L)))
+    aggregate(sketches, zero,
+      (acc, s) => zip_with(acc, s, (ra, rb) => zip_with(ra, rb, _ + _)))
+  }
 }
