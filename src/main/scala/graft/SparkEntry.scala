@@ -4585,6 +4585,27 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Funnel conversion-LATENCY percentiles: per funnel step, exact
+    * p50/p95 of the time-to-convert from the previous stage
+    * ([[graft.ext.TimeSeries.funnelStageTimes]] — the row grain q57's
+    * count-only report can't provide; "how long does click→purchase
+    * take" is the product question beside "how many"). Deltas in
+    * exact microseconds; percentiles via the interpolating exact
+    * percentile both engines share (the q130 precedent).
+    */
+  def q182FunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val times = graft.ext.TimeSeries.funnelStageTimes(
+      Tables.events(spark, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), deadline = "24 hours")
+    times.filter(col("step") > 1)
+      .withColumn("delta_us", unix_micros(col("t")) - unix_micros(col("t_prev")))
+      .groupBy(col("step"), col("stage"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(expr("percentile(delta_us, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(delta_us, 0.95)"), 4).as("p95_us"))
+      .orderBy(col("step"))
+  }
+
   /** CMS sketch-rollup lifecycle
     * ([[graft.ext.CountMinAgg.mergeAll]]): weekly count-min sketches
     * of the user-id stream STORED as rows, the all-time heavy-hitter
@@ -4989,6 +5010,7 @@ object SparkEntry {
     "q178_sketch_rollup" -> (q178SketchRollup _),
     "q179_modularity" -> (q179Modularity _),
     "q180_cms_rollup" -> (q180CmsRollup _),
+    "q182_funnel_latency" -> (q182FunnelLatency _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -8167,6 +8189,36 @@ object SparkEntry {
     "q166_k_core" -> kCoreSql,
     "q170_label_prop" -> labelPropSql,
     "q179_modularity" -> modularitySql,
+
+    "q182_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, ts, event_type AS e FROM events),
+        |s1 AS (
+        |  SELECT u, min(ts) AS t FROM ev WHERE e = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT ev.u, min(ev.ts) AS t, s1.t AS tp
+        |  FROM ev JOIN s1 ON s1.u = ev.u
+        |  WHERE ev.e = 'click' AND ev.ts > s1.t
+        |    AND ev.ts <= s1.t + INTERVAL 24 HOUR
+        |  GROUP BY 1, 3),
+        |s3 AS (
+        |  SELECT ev.u, min(ev.ts) AS t, s2.t AS tp
+        |  FROM ev JOIN s2 ON s2.u = ev.u
+        |  WHERE ev.e = 'purchase' AND ev.ts > s2.t
+        |    AND ev.ts <= s2.t + INTERVAL 24 HOUR
+        |  GROUP BY 1, 3),
+        |d AS (
+        |  SELECT CAST(2 AS INT) AS step, 'click' AS stage,
+        |         CAST(epoch_us(t) - epoch_us(tp) AS BIGINT) AS delta_us
+        |  FROM s2
+        |  UNION ALL
+        |  SELECT CAST(3 AS INT), 'purchase',
+        |         CAST(epoch_us(t) - epoch_us(tp) AS BIGINT)
+        |  FROM s3)
+        |SELECT step, stage, CAST(count(*) AS BIGINT) AS n_conversions,
+        |       round(quantile_cont(delta_us, 0.5), 4) AS p50_us,
+        |       round(quantile_cont(delta_us, 0.95), 4) AS p95_us
+        |FROM d GROUP BY 1, 2 ORDER BY step""".stripMargin,
 
     // every counter rebuilt from the md5 bucket definition; the
     // 3-hex-char bucket STRING is the join key (no int conversion)

@@ -175,6 +175,43 @@ object TimeSeries {
     wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Per-user conversion TIMES for each funnel stage — the row-level
+    * companion of [[funnel]] (same stage semantics: a user converts
+    * at the earliest stage event strictly after their previous-stage
+    * time and within `deadline` of it): (user, step, stage, t,
+    * t_prev), t_prev null for step 1. This is what latency analytics
+    * (time-to-convert percentiles, q182) need, which the count-only
+    * funnel report can't provide. Same join shape as [[funnel]]: one
+    * keyed aggregation per stage, user-co-partitioned joins.
+    */
+  def funnelStageTimes(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String],
+      deadline: String): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(userCol).as("user"), col(tsCol).as("ts"),
+      col(typeCol).as("etype"))
+    var cur = ev.filter(col("etype") === stages.head)
+      .groupBy(col("user")).agg(min(col("ts")).as("t"))
+      .select(col("user"), lit(1).as("step"), lit(stages.head).as("stage"),
+        col("t"), lit(null).cast("timestamp").as("t_prev"))
+    val frames = scala.collection.mutable.ArrayBuffer(cur)
+    stages.zipWithIndex.drop(1).foreach { case (s, i) =>
+      cur = ev.filter(col("etype") === s)
+        .join(cur.select(col("user"), col("t").as("tp")), "user")
+        .filter(col("ts") > col("tp") &&
+          col("ts") <= col("tp") + expr(s"interval $deadline"))
+        .groupBy(col("user"), col("tp")).agg(min(col("ts")).as("t"))
+        .select(col("user"), lit(i + 1).as("step"), lit(s).as("stage"),
+          col("t"), col("tp").as("t_prev"))
+      frames += cur
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their first
     * event, counted as active in each later week they appear
     * (week_offset 0 = the cohort week itself). Two keyed shuffles
