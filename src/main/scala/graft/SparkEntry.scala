@@ -4606,6 +4606,32 @@ object SparkEntry {
       .orderBy(col("step"))
   }
 
+  /** Mutual information between event type and hour-of-day
+    * ([[graft.dq.Analyzers.mutualInformation]]): the dependence
+    * profile ("does the clock predict the event mix?") behind feature
+    * selection and leakage hunts — per-cell MI terms from exact
+    * integer counts, Σ = MI.
+    */
+  def q184MutualInfo(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Analyzers.mutualInformation(
+      Tables.events(spark, dir), col("event_type"), hour(col("ts")))
+      .orderBy(col("x"), col("y"))
+
+  /** Neyman-allocation stratified sample
+    * ([[graft.ext.TrainPrep.neymanSample]]): a 500-row budget split
+    * across event types proportionally to N_h·S_h (exact integer
+    * isqrt of n·Σy²−(Σy)² on value cents) — the estimator-variance-
+    * minimizing allocation q49's uniform quota ignores. The audit
+    * pins weights, allocations, AND the exact md5-rank selection (id
+    * checksums); null-value rows are excluded (variance needs y).
+    */
+  def q183NeymanSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.neymanSample(
+      Tables.events(spark, dir).filter(col("value").isNotNull),
+      "event_type", "event_id", round(col("value") * 100),
+      budget = 500L)
+      .orderBy(col("event_type"))
+
   /** CMS sketch-rollup lifecycle
     * ([[graft.ext.CountMinAgg.mergeAll]]): weekly count-min sketches
     * of the user-id stream STORED as rows, the all-time heavy-hitter
@@ -5011,6 +5037,8 @@ object SparkEntry {
     "q179_modularity" -> (q179Modularity _),
     "q180_cms_rollup" -> (q180CmsRollup _),
     "q182_funnel_latency" -> (q182FunnelLatency _),
+    "q183_neyman_sample" -> (q183NeymanSample _),
+    "q184_mutual_info" -> (q184MutualInfo _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -8189,6 +8217,69 @@ object SparkEntry {
     "q166_k_core" -> kCoreSql,
     "q170_label_prop" -> labelPropSql,
     "q179_modularity" -> modularitySql,
+
+    "q184_mutual_info" ->
+      """WITH j AS (
+        |  SELECT event_type AS x, extract(hour FROM ts) AS y,
+        |         CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM j GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM j GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j)
+        |SELECT j.x, CAST(j.y AS INT) AS y, j.n_xy, mx.n_x, my.n_y,
+        |       round((j.n_xy / CAST(t.n AS DOUBLE)) *
+        |             ln(j.n_xy * CAST(t.n AS DOUBLE)
+        |                / (mx.n_x * CAST(my.n_y AS DOUBLE))), 6) AS mi_term
+        |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+        |ORDER BY x, y""".stripMargin,
+
+    // isqrt = float-seeded floor sqrt, ±1-corrected — exact on both
+    // engines; allocation and selection replayed end to end
+    "q183_neyman_sample" ->
+      """WITH e AS (
+        |  SELECT event_type AS s, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS n_pop,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM e GROUP BY 1),
+        |w AS (
+        |  SELECT s, n_pop, n_pop * syy - sy * sy AS x,
+        |         CAST(floor(sqrt(CAST(n_pop * syy - sy * sy AS DOUBLE)))
+        |           AS BIGINT) AS s0
+        |  FROM st),
+        |wt AS (
+        |  SELECT s, n_pop,
+        |         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+        |            - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END) AS weight
+        |  FROM w),
+        |al AS (
+        |  SELECT s, n_pop, weight,
+        |         CASE WHEN sum(weight) OVER () > 0
+        |              THEN least(n_pop,
+        |                         (500 * weight) // sum(weight) OVER ())
+        |              ELSE 0 END AS alloc
+        |  FROM wt),
+        |rk AS (
+        |  SELECT e.s, e.event_id,
+        |         row_number() OVER (PARTITION BY e.s
+        |           ORDER BY substring(md5(CAST(e.event_id AS VARCHAR)), 1, 15),
+        |                    e.event_id) AS rn
+        |  FROM e),
+        |sm AS (
+        |  SELECT rk.s, CAST(count(*) AS BIGINT) AS n_sampled,
+        |         CAST(sum(event_id) AS BIGINT) AS sampled_id_sum
+        |  FROM rk JOIN al ON al.s = rk.s AND rk.rn <= al.alloc
+        |  GROUP BY 1)
+        |SELECT al.s AS event_type, al.n_pop,
+        |       CAST(al.weight AS BIGINT) AS weight,
+        |       CAST(al.alloc AS BIGINT) AS alloc,
+        |       coalesce(sm.n_sampled, 0) AS n_sampled,
+        |       coalesce(sm.sampled_id_sum, 0) AS sampled_id_sum
+        |FROM al LEFT JOIN sm ON sm.s = al.s
+        |ORDER BY event_type""".stripMargin,
 
     "q182_funnel_latency" ->
       """WITH ev AS (

@@ -286,6 +286,34 @@ object Analyzers {
       .limit(topN)
   }
 
+  /** Mutual information between two categorical columns, as the
+    * per-cell term table: mi_term = (c_xy/n)·ln(c_xy·n/(c_x·c_y)),
+    * rounded to 6 dp — the dependence profile behind feature
+    * selection and leakage hunts ("does source predict label?"),
+    * where correlation only sees linear numeric relations. Σ terms =
+    * MI; every input to the one ln is an exact integer, so the table
+    * replays (the q116 ln discipline). Empty cells contribute zero
+    * and are omitted (their limit is 0).
+    *
+    * One joint aggregation (the corpus-sized pass); marginals and the
+    * 1-row total ride broadcast joins.
+    */
+  def mutualInformation(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val joint = df.select(xCol.as("x"), yCol.as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val mx = joint.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val my = joint.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = joint.agg(sum(col("n_xy")).as("n"))
+    joint
+      .join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        round((col("n_xy").cast("double") / col("n")) *
+          log(col("n_xy").cast("double") * col("n") /
+            (col("n_x").cast("double") * col("n_y"))), 6).as("mi_term"))
+  }
+
   def categoryDrift(oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
     val o = oldDf.select(col(catCol).as("category"))
       .groupBy("category").agg(count(lit(1)).as("n_old"))

@@ -125,6 +125,68 @@ object TrainPrep {
       .drop("__rank")
   }
 
+  /** NEYMAN-allocation stratified sampling (Neyman 1934, the optimal
+    * allocation of survey statistics): a total `budget` of rows split
+    * across strata proportionally to N_h·S_h — bigger AND
+    * more-variable strata get more samples, the estimator-variance-
+    * minimizing rule that uniform quota sampling ([[quotaSample]])
+    * ignores. Everything is exact integer arithmetic on a quantized
+    * LONG value column: N_h·S_h collapses to isqrt(n_h·Σy² − (Σy)²)
+    * (the per-stratum weight needs no division at all), where isqrt
+    * is the float-seeded, ±1-corrected exact floor square root — the
+    * double's relative error is ~2⁻⁵³, so the correction closes it on
+    * both engines bit-for-bit. Allocation is floor(budget·w_h div Σw),
+    * capped at the stratum population, remainder < #strata unallocated
+    * (disclosed); within a stratum the md5-rank picks the rows (the
+    * [[quotaSample]] convention), so the exact selection replays.
+    *
+    * Shape: one stats aggregation (corpus-sized pass), windows over
+    * the O(#strata) frame, a broadcast allocation join back, one
+    * ranked window per stratum.
+    *
+    * Returns the per-stratum audit: (stratumCol, n_pop, weight,
+    * alloc, n_sampled, sampled_id_sum).
+    */
+  def neymanSample(
+      df: DataFrame, stratumCol: String, idCol: String, valueCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    def isqrt(x: Column): Column = {
+      val s0 = floor(sqrt(x.cast("double"))).cast("long")
+      s0 + when((s0 + 1) * (s0 + 1) <= x, 1L).otherwise(0L) -
+        when(s0 * s0 > x, 1L).otherwise(0L)
+    }
+    val stats = df
+      .select(col(stratumCol).as("__s"), valueCol.cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("n_pop"), sum(col("__y")).as("__sy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("weight",
+        isqrt(col("n_pop") * col("__syy") - col("__sy") * col("__sy")))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val alloc = stats
+      .withColumn("__wsum", sum(col("weight")).over(wAll))
+      .withColumn("alloc",
+        when(col("__wsum") > 0,
+          least(col("n_pop"), expr(s"(${budget}L * weight) div __wsum")))
+          .otherwise(lit(0L)))
+      .select(col("__s"), col("n_pop"), col("weight"), col("alloc"))
+    val h = substring(md5(col("__id").cast("string")), 1, 15)
+    val wRank = Window.partitionBy(col("__s")).orderBy(h, col("__id"))
+    df.select(col(stratumCol).as("__s"), col(idCol).as("__id"))
+      .join(broadcast(alloc), Seq("__s"))
+      .withColumn("__rank", row_number().over(wRank))
+      .filter(col("__rank") <= col("alloc"))
+      .groupBy(col("__s"), col("n_pop"), col("weight"), col("alloc"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("__id")).as("sampled_id_sum"))
+      .unionByName( // zero-alloc strata still report, with empty sample
+        alloc.filter(col("alloc") === 0)
+          .select(col("__s"), col("n_pop"), col("weight"), col("alloc"),
+            lit(0L).as("n_sampled"), lit(0L).as("sampled_id_sum")))
+      .withColumnRenamed("__s", stratumCol)
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement per group
     * (Efraimidis–Spirakis A-ES, public algorithm): keep the `k` items
     * with the largest `u^(1/w)` — equivalently the largest

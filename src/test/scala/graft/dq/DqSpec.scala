@@ -188,6 +188,18 @@ class DqSpec extends SparkSpec {
     assert(r == Seq(("x", 6L, 666666L, 2L), ("y", 2L, 222222L, 1L)))
   }
 
+  test("mutualInformation: zero for independence, ln 2 terms for a bijection") {
+    val indep = Seq(("a", 0), ("a", 1), ("b", 0), ("b", 1)).toDF("x", "y")
+    val r0 = Analyzers.mutualInformation(indep, col("x"), col("y"))
+      .collect().map(_.getDouble(5))
+    assert(r0.forall(_ == 0.0))
+    val dep = Seq(("a", 0), ("a", 0), ("b", 1), ("b", 1)).toDF("x", "y")
+    val r1 = Analyzers.mutualInformation(dep, col("x"), col("y"))
+      .collect().map(_.getDouble(5)).toSeq
+    // each cell: (2/4)·ln(2·4/(2·2)) = 0.5·ln 2 → 0.346574
+    assert(r1 == Seq(0.346574, 0.346574))
+  }
+
   test("categoryDrift: hand-computed PSI terms, one-sided categories finite") {
     val old = Seq("a", "a", "a", "b").toDF("c")
     val neu = Seq("a", "b", "b", "x").toDF("c") // 'x' absent from old

@@ -28,6 +28,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(run(18, 2).filter(_._1 == "C").head._5 == 4L)
   }
 
+  test("neymanSample: weight = isqrt(nΣy²−(Σy)²); caps bind; zero-variance gets zero") {
+    // A [0,10] → w = isqrt(100) = 10; B [5,5] → 0; C [0,6,0,6] → isqrt(144) = 12
+    val df = Seq((1L, "A", 0L), (2L, "A", 10L), (3L, "B", 5L), (4L, "B", 5L),
+      (5L, "C", 0L), (6L, "C", 6L), (7L, "C", 0L), (8L, "C", 6L))
+      .toDF("id", "s", "y")
+    val r = TrainPrep.neymanSample(df, "s", "id", col("y"), budget = 11L)
+      .orderBy("s")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // Σw = 22: A floor(110/22)=5 capped at 2; B 0; C floor(132/22)=6 capped at 4
+    assert(r == Seq(("A", 2L, 10L, 2L, 2L, 3L), ("B", 2L, 0L, 0L, 0L, 0L),
+      ("C", 4L, 12L, 4L, 4L, 26L)))
+  }
+
   test("hashSplit: disjoint, exhaustive, stable, roughly proportional") {
     val ids = (1L to 4000L).toDF("id")
     val cuts = Seq("train" -> 3277, "val" -> 3687, "test" -> 4096)
