@@ -4617,6 +4617,15 @@ object SparkEntry {
       Tables.events(spark, dir), col("event_type"), hour(col("ts")))
       .orderBy(col("x"), col("y"))
 
+  /** Zipf-law fit ([[graft.ext.Text.zipfFit]]): OLS of ln(freq) on
+    * ln(rank) over the top-100 corpus tokens — the corpus-health
+    * number (natural text ≈ −1; templated corpora bend the curve).
+    * Decimal-summed rounded terms; only the closed-form division
+    * floats, at 4 dp.
+    */
+  def q185ZipfFit(spark: SparkSession, dir: String): DataFrame =
+    Text.zipfFit(Tables.documents(spark, dir), "text", topN = 100)
+
   /** Neyman-allocation stratified sample
     * ([[graft.ext.TrainPrep.neymanSample]]): a 500-row budget split
     * across event types proportionally to N_h·S_h (exact integer
@@ -5039,6 +5048,7 @@ object SparkEntry {
     "q182_funnel_latency" -> (q182FunnelLatency _),
     "q183_neyman_sample" -> (q183NeymanSample _),
     "q184_mutual_info" -> (q184MutualInfo _),
+    "q185_zipf_fit" -> (q185ZipfFit _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -8217,6 +8227,66 @@ object SparkEntry {
     "q166_k_core" -> kCoreSql,
     "q170_label_prop" -> labelPropSql,
     "q179_modularity" -> modularitySql,
+
+    "q185_zipf_fit" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |           AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |tk AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+        |  FROM c QUALIFY rank <= 100),
+        |xy AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+        |         round(ln(CAST(n AS DOUBLE)), 6) AS y
+        |  FROM tk),
+        |sm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT nn AS n_top,
+        |       round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 4)
+        |         AS slope,
+        |       round((sy - ((nn * sxy - sx * sy)
+        |                    / (nn * sxx - sx * sx)) * sx) / nn, 4)
+        |         AS intercept
+        |FROM sm""".stripMargin,
+
+    "q185_zipf_fit" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |           AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |tk AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+        |  FROM c QUALIFY rank <= 100),
+        |xy AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+        |         round(ln(CAST(n AS DOUBLE)), 6) AS y
+        |  FROM tk),
+        |sm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT nn AS n_top,
+        |       round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 4)
+        |         AS slope,
+        |       round((sy - ((nn * sxy - sx * sy)
+        |                    / (nn * sxx - sx * sx)) * sx) / nn, 4)
+        |         AS intercept
+        |FROM sm""".stripMargin,
 
     "q184_mutual_info" ->
       """WITH j AS (

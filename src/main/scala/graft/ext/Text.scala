@@ -1070,6 +1070,46 @@ object Text {
       regexp_replace(acc, pattern, s"[$tag]")
     }
 
+  /** Zipf-law fit of the corpus token-frequency distribution: OLS of
+    * ln(frequency) on ln(rank) over the top `topN` tokens — the
+    * classic corpus-health number (natural language sits near slope
+    * −1; generated or templated text bends the curve). Every float
+    * step is pinned: per-rank x/y round to 6 dp (one ln each, the
+    * q116 discipline), the products round to 6 dp, all four sums are
+    * exact DECIMAL accumulations (order-free), and only the final
+    * closed-form division is floating, rounded to 4 dp — so the fit
+    * hash-checks, not approximately-matches.
+    *
+    * Shape: one corpus-sized token count, a sort-limit for the top-N
+    * (TakeOrdered), then O(topN) arithmetic.
+    *
+    * Returns one row: (n_top, slope, intercept).
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN >= 2, "need at least two ranks to fit")
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("n").desc, col("tok").asc)
+    val xy = top.withColumn("rank", row_number().over(w))
+      .select(round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("n").cast("double")), 6).as("y"))
+    def dec(c: Column) = c.cast("decimal(18,6)")
+    xy.agg(count(lit(1)).as("nn"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(round(col("x") * col("y"), 6))).cast("double").as("sxy"),
+        sum(dec(round(col("x") * col("x"), 6))).cast("double").as("sxx"))
+      .select(col("nn").as("n_top"),
+        round(expr("(nn * sxy - sx * sy) / (nn * sxx - sx * sx)"), 4)
+          .as("slope"),
+        round(expr(
+          "(sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx) / nn"), 4)
+          .as("intercept"))
+  }
+
   // ------------------------------------------- lexical-diversity metrics
 
   /** Per-document lexical-diversity report: type-token ratio, hapax
