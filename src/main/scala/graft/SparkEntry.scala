@@ -4626,6 +4626,52 @@ object SparkEntry {
   def q185ZipfFit(spark: SparkSession, dir: String): DataFrame =
     Text.zipfFit(Tables.documents(spark, dir), "text", topN = 100)
 
+  /** STREAMING corpus-stats monitor: q185's Zipf fit re-derived per
+    * ingest batch over the growing corpus (snapshot recompute — rank
+    * order is corpus-global). The production shape of a corpus-health
+    * dashboard; shares q185's oracle verbatim.
+    */
+  def q185bZipfStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q185b")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      docs => Text.zipfFit(docs, "text", topN = 100))
+  }
+
+  /** Robust per-type value statistics: the 10%-trimmed mean beside
+    * the raw mean — the robust-location summary q60's MAD outlier
+    * flags complement (MAD says WHICH rows are extreme; the trimmed
+    * mean reports the level with the tails excised). Exact: trim
+    * counts by deterministic (value, id) rank windows, means by
+    * truncating division on cents.
+    */
+  def q186TrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("key"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val asc = Window.partitionBy(col("key"))
+      .orderBy(col("cents").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("key"))
+      .orderBy(col("cents").desc, col("event_id").desc)
+    ev.withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .withColumn("__k", expr("__n div 10"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(cents) div count(1)").as("mean_cents"),
+        sum(when(col("__ra") > col("__k") && col("__rd") > col("__k"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        expr("sum(CASE WHEN __ra > __k AND __rd > __k THEN cents END)" +
+          " div sum(CASE WHEN __ra > __k AND __rd > __k THEN 1 END)")
+          .as("trimmed_mean_cents"))
+      .select(col("key"), col("n_rows"), col("n_kept"),
+        col("mean_cents"), col("trimmed_mean_cents"))
+      .orderBy(col("key"))
+  }
+
   /** Neyman-allocation stratified sample
     * ([[graft.ext.TrainPrep.neymanSample]]): a 500-row budget split
     * across event types proportionally to N_h·S_h (exact integer
@@ -5049,6 +5095,8 @@ object SparkEntry {
     "q183_neyman_sample" -> (q183NeymanSample _),
     "q184_mutual_info" -> (q184MutualInfo _),
     "q185_zipf_fit" -> (q185ZipfFit _),
+    "q185b_zipf_stream" -> (q185bZipfStream _),
+    "q186_trimmed_mean" -> (q186TrimmedMean _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -5083,7 +5131,7 @@ object SparkEntry {
     "q132_retrain_stream", "q139_stream_neardup", "q143b_media_stream",
     "q146b_drift_stream", "q147b_funnel_stream", "q155b_coreset_stream",
     "q161b_golden_stream", "q162b_changepoint_stream",
-    "q168b_seasonal_stream", "q174b_mv_stream")
+    "q168b_seasonal_stream", "q174b_mv_stream", "q185b_zipf_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -8228,35 +8276,8 @@ object SparkEntry {
     "q170_label_prop" -> labelPropSql,
     "q179_modularity" -> modularitySql,
 
-    "q185_zipf_fit" ->
-      """WITH t AS (
-        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
-        |           AS tok
-        |  FROM documents),
-        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
-        |tk AS (
-        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
-        |  FROM c QUALIFY rank <= 100),
-        |xy AS (
-        |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
-        |         round(ln(CAST(n AS DOUBLE)), 6) AS y
-        |  FROM tk),
-        |sm AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS nn,
-        |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(18,6)))
-        |           AS DOUBLE) AS sxy,
-        |         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(18,6)))
-        |           AS DOUBLE) AS sxx
-        |  FROM xy)
-        |SELECT nn AS n_top,
-        |       round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 4)
-        |         AS slope,
-        |       round((sy - ((nn * sxy - sx * sy)
-        |                    / (nn * sxx - sx * sx)) * sx) / nn, 4)
-        |         AS intercept
-        |FROM sm""".stripMargin,
+    "q185_zipf_fit" -> zipfFitSql,
+    "q185b_zipf_stream" -> zipfFitSql,
 
     "q185_zipf_fit" ->
       """WITH t AS (
@@ -8287,6 +8308,28 @@ object SparkEntry {
         |                    / (nn * sxx - sx * sx)) * sx) / nn, 4)
         |         AS intercept
         |FROM sm""".stripMargin,
+
+    "q186_trimmed_mean" ->
+      """WITH e AS (
+        |  SELECT event_type AS key, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT key, cents,
+        |         row_number() OVER (PARTITION BY key
+        |           ORDER BY cents, event_id) AS ra,
+        |         row_number() OVER (PARTITION BY key
+        |           ORDER BY cents DESC, event_id DESC) AS rd,
+        |         count(*) OVER (PARTITION BY key) // 10 AS k
+        |  FROM e)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN ra > k AND rd > k THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_kept,
+        |       CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+        |       CAST(sum(CASE WHEN ra > k AND rd > k THEN cents END)
+        |            // sum(CASE WHEN ra > k AND rd > k THEN 1 END)
+        |         AS BIGINT) AS trimmed_mean_cents
+        |FROM r GROUP BY key ORDER BY key""".stripMargin,
 
     "q184_mutual_info" ->
       """WITH j AS (
@@ -9448,6 +9491,37 @@ object SparkEntry {
         |       h.n * 1000000 > p.baseline_scaled * 2 AS is_spike
         |FROM h JOIN p ON p.key = h.key AND p.hod = extract(hour FROM h.hr)
         |ORDER BY h.key, h.hr""".stripMargin
+
+  /** q185/q185b shared oracle: the decimal-summed Zipf OLS. */
+  private def zipfFitSql: String =
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |           AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |tk AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+        |  FROM c QUALIFY rank <= 100),
+        |xy AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+        |         round(ln(CAST(n AS DOUBLE)), 6) AS y
+        |  FROM tk),
+        |sm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT nn AS n_top,
+        |       round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 4)
+        |         AS slope,
+        |       round((sy - ((nn * sxy - sx * sy)
+        |                    / (nn * sxx - sx * sx)) * sx) / nn, 4)
+        |         AS intercept
+        |FROM sm""".stripMargin
 
   private def mvMergeSql: String =
     """SELECT date_trunc('hour', ts) AS hr,
