@@ -4672,6 +4672,51 @@ object SparkEntry {
       .orderBy(col("key"))
   }
 
+  /** Dedup-method EFFICACY comparison — the report a curation run
+    * uses to pick its dedup grain: the same corpus through four
+    * methods (exact doc, 16-token paragraph, MinHash near-dup doc,
+    * 7-gram repeated-span excision), each summarized as surviving
+    * docs + surviving tokens. Different grains remove different
+    * things (near-dup collapses docs paragraph dedup can't;
+    * span excision removes tokens while keeping every doc) — the
+    * numbers, not intuition, should choose. One oracle replays ALL
+    * FOUR pipelines (the q124/q147 composed-replay discipline).
+    */
+  def q187DedupEfficacy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def tokOf(c: Column): Column =
+      when(length(trim(c)) > 0, Text.tokenCount(c).cast("long")).otherwise(0L)
+    def row(method: String, df: DataFrame, textCol: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(tokOf(textCol)), lit(0L)).as("tok_sum"))
+        .select(lit(method).as("method"), col("n_docs"), col("tok_sum"))
+    val exactKept = docs.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+    val para = graft.ext.Dedup.paragraphDedup(
+        docs, "doc_id", "text", chunkTokens = 16)
+      .filter(col("n_kept") > 0)
+    val clusters = graft.ext.Clusters.dupClusters(
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5),
+      "id_a", "id_b")
+    val mhKept = docs.join(
+      clusters.filter(!col("is_canonical")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val excised = graft.ext.Dedup.exciseSpans(docs,
+      graft.ext.Dedup.repeatedNgramSpans(docs, "doc_id", "text",
+        n = 7, minDocs = 2, hashGrams = true),
+      "doc_id", "text")
+    Seq(row("0_input", docs, col("text")),
+        row("1_exact", exactKept, col("text")),
+        row("2_paragraph", para, col("dedup_text")),
+        row("3_minhash", mhKept, col("text")),
+        row("4_spans", excised, col("text")))
+      .reduce(_.unionByName(_))
+      .orderBy(col("method"))
+  }
+
   /** Neyman-allocation stratified sample
     * ([[graft.ext.TrainPrep.neymanSample]]): a 500-row budget split
     * across event types proportionally to N_h·S_h (exact integer
@@ -5097,6 +5142,7 @@ object SparkEntry {
     "q185_zipf_fit" -> (q185ZipfFit _),
     "q185b_zipf_stream" -> (q185bZipfStream _),
     "q186_trimmed_mean" -> (q186TrimmedMean _),
+    "q187_dedup_efficacy" -> (q187DedupEfficacy _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -8275,6 +8321,7 @@ object SparkEntry {
     "q166_k_core" -> kCoreSql,
     "q170_label_prop" -> labelPropSql,
     "q179_modularity" -> modularitySql,
+    "q187_dedup_efficacy" -> dedupEfficacySql,
 
     "q185_zipf_fit" -> zipfFitSql,
     "q185b_zipf_stream" -> zipfFitSql,
@@ -9531,6 +9578,123 @@ object SparkEntry {
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
       |         // count(*) AS avg_cents
       |FROM events GROUP BY 1 ORDER BY hr""".stripMargin
+
+  /** q187 oracle: all four dedup pipelines replayed — exact keep-min,
+    * the paragraph keep-first chain, the LSH≡exact-Jaccard closure
+    * survivors, and the span-excision chain — each summarized as
+    * (surviving docs, surviving tokens).
+    */
+  private def dedupEfficacySql: String =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |exk AS (
+       |  SELECT doc_id, text,
+       |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |pt AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |pn AS (
+       |  SELECT doc_id, toks,
+       |         CASE WHEN len(toks) <= 16 THEN 1
+       |              ELSE (len(toks) - 16 + 15) // 16 + 1 END AS n_chunks
+       |  FROM pt),
+       |pc AS (
+       |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks FROM pn),
+       |px AS (
+       |  SELECT doc_id, chunk_id,
+       |         array_to_string(toks[chunk_id*16 + 1 : chunk_id*16 + 16], ' ')
+       |           AS chunk_text
+       |  FROM pc),
+       |pr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY chunk_text
+       |                               ORDER BY doc_id, chunk_id) AS rn
+       |  FROM px),
+       |pd AS (
+       |  SELECT doc_id,
+       |         string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+       |                    ORDER BY chunk_id) AS dtext
+       |  FROM pr GROUP BY doc_id
+       |  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0),
+       |med AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM med
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN med e ON e.src = reach.id),
+       |comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+       |mdrop AS (SELECT id FROM comp WHERE id <> cid),
+       |sxt AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 7),
+       |sxg AS (
+       |  SELECT doc_id,
+       |         unnest([{'pos': i - 1,
+       |                  'gram': list_aggregate(toks[i:i+6], 'string_agg', ' ')}
+       |                 FOR i IN range(1, len(toks) - 7 + 2)]) AS e
+       |  FROM sxt),
+       |sxng AS (SELECT doc_id, e.pos AS pos, e.gram AS gram FROM sxg),
+       |sxrep AS (SELECT gram FROM sxng GROUP BY gram
+       |          HAVING count(DISTINCT doc_id) >= 2),
+       |sxhit AS (SELECT doc_id, pos FROM sxng JOIN sxrep USING (gram)),
+       |sxisl0 AS (SELECT doc_id, pos,
+       |                  CASE WHEN pos - lag(pos) OVER (
+       |                         PARTITION BY doc_id ORDER BY pos) > 7
+       |                       THEN 1 ELSE 0 END AS ni
+       |           FROM sxhit),
+       |sxisl AS (SELECT doc_id, pos,
+       |                 sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                   AS grp
+       |          FROM sxisl0),
+       |sxsp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 6 AS end_tok
+       |         FROM sxisl GROUP BY doc_id, grp),
+       |sxtall AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sxtok AS (
+       |  SELECT doc_id,
+       |         unnest([{'pos': i - 1, 'tok': toks[i]}
+       |                 FOR i IN range(1, len(toks) + 1)]) AS e
+       |  FROM sxtall),
+       |sxkeep AS (
+       |  SELECT k.doc_id, k.e.pos AS pos
+       |  FROM sxtok k
+       |  WHERE NOT EXISTS (SELECT 1 FROM sxsp
+       |                    WHERE sxsp.doc_id = k.doc_id
+       |                      AND k.e.pos BETWEEN sxsp.start_tok
+       |                                      AND sxsp.end_tok)),
+       |sxagg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM sxkeep GROUP BY doc_id)
+       |SELECT '0_input' AS method, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN trim(text) <> ''
+       |                     THEN len(regexp_split_to_array(trim(text), '\\s+'))
+       |                     ELSE 0 END) AS BIGINT) AS tok_sum
+       |FROM documents
+       |UNION ALL
+       |SELECT '1_exact', CAST(count(*) AS BIGINT),
+       |       CAST(sum(CASE WHEN trim(text) <> ''
+       |                     THEN len(regexp_split_to_array(trim(text), '\\s+'))
+       |                     ELSE 0 END) AS BIGINT)
+       |FROM exk WHERE rn = 1
+       |UNION ALL
+       |SELECT '2_paragraph', CAST(count(*) AS BIGINT),
+       |       CAST(sum(len(regexp_split_to_array(trim(dtext), '\\s+')))
+       |         AS BIGINT)
+       |FROM pd
+       |UNION ALL
+       |SELECT '3_minhash', CAST(count(*) AS BIGINT),
+       |       CAST(sum(CASE WHEN trim(d.text) <> ''
+       |                     THEN len(regexp_split_to_array(trim(d.text), '\\s+'))
+       |                     ELSE 0 END) AS BIGINT)
+       |FROM documents d LEFT JOIN mdrop ON d.doc_id = mdrop.id
+       |WHERE mdrop.id IS NULL
+       |UNION ALL
+       |SELECT '4_spans', CAST(count(*) AS BIGINT),
+       |       CAST(sum(coalesce(sxagg.n_kept, 0)) AS BIGINT)
+       |FROM sxtall LEFT JOIN sxagg USING (doc_id)
+       |ORDER BY method""".stripMargin
 
   private def kCoreSql: String = {
     val k = 2
