@@ -891,7 +891,7 @@ object SparkEntry {
     * and the estimate matches hash-exactly — a full CORRECTNESS row
     * for a custom aggregate, not just a rows-only check.
     */
-  def q38SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+  private def sourceMinhashEstimates(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.MinHashAgg
     val items = Tables.documents(spark, dir)
       .select(col("source"), explode(Dedup.wordShingles(col("text"), 1)).as("token"))
@@ -909,8 +909,10 @@ object SparkEntry {
         // engine-dependent tie-rounding (round 4 ties at k ≡ 2 mod 4)
         round(MinHashAgg.estimatedJaccard(col("sig_a"), col("sig_b")), 6))
       .select(col("src_a"), col("src_b"), col("est_jaccard"))
-      .orderBy(col("src_a"), col("src_b"))
   }
+
+  def q38SourceSimilarity(spark: SparkSession, dir: String): DataFrame =
+    sourceMinhashEstimates(spark, dir).orderBy(col("src_a"), col("src_b"))
 
   /** AS-OF join (last-click attribution): each purchase gets the latest
     * click of the same user at-or-before its timestamp; oracle is
@@ -2397,15 +2399,19 @@ object SparkEntry {
   }
 
   private def docSliceStreamInput(
-      spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"))
+      spark: SparkSession, dir: String, tmp: String,
+      withSource: Boolean = false): (String, StructType) = {
+    val cols = Seq(col("doc_id"), col("lang"), col("text")) ++
+      (if (withSource) Seq(col("source")) else Nil)
+    val docs = Tables.documents(spark, dir).select(cols: _*)
     val in = writeSliceFiles(
       (0 until 4).map(i => docs.filter(pmod(col("doc_id"), lit(4)) === i)), tmp)
     (in, StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("lang", StringType, nullable = true),
-      StructField("text", StringType, nullable = true))))
+      StructField("text", StringType, nullable = true)) ++
+      (if (withSource) Seq(StructField("source", StringType, nullable = true))
+       else Nil)))
   }
 
   /** STREAMING twin of q104: the epoch plan maintained INCREMENTALLY —
@@ -4717,6 +4723,157 @@ object SparkEntry {
       .orderBy(col("method"))
   }
 
+  /** Exact cross-source token-set overlap matrix — the exact referee
+    * for q38's MinHash estimate, at the fidelity a mixing decision
+    * needs: for every source pair, distinct-token set sizes, the
+    * shared-token count, BOTH directional containments ("how much of
+    * A is already inside B" is asymmetric — the question when folding
+    * a small source into a big one), and exact Jaccard, all in ppm
+    * truncating integer arithmetic (q175's discipline) so the whole
+    * matrix hash-checks. Scale path: tokens collapse to 8-byte
+    * xxhash64 keys BEFORE the distinct and the self-join (q102b's
+    * pattern — hash values never surface; the DuckDB oracle joins raw
+    * strings, so a 64-bit collision would show up as a gate mismatch),
+    * and the complete matrix comes from a broadcast size×size pair
+    * spine, so zero-overlap pairs still appear as explicit rows.
+    */
+  private def sourceOverlapExact(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(Dedup.wordShingles(col("text"), 1)).as("token"))
+      .select(col("source"), xxhash64(col("token")).as("h"))
+      .distinct()
+    val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val spine = broadcast(
+        sizes.select(col("source").as("src_a"), col("n").as("n_a")))
+      .join(broadcast(
+        sizes.select(col("source").as("src_b"), col("n").as("n_b"))),
+        col("src_a") < col("src_b"))
+    val shared = sets.as("a")
+      .join(sets.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    spine.join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("cont_a_ppm", expr("n_shared * 1000000 div n_a"))
+      .withColumn("cont_b_ppm", expr("n_shared * 1000000 div n_b"))
+      .withColumn("jaccard_ppm",
+        expr("n_shared * 1000000 div (n_a + n_b - n_shared)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("cont_a_ppm"), col("cont_b_ppm"),
+        col("jaccard_ppm"))
+  }
+
+  def q188SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapExact(spark, dir).orderBy(col("src_a"), col("src_b"))
+
+  /** MinHash-vs-exact overlap CONTRACT — q38's 64-slot estimate and
+    * q188's exact Jaccard on the SAME pairs, per-pair absolute error
+    * in ppm plus a 4σ bound verdict (k=64 ⇒ s.e. ≤ 0.0625, bound
+    * 0.25). Every term is deterministic (md5 slot convention on one
+    * side, exact integer ppm on the other), so unlike a rows-only
+    * sketch contract the WHOLE comparison table hash-checks — the
+    * oracle replays both pipelines and must agree on every error.
+    * est_ppm is exact: est_jaccard = k/64 to 6 decimals, so
+    * round(est·10⁶) = k·15625 with no float residue.
+    */
+  def q188bOverlapContract(spark: SparkSession, dir: String): DataFrame = {
+    val est = sourceMinhashEstimates(spark, dir)
+      .withColumn("est_ppm", round(col("est_jaccard") * 1000000).cast("long"))
+      .select(col("src_a"), col("src_b"), col("est_ppm"))
+    val exact = sourceOverlapExact(spark, dir)
+      .select(col("src_a"), col("src_b"), col("jaccard_ppm"))
+    est.join(exact, Seq("src_a", "src_b"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
+      .withColumn("within_bound", col("abs_err_ppm") <= 250000L)
+      .select(col("src_a"), col("src_b"), col("est_ppm"),
+        col("jaccard_ppm"), col("abs_err_ppm"), col("within_bound"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Classifier threshold-sweep YIELD CURVE — the table a curation
+    * run consults before committing to a filter threshold: for each
+    * probability decile, the docs and tokens in the bin and the
+    * cumulative docs/tokens that survive a `p ≥ bin/10` cut (plus the
+    * surviving token share in exact ppm). q176 answers "is the
+    * classifier calibrated"; this answers "which threshold hits my
+    * token budget" — the two tables that together pick the cut.
+    * Determinism: p derives from the exact long pre-activation (q126
+    * discipline), token counts are exact longs, and the cumulative
+    * sums run over the post-aggregation O(10)-bin frame, so the
+    * single-partition window is a disclosed tiny-frame hop, not a
+    * global sort of the corpus.
+    */
+  def q189ThresholdYield(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = classifierFeatures(spark, dir)
+    val w = graft.ext.Classifier.trainElliott(feat, numBuckets = 64, iters = 4)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) > 0,
+          Text.tokenCount(col("text")).cast("long")).otherwise(0L)
+          .as("n_toks"))
+    val binned = graft.ext.Classifier.score(feat, w)
+      .join(toks, Seq("doc_id"))
+      .withColumn("bin", floor(col("p") * 10).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+    val cum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("docs_ge", sum(col("n_docs")).over(cum))
+      .withColumn("toks_ge", sum(col("n_toks")).over(cum))
+      .withColumn("__total", sum(col("n_toks")).over(all))
+      .withColumn("tok_share_ppm", expr("toks_ge * 1000000 div __total"))
+      .select(col("bin"), col("n_docs"), col("n_toks"),
+        col("docs_ge"), col("toks_ge"), col("tok_share_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  /** Cross-source score CALIBRATION
+    * ([[graft.ext.TrainPrep.quantileNormalize]]): the q14 composite
+    * quality score mapped onto each source's empirical CDF — the
+    * correction that makes "top 20% by quality" mean the same thing
+    * in every domain before a mixing decision thresholds it. Exact
+    * per-doc rank/ppm table; the oracle computes the same ranks with
+    * a plain per-source window, so the hash check pins the two-phase
+    * (KLL-bucketed, no per-group global sort) decomposition equal to
+    * the naive form.
+    */
+  def q190QuantileNorm(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.quantileNormalize(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text")).as("quality")),
+      "source", "doc_id", col("quality"), numBuckets = 8)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("q_rank"), col("group_n"), col("quantile_ppm"))
+      .orderBy(col("doc_id"))
+
+  /** STREAMING twin of q190: the per-source quantile table maintained
+    * over the growing corpus. A rank is corpus-GLOBAL (one arriving
+    * doc shifts every later rank in its source), so the incremental
+    * form is snapshot recompute (q104b/q105b mechanics via
+    * [[graft.stream.Jobs.runPlanRecomputeStream]]); the plan is
+    * content-deterministic, so the final published table bit-equals
+    * the batch path — q190's own oracle checks it.
+    */
+  def q190bQuantileNormStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q190b")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp, withSource = true)
+    Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      corpus => graft.ext.TrainPrep.quantileNormalize(
+        corpus.select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text")).as("quality")),
+        "source", "doc_id", col("quality"), numBuckets = 8)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("q_rank"), col("group_n"), col("quantile_ppm")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Neyman-allocation stratified sample
     * ([[graft.ext.TrainPrep.neymanSample]]): a 500-row budget split
     * across event types proportionally to N_h·S_h (exact integer
@@ -5143,6 +5300,11 @@ object SparkEntry {
     "q185b_zipf_stream" -> (q185bZipfStream _),
     "q186_trimmed_mean" -> (q186TrimmedMean _),
     "q187_dedup_efficacy" -> (q187DedupEfficacy _),
+    "q188_source_overlap" -> (q188SourceOverlap _),
+    "q188b_overlap_contract" -> (q188bOverlapContract _),
+    "q189_threshold_yield" -> (q189ThresholdYield _),
+    "q190_quantile_norm" -> (q190QuantileNorm _),
+    "q190b_quantile_stream" -> (q190bQuantileNormStream _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -5177,7 +5339,8 @@ object SparkEntry {
     "q132_retrain_stream", "q139_stream_neardup", "q143b_media_stream",
     "q146b_drift_stream", "q147b_funnel_stream", "q155b_coreset_stream",
     "q161b_golden_stream", "q162b_changepoint_stream",
-    "q168b_seasonal_stream", "q174b_mv_stream", "q185b_zipf_stream")
+    "q168b_seasonal_stream", "q174b_mv_stream", "q185b_zipf_stream",
+    "q190b_quantile_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -5276,7 +5439,8 @@ object SparkEntry {
     * bit-reproducible across engines).
     */
   private def classifierOracle(mode: String): String = {
-    require(Seq("weights", "scores", "eval", "calibration").contains(mode))
+    require(Seq("weights", "scores", "eval", "calibration", "yield")
+      .contains(mode))
     // eval mode trains on the hashSplit train slice only and scores
     // everything; the other modes train and score on the full corpus
     val tf = if (mode == "eval") "tfeat" else "feat"
@@ -5333,6 +5497,36 @@ object SparkEntry {
           |       round(CAST(sum(CAST(round(p, 6) AS DECIMAL(18,6)))
           |                  AS DOUBLE) / count(*), 6) AS mean_p
           |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
+      case "yield" =>
+        // cumulative-from-above over the O(10)-bin frame; ORDER BY
+        // DESC default RANGE frame ≡ the Spark side's ROWS frame
+        // because bins are unique after the group-by
+        """zf AS (
+          |  SELECT f.doc_id, f.y, CAST(sum(w.ws * f.cnt) AS BIGINT) AS zs
+          |  FROM feat f JOIN w4 w ON w.b = f.b GROUP BY 1, 2),
+          |sc AS (
+          |  SELECT doc_id, 0.5 * (1.0 + (zs / 1000000000.0)
+          |           / (1.0 + abs(zs / 1000000000.0))) AS p
+          |  FROM zf),
+          |tn AS (
+          |  SELECT doc_id,
+          |         CAST(CASE WHEN trim(text) <> ''
+          |              THEN len(regexp_split_to_array(trim(text), '\s+'))
+          |              ELSE 0 END AS BIGINT) AS n_toks
+          |  FROM documents),
+          |bn AS (
+          |  SELECT CAST(floor(p * 10) AS INT) AS bin,
+          |         CAST(count(*) AS BIGINT) AS n_docs,
+          |         CAST(sum(tn.n_toks) AS BIGINT) AS n_toks
+          |  FROM sc JOIN tn USING (doc_id) GROUP BY 1)
+          |SELECT bin, n_docs, n_toks,
+          |       CAST(sum(n_docs) OVER (ORDER BY bin DESC) AS BIGINT)
+          |         AS docs_ge,
+          |       CAST(sum(n_toks) OVER (ORDER BY bin DESC) AS BIGINT)
+          |         AS toks_ge,
+          |       CAST(sum(n_toks) OVER (ORDER BY bin DESC) * 1000000
+          |         // sum(n_toks) OVER () AS BIGINT) AS tok_share_ppm
+          |FROM bn ORDER BY bin""".stripMargin
       case "eval" =>
         """zf AS (
           |  SELECT f.doc_id, f.y, CAST(sum(w.ws * f.cnt) AS BIGINT) AS zs
@@ -8326,35 +8520,75 @@ object SparkEntry {
     "q185_zipf_fit" -> zipfFitSql,
     "q185b_zipf_stream" -> zipfFitSql,
 
-    "q185_zipf_fit" ->
+    "q188_source_overlap" ->
       """WITH t AS (
-        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
-        |           AS tok
+        |  SELECT source,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |  FROM documents),
-        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
-        |tk AS (
-        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
-        |  FROM c QUALIFY rank <= 100),
-        |xy AS (
-        |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
-        |         round(ln(CAST(n AS DOUBLE)), 6) AS y
-        |  FROM tk),
-        |sm AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS nn,
-        |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(18,6)))
-        |           AS DOUBLE) AS sxy,
-        |         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(18,6)))
-        |           AS DOUBLE) AS sxx
-        |  FROM xy)
-        |SELECT nn AS n_top,
-        |       round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 4)
-        |         AS slope,
-        |       round((sy - ((nn * sxy - sx * sy)
-        |                    / (nn * sxx - sx * sx)) * sx) / nn, 4)
-        |         AS intercept
-        |FROM sm""".stripMargin,
+        |items AS (SELECT DISTINCT source, tok FROM t),
+        |n AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM items GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM items a JOIN items b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT na.source AS src_a, nb.source AS src_b,
+        |         na.n AS n_a, nb.n AS n_b,
+        |         COALESCE(sh.n_shared, CAST(0 AS BIGINT)) AS n_shared
+        |  FROM n na JOIN n nb ON na.source < nb.source
+        |  LEFT JOIN sh ON sh.src_a = na.source AND sh.src_b = nb.source)
+        |SELECT src_a, src_b, n_a, n_b, n_shared,
+        |       n_shared * 1000000 // n_a AS cont_a_ppm,
+        |       n_shared * 1000000 // n_b AS cont_b_ppm,
+        |       n_shared * 1000000 // (n_a + n_b - n_shared) AS jaccard_ppm
+        |FROM p ORDER BY src_a, src_b""".stripMargin,
+
+    "q188b_overlap_contract" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |items AS (SELECT DISTINCT source, tok FROM t),
+        |slots AS (
+        |  SELECT source, k.k,
+        |         min(substring(md5(tok || '#' || CAST(k.k AS VARCHAR)), 1, 15))
+        |           AS mh
+        |  FROM items CROSS JOIN (SELECT unnest(range(64)) AS k) k
+        |  GROUP BY source, k.k),
+        |est AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) * 15625
+        |           AS BIGINT) AS est_ppm
+        |  FROM slots a JOIN slots b ON a.k = b.k AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM items GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM items a JOIN items b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT na.source AS src_a, nb.source AS src_b,
+        |         COALESCE(sh.n_shared, CAST(0 AS BIGINT)) * 1000000
+        |           // (na.n + nb.n - COALESCE(sh.n_shared, CAST(0 AS BIGINT)))
+        |           AS jaccard_ppm
+        |  FROM n na JOIN n nb ON na.source < nb.source
+        |  LEFT JOIN sh ON sh.src_a = na.source AND sh.src_b = nb.source)
+        |SELECT e.src_a, e.src_b, e.est_ppm, x.jaccard_ppm,
+        |       abs(e.est_ppm - x.jaccard_ppm) AS abs_err_ppm,
+        |       abs(e.est_ppm - x.jaccard_ppm) <= 250000 AS within_bound
+        |FROM est e JOIN ex x ON e.src_a = x.src_a AND e.src_b = x.src_b
+        |ORDER BY e.src_a, e.src_b""".stripMargin,
+
+    "q190_quantile_norm" -> quantileNormSql,
+    "q190b_quantile_stream" -> quantileNormSql,
 
     "q186_trimmed_mean" ->
       """WITH e AS (
@@ -8571,6 +8805,7 @@ object SparkEntry {
     "q174_mv_merge" -> mvMergeSql,
     "q174b_mv_stream" -> mvMergeSql,
     "q176_calibration" -> classifierOracle("calibration"),
+    "q189_threshold_yield" -> classifierOracle("yield"),
 
     // scopes + exact counts derived from the data; ok expected TRUE
     // (the q45/q66 derived-scope contract form)
@@ -9569,6 +9804,39 @@ object SparkEntry {
         |                    / (nn * sxx - sx * sx)) * sx) / nn, 4)
         |         AS intercept
         |FROM sm""".stripMargin
+
+  /** q190/q190b oracle: the q14 quality expression + a plain
+    * per-source window — the naive form the two-phase decomposition
+    * must equal.
+    */
+  private def quantileNormSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, text,
+      |         regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source,
+      |         round((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+      |                + (1.0 - least((CAST(length(text) - length(
+      |                      regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+      |                      AS DOUBLE)
+      |                    / greatest(length(text), 1)) * 5.0, 1.0))
+      |                + least((CAST(len(list_filter(toks,
+      |                      x -> list_contains(['the','a','an','and','or',
+      |                        'of','to','in','is','it'], x))) AS DOUBLE)
+      |                    / greatest(len(toks), 1)) * 5.0, 1.0)) / 3.0, 4)
+      |           AS quality
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, source, quality,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY quality, doc_id) AS BIGINT) AS q_rank,
+      |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+      |           AS group_n
+      |  FROM q)
+      |SELECT doc_id, source, quality, q_rank, group_n,
+      |       q_rank * 1000000 // group_n AS quantile_ppm
+      |FROM r ORDER BY doc_id""".stripMargin
 
   private def mvMergeSql: String =
     """SELECT date_trunc('hour', ts) AS hr,

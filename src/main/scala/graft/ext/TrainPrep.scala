@@ -492,6 +492,46 @@ object TrainPrep {
     * executor's window comfortably; the sketch and bucket-sum passes
     * stay O(corpus) map + O(buckets) state.
     */
+  /** Boundary cuts from ONE corpus-wide KLL sketch: a single
+    * aggregation job collects the O(k·levels) flattened sketch (the
+    * same driver-hop class as the bloom filter bytes) and the
+    * quantile walk runs in plain Scala — the Column-expression
+    * extractors ([[KllAgg.quantile]]) exist for IN-PLAN use; a fold
+    * interpreted per sketch entry × numBuckets slots costs seconds
+    * for a value the driver derives in microseconds. Empty input /
+    * degenerate sketches fall back to a single bucket (still exact —
+    * one window). Quantile p = smallest v whose cumulative weight
+    * reaches ceil(p · total), the exact semantics of
+    * [[KllAgg.quantile]]'s in-plan fold.
+    */
+  private def kllCuts(
+      df: DataFrame, q: Column, numBuckets: Int, sketchK: Int): Array[Double] =
+    if (numBuckets == 1) Array.empty
+    else {
+      val row = df.agg(KllAgg.kllAgg(q, sketchK).as("sk")).head()
+      if (row.isNullAt(0)) Array.empty
+      else {
+        val entries = row.getSeq[org.apache.spark.sql.Row](0)
+          .map(e => (e.getDouble(0), e.getLong(1)))
+        val total = entries.iterator.map(_._2).sum.toDouble
+        if (total == 0) Array.empty
+        else {
+          val cums = entries.scanLeft(0L)(_ + _._2).tail
+          (1 until numBuckets).iterator.map { i =>
+            val target = math.max(math.ceil(i.toDouble / numBuckets * total), 1.0)
+            val idx = cums.indexWhere(_ >= target)
+            entries(if (idx < 0) entries.length - 1 else idx)._1
+          // finite cuts only: a −∞ cut (≥1/numBuckets of the corpus
+          // normalizes to −∞) would give TWO ranges lo = −∞, and the
+          // bottom-bucket closure clause would match −∞ rows to both —
+          // duplicated output rows. Dropping the non-finite cut merges
+          // that mass into the bottom (resp. top) bucket: buckets are
+          // only a decomposition aid, so wider buckets stay exact.
+          }.filter(java.lang.Double.isFinite(_)).toArray.distinct.sorted
+        }
+      }
+    }
+
   def budgetFillGlobal(
       df: DataFrame, idCol: String,
       qualityCol: String, tokenCol: String, budget: Long,
@@ -507,37 +547,8 @@ object TrainPrep {
     // window keeps every row (desc-order nulls-last, the same rank)
     val q = nanvl(coalesce(col(qualityCol).cast("double"),
       lit(Double.NegativeInfinity)), lit(Double.NegativeInfinity))
-    // 1. boundary cuts from the sketch: ONE aggregation job collects
-    // the O(k·levels) flattened sketch (the same driver-hop class as
-    // the bloom filter bytes) and the quantile walk runs in plain
-    // Scala — the Column-expression extractors ([[KllAgg.quantile]])
-    // exist for IN-PLAN use; a fold interpreted per sketch entry ×
-    // numBuckets slots costs seconds for a value the driver derives in
-    // microseconds. Empty input / degenerate sketches fall back to a
-    // single bucket (still exact — one window).
-    val cuts: Array[Double] =
-      if (numBuckets == 1) Array.empty
-      else {
-        val row = df.agg(KllAgg.kllAgg(q, sketchK).as("sk")).head()
-        if (row.isNullAt(0)) Array.empty
-        else {
-          // sorted (v, w) entries; quantile p = smallest v whose
-          // cumulative weight reaches ceil(p · total) — the exact
-          // semantics of KllAgg.quantile's in-plan fold
-          val entries = row.getSeq[org.apache.spark.sql.Row](0)
-            .map(e => (e.getDouble(0), e.getLong(1)))
-          val total = entries.iterator.map(_._2).sum.toDouble
-          if (total == 0) Array.empty
-          else {
-            val cums = entries.scanLeft(0L)(_ + _._2).tail
-            (1 until numBuckets).iterator.map { i =>
-              val target = math.max(math.ceil(i.toDouble / numBuckets * total), 1.0)
-              val idx = cums.indexWhere(_ >= target)
-              entries(if (idx < 0) entries.length - 1 else idx)._1
-            }.filterNot(_.isNaN).toArray.distinct.sorted
-          }
-        }
-      }
+    // 1. boundary cuts from the sketch (shared helper — see kllCuts)
+    val cuts: Array[Double] = kllCuts(df, q, numBuckets, sketchK)
     // 2. bucket id via a BROADCAST RANGE JOIN against the O(buckets)
     // boundary table — deliberately NOT a per-row fold over a cuts
     // array: the caller's quality column is often an unmaterialized
@@ -589,6 +600,83 @@ object TrainPrep {
       .withColumn("running_tokens", col("__qb_offset") + sum(col(tokenCol)).over(w))
       .withColumn("admitted", col("running_tokens") <= budget)
       .drop("__qb", "__qb_offset")
+  }
+
+  /** Per-group rank-quantile NORMALIZATION — scores from
+    * heterogeneous groups (sources/domains) mapped onto each group's
+    * empirical CDF so they compare ACROSS groups: a perplexity of 40
+    * can be elite in one domain and mediocre in another, and mixing
+    * decisions that threshold a raw score inherit that bias; the
+    * per-group quantile is the standard correction. Adds `q_rank`
+    * (1-based ascending rank within the group by (score, id) — rank 1
+    * is the group's worst), `group_n`, and `quantile_ppm` =
+    * q_rank·10⁶ div group_n (exact empirical-CDF ppm).
+    *
+    * Scale path: the within-group global rank is computed WITHOUT a
+    * per-group global sort (groups are few and huge — a
+    * `partitionBy(group)` window is exactly the few-partition skew
+    * trap). One corpus-wide KLL sketch yields score-range cuts
+    * ([[kllCuts]] — bounded driver hop); rows land in (group, bucket)
+    * cells via a broadcast range join; per-cell counts roll into
+    * per-group prefix offsets over the O(groups·buckets) frame
+    * (broadcast back); the windows that remain are per-CELL, each
+    * bounded by the global bucket width. budgetFillGlobal's two-phase
+    * discipline, applied per group. NULL/NaN scores normalize to −∞
+    * (rank worst, consistent in bucketing AND ordering — Spark's
+    * NaN-sorts-highest can't disagree with the bucket assignment).
+    */
+  def quantileNormalize(
+      df: DataFrame, groupCol: String, idCol: String, scoreCol: Column,
+      numBuckets: Int = 32, sketchK: Int = 256): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(!df.columns.exists(
+      Set("q_rank", "group_n", "quantile_ppm", "__qb", "__qb_lo", "__qb_hi",
+        "__qb_off", "__qb_n")),
+      "input must not already contain q_rank/group_n/quantile_ppm/__qb* columns")
+    val s = nanvl(coalesce(scoreCol.cast("double"),
+      lit(Double.NegativeInfinity)), lit(Double.NegativeInfinity))
+    val cuts = kllCuts(df, s, numBuckets, sketchK)
+    val spark0 = df.sparkSession
+    // ascending buckets: bucket i covers (lo_i, hi_i], bottom bucket
+    // closed at −∞ so normalized worst-score rows land there
+    val los = Double.NegativeInfinity +: cuts
+    val his = cuts :+ Double.PositiveInfinity
+    val ranges = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(los.indices.map { i =>
+        org.apache.spark.sql.Row(i, los(i), his(i))
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__qb",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__qb_lo",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("__qb_hi",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val bucketed = df
+      .join(broadcast(ranges), s <= col("__qb_hi") && (s > col("__qb_lo") ||
+        (s === lit(Double.NegativeInfinity) &&
+          col("__qb_lo") === lit(Double.NegativeInfinity))))
+      .drop("__qb_lo", "__qb_hi")
+    // per-(group, bucket) counts → per-group prefix offsets + totals
+    // over the O(groups·buckets) frame, broadcast back
+    val gw = Window.partitionBy(col(groupCol))
+    val offsets = bucketed.groupBy(col(groupCol), col("__qb"))
+      .agg(count(lit(1)).as("__qb_cnt"))
+      .withColumn("__qb_off",
+        coalesce(sum(col("__qb_cnt")).over(
+          gw.orderBy(col("__qb").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__qb_n", sum(col("__qb_cnt")).over(
+        gw.orderBy(col("__qb").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(groupCol), col("__qb"), col("__qb_off"), col("__qb_n"))
+    val w = Window.partitionBy(col(groupCol), col("__qb"))
+      .orderBy(s.asc, col(idCol).asc)
+    bucketed.join(broadcast(offsets), Seq(groupCol, "__qb"))
+      .withColumn("q_rank", col("__qb_off") + row_number().over(w))
+      .withColumn("group_n", col("__qb_n"))
+      .withColumn("quantile_ppm", expr("q_rank * 1000000 div group_n"))
+      .drop("__qb", "__qb_off", "__qb_n")
   }
 
   private val BloomAggName = "graft_bloom_filter_agg"

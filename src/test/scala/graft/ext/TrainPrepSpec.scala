@@ -299,6 +299,57 @@ class TrainPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TrainPrep.budgetFillGlobal(once, "doc_id", "quality", "n_tokens", 300L)
     }
+    // −∞-cut regression: when > 1/numBuckets of the corpus has NULL
+    // quality (normalized −∞), a sketch cut lands ON −∞ and two ranges
+    // would share lo = −∞ — each −∞ row then matched BOTH via the
+    // bottom-bucket closure clause and appeared twice in the output
+    val nullHeavy = (1L to 100L).map { i =>
+      (i, if (i <= 60) None else Some(i.toDouble), 3L)
+    }.toDF("doc_id", "quality", "n_tokens")
+    val nh = TrainPrep.budgetFillGlobal(
+      nullHeavy, "doc_id", "quality", "n_tokens", 150L, numBuckets = 4)
+      .select("doc_id").as[Long].collect()
+    assert(nh.length == 100 && nh.distinct.length == 100)
+  }
+
+  test("quantileNormalize: equals per-group window ranks; null/NaN rank worst; bucket-count invariant") {
+    // 3 groups, heavy score ties (bucket cuts land ON tied values),
+    // planted NULL and NaN scores
+    val docs = (1L to 300L).map { i =>
+      val grp = s"g${i % 3}"
+      val score: Option[Double] =
+        if (i % 29 == 0) None
+        else if (i % 31 == 0) Some(Double.NaN)
+        else Some((i % 13).toDouble / 4.0)
+      (i, grp, score)
+    }.toDF("doc_id", "grp", "score")
+    // brute force: one per-group sort on the driver, null/NaN → −∞
+    val exp = docs.as[(Long, String, Option[Double])].collect()
+      .groupBy(_._2).toSeq.flatMap { case (_, g) =>
+        val sorted = g.map { case (id, _, s) =>
+          val v = s match {
+            case Some(d) if !d.isNaN => d
+            case _ => Double.NegativeInfinity
+          }
+          (id, v)
+        }.sortBy { case (id, v) => (v, id) }
+        sorted.zipWithIndex.map { case ((id, _), k) =>
+          val rank = k + 1L
+          (id, rank, sorted.length.toLong, rank * 1000000L / sorted.length)
+        }
+      }.sortBy(_._1)
+    for (buckets <- Seq(1, 4, 64)) {
+      val got = TrainPrep.quantileNormalize(
+        docs, "grp", "doc_id", col("score"), numBuckets = buckets)
+        .select("doc_id", "q_rank", "group_n", "quantile_ppm")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == exp.toSeq, s"buckets=$buckets")
+    }
+    // reserved-column guard, as in budgetFillGlobal
+    intercept[IllegalArgumentException] {
+      TrainPrep.quantileNormalize(
+        docs.withColumn("q_rank", lit(1L)), "grp", "doc_id", col("score"))
+    }
   }
 
   test("bloomContaminatedDocs: flags a superset of exact, never misses, empty bench flags none") {
