@@ -4874,6 +4874,108 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** TEMPERATURE-based mixture allocation
+    * ([[graft.ext.TrainPrep.temperatureMixture]], the mT5/XLM-R
+    * p_g ∝ n_g^(1/T) sampling rule at T = 2): per-source token
+    * counts compressed by the square root, re-shared, and turned
+    * into exact token targets + the implied epochs factor — the
+    * proportional-vs-uniform compromise next to q169's UniMax
+    * water-filling. One libm pow per source quantized to the 10⁻⁶
+    * grid; every share/target/epochs value after is exact
+    * DECIMAL(38,0) integer arithmetic.
+    */
+  def q191TemperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.temperatureMixture(
+      Tables.documents(spark, dir), "source",
+      when(length(trim(col("text"))) > 0, Text.tokenCount(col("text"))
+        .cast("long")).otherwise(0L),
+      temperature = 2.0, budget = 100000L)
+      .orderBy(col("source"))
+
+  /** HEAPS'-law vocabulary-growth fit ([[graft.ext.Text.heapsFit]]):
+    * V(N) ≈ K·N^β over 16 doc-id checkpoints — the accumulation
+    * curve beside q185's Zipf frequency curve (templated or
+    * duplicate-heavy corpora flatten early). Per-checkpoint
+    * cumulative docs/tokens/vocab plus the (β, ln K) OLS fit under
+    * the q185 decimal discipline, all in one hash-checkable table.
+    */
+  def q192HeapsFit(spark: SparkSession, dir: String): DataFrame =
+    Text.heapsFit(Tables.documents(spark, dir), "doc_id", "text",
+      checkpoints = 16)
+      .orderBy(col("checkpoint"))
+
+  /** t-closeness audit ([[graft.dq.Privacy.tClosenessClasses]]):
+    * completes the release-gate trilogy — k-anonymity bounds class
+    * SIZE (q134), l-diversity bounds distinct sensitive VALUES
+    * (q163), t-closeness bounds the sensitive DISTRIBUTION's EMD
+    * distance from the global one (the skewness attack the other two
+    * miss). QI = (event type, day); sensitive = value band. Exact
+    * cross-multiplied integer EMD in DECIMAL(38,0); the at_risk
+    * verdict is multiplied-through, so no floor can flip it.
+    */
+  def q193TCloseness(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Privacy.tClosenessClasses(
+      Tables.events(spark, dir).filter(col("value").isNotNull),
+      Seq(col("event_type"), to_date(col("ts")).as("day")),
+      floor(col("value") / lit(100.0)).cast("long"),
+      tPpmBound = 250000L)
+      .orderBy(col("event_type"), col("day"))
+
+  /** Sequence-batching PADDING-WASTE report: the same corpus batched
+    * two ways at batch size 32 — md5-shuffled order (the naive
+    * loader) vs length-sorted order (bucketed batching) — each
+    * scored by the tokens a dynamic-padding collate actually pads:
+    * Σ_batches (batch_size · max_len − Σ len). The table that
+    * justifies length bucketing in a training pipeline (sorted
+    * batching routinely halves padded-token throughput loss). Both
+    * global ranks come from [[graft.ext.TrainPrep.quantileNormalize]]
+    * with a constant group — the two-phase KLL-bucketed rank, so
+    * NEITHER strategy needs a global sort; the md5 order ranks by
+    * the exact 52-bit numeric value of the 13-hex md5 prefix (the
+    * [[graft.ext.TrainPrep.weightedSample]] convention).
+    */
+  def q194PackingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) > 0, Text.tokenCount(col("text"))
+          .cast("long")).otherwise(0L).as("n_toks"))
+    def strategy(name: String, score: Column): DataFrame = {
+      val ranked = graft.ext.TrainPrep.quantileNormalize(
+        docs.withColumn("__grp", lit("all")), "__grp", "doc_id", score,
+        numBuckets = 8)
+      ranked
+        .withColumn("__batch", expr("(q_rank - 1) div 32"))
+        .groupBy(col("__batch"))
+        .agg(count(lit(1)).as("__n"), max(col("n_toks")).as("__mx"),
+          sum(col("n_toks")).as("__sum"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__sum")).as("real_tokens"),
+          sum(col("__n") * col("__mx")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"),
+          expr("CASE WHEN padded_tokens > 0 THEN" +
+            " (padded_tokens - real_tokens) * 1000000 div padded_tokens" +
+            " ELSE 0L END").as("waste_ppm"))
+    }
+    val mdScore = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("double")
+    strategy("1_shuffled", mdScore)
+      .unionByName(strategy("2_sorted", col("n_toks").cast("double")))
+      .orderBy(col("strategy"))
+  }
+
+  /** Benford first-digit audit
+    * ([[graft.dq.Analyzers.benfordReport]]) over order totals (in
+    * cents): the forensic screen for fabricated or unit-mangled
+    * numeric columns. Digits come from the long's STRING form (no
+    * log/float), expectations are compile-time ppm constants, shares
+    * are exact truncating ppm — the whole 9-row table hash-checks.
+    */
+  def q195Benford(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Analyzers.benfordReport(
+      Tables.orders(spark, dir), round(col("o_totalprice") * 100))
+      .orderBy(col("digit"))
+
   /** Neyman-allocation stratified sample
     * ([[graft.ext.TrainPrep.neymanSample]]): a 500-row budget split
     * across event types proportionally to N_h·S_h (exact integer
@@ -5305,6 +5407,11 @@ object SparkEntry {
     "q189_threshold_yield" -> (q189ThresholdYield _),
     "q190_quantile_norm" -> (q190QuantileNorm _),
     "q190b_quantile_stream" -> (q190bQuantileNormStream _),
+    "q191_temperature_mixture" -> (q191TemperatureMixture _),
+    "q192_heaps_fit" -> (q192HeapsFit _),
+    "q193_t_closeness" -> (q193TCloseness _),
+    "q194_packing_waste" -> (q194PackingWaste _),
+    "q195_benford" -> (q195Benford _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -8589,6 +8696,208 @@ object SparkEntry {
 
     "q190_quantile_norm" -> quantileNormSql,
     "q190b_quantile_stream" -> quantileNormSql,
+
+    "q191_temperature_mixture" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CASE WHEN length(trim(text)) > 0
+        |           THEN CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |                AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |         CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000)
+        |           AS BIGINT) AS w_scaled
+        |  FROM c),
+        |s AS (
+        |  SELECT *, CAST(sum(w_scaled) OVER () AS BIGINT) AS wsum FROM w),
+        |p AS (
+        |  SELECT source, n_tokens, w_scaled,
+        |         CASE WHEN wsum > 0
+        |           THEN CAST(CAST(w_scaled AS HUGEINT) * 1000000 // wsum
+        |             AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END AS share_ppm
+        |  FROM s),
+        |tg AS (
+        |  SELECT *,
+        |         CAST(CAST(share_ppm AS HUGEINT) * 100000 // 1000000
+        |           AS BIGINT) AS target_tokens
+        |  FROM p)
+        |SELECT source, n_tokens, w_scaled, share_ppm, target_tokens,
+        |       CASE WHEN n_tokens > 0
+        |         THEN CAST(CAST(target_tokens AS HUGEINT) * 1000000
+        |           // n_tokens AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS epochs_ppm
+        |FROM tg ORDER BY source""".stripMargin,
+
+    "q192_heaps_fit" ->
+      """WITH ids AS (
+        |  SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS span
+        |  FROM documents),
+        |b AS (
+        |  SELECT d.doc_id, d.text,
+        |         CAST(((d.doc_id - i.lo) * 16) // i.span AS INT) AS bk
+        |  FROM documents d CROSS JOIN ids i),
+        |tok AS (
+        |  SELECT bk,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |           AS tok
+        |  FROM b),
+        |db AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM b GROUP BY 1),
+        |tb AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_toks
+        |       FROM tok GROUP BY 1),
+        |vf AS (SELECT tok, min(bk) AS fb FROM tok GROUP BY 1),
+        |vb AS (SELECT fb AS bk, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM vf GROUP BY 1),
+        |cum AS (
+        |  SELECT db.bk AS checkpoint,
+        |         sum(db.n_docs) OVER (ORDER BY db.bk) AS docs_cum,
+        |         sum(COALESCE(tb.n_toks, 0)) OVER (ORDER BY db.bk)
+        |           AS tokens_cum,
+        |         sum(COALESCE(vb.n_new, 0)) OVER (ORDER BY db.bk)
+        |           AS vocab_cum
+        |  FROM db LEFT JOIN tb ON tb.bk = db.bk
+        |          LEFT JOIN vb ON vb.bk = db.bk),
+        |xy AS (
+        |  SELECT round(ln(CAST(tokens_cum AS DOUBLE)), 6) AS x,
+        |         round(ln(CAST(vocab_cum AS DOUBLE)), 6) AS y
+        |  FROM cum),
+        |sm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS sxx
+        |  FROM xy),
+        |fit AS (
+        |  SELECT round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 4)
+        |           AS beta,
+        |         round((sy - ((nn * sxy - sx * sy)
+        |                      / (nn * sxx - sx * sx)) * sx) / nn, 4)
+        |           AS ln_k
+        |  FROM sm)
+        |SELECT c.checkpoint, CAST(c.docs_cum AS BIGINT) AS docs_cum,
+        |       CAST(c.tokens_cum AS BIGINT) AS tokens_cum,
+        |       CAST(c.vocab_cum AS BIGINT) AS vocab_cum,
+        |       f.beta, f.ln_k
+        |FROM cum c CROSS JOIN fit f
+        |ORDER BY c.checkpoint""".stripMargin,
+
+    "q193_t_closeness" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(floor(value / 100.0) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS gc FROM b GROUP BY 1),
+        |gg AS (
+        |  SELECT v,
+        |         CAST(sum(gc) OVER (ORDER BY v) AS BIGINT) AS gcum,
+        |         CAST(sum(gc) OVER () AS BIGINT) AS n_total,
+        |         CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM g),
+        |cls AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS class_size
+        |  FROM b GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT event_type, day, v, CAST(count(*) AS BIGINT) AS cc
+        |  FROM b GROUP BY 1, 2, 3),
+        |sp AS (
+        |  SELECT c.event_type, c.day, c.class_size,
+        |         g.v, g.gcum, g.n_total, g.m,
+        |         COALESCE(cv.cc, CAST(0 AS BIGINT)) AS cc
+        |  FROM cls c CROSS JOIN gg g
+        |  LEFT JOIN cv ON cv.event_type = c.event_type
+        |    AND cv.day = c.day AND cv.v = g.v),
+        |cum AS (
+        |  SELECT *, sum(cc) OVER (PARTITION BY event_type, day
+        |    ORDER BY v) AS ccum
+        |  FROM sp),
+        |agg AS (
+        |  SELECT event_type, day, class_size, max(n_total) AS n_total,
+        |         max(m) AS m,
+        |         sum(abs(CAST(ccum AS HUGEINT) * n_total
+        |               - CAST(gcum AS HUGEINT) * class_size)) AS st
+        |  FROM cum GROUP BY 1, 2, 3)
+        |SELECT event_type, day, class_size, m AS n_values,
+        |       CAST(st * 1000000 // (CAST(class_size AS HUGEINT)
+        |         * n_total * greatest(m - 1, 1)) AS BIGINT) AS t_ppm,
+        |       st * 1000000 > 250000 * CAST(class_size AS HUGEINT)
+        |         * n_total * greatest(m - 1, 1) AS at_risk
+        |FROM agg ORDER BY event_type, day""".stripMargin,
+
+    "q194_packing_waste" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) > 0
+        |           THEN CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |                AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END AS n_toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_toks,
+        |         row_number() OVER (
+        |           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 13),
+        |                    doc_id) AS rank_shuf,
+        |         row_number() OVER (ORDER BY n_toks, doc_id) AS rank_sort
+        |  FROM d),
+        |u AS (
+        |  SELECT '1_shuffled' AS strategy, (rank_shuf - 1) // 32 AS batch,
+        |         n_toks FROM r
+        |  UNION ALL
+        |  SELECT '2_sorted' AS strategy, (rank_sort - 1) // 32 AS batch,
+        |         n_toks FROM r),
+        |p AS (
+        |  SELECT strategy, batch, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(max(n_toks) AS BIGINT) AS mx,
+        |         CAST(sum(n_toks) AS BIGINT) AS s
+        |  FROM u GROUP BY 1, 2),
+        |a AS (
+        |  SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |         CAST(sum(s) AS BIGINT) AS real_tokens,
+        |         CAST(sum(n * mx) AS BIGINT) AS padded_tokens
+        |  FROM p GROUP BY 1)
+        |SELECT strategy, n_batches, real_tokens, padded_tokens,
+        |       CASE WHEN padded_tokens > 0
+        |         THEN (padded_tokens - real_tokens) * 1000000
+        |           // padded_tokens
+        |         ELSE CAST(0 AS BIGINT) END AS waste_ppm
+        |FROM a ORDER BY strategy""".stripMargin,
+
+    "q195_benford" ->
+      """WITH v AS (
+        |  SELECT abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |           AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM v WHERE cents IS NOT NULL AND cents > 0 GROUP BY 1),
+        |e(digit, benford_ppm) AS (VALUES
+        |  (1, CAST(301029 AS BIGINT)), (2, CAST(176091 AS BIGINT)),
+        |  (3, CAST(124938 AS BIGINT)), (4, CAST(96910 AS BIGINT)),
+        |  (5, CAST(79181 AS BIGINT)), (6, CAST(66946 AS BIGINT)),
+        |  (7, CAST(57991 AS BIGINT)), (8, CAST(51152 AS BIGINT)),
+        |  (9, CAST(45757 AS BIGINT))),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows FROM d)
+        |SELECT e.digit, COALESCE(d.n, CAST(0 AS BIGINT)) AS n, t.n_rows,
+        |       CASE WHEN t.n_rows > 0
+        |         THEN COALESCE(d.n, CAST(0 AS BIGINT)) * 1000000 // t.n_rows
+        |         ELSE CAST(0 AS BIGINT) END AS share_ppm,
+        |       e.benford_ppm,
+        |       abs(CASE WHEN t.n_rows > 0
+        |             THEN COALESCE(d.n, CAST(0 AS BIGINT)) * 1000000
+        |               // t.n_rows
+        |             ELSE CAST(0 AS BIGINT) END - e.benford_ppm)
+        |         AS abs_dev_ppm
+        |FROM e LEFT JOIN d ON d.digit = e.digit CROSS JOIN t
+        |ORDER BY e.digit""".stripMargin,
 
     "q186_trimmed_mean" ->
       """WITH e AS (

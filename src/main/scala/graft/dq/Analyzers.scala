@@ -336,4 +336,51 @@ object Analyzers {
               ((col("n_new") + 1).cast("double") / (col("tot_new") + col("n_categories")))),
           6).as("psi_term"))
   }
+
+  /** Benford's-law expected first-digit shares in ppm:
+    * ⌊log₁₀(1 + 1/d)·10⁶⌋ for d = 1..9 — fixed mathematical
+    * constants, spelled out so no runtime log/float enters the audit.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** Benford's-law first-digit audit (Newcomb 1881 / Benford 1938,
+    * the standard forensic screen for fabricated or unit-mangled
+    * numeric columns): naturally-occurring multiplicative quantities
+    * put ~30.1% of first significant digits at 1, falling to ~4.6%
+    * at 9; synthetic, truncated, or copy-pasted columns don't. Per
+    * digit: observed count, observed share (exact truncating ppm),
+    * the Benford expectation (compile-time constants — see
+    * [[BenfordPpm]]), and the absolute deviation.
+    *
+    * Determinism: the first significant digit comes from the STRING
+    * form of the non-negative long (`substring(cast(n), 1, 1)`) —
+    * zero log/float arithmetic, so no boundary value can land on a
+    * different digit across engines. Null and zero values carry no
+    * first significant digit and are excluded (n_rows reports the
+    * audited count). One partial-agg'd groupBy on a 9-value key +
+    * a broadcast 1-row total: a map-side-combined corpus pass.
+    */
+  def benfordReport(df: DataFrame, valueCol: Column): DataFrame = {
+    val v = valueCol.cast("long")
+    val digits = df.select(abs(v).as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("n_rows"))
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val expected = broadcast(BenfordPpm.toDF("digit", "benford_ppm"))
+    expected.join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n_rows"),
+        expr("CASE WHEN n_rows > 0 THEN coalesce(n, 0L) * 1000000 div n_rows" +
+          " ELSE 0L END").as("share_ppm"),
+        col("benford_ppm"))
+      .withColumn("abs_dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+  }
 }

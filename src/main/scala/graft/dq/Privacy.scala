@@ -84,4 +84,82 @@ object Privacy {
       .filter(col("__nsens") >= l)
       .drop("__dr", "__nsens")
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007): the
+    * skewness attack l-diversity leaves open — a class can hold l
+    * distinct sensitive values yet still leak by holding them in
+    * wildly non-representative PROPORTIONS (a class that is 90%
+    * "high" in a 10%-"high" table reveals plenty). Each QI class's
+    * sensitive-value distribution must sit within distance t of the
+    * GLOBAL distribution; for an ORDERED (numeric) sensitive
+    * attribute the paper's distance is the Earth Mover's Distance
+    * under the ordered ground metric, which collapses to the mean of
+    * the |cumulative-difference| series over the m global values,
+    * normalized by (m − 1).
+    *
+    * Exact integer arithmetic end to end (the q156 KS discipline):
+    * cumulative counts compare cross-multiplied — the per-value term
+    * is |cumc_i·N − cumg_i·n_c| — so no probability ever floats. The
+    * products run in DECIMAL(38,0) (a class·corpus count product
+    * clears 2⁶³ long before 100 TB does) and the reported
+    * t_ppm = ⌊Σterms·10⁶ / (n_c·N·(m−1))⌋ floors via the remainder
+    * trick; the at_risk verdict is the MULTIPLIED-THROUGH predicate
+    * Σterms·10⁶ > t_ppm_bound·n_c·N·(m−1), so the verdict can never
+    * be off by the floor.
+    *
+    * Shape: one groupBy for the global value histogram (O(m) rows,
+    * cumulated over its own tiny frame and broadcast), one keyed
+    * shuffle for the per-(class, value) counts, a broadcast spine
+    * join so classes MISSING a value still contribute that value's
+    * flat-cumulative term, and per-class windows whose frames are
+    * O(m). Degenerate m = 1 (one global value) defines t = 0.
+    */
+  def tClosenessClasses(
+      df: DataFrame, qi: Seq[Column], sensitive: Column,
+      tPpmBound: Long): DataFrame = {
+    require(tPpmBound >= 0, s"tPpmBound must be >= 0, got $tPpmBound")
+    val qiNames = qi.map(c => df.select(c).columns.head)
+    val base = df.select((qi :+ sensitive.as("__v")): _*)
+      .filter(col("__v").isNotNull)
+    val wg = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val global = base.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__gc"))
+      .withColumn("__gcum", sum(col("__gc")).over(wg))
+      .withColumn("__n_total", sum(col("__gc")).over(wAll))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .select(col("__v"), col("__gcum"), col("__n_total"), col("__m"))
+    val cv = base.groupBy((qiNames.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__cc"))
+    // spine: every class × every global value, so a value absent from
+    // a class still contributes its flat-cumulative |…| term
+    val classes = cv.groupBy(qiNames.map(col): _*)
+      .agg(sum(col("__cc")).as("class_size"))
+    val spine = classes.crossJoin(broadcast(global))
+      .join(cv, qiNames :+ "__v", "left")
+      .withColumn("__cc", coalesce(col("__cc"), lit(0L)))
+    val wc = Window.partitionBy(qiNames.map(col): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec = "DECIMAL(38,0)"
+    spine
+      .withColumn("__ccum", sum(col("__cc")).over(wc))
+      .withColumn("__term", expr(
+        s"abs(CAST(__ccum AS $dec) * __n_total - " +
+          s"CAST(__gcum AS $dec) * class_size)"))
+      .groupBy((qiNames.map(col) :+ col("class_size") :+ col("__n_total") :+
+        col("__m")): _*)
+      .agg(sum(col("__term")).as("__sum_term"))
+      .withColumn("__den", expr(
+        s"CAST(class_size AS $dec) * __n_total * greatest(__m - 1, 1)"))
+      .withColumn("t_ppm", expr(
+        "CAST(((__sum_term * 1000000) - (__sum_term * 1000000) % __den)" +
+          " / __den AS BIGINT)"))
+      .withColumn("at_risk",
+        expr(s"__sum_term * 1000000 > CAST($tPpmBound AS DECIMAL(38,0)) * __den"))
+      .select((qiNames.map(col) :+ col("class_size") :+
+        col("__m").as("n_values") :+ col("t_ppm") :+ col("at_risk")): _*)
+  }
 }

@@ -1110,6 +1110,75 @@ object Text {
           .as("intercept"))
   }
 
+  /** HEAPS'-law fit — vocabulary growth V(N) ≈ K·N^β over the corpus
+    * read in doc-id order: [[zipfFit]] grades the token-frequency
+    * SHAPE, this grades vocabulary ACCUMULATION (natural text keeps
+    * minting types, β ≈ 0.4–0.6; templated/duplicated corpora
+    * flatten early — the second standard corpus-health curve, and
+    * the one that predicts how vocab cost scales with corpus size).
+    *
+    * Checkpoints, not a running scan: docs land in `checkpoints`
+    * contiguous doc-id ranges (bounds from one 1-row min/max
+    * aggregate, broadcast — the disclosed tiny-literal hop class);
+    * per-bucket token totals, doc counts, and NEW-type counts (a
+    * type's first bucket = min bucket over its occurrences) are
+    * partial-agg'd keyed shuffles, and the cumulative walk runs over
+    * the O(checkpoints) frame. Nothing corpus-global is sorted.
+    * The fit is the q185 OLS discipline: ln terms rounded to 6 dp,
+    * DECIMAL sums, the closed-form division floats once at 4 dp.
+    * Output: one row per checkpoint (docs_cum, tokens_cum,
+    * vocab_cum) with the corpus-level (beta, ln_k) repeated — the
+    * curve AND the fit in one hash-checkable table.
+    */
+  def heapsFit(
+      docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 16): DataFrame = {
+    require(checkpoints >= 2, "need at least two checkpoints to fit")
+    val ids = docs.agg(min(col(idCol)).as("__lo"),
+      (max(col(idCol)) - min(col(idCol)) + 1).as("__span"))
+    val base = docs.crossJoin(broadcast(ids))
+      .withColumn("__b",
+        expr(s"((${idCol} - __lo) * $checkpoints) div __span").cast("int"))
+      .select(col(idCol), col("__b"), col(textCol))
+    val toks = base.select(col("__b"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val perBucket = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__docs"))
+      .join(toks.groupBy(col("__b")).agg(count(lit(1)).as("__toks")),
+        Seq("__b"), "left")
+      .join(toks.groupBy(col("tok")).agg(min(col("__b")).as("__b"))
+          .groupBy(col("__b")).agg(count(lit(1)).as("__new_types")),
+        Seq("__b"), "left")
+      .select(col("__b"), col("__docs"),
+        coalesce(col("__toks"), lit(0L)).as("__toks"),
+        coalesce(col("__new_types"), lit(0L)).as("__new_types"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perBucket
+      .withColumn("docs_cum", sum(col("__docs")).over(wCum))
+      .withColumn("tokens_cum", sum(col("__toks")).over(wCum))
+      .withColumn("vocab_cum", sum(col("__new_types")).over(wCum))
+      .select(col("__b").as("checkpoint"), col("docs_cum"),
+        col("tokens_cum"), col("vocab_cum"))
+    def dec(c: Column) = c.cast("decimal(18,6)")
+    val xy = cum.select(
+      round(log(col("tokens_cum").cast("double")), 6).as("x"),
+      round(log(col("vocab_cum").cast("double")), 6).as("y"))
+    val fit = xy.agg(count(lit(1)).as("nn"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(round(col("x") * col("y"), 6))).cast("double").as("sxy"),
+        sum(dec(round(col("x") * col("x"), 6))).cast("double").as("sxx"))
+      .select(
+        round(expr("(nn * sxy - sx * sy) / (nn * sxx - sx * sx)"), 4)
+          .as("beta"),
+        round(expr(
+          "(sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx) / nn"), 4)
+          .as("ln_k"))
+    cum.crossJoin(broadcast(fit))
+  }
+
   // ------------------------------------------- lexical-diversity metrics
 
   /** Per-document lexical-diversity report: type-token ratio, hapax

@@ -774,6 +774,65 @@ object TrainPrep {
         col("capped"), col("alloc_tokens"))
   }
 
+  /** TEMPERATURE-based mixture allocation (the multilingual-sampling
+    * rule of mT5/XLM-R: p_g ∝ n_g^(1/T)) — the standard compromise
+    * between proportional sampling (T = 1, big groups drown small
+    * ones) and uniform (T → ∞, small groups over-repeat): raising
+    * token counts to 1/T compresses the size ratios, and the
+    * resulting shares allocate a total token budget. The OTHER
+    * mixture rule next to [[unimaxAllocation]]'s epoch-capped
+    * water-filling: temperature re-shares EVERY group, UniMax caps
+    * then levels.
+    *
+    * Determinism: the ONLY floating step is one libm pow per group,
+    * immediately quantized — w_scaled = round(n_g^(1/T) · 10⁶) as a
+    * long (the q185 round-then-exact discipline; groups are O(10²),
+    * so a last-ulp pow divergence has ~10⁻⁹ collision odds against
+    * the 10⁻⁶ grid). Everything after is exact integer arithmetic:
+    * share_ppm = w·10⁶ div Σw, target_tokens = share_ppm · budget
+    * div 10⁶, epochs_ppm = target·10⁶ div n_g (the up/down-sampling
+    * factor the plan implies — > 10⁶ means the group repeats).
+    *
+    * Shape: one partial-agg'd groupBy for the counts, then windows
+    * over the O(#groups) frame — nothing corpus-global. Feed the
+    * targets into [[materializeMixture]] for the per-doc repeat plan.
+    */
+  def temperatureMixture(
+      docs: DataFrame, groupCol: String, tokenCol: Column,
+      temperature: Double, budget: Long): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    require(budget >= 0, "budget must be >= 0")
+    val counts = docs.groupBy(col(groupCol))
+      .agg(sum(tokenCol).as("n_tokens"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // exact ⌊a·b/c⌋ on non-negative operands, overflow-proof at any
+    // corpus size: the products run in DECIMAL(38,0) and the floor is
+    // the remainder trick (q − q % c) / c — the final division is
+    // integral by construction, so no decimal rounding can bite
+    // (a long·long product at 10¹³-token groups already clears 2⁶³,
+    // the q92b overflow class)
+    def mulDiv(a: String, b: String, c: String): Column = expr(
+      s"CAST(((CAST($a AS DECIMAL(38,0)) * $b) - " +
+        s"(CAST($a AS DECIMAL(38,0)) * $b) % $c) / $c AS BIGINT)")
+    counts
+      .withColumn("w_scaled",
+        round(pow(col("n_tokens").cast("double"), lit(1.0 / temperature))
+          * 1000000d).cast("long"))
+      .withColumn("__wsum", sum(col("w_scaled")).over(wAll))
+      .withColumn("share_ppm",
+        when(col("__wsum") > 0, mulDiv("w_scaled", "1000000", "__wsum"))
+          .otherwise(0L))
+      .withColumn("target_tokens",
+        mulDiv("share_ppm", s"${budget}L", "1000000"))
+      .withColumn("epochs_ppm",
+        when(col("n_tokens") > 0,
+          mulDiv("target_tokens", "1000000", "n_tokens"))
+          .otherwise(0L))
+      .select(col(groupCol), col("n_tokens"), col("w_scaled"),
+        col("share_ppm"), col("target_tokens"), col("epochs_ppm"))
+  }
+
   /** EPOCH MATERIALIZATION — the step between mixture WEIGHTS
     * ([[mixtureWeights]]) and an actual training corpus: turn each
     * group's target token share into an exact per-document repeat

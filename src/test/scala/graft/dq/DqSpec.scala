@@ -200,6 +200,51 @@ class DqSpec extends SparkSpec {
     assert(r1 == Seq(0.346574, 0.346574))
   }
 
+  test("tClosenessClasses: hand-computed EMD ppm, missing-value spine, degenerate m=1") {
+    // global: v ∈ {0, 1}, 4 each (N=8, m=2).  A holds (3×0, 1×1):
+    // cum diffs |3·8−4·4|=8, |4·8−8·4|=0 → t = 8·10⁶/(4·8·1) = 250000.
+    // B mirrors it.
+    val df = (Seq.fill(3)(("A", 0L)) ++ Seq(("A", 1L)) ++
+      Seq(("B", 0L)) ++ Seq.fill(3)(("B", 1L))).toDF("cls", "v")
+    val r = Privacy.tClosenessClasses(df, Seq(col("cls")), col("v"), 250000L)
+      .orderBy("cls")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(("A", 4L, 2L, 250000L, false),
+      ("B", 4L, 2L, 250000L, false)))
+    // bound just below the exact t flips the multiplied-through verdict
+    val r2 = Privacy.tClosenessClasses(df, Seq(col("cls")), col("v"), 249999L)
+      .orderBy("cls").as[(String, Long, Long, Long, Boolean)].collect()
+    assert(r2.forall(_._5))
+    // full skew: each class holds only its own value → t = 1/2 exactly;
+    // the spine must charge the MISSING value's flat-cumulative term
+    val skew = Seq(("A", 0L), ("A", 0L), ("B", 1L), ("B", 1L)).toDF("cls", "v")
+    val r3 = Privacy.tClosenessClasses(skew, Seq(col("cls")), col("v"), 250000L)
+      .orderBy("cls").as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(r3 == Seq(("A", 2L, 2L, 500000L, true), ("B", 2L, 2L, 500000L, true)))
+    // one global value: every class trivially matches, t = 0
+    val one = Seq(("A", 7L), ("B", 7L)).toDF("cls", "v")
+    val r4 = Privacy.tClosenessClasses(one, Seq(col("cls")), col("v"), 0L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(r4.forall(x => x._3 == 1L && x._4 == 0L && !x._5))
+  }
+
+  test("benfordReport: string-derived digits, exact shares, zero/null excluded") {
+    val df = Seq[java.lang.Long](1L, 10L, 11L, 2L, 25L, 9L, 0L, null, -300L)
+      .toDF("v")
+    val r = Analyzers.benfordReport(df, col("v"))
+      .orderBy("digit")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // 7 audited (0 and null drop; -300 folds to |−300| → digit 3)
+    assert(r.map(_._2).sum == 7L && r.forall(_._3 == 7L))
+    val byDigit = r.map(x => x._1 -> x._2).toMap
+    assert(byDigit(1) == 3L && byDigit(2) == 2L && byDigit(3) == 1L &&
+      byDigit(9) == 1L && byDigit(4) == 0L)
+    // exact truncating ppm and deviation vs the Benford constant
+    val d1 = r.find(_._1 == 1).get
+    assert(d1._4 == 3L * 1000000L / 7L && d1._5 == 301029L &&
+      d1._6 == math.abs(d1._4 - 301029L))
+  }
+
   test("categoryDrift: hand-computed PSI terms, one-sided categories finite") {
     val old = Seq("a", "a", "a", "b").toDF("c")
     val neu = Seq("a", "b", "b", "x").toDF("c") // 'x' absent from old

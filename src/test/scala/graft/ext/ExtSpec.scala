@@ -24,6 +24,25 @@ class ExtSpec extends SparkSpec {
     assert(out(1).getDouble(6) == 1.0986)
   }
 
+  test("heapsFit: hand-computed cumulative curve and fit range") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "c d"), (4L, "e"))
+      .toDF("doc_id", "text")
+    val out = Text.heapsFit(docs, "doc_id", "text", checkpoints = 2)
+      .orderBy("checkpoint").collect()
+    // bucket 0 = docs 1-2: 4 tokens, new types {a,b,c};
+    // bucket 1 = docs 3-4: 3 tokens, new types {d,e}
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq((0, 2L, 4L, 3L), (1, 4L, 7L, 5L)))
+    // β = (ln5−ln3)/(ln7−ln4) ≈ 0.9128 under the 6-dp-rounded terms;
+    // both checkpoint rows carry the same fit
+    val beta = out.map(_.getDouble(4)).distinct.toSeq
+    assert(beta.length == 1 && beta.head > 0.91 && beta.head < 0.92)
+    intercept[IllegalArgumentException] {
+      Text.heapsFit(docs, "doc_id", "text", checkpoints = 1)
+    }
+  }
+
   test("ngramNovelty: exact ≡ hashed; short docs report zero grams") {
     val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "p q r"))
       .toDF("doc_id", "text")

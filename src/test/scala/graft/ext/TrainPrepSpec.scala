@@ -312,6 +312,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(nh.length == 100 && nh.distinct.length == 100)
   }
 
+  test("temperatureMixture: hand-computed shares; T=1 proportional; T flattens toward uniform") {
+    val docs = (Seq.fill(10)(("a", 10L)) ++ Seq.fill(10)(("b", 40L)))
+      .zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+      .toDF("doc_id", "grp", "n_toks")
+    // T=2: w = √100·10⁶ = 10⁷, √400·10⁶ = 2·10⁷ → shares 1/3, 2/3
+    val r2 = TrainPrep.temperatureMixture(docs, "grp", col("n_toks"), 2.0, 9000L)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r2 == Seq(
+      ("a", 100L, 10000000L, 333333L, 2999L, 29990000L),
+      ("b", 400L, 20000000L, 666666L, 5999L, 14997500L)))
+    // T=1: proportional (1/5, 4/5)
+    val r1 = TrainPrep.temperatureMixture(docs, "grp", col("n_toks"), 1.0, 9000L)
+      .orderBy("grp").as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(r1.map(_._4).toSeq == Seq(200000L, 800000L))
+    // higher T compresses the big group's share toward 1/2
+    val r8 = TrainPrep.temperatureMixture(docs, "grp", col("n_toks"), 8.0, 9000L)
+      .orderBy("grp").as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(r8(1)._4 < r2(1)._4 && r2(1)._4 < r1(1)._4 && r8(1)._4 > 500000L)
+    intercept[IllegalArgumentException] {
+      TrainPrep.temperatureMixture(docs, "grp", col("n_toks"), 0.0, 9000L)
+    }
+  }
+
   test("quantileNormalize: equals per-group window ranks; null/NaN rank worst; bucket-count invariant") {
     // 3 groups, heavy score ties (bucket cuts land ON tied values),
     // planted NULL and NaN scores
