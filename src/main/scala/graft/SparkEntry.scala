@@ -4976,6 +4976,58 @@ object SparkEntry {
       Tables.orders(spark, dir), round(col("o_totalprice") * 100))
       .orderBy(col("digit"))
 
+  /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],
+    * Kudo 2018 hard-EM): the OTHER standard subword trainer beside
+    * q119's BPE — seed every ≤4-char substring, then two rounds of
+    * (quantized −ln costs → Viterbi-segment every distinct word →
+    * usage re-estimation → prune to chars + top-60). The oracle is
+    * the round's deepest replay: both EM rounds unrolled INCLUDING
+    * the per-word Viterbi DP itself — 20 per-position min stages and
+    * a 20-step backtrack walk per round, all MATERIALIZED CTEs (the
+    * q153 fd lesson) — so the entire train loop, argmin tie-breaks
+    * and all, is hash-checked end to end, not just the final table.
+    */
+  def q196UnigramVocab(spark: SparkSession, dir: String): DataFrame =
+    Text.unigramTrain(Tables.documents(spark, dir), "doc_id", "text",
+      vocabSize = 60, maxPieceLen = 4, rounds = 2, maxWordLen = 20)
+      .orderBy(col("piece"))
+
+  /** Per-language fertility of the LEARNED unigram model — q127's
+    * metric (symbols per word, chars per symbol) under q196's
+    * tokenizer instead of BPE, the table that compares the two
+    * trainers on equal terms. Exact ppm ratios. The final costs are
+    * an O(vocab) literal ([[graft.ext.Text.unigramPieces]] map
+    * pass); each DISTINCT word segments once and its piece count
+    * joins back to the per-(lang, word) instance counts — at 100 TB
+    * the Viterbi never touches corpus tokens, only the vocabulary.
+    * The oracle replays BOTH training rounds plus this third
+    * inference segmentation, all unrolled.
+    */
+  def q197UnigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val costs = Text.unigramTrain(docs, "doc_id", "text",
+      vocabSize = 60, maxPieceLen = 4, rounds = 2, maxWordLen = 20)
+      .select(col("piece"), col("cost")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wl = docs.select(col("lang"),
+        explode(Text.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")).between(1, 20))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+    val seg = wl.select(col("word")).distinct()
+      .withColumn("n_pieces",
+        size(Text.unigramPieces(col("word"), costs, maxPieceLen = 4))
+          .cast("long"))
+    wl.join(seg, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_pieces")).as("n_pieces"),
+        sum(col("n") * length(col("word"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        expr("n_pieces * 1000000 div n_words").as("pieces_per_word_ppm"),
+        expr("n_chars * 1000000 div n_pieces").as("chars_per_piece_ppm"))
+      .orderBy(col("lang"))
+  }
+
   /** Neyman-allocation stratified sample
     * ([[graft.ext.TrainPrep.neymanSample]]): a 500-row budget split
     * across event types proportionally to N_h·S_h (exact integer
@@ -5412,6 +5464,8 @@ object SparkEntry {
     "q193_t_closeness" -> (q193TCloseness _),
     "q194_packing_waste" -> (q194PackingWaste _),
     "q195_benford" -> (q195Benford _),
+    "q196_unigram_vocab" -> (q196UnigramVocab _),
+    "q197_unigram_fertility" -> (q197UnigramFertility _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -6116,6 +6170,157 @@ object SparkEntry {
        |  FROM t),
        |$stages
        |$finalRows""".stripMargin
+  }
+
+  /** q196 oracle: the full 2-round unigram hard-EM replayed in SQL,
+    * INCLUDING the Viterbi DP itself — per-position min stages (dp_k
+    * depends on dp_{k−4..k−1}) and the piece-walk backtrack are
+    * unrolled by a Scala loop over a stage template, 20 stages each
+    * per round (words cap at 20 chars), argmin tie-break spelled as
+    * ORDER BY cost ASC, t DESC ≡ the engine's (cost, start) struct
+    * min. Every CTE is MATERIALIZED: DuckDB inlines CTEs per
+    * reference and the DP stages chain (the q153 fd-exhaustion
+    * lesson).
+    */
+  private def unigramOracle(mode: String): String = {
+    val V = 60; val L = 4; val W = 20
+    def priorUnion(r: Int, k: Int): String = {
+      val base =
+        if (k <= L)
+          Seq("SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM w0")
+        else Nil
+      val dps = (math.max(1, k - L) until k)
+        .map(j => s"SELECT word, $j AS pos, cost FROM dp${r}_$j")
+      (base ++ dps).mkString(" UNION ALL ")
+    }
+    def roundCtes(r: Int, withReestimate: Boolean = true): Seq[String] = {
+      val prev = s"v${r - 1}"
+      val costs =
+        s"""c$r AS MATERIALIZED (
+           |  SELECT piece,
+           |         CAST(round(ln(CAST((SELECT sum(weight) FROM $prev)
+           |           AS DOUBLE) / weight) * 1000000) AS BIGINT) AS cost
+           |  FROM $prev)""".stripMargin
+      val cand =
+        s"""cand$r AS MATERIALIZED (
+           |  SELECT p.word, p.i, p.t, c.cost
+           |  FROM posns p JOIN c$r c USING (piece))""".stripMargin
+      val dps = (1 to W).map { k =>
+        s"""dp${r}_$k AS MATERIALIZED (
+           |  SELECT word, cost, t FROM (
+           |    SELECT c.word, p.cost + c.cost AS cost, c.t,
+           |           row_number() OVER (PARTITION BY c.word
+           |             ORDER BY p.cost + c.cost ASC, c.t DESC) AS rn
+           |    FROM cand$r c
+           |    JOIN (${priorUnion(r, k)}) p
+           |      ON p.word = c.word AND p.pos = $k - c.t
+           |    WHERE c.i + c.t - 1 = $k) WHERE rn = 1)""".stripMargin
+      }
+      val dpall =
+        s"""dpall$r AS MATERIALIZED (
+           |  ${(1 to W).map(k => s"SELECT word, $k AS pos, cost, t FROM dp${r}_$k")
+                .mkString(" UNION ALL ")})""".stripMargin
+      val bt0 =
+        s"""bt${r}_0 AS MATERIALIZED (
+           |  SELECT word, n_w, length(word) AS pos FROM w0)""".stripMargin
+      val bts = (1 to W).map { i =>
+        s"""bt${r}_$i AS MATERIALIZED (
+           |  SELECT b.word, b.n_w, b.pos - d.t AS pos,
+           |         substring(b.word, b.pos - d.t + 1, d.t) AS piece
+           |  FROM bt${r}_${i - 1} b JOIN dpall$r d
+           |    ON d.word = b.word AND d.pos = b.pos
+           |  WHERE b.pos > 0)""".stripMargin
+      }
+      val usage =
+        s"""usage$r AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(n_w) AS BIGINT) AS weight
+           |  FROM (${(1 to W).map(i => s"SELECT piece, n_w FROM bt${r}_$i")
+                .mkString(" UNION ALL ")})
+           |  GROUP BY 1)""".stripMargin
+      val v =
+        s"""v$r AS MATERIALIZED (
+           |  SELECT ch.piece,
+           |         greatest(COALESCE(u.weight, CAST(0 AS BIGINT)),
+           |                  CAST(1 AS BIGINT)) AS weight
+           |  FROM chars ch LEFT JOIN usage$r u USING (piece)
+           |  UNION ALL
+           |  SELECT piece, weight FROM (
+           |    SELECT u.piece, u.weight,
+           |           row_number() OVER (ORDER BY u.weight DESC, u.piece)
+           |             AS rn
+           |    FROM usage$r u LEFT JOIN chars ch ON ch.piece = u.piece
+           |    WHERE ch.piece IS NULL AND u.weight > 0) WHERE rn <= $V)"""
+          .stripMargin
+      Seq(costs, cand) ++ dps ++ Seq(dpall, bt0) ++ bts ++
+        (if (withReestimate) Seq(usage, v) else Nil)
+    }
+    val header =
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_w
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+         |          '\\s+')) AS word FROM documents)
+         |  WHERE length(word) BETWEEN 1 AND $W
+         |  GROUP BY 1),
+         |posns AS MATERIALIZED (
+         |  SELECT w0.word, gi.i, gt.t,
+         |         substring(w0.word, gi.i, gt.t) AS piece
+         |  FROM w0, generate_series(1, $W) AS gi(i),
+         |       generate_series(1, $L) AS gt(t)
+         |  WHERE gi.i + gt.t - 1 <= length(w0.word)),
+         |seed AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(n_w) AS BIGINT) AS weight
+         |  FROM posns p JOIN w0 USING (word) GROUP BY 1),
+         |chars AS MATERIALIZED (
+         |  SELECT piece, weight FROM seed WHERE length(piece) = 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, weight FROM chars
+         |  UNION ALL
+         |  SELECT piece, weight FROM (
+         |    SELECT piece, weight,
+         |           row_number() OVER (ORDER BY weight DESC, piece) AS rn
+         |    FROM seed WHERE length(piece) > 1 AND weight >= 2)
+         |  WHERE rn <= $V)""".stripMargin
+    mode match {
+      case "vocab" =>
+        val rounds = (1 to 2).flatMap(r => roundCtes(r)).mkString(",\n")
+        s"""$header,
+           |$rounds
+           |SELECT v.piece, v.weight,
+           |       CAST(round(ln(CAST((SELECT sum(weight) FROM v2) AS DOUBLE)
+           |         / v.weight) * 1000000) AS BIGINT) AS cost,
+           |       (length(v.piece) = 1) AS is_char
+           |FROM v2 v ORDER BY v.piece""".stripMargin
+      case "fertility" =>
+        // round 3 = one more Viterbi pass under the FINAL costs (no
+        // re-estimation) — the inference segmentation fertility reads
+        val rounds = ((1 to 2).flatMap(r => roundCtes(r)) ++
+          roundCtes(3, withReestimate = false)).mkString(",\n")
+        s"""$header,
+           |$rounds,
+           |wl AS MATERIALIZED (
+           |  SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT lang,
+           |          unnest(regexp_split_to_array(trim(lower(text)),
+           |            '\\s+')) AS word
+           |        FROM documents)
+           |  WHERE length(word) BETWEEN 1 AND $W GROUP BY 1, 2),
+           |np AS MATERIALIZED (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+           |  FROM (${(1 to W).map(i => s"SELECT word, piece FROM bt3_$i")
+                .mkString(" UNION ALL ")})
+           |  GROUP BY 1)
+           |SELECT wl.lang,
+           |       CAST(sum(wl.n) AS BIGINT) AS n_words,
+           |       CAST(sum(wl.n * np.n_pieces) AS BIGINT) AS n_pieces,
+           |       CAST(sum(wl.n * length(wl.word)) AS BIGINT) AS n_chars,
+           |       CAST(sum(wl.n * np.n_pieces) * 1000000 // sum(wl.n)
+           |         AS BIGINT) AS pieces_per_word_ppm,
+           |       CAST(sum(wl.n * length(wl.word)) * 1000000
+           |         // sum(wl.n * np.n_pieces) AS BIGINT)
+           |         AS chars_per_piece_ppm
+           |FROM wl JOIN np USING (word)
+           |GROUP BY wl.lang ORDER BY wl.lang""".stripMargin
+    }
   }
 
   /** Shared CTE chain of the q112/q123 oracles: DSIR hashed-bigram
@@ -8869,6 +9074,9 @@ object SparkEntry {
         |           // padded_tokens
         |         ELSE CAST(0 AS BIGINT) END AS waste_ppm
         |FROM a ORDER BY strategy""".stripMargin,
+
+    "q196_unigram_vocab" -> unigramOracle("vocab"),
+    "q197_unigram_fertility" -> unigramOracle("fertility"),
 
     "q195_benford" ->
       """WITH v AS (

@@ -1044,6 +1044,178 @@ object Text {
     }
   }
 
+  // -------------------------------------------- unigram-LM tokenizer
+
+  /** Viterbi DP over one word under a piece→cost literal map: returns
+    * struct(dp: array<bigint>, ch: array<int>) — dp[j+1] = the min
+    * total cost of segmenting the first j chars, ch[j] = the length of
+    * the piece that achieves it. The argmin is deterministic: the
+    * candidate structs order by (cost, start), so ties prefer the
+    * SMALLEST start = the LONGEST piece — fixed on both engines.
+    * Requires a non-empty word whose every char is in the map (the
+    * trainer guarantees both).
+    */
+  private def unigramDp(word: Column, costs: Column, maxLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(array(lit(0L)).cast("array<bigint>").as("dp"),
+        array().cast("array<int>").as("ch")),
+      (acc, j) => {
+        val cands = filter(
+          transform(sequence(lit(1), lit(maxLen)), t =>
+            when(t <= j,
+              struct(
+                (element_at(acc.getField("dp"), (j - t + lit(1)).cast("int")) +
+                  // try_: a non-vocab piece is a missing map key, and
+                  // ANSI element_at throws on those — null = no cand
+                  try_element_at(costs, word.substr(j - t + lit(1), t))).as("c"),
+                (j - t).cast("int").as("s"),
+                t.cast("int").as("t")))
+              .otherwise(lit(null))),
+          x => x.isNotNull && x.getField("c").isNotNull)
+        val best = array_min(cands)
+        struct(
+          concat(acc.getField("dp"), array(best.getField("c"))).as("dp"),
+          concat(acc.getField("ch"), array(best.getField("t"))).as("ch"))
+      })
+
+  /** Walk the [[unigramDp]] choice array back from the word's end:
+    * the Viterbi piece sequence, emitted END-FIRST (callers that need
+    * reading order reverse it; usage counting doesn't care).
+    */
+  private def unigramBacktrack(word: Column, ch: Column): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(length(word).cast("int").as("pos"),
+        array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        when(pos > lit(0),
+          struct(
+            (pos - element_at(ch, pos)).cast("int").as("pos"),
+            concat(acc.getField("ps"),
+              array(word.substr(pos - element_at(ch, pos) + lit(1),
+                element_at(ch, pos)))).as("ps")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("ps"))
+
+  /** Viterbi piece sequence for one word under a learned cost map —
+    * the [[unigramTrain]] inference kernel, exposed for encode
+    * queries. Pieces come back in reading order.
+    */
+  def unigramPieces(word: Column, costs: Map[String, Long],
+      maxPieceLen: Int): Column = {
+    val m = typedLit(costs)
+    reverse(unigramBacktrack(word,
+      unigramDp(word, m, maxPieceLen).getField("ch")))
+  }
+
+  /** Distributed UNIGRAM-LM tokenizer training (Kudo 2018,
+    * 1804.10959 — the SentencePiece unigram model), in the
+    * deterministic hard-EM ("Viterbi EM") form: the OTHER standard
+    * subword trainer beside [[bpeMerges]] (BPE composes greedily
+    * upward; unigram starts from an over-complete substring vocab and
+    * PRUNES — the model most production multilingual tokenizers
+    * ship).
+    *
+    * Semantics, all deterministic:
+    *  1. Words = whitespace tokens of lowercased text, 1..maxWordLen
+    *     chars, collapsed to DISTINCT-word grain with occurrence
+    *     counts (each distinct word segments ONCE per round — the
+    *     standard trainer economy; longer words are noise and are
+    *     excluded, disclosed).
+    *  2. Seed vocab = every substring of length ≤ maxPieceLen:
+    *     ALL single chars (kept forever — the coverage guarantee
+    *     that makes every word segmentable) plus the top `vocabSize`
+    *     multi-char pieces with occurrence-weight ≥ 2, ranked
+    *     (weight desc, piece asc).
+    *  3. Each round: piece cost = round(ln(Σweights / weight)·10⁶)
+    *     as a LONG (one libm ln per piece, quantized to the 10⁻⁶
+    *     grid — the q185/q191 discipline; all DP sums after are
+    *     exact integer adds) → Viterbi-segment every distinct word
+    *     (argmin ties prefer the longest piece) → re-estimate
+    *     weights as occurrence-weighted piece usage → prune back to
+    *     chars (usage floored at 1) + top-`vocabSize` used
+    *     multi-char pieces.
+    *
+    * Shape per round: the vocab is an O(vocabSize) artifact — it
+    * collects to the driver (bounded hop, the k-means-centroid
+    * class) and re-enters the plan as one literal map, so
+    * segmentation is a MAP PASS over the distinct-word frame (no
+    * join, no shuffle beyond the usage groupBy). At 100 TB the
+    * distinct-word frame is the corpus vocabulary — millions of
+    * rows, not corpus tokens — and each round is one map pass + one
+    * partial-agg'd shuffle over it.
+    *
+    * Returns the final vocab: (piece, weight, cost, is_char), cost
+    * derived from the FINAL weights — the deployable scoring table
+    * for [[unigramPieces]].
+    */
+  def unigramTrain(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 100, maxPieceLen: Int = 4, rounds: Int = 2,
+      maxWordLen: Int = 20): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    require(maxPieceLen >= 2, "maxPieceLen must be >= 2")
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+      .persist()
+    // all substring occurrences (with multiplicity), weighted by n_w
+    val allPieces = words.select(col("n_w"),
+      explode(flatten(transform(sequence(lit(1), length(col("word"))), i =>
+        transform(
+          sequence(lit(1),
+            least(lit(maxPieceLen), length(col("word")) - i + lit(1))),
+          t => col("word").substr(i, t))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n_w")).as("weight"))
+    val charSet: Array[(String, Long)] = allPieces
+      .filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().sortBy(_._1)
+    require(charSet.nonEmpty, "empty corpus: no words to train on")
+    val multi0: Array[(String, Long)] = allPieces
+      .filter(length(col("piece")) > 1 && col("weight") >= 2)
+      .orderBy(col("weight").desc, col("piece").asc)
+      .limit(vocabSize)
+      .as[(String, Long)].collect()
+    var vocab: Array[(String, Long)] = charSet ++ multi0
+    val chars = charSet.map(_._1).toSet
+    def costsOf(v: Array[(String, Long)]): Map[String, Long] = {
+      val total = v.map(_._2).sum.toDouble
+      v.map { case (p, w) =>
+        p -> math.round(math.log(total / w) * 1e6)
+      }.toMap
+    }
+    for (_ <- 1 to rounds) {
+      val m = typedLit(costsOf(vocab))
+      val usage = words
+        .withColumn("__dpch", unigramDp(col("word"), m, maxPieceLen))
+        .select(col("n_w"),
+          explode(unigramBacktrack(col("word"),
+            col("__dpch").getField("ch"))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("n_w")).as("weight"))
+        .as[(String, Long)].collect().toMap
+      val keptChars = charSet.map { case (c, _) =>
+        c -> math.max(usage.getOrElse(c, 0L), 1L)
+      }
+      val keptMulti = usage.toArray
+        .filter { case (p, w) => !chars.contains(p) && w > 0 }
+        .sortBy { case (p, w) => (-w, p) }
+        .take(vocabSize)
+      vocab = keptChars ++ keptMulti
+    }
+    words.unpersist()
+    val finalCosts = costsOf(vocab)
+    vocab.toSeq
+      .map { case (p, w) => (p, w, finalCosts(p), chars.contains(p)) }
+      .toDF("piece", "weight", "cost", "is_char")
+  }
+
   // ------------------------------------------------------ PII scrubbing
 
   /** PII patterns for redaction, most-specific first. RE2-safe (no

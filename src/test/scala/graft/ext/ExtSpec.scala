@@ -24,6 +24,41 @@ class ExtSpec extends SparkSpec {
     assert(out(1).getDouble(6) == 1.0986)
   }
 
+  test("unigramTrain: hand-computed 2-round hard-EM; unused pieces pruned; chars floored") {
+    // word counts: abab×3, ab×2, cd×1.  Seed multi pieces (weight≥2):
+    // ab=8, aba/abab/ba/bab=3 (cd=1 drops).  Round 1 Viterbi picks
+    // whole-word pieces (abab, ab) and chars for cd; round 2 re-costs
+    // over usage {abab:3, ab:2, chars floored to 1} (total 9).
+    val docs = Seq((1L, "abab abab ab cd"), (2L, "abab ab"))
+      .toDF("doc_id", "text")
+    val v = Text.unigramTrain(docs, "doc_id", "text",
+      vocabSize = 10, maxPieceLen = 4, rounds = 2)
+      .orderBy("piece")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(v == Seq(
+      ("a", 1L, 2197225L, true), // round(ln 9 · 1e6)
+      ("ab", 2L, 1504077L, false), // round(ln 4.5 · 1e6)
+      ("abab", 3L, 1098612L, false), // round(ln 3 · 1e6)
+      ("b", 1L, 2197225L, true),
+      ("c", 1L, 2197225L, true),
+      ("d", 1L, 2197225L, true)))
+    // inference kernel: learned pieces apply in reading order
+    val enc = Seq(Tuple1("ababcd")).toDF("w")
+      .select(Text.unigramPieces(col("w"),
+        Map("a" -> 2197225L, "b" -> 2197225L, "c" -> 2197225L,
+          "d" -> 2197225L, "ab" -> 1504077L, "abab" -> 1098612L),
+        maxPieceLen = 4).as("p"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("abab", "c", "d"))
+    // cost ties prefer the LONGEST piece (min start): a=10, aa=20 at
+    // word "aa" ties 20 vs 20 → one piece
+    val tie = Seq(Tuple1("aa")).toDF("w")
+      .select(Text.unigramPieces(col("w"),
+        Map("a" -> 10L, "aa" -> 20L), maxPieceLen = 4).as("p"))
+      .as[Seq[String]].head()
+    assert(tie == Seq("aa"))
+  }
+
   test("heapsFit: hand-computed cumulative curve and fit range") {
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "c d"), (4L, "e"))
       .toDF("doc_id", "text")
