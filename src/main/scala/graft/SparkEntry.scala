@@ -4976,6 +4976,35 @@ object SparkEntry {
       Tables.orders(spark, dir), round(col("o_totalprice") * 100))
       .orderBy(col("digit"))
 
+  /** STREAMING twin of q191: the temperature-mixture allocation
+    * maintained over the growing corpus (snapshot recompute — a share
+    * is corpus-global: one arriving doc re-shares every group).
+    * Content-deterministic plan ⇒ the final published table
+    * bit-equals the batch path; q191's own oracle checks it.
+    */
+  def q191bTemperatureStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q191b")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp, withSource = true)
+    Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      corpus => graft.ext.TrainPrep.temperatureMixture(corpus, "source",
+        when(length(trim(col("text"))) > 0, Text.tokenCount(col("text"))
+          .cast("long")).otherwise(0L),
+        temperature = 2.0, budget = 100000L))
+      .orderBy(col("source"))
+  }
+
+  /** Holt double-exponential level+trend smoothing
+    * ([[graft.ext.TimeSeries.holtHourly]]): q167's EWMA lags any
+    * sustained ramp by construction; Holt's second recursion absorbs
+    * it into an explicit trend and emits the one-step-ahead forecast
+    * a capacity alert compares against. All-long truncating
+    * recursions (the q167 discipline), replayed as a recursive CTE.
+    */
+  def q198HoltTrend(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.holtHourly(
+      Tables.events(spark, dir), "event_type", "ts")
+      .orderBy(col("key"), col("hr"))
+
   /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],
     * Kudo 2018 hard-EM): the OTHER standard subword trainer beside
     * q119's BPE — seed every ≤4-char substring, then two rounds of
@@ -5464,8 +5493,10 @@ object SparkEntry {
     "q193_t_closeness" -> (q193TCloseness _),
     "q194_packing_waste" -> (q194PackingWaste _),
     "q195_benford" -> (q195Benford _),
+    "q191b_temperature_stream" -> (q191bTemperatureStream _),
     "q196_unigram_vocab" -> (q196UnigramVocab _),
     "q197_unigram_fertility" -> (q197UnigramFertility _),
+    "q198_holt_trend" -> (q198HoltTrend _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),

@@ -404,6 +404,57 @@ object TimeSeries {
         col("n"), col("ewma_scaled"))
   }
 
+  /** Holt DOUBLE-exponential smoothing (Holt 1957): level + trend per
+    * key over hourly volume — [[ewmaHourly]] tracks the level but
+    * lags any sustained ramp by construction; Holt's second recursion
+    * absorbs the ramp into an explicit trend term and emits the
+    * one-step-ahead forecast (level + trend), the number a capacity
+    * alert actually compares against. Integer recursions on scaled
+    * longs with truncating division (the q167 discipline — Scala
+    * `Long./` ≡ DuckDB `//` toward zero, already pinned by the EWMA
+    * gate on negative deltas):
+    *   l_t = (l+b) + (y − (l+b)) / alphaDen
+    *   b_t = b + ((l_t − l_{t−1}) − b) / betaDen
+    * seeded l_1 = y_1, b_1 = 0. Inherently sequential per key (the
+    * throttle-class tier) → one typed sorted-group fold; the oracle
+    * replays it as a recursive CTE.
+    */
+  def holtHourly(
+      events: DataFrame, keyCol: String, tsCol: String,
+      scale: Long = 1000000L, alphaDen: Long = 8L,
+      betaDen: Long = 4L): DataFrame = {
+    require(alphaDen >= 2, "alphaDen must be >= 2")
+    require(betaDen >= 2, "betaDen must be >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourly = events
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"), col("hr").cast("long").as("hr_s"), col("n"))
+      .as[(String, Long, Long)]
+    hourly.groupByKey(_._1)
+      .flatMapSortedGroups(col("hr_s")) {
+        (key: String, it: Iterator[(String, Long, Long)]) =>
+          var l = Long.MinValue
+          var b = 0L
+          it.map { case (_, hrS, n) =>
+            val y = n * scale
+            if (l == Long.MinValue) { l = y; b = 0L }
+            else {
+              val lp = l
+              l = (lp + b) + (y - (lp + b)) / alphaDen
+              b = b + ((l - lp) - b) / betaDen
+            }
+            (key, hrS, n, l, b, l + b)
+          }
+      }
+      .toDF("key", "hr_s", "n", "level_scaled", "trend_scaled",
+        "forecast_scaled")
+      .select(col("key"), timestamp_seconds(col("hr_s")).as("hr"),
+        col("n"), col("level_scaled"), col("trend_scaled"),
+        col("forecast_scaled"))
+  }
+
   /** Seasonal (hour-of-day) baseline spikes: each hourly count
     * compared against its key's OWN mean for that hour of day — the
     * calendar-aware threshold that doesn't page on the nightly batch

@@ -246,6 +246,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q190: quantile normalization never global-sorts the docs — bucket windows + broadcast offsets") {
+    val p = plan("q190_quantile_norm")
+    // doc-grain window partitions by (group, bucket) — a keyed
+    // shuffle; the broadcast range join against the O(buckets) cuts
+    // frame is a BroadcastNestedLoopJoin with a tiny literal side (the
+    // q97b shape); range partitioning appears only for the output
+    // orderBy and the O(groups·buckets) offset window
+    assert(p.contains("Exchange hashpartitioning(source"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("unigram Viterbi encode is a pure map pass — no shuffle, no join") {
+    import org.apache.spark.sql.functions._
+    val p = Tables.documents(spark, dir)
+      .select(graft.ext.Text.unigramPieces(lower(col("text")),
+        Map("a" -> 1L), maxPieceLen = 4).as("p"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q191: temperature mixture is one keyed aggregate + tiny-frame windows") {
+    val p = plan("q191_temperature_mixture")
+    assert(p.contains("Exchange hashpartitioning(source"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q88b: LSH corpus dedup has no quadratic surface anywhere in the chain") {
     // the cluster stage iterates with checkpoints at build time, so the
     // final plan shows only the anti-join over the materialized cluster
