@@ -58,7 +58,22 @@ object Bench {
     val streamTotal = results
       .filter { case (k, _) => SparkEntry.streamingQueries.contains(k) }
       .map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"n_streaming_queries":${SparkEntry.streamingQueries.size}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"n_streaming_queries":${SparkEntry.streamingQueries.size}}"""
+    println(line)
+    // BENCH_r*.json captures only the stdout tail, which loses the
+    // per-query times for over half the suite — persist the complete
+    // record so round-over-round regressions in EVERY query stay
+    // visible (appended: one line per bench run, committed with the
+    // round)
+    try {
+      val docs = new java.io.File("docs")
+      if (docs.isDirectory) {
+        val stamped = s"""{"ts_ms":${System.currentTimeMillis()},""" +
+          line.drop(1)
+        val w = new java.io.FileWriter("docs/bench_history.jsonl", true)
+        try w.write(stamped + "\n") finally w.close()
+      }
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -5532,7 +5532,7 @@ object SparkEntry {
     "q146b_drift_stream", "q147b_funnel_stream", "q155b_coreset_stream",
     "q161b_golden_stream", "q162b_changepoint_stream",
     "q168b_seasonal_stream", "q174b_mv_stream", "q185b_zipf_stream",
-    "q190b_quantile_stream")
+    "q190b_quantile_stream", "q191b_temperature_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -8933,42 +8933,8 @@ object SparkEntry {
     "q190_quantile_norm" -> quantileNormSql,
     "q190b_quantile_stream" -> quantileNormSql,
 
-    "q191_temperature_mixture" ->
-      """WITH t AS (
-        |  SELECT source,
-        |         CASE WHEN length(trim(text)) > 0
-        |           THEN CAST(len(regexp_split_to_array(trim(text), '\s+'))
-        |                AS BIGINT)
-        |           ELSE CAST(0 AS BIGINT) END AS n_toks
-        |  FROM documents),
-        |c AS (
-        |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
-        |  FROM t GROUP BY 1),
-        |w AS (
-        |  SELECT source, n_tokens,
-        |         CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000)
-        |           AS BIGINT) AS w_scaled
-        |  FROM c),
-        |s AS (
-        |  SELECT *, CAST(sum(w_scaled) OVER () AS BIGINT) AS wsum FROM w),
-        |p AS (
-        |  SELECT source, n_tokens, w_scaled,
-        |         CASE WHEN wsum > 0
-        |           THEN CAST(CAST(w_scaled AS HUGEINT) * 1000000 // wsum
-        |             AS BIGINT)
-        |           ELSE CAST(0 AS BIGINT) END AS share_ppm
-        |  FROM s),
-        |tg AS (
-        |  SELECT *,
-        |         CAST(CAST(share_ppm AS HUGEINT) * 100000 // 1000000
-        |           AS BIGINT) AS target_tokens
-        |  FROM p)
-        |SELECT source, n_tokens, w_scaled, share_ppm, target_tokens,
-        |       CASE WHEN n_tokens > 0
-        |         THEN CAST(CAST(target_tokens AS HUGEINT) * 1000000
-        |           // n_tokens AS BIGINT)
-        |         ELSE CAST(0 AS BIGINT) END AS epochs_ppm
-        |FROM tg ORDER BY source""".stripMargin,
+    "q191_temperature_mixture" -> temperatureMixtureSql,
+    "q191b_temperature_stream" -> temperatureMixtureSql,
 
     "q192_heaps_fit" ->
       """WITH ids AS (
@@ -9444,6 +9410,33 @@ object SparkEntry {
 
     "q168_seasonal_spikes" -> seasonalSpikesSql,
     "q168b_seasonal_stream" -> seasonalSpikesSql,
+
+    // the Holt level+trend recursion replayed as a recursive CTE:
+    // same seed (l_1 = y_1, b_1 = 0), same truncating integer
+    // division as q167 (DuckDB // ≡ Scala Long / toward zero); the
+    // new level is inlined into b's update because SQL can't
+    // reference a same-SELECT alias
+    "q198_holt_trend" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hr,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY date_trunc('hour', ts)) AS rn
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT key, hr, n, rn, n * 1000000 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM h WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.key, h.hr, h.n, h.rn,
+        |         (r.l + r.b) + ((h.n * 1000000 - (r.l + r.b)) // 8) AS l,
+        |         r.b + ((((r.l + r.b)
+        |                   + ((h.n * 1000000 - (r.l + r.b)) // 8))
+        |                  - r.l) - r.b) // 4 AS b
+        |  FROM r JOIN h ON h.key = r.key AND h.rn = r.rn + 1)
+        |SELECT key, hr, n, CAST(l AS BIGINT) AS level_scaled,
+        |       CAST(b AS BIGINT) AS trend_scaled,
+        |       CAST(l + b AS BIGINT) AS forecast_scaled
+        |FROM r ORDER BY key, hr""".stripMargin,
 
     // water-filling closed form: ascending-cap order, multiplied-through
     // cap predicate (exact longs), running-AND capped prefix, equal
@@ -10352,6 +10345,47 @@ object SparkEntry {
         |                    / (nn * sxx - sx * sx)) * sx) / nn, 4)
         |         AS intercept
         |FROM sm""".stripMargin
+
+  /** q191/q191b shared oracle: the temperature-weighted (T=2 →
+    * sqrt) source allocation — the streamed snapshot-recompute twin
+    * must bit-equal the batch allocation.
+    */
+  private def temperatureMixtureSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |         CASE WHEN length(trim(text)) > 0
+      |           THEN CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |                AS BIGINT)
+      |           ELSE CAST(0 AS BIGINT) END AS n_toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |         CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000)
+      |           AS BIGINT) AS w_scaled
+      |  FROM c),
+      |s AS (
+      |  SELECT *, CAST(sum(w_scaled) OVER () AS BIGINT) AS wsum FROM w),
+      |p AS (
+      |  SELECT source, n_tokens, w_scaled,
+      |         CASE WHEN wsum > 0
+      |           THEN CAST(CAST(w_scaled AS HUGEINT) * 1000000 // wsum
+      |             AS BIGINT)
+      |           ELSE CAST(0 AS BIGINT) END AS share_ppm
+      |  FROM s),
+      |tg AS (
+      |  SELECT *,
+      |         CAST(CAST(share_ppm AS HUGEINT) * 100000 // 1000000
+      |           AS BIGINT) AS target_tokens
+      |  FROM p)
+      |SELECT source, n_tokens, w_scaled, share_ppm, target_tokens,
+      |       CASE WHEN n_tokens > 0
+      |         THEN CAST(CAST(target_tokens AS HUGEINT) * 1000000
+      |           // n_tokens AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END AS epochs_ppm
+      |FROM tg ORDER BY source""".stripMargin
 
   /** q190/q190b oracle: the q14 quality expression + a plain
     * per-source window — the naive form the two-phase decomposition
