@@ -10500,7 +10500,13 @@ object SparkEntry {
        |sxsp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 6 AS end_tok
        |         FROM sxisl GROUP BY doc_id, grp),
        |sxtall AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  -- same trim(text) <> '' guard as every other leg: an empty
+       |  -- doc has 0 tokens, not the single '' element regexp_split
+       |  -- returns — keeps the contract data-independent
+       |  SELECT doc_id,
+       |         CASE WHEN trim(text) <> ''
+       |              THEN regexp_split_to_array(trim(text), '\\s+')
+       |              ELSE [] END AS toks
        |  FROM documents),
        |sxtok AS (
        |  SELECT doc_id,

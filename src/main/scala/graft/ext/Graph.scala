@@ -184,8 +184,10 @@ object Graph {
     * Shape: one canonical-edge distinct (persisted — it feeds the
     * within-community count, the degree sum, and the edge total),
     * then community-keyed joins/aggregations; the 1-row edge count
-    * broadcasts. Long arithmetic holds to ~10⁹ edges at scale 10⁶;
-    * beyond that widen the scale down — disclosed.
+    * broadcasts. The numerator runs in DECIMAL(38,0) (the
+    * tClosenessClasses discipline): 4·m²·scale stays inside 38
+    * digits to ~10¹⁵ edges at scale 10⁶ — long arithmetic would wrap
+    * silently past ~1.5·10⁶ edges. The quotient is a BIGINT.
     *
     * Returns (community, n_nodes, e_in, deg_sum, q_term_scaled).
     */
@@ -217,8 +219,9 @@ object Graph {
           coalesce(col("e_in"), lit(0L)).as("e_in"))
         .crossJoin(broadcast(mRow))
         .withColumn("q_term_scaled",
-          expr(s"(4 * __m * e_in - deg_sum * deg_sum) * $scale" +
-            " div (4 * __m * __m)"))
+          expr(s"(CAST(4 AS DECIMAL(38,0)) * __m * e_in" +
+            s" - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum) * $scale" +
+            s" div (CAST(4 AS DECIMAL(38,0)) * __m * __m)"))
         .select(col("community"), col("n_nodes"), col("e_in"),
           col("deg_sum"), col("q_term_scaled"))
       out.localCheckpoint(true)

@@ -12,11 +12,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`stream/Jobs.runPlanRecomputeStream`); this is the batch-facing
   * surface.
   *
-  * Publishing is an atomic-enough directory write (parquet overwrite
-  * into the version directory; the version only becomes the latest
-  * once its directory lists), never an in-place mutation — readers of
-  * v=N are isolated from the v=N+1 writer by construction (snapshot
-  * isolation via immutability). Retention is the caller's sweep.
+  * Publishing is stage-then-rename: the snapshot is written under a
+  * hidden `.staging-v=<version>` directory and renamed into place
+  * only once the write (and its `_SUCCESS` marker) completed — a
+  * concurrent reader can never resolve a half-written snapshot,
+  * because [[latestVersion]] additionally gates on the `_SUCCESS`
+  * marker inside each version directory (rename is atomic on
+  * HDFS/local; on object stores where it is copy+delete, the marker
+  * gate still holds). Re-publishing an existing version is refused —
+  * published snapshots are immutable, which is what makes readers of
+  * v=N isolated from the v=N+1 writer (snapshot isolation via
+  * immutability). Retention is the caller's sweep.
   *
   * Scale: a snapshot write is one parquet dump of the table; reads
   * prune to exactly one version directory (a disk path filter, no
@@ -24,21 +30,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Versioned {
 
-  /** Publish `df` as version `version` (complete snapshot). */
+  private def isPublished(
+      fs: org.apache.hadoop.fs.FileSystem,
+      vPath: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(vPath, "_SUCCESS"))
+
+  /** Publish `df` as version `version` (complete snapshot).
+    * Stage-then-rename; refuses to overwrite a published version.
+    */
   def publish(df: DataFrame, path: String, version: Long): Unit = {
     require(version >= 0, "version must be >= 0")
-    df.write.mode("overwrite").parquet(s"$path/v=$version")
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vPath = new org.apache.hadoop.fs.Path(s"$path/v=$version")
+    require(!isPublished(fs, vPath),
+      s"version $version already published under $path — versions are immutable")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/.staging-v=$version")
+    // a crashed earlier attempt may have left a stale staging dir (or
+    // a marker-less half-renamed target) — both are unpublished, safe
+    // to clear
+    if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(vPath)) fs.delete(vPath, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    require(isPublished(fs, staging),
+      s"staging write for version $version produced no _SUCCESS marker")
+    require(fs.rename(staging, vPath),
+      s"rename of staged version $version into place failed under $path")
   }
 
   /** Largest published version, −1 if none (object-store-safe: the
-    * Hadoop FileSystem API, never java.io).
+    * Hadoop FileSystem API, never java.io). A directory without its
+    * `_SUCCESS` marker is in-flight or torn — not published.
     */
   def latestVersion(spark: SparkSession, path: String): Long = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) -1L
-    else fs.listStatus(hPath).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("v="))
+    else fs.listStatus(hPath).iterator
+      .filter(s => s.getPath.getName.startsWith("v=") &&
+        isPublished(fs, s.getPath))
+      .map(_.getPath.getName)
       .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
       .foldLeft(-1L)(math.max)
   }
@@ -49,7 +81,8 @@ object Versioned {
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
     val vPath = new org.apache.hadoop.fs.Path(s"$path/v=$version")
     val fs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(vPath), s"version $version not published under $path")
+    require(isPublished(fs, vPath),
+      s"version $version not published under $path")
     spark.read.parquet(vPath.toString)
   }
 

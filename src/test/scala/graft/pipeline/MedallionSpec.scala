@@ -178,5 +178,20 @@ class MedallionSpec extends SparkSpec {
     assert(Versioned.readAsOf(spark, path, 0).count() == 5L)
     assert(Versioned.readLatest(spark, path).count() == 3L)
     intercept[IllegalArgumentException] { Versioned.readAsOf(spark, path, 7) }
+    // published versions are immutable: re-publishing v1 is refused
+    intercept[IllegalArgumentException] {
+      Versioned.publish((1L to 9L).toDF("id"), path, 1)
+    }
+    assert(Versioned.readLatest(spark, path).count() == 3L)
+    // a version directory without its _SUCCESS marker (torn write /
+    // in-flight publish) is invisible to listing AND reads
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/v=9"))
+    assert(Versioned.latestVersion(spark, path) == 1L)
+    intercept[IllegalArgumentException] { Versioned.readAsOf(spark, path, 9) }
+    // a stale staging dir never shadows the version listing
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/.staging-v=4"))
+    assert(Versioned.latestVersion(spark, path) == 1L)
   }
 }
