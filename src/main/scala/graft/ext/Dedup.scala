@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * out. Unpersisting before the result is fully consumed is safe
   * (Spark recomputes), just slower.
   */
-final class CacheHandle(frames: Seq[DataFrame]) {
+final class CacheHandle(private[ext] val frames: Seq[DataFrame]) {
   def unpersist(blocking: Boolean = false): Unit =
     frames.foreach(_.unpersist(blocking))
   /** True while any held frame still has a storage level set. */
@@ -312,29 +312,72 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 16,
       threshold: Double = 0.6): (DataFrame, CacheHandle) = {
+    val idx = minhashIndexRows(corpus, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (matches, h) = minhashNearDupAgainstIndexWithHandle(
+      idx, batch, idCol, textCol, shingleSize, numHashes, bands, threshold)
+    (matches, new CacheHandle(h.frames :+ idx))
+  }
+
+  /** The PERSISTABLE near-dup index rows for `df`: one row per doc
+    * with its distinct shingle-hash set and minhash signature —
+    * `(id, sh: array<long>, sig: array<long>)`. This is what an
+    * incremental pipeline appends per ingest (each batch's survivors)
+    * so later batches band-join against stored signatures instead of
+    * re-tokenizing/re-shingling/re-hashing the whole kept corpus's
+    * TEXT per trigger — the index row is ~numHashes+|shingles| longs,
+    * read back as a plain parquet scan with the text columns never
+    * touched.
+    */
+  def minhashIndexRows(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      VectorKernels.shingleHashes(Text.tokens(col(textCol)), shingleSize)
+        .as("sh"))
+      .withColumn("sig", VectorKernels.minhashSigL(col("sh"), numHashes))
+
+  /** [[minhashNearDupAgainst]] against a PRECOMPUTED corpus index
+    * ([[minhashIndexRows]] schema) instead of corpus text. The
+    * corpus side of the per-batch plan is a parquet scan of
+    * `(id, sh, sig)` plus a band-key map — by construction there is
+    * no tokenize/shingle/minhash stage for the kept side (the API
+    * receives no corpus text at all), which is what makes the
+    * streaming ingest's per-trigger cost O(batch + index-scan)
+    * instead of O(re-fingerprint-the-corpus). Results are identical
+    * to the text form: same signatures, same band keys, same exact
+    * shingle-set Jaccard verify.
+    */
+  def minhashNearDupAgainstIndexWithHandle(
+      corpusIndex: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.6): (DataFrame, CacheHandle) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    def shingled(df: DataFrame, idAs: String, shAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
-        VectorKernels.shingleHashes(Text.tokens(col(textCol)), shingleSize).as(shAs))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bucketize(sh: DataFrame, idAs: String, shAs: String): DataFrame = sh
-      .withColumn("sig", VectorKernels.minhashSigL(col(shAs), numHashes))
+    val shB = minhashIndexRows(batch, idCol, textCol, shingleSize, numHashes)
+      .select(col("id").as("batch_id"), col("sh").as("sh_b"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shC = corpusIndex
+      .select(col("id").as("corpus_id"), col("sh").as("sh_c"), col("sig"))
+    def bucketize(sh: DataFrame, idAs: String): DataFrame = sh
       .select(col(idAs),
         posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bucket")))
-    val shB = shingled(batch, "batch_id", "sh_b")
-    val shC = shingled(corpus, "corpus_id", "sh_c")
-    val matches = bucketize(shB, "batch_id", "sh_b")
-      .join(bucketize(shC, "corpus_id", "sh_c"), Seq("band", "bucket"))
+    val matches = bucketize(shB, "batch_id")
+      .join(bucketize(shC, "corpus_id"), Seq("band", "bucket"))
       .select(col("batch_id"), col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
-      .join(shB, "batch_id")
-      .join(shC, "corpus_id")
+      .join(shB.select(col("batch_id"), col("sh_b")), "batch_id")
+      .join(shC.select(col("corpus_id"), col("sh_c")), "corpus_id")
       .withColumn("jaccard_sim", round(jaccard(col("sh_b"), col("sh_c")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard_sim"))
-    (matches, new CacheHandle(Seq(shB, shC)))
+    (matches, new CacheHandle(Seq(shB)))
   }
 
   /** Exact n-gram Jaccard pairs (the brute-force verifier MinHash

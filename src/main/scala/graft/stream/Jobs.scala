@@ -690,17 +690,30 @@ object Jobs {
 
   /** Incremental near-dup corpus dedup as a stream — the streaming
     * twin of the q88b batch composition: each micro-batch is checked
-    * against the KEPT snapshot with the directional high-recall band
-    * join ([[graft.ext.Dedup.minhashNearDupAgainst]] — O(batch ×
-    * bands) map work + a bucket join, never corpus²), then deduped
-    * within itself (LSH pairs → clusters → min-id canonical), and the
-    * survivors land APPEND-ONLY under their own v=<batchId> partition
-    * (idempotent per-batch overwrite — the published partition is the
-    * replay marker, and the write stays O(new survivors), never an
-    * O(corpus) snapshot rewrite). With batches arriving in id order, keep-first equals
-    * the batch min-id-per-cluster rule on clique-shaped duplicate
-    * groups — which planted near-dup twins are — so the final
-    * snapshot shares q88b's exact-Jaccard oracle.
+    * against the kept corpus's PERSISTED FINGERPRINT INDEX with the
+    * directional high-recall band join
+    * ([[graft.ext.Dedup.minhashNearDupAgainstIndexWithHandle]] —
+    * O(batch × bands) map work + a bucket join, never corpus²), then
+    * deduped within itself (LSH pairs → clusters → min-id canonical),
+    * and the survivors land APPEND-ONLY under their own v=<batchId>
+    * partition (idempotent per-batch overwrite — the published
+    * partition is the replay marker, and the write stays O(new
+    * survivors), never an O(corpus) snapshot rewrite).
+    *
+    * The kept side is INCREMENTAL in cost, not just in storage: each
+    * batch also appends its survivors' `(id, sh, sig)` index rows
+    * ([[graft.ext.Dedup.minhashIndexRows]] over the batch's own
+    * survivor text — an O(survivors) pass) under `index/v=<batchId>`,
+    * and the next trigger's band join reads THAT — a parquet scan of
+    * signatures. The kept corpus's text is never
+    * re-tokenized/re-shingled/re-minhashed after its admitting batch
+    * (at a growing 100 TB corpus the per-trigger re-fingerprint was
+    * the O(corpus) term; the index scan is ~numHashes+|shingles|
+    * longs per doc with the text columns never read). With batches
+    * arriving in id order, keep-first equals the batch
+    * min-id-per-cluster rule on clique-shaped duplicate groups —
+    * which planted near-dup twins are — so the final snapshot shares
+    * q88b's exact-Jaccard oracle.
     */
   def runNearDupDedupStream(
       spark: SparkSession,
@@ -715,9 +728,12 @@ object Jobs {
     graft.ext.VectorKernels.register(spark)
     var lastV = publishedVersion(spark, s"$workDir/kept")
     val keptRoot = s"$workDir/kept"
-    def keptSoFar(batch: DataFrame): DataFrame =
-      if (lastV < 0) batch.limit(0)
-      else spark.read.parquet(keptRoot).drop("v")
+    val indexRoot = s"$workDir/index"
+    def indexSoFar(batch: DataFrame): DataFrame =
+      if (lastV < 0)
+        graft.ext.Dedup.minhashIndexRows(batch.limit(0), "doc_id", "text",
+          shingleSize = 3, numHashes = 32)
+      else spark.read.parquet(indexRoot).drop("v")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
@@ -728,10 +744,10 @@ object Jobs {
           // registry may predate the kernels' lazy registration —
           // register on the batch's own session, not SparkSession.active
           graft.ext.VectorKernels.register(batch.sparkSession)
-          val kept = keptSoFar(batch)
-          val (matches, h) = graft.ext.Dedup.minhashNearDupAgainstWithHandle(
-            kept, batch, "doc_id", "text",
-            shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+          val (matches, h) =
+            graft.ext.Dedup.minhashNearDupAgainstIndexWithHandle(
+              indexSoFar(batch), batch, "doc_id", "text",
+              shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
           val s0 = batch.join(
             matches.select(col("batch_id").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
@@ -749,6 +765,13 @@ object Jobs {
           // partitions
           survivors
             .write.mode("overwrite").parquet(s"$keptRoot/v=$batchId")
+          // publish the survivors' fingerprints beside them: an
+          // O(survivors) pass over THIS batch's text only — the next
+          // trigger band-joins against these stored rows, so a doc's
+          // text is fingerprinted only in the batch that admits it
+          graft.ext.Dedup.minhashIndexRows(survivors, "doc_id", "text",
+            shingleSize = 3, numHashes = 32)
+            .write.mode("overwrite").parquet(s"$indexRoot/v=$batchId")
           h.unpersist()
           lastV = batchId
         }

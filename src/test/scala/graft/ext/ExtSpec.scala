@@ -996,6 +996,38 @@ class ExtSpec extends SparkSpec {
     assert(m.forall(t => t._1 < 100L && t._2 >= 100L))
   }
 
+  test("minhashNearDupAgainstIndex: precomputed (sh, sig) rows give the" +
+      " same matches as corpus text — the kept side never re-shingles") {
+    val mk = (seed: Int) => (0 until 30).map(i => s"w${(i * 7 + seed) % 19}").mkString(" ")
+    val corpus = Seq(
+      (101L, mk(0)), (102L, mk(3)), (103L, mk(5))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, mk(0)), (2L, mk(0).replace("w0", "zq")), (3L, mk(3)),
+      (4L, "utterly different content entirely")
+    ).toDF("doc_id", "text")
+    val viaText = Dedup.minhashNearDupAgainst(corpus, batch, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // round-trip the index THROUGH PARQUET and drop the text column
+    // entirely: the per-batch plan cannot contain a kept-side
+    // tokenize/shingle/minhash stage because no kept text exists
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndidx").toString
+    Dedup.minhashIndexRows(corpus, "doc_id", "text",
+      shingleSize = 3, numHashes = 32)
+      .write.mode("overwrite").parquet(tmp)
+    val idx = spark.read.parquet(tmp)
+    assert(idx.columns.sorted.toSeq == Seq("id", "sh", "sig"))
+    val (viaIdxDf, h) = Dedup.minhashNearDupAgainstIndexWithHandle(
+      idx, batch, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+    val viaIdx = viaIdxDf.as[(Long, Long, Double)].collect().toSet
+    h.unpersist()
+    assert(viaIdx == viaText)
+    assert(viaIdx.exists(t => t._1 == 1L && t._2 == 101L && t._3 == 1.0))
+    assert(viaIdx.exists(t => t._1 == 3L && t._2 == 102L))
+  }
+
   test("redactPii replaces every pattern; counts match occurrences") {
     val df = Seq(Tuple1(
       "mail a.b+c@x.co.uk or call 555-123-4567, ssn 111-22-3333, host 10.0.0.1 end"
