@@ -391,12 +391,17 @@ object SparkEntry {
     * slice accessor — identity for plain replays, q55 injects
     * duplicate copies. Returns the input dir for `readStream`.
     */
-  private def writeEventSlices(ev: DataFrame, tmp: String, n: Int)(
+  private def writeEventSlices(ev: DataFrame, tmp: String, n: Int,
+      hourAligned: Boolean = false)(
       augment: (Int, Int => DataFrame) => DataFrame): String = {
     val bounds = ev.agg(min(col("ts")).cast(LongType).as("lo"),
       max(col("ts")).cast(LongType).as("hi")).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1)) // epoch seconds
+    // hourAligned floors every cut to its hour so no hour straddles
+    // two slices — the arrival contract of per-hour state recursions
+    // (q198b Holt: a straddled hour would step the recursion twice)
     val cuts = (0 to n).map(i => lo + (hi - lo) * i / n)
+      .map(c => if (hourAligned) c - java.lang.Math.floorMod(c, 3600L) else c)
     def slice(i: Int): DataFrame =
       ev.filter(col("ts").cast(LongType) >= cuts(i))
         .filter(if (i == n - 1) lit(true) else col("ts").cast(LongType) < cuts(i + 1))
@@ -5005,6 +5010,23 @@ object SparkEntry {
       Tables.events(spark, dir), "event_type", "ts")
       .orderBy(col("key"), col("hr"))
 
+  /** STREAMING twin of q198 — and unlike the snapshot-recompute twins
+    * (q162b CUSUM is series-global), Holt is a TRUE per-key state
+    * machine: `transformWithState` ValueState carries just (level,
+    * trend) per key across 4 hour-aligned micro-batches
+    * ([[graft.stream.Stateful.runHoltStream]]), so cross-batch memory
+    * is O(keys) — the q99 throttle-anchor shape applied to a smoother.
+    * Bit-equal to the batch recursion, so it shares q198's
+    * recursive-CTE oracle.
+    */
+  def q198bHoltStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q198b")
+    val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4,
+      hourAligned = true)((i, s) => s(i))
+    graft.stream.Stateful.runHoltStream(spark, in)
+      .orderBy(col("key"), col("hr"))
+  }
+
   /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],
     * Kudo 2018 hard-EM): the OTHER standard subword trainer beside
     * q119's BPE — seed every ≤4-char substring, then two rounds of
@@ -5497,6 +5519,7 @@ object SparkEntry {
     "q196_unigram_vocab" -> (q196UnigramVocab _),
     "q197_unigram_fertility" -> (q197UnigramFertility _),
     "q198_holt_trend" -> (q198HoltTrend _),
+    "q198b_holt_stream" -> (q198bHoltStream _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -5532,7 +5555,8 @@ object SparkEntry {
     "q146b_drift_stream", "q147b_funnel_stream", "q155b_coreset_stream",
     "q161b_golden_stream", "q162b_changepoint_stream",
     "q168b_seasonal_stream", "q174b_mv_stream", "q185b_zipf_stream",
-    "q190b_quantile_stream", "q191b_temperature_stream")
+    "q190b_quantile_stream", "q191b_temperature_stream",
+    "q198b_holt_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -9411,32 +9435,8 @@ object SparkEntry {
     "q168_seasonal_spikes" -> seasonalSpikesSql,
     "q168b_seasonal_stream" -> seasonalSpikesSql,
 
-    // the Holt level+trend recursion replayed as a recursive CTE:
-    // same seed (l_1 = y_1, b_1 = 0), same truncating integer
-    // division as q167 (DuckDB // ≡ Scala Long / toward zero); the
-    // new level is inlined into b's update because SQL can't
-    // reference a same-SELECT alias
-    "q198_holt_trend" ->
-      """WITH RECURSIVE h AS (
-        |  SELECT event_type AS key, date_trunc('hour', ts) AS hr,
-        |         CAST(count(*) AS BIGINT) AS n,
-        |         row_number() OVER (PARTITION BY event_type
-        |                            ORDER BY date_trunc('hour', ts)) AS rn
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT key, hr, n, rn, n * 1000000 AS l, CAST(0 AS BIGINT) AS b
-        |  FROM h WHERE rn = 1
-        |  UNION ALL
-        |  SELECT h.key, h.hr, h.n, h.rn,
-        |         (r.l + r.b) + ((h.n * 1000000 - (r.l + r.b)) // 8) AS l,
-        |         r.b + ((((r.l + r.b)
-        |                   + ((h.n * 1000000 - (r.l + r.b)) // 8))
-        |                  - r.l) - r.b) // 4 AS b
-        |  FROM r JOIN h ON h.key = r.key AND h.rn = r.rn + 1)
-        |SELECT key, hr, n, CAST(l AS BIGINT) AS level_scaled,
-        |       CAST(b AS BIGINT) AS trend_scaled,
-        |       CAST(l + b AS BIGINT) AS forecast_scaled
-        |FROM r ORDER BY key, hr""".stripMargin,
+    "q198_holt_trend" -> holtTrendSql,
+    "q198b_holt_stream" -> holtTrendSql,
 
     // water-filling closed form: ascending-cap order, multiplied-through
     // cap predicate (exact longs), running-AND capped prefix, equal
@@ -10345,6 +10345,35 @@ object SparkEntry {
         |                    / (nn * sxx - sx * sx)) * sx) / nn, 4)
         |         AS intercept
         |FROM sm""".stripMargin
+
+  /** q198/q198b shared oracle: the Holt level+trend recursion
+    * replayed as a recursive CTE — same seed (l_1 = y_1, b_1 = 0),
+    * same truncating integer division as q167 (DuckDB // ≡ Scala
+    * Long / toward zero); the new level is inlined into b's update
+    * because SQL can't reference a same-SELECT alias. The stateful
+    * stream must produce the identical series.
+    */
+  private def holtTrendSql: String =
+    """WITH RECURSIVE h AS (
+      |  SELECT event_type AS key, date_trunc('hour', ts) AS hr,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY date_trunc('hour', ts)) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT key, hr, n, rn, n * 1000000 AS l, CAST(0 AS BIGINT) AS b
+      |  FROM h WHERE rn = 1
+      |  UNION ALL
+      |  SELECT h.key, h.hr, h.n, h.rn,
+      |         (r.l + r.b) + ((h.n * 1000000 - (r.l + r.b)) // 8) AS l,
+      |         r.b + ((((r.l + r.b)
+      |                   + ((h.n * 1000000 - (r.l + r.b)) // 8))
+      |                  - r.l) - r.b) // 4 AS b
+      |  FROM r JOIN h ON h.key = r.key AND h.rn = r.rn + 1)
+      |SELECT key, hr, n, CAST(l AS BIGINT) AS level_scaled,
+      |       CAST(b AS BIGINT) AS trend_scaled,
+      |       CAST(l + b AS BIGINT) AS forecast_scaled
+      |FROM r ORDER BY key, hr""".stripMargin
 
   /** q191/q191b shared oracle: the temperature-weighted (T=2 →
     * sqrt) source allocation — the streamed snapshot-recompute twin

@@ -9,6 +9,16 @@ final case class KeyedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Lon
 /** Keyed µs-time event for the streaming throttle. */
 final case class ThrottleEvent(user_id: Long, ts_us: Long)
 
+/** (key, hour) row for the streaming Holt smoother. */
+final case class HourEvent(event_type: String, hr_s: Long)
+
+/** Per-key Holt recursion state: seeded flag + scaled level/trend. */
+final case class HoltState(seeded: Boolean, l: Long, b: Long)
+
+/** One smoothed hour from the streaming Holt smoother. */
+final case class HoltRow(key: String, hr_s: Long, n: Long,
+    level_scaled: Long, trend_scaled: Long, forecast_scaled: Long)
+
 /** Custom keyed state via `flatMapGroupsWithState` — the streaming
   * operator family the stateless reference never needed but the north
   * star mandates (SURVEY.md §2.10 NOT-PRESENT row).
@@ -220,6 +230,102 @@ object Stateful {
         .start()
       q.awaitTermination()
       spark.table(name)
+    } finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** Holt level+trend smoothing as TRUE incremental streaming state —
+    * unlike CUSUM (series-global μ and running min → snapshot
+    * recompute is the only streaming form), Holt's recursion is a
+    * per-key state machine: two scaled longs (level, trend) carried in
+    * `transformWithState` ValueState are the ENTIRE cross-batch
+    * memory, so a 100 TB event history costs O(keys) state, not
+    * O(history) re-reads ([[graft.ext.TimeSeries.holtHourly]] is the
+    * batch twin — identical truncating-long recursion, identical
+    * output). Within a batch the processor counts its key's rows per
+    * hour in memory (at production scale the hourly pre-aggregation
+    * runs upstream of the state operator; here batches are event
+    * slices, so per-key-per-batch rows are bounded) and folds the
+    * recursion hour by hour. Cross-batch correctness requires
+    * HOUR-ALIGNED event-time-ordered arrival — an hour must not
+    * straddle two micro-batches, or its count would be split and the
+    * recursion stepped twice (the replay harness cuts slices on hour
+    * boundaries; a pipeline with late events would buffer behind a
+    * watermark timer first — same contract family as the throttle).
+    */
+  private class HoltProcessor(scale: Long, alphaDen: Long, betaDen: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, HourEvent, HoltRow] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[HoltState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HoltState]("holt",
+        org.apache.spark.sql.Encoders.product[HoltState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[HourEvent],
+        timerValues: TimerValues): Iterator[HoltRow] = {
+      val counts = rows.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+        m.updated(e.hr_s, m.getOrElse(e.hr_s, 0L) + 1L)
+      }.toSeq.sortBy(_._1)
+      var s = if (st.exists()) st.get() else HoltState(false, 0L, 0L)
+      val out = Seq.newBuilder[HoltRow]
+      counts.foreach { case (hrS, n) =>
+        val y = n * scale
+        if (!s.seeded) s = HoltState(seeded = true, y, 0L)
+        else {
+          val lp = s.l
+          val l2 = (lp + s.b) + (y - (lp + s.b)) / alphaDen
+          val b2 = s.b + ((l2 - lp) - s.b) / betaDen
+          s = HoltState(seeded = true, l2, b2)
+        }
+        out += HoltRow(key, hrS, n, s.l, s.b, s.l + s.b)
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** One AvailableNow pass of the Holt processor over an hour-aligned
+    * event-slice replay dir (one file per micro-batch, RocksDB state
+    * store scoped to the run). Returns (key, hr, n, level_scaled,
+    * trend_scaled, forecast_scaled) — the [[graft.ext.TimeSeries.holtHourly]]
+    * schema, bit-equal by construction.
+    */
+  def runHoltStream(
+      spark: SparkSession,
+      inputDir: String,
+      scale: Long = 1000000L,
+      alphaDen: Long = 8L,
+      betaDen: Long = 4L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = spark.readStream.schema(graft.schema.Schemas.events)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inputDir)
+        .selectExpr("event_type",
+          "CAST(date_trunc('hour', ts) AS LONG) AS hr_s").as[HourEvent]
+      val smoothed = typed
+        .groupByKey(_.event_type)
+        .transformWithState(new HoltProcessor(scale, alphaDen, betaDen),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val name = s"graft_stream_holt_${streamId.incrementAndGet()}"
+      val q = smoothed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .select(col("key"), timestamp_seconds(col("hr_s")).as("hr"),
+          col("n"), col("level_scaled"), col("trend_scaled"),
+          col("forecast_scaled"))
     } finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 

@@ -98,4 +98,50 @@ class StatefulSpec extends SparkSpec {
     assert(kept == batch)
     assert(kept == Set((1L, 0L), (1L, 8L * us), (2L, 0L)))
   }
+
+  test("streaming Holt (level, trend) state survives batches and equals the batch recursion") {
+    import org.apache.spark.sql.functions.col
+    // two keys, 6 hours each with varying counts; slices cut ON hour
+    // boundaries (2 hours per slice) so the cross-batch contract holds
+    // and every recursion step after hour 2 depends on earlier-batch
+    // state
+    val h = 3600L
+    def ev(id: Long, key: String, hr: Long, n: Int) =
+      (0 until n).map(k => (id * 100 + k, new java.sql.Timestamp((hr * h + k) * 1000L),
+        1L, key, 0.0, "{}"))
+    val counts = Map("a" -> Seq(5, 2, 9, 1, 7, 4), "b" -> Seq(3, 3, 8, 8, 1, 6))
+    val rows = counts.flatMap { case (key, ns) =>
+      ns.zipWithIndex.flatMap { case (n, i) =>
+        ev(if (key == "a") i.toLong else 50L + i, key, 480000L + i, n)
+      }
+    }.toSeq
+    val tmp = tempDir("graft-holt-s")
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    (0 until 3).foreach { i =>
+      val lo = 480000L + i * 2; val hi = lo + 2
+      rows.filter(r => r._2.getTime / 1000 / h >= lo && r._2.getTime / 1000 / h < hi)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val streamed = Stateful.runHoltStream(spark, in)
+      .select(col("key"), col("hr").cast("long"), col("n"),
+        col("level_scaled"), col("trend_scaled"), col("forecast_scaled"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.ext.TimeSeries.holtHourly(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "event_type", "ts")
+      .select(col("key"), col("hr").cast("long"), col("n"),
+        col("level_scaled"), col("trend_scaled"), col("forecast_scaled"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // the trend term is genuinely exercised (some non-zero b)
+    assert(streamed.exists(_._5 != 0L))
+  }
 }
