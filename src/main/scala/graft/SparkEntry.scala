@@ -5027,6 +5027,76 @@ object SparkEntry {
       .orderBy(col("key"), col("hr"))
   }
 
+  /** Tokenizer COMPARISON capstone: q119's BPE and q196's unigram-LM
+    * trained on the same corpus and reduced to per-language fertility
+    * on EQUAL terms (exact ppm ratios for both — q127 reports BPE in
+    * rounded doubles, q197 unigram in ppm; a side-by-side needs one
+    * unit), one row per language, plus the normalized-subword
+    * vocabulary overlap (each BPE merge's pair with spaces stripped
+    * vs the unigram model's multi-char pieces) — the table a
+    * tokenizer bake-off actually reads. Both vocabularies are O(V)
+    * driver literals (the established bounded collects); per-lang
+    * metrics are one segmentation map pass + keyed agg each. The
+    * oracle replays BOTH trainers end-to-end under a single WITH
+    * (the two CTE chains share no names) — the deepest joint replay
+    * in the suite.
+    */
+  def q199TokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // BPE side — the q127 composition, metrics in exact ppm
+    val mergeRows = Text.bpeMerges(docs, "doc_id", "text", numMerges = 5)
+      .orderBy(col("step"))
+      .select(col("left_sym"), col("right_sym"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val bpeLang = Text.bpeApply(docs, "doc_id", "text", mergeRows)
+      .select(col("doc_id"),
+        size(col("syms")).cast("long").as("n_syms"),
+        aggregate(col("syms"), lit(0L),
+          (acc, s) => acc + length(s).cast("long")).as("sym_chars"))
+      .join(docs.select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("n_words")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("bpe_n_words"),
+        sum(col("n_syms")).as("bpe_n_syms"),
+        sum(col("sym_chars")).as("bpe_sym_chars"))
+    // unigram side — the q197 composition
+    val vocab = Text.unigramTrain(docs, "doc_id", "text",
+      vocabSize = 60, maxPieceLen = 4, rounds = 2, maxWordLen = 20)
+      .select(col("piece"), col("cost")).collect()
+    val costs = vocab.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wl = docs.select(col("lang"),
+        explode(Text.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")).between(1, 20))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+    val seg = wl.select(col("word")).distinct()
+      .withColumn("n_pieces",
+        size(Text.unigramPieces(col("word"), costs, maxPieceLen = 4))
+          .cast("long"))
+    val uniLang = wl.join(seg, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("uni_n_words"),
+        sum(col("n") * col("n_pieces")).as("uni_n_pieces"),
+        sum(col("n") * length(col("word"))).as("uni_n_chars"))
+    // normalized-subword overlap of the two learned vocabularies:
+    // both sides are already-collected O(V) literals
+    val bpeSubs = mergeRows.map { case (l, r) => (l + r).replace(" ", "") }.toSet
+    val uniMulti = vocab.map(_.getString(0)).filter(_.length > 1).toSet
+    val shared = (bpeSubs intersect uniMulti).size.toLong
+    bpeLang.join(uniLang, Seq("lang"))
+      .select(col("lang"), col("bpe_n_words"), col("bpe_n_syms"),
+        col("bpe_sym_chars"),
+        expr("bpe_n_syms * 1000000 div bpe_n_words").as("bpe_syms_ppw_ppm"),
+        expr("bpe_sym_chars * 1000000 div bpe_n_syms")
+          .as("bpe_chars_per_sym_ppm"),
+        col("uni_n_words"), col("uni_n_pieces"), col("uni_n_chars"),
+        expr("uni_n_pieces * 1000000 div uni_n_words")
+          .as("uni_pieces_ppw_ppm"),
+        expr("uni_n_chars * 1000000 div uni_n_pieces")
+          .as("uni_chars_per_piece_ppm"),
+        lit(shared).as("n_shared_subwords"))
+      .orderBy(col("lang"))
+  }
+
   /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],
     * Kudo 2018 hard-EM): the OTHER standard subword trainer beside
     * q119's BPE — seed every ≤4-char substring, then two rounds of
@@ -5520,6 +5590,7 @@ object SparkEntry {
     "q197_unigram_fertility" -> (q197UnigramFertility _),
     "q198_holt_trend" -> (q198HoltTrend _),
     "q198b_holt_stream" -> (q198bHoltStream _),
+    "q199_tokenizer_compare" -> (q199TokenizerCompare _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -6157,7 +6228,14 @@ object SparkEntry {
         |WHERE dropped.id IS NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  private def bpeMergesOracle(finalMode: String): String = {
+  /** The BPE replay CTE chain shared by [[bpeMergesOracle]] and the
+    * q199 tokenizer-comparison oracle: token stream st0 → five
+    * (count pairs → pick argmax → merge non-overlapping occurrences)
+    * stages ending at st5, with each step's winning pair in b1..b5.
+    * No name collides with the unigram chain, so the two concatenate
+    * under one WITH.
+    */
+  private def bpeMergesCtes: String = {
     val stages = (1 to 5).map { k =>
       s"""p$k AS (
          |  SELECT doc_id, pos, sym AS x,
@@ -6189,6 +6267,17 @@ object SparkEntry {
          |        FROM g$k)
          |  WHERE psel = 0)""".stripMargin
     }.mkString(",\n")
+    s"""t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |st0 AS (
+       |  SELECT doc_id, unnest(toks) AS sym,
+       |         unnest(range(1, len(toks) + 1)) AS pos
+       |  FROM t),
+       |$stages""".stripMargin
+  }
+
+  private def bpeMergesOracle(finalMode: String): String = {
     val finalRows = finalMode match {
       case "merges" =>
         (1 to 5).map { k =>
@@ -6216,14 +6305,7 @@ object SparkEntry {
           |JOIN documents d USING (doc_id)
           |GROUP BY lang ORDER BY lang""".stripMargin
     }
-    s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |  FROM documents),
-       |st0 AS (
-       |  SELECT doc_id, unnest(toks) AS sym,
-       |         unnest(range(1, len(toks) + 1)) AS pos
-       |  FROM t),
-       |$stages
+    s"""WITH $bpeMergesCtes
        |$finalRows""".stripMargin
   }
 
@@ -6375,6 +6457,69 @@ object SparkEntry {
            |         AS chars_per_piece_ppm
            |FROM wl JOIN np USING (word)
            |GROUP BY wl.lang ORDER BY wl.lang""".stripMargin
+      case "compare" =>
+        // q199: BOTH trainers' replay chains under one WITH (names
+        // are disjoint by construction), each reduced to per-lang ppm
+        // fertility, joined on lang, plus the normalized-subword
+        // vocabulary overlap (BPE merged pairs with spaces stripped
+        // vs multi-char unigram pieces)
+        val rounds = ((1 to 2).flatMap(r => roundCtes(r)) ++
+          roundCtes(3, withReestimate = false)).mkString(",\n")
+        s"""WITH $bpeMergesCtes,
+           |${header.stripPrefix("WITH ")},
+           |$rounds,
+           |wl AS MATERIALIZED (
+           |  SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT lang,
+           |          unnest(regexp_split_to_array(trim(lower(text)),
+           |            '\\s+')) AS word
+           |        FROM documents)
+           |  WHERE length(word) BETWEEN 1 AND $W GROUP BY 1, 2),
+           |np AS MATERIALIZED (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+           |  FROM (${(1 to W).map(i => s"SELECT word, piece FROM bt3_$i")
+                .mkString(" UNION ALL ")})
+           |  GROUP BY 1),
+           |bl AS (
+           |  SELECT d.lang,
+           |         CAST(sum(tw.n_words) AS BIGINT) AS bpe_n_words,
+           |         CAST(sum(a.n_syms) AS BIGINT) AS bpe_n_syms,
+           |         CAST(sum(a.sym_chars) AS BIGINT) AS bpe_sym_chars
+           |  FROM (SELECT s.doc_id, count(*) AS n_syms,
+           |               sum(length(sym)) AS sym_chars
+           |        FROM st5 s GROUP BY 1) a
+           |  JOIN (SELECT doc_id, len(toks) AS n_words FROM t) tw
+           |    USING (doc_id)
+           |  JOIN documents d USING (doc_id)
+           |  GROUP BY d.lang),
+           |ul AS (
+           |  SELECT wl.lang,
+           |         CAST(sum(wl.n) AS BIGINT) AS uni_n_words,
+           |         CAST(sum(wl.n * np.n_pieces) AS BIGINT) AS uni_n_pieces,
+           |         CAST(sum(wl.n * length(wl.word)) AS BIGINT) AS uni_n_chars
+           |  FROM wl JOIN np USING (word) GROUP BY wl.lang),
+           |bsub AS (
+           |  SELECT DISTINCT replace(x || y, ' ', '') AS sub
+           |  FROM (${(1 to 5).map(k => s"SELECT x, y FROM b$k")
+                .mkString(" UNION ALL ")})),
+           |usub AS (
+           |  SELECT DISTINCT piece AS sub FROM v2 WHERE length(piece) > 1),
+           |ov AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_shared_subwords
+           |  FROM bsub JOIN usub USING (sub))
+           |SELECT bl.lang, bpe_n_words, bpe_n_syms, bpe_sym_chars,
+           |       CAST(bpe_n_syms * 1000000 // bpe_n_words AS BIGINT)
+           |         AS bpe_syms_ppw_ppm,
+           |       CAST(bpe_sym_chars * 1000000 // bpe_n_syms AS BIGINT)
+           |         AS bpe_chars_per_sym_ppm,
+           |       uni_n_words, uni_n_pieces, uni_n_chars,
+           |       CAST(uni_n_pieces * 1000000 // uni_n_words AS BIGINT)
+           |         AS uni_pieces_ppw_ppm,
+           |       CAST(uni_n_chars * 1000000 // uni_n_pieces AS BIGINT)
+           |         AS uni_chars_per_piece_ppm,
+           |       n_shared_subwords
+           |FROM bl JOIN ul ON ul.lang = bl.lang CROSS JOIN ov
+           |ORDER BY bl.lang""".stripMargin
     }
   }
 
@@ -9437,6 +9582,7 @@ object SparkEntry {
 
     "q198_holt_trend" -> holtTrendSql,
     "q198b_holt_stream" -> holtTrendSql,
+    "q199_tokenizer_compare" -> unigramOracle("compare"),
 
     // water-filling closed form: ascending-cap order, multiplied-through
     // cap predicate (exact longs), running-AND capped prefix, equal
