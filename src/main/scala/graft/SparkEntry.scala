@@ -5097,6 +5097,60 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** ANN index DELETION lifecycle ([[graft.ext.AnnIndex.delete]] —
+    * FAISS `remove_ids`): deleting vectors from the persisted IVF-PQ
+    * index appends 8-byte ids to a tombstone side table (never a
+    * corpus-sized rewrite), search anti-joins them out, and
+    * compaction sweeps them physically. The contract is search
+    * INVARIANCE: build+delete must equal an index built WITHOUT the
+    * deleted vectors under the same frozen quantizers — before AND
+    * after the sweep — and no deleted id may ever surface. This
+    * closes the FAISS index lifecycle (build q111, ingest q113,
+    * serve q121, compact q115, delete here).
+    */
+  def q200IndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val clustered = Similarity.kmeansLabels(base, "vec_id", "embedding",
+      k = 10, iters = 3, scorer = graft.ext.VectorKernels.cosineF)
+    val cbs = graft.ext.Features.pqTrainCodebooks(
+      base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    val codes = graft.ext.Features.pqEncode(
+      clustered, "vec_id", "embedding", cbs, carryCols = Seq("label"))
+    val centroids = Similarity.clusterCentroids(clustered)
+    val queries = embQueries(spark, dir)
+    val tmp = tempDir("graft-q200")
+    val (full, ref) = (s"$tmp/full", s"$tmp/ref")
+    graft.ext.AnnIndex.write(codes, centroids, cbs, full)
+    graft.ext.AnnIndex.write(
+      codes.filter(pmod(col("vec_id"), lit(7)) =!= 3), centroids, cbs, ref)
+    graft.ext.AnnIndex.delete(
+      base.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")),
+      "vec_id", full)
+    import spark.implicits._
+    def searchSet(d: String): Set[(Long, Long, Double, Int)] =
+      graft.ext.AnnIndex.searchTopK(
+        graft.ext.AnnIndex.read(spark, d), queries, k = 10, nprobe = 3)
+        .select(col("query_id"), col("vec_id"), col("adc_score"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val refSet = searchSet(ref)
+    val delSet = searchSet(full)
+    graft.ext.AnnIndex.compact(spark, full)
+    val sweptSet = searchSet(full)
+    val fs = new org.apache.hadoop.fs.Path(full)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(
+      ("deleted_search_equals_build_without", delSet == refSet),
+      ("no_deleted_id_surfaces", delSet.forall(_._2 % 7 != 3)),
+      ("compaction_preserves_search", sweptSet == refSet),
+      ("compaction_clears_tombstones",
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$full/tombstones"))),
+      ("compaction_excises_rows_physically",
+        spark.read.parquet(s"$full/codes")
+          .filter(pmod(col("vec_id"), lit(7)) === 3).isEmpty))
+      .toDF("metric", "ok").orderBy(col("metric"))
+  }
+
   /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],
     * Kudo 2018 hard-EM): the OTHER standard subword trainer beside
     * q119's BPE — seed every ≤4-char substring, then two rounds of
@@ -5591,6 +5645,7 @@ object SparkEntry {
     "q198_holt_trend" -> (q198HoltTrend _),
     "q198b_holt_stream" -> (q198bHoltStream _),
     "q199_tokenizer_compare" -> (q199TokenizerCompare _),
+    "q200_index_delete" -> (q200IndexDelete _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -9583,6 +9638,16 @@ object SparkEntry {
     "q198_holt_trend" -> holtTrendSql,
     "q198b_holt_stream" -> holtTrendSql,
     "q199_tokenizer_compare" -> unigramOracle("compare"),
+
+    // search-invariance contract booleans (IVF-ADC itself is not
+    // SQL-replayable; the q115 pattern)
+    "q200_index_delete" ->
+      """SELECT 'compaction_clears_tombstones' AS metric, TRUE AS ok
+        |UNION ALL SELECT 'compaction_excises_rows_physically', TRUE
+        |UNION ALL SELECT 'compaction_preserves_search', TRUE
+        |UNION ALL SELECT 'deleted_search_equals_build_without', TRUE
+        |UNION ALL SELECT 'no_deleted_id_surfaces', TRUE
+        |ORDER BY metric""".stripMargin,
 
     // water-filling closed form: ascending-cap order, multiplied-through
     // cap predicate (exact longs), running-AND capped prefix, equal

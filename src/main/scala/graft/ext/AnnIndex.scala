@@ -106,8 +106,39 @@ object AnnIndex {
     (cents, cbs)
   }
 
+  /** FAISS `remove_ids` for the persisted index: deletion appends the
+    * ids to a `tombstones/` side table — never a rewrite of the code
+    * table (at 100 TB deleting k vectors must not cost a corpus-sized
+    * IO job). Tombstones are honored logically at search ([[read]]
+    * anti-joins them out of the code scan) and swept physically at
+    * [[compact]], the same deferred-delete lifecycle every
+    * LSM/lakehouse table uses. Idempotent: re-deleting an id appends
+    * a duplicate row the anti-join doesn't care about and the sweep
+    * clears.
+    */
+  def delete(ids: DataFrame, idCol: String, dir: String): Unit =
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** The pending deleted-id table, if any deletes are outstanding. */
+  private def pendingTombstones(
+      spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
   def read(spark: SparkSession, dir: String): Loaded = {
-    val codes = spark.read.parquet(s"$dir/codes")
+    // no-tombstone indexes get the bare scan (the common case — and
+    // the plan PlanSpec's DPP pin covers); with pending deletes the
+    // anti-join is on the 8-byte id, and AQE broadcasts the (small)
+    // tombstone side
+    val raw = spark.read.parquet(s"$dir/codes")
+    val codes = pendingTombstones(spark, dir).fold(raw)(t =>
+      raw.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val centroids = spark.read.parquet(s"$dir/centroids")
     val rows = spark.read.parquet(s"$dir/codebooks")
       .select(col("subspace"), col("code"), col("centroid"))
@@ -145,8 +176,15 @@ object AnnIndex {
     * higher, one level fewer to list.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val codes = spark.read.parquet(s"$dir/codes")
+    // the sweep half of the tombstone lifecycle: pending deletes are
+    // physically excised here (the one pass that rewrites the table
+    // anyway), then the tombstone table is cleared — search results
+    // are identical before and after by construction
+    val tomb = pendingTombstones(spark, dir)
+    val raw = spark.read.parquet(s"$dir/codes")
       .select(col("vec_id"), col("codes"), col("label"))
+    val codes = tomb.fold(raw)(t =>
+      raw.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val staging = s"$dir/codes__staging"
     codes.write.mode("overwrite").partitionBy("label").parquet(staging)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -154,6 +192,8 @@ object AnnIndex {
     val dst = new org.apache.hadoop.fs.Path(s"$dir/codes")
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    if (tomb.isDefined)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     ()
   }
 }

@@ -79,6 +79,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/codes__staging").exists())
   }
 
+  test("delete: tombstoned search == index built without the ids; compact sweeps") {
+    val df = planted.toDF("vec_id", "embedding")
+    val clustered = Similarity.kmeansLabels(df, "vec_id", "embedding", k = 4, iters = 4)
+    val cbs = Features.pqTrainCodebooks(df, "vec_id", "embedding", m = 2, k = 4, iters = 4)
+    val codes = Features.pqEncode(clustered, "vec_id", "embedding", cbs,
+      carryCols = Seq("label"))
+    val centroids = Similarity.clusterCentroids(clustered)
+    val full = tempDir("graft-annidx-del")
+    val ref = tempDir("graft-annidx-ref")
+    AnnIndex.write(codes, centroids, cbs, full)
+    // reference: same frozen quantizers, codes built WITHOUT the ids
+    AnnIndex.write(codes.filter(col("vec_id") % 7 =!= 3), centroids, cbs, ref)
+    AnnIndex.delete(df.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+      "vec_id", full)
+    val queries = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def searchSet(dir: String): Set[(Long, Long, Double, Int)] =
+      AnnIndex.searchTopK(AnnIndex.read(spark, dir), queries, k = 5, nprobe = 2)
+        .select("query_id", "vec_id", "adc_score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val deleted = searchSet(full)
+    assert(deleted == searchSet(ref), "build+delete must equal build-without")
+    assert(deleted.forall(_._2 % 7 != 3), "no deleted id may surface")
+    // re-delete is idempotent
+    AnnIndex.delete(df.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+      "vec_id", full)
+    assert(searchSet(full) == deleted)
+    // physical sweep: tombstones cleared, raw scan excised, search stable
+    AnnIndex.compact(spark, full)
+    assert(!new java.io.File(s"$full/tombstones").exists(),
+      "compaction must clear the tombstone table")
+    assert(spark.read.parquet(s"$full/codes")
+      .filter(col("vec_id") % 7 === 3).isEmpty,
+      "compaction must physically excise tombstoned rows")
+    assert(searchSet(full) == deleted)
+  }
+
   test("codes land label-partitioned on disk — the layout pruning depends on") {
     val df = planted.toDF("vec_id", "embedding")
     val clustered = Similarity.kmeansLabels(df, "vec_id", "embedding", k = 4, iters = 4)
