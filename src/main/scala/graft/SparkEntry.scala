@@ -5151,6 +5151,55 @@ object SparkEntry {
       .toDF("metric", "ok").orderBy(col("metric"))
   }
 
+  /** Dedup-method RECOMMENDATION — q187's four-pipeline efficacy
+    * audit closed into a decision: per method, (docs removed, tokens
+    * removed) vs the input, the Pareto-efficiency flag on (maximize
+    * tokens removed, minimize docs removed), and one `recommended`
+    * row — the Pareto-front member with the best tokens-removed per
+    * doc-removed ratio (exact scaled-long, +1 denominator so the
+    * zero-doc-loss span excision scores finitely). All arithmetic on
+    * the 4-row summary — the expensive part is the audit itself,
+    * shared with q187; the decision layer is free. Deterministic:
+    * ties break on method name.
+    */
+  def q201DedupRecommend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eff = q187DedupEfficacy(spark, dir)
+    val inp = eff.filter(col("method") === "0_input")
+      .select(col("n_docs").as("in_docs"), col("tok_sum").as("in_toks"))
+    val m = eff.filter(col("method") =!= "0_input")
+      .crossJoin(broadcast(inp))
+      .withColumn("docs_removed", col("in_docs") - col("n_docs"))
+      .withColumn("toks_removed", col("in_toks") - col("tok_sum"))
+      .select(col("method"), col("n_docs"), col("tok_sum"),
+        col("docs_removed"), col("toks_removed"))
+    val b = m.select(col("method").as("m2"),
+      col("toks_removed").as("t2"), col("docs_removed").as("d2"))
+    // dominated = some other method removes >= tokens at <= doc cost,
+    // strictly better on one axis (4x4 self-join — trivial size)
+    val dominated = m.join(broadcast(b),
+      col("m2") =!= col("method") &&
+        col("t2") >= col("toks_removed") && col("d2") <= col("docs_removed") &&
+        (col("t2") > col("toks_removed") || col("d2") < col("docs_removed")),
+      "left_semi").select(col("method"))
+    val pf = m.join(broadcast(dominated.withColumn("__dom", lit(true))),
+        Seq("method"), "left_outer")
+      .withColumn("pareto_efficient", coalesce(col("__dom"), lit(false)) === false)
+      .withColumn("toks_per_doc_removed_ppm",
+        expr("toks_removed * 1000000 div (docs_removed + 1)"))
+      .drop("__dom")
+    val w = Window.orderBy(
+      when(col("pareto_efficient"), lit(0)).otherwise(lit(1)),
+      col("toks_per_doc_removed_ppm").desc, col("method"))
+    pf.withColumn("recommended",
+        row_number().over(w) === 1 && col("pareto_efficient"))
+      .select(col("method"), col("n_docs"), col("tok_sum"),
+        col("docs_removed"), col("toks_removed"),
+        col("toks_per_doc_removed_ppm"), col("pareto_efficient"),
+        col("recommended"))
+      .orderBy(col("method"))
+  }
+
   /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],
     * Kudo 2018 hard-EM): the OTHER standard subword trainer beside
     * q119's BPE — seed every ≤4-char substring, then two rounds of
@@ -5646,6 +5695,7 @@ object SparkEntry {
     "q198b_holt_stream" -> (q198bHoltStream _),
     "q199_tokenizer_compare" -> (q199TokenizerCompare _),
     "q200_index_delete" -> (q200IndexDelete _),
+    "q201_dedup_recommend" -> (q201DedupRecommend _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -9649,6 +9699,38 @@ object SparkEntry {
         |UNION ALL SELECT 'no_deleted_id_surfaces', TRUE
         |ORDER BY metric""".stripMargin,
 
+    // the q187 audit chain + the Pareto decision layer: dominance via
+    // NOT EXISTS over the 4-row summary, recommendation by best
+    // tokens-per-doc-removed ratio (ties on method name)
+    "q201_dedup_recommend" ->
+      s"""WITH RECURSIVE $dedupEfficacyCtes,
+         |inp AS (SELECT n_docs AS in_docs, tok_sum AS in_toks
+         |        FROM eff WHERE method = '0_input'),
+         |dm AS (
+         |  SELECT method, n_docs, tok_sum,
+         |         in_docs - n_docs AS docs_removed,
+         |         in_toks - tok_sum AS toks_removed
+         |  FROM eff, inp WHERE method <> '0_input'),
+         |pf AS (
+         |  SELECT a.*,
+         |         NOT EXISTS (SELECT 1 FROM dm b WHERE b.method <> a.method
+         |           AND b.toks_removed >= a.toks_removed
+         |           AND b.docs_removed <= a.docs_removed
+         |           AND (b.toks_removed > a.toks_removed
+         |                OR b.docs_removed < a.docs_removed))
+         |           AS pareto_efficient
+         |  FROM dm a),
+         |rec AS (
+         |  SELECT method AS rec_method FROM pf WHERE pareto_efficient
+         |  ORDER BY toks_removed * 1000000 // (docs_removed + 1) DESC, method
+         |  LIMIT 1)
+         |SELECT pf.method, n_docs, tok_sum, docs_removed, toks_removed,
+         |       CAST(toks_removed * 1000000 // (docs_removed + 1) AS BIGINT)
+         |         AS toks_per_doc_removed_ppm,
+         |       pareto_efficient,
+         |       (pf.method = rec_method) AS recommended
+         |FROM pf, rec ORDER BY pf.method""".stripMargin,
+
     // water-filling closed form: ascending-cap order, multiplied-through
     // cap predicate (exact longs), running-AND capped prefix, equal
     // truncating share for the uncapped remainder
@@ -10675,7 +10757,14 @@ object SparkEntry {
     * (surviving docs, surviving tokens).
     */
   private def dedupEfficacySql: String =
-    s"""WITH RECURSIVE $jaccardPairsCtes,
+    s"""WITH RECURSIVE $dedupEfficacyCtes
+       |SELECT * FROM eff ORDER BY method""".stripMargin
+
+  /** The q187 replay chain ending in the 5-row `eff` summary CTE —
+    * shared with q201's Pareto recommendation oracle.
+    */
+  private def dedupEfficacyCtes: String =
+    s"""$jaccardPairsCtes,
        |exk AS (
        |  SELECT doc_id, text,
        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -10762,7 +10851,8 @@ object SparkEntry {
        |                                      AND sxsp.end_tok)),
        |sxagg AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
-       |  FROM sxkeep GROUP BY doc_id)
+       |  FROM sxkeep GROUP BY doc_id),
+       |eff AS (
        |SELECT '0_input' AS method, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(CASE WHEN trim(text) <> ''
        |                     THEN len(regexp_split_to_array(trim(text), '\\s+'))
@@ -10789,8 +10879,7 @@ object SparkEntry {
        |UNION ALL
        |SELECT '4_spans', CAST(count(*) AS BIGINT),
        |       CAST(sum(coalesce(sxagg.n_kept, 0)) AS BIGINT)
-       |FROM sxtall LEFT JOIN sxagg USING (doc_id)
-       |ORDER BY method""".stripMargin
+       |FROM sxtall LEFT JOIN sxagg USING (doc_id))""".stripMargin
 
   private def kCoreSql: String = {
     val k = 2
