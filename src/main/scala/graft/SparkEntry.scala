@@ -5200,6 +5200,119 @@ object SparkEntry {
       .orderBy(col("method"))
   }
 
+  /** Deterministic synth recipe for the IMAGE near-dup corpus:
+    * doc_ids group into quads (`base = doc_id / 4`); all four
+    * variants share the base's dims and coarse pixel pattern `u`
+    * (quantized to even gray levels 0,2,..,30), and differ only by a
+    * +0/+1 low-bit perturbation `eps` — so within-group pairs sit a
+    * few gradient-bit flips apart (a dHash near-dup) while
+    * cross-group patterns decorrelate tens of bits. Channels are set
+    * `b = g = r = v`, which makes the integer luma
+    * `(299r + 587g + 114b)/1000` return `v` itself — the oracle can
+    * replay gray values without modeling the channel weights.
+    */
+  private def synthImageDupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 4
+        val w = (16 + base % 5).toInt
+        val h = (12 + base % 3).toInt
+        val bgr = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val u = (base * 37 + y * 11 + x * 29 + (x.toLong * y + base) % 13) % 16
+            val eps = ((id % 4) * (1 + y * 5 + x * 3)) % 3 % 2
+            val v = (u * 2 + eps).toByte
+            val o = (y * w + x) * 3
+            bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        Multimodal.MediaRecord(id, Multimodal.Bmp.encode24(w, h, bgr), "image/bmp")
+      }).toDF()
+  }
+
+  /** IMAGE near-dup dedup — the multimodal × dedup intersection:
+    * synth images (planted perturbed-copy quads) → REAL BMP decode →
+    * [[graft.ext.Multimodal.Bmp.dhash60]] perceptual fingerprint →
+    * [[graft.ext.Dedup.hammingNearDupPairs]] banded Hamming join
+    * (4 × 15-bit pigeonhole chunks, distance ≤ 3) → per-image
+    * neighbor census + min-id keep verdict. The oracle regenerates
+    * gray values ONLY at the 11×6 sampled grid positions, assembles
+    * the 60 gradient bits with shifts, and takes the quadratic
+    * `bit_count(xor) ≤ 3` pairs — so the encode → parse → luma →
+    * resize-sample → bit-pack → banded-join chain is hash-pinned end
+    * to end. At 100 TB the pair surface is the banded join (never
+    * corpus²) and only the decode pass touches payload bytes.
+    */
+  def q202ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Multimodal.bmpDHashes(spark, synthImageDupMedia(spark, dir), partitions = 8)
+      .toDF()
+    val pairs = graft.ext.Dedup.hammingNearDupPairs(
+      fps.select(col("media_id"), col("fp")), "media_id", "fp",
+      bits = 60, maxDistance = 3)
+    val sym = pairs.select(col("id_a").as("media_id"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("media_id"), col("id_a").as("nbr")))
+    val nbrs = sym.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_nbrs"), min(col("nbr")).as("min_nbr"))
+    fps.join(nbrs, Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("width"), col("height"), col("fp"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"), col("min_nbr"),
+        (col("min_nbr").isNull || col("min_nbr") > col("media_id")).as("keep"))
+      .orderBy(col("media_id"))
+  }
+
+  /** SCALAR-quantizer ADC search contracts
+    * ([[graft.ext.Features.sqAdcTopK]], the q107b pattern): q98's
+    * uint8 min-max quantizer gains its FAISS-lifecycle search half —
+    * reconstruct-from-codes scoring against full-precision queries.
+    * Pinned: (a) reconstruction error obeys the round-to-nearest
+    * half-code-step bound Δ/510 on EVERY (vector, dim) — a
+    * construction theorem, checked exactly with one-ulp slack
+    * (constant dims reconstruct to vmin, error 0); (b) ADC top-10
+    * recall vs the exact negL2 baseline clears 0.8 — 8 bits/dim keeps
+    * the ranking nearly exact, comfortably above the 32×-compressed
+    * PQ's 0.2 floor (the cross-method point of the quantization
+    * family). Measured recall stays rows-only by nature; the booleans
+    * are the stable artifact.
+    */
+  def q203SqAdcContract(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val stats = graft.ext.Features.dimMinMax(base, "embedding")
+    val codes = graft.ext.Features.quantizeVectors(base, "vec_id", "embedding", stats)
+    val queries = embQueries(spark, dir)
+    val adc = graft.ext.Features.sqAdcTopK(codes, queries, stats, 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopK(queries, base, 10,
+      scorer = (a, b) => graft.ext.Features.negSquaredL2(a, b))
+      .select(col("query_id"), col("vec_id"))
+    val recon = graft.ext.Features.dequantizeVectors(codes, "vec_id", "codes", stats)
+    withCached(codes, exact) {
+      val hits = exact.join(adc, Seq("query_id", "vec_id")).count()
+      val recall = hits.toDouble / exact.count()
+      val violations = base.join(recon, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb_d"),
+          col("recon_vec"))
+        .select(col("vec_id"),
+          posexplode(arrays_zip(col("emb_d"), col("recon_vec"))).as(Seq("dim", "z")))
+        .join(broadcast(stats), Seq("dim"))
+        .filter(abs(col("z.emb_d") - col("z.recon_vec"))
+          > (col("vmax").cast("double") - col("vmin").cast("double"))
+            / lit(510.0) * lit(1.0 + 1e-9) + lit(1e-12))
+        .count()
+      import spark.implicits._
+      Seq(
+        ("sq_adc_recall_at_10_ge_0.8", recall >= 0.8),
+        ("sq_recon_error_le_half_code_step", violations == 0L))
+        .toDF("metric", "ok").orderBy(col("metric"))
+    }
+  }
+
   /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],
     * Kudo 2018 hard-EM): the OTHER standard subword trainer beside
     * q119's BPE — seed every ≤4-char substring, then two rounds of
@@ -5696,6 +5809,8 @@ object SparkEntry {
     "q199_tokenizer_compare" -> (q199TokenizerCompare _),
     "q200_index_delete" -> (q200IndexDelete _),
     "q201_dedup_recommend" -> (q201DedupRecommend _),
+    "q202_image_neardup" -> (q202ImageNearDup _),
+    "q203_sq_adc" -> (q203SqAdcContract _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -9730,6 +9845,59 @@ object SparkEntry {
          |       pareto_efficient,
          |       (pf.method = rec_method) AS recommended
          |FROM pf, rec ORDER BY pf.method""".stripMargin,
+
+    // q202: the oracle regenerates luma ONLY at the 11x6 sampled grid
+    // positions of the synth recipe (b=g=r=v makes gray = v exactly),
+    // packs the 60 gradient bits with shifts, then takes the
+    // quadratic bit_count(xor) <= 3 pairs — the Spark side must
+    // recover identical fingerprints by PARSING THE ENCODED BMPs and
+    // identical pairs through the banded pigeonhole join.
+    "q202_image_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+        |         CAST(16 + (doc_id // 4) % 5 AS INT) AS w,
+        |         CAST(12 + (doc_id // 4) % 3 AS INT) AS h
+        |  FROM documents),
+        |gys AS (SELECT d.*, unnest(generate_series(0, 5)) AS gy FROM d),
+        |grid AS (SELECT gys.*, unnest(generate_series(0, 10)) AS gx FROM gys),
+        |v AS (
+        |  SELECT doc_id, w, h, gy, gx,
+        |         ((base * 37 + ((gy * h) // 6) * 11 + ((gx * w) // 11) * 29
+        |           + (((gx * w) // 11) * ((gy * h) // 6) + base) % 13) % 16) * 2
+        |           + (variant * (1 + ((gy * h) // 6) * 5 + ((gx * w) // 11) * 3)) % 3 % 2
+        |           AS gray
+        |  FROM grid),
+        |b AS (
+        |  SELECT doc_id, w, h, gy, gx, gray,
+        |         lead(gray) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS ngray
+        |  FROM v),
+        |fp AS (
+        |  SELECT doc_id, max(w) AS width, max(h) AS height,
+        |         CAST(sum(CASE WHEN gx < 10 AND gray < ngray
+        |                  THEN CAST(1 AS BIGINT) << (gy * 10 + gx)
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM b GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, c.doc_id AS idb
+        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 3),
+        |sym AS (
+        |  SELECT ida AS media_id, idb AS nbr FROM pairs
+        |  UNION ALL SELECT idb, ida FROM pairs),
+        |nb AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |         min(nbr) AS min_nbr
+        |  FROM sym GROUP BY media_id)
+        |SELECT f.doc_id AS media_id, f.width, f.height, f.fp,
+        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
+        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
+        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    "q203_sq_adc" ->
+      """SELECT 'sq_adc_recall_at_10_ge_0.8' AS metric, TRUE AS ok
+        |UNION ALL SELECT 'sq_recon_error_le_half_code_step', TRUE
+        |ORDER BY metric""".stripMargin,
 
     // water-filling closed form: ascending-cap order, multiplied-through
     // cap predicate (exact longs), running-AND capped prefix, equal

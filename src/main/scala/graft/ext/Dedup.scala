@@ -549,13 +549,28 @@ object Dedup {
     */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60, maxDistance: Int = 3): DataFrame =
+    hammingNearDupPairs(
+      df.select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("fp")),
+      "doc_id", "fp", bits, maxDistance)
+
+  /** The fingerprint-agnostic half of [[simhashNearDupPairs]]: given
+    * an already-computed non-negative `bits`-wide fingerprint column
+    * (text simhash, image dHash — any Hamming-space key), emit all
+    * pairs within `maxDistance` via the same exact pigeonhole
+    * blocking. Factored out so perceptual image fingerprints
+    * ([[graft.ext.Multimodal.Bmp.dhash60]]) ride the identical
+    * banded join instead of growing a parallel implementation.
+    */
+  def hammingNearDupPairs(
+      fp: DataFrame, idCol: String, fpCol: String,
       bits: Int = 60, maxDistance: Int = 3): DataFrame = {
     val nChunks = maxDistance + 1
     require(bits % nChunks == 0,
       s"bits=$bits must divide into ${nChunks} chunks for exact pigeonhole blocking")
     val chunkBits = bits / nChunks
-    val fp = df.select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("fp"))
-    val chunks = fp.select(col("doc_id"), col("fp"),
+    val base = fp.select(col(idCol).as("doc_id"), col(fpCol).as("fp"))
+    val chunks = base.select(col("doc_id"), col("fp"),
       posexplode(array((0 until nChunks).map { i =>
         shiftright(col("fp"), i * chunkBits)
           .bitwiseAND((1L << chunkBits) - 1L)

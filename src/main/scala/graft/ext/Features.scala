@@ -365,6 +365,29 @@ object Features {
       .select(col("query_id"), col("vec_id"), col("exact_score"), col("rank"))
   }
 
+  // ------------------------------- scalar-quantizer ADC search (SQ8)
+
+  /** ADC top-k over SCALAR-quantized codes — the search half of the
+    * FAISS `IndexScalarQuantizer` (QT_8bit) lifecycle, public FAISS
+    * practice, completing the quantizer q98 only stores: queries stay
+    * full-precision, every corpus vector is scored from its uint8
+    * codes alone via [[dequantizeVectors]] reconstruction feeding the
+    * exact [[Similarity.bruteForceTopK]] shape (broadcast queries,
+    * [[negSquaredL2]], per-query top-k window). Reconstruction is a
+    * codegen'd map pass over the same literal-stats plan as encode —
+    * the corpus float vectors never rematerialize, so search IO is
+    * the 4×-compressed codes. For huge corpora this composes with IVF
+    * cell probing exactly like [[pqAdcTopK]]: SQ8 buys 4× memory at
+    * near-exact recall where 16×4-bit PQ buys 32× at coarser recall.
+    */
+  def sqAdcTopK(codes: DataFrame, queries: DataFrame,
+      stats: DataFrame, k: Int): DataFrame = {
+    val recon = dequantizeVectors(codes, "vec_id", "codes", stats)
+      .withColumnRenamed("recon_vec", "embedding")
+    Similarity.bruteForceTopK(queries, recon, k,
+      scorer = (a, b) => negSquaredL2(a, b))
+  }
+
   // --------------------------------------- principal-component analysis
 
   /** Top principal component of the embedding corpus by SCALED-INTEGER

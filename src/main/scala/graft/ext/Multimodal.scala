@@ -331,6 +331,69 @@ object Multimodal {
       while (i < half.bgr.length) { hs += half.bgr(i) & 0xff; i += 1 }
       BmpFeatures(id, img.width, img.height, sb, sg, sr, half.width, half.height, hs)
     }
+
+    /** 60-bit difference hash (dHash — Krawetz's gradient perceptual
+      * hash, public blog literature; the standard cheap near-dup key
+      * for re-encoded/re-compressed images) over an 11×6
+      * nearest-neighbor sample grid: integer luma
+      * `gray = (299·r + 587·g + 114·b) / 1000` at each sampled pixel,
+      * bit `gy·10 + gx` set when `gray(gy,gx) < gray(gy,gx+1)` —
+      * 10 horizontal comparisons × 6 rows = 60 bits, deliberately the
+      * same width as [[graft.ext.Dedup.simhash]] so the fingerprint
+      * shares the pigeonhole band-blocking geometry (4 × 15-bit
+      * chunks at Hamming distance ≤ 3) and stays non-negative in a
+      * Long. Gradient bits are invariant to global brightness shifts
+      * and robust to low-amplitude noise — the properties that make
+      * dHash a near-dup key rather than an exact-content hash.
+      * Sampling truncates (`sx = gx·w / 11`), so images narrower than
+      * the grid just re-sample pixels; any positive dims are legal.
+      */
+    def dhash60(img: BmpImage): Long = {
+      val gw = 11; val gh = 6
+      val gray = new Array[Int](gw)
+      var fp = 0L
+      var gy = 0
+      while (gy < gh) {
+        val sy = gy * img.height / gh
+        var gx = 0
+        while (gx < gw) {
+          val sx = gx * img.width / gw
+          val o = (sy * img.width + sx) * 3
+          val b = img.bgr(o) & 0xff
+          val g = img.bgr(o + 1) & 0xff
+          val r = img.bgr(o + 2) & 0xff
+          gray(gx) = (299 * r + 587 * g + 114 * b) / 1000
+          gx += 1
+        }
+        gx = 0
+        while (gx < gw - 1) {
+          if (gray(gx) < gray(gx + 1)) fp |= 1L << (gy * 10 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      fp
+    }
+  }
+
+  /** Per-image perceptual fingerprint row. */
+  final case class DHashRow(media_id: Long, width: Int, height: Int, fp: Long)
+
+  /** Real BMP decode → [[Bmp.dhash60]] perceptual fingerprint per
+    * image; corrupt payloads dropped (DLQ callers split first, the
+    * O-07 pattern). The output is relational (id, dims, 60-bit fp) —
+    * downstream near-dup joins run on
+    * [[graft.ext.Dedup.hammingNearDupPairs]]'s banded blocking, never
+    * on payload bytes, so only this decode pass ever touches the
+    * binary column.
+    */
+  def bmpDHashes(spark: SparkSession, media: DataFrame, partitions: Int): Dataset[DHashRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"))
+      .repartition(partitions, col("media_id"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap(r => Bmp.decode24(r.payload).map(img =>
+        DHashRow(r.media_id, img.width, img.height, Bmp.dhash60(img)))))
   }
 
   /** Real decode over a WAV media table: parse + feature-extract per

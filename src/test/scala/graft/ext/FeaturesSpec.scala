@@ -101,6 +101,28 @@ class FeaturesSpec extends SparkSpec {
     assert(recon == Map(1L -> 2, 2L -> 0))
   }
 
+  test("sqAdcTopK: scalar-quantized ADC recovers the exact neighbor sets on separated clusters") {
+    // two tight clusters far apart: the ~0.39-wide code step collapses
+    // intra-cluster detail (ties break on vec_id) but cluster
+    // membership — the retrieval verdict — must match exact search
+    val corpus = Seq(
+      (1L, Array(0.0f, 0.1f)), (2L, Array(0.1f, 0.0f)), (3L, Array(0.05f, 0.05f)),
+      (11L, Array(100.0f, 99.9f)), (12L, Array(99.9f, 100.0f)), (13L, Array(100.0f, 100.0f))
+    ).toDF("vec_id", "embedding")
+    val stats = Features.dimMinMax(corpus, "embedding")
+    val codes = Features.quantizeVectors(corpus, "vec_id", "embedding", stats)
+    val queries = Seq((1L, Array(0.0f, 0.0f)), (11L, Array(100.0f, 100.0f)))
+      .toDF("query_id", "query_vec")
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id")).as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = sets(Features.sqAdcTopK(codes, queries, stats, 2))
+    val exact = sets(Similarity.bruteForceTopK(queries, corpus, 2,
+      scorer = (a, b) => Features.negSquaredL2(a, b)))
+    assert(adc == exact)
+    assert(exact(1L) == Set(2L, 3L) && exact(11L) == Set(12L, 13L))
+  }
+
   test("PQ: planted codebook structure recovers exact codes; ADC top-1 matches exact") {
     // 2 subspaces × 4 patterns: every vector is a (pattern_a, pattern_b)
     // concatenation plus per-vector noise far smaller than the pattern

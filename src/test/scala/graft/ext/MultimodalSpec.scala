@@ -161,4 +161,86 @@ class MultimodalSpec extends SparkSpec {
     assert(bmpOut.map(_.media_id).toSeq == Seq(3L))
     assert(bmpOut.head.width == 4 && bmpOut.head.height == 3)
   }
+
+  // ------------------------------------------------------------ dHash
+
+  /** 11×6 gray image (b=g=r=v so luma = v): even rows strictly
+    * increasing left→right, odd rows strictly decreasing.
+    */
+  private def gradientImage(bias: Int): BmpImage = {
+    val bgr = new Array[Byte](11 * 6 * 3)
+    for (y <- 0 until 6; x <- 0 until 11) {
+      val v = (bias + (if (y % 2 == 0) x else 10 - x)).toByte
+      val o = (y * 11 + x) * 3
+      bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+    }
+    BmpImage(11, 6, bgr)
+  }
+
+  test("dhash60: hand-computed on the identity grid — rising rows set all 10 bits") {
+    // 11-wide, 6-tall → sampling is the identity; even rows rise
+    // (all 10 gradient bits set), odd rows fall (none set)
+    val expected = (0x3FFL << 0) | (0x3FFL << 20) | (0x3FFL << 40)
+    assert(Bmp.dhash60(gradientImage(bias = 0)) == expected)
+  }
+
+  test("dhash60: invariant to global brightness shift") {
+    assert(Bmp.dhash60(gradientImage(0)) == Bmp.dhash60(gradientImage(57)))
+  }
+
+  test("dhash60: uses the 299/587/114 integer luma, strict-< ties clear the bit") {
+    // pixel A pure blue (gray = 114·255/1000 = 29), pixel B pure red
+    // with r=97 (gray = 299·97/1000 = 29): equal luma from different
+    // bytes → the comparison bit must be 0 (strict <)
+    val bgr = new Array[Byte](11 * 6 * 3)
+    for (y <- 0 until 6; x <- 0 until 11) {
+      val o = (y * 11 + x) * 3
+      if (x % 2 == 0) { bgr(o) = 255.toByte; bgr(o + 1) = 0; bgr(o + 2) = 0 }
+      else { bgr(o) = 0; bgr(o + 1) = 0; bgr(o + 2) = 97.toByte }
+    }
+    assert(Bmp.dhash60(BmpImage(11, 6, bgr)) == 0L)
+  }
+
+  test("dhash60: nearest-neighbor sampling keeps the (⌊gy·h/6⌋, ⌊gx·w/11⌋) grid") {
+    // 22×12: sampled pixels sit at even coords; poison every
+    // unsampled pixel — the hash must equal the 11×6 reference's
+    val ref = gradientImage(0)
+    val bgr = new Array[Byte](22 * 12 * 3)
+    for (y <- 0 until 12; x <- 0 until 22) {
+      val o = (y * 22 + x) * 3
+      val v = if (y % 2 == 0 && x % 2 == 0)
+        ref.bgr(((y / 2) * 11 + x / 2) * 3)
+      else 200.toByte
+      bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+    }
+    assert(Bmp.dhash60(BmpImage(22, 12, bgr)) == Bmp.dhash60(ref))
+  }
+
+  test("spark: bmpDHashes + hammingNearDupPairs find planted perturbed copies") {
+    // quad of near-identical images (one low bit differs) + one far image
+    val base = gradientImage(0)
+    def perturb(seed: Int): Array[Byte] = {
+      val b = base.bgr.clone()
+      val o = ((seed % 6) * 11 + seed % 11) * 3
+      b(o) = (b(o) + 1).toByte; b(o + 1) = b(o); b(o + 2) = b(o)
+      b
+    }
+    val far = gradientImage(0).bgr.map(v => (200 - v).toByte)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Bmp.encode24(11, 6, base.bgr), "image/bmp"),
+      Multimodal.MediaRecord(2L, Bmp.encode24(11, 6, perturb(7)), "image/bmp"),
+      Multimodal.MediaRecord(3L, Bmp.encode24(11, 6, perturb(23)), "image/bmp"),
+      Multimodal.MediaRecord(9L, Bmp.encode24(11, 6, far), "image/bmp")).toDF()
+    val fps = Multimodal.bmpDHashes(spark, media, 2).toDF()
+    val banded = Dedup.hammingNearDupPairs(fps, "media_id", "fp", 60, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over the collected fingerprints
+    val m = fps.select("media_id", "fp").as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- m.keys; b <- m.keys if a < b
+      if java.lang.Long.bitCount(m(a) ^ m(b)) <= 3
+    } yield (a, b)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty && brute.forall { case (a, b) => a != 9L && b != 9L })
+  }
 }
