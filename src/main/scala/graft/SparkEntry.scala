@@ -5313,6 +5313,28 @@ object SparkEntry {
     }
   }
 
+  /** STREAMING BM25 index maintenance + serve
+    * ([[graft.stream.Jobs.runBm25IndexStream]]): the corpus arrives
+    * in 4 micro-batches; each appends its own postings/doc-length
+    * partitions (tokenized once, ever — O(batch) per trigger, the
+    * genuinely incremental tier) and merges the 1-row stats monoid,
+    * then q136's queries are served FROM the maintained index
+    * ([[graft.ext.Text.bm25ServeFromIndex]], arithmetic-identical to
+    * the from-text scorer by construction). Shares q136's oracle
+    * verbatim: index-maintained retrieval ≡ from-text retrieval,
+    * hash-checked — the streaming × retrieval intersection.
+    */
+  def q204StreamBm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q204")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    val (postings, dl, stats) =
+      Jobs.runBm25IndexStream(spark, in, schema, s"$tmp/work")
+    Text.bm25ServeFromIndex(postings, dl, stats,
+      Seq(("disc", Seq("vector", "spark")), ("stop", Seq("the", "a")),
+        ("mixed", Seq("merge", "window", "customer"))), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],
     * Kudo 2018 hard-EM): the OTHER standard subword trainer beside
     * q119's BPE — seed every ≤4-char substring, then two rounds of
@@ -5811,6 +5833,7 @@ object SparkEntry {
     "q201_dedup_recommend" -> (q201DedupRecommend _),
     "q202_image_neardup" -> (q202ImageNearDup _),
     "q203_sq_adc" -> (q203SqAdcContract _),
+    "q204_stream_bm25_index" -> (q204StreamBm25Index _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -5847,7 +5870,7 @@ object SparkEntry {
     "q161b_golden_stream", "q162b_changepoint_stream",
     "q168b_seasonal_stream", "q174b_mv_stream", "q185b_zipf_stream",
     "q190b_quantile_stream", "q191b_temperature_stream",
-    "q198b_holt_stream")
+    "q198b_holt_stream", "q204_stream_bm25_index")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -9971,6 +9994,13 @@ object SparkEntry {
          |FROM dg LEFT JOIN tn USING (id) ORDER BY dg.id""".stripMargin,
 
     "q136_bm25_search" -> (bm25OracleCtes +
+      """
+        |SELECT query_id, rank, doc_id, score FROM rk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // q204 serves the SAME retrieval from the stream-maintained
+    // inverted index — index-served ≡ from-text, one oracle
+    "q204_stream_bm25_index" -> (bm25OracleCtes +
       """
         |SELECT query_id, rank, doc_id, score FROM rk
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),

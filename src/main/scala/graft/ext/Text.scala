@@ -494,10 +494,6 @@ object Text {
       queries: Seq[(String, Seq[String])], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "queries must be non-empty")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val q = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
-      .toDF("query_id", "term")
     val terms = queries.flatMap(_._2).distinct
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
     val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
@@ -505,6 +501,59 @@ object Text {
     val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, stats, queries, k, k1, b)
+  }
+
+  /** Inverted-index BUILD — the persistent half of BM25: full-vocab
+    * postings `(doc_id, term, tf)`, doc lengths `(doc_id, dl)`, and
+    * the 1-row corpus stats `(n, sdl)`. Query-agnostic, so the index
+    * is built once (or maintained incrementally — postings and dl are
+    * pure per-doc appends, stats a commutative-monoid sum, which is
+    * exactly what [[graft.stream.Jobs.runBm25IndexStream]] exploits)
+    * and served many times; [[bm25TopK]]'s inline query-vocab tf
+    * filter is a serve-time optimization, not an index property.
+    */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val postings = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    (postings, dl, stats)
+  }
+
+  /** Okapi scoring FROM a stored index — [[bm25Index]]'s serve half,
+    * arithmetic-identical to [[bm25TopK]] (they share one private
+    * scorer, so an index-served query hash-matches the from-text
+    * oracle). df derives from the query-filtered postings (a term's
+    * df = its surviving posting count), so serve cost is bounded by
+    * |query vocab| × matching docs plus the dl join — the corpus text
+    * is never touched.
+    */
+  def bm25ServeFromIndex(
+      postings: DataFrame, dl: DataFrame, stats: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    val terms = queries.flatMap(_._2).distinct
+    val tf = postings.filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    bm25Score(tf, dl, stats, queries, k, k1, b)
+  }
+
+  /** Shared Okapi scorer over an already-query-filtered tf frame.
+    * Ranking ties break on the ROUNDED score + doc_id so external
+    * engines agree.
+    */
+  private def bm25Score(
+      tf: DataFrame, dl: DataFrame, stats: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("sdl").cast("double") / col("n")
     val contrib =

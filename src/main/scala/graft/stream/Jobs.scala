@@ -559,6 +559,60 @@ object Jobs {
     spark.read.parquet(s"$workDir/state/v=$lastV")
   }
 
+  /** STREAMING inverted-index maintenance — the retrieval analogue of
+    * [[runAggMergeStream]]: [[graft.ext.Text.bm25Index]]'s three
+    * pieces kept fresh incrementally. Each micro-batch tokenizes ONLY
+    * its own documents, appends per-batch postings and doc-length
+    * partitions (`batch_id=<id>` overwrite — a replayed batch
+    * overwrites itself, [[graft.sinks.Writers.idempotentBatchWrite]]'s
+    * exactly-once contract), and merges the 1-row (n, sdl) stats
+    * state (commutative-monoid sum, versioned publish `v=batchId`
+    * with the published-version ≥ batchId replay skip). Work per
+    * trigger is O(batch): document text is tokenized once, EVER — the
+    * genuinely incremental contrast to snapshot-recompute streams —
+    * and that is sound because per-doc postings/dl are independent
+    * rows and stats is a monoid, so the union of batch partitions
+    * equals a batch-built index over the same corpus exactly (q204
+    * serves q136's oracle from it). Returns (postings, dl, stats)
+    * read back from the published files.
+    */
+  def runBm25IndexStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      workDir: String): (DataFrame, DataFrame, DataFrame) = {
+    var lastV = publishedVersion(spark, s"$workDir/stats")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (lastV < batchId) {
+          val (postings, dl, stats) =
+            graft.ext.Text.bm25Index(batch, "doc_id", "text")
+          graft.sinks.Writers.idempotentBatchWrite(
+            postings, batchId, s"$workDir/postings")
+          graft.sinks.Writers.idempotentBatchWrite(dl, batchId, s"$workDir/dl")
+          val merged =
+            if (lastV < 0) stats
+            else graft.etl.Transform.mergeAggStates(
+              Seq(spark.read.parquet(s"$workDir/stats/v=$lastV"), stats),
+              Nil, Seq("n", "sdl"))
+          merged.write.mode("overwrite").parquet(s"$workDir/stats/v=$batchId")
+          lastV = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(lastV >= 0, s"no input files found under $inputDir")
+    (spark.read.parquet(s"$workDir/postings"),
+      spark.read.parquet(s"$workDir/dl"),
+      spark.read.parquet(s"$workDir/stats/v=$lastV"))
+  }
+
   /** Streaming ingest into a persisted IVF-PQ index — FAISS `add` as
     * a stream: new vectors arrive in micro-batches; each batch is
     * assigned its coarse cell with FROZEN centroids

@@ -451,6 +451,48 @@ class StreamSpec extends SparkSpec {
     assert(run() == expected, "replay double-counted the merged state")
   }
 
+  test("bm25 index stream: streamed index equals batch build; replay appends nothing") {
+    val tmp = tempDir("graft-bm25idx")
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    val slices = Seq(
+      Seq((1L, "spark merges fast"), (2L, "the vector index")),
+      Seq((3L, "spark spark window")),
+      Seq((4L, "merge the merge")))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val all = slices.flatten.toDF("doc_id", "text")
+    def snap() = {
+      val (p, d, s) = graft.stream.Jobs.runBm25IndexStream(spark, in,
+        all.schema, s"$tmp/work")
+      (p.select("doc_id", "term", "tf").as[(Long, String, Long)].collect().toSet,
+        d.select("doc_id", "dl").as[(Long, Long)].collect().toSet,
+        s.select("n", "sdl").as[(Long, Long)].collect().toSeq)
+    }
+    val streamed = snap()
+    val (bp, bd, bs) = graft.ext.Text.bm25Index(all, "doc_id", "text")
+    assert(streamed._1 ==
+      bp.select("doc_id", "term", "tf").as[(Long, String, Long)].collect().toSet)
+    assert(streamed._2 == bd.select("doc_id", "dl").as[(Long, Long)].collect().toSet)
+    assert(streamed._3 == bs.select("n", "sdl").as[(Long, Long)].collect().toSeq)
+    // checkpoint wiped, every batch already published: a replayed
+    // batch that appended again would double postings AND stats
+    val ckpt = new java.io.File(s"$tmp/work/ckpt")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(ckpt)
+    assert(snap() == streamed, "replay changed the maintained index")
+  }
+
   test("index ingest stream: streamed IVF-PQ index bit-equals the batch build") {
     // planted 4-cluster geometry (the AnnIndexSpec fixture) so cell
     // assignment is unambiguous whatever the micro-batch carving
