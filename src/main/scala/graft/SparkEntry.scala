@@ -5335,6 +5335,36 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR diversified re-ranking ([[graft.ext.Similarity.mmrRerank]],
+    * Carbonell & Goldstein 1998): dense cosine top-20 per query →
+    * greedy λ=0.7 selection of 5, trading relevance against max
+    * similarity to what's already picked — the standard redundancy
+    * cut over near-duplicate retrieval hits. Relevance and pairwise
+    * sims are rounded-cosine micro-units (exact longs), ties to the
+    * lower id, so the oracle unrolls ALL FIVE greedy stages —
+    * candidate set, per-stage max-sim-to-selected, argmax — in SQL
+    * and every (rank, id, score) hash-matches. Candidate-pair surface
+    * is queries × C², retriever-bounded; the corpus-sized work stays
+    * in the retriever.
+    */
+  def q205MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.VectorKernels.register(spark)
+    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cand = Similarity.bruteForceTopK(embQueries(spark, dir), corpus, 20,
+      scorer = graft.ext.VectorKernels.cosineF)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos_sim") * lit(1e6)).cast("long").as("rel"))
+    val cv = cand.join(corpus, Seq("vec_id"))
+    val a = cv.select(col("query_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = cv.select(col("query_id"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val sims = a.join(b, Seq("query_id")).filter(col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        round(round(graft.ext.VectorKernels.cosineF(col("va"), col("vb")), 6) * lit(1e6))
+          .cast("long").as("sim"))
+    Similarity.mmrRerank(cand, sims, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],
     * Kudo 2018 hard-EM): the OTHER standard subword trainer beside
     * q119's BPE — seed every ≤4-char substring, then two rounds of
@@ -5834,6 +5864,7 @@ object SparkEntry {
     "q202_image_neardup" -> (q202ImageNearDup _),
     "q203_sq_adc" -> (q203SqAdcContract _),
     "q204_stream_bm25_index" -> (q204StreamBm25Index _),
+    "q205_mmr_rerank" -> (q205MmrRerank _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10004,6 +10035,111 @@ object SparkEntry {
       """
         |SELECT query_id, rank, doc_id, score FROM rk
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // q205: ALL FIVE MMR greedy stages unrolled — per stage, the
+    // remaining set (NOT EXISTS vs selected), max-sim-to-selected,
+    // and the scaled-long argmax with lower-id ties
+    "q205_mmr_rerank" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.qv AS DOUBLE[])), 6) AS cs
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        |cand AS (
+        |  SELECT query_id, vec_id, CAST(round(cs * 1000000) AS BIGINT) AS rel
+        |  FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cs DESC, vec_id) <= 20),
+        |cv AS (
+        |  SELECT c.query_id, c.vec_id, e.embedding
+        |  FROM cand c JOIN embeddings e USING (vec_id)),
+        |sim AS (
+        |  SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+        |         CAST(round(round(list_cosine_similarity(
+        |             CAST(a.embedding AS DOUBLE[]),
+        |             CAST(b.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT) AS s
+        |  FROM cv a JOIN cv b
+        |    ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+        |s1 AS (
+        |  SELECT query_id, vec_id AS sel, 7 * rel AS score FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |          ORDER BY 7 * rel DESC, vec_id) = 1),
+        |sel1 AS (SELECT query_id, sel FROM s1),
+        |r2 AS (
+        |  SELECT c.* FROM cand c WHERE NOT EXISTS (
+        |    SELECT 1 FROM sel1 p
+        |    WHERE p.query_id = c.query_id AND p.sel = c.vec_id)),
+        |m2 AS (
+        |  SELECT r.query_id, r.vec_id, r.rel, max(s.s) AS ms
+        |  FROM r2 r
+        |  JOIN sel1 p ON p.query_id = r.query_id
+        |  JOIN sim s ON s.query_id = r.query_id
+        |   AND s.id_a = r.vec_id AND s.id_b = p.sel
+        |  GROUP BY 1, 2, 3),
+        |s2 AS (
+        |  SELECT query_id, vec_id AS sel, 7 * rel - 3 * ms AS score FROM m2
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |          ORDER BY 7 * rel - 3 * ms DESC, vec_id) = 1),
+        |sel2 AS (SELECT * FROM sel1 UNION ALL SELECT query_id, sel FROM s2),
+        |r3 AS (
+        |  SELECT c.* FROM cand c WHERE NOT EXISTS (
+        |    SELECT 1 FROM sel2 p
+        |    WHERE p.query_id = c.query_id AND p.sel = c.vec_id)),
+        |m3 AS (
+        |  SELECT r.query_id, r.vec_id, r.rel, max(s.s) AS ms
+        |  FROM r3 r
+        |  JOIN sel2 p ON p.query_id = r.query_id
+        |  JOIN sim s ON s.query_id = r.query_id
+        |   AND s.id_a = r.vec_id AND s.id_b = p.sel
+        |  GROUP BY 1, 2, 3),
+        |s3 AS (
+        |  SELECT query_id, vec_id AS sel, 7 * rel - 3 * ms AS score FROM m3
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |          ORDER BY 7 * rel - 3 * ms DESC, vec_id) = 1),
+        |sel3 AS (SELECT * FROM sel2 UNION ALL SELECT query_id, sel FROM s3),
+        |r4 AS (
+        |  SELECT c.* FROM cand c WHERE NOT EXISTS (
+        |    SELECT 1 FROM sel3 p
+        |    WHERE p.query_id = c.query_id AND p.sel = c.vec_id)),
+        |m4 AS (
+        |  SELECT r.query_id, r.vec_id, r.rel, max(s.s) AS ms
+        |  FROM r4 r
+        |  JOIN sel3 p ON p.query_id = r.query_id
+        |  JOIN sim s ON s.query_id = r.query_id
+        |   AND s.id_a = r.vec_id AND s.id_b = p.sel
+        |  GROUP BY 1, 2, 3),
+        |s4 AS (
+        |  SELECT query_id, vec_id AS sel, 7 * rel - 3 * ms AS score FROM m4
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |          ORDER BY 7 * rel - 3 * ms DESC, vec_id) = 1),
+        |sel4 AS (SELECT * FROM sel3 UNION ALL SELECT query_id, sel FROM s4),
+        |r5 AS (
+        |  SELECT c.* FROM cand c WHERE NOT EXISTS (
+        |    SELECT 1 FROM sel4 p
+        |    WHERE p.query_id = c.query_id AND p.sel = c.vec_id)),
+        |m5 AS (
+        |  SELECT r.query_id, r.vec_id, r.rel, max(s.s) AS ms
+        |  FROM r5 r
+        |  JOIN sel4 p ON p.query_id = r.query_id
+        |  JOIN sim s ON s.query_id = r.query_id
+        |   AND s.id_a = r.vec_id AND s.id_b = p.sel
+        |  GROUP BY 1, 2, 3),
+        |s5 AS (
+        |  SELECT query_id, vec_id AS sel, 7 * rel - 3 * ms AS score FROM m5
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |          ORDER BY 7 * rel - 3 * ms DESC, vec_id) = 1)
+        |SELECT query_id, CAST(rank AS INT) AS rank, sel AS vec_id,
+        |       score AS mmr_scaled
+        |FROM (
+        |  SELECT query_id, 1 AS rank, sel, score FROM s1
+        |  UNION ALL SELECT query_id, 2, sel, score FROM s2
+        |  UNION ALL SELECT query_id, 3, sel, score FROM s3
+        |  UNION ALL SELECT query_id, 4, sel, score FROM s4
+        |  UNION ALL SELECT query_id, 5, sel, score FROM s5)
+        |ORDER BY query_id, rank""".stripMargin,
 
     // both BM25 passes + the integer expansion replayed: feedback
     // docs from pass-1 ranks, new-term counts with an anti-join

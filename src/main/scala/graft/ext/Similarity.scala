@@ -560,4 +560,70 @@ object Similarity {
       .map { case ((id, _, d), i) => (i + 1, id, d) }
       .toDF("sel_rank", idCol, "min_dist_q2")
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998, SIGIR — the standard diversity re-ranker): from a
+    * retriever's per-query candidate list, greedily select k results
+    * trading relevance against redundancy with what is already
+    * selected —
+    *
+    *   rank 1 = argmax rel;
+    *   rank j = argmax λs·rel(d) − (scale−λs)·max_{s∈selected} sim(d,s)
+    *
+    * (λ = λs/scale; rank 1's score is λs·rel, i.e. the empty-set max
+    * is 0). All arithmetic on caller-scaled LONGS (rel and sim as
+    * rounded-cosine micro-units), ties to the lower id — so the whole
+    * greedy is deterministic and an external engine replays it stage
+    * by stage.
+    *
+    * `candidates` = (query_id, vec_id, rel); `sims` = (query_id,
+    * id_a, id_b, sim) covering every ordered candidate pair of a
+    * query. The per-query greedy runs in a cogroup over BOTH frames —
+    * the disclosed bounded sequential tier (C candidates, C² sims per
+    * query, retriever-bounded, never corpus-sized: the EWMA/throttle
+    * class). At 100 TB the corpus-sized work is the retriever's; this
+    * layer only ever touches queries × C².
+    */
+  def mmrRerank(candidates: DataFrame, sims: DataFrame, k: Int,
+      lambdaScaled: Long = 7, scale: Long = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaScaled >= 0 && lambdaScaled <= scale,
+      s"lambdaScaled=$lambdaScaled must sit in [0, scale=$scale]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("rel").cast("long"))
+      .as[(Long, Long, Long)]
+    val sim = sims
+      .select(col("query_id").cast("long"), col("id_a").cast("long"),
+        col("id_b").cast("long"), col("sim").cast("long"))
+      .as[(Long, Long, Long, Long)]
+    cand.groupByKey(_._1).cogroup(sim.groupByKey(_._1)) { (q, cs, ss) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      val sm = ss.map(s => (s._2, s._3) -> s._4).toMap
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val remaining = scala.collection.mutable.SortedSet(rel.keys.toSeq: _*)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+      var rank = 1
+      while (rank <= k && remaining.nonEmpty) {
+        var bestId = -1L
+        var bestScore = Long.MinValue
+        remaining.foreach { d =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.iterator
+              .map(s => sm.get((d, s)).orElse(sm.get((s, d))).getOrElse(0L)).max
+          val score = lambdaScaled * rel(d) - (scale - lambdaScaled) * maxSim
+          // strict > keeps the LOWEST id among ties (ascending scan)
+          if (score > bestScore) { bestScore = score; bestId = d }
+        }
+        out += ((q, rank, bestId, bestScore))
+        selected += bestId
+        remaining -= bestId
+        rank += 1
+      }
+      out.iterator
+    }.toDF("query_id", "rank", "vec_id", "mmr_scaled")
+  }
 }

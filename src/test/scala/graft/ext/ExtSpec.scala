@@ -349,6 +349,31 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq((2L, 1), (3L, 2)))
   }
 
+  test("mmrRerank: hand-computed greedy — diversity beats raw relevance; ties to lower id") {
+    // one query: A(rel 100) B(90) C(85); A~B near-dup (sim 95),
+    // A~C and B~C far. Greedy: A first; then C (7*85-3*10=565) beats
+    // the redundant B (7*90-3*95=345); B last at 345.
+    val cand = Seq((1L, 1L, 100L), (1L, 2L, 90L), (1L, 3L, 85L))
+      .toDF("query_id", "vec_id", "rel")
+    val symPairs = Seq((1L, 1L, 2L, 95L), (1L, 1L, 3L, 10L), (1L, 2L, 3L, 20L))
+    val simsBoth = (symPairs ++ symPairs.map(p => (p._1, p._3, p._2, p._4)))
+      .toDF("query_id", "id_a", "id_b", "sim")
+    val got = Similarity.mmrRerank(cand, simsBoth, 3)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((1L, 1, 1L, 700L), (1L, 2, 3L, 565L), (1L, 3, 2L, 345L)))
+    // one-directional (a<b) sim table resolves through the symmetric lookup
+    val gotSym = Similarity.mmrRerank(cand,
+      symPairs.toDF("query_id", "id_a", "id_b", "sim"), 3)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(gotSym == got)
+    // exact score tie -> lower id wins
+    val tied = Seq((9L, 5L, 50L), (9L, 4L, 50L)).toDF("query_id", "vec_id", "rel")
+    val none = Seq.empty[(Long, Long, Long, Long)].toDF("query_id", "id_a", "id_b", "sim")
+    val first = Similarity.mmrRerank(tied, none, 1)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(first == Seq((9L, 1, 4L, 350L)))
+  }
+
   test("marginMine: hand-computed margin, argmax pick, threshold") {
     val src = Seq((10L, Array(1f, 0f))).toDF("src_id", "src_vec")
     val tgt = Seq((1L, Array(1f, 0f)), (3L, Array(0.8f, 0.6f)),
