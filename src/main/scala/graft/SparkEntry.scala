@@ -5365,6 +5365,38 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hilbert vs Z-order layout audit
+    * ([[graft.ext.Layout.hilbertValue]] beside q171's
+    * [[graft.ext.Layout.zValue]]): the same file-model skipping
+    * report, but graded on BOTH dimensions — a band range predicate
+    * AND an hour range predicate over the same two clustered layouts
+    * — because the one-predicate view can't separate the curves
+    * (Hilbert's tighter per-file bounding boxes show up on the second
+    * dimension). The Hilbert key is the iterative xy2d walk folded
+    * in ONE in-plan `aggregate` HOF; the oracle replays the identical
+    * walk as a per-row recursive CTE (10 bit-levels of (x, y, d)
+    * state, rotation mirrors included) plus the z-interleave, file
+    * assignment, and min/max pruning counts — all exact integers.
+    */
+  def q206HilbertLayout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("band", pmod(col("user_id"), lit(1000)))
+    val layouts = Seq(
+      ("zorder_band_hour",
+        Seq(graft.ext.Layout.zValue(col("band"), hour(col("ts")), 10))),
+      ("hilbert_band_hour",
+        Seq(graft.ext.Layout.hilbertValue(col("band"), hour(col("ts")), 10))))
+    val byBand = graft.ext.Layout.skippingReport(ev, layouts,
+      statCol = col("band"), tieBreak = col("event_id"),
+      rowsPerFile = 500, lo = 100L, hi = 199L)
+      .withColumn("predicate", lit("band_100_199"))
+    val byHour = graft.ext.Layout.skippingReport(ev, layouts,
+      statCol = hour(col("ts")).cast("long"), tieBreak = col("event_id"),
+      rowsPerFile = 500, lo = 3L, hi = 8L)
+      .withColumn("predicate", lit("hour_3_8"))
+    byBand.unionByName(byHour).orderBy(col("predicate"), col("layout"))
+  }
+
   /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],
     * Kudo 2018 hard-EM): the OTHER standard subword trainer beside
     * q119's BPE — seed every ≤4-char substring, then two rounds of
@@ -5865,6 +5897,7 @@ object SparkEntry {
     "q203_sq_adc" -> (q203SqAdcContract _),
     "q204_stream_bm25_index" -> (q204StreamBm25Index _),
     "q205_mmr_rerank" -> (q205MmrRerank _),
+    "q206_hilbert_layout" -> (q206HilbertLayout _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -9714,6 +9747,7 @@ object SparkEntry {
         |            // (n_obs * sxx - sx * sx) AS BIGINT) AS slope_ppm
         |FROM a ORDER BY key""".stripMargin,
     "q171_skipping_report" -> skippingSql,
+    "q206_hilbert_layout" -> hilbertSkippingSql,
 
     // the same edit recipe replayed per version; latest_version pins
     // the snapshot listing
@@ -11339,6 +11373,71 @@ object SparkEntry {
        |      UNION ALL SELECT * FROM zorder_band_hour_r
        |      UNION ALL SELECT * FROM hash_random_r)
        |ORDER BY layout""".stripMargin
+  }
+
+  /** q206: the Hilbert xy2d walk replayed as a per-row recursive CTE
+    * (10 bit levels of (x, y, d) state with the N−1 rotation
+    * mirrors), the z-interleave inline, then q171's file model —
+    * row_number // rowsPerFile, per-file min/max, range-prune count —
+    * per (layout × predicate).
+    */
+  private def hilbertSkippingSql: String = {
+    val zTerms = (0 until 10).map(b =>
+      s"(((band >> $b) & 1) << ${2 * b + 1}) | (((hr >> $b) & 1) << ${2 * b})")
+      .mkString(" | ")
+    def block(layout: String, orderKey: String, statCol: String,
+        lo: Int, hi: Int, pred: String, tag: String) =
+      s"""${tag}_f AS (
+         |  SELECT $statCol AS v,
+         |         ((row_number() OVER (ORDER BY $orderKey, event_id)) - 1)
+         |           // 500 AS f
+         |  FROM keyed),
+         |${tag}_s AS (
+         |  SELECT min(v) AS mn, max(v) AS mx FROM ${tag}_f GROUP BY f),
+         |${tag}_r AS (
+         |  SELECT '$layout' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |         CAST(sum(CASE WHEN mx < $lo OR mn > $hi
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+         |         '$pred' AS predicate
+         |  FROM ${tag}_s)""".stripMargin
+    s"""WITH RECURSIVE src AS (
+       |  SELECT event_id, user_id % 1000 AS band,
+       |         extract(hour FROM ts) AS hr
+       |  FROM events),
+       |h AS (
+       |  SELECT event_id, band AS x, hr AS y, CAST(0 AS BIGINT) AS d,
+       |         9 AS i
+       |  FROM src
+       |  UNION ALL
+       |  SELECT event_id,
+       |         CASE WHEN ry = 0 THEN fy ELSE fx END,
+       |         CASE WHEN ry = 0 THEN fx ELSE fy END,
+       |         d + s * s * xor(3 * rx, ry),
+       |         i - 1
+       |  FROM (
+       |    SELECT event_id, d, i, s, rx, ry,
+       |           CASE WHEN ry = 0 AND rx = 1 THEN 1023 - x ELSE x END AS fx,
+       |           CASE WHEN ry = 0 AND rx = 1 THEN 1023 - y ELSE y END AS fy
+       |    FROM (
+       |      SELECT h.*, CAST(power(2, i) AS BIGINT) AS s,
+       |             CASE WHEN (x & CAST(power(2, i) AS BIGINT)) > 0
+       |                  THEN 1 ELSE 0 END AS rx,
+       |             CASE WHEN (y & CAST(power(2, i) AS BIGINT)) > 0
+       |                  THEN 1 ELSE 0 END AS ry
+       |      FROM h WHERE i >= 0) t1) t2),
+       |hd AS (SELECT event_id, d FROM h WHERE i = -1),
+       |keyed AS (
+       |  SELECT s.event_id, s.band, s.hr, ($zTerms) AS z, hd.d
+       |  FROM src s JOIN hd USING (event_id)),
+       |${block("zorder_band_hour", "z", "band", 100, 199, "band_100_199", "zb")},
+       |${block("hilbert_band_hour", "d", "band", 100, 199, "band_100_199", "hb")},
+       |${block("zorder_band_hour", "z", "hr", 3, 8, "hour_3_8", "zh")},
+       |${block("hilbert_band_hour", "d", "hr", 3, 8, "hour_3_8", "hh")}
+       |SELECT layout, n_files, n_skipped,
+       |       n_files - n_skipped AS n_scanned, predicate
+       |FROM (SELECT * FROM zb_r UNION ALL SELECT * FROM hb_r
+       |      UNION ALL SELECT * FROM zh_r UNION ALL SELECT * FROM hh_r)
+       |ORDER BY predicate, layout""".stripMargin
   }
 
   /** q165/q165b shared oracle: per-doc distinct 3-grams left-joined

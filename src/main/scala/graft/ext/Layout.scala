@@ -29,6 +29,45 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Hilbert d-value of the low `bits` of two non-negative columns —
+    * the OTHER standard multi-dimensional clustering key (the one
+    * Delta/Iceberg offer beside Z-order): the iterative xy2d walk
+    * (public algorithm — the standard Wikipedia/Hamilton reference
+    * form) folded over bit levels s = 2^(bits−1)..1, carrying (x, y,
+    * d) state. Expressed as ONE `aggregate` higher-order function
+    * over the descending-exponent sequence, so state threads
+    * ITERATIVELY — a hand-inlined expression would duplicate the
+    * (x, y) subtrees 2^bits times — and the key stays fully in-plan:
+    * no UDF, no shuffle, oracle-reproducible (the same walk replays
+    * as a recursive CTE). Hilbert keeps every pair of adjacent
+    * d-values spatially adjacent where z-order jumps at quadrant
+    * seams, so per-file bounding boxes come out tighter on BOTH
+    * dimensions.
+    */
+  def hilbertValue(xc: Column, yc: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 15, "bits must be in [1, 15]")
+    val n1 = (1L << bits) - 1L // N-1: rotations mirror inside the full grid
+    aggregate(
+      sequence(lit(bits - 1), lit(0), lit(-1)),
+      struct(xc.cast("long").as("x"), yc.cast("long").as("y"), lit(0L).as("d")),
+      (st, i) => {
+        val s = pow(lit(2.0), i).cast("long")
+        val x = st.getField("x")
+        val y = st.getField("y")
+        val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+        val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+        val d2 = st.getField("d") + s * s * (lit(3L) * rx).bitwiseXOR(ry)
+        val flip = ry === 0 && rx === 1
+        val fx = when(flip, lit(n1) - x).otherwise(x)
+        val fy = when(flip, lit(n1) - y).otherwise(y)
+        struct(
+          when(ry === 0, fy).otherwise(fx).as("x"),
+          when(ry === 0, fx).otherwise(fy).as("y"),
+          d2.as("d"))
+      },
+      st => st.getField("d"))
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into
     * `targetFiles` files, preserving (or imposing) a range-clustered
     * sort on `sortCols` so min/max file skipping survives the rewrite.

@@ -102,4 +102,31 @@ class LayoutSpec extends SparkSpec {
     // only the two high files miss [1,5] entirely
     assert(r == Seq(("parity", 4L, 2L, 2L), ("sorted", 4L, 3L, 1L)))
   }
+
+  test("hilbertValue: the full known 4x4 curve, and adjacency everywhere") {
+    // the canonical order-2 Hilbert walk (U-shape recursion)
+    val expected = Map(
+      (0, 0) -> 0L, (1, 0) -> 1L, (1, 1) -> 2L, (0, 1) -> 3L,
+      (0, 2) -> 4L, (0, 3) -> 5L, (1, 3) -> 6L, (1, 2) -> 7L,
+      (2, 2) -> 8L, (2, 3) -> 9L, (3, 3) -> 10L, (3, 2) -> 11L,
+      (3, 1) -> 12L, (2, 1) -> 13L, (2, 0) -> 14L, (3, 0) -> 15L)
+    val got = expected.keys.toSeq.map { case (x, y) => (x, y) }
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), 2).as("d"))
+      .as[(Int, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == expected)
+    // the defining property z-order lacks: consecutive d-values are
+    // always grid neighbors (|dx| + |dy| = 1)
+    val byD = got.toSeq.map { case ((x, y), d) => d -> ((x, y)) }.sortBy(_._1)
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+    // wider grid: 10-bit key is injective on a 64x24 slab
+    val wide = (for (x <- 0 until 64; y <- 0 until 24) yield (x, y)).toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), 10).as("d"))
+      .distinct().count()
+    assert(wide == 64L * 24L)
+  }
 }
