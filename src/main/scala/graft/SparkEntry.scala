@@ -5365,6 +5365,39 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** STREAMING KLL sketch maintenance
+    * ([[graft.stream.Jobs.runKllMergeStream]]): per-event-type value
+    * sketches kept fresh across 4 micro-batches — each batch sketches
+    * only its own rows, then merges into the published per-key state
+    * (O(batch + |state|) per trigger; raw values are seen once,
+    * ever). The q178 verification discipline on the STREAMED state:
+    * exact per-type row counts (they ride the state as a plain summed
+    * measure, so a dropped or doubled batch fails the hash) plus the
+    * stream-maintained sketch's p50/p95 rank-verified against the raw
+    * batch corpus within 4% — closing the sketches × streaming
+    * intersection the batch rollups (q178/q180) left open.
+    */
+  def q207StreamSketchState(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.KllAgg
+    val tmp = tempDir("graft-q207")
+    val (in, schema) = eventSliceStreamInput(spark, dir, tmp)
+    val state = Jobs.runKllMergeStream(spark, in, schema, s"$tmp/work",
+      "event_type", "value", k = 256)
+    val qs = state.select(col("event_type"), col("n_rows"),
+      KllAgg.quantile(col("sk"), 0.5).as("q50"),
+      KllAgg.quantile(col("sk"), 0.95).as("q95"))
+    Tables.events(spark, dir).filter(col("value").isNotNull)
+      .join(broadcast(qs), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_rows"))
+      .agg(
+        avg(when(col("value") <= col("q50"), 1.0).otherwise(0.0)).as("r50"),
+        avg(when(col("value") <= col("q95"), 1.0).otherwise(0.0)).as("r95"))
+      .select(col("event_type"), col("n_rows"),
+        (abs(col("r50") - 0.5) <= 0.04 &&
+          abs(col("r95") - 0.95) <= 0.04).as("ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -5898,6 +5931,7 @@ object SparkEntry {
     "q204_stream_bm25_index" -> (q204StreamBm25Index _),
     "q205_mmr_rerank" -> (q205MmrRerank _),
     "q206_hilbert_layout" -> (q206HilbertLayout _),
+    "q207_stream_sketch_state" -> (q207StreamSketchState _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -5934,7 +5968,8 @@ object SparkEntry {
     "q161b_golden_stream", "q162b_changepoint_stream",
     "q168b_seasonal_stream", "q174b_mv_stream", "q185b_zipf_stream",
     "q190b_quantile_stream", "q191b_temperature_stream",
-    "q198b_holt_stream", "q204_stream_bm25_index")
+    "q198b_holt_stream", "q204_stream_bm25_index",
+    "q207_stream_sketch_state")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -9748,6 +9783,14 @@ object SparkEntry {
         |FROM a ORDER BY key""".stripMargin,
     "q171_skipping_report" -> skippingSql,
     "q206_hilbert_layout" -> hilbertSkippingSql,
+
+    // q207: exact per-type counts pin completeness (a dropped or
+    // doubled micro-batch fails); the rank verdicts are the q178
+    // contract booleans
+    "q207_stream_sketch_state" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, TRUE AS ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the same edit recipe replayed per version; latest_version pins
     // the snapshot listing

@@ -613,6 +613,68 @@ object Jobs {
       spark.read.parquet(s"$workDir/stats/v=$lastV"))
   }
 
+  /** STREAMING sketch maintenance — mergeable per-key quantile state
+    * kept fresh forever: each micro-batch builds ITS OWN KLL sketch
+    * per key (O(batch) — raw values are seen exactly once, ever),
+    * then merges it with the published per-key sketch state via
+    * [[graft.ext.KllAgg.kllMergeAgg]] (KLL merge runs the same
+    * compaction the build does, so state stays O(k·log(n/k)) per key
+    * no matter how much history streams past), publishing
+    * `v=batchId` with the published-version ≥ batchId replay skip.
+    * The quantile analogue of [[runAggMergeStream]]'s algebraic
+    * counters — per trigger O(batch + |state|), never O(corpus),
+    * because the sketch IS the corpus summary. Exact `n_rows` rides
+    * the same state as a plain sum, so consumers can rank-verify the
+    * sketch against raw data (q207's contract).
+    */
+  def runKllMergeStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      workDir: String,
+      keyCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    // the batch-side plans resolve against the OUTER session (the
+    // merged frame's left operand is spark.read), the stream-side
+    // against the micro-batch's CLONED session — temp functions must
+    // exist on both (registered again per batch below)
+    graft.ext.KllAgg.register(spark)
+    var lastV = publishedVersion(spark, s"$workDir/state")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (lastV < batchId) {
+          // the micro-batch runs in a CLONED session whose function
+          // registry does not inherit temp functions registered on
+          // the outer session — re-register on the batch's own
+          graft.ext.KllAgg.register(batch.sparkSession)
+          val bSk = batch.filter(col(valueCol).isNotNull)
+            .groupBy(col(keyCol))
+            .agg(graft.ext.KllAgg.kllAgg(col(valueCol), k).as("sk"),
+              count(lit(1)).as("n_rows"))
+          val merged =
+            if (lastV < 0) bSk
+            else spark.read.parquet(s"$workDir/state/v=$lastV")
+              .unionByName(bSk)
+              .groupBy(col(keyCol))
+              .agg(graft.ext.KllAgg.kllMergeAgg(col("sk"), k).as("sk"),
+                sum(col("n_rows")).as("n_rows"))
+          merged.write.mode("overwrite").parquet(s"$workDir/state/v=$batchId")
+          lastV = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(lastV >= 0, s"no input files found under $inputDir")
+    spark.read.parquet(s"$workDir/state/v=$lastV")
+  }
+
   /** Streaming ingest into a persisted IVF-PQ index — FAISS `add` as
     * a stream: new vectors arrive in micro-batches; each batch is
     * assigned its coarse cell with FROZEN centroids

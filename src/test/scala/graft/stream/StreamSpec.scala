@@ -493,6 +493,41 @@ class StreamSpec extends SparkSpec {
     assert(snap() == streamed, "replay changed the maintained index")
   }
 
+  test("kll merge stream: counts exact, quantiles rank-accurate, replay merges nothing twice") {
+    val tmp = tempDir("graft-kllstream")
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    // 300 values of key "a" (1..300) split across 3 batches
+    val slices = Seq(0, 1, 2).map(b => (1 to 100).map(i => ("a", (b * 100 + i).toDouble)))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    def run() = {
+      val st = graft.stream.Jobs.runKllMergeStream(spark, in,
+        slices.head.toDF("k", "v").schema, s"$tmp/work", "k", "v", 64)
+      st.select(col("k"), col("n_rows"),
+        graft.ext.KllAgg.quantile(col("sk"), 0.5).as("q50"))
+        .as[(String, Long, Double)].collect().toSeq
+    }
+    val first = run()
+    assert(first.map(t => (t._1, t._2)) == Seq(("a", 300L)))
+    val q50 = first.head._3
+    assert(math.abs(q50 - 150.0) <= 15.0, s"p50 estimate off: $q50")
+    // wiped checkpoint, all states published: replay must not re-merge
+    val ckpt = new java.io.File(s"$tmp/work/ckpt")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(ckpt)
+    assert(run() == first, "replay changed the sketch state")
+  }
+
   test("index ingest stream: streamed IVF-PQ index bit-equals the batch build") {
     // planted 4-cluster geometry (the AnnIndexSpec fixture) so cell
     // assignment is unambiguous whatever the micro-batch carving
