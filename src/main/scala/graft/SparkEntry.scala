@@ -5398,6 +5398,62 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** KMV (bottom-k) sketch set algebra
+    * ([[graft.ext.Dedup.kmvSketch]] / [[graft.ext.Dedup.kmvPairOverlap]]):
+    * per-source bottom-256 signatures over distinct 3-gram shingles,
+    * then every pairwise intersection/union/Jaccard ESTIMATE read off
+    * the signatures alone — the set-algebra sketch HLL (q66) can't
+    * provide and the exact matrix (q188) pays a full join for.
+    * Hashes are the portable md5 form and θ-truncation plus the one
+    * fixed-order IEEE scale factor are deterministic, so every
+    * estimate — not a contract, the VALUES — hash-checks against an
+    * oracle that rebuilds sketches from raw text (hex-string order ≡
+    * numeric order; 'g' > any hex digit plays 2^60). ~1.3k shingles
+    * per source vs k=256 keeps the genuinely-approximate path
+    * exercised at every SF.
+    */
+  def q208KmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.kmvPairOverlap(
+      graft.ext.Dedup.kmvSketch(Tables.documents(spark, dir),
+        "source", "text", shingleSize = 3, k = 256), k = 256)
+      .orderBy(col("src_a"), col("src_b"))
+
+  /** KMV accuracy CONTRACT (the q188b discipline): the sketch
+    * estimates of q208 land within 4σ (σ ≈ n/√(k−2), the KMV
+    * standard error) of the EXACT per-pair distinct-shingle union
+    * and intersection, computed by the full join the sketch exists
+    * to avoid. Exact counts ride the output, so the oracle pins them
+    * value-for-value; the contract booleans certify the estimator
+    * MATH is right, not merely reproducible.
+    */
+  def q208bKmvContract(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.ext.Dedup.wordShingles(col("text"), 3)).as("gram"))
+      .distinct()
+    val counts = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("source").as("src_a"), col("gram"))
+      .join(grams.select(col("source").as("src_b"), col("gram")), Seq("gram"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    val est = q208KmvOverlap(spark, dir)
+    val bound = est
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .join(broadcast(inter), Seq("src_a", "src_b"), "left_outer")
+      .withColumn("n_exact_inter", coalesce(col("n_exact_inter"), lit(0L)))
+      .withColumn("n_exact_union", col("na") + col("nb") - col("n_exact_inter"))
+      .withColumn("__tol",
+        lit(4.0) * col("n_exact_union").cast("double") / lit(math.sqrt(254.0)))
+    bound.select(col("src_a"), col("src_b"),
+      col("n_exact_inter"), col("n_exact_union"),
+      (abs(col("est_union") - col("n_exact_union")).cast("double") <= col("__tol") &&
+        abs(col("est_intersection") - col("n_exact_inter")).cast("double") <= col("__tol"))
+        .as("ok"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -5932,6 +5988,8 @@ object SparkEntry {
     "q205_mmr_rerank" -> (q205MmrRerank _),
     "q206_hilbert_layout" -> (q206HilbertLayout _),
     "q207_stream_sketch_state" -> (q207StreamSketchState _),
+    "q208_kmv_overlap" -> (q208KmvOverlap _),
+    "q208b_kmv_contract" -> (q208bKmvContract _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -9784,6 +9842,28 @@ object SparkEntry {
     "q171_skipping_report" -> skippingSql,
     "q206_hilbert_layout" -> hilbertSkippingSql,
 
+    "q208_kmv_overlap" -> kmvOverlapSql,
+
+    // q208b: exact pair counts value-pinned; the 4-sigma estimator
+    // contracts are the boolean artifact
+    "q208b_kmv_contract" ->
+      (s"""WITH $kmvGramCtes,
+          |cnt AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+          |itr AS (
+          |  SELECT a.source AS src_a, b.source AS src_b,
+          |         CAST(count(*) AS BIGINT) AS n_exact_inter
+          |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT ca.source AS src_a, cb.source AS src_b,
+          |       coalesce(i.n_exact_inter, 0) AS n_exact_inter,
+          |       ca.n + cb.n - coalesce(i.n_exact_inter, 0) AS n_exact_union,
+          |       TRUE AS ok
+          |FROM cnt ca
+          |JOIN cnt cb ON ca.source < cb.source
+          |LEFT JOIN itr i ON i.src_a = ca.source AND i.src_b = cb.source
+          |ORDER BY src_a, src_b""".stripMargin),
+
     // q207: exact per-type counts pin completeness (a dropped or
     // doubled micro-batch fails); the rank verdicts are the q178
     // contract booleans
@@ -11481,6 +11561,87 @@ object SparkEntry {
        |FROM (SELECT * FROM zb_r UNION ALL SELECT * FROM hb_r
        |      UNION ALL SELECT * FROM zh_r UNION ALL SELECT * FROM hh_r)
        |ORDER BY predicate, layout""".stripMargin
+  }
+
+  /** Shared q208/q208b prefix: distinct (source, 3-gram shingle)
+    * pairs in the exact [[graft.ext.Dedup.wordShingles]] form —
+    * short texts keep their single full-token shingle.
+    */
+  private val kmvGramCtes: String =
+    """dt AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source,
+      |         unnest(CASE WHEN len(toks) >= 3
+      |                THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                      FOR i IN range(1, len(toks) - 1)]
+      |                ELSE [array_to_string(toks, ' ')] END) AS gram
+      |  FROM dt)""".stripMargin
+
+  /** q208: the whole KMV lifecycle rebuilt from raw text — bottom-256
+    * md5-hex signatures (hex-string order ≡ numeric order on the
+    * fixed 15-char prefix; 'g' outranks every hex digit and plays
+    * θ = 2^60), θ-truncated prefixes, exact sub-θ set counts, and the
+    * one fixed-order IEEE scale factor for the estimates.
+    */
+  private def kmvOverlapSql: String = {
+    val thetaDigits = (1 to 15).map(j =>
+      s"(strpos('0123456789abcdef', substr(th, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+      .mkString("\n|              + ")
+    s"""WITH $kmvGramCtes,
+       |hh AS (
+       |  SELECT DISTINCT source, substring(md5(gram), 1, 15) AS h FROM g),
+       |sk AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM hh),
+       |ksel AS (SELECT source, h, rn FROM sk WHERE rn <= 256),
+       |th AS (
+       |  SELECT source,
+       |         CASE WHEN max(rn) >= 256
+       |              THEN min(CASE WHEN rn = 256 THEN h END)
+       |              ELSE 'g' END AS theta_hex
+       |  FROM ksel GROUP BY source),
+       |pr AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         least(a.theta_hex, b.theta_hex) AS th
+       |  FROM th a JOIN th b ON a.source < b.source),
+       |ap AS (
+       |  SELECT p.src_a, p.src_b, k.h FROM pr p
+       |  JOIN ksel k ON k.source = p.src_a AND k.h < p.th),
+       |bp AS (
+       |  SELECT p.src_a, p.src_b, k.h FROM pr p
+       |  JOIN ksel k ON k.source = p.src_b AND k.h < p.th),
+       |cc AS (
+       |  SELECT a.src_a, a.src_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM ap a JOIN bp b
+       |    ON a.src_a = b.src_a AND a.src_b = b.src_b AND a.h = b.h
+       |  GROUP BY 1, 2),
+       |uu AS (
+       |  SELECT src_a, src_b, CAST(count(DISTINCT h) AS BIGINT) AS n_trunc_union
+       |  FROM (SELECT * FROM ap UNION ALL SELECT * FROM bp)
+       |  GROUP BY 1, 2),
+       |tnum AS (
+       |  SELECT src_a, src_b,
+       |         CASE WHEN th = 'g' THEN CAST(1152921504606846976 AS BIGINT)
+       |              ELSE CAST($thetaDigits AS BIGINT) END AS theta
+       |  FROM pr)
+       |SELECT u.src_a, u.src_b,
+       |       coalesce(c.n_common, 0) AS n_common,
+       |       u.n_trunc_union,
+       |       coalesce(c.n_common, 0) * 1000000 // u.n_trunc_union
+       |         AS est_jaccard_ppm,
+       |       CAST(floor(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+       |            * (1152921504606846976.0 / CAST(t.theta AS DOUBLE)))
+       |         AS BIGINT) AS est_intersection,
+       |       CAST(floor(CAST(u.n_trunc_union AS DOUBLE)
+       |            * (1152921504606846976.0 / CAST(t.theta AS DOUBLE)))
+       |         AS BIGINT) AS est_union
+       |FROM uu u
+       |LEFT JOIN cc c USING (src_a, src_b)
+       |JOIN tnum t USING (src_a, src_b)
+       |ORDER BY src_a, src_b""".stripMargin
   }
 
   /** q165/q165b shared oracle: per-doc distinct 3-grams left-joined

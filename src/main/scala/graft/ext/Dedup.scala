@@ -827,4 +827,73 @@ object Dedup {
           levenshtein(col("a_" + c), col("b_" + c)).as(c + "_dist")
         }: _*)
   }
+
+  // ----------------------------------- KMV (bottom-k) distinct sketch
+
+  /** KMV / bottom-k distinct-value sketch per group (Bar-Yossef et
+    * al. 2002 "Counting distinct elements in a data stream"; the
+    * estimator family behind theta sketches): the `k` smallest
+    * [[portableHash60]] values over the group's DISTINCT word
+    * `shingleSize`-gram shingles, as one ascending `sig` array.
+    * Unlike HLL (q66's lifecycle), bottom-k signatures support SET
+    * ALGEBRA — union is "k smallest of the concatenation" and
+    * intersections read off matching hashes below the pair's θ
+    * ([[kmvPairOverlap]]) — the cross-source overlap primitive with
+    * no exact join anywhere. Build shape: one distinct shuffle on
+    * (group, hash) then a per-group top-k window — the sketch is
+    * k longs per group regardless of corpus size.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, textCol: String,
+      shingleSize: Int, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df
+      .select(col(groupCol).as("grp"),
+        explode(wordShingles(col(textCol), shingleSize)).as("gram"))
+      .select(col("grp"), portableHash60(col("gram")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("h"))).as("sig"))
+  }
+
+  /** Pairwise KMV set-algebra estimates over stored signatures: for
+    * each group pair, θ = min of the two k-th-smallest hashes (2^60 —
+    * "complete sketch" — when a side holds fewer than k), both
+    * signatures truncate to their sub-θ prefixes, and
+    *
+    *   n_common / n_trunc_union  — exact integers under θ,
+    *   est_* = count · (2^60 / θ) — one IEEE division then one
+    *   multiply, fixed order, so external engines reproduce the
+    *   floors bit-for-bit (θ = 2^60 degrades to exact counts).
+    *
+    * Everything is array HOFs over two k-long arrays — the pair
+    * surface is groups², never values².
+    */
+  def kmvPairOverlap(sketches: DataFrame, k: Int): DataFrame = {
+    val full = lit(1L << 60)
+    def thetaOf(s: Column): Column =
+      when(size(s) >= k, element_at(s, k)).otherwise(full)
+    val a = sketches.select(col("grp").as("src_a"), col("sig").as("sa"))
+    val b = sketches.select(col("grp").as("src_b"), col("sig").as("sb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("theta", least(thetaOf(col("sa")), thetaOf(col("sb"))))
+      .withColumn("ap", filter(col("sa"), h => h < col("theta")))
+      .withColumn("bp", filter(col("sb"), h => h < col("theta")))
+      .withColumn("n_common",
+        size(array_intersect(col("ap"), col("bp"))).cast("long"))
+      .withColumn("n_trunc_union",
+        size(array_union(col("ap"), col("bp"))).cast("long"))
+      .withColumn("__factor",
+        lit(1.152921504606846976e18) / col("theta").cast("double"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("n_trunc_union"),
+        expr("n_common * 1000000 div n_trunc_union").as("est_jaccard_ppm"),
+        floor(col("n_common").cast("double") * col("__factor"))
+          .cast("long").as("est_intersection"),
+        floor(col("n_trunc_union").cast("double") * col("__factor"))
+          .cast("long").as("est_union"))
+  }
 }

@@ -374,6 +374,35 @@ class ExtSpec extends SparkSpec {
     assert(first == Seq((9L, 1, 4L, 350L)))
   }
 
+  test("kmvSketch/kmvPairOverlap: exact mode below k; theta truncation above k") {
+    // tiny vocab, k larger than any set: sketches are complete,
+    // theta = 2^60, estimates ARE the exact counts
+    val docs = Seq(
+      ("sA", "a b c d e"),       // shingles: "a b c","b c d","c d e"
+      ("sB", "a b c x y"),       // shares "a b c"
+      ("sC", "p q r s t")        // disjoint
+    ).toDF("grp", "text")
+    val sk = Dedup.kmvSketch(docs, "grp", "text", shingleSize = 3, k = 8)
+    val sigs = sk.as[(String, Seq[Long])].collect().toMap
+    assert(sigs("sA").length == 3 && sigs("sA") == sigs("sA").sorted)
+    val ov = Dedup.kmvPairOverlap(sk, 8)
+      .select("src_a", "src_b", "n_common", "est_intersection", "est_union")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(ov(("sA", "sB")) == ((1L, 1L, 5L)))   // "a b c" shared; 3+3-1
+    assert(ov(("sA", "sC")) == ((0L, 0L, 6L)))
+    // above k: theta truncates to the k-th smallest of the smaller side
+    val many = (1 to 50).map(i => ("big" + (i % 2), s"t$i u$i v$i w$i"))
+      .toDF("grp", "text")
+    val sk2 = Dedup.kmvSketch(many, "grp", "text", shingleSize = 3, k = 4)
+    assert(sk2.as[(String, Seq[Long])].collect().forall(_._2.length == 4))
+    val ov2 = Dedup.kmvPairOverlap(sk2, 4)
+      .select("n_trunc_union", "est_union").as[(Long, Long)].head()
+    // each side keeps k-1 = 3 sub-theta hashes at most; estimate
+    // scales up past the truncated count
+    assert(ov2._1 <= 6 && ov2._2 > ov2._1)
+  }
+
   test("marginMine: hand-computed margin, argmax pick, threshold") {
     val src = Seq((10L, Array(1f, 0f))).toDF("src_id", "src_vec")
     val tgt = Seq((1L, Array(1f, 0f)), (3L, Array(0.8f, 0.6f)),
