@@ -5249,9 +5249,16 @@ object SparkEntry {
     * to end. At 100 TB the pair surface is the banded join (never
     * corpus²) and only the decode pass touches payload bytes.
     */
-  def q202ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val fps = Multimodal.bmpDHashes(spark, synthImageDupMedia(spark, dir), partitions = 8)
-      .toDF()
+  def q202ImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    dhashNearDupCensus(
+      Multimodal.bmpDHashes(spark, synthImageDupMedia(spark, dir), partitions = 8)
+        .toDF())
+
+  /** Shared tail of q202/q209: banded Hamming pairs over a dHash
+    * fingerprint table → per-image neighbor census + min-id keep
+    * verdict.
+    */
+  private def dhashNearDupCensus(fps: DataFrame): DataFrame = {
     val pairs = graft.ext.Dedup.hammingNearDupPairs(
       fps.select(col("media_id"), col("fp")), "media_id", "fp",
       bits = 60, maxDistance = 3)
@@ -5264,6 +5271,30 @@ object SparkEntry {
         coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"), col("min_nbr"),
         (col("min_nbr").isNull || col("min_nbr") > col("media_id")).as("keep"))
       .orderBy(col("media_id"))
+  }
+
+  /** STREAMING image fingerprint-index ingest
+    * ([[graft.stream.Jobs.runDHashIndexStream]]): q202's corpus
+    * arrives as 4 micro-batches of BINARY payloads; each batch is
+    * decoded once (real BMP parse → dHash) and appends its
+    * fingerprint rows under an idempotent `batch_id=` partition — the
+    * payload bytes are never read again. The near-dup census then
+    * runs over the MAINTAINED relational index and must reproduce
+    * q202's from-scratch result exactly (decode is deterministic, so
+    * streamed index ≡ batch fingerprints row-for-row) — one oracle
+    * for both, the multimodal × streaming × dedup intersection.
+    */
+  def q209StreamImageIndex(spark: SparkSession, dir: String): DataFrame = {
+    val media = synthImageDupMedia(spark, dir)
+    val tmp = tempDir("graft-q209")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = true)))
+    dhashNearDupCensus(
+      Jobs.runDHashIndexStream(spark, in, schema, s"$tmp/work"))
   }
 
   /** SCALAR-quantizer ADC search contracts
@@ -5990,6 +6021,7 @@ object SparkEntry {
     "q207_stream_sketch_state" -> (q207StreamSketchState _),
     "q208_kmv_overlap" -> (q208KmvOverlap _),
     "q208b_kmv_contract" -> (q208bKmvContract _),
+    "q209_stream_image_index" -> (q209StreamImageIndex _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -6027,7 +6059,7 @@ object SparkEntry {
     "q168b_seasonal_stream", "q174b_mv_stream", "q185b_zipf_stream",
     "q190b_quantile_stream", "q191b_temperature_stream",
     "q198b_holt_stream", "q204_stream_bm25_index",
-    "q207_stream_sketch_state")
+    "q207_stream_sketch_state", "q209_stream_image_index")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -10063,47 +10095,12 @@ object SparkEntry {
     // quadratic bit_count(xor) <= 3 pairs — the Spark side must
     // recover identical fingerprints by PARSING THE ENCODED BMPs and
     // identical pairs through the banded pigeonhole join.
-    "q202_image_neardup" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
-        |         CAST(16 + (doc_id // 4) % 5 AS INT) AS w,
-        |         CAST(12 + (doc_id // 4) % 3 AS INT) AS h
-        |  FROM documents),
-        |gys AS (SELECT d.*, unnest(generate_series(0, 5)) AS gy FROM d),
-        |grid AS (SELECT gys.*, unnest(generate_series(0, 10)) AS gx FROM gys),
-        |v AS (
-        |  SELECT doc_id, w, h, gy, gx,
-        |         ((base * 37 + ((gy * h) // 6) * 11 + ((gx * w) // 11) * 29
-        |           + (((gx * w) // 11) * ((gy * h) // 6) + base) % 13) % 16) * 2
-        |           + (variant * (1 + ((gy * h) // 6) * 5 + ((gx * w) // 11) * 3)) % 3 % 2
-        |           AS gray
-        |  FROM grid),
-        |b AS (
-        |  SELECT doc_id, w, h, gy, gx, gray,
-        |         lead(gray) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS ngray
-        |  FROM v),
-        |fp AS (
-        |  SELECT doc_id, max(w) AS width, max(h) AS height,
-        |         CAST(sum(CASE WHEN gx < 10 AND gray < ngray
-        |                  THEN CAST(1 AS BIGINT) << (gy * 10 + gx)
-        |                  ELSE 0 END) AS BIGINT) AS fp
-        |  FROM b GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS ida, c.doc_id AS idb
-        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
-        |  WHERE bit_count(xor(a.fp, c.fp)) <= 3),
-        |sym AS (
-        |  SELECT ida AS media_id, idb AS nbr FROM pairs
-        |  UNION ALL SELECT idb, ida FROM pairs),
-        |nb AS (
-        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
-        |         min(nbr) AS min_nbr
-        |  FROM sym GROUP BY media_id)
-        |SELECT f.doc_id AS media_id, f.width, f.height, f.fp,
-        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
-        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
-        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
-        |ORDER BY media_id""".stripMargin,
+    "q202_image_neardup" -> imageNearDupSql,
+
+    // q209 rebuilds the same census from the stream-maintained
+    // fingerprint index — streamed ingest ≡ batch decode, one oracle
+    "q209_stream_image_index" -> imageNearDupSql,
+
 
     "q203_sq_adc" ->
       """SELECT 'sq_adc_recall_at_10_ge_0.8' AS metric, TRUE AS ok
@@ -11578,6 +11575,52 @@ object SparkEntry {
       |                      FOR i IN range(1, len(toks) - 1)]
       |                ELSE [array_to_string(toks, ' ')] END) AS gram
       |  FROM dt)""".stripMargin
+
+  /** q202/q209 shared oracle: regenerate luma at the sampled grid,
+    * pack the 60 gradient bits, quadratic bit_count(xor) pairs,
+    * neighbor census.
+    */
+  private val imageNearDupSql: String =
+    """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+        |         CAST(16 + (doc_id // 4) % 5 AS INT) AS w,
+        |         CAST(12 + (doc_id // 4) % 3 AS INT) AS h
+        |  FROM documents),
+        |gys AS (SELECT d.*, unnest(generate_series(0, 5)) AS gy FROM d),
+        |grid AS (SELECT gys.*, unnest(generate_series(0, 10)) AS gx FROM gys),
+        |v AS (
+        |  SELECT doc_id, w, h, gy, gx,
+        |         ((base * 37 + ((gy * h) // 6) * 11 + ((gx * w) // 11) * 29
+        |           + (((gx * w) // 11) * ((gy * h) // 6) + base) % 13) % 16) * 2
+        |           + (variant * (1 + ((gy * h) // 6) * 5 + ((gx * w) // 11) * 3)) % 3 % 2
+        |           AS gray
+        |  FROM grid),
+        |b AS (
+        |  SELECT doc_id, w, h, gy, gx, gray,
+        |         lead(gray) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS ngray
+        |  FROM v),
+        |fp AS (
+        |  SELECT doc_id, max(w) AS width, max(h) AS height,
+        |         CAST(sum(CASE WHEN gx < 10 AND gray < ngray
+        |                  THEN CAST(1 AS BIGINT) << (gy * 10 + gx)
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM b GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, c.doc_id AS idb
+        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 3),
+        |sym AS (
+        |  SELECT ida AS media_id, idb AS nbr FROM pairs
+        |  UNION ALL SELECT idb, ida FROM pairs),
+        |nb AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |         min(nbr) AS min_nbr
+        |  FROM sym GROUP BY media_id)
+        |SELECT f.doc_id AS media_id, f.width, f.height, f.fp,
+        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
+        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
+        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
+        |ORDER BY media_id""".stripMargin
 
   /** q208: the whole KMV lifecycle rebuilt from raw text — bottom-256
     * md5-hex signatures (hex-string order ≡ numeric order on the

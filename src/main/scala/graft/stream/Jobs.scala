@@ -901,6 +901,48 @@ object Jobs {
     spark.read.parquet(keptRoot).drop("v")
   }
 
+  /** STREAMING perceptual-fingerprint index ingest — the multimodal
+    * analogue of [[runBm25IndexStream]]: each micro-batch of binary
+    * image payloads is decoded ONCE ([[graft.ext.Multimodal
+    * .bmpDHashes]] — the disclosed imperative codec tier) and its
+    * (id, dims, 60-bit dHash) rows land under their own `batch_id=`
+    * partition ([[graft.sinks.Writers.idempotentBatchWrite]] — a
+    * replayed batch overwrites itself with bit-identical rows, since
+    * decode is deterministic). The payload bytes are never read
+    * again: every downstream near-dup question (q202's banded
+    * Hamming census, retrieval, dedup verdicts) runs on the
+    * relational index — at 100 TB the binary column is touched
+    * exactly once per image, the property that makes multimodal
+    * dedup affordable as data lands. Returns the full index read
+    * back from the partitions.
+    */
+  def runDHashIndexStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
+      workDir: String): DataFrame = {
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fps = graft.ext.Multimodal
+          .bmpDHashes(batch.sparkSession, batch, partitions = 4).toDF()
+        graft.sinks.Writers.idempotentBatchWrite(fps, batchId, s"$workDir/index")
+        batches += 1
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val root = new org.apache.hadoop.fs.Path(s"$workDir/index")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no input files found under $inputDir")
+    spark.read.parquet(s"$workDir/index").drop("batch_id")
+  }
+
   /** STREAMING media ingest with DLQ routing — the O-61 dual-write
     * shape over BINARY payloads: each micro-batch runs the REAL WAV
     * parser ([[graft.ext.Multimodal.Wav]]); rows that parse append
