@@ -666,4 +666,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bm25 index serve: scoring reads stored postings only — no tokenizer, text never scanned") {
+    import spark.implicits._
+    val tmp = tempDir("graft-plan-bm25idx")
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val (p0, d0, s0) = graft.ext.Text.bm25Index(docs, "doc_id", "text")
+    p0.write.parquet(s"$tmp/postings")
+    d0.write.parquet(s"$tmp/dl")
+    s0.write.parquet(s"$tmp/stats")
+    val served = graft.ext.Text.bm25ServeFromIndex(
+      spark.read.parquet(s"$tmp/postings"), spark.read.parquet(s"$tmp/dl"),
+      spark.read.parquet(s"$tmp/stats"), Seq(("q", Seq("alpha", "beta"))), 2)
+    val p = served.queryExecution.executedPlan.toString
+    // q204's 100 TB point: serve cost is bounded by the query-filtered
+    // index — a tokenizer or text scan here means the index was ignored
+    assert(!p.contains("split("), p)
+    assert(!p.contains("text:string"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("sq adc: search scans stored codes only — corpus floats never rematerialize") {
+    import spark.implicits._
+    val tmp = tempDir("graft-plan-sqadc")
+    val corpus = Seq((1L, Array(0f, 1f)), (2L, Array(5f, 3f)), (3L, Array(9f, 7f)))
+      .toDF("vec_id", "embedding")
+    val stats = graft.ext.Features.dimMinMax(corpus, "embedding")
+    graft.ext.Features.quantizeVectors(corpus, "vec_id", "embedding", stats)
+      .write.parquet(s"$tmp/codes")
+    val topk = graft.ext.Features.sqAdcTopK(
+      spark.read.parquet(s"$tmp/codes"),
+      Seq((9L, Array(0f, 0f))).toDF("query_id", "query_vec"), stats, 2)
+    val p = topk.queryExecution.executedPlan.toString
+    // bounds ride as literals (statsLiterals' driver hop) — the only
+    // scan is the 4x-compressed code table
+    assert(p.contains("codes"), p)
+    assert(!p.contains("embedding:array"), p)
+  }
 }
