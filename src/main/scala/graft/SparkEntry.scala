@@ -5485,6 +5485,26 @@ object SparkEntry {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Competence-based CURRICULUM schedule
+    * ([[graft.ext.TrainPrep.curriculumSchedule]], Platanios et al.
+    * 2019): the corpus ordered easy→hard by token count (the
+    * canonical length curriculum) through the exact zero-global-sort
+    * rank, phased by the quantized √-competence pacing (phase p of 4
+    * admits the easiest ⌊N·√(p/4)⌋ docs — closed form
+    * ⌈rank²·4/N²⌉, truncating decimal arithmetic), with a
+    * deterministic md5 within-phase training order. The per-doc
+    * artifact — rank, first admitting phase, phase order — is what a
+    * training loop consumes; the oracle replays rank, the integer
+    * closed form, and the md5 order window verbatim.
+    */
+  def q210Curriculum(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TrainPrep.curriculumSchedule(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", Text.tokenCount(col("text")).cast("long"), phases = 4)
+      .select(col("doc_id"), col("difficulty"), col("difficulty_rank"),
+        col("n_docs"), col("first_phase"), col("phase_order"))
+      .orderBy(col("doc_id"))
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6022,6 +6042,7 @@ object SparkEntry {
     "q208_kmv_overlap" -> (q208KmvOverlap _),
     "q208b_kmv_contract" -> (q208bKmvContract _),
     "q209_stream_image_index" -> (q209StreamImageIndex _),
+    "q210_curriculum" -> (q210Curriculum _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -9875,6 +9896,31 @@ object SparkEntry {
     "q206_hilbert_layout" -> hilbertSkippingSql,
 
     "q208_kmv_overlap" -> kmvOverlapSql,
+
+    // q210: exact ascending rank, the integer competence closed form
+    // (ceil via +den-1 then truncating //), md5 within-phase order
+    "q210_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS difficulty
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, difficulty,
+        |         CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT)
+        |           AS difficulty_rank,
+        |         CAST(count(*) OVER () AS BIGINT) AS n_docs
+        |  FROM d),
+        |p AS (
+        |  SELECT r.*,
+        |         (difficulty_rank * difficulty_rank * 4 + n_docs * n_docs - 1)
+        |           // (n_docs * n_docs) AS first_phase
+        |  FROM r)
+        |SELECT doc_id, difficulty, difficulty_rank, n_docs, first_phase,
+        |       CAST(row_number() OVER (PARTITION BY first_phase
+        |            ORDER BY md5('cur#' || CAST(doc_id AS VARCHAR)), doc_id)
+        |         AS INT) AS phase_order
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // q208b: exact pair counts value-pinned; the 4-sigma estimator
     // contracts are the boolean artifact

@@ -679,6 +679,50 @@ object TrainPrep {
       .drop("__qb", "__qb_off", "__qb_n")
   }
 
+  /** Competence-based curriculum schedule (Platanios et al. 2019,
+    * "Competence-based Curriculum Learning for Neural Machine
+    * Translation" — public literature): every doc ranks by ascending
+    * difficulty (exact global rank through [[quantileNormalize]] with
+    * a constant group — the zero-global-sort two-phase discipline,
+    * ties on id), and training runs in `phases` phases where phase p
+    * admits the easiest ⌊N·√(p/P)⌋ docs (the √-competence pacing,
+    * quantized so it replays exactly: rank ≤ isqrt(N²p div P) ⟺
+    * N²·p ≥ rank²·P, giving the closed form
+    * `first_phase = ⌈rank²·P / N²⌉` — DECIMAL(38,0) internally, so
+    * rank² never overflows at any corpus size). Within its admitting
+    * phase each doc gets a deterministic md5 training order (the q95
+    * shuffle discipline). Emits (id…, difficulty, difficulty_rank,
+    * n_docs, first_phase, phase_order) — the artifact a training loop
+    * consumes directly: phase p's data = rows with first_phase ≤ p.
+    */
+  def curriculumSchedule(
+      df: DataFrame, idCol: String, difficultyCol: Column,
+      phases: Int): DataFrame = {
+    require(phases >= 1, "phases must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = quantileNormalize(
+      df.withColumn("__cur_g", lit(0)), "__cur_g", idCol, difficultyCol)
+      .drop("__cur_g", "quantile_ppm")
+      .withColumnRenamed("q_rank", "difficulty_rank")
+      .withColumnRenamed("group_n", "n_docs")
+    val rkD = col("difficulty_rank").cast("decimal(38,0)")
+    val nD = col("n_docs").cast("decimal(38,0)")
+    val w = Window.partitionBy(col("first_phase"))
+      .orderBy(col("__cur_key"), col(idCol))
+    ranked
+      .withColumn("difficulty", difficultyCol.cast("long"))
+      .withColumn("__cur_num", rkD * rkD * lit(phases) + nD * nD - lit(1))
+      .withColumn("__cur_den", nD * nD)
+      // IntegralDivide (div) TRUNCATES on decimals — a decimal `/`
+      // plus cast would round-half-up and misassign boundary ranks
+      .withColumn("first_phase",
+        expr("CAST(__cur_num div __cur_den AS BIGINT)"))
+      .withColumn("__cur_key",
+        md5(concat(lit("cur#"), col(idCol).cast("string"))))
+      .withColumn("phase_order", row_number().over(w))
+      .drop("__cur_key", "__cur_num", "__cur_den")
+  }
+
   private val BloomAggName = "graft_bloom_filter_agg"
   private val BloomProbeName = "graft_might_contain"
 

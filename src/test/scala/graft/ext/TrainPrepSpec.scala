@@ -614,4 +614,27 @@ class TrainPrepSpec extends SparkSpec {
     handle.unpersist()
     assert(!handle.isCached)
   }
+
+  test("curriculumSchedule: hand-computed sqrt pacing, boundary ranks, P=1 degenerate") {
+    // N=4, P=2: admit(1) = isqrt(16/2) = 2 → ranks 1-2 in phase 1;
+    // ranks 3-4 in phase 2 (closed form ceil(rank^2 * 2 / 16))
+    val docs = Seq((10L, 5L), (11L, 1L), (12L, 9L), (13L, 3L))
+      .toDF("id", "diff")
+    val out = TrainPrep.curriculumSchedule(docs, "id", col("diff"), phases = 2)
+      .select("id", "difficulty_rank", "first_phase")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(11L) == ((1L, 1L)))   // diff 1 → easiest
+    assert(out(13L) == ((2L, 1L)))   // diff 3
+    assert(out(10L) == ((3L, 2L)))   // diff 5
+    assert(out(12L) == ((4L, 2L)))   // diff 9
+    // P=1: everything admitted in the single phase
+    val p1 = TrainPrep.curriculumSchedule(docs, "id", col("diff"), phases = 1)
+      .select("first_phase").as[Long].collect().toSet
+    assert(p1 == Set(1L))
+    // phase_order is a within-phase permutation 1..|phase|
+    val po = TrainPrep.curriculumSchedule(docs, "id", col("diff"), phases = 2)
+      .select("first_phase", "phase_order").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(po == Map(1L -> Seq(1, 2), 2L -> Seq(1, 2)))
+  }
 }
