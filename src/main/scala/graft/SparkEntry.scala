@@ -5505,6 +5505,90 @@ object SparkEntry {
         col("n_docs"), col("first_phase"), col("phase_order"))
       .orderBy(col("doc_id"))
 
+  /** STREAMING curriculum twin: the schedule is corpus-GLOBAL (one
+    * arriving doc shifts every rank and the phase cut-offs), so
+    * snapshot recompute is the correct incremental form
+    * ([[graft.stream.Jobs.runPlanRecomputeStream]], the q104b/q132
+    * class). Shares q210's oracle verbatim.
+    */
+  def q210bCurriculumStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q210b")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
+      docs => graft.ext.TrainPrep.curriculumSchedule(
+        docs.select(col("doc_id"), col("text")),
+        "doc_id", Text.tokenCount(col("text")).cast("long"), phases = 4)
+        .select(col("doc_id"), col("difficulty"), col("difficulty_rank"),
+          col("n_docs"), col("first_phase"), col("phase_order")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ORC source/sink roundtrip — the second columnar format a lake
+    * engine must speak (Spark's built-in ORC datasource; no external
+    * connector): the orders table lands as ORC partitioned by status,
+    * reads back through a fresh scan, and aggregates — which must
+    * equal the same aggregation straight off the parquet source, so
+    * the oracle (DuckDB reads only the parquet) pins type fidelity
+    * (timestamps, doubles, strings) across the format boundary. The
+    * partitioned layout keeps ORC's predicate/partition pruning
+    * available at scale.
+    */
+  def q211OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q211")
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .orc(s"$tmp/orders_orc")
+    spark.read.orc(s"$tmp/orders_orc")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        max(col("o_orderdate")).as("last_order"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** PHONETIC entity resolution ([[graft.ext.TextNorm.soundex]] +
+    * the q160 block/verify discipline): a 150-person registry with
+    * planted phonetically-equivalent misspellings (doubled final
+    * letter, appended "ey" — both provably soundex-invariant), then
+    * blocked on the surname's Soundex class and verified by
+    * (levenshtein ≤ 2 AND equal initial). The block catches what
+    * exact and edit-distance blocking both miss ("Tymczak" vs
+    * "Tymczakk"); the verify rejects same-block different persons
+    * ("Robert" vs "Robertson" shares R163 but fails lev ≤ 2). The
+    * soundex chain is translate + RE2-safe regexes, so the oracle
+    * replays the key itself, not just the pairs.
+    */
+  def q212PhoneticEr(spark: SparkSession, dir: String): DataFrame = {
+    val surnames = Seq("Robert", "Robertson", "Ashcraft", "Tymczak",
+      "Pfister", "Honeyman", "Washington", "Lee", "Gutierrez", "Jackson",
+      "Schmidt", "Snyder", "Oconnor", "Macdonald", "Herzog", "Castillo",
+      "Nguyen", "Okafor", "Svensson", "Almeida")
+    val nameArr = array(surnames.map(lit): _*)
+    val base = Tables.customer(spark, dir).filter(col("c_custkey") < 150)
+      .select(col("c_custkey").as("pid"),
+        element_at(nameArr, (col("c_custkey") % 20 + 1).cast("int")).as("surname"),
+        expr("char(c_custkey % 26 + 65)").as("initial"))
+    val twins = base.filter(col("pid") % 7 === 0)
+      .select((col("pid") + 1000).as("pid"),
+        when(col("pid") % 2 === 0,
+          concat(col("surname"), substring(col("surname"), -1, 1)))
+          .otherwise(concat(col("surname"), lit("ey"))).as("surname"),
+        col("initial"))
+    val keyed = base.unionByName(twins)
+      .withColumn("sdx", graft.ext.TextNorm.soundex(col("surname")))
+    val a = keyed.select(col("sdx"), col("pid").as("id_a"),
+      col("surname").as("sn_a"), col("initial").as("in_a"))
+    val b = keyed.select(col("sdx"), col("pid").as("id_b"),
+      col("surname").as("sn_b"), col("initial").as("in_b"))
+    a.join(b, Seq("sdx")).filter(col("id_a") < col("id_b"))
+      .filter(levenshtein(col("sn_a"), col("sn_b")) <= 2 &&
+        col("in_a") === col("in_b"))
+      .select(col("id_a"), col("id_b"), col("sdx").as("block_sdx"),
+        levenshtein(col("sn_a"), col("sn_b")).cast("long").as("surname_lev"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6043,6 +6127,9 @@ object SparkEntry {
     "q208b_kmv_contract" -> (q208bKmvContract _),
     "q209_stream_image_index" -> (q209StreamImageIndex _),
     "q210_curriculum" -> (q210Curriculum _),
+    "q210b_curriculum_stream" -> (q210bCurriculumStream _),
+    "q211_orc_roundtrip" -> (q211OrcRoundtrip _),
+    "q212_phonetic_er" -> (q212PhoneticEr _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -6080,7 +6167,8 @@ object SparkEntry {
     "q168b_seasonal_stream", "q174b_mv_stream", "q185b_zipf_stream",
     "q190b_quantile_stream", "q191b_temperature_stream",
     "q198b_holt_stream", "q204_stream_bm25_index",
-    "q207_stream_sketch_state", "q209_stream_image_index")
+    "q207_stream_sketch_state", "q209_stream_image_index",
+    "q210b_curriculum_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -9897,30 +9985,26 @@ object SparkEntry {
 
     "q208_kmv_overlap" -> kmvOverlapSql,
 
-    // q210: exact ascending rank, the integer competence closed form
-    // (ceil via +den-1 then truncating //), md5 within-phase order
-    "q210_curriculum" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |           AS difficulty
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, difficulty,
-        |         CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT)
-        |           AS difficulty_rank,
-        |         CAST(count(*) OVER () AS BIGINT) AS n_docs
-        |  FROM d),
-        |p AS (
-        |  SELECT r.*,
-        |         (difficulty_rank * difficulty_rank * 4 + n_docs * n_docs - 1)
-        |           // (n_docs * n_docs) AS first_phase
-        |  FROM r)
-        |SELECT doc_id, difficulty, difficulty_rank, n_docs, first_phase,
-        |       CAST(row_number() OVER (PARTITION BY first_phase
-        |            ORDER BY md5('cur#' || CAST(doc_id AS VARCHAR)), doc_id)
-        |         AS INT) AS phase_order
-        |FROM p ORDER BY doc_id""".stripMargin,
+    // q210/q210b: exact ascending rank, the integer competence closed
+    // form (ceil via +den-1 then truncating //), md5 within-phase
+    // order; the stream twin recomputes the corpus-global schedule
+    "q210_curriculum" -> curriculumSql,
+    "q210b_curriculum_stream" -> curriculumSql,
+
+    // q211: the oracle reads ONLY the parquet source — equality pins
+    // type fidelity across the ORC write/read boundary
+    "q211_orc_roundtrip" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       max(o_orderdate) AS last_order,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // q212: the soundex chain itself (translate + RE2-safe collapse),
+    // the planted twins, and the block/verify joins all replayed
+    "q212_phonetic_er" -> phoneticErSql,
 
     // q208b: exact pair counts value-pinned; the 4-sigma estimator
     // contracts are the boolean artifact
@@ -11667,6 +11751,84 @@ object SparkEntry {
         |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
         |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
         |ORDER BY media_id""".stripMargin
+
+  /** q210/q210b shared oracle: exact rank, integer competence closed
+    * form, md5 within-phase order.
+    */
+  private val curriculumSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |           AS difficulty
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, difficulty,
+      |         CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT)
+      |           AS difficulty_rank,
+      |         CAST(count(*) OVER () AS BIGINT) AS n_docs
+      |  FROM d),
+      |p AS (
+      |  SELECT r.*,
+      |         (difficulty_rank * difficulty_rank * 4 + n_docs * n_docs - 1)
+      |           // (n_docs * n_docs) AS first_phase
+      |  FROM r)
+      |SELECT doc_id, difficulty, difficulty_rank, n_docs, first_phase,
+      |       CAST(row_number() OVER (PARTITION BY first_phase
+      |            ORDER BY md5('cur#' || CAST(doc_id AS VARCHAR)), doc_id)
+      |         AS INT) AS phase_order
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** q212 oracle: NARA soundex as translate + per-digit RE2 collapse
+    * (validated against the canonical R163/A261/T522/P236/H555 set),
+    * then the registry, twins, block join, and verify replayed.
+    */
+  private val phoneticErSql: String = {
+    val collapse = "0123456".foldLeft("no9")((acc, d) =>
+      s"regexp_replace($acc, '$d{2,}', '$d', 'g')")
+    s"""WITH names AS (
+       |  SELECT ['Robert','Robertson','Ashcraft','Tymczak','Pfister',
+       |          'Honeyman','Washington','Lee','Gutierrez','Jackson',
+       |          'Schmidt','Snyder','Oconnor','Macdonald','Herzog',
+       |          'Castillo','Nguyen','Okafor','Svensson','Almeida'] AS ns),
+       |base AS (
+       |  SELECT c_custkey AS pid,
+       |         ns[CAST(c_custkey % 20 + 1 AS INT)] AS surname,
+       |         chr(CAST(c_custkey % 26 + 65 AS INT)) AS initial
+       |  FROM customer, names WHERE c_custkey < 150),
+       |twins AS (
+       |  SELECT pid + 1000 AS pid,
+       |         CASE WHEN pid % 2 = 0
+       |              THEN surname || substr(surname, length(surname), 1)
+       |              ELSE surname || 'ey' END AS surname,
+       |         initial
+       |  FROM base WHERE pid % 7 = 0),
+       |reg AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+       |sx0 AS (
+       |  SELECT reg.*,
+       |         regexp_replace(upper(surname), '[^A-Z]', '', 'g') AS up
+       |  FROM reg),
+       |sx1 AS (
+       |  SELECT *, translate(up, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+       |                      '01230129022455012623019202') AS coded
+       |  FROM sx0),
+       |sx2 AS (SELECT *, regexp_replace(coded, '9', '', 'g') AS no9 FROM sx1),
+       |sx3 AS (SELECT *, regexp_replace($collapse, '0', '', 'g') AS no0,
+       |               substr(coded, 1, 1) AS fc
+       |        FROM sx2),
+       |keyed AS (
+       |  SELECT pid, surname, initial,
+       |         substr(up, 1, 1) ||
+       |           rpad(substr(CASE WHEN fc IN ('0', '9') THEN no0
+       |                            ELSE substr(no0, 2, 1000000) END,
+       |                1, 3), 3, '0') AS sdx
+       |  FROM sx3)
+       |SELECT a.pid AS id_a, b.pid AS id_b, a.sdx AS block_sdx,
+       |       CAST(levenshtein(a.surname, b.surname) AS BIGINT) AS surname_lev
+       |FROM keyed a JOIN keyed b ON a.sdx = b.sdx AND a.pid < b.pid
+       |WHERE levenshtein(a.surname, b.surname) <= 2
+       |  AND a.initial = b.initial
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** q208: the whole KMV lifecycle rebuilt from raw text — bottom-256
     * md5-hex signatures (hex-string order ≡ numeric order on the

@@ -92,4 +92,40 @@ object TextNorm {
     trim(regexp_replace(
       normalize(regexp_replace(normalize(lower(s), "NFD"), "\\p{Mn}", ""), "NFC"),
       "\\s+", " "))
+
+  /** American Soundex phonetic key (the public NARA algorithm,
+    * H/W-collapse rule included) as a pure codegen'd column chain —
+    * no UDF, and every step (translate + RE2-safe regexes: no
+    * backreferences anywhere) replays verbatim in an external
+    * engine. Pipeline: strip to A–Z; code letters (vowels→0, H/W→9
+    * sentinel); DELETE 9s so H/W-separated equal codes become
+    * adjacent (the rule naive implementations miss); collapse runs
+    * per digit; delete 0s (vowels DO separate); drop the first
+    * letter's own surviving code (it never survived if it was a
+    * vowel or H/W); first letter + 3 zero-padded digits. Empty or
+    * letterless input → NULL. The phonetic BLOCKING key for entity
+    * resolution: "Tymczak"/"Tymzak" collide at T522 where exact and
+    * edit-distance blocking both miss.
+    */
+  def soundex(s: Column): Column = {
+    val up = regexp_replace(org.apache.spark.sql.functions.upper(s), "[^A-Z]", "")
+    val coded = org.apache.spark.sql.functions.translate(up,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230129022455012623019202")
+    val no9 = regexp_replace(coded, "9", "")
+    val collapsed = "0123456".foldLeft(no9) { (c, d) =>
+      regexp_replace(c, s"$d{2,}", d.toString)
+    }
+    val no0 = regexp_replace(collapsed, "0", "")
+    val firstCode = org.apache.spark.sql.functions.substring(coded, 1, 1)
+    val tail = org.apache.spark.sql.functions.when(
+      firstCode.isin("0", "9"), no0)
+      .otherwise(org.apache.spark.sql.functions.substring(no0, 2, 1000000))
+    org.apache.spark.sql.functions.when(
+      org.apache.spark.sql.functions.length(up) === 0,
+      lit(null).cast(StringType))
+      .otherwise(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.substring(up, 1, 1),
+        org.apache.spark.sql.functions.rpad(
+          org.apache.spark.sql.functions.substring(tail, 1, 3), 3, "0")))
+  }
 }

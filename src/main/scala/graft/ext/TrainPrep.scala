@@ -633,6 +633,10 @@ object TrainPrep {
       Set("q_rank", "group_n", "quantile_ppm", "__qb", "__qb_lo", "__qb_hi",
         "__qb_off", "__qb_n")),
       "input must not already contain q_rank/group_n/quantile_ppm/__qb* columns")
+    // register the sketch aggregate on the INPUT's session — inside a
+    // foreachBatch the plan resolves against the outer session while
+    // SparkSession.active is the stream's clone (the q207 lesson)
+    KllAgg.register(df.sparkSession)
     val s = nanvl(coalesce(scoreCol.cast("double"),
       lit(Double.NegativeInfinity)), lit(Double.NegativeInfinity))
     val cuts = kllCuts(df, s, numBuckets, sketchK)

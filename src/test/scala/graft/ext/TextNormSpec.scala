@@ -52,4 +52,23 @@ class TextNormSpec extends SparkSpec {
   test("foldText collapses runs of whitespace and trims") {
     assert(fold("  a\t\tb \n c  ") == "a b c")
   }
+
+  test("soundex: canonical NARA values, H/W rule, and the fixture invariances") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def sdx(names: String*): Seq[String] =
+      names.toDF("n").select(TextNorm.soundex(col("n"))).as[String].collect().toSeq
+    // the canonical hard set (H/W collapse, Pfister first-code drop)
+    assert(sdx("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",
+      "Honeyman", "Washington", "Lee") ==
+      Seq("R163", "R163", "A261", "T522", "P236", "H555", "W252", "L000"))
+    // q212's planted-misspelling invariances
+    assert(sdx("Tymczak", "Tymczakk", "Tymczakey").distinct.size == 1)
+    assert(sdx("Gutierrez", "Gutierrezz", "Gutierrezey").distinct.size == 1)
+    // non-letters stripped; letterless input → null
+    assert(sdx("O'Connor-2") == sdx("OConnor"))
+    val nulls = Seq("123", "").toDF("n")
+      .select(TextNorm.soundex(col("n"))).collect().map(_.isNullAt(0)).toSeq
+    assert(nulls == Seq(true, true))
+  }
 }
