@@ -5589,6 +5589,72 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Deterministic conversation fixture: each doc's tokens chunk into
+    * 7-token turns with alternating user/assistant roles — an ordered
+    * `array<struct<role, content>>` column, the chat data model.
+    */
+  private def synthConversations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("conv_id"),
+        transform(
+          sequence(lit(0), ((size(toks) + 6) / 7).cast("int") - 1),
+          i => struct(
+            when(i % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+            concat_ws(" ", slice(toks, i * 7 + 1, lit(7))).as("content")))
+          .as("turns"))
+  }
+
+  /** Chat-turn accounting + SFT loss-mask spans
+    * ([[graft.ext.Chat.turnStats]]): conversations (nested turn
+    * arrays) explode to per-turn rows with token counts and exact
+    * half-open token spans on the conversation axis (one prefix-sum
+    * window per conversation) — `in_loss` marks the assistant turns,
+    * the mask an SFT trainer consumes. The oracle derives every span
+    * from the chunking closed form (turn i covers [7i, min(7(i+1),
+    * n))), so the window layout is pinned against the spec, not
+    * against itself.
+    */
+  def q213ChatMask(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Chat.turnStats(synthConversations(spark, dir), "conv_id", "turns")
+      .orderBy(col("conv_id"), col("turn_idx"))
+
+  /** Chat-template rendering digest ([[graft.ext.Chat.renderTemplate]]):
+    * the canonical `<|role|>content<|eot|>` serialization folded in
+    * one HOF pass (no explode), reported as per-conversation turn
+    * count, total tokens, and the rendered string's md5 — the
+    * content-addressed form a training-data release manifest stores.
+    */
+  def q213bChatRender(spark: SparkSession, dir: String): DataFrame = {
+    val conv = synthConversations(spark, dir)
+    conv.select(col("conv_id"),
+      size(col("turns")).cast("long").as("n_turns"),
+      aggregate(col("turns"), lit(0L),
+        (acc, t) => acc + size(Text.tokens(t.getField("content")))).as("total_toks"),
+      md5(graft.ext.Chat.renderTemplate(col("turns"))).as("render_md5"))
+      .orderBy(col("conv_id"))
+  }
+
+  /** Preference-pair assembly ([[graft.ext.Chat.preferencePairs]],
+    * the DPO/RLHF data shape): docs group into (lang, length-bucket)
+    * prompt groups; each group pairs its highest distinct-token-ratio
+    * member (chosen) against its lowest (rejected) with the exact ppm
+    * margin — deterministic ordered-struct argmax/argmin, zero-margin
+    * and singleton groups dropped. One keyed aggregation; the oracle
+    * replays score, both argselects, and the filters.
+    */
+  def q214PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).selectExpr(
+      "lang",
+      "size(split(trim(text), '\\\\s+')) div 40 AS len_bucket",
+      "doc_id",
+      "size(array_distinct(split(trim(text), '\\\\s+'))) * 1000000L" +
+        " div size(split(trim(text), '\\\\s+')) AS ttr_ppm")
+    graft.ext.Chat.preferencePairs(scored, Seq("lang", "len_bucket"),
+      "doc_id", col("ttr_ppm"))
+      .orderBy(col("lang"), col("len_bucket"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6130,6 +6196,9 @@ object SparkEntry {
     "q210b_curriculum_stream" -> (q210bCurriculumStream _),
     "q211_orc_roundtrip" -> (q211OrcRoundtrip _),
     "q212_phonetic_er" -> (q212PhoneticEr _),
+    "q213_chat_mask" -> (q213ChatMask _),
+    "q213b_chat_render" -> (q213bChatRender _),
+    "q214_preference_pairs" -> (q214PreferencePairs _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10005,6 +10074,83 @@ object SparkEntry {
     // q212: the soundex chain itself (translate + RE2-safe collapse),
     // the planted twins, and the block/verify joins all replayed
     "q212_phonetic_er" -> phoneticErSql,
+
+    // q213: spans derived from the chunking CLOSED FORM (turn i covers
+    // [7i, min(7(i+1), n))) — the Spark window is pinned to the spec
+    "q213_chat_mask" ->
+      """WITH d AS (
+        |  SELECT doc_id AS conv_id,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |t AS (
+        |  SELECT conv_id, n,
+        |         unnest(generate_series(0, (n + 6) // 7 - 1)) AS turn_idx
+        |  FROM d)
+        |SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+        |       CASE WHEN turn_idx % 2 = 0 THEN 'user'
+        |            ELSE 'assistant' END AS role,
+        |       CAST(least((turn_idx + 1) * 7, n) - turn_idx * 7 AS BIGINT)
+        |         AS n_toks,
+        |       CAST(turn_idx * 7 AS BIGINT) AS tok_start,
+        |       CAST(least((turn_idx + 1) * 7, n) AS BIGINT) AS tok_end,
+        |       (turn_idx % 2 = 1) AS in_loss
+        |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // q213b: the rendered template re-serialized with an ordered
+    // string_agg, digested
+    "q213b_chat_render" ->
+      """WITH d AS (
+        |  SELECT doc_id AS conv_id,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |t AS (
+        |  SELECT conv_id, n, toks,
+        |         unnest(generate_series(0, (n + 6) // 7 - 1)) AS i
+        |  FROM d),
+        |c AS (
+        |  SELECT conv_id, n, i,
+        |         CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |         array_to_string(toks[i * 7 + 1 : least((i + 1) * 7, n)], ' ')
+        |           AS content
+        |  FROM t)
+        |SELECT conv_id,
+        |       CAST(count(*) AS BIGINT) AS n_turns,
+        |       CAST(max(n) AS BIGINT) AS total_toks,
+        |       md5(string_agg('<|' || role || '|>' || content || '<|eot|>',
+        |                      '' ORDER BY i)) AS render_md5
+        |FROM c GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    // q214: score, ordered argmax/argmin with id ties, margin and
+    // singleton filters — the whole pair assembly replayed
+    "q214_preference_pairs" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |         len(regexp_split_to_array(trim(text), '\s+')) // 40
+        |           AS len_bucket,
+        |         doc_id,
+        |         len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |           * 1000000
+        |           // len(regexp_split_to_array(trim(text), '\s+')) AS ttr_ppm
+        |  FROM documents),
+        |r AS (
+        |  SELECT s.*,
+        |         row_number() OVER (PARTITION BY lang, len_bucket
+        |                            ORDER BY ttr_ppm DESC, doc_id) AS rb,
+        |         row_number() OVER (PARTITION BY lang, len_bucket
+        |                            ORDER BY ttr_ppm ASC, doc_id) AS rw,
+        |         count(*) OVER (PARTITION BY lang, len_bucket) AS nc
+        |  FROM s)
+        |SELECT b.lang, CAST(b.len_bucket AS BIGINT) AS len_bucket,
+        |       b.doc_id AS chosen_id, CAST(b.ttr_ppm AS BIGINT) AS chosen_score,
+        |       w.doc_id AS rejected_id, CAST(w.ttr_ppm AS BIGINT) AS rejected_score,
+        |       CAST(b.ttr_ppm - w.ttr_ppm AS BIGINT) AS margin,
+        |       CAST(b.nc AS BIGINT) AS n_candidates
+        |FROM r b JOIN r w
+        |  ON b.lang = w.lang AND b.len_bucket = w.len_bucket
+        | AND b.rb = 1 AND w.rw = 1
+        |WHERE b.nc >= 2 AND b.ttr_ppm > w.ttr_ppm
+        |ORDER BY b.lang, b.len_bucket""".stripMargin,
 
     // q208b: exact pair counts value-pinned; the 4-sigma estimator
     // contracts are the boolean artifact
