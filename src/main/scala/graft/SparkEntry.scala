@@ -5655,6 +5655,25 @@ object SparkEntry {
       .orderBy(col("lang"), col("len_bucket"))
   }
 
+  /** STREAMING KMV sketch maintenance
+    * ([[graft.stream.Jobs.runKmvMergeStream]]): per-source bottom-256
+    * signatures kept fresh across 4 micro-batches — and because
+    * "k smallest of the union" is an exact order-free merge (distinct
+    * before the cut), the streamed state is BIT-EQUAL to the batch
+    * sketch, so the overlap table served from it shares q208's
+    * value-level oracle verbatim. The strongest streamed-sketch
+    * guarantee in the repo: not a rank contract (q207's KLL), exact
+    * equality.
+    */
+  def q215StreamKmvState(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q215")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp, withSource = true)
+    val state = Jobs.runKmvMergeStream(spark, in, schema, s"$tmp/work",
+      "source", "text", shingleSize = 3, k = 256)
+    graft.ext.Dedup.kmvPairOverlap(state, k = 256)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6199,6 +6218,7 @@ object SparkEntry {
     "q213_chat_mask" -> (q213ChatMask _),
     "q213b_chat_render" -> (q213bChatRender _),
     "q214_preference_pairs" -> (q214PreferencePairs _),
+    "q215_stream_kmv_state" -> (q215StreamKmvState _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -6237,7 +6257,7 @@ object SparkEntry {
     "q190b_quantile_stream", "q191b_temperature_stream",
     "q198b_holt_stream", "q204_stream_bm25_index",
     "q207_stream_sketch_state", "q209_stream_image_index",
-    "q210b_curriculum_stream")
+    "q210b_curriculum_stream", "q215_stream_kmv_state")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -10053,6 +10073,10 @@ object SparkEntry {
     "q206_hilbert_layout" -> hilbertSkippingSql,
 
     "q208_kmv_overlap" -> kmvOverlapSql,
+
+    // q215 serves the same overlap from the stream-merged sketches —
+    // exact order-free merge => bit-equal state, one oracle
+    "q215_stream_kmv_state" -> kmvOverlapSql,
 
     // q210/q210b: exact ascending rank, the integer competence closed
     // form (ceil via +den-1 then truncating //), md5 within-phase

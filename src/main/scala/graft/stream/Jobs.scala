@@ -675,6 +675,60 @@ object Jobs {
     spark.read.parquet(s"$workDir/state/v=$lastV")
   }
 
+  /** STREAMING KMV sketch maintenance — the bottom-k analogue of
+    * [[runKllMergeStream]], with a STRONGER guarantee: "k smallest of
+    * the union" is an exact, order-free merge, so the streamed
+    * per-group signature is BIT-EQUAL to a batch
+    * [[graft.ext.Dedup.kmvSketch]] over the same corpus, whatever
+    * the batch boundaries (q215 shares q208's oracle verbatim on the
+    * served overlap). Each micro-batch sketches only its own rows
+    * (distinct-hash + per-group top-k — O(batch)), then merges into
+    * the published state with one array HOF per group
+    * (sort ∘ union ∘ slice k): O(groups · k) per trigger. Versioned
+    * publish `v=batchId` with the replay skip.
+    */
+  def runKmvMergeStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      workDir: String,
+      groupCol: String,
+      textCol: String,
+      shingleSize: Int,
+      k: Int): DataFrame = {
+    var lastV = publishedVersion(spark, s"$workDir/state")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (lastV < batchId) {
+          val bSk = graft.ext.Dedup.kmvSketch(
+            batch, groupCol, textCol, shingleSize, k)
+          val merged =
+            if (lastV < 0) bSk
+            else spark.read.parquet(s"$workDir/state/v=$lastV")
+              .unionByName(bSk)
+              .groupBy(col("grp"))
+              .agg(slice(
+                // distinct BEFORE the k-cut: the same shingle hash
+                // arrives from every batch that contains it, and a
+                // duplicated small hash would evict a real k-th value
+                array_sort(array_distinct(flatten(collect_list(col("sig"))))),
+                1, k).as("sig"))
+          merged.write.mode("overwrite").parquet(s"$workDir/state/v=$batchId")
+          lastV = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(lastV >= 0, s"no input files found under $inputDir")
+    spark.read.parquet(s"$workDir/state/v=$lastV")
+  }
+
   /** Streaming ingest into a persisted IVF-PQ index — FAISS `add` as
     * a stream: new vectors arrive in micro-batches; each batch is
     * assigned its coarse cell with FROZEN centroids

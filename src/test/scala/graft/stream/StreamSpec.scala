@@ -528,6 +528,43 @@ class StreamSpec extends SparkSpec {
     assert(run() == first, "replay changed the sketch state")
   }
 
+  test("kmv merge stream: streamed signatures bit-equal the batch sketch; replay is a no-op") {
+    val tmp = tempDir("graft-kmvstream")
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    // overlapping shingle sets across batches: the same shingle
+    // arrives twice for g1 — the distinct-before-cut rule must hold
+    val slices = Seq(
+      Seq(("g1", "a b c d e"), ("g2", "p q r s t")),
+      Seq(("g1", "a b c x y"), ("g2", "u v w p q")),
+      Seq(("g1", "m n o a b")))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val all = slices.flatten.toDF("source", "text")
+    def run() = graft.stream.Jobs.runKmvMergeStream(spark, in,
+      all.schema, s"$tmp/work", "source", "text", shingleSize = 3, k = 4)
+      .as[(String, Seq[Long])].collect().toMap
+    val streamed = run()
+    val batch = graft.ext.Dedup.kmvSketch(all, "source", "text", 3, 4)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed("g1").length == 4) // g1 has >4 distinct shingles
+    val ckpt = new java.io.File(s"$tmp/work/ckpt")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(ckpt)
+    assert(run() == streamed, "replay changed the sketch state")
+  }
+
   test("index ingest stream: streamed IVF-PQ index bit-equals the batch build") {
     // planted 4-cluster geometry (the AnnIndexSpec fixture) so cell
     // assignment is unambiguous whatever the micro-batch carving
