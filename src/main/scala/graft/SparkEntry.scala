@@ -5674,6 +5674,23 @@ object SparkEntry {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** T5-style span corruption ([[graft.ext.Text.spanCorrupt]], the
+    * denoising-objective data prep): md5-coin-selected stride-5
+    * blocks lose their first 3 tokens to `<extra_id_k>` sentinels;
+    * input/target digests plus exact block/token counts per doc.
+    * Stride alignment replaces the sequential greedy non-overlap
+    * walk with a construction that is one explode + two windows + an
+    * ordered fold — fully distributed AND fully replayable (the
+    * oracle rebuilds both strings and every count).
+    */
+  def q216SpanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    Text.spanCorrupt(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_blocks"), col("n_corrupt_blocks"),
+        col("n_corrupt_toks"),
+        md5(col("input")).as("input_md5"),
+        md5(col("target")).as("target_md5"))
+      .orderBy(col("doc_id"))
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6219,6 +6236,7 @@ object SparkEntry {
     "q213b_chat_render" -> (q213bChatRender _),
     "q214_preference_pairs" -> (q214PreferencePairs _),
     "q215_stream_kmv_state" -> (q215StreamKmvState _),
+    "q216_span_corrupt" -> (q216SpanCorrupt _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10144,6 +10162,59 @@ object SparkEntry {
         |       md5(string_agg('<|' || role || '|>' || content || '<|eot|>',
         |                      '' ORDER BY i)) AS render_md5
         |FROM c GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    // q216: both corrupted strings and every count rebuilt — the
+    // md5 coin, sentinel ordinals, and ordered folds all replayed
+    "q216_span_corrupt" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |bl AS (
+        |  SELECT doc_id, t, n,
+        |         unnest(generate_series(0, (n + 4) // 5 - 1)) AS b
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, t, b,
+        |         least(n - b * 5, 5) AS block_len,
+        |         substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |                    || CAST(b AS VARCHAR)), 1, 2) < '28' AS corrupt
+        |  FROM bl),
+        |kk AS (
+        |  SELECT *, sum(CASE WHEN corrupt THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY doc_id ORDER BY b) - 1 AS k
+        |  FROM c),
+        |p AS (
+        |  SELECT doc_id, b, corrupt, block_len, k,
+        |         CASE WHEN corrupt
+        |              THEN array_to_string(t[b*5+1 : b*5+3], ' ')
+        |              ELSE '' END AS removed,
+        |         CASE WHEN corrupt
+        |              THEN array_to_string(t[b*5+4 : b*5+5], ' ')
+        |              ELSE array_to_string(t[b*5+1 : b*5+5], ' ')
+        |              END AS rest
+        |  FROM kk),
+        |q AS (
+        |  SELECT doc_id, b, corrupt, block_len,
+        |         CASE WHEN corrupt
+        |              THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+        |                   || CASE WHEN length(rest) > 0
+        |                           THEN ' ' || rest ELSE '' END
+        |              ELSE rest END AS in_piece,
+        |         CASE WHEN corrupt
+        |              THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || removed
+        |              END AS tgt_piece
+        |  FROM p)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_corrupt_blocks,
+        |       CAST(sum(CASE WHEN corrupt THEN least(block_len, 3)
+        |                ELSE 0 END) AS BIGINT) AS n_corrupt_toks,
+        |       md5(string_agg(in_piece, ' ' ORDER BY b)) AS input_md5,
+        |       md5(coalesce(string_agg(tgt_piece, ' ' ORDER BY b), ''))
+        |         AS target_md5
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q214: score, ordered argmax/argmin with id ties, margin and
     // singleton filters — the whole pair assembly replayed

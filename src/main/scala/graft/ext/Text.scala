@@ -1506,4 +1506,74 @@ object Text {
           round(col("n_novel").cast("double") / col("n_grams"), 4))
           .as("novelty"))
   }
+
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020 — the denoising
+    * pretraining objective's data prep): tokens chunk into stride-5
+    * blocks; an md5 coin (first two hex chars < the ppm-derived cut)
+    * selects blocks for corruption, and a corrupted block's first 3
+    * tokens are replaced by an `<extra_id_k>` sentinel in the INPUT
+    * and emitted after the same sentinel in the TARGET (k = the
+    * block's corruption ordinal within its doc). Stride alignment
+    * makes spans non-overlapping BY CONSTRUCTION — the greedy
+    * non-overlap walk real implementations need is a sequential
+    * dependence this formulation deliberately avoids, so the whole
+    * op is one explode + two windows + an order-preserving fold, all
+    * exactly replayable. Returns per-doc
+    * (id, n_blocks, n_corrupt_blocks, n_corrupt_toks, input, target).
+    *
+    * `corruptHex` is the 2-hex-digit cut: blocks whose
+    * `md5(id#block)` prefix sorts strictly below it corrupt
+    * (e.g. "28" ≈ 15.6% — the T5 default corruption rate ballpark).
+    */
+  def spanCorrupt(
+      df: DataFrame, idCol: String, textCol: String,
+      corruptHex: String = "28"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol).as("doc_id"), toks.as("t"),
+      size(toks).as("n"))
+    val blocks = base
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), ((col("n") + 4) / 5).cast("int") - 1)).as("b"))
+      .withColumn("block_len", least(col("n") - col("b") * 5, lit(5)))
+      .withColumn("corrupt",
+        substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("b").cast("string"))), 1, 2) < lit(corruptHex))
+      .withColumn("k",
+        sum(when(col("corrupt"), 1L).otherwise(0L)).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("b"))) - 1)
+      .withColumn("removed",
+        when(col("corrupt"),
+          concat_ws(" ", slice(col("t"), col("b") * 5 + 1, lit(3))))
+          .otherwise(lit("")))
+      .withColumn("rest",
+        when(col("corrupt"),
+          concat_ws(" ", slice(col("t"), col("b") * 5 + 4,
+            greatest(col("block_len") - 3, lit(0)))))
+          .otherwise(concat_ws(" ", slice(col("t"), col("b") * 5 + 1, lit(5)))))
+      .withColumn("in_piece",
+        when(col("corrupt"),
+          concat(lit("<extra_id_"), col("k"), lit(">"),
+            when(length(col("rest")) > 0, concat(lit(" "), col("rest")))
+              .otherwise(lit(""))))
+          .otherwise(col("rest")))
+      .withColumn("tgt_piece",
+        when(col("corrupt"),
+          concat(lit("<extra_id_"), col("k"), lit("> "), col("removed"))))
+    blocks.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupt_blocks"),
+        sum(when(col("corrupt"), least(col("block_len"), lit(3)))
+          .otherwise(lit(0))).cast("long").as("n_corrupt_toks"),
+        sort_array(collect_list(struct(col("b"), col("in_piece")))).as("__in"),
+        sort_array(collect_list(
+          when(col("corrupt"), struct(col("b"), col("tgt_piece"))))).as("__tg"))
+      .select(col("doc_id"), col("n_blocks"), col("n_corrupt_blocks"),
+        col("n_corrupt_toks"),
+        array_join(transform(col("__in"), p => p.getField("in_piece")), " ")
+          .as("input"),
+        array_join(transform(col("__tg"), p => p.getField("tgt_piece")), " ")
+          .as("target"))
+  }
 }

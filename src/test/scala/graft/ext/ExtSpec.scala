@@ -403,6 +403,22 @@ class ExtSpec extends SparkSpec {
     assert(ov2._1 <= 6 && ov2._2 > ov2._1)
   }
 
+  test("spanCorrupt: hand-computed sentinels at the corrupt-all/none extremes") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    // 'zz' outranks every hex prefix -> every block corrupts
+    val all = Text.spanCorrupt(docs, "doc_id", "text", corruptHex = "zz")
+      .select("n_blocks", "n_corrupt_blocks", "n_corrupt_toks", "input", "target")
+      .as[(Long, Long, Long, String, String)].head()
+    assert(all == ((2L, 2L, 5L,
+      "<extra_id_0> t4 t5 <extra_id_1>",
+      "<extra_id_0> t1 t2 t3 <extra_id_1> t6 t7")))
+    // '00' under-ranks every prefix -> nothing corrupts, input = text
+    val none = Text.spanCorrupt(docs, "doc_id", "text", corruptHex = "00")
+      .select("n_corrupt_blocks", "input", "target")
+      .as[(Long, String, String)].head()
+    assert(none == ((0L, "t1 t2 t3 t4 t5 t6 t7", "")))
+  }
+
   test("marginMine: hand-computed margin, argmax pick, threshold") {
     val src = Seq((10L, Array(1f, 0f))).toDF("src_id", "src_vec")
     val tgt = Seq((1L, Array(1f, 0f)), (3L, Array(0.8f, 0.6f)),
