@@ -5691,6 +5691,20 @@ object SparkEntry {
         md5(col("target")).as("target_md5"))
       .orderBy(col("doc_id"))
 
+  /** Fill-in-the-middle data prep ([[graft.ext.Text.fimTransform]],
+    * Bavarian et al. 2022): md5-split prefix/middle/suffix
+    * re-serialized in PSM sentinel order — the code-pretraining
+    * transformation, as a pure map pass. Output keeps the exact
+    * split offsets plus the rendered string's md5; the oracle
+    * rebuilds the 12-bit hashes digit-by-digit, both offsets, and
+    * the full PSM byte string.
+    */
+  def q217FimTransform(spark: SparkSession, dir: String): DataFrame =
+    Text.fimTransform(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_toks"), col("fim_applied"),
+        col("split_a"), col("split_b"), md5(col("psm")).as("psm_md5"))
+      .orderBy(col("doc_id"))
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6237,6 +6251,7 @@ object SparkEntry {
     "q214_preference_pairs" -> (q214PreferencePairs _),
     "q215_stream_kmv_state" -> (q215StreamKmvState _),
     "q216_span_corrupt" -> (q216SpanCorrupt _),
+    "q217_fim_transform" -> (q217FimTransform _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10162,6 +10177,40 @@ object SparkEntry {
         |       md5(string_agg('<|' || role || '|>' || content || '<|eot|>',
         |                      '' ORDER BY i)) AS render_md5
         |FROM c GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+
+    // q217: the 12-bit hashes rebuilt digit-by-digit, both offsets,
+    // and the full PSM byte string
+    "q217_fim_transform" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS n
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, t, n,
+        |         ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#a'), 1, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#a'), 2, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#a'), 3, 1)) - 1)) AS ha,
+        |         ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#b'), 1, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#b'), 2, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#b'), 3, 1)) - 1)) AS hb
+        |  FROM d),
+        |s AS (
+        |  SELECT *, CASE WHEN n >= 3 THEN 1 + ha % (n - 2) END AS a FROM h),
+        |s2 AS (
+        |  SELECT *, CASE WHEN n >= 3 THEN a + 1 + hb % (n - a - 1) END AS b
+        |  FROM s)
+        |SELECT doc_id, n AS n_toks, n >= 3 AS fim_applied,
+        |       CAST(a AS BIGINT) AS split_a, CAST(b AS BIGINT) AS split_b,
+        |       md5(CASE WHEN n >= 3
+        |            THEN '<PRE> ' || array_to_string(t[1 : CAST(a AS INT)], ' ')
+        |                 || ' <SUF> '
+        |                 || array_to_string(t[CAST(b + 1 AS INT) : CAST(n AS INT)], ' ')
+        |                 || ' <MID> '
+        |                 || array_to_string(t[CAST(a + 1 AS INT) : CAST(b AS INT)], ' ')
+        |            ELSE array_to_string(t, ' ') END) AS psm_md5
+        |FROM s2 ORDER BY doc_id""".stripMargin,
 
     // q216: both corrupted strings and every count rebuilt — the
     // md5 coin, sentinel ordinals, and ordered folds all replayed

@@ -1507,6 +1507,44 @@ object Text {
           .as("novelty"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle" —
+    * the code-pretraining data op): two md5-derived 12-bit hashes
+    * carve each doc's tokens into NON-EMPTY prefix/middle/suffix
+    * (split_a ∈ [1, n−2], split_b ∈ [a+1, n−1]; docs under 3 tokens
+    * pass through unchanged), re-serialized in PSM order
+    * `<PRE> prefix <SUF> suffix <MID> middle`. A pure map pass —
+    * per-row integer arithmetic, zero shuffle — and every offset and
+    * rendered byte replays exactly (the hash is the portable
+    * hex-prefix form).
+    */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def h(salt: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))),
+        1, 3), 16, 10).cast("long")
+    val base = df.select(col(idCol).as("doc_id"), toks.as("t"),
+      size(toks).cast("long").as("n"),
+      h("a").as("__ha"), h("b").as("__hb"))
+    val withA = base.withColumn("split_a",
+      when(col("n") >= 3, lit(1L) + col("__ha") % (col("n") - 2)))
+    val withB = withA.withColumn("split_b",
+      when(col("n") >= 3,
+        col("split_a") + 1 + col("__hb") % (col("n") - col("split_a") - 1)))
+    withB.select(col("doc_id"), col("n").as("n_toks"),
+      (col("n") >= 3).as("fim_applied"), col("split_a"), col("split_b"),
+      when(col("n") >= 3,
+        concat(lit("<PRE> "),
+          concat_ws(" ", slice(col("t"), lit(1), col("split_a").cast("int"))),
+          lit(" <SUF> "),
+          concat_ws(" ", slice(col("t"), (col("split_b") + 1).cast("int"),
+            (col("n") - col("split_b")).cast("int"))),
+          lit(" <MID> "),
+          concat_ws(" ", slice(col("t"), (col("split_a") + 1).cast("int"),
+            (col("split_b") - col("split_a")).cast("int")))))
+        .otherwise(concat_ws(" ", col("t"))).as("psm"))
+  }
+
   /** T5-style SPAN CORRUPTION (Raffel et al. 2020 — the denoising
     * pretraining objective's data prep): tokens chunk into stride-5
     * blocks; an md5 coin (first two hex chars < the ppm-derived cut)

@@ -403,6 +403,28 @@ class ExtSpec extends SparkSpec {
     assert(ov2._1 <= 6 && ov2._2 > ov2._1)
   }
 
+  test("fimTransform: three non-empty parts, token-preserving; short docs pass through") {
+    val docs = Seq((1L, "a b"), (2L, "a b c"),
+      (3L, "w x y z u v t s r q p o n m")).toDF("doc_id", "text")
+    val out = Text.fimTransform(docs, "doc_id", "text")
+      .select("doc_id", "n_toks", "fim_applied", "split_a", "split_b", "psm")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getBoolean(2) && out(1L).getString(5) == "a b")
+    Seq(2L, 3L).foreach { id =>
+      val r = out(id)
+      val (n, a, b) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(r.getBoolean(2))
+      assert(a >= 1 && a <= n - 2 && b >= a + 1 && b <= n - 1,
+        s"doc $id: a=$a b=$b n=$n")
+      // PSM is a permutation of the tokens plus the three sentinels
+      val toks = r.getString(5).split(" ").toSeq
+      assert(toks.count(_.startsWith("<")) == 3)
+      assert(toks.filterNot(_.startsWith("<")).sorted ==
+        docs.filter(col("doc_id") === id).select("text")
+          .as[String].head().split(" ").toSeq.sorted)
+    }
+  }
+
   test("spanCorrupt: hand-computed sentinels at the corrupt-all/none extremes") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
     // 'zz' outranks every hex prefix -> every block corrupts
