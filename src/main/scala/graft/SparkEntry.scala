@@ -5705,6 +5705,31 @@ object SparkEntry {
         col("split_a"), col("split_b"), md5(col("psm")).as("psm_md5"))
       .orderBy(col("doc_id"))
 
+  /** Content-defined chunking + storage-level chunk dedup
+    * ([[graft.ext.Dedup.cdcChunks]], the LBFS/restic boundary rule at
+    * token grain): rolling 3-token-window md5 boundaries (~12-token
+    * chunks) make chunk identity edit-robust — an insertion re-chunks
+    * only up to the next boundary, so duplicate passages re-align
+    * where fixed-stride chunking goes off-phase. Reported per doc:
+    * chunk count, token total (must reconstruct n), and how many of
+    * its chunks appear verbatim in ≥ 2 docs (the cross-doc share the
+    * chunk store deduplicates). The oracle replays windows,
+    * boundaries, ordered chunk folds, and the doc-frequency join.
+    */
+  def q218CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.ext.Dedup.cdcChunks(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val docFreq = chunks.groupBy(col("chunk_text"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    chunks.join(docFreq, Seq("chunk_text"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_toks")).as("n_toks"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L))
+          .as("n_shared_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6252,6 +6277,7 @@ object SparkEntry {
     "q215_stream_kmv_state" -> (q215StreamKmvState _),
     "q216_span_corrupt" -> (q216SpanCorrupt _),
     "q217_fim_transform" -> (q217FimTransform _),
+    "q218_cdc_chunks" -> (q218CdcChunks _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10211,6 +10237,46 @@ object SparkEntry {
         |                 || array_to_string(t[CAST(a + 1 AS INT) : CAST(b AS INT)], ' ')
         |            ELSE array_to_string(t, ' ') END) AS psm_md5
         |FROM s2 ORDER BY doc_id""".stripMargin,
+
+
+    // q218: rolling windows, boundaries, ordered chunk folds, and
+    // the doc-frequency join all replayed
+    "q218_cdc_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+        |           AS pos
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, pos, tok,
+        |         concat_ws(' ',
+        |           lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           tok) AS win
+        |  FROM tk),
+        |f AS (
+        |  SELECT *, pos >= 3 AND substr(md5(win), 1, 2) < '15' AS boundary
+        |  FROM w),
+        |a AS (
+        |  SELECT *, coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS chunk_idx
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id, chunk_idx,
+        |         string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+        |         CAST(count(*) AS BIGINT) AS chunk_toks
+        |  FROM a GROUP BY 1, 2),
+        |dfq AS (
+        |  SELECT chunk_text, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(chunk_toks) AS BIGINT) AS n_toks,
+        |       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared_chunks
+        |FROM c JOIN dfq USING (chunk_text)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
 
     // q216: both corrupted strings and every count rebuilt — the
     // md5 coin, sentinel ordinals, and ordered folds all replayed

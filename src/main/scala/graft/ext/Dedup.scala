@@ -828,6 +828,49 @@ object Dedup {
         }: _*)
   }
 
+  // ------------------------------- content-defined chunking (CDC)
+
+  /** CONTENT-DEFINED CHUNKING — the rolling-window boundary rule
+    * behind storage dedup (Muthitacharoen et al. 2001 LBFS; the
+    * restic/borgbackup family), at token grain: a chunk boundary
+    * falls AFTER position p whenever the md5 of the trailing
+    * `windowSize`-token window sorts below `boundaryHex` (2 hex
+    * chars: "15" ≈ 8.2% ⇒ ~12-token average chunks). Because
+    * boundaries depend only on local content, an insertion near the
+    * start re-chunks ONLY up to the first post-insertion boundary —
+    * every later chunk re-aligns byte-identically, which is exactly
+    * why CDC chunk dedup survives edits that shift fixed-stride
+    * chunking completely off-phase. Shape: two lags + a prefix-sum
+    * window per doc (keyed by id), then one ordered fold per chunk —
+    * the corpus-sized shuffle is the final chunk groupBy.
+    * Returns (doc_id, chunk_idx, chunk_text, chunk_toks).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      windowSize: Int = 3, boundaryHex: String = "15"): DataFrame = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("pos0", "tok")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val windowed = toks.withColumn("win",
+      concat_ws(" ", (windowSize - 1 to 0 by -1).map(i =>
+        lag(col("tok"), i).over(w)): _*))
+    val flagged = windowed.withColumn("boundary",
+      col("pos") >= windowSize &&
+        substring(md5(col("win")), 1, 2) < lit(boundaryHex))
+    val assigned = flagged.withColumn("chunk_idx",
+      coalesce(sum(when(col("boundary"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assigned.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("__t"),
+        count(lit(1)).as("chunk_toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(transform(col("__t"), p => p.getField("tok")), " ")
+          .as("chunk_text"),
+        col("chunk_toks"))
+  }
+
   // ----------------------------------- KMV (bottom-k) distinct sketch
 
   /** KMV / bottom-k distinct-value sketch per group (Bar-Yossef et

@@ -403,6 +403,25 @@ class ExtSpec extends SparkSpec {
     assert(ov2._1 <= 6 && ov2._2 > ov2._1)
   }
 
+  test("cdcChunks: boundaries re-align exactly after a front insertion") {
+    // B = "INS" + A: the trailing 3-token windows of B at position
+    // p+1 equal A's at p once the window clears the inserted token,
+    // so EVERY boundary re-aligns — B's chunks are A's with only the
+    // first chunk grown by the inserted token. Fixed-stride chunking
+    // has no such property; this is CDC's reason to exist.
+    val a = (1 to 60).map(i => s"w${i * 7 % 23}x$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, "INS " + a)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Long, String)].collect()
+    val ca = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    val cb = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    assert(ca.size >= 3, s"need real boundaries to test re-alignment: $ca")
+    assert(cb == ("INS " + ca.head) +: ca.tail)
+    // token totals reconstruct the docs
+    assert(ca.map(_.split(" ").length).sum == 60)
+  }
+
   test("fimTransform: three non-empty parts, token-preserving; short docs pass through") {
     val docs = Seq((1L, "a b"), (2L, "a b c"),
       (3L, "w x y z u v t s r q p o n m")).toDF("doc_id", "text")
