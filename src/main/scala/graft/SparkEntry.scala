@@ -5730,6 +5730,55 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic synth recipe for the AUDIO near-dup corpus:
+    * clips group into quads (base = doc_id / 4) sharing the base's
+    * pseudorandom waveform; variants add a +variant bump on every
+    * 5th sample — a sub-LSB-scale perturbation that flips only
+    * near-equal frame-energy comparisons, so within-group fingerprints
+    * sit a few bits apart while cross-group waveforms decorrelate.
+    */
+  private def synthAudioDupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 4
+        val n = (200 + base % 50).toInt
+        val samples = Array.tabulate(n) { j =>
+          val core = ((base * 7919L + j * 104729L) % 4096L) - 2048L
+          val eps = (id % 4) * (if (j % 5 == 0) 1L else 0L)
+          (core + eps).toShort
+        }
+        Multimodal.MediaRecord(id, Multimodal.Wav.encodePcm16(samples, 8000),
+          "audio/wav")
+      }).toDF()
+  }
+
+  /** AUDIO near-dup dedup ([[graft.ext.Multimodal.Wav.energyHash60]]
+    * + the banded Hamming machinery): synth clips (planted perturbed
+    * quads) → REAL WAV parse → 61-frame integer energy-gradient
+    * fingerprint → pigeonhole pairs ≤ 3 → neighbor census + min-id
+    * keep. The acoustic twin of q202: the oracle regenerates
+    * samples, frame assignment (`j·61 div n`), exact Σs² energies,
+    * gradient bits, and the quadratic verify — the whole encode →
+    * chunk-walk parse → fingerprint chain hash-pinned.
+    */
+  def q219AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Multimodal.wavEnergyHashes(spark,
+      synthAudioDupMedia(spark, dir), partitions = 8).toDF()
+    val pairs = graft.ext.Dedup.hammingNearDupPairs(
+      fps.select(col("media_id"), col("fp")), "media_id", "fp",
+      bits = 60, maxDistance = 3)
+    val sym = pairs.select(col("id_a").as("media_id"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("media_id"), col("id_a").as("nbr")))
+    val nbrs = sym.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_nbrs"), min(col("nbr")).as("min_nbr"))
+    fps.join(nbrs, Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_samples"), col("fp"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"), col("min_nbr"),
+        (col("min_nbr").isNull || col("min_nbr") > col("media_id")).as("keep"))
+      .orderBy(col("media_id"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6278,6 +6327,7 @@ object SparkEntry {
     "q216_span_corrupt" -> (q216SpanCorrupt _),
     "q217_fim_transform" -> (q217FimTransform _),
     "q218_cdc_chunks" -> (q218CdcChunks _),
+    "q219_audio_neardup" -> (q219AudioNearDup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10277,6 +10327,54 @@ object SparkEntry {
         |         AS n_shared_chunks
         |FROM c JOIN dfq USING (chunk_text)
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+
+    // q219: samples, frame assignment, exact energies, gradient
+    // bits, and the quadratic verify all regenerated
+    "q219_audio_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+        |         CAST(200 + (doc_id // 4) % 50 AS BIGINT) AS n
+        |  FROM documents),
+        |i AS (
+        |  SELECT doc_id, n, base, variant,
+        |         unnest(generate_series(0, n - 1)) AS j
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, n, j,
+        |         ((base * 7919 + j * 104729) % 4096) - 2048
+        |           + variant * (CASE WHEN j % 5 = 0 THEN 1 ELSE 0 END) AS v
+        |  FROM i),
+        |e AS (
+        |  SELECT doc_id, n, (j * 61) // n AS f,
+        |         CAST(sum(v * v) AS BIGINT) AS en
+        |  FROM s GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT doc_id, n, f, en,
+        |         lead(en) OVER (PARTITION BY doc_id ORDER BY f) AS nen
+        |  FROM e),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n_samples,
+        |         CAST(sum(CASE WHEN f < 60 AND en < nen
+        |                  THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM w GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, c.doc_id AS idb
+        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 3),
+        |sym AS (
+        |  SELECT ida AS media_id, idb AS nbr FROM pairs
+        |  UNION ALL SELECT idb, ida FROM pairs),
+        |nb AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |         min(nbr) AS min_nbr
+        |  FROM sym GROUP BY media_id)
+        |SELECT f.doc_id AS media_id, f.n_samples, f.fp,
+        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
+        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
+        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // q216: both corrupted strings and every count rebuilt — the
     // md5 coin, sentinel ordinals, and ordered folds all replayed

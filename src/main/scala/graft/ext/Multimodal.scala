@@ -205,6 +205,57 @@ object Multimodal {
       WavFeatures(id, w.sampleRate, s.length.toLong,
         s.length.toLong * 1000000L / w.sampleRate, peak, sumSq, zc)
     }
+
+    /** 60-bit audio ENERGY-GRADIENT hash — the acoustic analogue of
+      * [[Bmp.dhash60]] (the same idea as public audio-fingerprint
+      * practice: hash the sign of energy deltas between adjacent
+      * frames, which survives gain changes and low-amplitude noise):
+      * samples bucket into 61 near-equal frames (`frame(j) = j·61/n`,
+      * integer division), each frame's energy is the exact Σs² long,
+      * and bit i is set when `e_i < e_{i+1}`. Integer-exact end to
+      * end — an oracle replays frame assignment, energies, and bits
+      * from the raw samples. 60 bits, non-negative, so the
+      * fingerprint rides [[graft.ext.Dedup.hammingNearDupPairs]]'s
+      * pigeonhole banding unchanged. Clips shorter than 61 samples
+      * leave some frames empty (energy 0) — still deterministic.
+      */
+    def energyHash60(samples: Array[Short]): Long = {
+      val n = samples.length
+      if (n == 0) return 0L
+      val e = new Array[Long](61)
+      var j = 0
+      while (j < n) {
+        val v = samples(j).toLong
+        e((j * 61 / n).toInt) += v * v
+        j += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 60) {
+        if (e(i) < e(i + 1)) fp |= 1L << i
+        i += 1
+      }
+      fp
+    }
+  }
+
+  /** Per-clip acoustic fingerprint row. */
+  final case class AudioHashRow(media_id: Long, n_samples: Long, fp: Long)
+
+  /** Real WAV decode → [[Wav.energyHash60]] fingerprint per clip;
+    * corrupt payloads dropped (DLQ callers split first). Downstream
+    * near-dup joins run on the banded Hamming machinery — only this
+    * pass touches audio bytes.
+    */
+  def wavEnergyHashes(spark: SparkSession, media: DataFrame,
+      partitions: Int): Dataset[AudioHashRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"))
+      .repartition(partitions, col("media_id"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap(r => Wav.decode(r.payload).map(w =>
+        AudioHashRow(r.media_id, w.samples.length.toLong,
+          Wav.energyHash60(w.samples)))))
   }
 
   // ------------------------------------------------------- BMP (real)

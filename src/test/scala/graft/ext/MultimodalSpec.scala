@@ -216,6 +216,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Bmp.dhash60(BmpImage(22, 12, bgr)) == Bmp.dhash60(ref))
   }
 
+  test("energyHash60: identity frames hand-computed; gain-invariant; empty clip is 0") {
+    // n = 61 → one sample per frame, e_j = s_j²: rising |amplitude|
+    // sets every gradient bit, falling clears them
+    val rising = Array.tabulate[Short](61)(i => i.toShort)
+    assert(Wav.energyHash60(rising) == (1L << 60) - 1)
+    val falling = Array.tabulate[Short](61)(i => (61 - i).toShort)
+    assert(Wav.energyHash60(falling) == 0L)
+    // energies scale by g² under gain — gradient signs survive
+    val mixed = Array.tabulate[Short](61)(i => ((i * 37) % 50 - 25).toShort)
+    val doubled = mixed.map(v => (v * 2).toShort)
+    assert(Wav.energyHash60(mixed) == Wav.energyHash60(doubled))
+    assert(Wav.energyHash60(Array.empty[Short]) == 0L)
+  }
+
   test("spark: bmpDHashes + hammingNearDupPairs find planted perturbed copies") {
     // quad of near-identical images (one low bit differs) + one far image
     val base = gradientImage(0)
