@@ -5779,6 +5779,32 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** MULTIMODAL dedup capstone: one reduction table across all three
+    * modalities' dedup machinery — exact text fingerprints (q11's md5
+    * grain), image dHash near-dup (q202's census), audio
+    * energy-gradient near-dup (q219's census) — reporting items,
+    * survivors, and exact reduction ppm per modality. Each row reuses
+    * its modality's full pipeline; the oracle embeds the image/audio
+    * census replays as subqueries of their SHARED SQL vals, so the
+    * capstone stays pinned to the same spec as its halves.
+    */
+  def q220MultimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    def summarize(name: String, census: DataFrame): DataFrame =
+      census.agg(count(lit(1)).as("n_items"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .select(lit(name).as("modality"), col("n_items"), col("n_kept"),
+          expr("(n_items - n_kept) * 1000000 div n_items").as("reduction_ppm"))
+    val text = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("keep",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))) === 1)
+    summarize("1_text_exact", text)
+      .unionByName(summarize("2_image_dhash", q202ImageNearDup(spark, dir)))
+      .unionByName(summarize("3_audio_energy", q219AudioNearDup(spark, dir)))
+      .orderBy(col("modality"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6328,6 +6354,7 @@ object SparkEntry {
     "q217_fim_transform" -> (q217FimTransform _),
     "q218_cdc_chunks" -> (q218CdcChunks _),
     "q219_audio_neardup" -> (q219AudioNearDup _),
+    "q220_multimodal_dedup" -> (q220MultimodalDedup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10331,50 +10358,11 @@ object SparkEntry {
 
     // q219: samples, frame assignment, exact energies, gradient
     // bits, and the quadratic verify all regenerated
-    "q219_audio_neardup" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
-        |         CAST(200 + (doc_id // 4) % 50 AS BIGINT) AS n
-        |  FROM documents),
-        |i AS (
-        |  SELECT doc_id, n, base, variant,
-        |         unnest(generate_series(0, n - 1)) AS j
-        |  FROM d),
-        |s AS (
-        |  SELECT doc_id, n, j,
-        |         ((base * 7919 + j * 104729) % 4096) - 2048
-        |           + variant * (CASE WHEN j % 5 = 0 THEN 1 ELSE 0 END) AS v
-        |  FROM i),
-        |e AS (
-        |  SELECT doc_id, n, (j * 61) // n AS f,
-        |         CAST(sum(v * v) AS BIGINT) AS en
-        |  FROM s GROUP BY 1, 2, 3),
-        |w AS (
-        |  SELECT doc_id, n, f, en,
-        |         lead(en) OVER (PARTITION BY doc_id ORDER BY f) AS nen
-        |  FROM e),
-        |fp AS (
-        |  SELECT doc_id, max(n) AS n_samples,
-        |         CAST(sum(CASE WHEN f < 60 AND en < nen
-        |                  THEN CAST(1 AS BIGINT) << CAST(f AS INT)
-        |                  ELSE 0 END) AS BIGINT) AS fp
-        |  FROM w GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS ida, c.doc_id AS idb
-        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
-        |  WHERE bit_count(xor(a.fp, c.fp)) <= 3),
-        |sym AS (
-        |  SELECT ida AS media_id, idb AS nbr FROM pairs
-        |  UNION ALL SELECT idb, ida FROM pairs),
-        |nb AS (
-        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
-        |         min(nbr) AS min_nbr
-        |  FROM sym GROUP BY media_id)
-        |SELECT f.doc_id AS media_id, f.n_samples, f.fp,
-        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
-        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
-        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
-        |ORDER BY media_id""".stripMargin,
+    "q219_audio_neardup" -> audioNearDupSql,
+
+    // q220: each modality's census embedded as a subquery of its own
+    // shared oracle (ORDER BY stripped), then the reduction rollup
+    "q220_multimodal_dedup" -> multimodalDedupSql,
 
     // q216: both corrupted strings and every count rebuilt — the
     // md5 coin, sentinel ordinals, and ordered folds all replayed
@@ -12205,6 +12193,84 @@ object SparkEntry {
         |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
         |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
         |ORDER BY media_id""".stripMargin
+
+  /** q219/q220 shared oracle: audio samples, frame energies,
+    * gradient bits, quadratic verify, census.
+    */
+  private val audioNearDupSql: String =
+    """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+        |         CAST(200 + (doc_id // 4) % 50 AS BIGINT) AS n
+        |  FROM documents),
+        |i AS (
+        |  SELECT doc_id, n, base, variant,
+        |         unnest(generate_series(0, n - 1)) AS j
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, n, j,
+        |         ((base * 7919 + j * 104729) % 4096) - 2048
+        |           + variant * (CASE WHEN j % 5 = 0 THEN 1 ELSE 0 END) AS v
+        |  FROM i),
+        |e AS (
+        |  SELECT doc_id, n, (j * 61) // n AS f,
+        |         CAST(sum(v * v) AS BIGINT) AS en
+        |  FROM s GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT doc_id, n, f, en,
+        |         lead(en) OVER (PARTITION BY doc_id ORDER BY f) AS nen
+        |  FROM e),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n_samples,
+        |         CAST(sum(CASE WHEN f < 60 AND en < nen
+        |                  THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM w GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, c.doc_id AS idb
+        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 3),
+        |sym AS (
+        |  SELECT ida AS media_id, idb AS nbr FROM pairs
+        |  UNION ALL SELECT idb, ida FROM pairs),
+        |nb AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |         min(nbr) AS min_nbr
+        |  FROM sym GROUP BY media_id)
+        |SELECT f.doc_id AS media_id, f.n_samples, f.fp,
+        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
+        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
+        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
+        |ORDER BY media_id""".stripMargin
+
+  /** q220: reduction rollup over the three modality censuses —
+    * image/audio reuse their shared oracle bodies as subqueries.
+    */
+  private def multimodalDedupSql: String = {
+    def sub(sql: String): String =
+      sql.trim.stripSuffix("ORDER BY media_id").trim
+    s"""WITH img AS (${sub(imageNearDupSql)}),
+       |aud AS (${sub(audioNearDupSql)}),
+       |txt AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+       |           AS keep
+       |  FROM documents)
+       |SELECT modality, n_items, n_kept,
+       |       (n_items - n_kept) * 1000000 // n_items AS reduction_ppm
+       |FROM (
+       |  SELECT '1_text_exact' AS modality, CAST(count(*) AS BIGINT) AS n_items,
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM txt
+       |  UNION ALL
+       |  SELECT '2_image_dhash', CAST(count(*) AS BIGINT),
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM img
+       |  UNION ALL
+       |  SELECT '3_audio_energy', CAST(count(*) AS BIGINT),
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM aud)
+       |ORDER BY modality""".stripMargin
+  }
 
   /** q210/q210b shared oracle: exact rank, integer competence closed
     * form, md5 within-phase order.
