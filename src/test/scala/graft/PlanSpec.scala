@@ -667,6 +667,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q210: curriculum ranks without a global sort — bucket windows carry the rank") {
+    val p = plan("q210_curriculum")
+    // the difficulty rank comes from quantileNormalize's per-bucket
+    // windows + broadcast offsets; rangepartitioning may appear only
+    // for the display orderBy, never to feed a corpus-wide Window
+    val windowIdx = p.indexOf("Window [row_number")
+    assert(windowIdx >= 0, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q218: CDC chunking is doc-keyed end to end — no cartesian, no corpus self-join") {
+    val p = plan("q218_cdc_chunks")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // lag/prefix-sum windows and the chunk fold all key on doc_id
+    assert(p.contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
   test("bm25 index serve: scoring reads stored postings only — no tokenizer, text never scanned") {
     import spark.implicits._
     val tmp = tempDir("graft-plan-bm25idx")
