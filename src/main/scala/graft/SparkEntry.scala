@@ -5805,6 +5805,28 @@ object SparkEntry {
       .orderBy(col("modality"))
   }
 
+  /** STREAMING CDC chunk store ([[graft.stream.Jobs.runCdcChunkStream]]):
+    * q218's corpus arrives in 4 micro-batches; each batch chunks only
+    * its own documents (text chunked once, ever) and the chunk-store
+    * doc-frequency state merges algebraically (docs never span
+    * batches, so per-batch distinct counts sum exactly). The final
+    * shared-chunk report joins the appended chunk partitions with the
+    * merged state and must equal the batch q218 — one oracle. The
+    * storage-dedup analogue of q204's inverted-index maintenance.
+    */
+  def q221StreamCdcStore(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft-q221")
+    val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    val (chunks, state) = Jobs.runCdcChunkStream(spark, in, schema, s"$tmp/work")
+    chunks.join(state, Seq("chunk_text"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_toks")).as("n_toks"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L))
+          .as("n_shared_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6355,6 +6377,7 @@ object SparkEntry {
     "q218_cdc_chunks" -> (q218CdcChunks _),
     "q219_audio_neardup" -> (q219AudioNearDup _),
     "q220_multimodal_dedup" -> (q220MultimodalDedup _),
+    "q221_stream_cdc_store" -> (q221StreamCdcStore _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -6393,7 +6416,8 @@ object SparkEntry {
     "q190b_quantile_stream", "q191b_temperature_stream",
     "q198b_holt_stream", "q204_stream_bm25_index",
     "q207_stream_sketch_state", "q209_stream_image_index",
-    "q210b_curriculum_stream", "q215_stream_kmv_state")
+    "q210b_curriculum_stream", "q215_stream_kmv_state",
+    "q221_stream_cdc_store")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -10318,42 +10342,11 @@ object SparkEntry {
 
     // q218: rolling windows, boundaries, ordered chunk folds, and
     // the doc-frequency join all replayed
-    "q218_cdc_chunks" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
-        |           AS pos
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, pos, tok,
-        |         concat_ws(' ',
-        |           lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
-        |           lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
-        |           tok) AS win
-        |  FROM tk),
-        |f AS (
-        |  SELECT *, pos >= 3 AND substr(md5(win), 1, 2) < '15' AS boundary
-        |  FROM w),
-        |a AS (
-        |  SELECT *, coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY doc_id ORDER BY pos
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |           AS chunk_idx
-        |  FROM f),
-        |c AS (
-        |  SELECT doc_id, chunk_idx,
-        |         string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
-        |         CAST(count(*) AS BIGINT) AS chunk_toks
-        |  FROM a GROUP BY 1, 2),
-        |dfq AS (
-        |  SELECT chunk_text, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1)
-        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-        |       CAST(sum(chunk_toks) AS BIGINT) AS n_toks,
-        |       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS n_shared_chunks
-        |FROM c JOIN dfq USING (chunk_text)
-        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q218_cdc_chunks" -> cdcChunksSql,
+
+    // q221 rebuilds the same shared-chunk report from the
+    // stream-maintained chunk store — one oracle
+    "q221_stream_cdc_store" -> cdcChunksSql,
 
 
     // q219: samples, frame assignment, exact energies, gradient
@@ -12193,6 +12186,46 @@ object SparkEntry {
         |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
         |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
         |ORDER BY media_id""".stripMargin
+
+  /** q218/q221 shared oracle: rolling windows, boundaries, ordered
+    * chunk folds, and the doc-frequency join.
+    */
+  private val cdcChunksSql: String =
+    """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+        |           AS pos
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, pos, tok,
+        |         concat_ws(' ',
+        |           lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           tok) AS win
+        |  FROM tk),
+        |f AS (
+        |  SELECT *, pos >= 3 AND substr(md5(win), 1, 2) < '15' AS boundary
+        |  FROM w),
+        |a AS (
+        |  SELECT *, coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS chunk_idx
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id, chunk_idx,
+        |         string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+        |         CAST(count(*) AS BIGINT) AS chunk_toks
+        |  FROM a GROUP BY 1, 2),
+        |dfq AS (
+        |  SELECT chunk_text, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(chunk_toks) AS BIGINT) AS n_toks,
+        |       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared_chunks
+        |FROM c JOIN dfq USING (chunk_text)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
 
   /** q219/q220 shared oracle: audio samples, frame energies,
     * gradient bits, quadratic verify, census.

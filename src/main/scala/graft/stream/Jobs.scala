@@ -729,6 +729,52 @@ object Jobs {
     spark.read.parquet(s"$workDir/state/v=$lastV")
   }
 
+  /** STREAMING CDC chunk store — [[graft.ext.Dedup.cdcChunks]] kept
+    * fresh incrementally: chunking is per-doc (O(batch) map work —
+    * text is chunked once, ever; chunks append under idempotent
+    * `batch_id=` partitions) and the chunk-store dedup state (docs
+    * per chunk text) is ALGEBRAICALLY mergeable because a document
+    * never spans micro-batches, so per-batch distinct-doc counts sum
+    * exactly — the [[runAggMergeStream]] monoid argument applied to
+    * the chunk key. Versioned state publish + replay skip. Returns
+    * (chunks-so-far, merged doc-frequency state).
+    */
+  def runCdcChunkStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      workDir: String): (DataFrame, DataFrame) = {
+    var lastV = publishedVersion(spark, s"$workDir/state")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (lastV < batchId) {
+          val chunks = graft.ext.Dedup.cdcChunks(batch, "doc_id", "text")
+          graft.sinks.Writers.idempotentBatchWrite(
+            chunks, batchId, s"$workDir/chunks")
+          val bState = chunks.groupBy(col("chunk_text"))
+            .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+          val merged =
+            if (lastV < 0) bState
+            else graft.etl.Transform.mergeAggStates(
+              Seq(spark.read.parquet(s"$workDir/state/v=$lastV"), bState),
+              Seq("chunk_text"), Seq("n_docs_with"))
+          merged.write.mode("overwrite").parquet(s"$workDir/state/v=$batchId")
+          lastV = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(lastV >= 0, s"no input files found under $inputDir")
+    (spark.read.parquet(s"$workDir/chunks").drop("batch_id"),
+      spark.read.parquet(s"$workDir/state/v=$lastV"))
+  }
+
   /** Streaming ingest into a persisted IVF-PQ index — FAISS `add` as
     * a stream: new vectors arrive in micro-batches; each batch is
     * assigned its coarse cell with FROZEN centroids

@@ -565,6 +565,53 @@ class StreamSpec extends SparkSpec {
     assert(run() == streamed, "replay changed the sketch state")
   }
 
+  test("cdc chunk stream: streamed store equals batch chunking; cross-batch shares merge") {
+    val tmp = tempDir("graft-cdcstream")
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    // the SAME long passage appears in batches 0 and 2 under
+    // different doc ids — its chunks must count as shared (n_docs=2)
+    // even though no single batch ever sees both copies
+    val passage = (1 to 40).map(i => s"p${i * 3 % 11}x$i").mkString(" ")
+    val other = (1 to 40).map(i => s"q${i * 5 % 13}y$i").mkString(" ")
+    val slices = Seq(
+      Seq((1L, "en", passage)), Seq((2L, "en", other)), Seq((3L, "en", passage)))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val all = slices.flatten.toDF("doc_id", "lang", "text")
+    def run() = {
+      val (chunks, state) = graft.stream.Jobs.runCdcChunkStream(
+        spark, in, all.schema, s"$tmp/work")
+      (chunks.select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Long, String)].collect().toSet,
+        state.as[(String, Long)].collect().toMap)
+    }
+    val (sc, st) = run()
+    val bc = graft.ext.Dedup.cdcChunks(all, "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(sc == bc)
+    // every chunk of the duplicated passage merged to n_docs_with = 2
+    val dupChunks = bc.filter(_._1 == 1L).map(_._3)
+    assert(dupChunks.forall(st(_) == 2L), st.toString)
+    assert(bc.filter(_._1 == 2L).map(_._3).forall(st(_) == 1L))
+    // wiped checkpoint: replay must not double-count the merged state
+    val ckpt = new java.io.File(s"$tmp/work/ckpt")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(ckpt)
+    assert(run() == ((sc, st)), "replay changed the chunk store")
+  }
+
   test("index ingest stream: streamed IVF-PQ index bit-equals the batch build") {
     // planted 4-cluster geometry (the AnnIndexSpec fixture) so cell
     // assignment is unambiguous whatever the micro-batch carving
