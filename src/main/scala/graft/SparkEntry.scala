@@ -5827,6 +5827,80 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic synth recipe for the VIDEO near-dup corpus:
+    * 11×6 frames (the dHash identity grid) in quads — the base
+    * pattern varies per frame (`f` enters the modular term), the
+    * variant adds the image recipe's frame-independent low-bit
+    * perturbation, so keyframe fingerprints sit a few bits apart
+    * within a quad and decorrelate across quads.
+    */
+  private def synthVideoDupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 4
+        val n = (8 + base % 5).toInt
+        val frames = (0 until n).map { f =>
+          val bgr = new Array[Byte](11 * 6 * 3)
+          var y = 0
+          while (y < 6) {
+            var x = 0
+            while (x < 11) {
+              val u = (base * 37 + f * 7 + y * 11 + x * 29 +
+                (x.toLong * y + f + base) % 13) % 16
+              val eps = ((id % 4) * (1 + y * 5 + x * 3)) % 3 % 2
+              val v = (u * 2 + eps).toByte
+              val o = (y * 11 + x) * 3
+              bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          bgr
+        }
+        Multimodal.MediaRecord(id,
+          Multimodal.RawVideo.encode(11, 6, frames), "video/raw")
+      }).toDF()
+  }
+
+  /** VIDEO frame sampling + keyframe near-dup
+    * ([[graft.ext.Multimodal.videoFrameHashes]]): raw-container clips
+    * decode ONCE, every 2nd frame is kept and dHash-fingerprinted
+    * (the brief's frame-sample op — video bytes never touched again),
+    * and clips near-dup on their middle SAMPLED frame's hash through
+    * the shared Hamming banding — keyframe hashing, the standard
+    * cheap video-dedup key. The oracle regenerates the keyframe's
+    * luma from the synth recipe (identity grid), packs bits, and
+    * replays pairs + census — the container encode → parse →
+    * frame-sample → fingerprint chain hash-pinned. Completes the
+    * near-dup matrix: text, image, audio, video on ONE blocking
+    * machinery.
+    */
+  def q222VideoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Multimodal.videoFrameHashes(spark,
+      synthVideoDupMedia(spark, dir), stride = 2, partitions = 8).toDF()
+    val sampled = fps.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"))
+    val keyed = fps
+      .filter(col("frame_idx") ===
+        expr("2 * (((n_frames + 1) div 2) div 2)"))
+      .select(col("media_id"), col("n_frames"), col("fp").as("key_fp"))
+    val pairs = graft.ext.Dedup.hammingNearDupPairs(
+      keyed.select(col("media_id"), col("key_fp").as("fp")),
+      "media_id", "fp", bits = 60, maxDistance = 3)
+    val sym = pairs.select(col("id_a").as("media_id"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("media_id"), col("id_a").as("nbr")))
+    val nbrs = sym.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_nbrs"), min(col("nbr")).as("min_nbr"))
+    keyed.join(sampled, Seq("media_id"))
+      .join(nbrs, Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_frames"), col("n_sampled"),
+        col("key_fp"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"), col("min_nbr"),
+        (col("min_nbr").isNull || col("min_nbr") > col("media_id")).as("keep"))
+      .orderBy(col("media_id"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6378,6 +6452,7 @@ object SparkEntry {
     "q219_audio_neardup" -> (q219AudioNearDup _),
     "q220_multimodal_dedup" -> (q220MultimodalDedup _),
     "q221_stream_cdc_store" -> (q221StreamCdcStore _),
+    "q222_video_neardup" -> (q222VideoNearDup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10356,6 +10431,53 @@ object SparkEntry {
     // q220: each modality's census embedded as a subquery of its own
     // shared oracle (ORDER BY stripped), then the reduction rollup
     "q220_multimodal_dedup" -> multimodalDedupSql,
+
+
+    // q222: keyframe index closed form, luma at the identity grid,
+    // gradient bits, quadratic verify, census — all regenerated
+    "q222_video_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+        |         CAST(8 + (doc_id // 4) % 5 AS BIGINT) AS n
+        |  FROM documents),
+        |k AS (
+        |  SELECT d.*, (n + 1) // 2 AS m,
+        |         2 * (((n + 1) // 2) // 2) AS kf
+        |  FROM d),
+        |gys AS (SELECT k.*, unnest(generate_series(0, 5)) AS gy FROM k),
+        |grid AS (SELECT gys.*, unnest(generate_series(0, 10)) AS gx FROM gys),
+        |v AS (
+        |  SELECT doc_id, n, m, gy, gx,
+        |         ((base * 37 + kf * 7 + gy * 11 + gx * 29
+        |           + (gx * gy + kf + base) % 13) % 16) * 2
+        |           + (variant * (1 + gy * 5 + gx * 3)) % 3 % 2 AS gray
+        |  FROM grid),
+        |b AS (
+        |  SELECT doc_id, n, m, gy, gx, gray,
+        |         lead(gray) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS ngray
+        |  FROM v),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n_frames, max(m) AS n_sampled,
+        |         CAST(sum(CASE WHEN gx < 10 AND gray < ngray
+        |                  THEN CAST(1 AS BIGINT) << (gy * 10 + gx)
+        |                  ELSE 0 END) AS BIGINT) AS key_fp
+        |  FROM b GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, c.doc_id AS idb
+        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.key_fp, c.key_fp)) <= 3),
+        |sym AS (
+        |  SELECT ida AS media_id, idb AS nbr FROM pairs
+        |  UNION ALL SELECT idb, ida FROM pairs),
+        |nb AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |         min(nbr) AS min_nbr
+        |  FROM sym GROUP BY media_id)
+        |SELECT f.doc_id AS media_id, f.n_frames, f.n_sampled, f.key_fp,
+        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
+        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
+        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // q216: both corrupted strings and every count rebuilt — the
     // md5 coin, sentinel ordinals, and ordered folds all replayed

@@ -239,6 +239,94 @@ object Multimodal {
     }
   }
 
+  // ----------------------------------------------- raw video (real)
+
+  /** Decoded raw video clip: dims + top-down BGR frames. */
+  final case class RawVideoClip(
+      width: Int, height: Int, frames: IndexedSeq[Array[Byte]])
+
+  /** Minimal UNCOMPRESSED video container (self-defined, documented
+    * here — the honest tier between "opaque binary" and the stubbed
+    * compressed codecs): `RVID` magic, le16 width, le16 height,
+    * le32 n_frames, then n_frames × (w·h·3) top-down BGR planes.
+    * Real byte parsing with corrupt-safe `Option` decode (bad magic,
+    * zero dims, truncated frame data → None), the Wav/Bmp
+    * discipline; every frame is a [[BmpImage]]-shaped plane, so the
+    * whole image toolchain (dHash, resize, features) applies
+    * per frame.
+    */
+  object RawVideo {
+    private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      le16(b, off, v & 0xffff); le16(b, off + 2, (v >>> 16) & 0xffff)
+    }
+    private def rd16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def rd32(b: Array[Byte], off: Int): Int =
+      rd16(b, off) | (rd16(b, off + 2) << 16)
+
+    def encode(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && height > 0 && frames.nonEmpty, "need positive dims + frames")
+      val fl = width * height * 3
+      require(frames.forall(_.length == fl), "every frame must be w*h*3 BGR")
+      val out = new Array[Byte](12 + fl * frames.length)
+      out(0) = 'R'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+      le16(out, 4, width); le16(out, 6, height)
+      le32(out, 8, frames.length)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        System.arraycopy(f, 0, out, 12 + i * fl, fl)
+      }
+      out
+    }
+
+    def decode(payload: Array[Byte]): Option[RawVideoClip] = {
+      if (payload == null || payload.length < 12) return None
+      if (payload(0) != 'R' || payload(1) != 'V' ||
+        payload(2) != 'I' || payload(3) != 'D') return None
+      val w = rd16(payload, 4); val h = rd16(payload, 6)
+      val n = rd32(payload, 8)
+      if (w <= 0 || h <= 0 || n <= 0) return None
+      val fl = w * h * 3
+      if (12L + fl.toLong * n > payload.length) return None
+      Some(RawVideoClip(w, h, IndexedSeq.tabulate(n) { i =>
+        val f = new Array[Byte](fl)
+        System.arraycopy(payload, 12 + i * fl, f, 0, fl)
+        f
+      }))
+    }
+  }
+
+  /** Per-sampled-frame perceptual fingerprint row. */
+  final case class FrameHashRow(
+      media_id: Long, n_frames: Long, frame_idx: Long, fp: Long)
+
+  /** FRAME SAMPLING over a raw-video media table: decode once, keep
+    * every `stride`-th frame (index 0 included), fingerprint each
+    * kept frame with [[Bmp.dhash60]] — the video leg of the
+    * multimodal matrix, riding the image toolchain per frame. Corrupt
+    * payloads dropped (DLQ callers split first). Only this decode
+    * pass ever touches video bytes; everything downstream (keyframe
+    * near-dup, per-frame retrieval) is relational.
+    */
+  def videoFrameHashes(spark: SparkSession, media: DataFrame,
+      stride: Int, partitions: Int): Dataset[FrameHashRow] = {
+    require(stride >= 1, "stride must be >= 1")
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"))
+      .repartition(partitions, col("media_id"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        RawVideo.decode(r.payload).toSeq.flatMap { clip =>
+          clip.frames.indices.by(stride).map { i =>
+            FrameHashRow(r.media_id, clip.frames.length.toLong, i.toLong,
+              Bmp.dhash60(BmpImage(clip.width, clip.height, clip.frames(i))))
+          }
+        }
+      })
+  }
+
   /** Per-clip acoustic fingerprint row. */
   final case class AudioHashRow(media_id: Long, n_samples: Long, fp: Long)
 

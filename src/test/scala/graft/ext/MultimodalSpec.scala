@@ -216,6 +216,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Bmp.dhash60(BmpImage(22, 12, bgr)) == Bmp.dhash60(ref))
   }
 
+  test("rawvideo: roundtrip, corrupt-safety, and stride sampling with per-frame dhash") {
+    import org.apache.spark.sql.functions.col
+    val frames = (0 until 5).map(f =>
+      Array.tabulate[Byte](11 * 6 * 3)(i => ((i + f * 3) % 64).toByte))
+    val clip = Multimodal.RawVideo.encode(11, 6, frames)
+    val dec = Multimodal.RawVideo.decode(clip).get
+    assert(dec.width == 11 && dec.height == 6 && dec.frames.length == 5)
+    assert(dec.frames(3).toSeq == frames(3).toSeq)
+    // corrupt: bad magic, truncated frame data
+    assert(Multimodal.RawVideo.decode("garbage".getBytes).isEmpty)
+    assert(Multimodal.RawVideo.decode(clip.take(clip.length - 7)).isEmpty)
+    // stride-2 sampling keeps frames 0,2,4 and hashes each
+    val media = Seq(Multimodal.MediaRecord(5L, clip, "video/raw"),
+      Multimodal.MediaRecord(6L, clip.take(20), "video/raw")).toDF()
+    val rows = Multimodal.videoFrameHashes(spark, media, stride = 2, partitions = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.map(_.media_id).toSet == Set(5L)) // corrupt clip dropped
+    assert(rows.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
+    assert(rows.forall(_.n_frames == 5L))
+    val direct = frames.indices.by(2).map(i =>
+      Bmp.dhash60(BmpImage(11, 6, frames(i))))
+    assert(rows.map(_.fp).toSeq == direct)
+  }
+
   test("energyHash60: identity frames hand-computed; gain-invariant; empty clip is 0") {
     // n = 61 → one sample per frame, e_j = s_j²: rising |amplitude|
     // sets every gradient bit, falling clears them
