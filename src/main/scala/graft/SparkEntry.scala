@@ -5802,6 +5802,7 @@ object SparkEntry {
     summarize("1_text_exact", text)
       .unionByName(summarize("2_image_dhash", q202ImageNearDup(spark, dir)))
       .unionByName(summarize("3_audio_energy", q219AudioNearDup(spark, dir)))
+      .unionByName(summarize("4_video_keyframe", q222VideoNearDup(spark, dir)))
       .orderBy(col("modality"))
   }
 
@@ -10435,49 +10436,7 @@ object SparkEntry {
 
     // q222: keyframe index closed form, luma at the identity grid,
     // gradient bits, quadratic verify, census — all regenerated
-    "q222_video_neardup" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
-        |         CAST(8 + (doc_id // 4) % 5 AS BIGINT) AS n
-        |  FROM documents),
-        |k AS (
-        |  SELECT d.*, (n + 1) // 2 AS m,
-        |         2 * (((n + 1) // 2) // 2) AS kf
-        |  FROM d),
-        |gys AS (SELECT k.*, unnest(generate_series(0, 5)) AS gy FROM k),
-        |grid AS (SELECT gys.*, unnest(generate_series(0, 10)) AS gx FROM gys),
-        |v AS (
-        |  SELECT doc_id, n, m, gy, gx,
-        |         ((base * 37 + kf * 7 + gy * 11 + gx * 29
-        |           + (gx * gy + kf + base) % 13) % 16) * 2
-        |           + (variant * (1 + gy * 5 + gx * 3)) % 3 % 2 AS gray
-        |  FROM grid),
-        |b AS (
-        |  SELECT doc_id, n, m, gy, gx, gray,
-        |         lead(gray) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS ngray
-        |  FROM v),
-        |fp AS (
-        |  SELECT doc_id, max(n) AS n_frames, max(m) AS n_sampled,
-        |         CAST(sum(CASE WHEN gx < 10 AND gray < ngray
-        |                  THEN CAST(1 AS BIGINT) << (gy * 10 + gx)
-        |                  ELSE 0 END) AS BIGINT) AS key_fp
-        |  FROM b GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS ida, c.doc_id AS idb
-        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
-        |  WHERE bit_count(xor(a.key_fp, c.key_fp)) <= 3),
-        |sym AS (
-        |  SELECT ida AS media_id, idb AS nbr FROM pairs
-        |  UNION ALL SELECT idb, ida FROM pairs),
-        |nb AS (
-        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
-        |         min(nbr) AS min_nbr
-        |  FROM sym GROUP BY media_id)
-        |SELECT f.doc_id AS media_id, f.n_frames, f.n_sampled, f.key_fp,
-        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
-        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
-        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
-        |ORDER BY media_id""".stripMargin,
+    "q222_video_neardup" -> videoNearDupSql,
 
     // q216: both corrupted strings and every count rebuilt — the
     // md5 coin, sentinel ordinals, and ordered folds all replayed
@@ -12349,6 +12308,53 @@ object SparkEntry {
         |FROM c JOIN dfq USING (chunk_text)
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
 
+  /** q222/q220 shared oracle: keyframe closed form, luma, bits,
+    * quadratic verify, census.
+    */
+  private val videoNearDupSql: String =
+    """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+        |         CAST(8 + (doc_id // 4) % 5 AS BIGINT) AS n
+        |  FROM documents),
+        |k AS (
+        |  SELECT d.*, (n + 1) // 2 AS m,
+        |         2 * (((n + 1) // 2) // 2) AS kf
+        |  FROM d),
+        |gys AS (SELECT k.*, unnest(generate_series(0, 5)) AS gy FROM k),
+        |grid AS (SELECT gys.*, unnest(generate_series(0, 10)) AS gx FROM gys),
+        |v AS (
+        |  SELECT doc_id, n, m, gy, gx,
+        |         ((base * 37 + kf * 7 + gy * 11 + gx * 29
+        |           + (gx * gy + kf + base) % 13) % 16) * 2
+        |           + (variant * (1 + gy * 5 + gx * 3)) % 3 % 2 AS gray
+        |  FROM grid),
+        |b AS (
+        |  SELECT doc_id, n, m, gy, gx, gray,
+        |         lead(gray) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS ngray
+        |  FROM v),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n_frames, max(m) AS n_sampled,
+        |         CAST(sum(CASE WHEN gx < 10 AND gray < ngray
+        |                  THEN CAST(1 AS BIGINT) << (gy * 10 + gx)
+        |                  ELSE 0 END) AS BIGINT) AS key_fp
+        |  FROM b GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, c.doc_id AS idb
+        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.key_fp, c.key_fp)) <= 3),
+        |sym AS (
+        |  SELECT ida AS media_id, idb AS nbr FROM pairs
+        |  UNION ALL SELECT idb, ida FROM pairs),
+        |nb AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |         min(nbr) AS min_nbr
+        |  FROM sym GROUP BY media_id)
+        |SELECT f.doc_id AS media_id, f.n_frames, f.n_sampled, f.key_fp,
+        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
+        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
+        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
+        |ORDER BY media_id""".stripMargin
+
   /** q219/q220 shared oracle: audio samples, frame energies,
     * gradient bits, quadratic verify, census.
     */
@@ -12405,6 +12411,7 @@ object SparkEntry {
       sql.trim.stripSuffix("ORDER BY media_id").trim
     s"""WITH img AS (${sub(imageNearDupSql)}),
        |aud AS (${sub(audioNearDupSql)}),
+       |vid AS (${sub(videoNearDupSql)}),
        |txt AS (
        |  SELECT doc_id,
        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
@@ -12423,7 +12430,11 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT '3_audio_energy', CAST(count(*) AS BIGINT),
        |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-       |  FROM aud)
+       |  FROM aud
+       |  UNION ALL
+       |  SELECT '4_video_keyframe', CAST(count(*) AS BIGINT),
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM vid)
        |ORDER BY modality""".stripMargin
   }
 
