@@ -686,6 +686,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(doc_id"), p)
   }
 
+  test("q217: FIM is ONE map pass — no join, no aggregation, only the display sort partitions") {
+    val p = plan("q217_fim_transform")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q216: span corruption never joins — explode + doc-keyed windows + one fold") {
+    val p = plan("q216_span_corrupt")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
   test("bm25 index serve: scoring reads stored postings only — no tokenizer, text never scanned") {
     import spark.implicits._
     val tmp = tempDir("graft-plan-bm25idx")
