@@ -16,8 +16,20 @@ import org.apache.spark.sql.SparkSession
   *    comparable.
   */
 object Bench {
+  /** 1-minute load average from /proc/loadavg — recorded at run start
+    * and end so a load-contaminated bench run self-identifies in the
+    * durable history (a line whose loadavg far exceeds the allotted
+    * cpus was measured on a busy host and its timings are suspect).
+    */
+  private def loadavg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadavg1m()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,7 +70,8 @@ object Bench {
     val streamTotal = results
       .filter { case (k, _) => SparkEntry.streamingQueries.contains(k) }
       .map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"n_streaming_queries":${SparkEntry.streamingQueries.size}}"""
+    val loadEnd = loadavg1m()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"n_streaming_queries":${SparkEntry.streamingQueries.size},"cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     println(line)
     // BENCH_r*.json captures only the stdout tail, which loses the
     // per-query times for over half the suite — persist the complete
@@ -73,7 +86,7 @@ object Bench {
         val w = new java.io.FileWriter("docs/bench_history.jsonl", true)
         try w.write(stamped + "\n") finally w.close()
       }
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -178,22 +178,42 @@ object AnnIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     // the sweep half of the tombstone lifecycle: pending deletes are
     // physically excised here (the one pass that rewrites the table
-    // anyway), then the tombstone table is cleared — search results
-    // are identical before and after by construction
-    val tomb = pendingTombstones(spark, dir)
-    val raw = spark.read.parquet(s"$dir/codes")
-      .select(col("vec_id"), col("codes"), col("label"))
-    val codes = tomb.fold(raw)(t =>
-      raw.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti"))
-    val staging = s"$dir/codes__staging"
-    codes.write.mode("overwrite").partitionBy("label").parquet(staging)
+    // anyway), then the SWEPT tombstone files are cleared — search
+    // results are identical before and after by construction. The
+    // file list is SNAPSHOTTED eagerly before the sweep and only
+    // those exact files are read and later deleted: a concurrent
+    // delete() appending a new tombstone file mid-compaction keeps
+    // its file (and so its pending-delete semantics) instead of
+    // being silently discarded by a whole-directory delete
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val snapshot: Array[org.apache.hadoop.fs.Path] =
+      if (fs.exists(tombDir)) fs.listStatus(tombDir).map(_.getPath)
+      else Array.empty
+    val tombFiles = snapshot.filter(_.getName.endsWith(".parquet"))
+    val raw = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("codes"), col("label"))
+    val codes =
+      if (tombFiles.isEmpty) raw
+      else raw.join(
+        spark.read.parquet(tombFiles.map(_.toString).toIndexedSeq: _*)
+          .select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    val staging = s"$dir/codes__staging"
+    codes.write.mode("overwrite").partitionBy("label").parquet(staging)
     val dst = new org.apache.hadoop.fs.Path(s"$dir/codes")
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
-    if (tomb.isDefined)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    // clear exactly the snapshotted files (.parquet plus the write
+    // markers listed alongside them), then remove the directory only
+    // if nothing new landed — a non-recursive delete refuses a
+    // non-empty dir, so a concurrently appended tombstone file keeps
+    // both its bytes and its pending-delete semantics
+    snapshot.foreach(f => fs.delete(f, false))
+    if (snapshot.nonEmpty)
+      try { fs.delete(tombDir, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     ()
   }
 }

@@ -226,7 +226,9 @@ object Multimodal {
       var j = 0
       while (j < n) {
         val v = samples(j).toLong
-        e((j * 61 / n).toInt) += v * v
+        // frame index in Long: j*61 overflows Int past ~35.2M samples
+        // (≈13 min at 44.1kHz), well under the 2GB payload limit
+        e((j.toLong * 61 / n).toInt) += v * v
         j += 1
       }
       var fp = 0L
@@ -288,8 +290,12 @@ object Multimodal {
       val w = rd16(payload, 4); val h = rd16(payload, 6)
       val n = rd32(payload, 8)
       if (w <= 0 || h <= 0 || n <= 0) return None
-      val fl = w * h * 3
-      if (12L + fl.toLong * n > payload.length) return None
+      // frame length in Long first: header-claimed dims up to
+      // 65535x65535 overflow w*h*3 in Int, which would defeat the
+      // truncation check and crash instead of the contracted None
+      val flL = w.toLong * h * 3
+      if (flL > Int.MaxValue || 12L + flL * n > payload.length) return None
+      val fl = flL.toInt
       Some(RawVideoClip(w, h, IndexedSeq.tabulate(n) { i =>
         val f = new Array[Byte](fl)
         System.arraycopy(payload, 12 + i * fl, f, 0, fl)

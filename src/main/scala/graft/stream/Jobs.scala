@@ -974,20 +974,26 @@ object Jobs {
           val survivors = s0.join(
             clusters.filter(!col("is_canonical")).select(col("doc_id")),
             Seq("doc_id"), "left_anti")
-          // APPEND-ONLY publish: each batch lands only its own
-          // survivors under v=<batchId> (idempotent overwrite of its
-          // own partition) — the per-batch write is O(new survivors),
-          // never an O(corpus) snapshot rewrite; readers union the
-          // partitions
-          survivors
-            .write.mode("overwrite").parquet(s"$keptRoot/v=$batchId")
-          // publish the survivors' fingerprints beside them: an
-          // O(survivors) pass over THIS batch's text only — the next
-          // trigger band-joins against these stored rows, so a doc's
-          // text is fingerprinted only in the batch that admits it
+          // publish the survivors' fingerprints FIRST: an O(survivors)
+          // pass over THIS batch's text only — the next trigger
+          // band-joins against these stored rows, so a doc's text is
+          // fingerprinted only in the batch that admits it. Order
+          // matters for crash-safe replay: the kept/v= partition below
+          // is the replay-skip marker (publishedVersion reads kept/),
+          // so the index partition must land before it — a crash
+          // between the two re-runs the whole batch (both writes are
+          // idempotent partition overwrites), never skips a batch
+          // whose fingerprints were never indexed
           graft.ext.Dedup.minhashIndexRows(survivors, "doc_id", "text",
             shingleSize = 3, numHashes = 32)
             .write.mode("overwrite").parquet(s"$indexRoot/v=$batchId")
+          // APPEND-ONLY publish, marker LAST: each batch lands only its
+          // own survivors under v=<batchId> (idempotent overwrite of
+          // its own partition) — the per-batch write is O(new
+          // survivors), never an O(corpus) snapshot rewrite; readers
+          // union the partitions
+          survivors
+            .write.mode("overwrite").parquet(s"$keptRoot/v=$batchId")
           h.unpersist()
           lastV = batchId
         }

@@ -254,6 +254,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Wav.energyHash60(Array.empty[Short]) == 0L)
   }
 
+  test("energyHash60: clips past ~35.2M samples (j*61 Int overflow) still hash") {
+    // 36M samples × 61 > Int.MaxValue at the tail — the frame index
+    // must be computed in Long or the last frames go negative and
+    // crash; a rising-energy staircase keeps the expected value exact
+    val n = 36_000_000
+    val s = new Array[Short](n)
+    var j = 0
+    while (j < n) { s(j) = ((j.toLong * 61 / n) * 3).toShort; j += 1 }
+    assert(Wav.energyHash60(s) == (1L << 60) - 1)
+  }
+
+  test("rawvideo: header dims overflowing w*h*3 in Int decode to None, not a crash") {
+    // 65535×65535×3 overflows Int; the truncation check must run in
+    // Long so corrupt/adversarial headers get the contracted None
+    val b = new Array[Byte](64)
+    b(0) = 'R'; b(1) = 'V'; b(2) = 'I'; b(3) = 'D'
+    b(4) = -1; b(5) = -1 // w = 65535
+    b(6) = -1; b(7) = -1 // h = 65535
+    b(8) = 1             // n_frames = 1
+    assert(Multimodal.RawVideo.decode(b).isEmpty)
+  }
+
   test("spark: bmpDHashes + hammingNearDupPairs find planted perturbed copies") {
     // quad of near-identical images (one low bit differs) + one far image
     val base = gradientImage(0)
