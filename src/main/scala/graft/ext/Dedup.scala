@@ -561,13 +561,24 @@ object Dedup {
     * blocking. Factored out so perceptual image fingerprints
     * ([[graft.ext.Multimodal.Bmp.dhash60]]) ride the identical
     * banded join instead of growing a parallel implementation.
+    *
+    * Buckets whose population exceeds `bucketCap` (degenerate
+    * perceptual fingerprints — flat/black media hashing to 0) are
+    * routed through an exact grid-salted self-join (≤ `maxSalt`²
+    * grid cells per bucket) so no single task ever owns a quadratic
+    * bucket; results are bit-identical to the unguarded join
+    * (pinned banded ≡ brute-force on a skewed flat-image fixture in
+    * MultimodalSpec).
     */
   def hammingNearDupPairs(
       fp: DataFrame, idCol: String, fpCol: String,
-      bits: Int = 60, maxDistance: Int = 3): DataFrame = {
+      bits: Int = 60, maxDistance: Int = 3,
+      bucketCap: Int = 1 << 14, maxSalt: Int = 1 << 10): DataFrame = {
     val nChunks = maxDistance + 1
     require(bits % nChunks == 0,
       s"bits=$bits must divide into ${nChunks} chunks for exact pigeonhole blocking")
+    require(bucketCap > 0, "bucketCap must be positive")
+    require(maxSalt > 0, "maxSalt must be positive")
     val chunkBits = bits / nChunks
     val base = fp.select(col(idCol).as("doc_id"), col(fpCol).as("fp"))
     val chunks = base.select(col("doc_id"), col("fp"),
@@ -575,13 +586,52 @@ object Dedup {
         shiftright(col("fp"), i * chunkBits)
           .bitwiseAND((1L << chunkBits) - 1L)
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
-    val a = chunks.select(col("chunk_idx"), col("chunk_val"),
+    // HOT-BUCKET GUARD: the "~n/2^chunkBits docs per bucket" uniformity
+    // assumption holds for text simhash but NOT for perceptual
+    // fingerprints — real image/audio corpora concentrate mass on
+    // degenerate fingerprints (flat/black frames → zero gradient bits
+    // → a chunk_val=0 bucket holding a large fraction of the corpus),
+    // and the within-bucket self-join is quadratic in bucket size.
+    // Tag every chunk row with its bucket's population (a map-side-
+    // combined count + a co-partitioned join on the same key the pair
+    // join shuffles on), send ≤cap buckets down the plain join, and
+    // route over-cap buckets through an exact GRID-SALTED self-join:
+    // bucket members split into S=ceil(n/cap) id-hashed groups, the
+    // left row (group ga) replicated across all gb, the right row
+    // (group gb) replicated across all ga, joined on (bucket, ga, gb)
+    // — every pair meets at exactly one grid cell, per-task work drops
+    // from n² to (n/S)²≈cap², and the genuinely-quadratic output of a
+    // degenerate bucket is spread over S² tasks instead of one
+    // straggler. Both branches always exist in the plan (the split is
+    // a runtime filter), so the no-skew common case pays only the
+    // narrow count shuffle.
+    val counts = chunks.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val tagged = chunks.join(counts, Seq("chunk_idx", "chunk_val"))
+    val cold = tagged.filter(col("bucket_n") <= bucketCap)
+    val coldA = cold.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("id_a"), col("fp").as("fp_a"))
-    val b = chunks.select(col("chunk_idx"), col("chunk_val"),
+    val coldB = cold.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val coldPairs = coldA.join(coldB, Seq("chunk_idx", "chunk_val"))
+    val hot = tagged.filter(col("bucket_n") > bucketCap)
+      .withColumn("nsalt",
+        least(ceil(col("bucket_n").cast("double") / bucketCap), lit(maxSalt))
+          .cast("int"))
+      .withColumn("g", pmod(xxhash64(col("doc_id")), col("nsalt")).cast("int"))
+    val hotA = hot.select(col("chunk_idx"), col("chunk_val"),
+        col("g").as("ga"),
+        explode(sequence(lit(0), col("nsalt") - 1)).as("gb"),
+        col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val hotB = hot.select(col("chunk_idx"), col("chunk_val"),
+        explode(sequence(lit(0), col("nsalt") - 1)).as("ga"),
+        col("g").as("gb"),
+        col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val hotPairs = hotA.join(hotB, Seq("chunk_idx", "chunk_val", "ga", "gb"))
+      .drop("ga", "gb")
     // verify (cheap codegen'd bit ops) BEFORE the pair-dedup shuffle so
     // only true near-dups pay the distinct
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+    coldPairs.unionByName(hotPairs)
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming",
         hammingDistance(col("fp_a"), col("fp_b")).cast("long"))

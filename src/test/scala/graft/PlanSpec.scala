@@ -737,4 +737,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("codes"), p)
     assert(!p.contains("embedding:array"), p)
   }
+
+  test("q202: hamming banding carries the hot-bucket grid guard — both branches in the plan") {
+    // the split is a runtime filter on bucket_n, so the PLAN always
+    // shows both routes: the plain bucket join unioned with the
+    // grid-salted branch (explode(sequence(0, nsalt-1)) on each side).
+    // If the union or the salt generators vanish, the guard was
+    // optimized away and a degenerate-fingerprint corpus is one hot
+    // bucket from a quadratic straggler again.
+    val p = plan("q202_image_neardup")
+    assert(p.contains("Union"), p)
+    assert("sequence\\(0".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

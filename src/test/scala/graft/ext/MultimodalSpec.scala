@@ -303,4 +303,37 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute)
     assert(brute.nonEmpty && brute.forall { case (a, b) => a != 9L && b != 9L })
   }
+
+  test("hammingNearDupPairs: hot-bucket grid guard ≡ brute force on a skewed flat-image fixture") {
+    // the real-world skew the uniform-bucket assumption misses: flat
+    // (near-black) images all dHash to 0, so every chunk bucket of
+    // every flat image is (i, 0) — one bucket holds the whole corpus.
+    // 500 flat images + a halo within distance ≤3 + distant outliers;
+    // a tiny bucketCap forces the grid-salted branch to do the work.
+    val flat = (1L to 500L).map(id => id -> 0L)
+    val halo = Seq(601L -> 1L, 602L -> 6L, 603L -> (1L << 44),
+      604L -> ((1L << 3) | (1L << 17) | (1L << 59)))
+    val far = Seq(701L -> 0x0ffffffffffffffL, 702L -> 0x5555555555555L)
+    val all = flat ++ halo ++ far
+    val fps = all.toDF("media_id", "fp")
+    val guarded = Dedup.hammingNearDupPairs(fps, "media_id", "fp", 60, 3,
+        bucketCap = 16, maxSalt = 4)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (a, fa) <- all; (b, fb) <- all if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(guarded == brute)
+    // sanity on the fixture shape: the flat clique alone is 124,750
+    // pairs, the halo joins it, the far pair stays out
+    assert(brute.size > 124750)
+    assert(!brute.exists { case (a, b, _) => a >= 700L || b >= 700L })
+    // and the guard changed the ROUTE, not the answer: default cap
+    // (no bucket over 2^14) gives the identical set
+    val unguarded = Dedup.hammingNearDupPairs(fps, "media_id", "fp", 60, 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(unguarded == brute)
+  }
 }
