@@ -380,6 +380,53 @@ object Dedup {
     (matches, new CacheHandle(Seq(shB)))
   }
 
+  /** The PERSISTABLE band-key rows for an index frame
+    * ([[minhashIndexRows]] schema): one `(band, bucket, corpus_id)`
+    * row per (doc, band) — the exploded LSH posting list. Stored
+    * partitioned by `(band, bucket-prefix)` this is what lets an
+    * incremental consumer's per-trigger band join PRUNE the stored
+    * index scan to the batch's own buckets instead of reading every
+    * fingerprint ever admitted (the band join itself was already
+    * O(batch); the stored-side scan was the remaining O(corpus)
+    * per-trigger term).
+    */
+  def minhashBandRows(
+      index: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    index.select(col("id").as("corpus_id"),
+      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("corpus_id"))
+
+  /** [[minhashNearDupAgainstIndexWithHandle]] against PRE-EXPLODED
+    * stored band rows ([[minhashBandRows]] schema) plus the stored
+    * doc shingle sets — the storage-layout-aware form: the caller
+    * reads `storedBands` with whatever partition pruning its layout
+    * affords (band / bucket-prefix partitions) and this join never
+    * widens the scan. `batchIdx` is the batch's own
+    * [[minhashIndexRows]] frame (caller persists it — it feeds both
+    * the band keys and the verify join). Results are identical to
+    * the text and index forms: same band keys, same exact
+    * shingle-set Jaccard verify.
+    */
+  def minhashNearDupAgainstBandRows(
+      storedBands: DataFrame, // (band, bucket, corpus_id)
+      corpusDocs: DataFrame,  // (id, sh)
+      batchIdx: DataFrame,    // (id, sh, sig)
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    minhashBandRows(batchIdx, bands, rowsPerBand)
+      .select(col("corpus_id").as("batch_id"), col("band"), col("bucket"))
+      .join(storedBands.select(col("band"), col("bucket"), col("corpus_id")),
+        Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+      .join(batchIdx.select(col("id").as("batch_id"), col("sh").as("sh_b")),
+        "batch_id")
+      .join(corpusDocs.select(col("id").as("corpus_id"), col("sh").as("sh_c")),
+        "corpus_id")
+      .withColumn("jaccard_sim", round(jaccard(col("sh_b"), col("sh_c")), 6))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard_sim"))
+
   /** Exact n-gram Jaccard pairs (the brute-force verifier MinHash
     * approximates): all (a < b) pairs with Jaccard ≥ threshold.
     *

@@ -379,6 +379,34 @@ object Jobs {
     lastV
   }
 
+  /** Storage geometry of [[runNearDupDedupStream]]'s persisted band
+    * index: bucket ids are md5 hex strings, so the first two hex
+    * chars give a uniform 256-way partition prefix — (band, pb) has
+    * ≤ 16·256 = 4096 combos, which is what bounds the per-trigger
+    * touched-bucket driver hop.
+    */
+  private[stream] val NearDupBandPrefixVals = 256
+
+  /** The partition-prefix of an md5-hex bucket id (0..255). */
+  private[stream] def nearDupBucketPrefix(bucket: Column): Column =
+    conv(substring(bucket, 1, 2), 16, 10).cast("int")
+
+  /** Partition-pruned scan of a stored near-dup bands table: only
+    * `v < beforeV` versions (replay safety — a re-run batch must not
+    * see its own orphaned rows) and only the `band·256 + pb` combos
+    * in `touchedBp` (the batch's own buckets). Both predicates bind
+    * to partition columns, so they prune at file listing — the scan
+    * is O(touched buckets), never O(index). Factored out so
+    * StreamSpec can pin the PartitionFilters in the physical plan.
+    */
+  private[stream] def nearDupStoredBandScan(
+      spark: SparkSession, bandsRoot: String,
+      touchedBp: Seq[Int], beforeV: Long): DataFrame =
+    spark.read.parquet(bandsRoot)
+      .filter(col("v") < beforeV &&
+        (col("band") * NearDupBandPrefixVals + col("pb")).isin(touchedBp: _*))
+      .select(col("band"), col("bucket"), col("corpus_id"))
+
   /** Highest published `v=<id>` under `snapshotPath`, or -1 when none
     * exist (first run / fresh directory) — the crash-safe version
     * pointer [[runChangelogStream]] resumes from.
@@ -917,15 +945,29 @@ object Jobs {
     * survivors), never an O(corpus) snapshot rewrite).
     *
     * The kept side is INCREMENTAL in cost, not just in storage: each
-    * batch also appends its survivors' `(id, sh, sig)` index rows
-    * ([[graft.ext.Dedup.minhashIndexRows]] over the batch's own
-    * survivor text — an O(survivors) pass) under `index/v=<batchId>`,
-    * and the next trigger's band join reads THAT — a parquet scan of
-    * signatures. The kept corpus's text is never
-    * re-tokenized/re-shingled/re-minhashed after its admitting batch
-    * (at a growing 100 TB corpus the per-trigger re-fingerprint was
-    * the O(corpus) term; the index scan is ~numHashes+|shingles|
-    * longs per doc with the text columns never read). With batches
+    * batch appends its survivors' `(id, sh, sig)` index rows
+    * ([[graft.ext.Dedup.minhashIndexRows]] — derived from the
+    * batch's already-persisted fingerprint frame by a semi-join, so
+    * survivor text is fingerprinted exactly once, ever) under
+    * `index/docs/v=<batchId>`, AND their exploded LSH posting rows
+    * ([[graft.ext.Dedup.minhashBandRows]]) under
+    * `index/bands/v=<batchId>/band=<b>/pb=<first 2 hex chars>/`. The
+    * next trigger's band join reads the BANDS table pruned to its
+    * own buckets: the batch's distinct `(band, pb)` combos are a
+    * bounded driver hop (≤ bands·256 = 4096 rows by construction,
+    * independent of data), pushed as a partition filter — so the
+    * per-trigger stored-side scan is O(touched buckets), not
+    * O(every fingerprint ever admitted). The doc shingle sets are
+    * only joined for verified candidates. The kept corpus's text is
+    * never re-tokenized/re-shingled/re-minhashed after its admitting
+    * batch.
+    *
+    * Replay safety: the kept/v= partition is the LAST write (the
+    * replay marker), and the stored-index reads filter `v < batchId`
+    * — so a crash between the index and marker writes re-runs the
+    * whole batch WITHOUT matching the batch against its own orphaned
+    * fingerprints (which would silently drop every doc in the
+    * replayed batch as a "duplicate" of itself). With batches
     * arriving in id order, keep-first equals the batch
     * min-id-per-cluster rule on clique-shaped duplicate groups —
     * which planted near-dup twins are — so the final snapshot shares
@@ -944,12 +986,9 @@ object Jobs {
     graft.ext.VectorKernels.register(spark)
     var lastV = publishedVersion(spark, s"$workDir/kept")
     val keptRoot = s"$workDir/kept"
-    val indexRoot = s"$workDir/index"
-    def indexSoFar(batch: DataFrame): DataFrame =
-      if (lastV < 0)
-        graft.ext.Dedup.minhashIndexRows(batch.limit(0), "doc_id", "text",
-          shingleSize = 3, numHashes = 32)
-      else spark.read.parquet(indexRoot).drop("v")
+    val docsRoot = s"$workDir/index/docs"
+    val bandsRoot = s"$workDir/index/bands"
+    val bands = 16; val rowsPerBand = 2
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
@@ -960,10 +999,41 @@ object Jobs {
           // registry may predate the kernels' lazy registration —
           // register on the batch's own session, not SparkSession.active
           graft.ext.VectorKernels.register(batch.sparkSession)
-          val (matches, h) =
-            graft.ext.Dedup.minhashNearDupAgainstIndexWithHandle(
-              indexSoFar(batch), batch, "doc_id", "text",
-              shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+          // fingerprint the batch ONCE — feeds the band join, the
+          // verify join, and (semi-joined to survivors) the published
+          // index rows
+          val batchIdx = graft.ext.Dedup.minhashIndexRows(
+              batch, "doc_id", "text", shingleSize = 3, numHashes = 32)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val haveIndex = lastV >= 0 &&
+            new java.io.File(bandsRoot).isDirectory
+          val matches = if (!haveIndex) {
+            val none = batchIdx.limit(0)
+            graft.ext.Dedup.minhashNearDupAgainstBandRows(
+              graft.ext.Dedup.minhashBandRows(none, bands, rowsPerBand),
+              none.select(col("id"), col("sh")), batchIdx,
+              bands, rowsPerBand, threshold = 0.5)
+          } else {
+            // the batch's distinct (band, bucket-prefix) combos — a
+            // BOUNDED driver hop (≤ bands·256 = 4096 rows by
+            // construction, independent of batch or corpus size) —
+            // become a partition filter on the stored bands table, so
+            // the stored-side scan prunes to touched buckets instead
+            // of every fingerprint ever admitted. v < batchId keeps a
+            // crash-replayed batch from matching its own orphaned
+            // fingerprints (marker is written last, below).
+            val touched = graft.ext.Dedup
+              .minhashBandRows(batchIdx, bands, rowsPerBand)
+              .select((col("band") * NearDupBandPrefixVals +
+                nearDupBucketPrefix(col("bucket"))).cast("int").as("bp"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val stored = nearDupStoredBandScan(spark, bandsRoot, touched, batchId)
+            val docs = spark.read.parquet(docsRoot)
+              .filter(col("v") < batchId)
+              .select(col("id"), col("sh"))
+            graft.ext.Dedup.minhashNearDupAgainstBandRows(
+              stored, docs, batchIdx, bands, rowsPerBand, threshold = 0.5)
+          }
           val s0 = batch.join(
             matches.select(col("batch_id").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
@@ -974,19 +1044,24 @@ object Jobs {
           val survivors = s0.join(
             clusters.filter(!col("is_canonical")).select(col("doc_id")),
             Seq("doc_id"), "left_anti")
-          // publish the survivors' fingerprints FIRST: an O(survivors)
-          // pass over THIS batch's text only — the next trigger
-          // band-joins against these stored rows, so a doc's text is
-          // fingerprinted only in the batch that admits it. Order
-          // matters for crash-safe replay: the kept/v= partition below
-          // is the replay-skip marker (publishedVersion reads kept/),
-          // so the index partition must land before it — a crash
-          // between the two re-runs the whole batch (both writes are
-          // idempotent partition overwrites), never skips a batch
-          // whose fingerprints were never indexed
-          graft.ext.Dedup.minhashIndexRows(survivors, "doc_id", "text",
-            shingleSize = 3, numHashes = 32)
-            .write.mode("overwrite").parquet(s"$indexRoot/v=$batchId")
+          // publish the survivors' fingerprints FIRST (docs + band
+          // posting rows — both derived from the persisted batchIdx by
+          // a semi-join, so survivor text is fingerprinted exactly
+          // once, ever). Order matters for crash-safe replay: the
+          // kept/v= partition below is the replay-skip marker
+          // (publishedVersion reads kept/), so the index partitions
+          // must land before it — a crash between the writes re-runs
+          // the whole batch (all writes are idempotent partition
+          // overwrites) and the v < batchId read filter above keeps
+          // the re-run from seeing its own orphaned rows
+          val survivorIdx = batchIdx.join(
+            survivors.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+          survivorIdx
+            .write.mode("overwrite").parquet(s"$docsRoot/v=$batchId")
+          graft.ext.Dedup.minhashBandRows(survivorIdx, bands, rowsPerBand)
+            .withColumn("pb", nearDupBucketPrefix(col("bucket")))
+            .write.mode("overwrite").partitionBy("band", "pb")
+            .parquet(s"$bandsRoot/v=$batchId")
           // APPEND-ONLY publish, marker LAST: each batch lands only its
           // own survivors under v=<batchId> (idempotent overwrite of
           // its own partition) — the per-batch write is O(new
@@ -994,7 +1069,7 @@ object Jobs {
           // union the partitions
           survivors
             .write.mode("overwrite").parquet(s"$keptRoot/v=$batchId")
-          h.unpersist()
+          batchIdx.unpersist()
           lastV = batchId
         }
         ()

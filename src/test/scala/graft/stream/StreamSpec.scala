@@ -741,4 +741,78 @@ class StreamSpec extends SparkSpec {
     assert(parts == Seq("batch=0", "batch=1"))
     assert(spark.read.parquet(s"$tmp/out/results").count() == 30L)
   }
+
+  /** One (doc_id, lang, text) micro-batch file per slice, mod-time
+    * ordered like [[writeOrderedSlices]].
+    */
+  private def writeDocSlices(
+      tmp: String, slices: Seq[Seq[(Long, String, String)]]): String = {
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "lang", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    in
+  }
+
+  test("near-dup stream: band index partition-prunes; crash replay never self-matches") {
+    val tmp = tempDir("graft-neardupband")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val tX = "one two three four five six seven eight nine ten eleven twelve"
+    val tY = "red orange yellow green blue indigo violet white black brown pink gray"
+    val tZ = "cat dog bird fish horse cow sheep goat pig duck hen owl"
+    val slices = Seq(
+      Seq((1L, "en", t1), (2L, "en", tX)),
+      Seq((3L, "en", t1 + " nu"), (4L, "en", tY)), // 3 near-dups 1 cross-batch
+      Seq((5L, "en", tY + " cyan"), (6L, "en", tZ))) // 5 near-dups 4
+    val in = writeDocSlices(tmp, slices)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val kept = Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L, 6L))
+
+    // the stored bands table prunes at the partition level: both the
+    // replay guard (v < beforeV) and the touched-bucket prefix land
+    // in PartitionFilters, so the per-trigger scan never lists — let
+    // alone reads — untouched buckets or same-version orphans
+    val bandsRoot = s"$tmp/work/index/bands"
+    val pruned = Jobs.nearDupStoredBandScan(spark, bandsRoot, Seq(0, 1, 513), 2L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("(v"), plan)
+    assert(plan.contains("pb"), plan)
+    // full combo set + unbounded version sees every stored band row
+    val allBp = (0 until 16 * 256).toSeq
+    val full = Jobs.nearDupStoredBandScan(spark, bandsRoot, allBp, Long.MaxValue)
+    assert(full.count() == 4 * 16L) // 4 survivors × 16 bands
+
+    // CRASH REPLAY: simulate dying between the index write and the
+    // kept/v= marker write of the LAST batch — the orphaned index
+    // rows for batch 2's survivor (doc 6) are on disk, the marker is
+    // not. Without the v < batchId read guard the replayed batch
+    // would match doc 6 against its own orphaned fingerprint and
+    // silently drop it as a "duplicate" of itself.
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(s"$tmp/work/kept/v=2"))
+    rmrf(new java.io.File(s"$tmp/work/ckpt"))
+    val replayed = Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work")
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayed == Set(1L, 2L, 4L, 6L))
+  }
 }
