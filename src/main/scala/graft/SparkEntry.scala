@@ -5902,6 +5902,88 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Column-level sequences for the JPEG near-dup corpus: 6 cluster
+    * patterns over luma levels {40, 128, 216}, every adjacent pair a
+    * STRICT step (Δ ≥ 88 — far above baseline-JPEG quantization
+    * error at q ≥ 85, so every dHash comparison bit survives the
+    * lossy roundtrip EXACTLY; ties would be codec-fragile). The
+    * resulting 10-bit gradient patterns are pairwise ≥ 4 bits apart
+    * → 60-bit fingerprints ≥ 24 apart across clusters, 0 within.
+    */
+  private val jpegClusterSeqs: Array[Array[Int]] = Array(
+    Array(0, 1, 2, 0, 1, 2, 0, 1, 2, 0, 1), // pattern 731
+    Array(2, 1, 0, 2, 1, 0, 2, 1, 0, 2, 1), // pattern 292
+    Array(0, 2, 0, 2, 0, 2, 0, 2, 0, 2, 0), // pattern 341
+    Array(2, 0, 2, 0, 2, 0, 2, 0, 2, 0, 2), // pattern 682
+    Array(0, 1, 2, 1, 0, 1, 2, 1, 0, 1, 2), // pattern 819
+    Array(2, 1, 0, 1, 2, 1, 0, 1, 2, 1, 0)) // pattern 204
+
+  /** Deterministic synth recipe for the JPEG near-dup corpus: each
+    * doc becomes a 44×24 image of 11 vertical 4-px strips whose luma
+    * levels follow the doc's CLUSTER sequence
+    * (`c = (base·37 + 11) % 6`, `base = doc_id / 4`), gray channels
+    * (`b = g = r`) so chroma is constant. The four quad variants
+    * exercise four distinct encoder paths — 4:4:4 q90, 4:4:4 q85
+    * with a +2 global brightness shift (dHash is shift-invariant),
+    * 4:2:0 q90, and grayscale q90 — so one query pins the Huffman /
+    * dequant / IDCT / upsample / color-convert machinery across
+    * every supported mode. Strips are strict ±88-luma steps, so the
+    * decoded fingerprint is BIT-EXACTLY the cluster pattern and the
+    * oracle computes it in closed form.
+    */
+  private def synthJpegDupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seqs = jpegClusterSeqs
+    val levels = Array(40, 128, 216)
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 4
+        val c = ((base * 37 + 11) % 6).toInt
+        val w = 44; val h = 24
+        val shift = if (id % 4 == 1) 2 else 0
+        val bgr = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (levels(seqs(c)(x / 4)) + shift).toByte
+            val o = (y * w + x) * 3
+            bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        val img = Multimodal.BmpImage(w, h, bgr)
+        val jpg = (id % 4) match {
+          case 0 => graft.ext.Jpeg.encode(img, quality = 90)
+          case 1 => graft.ext.Jpeg.encode(img, quality = 85)
+          case 2 => graft.ext.Jpeg.encode(img, quality = 90, subsample420 = true)
+          case _ => graft.ext.Jpeg.encode(img, quality = 90, grayscale = true)
+        }
+        Multimodal.MediaRecord(id, jpg, "image/jpeg")
+      }).toDF()
+  }
+
+  /** JPEG near-dup dedup — the compressed-codec leg of the
+    * multimodal matrix made REAL: synth baseline-JFIF payloads
+    * (four encoder modes per cluster quad) → from-scratch
+    * [[graft.ext.Jpeg]] decode (marker walk → Huffman → dequant →
+    * IDCT → upsample → YCbCr→RGB) → [[graft.ext.Multimodal.Bmp
+    * .dhash60]] → the shared banded Hamming census. The corpus is
+    * engineered so lossy decode preserves every gradient bit
+    * (±88-luma strip steps vs ≤ ~20 codec error), which is what
+    * lets the oracle state the expected fingerprint in CLOSED FORM
+    * (cluster pattern × the 6-row replication constant) — a decoder
+    * that mis-huffmans, mis-dequantizes, mis-IDCTs, mis-upsamples,
+    * or mis-converts any of the four modes scatters fingerprints
+    * and the hash check fails. Only the decode pass touches payload
+    * bytes; the pair surface is the guarded banded join.
+    */
+  def q223JpegNearDup(spark: SparkSession, dir: String): DataFrame =
+    dhashNearDupCensus(
+      Multimodal.imageDHashes(spark, synthJpegDupMedia(spark, dir),
+        partitions = 8).toDF())
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6454,6 +6536,7 @@ object SparkEntry {
     "q220_multimodal_dedup" -> (q220MultimodalDedup _),
     "q221_stream_cdc_store" -> (q221StreamCdcStore _),
     "q222_video_neardup" -> (q222VideoNearDup _),
+    "q223_jpeg_neardup" -> (q223JpegNearDup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10437,6 +10520,34 @@ object SparkEntry {
     // q222: keyframe index closed form, luma at the identity grid,
     // gradient bits, quadratic verify, census — all regenerated
     "q222_video_neardup" -> videoNearDupSql,
+
+    // q223: cluster pattern, the closed-form decoded fingerprint
+    // (strict ±88-luma strips survive lossy decode bit-exactly),
+    // and the census rebuilt from the cluster membership alone
+    "q223_jpeg_neardup" ->
+      """WITH cl AS (
+        |  SELECT doc_id, ((doc_id // 4) * 37 + 11) % 6 AS c FROM documents),
+        |pat AS (
+        |  SELECT doc_id, c,
+        |         CASE c WHEN 0 THEN 731 WHEN 1 THEN 292 WHEN 2 THEN 341
+        |                WHEN 3 THEN 682 WHEN 4 THEN 819 ELSE 204 END AS p
+        |  FROM cl),
+        |m1 AS (
+        |  SELECT c, min(doc_id) AS m1, CAST(count(*) AS BIGINT) AS n
+        |  FROM cl GROUP BY c),
+        |m2 AS (
+        |  SELECT cl.c, min(cl.doc_id) AS m2
+        |  FROM cl JOIN m1 ON cl.c = m1.c WHERE cl.doc_id > m1.m1
+        |  GROUP BY cl.c)
+        |SELECT p.doc_id AS media_id,
+        |       CAST(44 AS INT) AS width, CAST(24 AS INT) AS height,
+        |       CAST(p.p * 1127000493261825 AS BIGINT) AS fp,
+        |       m1.n - 1 AS n_nbrs,
+        |       CASE WHEN m1.n = 1 THEN NULL
+        |            WHEN p.doc_id = m1.m1 THEN m2.m2 ELSE m1.m1 END AS min_nbr,
+        |       (m1.n = 1 OR p.doc_id = m1.m1) AS keep
+        |FROM pat p JOIN m1 ON p.c = m1.c LEFT JOIN m2 ON p.c = m2.c
+        |ORDER BY media_id""".stripMargin,
 
     // q216: both corrupted strings and every count rebuilt — the
     // md5 coin, sentinel ordinals, and ordered folds all replayed

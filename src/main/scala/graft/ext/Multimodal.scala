@@ -8,17 +8,19 @@ import org.apache.spark.sql.functions._
   * plumbing a training-data pipeline needs.
   *
   * Decode comes in two tiers:
-  *  - UNCOMPRESSED container formats are decoded for REAL, in pure
-  *    JVM byte parsing — [[Wav]] (RIFF chunk walk + PCM16) and
-  *    [[Bmp]] (BITMAPINFOHEADER + padded bottom-up pixel rows), each
-  *    with integer-exact feature extraction and a corrupt-safe
-  *    `Option` result (malformed payloads surface as nulls, the O-05
-  *    discipline, never as executor crashes);
-  *  - COMPRESSED codecs (JPEG/MP3/H.264) remain STUBBED behind
-  *    [[FakeDecoder]] — a clearly-marked deterministic fake (no codec
-  *    libraries exist in this container). The Spark-side shape those
-  *    would plug into (per-partition batch iteration, typed schema)
-  *    is identical to the real WAV/BMP paths below.
+  *  - REAL decoders, in pure JVM byte parsing — [[Wav]] (RIFF chunk
+  *    walk + PCM16), [[Bmp]] (BITMAPINFOHEADER + padded bottom-up
+  *    pixel rows), [[RawVideo]], and baseline JPEG ([[Jpeg]] —
+  *    marker walk, Huffman entropy decode, dequant, IDCT, chroma
+  *    upsample, YCbCr→RGB), each with a corrupt-safe `Option` result
+  *    (malformed payloads surface as nulls, the O-05 discipline,
+  *    never as executor crashes);
+  *  - the remaining COMPRESSED codecs (MP3/H.264) stay STUBBED
+  *    behind [[FakeDecoder]] — a clearly-marked deterministic fake
+  *    (no codec libraries exist in this container, and those codecs
+  *    are out of from-scratch scope where baseline JPEG was not).
+  *    The Spark-side shape they would plug into (per-partition batch
+  *    iteration, typed schema) is identical to the real paths below.
   */
 object Multimodal {
 
@@ -32,9 +34,10 @@ object Multimodal {
       n_bytes: Int,
       features: Array[Float])
 
-  /** STUB: deterministic fake decoder standing in for a real
-    * image/audio decode (???: replace with an actual codec binding —
-    * e.g. libjpeg/ffmpeg via FFI — when available). Features are a
+  /** STUB: deterministic fake decoder standing in for the remaining
+    * compressed audio/video codecs (???: replace with an MP3/H.264
+    * binding — e.g. ffmpeg via FFI — when available; images no
+    * longer need it, [[Jpeg]] and [[Bmp]] are real). Features are a
     * fixed-size byte histogram so tests are reproducible.
     */
   object FakeDecoder {
@@ -538,6 +541,33 @@ object Multimodal {
       .repartition(partitions, col("media_id"))
       .as[MediaRecord]
       .mapPartitions(_.flatMap(r => Bmp.decode24(r.payload).map(img =>
+        DHashRow(r.media_id, img.width, img.height, Bmp.dhash60(img)))))
+  }
+
+  /** Format-dispatching image decode: BMP by the `BM` magic, baseline
+    * JPEG by the `FFD8` SOI marker; anything else (or a corrupt
+    * payload of either format) → None. The single entry point a
+    * mixed-format corpus needs — both formats land in the same
+    * [[BmpImage]] plane, so every downstream feature is
+    * format-agnostic.
+    */
+  def decodeImage(payload: Array[Byte]): Option[BmpImage] =
+    if (payload == null || payload.length < 2) None
+    else if (payload(0) == 'B' && payload(1) == 'M') Bmp.decode24(payload)
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+      Jpeg.decode(payload)
+    else None
+
+  /** [[bmpDHashes]] generalized over [[decodeImage]]: one decode pass
+    * → relational (id, dims, 60-bit dHash) rows for a mixed BMP/JPEG
+    * corpus; corrupt payloads dropped (DLQ callers split first).
+    */
+  def imageDHashes(spark: SparkSession, media: DataFrame, partitions: Int): Dataset[DHashRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"))
+      .repartition(partitions, col("media_id"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap(r => decodeImage(r.payload).map(img =>
         DHashRow(r.media_id, img.width, img.height, Bmp.dhash60(img)))))
   }
 

@@ -304,6 +304,37 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty && brute.forall { case (a, b) => a != 9L && b != 9L })
   }
 
+  test("imageDHashes: magic-byte dispatch hashes a mixed BMP/JPEG corpus; junk dropped") {
+    // strong ±20/px gradient — dHash only survives a LOSSY codec
+    // when gradient structure dominates quantization noise (the
+    // Δ=1 gradientImage fixture is a near-tie and legitimately
+    // scatters through JPEG)
+    val img = {
+      val bgr = new Array[Byte](11 * 6 * 3)
+      for (y <- 0 until 6; x <- 0 until 11) {
+        val v = (20 + (if (y % 2 == 0) x * 20 else 200 - x * 20)).toByte
+        val o = (y * 11 + x) * 3
+        bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+      }
+      BmpImage(11, 6, bgr)
+    }
+    val bmp = Bmp.encode24(img.width, img.height, img.bgr)
+    val jpg = Jpeg.encode(img, quality = 95)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, bmp, "image/bmp"),
+      Multimodal.MediaRecord(2L, jpg, "image/jpeg"),
+      Multimodal.MediaRecord(3L, "neither format".getBytes, "text/plain"),
+      Multimodal.MediaRecord(4L, jpg.take(jpg.length / 2), "image/jpeg")).toDF()
+    val rows = Multimodal.imageDHashes(spark, media, 2).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(rows.keySet == Set(1L, 2L)) // junk + truncated dropped
+    assert(rows(1L).width == img.width && rows(2L).width == img.width)
+    // the BMP fingerprint is exact; the JPEG one decodes lossily but
+    // stays within the near-dup radius of it
+    assert(rows(1L).fp == Bmp.dhash60(img))
+    assert(java.lang.Long.bitCount(rows(1L).fp ^ rows(2L).fp) <= 3)
+  }
+
   test("hammingNearDupPairs: hot-bucket grid guard ≡ brute force on a skewed flat-image fixture") {
     // the real-world skew the uniform-bucket assumption misses: flat
     // (near-black) images all dHash to 0, so every chunk bucket of
