@@ -5984,6 +5984,91 @@ object SparkEntry {
       Multimodal.imageDHashes(spark, synthJpegDupMedia(spark, dir),
         partitions = 8).toDF())
 
+  /** Deterministic synth recipe for the SEQUENCE-grain video corpus:
+    * a 1-in-16 doc sample (the oracle's frame-level quadratic verify
+    * must stay tractable at sf0.1) arranged in (original, delayed)
+    * pairs — `doc_id % 32 == 1` clips replay their `doc_id - 1`
+    * partner shifted one frame late (first frame duplicated). Frame
+    * patterns vary FAST with the frame index (the q222 recipe's `f`
+    * mixing), so adjacent frames hash far apart — exactly the
+    * content where keyframe-grain matching misses a one-frame
+    * offset.
+    */
+  private def synthVideoSeqMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 32 == 0 || id % 32 == 1)
+      .mapPartitions(_.map { id =>
+        val base = id / 32
+        val delayed = id % 32 == 1
+        val n = (8 + base % 5).toInt
+        def pattern(sf: Int): Array[Byte] = {
+          val bgr = new Array[Byte](11 * 6 * 3)
+          var y = 0
+          while (y < 6) {
+            var x = 0
+            while (x < 11) {
+              val u = (base * 37 + sf * 7 + y * 11 + x * 29 +
+                (x.toLong * y + sf + base) % 13) % 16
+              val v = (u * 2).toByte
+              val o = (y * 11 + x) * 3
+              bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          bgr
+        }
+        val frames = (0 until n).map { f =>
+          pattern(if (delayed) math.max(f - 1, 0) else f)
+        }
+        Multimodal.MediaRecord(id,
+          Multimodal.RawVideo.encode(11, 6, frames), "video/raw")
+      }).toDF()
+  }
+
+  /** SEQUENCE-grain video near-dup
+    * ([[graft.ext.Multimodal.videoSequenceNearDupPairs]]) vs the
+    * keyframe census, side by side: clips decode ONCE at stride 1,
+    * keyframe matching compares middle-frame hashes (q222's grain),
+    * sequence matching votes over banded frame-level candidates at
+    * every implied alignment offset. The planted one-frame-delayed
+    * partners have fast-changing content, so their middle frames
+    * hash far apart — `n_key_nbrs = 0` — while the aligned vote
+    * finds `n−1` exact matches at offset 1 — `n_seq_nbrs = 1`: the
+    * exact failure mode keyframe-grain dedup has at 100 TB and the
+    * composition that fixes it. The oracle replays every frame
+    * fingerprint in closed form, the candidate offsets, the vote,
+    * the majority threshold, and both censuses.
+    */
+  def q224VideoSeqNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fh = Multimodal.videoFrameHashes(spark,
+      synthVideoSeqMedia(spark, dir), stride = 1, partitions = 8).toDF()
+    val seqPairs = Multimodal.videoSequenceNearDupPairs(fh, maxDistance = 2)
+    val keyed = fh.filter(col("frame_idx") === expr("n_frames div 2"))
+      .select(col("media_id"), col("n_frames"), col("fp"))
+    val keyPairs = graft.ext.Dedup.hammingNearDupPairs(
+      keyed.select(col("media_id"), col("fp")), "media_id", "fp",
+      bits = 60, maxDistance = 2)
+    val ksym = keyPairs.select(col("id_a").as("media_id"), col("id_b").as("nbr"))
+      .unionByName(keyPairs.select(col("id_b").as("media_id"), col("id_a").as("nbr")))
+    val kn = ksym.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_key_nbrs"))
+    val ssym = seqPairs.select(col("id_a").as("media_id"), col("id_b").as("nbr"))
+      .unionByName(seqPairs.select(col("id_b").as("media_id"), col("id_a").as("nbr")))
+    val sn = ssym.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_seq_nbrs"), min(col("nbr")).as("min_seq_nbr"))
+    keyed.join(kn, Seq("media_id"), "left_outer")
+      .join(sn, Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("n_key_nbrs"), lit(0L)).as("n_key_nbrs"),
+        coalesce(col("n_seq_nbrs"), lit(0L)).as("n_seq_nbrs"),
+        col("min_seq_nbr"),
+        (col("min_seq_nbr").isNull || col("min_seq_nbr") > col("media_id"))
+          .as("keep"))
+      .orderBy(col("media_id"))
+  }
+
   /** Hilbert vs Z-order layout audit
     * ([[graft.ext.Layout.hilbertValue]] beside q171's
     * [[graft.ext.Layout.zValue]]): the same file-model skipping
@@ -6537,6 +6622,7 @@ object SparkEntry {
     "q221_stream_cdc_store" -> (q221StreamCdcStore _),
     "q222_video_neardup" -> (q222VideoNearDup _),
     "q223_jpeg_neardup" -> (q223JpegNearDup _),
+    "q224_video_seq_neardup" -> (q224VideoSeqNearDup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10547,6 +10633,84 @@ object SparkEntry {
         |            WHEN p.doc_id = m1.m1 THEN m2.m2 ELSE m1.m1 END AS min_nbr,
         |       (m1.n = 1 OR p.doc_id = m1.m1) AS keep
         |FROM pat p JOIN m1 ON p.c = m1.c LEFT JOIN m2 ON p.c = m2.c
+        |ORDER BY media_id""".stripMargin,
+
+    // q224: every frame fingerprint in closed form, candidate
+    // offsets from the frame-level quadratic verify, the aligned
+    // vote, the majority threshold, and both censuses replayed
+    "q224_video_seq_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 32 AS base, doc_id % 32 AS delayed,
+        |         CAST(8 + (doc_id // 32) % 5 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 32 IN (0, 1)),
+        |fr AS (SELECT d.*, unnest(generate_series(0, n - 1)) AS f FROM d),
+        |sfr AS (
+        |  SELECT doc_id, base, n, f,
+        |         CASE WHEN delayed = 1 THEN greatest(f - 1, 0) ELSE f END AS sf
+        |  FROM fr),
+        |gys AS (SELECT sfr.*, unnest(generate_series(0, 5)) AS gy FROM sfr),
+        |grid AS (SELECT gys.*, unnest(generate_series(0, 10)) AS gx FROM gys),
+        |v AS (
+        |  SELECT doc_id, n, f, gy, gx,
+        |         ((base * 37 + sf * 7 + gy * 11 + gx * 29
+        |           + (gx * gy + sf + base) % 13) % 16) * 2 AS gray
+        |  FROM grid),
+        |b AS (
+        |  SELECT doc_id, n, f, gy, gx, gray,
+        |         lead(gray) OVER (PARTITION BY doc_id, f, gy ORDER BY gx)
+        |           AS ngray
+        |  FROM v),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n, f,
+        |         CAST(sum(CASE WHEN gx < 10 AND gray < ngray
+        |                  THEN CAST(1 AS BIGINT) << (gy * 10 + gx)
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM b GROUP BY doc_id, f),
+        |keyf AS (SELECT doc_id, n, fp FROM fp WHERE f = n // 2),
+        |kp AS (
+        |  SELECT a.doc_id AS ida, c.doc_id AS idb
+        |  FROM keyf a JOIN keyf c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 2),
+        |ksym AS (
+        |  SELECT ida AS media_id, idb AS nbr FROM kp
+        |  UNION ALL SELECT idb, ida FROM kp),
+        |kn AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_key_nbrs
+        |  FROM ksym GROUP BY media_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ma, c.doc_id AS mb, c.f - a.f AS o
+        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 2),
+        |votes AS (
+        |  SELECT cand.ma, cand.mb, cand.o,
+        |         CAST(sum(CASE WHEN bit_count(xor(a.fp, c.fp)) <= 2
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS votes
+        |  FROM cand
+        |  JOIN fp a ON a.doc_id = cand.ma
+        |  JOIN fp c ON c.doc_id = cand.mb AND c.f = a.f + cand.o
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT ma, mb, max(votes) AS max_votes FROM votes GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM fp GROUP BY 1),
+        |sp AS (
+        |  SELECT b.ma, b.mb FROM best b
+        |  JOIN lens la ON la.doc_id = b.ma
+        |  JOIN lens lb ON lb.doc_id = b.mb
+        |  WHERE b.max_votes * 2 >= least(la.len, lb.len) + 1),
+        |ssym AS (
+        |  SELECT ma AS media_id, mb AS nbr FROM sp
+        |  UNION ALL SELECT mb, ma FROM sp),
+        |sn AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_seq_nbrs,
+        |         min(nbr) AS min_seq_nbr
+        |  FROM ssym GROUP BY media_id)
+        |SELECT k.doc_id AS media_id, CAST(k.n AS BIGINT) AS n_frames,
+        |       COALESCE(kn.n_key_nbrs, 0) AS n_key_nbrs,
+        |       COALESCE(sn.n_seq_nbrs, 0) AS n_seq_nbrs,
+        |       sn.min_seq_nbr,
+        |       (sn.min_seq_nbr IS NULL OR sn.min_seq_nbr > k.doc_id) AS keep
+        |FROM keyf k
+        |LEFT JOIN kn ON kn.media_id = k.doc_id
+        |LEFT JOIN sn ON sn.media_id = k.doc_id
         |ORDER BY media_id""".stripMargin,
 
     // q216: both corrupted strings and every count rebuilt — the

@@ -336,6 +336,66 @@ object Multimodal {
       })
   }
 
+  /** SEQUENCE-grain video near-dup pairs over a stride-1
+    * [[videoFrameHashes]] table — the standard step past
+    * keyframe-grain matching (which misses a clip offset by a single
+    * frame whenever content moves fast enough that adjacent frames
+    * hash far apart): candidate clip pairs come from ANY shared
+    * frame-level Hamming band (the exact pigeonhole banding applied
+    * at frame grain via a `media·2²⁰ + frame` composite key — never
+    * clips², and the hot-bucket grid guard rides along for
+    * degenerate frames), each candidate carries the OFFSET its
+    * matching frames imply (`o = k_b − k_a`), and a pair is a
+    * sequence near-dup when some offset aligns a MAJORITY of the
+    * shorter clip's frames within `maxDistance`
+    * (`2·votes ≥ min(len_a, len_b) + 1`). A one-frame-offset
+    * duplicate scores `n−1` aligned exact matches at `o = 1` and
+    * passes; an accidental single-frame collision scores 1 and
+    * fails — the vote is what separates sequence identity from
+    * frame coincidence. Clips are assumed under 2²⁰ sampled frames
+    * (a 12-day clip at 1 fps) — the composite-key headroom.
+    *
+    * 100 TB posture: one banded frame join for candidates, one
+    * keyed equi-join per candidate offset for the vote, one
+    * aggregation — no clip-pair surface is ever materialized beyond
+    * band-verified candidates.
+    */
+  def videoSequenceNearDupPairs(
+      fh: DataFrame, // (media_id, n_frames, frame_idx, fp), stride 1
+      maxDistance: Int = 2): DataFrame = {
+    val M = 1L << 20
+    val frames = fh.select(col("media_id"), col("frame_idx").as("k"), col("fp"))
+    val fpairs = graft.ext.Dedup.hammingNearDupPairs(
+      frames.select((col("media_id") * M + col("k")).as("fid"), col("fp")),
+      "fid", "fp", bits = 60, maxDistance = maxDistance)
+    val cand = fpairs
+      .select(shiftright(col("id_a"), 20).as("ma"),
+        col("id_a").bitwiseAND(M - 1).as("ka"),
+        shiftright(col("id_b"), 20).as("mb"),
+        col("id_b").bitwiseAND(M - 1).as("kb"))
+      .filter(col("ma") < col("mb")) // same-clip frame pairs are not candidates
+      .select(col("ma"), col("mb"), (col("kb") - col("ka")).as("o"))
+      .distinct()
+    val votes = cand
+      .join(frames.select(col("media_id").as("ma"), col("k").as("ka2"),
+        col("fp").as("fp_a")), Seq("ma"))
+      .withColumn("kb_want", col("ka2") + col("o"))
+      .join(frames.select(col("media_id").as("mb"), col("k").as("kb_want"),
+        col("fp").as("fp_b")), Seq("mb", "kb_want"))
+      .groupBy(col("ma"), col("mb"), col("o"))
+      .agg(sum(when(graft.ext.Dedup.hammingDistance(col("fp_a"), col("fp_b"))
+        <= maxDistance, 1L).otherwise(0L)).as("votes"))
+    val lens = fh.groupBy(col("media_id")).agg(count(lit(1)).as("len"))
+    votes.groupBy(col("ma"), col("mb")).agg(max(col("votes")).as("max_votes"))
+      .join(lens.select(col("media_id").as("ma"), col("len").as("len_a")),
+        Seq("ma"))
+      .join(lens.select(col("media_id").as("mb"), col("len").as("len_b")),
+        Seq("mb"))
+      .filter(col("max_votes") * 2 >= least(col("len_a"), col("len_b")) + 1)
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        col("max_votes").as("votes"))
+  }
+
   /** Per-clip acoustic fingerprint row. */
   final case class AudioHashRow(media_id: Long, n_samples: Long, fp: Long)
 

@@ -335,6 +335,32 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(rows(1L).fp ^ rows(2L).fp) <= 3)
   }
 
+  test("videoSequenceNearDupPairs: one-frame offset passes the vote; single-frame coincidence fails") {
+    import org.apache.spark.sql.functions.col
+    // clip 1: fast-changing frames f0..f5 (adjacent hashes far apart)
+    // clip 2: clip 1 delayed one frame (first frame duplicated)
+    // clip 3: shares ONE frame with clip 1 (a coincidence, not a dup)
+    def fps(seed: Int): Long = 0x3FFL << ((seed % 6) * 10) // far-apart frame hashes
+    val rows =
+      (0 until 6).map(f => (1L, 6L, f.toLong, fps(f))) ++
+      (0 until 6).map(f => (2L, 6L, f.toLong, fps(math.max(f - 1, 0)))) ++
+      Seq((3L, 6L, 0L, fps(4)), (3L, 6L, 1L, 0x155L), (3L, 6L, 2L, 0x2AAL),
+        (3L, 6L, 3L, 0x555L), (3L, 6L, 4L, 0xAAAL), (3L, 6L, 5L, 0x1555L))
+    val fh = rows.toDF("media_id", "n_frames", "frame_idx", "fp")
+    val pairs = Multimodal.videoSequenceNearDupPairs(fh, maxDistance = 2)
+      .select("id_a", "id_b", "votes").as[(Long, Long, Long)].collect().toSet
+    // (1,2) at offset 1 aligns 5 of 6 frames (majority) — matched
+    // with 5 votes; (1,3)'s single shared frame is 1 vote — dropped
+    assert(pairs == Set((1L, 2L, 5L)))
+    // keyframe grain misses the same pair: middle frames f3 vs f2
+    // hash 20 bits apart
+    val keyed = fh.filter(col("frame_idx") === 3L)
+    val kp = Dedup.hammingNearDupPairs(
+      keyed.select(col("media_id"), col("fp")), "media_id", "fp",
+      bits = 60, maxDistance = 2).count()
+    assert(kp == 0L)
+  }
+
   test("hammingNearDupPairs: hot-bucket grid guard ≡ brute force on a skewed flat-image fixture") {
     // the real-world skew the uniform-bucket assumption misses: flat
     // (near-black) images all dHash to 0, so every chunk bucket of
