@@ -5655,6 +5655,68 @@ object SparkEntry {
       .orderBy(col("lang"), col("len_bucket"))
   }
 
+  /** q225's corpus: [[synthConversations]] with the source lang kept,
+    * plus planted EXACT conversation twins (every `doc_id % 10 == 3`
+    * conversation re-appears verbatim under `conv_id + 10⁷`) — chat
+    * corpora are notoriously duplicate-heavy and the exact tier needs
+    * real duplicates to remove.
+    */
+  private def synthConvCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id").as("conv_id"), col("lang"),
+        transform(
+          sequence(lit(0), ((size(toks) + 6) / 7).cast("int") - 1),
+          i => struct(
+            when(i % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+            concat_ws(" ", slice(toks, i * 7 + 1, lit(7))).as("content")))
+          .as("turns"))
+    base.unionByName(
+      base.filter(col("conv_id") % 10 === 3)
+        .withColumn("conv_id", col("conv_id") + 10000000L))
+  }
+
+  /** CONVERSATION-grain dedup — the chat modality joins the dedup
+    * matrix: conversations render to their canonical
+    * `<|role|>content<|eot|>` serialization
+    * ([[graft.ext.Chat.renderTemplate]] — one HOF fold, no explode)
+    * and dedup runs at that grain, where turn structure and role
+    * assignment participate in identity (two docs chunked
+    * differently are different conversations even with equal text).
+    * Two tiers, reported per source lang like q220's reduction
+    * table: EXACT (render-identity keep-first — catches the planted
+    * verbatim twins) and NEAR (lossless 60-bit simhash pigeonhole
+    * banding over the rendered tokens at Hamming ≤ 3 — q13b's exact
+    * machinery, so the oracle rebuilds every fingerprint from
+    * md5(token) bits and replays the verdicts with zero recall
+    * slack). Keep rule both tiers: survive iff no duplicate with a
+    * smaller conv_id.
+    */
+  def q225ConvDedup(spark: SparkSession, dir: String): DataFrame = {
+    val conv = synthConvCorpus(spark, dir)
+      .withColumn("rendered", graft.ext.Chat.renderTemplate(col("turns")))
+    def rollup(keep: DataFrame, method: String): DataFrame =
+      keep.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .select(lit(method).as("method"), col("lang"), col("n_convs"),
+          col("n_kept"), (col("n_convs") - col("n_kept")).as("n_removed"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rendered"))
+    val exact = rollup(conv.withColumn("keep",
+      col("conv_id") === min(col("conv_id")).over(wExact)), "exact_render")
+    val pairs = Dedup.simhashNearDupPairs(
+      conv.select(col("conv_id"), col("rendered")), "conv_id", "rendered",
+      bits = 60, maxDistance = 3)
+    val minNbr = pairs.select(col("id_a").as("conv_id"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("conv_id"), col("id_a").as("nbr")))
+      .groupBy(col("conv_id")).agg(min(col("nbr")).as("mn"))
+    val near = rollup(conv.join(minNbr, Seq("conv_id"), "left_outer")
+      .withColumn("keep", col("mn").isNull || col("mn") > col("conv_id")),
+      "near_simhash")
+    exact.unionByName(near).orderBy(col("method"), col("lang"))
+  }
+
   /** STREAMING KMV sketch maintenance
     * ([[graft.stream.Jobs.runKmvMergeStream]]): per-source bottom-256
     * signatures kept fresh across 4 micro-batches — and because
@@ -6623,6 +6685,7 @@ object SparkEntry {
     "q222_video_neardup" -> (q222VideoNearDup _),
     "q223_jpeg_neardup" -> (q223JpegNearDup _),
     "q224_video_seq_neardup" -> (q224VideoSeqNearDup _),
+    "q225_conv_dedup" -> (q225ConvDedup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10712,6 +10775,78 @@ object SparkEntry {
         |LEFT JOIN kn ON kn.media_id = k.doc_id
         |LEFT JOIN sn ON sn.media_id = k.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // q225: the rendered template rebuilt turn by turn, the exact
+    // render-identity verdicts, and the simhash fingerprints
+    // reassembled from md5(token) bits (q13b's rebuild) over the
+    // RENDERED token stream — both tiers' keep rules replayed
+    "q225_conv_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS conv_id, lang,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |dd AS (
+        |  SELECT * FROM d
+        |  UNION ALL
+        |  SELECT conv_id + 10000000, lang, toks FROM d WHERE conv_id % 10 = 3),
+        |ch AS (
+        |  SELECT conv_id, lang, toks,
+        |         unnest(range((len(toks) + 6) // 7)) AS i
+        |  FROM dd),
+        |r AS (
+        |  SELECT conv_id, lang,
+        |         string_agg(
+        |           '<|' || CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END
+        |             || '|>'
+        |             || array_to_string(
+        |                  toks[CAST(i * 7 + 1 AS INT)
+        |                       :CAST(least((i + 1) * 7, len(toks)) AS INT)], ' ')
+        |             || '<|eot|>', '' ORDER BY i) AS rendered
+        |  FROM ch GROUP BY conv_id, lang),
+        |ex AS (
+        |  SELECT lang, conv_id,
+        |         conv_id = min(conv_id) OVER (PARTITION BY rendered) AS keep
+        |  FROM r),
+        |exa AS (
+        |  SELECT 'exact_render' AS method, lang,
+        |         CAST(count(*) AS BIGINT) AS n_convs,
+        |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM ex GROUP BY lang),
+        |toks2 AS (
+        |  SELECT conv_id,
+        |         unnest(regexp_split_to_array(trim(rendered), '\s+')) AS tok
+        |  FROM r),
+        |th AS (SELECT conv_id, substring(md5(tok), 1, 15) AS hx FROM toks2),
+        |bitsum AS (
+        |  SELECT conv_id, b.b,
+        |         SUM(CASE WHEN (strpos('0123456789abcdef',
+        |                               substring(hx, 15 - b.b // 4, 1)) - 1)
+        |                       & (1 << (b.b % 4)) != 0 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) b
+        |  GROUP BY conv_id, b.b),
+        |fp AS (
+        |  SELECT conv_id,
+        |         SUM(CASE WHEN s > 0
+        |             THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS fp
+        |  FROM bitsum GROUP BY conv_id),
+        |prs AS (
+        |  SELECT a.conv_id AS ia, b.conv_id AS ib
+        |  FROM fp a JOIN fp b ON a.conv_id < b.conv_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+        |mn AS (
+        |  SELECT conv_id, min(nbr) AS mn FROM (
+        |    SELECT ia AS conv_id, ib AS nbr FROM prs
+        |    UNION ALL SELECT ib, ia FROM prs) GROUP BY conv_id),
+        |nra AS (
+        |  SELECT 'near_simhash' AS method, r.lang,
+        |         CAST(count(*) AS BIGINT) AS n_convs,
+        |         CAST(sum(CASE WHEN mn.mn IS NULL OR mn.mn > r.conv_id
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM r LEFT JOIN mn ON mn.conv_id = r.conv_id
+        |  GROUP BY r.lang)
+        |SELECT method, lang, n_convs, n_kept, n_convs - n_kept AS n_removed
+        |FROM (SELECT * FROM exa UNION ALL SELECT * FROM nra)
+        |ORDER BY method, lang""".stripMargin,
 
     // q216: both corrupted strings and every count rebuilt — the
     // md5 coin, sentinel ordinals, and ordered folds all replayed
