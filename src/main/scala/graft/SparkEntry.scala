@@ -5717,6 +5717,80 @@ object SparkEntry {
     exact.unionByName(near).orderBy(col("method"), col("lang"))
   }
 
+  /** CROSS-MODAL paired dedup — the LAION-style (image, caption)
+    * verdict: each doc_id is a pair of q202's synth image and its
+    * caption (the doc text), and a pair is a duplicate of another
+    * when EITHER side matches — image dHash within Hamming ≤ 3
+    * (the guarded banding) OR caption simhash within ≤ 3 (lossless
+    * pigeonhole). Survivorship = keep iff no flagged neighbor with
+    * a smaller pair id. The two failure cases web-scale paired
+    * corpora actually contain both occur here by construction:
+    * q202's quads are image-same/caption-different (re-encoded image
+    * under a new caption), and q13b's natural text near-dups are
+    * caption-same/image-different (same alt-text on a different
+    * image) — the per-side neighbor counts in the output separate
+    * them, and the oracle replays both fingerprint families and the
+    * OR-union verdict exactly.
+    */
+  def q226CrossModalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // q226's own image recipe: UNIQUE per-doc patterns except the
+    // planted twin pairs (doc_id % 16 ∈ {0,1} share their pair's
+    // base pattern, one low-bit apart) — unlike q202's all-quads
+    // corpus, most images here have NO image neighbor, so the
+    // caption-side near-dups surface as genuine
+    // caption-same/image-different verdicts
+    val media = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = if (id % 16 <= 1) id - id % 16 else id
+        val w = (16 + base % 5).toInt
+        val h = (12 + base % 3).toInt
+        val bgr = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val u = (base * 37 + y * 11 + x * 29 + (x.toLong * y + base) % 13) % 16
+            val eps = ((id % 4) * (1 + y * 5 + x * 3)) % 3 % 2
+            val v = (u * 2 + eps).toByte
+            val o = (y * w + x) * 3
+            bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        Multimodal.MediaRecord(id, Multimodal.Bmp.encode24(w, h, bgr), "image/bmp")
+      }).toDF()
+    val imgFps = Multimodal.bmpDHashes(spark, media, partitions = 8).toDF()
+      .select(col("media_id").as("pair_id"), col("fp"))
+    val imgPairs = Dedup.hammingNearDupPairs(imgFps, "pair_id", "fp",
+      bits = 60, maxDistance = 3).select(col("id_a"), col("id_b"))
+    val capPairs = Dedup.simhashNearDupPairs(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text",
+      bits = 60, maxDistance = 3).select(col("id_a"), col("id_b"))
+    def sym(p: DataFrame): DataFrame =
+      p.select(col("id_a").as("pair_id"), col("id_b").as("nbr"))
+        .unionByName(p.select(col("id_b").as("pair_id"), col("id_a").as("nbr")))
+    val isym = sym(imgPairs); val csym = sym(capPairs)
+    val asym = isym.unionByName(csym).distinct()
+    docs.select(col("doc_id").as("pair_id"))
+      .join(isym.groupBy(col("pair_id"))
+        .agg(count(lit(1)).as("n_img_nbrs")), Seq("pair_id"), "left_outer")
+      .join(csym.groupBy(col("pair_id"))
+        .agg(count(lit(1)).as("n_cap_nbrs")), Seq("pair_id"), "left_outer")
+      .join(asym.groupBy(col("pair_id"))
+        .agg(count(lit(1)).as("n_dup_nbrs"), min(col("nbr")).as("min_nbr")),
+        Seq("pair_id"), "left_outer")
+      .select(col("pair_id"),
+        coalesce(col("n_img_nbrs"), lit(0L)).as("n_img_nbrs"),
+        coalesce(col("n_cap_nbrs"), lit(0L)).as("n_cap_nbrs"),
+        coalesce(col("n_dup_nbrs"), lit(0L)).as("n_dup_nbrs"),
+        col("min_nbr"),
+        (col("min_nbr").isNull || col("min_nbr") > col("pair_id")).as("keep"))
+      .orderBy(col("pair_id"))
+  }
+
   /** STREAMING KMV sketch maintenance
     * ([[graft.stream.Jobs.runKmvMergeStream]]): per-source bottom-256
     * signatures kept fresh across 4 micro-batches — and because
@@ -6686,6 +6760,7 @@ object SparkEntry {
     "q223_jpeg_neardup" -> (q223JpegNearDup _),
     "q224_video_seq_neardup" -> (q224VideoSeqNearDup _),
     "q225_conv_dedup" -> (q225ConvDedup _),
+    "q226_crossmodal_dedup" -> (q226CrossModalDedup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10847,6 +10922,88 @@ object SparkEntry {
         |SELECT method, lang, n_convs, n_kept, n_convs - n_kept AS n_removed
         |FROM (SELECT * FROM exa UNION ALL SELECT * FROM nra)
         |ORDER BY method, lang""".stripMargin,
+
+    // q226: both fingerprint families regenerated (the image dHash
+    // closed form + the caption simhash md5-bit rebuild), both pair
+    // sets, the OR-union, and the per-side + combined censuses
+    "q226_crossmodal_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 16 <= 1 THEN doc_id - doc_id % 16
+        |              ELSE doc_id END AS base,
+        |         doc_id % 4 AS variant
+        |  FROM documents),
+        |d2 AS (
+        |  SELECT doc_id, base, variant,
+        |         CAST(16 + base % 5 AS INT) AS w,
+        |         CAST(12 + base % 3 AS INT) AS h
+        |  FROM d),
+        |gys AS (SELECT d2.*, unnest(generate_series(0, 5)) AS gy FROM d2),
+        |grid AS (SELECT gys.*, unnest(generate_series(0, 10)) AS gx FROM gys),
+        |v AS (
+        |  SELECT doc_id, gy, gx,
+        |         ((base * 37 + ((gy * h) // 6) * 11 + ((gx * w) // 11) * 29
+        |           + (((gx * w) // 11) * ((gy * h) // 6) + base) % 13) % 16) * 2
+        |           + (variant * (1 + ((gy * h) // 6) * 5 + ((gx * w) // 11) * 3))
+        |             % 3 % 2 AS gray
+        |  FROM grid),
+        |bb AS (
+        |  SELECT doc_id, gy, gx, gray,
+        |         lead(gray) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS ngray
+        |  FROM v),
+        |ifp AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN gx < 10 AND gray < ngray
+        |           THEN CAST(1 AS BIGINT) << (gy * 10 + gx)
+        |           ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bb GROUP BY doc_id),
+        |ip AS (
+        |  SELECT a.doc_id AS ia, c.doc_id AS ib
+        |  FROM ifp a JOIN ifp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 3),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (SELECT doc_id, substring(md5(tok), 1, 15) AS hx FROM toks),
+        |bs AS (
+        |  SELECT doc_id, b.b,
+        |         SUM(CASE WHEN (strpos('0123456789abcdef',
+        |                               substring(hx, 15 - b.b // 4, 1)) - 1)
+        |                       & (1 << (b.b % 4)) != 0 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |cfp AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN s > 0
+        |             THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS fp
+        |  FROM bs GROUP BY doc_id),
+        |cp AS (
+        |  SELECT a.doc_id AS ia, c.doc_id AS ib
+        |  FROM cfp a JOIN cfp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 3),
+        |isym AS (SELECT ia AS pair_id, ib AS nbr FROM ip
+        |         UNION ALL SELECT ib, ia FROM ip),
+        |csym AS (SELECT ia AS pair_id, ib AS nbr FROM cp
+        |         UNION ALL SELECT ib, ia FROM cp),
+        |asym AS (SELECT DISTINCT pair_id, nbr FROM
+        |         (SELECT * FROM isym UNION ALL SELECT * FROM csym)),
+        |inn AS (SELECT pair_id, CAST(count(*) AS BIGINT) AS n_img_nbrs
+        |        FROM isym GROUP BY 1),
+        |cnn AS (SELECT pair_id, CAST(count(*) AS BIGINT) AS n_cap_nbrs
+        |        FROM csym GROUP BY 1),
+        |ann AS (SELECT pair_id, CAST(count(*) AS BIGINT) AS n_dup_nbrs,
+        |               min(nbr) AS min_nbr
+        |        FROM asym GROUP BY 1)
+        |SELECT dd.doc_id AS pair_id,
+        |       COALESCE(inn.n_img_nbrs, 0) AS n_img_nbrs,
+        |       COALESCE(cnn.n_cap_nbrs, 0) AS n_cap_nbrs,
+        |       COALESCE(ann.n_dup_nbrs, 0) AS n_dup_nbrs,
+        |       ann.min_nbr,
+        |       (ann.min_nbr IS NULL OR ann.min_nbr > dd.doc_id) AS keep
+        |FROM documents dd
+        |LEFT JOIN inn ON inn.pair_id = dd.doc_id
+        |LEFT JOIN cnn ON cnn.pair_id = dd.doc_id
+        |LEFT JOIN ann ON ann.pair_id = dd.doc_id
+        |ORDER BY pair_id""".stripMargin,
 
     // q216: both corrupted strings and every count rebuilt — the
     // md5 coin, sentinel ordinals, and ordered folds all replayed
