@@ -5898,9 +5898,15 @@ object SparkEntry {
     * gradient bits, and the quadratic verify — the whole encode →
     * chunk-walk parse → fingerprint chain hash-pinned.
     */
-  def q219AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val fps = Multimodal.wavEnergyHashes(spark,
-      synthAudioDupMedia(spark, dir), partitions = 8).toDF()
+  def q219AudioNearDup(spark: SparkSession, dir: String): DataFrame =
+    audioNearDupCensus(Multimodal.wavEnergyHashes(spark,
+      synthAudioDupMedia(spark, dir), partitions = 8).toDF())
+
+  /** Shared tail of q219/q227: banded Hamming pairs over the
+    * energy-gradient fingerprint table → per-clip neighbor census +
+    * min-id keep verdict.
+    */
+  private def audioNearDupCensus(fps: DataFrame): DataFrame = {
     val pairs = graft.ext.Dedup.hammingNearDupPairs(
       fps.select(col("media_id"), col("fp")), "media_id", "fp",
       bits = 60, maxDistance = 3)
@@ -5913,6 +5919,28 @@ object SparkEntry {
         coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"), col("min_nbr"),
         (col("min_nbr").isNull || col("min_nbr") > col("media_id")).as("keep"))
       .orderBy(col("media_id"))
+  }
+
+  /** STREAMING audio fingerprint-index ingest
+    * ([[graft.stream.Jobs.runWavHashIndexStream]]): q219's WAV corpus
+    * arrives as 4 micro-batches of binary payloads; each batch is
+    * decoded once (real RIFF parse → energy-gradient hash) and
+    * appends its fingerprint rows under an idempotent `batch_id=`
+    * partition. The near-dup census runs over the maintained
+    * relational index and must reproduce q219's from-scratch result
+    * exactly (decode is deterministic) — one oracle for both.
+    */
+  def q227StreamAudioIndex(spark: SparkSession, dir: String): DataFrame = {
+    val media = synthAudioDupMedia(spark, dir)
+    val tmp = tempDir("graft-q227")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = true)))
+    audioNearDupCensus(
+      Jobs.runWavHashIndexStream(spark, in, schema, s"$tmp/work"))
   }
 
   /** MULTIMODAL dedup capstone: one reduction table across all three
@@ -6013,9 +6041,36 @@ object SparkEntry {
     * near-dup matrix: text, image, audio, video on ONE blocking
     * machinery.
     */
-  def q222VideoNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val fps = Multimodal.videoFrameHashes(spark,
-      synthVideoDupMedia(spark, dir), stride = 2, partitions = 8).toDF()
+  def q222VideoNearDup(spark: SparkSession, dir: String): DataFrame =
+    videoKeyframeCensus(Multimodal.videoFrameHashes(spark,
+      synthVideoDupMedia(spark, dir), stride = 2, partitions = 8).toDF())
+
+  /** STREAMING video fingerprint-index ingest
+    * ([[graft.stream.Jobs.runVideoHashIndexStream]]): q222's raw-video
+    * corpus arrives as 4 micro-batches; each batch decodes once
+    * (container parse → per-sampled-frame dHash at stride 2) and
+    * appends its frame-hash rows under an idempotent `batch_id=`
+    * partition. The keyframe census over the maintained index must
+    * reproduce q222 exactly — one oracle for both, closing the
+    * streamed-multimodal matrix (image q209, audio q227, video here).
+    */
+  def q228StreamVideoIndex(spark: SparkSession, dir: String): DataFrame = {
+    val media = synthVideoDupMedia(spark, dir)
+    val tmp = tempDir("graft-q228")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = true)))
+    videoKeyframeCensus(
+      Jobs.runVideoHashIndexStream(spark, in, schema, s"$tmp/work", stride = 2))
+  }
+
+  /** Shared tail of q222/q228: middle-sampled-frame near-dup census
+    * over a (media_id, n_frames, frame_idx, fp) frame-hash table.
+    */
+  private def videoKeyframeCensus(fps: DataFrame): DataFrame = {
     val sampled = fps.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_sampled"))
     val keyed = fps
@@ -6761,6 +6816,8 @@ object SparkEntry {
     "q224_video_seq_neardup" -> (q224VideoSeqNearDup _),
     "q225_conv_dedup" -> (q225ConvDedup _),
     "q226_crossmodal_dedup" -> (q226CrossModalDedup _),
+    "q227_stream_audio_index" -> (q227StreamAudioIndex _),
+    "q228_stream_video_index" -> (q228StreamVideoIndex _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -6800,7 +6857,8 @@ object SparkEntry {
     "q198b_holt_stream", "q204_stream_bm25_index",
     "q207_stream_sketch_state", "q209_stream_image_index",
     "q210b_curriculum_stream", "q215_stream_kmv_state",
-    "q221_stream_cdc_store")
+    "q221_stream_cdc_store", "q227_stream_audio_index",
+    "q228_stream_video_index")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -10744,6 +10802,12 @@ object SparkEntry {
     // q222: keyframe index closed form, luma at the identity grid,
     // gradient bits, quadratic verify, census — all regenerated
     "q222_video_neardup" -> videoNearDupSql,
+
+    // q227/q228: streamed index ≡ batch fingerprints row-for-row
+    // (deterministic decode + idempotent batch partitions), so the
+    // index-served censuses share their batch twins' oracles verbatim
+    "q227_stream_audio_index" -> audioNearDupSql,
+    "q228_stream_video_index" -> videoNearDupSql,
 
     // q223: cluster pattern, the closed-form decoded fingerprint
     // (strict ±88-luma strips survive lossy decode bit-exactly),

@@ -1101,17 +1101,64 @@ object Jobs {
       spark: SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
-      workDir: String): DataFrame = {
-    var batches = 0
+      workDir: String): DataFrame =
+    runMediaIndexStream(spark, inputDir, schema, workDir,
+      b => graft.ext.Multimodal.bmpDHashes(b.sparkSession, b, partitions = 4).toDF())
+
+  /** [[runDHashIndexStream]]'s shape for AUDIO: WAV payloads decode
+    * once per micro-batch ([[graft.ext.Multimodal.wavEnergyHashes]])
+    * and their 60-bit energy-gradient fingerprints land under
+    * idempotent `batch_id=` partitions — audio bytes are touched
+    * exactly once per clip, ever.
+    */
+  def runWavHashIndexStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
+      workDir: String): DataFrame =
+    runMediaIndexStream(spark, inputDir, schema, workDir,
+      b => graft.ext.Multimodal.wavEnergyHashes(b.sparkSession, b, partitions = 4).toDF())
+
+  /** [[runDHashIndexStream]]'s shape for VIDEO: raw clips decode once
+    * per micro-batch ([[graft.ext.Multimodal.videoFrameHashes]] at
+    * `stride`) and every sampled frame's dHash lands under idempotent
+    * `batch_id=` partitions — the per-frame relational index every
+    * downstream keyframe/sequence near-dup question runs on.
+    */
+  def runVideoHashIndexStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
+      workDir: String,
+      stride: Int): DataFrame =
+    runMediaIndexStream(spark, inputDir, schema, workDir,
+      b => graft.ext.Multimodal
+        .videoFrameHashes(b.sparkSession, b, stride, partitions = 4).toDF())
+
+  /** The shared STREAMING fingerprint-index ingest: each micro-batch
+    * of binary media payloads is decoded ONCE by `fingerprint` (the
+    * only pass that ever touches payload bytes) and its relational
+    * fingerprint rows land under their own `batch_id=` partition
+    * ([[graft.sinks.Writers.idempotentBatchWrite]] — a replayed batch
+    * overwrites itself with bit-identical rows, since decode is
+    * deterministic). Returns the full index read back from the
+    * partitions; deterministic decode means streamed index ≡ batch
+    * fingerprints row-for-row, so index consumers share their batch
+    * twins' oracles verbatim.
+    */
+  private def runMediaIndexStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      workDir: String,
+      fingerprint: DataFrame => DataFrame): DataFrame = {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fps = graft.ext.Multimodal
-          .bmpDHashes(batch.sparkSession, batch, partitions = 4).toDF()
-        graft.sinks.Writers.idempotentBatchWrite(fps, batchId, s"$workDir/index")
-        batches += 1
+        graft.sinks.Writers.idempotentBatchWrite(
+          fingerprint(batch), batchId, s"$workDir/index")
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")
