@@ -6175,6 +6175,37 @@ object SparkEntry {
       Multimodal.imageDHashes(spark, synthJpegDupMedia(spark, dir),
         partitions = 8).toDF())
 
+  /** Corrupt-JPEG DLQ split at corpus grain — the O-07 discipline
+    * applied to the compressed-codec tier: q223's corpus with
+    * planted corruption (`doc_id % 10 == 7` truncated mid-entropy,
+    * `doc_id % 10 == 4` first byte flipped) runs through
+    * [[graft.ext.Multimodal.decodeImage]], and the census pins that
+    * decode succeeds on EXACTLY the valid payloads and returns None
+    * on EXACTLY the corrupt ones (id_sum makes membership
+    * hash-checked, not just counted) — a decoder that crashes,
+    * rejects a valid mode, or "recovers" garbage from corrupt bytes
+    * all fail this row.
+    */
+  def q229JpegDlq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = synthJpegDupMedia(spark, dir).as[Multimodal.MediaRecord]
+      .map { r =>
+        val p = r.media_id % 10 match {
+          case 7 => r.payload.take(r.payload.length / 2)
+          case 4 => val c = r.payload.clone(); c(0) = (c(0) ^ 0x40).toByte; c
+          case _ => r.payload
+        }
+        Multimodal.MediaRecord(r.media_id, p, r.mime)
+      }.toDF()
+    val decoded = Multimodal.imageDHashes(spark, media, partitions = 8).toDF()
+      .select(col("media_id"), lit(true).as("decoded"))
+    media.join(decoded, Seq("media_id"), "left_outer")
+      .withColumn("decoded", coalesce(col("decoded"), lit(false)))
+      .groupBy(col("decoded"))
+      .agg(count(lit(1)).as("n_media"), sum(col("media_id")).as("id_sum"))
+      .orderBy(col("decoded"))
+  }
+
   /** Deterministic synth recipe for the SEQUENCE-grain video corpus:
     * a 1-in-16 doc sample (the oracle's frame-level quadratic verify
     * must stay tractable at sf0.1) arranged in (original, delayed)
@@ -6818,6 +6849,7 @@ object SparkEntry {
     "q226_crossmodal_dedup" -> (q226CrossModalDedup _),
     "q227_stream_audio_index" -> (q227StreamAudioIndex _),
     "q228_stream_video_index" -> (q228StreamVideoIndex _),
+    "q229_jpeg_dlq" -> (q229JpegDlq _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10808,6 +10840,15 @@ object SparkEntry {
     // index-served censuses share their batch twins' oracles verbatim
     "q227_stream_audio_index" -> audioNearDupSql,
     "q228_stream_video_index" -> videoNearDupSql,
+
+    // q229: decode succeeds on exactly the non-corrupt ids — the
+    // planted corruption classes are pure id arithmetic
+    "q229_jpeg_dlq" ->
+      """SELECT doc_id % 10 NOT IN (4, 7) AS decoded,
+        |       CAST(count(*) AS BIGINT) AS n_media,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |GROUP BY 1 ORDER BY decoded""".stripMargin,
 
     // q223: cluster pattern, the closed-form decoded fingerprint
     // (strict ±88-luma strips survive lossy decode bit-exactly),

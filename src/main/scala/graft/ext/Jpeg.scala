@@ -595,16 +595,19 @@ object Jpeg {
   }
 
   /** Encode a top-down BGR image as baseline JFIF. `subsample420`
-    * selects 4:2:0 chroma (2×2 averaged) vs 4:4:4;
-    * `restartInterval` > 0 emits DRI + RSTn markers every that many
-    * MCUs; `grayscale` drops the chroma components entirely (1-comp
-    * scan — the decoder's grayscale path). Deterministic: same
-    * pixels + params → same bytes.
+    * selects 4:2:0 chroma (2×2 averaged), `subsample422` 4:2:2
+    * (horizontal pairs averaged — the asymmetric h=2,v=1 sampling
+    * path), default 4:4:4; `restartInterval` > 0 emits DRI + RSTn
+    * markers every that many MCUs; `grayscale` drops the chroma
+    * components entirely (1-comp scan — the decoder's grayscale
+    * path). Deterministic: same pixels + params → same bytes.
     */
   def encode(img: BmpImage, quality: Int = 90,
       subsample420: Boolean = false, restartInterval: Int = 0,
-      grayscale: Boolean = false): Array[Byte] = {
-    require(!(grayscale && subsample420), "grayscale has no chroma to subsample")
+      grayscale: Boolean = false, subsample422: Boolean = false): Array[Byte] = {
+    require(!(grayscale && (subsample420 || subsample422)),
+      "grayscale has no chroma to subsample")
+    require(!(subsample420 && subsample422), "pick one chroma subsampling")
     require(img.width > 0 && img.height > 0, "need positive dims")
     require(img.bgr.length == img.width * img.height * 3, "bgr must be w*h*3")
     val w = img.width; val h = img.height
@@ -646,9 +649,13 @@ object Jpeg {
     }
     // SOF0
     val nComp = if (grayscale) 1 else 3
-    val hs = if (subsample420) 2 else 1
+    val lumaHV =
+      if (grayscale) 0x11
+      else if (subsample420) 0x22
+      else if (subsample422) 0x21
+      else 0x11
     w16(0xffc0); w16(8 + 3 * nComp); w8(8); w16(h); w16(w); w8(nComp)
-    w8(1); w8(if (grayscale) 0x11 else (hs << 4) | hs); w8(0) // Y
+    w8(1); w8(lumaHV); w8(0) // Y
     if (!grayscale) {
       w8(2); w8(0x11); w8(1) // Cb
       w8(3); w8(0x11); w8(1) // Cr
@@ -732,7 +739,7 @@ object Jpeg {
       if (last < 63) writeCode(acT, 0x00) // EOB
     }
 
-    if (!subsample420) {
+    if (!subsample420 && !subsample422) {
       // grayscale / 4:4:4 — MCU = one 8×8 block per component
       val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
       var mcu = 0; var rst = 0
@@ -747,6 +754,49 @@ object Jpeg {
           sampleBlock(cbP, w, h, x0, y0); encodeBlock(cq, 1, dcChroma, acChroma)
           sampleBlock(crP, w, h, x0, y0); encodeBlock(cq, 2, dcChroma, acChroma)
         }
+        mcu += 1
+      }
+    } else if (subsample422) {
+      // 4:2:2 — MCU = 2 side-by-side luma blocks + one block per
+      // chroma at half HORIZONTAL resolution (pairs averaged,
+      // round-half-up); the asymmetric h=2,v=1 decode path
+      val cw = (w + 1) / 2
+      val cbH = new Array[Int](cw * h); val crH = new Array[Int](cw * h)
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < cw) {
+          var sCb = 0; var sCr = 0; var n = 0
+          var dx = 0
+          while (dx < 2) {
+            val sx = xx * 2 + dx
+            if (sx < w) { sCb += cbP(yy * w + sx); sCr += crP(yy * w + sx); n += 1 }
+            dx += 1
+          }
+          cbH(yy * cw + xx) = clamp255((sCb + n / 2) / n)
+          crH(yy * cw + xx) = clamp255((sCr + n / 2) / n)
+          xx += 1
+        }
+        yy += 1
+      }
+      val mcusX = (w + 15) / 16; val mcusY = (h + 7) / 8
+      var mcu = 0; var rst = 0
+      while (mcu < mcusX * mcusY) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush(); w16(0xffd0 + (rst & 7)); rst += 1
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var bx = 0
+        while (bx < 2) {
+          sampleBlock(yP, w, h, mx * 16 + bx * 8, my * 8)
+          encodeBlock(lq, 0, dcLuma, acLuma)
+          bx += 1
+        }
+        sampleBlock(cbH, cw, h, mx * 8, my * 8)
+        encodeBlock(cq, 1, dcChroma, acChroma)
+        sampleBlock(crH, cw, h, mx * 8, my * 8)
+        encodeBlock(cq, 2, dcChroma, acChroma)
         mcu += 1
       }
     } else {

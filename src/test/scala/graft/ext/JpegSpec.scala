@@ -125,6 +125,18 @@ class JpegSpec extends AnyFunSuite {
     assert(maxAbsErr(img, dec) <= 48, s"err=${maxAbsErr(img, dec)}")
   }
 
+  test("4:2:2 roundtrip: asymmetric h=2,v=1 sampling decodes within bounds") {
+    val img = gradient(44, 24, 9)
+    val dec = Jpeg.decode(Jpeg.encode(img, quality = 95, subsample422 = true)).get
+    assert(dec.width == 44 && dec.height == 24)
+    assert(maxAbsErr(img, dec) <= 48, s"err=${maxAbsErr(img, dec)}")
+    // odd width exercises the half-plane edge replication
+    val odd = gradient(21, 16, 10)
+    val dec2 = Jpeg.decode(Jpeg.encode(odd, quality = 95, subsample422 = true)).get
+    assert(dec2.width == 21 && dec2.height == 16)
+    assert(maxAbsErr(odd, dec2) <= 48, s"err=${maxAbsErr(odd, dec2)}")
+  }
+
   test("restart markers: DRI stream contains RSTn and decodes identically") {
     val img = gradient(64, 40, 5)
     val plain = Jpeg.encode(img, quality = 90)
@@ -209,10 +221,14 @@ class JpegSpec extends AnyFunSuite {
       val fp444 = Bmp.dhash60(Jpeg.decode(Jpeg.encode(img, 90)).get)
       val fp420 = Bmp.dhash60(
         Jpeg.decode(Jpeg.encode(img, 90, subsample420 = true)).get)
+      val fp422 = Bmp.dhash60(
+        Jpeg.decode(Jpeg.encode(img, 90, subsample422 = true)).get)
       assert(java.lang.Long.bitCount(fp0 ^ fp444) <= 3,
         s"seed=$seed 444 drift=${java.lang.Long.bitCount(fp0 ^ fp444)}")
       assert(java.lang.Long.bitCount(fp0 ^ fp420) <= 3,
         s"seed=$seed 420 drift=${java.lang.Long.bitCount(fp0 ^ fp420)}")
+      assert(java.lang.Long.bitCount(fp0 ^ fp422) <= 3,
+        s"seed=$seed 422 drift=${java.lang.Long.bitCount(fp0 ^ fp422)}")
     }
   }
 }
