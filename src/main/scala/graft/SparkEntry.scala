@@ -5943,6 +5943,78 @@ object SparkEntry {
       Jobs.runWavHashIndexStream(spark, in, schema, s"$tmp/work"))
   }
 
+  /** q230's corpus: a 1-in-16 doc sample in (original, one-window-
+    * delayed) pairs — the delayed clip replays its partner's samples
+    * shifted exactly one 100-sample window late (first window
+    * duplicated). Pseudo-random samples make adjacent windows hash
+    * far apart, so clip-grain matching misses the shift.
+    */
+  private def synthAudioSeqMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 32 == 0 || id % 32 == 1)
+      .mapPartitions(_.map { id =>
+        val base = id / 32
+        val delayed = id % 32 == 1
+        val nw = (6 + base % 4).toInt
+        val samples = Array.tabulate(nw * 100) { g =>
+          val s = if (delayed && g >= 100) g - 100 else g
+          (((base * 7919L + s * 104729L) % 4096L) - 2048L).toShort
+        }
+        Multimodal.MediaRecord(id,
+          Multimodal.Wav.encodePcm16(samples, 8000), "audio/wav")
+      }).toDF()
+  }
+
+  /** SEQUENCE-grain audio near-dup — the Shazam-style offset match,
+    * q224's composition on the acoustic leg: clips decode once into
+    * window-grain energy-gradient hashes
+    * ([[graft.ext.Multimodal.wavWindowHashes]], 100-sample windows)
+    * and ride the SAME fingerprint-agnostic banded vote
+    * ([[graft.ext.Multimodal.sequenceNearDupPairs]]) the video leg
+    * uses. Beside it, the clip-grain census (q219's whole-clip
+    * 61-frame hash) on the same corpus: the planted one-window-
+    * delayed partners shift every clip frame boundary, so clip-grain
+    * matching misses them (n_clip_nbrs = 0) while the aligned vote
+    * catches each at offset 1. (The linear-congruential sample
+    * recipe also yields additional GENUINE cross-clip sequence
+    * matches — windows are an arithmetic progression mod 4096, so
+    * some base pairs align whole-sequence at a fixed phase offset;
+    * the vote finds them, the clip census still misses them, and
+    * the oracle replays every one.) The oracle replays samples,
+    * both frame geometries, exact energies, gradient bits,
+    * candidate offsets, the vote, and both censuses.
+    */
+  def q230AudioSeqNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val media = synthAudioSeqMedia(spark, dir)
+    val wh = Multimodal.wavWindowHashes(spark, media,
+      windowSamples = 100, partitions = 8).toDF()
+    val seqPairs = Multimodal.sequenceNearDupPairs(wh, maxDistance = 2)
+    val clip = Multimodal.wavEnergyHashes(spark, media, partitions = 8).toDF()
+    val clipPairs = graft.ext.Dedup.hammingNearDupPairs(
+      clip.select(col("media_id"), col("fp")), "media_id", "fp",
+      bits = 60, maxDistance = 2)
+    val csym = clipPairs.select(col("id_a").as("media_id"), col("id_b").as("nbr"))
+      .unionByName(clipPairs.select(col("id_b").as("media_id"), col("id_a").as("nbr")))
+    val cn = csym.groupBy(col("media_id")).agg(count(lit(1)).as("n_clip_nbrs"))
+    val ssym = seqPairs.select(col("id_a").as("media_id"), col("id_b").as("nbr"))
+      .unionByName(seqPairs.select(col("id_b").as("media_id"), col("id_a").as("nbr")))
+    val sn = ssym.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_seq_nbrs"), min(col("nbr")).as("min_seq_nbr"))
+    clip.select(col("media_id"), col("n_samples"))
+      .join(wh.groupBy(col("media_id"))
+        .agg(max(col("n_frames")).as("n_windows")), Seq("media_id"))
+      .join(cn, Seq("media_id"), "left_outer")
+      .join(sn, Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_samples"), col("n_windows"),
+        coalesce(col("n_clip_nbrs"), lit(0L)).as("n_clip_nbrs"),
+        coalesce(col("n_seq_nbrs"), lit(0L)).as("n_seq_nbrs"),
+        col("min_seq_nbr"),
+        (col("min_seq_nbr").isNull || col("min_seq_nbr") > col("media_id"))
+          .as("keep"))
+      .orderBy(col("media_id"))
+  }
+
   /** MULTIMODAL dedup capstone: one reduction table across all three
     * modalities' dedup machinery — exact text fingerprints (q11's md5
     * grain), image dHash near-dup (q202's census), audio
@@ -6850,6 +6922,7 @@ object SparkEntry {
     "q227_stream_audio_index" -> (q227StreamAudioIndex _),
     "q228_stream_video_index" -> (q228StreamVideoIndex _),
     "q229_jpeg_dlq" -> (q229JpegDlq _),
+    "q230_audio_seq_neardup" -> (q230AudioSeqNearDup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10849,6 +10922,93 @@ object SparkEntry {
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents
         |GROUP BY 1 ORDER BY decoded""".stripMargin,
+
+    // q230: samples, window + clip frame geometries, exact energies,
+    // gradient bits, candidate offsets, the vote, both censuses
+    "q230_audio_seq_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 32 AS base, doc_id % 32 AS delayed,
+        |         CAST(6 + (doc_id // 32) % 4 AS BIGINT) AS nw
+        |  FROM documents WHERE doc_id % 32 IN (0, 1)),
+        |g AS (SELECT d.*, unnest(generate_series(0, nw * 100 - 1)) AS gi FROM d),
+        |s AS (
+        |  SELECT doc_id, nw, gi,
+        |         ((base * 7919
+        |           + (CASE WHEN delayed = 1 AND gi >= 100
+        |              THEN gi - 100 ELSE gi END) * 104729) % 4096) - 2048 AS v
+        |  FROM g),
+        |we AS (
+        |  SELECT doc_id, nw, gi // 100 AS k, ((gi % 100) * 61) // 100 AS f,
+        |         CAST(sum(v * v) AS BIGINT) AS en
+        |  FROM s GROUP BY 1, 2, 3, 4),
+        |ww AS (
+        |  SELECT doc_id, nw, k, f, en,
+        |         lead(en) OVER (PARTITION BY doc_id, k ORDER BY f) AS nen
+        |  FROM we),
+        |wfp AS (
+        |  SELECT doc_id, max(nw) AS nw, k,
+        |         CAST(sum(CASE WHEN f < 60 AND en < nen
+        |                  THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM ww GROUP BY doc_id, k),
+        |ce AS (
+        |  SELECT doc_id, nw, (gi * 61) // (nw * 100) AS f,
+        |         CAST(sum(v * v) AS BIGINT) AS en
+        |  FROM s GROUP BY 1, 2, 3),
+        |cw AS (
+        |  SELECT doc_id, nw, f, en,
+        |         lead(en) OVER (PARTITION BY doc_id ORDER BY f) AS nen
+        |  FROM ce),
+        |cfp AS (
+        |  SELECT doc_id, max(nw) * 100 AS n_samples,
+        |         CAST(sum(CASE WHEN f < 60 AND en < nen
+        |                  THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM cw GROUP BY doc_id),
+        |cp AS (
+        |  SELECT a.doc_id AS ia, c.doc_id AS ib
+        |  FROM cfp a JOIN cfp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 2),
+        |csym AS (SELECT ia AS media_id, ib AS nbr FROM cp
+        |         UNION ALL SELECT ib, ia FROM cp),
+        |cn AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_clip_nbrs
+        |       FROM csym GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ma, c.doc_id AS mb, c.k - a.k AS o
+        |  FROM wfp a JOIN wfp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 2),
+        |votes AS (
+        |  SELECT cand.ma, cand.mb, cand.o,
+        |         CAST(sum(CASE WHEN bit_count(xor(a.fp, c.fp)) <= 2
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS votes
+        |  FROM cand
+        |  JOIN wfp a ON a.doc_id = cand.ma
+        |  JOIN wfp c ON c.doc_id = cand.mb AND c.k = a.k + cand.o
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT ma, mb, max(votes) AS max_votes FROM votes GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM wfp GROUP BY 1),
+        |sp AS (
+        |  SELECT b.ma, b.mb FROM best b
+        |  JOIN lens la ON la.doc_id = b.ma
+        |  JOIN lens lb ON lb.doc_id = b.mb
+        |  WHERE b.max_votes * 2 >= least(la.len, lb.len) + 1),
+        |ssym AS (SELECT ma AS media_id, mb AS nbr FROM sp
+        |         UNION ALL SELECT mb, ma FROM sp),
+        |sn AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_seq_nbrs,
+        |         min(nbr) AS min_seq_nbr
+        |  FROM ssym GROUP BY media_id)
+        |SELECT c.doc_id AS media_id, CAST(c.n_samples AS BIGINT) AS n_samples,
+        |       l.len AS n_windows,
+        |       COALESCE(cn.n_clip_nbrs, 0) AS n_clip_nbrs,
+        |       COALESCE(sn.n_seq_nbrs, 0) AS n_seq_nbrs,
+        |       sn.min_seq_nbr,
+        |       (sn.min_seq_nbr IS NULL OR sn.min_seq_nbr > c.doc_id) AS keep
+        |FROM cfp c
+        |JOIN lens l ON l.doc_id = c.doc_id
+        |LEFT JOIN cn ON cn.media_id = c.doc_id
+        |LEFT JOIN sn ON sn.media_id = c.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // q223: cluster pattern, the closed-form decoded fingerprint
     // (strict ±88-luma strips survive lossy decode bit-exactly),

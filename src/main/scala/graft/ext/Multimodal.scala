@@ -362,6 +362,18 @@ object Multimodal {
     */
   def videoSequenceNearDupPairs(
       fh: DataFrame, // (media_id, n_frames, frame_idx, fp), stride 1
+      maxDistance: Int = 2): DataFrame =
+    sequenceNearDupPairs(fh, maxDistance)
+
+  /** The fingerprint-agnostic core of [[videoSequenceNearDupPairs]]:
+    * any ordered-fingerprint table in [[FrameHashRow]] shape rides
+    * the same banded-candidates → aligned-offset majority vote —
+    * video frames and audio windows ([[wavWindowHashes]]) share it,
+    * the [[graft.ext.Dedup.hammingNearDupPairs]] factoring pattern
+    * at sequence grain.
+    */
+  def sequenceNearDupPairs(
+      fh: DataFrame, // (media_id, n_frames, frame_idx, fp)
       maxDistance: Int = 2): DataFrame = {
     val M = 1L << 20
     val frames = fh.select(col("media_id"), col("frame_idx").as("k"), col("fp"))
@@ -394,6 +406,35 @@ object Multimodal {
       .filter(col("max_votes") * 2 >= least(col("len_a"), col("len_b")) + 1)
       .select(col("ma").as("id_a"), col("mb").as("id_b"),
         col("max_votes").as("votes"))
+  }
+
+  /** WINDOW-grain acoustic fingerprints: each clip's samples split
+    * into fixed-length windows (trailing partial window dropped),
+    * each window hashed with [[Wav.energyHash60]] — rows in
+    * [[FrameHashRow]] shape (`frame_idx` = window ordinal), so the
+    * audio sequence rides [[sequenceNearDupPairs]]'s banded vote
+    * unchanged: the Shazam-style offset-matching shape (a clip
+    * embedded in another at a window offset) without a parallel
+    * implementation. Corrupt payloads dropped; one decode pass per
+    * clip.
+    */
+  def wavWindowHashes(spark: SparkSession, media: DataFrame,
+      windowSamples: Int, partitions: Int): Dataset[FrameHashRow] = {
+    require(windowSamples >= 1, "windowSamples must be >= 1")
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"))
+      .repartition(partitions, col("media_id"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        Wav.decode(r.payload).toSeq.flatMap { pcm =>
+          val nw = pcm.samples.length / windowSamples
+          (0 until nw).map { i =>
+            FrameHashRow(r.media_id, nw.toLong, i.toLong,
+              Wav.energyHash60(java.util.Arrays.copyOfRange(
+                pcm.samples, i * windowSamples, (i + 1) * windowSamples)))
+          }
+        }
+      })
   }
 
   /** Per-clip acoustic fingerprint row. */

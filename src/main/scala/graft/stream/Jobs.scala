@@ -391,20 +391,25 @@ object Jobs {
   private[stream] def nearDupBucketPrefix(bucket: Column): Column =
     conv(substring(bucket, 1, 2), 16, 10).cast("int")
 
-  /** Partition-pruned scan of a stored near-dup bands table: only
-    * `v < beforeV` versions (replay safety — a re-run batch must not
-    * see its own orphaned rows) and only the `band·256 + pb` combos
-    * in `touchedBp` (the batch's own buckets). Both predicates bind
-    * to partition columns, so they prune at file listing — the scan
-    * is O(touched buckets), never O(index). Factored out so
-    * StreamSpec can pin the PartitionFilters in the physical plan.
+  /** Pruned scan of a stored near-dup bands table: only `v <
+    * beforeV` versions (replay safety — a re-run batch must not see
+    * its own orphaned rows; `v` is a directory partition, pruned at
+    * listing) and only the `band·256 + prefix` combos in `touchedBp`
+    * — `bp` is a SORTED DATA column, so the single-column `In`
+    * filter pushes to the parquet scan and prunes at ROW-GROUP
+    * grain via min/max stats. Deliberately NOT a
+    * `partitionBy(band, pb)` hive layout: 16·256 = 4096 directories
+    * per batch turned the per-trigger listing + tiny-file writes
+    * into the dominant cost (a measured 21× q139 regression);
+    * sorted row groups give the same O(touched) read without any
+    * directory explosion. Factored out so StreamSpec can pin the
+    * pushed filter in the physical plan.
     */
   private[stream] def nearDupStoredBandScan(
       spark: SparkSession, bandsRoot: String,
       touchedBp: Seq[Int], beforeV: Long): DataFrame =
     spark.read.parquet(bandsRoot)
-      .filter(col("v") < beforeV &&
-        (col("band") * NearDupBandPrefixVals + col("pb")).isin(touchedBp: _*))
+      .filter(col("v") < beforeV && col("bp").isin(touchedBp: _*))
       .select(col("band"), col("bucket"), col("corpus_id"))
 
   /** Highest published `v=<id>` under `snapshotPath`, or -1 when none
@@ -951,15 +956,20 @@ object Jobs {
     * survivor text is fingerprinted exactly once, ever) under
     * `index/docs/v=<batchId>`, AND their exploded LSH posting rows
     * ([[graft.ext.Dedup.minhashBandRows]]) under
-    * `index/bands/v=<batchId>/band=<b>/pb=<first 2 hex chars>/`. The
-    * next trigger's band join reads the BANDS table pruned to its
-    * own buckets: the batch's distinct `(band, pb)` combos are a
-    * bounded driver hop (≤ bands·256 = 4096 rows by construction,
-    * independent of data), pushed as a partition filter — so the
-    * per-trigger stored-side scan is O(touched buckets), not
-    * O(every fingerprint ever admitted). The doc shingle sets are
-    * only joined for verified candidates. The kept corpus's text is
-    * never re-tokenized/re-shingled/re-minhashed after its admitting
+    * `index/bands/v=<batchId>/`, sorted by a `bp = band·256 +
+    * bucket-hex-prefix` data column. The next trigger's band join
+    * reads the BANDS table pruned to its own buckets: the batch's
+    * distinct `bp` values are a bounded driver hop (≤ bands·256 =
+    * 4096 rows by construction, independent of data), pushed as a
+    * parquet `In` filter that prunes at row-group grain via the
+    * sort's min/max stats — so the per-trigger stored-side scan is
+    * O(touched buckets), not O(every fingerprint ever admitted),
+    * with no hive-partition directory explosion (the
+    * `partitionBy(band, pb)` form was a measured 21× regression —
+    * 4096 directories per batch dominate on listing and tiny-file
+    * writes). The doc shingle sets are only joined for verified
+    * candidates. The kept corpus's text is never
+    * re-tokenized/re-shingled/re-minhashed after its admitting
     * batch.
     *
     * Replay safety: the kept/v= partition is the LAST write (the
@@ -1014,14 +1024,14 @@ object Jobs {
               none.select(col("id"), col("sh")), batchIdx,
               bands, rowsPerBand, threshold = 0.5)
           } else {
-            // the batch's distinct (band, bucket-prefix) combos — a
-            // BOUNDED driver hop (≤ bands·256 = 4096 rows by
-            // construction, independent of batch or corpus size) —
-            // become a partition filter on the stored bands table, so
-            // the stored-side scan prunes to touched buckets instead
-            // of every fingerprint ever admitted. v < batchId keeps a
-            // crash-replayed batch from matching its own orphaned
-            // fingerprints (marker is written last, below).
+            // the batch's distinct bp = band·256 + bucket-prefix
+            // values — a BOUNDED driver hop (≤ bands·256 = 4096 rows
+            // by construction, independent of batch or corpus size) —
+            // become a pushed parquet In filter on the stored bands
+            // table, so the stored-side scan prunes to touched
+            // row groups instead of every fingerprint ever admitted.
+            // v < batchId keeps a crash-replayed batch from matching
+            // its own orphaned fingerprints (marker written last).
             val touched = graft.ext.Dedup
               .minhashBandRows(batchIdx, bands, rowsPerBand)
               .select((col("band") * NearDupBandPrefixVals +
@@ -1059,9 +1069,10 @@ object Jobs {
           survivorIdx
             .write.mode("overwrite").parquet(s"$docsRoot/v=$batchId")
           graft.ext.Dedup.minhashBandRows(survivorIdx, bands, rowsPerBand)
-            .withColumn("pb", nearDupBucketPrefix(col("bucket")))
-            .write.mode("overwrite").partitionBy("band", "pb")
-            .parquet(s"$bandsRoot/v=$batchId")
+            .withColumn("bp", (col("band") * NearDupBandPrefixVals +
+              nearDupBucketPrefix(col("bucket"))).cast("int"))
+            .sortWithinPartitions(col("bp"))
+            .write.mode("overwrite").parquet(s"$bandsRoot/v=$batchId")
           // APPEND-ONLY publish, marker LAST: each batch lands only its
           // own survivors under v=<batchId> (idempotent overwrite of
           // its own partition) — the per-batch write is O(new

@@ -335,6 +335,21 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(rows(1L).fp ^ rows(2L).fp) <= 3)
   }
 
+  test("wavWindowHashes: window split matches direct hashing; trailing partial dropped") {
+    val samples = Array.tabulate[Short](250)(j => ((j * 37) % 97 - 48).toShort)
+    val wav = Wav.encodePcm16(samples, 8000)
+    val media = Seq(Multimodal.MediaRecord(7L, wav, "audio/wav"),
+      Multimodal.MediaRecord(8L, "junk".getBytes, "audio/wav")).toDF()
+    val rows = Multimodal.wavWindowHashes(spark, media, windowSamples = 100,
+      partitions = 2).collect().sortBy(_.frame_idx)
+    assert(rows.map(_.media_id).toSet == Set(7L)) // corrupt dropped
+    assert(rows.map(_.frame_idx).toSeq == Seq(0L, 1L)) // 250 → 2 full windows
+    assert(rows.forall(_.n_frames == 2L))
+    val direct = (0 until 2).map(i =>
+      Wav.energyHash60(samples.slice(i * 100, (i + 1) * 100)))
+    assert(rows.map(_.fp).toSeq == direct)
+  }
+
   test("videoSequenceNearDupPairs: one-frame offset passes the vote; single-frame coincidence fails") {
     import org.apache.spark.sql.functions.col
     // clip 1: fast-changing frames f0..f5 (adjacent hashes far apart)

@@ -784,16 +784,19 @@ class StreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 4L, 6L))
 
-    // the stored bands table prunes at the partition level: both the
-    // replay guard (v < beforeV) and the touched-bucket prefix land
-    // in PartitionFilters, so the per-trigger scan never lists — let
-    // alone reads — untouched buckets or same-version orphans
+    // the stored bands table prunes twice: the replay guard
+    // (v < beforeV) is a directory-partition filter, and the
+    // touched-bucket bp values push into the parquet scan as an In
+    // filter pruning row groups via the sort's min/max stats — no
+    // hive (band, pb) directory explosion (that layout was a
+    // measured 21× q139 regression)
     val bandsRoot = s"$tmp/work/index/bands"
     val pruned = Jobs.nearDupStoredBandScan(spark, bandsRoot, Seq(0, 1, 513), 2L)
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
     assert(plan.contains("(v"), plan)
-    assert(plan.contains("pb"), plan)
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("In(bp"), plan)
     // full combo set + unbounded version sees every stored band row
     val allBp = (0 until 16 * 256).toSeq
     val full = Jobs.nearDupStoredBandScan(spark, bandsRoot, allBp, Long.MaxValue)
