@@ -6247,6 +6247,29 @@ object SparkEntry {
       Multimodal.imageDHashes(spark, synthJpegDupMedia(spark, dir),
         partitions = 8).toDF())
 
+  /** STREAMING JPEG fingerprint-index ingest
+    * ([[graft.stream.Jobs.runImageHashIndexStream]]): q223's
+    * baseline-JFIF corpus arrives as 4 micro-batches of binary
+    * payloads; each batch runs the from-scratch JPEG decode ONCE and
+    * appends its dHash rows under an idempotent `batch_id=`
+    * partition. The census over the maintained index must reproduce
+    * q223 exactly — one closed-form oracle for both, and the
+    * compressed-codec tier joins the streamed-multimodal matrix
+    * (BMP q209, WAV q227, video q228, JPEG here).
+    */
+  def q231StreamJpegIndex(spark: SparkSession, dir: String): DataFrame = {
+    val media = synthJpegDupMedia(spark, dir)
+    val tmp = tempDir("graft-q231")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = true)))
+    dhashNearDupCensus(
+      Jobs.runImageHashIndexStream(spark, in, schema, s"$tmp/work"))
+  }
+
   /** Corrupt-JPEG DLQ split at corpus grain — the O-07 discipline
     * applied to the compressed-codec tier: q223's corpus with
     * planted corruption (`doc_id % 10 == 7` truncated mid-entropy,
@@ -6923,6 +6946,7 @@ object SparkEntry {
     "q228_stream_video_index" -> (q228StreamVideoIndex _),
     "q229_jpeg_dlq" -> (q229JpegDlq _),
     "q230_audio_seq_neardup" -> (q230AudioSeqNearDup _),
+    "q231_stream_jpeg_index" -> (q231StreamJpegIndex _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -6963,7 +6987,7 @@ object SparkEntry {
     "q207_stream_sketch_state", "q209_stream_image_index",
     "q210b_curriculum_stream", "q215_stream_kmv_state",
     "q221_stream_cdc_store", "q227_stream_audio_index",
-    "q228_stream_video_index")
+    "q228_stream_video_index", "q231_stream_jpeg_index")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -11013,30 +11037,11 @@ object SparkEntry {
     // q223: cluster pattern, the closed-form decoded fingerprint
     // (strict ±88-luma strips survive lossy decode bit-exactly),
     // and the census rebuilt from the cluster membership alone
-    "q223_jpeg_neardup" ->
-      """WITH cl AS (
-        |  SELECT doc_id, ((doc_id // 4) * 37 + 11) % 6 AS c FROM documents),
-        |pat AS (
-        |  SELECT doc_id, c,
-        |         CASE c WHEN 0 THEN 731 WHEN 1 THEN 292 WHEN 2 THEN 341
-        |                WHEN 3 THEN 682 WHEN 4 THEN 819 ELSE 204 END AS p
-        |  FROM cl),
-        |m1 AS (
-        |  SELECT c, min(doc_id) AS m1, CAST(count(*) AS BIGINT) AS n
-        |  FROM cl GROUP BY c),
-        |m2 AS (
-        |  SELECT cl.c, min(cl.doc_id) AS m2
-        |  FROM cl JOIN m1 ON cl.c = m1.c WHERE cl.doc_id > m1.m1
-        |  GROUP BY cl.c)
-        |SELECT p.doc_id AS media_id,
-        |       CAST(44 AS INT) AS width, CAST(24 AS INT) AS height,
-        |       CAST(p.p * 1127000493261825 AS BIGINT) AS fp,
-        |       m1.n - 1 AS n_nbrs,
-        |       CASE WHEN m1.n = 1 THEN NULL
-        |            WHEN p.doc_id = m1.m1 THEN m2.m2 ELSE m1.m1 END AS min_nbr,
-        |       (m1.n = 1 OR p.doc_id = m1.m1) AS keep
-        |FROM pat p JOIN m1 ON p.c = m1.c LEFT JOIN m2 ON p.c = m2.c
-        |ORDER BY media_id""".stripMargin,
+    "q223_jpeg_neardup" -> jpegNearDupSql,
+
+    // q231: streamed JPEG index ≡ batch fingerprints row-for-row
+    // (deterministic decode + idempotent partitions) — q223's oracle
+    "q231_stream_jpeg_index" -> jpegNearDupSql,
 
     // q224: every frame fingerprint in closed form, candidate
     // offsets from the frame-level quadratic verify, the aligned
@@ -13190,6 +13195,34 @@ object SparkEntry {
   /** q219/q220 shared oracle: audio samples, frame energies,
     * gradient bits, quadratic verify, census.
     */
+  /** q223/q231 shared oracle: cluster pattern constants, the
+    * closed-form decoded fingerprint, census from membership.
+    */
+  private val jpegNearDupSql: String =
+    """WITH cl AS (
+        |  SELECT doc_id, ((doc_id // 4) * 37 + 11) % 6 AS c FROM documents),
+        |pat AS (
+        |  SELECT doc_id, c,
+        |         CASE c WHEN 0 THEN 731 WHEN 1 THEN 292 WHEN 2 THEN 341
+        |                WHEN 3 THEN 682 WHEN 4 THEN 819 ELSE 204 END AS p
+        |  FROM cl),
+        |m1 AS (
+        |  SELECT c, min(doc_id) AS m1, CAST(count(*) AS BIGINT) AS n
+        |  FROM cl GROUP BY c),
+        |m2 AS (
+        |  SELECT cl.c, min(cl.doc_id) AS m2
+        |  FROM cl JOIN m1 ON cl.c = m1.c WHERE cl.doc_id > m1.m1
+        |  GROUP BY cl.c)
+        |SELECT p.doc_id AS media_id,
+        |       CAST(44 AS INT) AS width, CAST(24 AS INT) AS height,
+        |       CAST(p.p * 1127000493261825 AS BIGINT) AS fp,
+        |       m1.n - 1 AS n_nbrs,
+        |       CASE WHEN m1.n = 1 THEN NULL
+        |            WHEN p.doc_id = m1.m1 THEN m2.m2 ELSE m1.m1 END AS min_nbr,
+        |       (m1.n = 1 OR p.doc_id = m1.m1) AS keep
+        |FROM pat p JOIN m1 ON p.c = m1.c LEFT JOIN m2 ON p.c = m2.c
+        |ORDER BY media_id""".stripMargin
+
   private val audioNearDupSql: String =
     """WITH d AS (
         |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,

@@ -1130,6 +1130,20 @@ object Jobs {
     runMediaIndexStream(spark, inputDir, schema, workDir,
       b => graft.ext.Multimodal.wavEnergyHashes(b.sparkSession, b, partitions = 4).toDF())
 
+  /** [[runDHashIndexStream]] generalized over
+    * [[graft.ext.Multimodal.decodeImage]]'s magic-byte dispatch: a
+    * MIXED BMP/JPEG payload stream decodes once per micro-batch
+    * (the from-scratch baseline-JPEG tier included) into the same
+    * idempotent `batch_id=` fingerprint partitions.
+    */
+  def runImageHashIndexStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
+      workDir: String): DataFrame =
+    runMediaIndexStream(spark, inputDir, schema, workDir,
+      b => graft.ext.Multimodal.imageDHashes(b.sparkSession, b, partitions = 4).toDF())
+
   /** [[runDHashIndexStream]]'s shape for VIDEO: raw clips decode once
     * per micro-batch ([[graft.ext.Multimodal.videoFrameHashes]] at
     * `stride`) and every sampled frame's dHash lands under idempotent
