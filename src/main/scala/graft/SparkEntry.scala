@@ -5701,10 +5701,15 @@ object SparkEntry {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .select(lit(method).as("method"), col("lang"), col("n_convs"),
           col("n_kept"), (col("n_convs") - col("n_kept")).as("n_removed"))
-    val wExact = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("rendered"))
-    val exact = rollup(conv.withColumn("keep",
-      col("conv_id") === min(col("conv_id")).over(wExact)), "exact_render")
+    // exact tier shuffles the 16-byte render digest, never the
+    // rendered text itself (q11's content-addressed grain — at
+    // 100 TB the rendered string as a shuffle key is the whole
+    // corpus over the wire)
+    val keyed = conv.withColumn("rk", md5(col("rendered")))
+    val exact = rollup(keyed
+      .join(keyed.groupBy(col("rk")).agg(min(col("conv_id")).as("__mn")),
+        Seq("rk"))
+      .withColumn("keep", col("conv_id") === col("__mn")), "exact_render")
     val pairs = Dedup.simhashNearDupPairs(
       conv.select(col("conv_id"), col("rendered")), "conv_id", "rendered",
       bits = 60, maxDistance = 3)

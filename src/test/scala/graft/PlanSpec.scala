@@ -738,6 +738,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("embedding:array"), p)
   }
 
+  test("q224/q230: sequence vote has no quadratic clip surface — banded candidates only") {
+    // candidates come from the frame/window-level pigeonhole banding;
+    // the vote is a keyed equi-join per implied offset — a cartesian
+    // or nested-loop join here means the clip-pair surface escaped
+    // the banding
+    Seq("q224_video_seq_neardup", "q230_audio_seq_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("q225: exact-dedup tier shuffles render digests, not rendered text") {
+    val p = plan("q225_conv_dedup")
+    // the md5 grain: hashpartitioning on rk (the digest), and no
+    // exchange keyed on the rendered string itself
+    assert(p.contains("hashpartitioning(rk"), p)
+    assert(!p.contains("hashpartitioning(rendered"), p)
+  }
+
   test("q202: hamming banding carries the hot-bucket grid guard — both branches in the plan") {
     // the split is a runtime filter on bucket_n, so the PLAN always
     // shows both routes: the plain bucket join unioned with the
