@@ -6199,29 +6199,37 @@ object SparkEntry {
     * decoded fingerprint is BIT-EXACTLY the cluster pattern and the
     * oracle computes it in closed form.
     */
+  /** The shared 44×24 gray strip image for a doc id: 11 vertical
+    * 4-px strips at luma `levels(seq(c))` (+ a global `shift` for the
+    * dHash-shift-invariance variant), `b = g = r`. Factored out so
+    * the JPEG (q223), PNG (q232) and mixed-dispatch (q233) corpora
+    * are pixel-identical — one closed-form oracle covers all three.
+    */
+  private def stripImage(id: Long): Multimodal.BmpImage = {
+    val levels = Array(40, 128, 216)
+    val c = (((id / 4) * 37 + 11) % 6).toInt
+    val shift = if (id % 4 == 1) 2 else 0
+    val w = 44; val h = 24
+    val bgr = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (levels(jpegClusterSeqs(c)(x / 4)) + shift).toByte
+        val o = (y * w + x) * 3
+        bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    Multimodal.BmpImage(w, h, bgr)
+  }
+
   private def synthJpegDupMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val seqs = jpegClusterSeqs
-    val levels = Array(40, 128, 216)
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        val base = id / 4
-        val c = ((base * 37 + 11) % 6).toInt
-        val w = 44; val h = 24
-        val shift = if (id % 4 == 1) 2 else 0
-        val bgr = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = (levels(seqs(c)(x / 4)) + shift).toByte
-            val o = (y * w + x) * 3
-            bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
-            x += 1
-          }
-          y += 1
-        }
-        val img = Multimodal.BmpImage(w, h, bgr)
+        val img = stripImage(id)
         val jpg = (id % 4) match {
           case 0 => graft.ext.Jpeg.encode(img, quality = 90)
           case 1 => graft.ext.Jpeg.encode(img, quality = 85)
@@ -6229,6 +6237,57 @@ object SparkEntry {
           case _ => graft.ext.Jpeg.encode(img, quality = 90, grayscale = true)
         }
         Multimodal.MediaRecord(id, jpg, "image/jpeg")
+      }).toDF()
+  }
+
+  /** q232 corpus: the SAME strip images as q223, encoded as PNG
+    * across four wire configurations per cluster quad — each quad
+    * member exercises a distinct (color type, filter, DEFLATE block
+    * mode) path of the from-scratch [[graft.ext.Png]] codec.
+    */
+  private def synthPngDupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = stripImage(id)
+        val png = (id % 4) match {
+          case 0 => graft.ext.Png.encode(img, colorType = 2,
+            filter = graft.ext.Png.FilterAdaptive,
+            deflateMode = graft.ext.Png.DeflateDynamic)
+          case 1 => graft.ext.Png.encode(img, colorType = 6,
+            filter = 4, deflateMode = graft.ext.Png.DeflateFixed)
+          case 2 => graft.ext.Png.encode(img, colorType = 3,
+            filter = 0, deflateMode = graft.ext.Png.DeflateDynamic)
+          case _ => graft.ext.Png.encode(img, colorType = 0,
+            filter = 2, deflateMode = graft.ext.Png.DeflateStored)
+        }
+        Multimodal.MediaRecord(id, png, "image/png")
+      }).toDF()
+  }
+
+  /** q233 corpus: one MIXED-FORMAT image corpus — each cluster quad
+    * lands as raw BMP, baseline JPEG, palette PNG and grayscale
+    * stored-block PNG, so the magic-byte dispatch
+    * ([[graft.ext.Multimodal.decodeImage]]) and all three image
+    * codecs are pinned by a single census. (The JPEG member is the
+    * lossy one; the strip corpus's ±88-luma steps keep its
+    * fingerprint bit-exact, the q223 argument.)
+    */
+  private def synthMixedImageDupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = stripImage(id)
+        val (bytes, mime) = (id % 4) match {
+          case 0 => (Multimodal.Bmp.encode24(img.width, img.height, img.bgr), "image/bmp")
+          case 1 => (graft.ext.Jpeg.encode(img, quality = 90), "image/jpeg")
+          case 2 => (graft.ext.Png.encode(img, colorType = 3,
+            filter = graft.ext.Png.FilterAdaptive,
+            deflateMode = graft.ext.Png.DeflateDynamic), "image/png")
+          case _ => (graft.ext.Png.encode(img, colorType = 0,
+            filter = 1, deflateMode = graft.ext.Png.DeflateStored), "image/png")
+        }
+        Multimodal.MediaRecord(id, bytes, mime)
       }).toDF()
   }
 
@@ -6305,6 +6364,39 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_media"), sum(col("media_id")).as("id_sum"))
       .orderBy(col("decoded"))
   }
+
+  /** PNG near-dup dedup — the LOSSLESS compressed-codec leg: q223's
+    * strip corpus encoded as PNG across four wire configurations per
+    * cluster quad (RGB + dynamic Huffman + adaptive filters, RGBA +
+    * fixed Huffman + Paeth with the +2 brightness shift, palette +
+    * dynamic + filter None, grayscale + stored blocks + filter Up),
+    * decoded by the from-scratch [[graft.ext.Png]] (chunk walk +
+    * CRC-32 → zlib/Adler-32 → RFC 1951 inflate over all three block
+    * types → scanline unfilter → BGR) → dHash → the shared guarded
+    * banded census. PNG is lossless, so the decoded fingerprint
+    * equals the cluster pattern with no quantization caveat and the
+    * oracle is q223's closed form VERBATIM — a decoder that
+    * mis-inflates, mis-unfilters, mis-indexes the palette, or
+    * mishandles alpha scatters fingerprints and fails the hash.
+    */
+  def q232PngNearDup(spark: SparkSession, dir: String): DataFrame =
+    dhashNearDupCensus(
+      Multimodal.imageDHashes(spark, synthPngDupMedia(spark, dir),
+        partitions = 8).toDF())
+
+  /** Mixed-format image near-dup — the dispatch capstone: ONE corpus
+    * whose cluster quads land as raw BMP, baseline JPEG, palette PNG
+    * and grayscale stored-block PNG, run through the magic-byte
+    * dispatch ([[graft.ext.Multimodal.decodeImage]]) and the shared
+    * census. All three image codecs plus the dispatch itself are
+    * pinned by q223's closed-form oracle — the real-corpus shape,
+    * where a crawl hands you a bag of formats and the engine must
+    * fingerprint them all into ONE dedup space.
+    */
+  def q233MixedImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    dhashNearDupCensus(
+      Multimodal.imageDHashes(spark, synthMixedImageDupMedia(spark, dir),
+        partitions = 8).toDF())
 
   /** Deterministic synth recipe for the SEQUENCE-grain video corpus:
     * a 1-in-16 doc sample (the oracle's frame-level quadratic verify
@@ -6952,6 +7044,8 @@ object SparkEntry {
     "q229_jpeg_dlq" -> (q229JpegDlq _),
     "q230_audio_seq_neardup" -> (q230AudioSeqNearDup _),
     "q231_stream_jpeg_index" -> (q231StreamJpegIndex _),
+    "q232_png_neardup" -> (q232PngNearDup _),
+    "q233_mixed_image_neardup" -> (q233MixedImageNearDup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -11047,6 +11141,11 @@ object SparkEntry {
     // q231: streamed JPEG index ≡ batch fingerprints row-for-row
     // (deterministic decode + idempotent partitions) — q223's oracle
     "q231_stream_jpeg_index" -> jpegNearDupSql,
+    // q232/q233: PNG is lossless and the mixed corpus reuses the same
+    // strip recipe, so the JPEG closed-form census is the oracle for
+    // all three image-codec censuses
+    "q232_png_neardup" -> jpegNearDupSql,
+    "q233_mixed_image_neardup" -> jpegNearDupSql,
 
     // q224: every frame fingerprint in closed form, candidate
     // offsets from the frame-level quadratic verify, the aligned

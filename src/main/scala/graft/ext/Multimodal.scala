@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * Decode comes in two tiers:
   *  - REAL decoders, in pure JVM byte parsing — [[Wav]] (RIFF chunk
   *    walk + PCM16), [[Bmp]] (BITMAPINFOHEADER + padded bottom-up
-  *    pixel rows), [[RawVideo]], and baseline JPEG ([[Jpeg]] —
-  *    marker walk, Huffman entropy decode, dequant, IDCT, chroma
-  *    upsample, YCbCr→RGB), each with a corrupt-safe `Option` result
-  *    (malformed payloads surface as nulls, the O-05 discipline,
-  *    never as executor crashes);
+  *    pixel rows), [[RawVideo]], baseline JPEG ([[Jpeg]] — marker
+  *    walk, Huffman entropy decode, dequant, IDCT, chroma upsample,
+  *    YCbCr→RGB), and PNG ([[Png]] — chunk walk with CRC-32, a
+  *    from-scratch RFC 1951 inflate, scanline unfilter), each with a
+  *    corrupt-safe `Option` result (malformed payloads surface as
+  *    nulls, the O-05 discipline, never as executor crashes);
   *  - the remaining COMPRESSED codecs (MP3/H.264) stay STUBBED
   *    behind [[FakeDecoder]] — a clearly-marked deterministic fake
   *    (no codec libraries exist in this container, and those codecs
@@ -657,6 +658,8 @@ object Multimodal {
     else if (payload(0) == 'B' && payload(1) == 'M') Bmp.decode24(payload)
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
       Jpeg.decode(payload)
+    else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P')
+      Png.decode(payload)
     else None
 
   /** [[bmpDHashes]] generalized over [[decodeImage]]: one decode pass
