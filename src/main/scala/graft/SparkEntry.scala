@@ -6398,6 +6398,25 @@ object SparkEntry {
       Multimodal.imageDHashes(spark, synthMixedImageDupMedia(spark, dir),
         partitions = 8).toDF())
 
+  /** Thumbnail-pipeline near-dup — the preprocessor shape: the mixed
+    * BMP/JPEG/PNG corpus decodes ONCE, bilinear-resamples to a fixed
+    * 22×12 thumbnail ([[graft.ext.Multimodal.Bmp.resizeBilinear]] —
+    * integer 16.16 fixed point, bit-reproducible), and the census
+    * runs on THUMBNAIL fingerprints. The 2:1 geometry makes the
+    * closed form survive exactly: every 2-px output strip averages
+    * two same-level source pixels (strip width 4, pairs never
+    * straddle a boundary) and the 11-grid dHash samples `2·gx`,
+    * landing in strip gx exactly as the full-size hash does — so a
+    * correct scaler reproduces q223's census verbatim at the new
+    * dims, and any resample-arithmetic defect (wrong weights, edge
+    * clamp, center alignment, channel order) shifts a strip value
+    * and fails the hash.
+    */
+  def q234ThumbnailNearDup(spark: SparkSession, dir: String): DataFrame =
+    dhashNearDupCensus(
+      Multimodal.thumbnailDHashes(spark, synthMixedImageDupMedia(spark, dir),
+        outW = 22, outH = 12, partitions = 8).toDF())
+
   /** Deterministic synth recipe for the SEQUENCE-grain video corpus:
     * a 1-in-16 doc sample (the oracle's frame-level quadratic verify
     * must stay tractable at sf0.1) arranged in (original, delayed)
@@ -7046,6 +7065,7 @@ object SparkEntry {
     "q231_stream_jpeg_index" -> (q231StreamJpegIndex _),
     "q232_png_neardup" -> (q232PngNearDup _),
     "q233_mixed_image_neardup" -> (q233MixedImageNearDup _),
+    "q234_thumbnail_neardup" -> (q234ThumbnailNearDup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -11146,6 +11166,11 @@ object SparkEntry {
     // all three image-codec censuses
     "q232_png_neardup" -> jpegNearDupSql,
     "q233_mixed_image_neardup" -> jpegNearDupSql,
+    // q234: same census at thumbnail dims — the 2:1 bilinear resample
+    // provably preserves strip values and the dHash sampling grid
+    "q234_thumbnail_neardup" -> jpegNearDupSql.replace(
+      "CAST(44 AS INT) AS width, CAST(24 AS INT) AS height",
+      "CAST(22 AS INT) AS width, CAST(12 AS INT) AS height"),
 
     // q224: every frame fingerprint in closed form, candidate
     // offsets from the frame-level quadratic verify, the aligned

@@ -739,7 +739,7 @@ class ExtSpec extends SparkSpec {
 
   // ------------------------------------------------------ multimodal
 
-  test("multimodal: frame sampling slices binary in-plan; resize stub decimates") {
+  test("multimodal: frame sampling slices binary in-plan") {
     val df = Seq((1L, "0123456789abcdef")).toDF("id", "payload") // 16 bytes
     val media = Multimodal.asMediaTable(df, "id", "payload", "video/fake")
     val frames = media
@@ -747,7 +747,6 @@ class ExtSpec extends SparkSpec {
       .head().getSeq[Array[Byte]](0)
     // frames of 4 bytes: [0123][4567][89ab][cdef]; every 2nd → 0123, 89ab
     assert(frames.map(b => new String(b)).toSeq == Seq("0123", "89ab"))
-    assert(new String(Multimodal.resizeStub("abcdef".getBytes, 2)) == "ace")
   }
 
   test("multimodal: metadata is in-plan; stub decoder features are deterministic") {

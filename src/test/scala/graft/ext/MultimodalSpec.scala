@@ -408,4 +408,65 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(unguarded == brute)
   }
+
+  // ------------------------------------------------ bilinear resize
+
+  test("resizeBilinear: same-dims resample is the identity") {
+    val bgr = Array.tabulate(7 * 5 * 3)(i => ((i * 37) % 256).toByte)
+    val img = BmpImage(7, 5, bgr)
+    val out = Bmp.resizeBilinear(img, 7, 5)
+    assert(java.util.Arrays.equals(out.bgr, bgr))
+  }
+
+  test("resizeBilinear: constant image stays constant at any geometry") {
+    val img = BmpImage(9, 4, Array.fill(9 * 4 * 3)(77.toByte))
+    for ((w, h) <- Seq((1, 1), (3, 3), (18, 8), (100, 1)))
+      assert(Bmp.resizeBilinear(img, w, h).bgr.forall(_ == 77))
+  }
+
+  test("resizeBilinear: 2x upscale of a step edge interpolates exactly") {
+    // 2×1 image, channel values 0 | 200 → out 4×1: 0, 50, 150, 200
+    // (align-centers: sx = -0.25, 0.25, 0.75, 1.25, border-clamped)
+    val img = BmpImage(2, 1, Array[Byte](0, 0, 0, 200.toByte, 200.toByte, 200.toByte))
+    val out = Bmp.resizeBilinear(img, 4, 1)
+    val b = out.bgr.grouped(3).map(_(0) & 0xff).toSeq
+    assert(b == Seq(0, 50, 150, 200))
+  }
+
+  test("resizeBilinear: exact 2:1 downscale is the 2x2 block mean") {
+    // 4×2 image with distinct per-pixel values; 2×1 output pixels are
+    // the rounded mean of each aligned 2×2 block (fx = fy = 1/2)
+    val vals = Array(10, 20, 30, 40, 50, 60, 70, 80) // row-major
+    val bgr = new Array[Byte](4 * 2 * 3)
+    for (p <- 0 until 8; c <- 0 until 3) bgr(p * 3 + c) = vals(p).toByte
+    val out = Bmp.resizeBilinear(BmpImage(4, 2, bgr), 2, 1)
+    val got = out.bgr.grouped(3).map(_(0) & 0xff).toSeq
+    assert(got == Seq((10 + 20 + 50 + 60) / 4, (30 + 40 + 70 + 80) / 4))
+  }
+
+  test("resizeBilinear: gray input stays gray; dims contract holds") {
+    val img = BmpImage(13, 7, Array.tabulate(13 * 7 * 3) { i =>
+      (((i / 3) * 11) % 256).toByte // b = g = r per pixel
+    })
+    val out = Bmp.resizeBilinear(img, 5, 9)
+    assert(out.width == 5 && out.height == 9 && out.bgr.length == 5 * 9 * 3)
+    out.bgr.grouped(3).foreach(px => assert(px(0) == px(1) && px(1) == px(2)))
+  }
+
+  test("thumbnailDHashes: 22x12 thumbnail of the strip corpus keeps the strip fingerprint") {
+    // 44×24 strip image (4-px strips) → 22×12: every output pixel
+    // averages a same-strip pair, so the thumbnail IS the strip
+    // pattern at half size and dHash matches the full-size hash
+    val levels = Array(40, 128, 216)
+    val seq = Array(0, 1, 2, 0, 1, 2, 0, 1, 2, 0, 1)
+    val bgr = new Array[Byte](44 * 24 * 3)
+    for (y <- 0 until 24; x <- 0 until 44; c <- 0 until 3)
+      bgr((y * 44 + x) * 3 + c) = levels(seq(x / 4)).toByte
+    val img = BmpImage(44, 24, bgr)
+    val thumb = Bmp.resizeBilinear(img, 22, 12)
+    assert(Bmp.dhash60(thumb) == Bmp.dhash60(img))
+    // and the thumbnail pixels are exactly the strip levels
+    for (y <- 0 until 12; x <- 0 until 22)
+      assert((thumb.bgr((y * 22 + x) * 3) & 0xff) == levels(seq(x / 2)))
+  }
 }
