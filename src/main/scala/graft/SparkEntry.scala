@@ -5907,6 +5907,49 @@ object SparkEntry {
     audioNearDupCensus(Multimodal.wavEnergyHashes(spark,
       synthAudioDupMedia(spark, dir), partitions = 8).toDF())
 
+  /** q235 corpus: q219's clips with three quad members re-encoded as
+    * FLAC on distinct wire paths — verbatim subframes, auto fixed
+    * order at block size 64 (multi-frame), auto fixed with 4 rice
+    * partitions at block size 128 — and one left as RIFF/WAV, so the
+    * audio magic-byte dispatch is exercised in the same corpus.
+    */
+  private def synthMixedAudioDupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    synthAudioDupMedia(spark, dir).as[Multimodal.MediaRecord]
+      .mapPartitions(_.map { r =>
+        if (r.media_id % 4 == 0) r
+        else {
+          val pcm = Multimodal.Wav.decode(r.payload).getOrElse(
+            throw new IllegalStateException(s"fixture WAV must decode: ${r.media_id}"))
+          val flac = (r.media_id % 4) match {
+            case 1 => graft.ext.Flac.encode(pcm.samples, pcm.sampleRate,
+              strategy = graft.ext.Flac.EncVerbatim)
+            case 2 => graft.ext.Flac.encode(pcm.samples, pcm.sampleRate,
+              blockSize = 64)
+            case _ => graft.ext.Flac.encode(pcm.samples, pcm.sampleRate,
+              blockSize = 128, partitionOrder = 2)
+          }
+          Multimodal.MediaRecord(r.media_id, flac, "audio/flac")
+        }
+      }).toDF()
+  }
+
+  /** FLAC near-dup dedup — the compressed-AUDIO leg made REAL: q219's
+    * corpus with three quad members on the FLAC wire (from-scratch
+    * [[graft.ext.Flac]]: STREAMINFO → CRC-8-checked frame headers →
+    * rice-coded fixed-predictor subframes → CRC-16 frame verify) and
+    * one on RIFF, dispatched by magic bytes into the SAME
+    * energy-gradient fingerprint space. FLAC is lossless, so the
+    * decoded samples — and therefore the fingerprints, the pairs,
+    * and the census — are IDENTICAL to q219's: the oracle is q219's
+    * closed form verbatim. A decoder that mis-rices, mis-predicts,
+    * mis-frames, or mis-CRCs any wire variant scatters fingerprints
+    * and fails the hash.
+    */
+  def q235FlacNearDup(spark: SparkSession, dir: String): DataFrame =
+    audioNearDupCensus(Multimodal.audioEnergyHashes(spark,
+      synthMixedAudioDupMedia(spark, dir), partitions = 8).toDF())
+
   /** Shared tail of q219/q227: banded Hamming pairs over the
     * energy-gradient fingerprint table → per-clip neighbor census +
     * min-id keep verdict.
@@ -7066,6 +7109,7 @@ object SparkEntry {
     "q232_png_neardup" -> (q232PngNearDup _),
     "q233_mixed_image_neardup" -> (q233MixedImageNearDup _),
     "q234_thumbnail_neardup" -> (q234ThumbnailNearDup _),
+    "q235_flac_neardup" -> (q235FlacNearDup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -11171,6 +11215,9 @@ object SparkEntry {
     "q234_thumbnail_neardup" -> jpegNearDupSql.replace(
       "CAST(44 AS INT) AS width, CAST(24 AS INT) AS height",
       "CAST(22 AS INT) AS width, CAST(12 AS INT) AS height"),
+    // q235: FLAC is lossless — the mixed WAV/FLAC corpus decodes to
+    // q219's exact samples, so its closed-form census is the oracle
+    "q235_flac_neardup" -> audioNearDupSql,
 
     // q224: every frame fingerprint in closed form, candidate
     // offsets from the frame-level quadratic verify, the aligned

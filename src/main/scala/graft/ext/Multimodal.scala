@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   *    from-scratch RFC 1951 inflate, scanline unfilter), each with a
   *    corrupt-safe `Option` result (malformed payloads surface as
   *    nulls, the O-05 discipline, never as executor crashes);
-  *  - the remaining COMPRESSED codecs (MP3/H.264) stay STUBBED
+  *    Compressed formats are REAL for images (JPEG, PNG with its own
+  *    DEFLATE) and for audio ([[Flac]] — lossless, integer-exact);
+  *  - only the LOSSY audio/video codecs (MP3/H.264) stay STUBBED
   *    behind [[FakeDecoder]] — a clearly-marked deterministic fake
-  *    (no codec libraries exist in this container, and those codecs
-  *    are out of from-scratch scope where baseline JPEG was not).
+  *    (no codec libraries exist in this container, and those two are
+  *    out of from-scratch scope where JPEG/PNG/FLAC were not).
   *    The Spark-side shape they would plug into (per-partition batch
   *    iteration, typed schema) is identical to the real paths below.
   */
@@ -36,10 +38,11 @@ object Multimodal {
       features: Array[Float])
 
   /** STUB: deterministic fake decoder standing in for the remaining
-    * compressed audio/video codecs (???: replace with an MP3/H.264
-    * binding — e.g. ffmpeg via FFI — when available; images no
-    * longer need it, [[Jpeg]] and [[Bmp]] are real). Features are a
-    * fixed-size byte histogram so tests are reproducible.
+    * LOSSY audio/video codecs (???: replace with an MP3/H.264
+    * binding — e.g. ffmpeg via FFI — when available; images and
+    * lossless audio no longer need it — [[Bmp]], [[Jpeg]], [[Png]]
+    * and [[Flac]] are real). Features are a fixed-size byte
+    * histogram so tests are reproducible.
     */
   object FakeDecoder {
     val featureDim = 8
@@ -451,6 +454,34 @@ object Multimodal {
       .repartition(partitions, col("media_id"))
       .as[MediaRecord]
       .mapPartitions(_.flatMap(r => Wav.decode(r.payload).map(w =>
+        AudioHashRow(r.media_id, w.samples.length.toLong,
+          Wav.energyHash60(w.samples)))))
+  }
+
+  /** Magic-byte audio dispatch — the audio mirror of [[decodeImage]]:
+    * RIFF/WAVE → [[Wav.decode]], fLaC → [[Flac.decode]]. Both return
+    * the same [[WavPcm]] shape, so every downstream fingerprint and
+    * feature op is format-blind.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[WavPcm] =
+    if (payload == null || payload.length < 4) None
+    else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F')
+      Wav.decode(payload)
+    else if (payload(0) == 'f' && payload(1) == 'L' && payload(2) == 'a' && payload(3) == 'C')
+      Flac.decode(payload)
+    else None
+
+  /** [[wavEnergyHashes]] generalized over [[decodeAudio]]: one decode
+    * pass → relational fingerprint rows for a mixed WAV/FLAC corpus;
+    * corrupt payloads dropped (DLQ callers split first).
+    */
+  def audioEnergyHashes(spark: SparkSession, media: DataFrame,
+      partitions: Int): Dataset[AudioHashRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"))
+      .repartition(partitions, col("media_id"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap(r => decodeAudio(r.payload).map(w =>
         AudioHashRow(r.media_id, w.samples.length.toLong,
           Wav.energyHash60(w.samples)))))
   }
