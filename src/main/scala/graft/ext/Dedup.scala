@@ -413,12 +413,41 @@ object Dedup {
       corpusDocs: DataFrame,  // (id, sh)
       batchIdx: DataFrame,    // (id, sh, sig)
       bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    minhashVerifyCandidates(
+      minhashCandidatesAgainstBandRows(storedBands, batchIdx, bands, rowsPerBand),
+      corpusDocs, batchIdx, threshold)
+
+  /** Candidate-pair half of [[minhashNearDupAgainstBandRows]]: the
+    * banded join alone → distinct `(batch_id, corpus_id)` candidates,
+    * NO shingle verify yet. Split out so an incremental consumer can
+    * materialize the (small) candidate set first, derive which slice
+    * of the stored doc table the verify actually needs (a bounded
+    * prefix set), and hand [[minhashVerifyCandidates]] a PRUNED doc
+    * scan instead of the whole corpus — the docs-side twin of the
+    * stored-bands bucket pruning.
+    */
+  def minhashCandidatesAgainstBandRows(
+      storedBands: DataFrame, // (band, bucket, corpus_id)
+      batchIdx: DataFrame,    // (id, sh, sig)
+      bands: Int, rowsPerBand: Int): DataFrame =
     minhashBandRows(batchIdx, bands, rowsPerBand)
       .select(col("corpus_id").as("batch_id"), col("band"), col("bucket"))
       .join(storedBands.select(col("band"), col("bucket"), col("corpus_id")),
         Seq("band", "bucket"))
       .select(col("batch_id"), col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
+
+  /** Verify half of [[minhashNearDupAgainstBandRows]]: exact
+    * shingle-set Jaccard over the candidate pairs. `corpusDocs` may
+    * be any superset of the candidates' corpus rows — pruned scans
+    * change the I/O, never the answer.
+    */
+  def minhashVerifyCandidates(
+      candidates: DataFrame,  // (batch_id, corpus_id)
+      corpusDocs: DataFrame,  // (id, sh)
+      batchIdx: DataFrame,    // (id, sh, sig)
+      threshold: Double): DataFrame =
+    candidates
       .join(batchIdx.select(col("id").as("batch_id"), col("sh").as("sh_b")),
         "batch_id")
       .join(corpusDocs.select(col("id").as("corpus_id"), col("sh").as("sh_c")),

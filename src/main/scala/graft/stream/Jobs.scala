@@ -412,6 +412,30 @@ object Jobs {
       .filter(col("v") < beforeV && col("bp").isin(touchedBp: _*))
       .select(col("band"), col("bucket"), col("corpus_id"))
 
+  /** Id-hash prefix (0..255) of a stored doc row — the docs-side
+    * analogue of [[nearDupBucketPrefix]]. Computed identically at
+    * write (sorted data column) and read (pushed `In` filter), so
+    * the verify join's doc scan prunes to the row groups holding the
+    * batch's CANDIDATES instead of every doc ever admitted.
+    */
+  private[stream] def nearDupDocPrefix(id: Column): Column =
+    pmod(xxhash64(id), lit(256)).cast("int")
+
+  /** Pruned scan of the stored near-dup DOC table (the verify side):
+    * same two-tier pruning as [[nearDupStoredBandScan]] — `v <
+    * beforeV` at directory listing, the candidate id-prefix set as a
+    * pushed single-column `In` on the SORTED `ip` data column at
+    * row-group grain. `touchedIp` is bounded at 256 values by
+    * construction (it's a byte-wide hash prefix), independent of
+    * corpus or batch size.
+    */
+  private[stream] def nearDupStoredDocScan(
+      spark: SparkSession, docsRoot: String,
+      touchedIp: Seq[Int], beforeV: Long): DataFrame =
+    spark.read.parquet(docsRoot)
+      .filter(col("v") < beforeV && col("ip").isin(touchedIp: _*))
+      .select(col("id"), col("sh"))
+
   /** Highest published `v=<id>` under `snapshotPath`, or -1 when none
     * exist (first run / fresh directory) — the crash-safe version
     * pointer [[runChangelogStream]] resumes from.
@@ -1038,11 +1062,23 @@ object Jobs {
                 nearDupBucketPrefix(col("bucket"))).cast("int").as("bp"))
               .distinct().collect().map(_.getInt(0)).toSeq
             val stored = nearDupStoredBandScan(spark, bandsRoot, touched, batchId)
-            val docs = spark.read.parquet(docsRoot)
-              .filter(col("v") < batchId)
-              .select(col("id"), col("sh"))
-            graft.ext.Dedup.minhashNearDupAgainstBandRows(
-              stored, docs, batchIdx, bands, rowsPerBand, threshold = 0.5)
+            // two-phase verify: materialize the (small) candidate set
+            // first, then prune the stored DOC scan to the candidates'
+            // id-prefix row groups — the verify side stops being the
+            // remaining O(corpus)-per-trigger read. The prefix hop is
+            // bounded at 256 rows by construction.
+            val cand = graft.ext.Dedup.minhashCandidatesAgainstBandRows(
+                stored, batchIdx, bands, rowsPerBand)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val touchedIp = cand
+              .select(nearDupDocPrefix(col("corpus_id")).as("ip"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val docs = nearDupStoredDocScan(spark, docsRoot, touchedIp, batchId)
+            val verified = graft.ext.Dedup.minhashVerifyCandidates(
+              cand, docs, batchIdx, threshold = 0.5)
+              .localCheckpoint(eager = true) // realize before cand unpersists
+            cand.unpersist()
+            verified
           }
           val s0 = batch.join(
             matches.select(col("batch_id").as("doc_id")).distinct(),
@@ -1067,6 +1103,8 @@ object Jobs {
           val survivorIdx = batchIdx.join(
             survivors.select(col("doc_id").as("id")), Seq("id"), "left_semi")
           survivorIdx
+            .withColumn("ip", nearDupDocPrefix(col("id")))
+            .sortWithinPartitions(col("ip"))
             .write.mode("overwrite").parquet(s"$docsRoot/v=$batchId")
           graft.ext.Dedup.minhashBandRows(survivorIdx, bands, rowsPerBand)
             .withColumn("bp", (col("band") * NearDupBandPrefixVals +

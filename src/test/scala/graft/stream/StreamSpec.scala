@@ -802,6 +802,27 @@ class StreamSpec extends SparkSpec {
     val full = Jobs.nearDupStoredBandScan(spark, bandsRoot, allBp, Long.MaxValue)
     assert(full.count() == 4 * 16L) // 4 survivors × 16 bands
 
+    // the stored DOCS table (the verify side) prunes the same way:
+    // v < beforeV at listing, the candidate id-prefix set as a
+    // pushed In on the sorted ip data column — the verify scan is
+    // O(candidate row groups), not O(every doc ever admitted)
+    val docsRoot = s"$tmp/work/index/docs"
+    val prunedDocs = Jobs.nearDupStoredDocScan(spark, docsRoot, Seq(3, 77), 2L)
+    val dplan = prunedDocs.queryExecution.executedPlan.toString
+    assert(dplan.contains("PartitionFilters"), dplan)
+    assert(dplan.contains("(v"), dplan)
+    assert(dplan.contains("In(ip"), dplan)
+    // the full prefix set + unbounded version sees every survivor,
+    // and the write-side ip column matches the read-side derivation
+    val allIp = (0 until 256).toSeq
+    val fullDocs = Jobs.nearDupStoredDocScan(spark, docsRoot, allIp, Long.MaxValue)
+    assert(fullDocs.count() == 4L) // the 4 survivors
+    val ipCheck = spark.read.parquet(docsRoot)
+      .select(col("id"), col("ip"),
+        pmod(xxhash64(col("id")), lit(256)).cast("int").as("expect"))
+      .filter(col("ip") =!= col("expect"))
+    assert(ipCheck.count() == 0L)
+
     // CRASH REPLAY: simulate dying between the index write and the
     // kept/v= marker write of the LAST batch — the orphaned index
     // rows for batch 2's survivor (doc 6) are on disk, the marker is
