@@ -5950,6 +5950,29 @@ object SparkEntry {
     audioNearDupCensus(Multimodal.audioEnergyHashes(spark,
       synthMixedAudioDupMedia(spark, dir), partitions = 8).toDF())
 
+  /** STREAMING mixed-audio fingerprint-index ingest
+    * ([[graft.stream.Jobs.runAudioHashIndexStream]]): q235's mixed
+    * WAV/FLAC corpus arrives as 4 micro-batches; each batch runs the
+    * magic-byte audio dispatch (from-scratch FLAC decode included)
+    * ONCE and appends its energy-hash rows under an idempotent
+    * `batch_id=` partition. The census over the maintained index
+    * must reproduce q219/q235 exactly — the streamed-multimodal
+    * matrix closes over every real codec tier (BMP q209, WAV q227,
+    * video q228, JPEG q231, FLAC here).
+    */
+  def q236StreamFlacIndex(spark: SparkSession, dir: String): DataFrame = {
+    val media = synthMixedAudioDupMedia(spark, dir)
+    val tmp = tempDir("graft-q236")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = true)))
+    audioNearDupCensus(
+      Jobs.runAudioHashIndexStream(spark, in, schema, s"$tmp/work"))
+  }
+
   /** Shared tail of q219/q227: banded Hamming pairs over the
     * energy-gradient fingerprint table → per-clip neighbor census +
     * min-id keep verdict.
@@ -7110,6 +7133,7 @@ object SparkEntry {
     "q233_mixed_image_neardup" -> (q233MixedImageNearDup _),
     "q234_thumbnail_neardup" -> (q234ThumbnailNearDup _),
     "q235_flac_neardup" -> (q235FlacNearDup _),
+    "q236_stream_flac_index" -> (q236StreamFlacIndex _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -7150,7 +7174,8 @@ object SparkEntry {
     "q207_stream_sketch_state", "q209_stream_image_index",
     "q210b_curriculum_stream", "q215_stream_kmv_state",
     "q221_stream_cdc_store", "q227_stream_audio_index",
-    "q228_stream_video_index", "q231_stream_jpeg_index")
+    "q228_stream_video_index", "q231_stream_jpeg_index",
+    "q236_stream_flac_index")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -11218,6 +11243,9 @@ object SparkEntry {
     // q235: FLAC is lossless — the mixed WAV/FLAC corpus decodes to
     // q219's exact samples, so its closed-form census is the oracle
     "q235_flac_neardup" -> audioNearDupSql,
+    // q236: streamed index ≡ batch fingerprints (deterministic
+    // decode + idempotent partitions) — q219/q235's oracle again
+    "q236_stream_flac_index" -> audioNearDupSql,
 
     // q224: every frame fingerprint in closed form, candidate
     // offsets from the frame-level quadratic verify, the aligned

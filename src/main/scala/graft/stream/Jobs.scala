@@ -1168,6 +1168,20 @@ object Jobs {
     runMediaIndexStream(spark, inputDir, schema, workDir,
       b => graft.ext.Multimodal.wavEnergyHashes(b.sparkSession, b, partitions = 4).toDF())
 
+  /** [[runWavHashIndexStream]] generalized over
+    * [[graft.ext.Multimodal.decodeAudio]]'s magic-byte dispatch: a
+    * MIXED WAV/FLAC payload stream (the from-scratch lossless-FLAC
+    * tier included) decodes once per micro-batch into the same
+    * idempotent `batch_id=` fingerprint partitions.
+    */
+  def runAudioHashIndexStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
+      workDir: String): DataFrame =
+    runMediaIndexStream(spark, inputDir, schema, workDir,
+      b => graft.ext.Multimodal.audioEnergyHashes(b.sparkSession, b, partitions = 4).toDF())
+
   /** [[runDHashIndexStream]] generalized over
     * [[graft.ext.Multimodal.decodeImage]]'s magic-byte dispatch: a
     * MIXED BMP/JPEG payload stream decodes once per micro-batch
