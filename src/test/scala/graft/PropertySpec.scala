@@ -612,4 +612,27 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("shingle-string kernel ≡ the HOF chain it replaced, all token shapes") {
+    // random token lists incl. repeats (dup grams), unicode, empties,
+    // and lengths straddling the n-gram threshold
+    val tokGen: Gen[List[String]] = Gen.choose(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "cat", "Ωmega", "b", "dog")))
+    val cases = (1 to 30).map(i => tokGen.pureApply(Gen.Parameters.default, Seed(7L + i)))
+    for (n <- Seq(1, 2, 3)) {
+      val df = cases.map(Tuple1(_)).toDF("toks")
+      val kernel = df.select(
+        graft.ext.VectorKernels.shingleStrings(col("toks"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val hof = df.select(
+        array_distinct(
+          when(size(col("toks")) >= n,
+            transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+              i => concat_ws(" ", (0 until n).map(j =>
+                element_at(col("toks"), i + j)): _*)))
+            .otherwise(array())).as("g"))
+        .as[Seq[String]].collect().toSeq
+      assert(kernel == hof, s"n=$n")
+    }
+  }
 }
