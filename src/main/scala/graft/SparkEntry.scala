@@ -6431,6 +6431,58 @@ object SparkEntry {
       .orderBy(col("decoded"))
   }
 
+  /** q237 corpus: every document's UTF-8 bytes on the gzip wire in
+    * four member/header configurations (dynamic; stored + FNAME +
+    * FHCRC; fixed + FEXTRA; dynamic split into TWO concatenated
+    * members — the WARC shape), with a planted trailer corruption
+    * (`doc_id % 10 == 6`: one ISIZE byte flipped) that every member
+    * verification path must catch.
+    */
+  private def synthGzipDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val gz = (id % 4) match {
+          case 0 => graft.ext.Gzip.compress(bytes)
+          case 1 => graft.ext.Gzip.compress(bytes,
+            deflateMode = graft.ext.Png.DeflateStored,
+            fname = Some(s"doc_$id.txt"), fhcrc = true)
+          case 2 => graft.ext.Gzip.compress(bytes,
+            deflateMode = graft.ext.Png.DeflateFixed,
+            fextra = Some(Array[Byte](7, 7)))
+          case _ =>
+            if (bytes.length >= 2)
+              graft.ext.Gzip.compress(bytes, splitAt = Seq(bytes.length / 2))
+            else graft.ext.Gzip.compress(bytes)
+        }
+        if (id % 10 == 6) gz(gz.length - 3) = (gz(gz.length - 3) ^ 0x20).toByte
+        Multimodal.MediaRecord(id, gz, "application/gzip")
+      }).toDF()
+  }
+
+  /** Compressed-TEXT source — the corpus-ingest shape training data
+    * actually arrives in (WET/WARC are per-record gzip members):
+    * documents ride the gzip wire in four member/header
+    * configurations, decode through the from-scratch
+    * [[graft.ext.Gzip]] ([[graft.sources.Readers.gzipText]] — own
+    * DEFLATE, per-member CRC-32 + ISIZE verification), and the
+    * census pins BYTE-EXACT text recovery (per-doc md5 + length)
+    * plus the DLQ contract: the planted trailer flips fail on
+    * exactly the corrupt ids, never crash. A reader that
+    * mis-inflates, skips a header field wrong, mishandles member
+    * concatenation, or skips verification fails the hash.
+    */
+  def q237GzipCorpus(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Readers.gzipText(spark, synthGzipDocs(spark, dir), partitions = 8)
+      .select(col("doc_id"),
+        col("text").isNotNull.as("ok"),
+        when(col("text").isNotNull, length(col("text")).cast("long")).as("n_chars"),
+        when(col("text").isNotNull, md5(col("text").cast("binary"))).as("digest"))
+      .orderBy(col("doc_id"))
+
   /** PNG near-dup dedup — the LOSSLESS compressed-codec leg: q223's
     * strip corpus encoded as PNG across four wire configurations per
     * cluster quad (RGB + dynamic Huffman + adaptive filters, RGBA +
@@ -7134,6 +7186,7 @@ object SparkEntry {
     "q234_thumbnail_neardup" -> (q234ThumbnailNearDup _),
     "q235_flac_neardup" -> (q235FlacNearDup _),
     "q236_stream_flac_index" -> (q236StreamFlacIndex _),
+    "q237_gzip_corpus" -> (q237GzipCorpus _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -11246,6 +11299,15 @@ object SparkEntry {
     // q236: streamed index ≡ batch fingerprints (deterministic
     // decode + idempotent partitions) — q219/q235's oracle again
     "q236_stream_flac_index" -> audioNearDupSql,
+    // q237: gzip is lossless and the planted trailer corruption is
+    // membership-deterministic — the oracle replays text identity
+    // and the DLQ split straight from the documents table
+    "q237_gzip_corpus" ->
+      """SELECT doc_id,
+        |       (doc_id % 10 != 6) AS ok,
+        |       CASE WHEN doc_id % 10 != 6 THEN length(text) END AS n_chars,
+        |       CASE WHEN doc_id % 10 != 6 THEN md5(text) END AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q224: every frame fingerprint in closed form, candidate
     // offsets from the frame-level quadratic verify, the aligned

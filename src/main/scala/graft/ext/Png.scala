@@ -43,7 +43,7 @@ object Png {
   /** Internal control-flow for malformed input: every checked read
     * throws this, [[decode]] catches it once → None. Stackless.
     */
-  private final class Malformed extends RuntimeException(null, null, false, false)
+  private[ext] final class Malformed extends RuntimeException(null, null, false, false)
   private def fail(): Nothing = throw new Malformed
 
   // ============================================================ CRC32
@@ -75,6 +75,13 @@ object Png {
     }
     c
   }
+
+  /** Standard whole-value CRC-32 over a byte range (init/xorout
+    * 0xFFFFFFFF) — shared with [[Gzip]], which uses the same
+    * polynomial for member and header checksums.
+    */
+  private[ext] def crc32Std(data: Array[Byte], off: Int, len: Int): Int =
+    ~crc32(data, off, len, 0xffffffff)
 
   /** Adler-32 (RFC 1950) — the zlib payload checksum. */
   private def adler32(data: Array[Byte], off: Int, len: Int): Int = {
@@ -190,14 +197,21 @@ object Png {
   private val FixedDistLens: Array[Int] = Array.fill(30)(5)
 
   /** Raw-DEFLATE inflate: decompress `data[off, end)` into a buffer
-    * capped at `maxOut` bytes (zip-bomb guard — callers know the
-    * exact plane size they expect). Returns (bytes, bytesConsumed).
-    * Malformed/truncated/oversized streams throw [[Malformed]].
+    * capped at `maxOut` bytes (zip-bomb guard — PNG callers know the
+    * exact plane size; gzip callers pass a cap and the buffer grows
+    * on demand). Returns (bytes, bytesConsumed). Malformed/
+    * truncated/over-cap streams throw [[Malformed]].
     */
   private[ext] def inflate(data: Array[Byte], off: Int, end: Int, maxOut: Int): (Array[Byte], Int) = {
     val br = new InfBits(data, off, end)
-    val out = new Array[Byte](maxOut)
+    var out = new Array[Byte](math.min(maxOut, math.max(64 * 1024, end - off)))
     var outPos = 0
+    def ensure(n: Int): Unit = {
+      if (n > maxOut) fail()
+      if (n > out.length)
+        out = java.util.Arrays.copyOf(out,
+          math.min(maxOut, math.max(n, out.length * 2)))
+    }
     var last = false
     while (!last) {
       last = br.bits(1) == 1
@@ -209,7 +223,8 @@ object Png {
           val len = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8)
           val nlen = (data(p + 2) & 0xff) | ((data(p + 3) & 0xff) << 8)
           if ((len ^ 0xffff) != nlen) fail()
-          if (p + 4 + len > end || outPos + len > maxOut) fail()
+          if (p + 4 + len > end) fail()
+          ensure(outPos + len)
           System.arraycopy(data, p + 4, out, outPos, len)
           outPos += len
           br.seek(p + 4 + len)
@@ -250,7 +265,7 @@ object Png {
           while (!done) {
             val sym = lit.decode(br)
             if (sym < 256) {
-              if (outPos >= maxOut) fail()
+              ensure(outPos + 1)
               out(outPos) = sym.toByte; outPos += 1
             } else if (sym == 256) done = true
             else {
@@ -260,7 +275,8 @@ object Png {
               val ds = dist.decode(br)
               if (ds > 29) fail()
               val d = DistBase(ds) + br.bits(DistExtra(ds))
-              if (d > outPos || outPos + len > maxOut) fail()
+              if (d > outPos) fail()
+              ensure(outPos + len)
               var j = 0
               while (j < len) { out(outPos) = out(outPos - d); outPos += 1; j += 1 }
             }
@@ -269,7 +285,7 @@ object Png {
       }
     }
     br.alignByte()
-    (if (outPos == maxOut) out else java.util.Arrays.copyOf(out, outPos), br.bytePos - off)
+    (if (outPos == out.length) out else java.util.Arrays.copyOf(out, outPos), br.bytePos - off)
   }
 
   /** zlib unwrap (RFC 1950): header check, raw inflate, Adler-32

@@ -15,6 +15,27 @@ import org.apache.spark.sql.types.StructType
   */
 object Readers {
 
+  /** Compressed-TEXT source: a binary column of (possibly
+    * multi-member) gzip payloads → UTF-8 text, decoded per partition
+    * by the from-scratch [[graft.ext.Gzip]] (own DEFLATE, CRC-32 +
+    * ISIZE verified per member). Corrupt payloads surface as null
+    * text (the O-05 corrupt-record discipline) so DLQ callers can
+    * split — never an executor crash. The decode touches payload
+    * bytes exactly once; everything downstream is columnar.
+    */
+  def gzipText(spark: SparkSession, media: DataFrame, partitions: Int,
+      maxOut: Int = 1 << 26): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"))
+      .repartition(partitions, col("media_id"))
+      .as[graft.ext.Multimodal.MediaRecord]
+      .mapPartitions(_.map(r => (r.media_id,
+        graft.ext.Gzip.decompress(r.payload, maxOut)
+          .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          .orNull)))
+      .toDF("doc_id", "text")
+  }
+
   /** O-02: in-memory JSON strings → DataFrame with schema inference. */
   def jsonStrings(spark: SparkSession, rows: Seq[String]): DataFrame = {
     import spark.implicits._
