@@ -6535,6 +6535,67 @@ object SparkEntry {
       Multimodal.thumbnailDHashes(spark, synthMixedImageDupMedia(spark, dir),
         outW = 22, outH = 12, partitions = 8).toDF())
 
+  /** q238 corpus: clips with PLANTED SHOTS — a 1-in-16 doc sample
+    * (frame-level oracle replay stays tractable), each clip
+    * `n = 12 + base % 7` frames in shots of `2 + base % 3` frames;
+    * frames within a shot are IDENTICAL (the q224 pattern keyed on
+    * the shot index, not the frame index), so every within-shot
+    * hamming is 0 and every boundary is a content change.
+    */
+  private def synthShotMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 16 == 0)
+      .mapPartitions(_.map { id =>
+        val base = id / 16
+        val n = (12 + base % 7).toInt
+        val shotLen = (2 + base % 3).toInt
+        def pattern(s: Int): Array[Byte] = {
+          val bgr = new Array[Byte](11 * 6 * 3)
+          var y = 0
+          while (y < 6) {
+            var x = 0
+            while (x < 11) {
+              val u = (base * 37 + s * 7 + y * 11 + x * 29 +
+                (x.toLong * y + s + base) % 13) % 16
+              val v = (u * 2).toByte
+              val o = (y * 11 + x) * 3
+              bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          bgr
+        }
+        val frames = (0 until n).map(f => pattern(f / shotLen))
+        Multimodal.MediaRecord(id,
+          Multimodal.RawVideo.encode(11, 6, frames), "video/raw")
+      }).toDF()
+  }
+
+  /** Shot-boundary detection ([[graft.ext.Multimodal
+    * .shotBoundaries]]) — the segmentation a video pipeline runs
+    * before per-shot sampling: clips decode ONCE at stride 1, one
+    * lag window over the fingerprint index marks every frame whose
+    * dHash moves > 2 bits from its predecessor, and the census
+    * reports per-clip shot counts, boundary-index sums, and the
+    * first frame of the LAST shot. The oracle replays every frame
+    * fingerprint from the planted-shot recipe, the lag, the
+    * bit_count threshold, and the aggregation — a detector that
+    * mis-lags, mis-thresholds, or re-orders frames fails the hash.
+    */
+  def q238ShotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val fh = Multimodal.videoFrameHashes(spark,
+      synthShotMedia(spark, dir), stride = 1, partitions = 8).toDF()
+    Multimodal.shotBoundaries(fh, maxDistance = 2)
+      .groupBy(col("media_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(col("is_boundary").cast("long")).as("n_shots"),
+        sum(when(col("is_boundary"), col("frame_idx"))).as("boundary_idx_sum"),
+        max(when(col("is_boundary"), col("frame_idx"))).as("last_shot_start"))
+      .orderBy(col("media_id"))
+  }
+
   /** Deterministic synth recipe for the SEQUENCE-grain video corpus:
     * a 1-in-16 doc sample (the oracle's frame-level quadratic verify
     * must stay tractable at sf0.1) arranged in (original, delayed)
@@ -7187,6 +7248,7 @@ object SparkEntry {
     "q235_flac_neardup" -> (q235FlacNearDup _),
     "q236_stream_flac_index" -> (q236StreamFlacIndex _),
     "q237_gzip_corpus" -> (q237GzipCorpus _),
+    "q238_shot_detect" -> (q238ShotDetect _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -11386,6 +11448,48 @@ object SparkEntry {
         |LEFT JOIN kn ON kn.media_id = k.doc_id
         |LEFT JOIN sn ON sn.media_id = k.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // q238: every frame fingerprint replayed from the planted-shot
+    // recipe, then the SAME lag + bit_count rule and aggregation
+    "q238_shot_detect" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 16 AS base,
+        |         CAST(12 + (doc_id // 16) % 7 AS BIGINT) AS n,
+        |         CAST(2 + (doc_id // 16) % 3 AS BIGINT) AS sl
+        |  FROM documents WHERE doc_id % 16 = 0),
+        |fr AS (SELECT d.*, unnest(generate_series(0, n - 1)) AS f FROM d),
+        |sfr AS (SELECT doc_id, base, n, f, f // sl AS s FROM fr),
+        |gys AS (SELECT sfr.*, unnest(generate_series(0, 5)) AS gy FROM sfr),
+        |grid AS (SELECT gys.*, unnest(generate_series(0, 10)) AS gx FROM gys),
+        |v AS (
+        |  SELECT doc_id, n, f, gy, gx,
+        |         ((base * 37 + s * 7 + gy * 11 + gx * 29
+        |           + (gx * gy + s + base) % 13) % 16) * 2 AS gray
+        |  FROM grid),
+        |b AS (
+        |  SELECT doc_id, n, f, gy, gx, gray,
+        |         lead(gray) OVER (PARTITION BY doc_id, f, gy ORDER BY gx)
+        |           AS ngray
+        |  FROM v),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n, f,
+        |         CAST(sum(CASE WHEN gx < 10 AND gray < ngray
+        |                  THEN CAST(1 AS BIGINT) << (gy * 10 + gx)
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM b GROUP BY doc_id, f),
+        |lagged AS (
+        |  SELECT doc_id, n, f, fp,
+        |         lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pfp
+        |  FROM fp),
+        |marked AS (
+        |  SELECT doc_id, n, f,
+        |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
+        |  FROM lagged)
+        |SELECT doc_id AS media_id, max(n) AS n_frames,
+        |       CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
+        |       CAST(sum(CASE WHEN ib THEN f END) AS BIGINT) AS boundary_idx_sum,
+        |       CAST(max(CASE WHEN ib THEN f END) AS BIGINT) AS last_shot_start
+        |FROM marked GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     // q225: the rendered template rebuilt turn by turn, the exact
     // render-identity verdicts, and the simhash fingerprints

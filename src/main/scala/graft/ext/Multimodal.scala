@@ -313,6 +313,30 @@ object Multimodal {
   final case class FrameHashRow(
       media_id: Long, n_frames: Long, frame_idx: Long, fp: Long)
 
+  /** SHOT-BOUNDARY detection over per-frame fingerprint rows
+    * ([[FrameHashRow]] shape): frame 0 and every frame whose dHash
+    * moves more than `maxDistance` bits from its predecessor's start
+    * a new shot — the standard content-change segmentation a video
+    * training pipeline runs before per-shot sampling/captioning. ONE
+    * lag window per clip over the relational index (video bytes were
+    * touched once, at fingerprint time); codegen'd `bit_count` on
+    * the XOR, no decode, no self-join. Emits every frame row with
+    * `is_boundary` plus the running `shot_idx` so per-shot grouping
+    * is a plain groupBy downstream.
+    */
+  def shotBoundaries(frameHashes: DataFrame, maxDistance: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameHashes
+      .withColumn("__prev", lag(col("fp"), 1).over(w))
+      .withColumn("is_boundary", col("__prev").isNull ||
+        bit_count(col("fp").bitwiseXOR(col("__prev"))) > maxDistance)
+      .withColumn("shot_idx",
+        sum(col("is_boundary").cast("long")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)) - 1)
+      .drop("__prev")
+  }
+
   /** FRAME SAMPLING over a raw-video media table: decode once, keep
     * every `stride`-th frame (index 0 included), fingerprint each
     * kept frame with [[Bmp.dhash60]] — the video leg of the

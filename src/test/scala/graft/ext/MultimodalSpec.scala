@@ -409,6 +409,25 @@ class MultimodalSpec extends SparkSpec {
     assert(unguarded == brute)
   }
 
+  test("shotBoundaries: lag rule, threshold, and running shot index") {
+    // clip 1: hashes 0,0,15,15,15,13 with maxDistance 2 →
+    // boundaries at f=0 (first), f=2 (0→15 is 4 bits), NOT f=5
+    // (15→13 is 1 bit, within threshold); clip 2: single frame
+    val rows = Seq(
+      (1L, 6L, 0L, 0L), (1L, 6L, 1L, 0L), (1L, 6L, 2L, 15L),
+      (1L, 6L, 3L, 15L), (1L, 6L, 4L, 15L), (1L, 6L, 5L, 13L),
+      (2L, 1L, 0L, 7L))
+      .toDF("media_id", "n_frames", "frame_idx", "fp")
+    val out = Multimodal.shotBoundaries(rows, maxDistance = 2)
+      .orderBy("media_id", "frame_idx")
+      .select("media_id", "frame_idx", "is_boundary", "shot_idx")
+      .as[(Long, Long, Boolean, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, true, 0L), (1L, 1L, false, 0L), (1L, 2L, true, 1L),
+      (1L, 3L, false, 1L), (1L, 4L, false, 1L), (1L, 5L, false, 1L),
+      (2L, 0L, true, 0L)))
+  }
+
   // ------------------------------------------------ bilinear resize
 
   test("resizeBilinear: same-dims resample is the identity") {
