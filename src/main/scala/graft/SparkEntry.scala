@@ -6596,6 +6596,89 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q239 corpus: clips built from a SHARED SCENE POOL — clip `base`
+    * plays scene `(base + j) % 6` at shot `j` for `j < 5 + base % 3`
+    * EXCEPT shots with `(base + j) % 4 == 1`, which render a
+    * clip-PRIVATE scene (`1000 + base·8 + j`) no other clip has. Two
+    * frames per shot, every frame rendered from the SCENE id alone,
+    * so a shared scene is pixel-identical across clips and a private
+    * one matches nothing: the shared-intro/outro shape video
+    * training dedup actually hunts, with real negative cases (~1/4
+    * of clips open on a private scene).
+    */
+  private def synthSceneMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 16 == 0)
+      .mapPartitions(_.map { id =>
+        val base = id / 16
+        val nShots = (5 + base % 3).toInt
+        def sceneOf(j: Int): Int =
+          if ((base + j) % 4 == 1) (1000 + base * 8 + j).toInt
+          else ((base + j) % 6).toInt
+        def pattern(scene: Int): Array[Byte] = {
+          val bgr = new Array[Byte](11 * 6 * 3)
+          var y = 0
+          while (y < 6) {
+            var x = 0
+            while (x < 11) {
+              val u = (scene * 31 + y * 11 + x * 29 +
+                (x.toLong * y + scene) % 13) % 16
+              val v = (u * 2).toByte
+              val o = (y * 11 + x) * 3
+              bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          bgr
+        }
+        val frames = (0 until nShots * 2).map(f => pattern(sceneOf(f / 2)))
+        Multimodal.MediaRecord(id,
+          Multimodal.RawVideo.encode(11, 6, frames), "video/raw")
+      }).toDF()
+  }
+
+  /** SCENE-grain video dedup — shots, not clips, as the dedup unit
+    * (the shared-intro/credits problem: two distinct videos that
+    * open with the same sequence are duplicates at scene grain and
+    * nothing else): decode once → [[graft.ext.Multimodal
+    * .shotBoundaries]] segments each clip → one representative
+    * fingerprint per shot (its first frame) → the guarded banded
+    * Hamming join over composite `clip·64 + shot` ids → CROSS-CLIP
+    * matches only. Census: per clip, total shots, how many are
+    * shared with another clip, and whether the OPENING shot is —
+    * the intro-detection verdict. The oracle replays scene
+    * assignment, frame fingerprints, segmentation, representatives,
+    * the pair surface, and both counts.
+    */
+  def q239SceneDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fh = Multimodal.videoFrameHashes(spark,
+      synthSceneMedia(spark, dir), stride = 1, partitions = 8).toDF()
+    val shots = Multimodal.shotBoundaries(fh, maxDistance = 2)
+      .filter(col("is_boundary"))
+      .select(col("media_id"), col("shot_idx"),
+        (col("media_id") * 64 + col("shot_idx")).as("shot_uid"), col("fp"))
+    val pairs = graft.ext.Dedup.hammingNearDupPairs(
+      shots.select(col("shot_uid").as("media_id"), col("fp")),
+      "media_id", "fp", bits = 60, maxDistance = 2)
+      .filter(expr("id_a div 64") =!= expr("id_b div 64"))
+    val sym = pairs.select(col("id_a").as("shot_uid"))
+      .unionByName(pairs.select(col("id_b").as("shot_uid")))
+      .distinct()
+    val shared = shots.join(sym, Seq("shot_uid"), "left_semi")
+    shots.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_shots"))
+      .join(shared.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_shared_shots"),
+          max((col("shot_idx") === 0).cast("long")).as("intro_shared_l")),
+        Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_shots"),
+        coalesce(col("n_shared_shots"), lit(0L)).as("n_shared_shots"),
+        (coalesce(col("intro_shared_l"), lit(0L)) === 1L).as("intro_shared"))
+      .orderBy(col("media_id"))
+  }
+
   /** Deterministic synth recipe for the SEQUENCE-grain video corpus:
     * a 1-in-16 doc sample (the oracle's frame-level quadratic verify
     * must stay tractable at sf0.1) arranged in (original, delayed)
@@ -7249,6 +7332,7 @@ object SparkEntry {
     "q236_stream_flac_index" -> (q236StreamFlacIndex _),
     "q237_gzip_corpus" -> (q237GzipCorpus _),
     "q238_shot_detect" -> (q238ShotDetect _),
+    "q239_scene_dedup" -> (q239SceneDedup _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -11490,6 +11574,79 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN ib THEN f END) AS BIGINT) AS boundary_idx_sum,
         |       CAST(max(CASE WHEN ib THEN f END) AS BIGINT) AS last_shot_start
         |FROM marked GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // q239: scene assignment, frame fingerprints, segmentation,
+    // shot representatives, the cross-clip pair surface, and the
+    // census all replayed from the shared-scene-pool recipe
+    "q239_scene_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 16 AS base,
+        |         CAST(5 + (doc_id // 16) % 3 AS BIGINT) AS ns
+        |  FROM documents WHERE doc_id % 16 = 0),
+        |fr AS (SELECT d.*, unnest(generate_series(0, ns * 2 - 1)) AS f FROM d),
+        |sfr AS (
+        |  SELECT doc_id, base, ns, f,
+        |         CASE WHEN (base + f // 2) % 4 = 1
+        |              THEN 1000 + base * 8 + f // 2
+        |              ELSE (base + f // 2) % 6 END AS sc
+        |  FROM fr),
+        |gys AS (SELECT sfr.*, unnest(generate_series(0, 5)) AS gy FROM sfr),
+        |grid AS (SELECT gys.*, unnest(generate_series(0, 10)) AS gx FROM gys),
+        |v AS (
+        |  SELECT doc_id, f, gy, gx,
+        |         ((sc * 31 + gy * 11 + gx * 29
+        |           + (gx * gy + sc) % 13) % 16) * 2 AS gray
+        |  FROM grid),
+        |b AS (
+        |  SELECT doc_id, f, gy, gx, gray,
+        |         lead(gray) OVER (PARTITION BY doc_id, f, gy ORDER BY gx)
+        |           AS ngray
+        |  FROM v),
+        |fp AS (
+        |  SELECT doc_id, f,
+        |         CAST(sum(CASE WHEN gx < 10 AND gray < ngray
+        |                  THEN CAST(1 AS BIGINT) << (gy * 10 + gx)
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM b GROUP BY doc_id, f),
+        |lagged AS (
+        |  SELECT doc_id, f, fp,
+        |         lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pfp
+        |  FROM fp),
+        |marked AS (
+        |  SELECT doc_id, f, fp,
+        |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
+        |  FROM lagged),
+        |shots AS (
+        |  SELECT doc_id, fp,
+        |         CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY f) - 1 AS BIGINT)
+        |           AS shot_idx, ib
+        |  FROM marked),
+        |reps AS (
+        |  SELECT doc_id, shot_idx, doc_id * 64 + shot_idx AS uid, fp
+        |  FROM shots WHERE ib),
+        |pairs AS (
+        |  SELECT a.uid AS ua, c.uid AS ub
+        |  FROM reps a JOIN reps c ON a.uid < c.uid
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 2
+        |    AND a.doc_id != c.doc_id),
+        |sym AS (
+        |  SELECT DISTINCT uid FROM (
+        |    SELECT ua AS uid FROM pairs UNION ALL SELECT ub FROM pairs)),
+        |shared AS (
+        |  SELECT r.doc_id, r.shot_idx FROM reps r JOIN sym ON sym.uid = r.uid),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shots
+        |  FROM reps GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shots,
+        |         max(CASE WHEN shot_idx = 0 THEN 1 ELSE 0 END) AS intro_l
+        |  FROM shared GROUP BY doc_id)
+        |SELECT tot.doc_id AS media_id, tot.n_shots,
+        |       COALESCE(sh.n_shared_shots, 0) AS n_shared_shots,
+        |       (COALESCE(sh.intro_l, 0) = 1) AS intro_shared
+        |FROM tot LEFT JOIN sh ON sh.doc_id = tot.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // q225: the rendered template rebuilt turn by turn, the exact
     // render-identity verdicts, and the simhash fingerprints
