@@ -6483,6 +6483,58 @@ object SparkEntry {
         when(col("text").isNotNull, md5(col("text").cast("binary"))).as("digest"))
       .orderBy(col("doc_id"))
 
+  /** q240 corpus: each document as a two-record WARC file (warcinfo
+    * + a conversion record carrying the text, the WET shape) on
+    * three wires — plain bytes, one gzip member, and the Common
+    * Crawl one-record-per-member layout ([[graft.sources.Warc
+    * .recordOffsets]] as the member split points).
+    */
+  private def synthWarcDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val recs = Seq(
+          graft.sources.Warc.WarcRecord("warcinfo", "", "2026-01-01T00:00:00Z",
+            "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          graft.sources.Warc.WarcRecord("conversion",
+            s"http://example.com/doc/$id", "2026-01-01T00:00:00Z",
+            Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        val bytes = graft.sources.Warc.build(recs)
+        val payload = (id % 3) match {
+          case 0 => bytes
+          case 1 => graft.ext.Gzip.compress(bytes)
+          case _ => graft.ext.Gzip.compress(bytes,
+            splitAt = graft.sources.Warc.recordOffsets(recs).tail
+              .filter(o => o > 0 && o < bytes.length))
+        }
+        Multimodal.MediaRecord(id, payload, "application/warc")
+      }).toDF()
+  }
+
+  /** WARC/WET crawl ingest ([[graft.sources.Warc.warcRecords]]) —
+    * the container format web-scale training text actually arrives
+    * in: two-record WARC files ride three wire variants (plain /
+    * whole-file gzip / record-per-member gzip, sniffed by magic),
+    * parse ONCE per file into relational record rows, and the
+    * census pins record counts, the conversion record's URI, and
+    * BYTE-EXACT text recovery per doc. A reader that mis-walks
+    * headers, mis-lengths a block, or mishandles member
+    * concatenation fails the hash.
+    */
+  def q240WarcIngest(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.warcRecords(spark, synthWarcDocs(spark, dir), partitions = 8)
+      .groupBy(col("media_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_records"),
+        max(when(col("warc_type") === "conversion", col("target_uri")))
+          .as("target_uri"),
+        max(when(col("warc_type") === "conversion",
+          md5(col("text").cast("binary")))).as("digest"),
+        max(when(col("warc_type") === "conversion",
+          length(col("text")).cast("long"))).as("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** PNG near-dup dedup — the LOSSLESS compressed-codec leg: q223's
     * strip corpus encoded as PNG across four wire configurations per
     * cluster quad (RGB + dynamic Huffman + adaptive filters, RGBA +
@@ -7333,6 +7385,7 @@ object SparkEntry {
     "q237_gzip_corpus" -> (q237GzipCorpus _),
     "q238_shot_detect" -> (q238ShotDetect _),
     "q239_scene_dedup" -> (q239SceneDedup _),
+    "q240_warc_ingest" -> (q240WarcIngest _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -11532,6 +11585,15 @@ object SparkEntry {
         |LEFT JOIN kn ON kn.media_id = k.doc_id
         |LEFT JOIN sn ON sn.media_id = k.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // q240: the WARC fixture is lossless on every wire — record
+    // counts, URIs, and text identity replay from documents alone
+    "q240_warc_ingest" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_records,
+        |       'http://example.com/doc/' || doc_id AS target_uri,
+        |       md5(text) AS digest,
+        |       length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q238: every frame fingerprint replayed from the planted-shot
     // recipe, then the SAME lag + bit_count rule and aggregation

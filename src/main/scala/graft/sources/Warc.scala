@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500 / WARC/1.0) container reader — the wire format
+  * web-crawl training corpora actually arrive in (Common Crawl's
+  * WARC/WET files: gzip members, one record per member, each record
+  * a `WARC/1.0` header block + `Content-Length` payload). Composes
+  * with [[graft.ext.Gzip]]: payloads may be plain WARC bytes or a
+  * (multi-member) gzip stream — the reader sniffs the magic and
+  * decompresses first. Pure byte parsing, corrupt-safe `Option`
+  * (the O-05 discipline), no library dependency.
+  *
+  * The WRITER exists for fixtures: deterministic record assembly
+  * with the mandatory header fields, so every reader path is
+  * exercised with bytes we control.
+  */
+object Warc {
+
+  /** One parsed WARC record: type, target URI (empty when absent),
+    * date, and the raw content block.
+    */
+  final case class WarcRecord(
+      warc_type: String, target_uri: String, date: String, content: Array[Byte])
+
+  private final class Malformed extends RuntimeException(null, null, false, false)
+  private def fail(): Nothing = throw new Malformed
+
+  /** Parse a WARC file (plain or gzip — sniffed) into its records.
+    * `None` for malformed/truncated/checksum-failing payloads.
+    */
+  def parse(payload: Array[Byte], maxOut: Int = 1 << 26): Option[Seq[WarcRecord]] =
+    if (payload == null || payload.length < 4) None
+    else {
+      val bytes =
+        if ((payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
+          graft.ext.Gzip.decompress(payload, maxOut) match {
+            case Some(b) => b
+            case None => return None
+          }
+        else payload
+      try Some(parseChecked(bytes))
+      catch { case _: Malformed | _: ArrayIndexOutOfBoundsException | _: NumberFormatException => None }
+    }
+
+  private def parseChecked(data: Array[Byte]): Seq[WarcRecord] = {
+    val out = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    def readLine(): String = {
+      val start = pos
+      while (pos + 1 < data.length &&
+        !(data(pos) == '\r' && data(pos + 1) == '\n')) pos += 1
+      if (pos + 1 >= data.length) fail()
+      val s = new String(data, start, pos - start, java.nio.charset.StandardCharsets.UTF_8)
+      pos += 2
+      s
+    }
+    while (pos < data.length) {
+      val version = readLine()
+      if (version != "WARC/1.0" && version != "WARC/1.1") fail()
+      var warcType = ""; var uri = ""; var date = ""
+      var contentLength = -1L
+      var line = readLine()
+      while (line.nonEmpty) {
+        val i = line.indexOf(':')
+        if (i <= 0) fail()
+        val name = line.substring(0, i).trim.toLowerCase
+        val value = line.substring(i + 1).trim
+        name match {
+          case "warc-type" => warcType = value
+          case "warc-target-uri" => uri = value
+          case "warc-date" => date = value
+          case "content-length" => contentLength = value.toLong
+          case _ => () // headers we don't model are skipped
+        }
+        line = readLine()
+      }
+      if (warcType.isEmpty || contentLength < 0 ||
+        pos + contentLength + 4 > data.length) fail()
+      val content = java.util.Arrays.copyOfRange(
+        data, pos, pos + contentLength.toInt)
+      pos += contentLength.toInt
+      // record terminator: two CRLFs
+      if (!(data(pos) == '\r' && data(pos + 1) == '\n' &&
+        data(pos + 2) == '\r' && data(pos + 3) == '\n')) fail()
+      pos += 4
+      out += WarcRecord(warcType, uri, date, content)
+    }
+    out.result()
+  }
+
+  /** Assemble WARC bytes from records (fixture writer — mandatory
+    * headers, deterministic order). `recordId` derives from the
+    * index so output is reproducible.
+    */
+  def build(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(256 * records.size)
+    val crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    records.zipWithIndex.foreach { case (r, i) =>
+      val sb = new StringBuilder
+      sb.append("WARC/1.0\r\n")
+      sb.append(s"WARC-Type: ${r.warc_type}\r\n")
+      sb.append(s"WARC-Record-ID: <urn:graft:record-$i>\r\n")
+      sb.append(s"WARC-Date: ${r.date}\r\n")
+      if (r.target_uri.nonEmpty) sb.append(s"WARC-Target-URI: ${r.target_uri}\r\n")
+      sb.append(s"Content-Length: ${r.content.length}\r\n")
+      sb.append("\r\n")
+      val hb = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.write(hb, 0, hb.length)
+      out.write(r.content, 0, r.content.length)
+      out.write(crlf, 0, 2); out.write(crlf, 0, 2)
+    }
+    out.toByteArray
+  }
+
+  /** Byte offsets of each record start in [[build]]'s output — the
+    * member-split points for the Common Crawl one-record-per-gzip-
+    * member layout.
+    */
+  def recordOffsets(records: Seq[WarcRecord]): Seq[Int] = {
+    var off = 0
+    records.zipWithIndex.map { case (r, i) =>
+      val start = off
+      val header = ("WARC/1.0\r\n" +
+        s"WARC-Type: ${r.warc_type}\r\n" +
+        s"WARC-Record-ID: <urn:graft:record-$i>\r\n" +
+        s"WARC-Date: ${r.date}\r\n" +
+        (if (r.target_uri.nonEmpty) s"WARC-Target-URI: ${r.target_uri}\r\n" else "") +
+        s"Content-Length: ${r.content.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      off += header + r.content.length + 4
+      start
+    }
+  }
+
+  /** WARC corpus → relational record rows: decompress + parse ONCE
+    * per file (per-partition imperative tier, the codec discipline),
+    * emit (file id, record index, type, uri, date, text). Corrupt
+    * files yield a single null-type row so DLQ callers can split.
+    */
+  def warcRecords(spark: SparkSession, media: DataFrame, partitions: Int)
+      : DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"))
+      .repartition(partitions, col("media_id"))
+      .as[graft.ext.Multimodal.MediaRecord]
+      .flatMap { r =>
+        parse(r.payload) match {
+          case Some(recs) => recs.zipWithIndex.map { case (rec, i) =>
+            (r.media_id, i, rec.warc_type, rec.target_uri, rec.date,
+              new String(rec.content, java.nio.charset.StandardCharsets.UTF_8))
+          }
+          case None => Seq((r.media_id, -1, null: String, null: String,
+            null: String, null: String))
+        }
+      }
+      .toDF("media_id", "rec_idx", "warc_type", "target_uri", "warc_date", "text")
+  }
+}
