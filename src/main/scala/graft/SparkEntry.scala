@@ -6535,6 +6535,35 @@ object SparkEntry {
           length(col("text")).cast("long"))).as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** STREAMING WARC ingest ([[graft.stream.Jobs
+    * .runWarcIngestStream]]): q240's corpus arrives as 4
+    * micro-batches of WARC files; each batch decompresses + parses
+    * ONCE and appends its record rows under an idempotent
+    * `batch_id=` partition. The census over the maintained store
+    * reproduces q240 exactly — crawl ingest joins the streamed
+    * matrix beside the fingerprint indexes.
+    */
+  def q241StreamWarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val media = synthWarcDocs(spark, dir)
+    val tmp = tempDir("graft-q241")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = true)))
+    Jobs.runWarcIngestStream(spark, in, schema, s"$tmp/work")
+      .groupBy(col("media_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_records"),
+        max(when(col("warc_type") === "conversion", col("target_uri")))
+          .as("target_uri"),
+        max(when(col("warc_type") === "conversion",
+          md5(col("text").cast("binary")))).as("digest"),
+        max(when(col("warc_type") === "conversion",
+          length(col("text")).cast("long"))).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PNG near-dup dedup — the LOSSLESS compressed-codec leg: q223's
     * strip corpus encoded as PNG across four wire configurations per
     * cluster quad (RGB + dynamic Huffman + adaptive filters, RGBA +
@@ -7386,6 +7415,7 @@ object SparkEntry {
     "q238_shot_detect" -> (q238ShotDetect _),
     "q239_scene_dedup" -> (q239SceneDedup _),
     "q240_warc_ingest" -> (q240WarcIngest _),
+    "q241_stream_warc" -> (q241StreamWarcIngest _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -7427,7 +7457,7 @@ object SparkEntry {
     "q210b_curriculum_stream", "q215_stream_kmv_state",
     "q221_stream_cdc_store", "q227_stream_audio_index",
     "q228_stream_video_index", "q231_stream_jpeg_index",
-    "q236_stream_flac_index")
+    "q236_stream_flac_index", "q241_stream_warc")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -11589,6 +11619,15 @@ object SparkEntry {
     // q240: the WARC fixture is lossless on every wire — record
     // counts, URIs, and text identity replay from documents alone
     "q240_warc_ingest" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_records,
+        |       'http://example.com/doc/' || doc_id AS target_uri,
+        |       md5(text) AS digest,
+        |       length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q241: streamed store ≡ batch parse (deterministic decode +
+    // idempotent partitions) — q240's oracle verbatim
+    "q241_stream_warc" ->
       """SELECT doc_id, CAST(2 AS BIGINT) AS n_records,
         |       'http://example.com/doc/' || doc_id AS target_uri,
         |       md5(text) AS digest,

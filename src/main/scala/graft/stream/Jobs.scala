@@ -1212,6 +1212,23 @@ object Jobs {
       b => graft.ext.Multimodal
         .videoFrameHashes(b.sparkSession, b, stride, partitions = 4).toDF())
 
+  /** STREAMING WARC/WET ingest — the crawl-landing shape: each
+    * micro-batch of WARC files (plain or gzip, incl. the
+    * record-per-member layout) parses ONCE
+    * ([[graft.sources.Warc.warcRecords]]) and its relational record
+    * rows land under idempotent `batch_id=` partitions — crawl
+    * bytes are decompressed exactly once, ever, as data arrives,
+    * and every downstream text op (quality, dedup, tokenize) runs
+    * on the relational store.
+    */
+  def runWarcIngestStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
+      workDir: String): DataFrame =
+    runMediaIndexStream(spark, inputDir, schema, workDir,
+      b => graft.sources.Warc.warcRecords(b.sparkSession, b, partitions = 4))
+
   /** The shared STREAMING fingerprint-index ingest: each micro-batch
     * of binary media payloads is decoded ONCE by `fingerprint` (the
     * only pass that ever touches payload bytes) and its relational
