@@ -6583,6 +6583,62 @@ object SparkEntry {
       Multimodal.imageDHashes(spark, synthPngDupMedia(spark, dir),
         partitions = 8).toDF())
 
+  /** q242 corpus: tiny gray PNGs carrying planted tEXt metadata —
+    * title / language / shard-index per doc, the caption-and-
+    * provenance side-channel of an image-text corpus.
+    */
+  private def synthPngMetaMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, lang) =>
+        val bgr = new Array[Byte](8 * 8 * 3)
+        var p = 0
+        while (p < 64) {
+          val v = (((id + p) * 7) % 251).toByte
+          bgr(p * 3) = v; bgr(p * 3 + 1) = v; bgr(p * 3 + 2) = v
+          p += 1
+        }
+        val png = graft.ext.Png.encode(
+          Multimodal.BmpImage(8, 8, bgr), colorType = 0,
+          textMeta = Seq(
+            ("Title", s"doc $id"),
+            ("Language", Option(lang).getOrElse("")),
+            ("Shard", (id % 7).toString)))
+        Multimodal.MediaRecord(id, png, "image/png")
+      }).toDF()
+  }
+
+  /** Image metadata extraction ([[graft.ext.Png.textChunks]]) — the
+    * provenance side-channel read WITHOUT a pixel decode: tEXt
+    * chunks are CRC-verified and collected in a header-only walk, so
+    * caption/source/shard tracking over an image corpus never pays
+    * inflate or unfilter cost. The census pivots the planted
+    * keys back to one row per image; the oracle replays every value
+    * from the documents table. A reader that mis-walks chunks,
+    * mis-splits the keyword NUL, or skips CRC verification fails
+    * the hash.
+    */
+  def q242ImageMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = synthPngMetaMedia(spark, dir)
+    val rows = media
+      .select(col("media_id"), col("payload"), col("mime"))
+      .repartition(8, col("media_id"))
+      .as[Multimodal.MediaRecord]
+      .flatMap { r =>
+        graft.ext.Png.textChunks(r.payload).getOrElse(Nil)
+          .map { case (k, v) => (r.media_id, k, v) }
+      }
+      .toDF("doc_id", "key", "value")
+    rows.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_meta"),
+        max(when(col("key") === "Title", col("value"))).as("title"),
+        max(when(col("key") === "Language", col("value"))).as("language"),
+        max(when(col("key") === "Shard", col("value"))).as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Mixed-format image near-dup — the dispatch capstone: ONE corpus
     * whose cluster quads land as raw BMP, baseline JPEG, palette PNG
     * and grayscale stored-block PNG, run through the magic-byte
@@ -7416,6 +7472,7 @@ object SparkEntry {
     "q239_scene_dedup" -> (q239SceneDedup _),
     "q240_warc_ingest" -> (q240WarcIngest _),
     "q241_stream_warc" -> (q241StreamWarcIngest _),
+    "q242_image_metadata" -> (q242ImageMetadata _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -11632,6 +11689,14 @@ object SparkEntry {
         |       'http://example.com/doc/' || doc_id AS target_uri,
         |       md5(text) AS digest,
         |       length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q242: planted tEXt values replay from documents alone
+    "q242_image_metadata" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_meta,
+        |       'doc ' || doc_id AS title,
+        |       COALESCE(lang, '') AS language,
+        |       CAST(doc_id % 7 AS VARCHAR) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q238: every frame fingerprint replayed from the planted-shot

@@ -774,14 +774,58 @@ object Png {
     }
   }
 
+  /** Textual metadata (tEXt chunks) of a PNG, without a pixel
+    * decode: chunk walk with per-chunk CRC-32 verification,
+    * collecting `(keyword, value)` pairs (Latin-1, the spec's tEXt
+    * encoding). `None` for malformed payloads — same corrupt-safe
+    * contract as [[decode]]; an image with no tEXt yields `Some(Nil)`.
+    * The metadata side-channel a multimodal pipeline uses for
+    * caption/source/provenance tracking.
+    */
+  def textChunks(payload: Array[Byte]): Option[Seq[(String, String)]] =
+    if (payload == null || payload.length < 8 ||
+      !(0 until 8).forall(i => payload(i) == Signature(i))) None
+    else
+      try {
+        val out = Seq.newBuilder[(String, String)]
+        var pos = 8
+        var sawIend = false
+        def u32(p: Int): Int = {
+          if (p + 4 > payload.length) fail()
+          ((payload(p) & 0xff) << 24) | ((payload(p + 1) & 0xff) << 16) |
+            ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
+        }
+        while (!sawIend) {
+          val len = u32(pos)
+          if (len < 0 || pos + 12L + len > payload.length) fail()
+          val typePos = pos + 4
+          val dataPos = pos + 8
+          if (u32(dataPos + len) != ~crc32(payload, typePos, 4 + len, 0xffffffff)) fail()
+          val ctype = new String(payload, typePos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (ctype == "tEXt") {
+            var z = dataPos
+            while (z < dataPos + len && payload(z) != 0) z += 1
+            if (z >= dataPos + len) fail() // no keyword terminator
+            out += ((new String(payload, dataPos, z - dataPos,
+              java.nio.charset.StandardCharsets.ISO_8859_1),
+              new String(payload, z + 1, dataPos + len - z - 1,
+                java.nio.charset.StandardCharsets.ISO_8859_1)))
+          } else if (ctype == "IEND") sawIend = true
+          pos = dataPos + len + 4
+        }
+        Some(out.result())
+      } catch { case _: Malformed | _: ArrayIndexOutOfBoundsException => None }
+
   /** Encode a [[BmpImage]] as a PNG. `colorType` ∈ {0 gray (requires
     * b=g=r everywhere), 2 RGB, 3 palette (requires ≤256 distinct
     * colors), 6 RGBA (alpha = 255)}; `filter` is a fixed type 0–4 or
     * [[FilterAdaptive]] (min sum-of-abs heuristic per row); `deflateMode`
-    * picks the block encoding. Deterministic: same inputs → same bytes.
+    * picks the block encoding; `textMeta` plants tEXt chunks.
+    * Deterministic: same inputs → same bytes.
     */
   def encode(img: BmpImage, colorType: Int = 2, filter: Int = FilterAdaptive,
-      deflateMode: Int = DeflateDynamic): Array[Byte] = {
+      deflateMode: Int = DeflateDynamic,
+      textMeta: Seq[(String, String)] = Nil): Array[Byte] = {
     val w = img.width; val h = img.height
     require(w > 0 && h > 0 && img.bgr.length == w * h * 3, "bad image geometry")
     require(Set(0, 2, 3, 6).contains(colorType), s"unsupported encode color type $colorType")
@@ -893,6 +937,14 @@ object Png {
     ihdr(9) = colorType.toByte
     // compression 0, filter 0, interlace 0 already zero
     writeChunk("IHDR", ihdr)
+    textMeta.foreach { case (k, v) =>
+      require(k.nonEmpty && k.length <= 79 && !k.contains('\u0000') &&
+        k == k.trim && !v.contains('\u0000'), "bad tEXt keyword/value")
+      writeChunk("tEXt",
+        k.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+          Array(0.toByte) ++
+          v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
     if (palette != null) writeChunk("PLTE", palette)
     writeChunk("IDAT", zlibCompress(raw, deflateMode))
     writeChunk("IEND", Array.emptyByteArray)

@@ -267,6 +267,24 @@ class PngSpec extends AnyFunSuite {
     assert(Png.packageMergeLengths(Array(0, 0), 15).forall(_ == 0))
   }
 
+  test("tEXt metadata roundtrips and reads without pixel decode") {
+    val img = noise(10, 10, 3)
+    val meta = Seq(("Title", "a b c"), ("Source", "http://x.test/1"), ("K", ""))
+    val bytes = Png.encode(img, textMeta = meta)
+    assert(Png.textChunks(bytes).get == meta)
+    assertSame(img, Png.decode(bytes).get) // pixels unaffected
+    // no metadata → Some(Nil); corrupt chunk CRC → None
+    assert(Png.textChunks(Png.encode(img)).get.isEmpty)
+    val bad = bytes.clone()
+    // flip a byte inside the first tEXt chunk body (after IHDR: 8+25=33)
+    bad(38) = (bad(38) ^ 0x11).toByte
+    assert(Png.textChunks(bad).isEmpty)
+    assert(Png.textChunks(null).isEmpty)
+    intercept[IllegalArgumentException] {
+      Png.encode(img, textMeta = Seq(("bad\u0000key", "v")))
+    }
+  }
+
   // --------------------------------------- pipeline property (dHash)
 
   test("dHash is invariant under PNG roundtrip (lossless)") {
