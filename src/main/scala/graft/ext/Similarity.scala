@@ -626,4 +626,23 @@ object Similarity {
       out.iterator
     }.toDF("query_id", "rank", "vec_id", "mmr_scaled")
   }
+
+  /** Normalized compression distance (Cilibrasi & Vitányi 2005,
+    * "Clustering by compression") over the shared from-scratch
+    * DEFLATE engine: `NCD(a,b) = (C(ab) − min(C(a),C(b))) /
+    * max(C(a),C(b))` with C = deflate byte size. The
+    * parameter-free similarity signal — no shingles, no tokenizer,
+    * no embedding — useful as an independent VERIFY tier on
+    * candidate pairs other blockers propose (it is O(len) per pair
+    * and must never be a pair-generation surface at scale).
+    * Deterministic: the engine has no randomness, so a given byte
+    * pair always scores identically.
+    */
+  def ncdBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val ca = graft.ext.Png.deflate(a, graft.ext.Png.DeflateDynamic).length
+    val cb = graft.ext.Png.deflate(b, graft.ext.Png.DeflateDynamic).length
+    val cab = graft.ext.Png.deflate(a ++ b, graft.ext.Png.DeflateDynamic).length
+    if (math.max(ca, cb) == 0) 0.0
+    else (cab - math.min(ca, cb)).toDouble / math.max(ca, cb)
+  }
 }

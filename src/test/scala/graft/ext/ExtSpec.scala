@@ -1455,4 +1455,21 @@ class ExtSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
     assert(r == Seq((1, 7L, 0L), (2, 9L, 0L)))
   }
+
+  test("ncdBytes: self near zero, unrelated near one, deterministic") {
+    val a = ("the quick brown fox jumps over the lazy dog " * 20).getBytes("UTF-8")
+    var s = 12345L
+    val rnd = Array.tabulate(800) { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 40).toByte
+    }
+    assert(Similarity.ncdBytes(a, a) < 0.15)
+    assert(Similarity.ncdBytes(a, rnd) > 0.5)
+    assert(Similarity.ncdBytes(a, rnd) == Similarity.ncdBytes(a, rnd))
+    // prefix-shared texts land between the extremes
+    val b = (new String(a, "UTF-8").take(500) + "completely new tail content here")
+      .getBytes("UTF-8")
+    val mid = Similarity.ncdBytes(a, b)
+    assert(mid > Similarity.ncdBytes(a, a) && mid < Similarity.ncdBytes(a, rnd))
+    assert(Similarity.ncdBytes(Array.emptyByteArray, Array.emptyByteArray) == 0.0)
+  }
 }
