@@ -166,6 +166,75 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  /** Hand-build a mono frame exercising three decoder-only paths the
+    * encoder never emits: an LPC subframe (order 2, quantized
+    * coefficients + shift), a WASTED-BITS shift, and a rice ESCAPE
+    * partition (raw fixed-width residuals). Expected samples derived
+    * by hand from the spec's reconstruction rules.
+    */
+  test("hand-built LPC + wasted-bits + escape-partition frame decodes") {
+    def wbits(bits: Seq[(Long, Int)]): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var cnt = 0
+      bits.foreach { case (v, w) =>
+        var i = w - 1
+        while (i >= 0) {
+          buf = (buf << 1) | ((v >> i) & 1); cnt += 1
+          if (cnt == 8) { bb.write(buf.toInt & 0xff); buf = 0; cnt = 0 }
+          i -= 1
+        }
+      }
+      if (cnt > 0) bb.write(((buf << (8 - cnt)).toInt) & 0xff)
+      bb.toByteArray
+    }
+    def crc8(d: Array[Byte]): Int = {
+      var c = 0
+      d.foreach { b =>
+        c ^= b & 0xff
+        for (_ <- 0 until 8) c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff
+      }
+      c
+    }
+    def crc16(d: Array[Byte]): Int = {
+      var c = 0
+      d.foreach { b =>
+        c ^= (b & 0xff) << 8
+        for (_ <- 0 until 8) c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff
+      }
+      c
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"), 0, 4)
+    out.write(wbits(Seq((1L, 1), (0L, 7), (34L, 24),
+      (16L, 16), (16L, 16), (0L, 24), (0L, 24),
+      (8000L, 20), (0L, 3), (15L, 5), (6L, 36)) ++
+      Seq.fill(16)((0L, 8))), 0, 38)
+    val header = wbits(Seq((0x3ffeL, 14), (0L, 1), (0L, 1), (7L, 4), (0L, 4),
+      (0L, 4), (4L, 3), (0L, 1), (0L, 8), (5L, 16)))
+    // subframe: LPC order 2 (type 100001), wasted=1 (flag 1, unary "1"),
+    // warmup 3,5 at 15 bits; precision 4 (code 3), shift 1,
+    // coefs 1,1; residual: 4-bit rice, po=0, ESCAPE (1111) nbits=4,
+    // residuals -2, 1, 5, -6.
+    // shifted-domain: s'2=-2+(5+3>>1)=2; s'3=1+(2+5>>1)=4;
+    // s'4=5+(4+2>>1)=8; s'5=-6+(8+4>>1)=0 → samples <<1:
+    // 6, 10, 4, 8, 16, 0
+    val body = wbits(Seq(
+      (0L, 1), (33L, 6), (1L, 1), (1L, 1),
+      (3L, 15), (5L, 15),
+      (3L, 4), (1L, 5),
+      (1L, 4), (1L, 4),
+      (0L, 2), (0L, 4), (15L, 4), (4L, 5),
+      (0xeL, 4), (0x1L, 4), (0x5L, 4), (0xaL, 4)))
+    val withCrc8 = header :+ crc8(header).toByte
+    val frame = withCrc8 ++ body
+    val c16 = crc16(frame)
+    out.write(frame, 0, frame.length)
+    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+
+    val dec = Flac.decode(out.toByteArray).getOrElse(fail("LPC frame decode failed"))
+    assert(dec.samples.toSeq == Seq[Short](6, 10, 4, 8, 16, 0))
+  }
+
   // ---------------------------------------------------- corrupt-safe
 
   test("corrupt payloads decode to None, never crash") {
