@@ -90,6 +90,23 @@ class GzipSpec extends AnyFunSuite {
     assert(Gzip.decompress("not gzip at all".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("FCOMMENT header field is skipped (decode-only path)") {
+    // take a compressor-built member and splice an FCOMMENT into the
+    // header: set FLG bit 4 and insert the zero-terminated comment
+    val data = text(120)
+    val gz = Gzip.compress(data)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(gz, 0, 3)
+    out.write(gz(3) | 0x10) // FLG |= FCOMMENT
+    out.write(gz, 4, 6) // MTIME, XFL, OS
+    val comment = "a comment field".getBytes("ISO-8859-1")
+    out.write(comment, 0, comment.length)
+    out.write(0) // zero terminator
+    out.write(gz, 10, gz.length - 10)
+    val got = Gzip.decompress(out.toByteArray)
+    assert(got.isDefined && java.util.Arrays.equals(got.get, data))
+  }
+
   test("hand-assembled member decodes (stored block, no encoder)") {
     val payload = "hello".getBytes("US-ASCII")
     val out = new java.io.ByteArrayOutputStream()

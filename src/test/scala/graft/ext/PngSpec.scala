@@ -172,6 +172,55 @@ class PngSpec extends AnyFunSuite {
     assert((img.bgr(9) & 0xff, img.bgr(10) & 0xff, img.bgr(11) & 0xff) == ((255, 255, 255)))
   }
 
+  /** Color type 4 (gray+alpha) is decode-only — the encoder never
+    * emits it. Hand-assemble one (stored blocks, filter 0) and pin
+    * the alpha-dropping reconstruction.
+    */
+  test("hand-assembled gray+alpha (type 4) decodes, alpha dropped") {
+    // 2×1, pairs (gray, alpha): (100, 255), (200, 0)
+    val raw = Array[Int](0, 100, 255, 200, 0).map(_.toByte)
+    def adler(d: Array[Byte]): Int = {
+      var a = 1; var b = 0
+      d.foreach { x => a = (a + (x & 0xff)) % 65521; b = (b + a) % 65521 }
+      (b << 16) | a
+    }
+    val zl = new java.io.ByteArrayOutputStream()
+    zl.write(0x78); zl.write(0x01); zl.write(0x01)
+    zl.write(5); zl.write(0); zl.write(0xff ^ 5); zl.write(0xff)
+    zl.write(raw, 0, raw.length)
+    val ad = adler(raw)
+    zl.write((ad >>> 24) & 0xff); zl.write((ad >>> 16) & 0xff)
+    zl.write((ad >>> 8) & 0xff); zl.write(ad & 0xff)
+    val crcTable = Array.tabulate(256) { n =>
+      var c = n
+      for (_ <- 0 until 8) c = if ((c & 1) != 0) 0xedb88320 ^ (c >>> 1) else c >>> 1
+      c
+    }
+    def crc(d: Array[Byte]): Int = {
+      var c = 0xffffffff
+      d.foreach(x => c = crcTable((c ^ x) & 0xff) ^ (c >>> 8))
+      ~c
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(t: String, body: Array[Byte]): Unit = {
+      val len = body.length
+      out.write(len >>> 24); out.write((len >>> 16) & 0xff)
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      val buf = t.getBytes("US-ASCII") ++ body
+      out.write(buf, 0, buf.length)
+      val c = crc(buf)
+      out.write((c >>> 24) & 0xff); out.write((c >>> 16) & 0xff)
+      out.write((c >>> 8) & 0xff); out.write(c & 0xff)
+    }
+    chunk("IHDR", Array[Int](0, 0, 0, 2, 0, 0, 0, 1, 8, 4, 0, 0, 0).map(_.toByte))
+    chunk("IDAT", zl.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    val img = Png.decode(out.toByteArray).get
+    assert(img.width == 2 && img.height == 1)
+    assert(img.bgr.toSeq.map(_ & 0xff) == Seq(100, 100, 100, 200, 200, 200))
+  }
+
   // ---------------------------------------------------- corrupt-safe
 
   test("corrupt payloads decode to None, never crash") {
