@@ -2172,8 +2172,12 @@ object SparkEntry {
     * their COMPOSITION — the id_sum proves exactly which documents
     * survived all five gates and where they landed.
     */
-  def q100CurateCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** q100's five-stage pipeline over an arbitrary (doc_id, lang,
+    * text) frame — factored out so the WARC-fronted capstone (q244)
+    * runs the IDENTICAL plan on wire-recovered documents and shares
+    * the oracle verbatim.
+    */
+  private def curateCorpusPipeline(docs: DataFrame): DataFrame = {
     // planted exact duplicates: every 40th doc re-enters under a high id
     val corpus = docs.unionByName(docs.filter(col("doc_id") % 40 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L))
@@ -2204,6 +2208,42 @@ object SparkEntry {
         sum(col("n_tokens")).as("tokens"),
         sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"), col("shard"))
+  }
+
+  def q100CurateCorpus(spark: SparkSession, dir: String): DataFrame =
+    curateCorpusPipeline(Tables.documents(spark, dir))
+
+  /** The crawl-to-corpus capstone: q100's five-stage curation run on
+    * documents recovered FROM THE WARC WIRE — per-record gzip
+    * members carrying `WARC-Identified-Content-Language` (the real
+    * WET language field) — instead of the parquet column. Ingest is
+    * lossless, so the final shard audit must equal q100's
+    * BYTE-FOR-BYTE: one hash check pins the whole
+    * decompress → parse → gate → dedup → decontaminate → budget →
+    * shard path, the full journey a crawl actually takes into a
+    * training set.
+    */
+  def q244WarcCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, text) =>
+        val recs = Seq(graft.sources.Warc.WarcRecord("conversion",
+          s"http://example.com/doc/$id", "2026-01-01T00:00:00Z",
+          Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          Option(lang).getOrElse("")))
+        val bytes = graft.sources.Warc.build(recs)
+        Multimodal.MediaRecord(id, graft.ext.Gzip.compress(bytes), "application/warc")
+      }).toDF()
+    val docs = graft.sources.Warc.warcRecords(spark, media, partitions = 8)
+      .filter(col("warc_type") === "conversion")
+      .select(col("media_id").as("doc_id"),
+        when(col("content_language") === "", null).otherwise(col("content_language"))
+          .as("lang"),
+        col("text"))
+    curateCorpusPipeline(docs)
   }
 
   /** The capstone on the SCALE path: identical pipeline and — by
@@ -7510,6 +7550,7 @@ object SparkEntry {
     "q241_stream_warc" -> (q241StreamWarcIngest _),
     "q242_image_metadata" -> (q242ImageMetadata _),
     "q243_ncd_verify" -> (q243NcdVerify _),
+    "q244_warc_curate" -> (q244WarcCurate _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -9982,6 +10023,9 @@ object SparkEntry {
     "q103b_excise_keep_one" -> exciseSpansOracle(keepOne = true),
 
     "q100_curate_corpus" -> curationOracle,
+    // q244: lossless wire recovery + the identical pipeline — q100's
+    // oracle verbatim pins the whole crawl-to-corpus path
+    "q244_warc_curate" -> curationOracle,
 
     "q97_budget_fill" ->
       """WITH t AS (

@@ -22,7 +22,8 @@ object Warc {
     * date, and the raw content block.
     */
   final case class WarcRecord(
-      warc_type: String, target_uri: String, date: String, content: Array[Byte])
+      warc_type: String, target_uri: String, date: String, content: Array[Byte],
+      content_language: String = "")
 
   private final class Malformed extends RuntimeException(null, null, false, false)
   private def fail(): Nothing = throw new Malformed
@@ -59,7 +60,7 @@ object Warc {
     while (pos < data.length) {
       val version = readLine()
       if (version != "WARC/1.0" && version != "WARC/1.1") fail()
-      var warcType = ""; var uri = ""; var date = ""
+      var warcType = ""; var uri = ""; var date = ""; var language = ""
       var contentLength = -1L
       var line = readLine()
       while (line.nonEmpty) {
@@ -71,6 +72,7 @@ object Warc {
           case "warc-type" => warcType = value
           case "warc-target-uri" => uri = value
           case "warc-date" => date = value
+          case "warc-identified-content-language" => language = value
           case "content-length" => contentLength = value.toLong
           case _ => () // headers we don't model are skipped
         }
@@ -85,7 +87,7 @@ object Warc {
       if (!(data(pos) == '\r' && data(pos + 1) == '\n' &&
         data(pos + 2) == '\r' && data(pos + 3) == '\n')) fail()
       pos += 4
-      out += WarcRecord(warcType, uri, date, content)
+      out += WarcRecord(warcType, uri, date, content, language)
     }
     out.result()
   }
@@ -104,6 +106,8 @@ object Warc {
       sb.append(s"WARC-Record-ID: <urn:graft:record-$i>\r\n")
       sb.append(s"WARC-Date: ${r.date}\r\n")
       if (r.target_uri.nonEmpty) sb.append(s"WARC-Target-URI: ${r.target_uri}\r\n")
+      if (r.content_language.nonEmpty)
+        sb.append(s"WARC-Identified-Content-Language: ${r.content_language}\r\n")
       sb.append(s"Content-Length: ${r.content.length}\r\n")
       sb.append("\r\n")
       val hb = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -127,6 +131,8 @@ object Warc {
         s"WARC-Record-ID: <urn:graft:record-$i>\r\n" +
         s"WARC-Date: ${r.date}\r\n" +
         (if (r.target_uri.nonEmpty) s"WARC-Target-URI: ${r.target_uri}\r\n" else "") +
+        (if (r.content_language.nonEmpty)
+          s"WARC-Identified-Content-Language: ${r.content_language}\r\n" else "") +
         s"Content-Length: ${r.content.length}\r\n\r\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
       off += header + r.content.length + 4
@@ -149,12 +155,14 @@ object Warc {
         parse(r.payload) match {
           case Some(recs) => recs.zipWithIndex.map { case (rec, i) =>
             (r.media_id, i, rec.warc_type, rec.target_uri, rec.date,
+              rec.content_language,
               new String(rec.content, java.nio.charset.StandardCharsets.UTF_8))
           }
           case None => Seq((r.media_id, -1, null: String, null: String,
-            null: String, null: String))
+            null: String, null: String, null: String))
         }
       }
-      .toDF("media_id", "rec_idx", "warc_type", "target_uri", "warc_date", "text")
+      .toDF("media_id", "rec_idx", "warc_type", "target_uri", "warc_date",
+        "content_language", "text")
   }
 }

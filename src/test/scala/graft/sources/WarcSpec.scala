@@ -61,6 +61,19 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(got.head.content, "UTF-8") == body)
   }
 
+  test("content-language header roundtrips; absent means empty") {
+    val rs = Seq(
+      Warc.WarcRecord("conversion", "http://a.test", "2026-01-01T00:00:00Z",
+        "bonjour".getBytes("UTF-8"), "fr"),
+      Warc.WarcRecord("conversion", "http://b.test", "2026-01-01T00:00:00Z",
+        "plain".getBytes("UTF-8")))
+    for (wire <- Seq(Warc.build(rs),
+      graft.ext.Gzip.compress(Warc.build(rs), splitAt = Warc.recordOffsets(rs).tail))) {
+      val got = Warc.parse(wire).get
+      assert(got.map(_.content_language) == Seq("fr", ""))
+    }
+  }
+
   test("empty content block roundtrips") {
     val rs = Seq(Warc.WarcRecord("resource", "http://z.test", "2026-01-01T00:00:00Z",
       Array.emptyByteArray))
