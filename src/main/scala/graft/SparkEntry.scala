@@ -2972,6 +2972,41 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q116's tertile assignment WITHOUT the single-partition global
+    * ntile window — the 100 TB scale twin (the q102b/q106b
+    * discipline). Exact global rank comes from
+    * [[graft.ext.TrainPrep.quantileNormalize]] with a constant group
+    * (KLL-bucketed two-phase prefix sum: sketch cuts → broadcast range
+    * join → per-bucket counts → bounded prefix offsets → per-BUCKET
+    * windows, each bounded by the bucket width — zero global sort),
+    * and ntile(3)'s tile-size arithmetic (first `N mod 3` tiles get
+    * `N div 3 + 1` rows) replays exactly from (rank, N). Shares q116's
+    * oracle verbatim; PlanSpec pins that no single-partition window
+    * survives in the physical plan.
+    */
+  def q116cCrossEntropyTertilesScale(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ref = docs.filter(col("lang") === "en")
+    val scored = Text.crossEntropyScores(docs, "doc_id", "text", ref, "text")
+    graft.ext.TrainPrep.quantileNormalize(
+        scored.withColumn("__g", lit(1)), "__g", "doc_id",
+        col("cross_entropy"), numBuckets = 32)
+      // ntile(3) closed form: q = N div 3 tiles of base size, the first
+      // r0 = N mod 3 tiles one larger; ceil-division in exact longs
+      .withColumn("__t", expr(
+        """CASE WHEN q_rank <= (group_n % 3) * (group_n div 3 + 1)
+          |  THEN (q_rank + (group_n div 3 + 1) - 1) div (group_n div 3 + 1)
+          |  ELSE (group_n % 3) +
+          |    (q_rank - (group_n % 3) * (group_n div 3 + 1) + (group_n div 3) - 1)
+          |      div (group_n div 3)
+          |END""".stripMargin))
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          col("__t").cast("int")))
+      .select(col("doc_id"), col("n_bigrams"), col("cross_entropy"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The 100 TB form of q116's scorer: both LM joins carry xxhash64
     * keys instead of token/bigram strings. Shares q116's score oracle
     * (minus the tertile column) — hashed ≡ exact, the
@@ -3662,7 +3697,12 @@ object SparkEntry {
       StructField("doc_id", LongType, nullable = false),
       StructField("lang", StringType, nullable = true),
       StructField("text", StringType, nullable = true)))
-    Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work")
+    // compactEvery=2: the mid-stream index compaction
+    // ([[graft.stream.Jobs.compactNearDupIndex]]) runs INSIDE the
+    // oracle-checked path — the hash pins that folding generations
+    // changes nothing
+    Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work",
+        compactEvery = 2)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"))
@@ -7405,6 +7445,7 @@ object SparkEntry {
     "q115_compact_index" -> (q115CompactIndex _),
     "q116_cross_entropy" -> (q116CrossEntropy _),
     "q116b_cross_entropy_hashed" -> (q116bCrossEntropyHashed _),
+    "q116c_tertiles_scale" -> (q116cCrossEntropyTertilesScale _),
     "q117_clean_segments" -> (q117CleanSegments _),
     "q118_paragraph_dedup" -> (q118ParagraphDedup _),
     "q118b_paragraph_dedup_hashed" -> (q118bParagraphDedupHashed _),
@@ -10684,6 +10725,20 @@ object SparkEntry {
         """
           |SELECT doc_id, n_bigrams, cross_entropy
           |FROM scored ORDER BY doc_id""".stripMargin),
+
+    // q116's oracle verbatim: the KLL-bucketed two-phase rank must
+    // reproduce the exact global ntile
+    "q116c_tertiles_scale" ->
+      (crossEntropyScoreSql +
+        """,
+          |ranked AS (
+          |  SELECT doc_id, n_bigrams, cross_entropy,
+          |         ntile(3) OVER (ORDER BY cross_entropy, doc_id) AS t
+          |  FROM scored)
+          |SELECT doc_id, n_bigrams, cross_entropy,
+          |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+          |              ELSE 'tail' END AS bucket
+          |FROM ranked ORDER BY doc_id""".stripMargin),
 
     "q117_clean_segments" ->
       """WITH s AS (

@@ -74,12 +74,98 @@ object Clusters {
     } finally und.unpersist()
   }
 
+  /** Two-phase alternating-star connected components (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond", alg. 2):
+    * alternate
+    *
+    *  - **large-star**: for every node u, connect every strictly
+    *    LARGER neighbor to m = min(N(u) ∪ {u});
+    *  - **small-star**: orient each edge toward its larger endpoint,
+    *    then for every node u connect every smaller neighbor (and u)
+    *    to m = min of the smaller neighborhood;
+    *
+    * until the edge set is a fixed point, at which point every edge
+    * points directly at its component's minimum id. Converges in
+    * O(log n) rounds on ANY graph shape — the lever over min-label
+    * propagation's O(diameter) for long-chain graphs — while each
+    * round stays one keyed shuffle over the edge list.
+    *
+    * Convergence probe: cheap per-round invariants (edge count + sum
+    * of endpoints) confirmed by an exact `exceptAll` only when they
+    * match — the expensive check runs once, at the true fixed point.
+    * Labels come out identical to [[connectedComponents]] (min id per
+    * component); `ClustersSpec` pins equality on chain/clique/random
+    * graphs.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // vertex universe BEFORE star contraction drops isolated self-pairs
+    val verts = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = und.groupBy("src")
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      und.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val mins = or.groupBy("src").agg(min(col("dst")).as("m"))
+      or.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var e = smallStar(largeStar(e0)).localCheckpoint(true)
+    var stats = e.agg(count(lit(1)), sum(col("src") + col("dst"))).head()
+    var converged = false
+    var iter = 1 // the seed round above counts
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextStats = next.agg(count(lit(1)), sum(col("src") + col("dst"))).head()
+      // exact fixed-point check only when the cheap invariants agree —
+      // exceptAll is a shuffle, so it should run once, not every round
+      converged = nextStats == stats && next.exceptAll(e).limit(1).isEmpty
+      e = next; stats = nextStats
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // defensive star-ness assertion (one scan, post-loop only): at the
+    // paper's fixed point no root has an outgoing edge, so dst values
+    // never reappear as src. A violation means the fixed point was not
+    // a star forest — fail loudly rather than emit partial labels.
+    if (!e.select(col("dst")).intersect(e.select(col("src"))).limit(1).isEmpty)
+      throw new IllegalStateException(
+        "connectedComponentsStar fixed point is not a star forest")
+    // at the fixed point every edge is (v, componentMin); the min vertex
+    // itself appears only on the dst side
+    verts.join(e.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dst"), col("id")).as("comp"))
+  }
+
   /** Cluster membership with sizes and the canonical flag: one row per
     * vertex in `pairs`, `is_canonical` marking the document a dedup
     * pass would keep (min id of its cluster).
     */
   def dupClusters(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val comp = connectedComponents(pairs, srcCol, dstCol)
+    val comp = connectedComponentsStar(pairs, srcCol, dstCol)
     val sizes = comp.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))

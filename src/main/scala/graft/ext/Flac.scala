@@ -225,6 +225,12 @@ object Flac {
     }
     if (!sawStreamInfo || sampleRate == 0 || channels < 1 || channels > 8) fail()
     if (bps != 16) fail() // scope: the WavPcm 16-bit contract
+    // Decode-bomb guard (mirrors Gzip.maxOut / Png's plane cap): a tiny
+    // payload of CONSTANT-subframe frames can otherwise expand to GiBs of
+    // Int arrays before any overflow check fires. 36-bit totalSamples is
+    // attacker-controlled; cap total interleaved output at 2^26 samples.
+    val maxOutSamples = 1 << 26
+    if (totalSamples * channels > maxOutSamples) fail()
 
     // ------------------------------------------------------- frames
     val out = new java.util.ArrayList[Array[Int]]() // per-frame interleaved
@@ -312,6 +318,7 @@ object Flac {
       }
       out.add(frame)
       outLen += frame.length
+      if (outLen > maxOutSamples) fail() // streams w/ totalSamples=0 grow unbounded otherwise
       decoded += blockSize
     }
     if (totalSamples > 0 && decoded != totalSamples) fail()

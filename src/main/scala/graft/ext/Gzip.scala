@@ -101,6 +101,9 @@ object Gzip {
       header.write(0) // XFL
       header.write(255) // OS unknown
       fextra.foreach { x =>
+        // XLEN is a 16-bit field; a longer array would silently truncate to
+        // the low 16 bits and emit a structurally corrupt member header
+        require(x.length <= 0xffff, "FEXTRA must fit in 16-bit XLEN")
         header.write(x.length & 0xff); header.write((x.length >> 8) & 0xff)
         header.write(x, 0, x.length)
       }

@@ -271,7 +271,8 @@ object Jpeg {
     * components/sampling >2) payloads → None.
     */
   def decode(payload: Array[Byte]): Option[BmpImage] =
-    try decodeChecked(payload) catch { case _: Malformed => None }
+    try decodeChecked(payload)
+    catch { case _: Malformed | _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
 
   private def decodeChecked(data: Array[Byte]): Option[BmpImage] = {
     if (data == null || data.length < 4) return None
@@ -299,7 +300,11 @@ object Jpeg {
           val prec = u8()
           if (prec != 8) fail()
           height = u16(); width = u16()
-          if (width <= 0 || height <= 0) fail()
+          // Same decode-bomb caps as Png: 65535x65535 SOF dims would make
+          // width*height*3 (and the upsampled plane sizes) overflow Int or
+          // allocate multi-GiB buffers from a tiny payload.
+          if (width <= 0 || height <= 0 || width > (1 << 20) || height > (1 << 20) ||
+            width.toLong * height > (1L << 26)) fail()
           val nc = u8()
           if (nc != 1 && nc != 3) fail()
           comps = Array.tabulate(nc) { _ =>

@@ -327,9 +327,13 @@ case class StringArrayShingles(child: Expression, n: Int)
     while (i < count) {
       sb.setLength(0)
       var j = 0
+      var emitted = false // concat_ws skips nulls WITHOUT a separator: (a,null,c) -> "a c"
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        if (!a.isNullAt(i + j)) sb.append(a.getUTF8String(i + j).toString)
+        if (!a.isNullAt(i + j)) {
+          if (emitted) sb.append(' ')
+          sb.append(a.getUTF8String(i + j).toString)
+          emitted = true
+        }
         j += 1
       }
       val s = sb.toString

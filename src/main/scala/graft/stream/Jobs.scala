@@ -436,6 +436,65 @@ object Jobs {
       .filter(col("v") < beforeV && col("ip").isin(touchedIp: _*))
       .select(col("id"), col("sh"))
 
+  /** Maintenance compaction for [[runNearDupDedupStream]]'s persisted
+    * fingerprint index — the [[graft.ext.AnnIndex.compact]] discipline
+    * applied to the near-dup store: every trigger appends an
+    * `index/docs/v=<batchId>` and `index/bands/v=<batchId>` generation
+    * forever, so at a production stream's 10⁵ triggers file listing
+    * and parquet footer reads dominate the per-trigger scan (the same
+    * failure shape as the measured 21× `partitionBy(band,pb)`
+    * directory-explosion regression). This pass folds every PUBLISHED
+    * generation (`v <= publishedVersion(kept)`) into ONE
+    * range-partitioned generation re-sorted on the pruning column
+    * (`bp` / `ip` — row-group min/max stats stay tight), staged then
+    * atomically swapped so a reader sees the old or the new table,
+    * never a half-written one.
+    *
+    * Replay contract preserved: the folded generation keeps
+    * `v = published`, and every future batch has `batchId >
+    * published` (checkpointed batch ids are monotonic), so the
+    * `v < batchId` read guard still admits it; ORPHANED generations
+    * (`v > published` — a batch that crashed between its index and
+    * marker writes) are carried across the swap untouched, so the
+    * crash-replay guarantee ("a re-run batch never sees its own
+    * orphaned rows") survives compaction. Must not run concurrently
+    * with the stream itself (call between runs, or via
+    * `compactEvery` which runs it inside the serialized foreachBatch).
+    */
+  def compactNearDupIndex(spark: SparkSession, workDir: String): Unit = {
+    val published = publishedVersion(spark, s"$workDir/kept")
+    if (published >= 0) {
+      compactVersionedTable(spark, s"$workDir/index/docs", "ip", published)
+      compactVersionedTable(spark, s"$workDir/index/bands", "bp", published)
+    }
+  }
+
+  private def compactVersionedTable(
+      spark: SparkSession, root: String, sortCol: String, published: Long): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return
+    val gens = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+    if (gens.count(_ <= published) <= 1) return // already one generation
+    val staging = new org.apache.hadoop.fs.Path(root + "__staging")
+    fs.delete(staging, true)
+    spark.read.parquet(root)
+      .filter(col("v") <= published).drop("v")
+      .repartitionByRange(col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(s"${root}__staging/v=$published")
+    // orphaned (unpublished) generations ride across the swap untouched
+    gens.filter(_ > published).foreach { g =>
+      fs.rename(new org.apache.hadoop.fs.Path(s"$root/v=$g"),
+        new org.apache.hadoop.fs.Path(s"${root}__staging/v=$g"))
+    }
+    fs.delete(rootPath, true)
+    fs.rename(staging, rootPath)
+    ()
+  }
+
   /** Highest published `v=<id>` under `snapshotPath`, or -1 when none
     * exist (first run / fresh directory) — the crash-safe version
     * pointer [[runChangelogStream]] resumes from.
@@ -1011,7 +1070,8 @@ object Jobs {
       spark: SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType, // (doc_id, lang, text)
-      workDir: String): DataFrame = {
+      workDir: String,
+      compactEvery: Int = 0): DataFrame = {
     // the LSH kernels analyze in TWO sessions here: the kept snapshot
     // reads through the caller's session, the batch side through the
     // stream's cloned session — register in both (lazy self-registration
@@ -1039,8 +1099,13 @@ object Jobs {
           val batchIdx = graft.ext.Dedup.minhashIndexRows(
               batch, "doc_id", "text", shingleSize = 3, numHashes = 32)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // resolve through the Hadoop FS API like publishedVersion does —
+          // a java.io.File check is local-FS-only and would silently skip
+          // the stored index (admitting cross-batch dups) on HDFS/S3
+          val bandsHPath = new org.apache.hadoop.fs.Path(bandsRoot)
           val haveIndex = lastV >= 0 &&
-            new java.io.File(bandsRoot).isDirectory
+            bandsHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(bandsHPath)
           val matches = if (!haveIndex) {
             val none = batchIdx.limit(0)
             graft.ext.Dedup.minhashNearDupAgainstBandRows(
@@ -1120,6 +1185,12 @@ object Jobs {
             .write.mode("overwrite").parquet(s"$keptRoot/v=$batchId")
           batchIdx.unpersist()
           lastV = batchId
+          // periodic index maintenance INSIDE the serialized foreachBatch
+          // (triggers never overlap), after the marker write so the
+          // compacted generation only ever folds published versions —
+          // results are identical with or without it (StreamSpec pin)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactNearDupIndex(spark, workDir)
         }
         ()
       }

@@ -678,6 +678,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q116c: tertiles rank without a global sort — no ntile, bucket windows only") {
+    val p = plan("q116c_tertiles_scale")
+    // the exact ntile is replaced by quantileNormalize's two-phase rank:
+    // the row_number window is partitioned by (__g, __qb) — never a
+    // corpus-wide single-partition WindowExec (q116 keeps the exact
+    // ntile for oracle determinism; this is its scale twin). The one
+    // empty-partition window that remains runs over the O(numBuckets)
+    // offsets frame (≤ 33 rows by construction — the accepted
+    // q210/q169 bounded-frame shape), not over the corpus.
+    assert(!p.contains("ntile"), p)
+    val windowIdx = p.indexOf("Window [row_number")
+    assert(windowIdx >= 0, p)
+    val spec = p.substring(windowIdx, math.min(p.length, windowIdx + 400))
+    assert(spec.contains("__qb"), spec) // rank window is bucket-partitioned
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q218: CDC chunking is doc-keyed end to end — no cartesian, no corpus self-join") {
     val p = plan("q218_cdc_chunks")
     assert(!p.contains("CartesianProduct"), p)

@@ -615,9 +615,10 @@ class PropertySpec extends SparkSpec {
 
   test("shingle-string kernel ≡ the HOF chain it replaced, all token shapes") {
     // random token lists incl. repeats (dup grams), unicode, empties,
-    // and lengths straddling the n-gram threshold
+    // NULL tokens (concat_ws skips nulls WITHOUT a separator — the
+    // kernel must match), and lengths straddling the n-gram threshold
     val tokGen: Gen[List[String]] = Gen.choose(0, 12).flatMap(len =>
-      Gen.listOfN(len, Gen.oneOf("a", "b", "cat", "Ωmega", "b", "dog")))
+      Gen.listOfN(len, Gen.oneOf("a", "b", "cat", "Ωmega", null, "dog")))
     val cases = (1 to 30).map(i => tokGen.pureApply(Gen.Parameters.default, Seed(7L + i)))
     for (n <- Seq(1, 2, 3)) {
       val df = cases.map(Tuple1(_)).toDF("toks")

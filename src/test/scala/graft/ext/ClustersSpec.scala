@@ -33,6 +33,37 @@ class ClustersSpec extends SparkSpec {
     assert(ok.length == 10 && ok.forall(_._2 == 1L))
   }
 
+  test("connectedComponentsStar ≡ propagation on chain/clique/self-loop/random") {
+    // adversarial shapes for the alternating-star algorithm: a long
+    // chain (propagation's worst case, O(log n) rounds for star), a
+    // clique, self-loops, an isolated self-pair, and a seeded random
+    // graph — labels must match min-label propagation exactly
+    val rnd = new scala.util.Random(42)
+    val random = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    val shapes = Seq(
+      (1L until 40L).map(i => (i, i + 1)),            // chain, diameter 39
+      (for { a <- 1L to 8L; b <- 1L to 8L if a < b } yield (a, b)), // clique
+      Seq((7L, 7L), (9L, 9L), (7L, 9L)),              // self-loops
+      Seq((500L, 500L)),                               // isolated self-pair
+      random)
+    shapes.foreach { es =>
+      val edges = es.toDF("a", "b")
+      val star = Clusters.connectedComponentsStar(edges, "a", "b", maxIter = 40)
+        .as[(Long, Long)].collect().toMap
+      val prop = Clusters.connectedComponents(edges, "a", "b", maxIter = 60)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"mismatch on shape with ${es.size} edges")
+    }
+  }
+
+  test("connectedComponentsStar: long chain converges in O(log n) rounds") {
+    // diameter 63 — propagation would need >60 rounds; star needs few
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val r = Clusters.connectedComponentsStar(chain, "a", "b", maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(r.length == 64 && r.forall(_._2 == 1L))
+  }
+
   test("dupClusters: sizes and canonical flags") {
     val pairs = Seq((5L, 3L), (5L, 9L), (100L, 101L)).toDF("id_a", "id_b")
     val r = Clusters.dupClusters(pairs, "id_a", "id_b")

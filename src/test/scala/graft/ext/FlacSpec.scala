@@ -262,6 +262,77 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode("fLaCxxxx".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("decode-bomb: tiny payload of CONSTANT frames is rejected at the output cap") {
+    // totalSamples=0 (unknown) lets the frame loop run while bytes
+    // remain; each ~14-byte CONSTANT frame expands to 65536 samples,
+    // so a ~16 KB payload would otherwise decode to >2^26 samples of
+    // Int arrays. The cap must fail it to None, never OOM.
+    def wbits(bits: Seq[(Long, Int)]): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var cnt = 0
+      bits.foreach { case (v, w) =>
+        var i = w - 1
+        while (i >= 0) {
+          buf = (buf << 1) | ((v >> i) & 1); cnt += 1
+          if (cnt == 8) { bb.write(buf.toInt & 0xff); buf = 0; cnt = 0 }
+          i -= 1
+        }
+      }
+      if (cnt > 0) bb.write(((buf << (8 - cnt)).toInt) & 0xff)
+      bb.toByteArray
+    }
+    def crc8(d: Array[Byte]): Int = {
+      var c = 0
+      d.foreach { b =>
+        c ^= b & 0xff
+        for (_ <- 0 until 8) c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff
+      }
+      c
+    }
+    def crc16(d: Array[Byte]): Int = {
+      var c = 0
+      d.foreach { b =>
+        c ^= (b & 0xff) << 8
+        for (_ <- 0 until 8) c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff
+      }
+      c
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"), 0, 4)
+    // STREAMINFO: rate 8000, mono, 16-bit, totalSamples=0 (unknown)
+    out.write(wbits(Seq((1L, 1), (0L, 7), (34L, 24),
+      (16L, 16), (16L, 16), (0L, 24), (0L, 24),
+      (8000L, 20), (0L, 3), (15L, 5), (0L, 36)) ++
+      Seq.fill(16)((0L, 8))), 0, 38)
+    // one mono CONSTANT frame of blockSize 65536 (bs code 7: 16-bit
+    // field = 65535); frame number 0 for every copy — the decoder
+    // parses but doesn't sequence-check it, so the frame bytes repeat
+    val header = wbits(Seq((0x3ffeL, 14), (0L, 1), (0L, 1), (7L, 4), (0L, 4),
+      (0L, 4), (4L, 3), (0L, 1), (0L, 8), (65535L, 16)))
+    val body = wbits(Seq((0L, 1), (0L, 6), (0L, 1), (1234L, 16)))
+    val withCrc8 = header :+ crc8(header).toByte
+    val frame = withCrc8 ++ body
+    val c16 = crc16(frame)
+    val oneFrame = frame ++ Array(((c16 >> 8) & 0xff).toByte, (c16 & 0xff).toByte)
+    // sanity: a few frames decode fine (the format is valid)
+    (1 to 3).foreach(_ => out.write(oneFrame, 0, oneFrame.length))
+    val small = Flac.decode(out.toByteArray)
+    assert(small.isDefined && small.get.samples.length == 3 * 65536)
+    // 1100 frames → 72M samples > 2^26 cap → None, bounded allocation
+    (4 to 1100).foreach(_ => out.write(oneFrame, 0, oneFrame.length))
+    assert(Flac.decode(out.toByteArray).isEmpty)
+    // declared-totalSamples bomb: 36-bit totalSamples of 2^30 trips the
+    // cap before any frame allocation
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write("fLaC".getBytes("US-ASCII"), 0, 4)
+    hdr.write(wbits(Seq((1L, 1), (0L, 7), (34L, 24),
+      (16L, 16), (16L, 16), (0L, 24), (0L, 24),
+      (8000L, 20), (0L, 3), (15L, 5), (1L << 30, 36)) ++
+      Seq.fill(16)((0L, 8))), 0, 38)
+    hdr.write(oneFrame, 0, oneFrame.length)
+    assert(Flac.decode(hdr.toByteArray).isEmpty)
+  }
+
   test("non-16-bit streams are rejections, not crashes") {
     // patch STREAMINFO bps bits (byte 20 bits: rate[20] ch[3] bps[5])
     val good = Flac.encode(noise(100, 5), 8000, blockSize = 64)

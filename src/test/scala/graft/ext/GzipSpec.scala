@@ -46,6 +46,16 @@ class GzipSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Gzip.decompress(cat).get, a ++ b))
   }
 
+  test("FEXTRA longer than the 16-bit XLEN field is rejected at encode") {
+    // XLEN is 16 bits; a 65536-byte array would silently truncate to 0
+    // and emit a structurally corrupt member header
+    intercept[IllegalArgumentException] {
+      Gzip.compress(text(10), fextra = Some(new Array[Byte](0x10000)))
+    }
+    val atLimit = Gzip.compress(text(10), fextra = Some(new Array[Byte](0xffff)))
+    assert(java.util.Arrays.equals(Gzip.decompress(atLimit).get, text(10)))
+  }
+
   test("zip-bomb cap: over-cap streams return None") {
     val gz = Gzip.compress(noise(10000, 3))
     assert(Gzip.decompress(gz, maxOut = 9999).isEmpty)

@@ -180,6 +180,24 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("decode-bomb SOF dims are rejected, not allocated") {
+    // rewrite the SOF0 height/width fields to 46341x46341 (whose
+    // w*h*3 overflows Int → negative allocation without the cap) and
+    // to 65535x65535 (multi-GiB planes from a tiny payload); both
+    // must decode to None, never throw or allocate
+    val good = Jpeg.encode(gradient(16, 16, 7), 90)
+    val idx = good.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    assert(idx >= 0)
+    // SOF0 payload: len(2) prec(1) height(2) width(2) — dims at idx+5
+    for (dim <- Seq(46341, 65535)) {
+      val bomb = good.clone()
+      bomb(idx + 5) = ((dim >> 8) & 0xff).toByte; bomb(idx + 6) = (dim & 0xff).toByte
+      bomb(idx + 7) = ((dim >> 8) & 0xff).toByte; bomb(idx + 8) = (dim & 0xff).toByte
+      assert(Jpeg.decode(bomb).isEmpty, s"dim=$dim")
+    }
+  }
+
   test("progressive (SOF2) is rejected as unsupported, not crashed") {
     val good = Jpeg.encode(gradient(16, 16, 8), 90)
     // rewrite the SOF0 marker (FF C0) to SOF2 (FF C2)

@@ -839,4 +839,96 @@ class StreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(replayed == Set(1L, 2L, 4L, 6L))
   }
+
+  test("near-dup index compaction: one generation, same results, orphans preserved") {
+    val tmp = tempDir("graft-neardupcompact")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val tX = "one two three four five six seven eight nine ten eleven twelve"
+    val tY = "red orange yellow green blue indigo violet white black brown pink gray"
+    val tZ = "cat dog bird fish horse cow sheep goat pig duck hen owl"
+    val slices = Seq(
+      Seq((1L, "en", t1), (2L, "en", tX)),
+      Seq((3L, "en", t1 + " nu"), (4L, "en", tY)),
+      Seq((5L, "en", tY + " cyan"), (6L, "en", tZ)))
+    val in = writeDocSlices(tmp, slices)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    // inline compaction ON (every 2 batches) — results identical to the
+    // uncompacted run in the previous test
+    val kept = Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work",
+      compactEvery = 2).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L, 6L))
+
+    def gens(root: String): Seq[String] = {
+      val d = new java.io.File(root)
+      if (!d.isDirectory) Seq.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("v=")).sorted.toSeq
+    }
+    val bandsRoot = s"$tmp/work/index/bands"
+    val docsRoot = s"$tmp/work/index/docs"
+    // batches 0..2 ran; compaction fired after batch 1 (v=0,v=1 → v=1),
+    // batch 2 appended its own generation → exactly two remain
+    assert(gens(bandsRoot) == Seq("v=1", "v=2"), gens(bandsRoot).toString)
+
+    // CONTINUE the stream across the compaction: a new slice with a
+    // near-dup of pre-compaction survivor 1 must still be caught
+    val extra = Seq((7L, "en", t1 + " xi"), (8L, "en",
+      "quark lepton boson hadron meson photon gluon neutrino muon tau pion kaon"))
+    extra.toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice3")
+    val part = new java.io.File(s"$tmp/slice3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$in/part-3.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(System.currentTimeMillis())
+    val kept2 = Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 2L, 4L, 6L, 8L))
+    assert(gens(bandsRoot) == Seq("v=1", "v=2", "v=3"), gens(bandsRoot).toString)
+
+    // ORPHAN PRESERVATION: kill batch 3's marker (kept/v=3) so its index
+    // generation is orphaned; compact folds the published v=1,v=2 into
+    // one v=2 generation and must carry the orphan v=3 across the swap
+    // untouched — then a full replay still lands the same final set
+    // (the replayed batch 3 must not match its own orphaned rows)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    val publishedBands = Jobs.nearDupStoredBandScan(
+      spark, bandsRoot, (0 until 16 * 256).toSeq, 3L)
+      .collect().map(_.toString).sorted.toSeq
+    rmrf(new java.io.File(s"$tmp/work/kept/v=3"))
+    Jobs.compactNearDupIndex(spark, s"$tmp/work")
+    assert(gens(bandsRoot) == Seq("v=2", "v=3"), gens(bandsRoot).toString)
+    assert(gens(docsRoot) == Seq("v=2", "v=3"), gens(docsRoot).toString)
+    // the published rows are bit-identical through the fold
+    val foldedBands = Jobs.nearDupStoredBandScan(
+      spark, bandsRoot, (0 until 16 * 256).toSeq, 3L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(foldedBands == publishedBands)
+    rmrf(new java.io.File(s"$tmp/work/ckpt"))
+    val replayed = Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work")
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayed == Set(1L, 2L, 4L, 6L, 8L))
+
+    // final standalone maintenance pass: everything published folds to
+    // ONE generation, and the compacted table still row-group-prunes
+    // (sorted bp column, pushed In filter)
+    Jobs.compactNearDupIndex(spark, s"$tmp/work")
+    assert(gens(bandsRoot) == Seq("v=3"), gens(bandsRoot).toString)
+    assert(gens(docsRoot) == Seq("v=3"), gens(docsRoot).toString)
+    val plan = Jobs.nearDupStoredBandScan(spark, bandsRoot, Seq(0, 1, 513), 99L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(bp"), plan)
+    val finalScan = Jobs.nearDupStoredBandScan(
+      spark, bandsRoot, (0 until 16 * 256).toSeq, Long.MaxValue)
+    assert(finalScan.count() == 5 * 16L) // 5 survivors × 16 bands
+  }
 }
