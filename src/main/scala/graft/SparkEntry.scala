@@ -2246,6 +2246,70 @@ object SparkEntry {
     curateCorpusPipeline(docs)
   }
 
+  /** The capstone from RAW HTTP CAPTURES: real crawl processing
+    * starts at WARC `response` records — an HTTP message (status
+    * line, headers, chunked/Content-Length/connection-close body,
+    * optional gzip Content-Encoding) wrapping an HTML page — not at
+    * the pre-extracted WET text q244 consumes. Each doc rides a
+    * DIFFERENT wire form by id (identity + Content-Length /
+    * Transfer-Encoding: chunked split mid-body / gzip
+    * Content-Encoding), the page is a minimal HTML shell, and
+    * recovery is [[graft.sources.Warc.httpResponseDocs]] →
+    * [[graft.ext.Text.htmlToText]] → q100's five-stage curation. The
+    * corpus text is whitespace-normal and entity-free (a pinned
+    * fixture property), so extraction is lossless and the final
+    * shard audit shares q100's oracle BYTE-FOR-BYTE — one hash pins
+    * gunzip → WARC walk → HTTP parse → dechunk → HTML extract →
+    * gate → dedup → decontaminate → budget → shard.
+    */
+  def q245HttpWarcCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, text) =>
+        // charsets resolved on the executor: Charset instances are not
+        // java-serializable and must not ride the closure
+        val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val html = "<html><head><title>doc " + id +
+          "</title></head><body><p>" + Option(text).getOrElse("") +
+          "</p></body></html>"
+        val hb = html.getBytes(utf8)
+        val http: Array[Byte] = (id % 3) match {
+          case 0 =>
+            (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+              s"Content-Length: ${hb.length}\r\n\r\n").getBytes(ascii) ++ hb
+          case 1 =>
+            val mid = hb.length / 2
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+              "Transfer-Encoding: chunked\r\n\r\n" +
+              Integer.toHexString(mid) + "\r\n").getBytes(ascii) ++
+              hb.take(mid) ++
+              ("\r\n" + Integer.toHexString(hb.length - mid) + "\r\n").getBytes(ascii) ++
+              hb.drop(mid) ++ "\r\n0\r\n\r\n".getBytes(ascii)
+          case _ =>
+            val gz = graft.ext.Gzip.compress(hb)
+            (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+              s"Content-Encoding: gzip\r\nContent-Length: ${gz.length}\r\n\r\n")
+              .getBytes(ascii) ++ gz
+        }
+        val recs = Seq(graft.sources.Warc.WarcRecord("response",
+          s"http://example.com/doc/$id", "2026-01-01T00:00:00Z", http,
+          Option(lang).getOrElse("")))
+        Multimodal.MediaRecord(id,
+          graft.ext.Gzip.compress(graft.sources.Warc.build(recs)),
+          "application/warc")
+      }).toDF()
+    val docs = graft.sources.Warc.httpResponseDocs(spark, media, partitions = 8)
+      .filter(col("status") === 200)
+      .select(col("media_id").as("doc_id"),
+        when(col("content_language") === "", null).otherwise(col("content_language"))
+          .as("lang"),
+        Text.htmlToText(col("text")).as("text"))
+    curateCorpusPipeline(docs)
+  }
+
   /** The capstone on the SCALE path: identical pipeline and — by
     * construction — identical final corpus to q100, with stage 3
     * swapped for [[graft.ext.TrainPrep.decontaminateTwoStage]]: a
@@ -7592,6 +7656,7 @@ object SparkEntry {
     "q242_image_metadata" -> (q242ImageMetadata _),
     "q243_ncd_verify" -> (q243NcdVerify _),
     "q244_warc_curate" -> (q244WarcCurate _),
+    "q245_http_warc_curate" -> (q245HttpWarcCurate _),
     "q168b_seasonal_stream" -> (q168bSeasonalStream _),
     "q181_volume_trend" -> (q181VolumeTrend _),
     "q161b_golden_stream" -> (q161bGoldenStream _),
@@ -10067,6 +10132,10 @@ object SparkEntry {
     // q244: lossless wire recovery + the identical pipeline — q100's
     // oracle verbatim pins the whole crawl-to-corpus path
     "q244_warc_curate" -> curationOracle,
+    // q245: the same pipeline fed from raw HTTP response captures
+    // (status/headers/chunked/gzip + HTML extraction) — q100's oracle
+    // verbatim pins the full wire-to-training-set journey
+    "q245_http_warc_curate" -> curationOracle,
 
     "q97_budget_fill" ->
       """WITH t AS (

@@ -92,6 +92,147 @@ object Warc {
     out.result()
   }
 
+  /** Parsed HTTP/1.x response message — what a WARC `response`
+    * record's content block actually holds (RFC 9112 subset): status
+    * code, Content-Type, and the decoded body. Real crawl processing
+    * starts here; WET `conversion` records are the already-extracted
+    * convenience form.
+    */
+  final case class HttpMessage(status: Int, content_type: String, body: Array[Byte])
+
+  /** Parse an HTTP response message (status line + headers + body).
+    * Body framing: `Transfer-Encoding: chunked` (hex sizes, chunk
+    * extensions tolerated, trailer section skipped) else
+    * `Content-Length` else the rest of the block (the
+    * connection-close framing WARC captures allow). A
+    * `Content-Encoding: gzip` body decodes through
+    * [[graft.ext.Gzip]]. Malformed/truncated/over-`maxOut` → None,
+    * never a throw (the codec discipline).
+    */
+  def parseHttp(block: Array[Byte], maxOut: Int = 1 << 26): Option[HttpMessage] =
+    if (block == null || block.length < 12) None
+    else
+      try Some(parseHttpChecked(block, maxOut))
+      catch {
+        case _: Malformed | _: ArrayIndexOutOfBoundsException |
+             _: NumberFormatException => None
+      }
+
+  private def parseHttpChecked(data: Array[Byte], maxOut: Int): HttpMessage = {
+    var pos = 0
+    def readLine(): String = {
+      val start = pos
+      while (pos + 1 < data.length &&
+        !(data(pos) == '\r' && data(pos + 1) == '\n')) pos += 1
+      if (pos + 1 >= data.length) fail()
+      val s = new String(data, start, pos - start,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      pos += 2
+      s
+    }
+    val statusLine = readLine()
+    if (!statusLine.startsWith("HTTP/1.")) fail()
+    val parts = statusLine.split(" ", 3)
+    if (parts.length < 2) fail()
+    val status = parts(1).toInt
+    var contentType = ""; var contentLength = -1L
+    var chunked = false; var gzipped = false
+    var line = readLine()
+    while (line.nonEmpty) {
+      val i = line.indexOf(':')
+      if (i <= 0) fail()
+      val name = line.substring(0, i).trim.toLowerCase
+      val value = line.substring(i + 1).trim
+      name match {
+        case "content-type" => contentType = value
+        case "content-length" => contentLength = value.toLong
+        case "transfer-encoding" =>
+          chunked = value.toLowerCase.contains("chunked")
+        case "content-encoding" =>
+          gzipped = value.toLowerCase == "gzip" || value.toLowerCase == "x-gzip"
+        case _ => () // headers we don't model are skipped
+      }
+      line = readLine()
+    }
+    val raw: Array[Byte] =
+      if (chunked) {
+        val out = new java.io.ByteArrayOutputStream()
+        var done = false
+        while (!done) {
+          // hex size, chunk extensions after ';' tolerated
+          val sz = java.lang.Long.parseLong(
+            readLine().split(";")(0).trim, 16)
+          if (sz < 0 || out.size() + sz > maxOut) fail()
+          if (sz == 0L) {
+            // trailer section: lines until an empty line, or end of
+            // block (WARC captures may omit the final CRLF pair)
+            var open = pos + 1 < data.length
+            while (open) {
+              val t = readLine()
+              if (t.isEmpty) open = false
+              else open = pos + 1 < data.length
+            }
+            done = true
+          } else {
+            if (pos + sz > data.length) fail()
+            out.write(data, pos, sz.toInt); pos += sz.toInt
+            if (pos + 1 >= data.length ||
+              data(pos) != '\r' || data(pos + 1) != '\n') fail()
+            pos += 2
+          }
+        }
+        out.toByteArray
+      } else if (contentLength >= 0) {
+        if (contentLength > maxOut || pos + contentLength > data.length) fail()
+        java.util.Arrays.copyOfRange(data, pos, pos + contentLength.toInt)
+      } else java.util.Arrays.copyOfRange(data, pos, data.length)
+    val body =
+      if (gzipped) graft.ext.Gzip.decompress(raw, maxOut).getOrElse(fail())
+      else raw
+    HttpMessage(status, contentType, body)
+  }
+
+  /** WARC `response` records → HTTP-parsed document rows: the real
+    * crawl-processing entry point ([[warcRecords]] surfaces WET
+    * `conversion` text; this surfaces the raw HTTP capture). One
+    * decompress + WARC walk + HTTP parse per file; emits
+    * (file id, record index, uri, date, language, status,
+    * content type, body text). A corrupt FILE yields one
+    * `rec_idx = -1` null row; a response record whose HTTP block is
+    * malformed yields its row with null status/type/text — both DLQ
+    * splits the O-07 way. Non-response records are skipped here
+    * (warcinfo/request/metadata carry no document payload).
+    */
+  def httpResponseDocs(spark: SparkSession, media: DataFrame, partitions: Int)
+      : DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"))
+      .repartition(partitions, col("media_id"))
+      .as[graft.ext.Multimodal.MediaRecord]
+      .flatMap { r =>
+        parse(r.payload) match {
+          case None => Seq((r.media_id, -1, null: String, null: String,
+            null: String, None: Option[Int], null: String, null: String))
+          case Some(recs) => recs.zipWithIndex.collect {
+            case (rec, i) if rec.warc_type == "response" =>
+              parseHttp(rec.content) match {
+                case Some(h) =>
+                  (r.media_id, i, rec.target_uri, rec.date,
+                    rec.content_language, Some(h.status): Option[Int],
+                    h.content_type,
+                    new String(h.body, java.nio.charset.StandardCharsets.UTF_8))
+                case None =>
+                  (r.media_id, i, rec.target_uri, rec.date,
+                    rec.content_language, None: Option[Int],
+                    null: String, null: String)
+              }
+          }
+        }
+      }
+      .toDF("media_id", "rec_idx", "target_uri", "warc_date",
+        "content_language", "status", "content_type", "text")
+  }
+
   /** Assemble WARC bytes from records (fixture writer — mandatory
     * headers, deterministic order). `recordId` derives from the
     * index so output is reproducible.

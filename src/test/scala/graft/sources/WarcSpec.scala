@@ -111,4 +111,75 @@ class WarcSpec extends AnyFunSuite {
     val bad = gz.clone(); bad(bad.length - 2) = (bad(bad.length - 2) ^ 1).toByte
     assert(Warc.parse(bad).isEmpty)
   }
+
+  private def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  test("parseHttp: Content-Length framing, status and content-type") {
+    val body = "<html><body>hello</body></html>"
+    val msg = ascii(
+      s"HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body")
+    val h = Warc.parseHttp(msg).getOrElse(fail("parse failed"))
+    assert(h.status == 200)
+    assert(h.content_type == "text/html; charset=utf-8")
+    assert(new String(h.body, "UTF-8") == body)
+    // extra bytes after Content-Length are ignored (pipelined capture)
+    val padded = msg ++ ascii("JUNK")
+    assert(new String(Warc.parseHttp(padded).get.body, "UTF-8") == body)
+  }
+
+  test("parseHttp: chunked framing with extensions and trailers") {
+    val a = "hello "; val b = "chunked world"
+    def hex(n: Int) = Integer.toHexString(n)
+    val msg = ascii(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        s"${hex(a.length)};ext=1\r\n$a\r\n${hex(b.length)}\r\n$b\r\n" +
+        "0\r\nX-Trailer: y\r\n\r\n")
+    val h = Warc.parseHttp(msg).getOrElse(fail("chunked parse failed"))
+    assert(new String(h.body, "UTF-8") == a + b)
+    // terminal 0-chunk with no trailer also accepted
+    val bare = ascii(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        s"${hex(a.length)}\r\n$a\r\n0\r\n\r\n")
+    assert(new String(Warc.parseHttp(bare).get.body, "UTF-8") == a)
+  }
+
+  test("parseHttp: gzip Content-Encoding decodes; connection-close framing") {
+    val body = "compressed payload text"
+    val gz = graft.ext.Gzip.compress(body.getBytes("UTF-8"))
+    val msg = ascii(
+      s"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\nContent-Length: ${gz.length}\r\n\r\n") ++ gz
+    assert(new String(Warc.parseHttp(msg).get.body, "UTF-8") == body)
+    // no Content-Length, no chunking: body = rest of block
+    val close = ascii("HTTP/1.0 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnot here")
+    val h = Warc.parseHttp(close).get
+    assert(h.status == 404 && new String(h.body, "UTF-8") == "not here")
+  }
+
+  test("parseHttp: malformed messages are None, never a throw") {
+    assert(Warc.parseHttp(null).isEmpty)
+    assert(Warc.parseHttp(ascii("not http at all......")).isEmpty)
+    assert(Warc.parseHttp(ascii("HTTP/1.1 OK\r\n\r\n")).isEmpty) // no code
+    assert(Warc.parseHttp(ascii("HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort")).isEmpty)
+    assert(Warc.parseHttp(ascii(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nhi\r\n0\r\n\r\n")).isEmpty)
+    // truncated mid-chunk
+    assert(Warc.parseHttp(ascii(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nhi")).isEmpty)
+    // corrupt gzip body
+    val gz = graft.ext.Gzip.compress("x".getBytes("UTF-8"))
+    gz(gz.length - 1) = (gz(gz.length - 1) ^ 1).toByte
+    assert(Warc.parseHttp(ascii(
+      s"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\nContent-Length: ${gz.length}\r\n\r\n") ++ gz).isEmpty)
+    // byte-sweep truncation of a healthy chunked message: None or a
+    // successful shorter parse, never a crash
+    val good = ascii(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "5\r\nhello\r\n0\r\n\r\n")
+    var n = 0
+    while (n < good.length) {
+      Warc.parseHttp(java.util.Arrays.copyOf(good, n)) // must not throw
+      n += 1
+    }
+  }
 }
