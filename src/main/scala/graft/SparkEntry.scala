@@ -6094,6 +6094,78 @@ object SparkEntry {
     audioNearDupCensus(Multimodal.audioEnergyHashes(spark,
       synthMixedAudioDupMedia(spark, dir), partitions = 8).toDF())
 
+  /** q246 corpus: margin-designed quads for the LOSSY audio tier.
+    * Each clip is a 61-frame amplitude staircase (levels 400/800/
+    * 1200/1600, adjacent frames never equal — the per-frame energies
+    * differ by ≥ 5% for every (level, frame-size) combination, far
+    * above the codec's measured reconstruction error) and variants
+    * boost one late frame by +800, nudging specific gradient bits.
+    * Quad members ride three wires: WAV (variant 0), FLAC (1), and
+    * MPEG-1 Layer I (2, 3 — the LOSSY leg). Unlike q235's lossless
+    * legs, MPEG decode only approximates the samples — the fixture's
+    * margins make [[graft.ext.Multimodal.Wav.energyHash60]] INVARIANT
+    * through the loss (Mpeg1Spec pins it per clip), so the census
+    * hash-checks against the closed form computed from the SOURCE
+    * samples. The q231-JPEG discipline applied to audio.
+    */
+  private def synthMpegAudioDupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 4
+        val variant = (id % 4).toInt
+        val n = (200 + base % 50).toInt
+        val samples = Array.tabulate(n) { j =>
+          val f = (j.toLong * 61 / n).toInt
+          val boost = if (variant > 0 && f == 56 + variant) 800 else 0
+          (400 * (1 + ((base * 7 + 3 * f) % 4)).toInt + boost).toShort
+        }
+        val (payload, mime) = variant match {
+          case 0 => (Multimodal.Wav.encodePcm16(samples, 8000), "audio/wav")
+          case 1 => (graft.ext.Flac.encode(samples, 8000, blockSize = 64),
+            "audio/flac")
+          case _ => (graft.ext.Mpeg1.encode(samples), "audio/mpeg")
+        }
+        Multimodal.MediaRecord(id, payload, mime)
+      }).toDF()
+  }
+
+  /** MPEG near-dup dedup — the LOSSY audio leg made real: half of
+    * every quad rides the from-scratch MPEG-1 Layer I wire
+    * ([[graft.ext.Mpeg1]]: CRC-16-checked headers → Layer I bit
+    * allocation → scalefactor requantization → 32-band polyphase
+    * synthesis → gapless trim), dispatched by the 0xFFE sync into the
+    * SAME energy-gradient fingerprint space as WAV/FLAC. The oracle
+    * is the census closed form on the SOURCE samples — a decoder
+    * whose reconstruction drifts past the fixture's designed margins
+    * (or mis-frames, mis-trims, mis-requantizes) scatters
+    * fingerprints and fails the hash.
+    */
+  def q246MpegNearDup(spark: SparkSession, dir: String): DataFrame =
+    audioNearDupCensus(Multimodal.audioEnergyHashes(spark,
+      synthMpegAudioDupMedia(spark, dir), partitions = 8).toDF())
+
+  /** STREAMING ingest over the LOSSY wire: q246's WAV/FLAC/MPEG corpus
+    * arrives as 4 micro-batches; each batch runs the magic-byte audio
+    * dispatch (MPEG-1 Layer I decode included) ONCE and appends its
+    * energy-hash rows under an idempotent `batch_id=` partition.
+    * Decode is deterministic, so the census over the maintained index
+    * shares q246's source-sample oracle — the streamed-multimodal
+    * matrix now closes over the lossy tier too.
+    */
+  def q247StreamMpegIndex(spark: SparkSession, dir: String): DataFrame = {
+    val media = synthMpegAudioDupMedia(spark, dir)
+    val tmp = tempDir("graft-q247")
+    val in = writeSliceFiles(
+      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = true)))
+    audioNearDupCensus(
+      Jobs.runAudioHashIndexStream(spark, in, schema, s"$tmp/work"))
+  }
+
   /** STREAMING mixed-audio fingerprint-index ingest
     * ([[graft.stream.Jobs.runAudioHashIndexStream]]): q235's mixed
     * WAV/FLAC corpus arrives as 4 micro-batches; each batch runs the
@@ -7647,6 +7719,8 @@ object SparkEntry {
     "q233_mixed_image_neardup" -> (q233MixedImageNearDup _),
     "q234_thumbnail_neardup" -> (q234ThumbnailNearDup _),
     "q235_flac_neardup" -> (q235FlacNearDup _),
+    "q246_mpeg_neardup" -> (q246MpegNearDup _),
+    "q247_stream_mpeg_index" -> (q247StreamMpegIndex _),
     "q236_stream_flac_index" -> (q236StreamFlacIndex _),
     "q237_gzip_corpus" -> (q237GzipCorpus _),
     "q238_shot_detect" -> (q238ShotDetect _),
@@ -7698,7 +7772,7 @@ object SparkEntry {
     "q210b_curriculum_stream", "q215_stream_kmv_state",
     "q221_stream_cdc_store", "q227_stream_audio_index",
     "q228_stream_video_index", "q231_stream_jpeg_index",
-    "q236_stream_flac_index", "q241_stream_warc")
+    "q236_stream_flac_index", "q241_stream_warc", "q247_stream_mpeg_index")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -11787,6 +11861,13 @@ object SparkEntry {
     // q235: FLAC is lossless — the mixed WAV/FLAC corpus decodes to
     // q219's exact samples, so its closed-form census is the oracle
     "q235_flac_neardup" -> audioNearDupSql,
+    // q246: the census closed form on the SOURCE samples of the
+    // margin-designed staircase corpus — the MPEG-decoded fingerprints
+    // must land exactly on it (lossy wire, invariant fingerprint)
+    "q246_mpeg_neardup" -> mpegNearDupSql,
+    // q247: streamed ingest of the same corpus — deterministic decode
+    // means the maintained index reproduces q246 exactly
+    "q247_stream_mpeg_index" -> mpegNearDupSql,
     // q236: streamed index ≡ batch fingerprints (deterministic
     // decode + idempotent partitions) — q219/q235's oracle again
     "q236_stream_flac_index" -> audioNearDupSql,
@@ -14145,6 +14226,58 @@ object SparkEntry {
         |  SELECT doc_id, n, j,
         |         ((base * 7919 + j * 104729) % 4096) - 2048
         |           + variant * (CASE WHEN j % 5 = 0 THEN 1 ELSE 0 END) AS v
+        |  FROM i),
+        |e AS (
+        |  SELECT doc_id, n, (j * 61) // n AS f,
+        |         CAST(sum(v * v) AS BIGINT) AS en
+        |  FROM s GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT doc_id, n, f, en,
+        |         lead(en) OVER (PARTITION BY doc_id ORDER BY f) AS nen
+        |  FROM e),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n_samples,
+        |         CAST(sum(CASE WHEN f < 60 AND en < nen
+        |                  THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM w GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, c.doc_id AS idb
+        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 3),
+        |sym AS (
+        |  SELECT ida AS media_id, idb AS nbr FROM pairs
+        |  UNION ALL SELECT idb, ida FROM pairs),
+        |nb AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |         min(nbr) AS min_nbr
+        |  FROM sym GROUP BY media_id)
+        |SELECT f.doc_id AS media_id, f.n_samples, f.fp,
+        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
+        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
+        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
+        |ORDER BY media_id""".stripMargin
+
+  /** q246 oracle: the audioNearDupSql census tail on the staircase
+    * recipe — frame-constant amplitudes 400·(1 + (7·base + 3f) mod 4)
+    * with the per-variant +800 boost at frame 56+variant. Computed
+    * entirely from the SOURCE samples; the Spark side must recover
+    * the same fingerprints from the MPEG/FLAC/WAV wires.
+    */
+  private val mpegNearDupSql: String =
+    """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+        |         CAST(200 + (doc_id // 4) % 50 AS BIGINT) AS n
+        |  FROM documents),
+        |i AS (
+        |  SELECT doc_id, n, base, variant,
+        |         unnest(generate_series(0, n - 1)) AS j
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, n, j,
+        |         400 * (1 + (base * 7 + 3 * ((j * 61) // n)) % 4)
+        |           + (CASE WHEN variant > 0 AND (j * 61) // n = 56 + variant
+        |              THEN 800 ELSE 0 END) AS v
         |  FROM i),
         |e AS (
         |  SELECT doc_id, n, (j * 61) // n AS f,

@@ -37,12 +37,13 @@ object Multimodal {
       n_bytes: Int,
       features: Array[Float])
 
-  /** STUB: deterministic fake decoder standing in for the remaining
-    * LOSSY audio/video codecs (???: replace with an MP3/H.264
-    * binding — e.g. ffmpeg via FFI — when available; images and
-    * lossless audio no longer need it — [[Bmp]], [[Jpeg]], [[Png]]
-    * and [[Flac]] are real). Features are a fixed-size byte
-    * histogram so tests are reproducible.
+  /** STUB: deterministic fake decoder standing in ONLY for lossy
+    * VIDEO (???: replace with an H.264 binding — e.g. ffmpeg via
+    * FFI — when available). Every other media tier is real: images
+    * ([[Bmp]], [[Jpeg]], [[Png]]), lossless audio ([[Wav]],
+    * [[Flac]]), and lossy audio ([[Mpeg1]], MPEG-1 Layer I).
+    * Features are a fixed-size byte histogram so tests are
+    * reproducible.
     */
   object FakeDecoder {
     val featureDim = 8
@@ -483,7 +484,8 @@ object Multimodal {
   }
 
   /** Magic-byte audio dispatch — the audio mirror of [[decodeImage]]:
-    * RIFF/WAVE → [[Wav.decode]], fLaC → [[Flac.decode]]. Both return
+    * RIFF/WAVE → [[Wav.decode]], fLaC → [[Flac.decode]], MPEG sync
+    * (0xFFE) → [[Mpeg1.decode]] (the lossy Layer I tier). All return
     * the same [[WavPcm]] shape, so every downstream fingerprint and
     * feature op is format-blind.
     */
@@ -493,6 +495,8 @@ object Multimodal {
       Wav.decode(payload)
     else if (payload(0) == 'f' && payload(1) == 'L' && payload(2) == 'a' && payload(3) == 'C')
       Flac.decode(payload)
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xe0) == 0xe0)
+      Mpeg1.decode(payload)
     else None
 
   /** [[wavEnergyHashes]] generalized over [[decodeAudio]]: one decode

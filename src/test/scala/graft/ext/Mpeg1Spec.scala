@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MPEG-1 Layer I codec: roundtrip fidelity, gapless trim, bitstream
+  * structure, corrupt safety, and the fingerprint-invariance margin
+  * the q246 census depends on.
+  */
+class Mpeg1Spec extends AnyFunSuite {
+
+  private def snrDb(x: Array[Short], y: Array[Short]): Double = {
+    require(x.length == y.length)
+    var errSq = 0.0; var sigSq = 0.0
+    var j = 0
+    while (j < x.length) {
+      val e = (y(j) - x(j)).toDouble
+      errSq += e * e; sigSq += x(j).toDouble * x(j)
+      j += 1
+    }
+    10 * math.log10(sigSq / math.max(errSq, 1e-12))
+  }
+
+  test("sine roundtrip: exact length, high SNR") {
+    val n = 2000
+    val x = Array.tabulate(n)(j =>
+      (2000 * StrictMath.sin(2 * StrictMath.PI * j / 50.0)).toInt.toShort)
+    val dec = Mpeg1.decode(Mpeg1.encode(x)).getOrElse(fail("decode failed"))
+    assert(dec.channels == 1 && dec.bitsPerSample == 16)
+    assert(dec.samples.length == n) // gapless tag trims to the original
+    val snr = snrDb(x, dec.samples)
+    assert(snr > 45.0, s"SNR $snr dB")
+  }
+
+  test("broadband roundtrip: pseudorandom content survives") {
+    val n = 1111 // not a multiple of 384
+    val x = Array.tabulate(n)(j =>
+      ((j.toLong * 104729 + 7919) % 4096 - 2048).toShort)
+    val dec = Mpeg1.decode(Mpeg1.encode(x)).getOrElse(fail("decode failed"))
+    assert(dec.samples.length == n)
+    val snr = snrDb(x, dec.samples)
+    assert(snr > 30.0, s"SNR $snr dB") // broadband is the codec's worst case
+  }
+
+  test("frame structure: sync, exact frame size, multi-frame") {
+    val x = Array.fill[Short](900)(1000)
+    val enc = Mpeg1.encode(x)
+    val frameBytes = 12 * 448000 / 32000 * 4
+    assert(enc.length % frameBytes == 0)
+    assert(enc.length / frameBytes >= (900 + 384) / 384)
+    var off = 0
+    while (off < enc.length) { // every frame leads with a valid sync+header
+      assert((enc(off) & 0xff) == 0xff && (enc(off + 1) & 0xf8) == 0xf8, s"at $off")
+      off += frameBytes
+    }
+  }
+
+  test("fingerprint invariance on the q246 staircase recipe") {
+    // the census contract: energyHash60(decoded) == energyHash60(source)
+    // for the margin-designed fixture, across bases and variants
+    for (base <- 0L until 40L; variant <- 0 until 4) {
+      val n = (200 + base % 50).toInt
+      val x = Array.tabulate(n) { j =>
+        val f = (j.toLong * 61 / n).toInt
+        val boost = if (variant > 0 && f == 56 + variant) 800 else 0
+        (400 * (1 + ((base * 7 + 3 * f) % 4)).toInt + boost).toShort
+      }
+      val dec = Mpeg1.decode(Mpeg1.encode(x))
+        .getOrElse(fail(s"decode failed base=$base v=$variant"))
+      assert(dec.samples.length == n)
+      assert(Multimodal.Wav.energyHash60(dec.samples) ==
+        Multimodal.Wav.energyHash60(x), s"fingerprint flip base=$base v=$variant")
+    }
+  }
+
+  test("corrupt payloads decode to None, never crash") {
+    val x = Array.tabulate(500)(j => ((j * 37) % 2000 - 1000).toShort)
+    val good = Mpeg1.encode(x)
+    assert(Mpeg1.decode(good).isDefined)
+    assert(Mpeg1.decode(null).isEmpty)
+    assert(Mpeg1.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Mpeg1.decode("RIFFxxxx".getBytes("US-ASCII")).isEmpty)
+    var n = 4
+    while (n < good.length) {
+      assert(Mpeg1.decode(java.util.Arrays.copyOf(good, n)).isEmpty,
+        s"truncated at $n")
+      n += 97
+    }
+    // bit flips: None (CRC/section guards) or a successful decode —
+    // never a throw; flips that survive either keep the tag-trimmed
+    // length or (tag CRC rejected the flip) fall back to the raw
+    // frame-quantized length — NEVER a silently wrong trim
+    val rawLen = good.length / (12 * 448000 / 32000 * 4) * 384
+    var i = 0
+    while (i < good.length) {
+      val bad = good.clone()
+      bad(i) = (bad(i) ^ 0x20).toByte
+      Mpeg1.decode(bad).foreach(d =>
+        assert(d.samples.length == x.length || d.samples.length == rawLen,
+          s"flip at $i gave length ${d.samples.length}"))
+      i += 13
+    }
+  }
+
+  test("decode-bomb cap: frame flood cannot over-allocate") {
+    val one = Mpeg1.encode(Array.fill[Short](100)(500))
+    val frameBytes = 12 * 448000 / 32000 * 4
+    // strip to the first frame (no tag trim beyond it) and flood copies
+    val frame = java.util.Arrays.copyOf(one, frameBytes)
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until 100).foreach(_ => out.write(frame, 0, frame.length))
+    // 100 frames = 38400 samples, fine under the default cap; with a
+    // tiny cap the decoder must refuse rather than allocate
+    assert(Mpeg1.decode(out.toByteArray, maxOutSamples = 1000).isEmpty)
+  }
+
+  test("Layer II/III and stereo are rejections, not crashes") {
+    val good = Mpeg1.encode(Array.fill[Short](100)(500))
+    // layer bits live in byte 1 (bits 1-2): '11'=I, '10'=II, '01'=III
+    val l2 = good.clone(); l2(1) = ((l2(1) & 0xf9) | 0x04).toByte
+    assert(Mpeg1.decode(l2).isEmpty)
+    val l3 = good.clone(); l3(1) = ((l3(1) & 0xf9) | 0x02).toByte
+    assert(Mpeg1.decode(l3).isEmpty)
+    // mode bits: byte 3 bits 0-1; '00' = stereo
+    val st = good.clone(); st(3) = (st(3) & 0x3f).toByte
+    assert(Mpeg1.decode(st).isEmpty)
+  }
+}
