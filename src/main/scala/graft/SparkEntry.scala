@@ -1599,6 +1599,61 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Shared planted-hot-key fixture for the q248 skew-evidence pair:
+    * lineitem fanned ×8 (explode), join key `k` = 0 for 80% of rows
+    * (the hot key) else 1..97 — an extreme single-VALUE skew. The
+    * downstream aggregate is on the join key, the real-world shape
+    * where AQE declines to split the skewed SMJ partition (splitting
+    * would break the co-partitioning the agg reuses), so the stall is
+    * genuinely AQE-resistant, not staged by disabling AQE.
+    */
+  private def skewFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"))
+      .withColumn("rep", explode(sequence(lit(1), lit(8))))
+      .select(
+        when(pmod(col("l_orderkey"), lit(10)) < 8, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(97)) + 1).as("k"),
+        (col("l_orderkey") * 100 + col("l_linenumber") * 10 + col("rep")).as("rid"),
+        col("l_quantity").as("v"))
+    val dim = spark.range(0, 98).select(col("id").as("k"),
+      (col("id") * 7 % 13 + 1).as("w"))
+    (fact, dim)
+  }
+
+  /** Skew-join evidence, SALTED half: the planted hot key spreads
+    * across 32 salt buckets ([[graft.operators.SkewJoin.salted]]), so
+    * no task owns 80% of the join. BENCH_r records this beside
+    * [[q248bSkewUnsalted]] — the measured (not asserted) win of the
+    * salting machinery under real skew; both halves share one oracle,
+    * so the rewrite is also pinned semantics-preserving.
+    */
+  def q248SkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = skewFixture(spark, dir)
+    graft.operators.SkewJoin.salted(
+      fact, dim.hint("merge"), Seq("k"), col("rid"), buckets = 32)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v") * col("w")).cast(LongType).as("wv"))
+      .orderBy(col("k"))
+  }
+
+  /** Skew-join evidence, UNSALTED twin: the same join forced
+    * sort-merge — one task sorts and joins the hot key's 80% share
+    * (AQE leaves it: splitting the SMJ partition would break the
+    * co-partitioning the downstream agg on `k` reuses). Identical
+    * results; the bench line carries the stall.
+    */
+  def q248bSkewUnsalted(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = skewFixture(spark, dir)
+    fact.join(dim.hint("merge"), Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v") * col("w")).cast(LongType).as("wv"))
+      .orderBy(col("k"))
+  }
+
   /** Asymmetric 5-gram containment pairs (near-superset detection) over
     * the FULL document corpus: the inverted-index self-join form, both
     * directions, threshold in exact integer arithmetic. 5-gram shingles
@@ -7527,6 +7582,8 @@ object SparkEntry {
     "q73_repetition_filters" -> (q73RepetitionFilters _),
     "q74_chunk_docs" -> (q74ChunkDocs _),
     "q75_salted_skew_join" -> (q75SaltedSkewJoin _),
+    "q248_skew_salted" -> (q248SkewSalted _),
+    "q248b_skew_unsalted" -> (q248bSkewUnsalted _),
     "q76_containment_pairs" -> (q76ContainmentPairs _),
     "q77_minmax_scale" -> (q77MinmaxScale _),
     "q78_incremental_neardup" -> (q78IncrementalNeardup _),
@@ -9903,6 +9960,11 @@ object SparkEntry {
         |       round(sum(e.value * d.w), 2) AS weighted_value
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q248 pair: one oracle for both halves — salting must be
+    // semantics-preserving; the bench lines carry the skew evidence
+    "q248_skew_salted" -> skewEvidenceSql,
+    "q248b_skew_unsalted" -> skewEvidenceSql,
 
     "q76_containment_pairs" ->
       """WITH t AS (
@@ -14212,6 +14274,25 @@ object SparkEntry {
         |       (m1.n = 1 OR p.doc_id = m1.m1) AS keep
         |FROM pat p JOIN m1 ON p.c = m1.c LEFT JOIN m2 ON p.c = m2.c
         |ORDER BY media_id""".stripMargin
+
+  /** q248/q248b oracle: the planted-skew fixture replayed in SQL —
+    * lineitem ×8, hot key 0 for 80% of orderkeys, 98-key dim. All
+    * terms are integer-valued doubles × ints, so the BIGINT-cast sum
+    * is exact and accumulation-order-free.
+    */
+  private val skewEvidenceSql: String =
+    """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+        |              ELSE l_orderkey % 97 + 1 END AS k,
+        |         l_quantity AS v
+        |  FROM lineitem, unnest(generate_series(1, 8)) AS r(rep)),
+        |d AS (
+        |  SELECT k, k * 7 % 13 + 1 AS w
+        |  FROM unnest(generate_series(0, 97)) AS t(k))
+        |SELECT f.k, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(f.v * d.w) AS BIGINT) AS wv
+        |FROM f JOIN d ON f.k = d.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val audioNearDupSql: String =
     """WITH d AS (

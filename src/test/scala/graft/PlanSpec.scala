@@ -695,6 +695,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q248: skew-evidence pair — salted half shuffles on (k, __salt), twin on k alone") {
+    val salted = plan("q248_skew_salted")
+    assert(salted.contains("__salt"), salted)
+    assert(salted.contains("SortMergeJoin"), salted)
+    val unsalted = plan("q248b_skew_unsalted")
+    assert(!unsalted.contains("__salt"), unsalted)
+    assert(unsalted.contains("SortMergeJoin"), unsalted)
+    // same shape otherwise: the bench delta between the two is the
+    // skew stall, not a different algorithm
+    assert(!salted.contains("CartesianProduct") && !unsalted.contains("CartesianProduct"))
+  }
+
   test("q218: CDC chunking is doc-keyed end to end — no cartesian, no corpus self-join") {
     val p = plan("q218_cdc_chunks")
     assert(!p.contains("CartesianProduct"), p)
