@@ -1187,7 +1187,16 @@ object SparkEntry {
     val pairs = Dedup.jaccardNearDupPairs(
       Tables.documents(spark, dir).filter(col("doc_id") < 600),
       "doc_id", "text", shingleSize = 1, threshold = 0.95)
-    graft.ext.Clusters.dupClusters(pairs, "id_a", "id_b")
+    // the STAR-contraction CC runs here (oracle-verified against the
+    // recursive-CTE closure); dupClusters itself defaults to
+    // propagation — see Clusters.dupClusters for the measured trade
+    val comp = graft.ext.Clusters.connectedComponentsStar(pairs, "id_a", "id_b")
+    val sizes = comp.groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .orderBy(col("doc_id"))
   }
 
@@ -3816,12 +3825,13 @@ object SparkEntry {
       StructField("doc_id", LongType, nullable = false),
       StructField("lang", StringType, nullable = true),
       StructField("text", StringType, nullable = true)))
-    // compactEvery=2: the mid-stream index compaction
-    // ([[graft.stream.Jobs.compactNearDupIndex]]) runs INSIDE the
-    // oracle-checked path — the hash pins that folding generations
-    // changes nothing
+    // compactEvery=3: the mid-stream index compaction
+    // ([[graft.stream.Jobs.compactNearDupIndex]]) runs ONCE inside the
+    // oracle-checked path (after batch 2 of 4) — the hash pins that
+    // folding generations changes nothing, at half the bench cost of
+    // compacting every other trigger
     Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work",
-        compactEvery = 2)
+        compactEvery = 3)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"))

@@ -163,9 +163,20 @@ object Clusters {
   /** Cluster membership with sizes and the canonical flag: one row per
     * vertex in `pairs`, `is_canonical` marking the document a dedup
     * pass would keep (min id of its cluster).
+    *
+    * Uses min-label PROPAGATION, not the star contraction, by
+    * MEASUREMENT: near-dup clusters are clique-shaped (diameter 1-2),
+    * where propagation converges in 2-3 rounds of ONE keyed shuffle
+    * each while alternating-star pays ~4 shuffles per round plus the
+    * fixed-point checks — a uniform ~2× regression across every
+    * consumer when star was the default (bench r11: q88b 2.1→4.0 s,
+    * q225 5.1→8.1, q201 4.8→7.9; reverted). Callers with
+    * unknown-diameter graphs (long chains) should call
+    * [[connectedComponentsStar]] directly — its O(log n) bound is the
+    * guarantee propagation lacks, and q51 keeps it oracle-verified.
     */
   def dupClusters(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val comp = connectedComponentsStar(pairs, srcCol, dstCol)
+    val comp = connectedComponents(pairs, srcCol, dstCol)
     val sizes = comp.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
