@@ -1609,7 +1609,7 @@ object SparkEntry {
   }
 
   /** Shared planted-hot-key fixture for the q248 skew-evidence pair:
-    * lineitem fanned ×8 (explode), join key `k` = 0 for 80% of rows
+    * lineitem fanned ×16 (explode), join key `k` = 0 for 80% of rows
     * (the hot key) else 1..97 — an extreme single-VALUE skew. The
     * downstream aggregate is on the join key, the real-world shape
     * where AQE declines to split the skewed SMJ partition (splitting
@@ -1620,11 +1620,11 @@ object SparkEntry {
     val fact = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_quantity"))
-      .withColumn("rep", explode(sequence(lit(1), lit(8))))
+      .withColumn("rep", explode(sequence(lit(1), lit(16))))
       .select(
         when(pmod(col("l_orderkey"), lit(10)) < 8, lit(0L))
           .otherwise(pmod(col("l_orderkey"), lit(97)) + 1).as("k"),
-        (col("l_orderkey") * 100 + col("l_linenumber") * 10 + col("rep")).as("rid"),
+        (col("l_orderkey") * 1000 + col("l_linenumber") * 100 + col("rep")).as("rid"),
         col("l_quantity").as("v"))
     val dim = spark.range(0, 98).select(col("id").as("k"),
       (col("id") * 7 % 13 + 1).as("w"))
@@ -14295,7 +14295,7 @@ object SparkEntry {
         |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
         |              ELSE l_orderkey % 97 + 1 END AS k,
         |         l_quantity AS v
-        |  FROM lineitem, unnest(generate_series(1, 8)) AS r(rep)),
+        |  FROM lineitem, unnest(generate_series(1, 16)) AS r(rep)),
         |d AS (
         |  SELECT k, k * 7 % 13 + 1 AS w
         |  FROM unnest(generate_series(0, 97)) AS t(k))
