@@ -6227,8 +6227,16 @@ object SparkEntry {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
       StructField("mime", StringType, nullable = true)))
+    // the stream itself runs to completion inside the call; the
+    // returned lazy read is superseded by the post-compaction read
+    Jobs.runAudioHashIndexStream(spark, in, schema, s"$tmp/work")
+    // maintenance compaction folds the per-trigger batch_id= partitions
+    // (graft.sinks.Writers.compactBatchPartitions) INSIDE the
+    // oracle-checked path — the census over the compacted index must
+    // still hash-match the source-sample closed form
+    graft.sinks.Writers.compactBatchPartitions(spark, s"$tmp/work/index")
     audioNearDupCensus(
-      Jobs.runAudioHashIndexStream(spark, in, schema, s"$tmp/work"))
+      spark.read.parquet(s"$tmp/work/index").drop("batch_id"))
   }
 
   /** STREAMING mixed-audio fingerprint-index ingest

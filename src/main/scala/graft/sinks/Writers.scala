@@ -79,6 +79,47 @@ object Writers {
   def idempotentBatchWrite(batch: DataFrame, batchId: Long, path: String): Unit =
     batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
+  /** Maintenance compaction for [[idempotentBatchWrite]] stores — the
+    * [[graft.stream.Jobs.compactNearDupIndex]] discipline applied to
+    * the whole `batch_id=` index family (media/WARC/BM25/CDC-chunk
+    * streams): at a production stream's 10⁵ triggers, per-trigger
+    * directory listing and parquet footer reads dominate. Folds every
+    * partition EXCEPT the newest into one, staged then atomically
+    * swapped, so a reader sees the old or the new table, never half.
+    *
+    * Replay contract preserved: under AvailableNow semantics only the
+    * NEWEST partition can be an uncommitted orphan (a crash between
+    * its write and the checkpoint commit), and a replayed batch
+    * overwrites its own `batch_id=` partition — so the newest
+    * partition rides across the swap untouched and a replay lands on
+    * it, never on folded rows. Must not run concurrently with the
+    * stream itself.
+    */
+  def compactBatchPartitions(spark: SparkSession, root: String): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return
+    val ids = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption)
+      .sorted
+    if (ids.length <= 2) return // nothing worth folding
+    val foldMax = ids(ids.length - 2)
+    val staging = root + "__staging"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    spark.read.parquet(root)
+      .filter(org.apache.spark.sql.functions.col("batch_id") <= foldMax)
+      .drop("batch_id")
+      .write.mode("overwrite").parquet(s"$staging/batch_id=$foldMax")
+    ids.filter(_ > foldMax).foreach { id =>
+      fs.rename(new org.apache.hadoop.fs.Path(s"$root/batch_id=$id"),
+        new org.apache.hadoop.fs.Path(s"$staging/batch_id=$id"))
+    }
+    fs.delete(rootPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), rootPath)
+    ()
+  }
+
   /** O-56: key-value upsert sink — last write per key wins (DynamoDB
     * `put_item` semantics, ref: streaming/consumer.py:72-83). Modeled
     * as a keyed parquet table merged via the gold-layer upsert; called

@@ -742,6 +742,67 @@ class StreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out/results").count() == 30L)
   }
 
+  test("batch_id= store compaction: folds all but the newest, content identical") {
+    val tmp = tempDir("graft-batchcompact")
+    // 4 one-clip slices → 4 batch_id= partitions in the media index
+    val clips = (0L until 4L).map { id =>
+      val samples = Array.tabulate(300)(j => ((id * 7919 + j * 104729) % 4096 - 2048).toShort)
+      (id, graft.ext.Multimodal.Wav.encodePcm16(samples, 8000), "audio/wav")
+    }
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    clips.zipWithIndex.foreach { case (row, i) =>
+      Seq(row).toDF("media_id", "payload", "mime")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice$i")
+      val part = new java.io.File(s"$tmp/slice$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType, nullable = true),
+      org.apache.spark.sql.types.StructField("mime",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    Jobs.runWavHashIndexStream(spark, in, schema, s"$tmp/work")
+    val idxRoot = s"$tmp/work/index"
+    def parts(): Seq[String] = new java.io.File(idxRoot).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id="))
+      .sortBy(_.stripPrefix("batch_id=").toLong).toSeq
+    assert(parts() == Seq("batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3"))
+    val before = spark.read.parquet(idxRoot).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    // fold everything except the newest (the only possible orphan)
+    graft.sinks.Writers.compactBatchPartitions(spark, idxRoot)
+    assert(parts() == Seq("batch_id=2", "batch_id=3"), parts().toString)
+    val after = spark.read.parquet(idxRoot).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // ≤ 2 partitions → no-op (nothing worth folding)
+    graft.sinks.Writers.compactBatchPartitions(spark, idxRoot)
+    assert(parts() == Seq("batch_id=2", "batch_id=3"))
+    // the stream continues across the compaction: a 5th slice lands as
+    // batch 4 and the full content is intact
+    val extra = {
+      val samples = Array.tabulate(300)(j => ((4 * 7919 + j * 104729) % 4096 - 2048).toShort)
+      (4L, graft.ext.Multimodal.Wav.encodePcm16(samples, 8000), "audio/wav")
+    }
+    Seq(extra).toDF("media_id", "payload", "mime")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/slice4")
+    val part4 = new java.io.File(s"$tmp/slice4").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst4 = new java.io.File(s"$in/part-4.parquet")
+    java.nio.file.Files.move(part4.toPath, dst4.toPath)
+    dst4.setLastModified(System.currentTimeMillis())
+    Jobs.runWavHashIndexStream(spark, in, schema, s"$tmp/work")
+    assert(parts() == Seq("batch_id=2", "batch_id=3", "batch_id=4"))
+    assert(spark.read.parquet(idxRoot).count() == 5L)
+  }
+
   /** One (doc_id, lang, text) micro-batch file per slice, mod-time
     * ordered like [[writeOrderedSlices]].
     */
