@@ -251,8 +251,9 @@ object Mpeg1 {
     * (§2.4.3.1). Shared shape with Flac's framing CRC — same
     * generator polynomial, different init.
     */
-  private def crc16(bits: Array[Byte], fromBit: Int, nbits: Int): Int = {
-    var c = 0xffff
+  private def crc16(bits: Array[Byte], fromBit: Int, nbits: Int,
+      init: Int = 0xffff): Int = {
+    var c = init
     var i = 0
     while (i < nbits) {
       val bit = (bits((fromBit + i) >> 3) >> (7 - ((fromBit + i) & 7))) & 1
@@ -351,20 +352,7 @@ object Mpeg1 {
       sb = 0
       while (sb < 32) { w.put(EncAllocCode.toLong, 4); sb += 1 }
       // CRC covers header bits 16..31 + the allocation block
-      val crc = {
-        val headPart = crc16(w.buf, 16, 16)
-        // continue over allocation bits (48..48+128)
-        var c = headPart
-        var bi = 48
-        while (bi < 48 + 128) {
-          val bit = (w.buf(bi >> 3) >> (7 - (bi & 7))) & 1
-          val fb = ((c >> 15) & 1) ^ bit
-          c = (c << 1) & 0xffff
-          if (fb == 1) c ^= 0x8005
-          bi += 1
-        }
-        c
-      }
+      val crc = crc16(w.buf, 48, 128, init = crc16(w.buf, 16, 16))
       // backfill CRC at bits 32..47
       w.buf(4) = ((crc >> 8) & 0xff).toByte
       w.buf(5) = (crc & 0xff).toByte
@@ -448,16 +436,8 @@ object Mpeg1 {
       if (protection == 0) {
         val stored = br.bits(16)
         // verify over header tail + allocation
-        var c = crc16(data, pos * 8 + 16, 16)
-        var bi = pos * 8 + 48
-        while (bi < pos * 8 + 48 + 128) {
-          val bit = (data(bi >> 3) >> (7 - (bi & 7))) & 1
-          val fb = ((c >> 15) & 1) ^ bit
-          c = (c << 1) & 0xffff
-          if (fb == 1) c ^= 0x8005
-          bi += 1
-        }
-        if (stored != c) fail()
+        if (stored != crc16(data, pos * 8 + 48, 128,
+          init = crc16(data, pos * 8 + 16, 16))) fail()
       }
       val alloc = new Array[Int](32)
       var sb = 0
@@ -497,6 +477,11 @@ object Mpeg1 {
         sy.step(s, frameOut, t * 32)
         t += 1
       }
+      // a frame's allocation/scalefactor/sample bits must fit INSIDE
+      // its declared slot length — otherwise the reader has silently
+      // consumed the next frame's bytes as sample data (structurally
+      // invalid per the spec) and would return Some(garbage)
+      if (br.bitPos > (pos + frameBytes) * 8) fail()
       if (firstFrame && br.bitPos + 96 <= (pos + frameBytes) * 8) {
         // gapless tag, if present in the ancillary bits (CRC-verified:
         // a corrupted tag falls back to raw output, never a wrong trim)

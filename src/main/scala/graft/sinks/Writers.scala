@@ -96,24 +96,73 @@ object Writers {
     * stream itself.
     */
   def compactBatchPartitions(spark: SparkSession, root: String): Unit = {
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return
-    val ids = fs.listStatus(rootPath).map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption)
-      .sorted
+    recoverStagedSwap(spark, root)
+    val ids = listPartitionIds(spark, root, "batch_id")
     if (ids.length <= 2) return // nothing worth folding
     val foldMax = ids(ids.length - 2)
+    foldPartitionedStore(spark, root, "batch_id",
+      foldMax, ids.filter(_ > foldMax), sortCol = None)
+  }
+
+  /** Completes an interrupted staged swap: the fold sequence is
+    * (write staging fully) → (move survivors into staging) → (delete
+    * root) → (rename staging → root), so a crash can only leave root
+    * missing while `<root>__staging` holds the COMPLETE table — rename
+    * it in. Every staged-swap writer and stream entry calls this
+    * first; no-op when root exists.
+    */
+  def recoverStagedSwap(spark: SparkSession, root: String): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(root + "__staging")
+    if (!fs.exists(rootPath) && fs.exists(staging)) {
+      fs.rename(staging, rootPath)
+      ()
+    }
+  }
+
+  /** Sorted numeric partition ids under `root` with prefix
+    * `<partCol>=` (empty when the root doesn't exist).
+    */
+  private[graft] def listPartitionIds(
+      spark: SparkSession, root: String, partCol: String): Array[Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) Array.empty
+    else fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith(partCol + "="))
+      .flatMap(n => scala.util.Try(n.stripPrefix(partCol + "=").toLong).toOption)
+      .sorted
+  }
+
+  /** The shared staged fold both compactions run: partitions with id ≤
+    * `foldTarget` rewrite into ONE `<partCol>=<foldTarget>` partition
+    * (optionally range-repartitioned + sorted on `sortCol` so
+    * row-group min/max pruning stays tight), `keepIds` ride across
+    * untouched, then delete-root + rename-staging swaps the table in.
+    * Crash-safe via [[recoverStagedSwap]]: staging is only ever
+    * deleted-into AFTER it holds the complete new table.
+    */
+  private[graft] def foldPartitionedStore(
+      spark: SparkSession, root: String, partCol: String,
+      foldTarget: Long, keepIds: Seq[Long], sortCol: Option[String]): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = root + "__staging"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    spark.read.parquet(root)
-      .filter(org.apache.spark.sql.functions.col("batch_id") <= foldMax)
-      .drop("batch_id")
-      .write.mode("overwrite").parquet(s"$staging/batch_id=$foldMax")
-    ids.filter(_ > foldMax).foreach { id =>
-      fs.rename(new org.apache.hadoop.fs.Path(s"$root/batch_id=$id"),
-        new org.apache.hadoop.fs.Path(s"$staging/batch_id=$id"))
+    val folded0 = spark.read.parquet(root)
+      .filter(org.apache.spark.sql.functions.col(partCol) <= foldTarget)
+      .drop(partCol)
+    val folded = sortCol match {
+      case Some(c) => folded0
+        .repartitionByRange(org.apache.spark.sql.functions.col(c))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col(c))
+      case None => folded0
+    }
+    folded.write.mode("overwrite").parquet(s"$staging/$partCol=$foldTarget")
+    keepIds.foreach { id =>
+      fs.rename(new org.apache.hadoop.fs.Path(s"$root/$partCol=$id"),
+        new org.apache.hadoop.fs.Path(s"$staging/$partCol=$id"))
     }
     fs.delete(rootPath, true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), rootPath)

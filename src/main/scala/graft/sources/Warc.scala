@@ -45,18 +45,28 @@ object Warc {
       catch { case _: Malformed | _: ArrayIndexOutOfBoundsException | _: NumberFormatException => None }
     }
 
-  private def parseChecked(data: Array[Byte]): Seq[WarcRecord] = {
-    val out = Seq.newBuilder[WarcRecord]
-    var pos = 0
+  /** CRLF-terminated line reader shared by the WARC header walk and
+    * the HTTP message parser (same bounds handling, same truncation
+    * fail — only the charset differs).
+    */
+  private final class LineCursor(
+      data: Array[Byte], var pos: Int, charset: java.nio.charset.Charset) {
     def readLine(): String = {
       val start = pos
       while (pos + 1 < data.length &&
         !(data(pos) == '\r' && data(pos + 1) == '\n')) pos += 1
       if (pos + 1 >= data.length) fail()
-      val s = new String(data, start, pos - start, java.nio.charset.StandardCharsets.UTF_8)
+      val s = new String(data, start, pos - start, charset)
       pos += 2
       s
     }
+  }
+
+  private def parseChecked(data: Array[Byte]): Seq[WarcRecord] = {
+    val out = Seq.newBuilder[WarcRecord]
+    val cur = new LineCursor(data, 0, java.nio.charset.StandardCharsets.UTF_8)
+    def pos: Int = cur.pos
+    def readLine(): String = cur.readLine()
     while (pos < data.length) {
       val version = readLine()
       if (version != "WARC/1.0" && version != "WARC/1.1") fail()
@@ -82,11 +92,11 @@ object Warc {
         pos + contentLength + 4 > data.length) fail()
       val content = java.util.Arrays.copyOfRange(
         data, pos, pos + contentLength.toInt)
-      pos += contentLength.toInt
+      cur.pos += contentLength.toInt
       // record terminator: two CRLFs
       if (!(data(pos) == '\r' && data(pos + 1) == '\n' &&
         data(pos + 2) == '\r' && data(pos + 3) == '\n')) fail()
-      pos += 4
+      cur.pos += 4
       out += WarcRecord(warcType, uri, date, content, language)
     }
     out.result()
@@ -114,22 +124,18 @@ object Warc {
     else
       try Some(parseHttpChecked(block, maxOut))
       catch {
-        case _: Malformed | _: ArrayIndexOutOfBoundsException |
+        // IndexOutOfBoundsException (not just the Array subclass):
+        // ByteArrayOutputStream.write throws the PLAIN variant on a
+        // negative length
+        case _: Malformed | _: IndexOutOfBoundsException |
              _: NumberFormatException => None
       }
 
   private def parseHttpChecked(data: Array[Byte], maxOut: Int): HttpMessage = {
-    var pos = 0
-    def readLine(): String = {
-      val start = pos
-      while (pos + 1 < data.length &&
-        !(data(pos) == '\r' && data(pos + 1) == '\n')) pos += 1
-      if (pos + 1 >= data.length) fail()
-      val s = new String(data, start, pos - start,
-        java.nio.charset.StandardCharsets.ISO_8859_1)
-      pos += 2
-      s
-    }
+    val cur = new LineCursor(data, 0,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    def pos: Int = cur.pos
+    def readLine(): String = cur.readLine()
     val statusLine = readLine()
     if (!statusLine.startsWith("HTTP/1.")) fail()
     val parts = statusLine.split(" ", 3)
@@ -159,10 +165,14 @@ object Warc {
         val out = new java.io.ByteArrayOutputStream()
         var done = false
         while (!done) {
-          // hex size, chunk extensions after ';' tolerated
+          // hex size, chunk extensions after ';' tolerated. Bound sz
+          // BEFORE any arithmetic: a 16-hex-digit size near
+          // Long.MaxValue would wrap out.size()+sz and pos+sz negative,
+          // slipping both guards and reaching write() with a negative
+          // length
           val sz = java.lang.Long.parseLong(
             readLine().split(";")(0).trim, 16)
-          if (sz < 0 || out.size() + sz > maxOut) fail()
+          if (sz < 0 || sz > maxOut || out.size() + sz > maxOut) fail()
           if (sz == 0L) {
             // trailer section: lines until an empty line, or end of
             // block (WARC captures may omit the final CRLF pair)
@@ -175,10 +185,10 @@ object Warc {
             done = true
           } else {
             if (pos + sz > data.length) fail()
-            out.write(data, pos, sz.toInt); pos += sz.toInt
+            out.write(data, pos, sz.toInt); cur.pos += sz.toInt
             if (pos + 1 >= data.length ||
               data(pos) != '\r' || data(pos + 1) != '\n') fail()
-            pos += 2
+            cur.pos += 2
           }
         }
         out.toByteArray

@@ -471,28 +471,12 @@ object Jobs {
 
   private def compactVersionedTable(
       spark: SparkSession, root: String, sortCol: String, published: Long): Unit = {
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return
-    val gens = fs.listStatus(rootPath).map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+    graft.sinks.Writers.recoverStagedSwap(spark, root)
+    val gens = graft.sinks.Writers.listPartitionIds(spark, root, "v")
     if (gens.count(_ <= published) <= 1) return // already one generation
-    val staging = new org.apache.hadoop.fs.Path(root + "__staging")
-    fs.delete(staging, true)
-    spark.read.parquet(root)
-      .filter(col("v") <= published).drop("v")
-      .repartitionByRange(col(sortCol))
-      .sortWithinPartitions(col(sortCol))
-      .write.mode("overwrite").parquet(s"${root}__staging/v=$published")
     // orphaned (unpublished) generations ride across the swap untouched
-    gens.filter(_ > published).foreach { g =>
-      fs.rename(new org.apache.hadoop.fs.Path(s"$root/v=$g"),
-        new org.apache.hadoop.fs.Path(s"${root}__staging/v=$g"))
-    }
-    fs.delete(rootPath, true)
-    fs.rename(staging, rootPath)
-    ()
+    graft.sinks.Writers.foldPartitionedStore(spark, root, "v",
+      published, gens.filter(_ > published).toSeq, sortCol = Some(sortCol))
   }
 
   /** Highest published `v=<id>` under `snapshotPath`, or -1 when none
@@ -1082,6 +1066,11 @@ object Jobs {
     val keptRoot = s"$workDir/kept"
     val docsRoot = s"$workDir/index/docs"
     val bandsRoot = s"$workDir/index/bands"
+    // complete any compaction swap a crash interrupted BEFORE the first
+    // trigger checks haveIndex — otherwise the stored index looks
+    // missing and cross-batch dups would be silently admitted
+    graft.sinks.Writers.recoverStagedSwap(spark, docsRoot)
+    graft.sinks.Writers.recoverStagedSwap(spark, bandsRoot)
     val bands = 16; val rowsPerBand = 2
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -1317,6 +1306,9 @@ object Jobs {
       schema: org.apache.spark.sql.types.StructType,
       workDir: String,
       fingerprint: DataFrame => DataFrame): DataFrame = {
+    // complete any interrupted compaction swap before new batches land
+    // beside a stranded staging copy
+    graft.sinks.Writers.recoverStagedSwap(spark, s"$workDir/index")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)

@@ -113,6 +113,38 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(Mpeg1.decode(out.toByteArray, maxOutSamples = 1000).isEmpty)
   }
 
+  test("frame data overflowing the declared slot length is rejected") {
+    // protection=1 (no CRC to defeat), 32 kbps @ 48 kHz → 32-byte
+    // frames, but one subband allocated nb=15 needs 346 bits > 256 —
+    // a decoder without the per-frame bound silently consumes the
+    // NEXT frame's bytes as sample data and returns Some(garbage)
+    def wbits(bits: Seq[(Long, Int)]): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var cnt = 0
+      bits.foreach { case (v, w) =>
+        var i = w - 1
+        while (i >= 0) {
+          buf = (buf << 1) | ((v >> i) & 1); cnt += 1
+          if (cnt == 8) { bb.write(buf.toInt & 0xff); buf = 0; cnt = 0 }
+          i -= 1
+        }
+      }
+      if (cnt > 0) bb.write(((buf << (8 - cnt)).toInt) & 0xff)
+      bb.toByteArray
+    }
+    val header = Seq((0xfffL, 12), (1L, 1), (3L, 2), (1L, 1), // protection=1
+      (1L, 4), (1L, 2), (0L, 1), (0L, 1), // 32 kbps, 48 kHz
+      (3L, 2), (0L, 2), (0L, 1), (1L, 1), (0L, 2)) // mono
+    val alloc = Seq((14L, 4)) ++ Seq.fill(31)((0L, 4)) // sb0: nb=15
+    val sf = Seq((0L, 6))
+    val samples = Seq.fill(12)((0x1234L, 15))
+    val frame = wbits(header ++ alloc ++ sf ++ samples)
+    // pad well past the declared 32-byte frame so the reader has bytes
+    // to (wrongly) consume
+    val payload = frame ++ new Array[Byte](64)
+    assert(Mpeg1.decode(payload).isEmpty)
+  }
+
   test("Layer II/III and stereo are rejections, not crashes") {
     val good = Mpeg1.encode(Array.fill[Short](100)(500))
     // layer bits live in byte 1 (bits 1-2): '11'=I, '10'=II, '01'=III

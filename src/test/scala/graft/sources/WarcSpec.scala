@@ -156,6 +156,18 @@ class WarcSpec extends AnyFunSuite {
     assert(h.status == 404 && new String(h.body, "UTF-8") == "not here")
   }
 
+  test("parseHttp: Long-overflow chunk sizes are rejected, not crashed") {
+    // a 16-hex-digit size near Long.MaxValue would wrap out.size()+sz
+    // and pos+sz negative, slipping both guards and reaching write()
+    // with a negative length (plain IndexOutOfBoundsException)
+    for (sz <- Seq("7fffffffffffffff", "7ffffffffffffff0", "4000001")) {
+      val msg = ascii(
+        "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+          s"1\r\nA\r\n$sz\r\nBBBB\r\n0\r\n\r\n")
+      assert(Warc.parseHttp(msg).isEmpty, sz)
+    }
+  }
+
   test("parseHttp: malformed messages are None, never a throw") {
     assert(Warc.parseHttp(null).isEmpty)
     assert(Warc.parseHttp(ascii("not http at all......")).isEmpty)

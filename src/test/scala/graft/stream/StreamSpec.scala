@@ -801,6 +801,25 @@ class StreamSpec extends SparkSpec {
     Jobs.runWavHashIndexStream(spark, in, schema, s"$tmp/work")
     assert(parts() == Seq("batch_id=2", "batch_id=3", "batch_id=4"))
     assert(spark.read.parquet(idxRoot).count() == 5L)
+
+    // CRASH RECOVERY: simulate dying between the swap's delete(root)
+    // and rename(staging, root) — root missing, the complete table
+    // stranded in __staging. Both the maintenance entry point and the
+    // stream entry must complete the swap instead of losing the store.
+    val all = spark.read.parquet(idxRoot).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    new java.io.File(idxRoot).renameTo(new java.io.File(idxRoot + "__staging"))
+    assert(!new java.io.File(idxRoot).isDirectory)
+    graft.sinks.Writers.recoverStagedSwap(spark, idxRoot)
+    assert(new java.io.File(idxRoot).isDirectory)
+    assert(!new java.io.File(idxRoot + "__staging").exists())
+    val recovered = spark.read.parquet(idxRoot).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(recovered == all)
+    // the stream entry recovers too (a restart after the crash)
+    new java.io.File(idxRoot).renameTo(new java.io.File(idxRoot + "__staging"))
+    Jobs.runWavHashIndexStream(spark, in, schema, s"$tmp/work") // caught up: no new batches
+    assert(spark.read.parquet(idxRoot).count() == 5L)
   }
 
   /** One (doc_id, lang, text) micro-batch file per slice, mod-time
