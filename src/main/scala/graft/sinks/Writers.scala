@@ -104,6 +104,28 @@ object Writers {
       foldMax, ids.filter(_ > foldMax), sortCol = None)
   }
 
+  /** Retention for FULL-SNAPSHOT version stores (the changelog/curate
+    * family writes a complete snapshot under `v=<batchId>` per
+    * trigger — every superseded version is pure garbage, a full table
+    * copy each). Deletes all but the newest `keep` versions;
+    * `keep >= 2` preserves the crash-replay window (under AvailableNow
+    * only the LAST batch can replay, and it reads the version before
+    * itself). Unlike the fold compactions this is plain deletion — no
+    * rewrite, no swap — because readers only ever open the latest
+    * version ([[graft.stream.Jobs]]'s `publishedVersion` pointer).
+    */
+  def pruneSnapshotVersions(
+      spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    require(keep >= 2, "keep >= 2 preserves the crash-replay window")
+    val ids = listPartitionIds(spark, root, "v")
+    if (ids.length <= keep) return
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ids.dropRight(keep).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$id"), true)
+    }
+  }
+
   /** Completes an interrupted staged swap: the fold sequence is
     * (write staging fully) → (move survivors into staging) → (delete
     * root) → (rename staging → root), so a crash can only leave root

@@ -378,6 +378,30 @@ class StreamSpec extends SparkSpec {
     val v3 = graft.stream.Jobs.runChangelogStream(spark, base, in,
       allChanges.schema, Seq("k"), "seq", "op", s"$tmp/snap", s"$tmp/ckpt")
     assert(v3 == 3L)
+
+    // RETENTION: every superseded version is a full snapshot copy —
+    // pruning keeps the newest `keep` (>= 2 preserves the one-batch
+    // replay window), and the published pointer + latest content are
+    // untouched; a resumed stream still works from the kept versions
+    def vdirs(): Seq[String] = new java.io.File(s"$tmp/snap").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("v="))
+      .sortBy(_.stripPrefix("v=").toLong).toSeq
+    assert(vdirs() == Seq("v=0", "v=1", "v=2", "v=3"))
+    graft.sinks.Writers.pruneSnapshotVersions(spark, s"$tmp/snap", keep = 2)
+    assert(vdirs() == Seq("v=2", "v=3"))
+    val afterPrune = spark.read.parquet(s"$tmp/snap/v=3")
+      .as[(Long, String, Double)].collect().toSet
+    assert(afterPrune == resumed)
+    // a caught-up rerun after pruning recovers v=3 and changes nothing
+    val v4 = graft.stream.Jobs.runChangelogStream(spark, base, in,
+      allChanges.schema, Seq("k"), "seq", "op", s"$tmp/snap", s"$tmp/ckpt")
+    assert(v4 == 3L)
+    // keep <= current count is a no-op; keep < 2 is refused loudly
+    graft.sinks.Writers.pruneSnapshotVersions(spark, s"$tmp/snap", keep = 5)
+    assert(vdirs() == Seq("v=2", "v=3"))
+    intercept[IllegalArgumentException] {
+      graft.sinks.Writers.pruneSnapshotVersions(spark, s"$tmp/snap", keep = 1)
+    }
   }
 
   test("plan recompute stream: full replay of published batches is a no-op, not a wedge") {
