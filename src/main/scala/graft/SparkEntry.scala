@@ -2104,6 +2104,9 @@ object SparkEntry {
     }, tmp)
     val v = Jobs.runChangelogStream(spark, cdcBase(spark, dir), in,
       changes.schema, Seq("c_custkey"), "seq", "op", s"$tmp/snap", s"$tmp/ckpt")
+    // retention runs IN the oracle-checked path: superseded full
+    // snapshots are deleted, the latest version must be untouched
+    graft.sinks.Writers.pruneSnapshotVersions(spark, s"$tmp/snap", keep = 2)
     spark.read.parquet(s"$tmp/snap/v=$v")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
