@@ -145,6 +145,42 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(Mpeg1.decode(payload).isEmpty)
   }
 
+  test("padded 44.1 kHz frames walk correctly (decoder-only path)") {
+    // the fixed encode profile (32 kHz / 448 kbps) never emits padding;
+    // hand-build two silent frames at 44.1 kHz with padding=1 —
+    // frameBytes = (12*32000/44100 + 1)*4 = 36 — so the walk must find
+    // frame 2 exactly 36 bytes in (mis-handling the padding bit lands
+    // mid-frame and fails the sync)
+    def wbits(bits: Seq[(Long, Int)]): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var cnt = 0
+      bits.foreach { case (v, w) =>
+        var i = w - 1
+        while (i >= 0) {
+          buf = (buf << 1) | ((v >> i) & 1); cnt += 1
+          if (cnt == 8) { bb.write(buf.toInt & 0xff); buf = 0; cnt = 0 }
+          i -= 1
+        }
+      }
+      if (cnt > 0) bb.write(((buf << (8 - cnt)).toInt) & 0xff)
+      bb.toByteArray
+    }
+    val header = Seq((0xfffL, 12), (1L, 1), (3L, 2), (1L, 1), // protection=1
+      (1L, 4), (0L, 2), (1L, 1), (0L, 1), // 32 kbps, 44.1 kHz, padding=1
+      (3L, 2), (0L, 2), (0L, 1), (1L, 1), (0L, 2)) // mono
+    val alloc = Seq.fill(32)((0L, 4)) // silent: no scalefactors, no samples
+    val body = wbits(header ++ alloc) // 20 bytes used of 36
+    val frame = java.util.Arrays.copyOf(body, 36)
+    val two = frame ++ frame
+    val dec = Mpeg1.decode(two).getOrElse(fail("padded frames must decode"))
+    assert(dec.sampleRate == 44100)
+    assert(dec.samples.length == 2 * 384) // no gapless tag → raw output
+    assert(dec.samples.forall(_ == 0))
+    // a byte of junk between the frames breaks the walk → None
+    val gapped = frame ++ Array(0x55.toByte) ++ frame
+    assert(Mpeg1.decode(gapped).isEmpty)
+  }
+
   test("Layer II/III and stereo are rejections, not crashes") {
     val good = Mpeg1.encode(Array.fill[Short](100)(500))
     // layer bits live in byte 1 (bits 1-2): '11'=I, '10'=II, '01'=III
