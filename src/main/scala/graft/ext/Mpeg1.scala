@@ -430,7 +430,13 @@ object Mpeg1 {
       br.bits(2); br.bits(1); br.bits(1); br.bits(2) // ext/copy/orig/emph
       if (brIdx == 0 || brIdx > 14 || srIdx > 2) fail()
       if (mode != 3) fail() // single_channel only (scope: mono corpus)
-      sampleRate = SampleRates(srIdx)
+      // latch the sample rate from the first frame: the returned WavPcm
+      // carries ONE rate, so a stream whose later frames declare a
+      // different srIdx is inconsistent — reject it rather than silently
+      // concatenating mixed-rate samples into one clip (bitrate MAY vary
+      // per frame: that's legal VBR and doesn't affect the time base)
+      if (firstFrame) sampleRate = SampleRates(srIdx)
+      else if (sampleRate != SampleRates(srIdx)) fail()
       val frameBytes = (12 * BitratesL1(brIdx) * 1000 / sampleRate + padding) * 4
       if (frameBytes <= 4 || pos + frameBytes > data.length) fail()
       if (protection == 0) {

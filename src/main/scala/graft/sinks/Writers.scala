@@ -126,22 +126,103 @@ object Writers {
     }
   }
 
-  /** Completes an interrupted staged swap: the fold sequence is
-    * (write staging fully) → (move survivors into staging) → (delete
-    * root) → (rename staging → root), so a crash can only leave root
-    * missing while `<root>__staging` holds the COMPLETE table — rename
-    * it in. Every staged-swap writer and stream entry calls this
-    * first; no-op when root exists.
+  /** Completes an interrupted staged swap from ANY intermediate state
+    * the [[foldPartitionedStore]] protocol can crash in. The protocol
+    * (in order) is: (1) write the folded partition + a survivor
+    * manifest into `<root>__staging`; (2) rename root → `<root>__old`;
+    * (3) move each manifest-listed survivor old → staging; (4) rename
+    * staging → root; (5) delete old + the manifest. So on entry:
+    *
+    *  - old exists, root exists → crash after (4): the swap committed;
+    *    finish cleanup (delete old + manifest).
+    *  - old exists, root missing → crash during (2)-(4): staging holds
+    *    the complete fold + manifest (it was fully written before (2)),
+    *    so ROLL FORWARD — move any manifest survivors still in old,
+    *    then rename staging → root and clean up. If staging vanished
+    *    (it cannot under the protocol, but be safe) roll BACK by
+    *    renaming old → root: the fold is lost, the table is not.
+    *  - root missing, staging exists, old missing → a pre-manifest
+    *    on-disk layout's final-step crash (staging complete): rename
+    *    staging → root.
+    *
+    * A crash during (1) leaves root untouched and staging partial;
+    * the next fold deletes staging and starts over — staging is never
+    * the sole copy of anything until (2) has happened, and from (2) on
+    * `old` exists to mark it. Every staged-swap writer and stream
+    * entry calls this first; no-op in the steady state.
     */
   def recoverStagedSwap(spark: SparkSession, root: String): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(root + "__staging")
-    if (!fs.exists(rootPath) && fs.exists(staging)) {
-      fs.rename(staging, rootPath)
+    val old = new org.apache.hadoop.fs.Path(root + "__old")
+    if (fs.exists(old)) {
+      if (!fs.exists(rootPath)) {
+        if (fs.exists(staging)) {
+          readFoldManifest(fs, staging).foreach { name =>
+            val src = new org.apache.hadoop.fs.Path(old, name)
+            val dst = new org.apache.hadoop.fs.Path(staging, name)
+            if (!fs.exists(dst) && fs.exists(src)) mustRename(fs, src, dst)
+          }
+          mustRename(fs, staging, rootPath)
+        } else mustRename(fs, old, rootPath) // safety net: abort the fold
+      }
+      mustDelete(fs, old)
+      fs.delete(new org.apache.hadoop.fs.Path(rootPath, ManifestName), false)
+      ()
+    } else if (!fs.exists(rootPath) && fs.exists(staging)) {
+      mustRename(fs, staging, rootPath)
+      fs.delete(new org.apache.hadoop.fs.Path(rootPath, ManifestName), false)
       ()
     }
   }
+
+  /** Survivor manifest written into staging before the swap begins —
+    * underscore-prefixed so Spark's file listing ignores it if it ever
+    * rides into root.
+    */
+  private val ManifestName = "_fold_manifest"
+
+  private def writeFoldManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, survivors: Seq[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, ManifestName), true)
+    try out.write(survivors.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readFoldManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Hadoop `FileSystem.rename` reports most failures (missing parent,
+    * cross-FS, destination exists) by returning FALSE, not throwing —
+    * a silently-failed move must abort the swap, never fall through to
+    * a delete of data that was never moved.
+    */
+  private def mustRename(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"staged swap: rename $src -> $dst failed")
+
+  /** Recursive delete that tolerates already-absent paths but throws
+    * when the path still exists after a failed delete.
+    */
+  private def mustDelete(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.delete(p, true) && fs.exists(p))
+      throw new java.io.IOException(s"staged swap: delete $p failed")
 
   /** Sorted numeric partition ids under `root` with prefix
     * `<partCol>=` (empty when the root doesn't exist).
@@ -161,17 +242,27 @@ object Writers {
     * `foldTarget` rewrite into ONE `<partCol>=<foldTarget>` partition
     * (optionally range-repartitioned + sorted on `sortCol` so
     * row-group min/max pruning stays tight), `keepIds` ride across
-    * untouched, then delete-root + rename-staging swaps the table in.
-    * Crash-safe via [[recoverStagedSwap]]: staging is only ever
-    * deleted-into AFTER it holds the complete new table.
+    * untouched, then a rename-based swap commits the new table.
+    *
+    * Crash-safety (see [[recoverStagedSwap]] for the recovery side):
+    * the fold + a survivor manifest land fully in staging FIRST, then
+    * root is renamed aside to `<root>__old` before any survivor moves —
+    * so at every instant either root holds the complete old table, or
+    * `__old` + staging together hold everything and the manifest says
+    * how to finish. No step deletes data that another step hasn't
+    * already made redundant, and every rename/delete result is checked
+    * (Hadoop reports most failures as `false`, not an exception).
     */
   private[graft] def foldPartitionedStore(
       spark: SparkSession, root: String, partCol: String,
       foldTarget: Long, keepIds: Seq[Long], sortCol: Option[String]): Unit = {
+    recoverStagedSwap(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = root + "__staging"
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val oldPath = new org.apache.hadoop.fs.Path(root + "__old")
+    mustDelete(fs, stagingPath) // leftover pre-swap staging is never the sole copy
     val folded0 = spark.read.parquet(root)
       .filter(org.apache.spark.sql.functions.col(partCol) <= foldTarget)
       .drop(partCol)
@@ -182,12 +273,16 @@ object Writers {
       case None => folded0
     }
     folded.write.mode("overwrite").parquet(s"$staging/$partCol=$foldTarget")
-    keepIds.foreach { id =>
-      fs.rename(new org.apache.hadoop.fs.Path(s"$root/$partCol=$id"),
-        new org.apache.hadoop.fs.Path(s"$staging/$partCol=$id"))
+    val survivors = keepIds.map(id => s"$partCol=$id")
+    writeFoldManifest(fs, stagingPath, survivors)
+    mustRename(fs, rootPath, oldPath)
+    survivors.foreach { name =>
+      mustRename(fs, new org.apache.hadoop.fs.Path(oldPath, name),
+        new org.apache.hadoop.fs.Path(stagingPath, name))
     }
-    fs.delete(rootPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), rootPath)
+    mustRename(fs, stagingPath, rootPath)
+    mustDelete(fs, oldPath)
+    fs.delete(new org.apache.hadoop.fs.Path(rootPath, ManifestName), false)
     ()
   }
 
@@ -197,6 +292,10 @@ object Writers {
     * per micro-batch from `foreachBatch`.
     */
   def kvUpsert(spark: SparkSession, batch: DataFrame, keyCols: Seq[String], path: String): Unit = {
+    // a crash between the delete and rename below leaves the merged
+    // snapshot stranded in __staging — complete it before reading, or
+    // the read-miss would silently drop every previously-stored key
+    recoverStagedSwap(spark, path)
     val existing = scala.util.Try(spark.read.schema(batch.schema).parquet(path)).toOption
     val merged = existing match {
       case Some(e) if !e.isEmpty => graft.gold.Star.upsert(e, batch, keyCols)
@@ -208,7 +307,7 @@ object Writers {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    mustDelete(fs, dst)
+    mustRename(fs, new org.apache.hadoop.fs.Path(tmp), dst)
   }
 }

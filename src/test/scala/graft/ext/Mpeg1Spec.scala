@@ -181,6 +181,42 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(Mpeg1.decode(gapped).isEmpty)
   }
 
+  test("mixed sample rates across frames are rejected, not concatenated") {
+    // a WavPcm return carries ONE sampleRate, so a stream whose frames
+    // disagree has no faithful decode — the walk must latch the first
+    // frame's rate and fail on a later mismatch instead of silently
+    // gluing 44.1 kHz and 48 kHz samples into one clip
+    def wbits(bits: Seq[(Long, Int)]): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var cnt = 0
+      bits.foreach { case (v, w) =>
+        var i = w - 1
+        while (i >= 0) {
+          buf = (buf << 1) | ((v >> i) & 1); cnt += 1
+          if (cnt == 8) { bb.write(buf.toInt & 0xff); buf = 0; cnt = 0 }
+          i -= 1
+        }
+      }
+      if (cnt > 0) bb.write(((buf << (8 - cnt)).toInt) & 0xff)
+      bb.toByteArray
+    }
+    def silentFrame(srIdx: Long, padding: Long, frameBytes: Int): Array[Byte] = {
+      val header = Seq((0xfffL, 12), (1L, 1), (3L, 2), (1L, 1), // protection=1
+        (1L, 4), (srIdx, 2), (padding, 1), (0L, 1), // 32 kbps
+        (3L, 2), (0L, 2), (0L, 1), (1L, 1), (0L, 2)) // mono
+      val alloc = Seq.fill(32)((0L, 4))
+      java.util.Arrays.copyOf(wbits(header ++ alloc), frameBytes)
+    }
+    val f441 = silentFrame(srIdx = 0, padding = 1, 36) // (12*32000/44100+1)*4
+    val f480 = silentFrame(srIdx = 1, padding = 0, 32) // (12*32000/48000)*4
+    // sanity: each rate decodes alone, and same-rate pairs concatenate
+    assert(Mpeg1.decode(f441 ++ f441).exists(_.sampleRate == 44100))
+    assert(Mpeg1.decode(f480 ++ f480).exists(_.sampleRate == 48000))
+    // mixed-rate stream → None in both orders
+    assert(Mpeg1.decode(f441 ++ f480).isEmpty)
+    assert(Mpeg1.decode(f480 ++ f441).isEmpty)
+  }
+
   test("Layer II/III and stereo are rejections, not crashes") {
     val good = Mpeg1.encode(Array.fill[Short](100)(500))
     // layer bits live in byte 1 (bits 1-2): '11'=I, '10'=II, '01'=III

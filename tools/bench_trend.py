@@ -53,10 +53,19 @@ def main():
         elif t > baseline[q] * args.factor and t > args.min_sec:
             regs.append((q, baseline[q], t))
 
+    raw = latest.get("raw_total_s")
+    raw_note = f" raw(single-shot)={raw:.1f}s" if raw is not None else ""
     print(f"latest clean run: ts_ms={latest.get('ts_ms')} "
           f"batch={latest.get('batch_total_s', 0):.1f}s "
-          f"stream={latest.get('streaming_total_s', 0):.1f}s "
+          f"stream={latest.get('streaming_total_s', 0):.1f}s{raw_note} "
           f"({len(prior)} prior clean runs as baseline)")
+    if raw is not None:
+        # pre-r11 history lines are single-shot; raw_total_s is the
+        # like-with-like figure for cross-round total comparisons
+        pr = [p.get("raw_total_s", p.get("value")) for p in prior]
+        pr = [v for v in pr if v is not None]
+        if pr:
+            print(f"  raw-total vs best prior: {raw:.1f}s vs {min(pr):.1f}s")
     if news:
         print(f"\nnew queries ({len(news)}):")
         for q, t in news:
