@@ -601,7 +601,7 @@ object SparkEntry {
     val media = Multimodal.asMediaTable(
       Tables.documents(spark, dir), "doc_id", "text", "text/plain")
     val decoded = Multimodal.decodeFeatures(spark, media, partitions = 8).toDF()
-    val histCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+    val histCols = (0 until Multimodal.ByteHistogram.featureDim).map(j =>
       round(element_at(col("features"), j + 1) * col("n_bytes"))
         .cast(LongType).as(s"f$j"))
     decoded
@@ -7144,6 +7144,176 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  // ---------------------------------------- MPEG-1 video wire (q250-252)
+
+  /** Margin-designed STRIP pattern for the compressed-video corpora
+    * (the q223 JPEG discipline applied to the MPEG-1 wire): 11 strip
+    * levels from {40, 128, 216} via an adjacent-distinct walk keyed on
+    * `s` — every adjacent strip differs by ≥ 88 luma (≫ intra-quant
+    * error at qscale ≤ 5), so each of the 10 dHash gradient bits
+    * survives the lossy roundtrip EXACTLY. The 10-bit row pattern
+    * replicates across all 6 dHash rows, so any two distinct patterns
+    * are ≥ 6 fingerprint bits apart — strictly above every census
+    * threshold (≤ 2, ≤ 3): near-dup relations reduce to deterministic
+    * pattern EQUALITY the oracle replays in closed form.
+    */
+  private def mpegStripLevels(s: Long): Array[Int] = {
+    val lev = new Array[Int](11)
+    lev(0) = (s % 3).toInt
+    var i = 1
+    while (i < 11) {
+      val d = ((s * (i + 3) + i.toLong * i) % 2).toInt
+      lev(i) = (lev(i - 1) + 1 + d) % 3
+      i += 1
+    }
+    lev
+  }
+
+  /** 44×24 gray frame of 11 vertical 4-px strips for walk key `s`. */
+  private def mpegStripFrame(s: Long): Array[Byte] = {
+    val lev = mpegStripLevels(s)
+    val bgr = new Array[Byte](44 * 24 * 3)
+    var y = 0
+    while (y < 24) {
+      var x = 0
+      while (x < 44) {
+        val v = (40 + 88 * lev(x / 4)).toByte
+        val o = (y * 44 + x) * 3
+        bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    bgr
+  }
+
+  /** q250 corpus: q222's quad shape on the COMPRESSED wire — clips in
+    * quads (`base = doc_id / 4`), frame `f` rendered from walk key
+    * `base·97 + f·31`, each quad variant exercising a distinct encoder
+    * profile (qscale 2/3/4, and variant 3 re-sends the quantizer via
+    * the intra+quant macroblock type) with identical fingerprints.
+    */
+  private def synthMpegVideoMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 4
+        val n = (6 + base % 5).toInt
+        val frames = (0 until n).map(f => mpegStripFrame(base * 97 + f * 31))
+        val variant = (id % 4).toInt
+        val q = Array(3, 2, 4, 4)(variant)
+        val wire = graft.ext.Mpeg1Video.encode(44, 24, frames, qscale = q,
+          mbQuantEvery = if (variant == 3) 2 else 0)
+        Multimodal.MediaRecord(id, wire, "video/mpeg")
+      }).toDF()
+  }
+
+  /** MPEG-1 compressed-video keyframe near-dup — q222's pipeline
+    * (frame-sample at stride 2 → dHash → middle-keyframe census via
+    * the banded Hamming machinery) running on REAL ISO 11172-2 wire:
+    * [[graft.ext.Mpeg1Video]] decodes each clip once (sequence/GOP/
+    * picture/slice walk, B.1/B.2a/B.5 VLCs, intra dequant with
+    * oddification, IDCT, 4:2:0 upsample), and the oracle computes
+    * every keyframe fingerprint in closed form from the SOURCE strip
+    * recipe — the full encode → parse → dequant → IDCT → fingerprint
+    * chain is hash-pinned through a lossy codec.
+    */
+  def q250MpegKeyframeNearDup(spark: SparkSession, dir: String): DataFrame =
+    videoKeyframeCensus(Multimodal.videoFrameHashes(spark,
+      synthMpegVideoMedia(spark, dir), stride = 2, partitions = 8).toDF())
+
+  /** q251 corpus: q238's planted-shot shape on the compressed wire —
+    * shots of `2 + base % 3` frames, frames within a shot identical
+    * (walk key depends on the shot index only).
+    */
+  private def synthMpegShotMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 16 == 0)
+      .mapPartitions(_.map { id =>
+        val base = id / 16
+        val n = (12 + base % 7).toInt
+        val shotLen = (2 + base % 3).toInt
+        val frames = (0 until n).map(f =>
+          mpegStripFrame(base * 97 + (f / shotLen).toLong * 31 + 13))
+        Multimodal.MediaRecord(id,
+          graft.ext.Mpeg1Video.encode(44, 24, frames, qscale = 3), "video/mpeg")
+      }).toDF()
+  }
+
+  /** Shot-boundary detection on the MPEG-1 wire — q238's lag-window
+    * segmentation over per-frame fingerprints, with the decode leg on
+    * real compressed video. Same census, oracle replayed from the
+    * strip walk (boundaries are pattern INEQUALITIES, deterministic
+    * either way a rare walk collision lands).
+    */
+  def q251MpegShotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val fh = Multimodal.videoFrameHashes(spark,
+      synthMpegShotMedia(spark, dir), stride = 1, partitions = 8).toDF()
+    Multimodal.shotBoundaries(fh, maxDistance = 2)
+      .groupBy(col("media_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(col("is_boundary").cast("long")).as("n_shots"),
+        sum(when(col("is_boundary"), col("frame_idx"))).as("boundary_idx_sum"),
+        max(when(col("is_boundary"), col("frame_idx"))).as("last_shot_start"))
+      .orderBy(col("media_id"))
+  }
+
+  /** q252 corpus: q239's shared-scene-pool shape on the compressed
+    * wire — the walk key is a function of the SCENE id alone, so a
+    * shared scene is pixel-identical across clips pre-encode and
+    * fingerprint-identical post-decode.
+    */
+  private def synthMpegSceneMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 16 == 0)
+      .mapPartitions(_.map { id =>
+        val base = id / 16
+        val nShots = (5 + base % 3).toInt
+        def sceneOf(j: Int): Long =
+          if ((base + j) % 4 == 1) 1000L + base * 8 + j
+          else (base + j) % 6
+        val frames = (0 until nShots * 2).map(f =>
+          mpegStripFrame(sceneOf(f / 2) * 53 + 17))
+        Multimodal.MediaRecord(id,
+          graft.ext.Mpeg1Video.encode(44, 24, frames, qscale = 3), "video/mpeg")
+      }).toDF()
+  }
+
+  /** Scene-grain dedup on the MPEG-1 wire — q239's pipeline (segment →
+    * per-shot representative fingerprint → guarded banded Hamming join
+    * on composite shot ids → cross-clip census) with real compressed
+    * decode; the oracle replays scene assignment, the walk, the
+    * segmentation, and both counts.
+    */
+  def q252MpegSceneDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fh = Multimodal.videoFrameHashes(spark,
+      synthMpegSceneMedia(spark, dir), stride = 1, partitions = 8).toDF()
+    val shots = Multimodal.shotBoundaries(fh, maxDistance = 2)
+      .filter(col("is_boundary"))
+      .select(col("media_id"), col("shot_idx"),
+        (col("media_id") * 64 + col("shot_idx")).as("shot_uid"), col("fp"))
+    val pairs = graft.ext.Dedup.hammingNearDupPairs(
+      shots.select(col("shot_uid").as("media_id"), col("fp")),
+      "media_id", "fp", bits = 60, maxDistance = 2)
+      .filter(expr("id_a div 64") =!= expr("id_b div 64"))
+    val sym = pairs.select(col("id_a").as("shot_uid"))
+      .unionByName(pairs.select(col("id_b").as("shot_uid")))
+      .distinct()
+    val shared = shots.join(sym, Seq("shot_uid"), "left_semi")
+    shots.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_shots"))
+      .join(shared.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_shared_shots"),
+          max((col("shot_idx") === 0).cast("long")).as("intro_shared_l")),
+        Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_shots"),
+        coalesce(col("n_shared_shots"), lit(0L)).as("n_shared_shots"),
+        (coalesce(col("intro_shared_l"), lit(0L)) === 1L).as("intro_shared"))
+      .orderBy(col("media_id"))
+  }
+
   /** Deterministic synth recipe for the SEQUENCE-grain video corpus:
     * a 1-in-16 doc sample (the oracle's frame-level quadratic verify
     * must stay tractable at sf0.1) arranged in (original, delayed)
@@ -7803,6 +7973,9 @@ object SparkEntry {
     "q237_gzip_corpus" -> (q237GzipCorpus _),
     "q238_shot_detect" -> (q238ShotDetect _),
     "q239_scene_dedup" -> (q239SceneDedup _),
+    "q250_mpeg_keyframe_neardup" -> (q250MpegKeyframeNearDup _),
+    "q251_mpeg_shot_detect" -> (q251MpegShotDetect _),
+    "q252_mpeg_scene_dedup" -> (q252MpegSceneDedup _),
     "q240_warc_ingest" -> (q240WarcIngest _),
     "q241_stream_warc" -> (q241StreamWarcIngest _),
     "q242_image_metadata" -> (q242ImageMetadata _),
@@ -12194,6 +12367,179 @@ object SparkEntry {
         |FROM tot LEFT JOIN sh ON sh.doc_id = tot.doc_id
         |ORDER BY media_id""".stripMargin,
 
+    // q250: the MPEG-1 strip-walk keyframe fingerprint in closed form
+    // (adjacent-distinct level walk → 10 gradient bits → ×6-row
+    // replication constant), then q222's pair + census tail verbatim
+    "q250_mpeg_keyframe_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS base,
+        |         CAST(6 + (doc_id // 4) % 5 AS BIGINT) AS n
+        |  FROM documents),
+        |k AS (
+        |  SELECT d.*, (n + 1) // 2 AS m,
+        |         2 * (((n + 1) // 2) // 2) AS kf
+        |  FROM d),
+        |ks AS (SELECT doc_id, n, m, base * 97 + kf * 31 AS s FROM k),
+        |g AS (SELECT ks.*, unnest(generate_series(0, 10)) AS gx FROM ks),
+        |dd AS (
+        |  SELECT doc_id, n, m, s, gx,
+        |         CASE WHEN gx = 0 THEN 0
+        |              ELSE (s * (gx + 3) + gx * gx) % 2 END AS dbit
+        |  FROM g),
+        |lv AS (
+        |  SELECT doc_id, n, m, gx,
+        |         (s + gx + sum(dbit)
+        |            OVER (PARTITION BY doc_id ORDER BY gx)) % 3 AS lev
+        |  FROM dd),
+        |bt AS (
+        |  SELECT doc_id, n, m, gx, lev,
+        |         lead(lev) OVER (PARTITION BY doc_id ORDER BY gx) AS nlev
+        |  FROM lv),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n_frames, max(m) AS n_sampled,
+        |         CAST(sum(CASE WHEN gx < 10 AND lev < nlev
+        |                  THEN (CAST(1 AS BIGINT) << gx) * 1127000493261825
+        |                  ELSE 0 END) AS BIGINT) AS key_fp
+        |  FROM bt GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, c.doc_id AS idb
+        |  FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.key_fp, c.key_fp)) <= 3),
+        |sym AS (
+        |  SELECT ida AS media_id, idb AS nbr FROM pairs
+        |  UNION ALL SELECT idb, ida FROM pairs),
+        |nb AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |         min(nbr) AS min_nbr
+        |  FROM sym GROUP BY media_id)
+        |SELECT f.doc_id AS media_id, f.n_frames, f.n_sampled, f.key_fp,
+        |       COALESCE(nb.n_nbrs, 0) AS n_nbrs, nb.min_nbr,
+        |       (nb.min_nbr IS NULL OR nb.min_nbr > f.doc_id) AS keep
+        |FROM fp f LEFT JOIN nb ON nb.media_id = f.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // q251: per-frame strip-walk fingerprints replayed (shot-keyed
+    // walk), then q238's lag + bit_count rule and census verbatim
+    "q251_mpeg_shot_detect" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 16 AS base,
+        |         CAST(12 + (doc_id // 16) % 7 AS BIGINT) AS n,
+        |         CAST(2 + (doc_id // 16) % 3 AS BIGINT) AS sl
+        |  FROM documents WHERE doc_id % 16 = 0),
+        |fr AS (SELECT d.*, unnest(generate_series(0, n - 1)) AS f FROM d),
+        |ks AS (
+        |  SELECT doc_id, n, f, base * 97 + (f // sl) * 31 + 13 AS s
+        |  FROM fr),
+        |g AS (SELECT ks.*, unnest(generate_series(0, 10)) AS gx FROM ks),
+        |dd AS (
+        |  SELECT doc_id, n, f, s, gx,
+        |         CASE WHEN gx = 0 THEN 0
+        |              ELSE (s * (gx + 3) + gx * gx) % 2 END AS dbit
+        |  FROM g),
+        |lv AS (
+        |  SELECT doc_id, n, f, gx,
+        |         (s + gx + sum(dbit)
+        |            OVER (PARTITION BY doc_id, f ORDER BY gx)) % 3 AS lev
+        |  FROM dd),
+        |bt AS (
+        |  SELECT doc_id, n, f, gx, lev,
+        |         lead(lev) OVER (PARTITION BY doc_id, f ORDER BY gx) AS nlev
+        |  FROM lv),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n, f,
+        |         CAST(sum(CASE WHEN gx < 10 AND lev < nlev
+        |                  THEN (CAST(1 AS BIGINT) << gx) * 1127000493261825
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bt GROUP BY doc_id, f),
+        |lagged AS (
+        |  SELECT doc_id, n, f, fp,
+        |         lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pfp
+        |  FROM fp),
+        |marked AS (
+        |  SELECT doc_id, n, f,
+        |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
+        |  FROM lagged)
+        |SELECT doc_id AS media_id, max(n) AS n_frames,
+        |       CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
+        |       CAST(sum(CASE WHEN ib THEN f END) AS BIGINT) AS boundary_idx_sum,
+        |       CAST(max(CASE WHEN ib THEN f END) AS BIGINT) AS last_shot_start
+        |FROM marked GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // q252: scene assignment + scene-keyed strip walk, then q239's
+    // segmentation, representative, pair, and census replay verbatim
+    "q252_mpeg_scene_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 16 AS base,
+        |         CAST(5 + (doc_id // 16) % 3 AS BIGINT) AS ns
+        |  FROM documents WHERE doc_id % 16 = 0),
+        |fr AS (SELECT d.*, unnest(generate_series(0, ns * 2 - 1)) AS f FROM d),
+        |ks AS (
+        |  SELECT doc_id, f,
+        |         (CASE WHEN (base + f // 2) % 4 = 1
+        |               THEN 1000 + base * 8 + f // 2
+        |               ELSE (base + f // 2) % 6 END) * 53 + 17 AS s
+        |  FROM fr),
+        |g AS (SELECT ks.*, unnest(generate_series(0, 10)) AS gx FROM ks),
+        |dd AS (
+        |  SELECT doc_id, f, s, gx,
+        |         CASE WHEN gx = 0 THEN 0
+        |              ELSE (s * (gx + 3) + gx * gx) % 2 END AS dbit
+        |  FROM g),
+        |lv AS (
+        |  SELECT doc_id, f, gx,
+        |         (s + gx + sum(dbit)
+        |            OVER (PARTITION BY doc_id, f ORDER BY gx)) % 3 AS lev
+        |  FROM dd),
+        |bt AS (
+        |  SELECT doc_id, f, gx, lev,
+        |         lead(lev) OVER (PARTITION BY doc_id, f ORDER BY gx) AS nlev
+        |  FROM lv),
+        |fp AS (
+        |  SELECT doc_id, f,
+        |         CAST(sum(CASE WHEN gx < 10 AND lev < nlev
+        |                  THEN (CAST(1 AS BIGINT) << gx) * 1127000493261825
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bt GROUP BY doc_id, f),
+        |lagged AS (
+        |  SELECT doc_id, f, fp,
+        |         lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pfp
+        |  FROM fp),
+        |marked AS (
+        |  SELECT doc_id, f, fp,
+        |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
+        |  FROM lagged),
+        |shots AS (
+        |  SELECT doc_id, fp,
+        |         CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY f) - 1 AS BIGINT)
+        |           AS shot_idx, ib
+        |  FROM marked),
+        |reps AS (
+        |  SELECT doc_id, shot_idx, doc_id * 64 + shot_idx AS uid, fp
+        |  FROM shots WHERE ib),
+        |pairs AS (
+        |  SELECT a.uid AS ua, c.uid AS ub
+        |  FROM reps a JOIN reps c ON a.uid < c.uid
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 2
+        |    AND a.doc_id != c.doc_id),
+        |sym AS (
+        |  SELECT DISTINCT uid FROM (
+        |    SELECT ua AS uid FROM pairs UNION ALL SELECT ub FROM pairs)),
+        |shared AS (
+        |  SELECT r.doc_id, r.shot_idx FROM reps r JOIN sym ON sym.uid = r.uid),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shots
+        |  FROM reps GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shots,
+        |         max(CASE WHEN shot_idx = 0 THEN 1 ELSE 0 END) AS intro_l
+        |  FROM shared GROUP BY doc_id)
+        |SELECT tot.doc_id AS media_id, tot.n_shots,
+        |       COALESCE(sh.n_shared_shots, 0) AS n_shared_shots,
+        |       (COALESCE(sh.intro_l, 0) = 1) AS intro_shared
+        |FROM tot LEFT JOIN sh ON sh.doc_id = tot.doc_id
+        |ORDER BY media_id""".stripMargin,
+
     // q225: the rendered template rebuilt turn by turn, the exact
     // render-identity verdicts, and the simhash fingerprints
     // reassembled from md5(token) bits (q13b's rebuild) over the
@@ -13420,7 +13766,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
 
-  /** FakeDecoder's byte histogram in SQL: UTF-8 bytes via one hex() of
+  /** ByteHistogram's byte histogram in SQL: UTF-8 bytes via one hex() of
     * the whole blob, each byte's value from two hex-digit lookups
     * (strpos over '123456789abcdef' maps '0'→0 … 'f'→15). The final
     * select LEFT JOINs the per-byte aggregation back onto documents so
@@ -14665,10 +15011,10 @@ object SparkEntry {
       |FROM h ORDER BY doc_id""".stripMargin
 
   private def multimodalDecodeOracle: String = {
-    val hist = (0 until graft.ext.Multimodal.FakeDecoder.featureDim)
+    val hist = (0 until graft.ext.Multimodal.ByteHistogram.featureDim)
       .map(j => s"CAST(sum(CASE WHEN bv % 8 = $j THEN 1 ELSE 0 END) AS BIGINT) AS f$j")
       .mkString(",\n       ")
-    val zhist = (0 until graft.ext.Multimodal.FakeDecoder.featureDim)
+    val zhist = (0 until graft.ext.Multimodal.ByteHistogram.featureDim)
       .map(j => s"coalesce(h.f$j, 0) AS f$j")
       .mkString(",\n       ")
     s"""WITH b AS (

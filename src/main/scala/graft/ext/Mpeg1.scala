@@ -1,8 +1,8 @@
 package graft.ext
 
 /** MPEG-1 Audio Layer I codec (ISO/IEC 11172-3) — the LOSSY audio
-  * tier, replacing the last `FakeDecoder` audio stand-in with a real
-  * wire format. The reference pipeline has no audio at all (its
+  * tier, replacing the former stand-in fake (now the format-blind
+  * [[Multimodal.ByteHistogram]]) with a real wire format. The reference pipeline has no audio at all (its
   * largest media is a JSON blob — glue/data_ingestion_s3.py:30); this
   * tier exists for the training-data north star, where crawl audio
   * arrives MPEG-coded.
