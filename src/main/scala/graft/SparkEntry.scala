@@ -1663,6 +1663,49 @@ object SparkEntry {
       .orderBy(col("k"))
   }
 
+  /** AUTO-salted skew join ([[graft.operators.SkewJoin.auto]]) — the
+    * measured decision q173's report only SUGGESTED, now wired into
+    * the join: one keyed counting pass yields the hot key's
+    * `suggested_salts`, and the join dispatches to the salted form
+    * (suggested > 4, capped at 32) or the plain join (near-uniform).
+    * Two legs on ONE oracle: the q248 planted-hot fixture (80% on key
+    * 0 → auto must salt — suggested ≈ 79, capped 32) and a uniform
+    * re-keying of the same rows (`k = l_orderkey % 98` → auto must
+    * stay plain, buckets_used = 0). The oracle replays both
+    * aggregates AND both decisions (the ⌈max·n_keys/total⌉ truncating
+    * arithmetic) in closed form, so a drifted threshold, a wrong cap,
+    * or a semantics-changing dispatch all fail the hash. The
+    * `buckets_used` column is the decision evidence; SkewJoinSpec pins
+    * plan shape (salt present iff salted).
+    */
+  def q249SkewAutoJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (hotFact, dim) = skewFixture(spark, dir)
+    val uniFact = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("rep", explode(sequence(lit(1), lit(16))))
+      .select(pmod(col("l_orderkey"), lit(98)).as("k"),
+        (col("l_orderkey") * 1000 + col("l_linenumber") * 100 + col("rep")).as("rid"),
+        col("l_quantity").as("v"))
+    def leg(tag: String, fact: DataFrame): DataFrame = {
+      // decide() runs once more here only to surface the decision as
+      // evidence — auto() measures internally; both passes are one
+      // partial-agg'd count over the fact projection
+      val buckets = graft.operators.SkewJoin.decide(
+        fact, Seq("k"), threshold = 4, maxBuckets = 32)
+      graft.operators.SkewJoin.auto(
+        fact, dim.hint("merge"), Seq("k"), col("rid"),
+        threshold = 4, maxBuckets = 32)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") * col("w")).cast(LongType).as("wv"))
+        .withColumn("leg", lit(tag))
+        .withColumn("buckets_used", lit(buckets))
+    }
+    leg("hot", hotFact).unionByName(leg("uniform", uniFact))
+      .select(col("leg"), col("k"), col("n"), col("wv"), col("buckets_used"))
+      .orderBy(col("leg"), col("k"))
+  }
+
   /** Asymmetric 5-gram containment pairs (near-superset detection) over
     * the FULL document corpus: the inverted-index self-join form, both
     * directions, threshold in exact integer arithmetic. 5-gram shingles
@@ -7775,6 +7818,7 @@ object SparkEntry {
     "q75_salted_skew_join" -> (q75SaltedSkewJoin _),
     "q248_skew_salted" -> (q248SkewSalted _),
     "q248b_skew_unsalted" -> (q248bSkewUnsalted _),
+    "q249_skew_auto" -> (q249SkewAutoJoin _),
     "q76_containment_pairs" -> (q76ContainmentPairs _),
     "q77_minmax_scale" -> (q77MinmaxScale _),
     "q78_incremental_neardup" -> (q78IncrementalNeardup _),
@@ -10159,6 +10203,46 @@ object SparkEntry {
     // semantics-preserving; the bench lines carry the skew evidence
     "q248_skew_salted" -> skewEvidenceSql,
     "q248b_skew_unsalted" -> skewEvidenceSql,
+
+    // q249: both legs' aggregates AND both salting decisions
+    // (ceil(max*n_keys/total), threshold 4, cap 32) replayed exactly
+    "q249_skew_auto" ->
+      """WITH reps AS (SELECT unnest(generate_series(1, 16)) AS rep),
+        |f_hot AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+        |              ELSE l_orderkey % 97 + 1 END AS k,
+        |         l_quantity AS v
+        |  FROM lineitem, reps),
+        |f_uni AS (
+        |  SELECT l_orderkey % 98 AS k, l_quantity AS v
+        |  FROM lineitem, reps),
+        |d AS (
+        |  SELECT k, k * 7 % 13 + 1 AS w
+        |  FROM unnest(generate_series(0, 97)) AS t(k)),
+        |dec_hot AS (
+        |  SELECT (max(c) * count(*) + sum(c) - 1) // sum(c) AS s
+        |  FROM (SELECT count(*) AS c FROM f_hot GROUP BY k)),
+        |dec_uni AS (
+        |  SELECT (max(c) * count(*) + sum(c) - 1) // sum(c) AS s
+        |  FROM (SELECT count(*) AS c FROM f_uni GROUP BY k)),
+        |res AS (
+        |  SELECT 'hot' AS leg, f.k, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(f.v * d.w) AS BIGINT) AS wv,
+        |         CAST(max(CASE WHEN dec_hot.s <= 4 THEN 0
+        |                  ELSE LEAST(dec_hot.s, 32) END) AS INT)
+        |           AS buckets_used
+        |  FROM f_hot f JOIN d ON f.k = d.k CROSS JOIN dec_hot
+        |  GROUP BY f.k
+        |  UNION ALL
+        |  SELECT 'uniform' AS leg, f.k, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(f.v * d.w) AS BIGINT) AS wv,
+        |         CAST(max(CASE WHEN dec_uni.s <= 4 THEN 0
+        |                  ELSE LEAST(dec_uni.s, 32) END) AS INT)
+        |           AS buckets_used
+        |  FROM f_uni f JOIN d ON f.k = d.k CROSS JOIN dec_uni
+        |  GROUP BY f.k)
+        |SELECT leg, k, n, wv, buckets_used
+        |FROM res ORDER BY leg, k""".stripMargin,
 
     "q76_containment_pairs" ->
       """WITH t AS (

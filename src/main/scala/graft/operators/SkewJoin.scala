@@ -50,4 +50,53 @@ object SkewJoin {
     val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     f.join(d, keys :+ "__salt").drop("__salt")
   }
+
+  /** MEASURED salting decision — [[graft.dq.Analyzers.skewReport]]'s
+    * arithmetic turned into the join-time choice a 100 TB pipeline
+    * makes hourly instead of hand-tuning: one keyed count aggregation
+    * over the fact side (partial-agg'd; the collect is a single
+    * totals row, bounded by construction) yields the heaviest key's
+    * `suggested_salts = ⌈max_rows · n_keys / total⌉` — how many
+    * average-key units the hot key occupies. Returns the bucket count
+    * a salted join should use (`min(suggested, maxBuckets)`), or 0
+    * when the skew is below `threshold` (suggested ≤ threshold — a
+    * near-uniform key where salting would only pay the dim-replication
+    * tax). All truncating long arithmetic, so the decision replays
+    * exactly in SQL. At data scales where even one counting pass is
+    * too dear, feed a `fact.sample(...)` — the ratio arithmetic is
+    * scale-free; the q249 oracle path measures exactly.
+    */
+  def decide(fact: DataFrame, keys: Seq[String],
+      threshold: Int = 4, maxBuckets: Int = 64): Int = {
+    require(threshold >= 1 && maxBuckets >= 1, "positive threshold/cap")
+    val row = fact.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+      .agg(max(col("n_rows")).as("max_rows"), sum(col("n_rows")).as("total"),
+        count(lit(1)).as("n_keys"))
+      .select(expr("(max_rows * n_keys + total - 1) div total").as("suggested"))
+      .head()
+    if (row.isNullAt(0)) 0 // empty fact: nothing to skew
+    else {
+      val suggested = row.getLong(0)
+      if (suggested <= threshold) 0
+      else math.min(suggested, maxBuckets.toLong).toInt
+    }
+  }
+
+  /** Adaptive equi-join: [[decide]] measures the fact side's key skew,
+    * then dispatches — the plain join when near-uniform (no
+    * dim-replication tax), [[salted]] with the measured bucket count
+    * when a hot key would otherwise own a reducer. Same output either
+    * way (the q249 oracle pins both legs against one closed form).
+    */
+  def auto(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factSalt: Column,
+      threshold: Int = 4,
+      maxBuckets: Int = 64): DataFrame = {
+    val buckets = decide(fact, keys, threshold, maxBuckets)
+    if (buckets == 0) fact.join(dim, keys)
+    else salted(fact, dim, keys, factSalt, buckets)
+  }
 }

@@ -59,4 +59,40 @@ class SkewJoinSpec extends SparkSpec {
       .select("__salt").distinct().as[Int].collect().toSet
     assert(salts == (0 until 8).toSet)
   }
+
+  test("decide measures suggested salts: hot fixture salts, uniform stays plain") {
+    // hot: 340/400 rows on one of 4 keys → suggested = ceil(340*4/400) = 4
+    // ... with threshold 3 that salts; with the default 4 it does not —
+    // pin both sides of the threshold
+    assert(SkewJoin.decide(fact, Seq("key"), threshold = 3, maxBuckets = 32) == 4)
+    assert(SkewJoin.decide(fact, Seq("key"), threshold = 4, maxBuckets = 32) == 0)
+    // cap applies
+    assert(SkewJoin.decide(fact, Seq("key"), threshold = 3, maxBuckets = 2) == 2)
+    // uniform keys → ceil(max*n/total) = 1 → plain at any threshold
+    val uni = Seq.tabulate(400)(i => (i.toLong, s"k${i % 4}", 1.0))
+      .toDF("row_id", "key", "v")
+    assert(SkewJoin.decide(uni, Seq("key"), threshold = 1, maxBuckets = 32) == 0)
+    // empty fact → plain, not a crash
+    assert(SkewJoin.decide(fact.limit(0), Seq("key")) == 0)
+  }
+
+  test("auto equals the plain join on both sides of the decision") {
+    val plain = fact.join(dim, Seq("key"))
+      .select("row_id", "key", "v", "w")
+      .as[(Long, String, Double, Int)].collect().toSet
+    // skewed: auto dispatches to salted (threshold 3 → 4 buckets)
+    val hot = SkewJoin.auto(fact, dim, Seq("key"), col("row_id"),
+      threshold = 3, maxBuckets = 32)
+    assert(hot.select("row_id", "key", "v", "w")
+      .as[(Long, String, Double, Int)].collect().toSet == plain)
+    assert(hot.queryExecution.executedPlan.toString.contains("__salt"),
+      "hot leg must take the salted path")
+    // near-uniform: auto dispatches to the plain join, no salt anywhere
+    val cold = SkewJoin.auto(fact, dim, Seq("key"), col("row_id"),
+      threshold = 8, maxBuckets = 32)
+    assert(cold.select("row_id", "key", "v", "w")
+      .as[(Long, String, Double, Int)].collect().toSet == plain)
+    assert(!cold.queryExecution.executedPlan.toString.contains("__salt"),
+      "uniform leg must take the plain path")
+  }
 }
