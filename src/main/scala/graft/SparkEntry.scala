@@ -371,7 +371,7 @@ object SparkEntry {
     */
   def q18cWindowStreamSliding(spark: SparkSession, dir: String): DataFrame = {
     val tmp = tempDir("graft-q18c")
-    val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4)((i, s) => s(i))
+    val in = writeEventSlicesPlain(eventsForReplay(spark, dir), tmp, 4)
     Jobs.runWindowedStream(spark, in, s"$tmp/ckpt", s"$tmp/out",
       lateness = "10 minutes", windowDuration = "1 hour", slide = Some("15 minutes"))
       .orderBy(col("window_start"), col("event_type"))
@@ -408,6 +408,26 @@ object SparkEntry {
     writeSliceFiles((0 until n).map(i => augment(i, slice)), tmp)
   }
 
+  /** Identity-augment fast path of [[writeEventSlices]]: the slice
+    * index is the searchsorted position of `ts` among the cuts, so the
+    * whole fan-out is ONE scan + one partitioned write
+    * ([[writeSliceFilesByExpr]]) instead of one filter job per slice —
+    * same assignment (`cuts(i) ≤ ts < cuts(i+1)`, last unbounded),
+    * same one-file-per-slice mtime-ordered layout.
+    */
+  private def writeEventSlicesPlain(ev: DataFrame, tmp: String, n: Int,
+      hourAligned: Boolean = false): String = {
+    val bounds = ev.agg(min(col("ts")).cast(LongType).as("lo"),
+      max(col("ts")).cast(LongType).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val cuts = (0 to n).map(i => lo + (hi - lo) * i / n)
+      .map(c => if (hourAligned) c - java.lang.Math.floorMod(c, 3600L) else c)
+    val tsl = col("ts").cast(LongType)
+    val sliceExpr = (1 until n).reverse.foldLeft(lit(n - 1): Column)(
+      (acc, i) => when(tsl < cuts(i), i - 1).otherwise(acc))
+    writeSliceFilesByExpr(ev, sliceExpr, tmp, n)
+  }
+
   /** The file-landing half of the replay harness, shared by the
     * event-time slicer above and the seq-range slicer in q96: each
     * frame becomes one parquet file in `tmp/in` with strictly
@@ -424,6 +444,47 @@ object SparkEntry {
       val dst = new java.io.File(s"$in/part-$i.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(t0 + i * 1000L)
+    }
+    in
+  }
+
+  /** One-pass variant of [[writeSliceFiles]] for the standard
+    * `pmod(id, n)` slicing: the old path wrote each slice as its own
+    * job over its own filter of the source, so a synth corpus (WARC
+    * gzip, MPEG video/audio, FLAC — the codec-heavy media builders)
+    * was recomputed once PER SLICE plus once more inside the stream's
+    * oracle twin. Here the source is scanned exactly once and a
+    * `partitionBy` write fans the slices out in one job; each slice
+    * value lives in exactly one task (`repartition(n, slice)`), so
+    * every slice dir holds one file, moved and mtime-staggered like
+    * the old path so the file stream replays them in order.
+    */
+  private def writeSliceFilesByExpr(
+      df: DataFrame, sliceExpr: Column, tmp: String, n: Int = 4): String = {
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 600000
+    df.withColumn("__slice", sliceExpr.cast("int"))
+      .repartition(n, col("__slice"))
+      .write.mode("overwrite").partitionBy("__slice").parquet(s"$tmp/sliced")
+    val spark = df.sparkSession
+    (0 until n).foreach { i =>
+      val dir = new java.io.File(s"$tmp/sliced/__slice=$i")
+      val dst = new java.io.File(s"$in/part-$i.parquet")
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      if (parts.nonEmpty) java.nio.file.Files.move(parts.head.toPath, dst.toPath)
+      else // empty slice: land an empty file so the stream still sees n batches
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/empty$i")
+      if (!dst.exists()) {
+        val p = new java.io.File(s"$tmp/empty$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(p.toPath, dst.toPath)
+      }
+      dst.setLastModified(t0 + i * 1000L)
+      ()
     }
     in
   }
@@ -1362,7 +1423,7 @@ object SparkEntry {
     */
   def q62StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val tmp = tempDir("graft-q62")
-    val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4)((i, s) => s(i))
+    val in = writeEventSlicesPlain(eventsForReplay(spark, dir), tmp, 4)
     graft.stream.Jobs.runIntervalJoinStream(spark, in,
       lateness = "40 days", maxGap = "1 hour",
       stateShufflePartitions = Some(8))
@@ -1506,7 +1567,7 @@ object SparkEntry {
     */
   def q70SessionStream(spark: SparkSession, dir: String): DataFrame = {
     val tmp = tempDir("graft-q70")
-    val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4)((i, s) => s(i))
+    val in = writeEventSlicesPlain(eventsForReplay(spark, dir), tmp, 4)
     graft.stream.Jobs.runSessionStream(spark, in,
       gap = "30 minutes", lateness = "10 minutes",
       stateShufflePartitions = Some(8))
@@ -2258,8 +2319,8 @@ object SparkEntry {
     */
   def q99StreamThrottle(spark: SparkSession, dir: String): DataFrame = {
     val tmp = tempDir("graft-q99")
-    val in = writeEventSlices(
-      eventsForReplay(spark, dir).filter(col("user_id") < 12), tmp, 4)((i, s) => s(i))
+    val in = writeEventSlicesPlain(
+      eventsForReplay(spark, dir).filter(col("user_id") < 12), tmp, 4)
     val kept = graft.stream.Stateful
       .runThrottleStream(spark, in, cooldownUs = 6L * 3600L * 1000000L)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))
@@ -2288,19 +2349,28 @@ object SparkEntry {
     * the oracle verbatim.
     */
   private def curateCorpusPipeline(docs: DataFrame): DataFrame = {
+    // the source is referenced by the dup-plant union (twice), the
+    // benchmark slice, and through every later stage — checkpoint it
+    // once so the upstream (a parquet scan for q100, the full
+    // gunzip → WARC → HTTP → HTML recovery for q244/q245) is walked
+    // exactly once instead of per downstream reference
+    val src = docs.localCheckpoint(true)
     // planted exact duplicates: every 40th doc re-enters under a high id
-    val corpus = docs.unionByName(docs.filter(col("doc_id") % 40 === 0)
+    val corpus = src.unionByName(src.filter(col("doc_id") % 40 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L))
-    // 1. quality gate on the exact logit
+    // 1. quality gate on the exact logit; checkpointed too — the dedup
+    // canonical aggregate, the dedup join, and decontamination each
+    // reference it, and the logit is the pipeline's hottest expression
     val gated = corpus.withColumn("z",
       Text.qualityLogit(col("text"), Seq(-2.4, 2.0, -3.0, 1.5, 2.5)))
       .filter(col("z") >= 0)
+      .localCheckpoint(true)
     // 2. exact dedup — keep each fingerprint's canonical (min) id
     val canonIds = Dedup.exactCanonical(gated, "doc_id", "text")
       .select(col("canonical_id").as("doc_id"))
     val deduped = gated.join(canonIds, Seq("doc_id"))
     // 3. decontaminate against the benchmark slice of the ORIGINAL corpus
-    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val bench = src.filter(col("doc_id") % 50 === 0)
     val clean = deduped.join(
       graft.ext.TrainPrep.contaminatedDocs(deduped, bench, "doc_id", "text", 5)
         .filter(!col("contaminated")).select(col("doc_id")),
@@ -2577,8 +2647,7 @@ object SparkEntry {
       spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val in = writeSliceFiles(
-      (0 until 4).map(i => emb.filter(pmod(col("vec_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(emb, pmod(col("vec_id"), lit(4)), tmp)
     (in, StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType), nullable = true))))
@@ -2591,8 +2660,7 @@ object SparkEntry {
       spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
     val cust = Tables.customer(spark, dir).select(col("c_custkey"),
       col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-    val in = writeSliceFiles(
-      (0 until 4).map(i => cust.filter(pmod(col("c_custkey"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(cust, pmod(col("c_custkey"), lit(4)), tmp)
     (in, StructType(Seq(
       StructField("c_custkey", LongType, nullable = true),
       StructField("c_name", StringType, nullable = true),
@@ -2608,8 +2676,7 @@ object SparkEntry {
       spark: SparkSession, dir: String, tmp: String): (String, StructType) = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-    val in = writeSliceFiles(
-      (0 until 4).map(i => ev.filter(pmod(col("event_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(ev, pmod(col("event_id"), lit(4)), tmp)
     (in, StructType(Seq(
       StructField("event_id", LongType, nullable = true),
       StructField("ts", TimestampType, nullable = true),
@@ -2623,8 +2690,7 @@ object SparkEntry {
     val cols = Seq(col("doc_id"), col("lang"), col("text")) ++
       (if (withSource) Seq(col("source")) else Nil)
     val docs = Tables.documents(spark, dir).select(cols: _*)
-    val in = writeSliceFiles(
-      (0 until 4).map(i => docs.filter(pmod(col("doc_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(docs, pmod(col("doc_id"), lit(4)), tmp)
     (in, StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("lang", StringType, nullable = true),
@@ -2791,8 +2857,7 @@ object SparkEntry {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         (lit(1700000000L) + col("doc_id")).cast(TimestampType).as("ts"))
-    val in = writeSliceFiles(
-      (0 until 4).map(i => docs.filter(pmod(col("doc_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(docs, pmod(col("doc_id"), lit(4)), tmp)
     val w = Seq(-2.4, 2.0, -3.0, 1.5, 2.5)
     val benchHashes = Tables.documents(spark, dir)
       .filter(col("doc_id") % 50 === 0)
@@ -3036,8 +3101,7 @@ object SparkEntry {
       graft.ext.AnnIndex.centroidTable(spark, centroids), cbs, batchDir)
     // streamed build: 4 micro-batches through the ingest job
     val tmp = tempDir("graft-q113")
-    val in = writeSliceFiles(
-      (0 until 4).map(i => base.filter(pmod(col("vec_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(base, pmod(col("vec_id"), lit(4)), tmp)
     val streamDir = s"$tmp/index"
     graft.stream.Jobs.runIndexIngestStream(spark, in, base.schema,
       "vec_id", "embedding", centroids, cbs, streamDir,
@@ -3080,8 +3144,7 @@ object SparkEntry {
     val cbs = graft.ext.Features.pqTrainCodebooks(
       base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
     val tmp = tempDir("graft-q115")
-    val in = writeSliceFiles(
-      (0 until 4).map(i => base.filter(pmod(col("vec_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(base, pmod(col("vec_id"), lit(4)), tmp)
     val idxDir = s"$tmp/index"
     graft.stream.Jobs.runIndexIngestStream(spark, in, base.schema,
       "vec_id", "embedding", centroids, cbs, idxDir,
@@ -3293,8 +3356,7 @@ object SparkEntry {
     val queries = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    val in = writeSliceFiles(
-      (0 until 4).map(i => queries.filter(pmod(col("query_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(queries, pmod(col("query_id"), lit(4)), tmp)
     graft.stream.Jobs.runQueryServeStream(spark, in, queries.schema,
       idxDir, s"$tmp/out", k = 10, nprobe = 3)
     val cols = Seq("query_id", "vec_id", "adc_score", "rank").map(col)
@@ -3994,8 +4056,7 @@ object SparkEntry {
   def q143bMediaStream(spark: SparkSession, dir: String): DataFrame = {
     val media = synthWavDlqMedia(spark, dir)
     val tmp = tempDir("graft-q143b")
-    val in = writeSliceFiles(
-      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(media, pmod(col("media_id"), lit(4)), tmp)
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
@@ -5276,8 +5337,8 @@ object SparkEntry {
     */
   def q198bHoltStream(spark: SparkSession, dir: String): DataFrame = {
     val tmp = tempDir("graft-q198b")
-    val in = writeEventSlices(eventsForReplay(spark, dir), tmp, 4,
-      hourAligned = true)((i, s) => s(i))
+    val in = writeEventSlicesPlain(eventsForReplay(spark, dir), tmp, 4,
+      hourAligned = true)
     graft.stream.Stateful.runHoltStream(spark, in)
       .orderBy(col("key"), col("hr"))
   }
@@ -5542,8 +5603,7 @@ object SparkEntry {
   def q209StreamImageIndex(spark: SparkSession, dir: String): DataFrame = {
     val media = synthImageDupMedia(spark, dir)
     val tmp = tempDir("graft-q209")
-    val in = writeSliceFiles(
-      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(media, pmod(col("media_id"), lit(4)), tmp)
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
@@ -6267,8 +6327,7 @@ object SparkEntry {
   def q247StreamMpegIndex(spark: SparkSession, dir: String): DataFrame = {
     val media = synthMpegAudioDupMedia(spark, dir)
     val tmp = tempDir("graft-q247")
-    val in = writeSliceFiles(
-      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(media, pmod(col("media_id"), lit(4)), tmp)
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
@@ -6298,8 +6357,7 @@ object SparkEntry {
   def q236StreamFlacIndex(spark: SparkSession, dir: String): DataFrame = {
     val media = synthMixedAudioDupMedia(spark, dir)
     val tmp = tempDir("graft-q236")
-    val in = writeSliceFiles(
-      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(media, pmod(col("media_id"), lit(4)), tmp)
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
@@ -6339,8 +6397,7 @@ object SparkEntry {
   def q227StreamAudioIndex(spark: SparkSession, dir: String): DataFrame = {
     val media = synthAudioDupMedia(spark, dir)
     val tmp = tempDir("graft-q227")
-    val in = writeSliceFiles(
-      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(media, pmod(col("media_id"), lit(4)), tmp)
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
@@ -6535,8 +6592,7 @@ object SparkEntry {
   def q228StreamVideoIndex(spark: SparkSession, dir: String): DataFrame = {
     val media = synthVideoDupMedia(spark, dir)
     val tmp = tempDir("graft-q228")
-    val in = writeSliceFiles(
-      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(media, pmod(col("media_id"), lit(4)), tmp)
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
@@ -6725,8 +6781,7 @@ object SparkEntry {
   def q231StreamJpegIndex(spark: SparkSession, dir: String): DataFrame = {
     val media = synthJpegDupMedia(spark, dir)
     val tmp = tempDir("graft-q231")
-    val in = writeSliceFiles(
-      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(media, pmod(col("media_id"), lit(4)), tmp)
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
@@ -6881,8 +6936,7 @@ object SparkEntry {
   def q241StreamWarcIngest(spark: SparkSession, dir: String): DataFrame = {
     val media = synthWarcDocs(spark, dir)
     val tmp = tempDir("graft-q241")
-    val in = writeSliceFiles(
-      (0 until 4).map(i => media.filter(pmod(col("media_id"), lit(4)) === i)), tmp)
+    val in = writeSliceFilesByExpr(media, pmod(col("media_id"), lit(4)), tmp)
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
