@@ -5530,6 +5530,10 @@ object SparkEntry {
   private def synthImageDupMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      // spread the ENCODE (the expensive leg) across the cores — the
+      // parquet scan is one partition at these sizes, and without this
+      // every clip would be synthesized on a single task
+      .repartition(32)
       .mapPartitions(_.map { id =>
         val base = id / 4
         val w = (16 + base % 5).toInt
@@ -6604,7 +6608,7 @@ object SparkEntry {
   /** Shared tail of q222/q228: middle-sampled-frame near-dup census
     * over a (media_id, n_frames, frame_idx, fp) frame-hash table.
     */
-  private def videoKeyframeCensus(fps: DataFrame): DataFrame = {
+  private[graft] def videoKeyframeCensus(fps: DataFrame): DataFrame = {
     val sampled = fps.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_sampled"))
     val keyed = fps
@@ -7290,9 +7294,10 @@ object SparkEntry {
     * profile (qscale 2/3/4, and variant 3 re-sends the quantizer via
     * the intra+quant macroblock type) with identical fingerprints.
     */
-  private def synthMpegVideoMedia(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def synthMpegVideoMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .repartition(32) // distribute the encode (single-partition scan upstream)
       .mapPartitions(_.map { id =>
         val base = id / 4
         val n = (6 + base % 5).toInt
@@ -7316,8 +7321,13 @@ object SparkEntry {
     * chain is hash-pinned through a lossy codec.
     */
   def q250MpegKeyframeNearDup(spark: SparkSession, dir: String): DataFrame =
+    // eager checkpoint: the census references the frame table several
+    // times, and each uncut reference would re-run the full MPEG
+    // encode+decode synth (the q244 re-walk lesson); 32-way decode
+    // fan-out matches the harness cores
     videoKeyframeCensus(Multimodal.videoFrameHashes(spark,
-      synthMpegVideoMedia(spark, dir), stride = 2, partitions = 8).toDF())
+      synthMpegVideoMedia(spark, dir), stride = 2, partitions = 32)
+      .toDF().localCheckpoint(true))
 
   /** q251 corpus: q238's planted-shot shape on the compressed wire —
     * shots of `2 + base % 3` frames, frames within a shot identical
@@ -7327,6 +7337,7 @@ object SparkEntry {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .filter(id => id % 16 == 0)
+      .repartition(32) // distribute the encode (single-partition scan upstream)
       .mapPartitions(_.map { id =>
         val base = id / 16
         val n = (12 + base % 7).toInt
@@ -7346,7 +7357,8 @@ object SparkEntry {
     */
   def q251MpegShotDetect(spark: SparkSession, dir: String): DataFrame = {
     val fh = Multimodal.videoFrameHashes(spark,
-      synthMpegShotMedia(spark, dir), stride = 1, partitions = 8).toDF()
+      synthMpegShotMedia(spark, dir), stride = 1, partitions = 32)
+      .toDF().localCheckpoint(true) // decode once; cut the codec lineage
     Multimodal.shotBoundaries(fh, maxDistance = 2)
       .groupBy(col("media_id"))
       .agg(max(col("n_frames")).as("n_frames"),
@@ -7365,6 +7377,7 @@ object SparkEntry {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .filter(id => id % 16 == 0)
+      .repartition(32) // distribute the encode (single-partition scan upstream)
       .mapPartitions(_.map { id =>
         val base = id / 16
         val nShots = (5 + base % 3).toInt
@@ -7386,7 +7399,120 @@ object SparkEntry {
     */
   def q252MpegSceneDedup(spark: SparkSession, dir: String): DataFrame = {
     val fh = Multimodal.videoFrameHashes(spark,
-      synthMpegSceneMedia(spark, dir), stride = 1, partitions = 8).toDF()
+      synthMpegSceneMedia(spark, dir), stride = 1, partitions = 32)
+      .toDF().localCheckpoint(true) // decode once; cut the codec lineage
+    val shots = Multimodal.shotBoundaries(fh, maxDistance = 2)
+      .filter(col("is_boundary"))
+      .select(col("media_id"), col("shot_idx"),
+        (col("media_id") * 64 + col("shot_idx")).as("shot_uid"), col("fp"))
+    val pairs = graft.ext.Dedup.hammingNearDupPairs(
+      shots.select(col("shot_uid").as("media_id"), col("fp")),
+      "media_id", "fp", bits = 60, maxDistance = 2)
+      .filter(expr("id_a div 64") =!= expr("id_b div 64"))
+    val sym = pairs.select(col("id_a").as("shot_uid"))
+      .unionByName(pairs.select(col("id_b").as("shot_uid")))
+      .distinct()
+    val shared = shots.join(sym, Seq("shot_uid"), "left_semi")
+    shots.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_shots"))
+      .join(shared.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_shared_shots"),
+          max((col("shot_idx") === 0).cast("long")).as("intro_shared_l")),
+        Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_shots"),
+        coalesce(col("n_shared_shots"), lit(0L)).as("n_shared_shots"),
+        (coalesce(col("intro_shared_l"), lit(0L)) === 1L).as("intro_shared"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Global +`d` luma flicker (every BGR byte, clamped) — changes
+    * every pel yet NO dHash gradient bit: the fingerprint compares
+    * ADJACENT strip means, and a global shift preserves every strict
+    * inequality. On an I+P wire this is the cheapest content that
+    * forces the coded-residual macroblock path (cbp > 0) on every
+    * odd frame while the closed-form strip oracle stays verbatim.
+    */
+  private def flicker(frame: Array[Byte], d: Int): Array[Byte] =
+    frame.map(b => math.min(255, (b & 0xff) + d).toByte)
+
+  /** q253 corpus: q251's shot shape re-encoded as a REAL I+P stream
+    * (gopSize 3) with a ±3 luma flicker — within-shot P frames code
+    * small residuals, cross-shot cuts mid-GOP hit the intra-fallback
+    * macroblocks, GOP heads stay I. Fingerprints are flicker- and
+    * codec-invariant, so the q251 oracle replays verbatim.
+    */
+  private def synthMpegIppShotMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 16 == 0)
+      .repartition(32) // distribute the encode (single-partition scan upstream)
+      .mapPartitions(_.map { id =>
+        val base = id / 16
+        val n = (12 + base % 7).toInt
+        val shotLen = (2 + base % 3).toInt
+        val frames = (0 until n).map { f =>
+          val strip = mpegStripFrame(base * 97 + (f / shotLen).toLong * 31 + 13)
+          if (f % 2 == 1) flicker(strip, 3) else strip
+        }
+        Multimodal.MediaRecord(id,
+          graft.ext.Mpeg1Video.encode(44, 24, frames, qscale = 3,
+            gopSize = 3, searchRange = 1), "video/mpeg")
+      }).toDF()
+  }
+
+  /** Shot-boundary detection on a PREDICTIVE MPEG-1 wire — q251's
+    * pipeline with the decode leg now walking I AND P pictures
+    * (motion vectors, skipped macroblocks, non-intra dequant,
+    * intra fallback). Oracle: q251's closed-form strip replay,
+    * unchanged — P reconstruction must land every fingerprint bit.
+    */
+  def q253MpegIppShotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val fh = Multimodal.videoFrameHashes(spark,
+      synthMpegIppShotMedia(spark, dir), stride = 1, partitions = 32)
+      .toDF().localCheckpoint(true) // decode once; cut the codec lineage
+    Multimodal.shotBoundaries(fh, maxDistance = 2)
+      .groupBy(col("media_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(col("is_boundary").cast("long")).as("n_shots"),
+        sum(when(col("is_boundary"), col("frame_idx"))).as("boundary_idx_sum"),
+        max(when(col("is_boundary"), col("frame_idx"))).as("last_shot_start"))
+      .orderBy(col("media_id"))
+  }
+
+  /** q254 corpus: q252's shared-scene-pool shape on an I+P wire
+    * (gopSize 2: every scene's second frame is a P picture coding
+    * the flicker residual against its intra twin).
+    */
+  private def synthMpegIppSceneMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 16 == 0)
+      .repartition(32) // distribute the encode (single-partition scan upstream)
+      .mapPartitions(_.map { id =>
+        val base = id / 16
+        val nShots = (5 + base % 3).toInt
+        def sceneOf(j: Int): Long =
+          if ((base + j) % 4 == 1) 1000L + base * 8 + j
+          else (base + j) % 6
+        val frames = (0 until nShots * 2).map { f =>
+          val strip = mpegStripFrame(sceneOf(f / 2) * 53 + 17)
+          if (f % 2 == 1) flicker(strip, 3) else strip
+        }
+        Multimodal.MediaRecord(id,
+          graft.ext.Mpeg1Video.encode(44, 24, frames, qscale = 3,
+            gopSize = 2, searchRange = 1), "video/mpeg")
+      }).toDF()
+  }
+
+  /** Scene-grain dedup on a predictive MPEG-1 wire — q252's pipeline
+    * (segment → representative → guarded banded Hamming join →
+    * cross-clip census) with the decode leg on I+P pictures; the
+    * q252 oracle replays verbatim.
+    */
+  def q254MpegIppSceneDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fh = Multimodal.videoFrameHashes(spark,
+      synthMpegIppSceneMedia(spark, dir), stride = 1, partitions = 32)
+      .toDF().localCheckpoint(true) // decode once; cut the codec lineage
     val shots = Multimodal.shotBoundaries(fh, maxDistance = 2)
       .filter(col("is_boundary"))
       .select(col("media_id"), col("shot_idx"),
@@ -8074,6 +8200,8 @@ object SparkEntry {
     "q250_mpeg_keyframe_neardup" -> (q250MpegKeyframeNearDup _),
     "q251_mpeg_shot_detect" -> (q251MpegShotDetect _),
     "q252_mpeg_scene_dedup" -> (q252MpegSceneDedup _),
+    "q253_mpeg_ipp_shot_detect" -> (q253MpegIppShotDetect _),
+    "q254_mpeg_ipp_scene_dedup" -> (q254MpegIppSceneDedup _),
     "q240_warc_ingest" -> (q240WarcIngest _),
     "q241_stream_warc" -> (q241StreamWarcIngest _),
     "q242_image_metadata" -> (q242ImageMetadata _),
@@ -9360,6 +9488,130 @@ object SparkEntry {
       |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM sharded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q251/q253 shared closed-form oracle: per-frame strip-walk
+    * fingerprints, then the q238 lag rule and census (see q251).
+    */
+  private val MpegShotOracleSql: String =
+    """WITH d AS (
+        |  SELECT doc_id, doc_id // 16 AS base,
+        |         CAST(12 + (doc_id // 16) % 7 AS BIGINT) AS n,
+        |         CAST(2 + (doc_id // 16) % 3 AS BIGINT) AS sl
+        |  FROM documents WHERE doc_id % 16 = 0),
+        |fr AS (SELECT d.*, unnest(generate_series(0, n - 1)) AS f FROM d),
+        |ks AS (
+        |  SELECT doc_id, n, f, base * 97 + (f // sl) * 31 + 13 AS s
+        |  FROM fr),
+        |g AS (SELECT ks.*, unnest(generate_series(0, 10)) AS gx FROM ks),
+        |dd AS (
+        |  SELECT doc_id, n, f, s, gx,
+        |         CASE WHEN gx = 0 THEN 0
+        |              ELSE (s * (gx + 3) + gx * gx) % 2 END AS dbit
+        |  FROM g),
+        |lv AS (
+        |  SELECT doc_id, n, f, gx,
+        |         (s + gx + sum(dbit)
+        |            OVER (PARTITION BY doc_id, f ORDER BY gx)) % 3 AS lev
+        |  FROM dd),
+        |bt AS (
+        |  SELECT doc_id, n, f, gx, lev,
+        |         lead(lev) OVER (PARTITION BY doc_id, f ORDER BY gx) AS nlev
+        |  FROM lv),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n, f,
+        |         CAST(sum(CASE WHEN gx < 10 AND lev < nlev
+        |                  THEN (CAST(1 AS BIGINT) << gx) * 1127000493261825
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bt GROUP BY doc_id, f),
+        |lagged AS (
+        |  SELECT doc_id, n, f, fp,
+        |         lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pfp
+        |  FROM fp),
+        |marked AS (
+        |  SELECT doc_id, n, f,
+        |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
+        |  FROM lagged)
+        |SELECT doc_id AS media_id, max(n) AS n_frames,
+        |       CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
+        |       CAST(sum(CASE WHEN ib THEN f END) AS BIGINT) AS boundary_idx_sum,
+        |       CAST(max(CASE WHEN ib THEN f END) AS BIGINT) AS last_shot_start
+        |FROM marked GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** q252/q254 shared closed-form oracle: scene walk, segmentation,
+    * representative, pair and census replay (see q252).
+    */
+  private val MpegSceneOracleSql: String =
+    """WITH d AS (
+        |  SELECT doc_id, doc_id // 16 AS base,
+        |         CAST(5 + (doc_id // 16) % 3 AS BIGINT) AS ns
+        |  FROM documents WHERE doc_id % 16 = 0),
+        |fr AS (SELECT d.*, unnest(generate_series(0, ns * 2 - 1)) AS f FROM d),
+        |ks AS (
+        |  SELECT doc_id, f,
+        |         (CASE WHEN (base + f // 2) % 4 = 1
+        |               THEN 1000 + base * 8 + f // 2
+        |               ELSE (base + f // 2) % 6 END) * 53 + 17 AS s
+        |  FROM fr),
+        |g AS (SELECT ks.*, unnest(generate_series(0, 10)) AS gx FROM ks),
+        |dd AS (
+        |  SELECT doc_id, f, s, gx,
+        |         CASE WHEN gx = 0 THEN 0
+        |              ELSE (s * (gx + 3) + gx * gx) % 2 END AS dbit
+        |  FROM g),
+        |lv AS (
+        |  SELECT doc_id, f, gx,
+        |         (s + gx + sum(dbit)
+        |            OVER (PARTITION BY doc_id, f ORDER BY gx)) % 3 AS lev
+        |  FROM dd),
+        |bt AS (
+        |  SELECT doc_id, f, gx, lev,
+        |         lead(lev) OVER (PARTITION BY doc_id, f ORDER BY gx) AS nlev
+        |  FROM lv),
+        |fp AS (
+        |  SELECT doc_id, f,
+        |         CAST(sum(CASE WHEN gx < 10 AND lev < nlev
+        |                  THEN (CAST(1 AS BIGINT) << gx) * 1127000493261825
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bt GROUP BY doc_id, f),
+        |lagged AS (
+        |  SELECT doc_id, f, fp,
+        |         lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pfp
+        |  FROM fp),
+        |marked AS (
+        |  SELECT doc_id, f, fp,
+        |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
+        |  FROM lagged),
+        |shots AS (
+        |  SELECT doc_id, fp,
+        |         CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY f) - 1 AS BIGINT)
+        |           AS shot_idx, ib
+        |  FROM marked),
+        |reps AS (
+        |  SELECT doc_id, shot_idx, doc_id * 64 + shot_idx AS uid, fp
+        |  FROM shots WHERE ib),
+        |pairs AS (
+        |  SELECT a.uid AS ua, c.uid AS ub
+        |  FROM reps a JOIN reps c ON a.uid < c.uid
+        |  WHERE bit_count(xor(a.fp, c.fp)) <= 2
+        |    AND a.doc_id != c.doc_id),
+        |sym AS (
+        |  SELECT DISTINCT uid FROM (
+        |    SELECT ua AS uid FROM pairs UNION ALL SELECT ub FROM pairs)),
+        |shared AS (
+        |  SELECT r.doc_id, r.shot_idx FROM reps r JOIN sym ON sym.uid = r.uid),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shots
+        |  FROM reps GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shots,
+        |         max(CASE WHEN shot_idx = 0 THEN 1 ELSE 0 END) AS intro_l
+        |  FROM shared GROUP BY doc_id)
+        |SELECT tot.doc_id AS media_id, tot.n_shots,
+        |       COALESCE(sh.n_shared_shots, 0) AS n_shared_shots,
+        |       (COALESCE(sh.intro_l, 0) = 1) AS intro_shared
+        |FROM tot LEFT JOIN sh ON sh.doc_id = tot.doc_id
+        |ORDER BY media_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_dedup_latest_agg" ->
@@ -12558,125 +12810,16 @@ object SparkEntry {
 
     // q251: per-frame strip-walk fingerprints replayed (shot-keyed
     // walk), then q238's lag + bit_count rule and census verbatim
-    "q251_mpeg_shot_detect" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 16 AS base,
-        |         CAST(12 + (doc_id // 16) % 7 AS BIGINT) AS n,
-        |         CAST(2 + (doc_id // 16) % 3 AS BIGINT) AS sl
-        |  FROM documents WHERE doc_id % 16 = 0),
-        |fr AS (SELECT d.*, unnest(generate_series(0, n - 1)) AS f FROM d),
-        |ks AS (
-        |  SELECT doc_id, n, f, base * 97 + (f // sl) * 31 + 13 AS s
-        |  FROM fr),
-        |g AS (SELECT ks.*, unnest(generate_series(0, 10)) AS gx FROM ks),
-        |dd AS (
-        |  SELECT doc_id, n, f, s, gx,
-        |         CASE WHEN gx = 0 THEN 0
-        |              ELSE (s * (gx + 3) + gx * gx) % 2 END AS dbit
-        |  FROM g),
-        |lv AS (
-        |  SELECT doc_id, n, f, gx,
-        |         (s + gx + sum(dbit)
-        |            OVER (PARTITION BY doc_id, f ORDER BY gx)) % 3 AS lev
-        |  FROM dd),
-        |bt AS (
-        |  SELECT doc_id, n, f, gx, lev,
-        |         lead(lev) OVER (PARTITION BY doc_id, f ORDER BY gx) AS nlev
-        |  FROM lv),
-        |fp AS (
-        |  SELECT doc_id, max(n) AS n, f,
-        |         CAST(sum(CASE WHEN gx < 10 AND lev < nlev
-        |                  THEN (CAST(1 AS BIGINT) << gx) * 1127000493261825
-        |                  ELSE 0 END) AS BIGINT) AS fp
-        |  FROM bt GROUP BY doc_id, f),
-        |lagged AS (
-        |  SELECT doc_id, n, f, fp,
-        |         lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pfp
-        |  FROM fp),
-        |marked AS (
-        |  SELECT doc_id, n, f,
-        |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
-        |  FROM lagged)
-        |SELECT doc_id AS media_id, max(n) AS n_frames,
-        |       CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
-        |       CAST(sum(CASE WHEN ib THEN f END) AS BIGINT) AS boundary_idx_sum,
-        |       CAST(max(CASE WHEN ib THEN f END) AS BIGINT) AS last_shot_start
-        |FROM marked GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    "q251_mpeg_shot_detect" -> MpegShotOracleSql,
+    // q253: the IDENTICAL closed form — the I+P wire and the luma
+    // flicker are fingerprint-invariant by construction
+    "q253_mpeg_ipp_shot_detect" -> MpegShotOracleSql,
 
     // q252: scene assignment + scene-keyed strip walk, then q239's
     // segmentation, representative, pair, and census replay verbatim
-    "q252_mpeg_scene_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 16 AS base,
-        |         CAST(5 + (doc_id // 16) % 3 AS BIGINT) AS ns
-        |  FROM documents WHERE doc_id % 16 = 0),
-        |fr AS (SELECT d.*, unnest(generate_series(0, ns * 2 - 1)) AS f FROM d),
-        |ks AS (
-        |  SELECT doc_id, f,
-        |         (CASE WHEN (base + f // 2) % 4 = 1
-        |               THEN 1000 + base * 8 + f // 2
-        |               ELSE (base + f // 2) % 6 END) * 53 + 17 AS s
-        |  FROM fr),
-        |g AS (SELECT ks.*, unnest(generate_series(0, 10)) AS gx FROM ks),
-        |dd AS (
-        |  SELECT doc_id, f, s, gx,
-        |         CASE WHEN gx = 0 THEN 0
-        |              ELSE (s * (gx + 3) + gx * gx) % 2 END AS dbit
-        |  FROM g),
-        |lv AS (
-        |  SELECT doc_id, f, gx,
-        |         (s + gx + sum(dbit)
-        |            OVER (PARTITION BY doc_id, f ORDER BY gx)) % 3 AS lev
-        |  FROM dd),
-        |bt AS (
-        |  SELECT doc_id, f, gx, lev,
-        |         lead(lev) OVER (PARTITION BY doc_id, f ORDER BY gx) AS nlev
-        |  FROM lv),
-        |fp AS (
-        |  SELECT doc_id, f,
-        |         CAST(sum(CASE WHEN gx < 10 AND lev < nlev
-        |                  THEN (CAST(1 AS BIGINT) << gx) * 1127000493261825
-        |                  ELSE 0 END) AS BIGINT) AS fp
-        |  FROM bt GROUP BY doc_id, f),
-        |lagged AS (
-        |  SELECT doc_id, f, fp,
-        |         lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pfp
-        |  FROM fp),
-        |marked AS (
-        |  SELECT doc_id, f, fp,
-        |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
-        |  FROM lagged),
-        |shots AS (
-        |  SELECT doc_id, fp,
-        |         CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY doc_id ORDER BY f) - 1 AS BIGINT)
-        |           AS shot_idx, ib
-        |  FROM marked),
-        |reps AS (
-        |  SELECT doc_id, shot_idx, doc_id * 64 + shot_idx AS uid, fp
-        |  FROM shots WHERE ib),
-        |pairs AS (
-        |  SELECT a.uid AS ua, c.uid AS ub
-        |  FROM reps a JOIN reps c ON a.uid < c.uid
-        |  WHERE bit_count(xor(a.fp, c.fp)) <= 2
-        |    AND a.doc_id != c.doc_id),
-        |sym AS (
-        |  SELECT DISTINCT uid FROM (
-        |    SELECT ua AS uid FROM pairs UNION ALL SELECT ub FROM pairs)),
-        |shared AS (
-        |  SELECT r.doc_id, r.shot_idx FROM reps r JOIN sym ON sym.uid = r.uid),
-        |tot AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shots
-        |  FROM reps GROUP BY doc_id),
-        |sh AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shots,
-        |         max(CASE WHEN shot_idx = 0 THEN 1 ELSE 0 END) AS intro_l
-        |  FROM shared GROUP BY doc_id)
-        |SELECT tot.doc_id AS media_id, tot.n_shots,
-        |       COALESCE(sh.n_shared_shots, 0) AS n_shared_shots,
-        |       (COALESCE(sh.intro_l, 0) = 1) AS intro_shared
-        |FROM tot LEFT JOIN sh ON sh.doc_id = tot.doc_id
-        |ORDER BY media_id""".stripMargin,
+    "q252_mpeg_scene_dedup" -> MpegSceneOracleSql,
+    // q254: q252 replayed on the I+P wire (same invariance argument)
+    "q254_mpeg_ipp_scene_dedup" -> MpegSceneOracleSql,
 
     // q225: the rendered template rebuilt turn by turn, the exact
     // render-identity verdicts, and the simhash fingerprints

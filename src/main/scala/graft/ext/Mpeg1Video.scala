@@ -1,37 +1,52 @@
 package graft.ext
 
-/** MPEG-1 Video (ISO/IEC 11172-2) — from-scratch I-frame codec, pure
+/** MPEG-1 Video (ISO/IEC 11172-2) — from-scratch I+P codec, pure
   * JVM byte/bit parsing, no codec library. Retires the last multimodal
   * stub: compressed video now rides the same real-wire discipline as
   * JPEG/PNG/FLAC/MPEG-1-audio ([[Jpeg]], [[Png]], [[Flac]], [[Mpeg1]]).
   *
-  * SCOPE (disclosed): intra-coded pictures only. The encoder emits
-  * I-picture-only streams (sequence header → GOP → I pictures → sequence
-  * end) — the "all-keyframe" profile a frame-fingerprint pipeline wants
-  * anyway, since every frame must be independently decodable for
-  * sampling. The decoder rejects P/B pictures (predictive decode needs
-  * motion compensation, out of from-scratch scope) with the contracted
-  * `None`, never a crash. Within I-only scope the wire is the real
-  * standard: 12-bit dims, default or downloaded intra quantizer matrix,
-  * slice-per-row structure, Table B.1 macroblock addressing, B.2a
-  * macroblock types, B.5a/B.5b DC size VLCs, the short-code subset of
-  * the B.5 DCT coefficient table plus full ESCAPE coding, MPEG-1 intra
+  * SCOPE (disclosed): intra (I) and forward-predicted (P) pictures.
+  * `encode(gopSize = 0)` emits the all-keyframe profile (every frame
+  * independently decodable — what a frame-sampling pipeline wants);
+  * `gopSize = n` emits I at every n-th frame and P in between, with
+  * full-pel motion search (optional half-pel refinement), skipped
+  * macroblocks, motion-only (pred-m), coded-residual (pred-mc/pred-c)
+  * and intra-fallback macroblock types. The decoder reconstructs both
+  * picture types: Table B.2b P macroblock types, Table B.4 motion
+  * vector VLCs with the §2.4.4.3 wraparound/differential rules,
+  * half-pel interpolation, truncating chroma vector halving, skipped-
+  * macroblock copy, non-intra dequantization `((2·L + sgn L)·q·W)/16`
+  * with oddification, and dct_coeff_first handling. B and D pictures
+  * (bidirectional decode needs a future reference) stay out of scope
+  * and decode to the contracted `None`, never a crash. The rest of the
+  * wire is the real standard: 12-bit dims, default or downloaded
+  * quantizer matrices, slice-per-row structure, Table B.1 macroblock
+  * addressing, B.5a/B.5b DC size VLCs, the short-code subset of the
+  * B.5 DCT coefficient table plus full ESCAPE coding, MPEG-1 intra
   * dequantization with oddification mismatch control, and 4:2:0 chroma.
   *
-  * The encoder restricts itself to run/level codes in the 2-7 bit
-  * B.5 subset and ESCAPE-codes everything else (always legal per the
-  * spec, slightly less compact); the decoder additionally understands
-  * the 8-bit `0010 0xxx` group. Longer B.5 codes (10-16 bit, which this
-  * encoder never emits and no other encoder exists in this container to
-  * emit) decode to the contracted `None` rather than risking a silent
-  * mis-decode from a mistyped table row.
+  * Subset discipline (shared with the B.5 handling): the encoder
+  * restricts itself to run/level codes in the 2-7 bit B.5 subset and
+  * ESCAPE-codes everything else (always legal per the spec, slightly
+  * less compact); the decoder additionally understands the 8-bit
+  * `0010 0xxx` group. Longer B.5 codes — which this encoder never
+  * emits and no other encoder exists in this container to emit —
+  * decode to the contracted `None` rather than risking a silent
+  * mis-decode from a mistyped table row. The same discipline governs
+  * Table B.3 coded_block_patterns: encoder and decoder share the 29
+  * short-code (3-7 bit) entries; a macroblock whose natural pattern
+  * has no short code is encoded as an intra macroblock instead
+  * (bit-exact semantics, marginally more bits), and the decoder
+  * rejects the 8-9 bit tail codes it can never receive here.
   *
   * Cited behaviors: start-code layer structure (ISO 11172-2 §2.4.2),
-  * intra dct_recon with oddification (§2.4.4.2), DC predictor reset to
-  * 1024 at slice start (§2.4.4.1), default intra quantizer matrix
-  * (§2.4.3.2). The reference pipeline (kavyarana/
-  * cryptocurrency-data-pipeline) has no video surface at all — this is
-  * north-star scope for the 100 TB training-data engine.
+  * intra dct_recon with oddification (§2.4.4.2), non-intra dct_recon
+  * (§2.4.4.3), motion vector reconstruction wraparound (§2.4.4.3),
+  * DC predictor reset to 1024 at slice start and after non-intra
+  * macroblocks (§2.4.4.1), default quantizer matrices (§2.4.3.2).
+  * The reference pipeline (kavyarana/cryptocurrency-data-pipeline)
+  * has no video surface at all — this is north-star scope for the
+  * 100 TB training-data engine.
   */
 object Mpeg1Video {
 
@@ -64,6 +79,51 @@ object Mpeg1Video {
   private val DcChromaCodes: Array[(Int, Int)] = Array(
     (0x0, 2), (0x1, 2), (0x2, 2), (0x6, 3), (0xe, 4),
     (0x1e, 5), (0x3e, 6), (0x7e, 7), (0xfe, 8))
+
+  /** Default non-intra quantizer matrix: flat 16 (§2.4.3.2). */
+  private val DefaultNonIntraQ: Array[Int] = Array.fill(64)(16)
+
+  /** coded_block_pattern (Table B.3, shared with H.261 Table 9) —
+    * the 29-entry short-code (3-7 bit) core both sides agree on:
+    * cbp → (code, bits). Patterns outside this set are never emitted
+    * (the encoder falls back to an intra macroblock) and the decoder
+    * rejects the 8-9 bit tail rather than risking a mistyped row —
+    * the B.5 subset discipline applied to B.3.
+    */
+  private val CbpEncCodes: Map[Int, (Int, Int)] = Map(
+    60 -> (0x7, 3),
+    4 -> (0xd, 4), 8 -> (0xc, 4), 16 -> (0xb, 4), 32 -> (0xa, 4),
+    12 -> (0x13, 5), 48 -> (0x12, 5), 20 -> (0x11, 5), 40 -> (0x10, 5),
+    28 -> (0xf, 5), 44 -> (0xe, 5), 52 -> (0xd, 5), 56 -> (0xc, 5),
+    1 -> (0xb, 5), 61 -> (0xa, 5), 2 -> (0x9, 5), 62 -> (0x8, 5),
+    24 -> (0xf, 6), 36 -> (0xe, 6), 3 -> (0xd, 6), 63 -> (0xc, 6),
+    5 -> (0x17, 7), 9 -> (0x16, 7), 17 -> (0x15, 7), 33 -> (0x14, 7),
+    6 -> (0x13, 7), 10 -> (0x12, 7), 18 -> (0x11, 7), 34 -> (0x10, 7))
+
+  /** Flat B.3 decode table over (len ≤ 7, code < 128): cbp or -1. */
+  private val CbpDecTable: Array[Int] = {
+    val t = Array.fill(8 * 128)(-1)
+    CbpEncCodes.foreach { case (cbp, (c, n)) => t(n * 128 + c) = cbp }
+    t
+  }
+
+  /** Table B.1 encode side: value 1-33 → (code, bits), inverted from
+    * [[addrIncrValue]] so encoder and decoder share one source table.
+    */
+  private val B1EncCodes: Array[(Int, Int)] = {
+    val a = new Array[(Int, Int)](34)
+    var len = 1
+    while (len <= 11) {
+      var code = 0
+      while (code < (1 << len)) {
+        val v = addrIncrValue(code, len)
+        if (v >= 1 && v <= 33 && a(v) == null) a(v) = (code, len)
+        code += 1
+      }
+      len += 1
+    }
+    a
+  }
 
   /** DCT coefficient codes the ENCODER uses (run, level) → (code w/o
     * sign, bits) — the unambiguous 2-7 bit core of Table B.5
@@ -153,7 +213,13 @@ object Mpeg1Video {
   }
 
   /** Inverse 8×8 DCT, natural-order coefficients → clamped pels. */
-  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+  private def idct(coef: Array[Int], out: Array[Int]): Unit =
+    idctInto(coef, out, clamp = true)
+
+  /** Inverse 8×8 DCT; `clamp = false` keeps signed values (non-intra
+    * RESIDUALS add to the prediction before the final 0-255 clamp).
+    */
+  private def idctInto(coef: Array[Int], out: Array[Int], clamp: Boolean): Unit = {
     val tmp = new Array[Double](64)
     var v = 0
     while (v < 8) {
@@ -179,11 +245,50 @@ object Mpeg1Video {
           vv += 1
         }
         val p = math.round(s * 0.5).toInt
-        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        out(y * 8 + x) =
+          if (!clamp) p else if (p < 0) 0 else if (p > 255) 255 else p
         x += 1
       }
       y += 1
     }
+  }
+
+  // -------------------------------------------- motion compensation
+
+  /** Forward prediction of a `bw`×`bh` block at (x0, y0) from `ref`
+    * with a HALF-PEL vector (vxh, vyh), §2.4.4.2 interpolation
+    * (integer average rounded away from zero: `(a+b+1)>>1`,
+    * `(a+b+c+d+2)>>2`). Returns false when any sample falls outside
+    * the `stride`×`rows` plane — illegal wire, never emitted here.
+    * Shared by encoder (closed-loop recon) and decoder, so both
+    * reconstruct bit-identically.
+    */
+  private def mcBlock(ref: Array[Int], stride: Int, rows: Int,
+      x0: Int, y0: Int, bw: Int, bh: Int, vxh: Int, vyh: Int,
+      out: Array[Int]): Boolean = {
+    val bx0 = x0 * 2 + vxh; val by0 = y0 * 2 + vyh
+    val fx = bx0 & 1; val fy = by0 & 1
+    val ix0 = bx0 >> 1; val iy0 = by0 >> 1
+    if (ix0 < 0 || iy0 < 0 || ix0 + bw - 1 + fx >= stride ||
+        iy0 + bh - 1 + fy >= rows) return false
+    var y = 0
+    while (y < bh) {
+      val r0 = (iy0 + y) * stride + ix0
+      val r1 = r0 + fy * stride
+      var x = 0
+      while (x < bw) {
+        val v =
+          if (fx == 0 && fy == 0) ref(r0 + x)
+          else if (fy == 0) (ref(r0 + x) + ref(r0 + x + 1) + 1) >> 1
+          else if (fx == 0) (ref(r0 + x) + ref(r1 + x) + 1) >> 1
+          else (ref(r0 + x) + ref(r0 + x + 1) +
+            ref(r1 + x) + ref(r1 + x + 1) + 2) >> 2
+        out(y * bw + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    true
   }
 
   // ------------------------------------------------------ bit plumbing
@@ -263,8 +368,17 @@ object Mpeg1Video {
     }
   }
 
-  private def putAc(w: BitWriter, run: Int, level: Int): Unit = {
+  /** Emit one (run, level) coefficient code. `first = true` uses the
+    * dct_coeff_first form, where run 0 / level ±1 is '1s' instead of
+    * '11s' (Table B.5c note 2) — all other codes are shared.
+    */
+  private def putAc(w: BitWriter, run: Int, level: Int,
+      first: Boolean = false): Unit = {
     val a = math.abs(level)
+    if (first && run == 0 && a == 1) {
+      w.put(1L, 1); w.put(if (level < 0) 1L else 0L, 1)
+      return
+    }
     AcEncCodes.get((run, a)) match {
       case Some((c, n)) =>
         w.put(c.toLong, n); w.put(if (level < 0) 1L else 0L, 1)
@@ -280,13 +394,19 @@ object Mpeg1Video {
 
   /** Encode one 8×8 intra block: quantize the DCT, emit DC diff + AC
     * run/levels + EOB. Returns the new DC predictor (quantized DC).
+    * When `recon` is non-null it receives the decoder-identical
+    * reconstruction (dequant + IDCT) — the closed encoding loop P
+    * pictures predict from, so encoder and decoder never drift.
     */
   private def encBlock(w: BitWriter, pels: Array[Int], qscale: Int,
-      dcPred: Int, luma: Boolean, intraQ: Array[Int]): Int = {
+      dcPred: Int, luma: Boolean, intraQ: Array[Int],
+      recon: Array[Int] = null): Int = {
     val f = new Array[Double](64)
     fdct(pels, f)
     val dc0 = math.max(0, math.min(255, math.round(f(0) / 8.0).toInt))
     putDcDiff(w, dc0 - dcPred, if (luma) DcLumaCodes else DcChromaCodes)
+    val deq = if (recon == null) null else new Array[Int](64)
+    if (deq != null) deq(0) = dc0 * 8
     var run = 0
     var zi = 1
     while (zi < 64) {
@@ -296,11 +416,161 @@ object Mpeg1Video {
       if (level > 255) level = 255
       if (level < -255) level = -255
       if (level == 0) run += 1
-      else { putAc(w, run, level); run = 0 }
+      else {
+        putAc(w, run, level); run = 0
+        if (deq != null) deq(r) = oddify(2 * level * qscale * intraQ(r) / 16)
+      }
       zi += 1
     }
     w.put(0x2L, 2) // EOB '10'
+    if (recon != null) idct(deq, recon)
     dc0
+  }
+
+  /** Quantize one 8×8 non-intra RESIDUAL block (§2.4.4.3 inverse:
+    * nearest level for recon `(2L + sgn L)·q·W/16`). Returns zigzag-
+    * order levels, all-zero when nothing survives the dead zone.
+    */
+  private def quantNonIntra(res: Array[Int], qscale: Int,
+      nonIntraQ: Array[Int]): Array[Int] = {
+    val f = new Array[Double](64)
+    fdct(res, f)
+    val lv = new Array[Int](64)
+    var zi = 0
+    while (zi < 64) {
+      val r = Zigzag(zi)
+      val scaled = 16.0 * math.abs(f(r)) / (qscale.toDouble * nonIntraQ(r))
+      var a = math.max(0L, math.round((scaled - 1.0) / 2.0)).toInt
+      if (a > 255) a = 255
+      lv(zi) = if (f(r) < 0) -a else a
+      zi += 1
+    }
+    lv
+  }
+
+  /** Emit one coded non-intra block (zigzag levels with ≥1 nonzero):
+    * dct_coeff_first + nexts + EOB, and write the decoder-identical
+    * dequantized RESIDUAL reconstruction into `recon`.
+    */
+  private def encResidualBlock(w: BitWriter, lv: Array[Int], qscale: Int,
+      nonIntraQ: Array[Int], recon: Array[Int]): Unit = {
+    val deq = new Array[Int](64)
+    var first = true
+    var run = 0
+    var zi = 0
+    while (zi < 64) {
+      val level = lv(zi)
+      if (level == 0) run += 1
+      else {
+        putAc(w, run, level, first)
+        val r = Zigzag(zi)
+        val sgn = if (level > 0) 1 else -1
+        deq(r) = oddify((2 * level + sgn) * qscale * nonIntraQ(r) / 16)
+        first = false
+        run = 0
+      }
+      zi += 1
+    }
+    w.put(0x2L, 2) // EOB
+    idctInto(deq, recon, clamp = false)
+  }
+
+  // ------------------------------------------------- motion plumbing
+
+  /** Emit a Table B.1 VLC for `value` ≥ 1 (escape-extends above 33). */
+  private def putB1(w: BitWriter, value: Int): Unit = {
+    var v = value
+    while (v > 33) { w.put(0x8L, 11); v -= 33 } // escape '0000 0001 000'
+    val (c, n) = B1EncCodes(v)
+    w.put(c.toLong, n)
+  }
+
+  /** Emit one motion component as a differential vs `prev` with the
+    * §2.4.4.3 wraparound (forward_f_code = 1 → range [-16, 15]).
+    * Table B.4 is Table B.1 re-keyed: code(0) = '1', code(+m) =
+    * B1(2m+1), code(−m) = B1(2m) — verified against the published
+    * table for every value (±1 → '010'/'011' … ±16 →
+    * '0000 0011 000'/'0000 0011 001').
+    */
+  private def putMotion(w: BitWriter, target: Int, prev: Int): Unit = {
+    var d = target - prev
+    if (d > 16) d -= 32 else if (d < -16) d += 32
+    if (d == 0) w.put(1L, 1)
+    else putB1(w, if (d > 0) 2 * d + 1 else -2 * d)
+  }
+
+  /** One Table B.1 prefix walk → value 1-33, [[AddrStuffing]], or
+    * [[AddrEscape]] (fails past 11 bits). Shared by macroblock
+    * addressing and (re-keyed) motion decode.
+    */
+  private def readB1(br: BitReader): Int = {
+    var c = 0; var len = 0
+    while (len < 11) {
+      c = (c << 1) | br.bits(1); len += 1
+      val m = addrIncrValue(c, len)
+      if (m != -1) return m
+    }
+    fail()
+  }
+
+  /** Decode + reconstruct one forward motion component (§2.4.4.3:
+    * differential with modular wraparound into [-16f, 16f-1]).
+    */
+  private def reconMotion(br: BitReader, prev: Int, fFwd: Int,
+      rSize: Int): Int = {
+    val v = readB1(br)
+    if (v == AddrStuffing || v == AddrEscape) fail() // not in Table B.4
+    val m = if (v == 1) 0 else if ((v & 1) == 1) (v - 1) / 2 else -(v / 2)
+    val r = if (rSize > 0 && m != 0) br.bits(rSize) else 0
+    val compl = if (m == 0) 0 else fFwd - 1 - r
+    var little = m * fFwd
+    var big = 0
+    if (little != 0) {
+      if (little > 0) { little -= compl; big = little - 32 * fFwd }
+      else { little += compl; big = little + 32 * fFwd }
+    }
+    val mx = 16 * fFwd - 1; val mn = -16 * fFwd
+    val nv = prev + little
+    val out = if (nv <= mx && nv >= mn) nv else prev + big
+    if (out > mx || out < mn) fail()
+    out
+  }
+
+  /** coded_block_pattern decode — the 3-7 bit B.3 core only (see the
+    * table comment for the subset discipline).
+    */
+  private def readCbp(br: BitReader): Int = {
+    var c = 0; var len = 0
+    while (len < 7) {
+      c = (c << 1) | br.bits(1); len += 1
+      val v = CbpDecTable(len * 128 + c)
+      if (v >= 0) return v
+    }
+    fail()
+  }
+
+  /** 16×16 SAD of source luma vs the half-pel prediction at
+    * (vxh, vyh); Int.MaxValue when the window leaves the plane;
+    * early-exits once the running sum passes `bound`.
+    */
+  private def sadLuma(src: Array[Int], ref: Array[Int], pw: Int, ph: Int,
+      x0: Int, y0: Int, vxh: Int, vyh: Int, bound: Int,
+      scratch: Array[Int]): Int = {
+    if (!mcBlock(ref, pw, ph, x0, y0, 16, 16, vxh, vyh, scratch))
+      return Int.MaxValue
+    var sad = 0
+    var y = 0
+    while (y < 16) {
+      val r = (y0 + y) * pw + x0
+      var x = 0
+      while (x < 16) {
+        sad += math.abs(src(r + x) - scratch(y * 16 + x))
+        x += 1
+      }
+      if (sad > bound) return Int.MaxValue
+      y += 1
+    }
+    sad
   }
 
   /** Mono-plane 2×2 average subsample (chroma 4:2:0). */
@@ -320,21 +590,32 @@ object Mpeg1Video {
     out
   }
 
-  /** Encode top-down BGR frames as an I-picture-only MPEG-1 video
-    * elementary stream. `qscale` 1-31; `mbQuantEvery` > 0 re-sends the
-    * (same) quantizer_scale on every k-th macroblock via the
-    * intra+quant macroblock type — a distinct wire exercising the B.2a
-    * '01' decode path with identical reconstruction.
+  /** Encode top-down BGR frames as an MPEG-1 video elementary stream.
+    * `qscale` 1-31; `mbQuantEvery` > 0 re-sends the (same)
+    * quantizer_scale on every k-th intra macroblock via the B.2a '01'
+    * type — a distinct wire with identical reconstruction.
+    * `gopSize = 0` (default) emits the all-keyframe profile;
+    * `gopSize = n` emits an I picture every n-th frame and forward-
+    * predicted P pictures between them: per macroblock a full-pel
+    * motion search over ±`searchRange` (plus a half-pel refinement
+    * when `halfPel`) against the closed-loop reconstruction picks
+    * skip / pred-m / pred-c / pred-mc, falling back to an intra
+    * macroblock when the residual is large or its coded_block_pattern
+    * has no short B.3 code (see the table comment).
     */
   def encode(width: Int, height: Int, frames: Seq[Array[Byte]],
-      qscale: Int = 3, mbQuantEvery: Int = 0): Array[Byte] = {
+      qscale: Int = 3, mbQuantEvery: Int = 0, gopSize: Int = 0,
+      searchRange: Int = 3, halfPel: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 4095 && height <= 2800,
       "dims must fit 12-bit headers and the 0xAF slice-code ceiling")
     require(qscale >= 1 && qscale <= 31, "quantizer_scale is 5 bits, 1-31")
     require(frames.nonEmpty && frames.forall(_.length == width * height * 3),
       "frames must be w*h*3 BGR")
+    require(searchRange >= 0 && searchRange <= 7,
+      "±7 full-pel keeps every differential inside the f_code=1 range")
     val mbW = (width + 15) / 16; val mbH = (height + 15) / 16
     val pw = mbW * 16; val ph = mbH * 16
+    val cw = pw / 2; val chh = ph / 2
     val w = new BitWriter
     // sequence header
     w.startCode(0xb3)
@@ -347,6 +628,51 @@ object Mpeg1Video {
     // one GOP
     w.startCode(0xb8)
     w.put(0L, 25); w.put(1L, 1); w.put(0L, 1) // time_code, closed, !broken
+    // closed-loop reconstruction planes (ref = previous frame's recon,
+    // cur = this frame's) — only maintained when P pictures can occur
+    val track = gopSize > 0
+    var refY: Array[Int] = if (track) new Array[Int](pw * ph) else null
+    var refCb: Array[Int] = if (track) new Array[Int](cw * chh) else null
+    var refCr: Array[Int] = if (track) new Array[Int](cw * chh) else null
+    var curY: Array[Int] = if (track) new Array[Int](pw * ph) else null
+    var curCb: Array[Int] = if (track) new Array[Int](cw * chh) else null
+    var curCr: Array[Int] = if (track) new Array[Int](cw * chh) else null
+    val block = new Array[Int](64)
+    val rec = new Array[Int](64)
+    val pred = new Array[Int](64)
+    val scratch16 = new Array[Int](256)
+
+    def grab(src: Array[Int], stride: Int, x0: Int, y0: Int): Unit = {
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          block(by * 8 + bx) = src((y0 + by) * stride + x0 + bx); bx += 1
+        }
+        by += 1
+      }
+    }
+    def put8(dst: Array[Int], stride: Int, x0: Int, y0: Int,
+        src: Array[Int]): Unit = {
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          dst((y0 + by) * stride + x0 + bx) = src(by * 8 + bx); bx += 1
+        }
+        by += 1
+      }
+    }
+    def copyRect(src: Array[Int], dst: Array[Int], stride: Int,
+        x0: Int, y0: Int, bw: Int, bh: Int): Unit = {
+      var by = 0
+      while (by < bh) {
+        System.arraycopy(src, (y0 + by) * stride + x0,
+          dst, (y0 + by) * stride + x0, bw)
+        by += 1
+      }
+    }
+
     frames.zipWithIndex.foreach { case (bgr, fi) =>
       // color convert + edge-replicate pad to macroblock multiples
       val yP = new Array[Int](pw * ph)
@@ -372,48 +698,200 @@ object Mpeg1Video {
       }
       val cbP = subsample(cbF, pw, ph)
       val crP = subsample(crF, pw, ph)
-      // picture header (I)
+      val isI = !track || fi % gopSize == 0
+      // picture header
       w.startCode(0x00)
-      w.put((fi % 1024).toLong, 10); w.put(1L, 3); w.put(0xffffL, 16)
+      w.put((fi % 1024).toLong, 10)
+      w.put(if (isI) 1L else 2L, 3)
+      w.put(0xffffL, 16)
+      if (!isI) { w.put(0L, 1); w.put(1L, 3) } // full_pel=0, forward_f_code=1
       w.put(0L, 1) // extra_bit_picture
-      val block = new Array[Int](64)
-      var row = 0
-      while (row < mbH) {
-        w.startCode(row + 1) // slice_vertical_position
-        w.put(qscale.toLong, 5)
-        w.put(0L, 1) // extra_bit_slice
-        var dcY = 128; var dcCb = 128; var dcCr = 128
-        var mx = 0
-        while (mx < mbW) {
-          w.put(1L, 1) // macroblock_address_increment = 1
-          val sendQ = mbQuantEvery > 0 && mx % mbQuantEvery == 0
-          if (sendQ) { w.put(1L, 2); w.put(qscale.toLong, 5) } // '01' + qscale
-          else w.put(1L, 1) // '1' intra
-          def grab(p: Array[Int], stride: Int, x0: Int, y0: Int): Unit = {
-            var by = 0
-            while (by < 8) {
-              var bx = 0
-              while (bx < 8) {
-                block(by * 8 + bx) = p((y0 + by) * stride + x0 + bx); bx += 1
-              }
-              by += 1
-            }
-          }
-          var blk = 0
-          while (blk < 4) {
-            grab(yP, pw, mx * 16 + (blk % 2) * 8, row * 16 + (blk / 2) * 8)
-            dcY = encBlock(w, block, qscale, dcY, luma = true, DefaultIntraQ)
-            blk += 1
-          }
-          grab(cbP, pw / 2, mx * 8, row * 8)
-          dcCb = encBlock(w, block, qscale, dcCb, luma = false, DefaultIntraQ)
-          grab(crP, pw / 2, mx * 8, row * 8)
-          dcCr = encBlock(w, block, qscale, dcCr, luma = false, DefaultIntraQ)
-          mx += 1
+
+      /** Encode one intra macroblock (either picture type) at
+        * (mx, row), updating the `dcs` DC predictors in place and
+        * (when tracking) the cur reconstruction planes.
+        */
+      def intraMb(mx: Int, row: Int, dcs: Array[Int]): Unit = {
+        var blk = 0
+        while (blk < 4) {
+          val bx = mx * 16 + (blk % 2) * 8; val by = row * 16 + (blk / 2) * 8
+          grab(yP, pw, bx, by)
+          dcs(0) = encBlock(w, block, qscale, dcs(0), luma = true,
+            DefaultIntraQ, if (track) rec else null)
+          if (track) put8(curY, pw, bx, by, rec)
+          blk += 1
         }
-        row += 1
+        grab(cbP, cw, mx * 8, row * 8)
+        dcs(1) = encBlock(w, block, qscale, dcs(1), luma = false,
+          DefaultIntraQ, if (track) rec else null)
+        if (track) put8(curCb, cw, mx * 8, row * 8, rec)
+        grab(crP, cw, mx * 8, row * 8)
+        dcs(2) = encBlock(w, block, qscale, dcs(2), luma = false,
+          DefaultIntraQ, if (track) rec else null)
+        if (track) put8(curCr, cw, mx * 8, row * 8, rec)
       }
-      ()
+
+      if (isI) {
+        var row = 0
+        while (row < mbH) {
+          w.startCode(row + 1) // slice_vertical_position
+          w.put(qscale.toLong, 5)
+          w.put(0L, 1) // extra_bit_slice
+          val dcs = Array(128, 128, 128)
+          var mx = 0
+          while (mx < mbW) {
+            w.put(1L, 1) // macroblock_address_increment = 1
+            val sendQ = mbQuantEvery > 0 && mx % mbQuantEvery == 0
+            if (sendQ) { w.put(1L, 2); w.put(qscale.toLong, 5) } // '01' + qscale
+            else w.put(1L, 1) // '1' intra
+            intraMb(mx, row, dcs)
+            mx += 1
+          }
+          row += 1
+        }
+      } else {
+        val levels = Array.ofDim[Int](6, 64)
+        var row = 0
+        while (row < mbH) {
+          w.startCode(row + 1)
+          w.put(qscale.toLong, 5)
+          w.put(0L, 1)
+          val dcs = Array(128, 128, 128)
+          var pmx = 0; var pmy = 0
+          var pending = 0
+          var mx = 0
+          while (mx < mbW) {
+            val x0 = mx * 16; val y0 = row * 16
+            // full-pel diamond-less search, (0,0) first with early out
+            var bestVx = 0; var bestVy = 0
+            var bestSad =
+              sadLuma(yP, refY, pw, ph, x0, y0, 0, 0, Int.MaxValue, scratch16)
+            if (bestSad > 0 && searchRange > 0) {
+              var dy = -searchRange
+              while (dy <= searchRange && bestSad > 0) {
+                var dx = -searchRange
+                while (dx <= searchRange && bestSad > 0) {
+                  if (dx != 0 || dy != 0) {
+                    val s = sadLuma(yP, refY, pw, ph, x0, y0,
+                      dx * 2, dy * 2, bestSad, scratch16)
+                    if (s < bestSad) { bestSad = s; bestVx = dx * 2; bestVy = dy * 2 }
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+              if (halfPel && bestSad > 0) {
+                val cx = bestVx; val cy = bestVy
+                var k = 0
+                while (k < 8) {
+                  val hx = cx + HalfPelDx(k); val hy = cy + HalfPelDy(k)
+                  val s = sadLuma(yP, refY, pw, ph, x0, y0, hx, hy,
+                    bestSad, scratch16)
+                  if (s < bestSad) { bestSad = s; bestVx = hx; bestVy = hy }
+                  k += 1
+                }
+              }
+            }
+            // residual quantization for the inter hypothesis
+            val useIntra0 = bestSad > 24 * 256 // scene-change heuristic
+            var cbp = 0
+            if (!useIntra0) {
+              val cvx = bestVx / 2; val cvy = bestVy / 2
+              var blk = 0
+              while (blk < 6) {
+                if (blk < 4) {
+                  val bx = x0 + (blk % 2) * 8; val by = y0 + (blk / 2) * 8
+                  mcBlock(refY, pw, ph, bx, by, 8, 8, bestVx, bestVy, pred)
+                  grab(yP, pw, bx, by)
+                } else {
+                  val src = if (blk == 4) refCb else refCr
+                  mcBlock(src, cw, chh, mx * 8, row * 8, 8, 8, cvx, cvy, pred)
+                  grab(if (blk == 4) cbP else crP, cw, mx * 8, row * 8)
+                }
+                var i = 0
+                while (i < 64) { block(i) -= pred(i); i += 1 }
+                val lv = quantNonIntra(block, qscale, DefaultNonIntraQ)
+                System.arraycopy(lv, 0, levels(blk), 0, 64)
+                var any = false
+                i = 0
+                while (i < 64 && !any) { any = lv(i) != 0; i += 1 }
+                if (any) cbp |= 32 >> blk
+                blk += 1
+              }
+            }
+            val interOk =
+              !useIntra0 && (cbp == 0 || CbpEncCodes.contains(cbp))
+            if (interOk && cbp == 0 && bestVx == 0 && bestVy == 0 &&
+                mx != 0 && mx != mbW - 1) {
+              // skipped macroblock: recon = co-located ref copy
+              pending += 1
+              copyRect(refY, curY, pw, x0, y0, 16, 16)
+              copyRect(refCb, curCb, cw, mx * 8, row * 8, 8, 8)
+              copyRect(refCr, curCr, cw, mx * 8, row * 8, 8, 8)
+              dcs(0) = 128; dcs(1) = 128; dcs(2) = 128
+              pmx = 0; pmy = 0
+            } else if (!interOk) {
+              // intra macroblock inside the P picture
+              putB1(w, pending + 1); pending = 0
+              w.put(0x3L, 5) // B.2b '00011' intra
+              intraMb(mx, row, dcs)
+              pmx = 0; pmy = 0
+            } else {
+              putB1(w, pending + 1); pending = 0
+              if (cbp == 0) {
+                w.put(1L, 3) // '001' pred-m (motion only)
+                putMotion(w, bestVx, pmx); putMotion(w, bestVy, pmy)
+                pmx = bestVx; pmy = bestVy
+              } else if (bestVx == 0 && bestVy == 0) {
+                w.put(1L, 2) // '01' pred-c (no motion, coded pattern)
+                pmx = 0; pmy = 0
+              } else {
+                w.put(1L, 1) // '1' pred-mc
+                putMotion(w, bestVx, pmx); putMotion(w, bestVy, pmy)
+                pmx = bestVx; pmy = bestVy
+              }
+              if (cbp != 0) {
+                val (c, n) = CbpEncCodes(cbp)
+                w.put(c.toLong, n)
+              }
+              // reconstruction: prediction (+ residual on coded blocks)
+              val cvx = bestVx / 2; val cvy = bestVy / 2
+              var blk = 0
+              while (blk < 6) {
+                val (dst, stride, bx, by, refP) =
+                  if (blk < 4)
+                    (curY, pw, x0 + (blk % 2) * 8, y0 + (blk / 2) * 8, refY)
+                  else if (blk == 4) (curCb, cw, mx * 8, row * 8, refCb)
+                  else (curCr, cw, mx * 8, row * 8, refCr)
+                val vx = if (blk < 4) bestVx else cvx
+                val vy = if (blk < 4) bestVy else cvy
+                mcBlock(refP, stride, if (blk < 4) ph else chh,
+                  bx, by, 8, 8, vx, vy, pred)
+                if ((cbp & (32 >> blk)) != 0) {
+                  encResidualBlock(w, levels(blk), qscale, DefaultNonIntraQ, rec)
+                  var i = 0
+                  while (i < 64) {
+                    val v = pred(i) + rec(i)
+                    pred(i) = if (v < 0) 0 else if (v > 255) 255 else v
+                    i += 1
+                  }
+                }
+                put8(dst, stride, bx, by, pred)
+                blk += 1
+              }
+              dcs(0) = 128; dcs(1) = 128; dcs(2) = 128
+            }
+            mx += 1
+          }
+          row += 1
+        }
+      }
+      if (track) {
+        // I pictures write cur via intraMb too; swap cur → ref
+        var t = refY; refY = curY; curY = t
+        t = refCb; refCb = curCb; curCb = t
+        t = refCr; refCr = curCr; curCr = t
+      }
     }
     w.startCode(0xb7) // sequence_end_code
     w.toBytes
@@ -470,11 +948,15 @@ object Mpeg1Video {
 
   /** Decode one AC (run, level) pair, packed allocation-free as
     * `run << 16 | (level & 0xffff)` (level sign-extends from 16 bits),
-    * or [[AcEob]] for the '10' end-of-block code.
+    * or [[AcEob]] for the '10' end-of-block code. `first = true` reads
+    * the dct_coeff_first form ('1s' = run 0 / level ±1; EOB cannot be
+    * first), otherwise dct_coeff_next.
     */
-  private def decodeAc(br: BitReader): Int = {
-    // '1x': EOB '10' or run0/level±1 '11s'
+  private def decodeAc(br: BitReader, first: Boolean = false): Int = {
+    // '1x': EOB '10' or run0/level±1 '11s' ('1s' when first)
     if (br.bits(1) == 1) {
+      if (first)
+        return if (br.bits(1) == 1) pack(0, -1) else pack(0, 1)
       if (br.bits(1) == 0) return AcEob
       return if (br.bits(1) == 1) pack(0, -1) else pack(0, 1)
     }
@@ -519,12 +1001,19 @@ object Mpeg1Video {
     var width = 0; var height = 0
     var mbW = 0; var mbH = 0; var pw = 0; var ph = 0
     val intraQ = DefaultIntraQ.clone()
+    val nonIntraQ = DefaultNonIntraQ.clone()
     var yP: Array[Int] = null; var cbP: Array[Int] = null; var crP: Array[Int] = null
+    // previous picture's reconstruction — the P-picture reference
+    var refY: Array[Int] = null; var refCb: Array[Int] = null; var refCr: Array[Int] = null
     var inPicture = false
+    var picType = 0 // 1 = I, 2 = P
+    var fullPel = false
+    var fFwd = 1; var rSize = 0 // forward_f, forward_r_size
     var outBytes = 0L
     val frames = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
     val block = new Array[Int](64)
     val pels = new Array[Int](64)
+    val pred = new Array[Int](64)
 
     def commitFrame(): Unit = {
       if (!inPicture) return
@@ -575,9 +1064,10 @@ object Mpeg1Video {
             while (i < 64) { intraQ(Zigzag(i)) = br.bits(8); i += 1 }
             if (intraQ.exists(_ == 0)) fail()
           }
-          if (br.bits(1) == 1) { // load_non_intra (unused in I-only; skip)
+          if (br.bits(1) == 1) { // load_non_intra_quantizer_matrix
             var i = 0
-            while (i < 64) { br.bits(8); i += 1 }
+            while (i < 64) { nonIntraQ(Zigzag(i)) = br.bits(8); i += 1 }
+            if (nonIntraQ.exists(_ == 0)) fail()
           }
           mbW = (width + 15) / 16; mbH = (height + 15) / 16
           pw = mbW * 16; ph = mbH * 16
@@ -585,6 +1075,9 @@ object Mpeg1Video {
             yP = new Array[Int](pw * ph)
             cbP = new Array[Int]((pw / 2) * (ph / 2))
             crP = new Array[Int]((pw / 2) * (ph / 2))
+            refY = new Array[Int](pw * ph)
+            refCb = new Array[Int]((pw / 2) * (ph / 2))
+            refCr = new Array[Int]((pw / 2) * (ph / 2))
           }
         case 0xb8 => // GOP header: fixed fields, nothing to keep
           commitFrame()
@@ -594,11 +1087,24 @@ object Mpeg1Video {
           if (width == 0) fail() // no sequence header yet
           br.bits(10) // temporal_reference
           val ptype = br.bits(3)
-          if (ptype != 1) fail() // I pictures only (disclosed scope)
+          if (ptype != 1 && ptype != 2) fail() // I/P only; B/D out of scope
+          if (ptype == 2 && frames.isEmpty) fail() // P needs a reference
           br.bits(16) // vbv_delay
+          if (ptype == 2) {
+            fullPel = br.bits(1) == 1
+            val fc = br.bits(3) // forward_f_code 1-7
+            if (fc == 0) fail()
+            fFwd = 1 << (fc - 1); rSize = fc - 1
+          }
           while (br.bits(1) == 1) br.bits(8) // extra_information_picture
           outBytes += width.toLong * height * 3
           if (outBytes > maxOutBytes) fail()
+          if (ptype == 2) { // snapshot the reference before overwriting
+            System.arraycopy(yP, 0, refY, 0, yP.length)
+            System.arraycopy(cbP, 0, refCb, 0, cbP.length)
+            System.arraycopy(crP, 0, refCr, 0, crP.length)
+          }
+          picType = ptype
           inPicture = true
         case s if s >= 0x01 && s <= 0xaf => // slice
           if (!inPicture) fail()
@@ -608,44 +1114,52 @@ object Mpeg1Video {
           while (br.bits(1) == 1) br.bits(8) // extra_information_slice
           var mbAddr = sliceRow * mbW - 1
           var dcY = 128; var dcCb = 128; var dcCr = 128
-          while (br.hasOneBit) {
-            // macroblock_address_increment (stuffing + escape aware)
-            var incr = 0
-            var reading = true
-            while (reading) {
-              // Table B.1 prefix walk
-              var c = 0; var len = 0
-              var matched = -1
-              while (matched < 0) {
-                c = (c << 1) | br.bits(1); len += 1
-                matched = addrIncrValue(c, len)
-                if (matched < 0 && len >= 11) fail()
+          var pmx = 0; var pmy = 0 // motion predictors (P pictures)
+          val cw = pw / 2
+
+          /** Write an 8×8 block into a plane at (x0, y0). */
+          def put8(dst: Array[Int], stride: Int, x0: Int, y0: Int,
+              src: Array[Int]): Unit = {
+            var by = 0
+            while (by < 8) {
+              var bx = 0
+              while (bx < 8) {
+                dst((y0 + by) * stride + x0 + bx) = src(by * 8 + bx); bx += 1
               }
-              matched match {
-                case AddrStuffing => () // consume and keep reading
-                case AddrEscape => incr += 33
-                case v => incr += v; reading = false
-              }
+              by += 1
             }
-            mbAddr += incr
-            if (incr != 1 && mbAddr != sliceRow * mbW + incr - 1)
-              fail() // I pictures: no skipped macroblocks mid-slice
-            if (mbAddr < 0 || mbAddr >= mbW * mbH) fail()
-            if (incr > 1) { dcY = 128; dcCb = 128; dcCr = 128 }
-            // macroblock_type (Table B.2a)
-            if (br.bits(1) == 0) {
-              if (br.bits(1) != 1) fail()
-              qscale = br.bits(5)
-              if (qscale == 0) fail()
+          }
+
+          /** Skipped P macroblock: co-located copy from the reference. */
+          def copySkipped(addr: Int): Unit = {
+            val x0 = (addr % mbW) * 16; val y0 = (addr / mbW) * 16
+            var by = 0
+            while (by < 16) {
+              System.arraycopy(refY, (y0 + by) * pw + x0,
+                yP, (y0 + by) * pw + x0, 16)
+              by += 1
             }
+            val cx = (addr % mbW) * 8; val cy = (addr / mbW) * 8
+            by = 0
+            while (by < 8) {
+              System.arraycopy(refCb, (cy + by) * cw + cx,
+                cbP, (cy + by) * cw + cx, 8)
+              System.arraycopy(refCr, (cy + by) * cw + cx,
+                crP, (cy + by) * cw + cx, 8)
+              by += 1
+            }
+          }
+
+          /** The 6-block intra macroblock body (both picture types). */
+          def decodeIntraBlocks(): Unit = {
             val my = (mbAddr / mbW) * 16; val mx = (mbAddr % mbW) * 16
             var blk = 0
             while (blk < 6) {
               java.util.Arrays.fill(block, 0)
               val luma = blk < 4
               val diff = decodeDcDiff(br, luma)
-              val pred = if (luma) dcY else if (blk == 4) dcCb else dcCr
-              val dc = pred + diff
+              val dcPred = if (luma) dcY else if (blk == 4) dcCb else dcCr
+              val dc = dcPred + diff
               if (dc < 0 || dc > 255) fail()
               if (luma) dcY = dc else if (blk == 4) dcCb = dc else dcCr = dc
               block(0) = dc * 8
@@ -663,29 +1177,142 @@ object Mpeg1Video {
                 }
               }
               idct(block, pels)
-              if (luma) {
-                val x0 = mx + (blk % 2) * 8; val y0 = my + (blk / 2) * 8
-                var by = 0
-                while (by < 8) {
-                  var bx = 0
-                  while (bx < 8) {
-                    yP((y0 + by) * pw + x0 + bx) = pels(by * 8 + bx); bx += 1
-                  }
-                  by += 1
-                }
-              } else {
-                val p = if (blk == 4) cbP else crP
-                val x0 = (mbAddr % mbW) * 8; val y0 = (mbAddr / mbW) * 8
-                var by = 0
-                while (by < 8) {
-                  var bx = 0
-                  while (bx < 8) {
-                    p((y0 + by) * (pw / 2) + x0 + bx) = pels(by * 8 + bx); bx += 1
-                  }
-                  by += 1
-                }
-              }
+              if (luma)
+                put8(yP, pw, mx + (blk % 2) * 8, my + (blk / 2) * 8, pels)
+              else
+                put8(if (blk == 4) cbP else crP, cw,
+                  (mbAddr % mbW) * 8, (mbAddr / mbW) * 8, pels)
               blk += 1
+            }
+          }
+
+          /** One coded non-intra residual block added onto `pred`. */
+          def decodeResidualOnto(): Unit = {
+            java.util.Arrays.fill(block, 0)
+            var zi = -1
+            var first = true
+            var eob = false
+            while (!eob) {
+              val packed = decodeAc(br, first)
+              if (packed == AcEob) eob = true
+              else {
+                val run = packed >>> 16
+                val level = (packed << 16) >> 16
+                zi += run + 1
+                if (zi > 63) fail()
+                val r = Zigzag(zi)
+                val sgn = if (level > 0) 1 else -1
+                block(r) = oddify((2 * level + sgn) * qscale * nonIntraQ(r) / 16)
+                first = false
+              }
+            }
+            idctInto(block, pels, clamp = false)
+            var i = 0
+            while (i < 64) {
+              val v = pred(i) + pels(i)
+              pred(i) = if (v < 0) 0 else if (v > 255) 255 else v
+              i += 1
+            }
+          }
+
+          while (br.hasOneBit) {
+            // macroblock_address_increment (stuffing + escape aware)
+            var incr = 0
+            var reading = true
+            while (reading) {
+              readB1(br) match {
+                case AddrStuffing => () // consume and keep reading
+                case AddrEscape => incr += 33
+                case v => incr += v; reading = false
+              }
+            }
+            if (picType == 1) {
+              mbAddr += incr
+              if (incr != 1 && mbAddr != sliceRow * mbW + incr - 1)
+                fail() // I pictures: no skipped macroblocks mid-slice
+              if (mbAddr < 0 || mbAddr >= mbW * mbH) fail()
+              if (incr > 1) { dcY = 128; dcCb = 128; dcCr = 128 }
+            } else {
+              // P pictures: in-between macroblocks are skipped copies
+              var k = 1
+              while (k < incr) {
+                mbAddr += 1
+                if (mbAddr < 0 || mbAddr >= mbW * mbH) fail()
+                copySkipped(mbAddr)
+                k += 1
+              }
+              mbAddr += 1
+              if (mbAddr < 0 || mbAddr >= mbW * mbH) fail()
+              if (incr > 1) {
+                dcY = 128; dcCb = 128; dcCr = 128 // reset after skips
+                pmx = 0; pmy = 0
+              }
+            }
+            // macroblock_type
+            var mbIntra = true
+            var mf = false
+            var pattern = false
+            if (picType == 1) { // Table B.2a
+              if (br.bits(1) == 0) {
+                if (br.bits(1) != 1) fail()
+                qscale = br.bits(5)
+                if (qscale == 0) fail()
+              }
+            } else { // Table B.2b
+              var quantF = false
+              if (br.bits(1) == 1) { mf = true; pattern = true; mbIntra = false }
+              else if (br.bits(1) == 1) { pattern = true; mbIntra = false }
+              else if (br.bits(1) == 1) { mf = true; mbIntra = false }
+              else if (br.bits(1) == 1) {
+                if (br.bits(1) == 1) () // '00011' intra
+                else { quantF = true; mf = true; pattern = true; mbIntra = false }
+              }
+              else if (br.bits(1) == 1) { quantF = true; pattern = true; mbIntra = false }
+              else if (br.bits(1) == 1) { quantF = true } // '000001' intra-q
+              else fail()
+              if (quantF) {
+                qscale = br.bits(5)
+                if (qscale == 0) fail()
+              }
+            }
+            // forward motion vector (differential, §2.4.4.3)
+            var mvx = 0; var mvy = 0
+            if (mf) {
+              mvx = reconMotion(br, pmx, fFwd, rSize)
+              mvy = reconMotion(br, pmy, fFwd, rSize)
+              pmx = mvx; pmy = mvy
+            } else if (picType == 2) { pmx = 0; pmy = 0 }
+            if (picType == 1 || mbIntra) {
+              if (picType == 2) { pmx = 0; pmy = 0 } // intra resets MVs
+              decodeIntraBlocks()
+            } else {
+              // prediction + optional residual
+              val vx = if (fullPel) mvx << 1 else mvx
+              val vy = if (fullPel) mvy << 1 else mvy
+              val cvx = vx / 2; val cvy = vy / 2 // truncation toward zero
+              val cbp = if (pattern) readCbp(br) else 0
+              val my = (mbAddr / mbW) * 16; val mx0 = (mbAddr % mbW) * 16
+              var blk = 0
+              while (blk < 6) {
+                val ok =
+                  if (blk < 4)
+                    mcBlock(refY, pw, ph,
+                      mx0 + (blk % 2) * 8, my + (blk / 2) * 8, 8, 8,
+                      vx, vy, pred)
+                  else
+                    mcBlock(if (blk == 4) refCb else refCr, cw, ph / 2,
+                      (mbAddr % mbW) * 8, (mbAddr / mbW) * 8, 8, 8,
+                      cvx, cvy, pred)
+                if (!ok) fail() // vector leaves the picture: illegal wire
+                if ((cbp & (32 >> blk)) != 0) decodeResidualOnto()
+                if (blk < 4)
+                  put8(yP, pw, mx0 + (blk % 2) * 8, my + (blk / 2) * 8, pred)
+                else
+                  put8(if (blk == 4) cbP else crP, cw,
+                    (mbAddr % mbW) * 8, (mbAddr / mbW) * 8, pred)
+                blk += 1
+              }
+              dcY = 128; dcCb = 128; dcCr = 128 // reset after non-intra
             }
           }
         case 0xb7 => // sequence end
@@ -703,6 +1330,12 @@ object Mpeg1Video {
 
   private val AddrStuffing = -101
   private val AddrEscape = -102
+
+  /** Half-pel refinement neighborhood (8 neighbors around the best
+    * full-pel candidate).
+    */
+  private val HalfPelDx = Array(-1, 0, 1, -1, 1, -1, 0, 1)
+  private val HalfPelDy = Array(-1, -1, -1, 0, 0, 1, 1, 1)
 
   /** Table B.1 macroblock_address_increment: value for (code, len), or
     * -1 when no entry matches yet (keep reading bits).

@@ -115,6 +115,195 @@ class Mpeg1VideoSpec extends AnyFunSuite {
     assert(a.frames(0).sameElements(b.frames(0)), "same reconstruction")
   }
 
+  // ------------------------------------------------------ P pictures
+
+  /** 4-px blocky deterministic frame (shiftable by whole strips). */
+  private def blockyFrame(w: Int, h: Int, seed: Long, shift: Int): Array[Byte] = {
+    val bgr = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = ((x - shift).max(0) / 4).toLong * 31 + (y / 4).toLong * 17 + seed
+        val v = (40 + 22 * (((cell * 2654435761L) >>> 7) % 9)).toInt.toByte
+        val o = (y * w + x) * 3
+        bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    bgr
+  }
+
+  private def plusLuma(frame: Array[Byte], d: Int): Array[Byte] =
+    frame.map(b => math.min(255, (b & 0xff) + d).toByte)
+
+  test("IPPP roundtrip: moving strips survive predictive coding within the margin") {
+    val walks = Seq(
+      Array(40, 128, 216, 40, 128, 216, 40, 216, 40, 128, 216),
+      Array(128, 216, 40, 128, 40, 216, 128, 40, 216, 40, 128),
+      Array(216, 40, 128, 216, 128, 40, 216, 128, 40, 216, 40))
+    val frames = (0 until 7).map(i => stripFrame(walks(i % 3)))
+    val wire = Mpeg1Video.encode(44, 24, frames, qscale = 3, gopSize = 3)
+    val clip = Mpeg1Video.decode(wire).getOrElse(fail("IPPP must decode"))
+    assert(clip.frames.length == 7)
+    (0 until 7).foreach { i =>
+      assert(maxErr(clip.frames(i), frames(i)) < 44, s"frame $i")
+      val got = Multimodal.Bmp.dhash60(Multimodal.BmpImage(44, 24, clip.frames(i)))
+      val want = Multimodal.Bmp.dhash60(Multimodal.BmpImage(44, 24, frames(i)))
+      assert(got == want, s"frame $i fingerprint must survive P coding")
+    }
+  }
+
+  test("identical frames ride the skip path: P wire far smaller, recon identical") {
+    // 8px-wide strips make every 8×8 block constant, so the intra
+    // reconstruction is EXACT — the P reference equals the source and
+    // every interior macroblock is a true skip (zero residual, MV 0)
+    val levels = Array(40, 216, 128, 40, 216, 128, 40, 216)
+    val frame = new Array[Byte](64 * 32 * 3)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 64) {
+        val v = levels(x / 8).toByte
+        val o = (y * 64 + x) * 3
+        frame(o) = v; frame(o + 1) = v; frame(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    val frames = Seq.fill(6)(frame)
+    val allI = Mpeg1Video.encode(64, 32, frames, qscale = 3)
+    val ipp = Mpeg1Video.encode(64, 32, frames, qscale = 3, gopSize = 6)
+    assert(ipp.length * 2 < allI.length,
+      s"skip-dominated P frames must compress: ${ipp.length} vs ${allI.length}")
+    val clip = Mpeg1Video.decode(ipp).getOrElse(fail("must decode"))
+    assert(clip.frames.length == 6)
+    assert(clip.frames(0).sameElements(frame),
+      "constant 8×8 blocks must intra-code exactly")
+    (1 until 6).foreach { i =>
+      assert(clip.frames(i).sameElements(clip.frames(0)),
+        s"P frame $i must reconstruct bit-identically to its reference")
+    }
+  }
+
+  test("small luma flicker rides the coded-residual path with bounded error") {
+    val frame = stripFrame(Array(40, 128, 216, 128, 40, 216, 40, 128, 216, 40, 128))
+    val frames = Seq(frame, plusLuma(frame, 3), frame, plusLuma(frame, 3))
+    val wire = Mpeg1Video.encode(44, 24, frames, qscale = 3, gopSize = 4)
+    val allI = Mpeg1Video.encode(44, 24, frames, qscale = 3)
+    assert(wire.length < allI.length, "residual P frames must beat all-I")
+    val clip = Mpeg1Video.decode(wire).getOrElse(fail("must decode"))
+    (0 until 4).foreach { i =>
+      assert(maxErr(clip.frames(i), frames(i)) < 44, s"frame $i")
+      val got = Multimodal.Bmp.dhash60(Multimodal.BmpImage(44, 24, clip.frames(i)))
+      val want = Multimodal.Bmp.dhash60(Multimodal.BmpImage(44, 24, frames(i)))
+      assert(got == want, s"frame $i fingerprint under flicker")
+    }
+  }
+
+  test("translational motion is found and coded with motion vectors") {
+    val f1 = blockyFrame(64, 32, seed = 7, shift = 0)
+    val f2 = blockyFrame(64, 32, seed = 7, shift = 2) // content moves right 2px
+    val moving = Mpeg1Video.encode(64, 32, Seq(f1, f2), qscale = 3, gopSize = 2)
+    val still = Mpeg1Video.encode(64, 32, Seq(f1, f2), qscale = 3, gopSize = 2,
+      searchRange = 0) // zero-MV only: same wire shape, no motion search
+    assert(moving.length < still.length,
+      s"motion search must shrink the P frame: ${moving.length} vs ${still.length}")
+    val clip = Mpeg1Video.decode(moving).getOrElse(fail("must decode"))
+    assert(maxErr(clip.frames(0), f1) < 44)
+    assert(maxErr(clip.frames(1), f2) < 44)
+  }
+
+  test("half-pel refinement matches half-pel content exactly") {
+    val f1 = blockyFrame(64, 32, seed = 11, shift = 0)
+    // f2 = decoder-identical half-pel interpolation of f1 shifted by 1/2
+    val f2 = new Array[Byte](64 * 32 * 3)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 64) {
+        val a = f1((y * 64 + x) * 3) & 0xff
+        val b = f1((y * 64 + math.min(x + 1, 63)) * 3) & 0xff
+        val v = ((a + b + 1) >> 1).toByte
+        val o = (y * 64 + x) * 3
+        f2(o) = v; f2(o + 1) = v; f2(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    val half = Mpeg1Video.encode(64, 32, Seq(f1, f2), qscale = 3, gopSize = 2,
+      halfPel = true)
+    val full = Mpeg1Video.encode(64, 32, Seq(f1, f2), qscale = 3, gopSize = 2)
+    assert(half.length < full.length,
+      s"half-pel prediction must shrink the residual: ${half.length} vs ${full.length}")
+    val clip = Mpeg1Video.decode(half).getOrElse(fail("must decode"))
+    assert(maxErr(clip.frames(1), f2) < 44)
+  }
+
+  test("P pictures exercise intra fallback on scene changes mid-GOP") {
+    val a = stripFrame(Array(40, 216, 40, 216, 40, 216, 40, 216, 40, 216, 40))
+    val b = stripFrame(Array(216, 40, 216, 40, 216, 40, 216, 40, 216, 40, 216))
+    val frames = Seq(a, a, b, b) // cut at frame 2, inside the GOP
+    val wire = Mpeg1Video.encode(44, 24, frames, qscale = 3, gopSize = 4)
+    val clip = Mpeg1Video.decode(wire).getOrElse(fail("must decode"))
+    (0 until 4).foreach { i =>
+      val got = Multimodal.Bmp.dhash60(Multimodal.BmpImage(44, 24, clip.frames(i)))
+      val want = Multimodal.Bmp.dhash60(Multimodal.BmpImage(44, 24, frames(i)))
+      assert(got == want, s"frame $i across the cut")
+    }
+  }
+
+  test("IPPP encode is deterministic") {
+    val frames = (0 until 5).map(i =>
+      stripFrame(Array(40, 128, 216, 40, 216, 128, 40, 128, 40, 216, 128).map(v =>
+        if (i % 2 == 0) v else 256 - v)))
+    val w1 = Mpeg1Video.encode(44, 24, frames, gopSize = 2, halfPel = true)
+    val w2 = Mpeg1Video.encode(44, 24, frames, gopSize = 2, halfPel = true)
+    assert(java.util.Arrays.equals(w1, w2))
+  }
+
+  test("a P picture without a preceding reference frame is rejected") {
+    val frame = stripFrame(Array(40, 216, 128, 40, 216, 128, 40, 216, 128, 40, 216))
+    val wire = Mpeg1Video.encode(44, 24, Seq(frame, plusLuma(frame, 3)),
+      qscale = 3, gopSize = 2)
+    // cut the I picture unit out: keep everything before the first
+    // picture start code, then resume at the second picture start code
+    def pictureStarts(b: Array[Byte]): Seq[Int] =
+      (0 until b.length - 3).filter(i =>
+        b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1 && b(i + 3) == 0)
+    val ps = pictureStarts(wire)
+    assert(ps.length == 2)
+    val cut = wire.take(ps(0)) ++ wire.drop(ps(1))
+    assert(Mpeg1Video.decode(cut).isEmpty, "P-first stream must be rejected")
+    assert(Mpeg1Video.decode(wire).isDefined)
+  }
+
+  test("corrupt IPPP payloads decode to None or well-formed output, never crash") {
+    val frame = stripFrame(Array(40, 128, 216, 40, 128, 216, 40, 128, 216, 40, 128))
+    val good = Mpeg1Video.encode(44, 24,
+      Seq(frame, plusLuma(frame, 3), frame, plusLuma(frame, 4)),
+      qscale = 3, gopSize = 4)
+    val rnd = new scala.util.Random(11173)
+    (0 until 300).foreach { _ =>
+      val bad = good.clone()
+      val flips = 1 + rnd.nextInt(4)
+      (0 until flips).foreach { _ =>
+        val i = rnd.nextInt(bad.length)
+        bad(i) = (bad(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      Mpeg1Video.decode(bad).foreach { c =>
+        assert(c.width > 0 && c.height > 0)
+        assert(c.frames.forall(_.length == c.width * c.height * 3))
+      }
+    }
+    (1 until good.length by 41).foreach { n =>
+      Mpeg1Video.decode(java.util.Arrays.copyOf(good, n)).foreach { c =>
+        assert(c.frames.forall(_.length == c.width * c.height * 3))
+      }
+    }
+  }
+
   test("corrupt payloads decode to None, never crash") {
     val frame = stripFrame(Array(40, 216, 128, 40, 216, 128, 40, 216, 128, 40, 216))
     val good = Mpeg1Video.encode(44, 24, Seq(frame, frame), qscale = 3)
@@ -165,12 +354,12 @@ class Mpeg1VideoSpec extends AnyFunSuite {
     assert(Mpeg1Video.decode(wire, maxOutBytes = 44L * 24 * 3 * 4).isDefined)
   }
 
-  test("P/B pictures, dim changes, and garbage are rejections") {
+  test("B/D pictures, dim changes, and garbage are rejections") {
     val frame = stripFrame(Array(40, 128, 216, 40, 128, 216, 40, 128, 216, 40, 128))
     val good = Mpeg1Video.encode(44, 24, Seq(frame))
     // picture_coding_type lives 10 bits into the picture payload:
     // bytes [0,0,1,0x00, tr(8) , tr(2)+type(3)+vbv(3)...] — find the
-    // picture start code and flip type I(001) → P(010)
+    // picture start code and flip the type bits
     var pi = -1
     var i = 0
     while (pi < 0 && i + 3 < good.length) {
@@ -178,9 +367,16 @@ class Mpeg1VideoSpec extends AnyFunSuite {
       i += 1
     }
     assert(pi >= 0)
-    val p = good.clone()
-    // byte at pi+5 holds tr[2..9]? type sits at bits 10-12 past the code:
     // byte pi+4 = tr(8 high bits); byte pi+5 = tr(2) + type(3) + vbv(3)
+    val b = good.clone()
+    b(pi + 5) = ((b(pi + 5) & 0xc7) | (3 << 3)).toByte // type=3 (B)
+    assert(Mpeg1Video.decode(b).isEmpty, "B pictures are out of scope")
+    val d = good.clone()
+    d(pi + 5) = ((d(pi + 5) & 0xc7) | (4 << 3)).toByte // type=4 (D)
+    assert(Mpeg1Video.decode(d).isEmpty, "D pictures are out of scope")
+    // a type flip I→P on an I-coded payload is malformed (the P header
+    // fields eat into slice data) — must reject, not crash
+    val p = good.clone()
     p(pi + 5) = ((p(pi + 5) & 0xc7) | (2 << 3)).toByte // type=2 (P)
     assert(Mpeg1Video.decode(p).isEmpty)
     // a second sequence header with different dims mid-stream → None
