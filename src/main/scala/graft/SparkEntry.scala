@@ -7537,6 +7537,113 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q255 corpus: q251's shot shape on an I/P/B stream — anchors
+    * every 2nd frame (bFrames 1, I at every 4th), the flickered odd
+    * frames ride BIDIRECTIONAL pictures. Where a shot spans the
+    * anchor pair the B macroblocks code small interpolated/forward
+    * residuals; where a cut lands between anchors the backward
+    * prediction wins (the next anchor already shows the new shot);
+    * cuts inside a B with both anchors foreign fall back to intra.
+    * Fingerprints stay flicker- and codec-invariant, so the q251
+    * closed form replays verbatim — including the decoder's
+    * transmission→display reorder, which any index slip would break.
+    */
+  private def synthMpegBShotMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 16 == 0)
+      .repartition(32) // distribute the encode (single-partition scan upstream)
+      .mapPartitions(_.map { id =>
+        val base = id / 16
+        val n = (12 + base % 7).toInt
+        val shotLen = (2 + base % 3).toInt
+        val frames = (0 until n).map { f =>
+          val strip = mpegStripFrame(base * 97 + (f / shotLen).toLong * 31 + 13)
+          if (f % 2 == 1) flicker(strip, 3) else strip
+        }
+        Multimodal.MediaRecord(id,
+          graft.ext.Mpeg1Video.encode(44, 24, frames, qscale = 3,
+            gopSize = 4, searchRange = 1, bFrames = 1), "video/mpeg")
+      }).toDF()
+  }
+
+  /** Shot-boundary detection on a BIDIRECTIONAL MPEG-1 wire — q251's
+    * pipeline with the decode leg walking I, P AND B pictures
+    * (Table B.2c types, dual motion vectors, interpolated prediction,
+    * display-order reorder). Oracle: q251's closed form, unchanged.
+    */
+  def q255MpegBShotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val fh = Multimodal.videoFrameHashes(spark,
+      synthMpegBShotMedia(spark, dir), stride = 1, partitions = 32)
+      .toDF().localCheckpoint(true) // decode once; cut the codec lineage
+    Multimodal.shotBoundaries(fh, maxDistance = 2)
+      .groupBy(col("media_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(col("is_boundary").cast("long")).as("n_shots"),
+        sum(when(col("is_boundary"), col("frame_idx"))).as("boundary_idx_sum"),
+        max(when(col("is_boundary"), col("frame_idx"))).as("last_shot_start"))
+      .orderBy(col("media_id"))
+  }
+
+  /** q256 corpus: q252's shared-scene-pool shape on an I/P/B wire —
+    * every scene's flickered second frame is a B picture whose
+    * forward anchor is its own scene (small forward residual) and
+    * whose backward anchor is the NEXT scene (prediction must pick
+    * the right direction or the fingerprint breaks).
+    */
+  private def synthMpegBSceneMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 16 == 0)
+      .repartition(32) // distribute the encode (single-partition scan upstream)
+      .mapPartitions(_.map { id =>
+        val base = id / 16
+        val nShots = (5 + base % 3).toInt
+        def sceneOf(j: Int): Long =
+          if ((base + j) % 4 == 1) 1000L + base * 8 + j
+          else (base + j) % 6
+        val frames = (0 until nShots * 2).map { f =>
+          val strip = mpegStripFrame(sceneOf(f / 2) * 53 + 17)
+          if (f % 2 == 1) flicker(strip, 3) else strip
+        }
+        Multimodal.MediaRecord(id,
+          graft.ext.Mpeg1Video.encode(44, 24, frames, qscale = 3,
+            gopSize = 4, searchRange = 1, bFrames = 1), "video/mpeg")
+      }).toDF()
+  }
+
+  /** Scene-grain dedup on a bidirectional MPEG-1 wire — q252's
+    * pipeline with the decode leg on I/P/B pictures; the q252 oracle
+    * replays verbatim.
+    */
+  def q256MpegBSceneDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fh = Multimodal.videoFrameHashes(spark,
+      synthMpegBSceneMedia(spark, dir), stride = 1, partitions = 32)
+      .toDF().localCheckpoint(true) // decode once; cut the codec lineage
+    val shots = Multimodal.shotBoundaries(fh, maxDistance = 2)
+      .filter(col("is_boundary"))
+      .select(col("media_id"), col("shot_idx"),
+        (col("media_id") * 64 + col("shot_idx")).as("shot_uid"), col("fp"))
+    val pairs = graft.ext.Dedup.hammingNearDupPairs(
+      shots.select(col("shot_uid").as("media_id"), col("fp")),
+      "media_id", "fp", bits = 60, maxDistance = 2)
+      .filter(expr("id_a div 64") =!= expr("id_b div 64"))
+    val sym = pairs.select(col("id_a").as("shot_uid"))
+      .unionByName(pairs.select(col("id_b").as("shot_uid")))
+      .distinct()
+    val shared = shots.join(sym, Seq("shot_uid"), "left_semi")
+    shots.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_shots"))
+      .join(shared.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_shared_shots"),
+          max((col("shot_idx") === 0).cast("long")).as("intro_shared_l")),
+        Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_shots"),
+        coalesce(col("n_shared_shots"), lit(0L)).as("n_shared_shots"),
+        (coalesce(col("intro_shared_l"), lit(0L)) === 1L).as("intro_shared"))
+      .orderBy(col("media_id"))
+  }
+
   /** Deterministic synth recipe for the SEQUENCE-grain video corpus:
     * a 1-in-16 doc sample (the oracle's frame-level quadratic verify
     * must stay tractable at sf0.1) arranged in (original, delayed)
@@ -8202,6 +8309,8 @@ object SparkEntry {
     "q252_mpeg_scene_dedup" -> (q252MpegSceneDedup _),
     "q253_mpeg_ipp_shot_detect" -> (q253MpegIppShotDetect _),
     "q254_mpeg_ipp_scene_dedup" -> (q254MpegIppSceneDedup _),
+    "q255_mpeg_b_shot_detect" -> (q255MpegBShotDetect _),
+    "q256_mpeg_b_scene_dedup" -> (q256MpegBSceneDedup _),
     "q240_warc_ingest" -> (q240WarcIngest _),
     "q241_stream_warc" -> (q241StreamWarcIngest _),
     "q242_image_metadata" -> (q242ImageMetadata _),
@@ -12814,12 +12923,17 @@ object SparkEntry {
     // q253: the IDENTICAL closed form — the I+P wire and the luma
     // flicker are fingerprint-invariant by construction
     "q253_mpeg_ipp_shot_detect" -> MpegShotOracleSql,
+    // q255: same closed form again on the I/P/B wire — bidirectional
+    // prediction and the display reorder are fingerprint-invariant
+    "q255_mpeg_b_shot_detect" -> MpegShotOracleSql,
 
     // q252: scene assignment + scene-keyed strip walk, then q239's
     // segmentation, representative, pair, and census replay verbatim
     "q252_mpeg_scene_dedup" -> MpegSceneOracleSql,
     // q254: q252 replayed on the I+P wire (same invariance argument)
     "q254_mpeg_ipp_scene_dedup" -> MpegSceneOracleSql,
+    // q256: q252's closed form on the I/P/B wire
+    "q256_mpeg_b_scene_dedup" -> MpegSceneOracleSql,
 
     // q225: the rendered template rebuilt turn by turn, the exact
     // render-identity verdicts, and the simhash fingerprints

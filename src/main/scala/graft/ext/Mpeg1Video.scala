@@ -602,10 +602,18 @@ object Mpeg1Video {
     * skip / pred-m / pred-c / pred-mc, falling back to an intra
     * macroblock when the residual is large or its coded_block_pattern
     * has no short B.3 code (see the table comment).
+    * `bFrames = k` (requires `gopSize > 0`) additionally codes k
+    * bidirectionally-predicted B pictures between consecutive anchors
+    * (anchor cadence `k+1`; the final frame is always an anchor so no
+    * B dangles): per macroblock the encoder searches BOTH anchors,
+    * picks forward / backward / interpolated / intra, and emits in
+    * canonical transmission order (each anchor before the B pictures
+    * it closes) with display-order temporal references.
     */
   def encode(width: Int, height: Int, frames: Seq[Array[Byte]],
       qscale: Int = 3, mbQuantEvery: Int = 0, gopSize: Int = 0,
-      searchRange: Int = 3, halfPel: Boolean = false): Array[Byte] = {
+      searchRange: Int = 3, halfPel: Boolean = false,
+      bFrames: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 4095 && height <= 2800,
       "dims must fit 12-bit headers and the 0xAF slice-code ceiling")
     require(qscale >= 1 && qscale <= 31, "quantizer_scale is 5 bits, 1-31")
@@ -613,6 +621,8 @@ object Mpeg1Video {
       "frames must be w*h*3 BGR")
     require(searchRange >= 0 && searchRange <= 7,
       "±7 full-pel keeps every differential inside the f_code=1 range")
+    require(bFrames >= 0 && (bFrames == 0 || gopSize > 0),
+      "B pictures need a predictive anchor cadence (gopSize > 0)")
     val mbW = (width + 15) / 16; val mbH = (height + 15) / 16
     val pw = mbW * 16; val ph = mbH * 16
     val cw = pw / 2; val chh = ph / 2
@@ -628,8 +638,10 @@ object Mpeg1Video {
     // one GOP
     w.startCode(0xb8)
     w.put(0L, 25); w.put(1L, 1); w.put(0L, 1) // time_code, closed, !broken
-    // closed-loop reconstruction planes (ref = previous frame's recon,
-    // cur = this frame's) — only maintained when P pictures can occur
+    // closed-loop reconstruction planes: ref = previous ANCHOR recon
+    // (the forward reference), cur = the anchor being encoded (and the
+    // backward reference while its B group is coded). B pictures are
+    // referenced by nothing, so their recon is never materialized.
     val track = gopSize > 0
     var refY: Array[Int] = if (track) new Array[Int](pw * ph) else null
     var refCb: Array[Int] = if (track) new Array[Int](cw * chh) else null
@@ -640,6 +652,7 @@ object Mpeg1Video {
     val block = new Array[Int](64)
     val rec = new Array[Int](64)
     val pred = new Array[Int](64)
+    val pred2 = new Array[Int](64)
     val scratch16 = new Array[Int](256)
 
     def grab(src: Array[Int], stride: Int, x0: Int, y0: Int): Unit = {
@@ -673,8 +686,8 @@ object Mpeg1Video {
       }
     }
 
-    frames.zipWithIndex.foreach { case (bgr, fi) =>
-      // color convert + edge-replicate pad to macroblock multiples
+    /** BGR frame → padded (Y, Cb, Cr) planes (4:2:0). */
+    def toPlanes(bgr: Array[Byte]): (Array[Int], Array[Int], Array[Int]) = {
       val yP = new Array[Int](pw * ph)
       val cbF = new Array[Int](pw * ph)
       val crF = new Array[Int](pw * ph)
@@ -696,201 +709,385 @@ object Mpeg1Video {
         }
         y += 1
       }
-      val cbP = subsample(cbF, pw, ph)
-      val crP = subsample(crF, pw, ph)
-      val isI = !track || fi % gopSize == 0
-      // picture header
+      (yP, subsample(cbF, pw, ph), subsample(crF, pw, ph))
+    }
+
+    def writePictureHeader(displayIdx: Int, ptype: Int): Unit = {
       w.startCode(0x00)
-      w.put((fi % 1024).toLong, 10)
-      w.put(if (isI) 1L else 2L, 3)
+      w.put((displayIdx % 1024).toLong, 10)
+      w.put(ptype.toLong, 3)
       w.put(0xffffL, 16)
-      if (!isI) { w.put(0L, 1); w.put(1L, 3) } // full_pel=0, forward_f_code=1
+      if (ptype >= 2) { w.put(0L, 1); w.put(1L, 3) } // fwd: full_pel=0, f=1
+      if (ptype == 3) { w.put(0L, 1); w.put(1L, 3) } // bwd: full_pel=0, f=1
       w.put(0L, 1) // extra_bit_picture
+    }
 
-      /** Encode one intra macroblock (either picture type) at
-        * (mx, row), updating the `dcs` DC predictors in place and
-        * (when tracking) the cur reconstruction planes.
-        */
-      def intraMb(mx: Int, row: Int, dcs: Array[Int]): Unit = {
-        var blk = 0
-        while (blk < 4) {
-          val bx = mx * 16 + (blk % 2) * 8; val by = row * 16 + (blk / 2) * 8
-          grab(yP, pw, bx, by)
-          dcs(0) = encBlock(w, block, qscale, dcs(0), luma = true,
-            DefaultIntraQ, if (track) rec else null)
-          if (track) put8(curY, pw, bx, by, rec)
-          blk += 1
-        }
-        grab(cbP, cw, mx * 8, row * 8)
-        dcs(1) = encBlock(w, block, qscale, dcs(1), luma = false,
-          DefaultIntraQ, if (track) rec else null)
-        if (track) put8(curCb, cw, mx * 8, row * 8, rec)
-        grab(crP, cw, mx * 8, row * 8)
-        dcs(2) = encBlock(w, block, qscale, dcs(2), luma = false,
-          DefaultIntraQ, if (track) rec else null)
-        if (track) put8(curCr, cw, mx * 8, row * 8, rec)
-      }
-
-      if (isI) {
-        var row = 0
-        while (row < mbH) {
-          w.startCode(row + 1) // slice_vertical_position
-          w.put(qscale.toLong, 5)
-          w.put(0L, 1) // extra_bit_slice
-          val dcs = Array(128, 128, 128)
-          var mx = 0
-          while (mx < mbW) {
-            w.put(1L, 1) // macroblock_address_increment = 1
-            val sendQ = mbQuantEvery > 0 && mx % mbQuantEvery == 0
-            if (sendQ) { w.put(1L, 2); w.put(qscale.toLong, 5) } // '01' + qscale
-            else w.put(1L, 1) // '1' intra
-            intraMb(mx, row, dcs)
-            mx += 1
+    /** Full-pel (optionally half-pel-refined) luma search against one
+      * reference plane; returns (vxh, vyh, sad) in half-pel units.
+      */
+    def search(srcY: Array[Int], refPlane: Array[Int], x0: Int,
+        y0: Int): (Int, Int, Int) = {
+      var bestVx = 0; var bestVy = 0
+      var bestSad =
+        sadLuma(srcY, refPlane, pw, ph, x0, y0, 0, 0, Int.MaxValue, scratch16)
+      if (bestSad > 0 && searchRange > 0) {
+        var dy = -searchRange
+        while (dy <= searchRange && bestSad > 0) {
+          var dx = -searchRange
+          while (dx <= searchRange && bestSad > 0) {
+            if (dx != 0 || dy != 0) {
+              val s = sadLuma(srcY, refPlane, pw, ph, x0, y0,
+                dx * 2, dy * 2, bestSad, scratch16)
+              if (s < bestSad) { bestSad = s; bestVx = dx * 2; bestVy = dy * 2 }
+            }
+            dx += 1
           }
-          row += 1
+          dy += 1
         }
-      } else {
-        val levels = Array.ofDim[Int](6, 64)
-        var row = 0
-        while (row < mbH) {
-          w.startCode(row + 1)
-          w.put(qscale.toLong, 5)
-          w.put(0L, 1)
-          val dcs = Array(128, 128, 128)
-          var pmx = 0; var pmy = 0
-          var pending = 0
-          var mx = 0
-          while (mx < mbW) {
-            val x0 = mx * 16; val y0 = row * 16
-            // full-pel diamond-less search, (0,0) first with early out
-            var bestVx = 0; var bestVy = 0
-            var bestSad =
-              sadLuma(yP, refY, pw, ph, x0, y0, 0, 0, Int.MaxValue, scratch16)
-            if (bestSad > 0 && searchRange > 0) {
-              var dy = -searchRange
-              while (dy <= searchRange && bestSad > 0) {
-                var dx = -searchRange
-                while (dx <= searchRange && bestSad > 0) {
-                  if (dx != 0 || dy != 0) {
-                    val s = sadLuma(yP, refY, pw, ph, x0, y0,
-                      dx * 2, dy * 2, bestSad, scratch16)
-                    if (s < bestSad) { bestSad = s; bestVx = dx * 2; bestVy = dy * 2 }
-                  }
-                  dx += 1
-                }
-                dy += 1
-              }
-              if (halfPel && bestSad > 0) {
-                val cx = bestVx; val cy = bestVy
-                var k = 0
-                while (k < 8) {
-                  val hx = cx + HalfPelDx(k); val hy = cy + HalfPelDy(k)
-                  val s = sadLuma(yP, refY, pw, ph, x0, y0, hx, hy,
-                    bestSad, scratch16)
-                  if (s < bestSad) { bestSad = s; bestVx = hx; bestVy = hy }
-                  k += 1
-                }
-              }
-            }
-            // residual quantization for the inter hypothesis
-            val useIntra0 = bestSad > 24 * 256 // scene-change heuristic
-            var cbp = 0
-            if (!useIntra0) {
-              val cvx = bestVx / 2; val cvy = bestVy / 2
-              var blk = 0
-              while (blk < 6) {
-                if (blk < 4) {
-                  val bx = x0 + (blk % 2) * 8; val by = y0 + (blk / 2) * 8
-                  mcBlock(refY, pw, ph, bx, by, 8, 8, bestVx, bestVy, pred)
-                  grab(yP, pw, bx, by)
-                } else {
-                  val src = if (blk == 4) refCb else refCr
-                  mcBlock(src, cw, chh, mx * 8, row * 8, 8, 8, cvx, cvy, pred)
-                  grab(if (blk == 4) cbP else crP, cw, mx * 8, row * 8)
-                }
-                var i = 0
-                while (i < 64) { block(i) -= pred(i); i += 1 }
-                val lv = quantNonIntra(block, qscale, DefaultNonIntraQ)
-                System.arraycopy(lv, 0, levels(blk), 0, 64)
-                var any = false
-                i = 0
-                while (i < 64 && !any) { any = lv(i) != 0; i += 1 }
-                if (any) cbp |= 32 >> blk
-                blk += 1
-              }
-            }
-            val interOk =
-              !useIntra0 && (cbp == 0 || CbpEncCodes.contains(cbp))
-            if (interOk && cbp == 0 && bestVx == 0 && bestVy == 0 &&
-                mx != 0 && mx != mbW - 1) {
-              // skipped macroblock: recon = co-located ref copy
-              pending += 1
-              copyRect(refY, curY, pw, x0, y0, 16, 16)
-              copyRect(refCb, curCb, cw, mx * 8, row * 8, 8, 8)
-              copyRect(refCr, curCr, cw, mx * 8, row * 8, 8, 8)
-              dcs(0) = 128; dcs(1) = 128; dcs(2) = 128
-              pmx = 0; pmy = 0
-            } else if (!interOk) {
-              // intra macroblock inside the P picture
-              putB1(w, pending + 1); pending = 0
-              w.put(0x3L, 5) // B.2b '00011' intra
-              intraMb(mx, row, dcs)
+        if (halfPel && bestSad > 0) {
+          val cx = bestVx; val cy = bestVy
+          var k = 0
+          while (k < 8) {
+            val hx = cx + HalfPelDx(k); val hy = cy + HalfPelDy(k)
+            val s = sadLuma(srcY, refPlane, pw, ph, x0, y0, hx, hy,
+              bestSad, scratch16)
+            if (s < bestSad) { bestSad = s; bestVx = hx; bestVy = hy }
+            k += 1
+          }
+        }
+      }
+      (bestVx, bestVy, bestSad)
+    }
+
+    /** Prediction of one 8x8 block (blk 0-5 of the macroblock at
+      * mx,row) into `out`: forward from (fy,fcb,fcr) and/or backward
+      * from (by_,bcb,bcr), interpolated when both.
+      */
+    def predictBlock(blk: Int, mx: Int, row: Int,
+        useF: Boolean, fvx: Int, fvy: Int,
+        fy: Array[Int], fcb: Array[Int], fcr: Array[Int],
+        useB: Boolean, bvx: Int, bvy: Int,
+        by_ : Array[Int], bcb: Array[Int], bcr: Array[Int],
+        out: Array[Int]): Unit = {
+      val luma = blk < 4
+      val (stride, rows, bx, byy) =
+        if (luma) (pw, ph, mx * 16 + (blk % 2) * 8, row * 16 + (blk / 2) * 8)
+        else (cw, chh, mx * 8, row * 8)
+      val fp = if (luma) fy else if (blk == 4) fcb else fcr
+      val bp = if (luma) by_ else if (blk == 4) bcb else bcr
+      if (useF)
+        mcBlock(fp, stride, rows, bx, byy, 8, 8,
+          if (luma) fvx else fvx / 2, if (luma) fvy else fvy / 2, out)
+      if (useB) {
+        val into = if (useF) pred2 else out
+        mcBlock(bp, stride, rows, bx, byy, 8, 8,
+          if (luma) bvx else bvx / 2, if (luma) bvy else bvy / 2, into)
+        if (useF) {
+          var i = 0
+          while (i < 64) { out(i) = (out(i) + pred2(i) + 1) >> 1; i += 1 }
+        }
+      }
+    }
+
+    /** Quantize the 6 residual blocks of one macroblock against the
+      * given prediction; fills `levels`, returns the cbp mask.
+      */
+    def residualCbp(mx: Int, row: Int, srcY: Array[Int], srcCb: Array[Int],
+        srcCr: Array[Int],
+        useF: Boolean, fvx: Int, fvy: Int,
+        fy: Array[Int], fcb: Array[Int], fcr: Array[Int],
+        useB: Boolean, bvx: Int, bvy: Int,
+        by_ : Array[Int], bcb: Array[Int], bcr: Array[Int],
+        levels: Array[Array[Int]]): Int = {
+      var cbp = 0
+      var blk = 0
+      while (blk < 6) {
+        predictBlock(blk, mx, row, useF, fvx, fvy, fy, fcb, fcr,
+          useB, bvx, bvy, by_, bcb, bcr, pred)
+        if (blk < 4)
+          grab(srcY, pw, mx * 16 + (blk % 2) * 8, row * 16 + (blk / 2) * 8)
+        else grab(if (blk == 4) srcCb else srcCr, cw, mx * 8, row * 8)
+        var i = 0
+        while (i < 64) { block(i) -= pred(i); i += 1 }
+        val lv = quantNonIntra(block, qscale, DefaultNonIntraQ)
+        levels(blk) = lv
+        var any = false
+        i = 0
+        while (i < 64 && !any) { any = lv(i) != 0; i += 1 }
+        if (any) cbp |= 32 >> blk
+        blk += 1
+      }
+      cbp
+    }
+
+    /** Emit one intra macroblock body (blocks only — the caller wrote
+      * address + type), updating dcs and (if `reconInto`) cur planes.
+      */
+    def intraMb(mx: Int, row: Int, dcs: Array[Int],
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int],
+        reconInto: Boolean): Unit = {
+      var blk = 0
+      while (blk < 4) {
+        val bx = mx * 16 + (blk % 2) * 8; val by = row * 16 + (blk / 2) * 8
+        grab(srcY, pw, bx, by)
+        dcs(0) = encBlock(w, block, qscale, dcs(0), luma = true,
+          DefaultIntraQ, if (reconInto) rec else null)
+        if (reconInto) put8(curY, pw, bx, by, rec)
+        blk += 1
+      }
+      grab(srcCb, cw, mx * 8, row * 8)
+      dcs(1) = encBlock(w, block, qscale, dcs(1), luma = false,
+        DefaultIntraQ, if (reconInto) rec else null)
+      if (reconInto) put8(curCb, cw, mx * 8, row * 8, rec)
+      grab(srcCr, cw, mx * 8, row * 8)
+      dcs(2) = encBlock(w, block, qscale, dcs(2), luma = false,
+        DefaultIntraQ, if (reconInto) rec else null)
+      if (reconInto) put8(curCr, cw, mx * 8, row * 8, rec)
+    }
+
+    /** Encode one I picture (slices of intra macroblocks). */
+    def encodeI(srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      var row = 0
+      while (row < mbH) {
+        w.startCode(row + 1) // slice_vertical_position
+        w.put(qscale.toLong, 5)
+        w.put(0L, 1) // extra_bit_slice
+        val dcs = Array(128, 128, 128)
+        var mx = 0
+        while (mx < mbW) {
+          w.put(1L, 1) // macroblock_address_increment = 1
+          val sendQ = mbQuantEvery > 0 && mx % mbQuantEvery == 0
+          if (sendQ) { w.put(1L, 2); w.put(qscale.toLong, 5) } // '01' + qscale
+          else w.put(1L, 1) // '1' intra
+          intraMb(mx, row, dcs, srcY, srcCb, srcCr, reconInto = track)
+          mx += 1
+        }
+        row += 1
+      }
+    }
+
+    /** Encode one P picture predicting from the ref (last anchor)
+      * planes; reconstruction goes to cur.
+      */
+    def encodeP(srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      val levels = new Array[Array[Int]](6)
+      var row = 0
+      while (row < mbH) {
+        w.startCode(row + 1)
+        w.put(qscale.toLong, 5)
+        w.put(0L, 1)
+        val dcs = Array(128, 128, 128)
+        var pmx = 0; var pmy = 0
+        var pending = 0
+        var mx = 0
+        while (mx < mbW) {
+          val x0 = mx * 16; val y0 = row * 16
+          val (bestVx, bestVy, bestSad) = search(srcY, refY, x0, y0)
+          val useIntra0 = bestSad > 24 * 256 // scene-change heuristic
+          var cbp = 0
+          if (!useIntra0)
+            cbp = residualCbp(mx, row, srcY, srcCb, srcCr,
+              useF = true, bestVx, bestVy, refY, refCb, refCr,
+              useB = false, 0, 0, null, null, null, levels)
+          val interOk =
+            !useIntra0 && (cbp == 0 || CbpEncCodes.contains(cbp))
+          if (interOk && cbp == 0 && bestVx == 0 && bestVy == 0 &&
+              mx != 0 && mx != mbW - 1) {
+            // skipped macroblock: recon = co-located ref copy
+            pending += 1
+            copyRect(refY, curY, pw, x0, y0, 16, 16)
+            copyRect(refCb, curCb, cw, mx * 8, row * 8, 8, 8)
+            copyRect(refCr, curCr, cw, mx * 8, row * 8, 8, 8)
+            dcs(0) = 128; dcs(1) = 128; dcs(2) = 128
+            pmx = 0; pmy = 0
+          } else if (!interOk) {
+            // intra macroblock inside the P picture
+            putB1(w, pending + 1); pending = 0
+            w.put(0x3L, 5) // B.2b '00011' intra
+            intraMb(mx, row, dcs, srcY, srcCb, srcCr, reconInto = true)
+            pmx = 0; pmy = 0
+          } else {
+            putB1(w, pending + 1); pending = 0
+            if (cbp == 0) {
+              w.put(1L, 3) // '001' pred-m (motion only)
+              putMotion(w, bestVx, pmx); putMotion(w, bestVy, pmy)
+              pmx = bestVx; pmy = bestVy
+            } else if (bestVx == 0 && bestVy == 0) {
+              w.put(1L, 2) // '01' pred-c (no motion, coded pattern)
               pmx = 0; pmy = 0
             } else {
+              w.put(1L, 1) // '1' pred-mc
+              putMotion(w, bestVx, pmx); putMotion(w, bestVy, pmy)
+              pmx = bestVx; pmy = bestVy
+            }
+            if (cbp != 0) {
+              val (c, n) = CbpEncCodes(cbp)
+              w.put(c.toLong, n)
+            }
+            // reconstruction: prediction (+ residual on coded blocks)
+            var blk = 0
+            while (blk < 6) {
+              predictBlock(blk, mx, row, useF = true, bestVx, bestVy,
+                refY, refCb, refCr, useB = false, 0, 0, null, null, null,
+                pred)
+              if ((cbp & (32 >> blk)) != 0) {
+                encResidualBlock(w, levels(blk), qscale, DefaultNonIntraQ, rec)
+                var i = 0
+                while (i < 64) {
+                  val v = pred(i) + rec(i)
+                  pred(i) = if (v < 0) 0 else if (v > 255) 255 else v
+                  i += 1
+                }
+              }
+              if (blk < 4)
+                put8(curY, pw, x0 + (blk % 2) * 8, y0 + (blk / 2) * 8, pred)
+              else
+                put8(if (blk == 4) curCb else curCr, cw, mx * 8, row * 8, pred)
+              blk += 1
+            }
+            dcs(0) = 128; dcs(1) = 128; dcs(2) = 128
+          }
+          mx += 1
+        }
+        row += 1
+      }
+    }
+
+    /** Encode one B picture between the ref (forward) and cur
+      * (backward) anchor reconstructions. No recon is materialized —
+      * nothing ever predicts from a B picture.
+      */
+    def encodeB(srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      val levels = new Array[Array[Int]](6)
+      var row = 0
+      while (row < mbH) {
+        w.startCode(row + 1)
+        w.put(qscale.toLong, 5)
+        w.put(0L, 1)
+        val dcs = Array(128, 128, 128)
+        var pfx = 0; var pfy = 0; var pbx = 0; var pby = 0
+        var lastMf = false; var lastMb = false
+        var lastValid = false // no skip at slice start / after intra
+        var pending = 0
+        var mx = 0
+        while (mx < mbW) {
+          val x0 = mx * 16; val y0 = row * 16
+          // skip hypothesis: previous macroblock's directions with the
+          // current (unchanged) predictors, zero residual (§2.4.4.4)
+          var skipped = false
+          if (lastValid && mx != 0 && mx != mbW - 1) {
+            val c0 = residualCbp(mx, row, srcY, srcCb, srcCr,
+              lastMf, pfx, pfy, refY, refCb, refCr,
+              lastMb, pbx, pby, curY, curCb, curCr, levels)
+            if (c0 == 0) {
+              pending += 1
+              dcs(0) = 128; dcs(1) = 128; dcs(2) = 128
+              skipped = true
+            }
+          }
+          if (!skipped) {
+            val (fvx, fvy, sadF) = search(srcY, refY, x0, y0)
+            val (bvx, bvy, sadB) = search(srcY, curY, x0, y0)
+            // interpolated SAD at the two winners
+            var sadI = 0
+            var blk = 0
+            while (blk < 4 && sadI < Int.MaxValue) {
+              predictBlock(blk, mx, row, useF = true, fvx, fvy,
+                refY, refCb, refCr, useB = true, bvx, bvy,
+                curY, curCb, curCr, pred)
+              grab(srcY, pw, x0 + (blk % 2) * 8, y0 + (blk / 2) * 8)
+              var i = 0
+              while (i < 64) { sadI += math.abs(block(i) - pred(i)); i += 1 }
+              blk += 1
+            }
+            // mode choice: least SAD; ties prefer interp (cheapest code)
+            val useF = sadI <= sadF && sadI <= sadB || sadF <= sadB
+            val useB = sadI <= sadF && sadI <= sadB || sadF > sadB
+            val bestSad = math.min(sadI, math.min(sadF, sadB))
+            var cbp = 0
+            val useIntra0 = bestSad > 24 * 256
+            if (!useIntra0)
+              cbp = residualCbp(mx, row, srcY, srcCb, srcCr,
+                useF, fvx, fvy, refY, refCb, refCr,
+                useB, bvx, bvy, curY, curCb, curCr, levels)
+            if (useIntra0 || !(cbp == 0 || CbpEncCodes.contains(cbp))) {
               putB1(w, pending + 1); pending = 0
-              if (cbp == 0) {
-                w.put(1L, 3) // '001' pred-m (motion only)
-                putMotion(w, bestVx, pmx); putMotion(w, bestVy, pmy)
-                pmx = bestVx; pmy = bestVy
-              } else if (bestVx == 0 && bestVy == 0) {
-                w.put(1L, 2) // '01' pred-c (no motion, coded pattern)
-                pmx = 0; pmy = 0
-              } else {
-                w.put(1L, 1) // '1' pred-mc
-                putMotion(w, bestVx, pmx); putMotion(w, bestVy, pmy)
-                pmx = bestVx; pmy = bestVy
+              w.put(0x3L, 5) // B.2c '00011' intra
+              intraMb(mx, row, dcs, srcY, srcCb, srcCr, reconInto = false)
+              pfx = 0; pfy = 0; pbx = 0; pby = 0
+              lastValid = false
+            } else {
+              putB1(w, pending + 1); pending = 0
+              // macroblock_type (Table B.2c)
+              if (useF && useB) w.put(if (cbp != 0) 0x3L else 0x2L, 2)
+              else if (useB) w.put(if (cbp != 0) 0x3L else 0x2L, 3)
+              else w.put(if (cbp != 0) 0x3L else 0x2L, 4)
+              if (useF) {
+                putMotion(w, fvx, pfx); putMotion(w, fvy, pfy)
+                pfx = fvx; pfy = fvy
+              }
+              if (useB) {
+                putMotion(w, bvx, pbx); putMotion(w, bvy, pby)
+                pbx = bvx; pby = bvy
               }
               if (cbp != 0) {
                 val (c, n) = CbpEncCodes(cbp)
                 w.put(c.toLong, n)
-              }
-              // reconstruction: prediction (+ residual on coded blocks)
-              val cvx = bestVx / 2; val cvy = bestVy / 2
-              var blk = 0
-              while (blk < 6) {
-                val (dst, stride, bx, by, refP) =
-                  if (blk < 4)
-                    (curY, pw, x0 + (blk % 2) * 8, y0 + (blk / 2) * 8, refY)
-                  else if (blk == 4) (curCb, cw, mx * 8, row * 8, refCb)
-                  else (curCr, cw, mx * 8, row * 8, refCr)
-                val vx = if (blk < 4) bestVx else cvx
-                val vy = if (blk < 4) bestVy else cvy
-                mcBlock(refP, stride, if (blk < 4) ph else chh,
-                  bx, by, 8, 8, vx, vy, pred)
-                if ((cbp & (32 >> blk)) != 0) {
-                  encResidualBlock(w, levels(blk), qscale, DefaultNonIntraQ, rec)
-                  var i = 0
-                  while (i < 64) {
-                    val v = pred(i) + rec(i)
-                    pred(i) = if (v < 0) 0 else if (v > 255) 255 else v
-                    i += 1
-                  }
+                var blk = 0
+                while (blk < 6) {
+                  if ((cbp & (32 >> blk)) != 0)
+                    encResidualBlock(w, levels(blk), qscale,
+                      DefaultNonIntraQ, rec)
+                  blk += 1
                 }
-                put8(dst, stride, bx, by, pred)
-                blk += 1
               }
               dcs(0) = 128; dcs(1) = 128; dcs(2) = 128
+              lastMf = useF; lastMb = useB
+              lastValid = true
             }
-            mx += 1
           }
-          row += 1
+          mx += 1
         }
+        row += 1
       }
-      if (track) {
-        // I pictures write cur via intraMb too; swap cur → ref
-        var t = refY; refY = curY; curY = t
-        t = refCb; refCb = curCb; curCb = t
-        t = refCr; refCr = curCr; curCr = t
+    }
+
+    def swapCurRef(): Unit = {
+      var t = refY; refY = curY; curY = t
+      t = refCb; refCb = curCb; curCb = t
+      t = refCr; refCr = curCr; curCr = t
+    }
+
+    if (bFrames == 0) {
+      frames.zipWithIndex.foreach { case (bgr, fi) =>
+        val (yS, cbS, crS) = toPlanes(bgr)
+        val isI = !track || fi % gopSize == 0
+        writePictureHeader(fi, if (isI) 1 else 2)
+        if (isI) encodeI(yS, cbS, crS) else encodeP(yS, cbS, crS)
+        if (track) swapCurRef()
+      }
+    } else {
+      // anchors every bFrames+1 display positions (plus a forced final
+      // anchor); transmission order = anchor, then the B group before it
+      val n = frames.length
+      val step = bFrames + 1
+      val anchors = (0 until n by step).toBuffer
+      if (anchors.last != n - 1) anchors += n - 1
+      var prev = -1
+      anchors.foreach { pos =>
+        val isI = pos == 0 || pos % gopSize == 0
+        val (yS, cbS, crS) = toPlanes(frames(pos))
+        writePictureHeader(pos, if (isI) 1 else 2)
+        if (isI) encodeI(yS, cbS, crS) else encodeP(yS, cbS, crS)
+        var b = prev + 1
+        while (b < pos) {
+          val (yB, cbB, crB) = toPlanes(frames(b))
+          writePictureHeader(b, 3)
+          encodeB(yB, cbB, crB)
+          b += 1
+        }
+        swapCurRef()
+        prev = pos
       }
     }
     w.startCode(0xb7) // sequence_end_code
@@ -1002,18 +1199,32 @@ object Mpeg1Video {
     var mbW = 0; var mbH = 0; var pw = 0; var ph = 0
     val intraQ = DefaultIntraQ.clone()
     val nonIntraQ = DefaultNonIntraQ.clone()
+    // cur = the picture being decoded; bwd = most recent anchor (the
+    // P forward / B backward reference); fwd = the anchor before it
+    // (the B forward reference). Anchors rotate cur→bwd→fwd by
+    // pointer swap at the next picture header — every picture type
+    // writes all macroblocks, so the recycled buffer is fully
+    // overwritten on legal wire.
     var yP: Array[Int] = null; var cbP: Array[Int] = null; var crP: Array[Int] = null
-    // previous picture's reconstruction — the P-picture reference
-    var refY: Array[Int] = null; var refCb: Array[Int] = null; var refCr: Array[Int] = null
+    var bwdY: Array[Int] = null; var bwdCb: Array[Int] = null; var bwdCr: Array[Int] = null
+    var fwdY: Array[Int] = null; var fwdCb: Array[Int] = null; var fwdCr: Array[Int] = null
     var inPicture = false
-    var picType = 0 // 1 = I, 2 = P
+    var picType = 0 // 1 = I, 2 = P, 3 = B
     var fullPel = false
     var fFwd = 1; var rSize = 0 // forward_f, forward_r_size
+    var fullPelB = false
+    var fBwd = 1; var rSizeB = 0 // backward_f, backward_r_size
+    var anchorsSeen = 0
     var outBytes = 0L
+    // display-order reorder: anchors are emitted when the NEXT anchor
+    // commits (B pictures, transmitted after their future anchor but
+    // displayed before it, emit immediately)
+    var pendingAnchor: Array[Byte] = null
     val frames = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
     val block = new Array[Int](64)
     val pels = new Array[Int](64)
     val pred = new Array[Int](64)
+    val pred2 = new Array[Int](64)
 
     def commitFrame(): Unit = {
       if (!inPicture) return
@@ -1037,7 +1248,19 @@ object Mpeg1Video {
         }
         y += 1
       }
-      frames += bgr
+      if (picType == 3) frames += bgr // B: display order = decode order
+      else {
+        // anchors display AFTER any B pictures that follow them on the
+        // wire: hold this one, emit the previously held anchor
+        if (pendingAnchor != null) frames += pendingAnchor
+        pendingAnchor = bgr
+        anchorsSeen += 1
+        // rotate references: this anchor becomes the backward
+        // reference, the previous one the forward reference
+        var t = fwdY; fwdY = bwdY; bwdY = yP; yP = t
+        t = fwdCb; fwdCb = bwdCb; bwdCb = cbP; cbP = t
+        t = fwdCr; fwdCr = bwdCr; bwdCr = crP; crP = t
+      }
       inPicture = false
     }
 
@@ -1075,9 +1298,12 @@ object Mpeg1Video {
             yP = new Array[Int](pw * ph)
             cbP = new Array[Int]((pw / 2) * (ph / 2))
             crP = new Array[Int]((pw / 2) * (ph / 2))
-            refY = new Array[Int](pw * ph)
-            refCb = new Array[Int]((pw / 2) * (ph / 2))
-            refCr = new Array[Int]((pw / 2) * (ph / 2))
+            bwdY = new Array[Int](pw * ph)
+            bwdCb = new Array[Int]((pw / 2) * (ph / 2))
+            bwdCr = new Array[Int]((pw / 2) * (ph / 2))
+            fwdY = new Array[Int](pw * ph)
+            fwdCb = new Array[Int]((pw / 2) * (ph / 2))
+            fwdCr = new Array[Int]((pw / 2) * (ph / 2))
           }
         case 0xb8 => // GOP header: fixed fields, nothing to keep
           commitFrame()
@@ -1085,25 +1311,28 @@ object Mpeg1Video {
         case 0x00 => // picture header
           commitFrame()
           if (width == 0) fail() // no sequence header yet
-          br.bits(10) // temporal_reference
+          br.bits(10) // temporal_reference (canonical transmission
+          // order assumed: anchors precede the B pictures they bound)
           val ptype = br.bits(3)
-          if (ptype != 1 && ptype != 2) fail() // I/P only; B/D out of scope
-          if (ptype == 2 && frames.isEmpty) fail() // P needs a reference
+          if (ptype < 1 || ptype > 3) fail() // I/P/B; D out of scope
+          if (ptype == 2 && anchorsSeen < 1) fail() // P needs an anchor
+          if (ptype == 3 && anchorsSeen < 2) fail() // B needs both
           br.bits(16) // vbv_delay
-          if (ptype == 2) {
+          if (ptype >= 2) {
             fullPel = br.bits(1) == 1
             val fc = br.bits(3) // forward_f_code 1-7
             if (fc == 0) fail()
             fFwd = 1 << (fc - 1); rSize = fc - 1
           }
+          if (ptype == 3) {
+            fullPelB = br.bits(1) == 1
+            val fc = br.bits(3) // backward_f_code 1-7
+            if (fc == 0) fail()
+            fBwd = 1 << (fc - 1); rSizeB = fc - 1
+          }
           while (br.bits(1) == 1) br.bits(8) // extra_information_picture
           outBytes += width.toLong * height * 3
           if (outBytes > maxOutBytes) fail()
-          if (ptype == 2) { // snapshot the reference before overwriting
-            System.arraycopy(yP, 0, refY, 0, yP.length)
-            System.arraycopy(cbP, 0, refCb, 0, cbP.length)
-            System.arraycopy(crP, 0, refCr, 0, crP.length)
-          }
           picType = ptype
           inPicture = true
         case s if s >= 0x01 && s <= 0xaf => // slice
@@ -1114,7 +1343,11 @@ object Mpeg1Video {
           while (br.bits(1) == 1) br.bits(8) // extra_information_slice
           var mbAddr = sliceRow * mbW - 1
           var dcY = 128; var dcCb = 128; var dcCr = 128
-          var pmx = 0; var pmy = 0 // motion predictors (P pictures)
+          var pmx = 0; var pmy = 0 // forward motion predictors
+          var pbx = 0; var pby = 0 // backward motion predictors (B)
+          // previous macroblock's prediction directions — B skipped
+          // macroblocks repeat them (with the current predictors)
+          var lastMf = true; var lastMb = false
           val cw = pw / 2
 
           /** Write an 8×8 block into a plane at (x0, y0). */
@@ -1130,21 +1363,23 @@ object Mpeg1Video {
             }
           }
 
-          /** Skipped P macroblock: co-located copy from the reference. */
+          /** Skipped P macroblock: co-located copy from the last
+            * anchor (motion vector 0, no residual).
+            */
           def copySkipped(addr: Int): Unit = {
             val x0 = (addr % mbW) * 16; val y0 = (addr / mbW) * 16
             var by = 0
             while (by < 16) {
-              System.arraycopy(refY, (y0 + by) * pw + x0,
+              System.arraycopy(bwdY, (y0 + by) * pw + x0,
                 yP, (y0 + by) * pw + x0, 16)
               by += 1
             }
             val cx = (addr % mbW) * 8; val cy = (addr / mbW) * 8
             by = 0
             while (by < 8) {
-              System.arraycopy(refCb, (cy + by) * cw + cx,
+              System.arraycopy(bwdCb, (cy + by) * cw + cx,
                 cbP, (cy + by) * cw + cx, 8)
-              System.arraycopy(refCr, (cy + by) * cw + cx,
+              System.arraycopy(bwdCr, (cy + by) * cw + cx,
                 crP, (cy + by) * cw + cx, 8)
               by += 1
             }
@@ -1215,6 +1450,57 @@ object Mpeg1Video {
             }
           }
 
+          /** Motion-compensated macroblock: forward and/or backward
+            * prediction (B averages the two per §2.4.4.4, rounded
+            * away from zero), plus the coded residual blocks. Vectors
+            * are HALF-PEL (already full_pel-doubled); `cbp = 0` means
+            * prediction only.
+            */
+          def predictMb(useF: Boolean, useB: Boolean, fvx: Int, fvy: Int,
+              bvx: Int, bvy: Int, cbp: Int): Unit = {
+            val my = (mbAddr / mbW) * 16; val mx0 = (mbAddr % mbW) * 16
+            val cfx = fvx / 2; val cfy = fvy / 2 // chroma: truncate toward 0
+            val cbx = bvx / 2; val cby = bvy / 2
+            var blk = 0
+            while (blk < 6) {
+              val luma = blk < 4
+              val (refF, refB, stride, rows, bx, by) =
+                if (luma)
+                  (fwdY, bwdY, pw, ph,
+                    mx0 + (blk % 2) * 8, my + (blk / 2) * 8)
+                else
+                  (if (blk == 4) fwdCb else fwdCr,
+                    if (blk == 4) bwdCb else bwdCr, cw, ph / 2,
+                    (mbAddr % mbW) * 8, (mbAddr / mbW) * 8)
+              // P pictures predict forward from the LAST anchor, which
+              // sits in the backward slot of the rotation
+              val fPlane = if (picType == 2) refB else refF
+              if (useF) {
+                if (!mcBlock(fPlane, stride, rows, bx, by, 8, 8,
+                  if (luma) fvx else cfx, if (luma) fvy else cfy, pred))
+                  fail()
+              }
+              if (useB) {
+                val into = if (useF) pred2 else pred
+                if (!mcBlock(refB, stride, rows, bx, by, 8, 8,
+                  if (luma) bvx else cbx, if (luma) bvy else cby, into))
+                  fail()
+                if (useF) { // interpolate, §2.4.4.4 // rounding
+                  var i = 0
+                  while (i < 64) {
+                    pred(i) = (pred(i) + pred2(i) + 1) >> 1; i += 1
+                  }
+                }
+              }
+              if (!useF && !useB) fail()
+              if ((cbp & (32 >> blk)) != 0) decodeResidualOnto()
+              put8(if (luma) yP else if (blk == 4) cbP else crP,
+                stride, bx, by, pred)
+              blk += 1
+            }
+            dcY = 128; dcCb = 128; dcCr = 128 // reset after non-intra
+          }
+
           while (br.hasOneBit) {
             // macroblock_address_increment (stuffing + escape aware)
             var incr = 0
@@ -1232,7 +1518,7 @@ object Mpeg1Video {
                 fail() // I pictures: no skipped macroblocks mid-slice
               if (mbAddr < 0 || mbAddr >= mbW * mbH) fail()
               if (incr > 1) { dcY = 128; dcCb = 128; dcCr = 128 }
-            } else {
+            } else if (picType == 2) {
               // P pictures: in-between macroblocks are skipped copies
               var k = 1
               while (k < incr) {
@@ -1247,10 +1533,30 @@ object Mpeg1Video {
                 dcY = 128; dcCb = 128; dcCr = 128 // reset after skips
                 pmx = 0; pmy = 0
               }
+            } else {
+              // B pictures: skipped macroblocks repeat the PREVIOUS
+              // macroblock's prediction (same directions, predictor
+              // vectors unchanged, no residual) — §2.4.4.4
+              var k = 1
+              while (k < incr) {
+                mbAddr += 1
+                if (mbAddr < 0 || mbAddr >= mbW * mbH) fail()
+                val sf = lastMf || !lastMb // corrupt-wire fallback: fwd
+                predictMb(sf, lastMb,
+                  if (fullPel) pmx << 1 else pmx,
+                  if (fullPel) pmy << 1 else pmy,
+                  if (fullPelB) pbx << 1 else pbx,
+                  if (fullPelB) pby << 1 else pby, 0)
+                k += 1
+              }
+              mbAddr += 1
+              if (mbAddr < 0 || mbAddr >= mbW * mbH) fail()
+              if (incr > 1) { dcY = 128; dcCb = 128; dcCr = 128 }
             }
             // macroblock_type
             var mbIntra = true
             var mf = false
+            var mb = false
             var pattern = false
             if (picType == 1) { // Table B.2a
               if (br.bits(1) == 0) {
@@ -1258,7 +1564,7 @@ object Mpeg1Video {
                 qscale = br.bits(5)
                 if (qscale == 0) fail()
               }
-            } else { // Table B.2b
+            } else if (picType == 2) { // Table B.2b
               var quantF = false
               if (br.bits(1) == 1) { mf = true; pattern = true; mbIntra = false }
               else if (br.bits(1) == 1) { pattern = true; mbIntra = false }
@@ -1274,45 +1580,61 @@ object Mpeg1Video {
                 qscale = br.bits(5)
                 if (qscale == 0) fail()
               }
+            } else { // Table B.2c
+              var quantF = false
+              if (br.bits(1) == 1) { // '1x': interpolated
+                mf = true; mb = true; mbIntra = false
+                pattern = br.bits(1) == 1
+              } else if (br.bits(1) == 1) { // '01x': backward
+                mb = true; mbIntra = false
+                pattern = br.bits(1) == 1
+              } else if (br.bits(1) == 1) { // '001x': forward
+                mf = true; mbIntra = false
+                pattern = br.bits(1) == 1
+              } else if (br.bits(1) == 1) { // '0001x'
+                if (br.bits(1) == 1) () // '00011' intra
+                else { // '00010' interp + quant + pattern
+                  quantF = true; mf = true; mb = true; pattern = true
+                  mbIntra = false
+                }
+              } else if (br.bits(1) == 1) { // '00001x'
+                if (br.bits(1) == 1) { // '000011' fwd + quant + pattern
+                  quantF = true; mf = true; pattern = true; mbIntra = false
+                } else { // '000010' bwd + quant + pattern
+                  quantF = true; mb = true; pattern = true; mbIntra = false
+                }
+              } else if (br.bits(1) == 1) { quantF = true } // '000001' intra-q
+              else fail()
+              if (quantF) {
+                qscale = br.bits(5)
+                if (qscale == 0) fail()
+              }
             }
-            // forward motion vector (differential, §2.4.4.3)
-            var mvx = 0; var mvy = 0
+            // motion vectors (differential, §2.4.4.3): forward then
+            // backward; unused directions leave their predictors
+            // untouched in B pictures, reset them in P
             if (mf) {
-              mvx = reconMotion(br, pmx, fFwd, rSize)
-              mvy = reconMotion(br, pmy, fFwd, rSize)
-              pmx = mvx; pmy = mvy
-            } else if (picType == 2) { pmx = 0; pmy = 0 }
+              pmx = reconMotion(br, pmx, fFwd, rSize)
+              pmy = reconMotion(br, pmy, fFwd, rSize)
+            } else if (picType == 2 && !mbIntra) { pmx = 0; pmy = 0 }
+            if (mb) {
+              pbx = reconMotion(br, pbx, fBwd, rSizeB)
+              pby = reconMotion(br, pby, fBwd, rSizeB)
+            }
             if (picType == 1 || mbIntra) {
-              if (picType == 2) { pmx = 0; pmy = 0 } // intra resets MVs
+              if (picType != 1) { // intra resets every motion predictor
+                pmx = 0; pmy = 0; pbx = 0; pby = 0
+                lastMf = true; lastMb = false
+              }
               decodeIntraBlocks()
             } else {
-              // prediction + optional residual
-              val vx = if (fullPel) mvx << 1 else mvx
-              val vy = if (fullPel) mvy << 1 else mvy
-              val cvx = vx / 2; val cvy = vy / 2 // truncation toward zero
               val cbp = if (pattern) readCbp(br) else 0
-              val my = (mbAddr / mbW) * 16; val mx0 = (mbAddr % mbW) * 16
-              var blk = 0
-              while (blk < 6) {
-                val ok =
-                  if (blk < 4)
-                    mcBlock(refY, pw, ph,
-                      mx0 + (blk % 2) * 8, my + (blk / 2) * 8, 8, 8,
-                      vx, vy, pred)
-                  else
-                    mcBlock(if (blk == 4) refCb else refCr, cw, ph / 2,
-                      (mbAddr % mbW) * 8, (mbAddr / mbW) * 8, 8, 8,
-                      cvx, cvy, pred)
-                if (!ok) fail() // vector leaves the picture: illegal wire
-                if ((cbp & (32 >> blk)) != 0) decodeResidualOnto()
-                if (blk < 4)
-                  put8(yP, pw, mx0 + (blk % 2) * 8, my + (blk / 2) * 8, pred)
-                else
-                  put8(if (blk == 4) cbP else crP, cw,
-                    (mbAddr % mbW) * 8, (mbAddr / mbW) * 8, pred)
-                blk += 1
-              }
-              dcY = 128; dcCb = 128; dcCr = 128 // reset after non-intra
+              predictMb(mf || picType == 2, mb,
+                if (fullPel) pmx << 1 else pmx,
+                if (fullPel) pmy << 1 else pmy,
+                if (fullPelB) pbx << 1 else pbx,
+                if (fullPelB) pby << 1 else pby, cbp)
+              lastMf = mf; lastMb = mb
             }
           }
         case 0xb7 => // sequence end
@@ -1324,6 +1646,7 @@ object Mpeg1Video {
       ci += 1
     }
     commitFrame()
+    if (pendingAnchor != null) frames += pendingAnchor // flush the held anchor
     if (frames.isEmpty) None
     else Some(Multimodal.RawVideoClip(width, height, frames.toIndexedSeq))
   }

@@ -279,6 +279,136 @@ class Mpeg1VideoSpec extends AnyFunSuite {
     assert(Mpeg1Video.decode(wire).isDefined)
   }
 
+  // ------------------------------------------------------ B pictures
+
+  /** 8px-wide strips: every 8×8 block constant → exact intra recon
+    * (the skip-path fixture discipline).
+    */
+  private def strip8Frame(levels: Array[Int]): Array[Byte] = {
+    require(levels.length == 8)
+    val bgr = new Array[Byte](64 * 32 * 3)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 64) {
+        val v = levels(x / 8).toByte
+        val o = (y * 64 + x) * 3
+        bgr(o) = v; bgr(o + 1) = v; bgr(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    bgr
+  }
+
+  test("IBBP roundtrip: B pictures reorder to display order with exact fingerprints") {
+    val walks = Seq(
+      Array(40, 128, 216, 40, 128, 216, 40, 216, 40, 128, 216),
+      Array(128, 216, 40, 128, 40, 216, 128, 40, 216, 40, 128),
+      Array(216, 40, 128, 216, 128, 40, 216, 128, 40, 216, 40),
+      Array(40, 216, 128, 40, 216, 40, 128, 216, 40, 128, 40))
+    val frames = (0 until 7).map(i => stripFrame(walks(i % 4)))
+    val wire = Mpeg1Video.encode(44, 24, frames, qscale = 3, gopSize = 6,
+      bFrames = 2)
+    val clip = Mpeg1Video.decode(wire).getOrElse(fail("IBBP must decode"))
+    assert(clip.frames.length == 7)
+    (0 until 7).foreach { i =>
+      assert(maxErr(clip.frames(i), frames(i)) < 44, s"frame $i")
+      val got = Multimodal.Bmp.dhash60(Multimodal.BmpImage(44, 24, clip.frames(i)))
+      val want = Multimodal.Bmp.dhash60(Multimodal.BmpImage(44, 24, frames(i)))
+      assert(got == want, s"frame $i fingerprint after B reorder")
+    }
+  }
+
+  test("interpolated B prediction is exact on averaged content") {
+    // anchors A and C intra-code exactly (8px constant blocks); the B
+    // frame between them is their decoder-identical pixel average, so
+    // the interpolated prediction at MV (0,0) has zero residual and the
+    // B reconstruction is bit-exact
+    val a = strip8Frame(Array(40, 216, 128, 40, 216, 128, 40, 216))
+    val c = strip8Frame(Array(216, 40, 216, 128, 40, 216, 128, 40))
+    val b = a.zip(c).map { case (x, y) =>
+      (((x & 0xff) + (y & 0xff) + 1) >> 1).toByte
+    }
+    val wire = Mpeg1Video.encode(64, 32, Seq(a, b, c), qscale = 3,
+      gopSize = 2, bFrames = 1)
+    val clip = Mpeg1Video.decode(wire).getOrElse(fail("must decode"))
+    assert(clip.frames.length == 3)
+    assert(clip.frames(0).sameElements(a), "anchor A exact")
+    assert(clip.frames(2).sameElements(c), "anchor C exact")
+    assert(clip.frames(1).sameElements(b),
+      "interpolated B must reconstruct bit-exactly")
+  }
+
+  test("identical frames make all-skip B pictures: tiny wire, exact recon") {
+    val frame = strip8Frame(Array(40, 216, 128, 40, 216, 128, 40, 216))
+    val frames = Seq.fill(7)(frame)
+    val allI = Mpeg1Video.encode(64, 32, frames, qscale = 3)
+    val ibp = Mpeg1Video.encode(64, 32, frames, qscale = 3, gopSize = 6,
+      bFrames = 2)
+    assert(ibp.length * 2 < allI.length,
+      s"skip-dominated IBBP must compress: ${ibp.length} vs ${allI.length}")
+    val clip = Mpeg1Video.decode(ibp).getOrElse(fail("must decode"))
+    assert(clip.frames.length == 7)
+    clip.frames.zipWithIndex.foreach { case (f, i) =>
+      assert(f.sameElements(frame), s"frame $i must be bit-exact")
+    }
+  }
+
+  test("B pictures without both anchors are rejected") {
+    val a = stripFrame(Array(40, 216, 128, 40, 216, 128, 40, 216, 128, 40, 216))
+    val b = plusLuma(a, 3)
+    val c = stripFrame(Array(216, 40, 216, 128, 40, 128, 216, 40, 216, 128, 40))
+    val wire = Mpeg1Video.encode(44, 24, Seq(a, b, c), qscale = 3,
+      gopSize = 2, bFrames = 1)
+    def pictureStarts(bs: Array[Byte]): Seq[Int] =
+      (0 until bs.length - 3).filter(i =>
+        bs(i) == 0 && bs(i + 1) == 0 && bs(i + 2) == 1 && bs(i + 3) == 0)
+    val ps = pictureStarts(wire)
+    assert(ps.length == 3) // transmission order: I0, P2, B1
+    // B first (no anchors at all)
+    assert(Mpeg1Video.decode(wire.take(ps(0)) ++ wire.drop(ps(2))).isEmpty)
+    // B after a single anchor
+    assert(Mpeg1Video.decode(wire.take(ps(1)) ++ wire.drop(ps(2))).isEmpty)
+    assert(Mpeg1Video.decode(wire).isDefined)
+  }
+
+  test("B frames require a predictive cadence") {
+    val frame = stripFrame(Array(40, 216, 128, 40, 216, 128, 40, 216, 128, 40, 216))
+    assertThrows[IllegalArgumentException] {
+      Mpeg1Video.encode(44, 24, Seq(frame, frame), bFrames = 1) // gopSize=0
+    }
+  }
+
+  test("IBBP encode is deterministic and fuzz-safe") {
+    val frames = (0 until 6).map { i =>
+      val base = stripFrame(Array(40, 128, 216, 40, 216, 128, 40, 128, 40, 216, 128))
+      if (i % 2 == 1) plusLuma(base, 3) else base
+    }
+    val w1 = Mpeg1Video.encode(44, 24, frames, gopSize = 6, bFrames = 2,
+      halfPel = true)
+    val w2 = Mpeg1Video.encode(44, 24, frames, gopSize = 6, bFrames = 2,
+      halfPel = true)
+    assert(java.util.Arrays.equals(w1, w2))
+    val rnd = new scala.util.Random(11174)
+    (0 until 300).foreach { _ =>
+      val bad = w1.clone()
+      (0 to rnd.nextInt(3)).foreach { _ =>
+        val i = rnd.nextInt(bad.length)
+        bad(i) = (bad(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      Mpeg1Video.decode(bad).foreach { cc =>
+        assert(cc.width > 0 && cc.height > 0)
+        assert(cc.frames.forall(_.length == cc.width * cc.height * 3))
+      }
+    }
+    (1 until w1.length by 43).foreach { n =>
+      Mpeg1Video.decode(java.util.Arrays.copyOf(w1, n)).foreach { cc =>
+        assert(cc.frames.forall(_.length == cc.width * cc.height * 3))
+      }
+    }
+  }
+
   test("corrupt IPPP payloads decode to None or well-formed output, never crash") {
     val frame = stripFrame(Array(40, 128, 216, 40, 128, 216, 40, 128, 216, 40, 128))
     val good = Mpeg1Video.encode(44, 24,
