@@ -7655,6 +7655,70 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q257 corpus: MUXED assets — each clip is an ISO 11172-1 program
+    * stream interleaving q251's shot-walk VIDEO (on the full I/P/B
+    * wire) with a q246-style staircase AUDIO track on the MPEG-1
+    * Layer I wire. Both inner fixtures keep their margin designs, so
+    * both fingerprint families stay closed-form after the lossy
+    * codecs; the container adds pack/system/packet framing, PES
+    * timestamp headers, stuffing variation, and round-robin
+    * interleave on top.
+    */
+  private def synthMpegMuxedMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter(id => id % 16 == 0)
+      .repartition(32) // distribute the encode (single-partition scan upstream)
+      .mapPartitions(_.map { id =>
+        val base = id / 16
+        val n = (12 + base % 7).toInt
+        val shotLen = (2 + base % 3).toInt
+        val frames = (0 until n).map { f =>
+          val strip = mpegStripFrame(base * 97 + (f / shotLen).toLong * 31 + 13)
+          if (f % 2 == 1) flicker(strip, 3) else strip
+        }
+        val videoEs = graft.ext.Mpeg1Video.encode(44, 24, frames, qscale = 3,
+          gopSize = 4, searchRange = 1, bFrames = 1)
+        val nS = (200 + base % 50).toInt
+        val variant = (base % 4).toInt
+        val samples = Array.tabulate(nS) { j =>
+          val f = (j.toLong * 61 / nS).toInt
+          val boost = if (variant > 0 && f == 56 + variant) 800 else 0
+          (400 * (1 + ((base * 7 + 3 * f) % 4)).toInt + boost).toShort
+        }
+        val audioEs = graft.ext.Mpeg1.encode(samples)
+        Multimodal.MediaRecord(id,
+          graft.ext.Mpeg1System.muxAv(videoEs, audioEs, packetPayload = 512),
+          "video/mp1s")
+      }).toDF()
+  }
+
+  /** Dual-modal census over MUXED containers — the capstone of the
+    * media stack: [[graft.ext.Mpeg1System]] demuxes each 11172-1
+    * program stream ONCE, the 11172-2 I/P/B decoder fingerprints the
+    * video frames, the 11172-3 Layer I decoder fingerprints the audio
+    * track, and one result row per asset carries q251's shot census
+    * NEXT TO the audio energy fingerprint + exact gapless sample
+    * count. The oracle replays BOTH closed forms (video strip walk,
+    * audio staircase energies) from the documents table and joins
+    * them — a slip anywhere in mux framing, stream reassembly, either
+    * codec, or the display reorder breaks the hash.
+    */
+  def q257MuxedAvCensus(spark: SparkSession, dir: String): DataFrame = {
+    val fh = Multimodal.avFrameHashes(spark,
+      synthMpegMuxedMedia(spark, dir), stride = 1, partitions = 32)
+      .toDF().localCheckpoint(true) // demux+decode once; cut the lineage
+    Multimodal.shotBoundaries(fh, maxDistance = 2)
+      .groupBy(col("media_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(col("is_boundary").cast("long")).as("n_shots"),
+        sum(when(col("is_boundary"), col("frame_idx"))).as("boundary_idx_sum"),
+        max(when(col("is_boundary"), col("frame_idx"))).as("last_shot_start"),
+        max(col("audio_fp")).as("audio_fp"),
+        max(col("n_samples")).as("n_samples"))
+      .orderBy(col("media_id"))
+  }
+
   /** Deterministic synth recipe for the SEQUENCE-grain video corpus:
     * a 1-in-16 doc sample (the oracle's frame-level quadratic verify
     * must stay tractable at sf0.1) arranged in (original, delayed)
@@ -8322,6 +8386,7 @@ object SparkEntry {
     "q254_mpeg_ipp_scene_dedup" -> (q254MpegIppSceneDedup _),
     "q255_mpeg_b_shot_detect" -> (q255MpegBShotDetect _),
     "q256_mpeg_b_scene_dedup" -> (q256MpegBSceneDedup _),
+    "q257_muxed_av_census" -> (q257MuxedAvCensus _),
     "q240_warc_ingest" -> (q240WarcIngest _),
     "q241_stream_warc" -> (q241StreamWarcIngest _),
     "q242_image_metadata" -> (q242ImageMetadata _),
@@ -12945,6 +13010,87 @@ object SparkEntry {
     "q254_mpeg_ipp_scene_dedup" -> MpegSceneOracleSql,
     // q256: q252's closed form on the I/P/B wire
     "q256_mpeg_b_scene_dedup" -> MpegSceneOracleSql,
+
+    // q257: BOTH closed forms joined — the video strip-walk shot
+    // census (q251's chain) and the audio staircase energy
+    // fingerprint (q246's chain) replayed from the documents table
+    "q257_muxed_av_census" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 16 AS base,
+        |         CAST(12 + (doc_id // 16) % 7 AS BIGINT) AS n,
+        |         CAST(2 + (doc_id // 16) % 3 AS BIGINT) AS sl
+        |  FROM documents WHERE doc_id % 16 = 0),
+        |fr AS (SELECT d.*, unnest(generate_series(0, n - 1)) AS f FROM d),
+        |ks AS (
+        |  SELECT doc_id, n, f, base * 97 + (f // sl) * 31 + 13 AS s
+        |  FROM fr),
+        |g AS (SELECT ks.*, unnest(generate_series(0, 10)) AS gx FROM ks),
+        |dd AS (
+        |  SELECT doc_id, n, f, s, gx,
+        |         CASE WHEN gx = 0 THEN 0
+        |              ELSE (s * (gx + 3) + gx * gx) % 2 END AS dbit
+        |  FROM g),
+        |lv AS (
+        |  SELECT doc_id, n, f, gx,
+        |         (s + gx + sum(dbit)
+        |            OVER (PARTITION BY doc_id, f ORDER BY gx)) % 3 AS lev
+        |  FROM dd),
+        |bt AS (
+        |  SELECT doc_id, n, f, gx, lev,
+        |         lead(lev) OVER (PARTITION BY doc_id, f ORDER BY gx) AS nlev
+        |  FROM lv),
+        |fp AS (
+        |  SELECT doc_id, max(n) AS n, f,
+        |         CAST(sum(CASE WHEN gx < 10 AND lev < nlev
+        |                  THEN (CAST(1 AS BIGINT) << gx) * 1127000493261825
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bt GROUP BY doc_id, f),
+        |lagged AS (
+        |  SELECT doc_id, n, f, fp,
+        |         lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pfp
+        |  FROM fp),
+        |marked AS (
+        |  SELECT doc_id, n, f,
+        |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
+        |  FROM lagged),
+        |vstats AS (
+        |  SELECT doc_id AS media_id, max(n) AS n_frames,
+        |         CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
+        |         CAST(sum(CASE WHEN ib THEN f END) AS BIGINT) AS boundary_idx_sum,
+        |         CAST(max(CASE WHEN ib THEN f END) AS BIGINT) AS last_shot_start
+        |  FROM marked GROUP BY doc_id),
+        |ad AS (
+        |  SELECT doc_id, doc_id // 16 AS base,
+        |         CAST(200 + (doc_id // 16) % 50 AS BIGINT) AS ns,
+        |         (doc_id // 16) % 4 AS variant
+        |  FROM documents WHERE doc_id % 16 = 0),
+        |ai AS (SELECT ad.*, unnest(generate_series(0, ns - 1)) AS j FROM ad),
+        |asamp AS (
+        |  SELECT doc_id, ns, j,
+        |         400 * (1 + (base * 7 + 3 * ((j * 61) // ns)) % 4)
+        |           + (CASE WHEN variant > 0 AND (j * 61) // ns = 56 + variant
+        |              THEN 800 ELSE 0 END) AS v
+        |  FROM ai),
+        |ae AS (
+        |  SELECT doc_id, ns, (j * 61) // ns AS f,
+        |         CAST(sum(v * v) AS BIGINT) AS en
+        |  FROM asamp GROUP BY 1, 2, 3),
+        |aw AS (
+        |  SELECT doc_id, ns, f, en,
+        |         lead(en) OVER (PARTITION BY doc_id ORDER BY f) AS nen
+        |  FROM ae),
+        |afp AS (
+        |  SELECT doc_id, max(ns) AS n_samples,
+        |         CAST(sum(CASE WHEN f < 60 AND en < nen
+        |                  THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+        |                  ELSE 0 END) AS BIGINT) AS audio_fp
+        |  FROM aw GROUP BY doc_id)
+        |SELECT vstats.media_id, vstats.n_frames, vstats.n_shots,
+        |       vstats.boundary_idx_sum, vstats.last_shot_start,
+        |       afp.audio_fp, afp.n_samples
+        |FROM vstats JOIN afp ON afp.doc_id = vstats.media_id
+        |ORDER BY media_id""".stripMargin,
+
 
     // q225: the rendered template rebuilt turn by turn, the exact
     // render-identity verdicts, and the simhash fingerprints

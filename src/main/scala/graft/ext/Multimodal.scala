@@ -368,6 +368,48 @@ object Multimodal {
       })
   }
 
+  /** One A/V asset's joint fingerprint rows: per sampled video frame,
+    * with the clip-level audio fingerprint and decoded sample count
+    * carried on every row (denormalized so ONE demux+decode pass
+    * yields both modalities).
+    */
+  final case class AvFrameRow(media_id: Long, n_frames: Long,
+      frame_idx: Long, fp: Long, audio_fp: Long, n_samples: Long)
+
+  /** MUXED-ASSET fingerprinting: each payload is an ISO 11172-1
+    * program stream ([[Mpeg1System]]); demux once, decode the video
+    * elementary stream ([[Mpeg1Video]]) and the audio elementary
+    * stream ([[decodeAudio]] — the 0xFFE sync dispatches to the
+    * Layer I decoder), and emit per-frame dHash rows carrying the
+    * clip's audio energy fingerprint. Corrupt containers, or
+    * containers whose INNER streams fail their codecs, drop (DLQ
+    * callers split first). This is the multimodal matrix closing
+    * over a real interleaved container: both modalities of one asset
+    * from one payload, one decode pass.
+    */
+  def avFrameHashes(spark: SparkSession, media: DataFrame,
+      stride: Int, partitions: Int): Dataset[AvFrameRow] = {
+    require(stride >= 1, "stride must be >= 1")
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"))
+      .repartition(partitions, col("media_id"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        Mpeg1System.demuxAv(r.payload).toSeq.flatMap { case (ves, aes) =>
+          (Mpeg1Video.decode(ves), decodeAudio(aes)) match {
+            case (Some(clip), Some(pcm)) =>
+              val afp = Wav.energyHash60(pcm.samples)
+              clip.frames.indices.by(stride).map { i =>
+                AvFrameRow(r.media_id, clip.frames.length.toLong, i.toLong,
+                  Bmp.dhash60(BmpImage(clip.width, clip.height, clip.frames(i))),
+                  afp, pcm.samples.length.toLong)
+              }
+            case _ => Seq.empty
+          }
+        }
+      })
+  }
+
   /** SEQUENCE-grain video near-dup pairs over a stride-1
     * [[videoFrameHashes]] table — the standard step past
     * keyframe-grain matching (which misses a clip offset by a single
