@@ -1758,13 +1758,17 @@ object SparkEntry {
       .select(pmod(col("l_orderkey"), lit(98)).as("k"),
         (col("l_orderkey") * 1000 + col("l_linenumber") * 100 + col("rep")).as("rid"),
         col("l_quantity").as("v"))
-    def leg(tag: String, fact: DataFrame): DataFrame = {
+    def leg(tag: String, fact0: DataFrame): DataFrame = {
       // decide() runs once more here only to surface the decision as
-      // evidence — auto() measures internally; both passes are one
-      // partial-agg'd count over the fact projection
+      // evidence — auto() measures internally; the exploded fact is
+      // persisted for the leg's span so the three passes (evidence
+      // decide, auto's internal decide, the join itself) build it
+      // once, and the tiny aggregate is checkpointed so the persist
+      // can be released before returning
+      val fact = fact0.persist()
       val buckets = graft.operators.SkewJoin.decide(
         fact, Seq("k"), threshold = 4, maxBuckets = 32)
-      graft.operators.SkewJoin.auto(
+      val out = graft.operators.SkewJoin.auto(
         fact, dim.hint("merge"), Seq("k"), col("rid"),
         threshold = 4, maxBuckets = 32)
         .groupBy(col("k"))
@@ -1772,6 +1776,9 @@ object SparkEntry {
           sum(col("v") * col("w")).cast(LongType).as("wv"))
         .withColumn("leg", lit(tag))
         .withColumn("buckets_used", lit(buckets))
+        .localCheckpoint(true)
+      fact.unpersist()
+      out
     }
     leg("hot", hotFact).unionByName(leg("uniform", uniFact))
       .select(col("leg"), col("k"), col("n"), col("wv"), col("buckets_used"))
