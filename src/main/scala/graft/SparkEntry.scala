@@ -6895,6 +6895,54 @@ object SparkEntry {
         when(col("text").isNotNull, md5(col("text").cast("binary"))).as("digest"))
       .orderBy(col("doc_id"))
 
+  /** q258 corpus: documents packed 16-to-an-archive as `.tar.gz` —
+    * the single most common wire a text corpus ships on. Member
+    * names are `<doc_id>.txt`, members sort by id, and every archive
+    * whose id ≡ 3 (mod 7) has one DEFLATE byte flipped — the gzip
+    * CRC catches it and the WHOLE archive drops (archive-grain DLQ),
+    * so membership of the output is itself corruption evidence.
+    */
+  private def synthTarGzArchives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey { case (id, _) => id / 16 }
+      .mapGroups { (aid, docs) =>
+        val entries = docs.toSeq.sortBy(_._1).map { case (id, text) =>
+          s"$id.txt" -> Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        val gz = graft.ext.Tar.archiveGz(entries)
+        if (aid % 7 == 3) gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x10).toByte
+        Multimodal.MediaRecord(aid, gz, "application/tar+gzip")
+      }.toDF().withColumnRenamed("media_id", "archive_id")
+  }
+
+  /** `.tar.gz` corpus ingest — [[graft.ext.Tar]] through the
+    * from-scratch [[graft.ext.Gzip]] DEFLATE tier: extract each
+    * archive once, one row per member document (id parsed from the
+    * entry name, exact length + digest), corrupt archives dropped
+    * whole. The oracle replays text identity AND the corruption
+    * membership straight from the documents table — a reader that
+    * mis-frames a header, mis-parses an octal size, or survives a
+    * CRC mismatch changes the row set and fails the hash.
+    */
+  def q258TarGzIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    synthTarGzArchives(spark, dir)
+      .select(col("archive_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (aid, payload) =>
+        graft.ext.Tar.extractGz(payload).toSeq.flatMap(_.map { e =>
+          (aid, e.name.stripSuffix(".txt").toLong,
+            new String(e.data, java.nio.charset.StandardCharsets.UTF_8))
+        })
+      }).toDF("archive_id", "doc_id", "text")
+      .select(col("archive_id"), col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q240 corpus: each document as a two-record WARC file (warcinfo
     * + a conversion record carrying the text, the WET shape) on
     * three wires — plain bytes, one gzip member, and the Common
@@ -8394,6 +8442,7 @@ object SparkEntry {
     "q255_mpeg_b_shot_detect" -> (q255MpegBShotDetect _),
     "q256_mpeg_b_scene_dedup" -> (q256MpegBSceneDedup _),
     "q257_muxed_av_census" -> (q257MuxedAvCensus _),
+    "q258_targz_ingest" -> (q258TarGzIngest _),
     "q240_warc_ingest" -> (q240WarcIngest _),
     "q241_stream_warc" -> (q241StreamWarcIngest _),
     "q242_image_metadata" -> (q242ImageMetadata _),
@@ -12709,6 +12758,15 @@ object SparkEntry {
     // q236: streamed index ≡ batch fingerprints (deterministic
     // decode + idempotent partitions) — q219/q235's oracle again
     "q236_stream_flac_index" -> audioNearDupSql,
+    // q258: archive-grain membership + text identity — corrupt
+    // archives (id % 7 == 3) drop WHOLE, survivors replay exactly
+    "q258_targz_ingest" ->
+      """SELECT doc_id // 16 AS archive_id, doc_id,
+        |       length(text) AS n_chars,
+        |       md5(text) AS digest
+        |FROM documents WHERE (doc_id // 16) % 7 != 3
+        |ORDER BY doc_id""".stripMargin,
+
     // q237: gzip is lossless and the planted trailer corruption is
     // membership-deterministic — the oracle replays text identity
     // and the DLQ split straight from the documents table

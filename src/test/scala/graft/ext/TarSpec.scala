@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** USTAR archive suite — roundtrips across block-boundary sizes, the
+  * `.tar.gz` composition, EXTERNAL conformance against GNU tar in
+  * both directions, checksum/truncation rejection, entry-type
+  * skipping, and decode-bomb caps.
+  */
+class TarSpec extends AnyFunSuite {
+
+  private def bytes(n: Int, seed: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val a = new Array[Byte](n); rnd.nextBytes(a); a
+  }
+
+  test("archive/extract round-trips names and bytes exactly") {
+    val entries = Seq(
+      "docs/a.txt" -> bytes(511, 1),
+      "docs/b.txt" -> bytes(512, 2),
+      "docs/c.txt" -> bytes(513, 3),
+      "empty.bin" -> new Array[Byte](0),
+      "big.bin" -> bytes(100000, 4))
+    val got = Tar.extract(Tar.archive(entries)).getOrElse(fail("must extract"))
+    assert(got.map(_.name) == entries.map(_._1))
+    got.zip(entries).foreach { case (e, (_, d)) =>
+      assert(e.data.sameElements(d), e.name)
+    }
+  }
+
+  test("tar.gz composition round-trips through the DEFLATE tier") {
+    val entries = (0 until 20).map(i => s"doc_$i.txt" ->
+      s"document body $i ${"x" * (i * 37 % 200)}".getBytes("UTF-8"))
+    val gz = Tar.archiveGz(entries)
+    // gzip magic on the outer wire
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    val got = Tar.extractGz(gz).getOrElse(fail("must extract"))
+    assert(got.size == 20)
+    got.zip(entries).foreach { case (e, (n, d)) =>
+      assert(e.name == n && e.data.sameElements(d))
+    }
+  }
+
+  test("GNU tar reads our archives (external conformance)") {
+    assume(new java.io.File("/usr/bin/tar").canExecute)
+    val entries = Seq("x.bin" -> bytes(700, 5), "y/z.bin" -> bytes(300, 6))
+    val dir = java.nio.file.Files.createTempDirectory("tarspec").toFile
+    val f = new java.io.File(dir, "ours.tar")
+    java.nio.file.Files.write(f.toPath, Tar.archive(entries))
+    import scala.sys.process._
+    val names = Seq("tar", "-tf", f.getPath).!!.trim.split("\n").toSeq
+    assert(names == entries.map(_._1))
+    val x = new java.io.ByteArrayOutputStream()
+    (Seq("tar", "-xOf", f.getPath, "x.bin") #> x).!
+    assert(x.toByteArray.sameElements(entries.head._2),
+      "GNU tar must recover our entry bytes")
+  }
+
+  test("our reader extracts GNU-tar archives incl. skipped directory entries") {
+    assume(new java.io.File("/usr/bin/tar").canExecute)
+    val dir = java.nio.file.Files.createTempDirectory("tarspec2").toFile
+    val sub = new java.io.File(dir, "d"); sub.mkdirs()
+    val d1 = bytes(900, 7); val d2 = bytes(50, 8)
+    java.nio.file.Files.write(new java.io.File(sub, "one.bin").toPath, d1)
+    java.nio.file.Files.write(new java.io.File(sub, "two.bin").toPath, d2)
+    import scala.sys.process._
+    val f = new java.io.File(dir, "theirs.tar")
+    // --format=ustar pins the POSIX wire; the archive carries a
+    // DIRECTORY entry ("d/") our reader must skip, not extract
+    assert(Seq("tar", "--format=ustar", "-cf", f.getPath, "-C",
+      dir.getPath, "d").! == 0)
+    val got = Tar.extract(java.nio.file.Files.readAllBytes(f.toPath))
+      .getOrElse(fail("must read a GNU-written ustar archive"))
+    assert(got.map(_.name).toSet == Set("d/one.bin", "d/two.bin"))
+    assert(got.find(_.name == "d/one.bin").get.data.sameElements(d1))
+    assert(got.find(_.name == "d/two.bin").get.data.sameElements(d2))
+  }
+
+  test("checksum flips, truncations, and garbage are rejected") {
+    val good = Tar.archive(Seq("a" -> bytes(600, 9), "b" -> bytes(600, 10)))
+    // flip a byte inside the FIRST header: checksum must catch it
+    val bad = good.clone()
+    bad(20) = (bad(20) ^ 0x41).toByte
+    assert(Tar.extract(bad).isEmpty, "checksum must reject header damage")
+    // any cut that loses header/content bytes (or the whole first
+    // terminator block) must reject; a cut INSIDE the zero trailer
+    // after one full terminator block still decodes completely
+    (1 until good.length - 512 by 97).foreach { n =>
+      assert(Tar.extract(java.util.Arrays.copyOf(good, n)).isEmpty, s"n=$n")
+    }
+    assert(Tar.extract(null).isEmpty)
+    assert(Tar.extract(Array.fill[Byte](2048)(0x42)).isEmpty)
+    // content damage is NOT detectable by ustar (no content checksum):
+    // a flip inside file bytes still extracts, with the flipped byte
+    val bad2 = good.clone()
+    bad2(512 + 10) = (bad2(512 + 10) ^ 1).toByte
+    assert(Tar.extract(bad2).isDefined)
+  }
+
+  test("decode-bomb cap bounds extracted bytes") {
+    val big = Tar.archive(Seq("a" -> bytes(40000, 11), "b" -> bytes(40000, 12)))
+    assert(Tar.extract(big, maxOutBytes = 50000).isEmpty)
+    assert(Tar.extract(big, maxOutBytes = 90000).isDefined)
+  }
+
+  test("argument contracts and determinism") {
+    assertThrows[IllegalArgumentException](Tar.archive(Seq.empty))
+    assertThrows[IllegalArgumentException](
+      Tar.archive(Seq(("n" * 101) -> bytes(1, 1))))
+    val e = Seq("a" -> bytes(100, 13))
+    assert(java.util.Arrays.equals(Tar.archive(e), Tar.archive(e)))
+  }
+}
