@@ -1758,17 +1758,17 @@ object SparkEntry {
       .select(pmod(col("l_orderkey"), lit(98)).as("k"),
         (col("l_orderkey") * 1000 + col("l_linenumber") * 100 + col("rep")).as("rid"),
         col("l_quantity").as("v"))
-    def leg(tag: String, fact0: DataFrame): DataFrame = {
+    def leg(tag: String, fact: DataFrame): DataFrame = {
       // decide() runs once more here only to surface the decision as
-      // evidence — auto() measures internally; the exploded fact is
-      // persisted for the leg's span so the three passes (evidence
-      // decide, auto's internal decide, the join itself) build it
-      // once, and the tiny aggregate is checkpointed so the persist
-      // can be released before returning
-      val fact = fact0.persist()
+      // evidence — auto() measures internally; both passes are one
+      // partial-agg'd count over the fact projection. Measured NOTE:
+      // persisting the exploded fact for the three passes was tried
+      // and REVERTED — the explode pipelines off the parquet scan at
+      // ~nothing, while forced materialization cost +5.6 s across two
+      // full bench runs (12.7/15.4 s vs 7.1 s).
       val buckets = graft.operators.SkewJoin.decide(
         fact, Seq("k"), threshold = 4, maxBuckets = 32)
-      val out = graft.operators.SkewJoin.auto(
+      graft.operators.SkewJoin.auto(
         fact, dim.hint("merge"), Seq("k"), col("rid"),
         threshold = 4, maxBuckets = 32)
         .groupBy(col("k"))
@@ -1776,9 +1776,6 @@ object SparkEntry {
           sum(col("v") * col("w")).cast(LongType).as("wv"))
         .withColumn("leg", lit(tag))
         .withColumn("buckets_used", lit(buckets))
-        .localCheckpoint(true)
-      fact.unpersist()
-      out
     }
     leg("hot", hotFact).unionByName(leg("uniform", uniFact))
       .select(col("leg"), col("k"), col("n"), col("wv"), col("buckets_used"))
