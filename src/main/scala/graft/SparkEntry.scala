@@ -6940,6 +6940,60 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q259 corpus: the q258 packing on the ZIP wire — and the plant
+    * shows zip's member-grain recovery: archives with `aid % 5 == 2`
+    * get ONE member's central-directory CRC flipped, so exactly that
+    * member drops and its 15 siblings survive (tar loses the whole
+    * archive to one bad byte; zip's per-member CRC loses one doc).
+    */
+  private def synthZipArchives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey { case (id, _) => id / 16 }
+      .mapGroups { (aid, docs) =>
+        val entries = docs.toSeq.sortBy(_._1).map { case (id, text) =>
+          s"$id.txt" -> Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        val z = graft.ext.Zip.archive(entries)
+        if (aid % 5 == 2) {
+          // flip a byte of member 0's CENTRAL-directory CRC (the
+          // authoritative one): drops that member, size-independent
+          def u32(i: Int): Long =
+            (z(i) & 0xffL) | ((z(i + 1) & 0xffL) << 8) |
+              ((z(i + 2) & 0xffL) << 16) | ((z(i + 3) & 0xffL) << 24)
+          val cd = u32(z.length - 22 + 16).toInt
+          z(cd + 16) = (z(cd + 16) ^ 0x5a).toByte
+        }
+        Multimodal.MediaRecord(aid, z, "application/zip")
+      }.toDF().withColumnRenamed("media_id", "archive_id")
+  }
+
+  /** ZIP corpus ingest — [[graft.ext.Zip]] over the shared raw-DEFLATE
+    * tier: extract each archive once (central-directory walk, local
+    * offsets, per-member CRC), one row per SURVIVING member. The
+    * oracle replays text identity AND the member-grain drop rule —
+    * exactly one document per corrupted archive is missing, which a
+    * reader that rejects whole archives (or survives CRC mismatches)
+    * cannot reproduce.
+    */
+  def q259ZipIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    synthZipArchives(spark, dir)
+      .select(col("archive_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (aid, payload) =>
+        graft.ext.Zip.extract(payload).toSeq.flatMap(_.map { e =>
+          (aid, e.name.stripSuffix(".txt").toLong,
+            new String(e.data, java.nio.charset.StandardCharsets.UTF_8))
+        })
+      }).toDF("archive_id", "doc_id", "text")
+      .select(col("archive_id"), col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q240 corpus: each document as a two-record WARC file (warcinfo
     * + a conversion record carrying the text, the WET shape) on
     * three wires — plain bytes, one gzip member, and the Common
@@ -8440,6 +8494,7 @@ object SparkEntry {
     "q256_mpeg_b_scene_dedup" -> (q256MpegBSceneDedup _),
     "q257_muxed_av_census" -> (q257MuxedAvCensus _),
     "q258_targz_ingest" -> (q258TarGzIngest _),
+    "q259_zip_ingest" -> (q259ZipIngest _),
     "q240_warc_ingest" -> (q240WarcIngest _),
     "q241_stream_warc" -> (q241StreamWarcIngest _),
     "q242_image_metadata" -> (q242ImageMetadata _),
@@ -12762,6 +12817,16 @@ object SparkEntry {
         |       length(text) AS n_chars,
         |       md5(text) AS digest
         |FROM documents WHERE (doc_id // 16) % 7 != 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // q259: member-grain membership — exactly ONE doc (the first of
+    // each corrupted archive) drops; 15 siblings survive
+    "q259_zip_ingest" ->
+      """SELECT doc_id // 16 AS archive_id, doc_id,
+        |       length(text) AS n_chars,
+        |       md5(text) AS digest
+        |FROM documents
+        |WHERE NOT ((doc_id // 16) % 5 = 2 AND doc_id % 16 = 0)
         |ORDER BY doc_id""".stripMargin,
 
     // q237: gzip is lossless and the planted trailer corruption is

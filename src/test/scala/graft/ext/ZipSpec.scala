@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ZIP archive suite: roundtrips, method selection, EXTERNAL
+  * conformance against Info-ZIP in both directions, member-grain
+  * damage recovery (the property tar cannot have), structural
+  * rejection, and decode-bomb caps.
+  */
+class ZipSpec extends AnyFunSuite {
+
+  private def bytes(n: Int, seed: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val a = new Array[Byte](n); rnd.nextBytes(a); a
+  }
+
+  private def texty(n: Int, seed: Int): Array[Byte] =
+    Array.tabulate(n)(i => ("abcdef ,.\n"((i * 7 + seed) % 10)).toByte)
+
+  test("archive/extract round-trips names and bytes exactly") {
+    val entries = Seq(
+      "a.txt" -> texty(5000, 1), // compressible → DEFLATE
+      "b.bin" -> bytes(5000, 2), // random → stored
+      "dir/c.txt" -> texty(100, 3),
+      "empty" -> new Array[Byte](0))
+    val got = Zip.extract(Zip.archive(entries)).getOrElse(fail("must extract"))
+    assert(got.map(_.name) == entries.map(_._1))
+    got.zip(entries).foreach { case (e, (_, d)) =>
+      assert(e.data.sameElements(d), e.name)
+    }
+  }
+
+  test("compressible members deflate, incompressible store") {
+    val z1 = Zip.archive(Seq("t" -> texty(20000, 4)))
+    assert(z1.length < 12000, s"text must compress: ${z1.length}")
+    val r = bytes(20000, 5)
+    val z2 = Zip.archive(Seq("r" -> r))
+    assert(z2.length >= r.length, "random data stores, never inflates size")
+  }
+
+  test("Info-ZIP unzip reads our archives (external conformance)") {
+    assume(new java.io.File("/usr/bin/unzip").canExecute)
+    val entries = Seq("x.txt" -> texty(3000, 6), "y.bin" -> bytes(700, 7))
+    val dir = java.nio.file.Files.createTempDirectory("zipspec").toFile
+    val f = new java.io.File(dir, "ours.zip")
+    java.nio.file.Files.write(f.toPath, Zip.archive(entries))
+    import scala.sys.process._
+    // -t verifies every member CRC; exit 0 = all good
+    assert(Seq("unzip", "-t", f.getPath).! == 0, "unzip -t must pass")
+    val x = new java.io.ByteArrayOutputStream()
+    (Seq("unzip", "-p", f.getPath, "x.txt") #> x).!
+    assert(x.toByteArray.sameElements(entries.head._2))
+  }
+
+  test("our reader extracts Info-ZIP archives incl. directory entries") {
+    assume(new java.io.File("/usr/bin/zip").canExecute)
+    val dir = java.nio.file.Files.createTempDirectory("zipspec2").toFile
+    val sub = new java.io.File(dir, "d"); sub.mkdirs()
+    val d1 = texty(1200, 8); val d2 = bytes(300, 9)
+    java.nio.file.Files.write(new java.io.File(sub, "one.txt").toPath, d1)
+    java.nio.file.Files.write(new java.io.File(sub, "two.bin").toPath, d2)
+    import scala.sys.process._
+    val f = new java.io.File(dir, "theirs.zip")
+    assert(Process(Seq("zip", "-r", f.getPath, "d"), dir).! == 0)
+    val got = Zip.extract(java.nio.file.Files.readAllBytes(f.toPath))
+      .getOrElse(fail("must read an Info-ZIP archive"))
+    assert(got.map(_.name).toSet == Set("d/one.txt", "d/two.bin"))
+    assert(got.find(_.name == "d/one.txt").get.data.sameElements(d1))
+    assert(got.find(_.name == "d/two.bin").get.data.sameElements(d2))
+  }
+
+  test("member-grain damage drops only the damaged member") {
+    val entries = Seq("a.txt" -> texty(2000, 10), "b.txt" -> texty(2000, 11),
+      "c.txt" -> texty(2000, 12))
+    val good = Zip.archive(entries)
+    // damage member b's compressed data: find its local header
+    val bad = good.clone()
+    var h = -1; var count = 0
+    var i = 0
+    while (h < 0 && i < bad.length - 4) {
+      if ((bad(i) & 0xff) == 0x50 && bad(i + 1) == 0x4b &&
+          bad(i + 2) == 3 && bad(i + 3) == 4) {
+        if (count == 1) h = i else count += 1
+      }
+      i += 1
+    }
+    assert(h > 0)
+    val nameLen = (bad(h + 26) & 0xff) | ((bad(h + 27) & 0xff) << 8)
+    bad(h + 30 + nameLen + 3) = (bad(h + 30 + nameLen + 3) ^ 0x55).toByte
+    val got = Zip.extract(bad).getOrElse(fail("archive must survive"))
+    assert(got.map(_.name) == Seq("a.txt", "c.txt"),
+      "only the damaged member drops")
+    assert(got.head.data.sameElements(entries.head._2))
+  }
+
+  test("structural damage and truncation reject the whole archive") {
+    val good = Zip.archive(Seq("a" -> texty(900, 13), "b" -> bytes(900, 14)))
+    // EOCD magic damage
+    val bad = good.clone()
+    bad(bad.length - 22) = 0x51
+    assert(Zip.extract(bad).isEmpty)
+    // truncations lose the EOCD / directory / data
+    (1 until good.length by 53).foreach { n =>
+      val t = Zip.extract(java.util.Arrays.copyOf(good, n))
+      // any successful parse must never fabricate members
+      t.foreach(es => assert(es.forall(e =>
+        e.name == "a" || e.name == "b")))
+    }
+    assert(Zip.extract(java.util.Arrays.copyOf(good, good.length - 1)).isEmpty)
+    assert(Zip.extract(null).isEmpty)
+    assert(Zip.extract(Array.fill[Byte](64)(0x42)).isEmpty)
+  }
+
+  test("decode-bomb cap bounds inflated bytes") {
+    // 2 MiB of zeros deflates tiny but inflates big: the cap must fire
+    val z = Zip.archive(Seq("zeros" -> new Array[Byte](1 << 21)))
+    assert(z.length < (1 << 16))
+    assert(Zip.extract(z, maxOutBytes = 1 << 20).isEmpty)
+    assert(Zip.extract(z, maxOutBytes = 1 << 22).isDefined)
+  }
+
+  test("argument contracts and determinism") {
+    assertThrows[IllegalArgumentException](Zip.archive(Seq.empty))
+    val e = Seq("a" -> texty(100, 15))
+    assert(java.util.Arrays.equals(Zip.archive(e), Zip.archive(e)))
+  }
+}
