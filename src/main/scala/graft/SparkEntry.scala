@@ -30,18 +30,13 @@ object SparkEntry {
     * trees (sink data + RocksDB checkpoints) accumulating in /tmp.
     */
   private def tempDir(prefix: String): String = {
-    // Prefer the tmpfs mount when one is writable: streaming
+    // tmpfs-backed when available (see [[Scratch]]): streaming
     // checkpoints and sink dirs are thousands of tiny fsync'd files
-    // plus atomic renames, and every micro-batch of every stream
-    // query pays that disk latency otherwise. Harness-local choice —
-    // a cluster deployment passes real (HDFS/object-store) paths into
-    // the job functions directly.
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val p =
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, prefix)
-      else java.nio.file.Files.createTempDirectory(prefix)
+    // plus atomic renames, paid per micro-batch otherwise
+    val p = Scratch.tmpfsBase match {
+      case Some(base) => java.nio.file.Files.createTempDirectory(base, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
@@ -6899,7 +6894,14 @@ object SparkEntry {
     * CRC catches it and the WHOLE archive drops (archive-grain DLQ),
     * so membership of the output is itself corruption evidence.
     */
-  private def synthTarGzArchives(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared packing scaffold for the archive-ingest corpora: 16 docs
+    * per archive, members named `<doc_id>.txt` sorted by id; `pack`
+    * turns one archive's entries into (payload, mime), planting its
+    * format's corruption as it sees fit.
+    */
+  private def synthArchivedDocs(spark: SparkSession, dir: String)(
+      pack: (Long, Seq[(String, Array[Byte])]) => (Array[Byte], String))
+      : DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -6909,11 +6911,17 @@ object SparkEntry {
           s"$id.txt" -> Option(text).getOrElse("")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
-        val gz = graft.ext.Tar.archiveGz(entries)
-        if (aid % 7 == 3) gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x10).toByte
-        Multimodal.MediaRecord(aid, gz, "application/tar+gzip")
+        val (payload, mime) = pack(aid, entries)
+        Multimodal.MediaRecord(aid, payload, mime)
       }.toDF().withColumnRenamed("media_id", "archive_id")
   }
+
+  private def synthTarGzArchives(spark: SparkSession, dir: String): DataFrame =
+    synthArchivedDocs(spark, dir) { (aid, entries) =>
+      val gz = graft.ext.Tar.archiveGz(entries)
+      if (aid % 7 == 3) gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x10).toByte
+      (gz, "application/tar+gzip")
+    }
 
   /** `.tar.gz` corpus ingest — [[graft.ext.Tar]] through the
     * from-scratch [[graft.ext.Gzip]] DEFLATE tier: extract each
@@ -6946,29 +6954,20 @@ object SparkEntry {
     * member drops and its 15 siblings survive (tar loses the whole
     * archive to one bad byte; zip's per-member CRC loses one doc).
     */
-  private def synthZipArchives(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .groupByKey { case (id, _) => id / 16 }
-      .mapGroups { (aid, docs) =>
-        val entries = docs.toSeq.sortBy(_._1).map { case (id, text) =>
-          s"$id.txt" -> Option(text).getOrElse("")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        }
-        val z = graft.ext.Zip.archive(entries)
-        if (aid % 5 == 2) {
-          // flip a byte of member 0's CENTRAL-directory CRC (the
-          // authoritative one): drops that member, size-independent
-          def u32(i: Int): Long =
-            (z(i) & 0xffL) | ((z(i + 1) & 0xffL) << 8) |
-              ((z(i + 2) & 0xffL) << 16) | ((z(i + 3) & 0xffL) << 24)
-          val cd = u32(z.length - 22 + 16).toInt
-          z(cd + 16) = (z(cd + 16) ^ 0x5a).toByte
-        }
-        Multimodal.MediaRecord(aid, z, "application/zip")
-      }.toDF().withColumnRenamed("media_id", "archive_id")
-  }
+  private def synthZipArchives(spark: SparkSession, dir: String): DataFrame =
+    synthArchivedDocs(spark, dir) { (aid, entries) =>
+      val z = graft.ext.Zip.archive(entries)
+      if (aid % 5 == 2) {
+        // flip a byte of member 0's CENTRAL-directory CRC (the
+        // authoritative one): drops that member, size-independent
+        def u32(i: Int): Long =
+          (z(i) & 0xffL) | ((z(i + 1) & 0xffL) << 8) |
+            ((z(i + 2) & 0xffL) << 16) | ((z(i + 3) & 0xffL) << 24)
+        val cd = u32(z.length - 22 + 16).toInt
+        z(cd + 16) = (z(cd + 16) ^ 0x5a).toByte
+      }
+      (z, "application/zip")
+    }
 
   /** ZIP corpus ingest — [[graft.ext.Zip]] over the shared raw-DEFLATE
     * tier: extract each archive once (central-directory walk, local
@@ -9785,7 +9784,11 @@ object SparkEntry {
   /** q251/q253 shared closed-form oracle: per-frame strip-walk
     * fingerprints, then the q238 lag rule and census (see q251).
     */
-  private val MpegShotOracleSql: String =
+  /** The q251-family CTE chain (strip walk → per-frame fingerprints →
+    * lag-marked shot boundaries) shared VERBATIM by every oracle that
+    * replays the shot closed form — one copy, no drift.
+    */
+  private val MpegShotCtes: String =
     """WITH d AS (
         |  SELECT doc_id, doc_id // 16 AS base,
         |         CAST(12 + (doc_id // 16) % 7 AS BIGINT) AS n,
@@ -9823,7 +9826,13 @@ object SparkEntry {
         |marked AS (
         |  SELECT doc_id, n, f,
         |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
-        |  FROM lagged)
+        |  FROM lagged)""".stripMargin
+
+  /** q251/q253/q255 shared closed-form oracle: the CTE chain plus the
+    * per-clip shot census select.
+    */
+  private val MpegShotOracleSql: String = MpegShotCtes +
+    """
         |SELECT doc_id AS media_id, max(n) AS n_frames,
         |       CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
         |       CAST(sum(CASE WHEN ib THEN f END) AS BIGINT) AS boundary_idx_sum,
@@ -13141,45 +13150,8 @@ object SparkEntry {
     // q257: BOTH closed forms joined — the video strip-walk shot
     // census (q251's chain) and the audio staircase energy
     // fingerprint (q246's chain) replayed from the documents table
-    "q257_muxed_av_census" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 16 AS base,
-        |         CAST(12 + (doc_id // 16) % 7 AS BIGINT) AS n,
-        |         CAST(2 + (doc_id // 16) % 3 AS BIGINT) AS sl
-        |  FROM documents WHERE doc_id % 16 = 0),
-        |fr AS (SELECT d.*, unnest(generate_series(0, n - 1)) AS f FROM d),
-        |ks AS (
-        |  SELECT doc_id, n, f, base * 97 + (f // sl) * 31 + 13 AS s
-        |  FROM fr),
-        |g AS (SELECT ks.*, unnest(generate_series(0, 10)) AS gx FROM ks),
-        |dd AS (
-        |  SELECT doc_id, n, f, s, gx,
-        |         CASE WHEN gx = 0 THEN 0
-        |              ELSE (s * (gx + 3) + gx * gx) % 2 END AS dbit
-        |  FROM g),
-        |lv AS (
-        |  SELECT doc_id, n, f, gx,
-        |         (s + gx + sum(dbit)
-        |            OVER (PARTITION BY doc_id, f ORDER BY gx)) % 3 AS lev
-        |  FROM dd),
-        |bt AS (
-        |  SELECT doc_id, n, f, gx, lev,
-        |         lead(lev) OVER (PARTITION BY doc_id, f ORDER BY gx) AS nlev
-        |  FROM lv),
-        |fp AS (
-        |  SELECT doc_id, max(n) AS n, f,
-        |         CAST(sum(CASE WHEN gx < 10 AND lev < nlev
-        |                  THEN (CAST(1 AS BIGINT) << gx) * 1127000493261825
-        |                  ELSE 0 END) AS BIGINT) AS fp
-        |  FROM bt GROUP BY doc_id, f),
-        |lagged AS (
-        |  SELECT doc_id, n, f, fp,
-        |         lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pfp
-        |  FROM fp),
-        |marked AS (
-        |  SELECT doc_id, n, f,
-        |         (pfp IS NULL OR bit_count(xor(fp, pfp)) > 2) AS ib
-        |  FROM lagged),
+    "q257_muxed_av_census" -> (MpegShotCtes +
+      """,
         |vstats AS (
         |  SELECT doc_id AS media_id, max(n) AS n_frames,
         |         CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
@@ -13216,7 +13188,7 @@ object SparkEntry {
         |       vstats.boundary_idx_sum, vstats.last_shot_start,
         |       afp.audio_fp, afp.n_samples
         |FROM vstats JOIN afp ON afp.doc_id = vstats.media_id
-        |ORDER BY media_id""".stripMargin,
+        |ORDER BY media_id""".stripMargin),
 
 
     // q225: the rendered template rebuilt turn by turn, the exact

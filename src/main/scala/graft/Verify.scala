@@ -10,16 +10,10 @@ object Verify {
     // optional trailing args: run only these queries (dev iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // shuffle spill + RocksDB working files on tmpfs when available:
-    // harness-local I/O hygiene (a cluster uses its own local-dir
-    // provisioning), worth ~0.5 s per streaming query on this host
-    val localDir =
-      if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-spark-local"
-      else System.getProperty("java.io.tmpdir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.local.dir", localDir)
+      .config("spark.local.dir", Scratch.sparkLocalDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -131,6 +131,7 @@ object Mpeg1System {
     val offs = Array.fill(streams.length)(0)
     val emitted = Array.fill(streams.length)(false)
     var scr = 0L
+    var pkt = 0L // packet ordinal — drives the stuffing variation
     var live = true
     var firstPack = true
     while (live) {
@@ -142,11 +143,15 @@ object Mpeg1System {
           val n = math.min(packetPayload, es.length - offs(si))
           packHeader(scr)
           if (firstPack) { systemHeader(streams.map(_._1)); firstPack = false }
+          // stuffing cycles 0/1/2 by packet ORDINAL (scr steps are a
+          // multiple of 3, so keying on scr would always yield 0 and
+          // leave the demuxer's stuffing-skip branch encoder-unreachable)
           packet(id, es, offs(si), n, first = !emitted(si),
-            stuffing = (scr % 3L).toInt, pts = 3600L + scr * 1200L)
+            stuffing = (pkt % 3L).toInt, pts = 3600L + scr)
           emitted(si) = true
           offs(si) += n
           scr += 1200L
+          pkt += 1L
           live = live || offs(si) < es.length
         }
         si += 1

@@ -88,11 +88,20 @@ object Tar {
              _: NegativeArraySizeException => None
       }
 
-  /** Gunzip then [[extract]] — the `.tar.gz` corpus wire. */
+  /** Gunzip then [[extract]] — the `.tar.gz` corpus wire.
+    * `maxOutBytes` caps the extracted CONTENT (same meaning as
+    * [[extract]]); the gunzip stage gets headroom for the container
+    * overhead (512-byte headers, block padding, the zero trailer) so
+    * an archive whose content fits the cap is never rejected at the
+    * decompression stage.
+    */
   def extractGz(payload: Array[Byte], maxOutBytes: Long = 1L << 26)
-      : Option[Seq[Entry]] =
-    Gzip.decompress(payload, maxOut = (maxOutBytes min Int.MaxValue).toInt)
+      : Option[Seq[Entry]] = {
+    val containerCap =
+      ((maxOutBytes * 2 + (1L << 20)) min Int.MaxValue.toLong).toInt
+    Gzip.decompress(payload, maxOut = containerCap)
       .flatMap(extract(_, maxOutBytes))
+  }
 
   private def extractChecked(data: Array[Byte],
       maxOutBytes: Long): Seq[Entry] = {

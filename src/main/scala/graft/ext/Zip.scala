@@ -38,6 +38,8 @@ object Zip {
     */
   def archive(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     require(entries.nonEmpty, "archive at least one entry")
+    require(entries.length <= 0xffff,
+      "entry count must fit the 16-bit EOCD fields (no zip64)")
     require(entries.forall { case (n, d) =>
       n.nonEmpty && n.getBytes("UTF-8").length <= 0xffff && d != null
     }, "entry names must fit the 16-bit name-length field")

@@ -2,12 +2,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val localDir =
-      if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-spark-local"
-      else System.getProperty("java.io.tmpdir")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.local.dir", localDir)
+      .config("spark.local.dir", graft.Scratch.sparkLocalDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
