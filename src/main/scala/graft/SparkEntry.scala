@@ -6918,7 +6918,15 @@ object SparkEntry {
 
   private def synthTarGzArchives(spark: SparkSession, dir: String): DataFrame =
     synthArchivedDocs(spark, dir) { (aid, entries) =>
-      val gz = graft.ext.Tar.archiveGz(entries)
+      // docs with id % 11 == 5 ship under a > 100-byte path — the
+      // writer emits a pax `x` header for them and the reader must
+      // restore the full name (real crawl tarballs bury members deep)
+      val named = entries.map { case (name, data) =>
+        val id = name.stripSuffix(".txt").toLong
+        if (id % 11 == 5) ("deep/" + "x" * 92 + "/" + name) -> data
+        else name -> data
+      }
+      val gz = graft.ext.Tar.archiveGz(named)
       if (aid % 7 == 3) gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x10).toByte
       (gz, "application/tar+gzip")
     }
@@ -6938,7 +6946,10 @@ object SparkEntry {
       .select(col("archive_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (aid, payload) =>
         graft.ext.Tar.extractGz(payload).toSeq.flatMap(_.map { e =>
-          (aid, e.name.stripSuffix(".txt").toLong,
+          // doc id = the basename — long-path members carry pax-
+          // restored directories the id must not include
+          val base = e.name.substring(e.name.lastIndexOf('/') + 1)
+          (aid, base.stripSuffix(".txt").toLong,
             new String(e.data, java.nio.charset.StandardCharsets.UTF_8))
         })
       }).toDF("archive_id", "doc_id", "text")
@@ -6956,7 +6967,13 @@ object SparkEntry {
     */
   private def synthZipArchives(spark: SparkSession, dir: String): DataFrame =
     synthArchivedDocs(spark, dir) { (aid, entries) =>
-      val z = graft.ext.Zip.archive(entries)
+      // uncorrupted archives with aid % 3 == 1 ship on the zip64 wire
+      // (EOCD64 + locator + 0x0001 extras) — the shape any > 4 GiB or
+      // > 64k-member crawl archive uses; the reader must resolve the
+      // sentinels to the same member set
+      val z =
+        if (aid % 5 != 2 && aid % 3 == 1) graft.ext.Zip.archiveZip64(entries)
+        else graft.ext.Zip.archive(entries)
       if (aid % 5 == 2) {
         // flip a byte of member 0's CENTRAL-directory CRC (the
         // authoritative one): drops that member, size-independent
@@ -7552,7 +7569,7 @@ object SparkEntry {
     frame.map(b => math.min(255, (b & 0xff) + d).toByte)
 
   /** q253 corpus: q251's shot shape re-encoded as a REAL I+P stream
-    * (gopSize 3) with a ±3 luma flicker — within-shot P frames code
+    * (gopSize 3) with a +3 luma flicker — within-shot P frames code
     * small residuals, cross-shot cuts mid-GOP hit the intra-fallback
     * macroblocks, GOP heads stay I. Fingerprints are flicker- and
     * codec-invariant, so the q251 oracle replays verbatim.

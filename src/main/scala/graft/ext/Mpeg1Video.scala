@@ -1183,12 +1183,19 @@ object Mpeg1Video {
   private val AcEob = Int.MinValue
   private def pack(run: Int, level: Int): Int = (run << 16) | (level & 0xffff)
 
+  /** §2.4.4.2/§2.4.4.3 reconstruction tail: saturate the dequantized
+    * coefficient to [-2048, 2047] FIRST, then apply oddification
+    * (mismatch control — even values move one step toward zero). The
+    * order matters at the lower bound: a hostile -250k-magnitude
+    * coefficient saturates to -2048 (even) and oddifies to -2047, as
+    * a spec-conformant decoder reconstructs it.
+    */
   private def oddify(f0: Int): Int =
     if (f0 == 0) 0
     else {
-      var f = f0
+      var f = if (f0 > 2047) 2047 else if (f0 < -2048) -2048 else f0
       if ((f & 1) == 0) f = if (f > 0) f - 1 else f + 1
-      if (f > 2047) 2047 else if (f < -2048) -2048 else f
+      f
     }
 
   private def decodeChecked(data: Array[Byte], maxOutBytes: Long)
@@ -1202,9 +1209,12 @@ object Mpeg1Video {
     // cur = the picture being decoded; bwd = most recent anchor (the
     // P forward / B backward reference); fwd = the anchor before it
     // (the B forward reference). Anchors rotate cur→bwd→fwd by
-    // pointer swap at the next picture header — every picture type
-    // writes all macroblocks, so the recycled buffer is fully
-    // overwritten on legal wire.
+    // pointer swap at the next picture header. Legal wire writes all
+    // macroblocks of every picture (§2.4.1: slices cover the picture
+    // with no gaps), and `covered` VERIFIES it per picture — a
+    // structurally valid hostile stream whose slices leave gaps would
+    // otherwise commit stale pels from the recycled anchor buffer as
+    // if they were this picture's content.
     var yP: Array[Int] = null; var cbP: Array[Int] = null; var crP: Array[Int] = null
     var bwdY: Array[Int] = null; var bwdCb: Array[Int] = null; var bwdCr: Array[Int] = null
     var fwdY: Array[Int] = null; var fwdCb: Array[Int] = null; var fwdCr: Array[Int] = null
@@ -1220,6 +1230,7 @@ object Mpeg1Video {
     // commits (B pictures, transmitted after their future anchor but
     // displayed before it, emit immediately)
     var pendingAnchor: Array[Byte] = null
+    var covered: java.util.BitSet = null // per-picture macroblock coverage
     val frames = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
     val block = new Array[Int](64)
     val pels = new Array[Int](64)
@@ -1228,6 +1239,9 @@ object Mpeg1Video {
 
     def commitFrame(): Unit = {
       if (!inPicture) return
+      // slice-coverage gate: every macroblock must have been written
+      // by a coded or skipped macroblock of THIS picture
+      if (covered.cardinality() != mbW * mbH) fail()
       val bgr = new Array[Byte](width * height * 3)
       var y = 0
       while (y < height) {
@@ -1304,6 +1318,7 @@ object Mpeg1Video {
             fwdY = new Array[Int](pw * ph)
             fwdCb = new Array[Int]((pw / 2) * (ph / 2))
             fwdCr = new Array[Int]((pw / 2) * (ph / 2))
+            covered = new java.util.BitSet(mbW * mbH)
           }
         case 0xb8 => // GOP header: fixed fields, nothing to keep
           commitFrame()
@@ -1334,6 +1349,7 @@ object Mpeg1Video {
           outBytes += width.toLong * height * 3
           if (outBytes > maxOutBytes) fail()
           picType = ptype
+          covered.clear()
           inPicture = true
         case s if s >= 0x01 && s <= 0xaf => // slice
           if (!inPicture) fail()
@@ -1367,6 +1383,7 @@ object Mpeg1Video {
             * anchor (motion vector 0, no residual).
             */
           def copySkipped(addr: Int): Unit = {
+            covered.set(addr)
             val x0 = (addr % mbW) * 16; val y0 = (addr / mbW) * 16
             var by = 0
             while (by < 16) {
@@ -1387,6 +1404,7 @@ object Mpeg1Video {
 
           /** The 6-block intra macroblock body (both picture types). */
           def decodeIntraBlocks(): Unit = {
+            covered.set(mbAddr)
             val my = (mbAddr / mbW) * 16; val mx = (mbAddr % mbW) * 16
             var blk = 0
             while (blk < 6) {
@@ -1458,6 +1476,7 @@ object Mpeg1Video {
             */
           def predictMb(useF: Boolean, useB: Boolean, fvx: Int, fvy: Int,
               bvx: Int, bvy: Int, cbp: Int): Unit = {
+            covered.set(mbAddr)
             val my = (mbAddr / mbW) * 16; val mx0 = (mbAddr % mbW) * 16
             val cfx = fvx / 2; val cfy = fvy / 2 // chroma: truncate toward 0
             val cbx = bvx / 2; val cby = bvy / 2

@@ -535,4 +535,27 @@ class Mpeg1VideoSpec extends AnyFunSuite {
     bad(11) = (bad(11) | 0x02).toByte
     assert(Mpeg1Video.decode(bad).isEmpty)
   }
+
+  test("slice-coverage gaps are rejected, not filled with stale pels") {
+    // splice one slice unit out of a legal I-frame stream: each
+    // remaining unit is individually valid, but one macroblock row is
+    // never written — a decoder without a coverage gate would commit
+    // whatever the recycled anchor buffer held there
+    val frame = stripFrame(Array(40, 216, 128, 216, 40, 128, 40, 216, 128, 40, 216))
+    val good = Mpeg1Video.encode(44, 24, Seq(frame))
+    assert(Mpeg1Video.decode(good).isDefined)
+    // find start codes 00 00 01 xx
+    val codes = (0 until good.length - 3).filter(i =>
+      good(i) == 0 && good(i + 1) == 0 && good(i + 2) == 1)
+    // slice codes are 0x01..0xAF; 24 rows of 16-pel MBs → 2 slices
+    val slices = codes.filter(i => (good(i + 3) & 0xff) >= 0x01 &&
+      (good(i + 3) & 0xff) <= 0xaf)
+    assert(slices.length >= 2, "strip stream must carry >= 2 slices")
+    // cut the SECOND slice (from its code to the next start code or EOF)
+    val cutFrom = slices(1)
+    val cutTo = codes.find(_ > cutFrom).getOrElse(good.length)
+    val gapped = good.take(cutFrom) ++ good.drop(cutTo)
+    assert(Mpeg1Video.decode(gapped).isEmpty,
+      "a picture whose slices leave macroblock gaps must decode to None")
+  }
 }

@@ -124,4 +124,101 @@ class ZipSpec extends AnyFunSuite {
     val e = Seq("a" -> texty(100, 15))
     assert(java.util.Arrays.equals(Zip.archive(e), Zip.archive(e)))
   }
+
+  test("zip64 archives round-trip through our writer and reader") {
+    val entries = Seq("a.txt" -> texty(5000, 16), "b.bin" -> bytes(3000, 17),
+      "dir/c" -> texty(100, 18), "empty" -> new Array[Byte](0))
+    val z = Zip.archiveZip64(entries)
+    // sentinel EOCD + EOCD64 + locator must be on the wire
+    def u32at(i: Int): Long = (z(i) & 0xffL) | ((z(i + 1) & 0xffL) << 8) |
+      ((z(i + 2) & 0xffL) << 16) | ((z(i + 3) & 0xffL) << 24)
+    val eocd = z.length - 22
+    assert(u32at(eocd) == 0x06054b50L)
+    assert((z(eocd + 8) & 0xff) == 0xff && (z(eocd + 9) & 0xff) == 0xff,
+      "EOCD entry count must be the 0xFFFF sentinel")
+    assert(u32at(eocd - 20) == 0x07064b50L, "locator precedes the EOCD")
+    val got = Zip.extract(z).getOrElse(fail("zip64 must extract"))
+    assert(got.map(_.name) == entries.map(_._1))
+    got.zip(entries).foreach { case (e, (_, d)) =>
+      assert(e.data.sameElements(d), e.name)
+    }
+  }
+
+  test("Info-ZIP and python zipfile read our zip64 archives (external)") {
+    assume(new java.io.File("/usr/bin/unzip").canExecute)
+    val entries = Seq("x.txt" -> texty(3000, 19), "y.bin" -> bytes(700, 20))
+    val dir = java.nio.file.Files.createTempDirectory("zip64spec").toFile
+    val f = new java.io.File(dir, "ours64.zip")
+    java.nio.file.Files.write(f.toPath, Zip.archiveZip64(entries))
+    import scala.sys.process._
+    assert(Seq("unzip", "-t", f.getPath).! == 0,
+      "unzip -t must CRC-verify every member of the zip64 wire")
+    val x = new java.io.ByteArrayOutputStream()
+    (Seq("unzip", "-p", f.getPath, "x.txt") #> x).!
+    assert(x.toByteArray.sameElements(entries.head._2))
+    if (new java.io.File("/usr/bin/python3").canExecute) {
+      val py = "import zipfile,sys; z=zipfile.ZipFile(sys.argv[1]); " +
+        "sys.exit(0 if z.testzip() is None and " +
+        "z.read('y.bin')==open(sys.argv[2],'rb').read() else 1)"
+      val yf = new java.io.File(dir, "y.ref")
+      java.nio.file.Files.write(yf.toPath, entries(1)._2)
+      assert(Seq("python3", "-c", py, f.getPath, yf.getPath).! == 0)
+    }
+  }
+
+  test("our reader extracts python-written force_zip64 archives (external)") {
+    assume(new java.io.File("/usr/bin/python3").canExecute)
+    val dir = java.nio.file.Files.createTempDirectory("zip64py").toFile
+    val f = new java.io.File(dir, "theirs64.zip")
+    val d1 = texty(2500, 21)
+    val src = new java.io.File(dir, "m1.txt")
+    java.nio.file.Files.write(src.toPath, d1)
+    import scala.sys.process._
+    // force_zip64 writes the zip64 extra/EOCD64/locator shape even
+    // for a small member — the exact wire a >4 GiB member would use
+    val py = "import zipfile,sys\n" +
+      "z=zipfile.ZipFile(sys.argv[1],'w',zipfile.ZIP_DEFLATED)\n" +
+      "with open(sys.argv[2],'rb') as fh, " +
+      "z.open('m1.txt','w',force_zip64=True) as out:\n" +
+      "  out.write(fh.read())\n" +
+      "z.close()\n"
+    assert(Seq("python3", "-c", py, f.getPath, src.getPath).! == 0)
+    val got = Zip.extract(java.nio.file.Files.readAllBytes(f.toPath))
+      .getOrElse(fail("must read a python force_zip64 archive"))
+    assert(got.map(_.name) == Seq("m1.txt"))
+    assert(got.head.data.sameElements(d1))
+  }
+
+  test("zip64 structural damage rejects; member damage drops the member") {
+    val entries = Seq("a" -> texty(1500, 22), "b" -> texty(1500, 23),
+      "c" -> texty(1500, 24))
+    val good = Zip.archiveZip64(entries)
+    // EOCD64 signature damage (locator now points at garbage)
+    var e64 = -1
+    var i = 0
+    while (e64 < 0 && i < good.length - 4) {
+      if ((good(i) & 0xff) == 0x50 && good(i + 1) == 0x4b &&
+          good(i + 2) == 6 && good(i + 3) == 6) e64 = i
+      i += 1
+    }
+    assert(e64 > 0)
+    val bad = good.clone(); bad(e64) = 0x51
+    assert(Zip.extract(bad).isEmpty)
+    // member-grain: damage b's data, keep the structure
+    val bad2 = good.clone()
+    var h = -1; var count = 0
+    i = 0
+    while (h < 0 && i < bad2.length - 4) {
+      if ((bad2(i) & 0xff) == 0x50 && bad2(i + 1) == 0x4b &&
+          bad2(i + 2) == 3 && bad2(i + 3) == 4) {
+        if (count == 1) h = i else count += 1
+      }
+      i += 1
+    }
+    assert(h > 0)
+    val nameLen = (bad2(h + 26) & 0xff) | ((bad2(h + 27) & 0xff) << 8)
+    bad2(h + 30 + nameLen + 3) = (bad2(h + 30 + nameLen + 3) ^ 0x55).toByte
+    val got = Zip.extract(bad2).getOrElse(fail("archive must survive"))
+    assert(got.map(_.name) == Seq("a", "c"))
+  }
 }
