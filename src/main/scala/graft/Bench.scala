@@ -27,6 +27,49 @@ object Bench {
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
+  /** Per-query median seconds over the last `n` CLEAN history runs
+    * (same sf + cpus, `contaminated:false`) from
+    * `docs/bench_history.jsonl` — the anomaly-retry reference. A
+    * query absent from history (new this round) has no median and is
+    * never flagged. Unreadable history → empty map (retry degrades
+    * to the slowest-K rule alone, it never aborts the bench).
+    */
+  private[graft] def historyMedians(sfDir: String, cpus: String, n: Int = 5)
+      : Map[String, Double] =
+    try {
+      val f = new java.io.File("docs/bench_history.jsonl")
+      if (!f.isFile) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val src = scala.io.Source.fromFile(f)
+        val lines = try src.getLines().toVector finally src.close()
+        val clean = lines.flatMap { ln =>
+          try {
+            val node = om.readTree(ln)
+            if (!node.path("contaminated").asBoolean(true) &&
+                node.path("sf").asText("") == sfDir &&
+                node.path("cpus").asText(node.path("cpus").asInt(-1).toString) == cpus)
+              Some(node.path("queries"))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.takeRight(n)
+        val byQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+        clean.foreach { qn =>
+          val it = qn.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber)
+              byQuery(e.getKey) =
+                e.getValue.asDouble() :: byQuery.getOrElse(e.getKey, Nil)
+          }
+        }
+        byQuery.map { case (k, vs) =>
+          val s = vs.sorted
+          k -> s(s.length / 2)
+        }.toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,13 +134,36 @@ object Bench {
     val streamingSet = SparkEntry.streamingQueries
     val (streamPass, batchPass) =
       firstPass.partition { case (k, _) => streamingSet.contains(k) }
-    val retryNames =
+    // Retry set 1 — the slowest 10 per class (batch and streaming
+    // ranked separately: streaming's 5-9 s fixed startup would
+    // otherwise monopolize the slots).
+    val slowestNames =
       (batchPass.sortBy(-_._2).take(10) ++ streamPass.sortBy(-_._2).take(10))
         .map(_._1).toSet
+    // Retry set 2 — history-anomaly: any query > 3× its median over
+    // the last clean runs (with a 0.75 s absolute floor so sub-second
+    // jitter never trips it). A host-noise burst wide enough to
+    // inflate more than 10 queries per class escaped set 1 in r12
+    // (q17 26×, q184 24×, both un-retried); the anomaly rule keys on
+    // WHICH queries moved, not how many.
+    val medians = historyMedians(sfDir, cpus)
+    def anomalous(name: String, t: Double): Boolean =
+      medians.get(name).exists(m => m > 0 && t > 3 * m && t - m > 0.75)
+    val anomalyNames = firstPass.collect {
+      case (name, t) if !slowestNames.contains(name) && anomalous(name, t) => name
+    }.toSet
+    val retryNames = slowestNames ++ anomalyNames
     val byName = queries.toMap
     val results = firstPass.map { case (name, t) =>
       if (retryNames.contains(name)) name -> math.min(t, timeOne(name, byName(name)))
       else name -> t
+    }
+    // queries still > 3× their clean-history median AFTER min-of-two:
+    // either a real regression (code changed) or a noise burst wider
+    // than the retry window — >5% of the suite anomalous marks the
+    // whole record contaminated, so nobody trends on it unknowingly
+    val postAnomalies = results.collect {
+      case (name, t) if anomalous(name, t) => name
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -117,12 +183,18 @@ object Bench {
       .filter { case (k, _) => SparkEntry.streamingQueries.contains(k) }
       .map(_._2).sum
     val loadEnd = loadavg1m()
-    // contamination keys on the START loadavg only: the END value is
-    // dominated by the bench's own local[N] work (clean historical
-    // runs end at 8-10 on this host) and cannot distinguish a busy
-    // host from an honest run — it stays recorded for transparency
-    val contaminated = loadStart > loadThreshold
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"raw_total_s":$rawTotal,"retried":$retriedJson,"n_streaming_queries":${SparkEntry.streamingQueries.size},"cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contaminated":$contaminated}"""
+    // contamination: START loadavg breach (the END value is dominated
+    // by the bench's own local[N] work and stays recorded for
+    // transparency only), OR — the r12 lesson, where a mid-run burst
+    // straddled neither sample — more than 5% of the suite still
+    // > 3× its clean-history median after the min-of-two retry
+    val anomalyJson = postAnomalies.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val anomalyRetriedJson = anomalyNames.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contaminated = loadStart > loadThreshold ||
+      (queries.nonEmpty && postAnomalies.size * 20 > queries.size)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"raw_total_s":$rawTotal,"retried":$retriedJson,"anomaly_retried":$anomalyRetriedJson,"anomalies_after_retry":$anomalyJson,"n_streaming_queries":${SparkEntry.streamingQueries.size},"cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contaminated":$contaminated}"""
     println(line)
     // BENCH_r*.json captures only the stdout tail, which loses the
     // per-query times for over half the suite — persist the complete

@@ -59,6 +59,20 @@ class ContractSpec extends SparkSpec {
     assert(spark.conf.getOption(key) != Some("true"), "batch read left the conf set")
   }
 
+  test("Bench.historyMedians parses the durable history (anomaly-retry reference)") {
+    // the anomaly retry keys on this parse: a silent format mismatch
+    // would disable the noise defense without anyone noticing
+    val medians = Bench.historyMedians("/root/testdata/sf0.1", "32")
+    assume(new java.io.File("docs/bench_history.jsonl").isFile)
+    assert(medians.nonEmpty, "clean sf0.1/cpus=32 history must yield medians")
+    assert(medians.contains("q01_dedup_latest_agg"))
+    assert(medians.values.forall(v => v > 0 && v < 600))
+    // a query name absent from history must simply be absent
+    assert(!medians.contains("q9999_not_a_query"))
+    // non-matching sf yields nothing rather than mixing scales
+    assert(Bench.historyMedians("/no/such/sf", "32").isEmpty)
+  }
+
   test("q152 audit reconciles with q147's aggregate funnel, stage by stage") {
     // the per-doc attribution and the attrition report are different
     // formulations over the same shared stages — the audit's verdict
