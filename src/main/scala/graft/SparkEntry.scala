@@ -3444,7 +3444,41 @@ object SparkEntry {
     * Each stage's frame persists for exactly the funnel's lifetime
     * (successor + its own attrition row read it once each).
     */
-  def q124CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def q124CurationFunnel(spark: SparkSession, dir: String): DataFrame =
+    curationFunnel(spark, dir) { scored =>
+      // exact global ntile — single-partition window, the sf-local
+      // formulation (q124b is the scale twin)
+      val w3 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cross_entropy"), col("doc_id"))
+      scored.withColumn("__t", ntile(3).over(w3))
+        .filter(col("__t") <= 2).select(col("doc_id"))
+    }
+
+  /** q124's 100 TB form: the stage-5 CCNet tail-cut computes its
+    * tertile from [[graft.ext.TrainPrep.quantileNormalize]]'s
+    * KLL-bucketed two-phase rank + ntile(3)'s closed-form tile
+    * arithmetic (the q116c machinery) instead of a single-partition
+    * global ntile window. Shares q124's oracle verbatim; PlanSpec
+    * pins that no single-partition window survives in the plan.
+    */
+  def q124bCurationFunnelScale(spark: SparkSession, dir: String): DataFrame =
+    curationFunnel(spark, dir) { scored =>
+      graft.ext.TrainPrep.quantileNormalize(
+          scored.withColumn("__g", lit(1)), "__g", "doc_id",
+          col("cross_entropy"), numBuckets = 32)
+        // keep head+middle: rank within the first two closed-form
+        // ntile(3) tiles ⇔ rank ≤ N - (N div 3) (the LAST tile gets
+        // exactly N div 3 rows — the smallest tile)
+        .filter(col("q_rank") <= col("group_n") - expr("group_n div 3"))
+        .select(col("doc_id"))
+    }
+
+  /** Shared funnel scaffold for q124/q124b — Gopher rules → C4 clean
+    * → exact dedup → paragraph dedup → CCNet tail-cut, with the
+    * tail-cut's keep-set computation injected by the caller.
+    */
+  private def curationFunnel(spark: SparkSession, dir: String)(
+      tailKeep: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val ref = docs.filter(col("lang") === "en")
@@ -3466,9 +3500,7 @@ object SparkEntry {
       .filter(col("n_kept") > 0)
       .select(col("doc_id"), col("dedup_text").as("text"))
     val scored = Text.crossEntropyScores(s4, "doc_id", "text", ref, "text")
-    val w3 = Window.orderBy(col("cross_entropy"), col("doc_id"))
-    val keep = scored.withColumn("__t", ntile(3).over(w3))
-      .filter(col("__t") <= 2).select(col("doc_id"))
+    val keep = tailKeep(scored)
     val s5 = s4.join(keep, Seq("doc_id"), "left_semi")
     withCached(s1, s2, s3, s4, s5) {
       def stageRow(name: String, df: DataFrame): (String, Long, Long, Long) = {
@@ -8367,6 +8399,7 @@ object SparkEntry {
     "q122_gopher_rules" -> (q122GopherRules _),
     "q123_dsir_sample" -> (q123DsirSample _),
     "q124_curation_funnel" -> (q124CurationFunnel _),
+    "q124b_curation_scale" -> (q124bCurationFunnelScale _),
     "q125_unicode_normalize" -> (q125UnicodeNormalize _),
     "q126_train_classifier" -> (q126TrainClassifier _),
     "q126b_classifier_scores" -> (q126bClassifierScores _),
@@ -8570,6 +8603,130 @@ object SparkEntry {
     * reference vocabulary; unseen events coalesce to count 0). Ends at
     * the `scored` CTE — each query appends its own projection.
     */
+  /** q124/q124b shared oracle: the five-stage funnel replay. */
+  private val curationFunnelSql: String =
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, len(toks) AS n,
+        |         list_sum([length(x) FOR x IN toks]) * 1.0 /
+        |           greatest(len(toks), 1) AS meanlen,
+        |         len(list_intersect(list_distinct([lower(x) FOR x IN toks]),
+        |             ['the','a','an','and','or','of','to','in','is','it']))
+        |           AS nstops
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, text FROM m
+        |  WHERE n >= 40 AND n <= 70 AND meanlen >= 4.0 AND meanlen <= 4.6
+        |    AND nstops >= 2),
+        |sg AS (
+        |  SELECT doc_id,
+        |         [x FOR x IN [trim(y) FOR y IN
+        |                      regexp_split_to_array(text, '\bline\b')
+        |                      IF length(trim(y)) > 0]
+        |          IF len(regexp_split_to_array(lower(x), '\s+')) >= 5
+        |             AND list_has_any(regexp_split_to_array(lower(x), '\s+'),
+        |                 ['the','a','an','and','or','of','to','in','is','it'])
+        |             AND NOT list_has_any(
+        |               regexp_split_to_array(lower(x), '\s+'), ['slow'])] AS kept
+        |  FROM g),
+        |c AS (
+        |  SELECT doc_id, array_to_string(kept, ' ') AS text
+        |  FROM sg WHERE len(kept) >= 1),
+        |f AS (
+        |  SELECT doc_id, text,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM c),
+        |d3 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM f) WHERE rn = 1),
+        |ct AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM d3),
+        |cn AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(toks) <= 16 THEN 1
+        |              ELSE (len(toks) - 16 + 15) // 16 + 1 END AS n_chunks
+        |  FROM ct),
+        |cc AS (
+        |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks FROM cn),
+        |cx AS (
+        |  SELECT doc_id, chunk_id,
+        |         array_to_string(toks[chunk_id*16 + 1 : chunk_id*16 + 16], ' ')
+        |           AS chunk_text
+        |  FROM cc),
+        |cr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY chunk_text
+        |                               ORDER BY doc_id, chunk_id) AS rn
+        |  FROM cx),
+        |d4 AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+        |                    ORDER BY chunk_id) AS text
+        |  FROM cr GROUP BY doc_id
+        |  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0),
+        |rt AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |runi AS (SELECT unnest(toks) AS tok FROM rt),
+        |uc AS (SELECT tok, count(*) AS cu FROM runi GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab FROM runi),
+        |rbg AS (
+        |  SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |                 FOR i IN range(1, len(toks))]) AS bigram
+        |  FROM rt WHERE len(toks) >= 2),
+        |bc AS (SELECT bigram, count(*) AS cb FROM rbg GROUP BY 1),
+        |dt AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM d4),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1]
+        |                 FOR i IN range(1, len(toks))]) AS bigram
+        |  FROM dt WHERE len(toks) >= 2),
+        |lp AS (
+        |  SELECT g2.doc_id,
+        |         ln((coalesce(bc.cb, 0) + 1.0) /
+        |            (coalesce(uc.cu, 0) + v.vocab)) AS lp
+        |  FROM bg g2
+        |  LEFT JOIN bc USING (bigram)
+        |  LEFT JOIN uc ON uc.tok = split_part(g2.bigram, ' ', 1)
+        |  CROSS JOIN v),
+        |sc AS (SELECT doc_id, round(-avg(lp), 4) AS ce FROM lp GROUP BY 1),
+        |rk AS (
+        |  SELECT doc_id, ntile(3) OVER (ORDER BY ce, doc_id) AS t3 FROM sc),
+        |d5 AS (
+        |  SELECT d4.doc_id, d4.text FROM d4 JOIN rk USING (doc_id)
+        |  WHERE t3 <= 2)
+        |SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) AS tok_sum FROM documents
+        |UNION ALL SELECT '1_gopher_rules', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) FROM g
+        |UNION ALL SELECT '2_c4_clean', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) FROM c
+        |UNION ALL SELECT '3_exact_dedup', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) FROM d3
+        |UNION ALL SELECT '4_paragraph_dedup', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) FROM d4
+        |UNION ALL SELECT '5_ppl_head_middle', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) FROM d5
+        |ORDER BY stage""".stripMargin
+
   private val crossEntropyScoreSql: String =
     """WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -11932,128 +12089,12 @@ object SparkEntry {
          |ORDER BY lang, doc_id""".stripMargin
     },
 
-    "q124_curation_funnel" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, text, len(toks) AS n,
-        |         list_sum([length(x) FOR x IN toks]) * 1.0 /
-        |           greatest(len(toks), 1) AS meanlen,
-        |         len(list_intersect(list_distinct([lower(x) FOR x IN toks]),
-        |             ['the','a','an','and','or','of','to','in','is','it']))
-        |           AS nstops
-        |  FROM t),
-        |g AS (
-        |  SELECT doc_id, text FROM m
-        |  WHERE n >= 40 AND n <= 70 AND meanlen >= 4.0 AND meanlen <= 4.6
-        |    AND nstops >= 2),
-        |sg AS (
-        |  SELECT doc_id,
-        |         [x FOR x IN [trim(y) FOR y IN
-        |                      regexp_split_to_array(text, '\bline\b')
-        |                      IF length(trim(y)) > 0]
-        |          IF len(regexp_split_to_array(lower(x), '\s+')) >= 5
-        |             AND list_has_any(regexp_split_to_array(lower(x), '\s+'),
-        |                 ['the','a','an','and','or','of','to','in','is','it'])
-        |             AND NOT list_has_any(
-        |               regexp_split_to_array(lower(x), '\s+'), ['slow'])] AS kept
-        |  FROM g),
-        |c AS (
-        |  SELECT doc_id, array_to_string(kept, ' ') AS text
-        |  FROM sg WHERE len(kept) >= 1),
-        |f AS (
-        |  SELECT doc_id, text,
-        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |  FROM c),
-        |d3 AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        |    FROM f) WHERE rn = 1),
-        |ct AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM d3),
-        |cn AS (
-        |  SELECT doc_id, toks,
-        |         CASE WHEN len(toks) <= 16 THEN 1
-        |              ELSE (len(toks) - 16 + 15) // 16 + 1 END AS n_chunks
-        |  FROM ct),
-        |cc AS (
-        |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks FROM cn),
-        |cx AS (
-        |  SELECT doc_id, chunk_id,
-        |         array_to_string(toks[chunk_id*16 + 1 : chunk_id*16 + 16], ' ')
-        |           AS chunk_text
-        |  FROM cc),
-        |cr AS (
-        |  SELECT *, row_number() OVER (PARTITION BY chunk_text
-        |                               ORDER BY doc_id, chunk_id) AS rn
-        |  FROM cx),
-        |d4 AS (
-        |  SELECT doc_id,
-        |         string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
-        |                    ORDER BY chunk_id) AS text
-        |  FROM cr GROUP BY doc_id
-        |  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0),
-        |rt AS (
-        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM documents WHERE lang = 'en'),
-        |runi AS (SELECT unnest(toks) AS tok FROM rt),
-        |uc AS (SELECT tok, count(*) AS cu FROM runi GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab FROM runi),
-        |rbg AS (
-        |  SELECT unnest([toks[i] || ' ' || toks[i+1]
-        |                 FOR i IN range(1, len(toks))]) AS bigram
-        |  FROM rt WHERE len(toks) >= 2),
-        |bc AS (SELECT bigram, count(*) AS cb FROM rbg GROUP BY 1),
-        |dt AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM d4),
-        |bg AS (
-        |  SELECT doc_id,
-        |         unnest([toks[i] || ' ' || toks[i+1]
-        |                 FOR i IN range(1, len(toks))]) AS bigram
-        |  FROM dt WHERE len(toks) >= 2),
-        |lp AS (
-        |  SELECT g2.doc_id,
-        |         ln((coalesce(bc.cb, 0) + 1.0) /
-        |            (coalesce(uc.cu, 0) + v.vocab)) AS lp
-        |  FROM bg g2
-        |  LEFT JOIN bc USING (bigram)
-        |  LEFT JOIN uc ON uc.tok = split_part(g2.bigram, ' ', 1)
-        |  CROSS JOIN v),
-        |sc AS (SELECT doc_id, round(-avg(lp), 4) AS ce FROM lp GROUP BY 1),
-        |rk AS (
-        |  SELECT doc_id, ntile(3) OVER (ORDER BY ce, doc_id) AS t3 FROM sc),
-        |d5 AS (
-        |  SELECT d4.doc_id, d4.text FROM d4 JOIN rk USING (doc_id)
-        |  WHERE t3 <= 2)
-        |SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
-        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
-        |         AS BIGINT) AS tok_sum FROM documents
-        |UNION ALL SELECT '1_gopher_rules', CAST(count(*) AS BIGINT),
-        |       CAST(sum(doc_id) AS BIGINT),
-        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
-        |         AS BIGINT) FROM g
-        |UNION ALL SELECT '2_c4_clean', CAST(count(*) AS BIGINT),
-        |       CAST(sum(doc_id) AS BIGINT),
-        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
-        |         AS BIGINT) FROM c
-        |UNION ALL SELECT '3_exact_dedup', CAST(count(*) AS BIGINT),
-        |       CAST(sum(doc_id) AS BIGINT),
-        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
-        |         AS BIGINT) FROM d3
-        |UNION ALL SELECT '4_paragraph_dedup', CAST(count(*) AS BIGINT),
-        |       CAST(sum(doc_id) AS BIGINT),
-        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
-        |         AS BIGINT) FROM d4
-        |UNION ALL SELECT '5_ppl_head_middle', CAST(count(*) AS BIGINT),
-        |       CAST(sum(doc_id) AS BIGINT),
-        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
-        |         AS BIGINT) FROM d5
-        |ORDER BY stage""".stripMargin,
+    "q124_curation_funnel" -> curationFunnelSql,
+
+    // q124's oracle verbatim: the KLL-bucketed rank tail-cut must
+    // reproduce the exact global ntile's stage-5 attrition
+    "q124b_curation_scale" -> curationFunnelSql,
+
 
     "q125_unicode_normalize" ->
       """WITH d AS (

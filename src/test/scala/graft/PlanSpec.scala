@@ -695,6 +695,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q124b: funnel tail-cut replaces the corpus-wide ntile with bucket windows") {
+    // q124/q124b materialize their six stage rows INTERNALLY (driver
+    // aggregation per stage), so the returned frame is a
+    // LocalTableScan — the plans that matter are the ones executed
+    // along the way, captured via a QueryExecutionListener
+    def executedPlans(q: String): Seq[String] = {
+      val plans = scala.collection.mutable.ArrayBuffer[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          plans.synchronized { plans += qe.executedPlan.toString }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        SparkEntry.queries(q)(spark, dir).collect()
+        // listener events post asynchronously; poll until stable
+        var last = -1
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(200)
+          val n = plans.synchronized(plans.size)
+          if (n == last) same += 1 else { same = 0; last = n }
+        }
+      } finally spark.listenerManager.unregister(listener)
+      plans.synchronized(plans.toVector)
+    }
+    val exact = executedPlans("q124_curation_funnel")
+    assert(exact.exists(_.contains("ntile")),
+      "sanity: the exact funnel must show its global ntile to the listener")
+    val scale = executedPlans("q124b_curation_scale")
+    assert(scale.nonEmpty)
+    assert(!scale.exists(_.contains("ntile")),
+      "the scale funnel must not run any ntile window")
+    // the tail-cut rank must come from quantileNormalize's
+    // bucket-partitioned row_number: a plan carrying both the rank
+    // window and the __qb bucket key must have executed (the exact
+    // window-partitioning shape is pinned by the q116c test; plans
+    // here also carry the funnel's fingerprint-dedup window, so the
+    // check is plan-level, not first-occurrence)
+    assert(scale.exists(p =>
+      p.contains("Window [row_number") && p.contains("__qb")),
+      "expected the two-phase bucket-partitioned rank to execute")
+  }
+
   test("q248: skew-evidence pair — salted half shuffles on (k, __salt), twin on k alone") {
     val salted = plan("q248_skew_salted")
     assert(salted.contains("__salt"), salted)
