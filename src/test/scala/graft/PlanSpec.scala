@@ -695,6 +695,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q243: NCD sample pairing runs in doc_id-block windows, not one global window") {
+    val p = plan("q243_ncd_verify")
+    assert(p.contains("Window [lead"), p)
+    assert(p.contains("hashpartitioning(__blk"), p)
+    // no corpus-wide single-partition exchange ahead of the pairing
+    // window (the display orderBy's rangepartitioning is fine)
+    val wi = p.indexOf("Window [lead")
+    val before = p.substring(wi)
+    assert(before.contains("Exchange hashpartitioning(__blk"), p)
+  }
+
   test("q124b: funnel tail-cut replaces the corpus-wide ntile with bucket windows") {
     // q124/q124b materialize their six stage rows INTERNALLY (driver
     // aggregation per stage), so the returned frame is a
