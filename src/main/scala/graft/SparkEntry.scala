@@ -1754,18 +1754,18 @@ object SparkEntry {
         (col("l_orderkey") * 1000 + col("l_linenumber") * 100 + col("rep")).as("rid"),
         col("l_quantity").as("v"))
     def leg(tag: String, fact: DataFrame): DataFrame = {
-      // decide() runs once more here only to surface the decision as
-      // evidence — auto() measures internally; both passes are one
-      // partial-agg'd count over the fact projection. Measured NOTE:
-      // persisting the exploded fact for the three passes was tried
-      // and REVERTED — the explode pipelines off the parquet scan at
+      // decide() runs ONCE per leg and feeds both the evidence column
+      // and the dispatch (SkewJoin.dispatch = auto's join half) — the
+      // r12 shape paid the counting pass twice (decide-for-evidence +
+      // auto's internal decide). Measured NOTE: persisting the
+      // exploded fact for the two remaining passes was tried and
+      // REVERTED — the explode pipelines off the parquet scan at
       // ~nothing, while forced materialization cost +5.6 s across two
       // full bench runs (12.7/15.4 s vs 7.1 s).
       val buckets = graft.operators.SkewJoin.decide(
         fact, Seq("k"), threshold = 4, maxBuckets = 32)
-      graft.operators.SkewJoin.auto(
-        fact, dim.hint("merge"), Seq("k"), col("rid"),
-        threshold = 4, maxBuckets = 32)
+      graft.operators.SkewJoin.dispatch(
+        fact, dim.hint("merge"), Seq("k"), col("rid"), buckets)
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"),
           sum(col("v") * col("w")).cast(LongType).as("wv"))

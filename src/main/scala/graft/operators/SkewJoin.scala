@@ -94,9 +94,20 @@ object SkewJoin {
       keys: Seq[String],
       factSalt: Column,
       threshold: Int = 4,
-      maxBuckets: Int = 64): DataFrame = {
-    val buckets = decide(fact, keys, threshold, maxBuckets)
+      maxBuckets: Int = 64): DataFrame =
+    dispatch(fact, dim, keys, factSalt, decide(fact, keys, threshold, maxBuckets))
+
+  /** [[auto]]'s dispatch half with the decision precomputed — for
+    * callers that need the bucket count as evidence (q249's
+    * `buckets_used` column) without paying [[decide]]'s counting
+    * pass twice.
+    */
+  def dispatch(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factSalt: Column,
+      buckets: Int): DataFrame =
     if (buckets == 0) fact.join(dim, keys)
     else salted(fact, dim, keys, factSalt, buckets)
-  }
 }
