@@ -7987,15 +7987,15 @@ object SparkEntry {
         Seq(graft.ext.Layout.zValue(col("band"), hour(col("ts")), 10))),
       ("hilbert_band_hour",
         Seq(graft.ext.Layout.hilbertValue(col("band"), hour(col("ts")), 10))))
-    val byBand = graft.ext.Layout.skippingReport(ev, layouts,
-      statCol = col("band"), tieBreak = col("event_id"),
-      rowsPerFile = 500, lo = 100L, hi = 199L)
-      .withColumn("predicate", lit("band_100_199"))
-    val byHour = graft.ext.Layout.skippingReport(ev, layouts,
-      statCol = hour(col("ts")).cast("long"), tieBreak = col("event_id"),
-      rowsPerFile = 500, lo = 3L, hi = 8L)
-      .withColumn("predicate", lit("hour_3_8"))
-    byBand.unionByName(byHour).orderBy(col("predicate"), col("layout"))
+    // both predicates grade each layout from ONE ranking pass (the
+    // key computation + range shuffle is the expensive part and is
+    // predicate-independent)
+    graft.ext.Layout.skippingReportMulti(ev, layouts,
+      preds = Seq(
+        ("band_100_199", col("band"), 100L, 199L),
+        ("hour_3_8", hour(col("ts")).cast("long"), 3L, 8L)),
+      tieBreak = col("event_id"), rowsPerFile = 500)
+      .orderBy(col("predicate"), col("layout"))
   }
 
   /** UNIGRAM-LM tokenizer training ([[graft.ext.Text.unigramTrain]],

@@ -150,39 +150,103 @@ object Layout {
     * BEFORE rewriting the table. All exact integer arithmetic, so the
     * report replays in SQL.
     *
-    * The file model is the row_number of the layout sort divided by
-    * `rowsPerFile` — exactly the assignment
+    * The file model is the 0-based global rank of the layout sort
+    * divided by `rowsPerFile` — exactly the assignment
     * `repartitionByRange(...).sortWithinPartitions(...)` (the
     * [[zorderWrite]]/[[compact]] shape) produces with balanced
-    * ranges. The global-order window is the audit's model, not a
-    * production data path: run it over the table's stats sample when
-    * the table is large (DISCLOSED — the real write uses the range
-    * shuffle, never this window).
+    * ranges. The rank itself comes from the SAME range shuffle plus a
+    * two-phase prefix sum (per-range-partition counts → O(P) offset
+    * frame broadcast back → per-partition row_number windows — the
+    * TrainPrep prefix-sum discipline): the layout key including the
+    * tie-break is a total order, so partition-count offsets + local
+    * rank reproduce the global row_number exactly, with no
+    * single-partition window anywhere in the plan.
     */
   def skippingReport(
       df: DataFrame,
       layouts: Seq[(String, Seq[Column])],
       statCol: Column, tieBreak: Column,
-      rowsPerFile: Int, lo: Long, hi: Long): DataFrame = {
+      rowsPerFile: Int, lo: Long, hi: Long): DataFrame =
+    skippingReportMulti(df, layouts, Seq(("__single", statCol, lo, hi)),
+      tieBreak, rowsPerFile)
+      .select(col("layout"), col("n_files"), col("n_skipped"),
+        col("n_scanned"))
+
+  /** [[skippingReport]] graded on SEVERAL predicates per layout in
+    * ONE pass each: the expensive part of the audit is the layout
+    * ranking (key computation + range shuffle), identical for every
+    * predicate over the same layout — so rank once, collect per-file
+    * min/max for ALL predicate columns in one aggregation, and
+    * unpivot the skip counts in-plan (`stack`). Output grain:
+    * (layout, predicate).
+    */
+  def skippingReportMulti(
+      df: DataFrame,
+      layouts: Seq[(String, Seq[Column])],
+      preds: Seq[(String, Column, Long, Long)],
+      tieBreak: Column, rowsPerFile: Int): DataFrame = {
     require(layouts.nonEmpty, "need at least one layout")
+    require(preds.nonEmpty, "need at least one predicate")
     require(rowsPerFile >= 1, "rowsPerFile must be >= 1")
-    require(lo <= hi, "predicate range must be non-empty")
+    require(preds.forall { case (_, _, lo, hi) => lo <= hi },
+      "predicate ranges must be non-empty")
+    require(preds.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "predicate names feed a stack() literal: [A-Za-z0-9_]+ only")
     import org.apache.spark.sql.expressions.Window
     layouts.map { case (name, keys) =>
       val kcols = (keys :+ tieBreak).zipWithIndex.map {
         case (c, i) => c.as(s"__k$i")
       }
-      val keyed = df.select(statCol.cast("long").as("__v") +: kcols: _*)
-      val w = Window.orderBy(kcols.indices.map(i => col(s"__k$i").asc): _*)
-      keyed
-        .withColumn("__f", floor((row_number().over(w) - 1) / lit(rowsPerFile)))
+      val ks = kcols.indices.map(i => col(s"__k$i").asc)
+      val vcols = preds.zipWithIndex.map {
+        case ((_, c, _, _), j) => c.cast("long").as(s"__v$j")
+      }
+      // persist the keyed projection (a handful of long columns): the
+      // layout key can be expensive (hilbertValue's per-level HOF),
+      // and the range partitioner's bounds-sampling job would
+      // otherwise recompute it over the full input before the shuffle
+      // pass does — measured 2x on q206 without this
+      val keyed = df.select(vcols ++ kcols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // phase 1: the range shuffle that IS the modeled write layout;
+      // ranges are contiguous in key order, so partition id order =
+      // key order and prefix counts are exact rank offsets
+      val ranged = keyed.repartitionByRange(ks: _*)
+        .withColumn("__pid", spark_partition_id())
+      // phase 2: per-partition counts → prefix offsets over the O(P)
+      // frame (P = shuffle partitions — the accepted bounded-frame
+      // single-partition window), broadcast back; the layout key
+      // including the tie-break is a total order, so offset + local
+      // row_number reproduces the global rank exactly
+      val offs = ranged.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__off", coalesce(
+          sum(col("__c")).over(Window.orderBy(col("__pid").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__pid"), col("__off"))
+      val wLocal = Window.partitionBy(col("__pid")).orderBy(ks: _*)
+      val fileStats = ranged.join(broadcast(offs), Seq("__pid"))
+        .withColumn("__f", floor(
+          (col("__off") + row_number().over(wLocal) - 1) / lit(rowsPerFile)))
         .groupBy(col("__f"))
-        .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
-        .agg(count(lit(1)).as("n_files"),
-          sum(when(col("mx") < lo || col("mn") > hi, 1L).otherwise(0L))
-            .as("n_skipped"))
-        .select(lit(name).as("layout"), col("n_files"), col("n_skipped"),
-          (col("n_files") - col("n_skipped")).as("n_scanned"))
+        .agg(
+          min(col("__v0")).as("mn0"), max(col("__v0")).as("mx0") +:
+            preds.indices.drop(1).flatMap(j => Seq(
+              min(col(s"__v$j")).as(s"mn$j"),
+              max(col(s"__v$j")).as(s"mx$j"))): _*)
+      val skips = preds.zipWithIndex.map { case ((_, _, lo, hi), j) =>
+        sum(when(col(s"mx$j") < lo || col(s"mn$j") > hi, 1L).otherwise(0L))
+          .as(s"__sk$j")
+      }
+      val stackExpr = preds.zipWithIndex
+        .map { case ((pn, _, _, _), j) => s"'$pn', __sk$j" }
+        .mkString(s"stack(${preds.size}, ", ", ", ") AS (predicate, n_skipped)")
+      fileStats
+        .agg(count(lit(1)).as("n_files"), skips: _*)
+        .select(lit(name).as("layout"), col("n_files"), expr(stackExpr))
+        .select(col("layout"), col("n_files"), col("n_skipped"),
+          (col("n_files") - col("n_skipped")).as("n_scanned"),
+          col("predicate"))
     }.reduce(_.unionByName(_))
   }
 

@@ -695,6 +695,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q206/q171: layout file model ranks via range shuffle + pid windows, no global row_number") {
+    Seq("q206_hilbert_layout", "q171_skipping_report").foreach { q =>
+      val p = plan(q)
+      // the per-row rank window is partitioned by the range-shuffle
+      // partition id; the only single-partition window is the O(P)
+      // offsets prefix (the accepted bounded-frame shape)
+      assert(p.contains("Window [row_number"), s"$q: $p")
+      assert(p.contains("hashpartitioning(__pid"), s"$q: $p")
+      assert(p.contains("rangepartitioning(__k0"), s"$q: $p")
+      assert(!p.contains("ntile"), s"$q: $p")
+    }
+  }
+
   test("q243: NCD sample pairing runs in doc_id-block windows, not one global window") {
     val p = plan("q243_ncd_verify")
     assert(p.contains("Window [lead"), p)
