@@ -2730,7 +2730,7 @@ object SparkEntry {
           d, "lang", "doc_id", "n_tokens", weights, totalTokens = 50000L)
           .select(col("lang"), col("doc_id"), col("n_tokens"),
             col("base_repeats"), col("extra_repeat"), col("n_repeats"))
-      })
+      }, filesPerTrigger = 2)
       .orderBy(col("lang"), col("doc_id"))
   }
 
@@ -2747,7 +2747,7 @@ object SparkEntry {
       corpus => graft.ext.TrainPrep.tokenBalancedShards(
         corpus.select(col("doc_id"),
           Text.tokenCount(col("text")).cast(LongType).as("n_tokens")),
-        "doc_id", "n_tokens", 2000L))
+        "doc_id", "n_tokens", 2000L), filesPerTrigger = 2)
       .orderBy(col("doc_id"))
   }
 
@@ -3754,7 +3754,7 @@ object SparkEntry {
         corpus, "doc_id", "text", label, numBuckets = 64)
       val w = graft.ext.Classifier.trainElliott(feat, numBuckets = 64, iters = 4)
       graft.ext.Classifier.weightsDF(spark, w)
-    }).orderBy(col("bucket"))
+    }, filesPerTrigger = 2).orderBy(col("bucket"))
   }
 
   /** Cluster-representative selection by graph centrality
@@ -3966,22 +3966,24 @@ object SparkEntry {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
     val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
-    val step = maxId / 4 + 1
+    val step = maxId / 3 + 1
     val tmp = tempDir("graft-q139")
+    // THREE id-ordered slices: the minimum that exercises every
+    // stream property inside the oracle-checked path — cross-batch
+    // store matching (b1, b2), in-batch dedup (all), AND a mid-stream
+    // index compaction whose folded generations b2 then reads
+    // (compactEvery=2 → fold after b1). Per-trigger cost is the whole
+    // of q139's bench line, so the 4th trigger bought nothing the
+    // first three don't already pin.
     val in = writeSliceFiles(
-      (0 until 4).map(i => docs.filter(
+      (0 until 3).map(i => docs.filter(
         col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)), tmp)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("lang", StringType, nullable = true),
       StructField("text", StringType, nullable = true)))
-    // compactEvery=3: the mid-stream index compaction
-    // ([[graft.stream.Jobs.compactNearDupIndex]]) runs ONCE inside the
-    // oracle-checked path (after batch 2 of 4) — the hash pins that
-    // folding generations changes nothing, at half the bench cost of
-    // compacting every other trigger
     Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work",
-        compactEvery = 3)
+        compactEvery = 2)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"))
@@ -4322,7 +4324,7 @@ object SparkEntry {
           .filter(pmod(col("doc_id"), lit(2)) === side)
           .select(explode(Text.tokens(lower(col("text")))).as("tok"))
         graft.dq.Analyzers.categoryDrift(toks(0), toks(1), "tok")
-      })
+      }, filesPerTrigger = 2)
       .orderBy(col("category"))
   }
 
@@ -4404,7 +4406,7 @@ object SparkEntry {
     val tmp = tempDir("graft-q147b")
     val (in, schema) = docSliceStreamInput(spark, dir, tmp)
     graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
-      corpus => webFunnelReport(spark, corpus))
+      corpus => webFunnelReport(spark, corpus), filesPerTrigger = 2)
       .orderBy(col("stage"))
   }
 
@@ -4572,7 +4574,7 @@ object SparkEntry {
     val tmp = tempDir("graft-q161b")
     val (in, schema) = custSliceStreamInput(spark, dir, tmp)
     graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
-      cust => goldenRecordOf(entityCorpusOf(cust)))
+      cust => goldenRecordOf(entityCorpusOf(cust)), filesPerTrigger = 2)
       .orderBy(col("c_custkey"))
   }
 
@@ -4588,7 +4590,7 @@ object SparkEntry {
     val tmp = tempDir("graft-q162b")
     val (in, schema) = eventSliceStreamInput(spark, dir, tmp)
     graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
-      ev => graft.ext.TimeSeries.cusumHourly(ev, "ts"))
+      ev => graft.ext.TimeSeries.cusumHourly(ev, "ts"), filesPerTrigger = 2)
       .orderBy(col("hr"))
   }
 
@@ -5004,7 +5006,7 @@ object SparkEntry {
     val tmp = tempDir("graft-q185b")
     val (in, schema) = docSliceStreamInput(spark, dir, tmp)
     graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
-      docs => Text.zipfFit(docs, "text", topN = 100))
+      docs => Text.zipfFit(docs, "text", topN = 100), filesPerTrigger = 2)
   }
 
   /** Robust per-type value statistics: the 10%-trimmed mean beside
@@ -5233,7 +5235,7 @@ object SparkEntry {
           Text.qualityScore(col("text")).as("quality")),
         "source", "doc_id", col("quality"), numBuckets = 8)
         .select(col("doc_id"), col("source"), col("quality"),
-          col("q_rank"), col("group_n"), col("quantile_ppm")))
+          col("q_rank"), col("group_n"), col("quantile_ppm")), filesPerTrigger = 2)
       .orderBy(col("doc_id"))
   }
 
@@ -5352,7 +5354,7 @@ object SparkEntry {
       corpus => graft.ext.TrainPrep.temperatureMixture(corpus, "source",
         when(length(trim(col("text"))) > 0, Text.tokenCount(col("text"))
           .cast("long")).otherwise(0L),
-        temperature = 2.0, budget = 100000L))
+        temperature = 2.0, budget = 100000L), filesPerTrigger = 2)
       .orderBy(col("source"))
   }
 
@@ -5880,7 +5882,7 @@ object SparkEntry {
         docs.select(col("doc_id"), col("text")),
         "doc_id", Text.tokenCount(col("text")).cast("long"), phases = 4)
         .select(col("doc_id"), col("difficulty"), col("difficulty_rank"),
-          col("n_docs"), col("first_phase"), col("phase_order")))
+          col("n_docs"), col("first_phase"), col("phase_order")), filesPerTrigger = 2)
       .orderBy(col("doc_id"))
   }
 
@@ -8103,7 +8105,7 @@ object SparkEntry {
     val tmp = tempDir("graft-q168b")
     val (in, schema) = eventSliceStreamInput(spark, dir, tmp)
     graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
-      ev => graft.ext.TimeSeries.seasonalSpikes(ev, "event_type", "ts"))
+      ev => graft.ext.TimeSeries.seasonalSpikes(ev, "event_type", "ts"), filesPerTrigger = 2)
       .orderBy(col("key"), col("hr"))
   }
 
@@ -8231,7 +8233,7 @@ object SparkEntry {
     val (in, schema) = embSliceStreamInput(spark, dir, tmp)
     graft.stream.Jobs.runPlanRecomputeStream(spark, in, schema, s"$tmp/work",
       corpus => graft.ext.Similarity.farthestPointSample(
-        corpus, "vec_id", "embedding", k = 12))
+        corpus, "vec_id", "embedding", k = 12), filesPerTrigger = 2)
       .orderBy(col("sel_rank"))
   }
 

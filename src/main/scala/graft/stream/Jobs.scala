@@ -573,15 +573,26 @@ object Jobs {
     * crash-safe publish pattern of [[runChangelogStream]]: a resumed
     * checkpoint continues from the highest published version.
     */
+  /** `filesPerTrigger` sets the micro-batch granularity. The
+    * published plan at each version is a pure function of the corpus
+    * accumulated so far, and consumers read only the LAST published
+    * version — so results are identical at ANY granularity and
+    * bench-facing callers coarsen it to cut per-trigger recompute
+    * (the snapshot recompute is the whole per-trigger cost). Replay
+    * safety is granularity-independent (batch ids and published
+    * versions move together); StreamSpec pins the fine-grained form.
+    */
   def runPlanRecomputeStream(
       spark: SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType,
       workDir: String,
-      planOf: DataFrame => DataFrame): DataFrame = {
+      planOf: DataFrame => DataFrame,
+      filesPerTrigger: Int = 1): DataFrame = {
+    require(filesPerTrigger >= 1, "filesPerTrigger must be >= 1")
     var lastV = publishedVersion(spark, s"$workDir/plan")
     val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
