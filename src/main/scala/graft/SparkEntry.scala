@@ -3085,8 +3085,8 @@ object SparkEntry {
 
   /** Streaming index ingest — FAISS `add` as a stream
     * ([[graft.stream.Jobs.runIndexIngestStream]]): quantizers are
-    * trained once and FROZEN, then the corpus arrives in 4
-    * micro-batches, each assigned + PQ-encoded map-only and appended
+    * trained once and FROZEN, then the corpus arrives in
+    * micro-batches (4 slices, 2 per trigger), each assigned + PQ-encoded map-only and appended
     * to the label-partitioned code table with per-batch idempotent
     * overwrite. Because assignment and encoding are deterministic per
     * row, the streamed index must be BIT-EQUAL to the batch build
@@ -3115,7 +3115,7 @@ object SparkEntry {
     val streamDir = s"$tmp/index"
     graft.stream.Jobs.runIndexIngestStream(spark, in, base.schema,
       "vec_id", "embedding", centroids, cbs, streamDir,
-      scorer = graft.ext.VectorKernels.cosineF)
+      scorer = graft.ext.VectorKernels.cosineF, filesPerTrigger = 2)
     val batchIdx = graft.ext.AnnIndex.read(spark, batchDir)
     val streamIdx = graft.ext.AnnIndex.read(spark, streamDir)
     val queries = embQueries(spark, dir)
@@ -3158,7 +3158,7 @@ object SparkEntry {
     val idxDir = s"$tmp/index"
     graft.stream.Jobs.runIndexIngestStream(spark, in, base.schema,
       "vec_id", "embedding", centroids, cbs, idxDir,
-      scorer = graft.ext.VectorKernels.cosineF)
+      scorer = graft.ext.VectorKernels.cosineF, filesPerTrigger = 2)
     val queries = embQueries(spark, dir)
     import spark.implicits._
     def searchSet(): Set[(Long, Long, Double, Int)] =

@@ -915,7 +915,9 @@ object Jobs {
       centroids: IndexedSeq[Seq[Float]],
       codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
       indexDir: String,
-      scorer: (Column, Column) => Column = graft.ext.Similarity.cosine): Unit = {
+      scorer: (Column, Column) => Column = graft.ext.Similarity.cosine,
+      filesPerTrigger: Int = 1): Unit = {
+    require(filesPerTrigger >= 1, "filesPerTrigger must be >= 1")
     // codes already on disk were produced by SOME quantizer pair; a
     // resumed/new ingest with different centroids or codebooks would
     // silently mix incompatible codes into one table — refuse loudly
@@ -933,8 +935,12 @@ object Jobs {
         s"ingest centroids differ from the index's at $indexDir/centroids")
     }
     graft.ext.AnnIndex.writeQuantizers(spark, centroids, codebooks, indexDir)
+    // per-row deterministic map-only encode ⇒ the built index is
+    // BIT-EQUAL at any micro-batch granularity (the q113 contract);
+    // bench-facing callers coarsen filesPerTrigger to cut per-trigger
+    // startup, StreamSpec pins the fine-grained replay form
     val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
