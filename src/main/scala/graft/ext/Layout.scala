@@ -210,9 +210,20 @@ object Layout {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // phase 1: the range shuffle that IS the modeled write layout;
       // ranges are contiguous in key order, so partition id order =
-      // key order and prefix counts are exact rank offsets
-      val ranged = keyed.repartitionByRange(ks: _*)
+      // key order and prefix counts are exact rank offsets. The
+      // ranged frame is PERSISTED because __pid must mean the same
+      // partition to both consumers below, and a re-executed range
+      // shuffle does NOT guarantee that: the RangePartitioner's
+      // bounds come from a sample whose seed varies per execution
+      // (rdd.id-derived), and AQE may coalesce a bare range exchange
+      // differently per reader stage — both observed at sf0.1
+      // (96.7% of ranks off on the string-keyed layout). One
+      // materialized partitioning = one pid universe. The count is
+      // explicit as well so AQE never coalesces the persisted scan.
+      val ranged = keyed.repartitionByRange(
+          df.sparkSession.sessionState.conf.numShufflePartitions, ks: _*)
         .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // phase 2: per-partition counts → prefix offsets over the O(P)
       // frame (P = shuffle partitions — the accepted bounded-frame
       // single-partition window), broadcast back; the layout key

@@ -103,6 +103,35 @@ class LayoutSpec extends SparkSpec {
     assert(r == Seq(("parity", 4L, 2L, 2L), ("sorted", 4L, 3L, 1L)))
   }
 
+  test("skippingReport: two-phase file model equals the global row_number at 100k string keys") {
+    // regression pin for the r13 sf0.1 failure class: the rank must
+    // be IDENTICAL to a global row_number over (key, tieBreak). The
+    // failure modes it guards — a re-executed range shuffle sampling
+    // different bounds (rdd.id-seeded) and AQE coalescing one reader
+    // of the exchange but not the other — only bite at enough rows
+    // for bounds/coalescing to move, hence 100k md5-string keys.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 100000L).select(col("id"),
+      md5(col("id").cast("string")).as("k"))
+    val got = Layout.skippingReport(df, Seq(("by_hash", Seq(col("k")))),
+      statCol = col("id"), tieBreak = col("id"),
+      rowsPerFile = 500, lo = 0L, hi = 49999L)
+      .as[(String, Long, Long, Long)].collect().head
+    // replay with an exact global window (the test-side oracle)
+    val oracle = df
+      .withColumn("f", floor((row_number().over(
+        Window.orderBy(col("k").asc, col("id").asc)) - 1) / lit(500)))
+      .groupBy(col("f"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .agg(count(lit(1)),
+        sum(when(col("mx") < 0L || col("mn") > 49999L, 1L).otherwise(0L)))
+      .head
+    assert(got._2 == oracle.getLong(0), "n_files must match the global model")
+    assert(got._3 == oracle.getLong(1), "n_skipped must match the global model")
+    assert(got._2 == 200L, "100k rows / 500 per file = 200 files exactly")
+  }
+
   test("hilbertValue: the full known 4x4 curve, and adjacency everywhere") {
     // the canonical order-2 Hilbert walk (U-shape recursion)
     val expected = Map(
