@@ -193,21 +193,31 @@ object Layout {
     require(preds.forall(_._1.matches("[A-Za-z0-9_]+")),
       "predicate names feed a stack() literal: [A-Za-z0-9_]+ only")
     import org.apache.spark.sql.expressions.Window
-    layouts.map { case (name, keys) =>
-      val kcols = (keys :+ tieBreak).zipWithIndex.map {
-        case (c, i) => c.as(s"__k$i")
+    // ONE shared projection carrying every predicate value and every
+    // layout's key columns, persisted once: layout keys can be
+    // expensive (hilbertValue's per-level HOF) and are needed by the
+    // range partitioner's bounds-sampling job AND the shuffle pass of
+    // their layout — without the cache each layout pays its own full
+    // scan + key computation twice (measured 2x on q206), and with a
+    // PER-LAYOUT cache the input is scanned once per layout instead
+    // of once total
+    val vcols = preds.zipWithIndex.map {
+      case ((_, c, _, _), j) => c.cast("long").as(s"__v$j")
+    }
+    val allKeyCols = layouts.zipWithIndex.flatMap { case ((_, keys), li) =>
+      (keys :+ tieBreak).zipWithIndex.map {
+        case (c, i) => c.as(s"__l${li}_k$i")
       }
-      val ks = kcols.indices.map(i => col(s"__k$i").asc)
-      val vcols = preds.zipWithIndex.map {
-        case ((_, c, _, _), j) => c.cast("long").as(s"__v$j")
-      }
-      // persist the keyed projection (a handful of long columns): the
-      // layout key can be expensive (hilbertValue's per-level HOF),
-      // and the range partitioner's bounds-sampling job would
-      // otherwise recompute it over the full input before the shuffle
-      // pass does — measured 2x on q206 without this
-      val keyed = df.select(vcols ++ kcols: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val base = df.select(vcols ++ allKeyCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    layouts.zipWithIndex.map { case ((name, keys), li) =>
+      val kNames = (0 to keys.length).map(i => s"__l${li}_k$i")
+      val ks = kNames.map(col(_).asc)
+      // trim to this layout's columns BEFORE the shuffle so other
+      // layouts' keys never ride this layout's exchange
+      val keyed = base.select(
+        (preds.indices.map(j => col(s"__v$j")) ++ kNames.map(col)): _*)
       // phase 1: the range shuffle that IS the modeled write layout;
       // ranges are contiguous in key order, so partition id order =
       // key order and prefix counts are exact rank offsets. The

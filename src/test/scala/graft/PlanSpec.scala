@@ -703,7 +703,7 @@ class PlanSpec extends SparkSpec {
       // offsets prefix (the accepted bounded-frame shape)
       assert(p.contains("Window [row_number"), s"$q: $p")
       assert(p.contains("hashpartitioning(__pid"), s"$q: $p")
-      assert(p.contains("rangepartitioning(__k0"), s"$q: $p")
+      assert(p.contains("rangepartitioning(__l"), s"$q: $p")
       assert(!p.contains("ntile"), s"$q: $p")
     }
   }
