@@ -211,7 +211,15 @@ object Layout {
     }
     val base = df.select(vcols ++ allKeyCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    layouts.zipWithIndex.map { case ((name, keys), li) =>
+    // the per-layout ranged frames are persisted below (pid-universe
+    // pin); track them so everything cached here is RELEASED before
+    // returning — the report is a tiny (layouts × preds)-row
+    // aggregate, so it is materialized eagerly and rebuilt as a local
+    // DataFrame, letting base/ranged unpersist in the finally block
+    // instead of leaking cached blocks for the session's lifetime
+    val rangedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+    val report = layouts.zipWithIndex.map { case ((name, keys), li) =>
       val kNames = (0 to keys.length).map(i => s"__l${li}_k$i")
       val ks = kNames.map(col(_).asc)
       // trim to this layout's columns BEFORE the shuffle so other
@@ -234,6 +242,7 @@ object Layout {
           df.sparkSession.sessionState.conf.numShufflePartitions, ks: _*)
         .withColumn("__pid", spark_partition_id())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rangedFrames += ranged
       // phase 2: per-partition counts → prefix offsets over the O(P)
       // frame (P = shuffle partitions — the accepted bounded-frame
       // single-partition window), broadcast back; the layout key
@@ -269,6 +278,13 @@ object Layout {
           (col("n_files") - col("n_skipped")).as("n_scanned"),
           col("predicate"))
     }.reduce(_.unionByName(_))
+    val rows = report.collect() // bounded: layouts × preds rows
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), report.schema)
+    } finally {
+      rangedFrames.foreach(_.unpersist(false))
+      base.unpersist(false)
+    }
   }
 
   /** Z-ordered write: range-partition on the z-value (one shuffle

@@ -1183,19 +1183,20 @@ object Mpeg1Video {
   private val AcEob = Int.MinValue
   private def pack(run: Int, level: Int): Int = (run << 16) | (level & 0xffff)
 
-  /** §2.4.4.2/§2.4.4.3 reconstruction tail: saturate the dequantized
-    * coefficient to [-2048, 2047] FIRST, then apply oddification
-    * (mismatch control — even values move one step toward zero). The
-    * order matters at the lower bound: a hostile -250k-magnitude
-    * coefficient saturates to -2048 (even) and oddifies to -2047, as
-    * a spec-conformant decoder reconstructs it.
+  /** §2.4.4.2/§2.4.4.3 reconstruction tail: apply oddification FIRST
+    * (mismatch control — even values move one step toward zero), then
+    * saturate to [-2048, 2047], matching the spec pseudocode order
+    * (`if even: dct_recon -= Sign(dct_recon)` precedes the clamp).
+    * The order matters at the lower bound: a large-magnitude negative
+    * coefficient oddifies (still far below range) and then saturates
+    * to -2048 — an EVEN final value, as reference decoders produce.
     */
-  private def oddify(f0: Int): Int =
+  private[ext] def oddify(f0: Int): Int =
     if (f0 == 0) 0
     else {
-      var f = if (f0 > 2047) 2047 else if (f0 < -2048) -2048 else f0
+      var f = f0
       if ((f & 1) == 0) f = if (f > 0) f - 1 else f + 1
-      f
+      if (f > 2047) 2047 else if (f < -2048) -2048 else f
     }
 
   private def decodeChecked(data: Array[Byte], maxOutBytes: Long)

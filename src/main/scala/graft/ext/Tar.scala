@@ -133,18 +133,24 @@ object Tar {
   /** Gunzip then [[extract]] — the `.tar.gz` corpus wire.
     * `maxOutBytes` caps the extracted CONTENT (same meaning as
     * [[extract]]); the gunzip stage gets headroom sized from the
-    * container's actual per-entry overhead — ≤ 512 header + 511
-    * padding + a possible 1024-byte pax pair per entry, bounded by
-    * `maxEntries`, plus the 1 KiB zero trailer — so an archive whose
-    * content fits `maxOutBytes` and whose entry count fits
-    * `maxEntries` is never rejected at the decompression stage (a
-    * many-tiny-docs corpus is MOSTLY overhead; the old content-
-    * proportional headroom rejected exactly that shape).
+    * container's per-entry overhead — ≤ 512 header + 511 padding per
+    * member, plus a pax pair (512-byte `x` header + body) sized for
+    * names up to PATH_MAX (4096 bytes → body ≤ 4608 after padding) —
+    * bounded by `maxEntries`, plus the 1 KiB zero trailer. An archive
+    * whose content fits `maxOutBytes`, whose entry count fits
+    * `maxEntries`, and whose member names are ≤ 4096 bytes is never
+    * rejected at the decompression stage (a many-tiny-docs corpus is
+    * MOSTLY overhead; a content-proportional headroom rejects exactly
+    * that shape). Pathological pax bodies beyond that — up to the
+    * 1 MiB-per-record metadata guard — may still trip the gunzip cap
+    * first; they fail safe (None), not unsafely.
     */
   def extractGz(payload: Array[Byte], maxOutBytes: Long = 1L << 26,
       maxEntries: Int = DefaultMaxEntries): Option[Seq[Entry]] = {
+    // per entry: 512 member header + 511 padding + 512 pax header +
+    // 4608 pax body (PATH_MAX name, "<len> path=<name>\n", padded)
     val containerCap =
-      ((maxOutBytes + 2048L * maxEntries + 2048L) min Int.MaxValue.toLong).toInt
+      ((maxOutBytes + 6144L * maxEntries + 2048L) min Int.MaxValue.toLong).toInt
     Gzip.decompress(payload, maxOut = containerCap)
       .flatMap(extract(_, maxOutBytes, maxEntries))
   }

@@ -179,23 +179,37 @@ object Zip {
     if (eocd < 0) fail()
     // zip64: a locator (APPNOTE §4.3.15) immediately precedes the
     // EOCD; when present the EOCD64 record's counts/offsets are
-    // authoritative and the EOCD's own fields are 0xFFFF sentinels
+    // authoritative and the EOCD's own fields are 0xFFFF sentinels.
+    // The 4 locator signature bytes alone are NOT proof of zip64 — a
+    // classic archive whose CD comment happens to end with 0x07064b50
+    // would collide — so the zip64 path is only COMMITTED to when the
+    // locator validates structurally or the EOCD carries sentinel
+    // fields (a sentinel with a broken locator is genuinely corrupt);
+    // otherwise fall back to the classic parse.
+    def classicTail(): (Long, Long, Long, Int) = {
+      val n0 = u16(eocd + 10)
+      if (n0 != u16(eocd + 8)) fail() // single-disk archives only
+      (n0.toLong, u32(eocd + 12), u32(eocd + 16), eocd)
+    }
+    def zip64Tail(): (Long, Long, Long, Int) = {
+      if (u32(eocd - 16) != 0L || u32(eocd - 4) != 1L) fail() // single disk
+      val e64 = u64(eocd - 12)
+      if (e64 + 56 > (eocd - 20).toLong || u32(e64.toInt) != 0x06064b50L) fail()
+      val p = e64.toInt
+      if (u32(p + 16) != 0L || u32(p + 20) != 0L) fail() // single disk
+      val total = u64(p + 32)
+      if (u64(p + 24) != total) fail()
+      if (total > (1L << 24)) fail() // directory-bomb guard
+      (total, u64(p + 40), u64(p + 48), p)
+    }
+    val eocdHasSentinel =
+      u16(eocd + 8) == 0xffff || u16(eocd + 10) == 0xffff ||
+        u32(eocd + 12) == 0xffffffffL || u32(eocd + 16) == 0xffffffffL
     val (n, cdSize, cdOffset, cdEnd) =
       if (eocd >= 20 && u32(eocd - 20) == 0x07064b50L) {
-        if (u32(eocd - 16) != 0L || u32(eocd - 4) != 1L) fail() // single disk
-        val e64 = u64(eocd - 12)
-        if (e64 + 56 > (eocd - 20).toLong || u32(e64.toInt) != 0x06064b50L) fail()
-        val p = e64.toInt
-        if (u32(p + 16) != 0L || u32(p + 20) != 0L) fail() // single disk
-        val total = u64(p + 32)
-        if (u64(p + 24) != total) fail()
-        if (total > (1L << 24)) fail() // directory-bomb guard
-        (total, u64(p + 40), u64(p + 48), p)
-      } else {
-        val n0 = u16(eocd + 10)
-        if (n0 != u16(eocd + 8)) fail() // single-disk archives only
-        (n0.toLong, u32(eocd + 12), u32(eocd + 16), eocd)
-      }
+        if (eocdHasSentinel) zip64Tail()
+        else try zip64Tail() catch { case _: Malformed => classicTail() }
+      } else classicTail()
     if (cdOffset + cdSize != cdEnd.toLong) fail()
     val out = Seq.newBuilder[Entry]
     var outBytes = 0L
@@ -239,7 +253,11 @@ object Zip {
       if (name.isEmpty) fail()
       // local header: sizes there may be zeroed (bit-3 writers) — the
       // central values above are authoritative; only the local name/
-      // extra lengths matter to find the data start
+      // extra lengths matter to find the data start. Guard the Long
+      // offset BEFORE the toInt: a hostile zip64 offset of exactly
+      // 2^32 would otherwise truncate to 0 and alias member 0's
+      // local header instead of failing structurally.
+      if (lho + 30 > data.length.toLong) fail()
       val h = lho.toInt
       if (u32(h) != 0x04034b50L) fail()
       val dataStart = h + 30 + u16(h + 26) + u16(h + 28)

@@ -103,6 +103,20 @@ class LayoutSpec extends SparkSpec {
     assert(r == Seq(("parity", 4L, 2L, 2L), ("sorted", 4L, 3L, 1L)))
   }
 
+  test("skippingReportMulti releases every frame it persists") {
+    import org.apache.spark.sql.functions._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = (1L to 2000L).toDF("v")
+    val r = Layout.skippingReportMulti(df,
+      Seq(("sorted", Seq(col("v"))), ("mod", Seq(pmod(col("v"), lit(7)), col("v")))),
+      Seq(("low", col("v"), 1L, 100L), ("high", col("v"), 1900L, 2000L)),
+      tieBreak = col("v"), rowsPerFile = 100)
+    assert(r.count() == 4L) // layouts x predicates, already materialized
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"base/ranged frames must be unpersisted before returning: $leaked")
+  }
+
   test("skippingReport: two-phase file model equals the global row_number at 100k string keys") {
     // regression pin for the r13 sf0.1 failure class: the rank must
     // be IDENTICAL to a global row_number over (key, tieBreak). The

@@ -558,4 +558,18 @@ class Mpeg1VideoSpec extends AnyFunSuite {
     assert(Mpeg1Video.decode(gapped).isEmpty,
       "a picture whose slices leave macroblock gaps must decode to None")
   }
+  test("oddification precedes saturation (ISO 11172-2 \u00a72.4.4.2 order)") {
+    // spec pseudocode: `if even: dct_recon -= Sign(dct_recon)` runs
+    // BEFORE the [-2048, 2047] clamp, so a saturating negative
+    // coefficient lands on -2048 \u2014 an EVEN final value
+    assert(Mpeg1Video.oddify(-3000) == -2048)
+    assert(Mpeg1Video.oddify(-250000) == -2048)
+    assert(Mpeg1Video.oddify(4096) == 2047)
+    // in-range values still oddify toward zero
+    assert(Mpeg1Video.oddify(-2048) == -2047)
+    assert(Mpeg1Video.oddify(2046) == 2045)
+    assert(Mpeg1Video.oddify(-6) == -5)
+    assert(Mpeg1Video.oddify(7) == 7)
+    assert(Mpeg1Video.oddify(0) == 0)
+  }
 }

@@ -197,4 +197,17 @@ class TarSpec extends AnyFunSuite {
     // reader must still reject via the pax parser
     assert(Tar.extract(bad).isEmpty)
   }
+  test("a PATH_MAX-long pax name fits the gz headroom under tight caps") {
+    // a pax body for a ~4000-byte name spans 8 content blocks; the
+    // per-entry gz allowance must cover it so an archive within both
+    // maxOutBytes and maxEntries is not rejected at decompression
+    val name = "deep/" + ("n" * 3995)
+    val payload = "tiny".getBytes("UTF-8")
+    val gz = Tar.archiveGz(Seq(name -> payload))
+    // 2 headers (pax 'x' + the member) and 16 content bytes of room
+    val got = Tar.extractGz(gz, maxOutBytes = 16, maxEntries = 2)
+      .getOrElse(fail("long-name member must extract under tight caps"))
+    assert(got.map(_.name) == Seq(name))
+    assert(got.head.data.sameElements(payload))
+  }
 }

@@ -221,4 +221,68 @@ class ZipSpec extends AnyFunSuite {
     val got = Zip.extract(bad2).getOrElse(fail("archive must survive"))
     assert(got.map(_.name) == Seq("a", "c"))
   }
+  test("zip64 local-header offset beyond the archive fails, never aliases") {
+    // a hostile offset of exactly 2^32 used to truncate via toInt to
+    // 0 and alias member 0's local header; it must reject structurally
+    val good = Zip.archiveZip64(Seq("m" -> texty(800, 31)))
+    // locate the CD entry (PK\1\2) and its 0x0001 extra field; the
+    // offset is the third u64 (bytes 16..23 of the extra data)
+    var cd = -1; var i = 0
+    while (cd < 0 && i < good.length - 4) {
+      if ((good(i) & 0xff) == 0x50 && good(i + 1) == 0x4b &&
+          good(i + 2) == 1 && good(i + 3) == 2) cd = i
+      i += 1
+    }
+    assert(cd > 0)
+    val nameLen = (good(cd + 28) & 0xff) | ((good(cd + 29) & 0xff) << 8)
+    val off = cd + 46 + nameLen + 4 + 16 // extra header(4) + usize + csize
+    val bad = good.clone()
+    // little-endian 2^32 = 0x0000000100000000
+    val v = Array[Byte](0, 0, 0, 0, 1, 0, 0, 0)
+    System.arraycopy(v, 0, bad, off, 8)
+    assert(Zip.extract(bad).isEmpty,
+      "an impossible zip64 offset must reject the archive")
+  }
+
+  test("classic archive whose last CD comment ends with the locator signature still parses") {
+    // the 4 locator bytes at eocd-20 alone are not proof of zip64: a
+    // file comment on the last central-directory entry can collide
+    val data = texty(700, 32)
+    val good = Zip.archive(Seq("m.txt" -> data))
+    // find the (single) CD entry and the EOCD
+    var cd = -1; var eocd = -1; var i = 0
+    while (i < good.length - 4) {
+      if ((good(i) & 0xff) == 0x50 && good(i + 1) == 0x4b) {
+        if (good(i + 2) == 1 && good(i + 3) == 2) cd = i
+        if (good(i + 2) == 5 && good(i + 3) == 6) eocd = i
+      }
+      i += 1
+    }
+    assert(cd > 0 && eocd > cd)
+    // craft a 20-byte file comment whose first 4 bytes are the zip64
+    // locator signature (so it lands exactly at eocd-20 of the new
+    // archive); remaining 16 bytes make every zip64 probe fail
+    val comment = new Array[Byte](20)
+    comment(0) = 0x50; comment(1) = 0x4b; comment(2) = 6; comment(3) = 7
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, eocd) // everything up to (excluding) EOCD
+    out.write(comment)
+    out.write(good, eocd, good.length - eocd)
+    val patched = out.toByteArray
+    // CD entry's comment-length field (cd+32) = 20
+    patched(cd + 32) = 20
+    // EOCD cdSize (eocd_new + 12, u32) += 20
+    val eocdNew = eocd + 20
+    val cdSizeOff = eocdNew + 12
+    var cdSize = 0L
+    var k = 0
+    while (k < 4) { cdSize |= (patched(cdSizeOff + k) & 0xffL) << (8 * k); k += 1 }
+    cdSize += 20
+    k = 0
+    while (k < 4) { patched(cdSizeOff + k) = ((cdSize >> (8 * k)) & 0xff).toByte; k += 1 }
+    val got = Zip.extract(patched)
+      .getOrElse(fail("comment collision must fall back to the classic parse"))
+    assert(got.map(_.name) == Seq("m.txt"))
+    assert(got.head.data.sameElements(data))
+  }
 }
