@@ -108,11 +108,21 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => () }
       }
 
+    // per-query 1-minute loadavg AT THE KEPT MEASUREMENT's start, so
+    // anomaly adjudication can tell a host burst from a plan change
+    // without a manual A/B; min-of-two retries overwrite the entry
+    // only when the retry becomes the recorded time
+    val qTime = scala.collection.mutable.Map.empty[String, Double]
+    val qLoad = scala.collection.mutable.Map.empty[String, Double]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val la = loadavg1m()
       val t0 = System.nanoTime()
       try exec(fn, sfDir)
       catch { case scala.util.control.NonFatal(_) => () }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      if (qTime.get(name).forall(elapsed < _)) {
+        qTime(name) = elapsed; qLoad(name) = la
+      }
       // drop internal persists a query leaked so the next query's
       // timing never pays (or benefits from) a predecessor's cache —
       // OUTSIDE the timed window, so cache hygiene is attributed to
@@ -194,7 +204,12 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminated = loadStart > loadThreshold ||
       (queries.nonEmpty && postAnomalies.size * 20 > queries.size)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"raw_total_s":$rawTotal,"retried":$retriedJson,"anomaly_retried":$anomalyRetriedJson,"anomalies_after_retry":$anomalyJson,"n_streaming_queries":${SparkEntry.streamingQueries.size},"cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contaminated":$contaminated}"""
+    val qLoadJson = results
+      .map { case (k, _) =>
+        s"\"" + k + "\":" + (math.round(qLoad.getOrElse(k, -1.0) * 100) / 100.0)
+      }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"raw_total_s":$rawTotal,"retried":$retriedJson,"anomaly_retried":$anomalyRetriedJson,"anomalies_after_retry":$anomalyJson,"n_streaming_queries":${SparkEntry.streamingQueries.size},"cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"query_loadavg":$qLoadJson,"contaminated":$contaminated}"""
     println(line)
     // BENCH_r*.json captures only the stdout tail, which loses the
     // per-query times for over half the suite — persist the complete

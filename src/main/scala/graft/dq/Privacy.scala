@@ -63,26 +63,32 @@ object Privacy {
   }
 
   /** Record suppression for l-diversity: drop every row whose QI
-    * class has fewer than l distinct sensitive values. Windows can't
-    * express `count(DISTINCT) OVER`, so the distinct count rides the
-    * SAME keyed sort as a dense_rank max (nulls sort first and all
-    * take rank 1, so subtracting the any-null indicator matches the
-    * audit's null-excluding count) — still one keyed shuffle, no join
-    * back, every input column kept.
+    * class has fewer than l distinct sensitive values. The distinct
+    * count is a partial-aggregated `count(DISTINCT)` on the QI key,
+    * joined back null-safely — NOT a per-class dense_rank window: the
+    * window form sorts each class in one task, so one huge class (or
+    * a continuous sensitive column) becomes a single-task sort at
+    * scale, while the aggregate's partial phase on (QI, value)
+    * distributes it and the join-back is a hash join AQE can split.
     */
   def enforceLDiversity(
       df: DataFrame, qi: Seq[Column], sensitive: Column, l: Long): DataFrame = {
     require(l >= 2, s"l must be >= 2, got $l")
-    require(!df.columns.exists(Set("__dr", "__nsens", "__has_null")),
-      "input must not already contain __dr/__nsens/__has_null columns")
-    val wOrd = Window.partitionBy(qi: _*).orderBy(sensitive.asc)
-    val wAll = Window.partitionBy(qi: _*)
-    df.withColumn("__dr", dense_rank().over(wOrd))
-      .withColumn("__nsens",
-        max(col("__dr")).over(wAll) -
-          max(when(sensitive.isNull, 1).otherwise(0)).over(wAll))
+    require(!df.columns.exists(c => c.startsWith("__qi") || c == "__nsens"),
+      "input must not already contain __qi*/__nsens columns")
+    val qiNames = qi.indices.map(i => s"__qi$i")
+    val tagged = df.select(
+      col("*") +: qi.zip(qiNames).map { case (c, n) => c.as(n) }: _*)
+    val counts = tagged
+      .groupBy(qiNames.map(col): _*)
+      .agg(countDistinct(sensitive).as("__nsens"))
+      .select(qiNames.map(n => col(n).as(s"__c$n")) :+ col("__nsens"): _*)
+    // null-safe equality so null-QI classes survive the join exactly
+    // as they formed groups in the aggregate
+    val cond = qiNames.map(n => col(n) <=> col(s"__c$n")).reduce(_ && _)
+    tagged.join(counts, cond)
       .filter(col("__nsens") >= l)
-      .drop("__dr", "__nsens")
+      .select(df.columns.map(col): _*)
   }
 
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007): the
@@ -107,12 +113,14 @@ object Privacy {
     * Σterms·10⁶ > t_ppm_bound·n_c·N·(m−1), so the verdict can never
     * be off by the floor.
     *
-    * Shape: one groupBy for the global value histogram (O(m) rows,
-    * cumulated over its own tiny frame and broadcast), one keyed
-    * shuffle for the per-(class, value) counts, a broadcast spine
-    * join so classes MISSING a value still contribute that value's
-    * flat-cumulative term, and per-class windows whose frames are
-    * O(m). Degenerate m = 1 (one global value) defines t = 0.
+    * Shape: one groupBy for the global value histogram, cumulated by
+    * a two-phase range-shuffle rank (per-range cumsums + O(P) prefix
+    * offsets — no single-partition sort even when the sensitive
+    * column is continuous and m ~ n), one keyed shuffle for the
+    * per-(class, value) counts, a broadcast spine join so classes
+    * MISSING a value still contribute that value's flat-cumulative
+    * term, and per-class windows whose frames are O(m). Degenerate
+    * m = 1 (one global value) defines t = 0.
     */
   def tClosenessClasses(
       df: DataFrame, qi: Seq[Column], sensitive: Column,
@@ -121,15 +129,40 @@ object Privacy {
     val qiNames = qi.map(c => df.select(c).columns.head)
     val base = df.select((qi :+ sensitive.as("__v")): _*)
       .filter(col("__v").isNotNull)
-    val wg = Window.orderBy(col("__v").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.rowsBetween(
+    // Global cumulative histogram WITHOUT a single-partition sort over
+    // the m distinct values (a continuous sensitive column makes m ~ n):
+    // range-shuffle the distinct-value histogram once, reduce each
+    // range to (max value, count sum, row count), prefix those over
+    // the O(P) frame (the accepted bounded single-partition window),
+    // then re-derive each value's range in the MAIN plan by comparing
+    // against the range-bound VALUES — facts about values, not
+    // partition ids, so nothing needs the q171 persist pin and the
+    // result is cut-independent. The remaining cumulative window is
+    // per-range. The histogram subtree appears twice (bounds branch +
+    // main branch); both are the same deterministic aggregate.
+    val hist = base.groupBy(col("__v")).agg(count(lit(1)).as("__gc"))
+    val nP = df.sparkSession.sessionState.conf.numShufflePartitions
+    val wP = Window.orderBy(col("__pid").asc)
+    val wPAll = wP.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val global = base.groupBy(col("__v"))
-      .agg(count(lit(1)).as("__gc"))
-      .withColumn("__gcum", sum(col("__gc")).over(wg))
-      .withColumn("__n_total", sum(col("__gc")).over(wAll))
-      .withColumn("__m", count(lit(1)).over(wAll))
+    val bounds = hist.repartitionByRange(nP, col("__v").asc)
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("__pid"))
+      .agg(max(col("__v")).as("__hi"), sum(col("__gc")).as("__pc"),
+        count(lit(1)).as("__pm"))
+      .withColumn("__lo", lag(col("__hi"), 1).over(wP))
+      .withColumn("__goff", coalesce(sum(col("__pc")).over(
+        wP.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n_total", sum(col("__pc")).over(wPAll))
+      .withColumn("__m", sum(col("__pm")).over(wPAll))
+      .select(col("__pid").as("__bkt"), col("__lo"), col("__hi"),
+        col("__goff"), col("__n_total"), col("__m"))
+    val wB = Window.partitionBy(col("__bkt")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val global = hist
+      .join(broadcast(bounds), col("__v") <= col("__hi") &&
+        (col("__lo").isNull || col("__v") > col("__lo")))
+      .withColumn("__gcum", col("__goff") + sum(col("__gc")).over(wB))
       .select(col("__v"), col("__gcum"), col("__n_total"), col("__m"))
     val cv = base.groupBy((qiNames.map(col) :+ col("__v")): _*)
       .agg(count(lit(1)).as("__cc"))

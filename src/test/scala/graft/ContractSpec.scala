@@ -11,6 +11,20 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
   }
 
+  test("docs/COVERAGE.md tracks every query, and cites no stale ones") {
+    // the coverage map is hand-maintained; this guard keeps it from
+    // silently rotting. Match grain: the qNN short prefix (the map
+    // cites "q23b", the registry key is "q23b_ivf_recall").
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("docs/COVERAGE.md")), "UTF-8")
+    val cited = raw"\bq\d+[a-z]*\b".r.findAllIn(cov).toSet
+    val shorts = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
+    val unmapped = shorts -- cited
+    assert(unmapped.isEmpty, s"queries missing a COVERAGE.md row: $unmapped")
+    val stale = cited -- shorts
+    assert(stale.isEmpty, s"COVERAGE.md cites queries that no longer exist: $stale")
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -695,6 +695,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q193: t-closeness global cumsum is range-decomposed, no m-sized single-partition window") {
+    val p = plan("q193_t_closeness")
+    // the distinct-value histogram is range-shuffled and cumulated
+    // per range (hashpartitioning(__bkt)); the only SinglePartition
+    // window left is the O(P) bounds-prefix frame
+    assert(p.contains("rangepartitioning(__v"), p)
+    assert(p.contains("hashpartitioning(__bkt"), p)
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"expected at most the O(P) bounds frame, got $singles:\n$p")
+  }
+
   test("q206/q171: layout file model ranks via range shuffle + pid windows, no global row_number") {
     Seq("q206_hilbert_layout", "q171_skipping_report").foreach { q =>
       val p = plan(q)

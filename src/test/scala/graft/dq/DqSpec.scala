@@ -228,6 +228,69 @@ class DqSpec extends SparkSpec {
     assert(r4.forall(x => x._3 == 1L && x._4 == 0L && !x._5))
   }
 
+  test("tCloseness two-phase cumulative histogram equals a global-window replay at 100k distinct values") {
+    // regression for the continuous-sensitive scale edge: m ~ n must
+    // not force a single-partition sort, and the two-phase range
+    // decomposition must be EXACTLY the naive global cumsum
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 100000L).select(
+      (col("id") % 7).cast("string").as("cls"),
+      // 100k distinct doubles, deliberately not in id order
+      (col("id") * 2654435761L % 1000003L).cast("double").as("v"))
+    val got = Privacy.tClosenessClasses(df, Seq(col("cls")), col("v"), 500000L)
+      .orderBy("cls")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    // naive replay with the global-window form (test-side oracle)
+    val base = df.select(col("cls"), col("v").as("__v"))
+    val wg = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val global = base.groupBy(col("__v")).agg(count(lit(1)).as("__gc"))
+      .withColumn("__gcum", sum(col("__gc")).over(wg))
+      .withColumn("__n_total", sum(col("__gc")).over(wAll))
+      .withColumn("__m", count(lit(1)).over(wAll))
+    val cv = base.groupBy(col("cls"), col("__v")).agg(count(lit(1)).as("__cc"))
+    val classes = cv.groupBy(col("cls")).agg(sum(col("__cc")).as("class_size"))
+    val wc = Window.partitionBy(col("cls")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec = "DECIMAL(38,0)"
+    val want = classes.crossJoin(broadcast(
+        global.select(col("__v"), col("__gcum"), col("__n_total"), col("__m"))))
+      .join(cv, Seq("cls", "__v"), "left")
+      .withColumn("__cc", coalesce(col("__cc"), lit(0L)))
+      .withColumn("__ccum", sum(col("__cc")).over(wc))
+      .withColumn("__term", expr(
+        s"abs(CAST(__ccum AS $dec) * __n_total - CAST(__gcum AS $dec) * class_size)"))
+      .groupBy(col("cls"), col("class_size"), col("__n_total"), col("__m"))
+      .agg(sum(col("__term")).as("__sum_term"))
+      .withColumn("__den", expr(
+        s"CAST(class_size AS $dec) * __n_total * greatest(__m - 1, 1)"))
+      .select(col("cls"), col("class_size"), col("__m").as("n_values"),
+        expr("CAST(((__sum_term * 1000000) - (__sum_term * 1000000) % __den) / __den AS BIGINT)").as("t_ppm"),
+        expr(s"__sum_term * 1000000 > CAST(500000 AS DECIMAL(38,0)) * __den").as("at_risk"))
+      .orderBy("cls")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._3).distinct == Seq(100000L), "m must be the distinct-value count")
+  }
+
+  test("enforceLDiversity survives a single huge class with 100k distinct sensitive values") {
+    val df = spark.range(0, 100000L).select(
+      lit("onlyclass").as("cls"), col("id").cast("string").as("user"))
+    assert(Privacy.enforceLDiversity(df, Seq(col("cls")), col("user"), 100000L)
+      .count() == 100000L)
+    assert(Privacy.enforceLDiversity(df, Seq(col("cls")), col("user"), 100001L)
+      .count() == 0L)
+    // null QI class must survive the null-safe join-back
+    val withNull = Seq((null: String, "u1"), (null: String, "u2"),
+      ("a", "u1")).toDF("cls", "user")
+    val kept = Privacy.enforceLDiversity(withNull, Seq(col("cls")), col("user"), 2L)
+      .collect()
+    assert(kept.length == 2 && kept.forall(_.isNullAt(0)),
+      "the 2-distinct null-QI class must be kept, the 1-distinct class dropped")
+  }
+
   test("benfordReport: string-derived digits, exact shares, zero/null excluded") {
     val df = Seq[java.lang.Long](1L, 10L, 11L, 2L, 25L, 9L, 0L, null, -300L)
       .toDF("v")
