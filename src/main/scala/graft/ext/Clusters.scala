@@ -18,12 +18,13 @@ import org.apache.spark.storage.StorageLevel
   * and fail loudly rather than return a partial clustering.
   *
   * Scale posture: each round is one keyed shuffle (edges ⋈ labels →
-  * min-agg) over the EDGE list — no quadratic surface, no driver-side
-  * graph. Lineage is truncated every round with an eager
-  * `localCheckpoint` (a production cluster job would use a reliable
-  * `checkpoint` dir instead); the convergence probe is a `limit(1)`
-  * existence scan over the checkpointed round output, not a full
-  * count.
+  * min-agg) over the EDGE list — no quadratic surface, no unbounded
+  * driver-side graph. Rounds materialize in PAIRS (one eager
+  * `localCheckpoint` per two propagation rounds — a production
+  * cluster job would use a reliable `checkpoint` dir instead), and
+  * convergence is one `limit(1)` edge-agreement probe per
+  * materialization, so the dominant clique-shaped inputs pay a
+  * single checkpoint + probe.
   */
 object Clusters {
 
@@ -47,25 +48,36 @@ object Clusters {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      def propagate(l: DataFrame): DataFrame = {
+        val nbrMin = und
+          .join(l.select(col("id").as("src"), col("comp").as("src_comp")), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("src_comp")).as("nbr_comp"))
+        l.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      }
+      // TWO propagation rounds per materialization, convergence read
+      // off ONE edge-agreement probe (labels are per-component
+      // constant iff every edge's endpoints agree — and the constant
+      // is the min id, since labels only ever carry component-member
+      // ids and the min member's label is bounded by its own id).
+      // Near-dup clusters are clique-shaped (diameter 1-2), so the
+      // common case pays exactly one checkpoint + one probe action —
+      // the per-round checkpoint/probe pair was the dominant
+      // scheduler cost of every dedup stream trigger (q139: 86 of
+      // ~200 per-run jobs sat in this loop).
       var labels = und.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp"))
-        .localCheckpoint(true)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
-        val nbrMin = und
-          .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("src_comp")).as("nbr_comp"))
-        // checkpoint the round ONCE, then both the convergence probe and
-        // the next round's labels are cheap scans of the materialized rows
-        val round = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), col("comp"),
-            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("new_comp"))
-          .localCheckpoint(true)
-        converged = round.filter(col("new_comp") < col("comp")).limit(1).isEmpty
-        labels = round.select(col("id"), col("new_comp").as("comp"))
-        iter += 1
+        labels = propagate(propagate(labels)).localCheckpoint(true)
+        iter += 2
+        converged = und
+          .join(labels.select(col("id").as("src"), col("comp").as("cs")), "src")
+          .join(labels.select(col("id").as("dst"), col("comp").as("cd")), "dst")
+          .filter(col("cs") =!= col("cd")).limit(1).isEmpty
       }
       if (!converged)
         throw new IllegalStateException(
@@ -183,5 +195,52 @@ object Clusters {
       .join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /** The ids a min-id-per-cluster dedup DROPS (every cluster member
+    * except its min) — the only thing a keep-first pass consumes.
+    * Small pair sets (the overwhelmingly common shape: verified
+    * near-dup pairs are sparse) close on the DRIVER with a union-find
+    * under `driverPairCap`; above the cap the distributed
+    * [[dupClusters]] closure takes over, so the fast path never
+    * bounds correctness. One Spark action versus the propagation
+    * loop's per-round checkpoint/probe cascade — the in-batch
+    * clustering of every streaming dedup trigger was ~40 scheduler-
+    * bound jobs of which the actual union-find work was microseconds.
+    */
+  def dupDropIds(pairs: DataFrame, srcCol: String, dstCol: String,
+      driverPairCap: Int = 100000): DataFrame = {
+    val spark = pairs.sparkSession
+    val head = pairs
+      .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .limit(driverPairCap + 1).collect()
+    if (head.length > driverPairCap)
+      dupClusters(pairs, srcCol, dstCol)
+        .filter(!col("is_canonical")).select(col("doc_id"))
+    else {
+      // union-find with min-id roots: attaching the larger root under
+      // the smaller keeps every root the min of its cluster, so the
+      // drop set is exactly {v | find(v) != v}
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      head.foreach { row =>
+        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val verts = head.iterator
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
+      val drops = verts.iterator.filter(v => find(v) != v).toSeq.sorted
+      spark.createDataset(drops)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
+    }
   }
 }

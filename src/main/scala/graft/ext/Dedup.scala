@@ -437,6 +437,34 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
 
+  /** Within-frame near-dup pairs over a PRECOMPUTED index frame
+    * ([[minhashIndexRows]] schema): the [[minhashNearDupPairs]]
+    * banded-candidates → exact-Jaccard-verify composition, minus the
+    * tokenize/shingle/minhash stages and their internal persists —
+    * for callers (the streaming dedup's in-batch pass) that already
+    * hold fingerprints for every row. Because every candidate is
+    * verified by exact shingle-set Jaccard, the result equals the
+    * text form's whenever the banding finds every true pair; MORE
+    * bands/hashes can only raise candidate recall, never change a
+    * verified pair.
+    */
+  def minhashNearDupPairsFromIndex(
+      index: DataFrame, // (id, sh, sig)
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val bk = minhashBandRows(index, bands, rowsPerBand)
+    bk.select(col("band"), col("bucket"), col("corpus_id").as("id_a"))
+      .join(bk.select(col("band"), col("bucket"), col("corpus_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(index.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(index.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard_sim", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+  }
+
   /** Verify half of [[minhashNearDupAgainstBandRows]]: exact
     * shingle-set Jaccard over the candidate pairs. `corpusDocs` may
     * be any superset of the candidates' corpus rows — pruned scans

@@ -1095,6 +1095,13 @@ object Jobs {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (lastV < batchId) {
+          // phase tags: every action this body drives carries a
+          // neardup:<phase> job description, so a job-level profile
+          // (graft.tools.JobProfile) attributes the per-trigger cost
+          def phase[A](name: String)(f: => A): A = {
+            spark.sparkContext.setJobDescription(s"neardup:$name")
+            try f finally spark.sparkContext.setJobDescription(null)
+          }
           // the micro-batch executes in a CLONED session whose function
           // registry may predate the kernels' lazy registration —
           // register on the batch's own session, not SparkSession.active
@@ -1127,11 +1134,11 @@ object Jobs {
             // row groups instead of every fingerprint ever admitted.
             // v < batchId keeps a crash-replayed batch from matching
             // its own orphaned fingerprints (marker written last).
-            val touched = graft.ext.Dedup
+            val touched = phase("touched-bp")(graft.ext.Dedup
               .minhashBandRows(batchIdx, bands, rowsPerBand)
               .select((col("band") * NearDupBandPrefixVals +
                 nearDupBucketPrefix(col("bucket"))).cast("int").as("bp"))
-              .distinct().collect().map(_.getInt(0)).toSeq
+              .distinct().collect().map(_.getInt(0)).toSeq)
             val stored = nearDupStoredBandScan(spark, bandsRoot, touched, batchId)
             // two-phase verify: materialize the (small) candidate set
             // first, then prune the stored DOC scan to the candidates'
@@ -1141,26 +1148,44 @@ object Jobs {
             val cand = graft.ext.Dedup.minhashCandidatesAgainstBandRows(
                 stored, batchIdx, bands, rowsPerBand)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            val touchedIp = cand
+            val touchedIp = phase("candidates")(cand
               .select(nearDupDocPrefix(col("corpus_id")).as("ip"))
-              .distinct().collect().map(_.getInt(0)).toSeq
+              .distinct().collect().map(_.getInt(0)).toSeq)
             val docs = nearDupStoredDocScan(spark, docsRoot, touchedIp, batchId)
-            val verified = graft.ext.Dedup.minhashVerifyCandidates(
-              cand, docs, batchIdx, threshold = 0.5)
-              .localCheckpoint(eager = true) // realize before cand unpersists
+            val verified = phase("verify")(
+              graft.ext.Dedup.minhashVerifyCandidates(
+                cand, docs, batchIdx, threshold = 0.5)
+                .localCheckpoint(eager = true)) // realize before cand unpersists
             cand.unpersist()
             verified
           }
           val s0 = batch.join(
             matches.select(col("batch_id").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
-          val clusters = graft.ext.Clusters.dupClusters(
-            graft.ext.Dedup.minhashNearDupPairs(s0, "doc_id", "text",
-              shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5),
-            "id_a", "id_b")
-          val survivors = s0.join(
-            clusters.filter(!col("is_canonical")).select(col("doc_id")),
-            Seq("doc_id"), "left_anti")
+          // in-batch pairs ride the ALREADY-persisted batch fingerprints
+          // (semi-joined down to the cross-batch survivors) instead of
+          // re-tokenizing/re-shingling/re-minhashing the batch text —
+          // the 32-hash/16-band scheme has strictly higher candidate
+          // recall than the old standalone 16/8 pass and every pair is
+          // exact-Jaccard verified, so the pair set is unchanged
+          val s0Idx = batchIdx.join(
+            s0.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+          // min-id-per-cluster closure via the bounded driver
+          // union-find (distributed dupClusters above the pair cap) —
+          // verified pair sets are sparse, and the propagation loop's
+          // checkpoint/probe cascade was the trigger's dominant
+          // scheduler cost
+          val dropIds = phase("in-batch-clusters")(
+            graft.ext.Clusters.dupDropIds(
+              graft.ext.Dedup.minhashNearDupPairsFromIndex(
+                s0Idx, bands, rowsPerBand, threshold = 0.5),
+              "id_a", "id_b"))
+          // materialized once: three publishes consume survivors, and
+          // without the checkpoint each re-executes the batch-side
+          // anti-join plan (s0 + drop set) as its own multi-stage job
+          val survivors = phase("survivors")(
+            s0.join(dropIds, Seq("doc_id"), "left_anti")
+              .localCheckpoint(eager = true))
           // publish the survivors' fingerprints FIRST (docs + band
           // posting rows — both derived from the persisted batchIdx by
           // a semi-join, so survivor text is fingerprinted exactly
@@ -1173,22 +1198,23 @@ object Jobs {
           // the re-run from seeing its own orphaned rows
           val survivorIdx = batchIdx.join(
             survivors.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-          survivorIdx
+          phase("publish-docs")(survivorIdx
             .withColumn("ip", nearDupDocPrefix(col("id")))
             .sortWithinPartitions(col("ip"))
-            .write.mode("overwrite").parquet(s"$docsRoot/v=$batchId")
-          graft.ext.Dedup.minhashBandRows(survivorIdx, bands, rowsPerBand)
-            .withColumn("bp", (col("band") * NearDupBandPrefixVals +
-              nearDupBucketPrefix(col("bucket"))).cast("int"))
-            .sortWithinPartitions(col("bp"))
-            .write.mode("overwrite").parquet(s"$bandsRoot/v=$batchId")
+            .write.mode("overwrite").parquet(s"$docsRoot/v=$batchId"))
+          phase("publish-bands")(
+            graft.ext.Dedup.minhashBandRows(survivorIdx, bands, rowsPerBand)
+              .withColumn("bp", (col("band") * NearDupBandPrefixVals +
+                nearDupBucketPrefix(col("bucket"))).cast("int"))
+              .sortWithinPartitions(col("bp"))
+              .write.mode("overwrite").parquet(s"$bandsRoot/v=$batchId"))
           // APPEND-ONLY publish, marker LAST: each batch lands only its
           // own survivors under v=<batchId> (idempotent overwrite of
           // its own partition) — the per-batch write is O(new
           // survivors), never an O(corpus) snapshot rewrite; readers
           // union the partitions
-          survivors
-            .write.mode("overwrite").parquet(s"$keptRoot/v=$batchId")
+          phase("publish-kept")(survivors
+            .write.mode("overwrite").parquet(s"$keptRoot/v=$batchId"))
           batchIdx.unpersist()
           lastV = batchId
           // periodic index maintenance INSIDE the serialized foreachBatch
@@ -1196,7 +1222,7 @@ object Jobs {
           // compacted generation only ever folds published versions —
           // results are identical with or without it (StreamSpec pin)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            compactNearDupIndex(spark, workDir)
+            phase("compact")(compactNearDupIndex(spark, workDir))
         }
         ()
       }

@@ -73,4 +73,24 @@ class ClustersSpec extends SparkSpec {
       (3L, 3L, 3L, true), (5L, 3L, 3L, false), (9L, 3L, 3L, false),
       (100L, 100L, 2L, true), (101L, 100L, 2L, false)))
   }
+  test("dupDropIds: driver union-find equals dupClusters on both sides of the cap") {
+    import org.apache.spark.sql.functions.col
+    // chain + clique + pair + a transitive trap (edges (2,9),(5,9):
+    // 5's min reachable is 2 only THROUGH 9)
+    val pairs = Seq((1L, 2L), (2L, 9L), (5L, 9L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (30L, 31L)).toDF("id_a", "id_b")
+    val want = Clusters.dupClusters(pairs, "id_a", "id_b")
+      .filter(!col("is_canonical")).select(col("doc_id"))
+      .as[Long].collect().sorted.toSeq
+    val fast = Clusters.dupDropIds(pairs, "id_a", "id_b")
+      .as[Long].collect().sorted.toSeq
+    assert(fast == want)
+    assert(fast == Seq(2L, 5L, 9L, 21L, 22L, 31L))
+    // cap of 2 forces the distributed fallback: identical answer
+    val slow = Clusters.dupDropIds(pairs, "id_a", "id_b", driverPairCap = 2)
+      .as[Long].collect().sorted.toSeq
+    assert(slow == want)
+    // empty pairs → empty drops on the fast path
+    assert(Clusters.dupDropIds(pairs.limit(0), "id_a", "id_b").isEmpty)
+  }
 }
