@@ -5821,17 +5821,23 @@ object SparkEntry {
     * MATH is right, not merely reproducible.
     */
   def q208bKmvContract(spark: SparkSession, dir: String): DataFrame = {
+    // ONE distinct-shingle relation feeds the exact counts, the exact
+    // intersections, AND the sketch build (kmvSketchFromGrams) — the
+    // estimate side previously re-exploded and re-hashed the corpus
+    // from text (two ~4 s jobs at sf0.1; the distinct's exchange is
+    // reused across the four consumers)
     val grams = Tables.documents(spark, dir)
-      .select(col("source"),
+      .select(col("source").as("grp"),
         explode(graft.ext.Dedup.wordShingles(col("text"), 3)).as("gram"))
       .distinct()
-    val counts = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = grams.select(col("source").as("src_a"), col("gram"))
-      .join(grams.select(col("source").as("src_b"), col("gram")), Seq("gram"))
+    val counts = grams.groupBy(col("grp").as("source")).agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("grp").as("src_a"), col("gram"))
+      .join(grams.select(col("grp").as("src_b"), col("gram")), Seq("gram"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_exact_inter"))
-    val est = q208KmvOverlap(spark, dir)
+    val est = graft.ext.Dedup.kmvPairOverlap(
+      graft.ext.Dedup.kmvSketchFromGrams(grams, k = 256), k = 256)
     val bound = est
       .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
       .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))

@@ -48,14 +48,20 @@ object Dedup {
 
   /** Distinct word n-gram shingles of the text (n=1 → distinct tokens).
     * Texts shorter than n words yield their single full-token shingle.
+    * The n-gram path runs in the codegen'd [[VectorKernels
+    * .shingleStrings]] kernel (one array pass) — the interpreted
+    * `transform(sequence)+concat_ws+array_distinct` HOF chain it
+    * replaces is pinned ≡ in PropertySpec; the short-text and null
+    * branches reproduce that chain's fallback exactly (null in →
+    * null out, < n tokens → the single joined-token shingle).
     */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = Text.tokens(c)
     if (n <= 1) array_distinct(toks)
-    else array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    else
+      when(toks.isNull, lit(null).cast("array<string>"))
+        .when(size(toks) >= n, VectorKernels.shingleStrings(toks, n))
+        .otherwise(array(concat_ws(" ", toks)))
   }
 
   /** MinHash signature: per hash family `s`, the min hash over the
@@ -1041,12 +1047,28 @@ object Dedup {
     * k longs per group regardless of corpus size.
     */
   def kmvSketch(df: DataFrame, groupCol: String, textCol: String,
-      shingleSize: Int, k: Int): DataFrame = {
+      shingleSize: Int, k: Int): DataFrame =
+    kmvSketchFromGrams(
+      df.select(col(groupCol).as("grp"),
+          explode(wordShingles(col(textCol), shingleSize)).as("gram"))
+        .distinct(), k)
+
+  /** [[kmvSketch]] over an ALREADY-DISTINCT `(grp, gram)` frame.
+    * Split out for two reasons: callers that also need the exact
+    * distinct-shingle relation (q208b's contract) share ONE
+    * explosion, and the md5 hash runs on DISTINCT grams only — the
+    * occurrence-grain form paid one md5+conv per exploded shingle
+    * (the dominant cost of the sketch build: a corpus has orders of
+    * magnitude more shingle occurrences than distinct shingles, and
+    * the distinct's map-side partial aggregation dedups before the
+    * exchange). The second distinct (on the 60-bit hashes) only
+    * collapses md5 collisions; the resulting (grp, h) set — and so
+    * the sketch — is bit-identical to the occurrence-grain form.
+    */
+  def kmvSketchFromGrams(grams: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
     import org.apache.spark.sql.expressions.Window
-    val hashes = df
-      .select(col(groupCol).as("grp"),
-        explode(wordShingles(col(textCol), shingleSize)).as("gram"))
+    val hashes = grams
       .select(col("grp"), portableHash60(col("gram")).as("h"))
       .distinct()
     val w = Window.partitionBy(col("grp")).orderBy(col("h"))
