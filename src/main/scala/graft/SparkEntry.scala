@@ -7050,6 +7050,54 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** CSV source tier ([[graft.sources.Readers.csvWithSchema]] — the
+    * O-07 schema-enforcement discipline on the highest-traffic
+    * real-world tabular format, north-star scope: the reference's
+    * landing is JSON-only, ref glue/data_ingestion_s3.py:30-31).
+    * Orders round-trip Spark's CSV writer/reader under a declared
+    * schema (quoting, doubles, timestamps), with three TYPE-corrupt
+    * lines planted in the landing dir that must route to the
+    * corrupt-record DLQ — not fail the read, not pollute the typed
+    * aggregates. ONE scan computes the good-side rollup and the DLQ
+    * census (the corrupt rows form their own 'DLQ' group), so the
+    * split costs nothing extra and the plan always references real
+    * data columns (the corrupt-only-projection contract).
+    */
+  def q260CsvIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = tempDir("graft-q260")
+    // corrupt lines first (plain text part files in the landing dir:
+    // the reader globs every non-hidden file), real rows appended as
+    // CSV — each line carries exactly one planted type failure
+    spark.createDataset(Seq(
+      "notanumber,7,O,1.5,1996-01-02T00:00:00.000Z,1-URGENT",
+      "12,zz,F,2.5,1996-01-02T00:00:00.000Z,2-HIGH",
+      "13,14,P,notadouble,1996-01-02T00:00:00.000Z,3-MEDIUM"))
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/landing")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .write.mode("append").csv(s"$tmp/landing")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = true),
+      StructField("o_custkey", LongType, nullable = true),
+      StructField("o_orderstatus", StringType, nullable = true),
+      StructField("o_totalprice", DoubleType, nullable = true),
+      StructField("o_orderdate", TimestampType, nullable = true),
+      StructField("o_orderpriority", StringType, nullable = true)))
+    val parsed = graft.sources.Readers.csvWithSchema(
+      spark, s"$tmp/landing", schema)
+    val bad = col("_corrupt_record").isNotNull
+    parsed
+      .groupBy(when(bad, lit("DLQ")).otherwise(col("o_orderstatus"))
+        .as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(when(!bad, col("o_totalprice"))), 2).as("sum_total"),
+        countDistinct(when(!bad, col("o_orderpriority"))).as("n_prio"),
+        max(when(!bad, col("o_orderdate"))).as("last_order"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** q240 corpus: each document as a two-record WARC file (warcinfo
     * + a conversion record carrying the text, the WET shape) on
     * three wires — plain bytes, one gzip member, and the Common
@@ -8560,6 +8608,7 @@ object SparkEntry {
     "q257_muxed_av_census" -> (q257MuxedAvCensus _),
     "q258_targz_ingest" -> (q258TarGzIngest _),
     "q259_zip_ingest" -> (q259ZipIngest _),
+    "q260_csv_ingest" -> (q260CsvIngest _),
     "q240_warc_ingest" -> (q240WarcIngest _),
     "q241_stream_warc" -> (q241StreamWarcIngest _),
     "q242_image_metadata" -> (q242ImageMetadata _),
@@ -12911,6 +12960,20 @@ object SparkEntry {
         |FROM documents
         |WHERE NOT ((doc_id // 16) % 5 = 2 AND doc_id % 16 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // q260: the CSV roundtrip must be lossless (so the good-side
+    // rollup equals the parquet originals) and the three planted
+    // type-corrupt lines must land in the DLQ group, exactly
+    "q260_csv_ingest" ->
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, count(*) AS n_rows,
+        |         round(sum(o_totalprice), 2) AS sum_total,
+        |         count(DISTINCT o_orderpriority) AS n_prio,
+        |         max(o_orderdate) AS last_order
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'DLQ', 3, NULL, 0, NULL
+        |) ORDER BY o_orderstatus""".stripMargin,
 
     // q237: gzip is lossless and the planted trailer corruption is
     // membership-deterministic — the oracle replays text identity

@@ -95,4 +95,44 @@ object Readers {
   /** O-04: parquet scan (kept for symmetry with Tables). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Declared-schema CSV read with corrupt-record capture — the
+    * [[jsonWithSchema]] discipline on the single most common
+    * real-world tabular drop (north-star scope: the reference lands
+    * JSON only). Rows with ANY type-failed token land intact in
+    * `_corrupt_record` (PERMISSIVE) instead of failing the job or
+    * silently polluting the typed columns, so DLQ callers split on
+    * one scan.
+    *
+    * Deliberately text-scan + `from_csv`, NOT `spark.read.csv`: the
+    * native reader's column pruning only PARSES the referenced
+    * columns, so a type failure in an unreferenced column is never
+    * detected and the row silently rides the good side of the split
+    * (observed: a corrupt o_orderkey passing a status rollup). The
+    * struct parse always evaluates the full declared schema, making
+    * the corrupt verdict plan-independent. Cost: no per-column
+    * parse pruning — correct-over-fast for a DLQ boundary; trim the
+    * schema if only a subset matters. Limitation: line-grain split,
+    * so quoted fields must not embed newlines (multiLine CSV needs
+    * the native reader).
+    *
+    * Headerless only (the declared schema IS the contract — headered
+    * drops strip the header upstream or use the native reader); pass
+    * `options` for delimiter/format variants.
+    */
+  def csvWithSchema(spark: SparkSession, dir: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val corruptCol = "_corrupt_record"
+    require(!schema.fieldNames.contains(corruptCol),
+      s"input schema must not declare $corruptCol")
+    require(!options.get("header").exists(_.toBoolean),
+      "csvWithSchema is headerless (line-grain from_csv parse)")
+    val withCorrupt = schema.add(corruptCol, "string")
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> corruptCol) ++ options
+    spark.read.text(dir)
+      .select(from_csv(col("value"), withCorrupt, opts).as("__r"))
+      .select(col("__r.*"))
+  }
 }
