@@ -6325,8 +6325,10 @@ object SparkEntry {
     * differ by ≥ 5% for every (level, frame-size) combination, far
     * above the codec's measured reconstruction error) and variants
     * boost one late frame by +800, nudging specific gradient bits.
-    * Quad members ride three wires: WAV (variant 0), FLAC (1), and
-    * MPEG-1 Layer I (2, 3 — the LOSSY leg). Unlike q235's lossless
+    * Quad members ride four wires: WAV (variant 0), FLAC (1),
+    * MPEG-1 Layer I (2), and MPEG-1 Layer II (3 — grouped
+    * quantization, scfsi, the B.2b allocation table; the most common
+    * 11172-3 wire in the wild). Unlike q235's lossless
     * legs, MPEG decode only approximates the samples — the fixture's
     * margins make [[graft.ext.Multimodal.Wav.energyHash60]] INVARIANT
     * through the loss (Mpeg1Spec pins it per clip), so the census
@@ -6349,7 +6351,8 @@ object SparkEntry {
           case 0 => (Multimodal.Wav.encodePcm16(samples, 8000), "audio/wav")
           case 1 => (graft.ext.Flac.encode(samples, 8000, blockSize = 64),
             "audio/flac")
-          case _ => (graft.ext.Mpeg1.encode(samples), "audio/mpeg")
+          case 2 => (graft.ext.Mpeg1.encode(samples), "audio/mpeg")
+          case _ => (graft.ext.Mpeg1.encodeLayer2(samples), "audio/mpeg")
         }
         Multimodal.MediaRecord(id, payload, mime)
       }).toDF()

@@ -390,10 +390,285 @@ object Mpeg1 {
     out.toByteArray
   }
 
+
+  // ------------------------------------------------ Layer II (reader+writer)
+
+  /** Layer II bitrates, kbps (index 0 = free format, unsupported).
+    * Mono streams allow at most 192 kbps (the allowed-combination
+    * table of ISO 11172-3 2.4.2.3: 224..384 are stereo-only).
+    */
+  private val BitratesL2 = Array(
+    0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+
+  /** Layer II quantization class (Table B.4 row): `steps` levels,
+    * `bits` codeword width (grouped: ONE codeword carries 3 samples;
+    * ungrouped: `bits` per sample), and the requantization constants
+    * in closed form - with e = ceil(log2(steps+1)) effective sample
+    * bits, C = 2^e/steps and D = 1/2 for the grouped classes,
+    * 2^(1-e) for the ungrouped (steps = 2^e - 1, where C/D reduce to
+    * the Layer I 2.4.3.3 constants). These reproduce the printed B.4
+    * column values exactly (3 -> 4/3, 5 -> 8/5, 7 -> 8/7, 9 -> 16/9,
+    * 15 -> 16/15 ...).
+    */
+  private final case class L2Class(steps: Int, bits: Int, grouped: Boolean) {
+    val e: Int = 32 - Integer.numberOfLeadingZeros(steps)
+    val c: Double = (1 << e).toDouble / steps
+    val d: Double = if (grouped) 0.5 else StrictMath.pow(2.0, 1 - e)
+  }
+
+  private val L2Classes: Array[L2Class] = Array(
+    L2Class(3, 5, grouped = true), L2Class(5, 7, grouped = true),
+    L2Class(7, 3, grouped = false), L2Class(9, 10, grouped = true),
+    L2Class(15, 4, grouped = false), L2Class(31, 5, grouped = false),
+    L2Class(63, 6, grouped = false), L2Class(127, 7, grouped = false),
+    L2Class(255, 8, grouped = false), L2Class(511, 9, grouped = false),
+    L2Class(1023, 10, grouped = false), L2Class(2047, 11, grouped = false),
+    L2Class(4095, 12, grouped = false), L2Class(8191, 13, grouped = false),
+    L2Class(16383, 14, grouped = false), L2Class(32767, 15, grouped = false),
+    L2Class(65535, 16, grouped = false))
+
+  /** Per-subband allowed-quantizer rows of Tables B.2a/b (high-rate)
+    * and B.2c/d (low-rate), as indices into [[L2Classes]]; the
+    * allocation code 1..len indexes the row, 0 = subband silent.
+    * nbal is implied by the row length (15 -> 4 bits, 7 -> 3, 3 -> 2).
+    */
+  private val L2RowA0 = Array(0, 2, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  private val L2RowA1 = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16)
+  private val L2RowA2 = Array(0, 1, 2, 3, 4, 5, 16)
+  private val L2RowA3 = Array(0, 1, 16)
+  private val L2RowC0 = Array(0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+  private val L2RowC1 = Array(0, 1, 3, 4, 5, 6, 7)
+
+  private def l2Nbal(row: Array[Int]): Int = row.length match {
+    case 15 => 4
+    case 7 => 3
+    case _ => 2
+  }
+
+  private def l2AbRow(sb: Int): Array[Int] =
+    if (sb < 3) L2RowA0 else if (sb < 11) L2RowA1
+    else if (sb < 23) L2RowA2 else L2RowA3
+
+  /** Table selection per B.2 (mono: bitrate == bitrate per channel):
+    * <= 48 kbps -> B.2c (sblimit 8; B.2d/12 at 32 kHz); 56-80 ->
+    * B.2a (27) at every rate; >= 96 -> B.2b (30) except 48 kHz,
+    * which stays B.2a. Returns the per-subband quantizer row for
+    * sb < sblimit.
+    */
+  private def l2Layout(srIdx: Int, kbps: Int): Array[Array[Int]] =
+    if (kbps <= 48) {
+      val sblimit = if (srIdx == 2) 12 else 8
+      Array.tabulate(sblimit)(sb => if (sb < 2) L2RowC0 else L2RowC1)
+    } else if (kbps <= 80) Array.tabulate(27)(l2AbRow)
+    else Array.tabulate(if (srIdx == 1) 27 else 30)(l2AbRow)
+
+  /** 2.4.3.4 requantization: the (grouped-digit or raw) code as an
+    * offset-binary fraction, shifted by D and scaled by C.
+    */
+  private def l2Requant(code: Int, cls: L2Class): Double =
+    cls.c * (code.toDouble / (1 << (cls.e - 1)) - 1.0 + cls.d)
+
+  /** Per-granule codeword cost of a class: grouped codewords carry
+    * the granule's 3 samples outright, ungrouped pay per sample.
+    */
+  private def l2GranCost(clsIdx: Int): Int = {
+    val cq = L2Classes(clsIdx)
+    if (cq.grouped) cq.bits else 3 * cq.bits
+  }
+
+  /** Mono PCM16 -> MPEG-1 Layer II bytes. Same contract as the Layer
+    * I [[encode]] (gapless tag in the first frame's ancillary bits ->
+    * decodes back to exactly `samples.length` samples), but on the
+    * 1152-sample Layer II frame: allocation is the largest UNIFORM
+    * per-granule bit budget whose worst case (scfsi 0 everywhere)
+    * fits the unpadded frame with >= 96 slack bits for the tag; scfsi
+    * per subband is chosen from scalefactor equality (2/1/3/0), so
+    * naturally-static content exercises every transmission pattern.
+    * The 44.1 kHz profile carries the 2.4.2.3 padding-slot
+    * accumulator (144*kbps*1000 mod fs drift).
+    */
+  def encodeLayer2(samples: Array[Short], srIdx: Int = 2,
+      brIdx: Int = 10): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2, s"bad sample-rate index $srIdx")
+    require(brIdx >= 1 && brIdx <= 14, s"bad bitrate index $brIdx")
+    val kbps = BitratesL2(brIdx)
+    require(kbps <= 192, s"mono Layer II allows at most 192 kbps, got $kbps")
+    val fs = SampleRates(srIdx)
+    val layout = l2Layout(srIdx, kbps)
+    val sblimit = layout.length
+    val num = 144 * kbps * 1000
+    val baseBytes = num / fs
+    val nbalSum = layout.map(l2Nbal).sum
+    // fixed allocation: the first k subbands carry the largest
+    // uniform per-granule budget t, the rest are silent (alloc 0 —
+    // low-bitrate profiles cannot afford every subband; real
+    // encoders drop high bands first). (k, t) maximizes bandwidth ×
+    // precision among the combinations whose worst case (scfsi 0
+    // everywhere) fits the unpadded frame with >= 96 tag-slack bits.
+    def bestEntry(row: Array[Int], t: Int): Int = {
+      var best = -1
+      var bi = 0
+      while (bi < row.length) {
+        if (l2GranCost(row(bi)) <= t) best = bi
+        bi += 1
+      }
+      best
+    }
+    def allocFor(k: Int, t: Int): Array[Int] =
+      Array.tabulate(sblimit)(sb =>
+        if (sb >= k) -1 else bestEntry(layout(sb), t))
+    def totalBits(a: Array[Int]): Int =
+      48 + nbalSum + a.indices.map { sb =>
+        if (a(sb) < 0) 0 else 2 + 18 + 12 * l2GranCost(layout(sb)(a(sb)))
+      }.sum
+    var bestK = -1; var bestT = -1; var bestScore = -1L
+    var k = 1
+    while (k <= sblimit) {
+      var t = 5
+      while (t <= 48) {
+        if (totalBits(allocFor(k, t)) <= baseBytes * 8 - 96 &&
+            k.toLong * t > bestScore) {
+          bestScore = k.toLong * t; bestK = k; bestT = t
+        }
+        t += 1
+      }
+      k += 1
+    }
+    require(bestK > 0,
+      s"Layer II profile (sr=$fs, $kbps kbps) cannot fit an allocation")
+    val allocIdx = allocFor(bestK, bestT)
+    val n = samples.length
+    val frames = math.max(1, (n + Delay + 1151) / 1152)
+    val x = new Array[Double](frames * 1152)
+    var i = 0
+    while (i < n) { x(i) = samples(i) / 32768.0; i += 1 }
+    val an = new Analysis
+    val out = new java.io.ByteArrayOutputStream(frames * (baseBytes + 1))
+    val s = Array.ofDim[Double](36, 32)
+    var padAcc = 0
+    var f = 0
+    while (f < frames) {
+      var tt = 0
+      while (tt < 36) { an.step(x, f * 1152 + tt * 32, s(tt)); tt += 1 }
+      padAcc += num % fs
+      val padding = if (padAcc >= fs) { padAcc -= fs; 1 } else 0
+      val frameBytes = baseBytes + padding
+      // scalefactor per (subband, part): smallest covering value
+      val sfIdx = Array.ofDim[Int](sblimit, 3)
+      var sb = 0
+      while (sb < sblimit) {
+        var p = 0
+        while (p < 3) {
+          var mx = 0.0
+          tt = p * 12
+          while (tt < (p + 1) * 12) {
+            val a = StrictMath.abs(s(tt)(sb)); if (a > mx) mx = a; tt += 1
+          }
+          var idx = 62
+          while (idx > 0 && Scalefactors(idx) < mx) idx -= 1
+          require(Scalefactors(idx) >= mx, "subband sample out of range")
+          sfIdx(sb)(p) = idx
+          p += 1
+        }
+        sb += 1
+      }
+      val w = new BitWriter(frameBytes)
+      // header: sync, ID=1, layer II='10', protection=0 (CRC present)
+      w.put(0xfff, 12); w.put(1, 1); w.put(2, 2); w.put(0, 1)
+      w.put(brIdx.toLong, 4); w.put(srIdx.toLong, 2)
+      w.put(padding.toLong, 1); w.put(0, 1)
+      w.put(3, 2); w.put(0, 2) // mode: single_channel, mode_ext
+      w.put(0, 1); w.put(1, 1); w.put(0, 2) // copyright, original, emphasis
+      w.put(0, 16) // CRC placeholder (backfilled below)
+      sb = 0
+      while (sb < sblimit) {
+        w.put((allocIdx(sb) + 1).toLong, l2Nbal(layout(sb)))
+        sb += 1
+      }
+      val scfsi = new Array[Int](sblimit)
+      sb = 0
+      while (sb < sblimit) {
+        if (allocIdx(sb) >= 0) {
+          val a = sfIdx(sb)(0); val b = sfIdx(sb)(1); val c0 = sfIdx(sb)(2)
+          scfsi(sb) =
+            if (a == b && b == c0) 2 else if (a == b) 1
+            else if (b == c0) 3 else 0
+          w.put(scfsi(sb).toLong, 2)
+        }
+        sb += 1
+      }
+      // CRC covers header bits 16..31 + allocation + scfsi (2.4.3.1)
+      val protBits = w.bitPos - 48
+      val crc = crc16(w.buf, 48, protBits, init = crc16(w.buf, 16, 16))
+      w.buf(4) = ((crc >> 8) & 0xff).toByte
+      w.buf(5) = (crc & 0xff).toByte
+      sb = 0
+      while (sb < sblimit) {
+        if (allocIdx(sb) < 0) { sb += 1 }
+        else {
+        scfsi(sb) match {
+          case 0 =>
+            w.put(sfIdx(sb)(0).toLong, 6); w.put(sfIdx(sb)(1).toLong, 6)
+            w.put(sfIdx(sb)(2).toLong, 6)
+          case 1 => w.put(sfIdx(sb)(0).toLong, 6); w.put(sfIdx(sb)(2).toLong, 6)
+          case 2 => w.put(sfIdx(sb)(0).toLong, 6)
+          case _ => w.put(sfIdx(sb)(0).toLong, 6); w.put(sfIdx(sb)(1).toLong, 6)
+        }
+        sb += 1
+        }
+      }
+      var gr = 0
+      while (gr < 12) {
+        sb = 0
+        while (sb < sblimit) {
+          if (allocIdx(sb) < 0) { sb += 1 }
+          else {
+          val cls = L2Classes(layout(sb)(allocIdx(sb)))
+          val sf = Scalefactors(sfIdx(sb)(gr / 4))
+          def codeOf(v: Double): Int = {
+            val sTriple = v / sf / cls.c - cls.d
+            var code = StrictMath.round(
+              (sTriple + 1.0) * (1 << (cls.e - 1))).toInt
+            if (code < 0) code = 0
+            if (code > cls.steps - 1) code = cls.steps - 1
+            code
+          }
+          if (cls.grouped) {
+            val cw =
+              codeOf(s(gr * 3)(sb)) + cls.steps * codeOf(s(gr * 3 + 1)(sb)) +
+                cls.steps * cls.steps * codeOf(s(gr * 3 + 2)(sb))
+            w.put(cw.toLong, cls.bits)
+          } else {
+            var j = 0
+            while (j < 3) {
+              w.put(codeOf(s(gr * 3 + j)(sb)).toLong, cls.bits); j += 1
+            }
+          }
+          sb += 1
+          }
+        }
+        gr += 1
+      }
+      if (f == 0) { // gapless tag in the first frame's ancillary bits
+        val tagStart = w.bitPos
+        w.put(TagMagic, 32)
+        w.put(Delay.toLong, 16)
+        w.put(n.toLong, 32)
+        w.put(crc16(w.buf, tagStart + 32, 48).toLong, 16)
+      }
+      out.write(w.buf, 0, frameBytes)
+      f += 1
+    }
+    out.toByteArray
+  }
+
   // --------------------------------------------------------- decoder
 
-  /** Layer I decode → mono [[Multimodal.WavPcm]]. None for malformed,
-    * truncated, CRC-failing, Layer II/III, or decode-bomb payloads.
+  /** Layer I / Layer II decode -> mono [[Multimodal.WavPcm]],
+    * dispatched on the header's layer code (a stream must not mix
+    * layers, just as it must not mix sample rates). None for
+    * malformed, truncated, CRC-failing, Layer III, or decode-bomb
+    * payloads.
     */
   def decode(payload: Array[Byte], maxOutSamples: Int = 1 << 26)
       : Option[Multimodal.WavPcm] =
@@ -412,6 +687,7 @@ object Mpeg1 {
     val pcm = new java.util.ArrayList[Array[Double]]()
     var outLen = 0
     var sampleRate = 0
+    var layerLatched = 0
     var tagDelay = -1; var tagLen = -1
     var firstFrame = true
     var pos = 0
@@ -420,7 +696,8 @@ object Mpeg1 {
       br.bitPos = pos * 8
       if (br.bits(12) != 0xfff) fail()
       if (br.bits(1) != 1) fail() // MPEG-1 only (no LSF)
-      if (br.bits(2) != 3) fail() // Layer I only ('11')
+      val layer = br.bits(2) // '11' = Layer I, '10' = Layer II
+      if (layer != 3 && layer != 2) fail() // Layer III ('01') unsupported
       val protection = br.bits(1)
       val brIdx = br.bits(4)
       val srIdx = br.bits(2)
@@ -430,59 +707,151 @@ object Mpeg1 {
       br.bits(2); br.bits(1); br.bits(1); br.bits(2) // ext/copy/orig/emph
       if (brIdx == 0 || brIdx > 14 || srIdx > 2) fail()
       if (mode != 3) fail() // single_channel only (scope: mono corpus)
-      // latch the sample rate from the first frame: the returned WavPcm
-      // carries ONE rate, so a stream whose later frames declare a
-      // different srIdx is inconsistent — reject it rather than silently
-      // concatenating mixed-rate samples into one clip (bitrate MAY vary
-      // per frame: that's legal VBR and doesn't affect the time base)
-      if (firstFrame) sampleRate = SampleRates(srIdx)
-      else if (sampleRate != SampleRates(srIdx)) fail()
-      val frameBytes = (12 * BitratesL1(brIdx) * 1000 / sampleRate + padding) * 4
+      // latch sample rate AND layer from the first frame: the clip
+      // has one time base and one frame grammar — a stream whose
+      // later frames flip either is inconsistent, not concatenable
+      // (bitrate MAY vary per frame: legal VBR)
+      if (firstFrame) { sampleRate = SampleRates(srIdx); layerLatched = layer }
+      else if (sampleRate != SampleRates(srIdx) || layer != layerLatched) fail()
+      val stored = if (protection == 0) br.bits(16) else 0
+      val frameBytes =
+        if (layer == 3) (12 * BitratesL1(brIdx) * 1000 / sampleRate + padding) * 4
+        else {
+          val kbps = BitratesL2(brIdx)
+          if (kbps > 192) fail() // mono: 224+ combos are stereo-only
+          144 * kbps * 1000 / sampleRate + padding
+        }
       if (frameBytes <= 4 || pos + frameBytes > data.length) fail()
-      if (protection == 0) {
-        val stored = br.bits(16)
-        // verify over header tail + allocation
-        if (stored != crc16(data, pos * 8 + 48, 128,
-          init = crc16(data, pos * 8 + 16, 16))) fail()
-      }
-      val alloc = new Array[Int](32)
-      var sb = 0
-      while (sb < 32) {
-        val code = br.bits(4)
-        if (code == 15) fail()
-        alloc(sb) = if (code == 0) 0 else code + 1
-        sb += 1
-      }
-      val sf = new Array[Double](32)
-      sb = 0
-      while (sb < 32) {
-        if (alloc(sb) > 0) {
-          val idx = br.bits(6)
-          if (idx > 62) fail()
-          sf(sb) = Scalefactors(idx)
-        }
-        sb += 1
-      }
-      val frameOut = new Array[Double](384)
-      val s = new Array[Double](32)
-      var t = 0
-      while (t < 12) {
-        sb = 0
-        while (sb < 32) {
-          if (alloc(sb) == 0) s(sb) = 0.0
-          else {
-            val nb = alloc(sb)
-            val code = br.bits(nb)
-            val sTriple = code.toDouble / (1 << (nb - 1)) - 1.0
-            val sPrime = (1 << nb).toDouble / ((1 << nb) - 1) *
-              (sTriple + StrictMath.pow(2.0, 1 - nb))
-            s(sb) = sPrime * sf(sb)
+      val frameOut =
+        if (layer == 3) {
+          // ------------------------------------------ Layer I frame
+          if (protection == 0) {
+            // CRC covers header tail + the 128-bit allocation block
+            if (stored != crc16(data, pos * 8 + 48, 128,
+              init = crc16(data, pos * 8 + 16, 16))) fail()
           }
-          sb += 1
+          val alloc = new Array[Int](32)
+          var sb = 0
+          while (sb < 32) {
+            val code = br.bits(4)
+            if (code == 15) fail()
+            alloc(sb) = if (code == 0) 0 else code + 1
+            sb += 1
+          }
+          val sf = new Array[Double](32)
+          sb = 0
+          while (sb < 32) {
+            if (alloc(sb) > 0) {
+              val idx = br.bits(6)
+              if (idx > 62) fail()
+              sf(sb) = Scalefactors(idx)
+            }
+            sb += 1
+          }
+          val outF = new Array[Double](384)
+          val s = new Array[Double](32)
+          var t = 0
+          while (t < 12) {
+            sb = 0
+            while (sb < 32) {
+              if (alloc(sb) == 0) s(sb) = 0.0
+              else {
+                val nb = alloc(sb)
+                val code = br.bits(nb)
+                val sTriple = code.toDouble / (1 << (nb - 1)) - 1.0
+                val sPrime = (1 << nb).toDouble / ((1 << nb) - 1) *
+                  (sTriple + StrictMath.pow(2.0, 1 - nb))
+                s(sb) = sPrime * sf(sb)
+              }
+              sb += 1
+            }
+            sy.step(s, outF, t * 32)
+            t += 1
+          }
+          outF
+        } else {
+          // ----------------------------------------- Layer II frame
+          val layout = l2Layout(srIdx, BitratesL2(brIdx))
+          val sblimit = layout.length
+          val alloc = new Array[Int](sblimit) // -1 = silent, else row idx
+          var sb = 0
+          while (sb < sblimit) {
+            val code = br.bits(l2Nbal(layout(sb)))
+            if (code > layout(sb).length) fail()
+            alloc(sb) = code - 1
+            sb += 1
+          }
+          val scfsi = new Array[Int](sblimit)
+          sb = 0
+          while (sb < sblimit) {
+            if (alloc(sb) >= 0) scfsi(sb) = br.bits(2)
+            sb += 1
+          }
+          if (protection == 0) {
+            // CRC covers header tail + allocation + scfsi (§2.4.3.1)
+            val protBits = br.bitPos - (pos * 8 + 48)
+            if (stored != crc16(data, pos * 8 + 48, protBits,
+              init = crc16(data, pos * 8 + 16, 16))) fail()
+          }
+          val sf = Array.ofDim[Double](sblimit, 3)
+          sb = 0
+          while (sb < sblimit) {
+            if (alloc(sb) >= 0) {
+              def rd(): Double = {
+                val i = br.bits(6); if (i > 62) fail(); Scalefactors(i)
+              }
+              scfsi(sb) match {
+                case 0 => sf(sb)(0) = rd(); sf(sb)(1) = rd(); sf(sb)(2) = rd()
+                case 1 =>
+                  val a = rd(); val b = rd()
+                  sf(sb)(0) = a; sf(sb)(1) = a; sf(sb)(2) = b
+                case 2 =>
+                  val a = rd(); sf(sb)(0) = a; sf(sb)(1) = a; sf(sb)(2) = a
+                case _ =>
+                  val a = rd(); val b = rd()
+                  sf(sb)(0) = a; sf(sb)(1) = b; sf(sb)(2) = b
+              }
+            }
+            sb += 1
+          }
+          val outF = new Array[Double](1152)
+          val sTri = Array.ofDim[Double](3, 32)
+          var gr = 0
+          while (gr < 12) {
+            var j = 0
+            while (j < 3) {
+              java.util.Arrays.fill(sTri(j), 0.0); j += 1
+            }
+            sb = 0
+            while (sb < sblimit) {
+              if (alloc(sb) >= 0) {
+                val cls = L2Classes(layout(sb)(alloc(sb)))
+                val scale = sf(sb)(gr / 4)
+                if (cls.grouped) {
+                  var cw = br.bits(cls.bits)
+                  if (cw >= cls.steps * cls.steps * cls.steps) fail()
+                  j = 0
+                  while (j < 3) {
+                    sTri(j)(sb) = l2Requant(cw % cls.steps, cls) * scale
+                    cw /= cls.steps
+                    j += 1
+                  }
+                } else {
+                  j = 0
+                  while (j < 3) {
+                    sTri(j)(sb) = l2Requant(br.bits(cls.bits), cls) * scale
+                    j += 1
+                  }
+                }
+              }
+              sb += 1
+            }
+            j = 0
+            while (j < 3) { sy.step(sTri(j), outF, (gr * 3 + j) * 32); j += 1 }
+            gr += 1
+          }
+          outF
         }
-        sy.step(s, frameOut, t * 32)
-        t += 1
-      }
       // a frame's allocation/scalefactor/sample bits must fit INSIDE
       // its declared slot length — otherwise the reader has silently
       // consumed the next frame's bytes as sample data (structurally
@@ -497,15 +866,15 @@ object Mpeg1 {
           val payloadAt = br.bitPos
           val d = br.bits(16)
           val len = br.bits(32)
-          val stored = br.bits(16)
-          if (stored == crc16(data, payloadAt, 48)) {
+          val stored2 = br.bits(16)
+          if (stored2 == crc16(data, payloadAt, 48)) {
             tagDelay = d; tagLen = len
           } else br.bitPos = save
         } else br.bitPos = save
       }
       firstFrame = false
       pcm.add(frameOut)
-      outLen += 384
+      outLen += frameOut.length
       if (outLen > maxOutSamples) fail()
       pos += frameBytes
     }
@@ -514,7 +883,8 @@ object Mpeg1 {
     var off = 0
     var fi = 0
     while (fi < pcm.size()) {
-      System.arraycopy(pcm.get(fi), 0, raw, off, 384); off += 384; fi += 1
+      val fr = pcm.get(fi)
+      System.arraycopy(fr, 0, raw, off, fr.length); off += fr.length; fi += 1
     }
     val (from, len) =
       if (tagLen >= 0) {
