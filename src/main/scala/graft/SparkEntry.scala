@@ -379,7 +379,8 @@ object SparkEntry {
     val tmp = tempDir("graft-q18c")
     val in = writeEventSlicesPlain(eventsForReplay(spark, dir), tmp, 4)
     Jobs.runWindowedStream(spark, in, s"$tmp/ckpt", s"$tmp/out",
-      lateness = "10 minutes", windowDuration = "1 hour", slide = Some("15 minutes"))
+      lateness = "10 minutes", windowDuration = "1 hour", slide = Some("15 minutes"),
+      stateShufflePartitions = Some(8))
       .orderBy(col("window_start"), col("event_type"))
   }
 
@@ -513,7 +514,8 @@ object SparkEntry {
     * a hash-checked row like q19 does for the stateless path.
     */
   def q19bStatefulEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.stream.Stateful.runRisingEdgeStream(spark, dir, 200.0)
+    graft.stream.Stateful.runRisingEdgeStream(spark, dir, 200.0,
+      stateShufflePartitions = Some(8))
       .select(col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_id"))
 
@@ -523,7 +525,8 @@ object SparkEntry {
     * batch lag-window oracle.
     */
   def q19cStatefulTws(spark: SparkSession, dir: String): DataFrame =
-    graft.stream.Stateful.runRisingEdgeStreamTws(spark, dir, 200.0)
+    graft.stream.Stateful.runRisingEdgeStreamTws(spark, dir, 200.0,
+      stateShufflePartitions = Some(8))
       .select(col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_id"))
 
@@ -2332,7 +2335,8 @@ object SparkEntry {
     val in = writeEventSlicesPlain(
       eventsForReplay(spark, dir).filter(col("user_id") < 12), tmp, 4)
     val kept = graft.stream.Stateful
-      .runThrottleStream(spark, in, cooldownUs = 6L * 3600L * 1000000L)
+      .runThrottleStream(spark, in, cooldownUs = 6L * 3600L * 1000000L,
+        stateShufflePartitions = Some(8))
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))
     Tables.events(spark, dir).filter(col("user_id") < 12)
       .select(col("user_id"), col("ts")).distinct()
@@ -3115,7 +3119,8 @@ object SparkEntry {
     val streamDir = s"$tmp/index"
     graft.stream.Jobs.runIndexIngestStream(spark, in, base.schema,
       "vec_id", "embedding", centroids, cbs, streamDir,
-      scorer = graft.ext.VectorKernels.cosineF, filesPerTrigger = 2)
+      scorer = graft.ext.VectorKernels.cosineF, filesPerTrigger = 2,
+      stateShufflePartitions = Some(8))
     val batchIdx = graft.ext.AnnIndex.read(spark, batchDir)
     val streamIdx = graft.ext.AnnIndex.read(spark, streamDir)
     val queries = embQueries(spark, dir)
@@ -3158,7 +3163,8 @@ object SparkEntry {
     val idxDir = s"$tmp/index"
     graft.stream.Jobs.runIndexIngestStream(spark, in, base.schema,
       "vec_id", "embedding", centroids, cbs, idxDir,
-      scorer = graft.ext.VectorKernels.cosineF, filesPerTrigger = 2)
+      scorer = graft.ext.VectorKernels.cosineF, filesPerTrigger = 2,
+      stateShufflePartitions = Some(8))
     val queries = embQueries(spark, dir)
     import spark.implicits._
     def searchSet(): Set[(Long, Long, Double, Int)] =
@@ -3368,7 +3374,8 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val in = writeSliceFilesByExpr(queries, pmod(col("query_id"), lit(4)), tmp)
     graft.stream.Jobs.runQueryServeStream(spark, in, queries.schema,
-      idxDir, s"$tmp/out", k = 10, nprobe = 3)
+      idxDir, s"$tmp/out", k = 10, nprobe = 3,
+      stateShufflePartitions = Some(8))
     val cols = Seq("query_id", "vec_id", "adc_score", "rank").map(col)
     val streamed = spark.read.parquet(s"$tmp/out/results").select(cols: _*)
     val referee = graft.ext.AnnIndex.searchTopK(
@@ -3983,7 +3990,7 @@ object SparkEntry {
       StructField("lang", StringType, nullable = true),
       StructField("text", StringType, nullable = true)))
     Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work",
-        compactEvery = 2)
+        compactEvery = 2, stateShufflePartitions = Some(8))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"))
@@ -5383,7 +5390,8 @@ object SparkEntry {
     val tmp = tempDir("graft-q198b")
     val in = writeEventSlicesPlain(eventsForReplay(spark, dir), tmp, 4,
       hourAligned = true)
-    graft.stream.Stateful.runHoltStream(spark, in)
+    graft.stream.Stateful.runHoltStream(spark, in,
+        stateShufflePartitions = Some(8))
       .orderBy(col("key"), col("hr"))
   }
 
@@ -5776,7 +5784,7 @@ object SparkEntry {
     val tmp = tempDir("graft-q207")
     val (in, schema) = eventSliceStreamInput(spark, dir, tmp)
     val state = Jobs.runKllMergeStream(spark, in, schema, s"$tmp/work",
-      "event_type", "value", k = 256)
+      "event_type", "value", k = 256, stateShufflePartitions = Some(8))
     val qs = state.select(col("event_type"), col("n_rows"),
       KllAgg.quantile(col("sk"), 0.5).as("q50"),
       KllAgg.quantile(col("sk"), 0.95).as("q95"))
@@ -6179,7 +6187,8 @@ object SparkEntry {
     val tmp = tempDir("graft-q215")
     val (in, schema) = docSliceStreamInput(spark, dir, tmp, withSource = true)
     val state = Jobs.runKmvMergeStream(spark, in, schema, s"$tmp/work",
-      "source", "text", shingleSize = 3, k = 256)
+      "source", "text", shingleSize = 3, k = 256,
+      stateShufflePartitions = Some(8))
     graft.ext.Dedup.kmvPairOverlap(state, k = 256)
       .orderBy(col("src_a"), col("src_b"))
   }
@@ -6574,7 +6583,8 @@ object SparkEntry {
   def q221StreamCdcStore(spark: SparkSession, dir: String): DataFrame = {
     val tmp = tempDir("graft-q221")
     val (in, schema) = docSliceStreamInput(spark, dir, tmp)
-    val (chunks, state) = Jobs.runCdcChunkStream(spark, in, schema, s"$tmp/work")
+    val (chunks, state) = Jobs.runCdcChunkStream(spark, in, schema, s"$tmp/work",
+      stateShufflePartitions = Some(8))
     chunks.join(state, Seq("chunk_text"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),

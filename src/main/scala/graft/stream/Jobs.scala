@@ -46,7 +46,7 @@ object Jobs {
     * commits are pure overhead beyond the key count). Restores the
     * session value afterwards.
     */
-  private def withShufflePartitions[T](
+  private[stream] def withShufflePartitions[T](
       spark: SparkSession, n: Option[Int])(f: => T): T =
     n match {
       case None => f
@@ -136,22 +136,24 @@ object Jobs {
       outPath: String,
       lateness: String = "10 minutes",
       windowDuration: String = "1 hour",
-      slide: Option[String] = None): DataFrame = {
-    val schema = graft.schema.Schemas.events
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inputDir)
-    val agg = windowedAgg(stream.withWatermark("ts", lateness),
-      windowDuration, slide)
-    val q = agg.writeStream
-      .format("parquet")
-      .option("path", outPath)
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.schema(windowedSchema).parquet(outPath)
-  }
+      slide: Option[String] = None,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, stateShufflePartitions) {
+      val schema = graft.schema.Schemas.events
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      val agg = windowedAgg(stream.withWatermark("ts", lateness),
+        windowDuration, slide)
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", outPath)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.schema(windowedSchema).parquet(outPath)
+    }
 
   /** Streaming exact dedup with `dropDuplicatesWithinWatermark` — the
     * production streaming-dedup operator: keeps first-seen per key with
@@ -745,7 +747,9 @@ object Jobs {
       workDir: String,
       keyCol: String,
       valueCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, stateShufflePartitions) {
     // the batch-side plans resolve against the OUTER session (the
     // merged frame's left operand is spark.read), the stream-side
     // against the micro-batch's CLONED session — temp functions must
@@ -806,7 +810,9 @@ object Jobs {
       groupCol: String,
       textCol: String,
       shingleSize: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, stateShufflePartitions) {
     var lastV = publishedVersion(spark, s"$workDir/state")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -854,7 +860,9 @@ object Jobs {
       spark: SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType,
-      workDir: String): (DataFrame, DataFrame) = {
+      workDir: String,
+      stateShufflePartitions: Option[Int] = None): (DataFrame, DataFrame) =
+    withShufflePartitions(spark, stateShufflePartitions) {
     var lastV = publishedVersion(spark, s"$workDir/state")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -916,7 +924,9 @@ object Jobs {
       codebooks: IndexedSeq[IndexedSeq[Seq[Float]]],
       indexDir: String,
       scorer: (Column, Column) => Column = graft.ext.Similarity.cosine,
-      filesPerTrigger: Int = 1): Unit = {
+      filesPerTrigger: Int = 1,
+      stateShufflePartitions: Option[Int] = None): Unit =
+    withShufflePartitions(spark, stateShufflePartitions) {
     require(filesPerTrigger >= 1, "filesPerTrigger must be >= 1")
     // codes already on disk were produced by SOME quantizer pair; a
     // resumed/new ingest with different centroids or codebooks would
@@ -979,7 +989,9 @@ object Jobs {
       indexDir: String,
       outDir: String,
       k: Int,
-      nprobe: Int): Unit = {
+      nprobe: Int,
+      stateShufflePartitions: Option[Int] = None): Unit =
+    withShufflePartitions(spark, stateShufflePartitions) {
     val index = graft.ext.AnnIndex.read(spark, indexDir)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -1072,7 +1084,9 @@ object Jobs {
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType, // (doc_id, lang, text)
       workDir: String,
-      compactEvery: Int = 0): DataFrame = {
+      compactEvery: Int = 0,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, stateShufflePartitions) {
     // the LSH kernels analyze in TWO sessions here: the kept snapshot
     // reads through the caller's session, the batch side through the
     // stream's cloned session — register in both (lazy self-registration

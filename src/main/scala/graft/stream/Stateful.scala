@@ -74,7 +74,9 @@ object Stateful {
   def runRisingEdgeStream(
       spark: SparkSession,
       dir: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    Jobs.withShufflePartitions(spark, stateShufflePartitions) {
     import spark.implicits._
     val typed = graft.Tables.eventsStream(spark, dir)
       .selectExpr("event_id", "ts", "user_id", "value").as[KeyedEvent]
@@ -134,7 +136,9 @@ object Stateful {
   def runRisingEdgeStreamTws(
       spark: SparkSession,
       dir: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    Jobs.withShufflePartitions(spark, stateShufflePartitions) {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
     val old = spark.conf.getOption(key)
@@ -205,7 +209,9 @@ object Stateful {
   def runThrottleStream(
       spark: SparkSession,
       inputDir: String,
-      cooldownUs: Long): DataFrame = {
+      cooldownUs: Long,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    Jobs.withShufflePartitions(spark, stateShufflePartitions) {
     import spark.implicits._
     require(cooldownUs > 0, "cooldown must be positive")
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -297,7 +303,9 @@ object Stateful {
       inputDir: String,
       scale: Long = 1000000L,
       alphaDen: Long = 8L,
-      betaDen: Long = 4L): DataFrame = {
+      betaDen: Long = 4L,
+      stateShufflePartitions: Option[Int] = None): DataFrame =
+    Jobs.withShufflePartitions(spark, stateShufflePartitions) {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
     val key = "spark.sql.streaming.stateStore.providerClass"
