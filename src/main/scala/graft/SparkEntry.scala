@@ -3119,8 +3119,7 @@ object SparkEntry {
     val streamDir = s"$tmp/index"
     graft.stream.Jobs.runIndexIngestStream(spark, in, base.schema,
       "vec_id", "embedding", centroids, cbs, streamDir,
-      scorer = graft.ext.VectorKernels.cosineF, filesPerTrigger = 2,
-      stateShufflePartitions = Some(8))
+      scorer = graft.ext.VectorKernels.cosineF, filesPerTrigger = 2)
     val batchIdx = graft.ext.AnnIndex.read(spark, batchDir)
     val streamIdx = graft.ext.AnnIndex.read(spark, streamDir)
     val queries = embQueries(spark, dir)
@@ -3163,8 +3162,7 @@ object SparkEntry {
     val idxDir = s"$tmp/index"
     graft.stream.Jobs.runIndexIngestStream(spark, in, base.schema,
       "vec_id", "embedding", centroids, cbs, idxDir,
-      scorer = graft.ext.VectorKernels.cosineF, filesPerTrigger = 2,
-      stateShufflePartitions = Some(8))
+      scorer = graft.ext.VectorKernels.cosineF, filesPerTrigger = 2)
     val queries = embQueries(spark, dir)
     import spark.implicits._
     def searchSet(): Set[(Long, Long, Double, Int)] =
@@ -3374,8 +3372,7 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val in = writeSliceFilesByExpr(queries, pmod(col("query_id"), lit(4)), tmp)
     graft.stream.Jobs.runQueryServeStream(spark, in, queries.schema,
-      idxDir, s"$tmp/out", k = 10, nprobe = 3,
-      stateShufflePartitions = Some(8))
+      idxDir, s"$tmp/out", k = 10, nprobe = 3)
     val cols = Seq("query_id", "vec_id", "adc_score", "rank").map(col)
     val streamed = spark.read.parquet(s"$tmp/out/results").select(cols: _*)
     val referee = graft.ext.AnnIndex.searchTopK(
@@ -3990,7 +3987,7 @@ object SparkEntry {
       StructField("lang", StringType, nullable = true),
       StructField("text", StringType, nullable = true)))
     Jobs.runNearDupDedupStream(spark, in, schema, s"$tmp/work",
-        compactEvery = 2, stateShufflePartitions = Some(8))
+        compactEvery = 2)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"))
