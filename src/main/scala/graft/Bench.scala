@@ -92,6 +92,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir", Scratch.sparkLocalDir)
       .config("spark.sql.session.timeZone", "UTC")
+      // pinned session-wide so Tables.withNanosAsLong's save/restore is
+      // idempotent under the parallel warmup pool (see Verify)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -101,37 +104,111 @@ object Bench {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warmup: batch queries only, overlapped on a small thread pool
+    // (guide §2.6 — warmup is untimed, so back-filling executor slots
+    // across queries is pure wall-clock savings), plus ONE streaming
+    // representative to class-load the streaming machinery. The other
+    // 41 streams gain nothing from an sf0.001 pass — their timed cost
+    // is fixed checkpoint/state-store startup, not codegen — and were
+    // costing ~40×3-5 s of the warmup that pushed the r14 driver run
+    // over its wall budget. A wall-clock cap (SPARK_GRAFT_WARMUP_BUDGET_S)
+    // bounds the phase on a slow host: skipping warmup can only make
+    // TIMED numbers slower, never wrong.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      queries.foreach { case (_, fn) =>
-        try exec(fn, warmDir)
-        catch { case scala.util.control.NonFatal(_) => () }
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      val warmupBudgetS =
+        sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET_S", "900").toDouble
+      val warmupStart = System.nanoTime()
+      def warmupOver: Boolean =
+        (System.nanoTime() - warmupStart) / 1e9 > warmupBudgetS
+      val streamRep = "q19_stream_validate"
+      val warmSet = queries.filter { case (name, _) =>
+        !SparkEntry.streamingQueries.contains(name) || name == streamRep
       }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      warmSet.foreach { case (_, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            if (!warmupOver)
+              try exec(fn, warmDir)
+              catch { case scala.util.control.NonFatal(_) => () }
+        })
+        ()
+      }
+      pool.shutdown()
+      pool.awaitTermination(warmupBudgetS.toLong + 60,
+        java.util.concurrent.TimeUnit.SECONDS)
+      spark.catalog.clearCache()
+      System.err.println(
+        f"[bench] warmup done in ${(System.nanoTime() - warmupStart) / 1e9}%.1f s (${warmSet.size} queries, 4 threads)")
+    }
 
     // per-query 1-minute loadavg AT THE KEPT MEASUREMENT's start, so
     // anomaly adjudication can tell a host burst from a plan change
     // without a manual A/B; min-of-two retries overwrite the entry
     // only when the retry becomes the recorded time
-    val qTime = scala.collection.mutable.Map.empty[String, Double]
-    val qLoad = scala.collection.mutable.Map.empty[String, Double]
+    val qTime = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val qLoad = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // Crash honesty (the r14 lesson): a query that THROWS must never be
+    // recorded as a time — under the r14 SIGTERM, 118 crashed queries
+    // were booked at their 0.2-30 ms crash latency and the run emitted
+    // itself as the fastest record in history. Errors land here instead,
+    // the record carries them explicitly, and a stopped SparkContext
+    // aborts the run outright (everything measured after it is noise).
+    val qErr = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    @volatile var aborted = false
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val la = loadavg1m()
       val t0 = System.nanoTime()
-      try exec(fn, sfDir)
-      catch { case scala.util.control.NonFatal(_) => () }
+      val err: Option[String] =
+        try { exec(fn, sfDir); None }
+        catch { case scala.util.control.NonFatal(e) =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      if (qTime.get(name).forall(elapsed < _)) {
-        qTime(name) = elapsed; qLoad(name) = la
+      err match {
+        case Some(msg) =>
+          qErr.put(name, msg)
+          System.err.println(f"[bench] $name FAILED after $elapsed%.2f s: $msg")
+          if (spark.sparkContext.isStopped) aborted = true
+        case None =>
+          qErr.remove(name)
+          if (Option(qTime.get(name)).forall(elapsed < _)) {
+            qTime.put(name, elapsed); qLoad.put(name, la)
+          }
       }
       // drop internal persists a query leaked so the next query's
       // timing never pays (or benefits from) a predecessor's cache —
       // OUTSIDE the timed window, so cache hygiene is attributed to
       // no query
-      spark.catalog.clearCache()
-      elapsed
+      if (!aborted) spark.catalog.clearCache()
+      // an errored attempt must never win a min-of-two against a real
+      // measurement (the r14 ms-crash-overwrites-real-time artifact)
+      if (err.isDefined) Double.MaxValue else elapsed
     }
 
-    val firstPass = queries.map { case (name, fn) => name -> timeOne(name, fn) }
+    // Kill-safety (the other half of the r14 lesson): a SIGTERM at the
+    // wall-clock budget must still yield a parseable record — marked
+    // failed — instead of rc-124 silence. The hook snapshots whatever
+    // was measured so far; a completed run sets `emitted` first, making
+    // the hook a no-op.
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (emitted.compareAndSet(false, true)) {
+        import scala.jdk.CollectionConverters._
+        val snap = qTime.asScala.toSeq.sortBy(_._1)
+        val qs = snap.map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val total = snap.map(_._2).sum
+        val nErr = qErr.size
+        println(
+          s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_measured":${snap.size},"n_errors":$nErr,"failed":true,"contaminated":true,"partial":true}""")
+        Console.out.flush()
+      }
+    }))
+
+    val firstPass = queries.iterator.takeWhile(_ => !aborted)
+      .map { case (name, fn) => name -> timeOne(name, fn) }.toSeq
     // A transient load spike skews exactly the queries unlucky enough to
     // run under it — re-measure the slowest and keep the min, so one
     // noisy window can't manufacture an apparent regression in the
@@ -142,8 +219,10 @@ object Bench {
     // 0.45 s-class queries recorded at ~3 s in the one run where a
     // spike landed on them).
     val streamingSet = SparkEntry.streamingQueries
+    // errored queries carry no time — rank only real measurements
+    val firstPassOk = firstPass.filter { case (k, _) => qTime.containsKey(k) }
     val (streamPass, batchPass) =
-      firstPass.partition { case (k, _) => streamingSet.contains(k) }
+      firstPassOk.partition { case (k, _) => streamingSet.contains(k) }
     // Retry set 1 — the slowest 10 per class (batch and streaming
     // ranked separately: streaming's 5-9 s fixed startup would
     // otherwise monopolize the slots).
@@ -157,15 +236,22 @@ object Bench {
     // (q17 26×, q184 24×, both un-retried); the anomaly rule keys on
     // WHICH queries moved, not how many.
     val medians = historyMedians(sfDir, cpus)
+    // Anomalous = implausibly SLOW (>3× clean-history median, noise burst
+    // or regression) or impossibly FAST (<50 ms on a query whose clean
+    // median exceeds 0.5 s — no real noop-sink action completes in 50 ms,
+    // so such a "time" is a crash or a gutted plan, the r14 signature;
+    // a genuine optimization win lands in the 0.1 s+ range and passes).
     def anomalous(name: String, t: Double): Boolean =
-      medians.get(name).exists(m => m > 0 && t > 3 * m && t - m > 0.75)
-    val anomalyNames = firstPass.collect {
+      medians.get(name).exists(m =>
+        (m > 0 && t > 3 * m && t - m > 0.75) || (t < 0.05 && m > 0.5))
+    val anomalyNames = firstPassOk.collect {
       case (name, t) if !slowestNames.contains(name) && anomalous(name, t) => name
     }.toSet
     val retryNames = slowestNames ++ anomalyNames
     val byName = queries.toMap
-    val results = firstPass.map { case (name, t) =>
-      if (retryNames.contains(name)) name -> math.min(t, timeOne(name, byName(name)))
+    val results = firstPassOk.map { case (name, t) =>
+      if (!aborted && retryNames.contains(name))
+        name -> math.min(t, timeOne(name, byName(name)))
       else name -> t
     }
     // queries still > 3× their clean-history median AFTER min-of-two:
@@ -183,7 +269,7 @@ object Bench {
     // (first-pass, un-re-measured) total and the retried names — the
     // trend tool compares like with like and a cross-round delta can
     // always be read off the raw field
-    val rawTotal = firstPass.map(_._2).sum
+    val rawTotal = firstPassOk.map(_._2).sum
     val retriedJson = retryNames.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // streaming queries carry fixed multi-second startup (checkpoint +
@@ -195,21 +281,37 @@ object Bench {
     val loadEnd = loadavg1m()
     // contamination: START loadavg breach (the END value is dominated
     // by the bench's own local[N] work and stays recorded for
-    // transparency only), OR — the r12 lesson, where a mid-run burst
-    // straddled neither sample — more than 5% of the suite still
-    // > 3× its clean-history median after the min-of-two retry
+    // transparency only), OR a mid-run burst wider than the retry window
+    // (>5% of the suite still >3× its clean-history median after
+    // min-of-two), OR — the r14 lesson — ANY query errored or the
+    // SparkContext died: a run with failures must never read as clean.
     val anomalyJson = postAnomalies.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val anomalyRetriedJson = anomalyNames.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val contaminated = loadStart > loadThreshold ||
+    val failed = aborted || !qErr.isEmpty
+    val contaminated = failed || loadStart > loadThreshold ||
       (queries.nonEmpty && postAnomalies.size * 20 > queries.size)
     val qLoadJson = results
       .map { case (k, _) =>
-        s"\"" + k + "\":" + (math.round(qLoad.getOrElse(k, -1.0) * 100) / 100.0)
+        s"\"" + k + "\":" +
+          (math.round(Option(qLoad.get(k)).getOrElse(-1.0) * 100) / 100.0)
       }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"raw_total_s":$rawTotal,"retried":$retriedJson,"anomaly_retried":$anomalyRetriedJson,"anomalies_after_retry":$anomalyJson,"n_streaming_queries":${SparkEntry.streamingQueries.size},"cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"query_loadavg":$qLoadJson,"contaminated":$contaminated}"""
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errJson = {
+      import scala.jdk.CollectionConverters._
+      qErr.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","streaming_total_s":$streamTotal,"batch_total_s":${total - streamTotal},"raw_total_s":$rawTotal,"retried":$retriedJson,"anomaly_retried":$anomalyRetriedJson,"anomalies_after_retry":$anomalyJson,"n_streaming_queries":${SparkEntry.streamingQueries.size},"cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"query_loadavg":$qLoadJson,"errors":$errJson,"failed":$failed,"contaminated":$contaminated}"""
+    emitted.set(true) // suite completed: the kill-safety hook stands down
     println(line)
     // BENCH_r*.json captures only the stdout tail, which loses the
     // per-query times for over half the suite — persist the complete
@@ -225,6 +327,12 @@ object Bench {
         try w.write(stamped + "\n") finally w.close()
       }
     } catch { case scala.util.control.NonFatal(_) => () }
+    if (failed) {
+      System.err.println(
+        s"[bench] FAILED: aborted=$aborted errors=${qErr.size} — record is marked failed/contaminated")
+      spark.stop()
+      sys.exit(2)
+    }
     spark.stop()
   }
 }

@@ -29,6 +29,34 @@ object SparkEntry {
     * safe point. Without this every verify/bench run left ~8 graft-q*
     * trees (sink data + RocksDB checkpoints) accumulating in /tmp.
     */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  /** ONE static hook for every scratch dir: registering a hook per dir
+    * (the pre-r15 shape) accumulates hooks across a 308-query sweep and
+    * — worse — throws IllegalStateException when a query allocates
+    * scratch WHILE the JVM is already shutting down (the r14 SIGTERM
+    * left 12 orphaned dirs exactly this way). A static hook registered
+    * once at class-init can never hit that window, and late allocations
+    * during shutdown merely join the registry unswept.
+    */
+  private val scratchSweeper: Thread = {
+    val t = new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      scratchDirs.forEach { p =>
+        try {
+          if (Files.exists(p))
+            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => { Files.deleteIfExists(f); () })
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    })
+    try Runtime.getRuntime.addShutdownHook(t)
+    catch { case _: IllegalStateException => () } // class-init during shutdown
+    t
+  }
+
   private def tempDir(prefix: String): String = {
     // tmpfs-backed when available (see [[Scratch]]): streaming
     // checkpoints and sink dirs are thousands of tiny fsync'd files
@@ -37,13 +65,7 @@ object SparkEntry {
       case Some(base) => java.nio.file.Files.createTempDirectory(base, prefix)
       case None => java.nio.file.Files.createTempDirectory(prefix)
     }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => { Files.deleteIfExists(f); () })
-    }))
+    scratchDirs.add(p)
     p.toString
   }
 

@@ -211,8 +211,14 @@ object Clusters {
   def dupDropIds(pairs: DataFrame, srcCol: String, dstCol: String,
       driverPairCap: Int = 100000): DataFrame = {
     val spark = pairs.sparkSession
+    // null-cast pairs (null input id, or a non-numeric id the cast
+    // nulls out) are dropped HERE so both paths agree: the distributed
+    // dupClusters fallback drops them in its joins, while Row.getLong
+    // on the driver path would unbox null to 0 and silently merge such
+    // pairs into a phantom vertex 0
     val head = pairs
       .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .limit(driverPairCap + 1).collect()
     if (head.length > driverPairCap)
       dupClusters(pairs, srcCol, dstCol)

@@ -839,7 +839,13 @@ object Mpeg1 {
                 } else {
                   j = 0
                   while (j < 3) {
-                    sTri(j)(sb) = l2Requant(br.bits(cls.bits), cls) * scale
+                    val code = br.bits(cls.bits)
+                    // steps = 2^bits − 1 (Table B.4): the all-ones
+                    // codeword is invalid, same check as the grouped
+                    // path's cw >= steps^3 — reject, don't reconstruct
+                    // an out-of-range sample
+                    if (code >= cls.steps) fail()
+                    sTri(j)(sb) = l2Requant(code, cls) * scale
                     j += 1
                   }
                 }

@@ -194,7 +194,12 @@ object Zip {
     def zip64Tail(): (Long, Long, Long, Int) = {
       if (u32(eocd - 16) != 0L || u32(eocd - 4) != 1L) fail() // single disk
       val e64 = u64(eocd - 12)
-      if (e64 + 56 > (eocd - 20).toLong || u32(e64.toInt) != 0x06064b50L) fail()
+      // overflow-safe bound: `e64 + 56 > …` Long-overflows for a
+      // hostile e64 near 2^63, passing the check and indexing at an
+      // arbitrary truncated int — check the negative range explicitly
+      // and subtract instead of adding
+      if (e64 < 0L || e64 > (eocd - 20).toLong - 56L ||
+          u32(e64.toInt) != 0x06064b50L) fail()
       val p = e64.toInt
       if (u32(p + 16) != 0L || u32(p + 20) != 0L) fail() // single disk
       val total = u64(p + 32)

@@ -93,4 +93,21 @@ class ClustersSpec extends SparkSpec {
     // empty pairs → empty drops on the fast path
     assert(Clusters.dupDropIds(pairs.limit(0), "id_a", "id_b").isEmpty)
   }
+
+  test("dupDropIds: null ids dropped identically on both paths") {
+    // (null,7) casts to a null pair: the driver path must not unbox it
+    // to a phantom vertex 0 (Row.getLong(null) == 0) — both paths must
+    // agree it contributes nothing (a non-castable id throws under ANSI
+    // on both paths, so those already agree)
+    val dirty = Seq(
+      (Option("1"), Option("2")), (None, Option("7")),
+      (Option("8"), None), (Option("30"), Option("31")))
+      .toDF("id_a", "id_b")
+    val fast = Clusters.dupDropIds(dirty, "id_a", "id_b")
+      .as[Long].collect().sorted.toSeq
+    val slow = Clusters.dupDropIds(dirty, "id_a", "id_b", driverPairCap = 1)
+      .as[Long].collect().sorted.toSeq
+    assert(fast == Seq(2L, 31L))
+    assert(slow == fast)
+  }
 }

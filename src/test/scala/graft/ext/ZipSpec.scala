@@ -284,5 +284,25 @@ class ZipSpec extends AnyFunSuite {
       .getOrElse(fail("comment collision must fall back to the classic parse"))
     assert(got.map(_.name) == Seq("m.txt"))
     assert(got.head.data.sameElements(data))
+
+    // overflow probe: same collision but the locator's EOCD64 offset is
+    // near 2^63 — `e64 + 56` used to Long-overflow negative, pass the
+    // bound check, and index at the truncated int (AIOOBE, not caught by
+    // the Malformed fallback), rejecting a parseable classic archive
+    val hostile = patched.clone()
+    val eocd2 = eocdNew
+    // locator fields: disk# (eocd-16) = 0, e64 (eocd-12) = 0x7FFF...F0,
+    // total disks (eocd-4) = 1 — so zip64Tail reaches the e64 bound check
+    k = 0
+    while (k < 4) { hostile(eocd2 - 16 + k) = 0; k += 1 }
+    val e64Bytes = Array[Byte](0xF0.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F.toByte)
+    System.arraycopy(e64Bytes, 0, hostile, eocd2 - 12, 8)
+    hostile(eocd2 - 4) = 1; hostile(eocd2 - 3) = 0
+    hostile(eocd2 - 2) = 0; hostile(eocd2 - 1) = 0
+    val got2 = Zip.extract(hostile)
+      .getOrElse(fail("hostile e64 near 2^63 must fail the bound check and fall back"))
+    assert(got2.map(_.name) == Seq("m.txt"))
+    assert(got2.head.data.sameElements(data))
   }
 }
