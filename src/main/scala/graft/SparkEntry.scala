@@ -6089,8 +6089,15 @@ object SparkEntry {
     * smaller conv_id.
     */
   def q225ConvDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the synth+render corpus feeds FOUR subtrees (the exact tier's
+    // self-join reads it twice, the simhash pair pass and the near
+    // rollup once each) — materialize it once (q139's survivors
+    // discipline; profiled 4 × ~2 s re-synthesis → one pass,
+    // warm 10.6 → ~4 s)
     val conv = synthConvCorpus(spark, dir)
       .withColumn("rendered", graft.ext.Chat.renderTemplate(col("turns")))
+      .select(col("conv_id"), col("lang"), col("rendered"))
+      .localCheckpoint(true)
     def rollup(keep: DataFrame, method: String): DataFrame =
       keep.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_convs"),

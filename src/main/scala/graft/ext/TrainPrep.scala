@@ -631,15 +631,25 @@ object TrainPrep {
     require(numBuckets > 0, "numBuckets must be positive")
     require(!df.columns.exists(
       Set("q_rank", "group_n", "quantile_ppm", "__qb", "__qb_lo", "__qb_hi",
-        "__qb_off", "__qb_n")),
-      "input must not already contain q_rank/group_n/quantile_ppm/__qb* columns")
+        "__qb_off", "__qb_n", "__qs")),
+      "input must not already contain q_rank/group_n/quantile_ppm/__qb*/__qs columns")
     // register the sketch aggregate on the INPUT's session — inside a
     // foreachBatch the plan resolves against the outer session while
     // SparkSession.active is the stream's clone (the q207 lesson)
     KllAgg.register(df.sparkSession)
-    val s = nanvl(coalesce(scoreCol.cast("double"),
+    // Materialize the normalized score ONCE as a child-projection
+    // column: when `scoreCol` is an unmaterialized expression (the
+    // curriculum's tokenCount-over-text), embedding it in the range
+    // join's condition re-evaluates the whole scoring tree once per
+    // (row, bucket) PAIR — numBuckets+1 times per row — and again in
+    // the rank window's order key. A projected attribute is computed
+    // once per row and referenced everywhere after (q210 warm
+    // 6.9 → see OPTIMIZATION_r15.md).
+    val s0 = nanvl(coalesce(scoreCol.cast("double"),
       lit(Double.NegativeInfinity)), lit(Double.NegativeInfinity))
-    val cuts = kllCuts(df, s, numBuckets, sketchK)
+    val dfq = df.withColumn("__qs", s0)
+    val s = col("__qs")
+    val cuts = kllCuts(dfq, s, numBuckets, sketchK)
     val spark0 = df.sparkSession
     // ascending buckets: bucket i covers (lo_i, hi_i], bottom bucket
     // closed at −∞ so normalized worst-score rows land there
@@ -656,7 +666,7 @@ object TrainPrep {
           org.apache.spark.sql.types.DoubleType, nullable = false),
         org.apache.spark.sql.types.StructField("__qb_hi",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
-    val bucketed = df
+    val bucketed = dfq
       .join(broadcast(ranges), s <= col("__qb_hi") && (s > col("__qb_lo") ||
         (s === lit(Double.NegativeInfinity) &&
           col("__qb_lo") === lit(Double.NegativeInfinity))))
@@ -680,7 +690,7 @@ object TrainPrep {
       .withColumn("q_rank", col("__qb_off") + row_number().over(w))
       .withColumn("group_n", col("__qb_n"))
       .withColumn("quantile_ppm", expr("q_rank * 1000000 div group_n"))
-      .drop("__qb", "__qb_off", "__qb_n")
+      .drop("__qb", "__qb_off", "__qb_n", "__qs")
   }
 
   /** Competence-based curriculum schedule (Platanios et al. 2019,
@@ -1132,16 +1142,16 @@ object TrainPrep {
     require(n >= 1, "n must be >= 1")
     val B = SplitBuckets // 16^3 — bucket = 3 md5 hex chars, hashSplit's convention
 
-    def grams(c: Column): Column = {
-      val toks = Text.tokens(c)
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-    }
+    // one-pass codegen'd kernel: gram build + md5 + 3-hex-char prefix
+    // fused ([[VectorKernels.gramBuckets]]) — value-identical to the
+    // interpreted `transform(sequence)+slice+concat_ws` HOF chain +
+    // `substring(md5(__g), 1, 3)` it replaces (pinned in PropertySpec);
+    // the chain evaluated `split` three times per row and materialized
+    // a 32-char hex string per occurrence, and dominated q112/q123
     def bucketed(df: DataFrame, idAs: String): DataFrame = df
-      .select(col(idCol).as(idAs), explode(grams(col(textCol))).as("__g"))
-      .select(col(idAs), substring(md5(col("__g")), 1, 3).as("b"))
+      .select(col(idCol).as(idAs),
+        explode(VectorKernels.gramBuckets(Text.tokens(col(textCol)), n, 3))
+          .as("b"))
 
     // per-doc bucket counts — the one corpus-wide explode, persisted
     // because both the corpus distribution and the scoring join read it

@@ -359,6 +359,93 @@ case class StringArrayShingles(child: Expression, n: Int)
       newChild: Expression): StringArrayShingles = copy(child = newChild)
 }
 
+/** md5-prefix BUCKETS of every word n-gram occurrence of a token
+  * array, in ONE pass — the DSIR feature-hash kernel: for each of the
+  * `size - n + 1` n-grams (multiplicity KEPT — this is a bag-of-buckets
+  * language-model feature vector, not a dedup shingle set) emit
+  * `substring(md5(concat_ws(' ', gram)), 1, prefixLen)`. Replaces the
+  * interpreted `transform(sequence)+slice+concat_ws` HOF chain (HOFs
+  * are CodegenFallback) followed by Spark's `md5` (full 32-char hex
+  * materialization per occurrence, then substring): here the gram
+  * bytes go straight into a per-row MessageDigest and only the prefix
+  * chars materialize. Value-identical to the chain it replaces —
+  * md5 of the UTF-8 gram bytes, lowercase hex — so the md5-prefix
+  * oracle convention is untouched; pinned ≡ in PropertySpec.
+  * Fewer than n tokens yields an EMPTY array (the `when(size < n)`
+  * guard it replaces); null element semantics match concat_ws (skip,
+  * no separator).
+  */
+case class StringArrayGramBuckets(child: Expression, n: Int, prefixLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
+  require(prefixLen >= 1 && prefixLen <= 32, "prefixLen must be in 1..32")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_buckets expects array<string>, got $t")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val ntok = a.numElements()
+    val count = if (ntok < n) 0 else ntok - n + 1
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](count)
+    // one digest per ROW (compute runs concurrently across tasks —
+    // MessageDigest is not thread-safe, and getInstance is cheap
+    // relative to the per-gram digest work it amortizes)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    val nHex = prefixLen
+    val nBytes = (nHex + 1) / 2
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      var emitted = false // concat_ws skips nulls WITHOUT a separator
+      while (j < n) {
+        if (!a.isNullAt(i + j)) {
+          if (emitted) sb.append(' ')
+          sb.append(a.getUTF8String(i + j).toString)
+          emitted = true
+        }
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](nHex)
+      var b = 0
+      while (b < nBytes) {
+        val v = digest(b) & 0xff
+        hex(2 * b) = hexDigits(v >>> 4)
+        if (2 * b + 1 < nHex) hex(2 * b + 1) = hexDigits(v & 0xf)
+        b += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        new String(hex))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramBuckets", this,
+      classOf[StringArrayGramBuckets].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StringArrayGramBuckets = copy(child = newChild)
+}
+
 /** MinHash signature over pre-hashed shingles (`array<long>`): hash
   * family k is a splitmix64 mix of the base hash — one array walk
   * total. Produces the same signature as [[StringArrayMinhash]] when
@@ -457,6 +544,7 @@ object VectorKernels {
   private val shingleHashesName = "graft_shingle_hashes"
   private val shingleStringsName = "graft_shingle_strings"
   private val minhashSigLName = "graft_minhash_sig_l"
+  private val gramBucketsName = "graft_gram_buckets"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -482,6 +570,10 @@ object VectorKernels {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashSigLName, exprs => LongArrayMinhash(
         exprs(0), exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      gramBucketsName, exprs => StringArrayGramBuckets(
+        exprs(0), exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   /** Cosine similarity of two float-vector columns (requires
@@ -529,5 +621,15 @@ object VectorKernels {
   def minhashSigL(hashes: Column, numHashes: Int): Column = {
     register(SparkSession.active)
     call_function(minhashSigLName, hashes, org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  /** md5-prefix bucket of every word n-gram OCCURRENCE of a token
+    * array (multiplicity kept) — the DSIR feature-hash kernel.
+    */
+  def gramBuckets(tokens: Column, n: Int, prefixLen: Int): Column = {
+    register(SparkSession.active)
+    call_function(gramBucketsName, tokens,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(prefixLen))
   }
 }

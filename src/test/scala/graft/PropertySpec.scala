@@ -636,4 +636,27 @@ class PropertySpec extends SparkSpec {
       assert(kernel == hof, s"n=$n")
     }
   }
+
+  test("gram-bucket kernel ≡ the HOF chain + substring(md5) it replaced") {
+    // multiplicity KEPT (dsir is a bag-of-buckets feature vector) and
+    // value = substring(md5(concat_ws(' ', gram)), 1, prefixLen) — the
+    // md5-prefix oracle convention must be bit-identical
+    val tokGen: Gen[List[String]] = Gen.choose(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "cat", "Ωmega", null, "dog")))
+    val cases = (1 to 30).map(i => tokGen.pureApply(Gen.Parameters.default, Seed(19L + i)))
+    for (n <- Seq(1, 2, 3); p <- Seq(3, 15)) {
+      val df = cases.map(Tuple1(_)).toDF("toks")
+      val kernel = df.select(
+        graft.ext.VectorKernels.gramBuckets(col("toks"), n, p).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val hof = df.select(
+        when(size(col("toks")) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => substring(md5(concat_ws(" ", slice(col("toks"), i, lit(n)))), 1, p)))
+          .as("g"))
+        .as[Seq[String]].collect().toSeq
+      assert(kernel == hof, s"n=$n prefixLen=$p")
+    }
+  }
 }
