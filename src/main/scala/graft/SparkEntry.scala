@@ -402,7 +402,7 @@ object SparkEntry {
     val in = writeEventSlicesPlain(eventsForReplay(spark, dir), tmp, 4)
     Jobs.runWindowedStream(spark, in, s"$tmp/ckpt", s"$tmp/out",
       lateness = "10 minutes", windowDuration = "1 hour", slide = Some("15 minutes"),
-      stateShufflePartitions = Some(8))
+      stateShufflePartitions = Some(8), filesPerTrigger = 2)
       .orderBy(col("window_start"), col("event_type"))
   }
 
@@ -1349,7 +1349,7 @@ object SparkEntry {
   }
 
   /** Streaming exact dedup (`dropDuplicatesWithinWatermark`) as a REAL
-    * multi-batch stream: events replay as four time slices (one file
+    * multi-batch stream: events replay as four time slices (two files
     * per micro-batch, oldest first), with duplicate copies injected
     * BOTH within a slice (every 3rd event — batch-local state) and
     * into the NEXT slice (every 5th event — cross-batch state; every
@@ -1369,7 +1369,7 @@ object SparkEntry {
     // the replay is bounded → few state partitions (per-partition state
     // commits are the dominant cost; a production stream sizes this up)
     graft.stream.Jobs.runDedupStream(spark, in, lateness = "40 days",
-      stateShufflePartitions = Some(8))
+      stateShufflePartitions = Some(8), filesPerTrigger = 2)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("event_type"))
@@ -1457,7 +1457,7 @@ object SparkEntry {
     val in = writeEventSlicesPlain(eventsForReplay(spark, dir), tmp, 4)
     graft.stream.Jobs.runIntervalJoinStream(spark, in,
       lateness = "40 days", maxGap = "1 hour",
-      stateShufflePartitions = Some(8))
+      stateShufflePartitions = Some(8), filesPerTrigger = 2)
       .select(col("user_id"), col("click_id"), col("purchase_id"))
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
@@ -1601,7 +1601,7 @@ object SparkEntry {
     val in = writeEventSlicesPlain(eventsForReplay(spark, dir), tmp, 4)
     graft.stream.Jobs.runSessionStream(spark, in,
       gap = "30 minutes", lateness = "10 minutes",
-      stateShufflePartitions = Some(8))
+      stateShufflePartitions = Some(8), filesPerTrigger = 2)
       .orderBy(col("user_id"), col("session_start"))
   }
 
@@ -3394,7 +3394,7 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val in = writeSliceFilesByExpr(queries, pmod(col("query_id"), lit(4)), tmp)
     graft.stream.Jobs.runQueryServeStream(spark, in, queries.schema,
-      idxDir, s"$tmp/out", k = 10, nprobe = 3)
+      idxDir, s"$tmp/out", k = 10, nprobe = 3, filesPerTrigger = 2)
     val cols = Seq("query_id", "vec_id", "adc_score", "rank").map(col)
     val streamed = spark.read.parquet(s"$tmp/out/results").select(cols: _*)
     val referee = graft.ext.AnnIndex.searchTopK(
@@ -4131,7 +4131,8 @@ object SparkEntry {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
       StructField("mime", StringType, nullable = true)))
-    Jobs.runMediaDecodeStream(spark, in, schema, s"$tmp/good", s"$tmp/dlq", s"$tmp/cp")
+    Jobs.runMediaDecodeStream(spark, in, schema, s"$tmp/good", s"$tmp/dlq", s"$tmp/cp",
+      filesPerTrigger = 2)
     val good = spark.read.parquet(s"$tmp/good")
       .select(col("media_id"), col("n_bytes"), col("n_samples"))
     val dlqSchema = StructType(Seq(
@@ -5410,7 +5411,7 @@ object SparkEntry {
     val in = writeEventSlicesPlain(eventsForReplay(spark, dir), tmp, 4,
       hourAligned = true)
     graft.stream.Stateful.runHoltStream(spark, in,
-        stateShufflePartitions = Some(8))
+        stateShufflePartitions = Some(8), filesPerTrigger = 2)
       .orderBy(col("key"), col("hr"))
   }
 
@@ -5684,7 +5685,7 @@ object SparkEntry {
       StructField("payload", BinaryType, nullable = true),
       StructField("mime", StringType, nullable = true)))
     dhashNearDupCensus(
-      Jobs.runDHashIndexStream(spark, in, schema, s"$tmp/work"))
+      Jobs.runDHashIndexStream(spark, in, schema, s"$tmp/work", filesPerTrigger = 2))
   }
 
   /** SCALAR-quantizer ADC search contracts
@@ -6409,7 +6410,7 @@ object SparkEntry {
       synthMpegAudioDupMedia(spark, dir), partitions = 8).toDF())
 
   /** STREAMING ingest over the LOSSY wire: q246's WAV/FLAC/MPEG corpus
-    * arrives as 4 micro-batches; each batch runs the magic-byte audio
+    * arrives as 4 slices / 2 micro-batches; each batch runs the magic-byte audio
     * dispatch (MPEG-1 Layer I decode included) ONCE and appends its
     * energy-hash rows under an idempotent `batch_id=` partition.
     * Decode is deterministic, so the census over the maintained index
@@ -6426,7 +6427,7 @@ object SparkEntry {
       StructField("mime", StringType, nullable = true)))
     // the stream itself runs to completion inside the call; the
     // returned lazy read is superseded by the post-compaction read
-    Jobs.runAudioHashIndexStream(spark, in, schema, s"$tmp/work")
+    Jobs.runAudioHashIndexStream(spark, in, schema, s"$tmp/work", filesPerTrigger = 2)
     // maintenance compaction folds the per-trigger batch_id= partitions
     // (graft.sinks.Writers.compactBatchPartitions) INSIDE the
     // oracle-checked path — the census over the compacted index must
@@ -6455,7 +6456,7 @@ object SparkEntry {
       StructField("payload", BinaryType, nullable = true),
       StructField("mime", StringType, nullable = true)))
     audioNearDupCensus(
-      Jobs.runAudioHashIndexStream(spark, in, schema, s"$tmp/work"))
+      Jobs.runAudioHashIndexStream(spark, in, schema, s"$tmp/work", filesPerTrigger = 2))
   }
 
   /** Shared tail of q219/q227: banded Hamming pairs over the
@@ -6495,7 +6496,7 @@ object SparkEntry {
       StructField("payload", BinaryType, nullable = true),
       StructField("mime", StringType, nullable = true)))
     audioNearDupCensus(
-      Jobs.runWavHashIndexStream(spark, in, schema, s"$tmp/work"))
+      Jobs.runWavHashIndexStream(spark, in, schema, s"$tmp/work", filesPerTrigger = 2))
   }
 
   /** q230's corpus: a 1-in-16 doc sample in (original, one-window-
@@ -6691,7 +6692,8 @@ object SparkEntry {
       StructField("payload", BinaryType, nullable = true),
       StructField("mime", StringType, nullable = true)))
     videoKeyframeCensus(
-      Jobs.runVideoHashIndexStream(spark, in, schema, s"$tmp/work", stride = 2))
+      Jobs.runVideoHashIndexStream(spark, in, schema, s"$tmp/work", stride = 2,
+        filesPerTrigger = 2))
   }
 
   /** Shared tail of q222/q228: middle-sampled-frame near-dup census
@@ -6880,7 +6882,7 @@ object SparkEntry {
       StructField("payload", BinaryType, nullable = true),
       StructField("mime", StringType, nullable = true)))
     dhashNearDupCensus(
-      Jobs.runImageHashIndexStream(spark, in, schema, s"$tmp/work"))
+      Jobs.runImageHashIndexStream(spark, in, schema, s"$tmp/work", filesPerTrigger = 2))
   }
 
   /** Corrupt-JPEG DLQ split at corpus grain — the O-07 discipline
@@ -7205,7 +7207,7 @@ object SparkEntry {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),
       StructField("mime", StringType, nullable = true)))
-    Jobs.runWarcIngestStream(spark, in, schema, s"$tmp/work")
+    Jobs.runWarcIngestStream(spark, in, schema, s"$tmp/work", filesPerTrigger = 2)
       .groupBy(col("media_id").as("doc_id"))
       .agg(count(lit(1)).as("n_records"),
         max(when(col("warc_type") === "conversion", col("target_uri")))

@@ -137,11 +137,12 @@ object Jobs {
       lateness: String = "10 minutes",
       windowDuration: String = "1 hour",
       slide: Option[String] = None,
-      stateShufflePartitions: Option[Int] = None): DataFrame =
+      stateShufflePartitions: Option[Int] = None,
+      filesPerTrigger: Int = 1): DataFrame =
     withShufflePartitions(spark, stateShufflePartitions) {
       val schema = graft.schema.Schemas.events
       val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(inputDir)
       val agg = windowedAgg(stream.withWatermark("ts", lateness),
         windowDuration, slide)
       val q = agg.writeStream
@@ -177,11 +178,12 @@ object Jobs {
       inputDir: String,
       lateness: String,
       keyCols: Seq[String] = Seq("event_id"),
-      stateShufflePartitions: Option[Int] = None): DataFrame =
+      stateShufflePartitions: Option[Int] = None,
+      filesPerTrigger: Int = 1): DataFrame =
     withShufflePartitions(spark, stateShufflePartitions) {
       val schema = graft.schema.Schemas.events
       val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(inputDir)
       val deduped = stream.withWatermark("ts", lateness)
         .dropDuplicatesWithinWatermark(keyCols)
       runToMemorySink(spark, deduped, "graft_stream_dedup")
@@ -205,12 +207,13 @@ object Jobs {
       inputDir: String,
       lateness: String,
       maxGap: String,
-      stateShufflePartitions: Option[Int] = None): DataFrame =
+      stateShufflePartitions: Option[Int] = None,
+      filesPerTrigger: Int = 1): DataFrame =
     withShufflePartitions(spark, stateShufflePartitions) {
       val schema = graft.schema.Schemas.events
       def side(etype: String, idAs: String, userAs: String, tsAs: String) =
         spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inputDir)
+          .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(inputDir)
           .filter(col("event_type") === etype)
           .select(col("event_id").as(idAs), col("user_id").as(userAs),
             col("ts").as(tsAs))
@@ -237,11 +240,12 @@ object Jobs {
       inputDir: String,
       gap: String,
       lateness: String,
-      stateShufflePartitions: Option[Int] = None): DataFrame =
+      stateShufflePartitions: Option[Int] = None,
+      filesPerTrigger: Int = 1): DataFrame =
     withShufflePartitions(spark, stateShufflePartitions) {
       val schema = graft.schema.Schemas.events
       val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(inputDir)
       val agg = stream.withWatermark("ts", lateness)
         .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
@@ -990,11 +994,12 @@ object Jobs {
       outDir: String,
       k: Int,
       nprobe: Int,
-      stateShufflePartitions: Option[Int] = None): Unit =
+      stateShufflePartitions: Option[Int] = None,
+      filesPerTrigger: Int = 1): Unit =
     withShufflePartitions(spark, stateShufflePartitions) {
     val index = graft.ext.AnnIndex.read(spark, indexDir)
     val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1267,9 +1272,10 @@ object Jobs {
       spark: SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
-      workDir: String): DataFrame =
+      workDir: String,
+      filesPerTrigger: Int = 1): DataFrame =
     runMediaIndexStream(spark, inputDir, schema, workDir,
-      b => graft.ext.Multimodal.bmpDHashes(b.sparkSession, b, partitions = 4).toDF())
+      b => graft.ext.Multimodal.bmpDHashes(b.sparkSession, b, partitions = 4).toDF(), filesPerTrigger)
 
   /** [[runDHashIndexStream]]'s shape for AUDIO: WAV payloads decode
     * once per micro-batch ([[graft.ext.Multimodal.wavEnergyHashes]])
@@ -1281,9 +1287,10 @@ object Jobs {
       spark: SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
-      workDir: String): DataFrame =
+      workDir: String,
+      filesPerTrigger: Int = 1): DataFrame =
     runMediaIndexStream(spark, inputDir, schema, workDir,
-      b => graft.ext.Multimodal.wavEnergyHashes(b.sparkSession, b, partitions = 4).toDF())
+      b => graft.ext.Multimodal.wavEnergyHashes(b.sparkSession, b, partitions = 4).toDF(), filesPerTrigger)
 
   /** [[runWavHashIndexStream]] generalized over
     * [[graft.ext.Multimodal.decodeAudio]]'s magic-byte dispatch: a
@@ -1295,9 +1302,10 @@ object Jobs {
       spark: SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
-      workDir: String): DataFrame =
+      workDir: String,
+      filesPerTrigger: Int = 1): DataFrame =
     runMediaIndexStream(spark, inputDir, schema, workDir,
-      b => graft.ext.Multimodal.audioEnergyHashes(b.sparkSession, b, partitions = 4).toDF())
+      b => graft.ext.Multimodal.audioEnergyHashes(b.sparkSession, b, partitions = 4).toDF(), filesPerTrigger)
 
   /** [[runDHashIndexStream]] generalized over
     * [[graft.ext.Multimodal.decodeImage]]'s magic-byte dispatch: a
@@ -1309,9 +1317,10 @@ object Jobs {
       spark: SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
-      workDir: String): DataFrame =
+      workDir: String,
+      filesPerTrigger: Int = 1): DataFrame =
     runMediaIndexStream(spark, inputDir, schema, workDir,
-      b => graft.ext.Multimodal.imageDHashes(b.sparkSession, b, partitions = 4).toDF())
+      b => graft.ext.Multimodal.imageDHashes(b.sparkSession, b, partitions = 4).toDF(), filesPerTrigger)
 
   /** [[runDHashIndexStream]]'s shape for VIDEO: raw clips decode once
     * per micro-batch ([[graft.ext.Multimodal.videoFrameHashes]] at
@@ -1324,10 +1333,12 @@ object Jobs {
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
       workDir: String,
-      stride: Int): DataFrame =
+      stride: Int,
+      filesPerTrigger: Int = 1): DataFrame =
     runMediaIndexStream(spark, inputDir, schema, workDir,
       b => graft.ext.Multimodal
-        .videoFrameHashes(b.sparkSession, b, stride, partitions = 4).toDF())
+        .videoFrameHashes(b.sparkSession, b, stride, partitions = 4).toDF(),
+      filesPerTrigger)
 
   /** STREAMING WARC/WET ingest — the crawl-landing shape: each
     * micro-batch of WARC files (plain or gzip, incl. the
@@ -1342,9 +1353,10 @@ object Jobs {
       spark: SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType, // (media_id, payload, mime)
-      workDir: String): DataFrame =
+      workDir: String,
+      filesPerTrigger: Int = 1): DataFrame =
     runMediaIndexStream(spark, inputDir, schema, workDir,
-      b => graft.sources.Warc.warcRecords(b.sparkSession, b, partitions = 4))
+      b => graft.sources.Warc.warcRecords(b.sparkSession, b, partitions = 4), filesPerTrigger)
 
   /** The shared STREAMING fingerprint-index ingest: each micro-batch
     * of binary media payloads is decoded ONCE by `fingerprint` (the
@@ -1362,12 +1374,13 @@ object Jobs {
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType,
       workDir: String,
-      fingerprint: DataFrame => DataFrame): DataFrame = {
+      fingerprint: DataFrame => DataFrame,
+      filesPerTrigger: Int = 1): DataFrame = {
     // complete any interrupted compaction swap before new batches land
     // beside a stranded staging copy
     graft.sinks.Writers.recoverStagedSwap(spark, s"$workDir/index")
     val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1401,9 +1414,10 @@ object Jobs {
       schema: org.apache.spark.sql.types.StructType,
       goodPath: String,
       dlqPath: String,
-      checkpoint: String): Unit = {
+      checkpoint: String,
+      filesPerTrigger: Int = 1): Unit = {
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(inputDir)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(inputDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val media = batch.persist()

@@ -304,7 +304,8 @@ object Stateful {
       scale: Long = 1000000L,
       alphaDen: Long = 8L,
       betaDen: Long = 4L,
-      stateShufflePartitions: Option[Int] = None): DataFrame =
+      stateShufflePartitions: Option[Int] = None,
+      filesPerTrigger: Int = 1): DataFrame =
     Jobs.withShufflePartitions(spark, stateShufflePartitions) {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
@@ -314,7 +315,7 @@ object Stateful {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val typed = spark.readStream.schema(graft.schema.Schemas.events)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", filesPerTrigger)
         .parquet(inputDir)
         .selectExpr("event_type",
           "CAST(date_trunc('hour', ts) AS LONG) AS hr_s").as[HourEvent]
