@@ -2443,6 +2443,9 @@ object SparkEntry {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
+      // media-synth discipline: spread the gzip-encode leg across the
+      // cores — the documents scan is one partition at these sizes
+      .repartition(32)
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, lang, text) =>
         val recs = Seq(graft.sources.Warc.WarcRecord("conversion",
@@ -2482,6 +2485,9 @@ object SparkEntry {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
+      // media-synth discipline: the HTTP-wire build + gzip legs are
+      // the expensive encode; spread them off the single-file scan
+      .repartition(32)
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, lang, text) =>
         // charsets resolved on the executor: Charset instances are not
@@ -3039,9 +3045,13 @@ object SparkEntry {
       k = 10, iters = 3, scorer = graft.ext.VectorKernels.cosineF)
     val cbs = graft.ext.Features.pqTrainCodebooks(
       base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    // checkpointed for the same plan-truncation reason as q200: the
+    // write + in-memory search + roundtrip compare below re-plan the
+    // literal-heavy encode tree once per action otherwise
     val codes = graft.ext.Features.pqEncode(
       clustered, "vec_id", "embedding", cbs, carryCols = Seq("label"))
-    val centroids = Similarity.clusterCentroids(clustered)
+      .localCheckpoint(true)
+    val centroids = Similarity.clusterCentroids(clustered).localCheckpoint(true)
     val queries = embQueries(spark, dir)
     val mem = Features.ivfAdcTopK(codes, centroids, queries, cbs,
       k = 10, nprobe = 3)
@@ -4026,7 +4036,10 @@ object SparkEntry {
     */
   private def synthWavMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val n = (50 + id % 50).toInt
         val rate = (8000 + (id % 3) * 4000).toInt
@@ -4055,7 +4068,10 @@ object SparkEntry {
     */
   private def synthBmpMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (4 + id % 5).toInt
         val h = (3 + id % 4).toInt
@@ -4171,7 +4187,10 @@ object SparkEntry {
     */
   private def synthWavDlqMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val n = (50 + id % 50).toInt
         val rate = (8000 + (id % 3) * 4000).toInt
@@ -5503,9 +5522,16 @@ object SparkEntry {
       k = 10, iters = 3, scorer = graft.ext.VectorKernels.cosineF)
     val cbs = graft.ext.Features.pqTrainCodebooks(
       base, "vec_id", "embedding", m = 16, k = 16, iters = 3)
+    // checkpoint the encoded table + centroid table: the lifecycle
+    // below runs ~17 actions (two index writes, delete, 3 searches,
+    // compaction, contract probes) and each re-PLANS its inputs — the
+    // kmeans-assign + PQ-encode tree carries k·dim + m·k·sub literal
+    // constants, so plan truncation is worth more than the recompute
+    // (encode is deterministic ⇒ results unchanged)
     val codes = graft.ext.Features.pqEncode(
       clustered, "vec_id", "embedding", cbs, carryCols = Seq("label"))
-    val centroids = Similarity.clusterCentroids(clustered)
+      .localCheckpoint(true)
+    val centroids = Similarity.clusterCentroids(clustered).localCheckpoint(true)
     val queries = embQueries(spark, dir)
     val tmp = tempDir("graft-q200")
     val (full, ref) = (s"$tmp/full", s"$tmp/ref")
@@ -5552,7 +5578,10 @@ object SparkEntry {
     */
   def q201DedupRecommend(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val eff = q187DedupEfficacy(spark, dir)
+    // the efficacy audit is a 5-ROW summary consumed by two branches
+    // (input row + method rows) — materialize it once instead of
+    // re-running the four dedup pipelines per branch
+    val eff = q187DedupEfficacy(spark, dir).localCheckpoint(true)
     val inp = eff.filter(col("method") === "0_input")
       .select(col("n_docs").as("in_docs"), col("tok_sum").as("in_toks"))
     val m = eff.filter(col("method") =!= "0_input")
@@ -6150,7 +6179,10 @@ object SparkEntry {
     // corpus, most images here have NO image neighbor, so the
     // caption-side near-dups surface as genuine
     // caption-same/image-different verdicts
-    val media = docs.select(col("doc_id")).as[Long]
+    val media = docs.select(col("doc_id"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val base = if (id % 16 <= 1) id - id % 16 else id
         val w = (16 + base % 5).toInt
@@ -6285,7 +6317,10 @@ object SparkEntry {
     */
   private def synthAudioDupMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val base = id / 4
         val n = (200 + base % 50).toInt
@@ -6373,7 +6408,10 @@ object SparkEntry {
     */
   private def synthMpegAudioDupMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val base = id / 4
         val variant = (id % 4).toInt
@@ -6509,6 +6547,8 @@ object SparkEntry {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .filter(id => id % 32 == 0 || id % 32 == 1)
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
       .mapPartitions(_.map { id =>
         val base = id / 32
         val delayed = id % 32 == 1
@@ -6630,7 +6670,10 @@ object SparkEntry {
     */
   private def synthVideoDupMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val base = id / 4
         val n = (8 + base % 5).toInt
@@ -6779,7 +6822,10 @@ object SparkEntry {
 
   private def synthJpegDupMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val img = stripImage(id)
         val jpg = (id % 4) match {
@@ -6799,7 +6845,10 @@ object SparkEntry {
     */
   private def synthPngDupMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val img = stripImage(id)
         val png = (id % 4) match {
@@ -6827,7 +6876,10 @@ object SparkEntry {
     */
   private def synthMixedImageDupMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val img = stripImage(id)
         val (bytes, mime) = (id % 4) match {
@@ -6926,6 +6978,8 @@ object SparkEntry {
   private def synthGzipDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val bytes = Option(text).getOrElse("")
@@ -7148,6 +7202,8 @@ object SparkEntry {
   private def synthWarcDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val recs = Seq(
@@ -7245,6 +7301,8 @@ object SparkEntry {
   private def synthPngMetaMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, lang) =>
         val bgr = new Array[Byte](8 * 8 * 3)
@@ -7321,7 +7379,9 @@ object SparkEntry {
       .select(col("doc_id"), col("text"),
         lead(col("text"), 1).over(w).as("next_text"))
       .filter(col("next_text").isNotNull)
-    sampled.as[(Long, String, String)]
+    // the triple-gzip NCD leg is the expensive map — spread it off the
+    // window's __blk partitioning (media-synth discipline)
+    sampled.repartition(32).as[(Long, String, String)]
       .mapPartitions(_.map { case (id, a, b) =>
         val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -7382,6 +7442,8 @@ object SparkEntry {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .filter(id => id % 16 == 0)
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
       .mapPartitions(_.map { id =>
         val base = id / 16
         val n = (12 + base % 7).toInt
@@ -7446,6 +7508,8 @@ object SparkEntry {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .filter(id => id % 16 == 0)
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
       .mapPartitions(_.map { id =>
         val base = id / 16
         val nShots = (5 + base % 3).toInt
@@ -7992,6 +8056,8 @@ object SparkEntry {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .filter(id => id % 32 == 0 || id % 32 == 1)
+      // media-synth discipline: spread the encode leg across the cores
+      .repartition(32)
       .mapPartitions(_.map { id =>
         val base = id / 32
         val delayed = id % 32 == 1
