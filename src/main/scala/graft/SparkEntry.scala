@@ -2028,12 +2028,14 @@ object SparkEntry {
     */
   def q88DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 600)
-    val clusters = graft.ext.Clusters.dupClusters(
+    // drop-set only (no cluster table consumer): the driver union-find
+    // fast path under its cap, ClustersSpec-pinned == the distributed
+    // closure — saves the propagation loop's checkpoint/probe jobs
+    val drops = graft.ext.Clusters.dupDropIds(
       Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
         shingleSize = 1, threshold = 0.95),
       "id_a", "id_b")
-    docs.join(clusters.filter(!col("is_canonical")).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+    docs.join(drops, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"))
@@ -2052,12 +2054,12 @@ object SparkEntry {
     */
   def q88bDedupCorpusLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val clusters = graft.ext.Clusters.dupClusters(
+    // drop-set only: dupDropIds fast path (see q88)
+    val drops = graft.ext.Clusters.dupDropIds(
       Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5),
       "id_a", "id_b")
-    docs.join(clusters.filter(!col("is_canonical")).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+    docs.join(drops, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"))
@@ -4592,8 +4594,9 @@ object SparkEntry {
       "c_custkey", "c_nationkey",
       fuzzyRules = Seq(("c_name", 1)),
       exactCols = Seq("c_acctbal", "c_mktsegment"))
-    val dropped = graft.ext.Clusters.dupClusters(pairs, "id_a", "id_b")
-      .filter(!col("is_canonical"))
+    // drop-set only: dupDropIds fast path (see q88) — q161b re-runs
+    // this per trigger, so the propagation-loop savings multiply
+    val dropped = graft.ext.Clusters.dupDropIds(pairs, "id_a", "id_b")
       .select(col("doc_id").as("c_custkey"))
     all.join(dropped, Seq("c_custkey"), "left_anti")
   }
@@ -5114,12 +5117,12 @@ object SparkEntry {
     val para = graft.ext.Dedup.paragraphDedup(
         docs, "doc_id", "text", chunkTokens = 16)
       .filter(col("n_kept") > 0)
-    val clusters = graft.ext.Clusters.dupClusters(
-      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5),
-      "id_a", "id_b")
+    // drop-set only: dupDropIds fast path (see q88)
     val mhKept = docs.join(
-      clusters.filter(!col("is_canonical")).select(col("doc_id")),
+      graft.ext.Clusters.dupDropIds(
+        Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5),
+        "id_a", "id_b"),
       Seq("doc_id"), "left_anti")
     val excised = graft.ext.Dedup.exciseSpans(docs,
       graft.ext.Dedup.repeatedNgramSpans(docs, "doc_id", "text",
@@ -6650,8 +6653,11 @@ object SparkEntry {
   def q221StreamCdcStore(spark: SparkSession, dir: String): DataFrame = {
     val tmp = tempDir("graft-q221")
     val (in, schema) = docSliceStreamInput(spark, dir, tmp)
+    // a doc lives in exactly one slice either way and the chunk-store
+    // counts merge algebraically, so batch grouping cannot change the
+    // report — fold 4 triggers to 2
     val (chunks, state) = Jobs.runCdcChunkStream(spark, in, schema, s"$tmp/work",
-      stateShufflePartitions = Some(8))
+      stateShufflePartitions = Some(8), filesPerTrigger = 2)
     chunks.join(state, Seq("chunk_text"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),

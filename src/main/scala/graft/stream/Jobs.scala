@@ -865,11 +865,12 @@ object Jobs {
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType,
       workDir: String,
-      stateShufflePartitions: Option[Int] = None): (DataFrame, DataFrame) =
+      stateShufflePartitions: Option[Int] = None,
+      filesPerTrigger: Int = 1): (DataFrame, DataFrame) =
     withShufflePartitions(spark, stateShufflePartitions) {
     var lastV = publishedVersion(spark, s"$workDir/state")
     val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
